@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship medallion-style rollup at sf0.001;
+``queries()`` exposes one callable per implemented operator from
+SURVEY.md §2 (plus the scale/extension operators of §7 step 9);
+``oracle_sql()`` gives the DuckDB-equivalent SQL for each hash-checkable
+query. Implementations live in ``global_seismic_data_pipeline_spark``.
 """
 
 from __future__ import annotations
@@ -13,26 +13,47 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from global_seismic_data_pipeline_spark.plans import oracles, workloads
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return workloads.flagship_regional_rollup(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {
+        "flagship_regional_rollup": workloads.flagship_regional_rollup,
+        "dedup_keep_latest": workloads.dedup_keep_latest,
+        "window_priority_pick": workloads.window_priority_pick,
+        "rolling_daily_metrics": workloads.rolling_daily_metrics,
+        "dense_rank_nations": workloads.dense_rank_nations,
+        "spatial_box_enrich": workloads.spatial_box_enrich,
+        "band_join_classify": workloads.band_join_classify,
+        "band_case_classify": workloads.band_case_classify,
+        "anti_join_inactive_customers": workloads.anti_join_inactive_customers,
+        "union_by_name_mixed": workloads.union_by_name_mixed,
+        "agg_pricing_summary": workloads.agg_pricing_summary,
+        "agg_global_kpi": workloads.agg_global_kpi,
+        "agg_histogram_case": workloads.agg_histogram_case,
+        "agg_monthly_rollup": workloads.agg_monthly_rollup,
+        "agg_conditional_pivot": workloads.agg_conditional_pivot,
+        "agg_frequency_table": workloads.agg_frequency_table,
+        "agg_duplicate_audit": workloads.agg_duplicate_audit,
+        "quality_null_audit": workloads.quality_null_audit,
+        "watermark_incremental_filter": workloads.watermark_incremental_filter,
+        "validate_and_clean": workloads.validate_and_clean,
+        "membership_topk": workloads.membership_topk,
+        "case_custom_sort": workloads.case_custom_sort,
+        "temporal_features": workloads.temporal_features,
+        "physics_suite": workloads.physics_suite,
+        "sessionize_users": workloads.sessionize_users,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query (omitted ⇒ rows-only check)."""
+    return dict(oracles.ORACLES)
