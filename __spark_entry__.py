@@ -13,7 +13,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from global_seismic_data_pipeline_spark.plans import oracles, workloads
+from global_seismic_data_pipeline_spark.plans import (
+    oracles,
+    oracles_ext,
+    workloads,
+    workloads_ext,
+)
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -51,9 +56,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_features": workloads.temporal_features,
         "physics_suite": workloads.physics_suite,
         "sessionize_users": workloads.sessionize_users,
+        # --- extension operators (LLM-data-pipeline + streaming shapes) ---
+        "text_quality_score": workloads_ext.text_quality_score,
+        "text_language_id": workloads_ext.text_language_id,
+        "text_tokenize_stats": workloads_ext.text_tokenize_stats,
+        "text_fingerprint": workloads_ext.text_fingerprint,
+        "exact_dedup_docs": workloads_ext.exact_dedup_docs,
+        "ngram_jaccard_near_dup": workloads_ext.ngram_jaccard_near_dup,
+        "minhash_near_dup": workloads_ext.minhash_near_dup,
+        "simhash_near_dup": workloads_ext.simhash_near_dup,
+        "cosine_topk_bruteforce": workloads_ext.cosine_topk_bruteforce,
+        "lsh_ann_topk": workloads_ext.lsh_ann_topk,
+        "multimodal_metadata": workloads_ext.multimodal_metadata,
+        "tumbling_window_daily": workloads_ext.tumbling_window_daily,
+        "sliding_window_7d": workloads_ext.sliding_window_7d,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (omitted ⇒ rows-only check)."""
-    return dict(oracles.ORACLES)
+    return {**oracles.ORACLES, **oracles_ext.ORACLES_EXT}

@@ -1,0 +1,74 @@
+"""Multimodal column handling: opaque binary payloads + typed metadata.
+
+Design for image/audio/video at 100 TB: media travels as a ``binary``
+column with typed metadata columns beside it; decode / feature-extract /
+resize / frame-sample run as Arrow-batched ``mapInPandas`` stages so bytes
+stream through Python in columnar batches (never row-at-a-time), and the
+surrounding plan (partitioning, predicate pushdown on metadata, column
+pruning of the heavy payload) stays fully native.
+
+The actual codec step is STUBBED here (no image/audio libraries in this
+environment): ``decode_image_batch`` raises NotImplementedError unless the
+deterministic fake decoder is requested. The Spark-side plumbing — schema,
+batch iteration, payload pruning — is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+METADATA_SCHEMA = (
+    "doc_id long, payload_bytes long, header_byte long, width long, height long"
+)
+
+
+def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Test harness: materialize a binary payload column from text (stands
+    in for image/audio bytes; real pipelines read binary files directly via
+    ``spark.read.format('binaryFile')``)."""
+    return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
+
+
+def decode_image_batch(payloads: pd.Series, *, fake: bool = False) -> pd.DataFrame:
+    """Decode a batch of image payloads to (width, height, header_byte).
+
+    STUB: real decoding needs PIL/ffmpeg (absent here). ``fake=True`` uses
+    a deterministic stand-in derived from the bytes so the distributed
+    plumbing is testable end-to-end."""
+    if not fake:
+        raise NotImplementedError(
+            "image decoding requires PIL/libvips — not available in this "
+            "environment; pass fake=True for the deterministic stand-in"
+        )
+    lengths = payloads.map(len)
+    first = payloads.map(lambda b: b[0] if len(b) else 0)
+    return pd.DataFrame(
+        {
+            "payload_bytes": lengths.astype("int64"),
+            "header_byte": first.astype("int64"),
+            # fake dims: deterministic function of the payload
+            "width": (lengths % 640).astype("int64"),
+            "height": (first.astype("int64") * 3 % 480),
+        }
+    )
+
+
+def extract_metadata(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas metadata extraction over the binary payload.
+
+    Arrow-batched; only (id, payload) reach Python — Spark prunes all other
+    columns. Output is the typed metadata table."""
+    pruned = df.select(id_col, "payload")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = decode_image_batch(pdf["payload"], fake=True)
+            meta.insert(0, "doc_id", pdf[id_col].astype("int64").to_numpy())
+            yield meta
+
+    return pruned.mapInPandas(gen, schema=METADATA_SCHEMA)

@@ -1,0 +1,120 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path logic is native Catalyst expressions (regexp/split/md5 run in
+the JVM with whole-stage codegen — no Python boundary), so these scale to
+100 TB document corpora limited only by scan + shuffle. Nothing here
+shuffles except explicit aggregations by the caller.
+
+Operators: quality scoring, token counting, language-ID (stopword n-gram
+heuristic), document fingerprinting (normalization + md5), shingling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword signals for the heuristic language-ID.
+# Word-boundary alternations keep the regex RE2/Java-compatible.
+LANG_STOPWORDS: dict[str, str] = {
+    "en": r"\b(the|and|of|to|in|is|that|for|with)\b",
+    "es": r"\b(el|la|los|las|de|que|y|en|un|una)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|mit|ein|zu)\b",
+    "fr": r"\b(le|la|les|et|des|est|une|dans|pour)\b",
+}
+
+PUNCT_PATTERN = r"[^.,;:!?]"
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def normalized(text: Column) -> Column:
+    """Canonical form: lower-cased, trimmed, whitespace collapsed."""
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic 128-bit content fingerprint of the normalized text."""
+    return F.md5(normalized(text))
+
+
+def word_count(text: Column) -> Column:
+    return F.size(F.split(F.trim(text), r"\s+")).cast("long")
+
+
+def token_count_bpe_ish(text: Column) -> Column:
+    """Count of BPE-ish units: letter runs, digit runs, single symbols."""
+    return F.regexp_count(text, F.lit(TOKEN_PATTERN)).cast("long")
+
+
+def punct_count(text: Column) -> Column:
+    return F.length(F.regexp_replace(text, PUNCT_PATTERN, "")).cast("long")
+
+
+def stopword_count(text: Column, lang: str = "en") -> Column:
+    return F.regexp_count(F.lower(text), F.lit(LANG_STOPWORDS[lang])).cast("long")
+
+
+def with_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add length/word/punct/stopword features and a composite quality score.
+
+    Score = stopword density + moderate word length - punctuation excess,
+    a cheap heuristic in the spirit of Gopher/C4 quality rules."""
+    t = F.col(text_col)
+    out = (
+        df.withColumn("char_len", F.length(t).cast("long"))
+        .withColumn("word_cnt", word_count(t))
+        .withColumn("punct_cnt", punct_count(t))
+        .withColumn("stopword_cnt", stopword_count(t))
+    )
+    return (
+        out.withColumn(
+            "avg_word_len",
+            F.length(F.regexp_replace(t, r"\s+", "")) / F.col("word_cnt"),
+        )
+        .withColumn("punct_ratio", F.col("punct_cnt") / F.col("char_len"))
+        .withColumn("stopword_ratio", F.col("stopword_cnt") / F.col("word_cnt"))
+        .withColumn(
+            "quality_score",
+            (F.col("stopword_ratio") * F.lit(10.0))
+            - (F.col("punct_ratio") * F.lit(5.0))
+            + F.when((F.col("avg_word_len") >= 3.0) & (F.col("avg_word_len") <= 8.0), F.lit(1.0)).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def with_language_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language-ID: argmax of per-language stopword hits, ties
+    resolved in fixed (en, es, de, fr) order; no hits → 'unknown'."""
+    t = F.lower(F.col(text_col))
+    out = df
+    for lang, pat in LANG_STOPWORDS.items():
+        out = out.withColumn(
+            f"hits_{lang}", F.regexp_count(t, F.lit(pat)).cast("long")
+        )
+    en, es, de, fr = (F.col(f"hits_{x}") for x in ("en", "es", "de", "fr"))
+    guess = (
+        F.when((en + es + de + fr) == 0, "unknown")
+        .when((en >= es) & (en >= de) & (en >= fr), "en")
+        .when((es >= de) & (es >= fr), "es")
+        .when(de >= fr, "de")
+        .otherwise("fr")
+    )
+    return out.withColumn("lang_guess", guess)
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Array of distinct word n-gram shingles of the normalized text.
+
+    Expression-only (transform over a sequence of slice positions), so
+    shingling fuses into the scan — no UDF, no extra pass."""
+    words = F.split(normalized(text), " ")
+    k = F.size(words) - (n - 1)
+    shingles = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    # sequence(1, k) with k < 1 would generate a DESCENDING range — guard
+    # short documents to an empty shingle set instead.
+    return F.when(k >= 1, F.array_distinct(shingles)).otherwise(
+        F.array().cast("array<string>")
+    )

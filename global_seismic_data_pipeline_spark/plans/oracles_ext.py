@@ -1,0 +1,169 @@
+"""DuckDB oracle SQL for the extension workloads (workloads_ext.py).
+
+Same mirroring discipline as oracles.py. DuckDB needs the 'g' flag on
+regexp_replace (Spark replaces all matches by default); list functions are
+1-based like Spark's slice/element_at.
+"""
+
+from __future__ import annotations
+
+NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+
+TEXT_QUALITY_SQL = rf"""
+WITH base AS (
+    SELECT doc_id,
+        CAST(length(text) AS BIGINT) AS char_len,
+        CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS word_cnt,
+        CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS punct_cnt,
+        CAST(len(regexp_extract_all(lower(text),
+            '\b(the|and|of|to|in|is|that|for|with)\b')) AS BIGINT) AS stopword_cnt,
+        length(regexp_replace(text, '\s+', '', 'g')) AS squeezed_len
+    FROM documents
+), feat AS (
+    SELECT doc_id, char_len, word_cnt, punct_cnt, stopword_cnt,
+        squeezed_len / word_cnt AS avg_word_len,
+        punct_cnt / char_len AS punct_ratio,
+        stopword_cnt / word_cnt AS stopword_ratio
+    FROM base
+)
+SELECT doc_id, char_len, word_cnt, punct_cnt, stopword_cnt, avg_word_len,
+    punct_ratio, stopword_ratio,
+    (stopword_ratio * 10.0) - (punct_ratio * 5.0)
+        + (CASE WHEN avg_word_len >= 3.0 AND avg_word_len <= 8.0
+                THEN 1.0 ELSE 0.0 END) AS quality_score
+FROM feat
+"""
+
+TEXT_LANGUAGE_ID_SQL = r"""
+WITH hits AS (
+    SELECT doc_id,
+        CAST(len(regexp_extract_all(lower(text),
+            '\b(the|and|of|to|in|is|that|for|with)\b')) AS BIGINT) AS hits_en,
+        CAST(len(regexp_extract_all(lower(text),
+            '\b(el|la|los|las|de|que|y|en|un|una)\b')) AS BIGINT) AS hits_es,
+        CAST(len(regexp_extract_all(lower(text),
+            '\b(der|die|das|und|ist|nicht|mit|ein|zu)\b')) AS BIGINT) AS hits_de,
+        CAST(len(regexp_extract_all(lower(text),
+            '\b(le|la|les|et|des|est|une|dans|pour)\b')) AS BIGINT) AS hits_fr
+    FROM documents
+)
+SELECT doc_id, hits_en, hits_es, hits_de, hits_fr,
+    CASE WHEN (((hits_en + hits_es) + hits_de) + hits_fr) = 0 THEN 'unknown'
+         WHEN hits_en >= hits_es AND hits_en >= hits_de AND hits_en >= hits_fr THEN 'en'
+         WHEN hits_es >= hits_de AND hits_es >= hits_fr THEN 'es'
+         WHEN hits_de >= hits_fr THEN 'de'
+         ELSE 'fr' END AS lang_guess
+FROM hits
+"""
+
+TEXT_TOKENIZE_SQL = r"""
+SELECT doc_id,
+    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens,
+    (CAST(length(text) AS BIGINT) = n_chars) AS len_matches_meta
+FROM documents
+"""
+
+TEXT_FINGERPRINT_SQL = rf"""
+SELECT doc_id, md5({NORM}) AS fp FROM documents
+"""
+
+EXACT_DEDUP_SQL = """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id,
+    CAST(COUNT(*) AS BIGINT) AS dup_count
+FROM documents GROUP BY md5(text)
+"""
+
+NGRAM_JACCARD_SQL = rf"""
+WITH sets AS (
+    SELECT doc_id,
+        list_distinct(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+            i -> ((w[i] || ' ') || w[i+1] || ' ') || w[i+2])) AS shingles
+    FROM (SELECT doc_id, string_split({NORM}, ' ') AS w FROM documents)
+), nonempty AS (
+    SELECT * FROM sets WHERE len(shingles) > 0
+), exploded AS (
+    SELECT doc_id, unnest(shingles) AS shingle FROM nonempty
+), inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(COUNT(*) AS BIGINT) AS intersection
+    FROM exploded a JOIN exploded b ON a.shingle = b.shingle
+    WHERE a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+), sized AS (
+    SELECT i.id_a, i.id_b, i.intersection,
+        CAST(len(sa.shingles) AS BIGINT) AS size_a,
+        CAST(len(sb.shingles) AS BIGINT) AS size_b
+    FROM inter i
+    JOIN nonempty sa ON sa.doc_id = i.id_a
+    JOIN nonempty sb ON sb.doc_id = i.id_b
+)
+SELECT id_a, id_b, intersection, size_a, size_b,
+    intersection / ((size_a + size_b) - intersection) AS jaccard
+FROM sized
+WHERE intersection / ((size_a + size_b) - intersection) >= 0.2
+"""
+
+COSINE_TOPK_SQL = """
+WITH pairs AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        ROUND(
+            list_sum(list_transform(range(1, 65),
+                i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(range(1, 65),
+                i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+             * sqrt(list_sum(list_transform(range(1, 65),
+                i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))),
+        6) AS cosine_sim
+    FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+    WHERE q.vec_id < 20
+)
+SELECT query_id, neighbor_id, cosine_sim,
+    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY cosine_sim DESC, neighbor_id ASC) AS BIGINT) AS sim_rank
+FROM pairs
+QUALIFY sim_rank <= 5
+"""
+
+MULTIMODAL_METADATA_SQL = """
+SELECT doc_id,
+    CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+    CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS header_byte,
+    CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+    CAST((ascii(substr(text, 1, 1)) * 3) % 480 AS BIGINT) AS height
+FROM documents
+"""
+
+TUMBLING_WINDOW_SQL = """
+SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS window_start,
+    event_type,
+    CAST(COUNT(*) AS BIGINT) AS n_events,
+    ROUND(SUM(value), 2) / COUNT(*) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+SLIDING_WINDOW_SQL = """
+WITH expanded AS (
+    SELECT CAST(CAST(ts AS DATE) - CAST(i AS INTEGER) AS VARCHAR) AS window_start,
+        user_id
+    FROM events, range(0, 7) t(i)
+)
+SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n_events,
+    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+FROM expanded GROUP BY window_start
+"""
+
+ORACLES_EXT: dict[str, str] = {
+    "text_quality_score": TEXT_QUALITY_SQL,
+    "text_language_id": TEXT_LANGUAGE_ID_SQL,
+    "text_tokenize_stats": TEXT_TOKENIZE_SQL,
+    "text_fingerprint": TEXT_FINGERPRINT_SQL,
+    "exact_dedup_docs": EXACT_DEDUP_SQL,
+    "ngram_jaccard_near_dup": NGRAM_JACCARD_SQL,
+    "cosine_topk_bruteforce": COSINE_TOPK_SQL,
+    "multimodal_metadata": MULTIMODAL_METADATA_SQL,
+    "tumbling_window_daily": TUMBLING_WINDOW_SQL,
+    "sliding_window_7d": SLIDING_WINDOW_SQL,
+    # minhash_near_dup, simhash_near_dup, lsh_ann_topk: rows-only
+    # (xxhash64-based; verified in tests/test_neardup.py instead)
+}

@@ -1,0 +1,164 @@
+"""Extension workloads: LLM-training-data operators + streaming shapes.
+
+These go beyond the reference's surface (SURVEY.md §7 step 9): text
+analysis, exact/near-duplicate detection, embedding similarity search,
+multimodal metadata plumbing, and the batch-equivalent forms of the
+streaming windows. Oracle-checkable ones have SQL in ``oracles_ext.py``;
+hash-based ops (MinHash/SimHash/LSH — xxhash64 is not expressible in
+ANSI SQL) are rows-only checked by the driver and verified in pytest
+against planted duplicates instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, multimodal, neardup, similarity, text
+from ..sources.catalog import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = text.with_quality_features(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "char_len",
+        "word_cnt",
+        "punct_cnt",
+        "stopword_cnt",
+        "avg_word_len",
+        "punct_ratio",
+        "stopword_ratio",
+        "quality_score",
+    )
+
+
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = text.with_language_guess(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "hits_en", "hits_es", "hits_de", "hits_fr", "lang_guess"
+    )
+
+
+def text_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        text.word_count(F.col("text")).alias("ws_tokens"),
+        text.token_count_bpe_ish(F.col("text")).alias("bpe_tokens"),
+        (F.length("text").cast("long") == F.col("n_chars")).alias("len_matches_meta"),
+    )
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", text.fingerprint(F.col("text")).alias("fp"))
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_docs(spark, sf_dir), ["text"], "doc_id")
+
+
+def ngram_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exhaustive word-3-gram Jaccard pairs ≥ 0.2 (oracle ground truth)."""
+    return neardup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text", n=3, threshold=0.2
+    )
+
+
+def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates verified by exact Jaccard (rows-only check;
+    recall vs the exhaustive operator is asserted in tests)."""
+    return neardup.minhash_lsh_pairs(
+        _docs(spark, sf_dir),
+        id_col="doc_id",
+        text_col="text",
+        n=3,
+        num_hashes=64,
+        bands=16,
+        threshold=0.2,
+    )
+
+
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash band-join near-dups at Hamming ≤ 3 of 48 bits (rows-only) —
+    the radius where 4-band pigeonhole gives full recall."""
+    return neardup.simhash_pairs(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text", max_hamming=3
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 20)
+    return similarity.cosine_topk(embs, queries, k=5)
+
+
+def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH (rows-only; recall vs
+    brute force asserted in tests)."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 20)
+    return similarity.lsh_topk(embs, queries, k=5, bits=8, tables=4)
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload → typed metadata via Arrow-batched mapInPandas."""
+    payloads = multimodal.with_binary_payload(_docs(spark, sf_dir))
+    return multimodal.extract_metadata(payloads)
+
+
+# --------------------------------------------------------------------------
+# Streaming shapes (batch-equivalent semantics of streaming/)
+def tumbling_window_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-day tumbling window aggregate — identical semantics to the
+    Structured Streaming facade's windowed aggregation (§2.10)."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "1 day")
+    return (
+        ev.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.round(F.sum("value"), 2) / F.count(F.lit(1))).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").cast("date").cast("string").alias("window_start"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+def sliding_window_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day window sliding by 1 day: each event lands in 7 windows."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "7 days", "1 day")
+    return (
+        ev.groupBy(win.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("active_users"),
+        )
+        .select(
+            F.col("w.start").cast("date").cast("string").alias("window_start"),
+            "n_events",
+            "active_users",
+        )
+    )
