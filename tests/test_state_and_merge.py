@@ -1,0 +1,73 @@
+"""Watermark advance/resume + MERGE idempotency (SURVEY.md §5.1, §7
+hard-parts a/b)."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from global_seismic_data_pipeline_spark.sources.warehouse import Warehouse
+from global_seismic_data_pipeline_spark.state import WatermarkStore
+
+
+def test_watermark_init_get_advance(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    store = WatermarkStore(wh)
+    assert store.get("t") is None
+    store.init("t", "time", datetime(2000, 1, 1))
+    e = store.get("t")
+    assert e.watermark_value == datetime(2000, 1, 1)
+    assert e.records_processed == 0
+
+    store.advance("t", datetime(2025, 5, 1), 100)
+    e = store.get("t")
+    assert e.watermark_value == datetime(2025, 5, 1)
+    assert e.records_processed == 100
+
+    # never moves backwards; counts still accumulate
+    store.advance("t", datetime(2024, 1, 1), 7)
+    e = store.get("t")
+    assert e.watermark_value == datetime(2025, 5, 1)
+    assert e.records_processed == 107
+
+
+def test_watermark_init_is_idempotent(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    store = WatermarkStore(wh)
+    store.init("t", "time", datetime(2001, 1, 1))
+    store.advance("t", datetime(2020, 1, 1), 5)
+    store.init("t", "time", datetime(2001, 1, 1))  # re-run of first-run DDL
+    assert store.get("t").watermark_value == datetime(2020, 1, 1)
+
+
+def test_merge_insert_then_update(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    base = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    wh.merge(base, "t", ["k"])
+    upd = spark.createDataFrame([("b", 20), ("c", 3)], "k string, v int")
+    wh.merge(upd, "t", ["k"])
+    got = {r.k: r.v for r in wh.read("t").collect()}
+    assert got == {"a": 1, "b": 20, "c": 3}
+
+
+def test_merge_is_idempotent(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    upd = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    wh.merge(upd, "t", ["k"])
+    before = sorted((r.k, r.v) for r in wh.read("t").collect())
+    wh.merge(upd, "t", ["k"])  # re-run same batch (crash-retry scenario)
+    after = sorted((r.k, r.v) for r in wh.read("t").collect())
+    assert before == after
+
+
+def test_atomic_overwrite_derived_from_self(spark, tmp_path):
+    """Overwriting a table with a plan that reads the same table must not
+    corrupt it (the reference leans on Delta for this; our staging-swap
+    provides it on parquet)."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.overwrite(spark.range(100).withColumnRenamed("id", "v"), "t")
+    doubled = wh.read("t").withColumn("v", F.col("v") * 2)
+    wh.overwrite(doubled, "t")
+    assert wh.read("t").agg(F.sum("v")).collect()[0][0] == 9900
+    # no staging/trash leftovers
+    leftovers = [d for d in __import__("os").listdir(wh.root) if d.startswith(".")]
+    assert leftovers == []

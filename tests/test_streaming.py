@@ -1,0 +1,96 @@
+"""Structured Streaming façade: streaming results == batch results
+(SURVEY.md §2.10 — the tumbling daily agg IS gold's A3)."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from global_seismic_data_pipeline_spark.schemas import BRONZE_EARTHQUAKES
+from global_seismic_data_pipeline_spark.sources.warehouse import Warehouse
+from global_seismic_data_pipeline_spark.streaming import facade
+
+from conftest import bronze_row
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    """A directory with two parquet 'arrival' batches of events."""
+    d = tmp_path_factory.mktemp("stream")
+    t = datetime
+    batch1 = [
+        bronze_row("s1", t(2025, 5, 1, 1), mag=4.0),
+        bronze_row("s2", t(2025, 5, 1, 2), mag=5.0),
+        bronze_row("s3", t(2025, 5, 2, 3), mag=6.0),
+    ]
+    batch2 = [
+        bronze_row("s3", t(2025, 5, 2, 3), mag=6.5, batch_id="b2"),  # dup key
+        bronze_row("s4", t(2025, 5, 3, 4), mag=7.0),
+    ]
+    spark.createDataFrame(batch1, BRONZE_EARTHQUAKES).write.mode("append").parquet(str(d / "events"))
+    spark.createDataFrame(batch2, BRONZE_EARTHQUAKES).write.mode("append").parquet(str(d / "events"))
+    return d
+
+
+def test_tumbling_daily_matches_batch(spark, stream_dir):
+    stream = facade.read_stream(
+        spark, str(stream_dir / "events"), BRONZE_EARTHQUAKES
+    )
+    facade.to_memory_table(
+        facade.tumbling_daily(stream), "t_daily", complete=True
+    )
+    got = {
+        str(r.event_date): (r.total_events, r.avg_magnitude, r.max_magnitude)
+        for r in spark.table("t_daily").collect()
+    }
+    batch = (
+        spark.read.parquet(str(stream_dir / "events"))
+        .groupBy(F.to_date("time").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("mag"), 3).alias("a"),
+            F.round(F.max("mag"), 2).alias("m"),
+        )
+    )
+    want = {str(r.d): (r.n, r.a, r.m) for r in batch.collect()}
+    assert got == want
+
+
+def test_streaming_upsert_dedups_by_key(spark, stream_dir, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    stream = facade.read_stream(
+        spark, str(stream_dir / "events"), BRONZE_EARTHQUAKES,
+        max_files_per_trigger=1,
+    )
+    writer = facade.upsert_sink(
+        stream, wh, "silver_stream", ["event_id"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    facade.run_available_now(writer)
+    got = {r.event_id: r.mag for r in wh.read("silver_stream").collect()}
+    assert set(got) == {"s1", "s2", "s3", "s4"}
+    assert got["s3"] in (6.0, 6.5)  # one winner per key, no duplicates
+
+    # restart from checkpoint: nothing new → table unchanged
+    stream2 = facade.read_stream(
+        spark, str(stream_dir / "events"), BRONZE_EARTHQUAKES
+    )
+    facade.run_available_now(
+        facade.upsert_sink(
+            stream2, wh, "silver_stream", ["event_id"],
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+    )
+    assert wh.read("silver_stream").count() == 4
+
+
+def test_sliding_weekly_counts(spark, stream_dir):
+    stream = facade.read_stream(
+        spark, str(stream_dir / "events"), BRONZE_EARTHQUAKES
+    )
+    facade.to_memory_table(
+        facade.sliding_weekly(stream), "t_weekly", complete=True
+    )
+    rows = spark.table("t_weekly").collect()
+    # every event lands in 7 overlapping windows; peak window covers all 5
+    assert max(r.rolling_7d_count for r in rows) == 5
