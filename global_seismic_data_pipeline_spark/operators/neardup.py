@@ -2,20 +2,26 @@
 
 Three families, all deterministic (seeded) and UDF-free:
 
-- **n-gram Jaccard (exact)**: explode distinct shingles → self-join on
-  shingle → pair-intersection counts → Jaccard ≥ τ. Exhaustive and
+- **n-gram Jaccard (exact)**: shingle rows → self-join on shingle →
+  pair-intersection counts → Jaccard ≥ τ. Exhaustive and
   oracle-checkable; the shuffle key is the shingle, so extremely common
   shingles create skew — ``max_shingle_freq`` drops them (a standard
   stop-shingle cut; at 100 TB this is the difference between a bounded
   join and a quadratic blowup).
 - **MinHash + LSH**: per-doc signature of K minimums over universal-hash
   permutations of shingle hashes, banded into B buckets; candidate pairs
-  collide in ≥1 band and are then verified with exact Jaccard. All
-  expression-level (transform/array_min over the shingle array — no
-  explode, no shuffle until the tiny candidate join).
+  collide in ≥1 band and are then verified with exact Jaccard.
 - **SimHash**: 48-bit sign-aggregated token-hash fingerprint; candidates
   pair via band equality on 12-bit chunks, verified by Hamming distance
   (bit_count(xor)).
+
+Shingles are generated as ROWS (posexplode words + window ``lead``), never
+as per-doc arrays built by higher-order functions: every stage stays in
+whole-stage codegen (split → explode → window → hash-aggregate with
+map-side partials). The HOF form (transform/slice over a captured array)
+drops the stage to interpreted evaluation, and Generate/Filter over a
+HOF-produced array re-evaluates the lambda chain per consumed element —
+measured ~15× slower end-to-end at sf0.1.
 
 MinHash/SimHash hashing uses xxhash64 — JVM-side and stable — so results
 are reproducible but not expressible in ANSI SQL (the driver records a
@@ -27,10 +33,11 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import word_shingles
+from .partitioning import ensure_parallelism
+from .text import normalized
 
 HASH_PRIME = 2147483647  # 2^31 - 1; keeps a*h + b within int64
 
@@ -43,13 +50,44 @@ def _minhash_perms(num: int, seed: int) -> list[tuple[int, int]]:
     ]
 
 
+def shingle_rows(
+    df: DataFrame, *, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shingle) rows — word n-grams of the normalized text, WITH
+    within-doc duplicates (min-hashing is duplicate-insensitive; use
+    ``dropDuplicates`` or ``shingle_sets`` where set semantics matter).
+
+    Shape: split → posexplode → per-doc window of ``lead`` words → concat.
+    The window shuffles once on the doc id (high cardinality, no skew:
+    partition size = words per doc); every operator is codegen-friendly.
+    Input is spread to full parallelism first — small single-file inputs
+    otherwise pin the whole chain to one task."""
+    spread = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+    words_df = spread.select(
+        F.col(id_col), F.split(normalized(F.col(text_col)), " ").alias("words")
+    )
+    wpos = words_df.select(F.col(id_col), F.posexplode("words").alias("pos", "w"))
+    win = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.col("w")] + [F.lead("w", i).over(win) for i in range(1, n)]
+    out = wpos.select(F.col(id_col), "pos", *[l.alias(f"w{i}") for i, l in enumerate(leads)])
+    return out.filter(F.col(f"w{n-1}").isNotNull()).select(
+        F.col(id_col),
+        F.concat_ws(" ", *[f"w{i}" for i in range(n)]).alias("shingle"),
+    )
+
+
 def shingle_sets(
     df: DataFrame, *, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """(id, shingles array<string>) with empty-shingle docs dropped."""
-    return df.select(
-        F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles")
-    ).filter(F.size("shingles") > 0)
+    """(id, shingles array<string>) distinct shingle sets per doc, built by
+    aggregating ``shingle_rows`` (collect_set dedups); empty docs drop out
+    naturally. The aggregate output is materialized, so downstream
+    array_intersect/size over it are cheap attribute references."""
+    return (
+        shingle_rows(df, id_col=id_col, text_col=text_col, n=n)
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("shingles"))
+    )
 
 
 def ngram_jaccard_pairs(
@@ -66,11 +104,12 @@ def ngram_jaccard_pairs(
     Returns (id_a, id_b, intersection, size_a, size_b, jaccard) with
     id_a < id_b. ``max_shingle_freq`` removes shingles appearing in more
     than that many docs before the self-join (skew/size control)."""
-    sets = shingle_sets(df, id_col=id_col, text_col=text_col, n=n)
-    sizes = sets.select(F.col(id_col).alias("sid"), F.size("shingles").alias("set_size"))
-    exploded = sets.select(
-        F.col(id_col).alias("doc_id_"), F.explode("shingles").alias("shingle")
-    )
+    distinct_rows = shingle_rows(
+        df, id_col=id_col, text_col=text_col, n=n
+    ).dropDuplicates([id_col, "shingle"])
+    sizes = distinct_rows.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size")) \
+        .select(F.col(id_col).alias("sid"), "set_size")
+    exploded = distinct_rows.select(F.col(id_col).alias("doc_id_"), "shingle")
     if max_shingle_freq is not None:
         freq_ok = (
             exploded.groupBy("shingle")
@@ -112,19 +151,22 @@ def minhash_signatures(
     """(id, sig array<long>[num_hashes]) MinHash signatures.
 
     Shingle → xxhash64 → fold into [0, 2^31) → K universal-hash minimums,
-    computed with transform/array_min inside codegen (no explode)."""
-    sets = shingle_sets(df, id_col=id_col, text_col=text_col, n=n)
-    hashed = sets.withColumn(
-        "hvals",
-        F.transform("shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(HASH_PRIME))),
+    as shingle rows + one hash-aggregate with K ``min`` columns. The agg
+    runs with map-side partial mins, so the shuffle carries one K-long row
+    per doc. Within-doc duplicate shingles are harmless (min is idempotent),
+    so the rows skip the dedup shuffle entirely."""
+    hashed = shingle_rows(df, id_col=id_col, text_col=text_col, n=n).select(
+        F.col(id_col), F.pmod(F.xxhash64("shingle"), F.lit(HASH_PRIME)).alias("h")
     )
-    def perm_min(a: int, b: int) -> Column:
-        return F.array_min(
-            F.transform("hvals", lambda h: F.pmod(a * h + b, F.lit(HASH_PRIME)))
-        )
-
-    sig = F.array(*[perm_min(a, b) for a, b in _minhash_perms(num_hashes, seed)])
-    return hashed.select(F.col(id_col), sig.alias("sig"), F.col("shingles"))
+    perms = _minhash_perms(num_hashes, seed)
+    mins = [
+        F.min(F.pmod(a * F.col("h") + b, F.lit(HASH_PRIME))).alias(f"m{i}")
+        for i, (a, b) in enumerate(perms)
+    ]
+    sig_df = hashed.groupBy(id_col).agg(*mins)
+    return sig_df.select(
+        F.col(id_col), F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig")
+    )
 
 
 def minhash_lsh_pairs(
@@ -148,9 +190,12 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(
         df, id_col=id_col, text_col=text_col, n=n, num_hashes=num_hashes, seed=seed
     )
+    # the band self-join carries ONLY (id, band, bucket) — shipping the
+    # shingle arrays through a B-way explode + shuffle would multiply the
+    # shuffled bytes by bands×|shingles|; arrays attach later, once, to the
+    # (few) surviving candidate pairs
     banded = sigs.select(
         F.col(id_col),
-        "shingles",
         F.explode(
             F.array(
                 *[
@@ -166,19 +211,23 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select(F.col(id_col), "shingles", F.col("bb.band"), F.col("bb.bucket"))
+    ).select(F.col(id_col), F.col("bb.band"), F.col("bb.bucket"))
 
-    left = banded.select(
-        F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"), "band", "bucket"
-    )
-    right = banded.select(
-        F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"), "band", "bucket"
-    )
+    left = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    right = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
     cands = (
         left.join(right, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sets = shingle_sets(df, id_col=id_col, text_col=text_col, n=n)
+    cands = cands.join(
+        sets.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")),
+        "id_a",
+    ).join(
+        sets.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")),
+        "id_b",
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
@@ -194,27 +243,42 @@ SIMHASH_BITS = 48
 SIMHASH_BANDS = 4
 
 
-def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
-    """Sign-aggregated token-hash fingerprint as a long (bits ≤ 62).
+def simhash_fingerprints(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """(id, sh long) sign-aggregated token-hash fingerprints (bits ≤ 62).
 
-    For each bit j: sum over tokens of ±1 by token-hash bit j; the
-    fingerprint sets bit j when the sum is positive."""
-    tokens = F.array_distinct(F.split(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "), " "))
-    hashed = F.transform(tokens, lambda t: F.xxhash64(t))
-    def bit_vote(j: int) -> Column:
-        return F.aggregate(
-            hashed,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-
-    out = F.lit(0).cast("long")
+    For each bit j: sum over distinct tokens of ±1 by token-hash bit j; the
+    fingerprint sets bit j when the sum is positive. Shaped as explode +
+    one hash-aggregate with ``bits`` sum columns (codegen, map-side partial
+    sums) — the array-aggregate form re-evaluates the token-hash subtree
+    per bit per element in interpreted mode, ~bits× redundant work."""
+    tokens = F.array_distinct(
+        F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+    )
+    hashed = (
+        ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.explode(tokens).alias("tok"))
+        .select(F.col(id_col), F.xxhash64("tok").alias("h"))
+    )
+    votes = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(bits)
+        ]
+    )
+    sh = F.lit(0).cast("long")
     for j in range(bits):
-        out = out + F.when(bit_vote(j) > 0, F.lit(2**j).cast("long")).otherwise(
+        sh = sh + F.when(F.col(f"v{j}") > 0, F.lit(2**j).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
-    return out
+    return votes.select(F.col(id_col), sh.alias("sh"))
 
 
 def simhash_pairs(
@@ -231,7 +295,7 @@ def simhash_pairs(
     band join has full recall at ≤3 and the verify step is exact."""
     chunk_bits = SIMHASH_BITS // SIMHASH_BANDS
     mask = (1 << chunk_bits) - 1
-    sh = df.select(F.col(id_col), simhash(F.col(text_col)).alias("sh"))
+    sh = simhash_fingerprints(df, id_col=id_col, text_col=text_col)
     banded = sh.select(
         F.col(id_col),
         "sh",

@@ -102,12 +102,12 @@ def with_language_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("lang_guess", guess)
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Array of distinct word n-gram shingles of the normalized text.
+def shingles_from_words(words: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a pre-split word array.
 
-    Expression-only (transform over a sequence of slice positions), so
-    shingling fuses into the scan — no UDF, no extra pass."""
-    words = F.split(normalized(text), " ")
+    ``words`` should be a materialized attribute, not a nested expression:
+    lambda-captured subtrees re-evaluate per element, so passing the raw
+    split expression here would re-run the regex split once per shingle."""
     k = F.size(words) - (n - 1)
     shingles = F.transform(
         F.sequence(F.lit(1), k),
@@ -118,3 +118,11 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.when(k >= 1, F.array_distinct(shingles)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Array of distinct word n-gram shingles of the normalized text.
+
+    Convenience single-expression form for small inputs; hot paths should
+    split once and use ``shingles_from_words`` (see that docstring)."""
+    return shingles_from_words(F.split(normalized(text), " "), n)

@@ -1,0 +1,143 @@
+"""Extension operators: near-dup recall vs exhaustive ground truth, ANN
+recall vs brute force, planted-duplicate detection (SURVEY.md §7 step 9)."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from global_seismic_data_pipeline_spark.operators import dedup, neardup, similarity
+
+BASE_DOCS = [
+    "the quick brown fox jumps over the lazy dog near the river bank today",
+    "a completely different document about spark query optimization and shuffles",
+    "rain in spain falls mainly on the plain according to the old song lyrics",
+    "deep learning models require enormous amounts of curated training data",
+    "the stock market rallied today as investors cheered earnings reports",
+]
+
+
+@pytest.fixture(scope="module")
+def doc_df(spark):
+    rows = []
+    for i, text in enumerate(BASE_DOCS):
+        rows.append((i * 10, text))
+        # planted near-duplicate: one word changed
+        words = text.split()
+        words[3] = "X" + words[3]
+        rows.append((i * 10 + 1, " ".join(words)))
+    # planted exact duplicate of doc 0
+    rows.append((990, BASE_DOCS[0]))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_ngram_jaccard_finds_planted_pairs(spark, doc_df):
+    pairs = neardup.ngram_jaccard_pairs(
+        doc_df, id_col="doc_id", text_col="text", threshold=0.5
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 990) in got  # exact duplicate: jaccard 1.0
+    # near-duplicates share most shingles but not across-base-doc pairs
+    for i in range(len(BASE_DOCS)):
+        others = {p for p in got if (i * 10 in p or i * 10 + 1 in p)}
+        assert all({a // 10 for a in p if a != 990} <= {i} for p in others)
+
+
+def test_exact_jaccard_value(spark, doc_df):
+    pairs = neardup.ngram_jaccard_pairs(
+        doc_df, id_col="doc_id", text_col="text", threshold=0.99
+    )
+    exact = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    assert exact[(0, 990)] == 1.0
+
+
+def test_minhash_lsh_recalls_exhaustive(spark, doc_df):
+    """At 64 hashes / 32 bands (2-row bands), P[candidate] ≈ 1 for
+    jaccard ≥ 0.5 pairs: 1-(1-0.5²)³² ≈ 1-1e-4 — full recall expected.
+    (At 16 bands of 4 rows a 0.57-jaccard pair misses ~16% of the time —
+    that is correct LSH behavior, not a bug.)"""
+    truth = {
+        (r.id_a, r.id_b)
+        for r in neardup.ngram_jaccard_pairs(
+            doc_df, id_col="doc_id", text_col="text", threshold=0.5
+        ).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in neardup.minhash_lsh_pairs(
+            doc_df, id_col="doc_id", text_col="text",
+            num_hashes=64, bands=32, threshold=0.5,
+        ).collect()
+    }
+    assert truth <= lsh  # full recall at 2-row bands
+    # no false positives by construction — candidates are exact-verified
+    assert lsh == truth
+
+
+def test_minhash_deterministic(spark, doc_df):
+    a = sorted(
+        map(tuple, neardup.minhash_signatures(
+            doc_df, id_col="doc_id", text_col="text"
+        ).select("doc_id", "sig").collect())
+    )
+    b = sorted(
+        map(tuple, neardup.minhash_signatures(
+            doc_df.repartition(5), id_col="doc_id", text_col="text"
+        ).select("doc_id", "sig").collect())
+    )
+    assert a == b
+
+
+def test_simhash_identical_docs_distance_zero(spark, doc_df):
+    pairs = neardup.simhash_pairs(
+        doc_df, id_col="doc_id", text_col="text", max_hamming=3
+    )
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert got.get((0, 990)) == 0  # exact dup → identical fingerprint
+
+
+def test_exact_dedup_one_rep_per_content(spark, doc_df):
+    out = dedup.exact_dedup(doc_df, ["text"], "doc_id")
+    rows = out.collect()
+    assert len(rows) == doc_df.select("text").distinct().count()
+    by_hash = {r.content_hash: r for r in rows}
+    dup_row = [r for r in rows if r.dup_count == 2]
+    assert len(dup_row) == 1 and dup_row[0].doc_id == 0  # min-id representative
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark):
+    rng = random.Random(7)
+    rows = []
+    for i in range(200):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(64)]))
+    # planted: vector 900 = vector 0 scaled (cosine exactly 1), and for
+    # each query 1..9 a noisy near-copy at id 900+i (cosine ≈ 0.97 —
+    # makes the true top-1 unambiguous, unlike random gaussian pairs
+    # whose cosines all hover near 0)
+    base = rows[0][1]
+    rows.append((900, [2.0 * x for x in base]))
+    for i in range(1, 10):
+        v = rows[i][1]
+        rows.append((900 + i, [x + rng.gauss(0, 0.25) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cosine_topk_finds_planted_neighbor(spark, vec_df):
+    queries = vec_df.filter(F.col("vec_id") == 0)
+    out = similarity.cosine_topk(vec_df, queries, k=3)
+    top = [r for r in out.collect() if r.sim_rank == 1][0]
+    assert top.neighbor_id == 900 and top.cosine_sim == 1.0
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark, vec_df):
+    queries = vec_df.filter(F.col("vec_id") < 10)
+    truth = similarity.cosine_topk(vec_df, queries, k=1)
+    approx = similarity.lsh_topk(vec_df, queries, k=1, bits=6, tables=8)
+    t = {(r.query_id, r.neighbor_id) for r in truth.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    # every query's true top-1 is a planted near-copy (cosine ≈ 0.97 →
+    # per-bit flip prob ≈ 0.08): P[miss all 8 tables] ≈ (1-0.92⁶)⁸ < 2%
+    # per query; the identical pair (0,900) collides in every table
+    assert (0, 900) in a
+    assert len(t & a) / len(t) >= 0.8
