@@ -5,15 +5,15 @@ Reproduces the reference's geospatial enrichment semantics
 overlaps resolved by least ``priority``, unmatched rows tagged with a
 fallback, reattached via unionByName(allowMissingColumns=True).
 
-Spark-first design: the box join is expressed as an *inner join with range
+Spark-first design: the box join is a *left outer join with range
 predicates on a broadcast dimension* — Catalyst plans a
-BroadcastNestedLoopJoin, so the fact side never shuffles. The priority pick
-is a window on the fact's unique key; at 100 TB that is one shuffle on a
-high-cardinality key (no skew: each event matches ≤ #regions rows). The
-unmatched path is a broadcast left-anti join on the same dimension, NOT on
-the matched-ids set — joining fact-vs-fact on matched ids (what the
-reference does) would be a second full shuffle of the fact table; testing
-"matches no box" directly against the 12-row dimension is shuffle-free.
+BroadcastNestedLoopJoin, so the fact side never shuffles and is scanned
+ONCE (an inner-join + anti-join formulation scans it twice). The priority
+pick is a window on the fact's unique key: one shuffle on a
+high-cardinality key (no skew: each point matches ≤ #boxes rows, and
+Spark's WindowGroupLimit keeps only the per-key top row before the
+shuffle). Unmatched points survive the left join as a single null-extended
+row, so the fallback is a plain ``coalesce`` — no second pass.
 """
 
 from __future__ import annotations
@@ -38,42 +38,30 @@ def enrich_point_in_box(
 
     ``boxes`` must be broadcast-sized. Bounds are inclusive on all edges.
     Points contained by no box get the ``fallback`` literal values (columns
-    not in ``fallback`` stay null, matching unionByName null-fill).
+    not in ``fallback`` stay null). With ``fallback=None`` unmatched points
+    are dropped (inner-join semantics).
     """
     min_x, max_x, min_y, max_y = box_cols
     dim = boxes.select(*carry_cols, min_x, max_x, min_y, max_y, priority_col)
-
-    contained = points.join(
-        F.broadcast(dim),
-        on=(
-            (F.col(y_col) >= F.col(min_y))
-            & (F.col(y_col) <= F.col(max_y))
-            & (F.col(x_col) >= F.col(min_x))
-            & (F.col(x_col) <= F.col(max_x))
-        ),
-        how="inner",
+    cond = (
+        (F.col(y_col) >= F.col(min_y))
+        & (F.col(y_col) <= F.col(max_y))
+        & (F.col(x_col) >= F.col(min_x))
+        & (F.col(x_col) <= F.col(max_x))
     )
 
-    w = Window.partitionBy(point_id).orderBy(F.col(priority_col).asc())
+    joined = points.join(
+        F.broadcast(dim), on=cond, how="left" if fallback is not None else "inner"
+    )
+    # matched points: ≤ #boxes rows, smallest priority wins; unmatched
+    # points: exactly one null-extended row (rn=1 trivially keeps it)
+    w = Window.partitionBy(point_id).orderBy(F.col(priority_col).asc_nulls_last())
     best = (
-        contained.withColumn("__rn", F.row_number().over(w))
+        joined.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn", min_x, max_x, min_y, max_y, priority_col)
     )
-
-    if fallback is None:
-        return best
-
-    unmatched = points.join(
-        F.broadcast(dim),
-        on=(
-            (F.col(y_col) >= F.col(min_y))
-            & (F.col(y_col) <= F.col(max_y))
-            & (F.col(x_col) >= F.col(min_x))
-            & (F.col(x_col) <= F.col(max_x))
-        ),
-        how="left_anti",
-    )
-    for c, v in fallback.items():
-        unmatched = unmatched.withColumn(c, F.lit(v))
-    return best.unionByName(unmatched, allowMissingColumns=True)
+    if fallback is not None:
+        for c, v in fallback.items():
+            best = best.withColumn(c, F.coalesce(F.col(c), F.lit(v)))
+    return best

@@ -1,0 +1,68 @@
+"""applyInPandasWithState sessionization: streaming sessions == batch
+window-algebra sessions for closed sessions (SURVEY.md §2.10)."""
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from global_seismic_data_pipeline_spark.streaming import facade
+from global_seismic_data_pipeline_spark.streaming.stateful import sessionize_stream
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("sess")
+    t0 = datetime(2025, 5, 1, 10, 0, 0)
+    rows = []
+    # user 1: two sessions (3 events, 35-min gap, 2 events)
+    for m in (0, 5, 10):
+        rows.append((1, t0 + timedelta(minutes=m)))
+    for m in (45, 50):
+        rows.append((1, t0 + timedelta(minutes=m)))
+    # user 2: one long session, events every 10 min
+    for m in range(0, 60, 10):
+        rows.append((2, t0 + timedelta(minutes=m)))
+    # a far-future event advances the watermark so open sessions time out
+    rows.append((99, t0 + timedelta(days=2)))
+    spark.createDataFrame(rows, EVENT_SCHEMA).write.mode("append").parquet(
+        str(d / "events")
+    )
+    return d
+
+
+def test_stateful_sessionization_matches_batch(spark, event_dir, tmp_path):
+    stream = facade.read_stream(spark, str(event_dir / "events"), EVENT_SCHEMA)
+    out = sessionize_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.session_start, r.session_end): r.n_events
+        for r in spark.table("sessions").collect()
+    }
+    t0 = datetime(2025, 5, 1, 10, 0, 0)
+    # user 1's first session closes by gap within the batch; the remaining
+    # sessions close via event-time timeout when the watermark jumps ahead
+    assert got[(1, t0, t0 + timedelta(minutes=10))] == 3
+    assert got[(1, t0 + timedelta(minutes=45), t0 + timedelta(minutes=50))] == 2
+    assert got[(2, t0, t0 + timedelta(minutes=50))] == 6
