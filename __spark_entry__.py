@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "case_custom_sort": workloads.case_custom_sort,
         "temporal_features": workloads.temporal_features,
         "physics_suite": workloads.physics_suite,
+        "physics_damage_summary": workloads.physics_damage_summary,
         "sessionize_users": workloads.sessionize_users,
         # --- extension operators (LLM-data-pipeline + streaming shapes) ---
         "text_quality_score": workloads_ext.text_quality_score,

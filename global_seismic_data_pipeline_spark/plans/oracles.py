@@ -375,6 +375,35 @@ SELECT event_id, magnitude, depth_km,
 FROM base
 """
 
+PHYSICS_DAMAGE_SUMMARY_SQL = f"""
+WITH base AS (
+    SELECT value,
+        ROUND(1.5 * {MAG} - 2.5 * LOG10({DEP} + 1.0) + 2.0, 1) AS mmi
+    FROM events
+), labeled AS (
+    SELECT value, mmi,
+        CASE WHEN mmi >= 8 THEN 'EXTREME'
+             WHEN mmi >= 6 THEN 'HIGH'
+             WHEN mmi >= 4 THEN 'MODERATE'
+             WHEN mmi >= 2 THEN 'LOW'
+             ELSE 'MINIMAL' END AS damage_potential
+    FROM base
+), agg AS (
+    SELECT damage_potential,
+        COUNT(*) AS event_count,
+        ROUND(SUM(value), 2) AS value_sum,
+        ROUND(SUM(mmi), 1) AS mmi_sum
+    FROM labeled GROUP BY damage_potential
+)
+SELECT damage_potential, event_count,
+    (value_sum / 50.0) / event_count AS avg_magnitude,
+    mmi_sum / event_count AS avg_mmi,
+    CAST(ROW_NUMBER() OVER (ORDER BY CASE damage_potential
+        WHEN 'EXTREME' THEN 1 WHEN 'HIGH' THEN 2 WHEN 'MODERATE' THEN 3
+        WHEN 'LOW' THEN 4 ELSE 5 END) AS BIGINT) AS display_order
+FROM agg
+"""
+
 SESSIONIZE_SQL = """
 WITH flagged AS (
     SELECT user_id, event_id, ts, value,
@@ -421,5 +450,6 @@ ORACLES: dict[str, str] = {
     "case_custom_sort": CASE_CUSTOM_SORT_SQL,
     "temporal_features": TEMPORAL_FEATURES_SQL,
     "physics_suite": PHYSICS_SUITE_SQL,
+    "physics_damage_summary": PHYSICS_DAMAGE_SUMMARY_SQL,
     "sessionize_users": SESSIONIZE_SQL,
 }

@@ -551,6 +551,52 @@ def physics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def physics_damage_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10+O4: physics group summary by damage potential with a custom
+    CASE-collation display rank (calculations.py:166-171 + 06:198-215).
+    Averages are emitted as sum+count-derived doubles (unrounded ratio of
+    a rounded sum — cross-engine stable, module docstring)."""
+    mmi = F.round(
+        F.lit(1.5) * F.col("magnitude")
+        - F.lit(2.5) * F.log10(F.col("depth_km") + F.lit(1.0))
+        + F.lit(2.0),
+        1,
+    )
+    enriched = _seismic_events(spark, sf_dir).withColumn("mmi", mmi).withColumn(
+        "damage_potential",
+        F.when(F.col("mmi") >= 8, "EXTREME")
+        .when(F.col("mmi") >= 6, "HIGH")
+        .when(F.col("mmi") >= 4, "MODERATE")
+        .when(F.col("mmi") >= 2, "LOW")
+        .otherwise("MINIMAL"),
+    )
+    agg = enriched.groupBy("damage_potential").agg(
+        F.count(F.lit(1)).alias("event_count"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
+        F.round(F.sum("mmi"), 1).alias("mmi_sum"),
+    )
+    sort_key = (
+        F.when(F.col("damage_potential") == "EXTREME", 1)
+        .when(F.col("damage_potential") == "HIGH", 2)
+        .when(F.col("damage_potential") == "MODERATE", 3)
+        .when(F.col("damage_potential") == "LOW", 4)
+        .otherwise(5)
+    )
+    ranked = agg.withColumn("sort_key", sort_key.cast("long"))
+    w = Window.orderBy("sort_key")
+    return (
+        ranked.withColumn(
+            "avg_magnitude", (F.col("value_sum") / F.lit(50.0)) / F.col("event_count")
+        )
+        .withColumn("avg_mmi", F.col("mmi_sum") / F.col("event_count"))
+        .withColumn("display_order", F.row_number().over(w).cast("long"))
+        .select(
+            "damage_potential", "event_count", "avg_magnitude", "avg_mmi",
+            "display_order",
+        )
+    )
+
+
 def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful-shape sessionization in pure window algebra: 30-minute
     inactivity gap; per-session row with bounds and size."""
