@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": workloads_ext.simhash_near_dup,
         "cosine_topk_bruteforce": workloads_ext.cosine_topk_bruteforce,
         "lsh_ann_topk": workloads_ext.lsh_ann_topk,
+        "ivf_ann_topk": workloads_ext.ivf_ann_topk,
         "multimodal_metadata": workloads_ext.multimodal_metadata,
         "tumbling_window_daily": workloads_ext.tumbling_window_daily,
         "sliding_window_7d": workloads_ext.sliding_window_7d,

@@ -106,3 +106,45 @@ def utc_batch_id(now: datetime | None = None) -> str:
     """Batch id format the reference stamps (ref: 02_ingestion.py:168)."""
     now = now or datetime.now(timezone.utc)
     return now.strftime("%Y%m%d_%H%M%S")
+
+
+def run_ingestion_loop(
+    wh: Warehouse,
+    store: WatermarkStore,
+    fetch_batch,
+    *,
+    end: datetime,
+    batch_days: int = 7,
+    clock=None,
+) -> int:
+    """Incremental windowed ingestion loop (ref: 02_ingestion.py:150-240):
+    resume from the bronze watermark, fetch ``batch_days`` windows via
+    ``fetch_batch(start, end) -> list[GeoJSON feature]``, flatten, skip
+    rows at/before the window start (same-day duplicate guard), append,
+    advance the watermark per batch. Returns total rows written.
+
+    Crash-safe: each window commits data before its watermark advance, so
+    a re-run refetches at most one window and the bronze dedup pass (W1)
+    absorbs the duplicates.
+    """
+    from datetime import timedelta
+
+    from ..sources.geojson import feature_rows, rows_to_bronze
+
+    entry = store.init(BRONZE_TABLE, "time")
+    start = entry.watermark_value
+    total = 0
+    while start < end:
+        batch_end = min(start + timedelta(days=batch_days), end)
+        features = fetch_batch(start, batch_end)
+        now = clock() if clock else datetime.now(timezone.utc)
+        rows = feature_rows(
+            features,
+            ingestion_ts=now,
+            batch_id=utc_batch_id(now),
+            min_event_time=start,
+        )
+        if rows:
+            total += ingest_batch(wh, store, rows_to_bronze(wh.spark, rows))
+        start = batch_end
+    return total

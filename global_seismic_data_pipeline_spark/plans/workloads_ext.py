@@ -116,6 +116,14 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(embs, queries, k=5, bits=8, tables=4)
 
 
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via IVF coarse quantization + probe re-rank
+    (rows-only; recall vs brute force asserted in tests)."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 20)
+    return similarity.ivf_topk(embs, queries, k=5, cells=16, nprobe=4)
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing
 def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -130,6 +130,19 @@ def test_cosine_topk_finds_planted_neighbor(spark, vec_df):
     assert top.neighbor_id == 900 and top.cosine_sim == 1.0
 
 
+def test_ivf_topk_recall_vs_bruteforce(spark, vec_df):
+    queries = vec_df.filter(F.col("vec_id") < 10)
+    truth = similarity.cosine_topk(vec_df, queries, k=1)
+    approx = similarity.ivf_topk(vec_df, queries, k=1, cells=8, nprobe=4)
+    t = {(r.query_id, r.neighbor_id) for r in truth.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    # each true top-1 is a near-copy of its query (cosine ≈ 0.97), so it
+    # lands in the query's nearest cell with overwhelming probability and
+    # probing 4 of 8 cells recovers it
+    assert (0, 900) in a
+    assert len(t & a) / len(t) >= 0.8
+
+
 def test_lsh_topk_recall_vs_bruteforce(spark, vec_df):
     queries = vec_df.filter(F.col("vec_id") < 10)
     truth = similarity.cosine_topk(vec_df, queries, k=1)
