@@ -34,17 +34,22 @@ def ingest_batch(
     """Append one bronze batch and advance the bronze watermark
     (ref: 02_ingestion.py:212-232). Returns rows written.
 
-    One job computes count + max(time) together (the reference runs two).
-    """
+    Count and max(time) ride the append itself via ``observe`` — zero
+    extra jobs, vs the reference's two separate actions (count + max)
+    before the write (SURVEY.md §4 eager-count anti-pattern)."""
+    from pyspark.sql import Observation
+
     store.init(BRONZE_TABLE, time_col)
-    stats = batch.agg(
-        F.count(F.lit(1)).alias("n"), F.max(time_col).alias("max_t")
-    ).collect()[0]
-    if stats.n == 0:
+    obs = Observation()
+    observed = batch.observe(
+        obs, F.count(F.lit(1)).alias("n"), F.max(time_col).alias("max_t")
+    )
+    wh.append(observed, BRONZE_TABLE)
+    row = obs.get
+    if row["n"] == 0:
         return 0
-    wh.append(batch, BRONZE_TABLE)
-    store.advance(BRONZE_TABLE, stats.max_t, stats.n)
-    return stats.n
+    store.advance(BRONZE_TABLE, row["max_t"], row["n"])
+    return row["n"]
 
 
 def quality_report(df: DataFrame) -> dict:

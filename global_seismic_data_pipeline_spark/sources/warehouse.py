@@ -47,9 +47,12 @@ class Warehouse:
 
     def exists(self, name: str) -> bool:
         p = self.path(name)
-        return os.path.isdir(p) and any(
-            f.endswith(".parquet") for f in os.listdir(p)
-        )
+        if not os.path.isdir(p):
+            return False
+        for _root, _dirs, files in os.walk(p):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
 
     def drop(self, name: str) -> None:
         if os.path.isdir(self.path(name)):
@@ -59,15 +62,22 @@ class Warehouse:
     def read(self, name: str) -> DataFrame:
         return self.spark.read.parquet(self.path(name))
 
-    def append(self, df: DataFrame, name: str) -> None:
+    def append(
+        self, df: DataFrame, name: str, partition_by: Sequence[str] = ()
+    ) -> None:
         """Append-only write (bronze semantics, ref: 02_ingestion.py:214-217).
 
         Parquet append adds new files to the directory; existing files are
         never touched, so concurrent readers stay consistent per-file.
         """
-        df.write.mode("append").parquet(self.path(name))
+        w = df.write.mode("append")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path(name))
 
-    def overwrite(self, df: DataFrame, name: str) -> None:
+    def overwrite(
+        self, df: DataFrame, name: str, partition_by: Sequence[str] = ()
+    ) -> None:
         """Atomic full replace (gold semantics, ref: 05_gold_aggregation.py:79).
 
         The plan is fully executed into a staging dir before the swap, so
@@ -76,7 +86,10 @@ class Warehouse:
         final = self.path(name)
         staging = os.path.join(self.root, f".staging-{name}-{uuid.uuid4().hex}")
         trash = os.path.join(self.root, f".trash-{name}-{uuid.uuid4().hex}")
-        df.write.mode("overwrite").parquet(staging)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(staging)
         if os.path.isdir(final):
             os.rename(final, trash)
         os.rename(staging, final)
@@ -89,20 +102,55 @@ class Warehouse:
         updates: DataFrame,
         name: str,
         keys: Sequence[str],
+        *,
+        prune_partition_col: str | None = None,
     ) -> None:
         """Upsert: matched target rows are replaced by update rows, unmatched
         update rows are inserted (ref MERGE, 04_silver_transformation.py:196-202).
 
         ``updates`` must be key-unique (the silver flow dedups upstream).
         First call creates the table (ref: 04_silver_transformation.py:204-205).
+
+        With ``prune_partition_col`` (a column of both sides; the table is
+        stored directory-partitioned by it) only the partitions containing
+        update rows are read, merged, and swapped — at 100 TB this bounds
+        the rewrite to the touched slice (e.g. event month) instead of the
+        whole table, the same file-pruning idea as Delta's MERGE. Each
+        partition swap is atomic; a crash between swaps leaves a prefix
+        updated, and re-running the same merge is a no-op for them
+        (idempotent by keys).
         """
+        pcol = prune_partition_col
         if not self.exists(name):
-            self.overwrite(updates, name)
+            self.overwrite(updates, name, partition_by=[pcol] if pcol else ())
             return
+        if pcol is None:
+            target = self.read(name)
+            kept = target.join(updates.select(*keys), on=list(keys), how="left_anti")
+            merged = kept.unionByName(updates.select(*target.columns))
+            self.overwrite(merged, name)
+            return
+
+        touched = [r[0] for r in updates.select(pcol).distinct().collect()]
         target = self.read(name)
-        kept = target.join(updates.select(*keys), on=list(keys), how="left_anti")
+        pruned = target.filter(F.col(pcol).isin(touched))
+        kept = pruned.join(updates.select(*keys), on=list(keys), how="left_anti")
         merged = kept.unionByName(updates.select(*target.columns))
-        self.overwrite(merged, name)
+
+        staging = os.path.join(self.root, f".staging-{name}-{uuid.uuid4().hex}")
+        merged.write.mode("overwrite").partitionBy(pcol).parquet(staging)
+        final = self.path(name)
+        for d in os.listdir(staging):
+            if not d.startswith(f"{pcol}="):
+                continue
+            trash = os.path.join(self.root, f".trash-{name}-{uuid.uuid4().hex}")
+            dst = os.path.join(final, d)
+            if os.path.isdir(dst):
+                os.rename(dst, trash)
+            os.rename(os.path.join(staging, d), dst)
+            if os.path.isdir(trash):
+                shutil.rmtree(trash)
+        shutil.rmtree(staging)
 
     # -- SQL surface ------------------------------------------------------
     def register_views(self, names: Sequence[str] | None = None) -> list[str]:

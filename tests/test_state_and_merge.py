@@ -59,6 +59,35 @@ def test_merge_is_idempotent(spark, tmp_path):
     assert before == after
 
 
+def test_partition_pruned_merge(spark, tmp_path):
+    """MERGE with prune_partition_col rewrites only touched partitions."""
+    import os
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    base = spark.createDataFrame(
+        [("a", 1, "2025-01"), ("b", 2, "2025-01"), ("c", 3, "2025-02"),
+         ("d", 4, "2025-03")],
+        "k string, v int, month string",
+    )
+    wh.merge(base, "t", ["k"], prune_partition_col="month")
+    # record untouched partition's file set
+    feb = os.path.join(wh.path("t"), "month=2025-02")
+    feb_files = sorted(os.listdir(feb))
+
+    upd = spark.createDataFrame(
+        [("b", 20, "2025-01"), ("e", 5, "2025-03")], "k string, v int, month string"
+    )
+    wh.merge(upd, "t", ["k"], prune_partition_col="month")
+    got = {(r.k): (r.v, r.month) for r in wh.read("t").collect()}
+    assert got == {"a": (1, "2025-01"), "b": (20, "2025-01"), "c": (3, "2025-02"),
+                   "d": (4, "2025-03"), "e": (5, "2025-03")}
+    # the 2025-02 partition was never rewritten
+    assert sorted(os.listdir(feb)) == feb_files
+    # idempotent re-run
+    wh.merge(upd, "t", ["k"], prune_partition_col="month")
+    assert wh.read("t").count() == 5
+
+
 def test_atomic_overwrite_derived_from_self(spark, tmp_path):
     """Overwriting a table with a plan that reads the same table must not
     corrupt it (the reference leans on Delta for this; our staging-swap
