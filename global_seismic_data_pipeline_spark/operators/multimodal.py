@@ -72,3 +72,86 @@ def extract_metadata(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
             yield meta
 
     return pruned.mapInPandas(gen, schema=METADATA_SCHEMA)
+
+
+RESIZED_SCHEMA = "doc_id long, payload binary, out_width long, out_height long"
+
+
+def resize_images(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    width: int = 224,
+    height: int = 224,
+    fake: bool = False,
+) -> DataFrame:
+    """Resize image payloads to (width, height) via mapInPandas.
+
+    STUB codec (no PIL here): ``fake=True`` emits a deterministic
+    truncated/padded byte payload of width*height bytes so the Arrow batch
+    shape, schema, and pruning are exercised end-to-end; the real decoder
+    drops in by replacing the inner function only."""
+
+    def resize_batch(payloads: pd.Series) -> pd.Series:
+        if not fake:
+            raise NotImplementedError(
+                "image resize requires PIL/libvips — pass fake=True for the "
+                "deterministic stand-in"
+            )
+        target = width * height
+        return payloads.map(
+            lambda b: bytes(b[:target]).ljust(target, b"\0")
+        )
+
+    pruned = df.select(id_col, "payload")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": resize_batch(pdf["payload"]),
+                    "out_width": width,
+                    "out_height": height,
+                }
+            )
+
+    return pruned.mapInPandas(gen, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = "doc_id long, frame_idx long, frame binary"
+
+
+def sample_frames(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    every_n_bytes: int = 64,
+    max_frames: int = 8,
+    fake: bool = False,
+) -> DataFrame:
+    """Sample 'frames' from a video payload — a 1→N mapInPandas expansion
+    (the multimodal analogue of explode, but batched through Arrow).
+
+    STUB codec: with ``fake=True`` each frame is a fixed-stride byte slice;
+    a real implementation swaps in ffmpeg keyframe extraction with the
+    exact same batch contract (one output row per sampled frame)."""
+
+    pruned = df.select(id_col, "payload")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not fake:
+            raise NotImplementedError(
+                "frame sampling requires ffmpeg — pass fake=True for the "
+                "deterministic stand-in"
+            )
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for i, b in zip(pdf[id_col].astype("int64"), pdf["payload"]):
+                for j in range(min(max_frames, max(len(b) // every_n_bytes, 0))):
+                    ids.append(i)
+                    idxs.append(j)
+                    frames.append(bytes(b[j * every_n_bytes:(j + 1) * every_n_bytes]))
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return pruned.mapInPandas(gen, schema=FRAMES_SCHEMA)

@@ -15,15 +15,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup, multimodal, neardup, similarity, text
+from ..operators.partitioning import ensure_parallelism
 from ..sources.catalog import load_table
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    """documents, spread to full parallelism: the single parquet file
+    otherwise pins every CPU-bound text op to one task."""
+    return ensure_parallelism(load_table(spark, sf_dir, "documents"))
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings")
+    return ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
 
 
 # --------------------------------------------------------------------------

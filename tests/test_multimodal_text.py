@@ -1,0 +1,88 @@
+"""Multimodal plumbing (metadata / resize / frame-sample) and text ops."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from global_seismic_data_pipeline_spark.operators import multimodal, text
+
+
+@pytest.fixture(scope="module")
+def payload_df(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world this is a document"), (2, "x" * 200), (3, "")],
+        "doc_id long, text string",
+    )
+    return multimodal.with_binary_payload(docs)
+
+
+def test_extract_metadata_schema_and_values(spark, payload_df):
+    out = multimodal.extract_metadata(payload_df)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[1].payload_bytes == 30
+    assert rows[1].header_byte == ord("h")
+    assert rows[2].payload_bytes == 200 and rows[2].header_byte == ord("x")
+    assert rows[3].payload_bytes == 0 and rows[3].header_byte == 0
+    assert set(out.columns) == {"doc_id", "payload_bytes", "header_byte", "width", "height"}
+
+
+def test_resize_images_fake_codec(spark, payload_df):
+    out = multimodal.resize_images(payload_df, width=4, height=3, fake=True)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert all(len(r.payload) == 12 for r in rows.values())
+    assert rows[1].payload == b"hello world "  # truncated to 12
+    assert rows[3].payload == b"\0" * 12       # empty padded
+    assert rows[1].out_width == 4 and rows[1].out_height == 3
+
+
+def test_resize_without_codec_raises(spark, payload_df):
+    with pytest.raises(Exception, match="fake=True"):
+        multimodal.resize_images(payload_df, fake=False).collect()
+
+
+def test_sample_frames_expansion(spark, payload_df):
+    out = multimodal.sample_frames(
+        payload_df, every_n_bytes=50, max_frames=3, fake=True
+    )
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 2: 200 bytes → 4 full frames capped at 3
+    assert len(by_doc[2]) == 3
+    assert all(len(r.frame) == 50 for r in by_doc[2])
+    assert sorted(r.frame_idx for r in by_doc[2]) == [0, 1, 2]
+    # doc 1: 30 bytes → 0 frames; doc 3 empty → 0 frames
+    assert 1 not in by_doc and 3 not in by_doc
+
+
+def test_text_quality_monotone_in_stopwords(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat with a hat for the rat"),
+         (2, "zxq wvu tsr qpo nml kji hgf edc")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.with_quality_features(df).collect()}
+    assert out[1].stopword_cnt > 0 and out[2].stopword_cnt == 0
+    assert out[1].quality_score > out[2].quality_score
+
+
+def test_language_id_picks_dominant(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog went to the park with a ball"),
+         (2, "el perro y la gata en la casa de los abuelos"),
+         (3, "der hund und die katze sind nicht mit einem ball")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.lang_guess for r in text.with_language_guess(df).collect()}
+    assert out == {1: "en", 2: "es", 3: "de"}
+
+
+def test_fingerprint_normalization_invariant(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "  hello world "), (3, "different")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.fp for r in df.select(
+        "doc_id", text.fingerprint(F.col("text")).alias("fp")
+    ).collect()}
+    assert out[1] == out[2] != out[3]
