@@ -1,0 +1,97 @@
+"""Reports layer (9 dashboard queries) + maintenance ops over a real
+pipeline-produced warehouse."""
+
+import json
+from datetime import datetime, timezone
+
+import pytest
+
+from global_seismic_data_pipeline_spark.pipeline import maintenance, reports
+from global_seismic_data_pipeline_spark.pipeline.runner import build_pipeline
+from global_seismic_data_pipeline_spark.sources.warehouse import Warehouse
+
+CLOCK = datetime(2025, 6, 1, 12, 0, 0)
+
+
+def _feature(fid, t_ms, lon, lat, depth, mag):
+    return {"type": "Feature", "id": fid,
+            "properties": {"time": t_ms, "mag": mag, "place": f"near {fid}",
+                           "type": "earthquake"},
+            "geometry": {"type": "Point", "coordinates": [lon, lat, depth]}}
+
+
+def _ms(y, m, d, h=0):
+    return int(datetime(y, m, d, h, tzinfo=timezone.utc).timestamp() * 1000)
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("repwh"))
+    feats = [
+        _feature("r1", _ms(2025, 5, 1, 1), 139.0, 35.0, 30.0, 5.2),
+        _feature("r2", _ms(2025, 5, 1, 2), -120.0, 36.0, 10.0, 7.3),
+        _feature("r3", _ms(2025, 5, 2, 3), -30.0, 0.0, 500.0, 6.1),
+        _feature("r4", _ms(2025, 5, 3, 5), 100.0, -2.0, 80.0, 4.4),
+    ]
+    p = tmp_path_factory.mktemp("repgeo") / "q.geojson"
+    p.write_text(json.dumps({"type": "FeatureCollection", "features": feats}))
+    results = build_pipeline(spark, root, geojson_path=str(p), clock=CLOCK).run()
+    assert all(r.status == "SUCCESS" for r in results), results
+    return Warehouse(spark, root)
+
+
+def test_all_nine_reports_run(spark, warehouse):
+    out = reports.run_all(warehouse)
+    assert set(out) == set(reports.ALL_REPORTS)
+    counts = {name: df.count() for name, df in out.items()}
+    assert counts["events_by_region"] == 4      # 4 distinct regions
+    assert counts["significant_event_map"] == 3  # M >= 5
+    assert counts["recent_major_events"] == 2    # M >= 6
+    assert counts["daily_trend"] == 3            # 3 days
+    assert counts["watermark_status"] == 2       # bronze + silver entries
+
+
+def test_report_values(spark, warehouse):
+    reports.run_all(warehouse)
+    dist = {
+        r.magnitude_category: r["count"]
+        for r in reports.magnitude_distribution(spark).collect()
+    }
+    assert dist == {"7-7.9 Major": 1, "6-6.9 Strong": 1,
+                    "5-5.9 Moderate": 1, "4-4.9 Light": 1}
+    trend = reports.daily_trend(spark).collect()
+    assert [r.total_events for r in trend] == [2, 1, 1]
+    assert trend[1].rolling_7d_avg == 0.0  # ROUND(3/7, 0)
+
+    monthly = reports.monthly_trends(spark).collect()
+    assert len(monthly) == 1 and monthly[0].events == 4
+
+    dmg = reports.damage_potential_summary(spark).collect()
+    # custom collation: EXTREME before HIGH before MODERATE...
+    order = [r.damage_potential for r in dmg]
+    rank = {"EXTREME": 1, "HIGH": 2, "MODERATE": 3, "LOW": 4}
+    assert order == sorted(order, key=lambda d: rank.get(d, 5))
+
+
+def test_compact_reduces_files(spark, warehouse):
+    before = warehouse.table_stats("silver_earthquakes")
+    res = maintenance.compact(
+        warehouse, "silver_earthquakes",
+        sort_cols=("magnitude", "event_time"), target_file_mb=128,
+    )
+    assert res["files_after"] <= before["num_files"]
+    assert res["files_after"] >= 1
+    assert warehouse.read("silver_earthquakes").count() == 4  # content intact
+
+
+def test_optimize_all_and_vacuum(spark, warehouse):
+    results = maintenance.optimize_all(warehouse)
+    assert "bronze_earthquakes" in results and "gold_regional_risk" in results
+    # vacuum removes nothing when no interrupted writes exist
+    assert maintenance.vacuum(warehouse) == 0
+    # simulate an interrupted write, then vacuum it
+    import os
+    leftover = os.path.join(warehouse.root, ".staging-x-deadbeef")
+    os.makedirs(leftover)
+    assert maintenance.vacuum(warehouse) == 1
+    assert not os.path.isdir(leftover)
