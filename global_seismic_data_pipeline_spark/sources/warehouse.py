@@ -152,6 +152,39 @@ class Warehouse:
                 shutil.rmtree(trash)
         shutil.rmtree(staging)
 
+    # -- bucketing --------------------------------------------------------
+    def save_bucketed(
+        self,
+        df: DataFrame,
+        name: str,
+        bucket_cols: Sequence[str],
+        *,
+        num_buckets: int = 8,
+        sort_cols: Sequence[str] | None = None,
+    ) -> DataFrame:
+        """Write ``name`` hash-bucketed on ``bucket_cols`` (catalog-backed;
+        files live under the warehouse root as an external table).
+
+        Two tables bucketed on the same keys with the same bucket count
+        join WITHOUT a shuffle — Spark reads matching buckets pairwise
+        (SortMergeJoin with no Exchange; ``sort_cols`` also drops the
+        per-task Sort). This is the co-located-join path for repeated big
+        joins at 100 TB: pay one shuffle at write time, none per query.
+        Unlike the plain tables, bucketed tables go through
+        ``saveAsTable`` (bucket metadata needs the session catalog).
+        """
+        self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+        self.drop(name)
+        writer = (
+            df.write.mode("overwrite")
+            .option("path", self.path(name))
+            .bucketBy(num_buckets, *bucket_cols)
+        )
+        if sort_cols:
+            writer = writer.sortBy(*sort_cols)
+        writer.saveAsTable(name)
+        return self.spark.table(name)
+
     # -- SQL surface ------------------------------------------------------
     def register_views(self, names: Sequence[str] | None = None) -> list[str]:
         """Register every table as a temp view so spark.sql sees the same

@@ -49,11 +49,18 @@ def deduped(
     time_col: str = "time",
     late_threshold: str = "1 day",
 ) -> DataFrame:
-    """Streaming W1: watermark-bounded exactly-one-row-per-key
-    (state is dropped past the lateness bound, so it scales unbounded)."""
-    return stream.withWatermark(time_col, late_threshold).dropDuplicates(
-        [key]
-    )
+    """Streaming W1: watermark-bounded exactly-one-row-per-key.
+
+    ``dropDuplicatesWithinWatermark`` (not plain ``dropDuplicates([key])``):
+    with a key-only subset, plain dropDuplicates keeps every key's state
+    FOREVER (the watermark only evicts state when the event-time column is
+    part of the dedup keys) — unbounded state on an unbounded stream. The
+    WithinWatermark variant evicts each key once the watermark passes its
+    first-seen event time, which is exactly the reference's dedup contract
+    (duplicates arrive within the lateness bound; ref 03:99-109)."""
+    return stream.withWatermark(
+        time_col, late_threshold
+    ).dropDuplicatesWithinWatermark([key])
 
 
 def tumbling_daily(

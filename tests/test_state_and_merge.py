@@ -88,6 +88,31 @@ def test_partition_pruned_merge(spark, tmp_path):
     assert wh.read("t").count() == 5
 
 
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Bucketed-on-same-key tables must join without an Exchange."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    left = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    )
+    right = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("b")
+    )
+    lt = wh.save_bucketed(left, "bkt_left", ["k"], num_buckets=4, sort_cols=["k"])
+    rt = wh.save_bucketed(right, "bkt_right", ["k"], num_buckets=4, sort_cols=["k"])
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = lt.join(rt, "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 500
+        got = joined.filter(F.col("k") == 7).collect()[0]
+        assert (got.a, got.b) == (14, 21)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
 def test_atomic_overwrite_derived_from_self(spark, tmp_path):
     """Overwriting a table with a plan that reads the same table must not
     corrupt it (the reference leans on Delta for this; our staging-swap

@@ -84,6 +84,26 @@ def test_streaming_upsert_dedups_by_key(spark, stream_dir, tmp_path):
     assert wh.read("silver_stream").count() == 4
 
 
+def test_streaming_dedup_one_row_per_key(spark, stream_dir, tmp_path):
+    stream = facade.read_stream(
+        spark, str(stream_dir / "events"), BRONZE_EARTHQUAKES
+    )
+    out = facade.deduped(stream).select("event_id", "mag")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("dedup_stream").collect()
+    ids = [r.event_id for r in rows]
+    assert sorted(ids) == sorted(set(ids))  # exactly one row per key
+    assert set(ids) == {"s1", "s2", "s3", "s4"}
+
+
 def test_sliding_weekly_counts(spark, stream_dir):
     stream = facade.read_stream(
         spark, str(stream_dir / "events"), BRONZE_EARTHQUAKES
