@@ -80,10 +80,16 @@ def run_silver(
     store: WatermarkStore,
     *,
     clock: datetime | None = None,
+    partition_col: str | None = None,
 ) -> int:
     """Incremental bronze → silver run: watermark filter, transform, MERGE,
     advance (ref: 04_silver_transformation.py whole flow). Returns rows
-    processed (0 ⇒ no-op, like the reference's early exit)."""
+    processed (0 ⇒ no-op, like the reference's early exit).
+
+    ``partition_col`` (e.g. ``"year"``) stores silver directory-partitioned
+    on that column and prunes the MERGE rewrite to partitions the increment
+    touches — for daily incremental loads that is one or two partitions
+    instead of the whole table (SURVEY.md §7 hard-part a at scale)."""
     entry = store.get(SILVER_TABLE) or store.init(SILVER_TABLE, "time")
     bronze = wh.read(BRONZE_TABLE)
     if entry.watermark_value is not None:
@@ -100,6 +106,8 @@ def run_silver(
     if stats.n == 0:
         return 0
 
-    wh.merge(silver, SILVER_TABLE, keys=["event_id"])
+    wh.merge(
+        silver, SILVER_TABLE, keys=["event_id"], prune_partition_col=partition_col
+    )
     store.advance(SILVER_TABLE, stats.max_t, stats.n)
     return stats.n

@@ -141,6 +141,42 @@ def test_incremental_batch_merges_new_and_updated(spark, tmp_path):
     assert store.get("silver_earthquakes").records_processed == 4
 
 
+def test_silver_partitioned_merge_path(spark, tmp_path):
+    """run_silver(partition_col='year') stores silver year-partitioned and
+    merges increments with partition pruning — same results as the full
+    path."""
+    root = str(tmp_path / "wh")
+    wh = Warehouse(spark, root)
+    store = WatermarkStore(wh)
+    from global_seismic_data_pipeline_spark.sources.geojson import (
+        feature_rows,
+        rows_to_bronze,
+    )
+
+    b1 = rows_to_bronze(spark, feature_rows(
+        [_feature("a", _ms(2024, 12, 30), 139.0, 35.0, 30.0, 5.0),
+         _feature("b", _ms(2025, 1, 2), -120.0, 36.0, 10.0, 6.0)],
+        ingestion_ts=CLOCK, batch_id="b1"))
+    bz.ingest_batch(wh, store, b1)
+    assert silver.run_silver(wh, store, clock=CLOCK, partition_col="year") == 2
+
+    import os
+    parts = sorted(
+        d for d in os.listdir(wh.path("silver_earthquakes")) if d.startswith("year=")
+    )
+    assert parts == ["year=2024", "year=2025"]
+
+    # second increment touches only 2025
+    b2 = rows_to_bronze(spark, feature_rows(
+        [_feature("b", _ms(2025, 1, 3), -120.0, 36.0, 10.0, 6.5),
+         _feature("c", _ms(2025, 1, 4), 100.0, -2.0, 80.0, 4.0)],
+        ingestion_ts=CLOCK, batch_id="b2"))
+    bz.ingest_batch(wh, store, b2)
+    assert silver.run_silver(wh, store, clock=CLOCK, partition_col="year") == 2
+    got = {r.event_id: (r.magnitude, r.year) for r in wh.read("silver_earthquakes").collect()}
+    assert got == {"a": (5.0, 2024), "b": (6.5, 2025), "c": (4.0, 2025)}
+
+
 def test_quality_report_single_pass(spark, bronze_fixture):
     rep = bz.quality_report(bronze_fixture)
     assert rep["total_rows"] == 18
