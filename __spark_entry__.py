@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup": workloads_ext.minhash_near_dup,
         "simhash_near_dup": workloads_ext.simhash_near_dup,
         "cosine_topk_bruteforce": workloads_ext.cosine_topk_bruteforce,
+        "embedding_cosine_near_dup": workloads_ext.embedding_cosine_near_dup,
         "lsh_ann_topk": workloads_ext.lsh_ann_topk,
         "ivf_ann_topk": workloads_ext.ivf_ann_topk,
         "multimodal_metadata": workloads_ext.multimodal_metadata,

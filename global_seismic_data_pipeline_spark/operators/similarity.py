@@ -117,6 +117,60 @@ def with_lsh_buckets(
     ).drop("__buckets")
 
 
+def cosine_all_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    round_decimals: int = 4,
+) -> DataFrame:
+    """Exact all-pairs cosine near-duplicates: (id_a < id_b, cosine ≥ τ).
+
+    Blocked matrix multiply: the (normalized) corpus is captured once into
+    the task closure, each Arrow batch computes ``batch @ corpusᵀ`` and
+    emits only pairs over the threshold — O(N²·d) flops but vectorized and
+    embarrassingly parallel over corpus partitions. Similarities round to
+    ``round_decimals`` BEFORE thresholding so the cut is reproducible
+    across engines/summation orders.
+
+    This exact operator is for corpora whose (id, vector) table fits in a
+    broadcast (~1M × small dim); beyond that use ``lsh_topk``/``ivf_topk``
+    candidates + this as the within-bucket verifier.
+    """
+    src = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        as_double_vec(F.col(vec_col)).alias("_v"),
+    )
+    rows = src.collect()
+    ids = np.array([r._id for r in rows], dtype=np.int64)
+    mat = np.array([r._v for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    unit = mat / norms
+
+    def gen(batches):
+        for pdf in batches:
+            a_ids = pdf["_id"].to_numpy(dtype=np.int64)
+            a = np.array(pdf["_v"].tolist(), dtype=np.float64)
+            an = np.linalg.norm(a, axis=1, keepdims=True)
+            an[an == 0] = 1.0
+            sims = np.round((a / an) @ unit.T, round_decimals)
+            ia, ib = np.nonzero(sims >= threshold)
+            left, right = a_ids[ia], ids[ib]
+            keep = left < right
+            yield pd.DataFrame(
+                {
+                    "id_a": left[keep],
+                    "id_b": right[keep],
+                    "cosine_sim": sims[ia, ib][keep],
+                }
+            )
+
+    spread = ensure_parallelism(src)
+    return spread.mapInPandas(gen, schema="id_a long, id_b long, cosine_sim double")
+
+
 def _centroids(dim: int, cells: int, seed: int) -> np.ndarray:
     """Seeded spherical centroids (no training pass — a fixed random
     codebook; real deployments would k-means a sample, the plan shape is

@@ -153,6 +153,16 @@ SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n_events,
 FROM expanded GROUP BY window_start
 """
 
+EMBEDDING_COSINE_NEAR_DUP_SQL = """
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    ROUND(list_cosine_similarity(a.emb, b.emb), 4) AS cosine_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.emb, b.emb), 4) >= 0.45
+"""
+
 ORACLES_EXT: dict[str, str] = {
     "text_quality_score": TEXT_QUALITY_SQL,
     "text_language_id": TEXT_LANGUAGE_ID_SQL,
@@ -161,6 +171,7 @@ ORACLES_EXT: dict[str, str] = {
     "exact_dedup_docs": EXACT_DEDUP_SQL,
     "ngram_jaccard_near_dup": NGRAM_JACCARD_SQL,
     "cosine_topk_bruteforce": COSINE_TOPK_SQL,
+    "embedding_cosine_near_dup": EMBEDDING_COSINE_NEAR_DUP_SQL,
     "multimodal_metadata": MULTIMODAL_METADATA_SQL,
     "tumbling_window_daily": TUMBLING_WINDOW_SQL,
     "sliding_window_7d": SLIDING_WINDOW_SQL,

@@ -119,6 +119,14 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(embs, queries, k=5, bits=8, tables=4)
 
 
+def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs embedding near-duplicates at cosine ≥ 0.45
+    (oracle-checked against DuckDB's list_cosine_similarity)."""
+    return similarity.cosine_all_pairs(
+        _embs(spark, sf_dir), threshold=0.45, round_decimals=4
+    )
+
+
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via IVF coarse quantization + probe re-rank
     (rows-only; recall vs brute force asserted in tests)."""

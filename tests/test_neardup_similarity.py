@@ -130,6 +130,20 @@ def test_cosine_topk_finds_planted_neighbor(spark, vec_df):
     assert top.neighbor_id == 900 and top.cosine_sim == 1.0
 
 
+def test_cosine_all_pairs_exact(spark, vec_df):
+    """Planted scaled copy (cosine 1.0) found; every reported pair is
+    above threshold and ordered id_a < id_b."""
+    out = similarity.cosine_all_pairs(vec_df, threshold=0.9)
+    rows = out.collect()
+    got = {(r.id_a, r.id_b): r.cosine_sim for r in rows}
+    assert got[(0, 900)] == 1.0
+    assert all(a < b for a, b in got)
+    assert all(c >= 0.9 for c in got.values())
+    # the noisy near-copies (cosine ≈ 0.97) must all be found
+    for i in range(1, 10):
+        assert (i, 900 + i) in got
+
+
 def test_ivf_topk_recall_vs_bruteforce(spark, vec_df):
     queries = vec_df.filter(F.col("vec_id") < 10)
     truth = similarity.cosine_topk(vec_df, queries, k=1)
