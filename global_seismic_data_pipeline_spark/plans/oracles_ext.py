@@ -163,6 +163,15 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE ROUND(list_cosine_similarity(a.emb, b.emb), 4) >= 0.45
 """
 
+SALTED_AGG_SQL = """
+SELECT l_returnflag,
+    ROUND(SUM(l_quantity), 2) AS qty_sum,
+    COUNT(l_quantity) AS n,
+    MIN(l_quantity) AS qty_min,
+    MAX(l_quantity) AS qty_max
+FROM lineitem GROUP BY l_returnflag
+"""
+
 ORACLES_EXT: dict[str, str] = {
     "text_quality_score": TEXT_QUALITY_SQL,
     "text_language_id": TEXT_LANGUAGE_ID_SQL,
@@ -172,6 +181,7 @@ ORACLES_EXT: dict[str, str] = {
     "ngram_jaccard_near_dup": NGRAM_JACCARD_SQL,
     "cosine_topk_bruteforce": COSINE_TOPK_SQL,
     "embedding_cosine_near_dup": EMBEDDING_COSINE_NEAR_DUP_SQL,
+    "salted_agg_lineitem": SALTED_AGG_SQL,
     "multimodal_metadata": MULTIMODAL_METADATA_SQL,
     "tumbling_window_daily": TUMBLING_WINDOW_SQL,
     "sliding_window_7d": SLIDING_WINDOW_SQL,

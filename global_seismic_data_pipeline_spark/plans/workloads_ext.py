@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import dedup, multimodal, neardup, similarity, text
+from ..operators import dedup, multimodal, neardup, similarity, skew, text
 from ..operators.partitioning import ensure_parallelism
 from ..sources.catalog import load_table
 
@@ -133,6 +133,28 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
     queries = embs.filter(F.col("vec_id") < 20)
     return similarity.ivf_topk(embs, queries, k=5, cells=16, nprobe=4)
+
+
+def salted_agg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation — must equal the direct groupBy
+    (the oracle IS the direct form), exercising the hot-key scatter path."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = skew.salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "qty_sum": ("sum", "l_quantity"),
+            "n": ("count", "l_quantity"),
+            "qty_min": ("min", "l_quantity"),
+            "qty_max": ("max", "l_quantity"),
+        },
+        salt=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.round(F.col("qty_sum"), 2).alias("qty_sum"),
+        "n", "qty_min", "qty_max",
+    )
 
 
 # --------------------------------------------------------------------------
