@@ -158,6 +158,12 @@ def minhash_signatures(
     hashed = shingle_rows(df, id_col=id_col, text_col=text_col, n=n).select(
         F.col(id_col), F.pmod(F.xxhash64("shingle"), F.lit(HASH_PRIME)).alias("h")
     )
+    return _signatures_from_hashes(hashed, id_col, num_hashes, seed)
+
+
+def _signatures_from_hashes(
+    hashed: DataFrame, id_col: str, num_hashes: int, seed: int
+) -> DataFrame:
     perms = _minhash_perms(num_hashes, seed)
     mins = [
         F.min(F.pmod(a * F.col("h") + b, F.lit(HASH_PRIME))).alias(f"m{i}")
@@ -187,9 +193,17 @@ def minhash_lsh_pairs(
     with exact Jaccard on the shingle sets. Output matches
     ``ngram_jaccard_pairs`` columns (minus sizes) for pairs LSH recalls."""
     rows = num_hashes // bands
-    sigs = minhash_signatures(
-        df, id_col=id_col, text_col=text_col, n=n, num_hashes=num_hashes, seed=seed
+    # ONE text-processing pass: signatures derive from the same shingle-set
+    # aggregate the verification step joins (exploding a materialized
+    # aggregate output is safe — no lambda re-evaluation), and Catalyst's
+    # ReusedExchange dedupes the shared subtree across both consumers
+    sets = shingle_sets(df, id_col=id_col, text_col=text_col, n=n)
+    hashed = sets.select(
+        F.col(id_col), F.explode("shingles").alias("shingle")
+    ).select(
+        F.col(id_col), F.pmod(F.xxhash64("shingle"), F.lit(HASH_PRIME)).alias("h")
     )
+    sigs = _signatures_from_hashes(hashed, id_col, num_hashes, seed)
     # the band self-join carries ONLY (id, band, bucket) — shipping the
     # shingle arrays through a B-way explode + shuffle would multiply the
     # shuffled bytes by bands×|shingles|; arrays attach later, once, to the
@@ -221,7 +235,6 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    sets = shingle_sets(df, id_col=id_col, text_col=text_col, n=n)
     cands = cands.join(
         sets.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")),
         "id_a",
