@@ -88,6 +88,39 @@ def test_partition_pruned_merge(spark, tmp_path):
     assert wh.read("t").count() == 5
 
 
+def test_crash_between_merge_and_watermark_is_safe(spark, tmp_path):
+    """At-least-once data, exactly-once effect: if a run dies after the
+    silver MERGE but before the watermark advance (the reference's
+    double-count hazard, SURVEY §7 hard-part b), the rerun reprocesses the
+    same rows and MERGE makes it a no-op on the table."""
+    from datetime import datetime as dt
+
+    from global_seismic_data_pipeline_spark.pipeline import bronze as bz
+    from global_seismic_data_pipeline_spark.pipeline import silver as sv
+    from global_seismic_data_pipeline_spark.schemas import BRONZE_EARTHQUAKES
+    from conftest import bronze_row
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    store = WatermarkStore(wh)
+    batch = spark.createDataFrame(
+        [bronze_row("x1", dt(2025, 5, 1)), bronze_row("x2", dt(2025, 5, 2))],
+        BRONZE_EARTHQUAKES,
+    )
+    bz.ingest_batch(wh, store, batch)
+    clock = dt(2025, 6, 1)
+    assert sv.run_silver(wh, store, clock=clock) == 2
+    before = sorted(map(tuple, wh.read("silver_earthquakes").collect()))
+
+    # simulate the crash: roll the watermark back as if the advance never
+    # happened, then rerun
+    entries = store._entries()
+    entries[sv.SILVER_TABLE].watermark_value = dt(2000, 1, 1)
+    store._write(entries)
+    assert sv.run_silver(wh, store, clock=clock) == 2  # reprocessed
+    after = sorted(map(tuple, wh.read("silver_earthquakes").collect()))
+    assert after == before  # table identical — no duplicates, no drift
+
+
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     """Bucketed-on-same-key tables must join without an Exchange."""
     wh = Warehouse(spark, str(tmp_path / "wh"))
