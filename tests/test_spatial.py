@@ -46,6 +46,55 @@ def test_no_match_falls_back_to_other(spark, bronze_fixture):
     assert got["oth1"] == ("OTHER", "Other Regions")
 
 
+def test_random_boxes_match_bruteforce_model(spark):
+    """Property: for random points and random (possibly overlapping,
+    possibly non-covering) boxes, the operator agrees with a per-point
+    Python brute force: lowest-priority containing box, else fallback."""
+    import random
+
+    from global_seismic_data_pipeline_spark.operators.spatial import (
+        enrich_point_in_box,
+    )
+
+    rng = random.Random(13)
+    boxes = []
+    for i in range(8):
+        x0, y0 = rng.uniform(-10, 8), rng.uniform(-10, 8)
+        boxes.append(
+            (f"B{i}", f"Box {i}", x0, x0 + rng.uniform(0.5, 6),
+             y0, y0 + rng.uniform(0.5, 6), i + 1)
+        )
+    pts = [(j, rng.uniform(-12, 12), rng.uniform(-12, 12)) for j in range(300)]
+    # include exact corners of box 0 (edge inclusivity)
+    pts.append((900, boxes[0][2], boxes[0][4]))
+    pts.append((901, boxes[0][3], boxes[0][5]))
+
+    pdf = spark.createDataFrame(pts, "pid long, x double, y double")
+    bdf = spark.createDataFrame(
+        boxes,
+        "code string, name string, min_x double, max_x double,"
+        " min_y double, max_y double, priority int",
+    )
+    out = enrich_point_in_box(
+        pdf, bdf, point_id="pid", x_col="x", y_col="y",
+        box_cols=("min_x", "max_x", "min_y", "max_y"),
+        carry_cols=("code", "name"), fallback={"code": "NONE", "name": "None"},
+    )
+    got = {r.pid: r.code for r in out.collect()}
+
+    def brute(x, y):
+        best = None
+        for code, _, x0, x1, y0, y1, prio in boxes:
+            if x0 <= x <= x1 and y0 <= y <= y1:
+                if best is None or prio < best[1]:
+                    best = (code, prio)
+        return best[0] if best else "NONE"
+
+    assert len(got) == len(pts)
+    for pid, x, y in pts:
+        assert got[pid] == brute(x, y), (pid, x, y)
+
+
 def test_japan_box_assignment(spark, bronze_fixture):
     got = {r.event_id: r.tectonic_region for r in _enriched(spark, bronze_fixture).collect()}
     for eid in ("jp1", "jp2", "jp3", "jp4"):
