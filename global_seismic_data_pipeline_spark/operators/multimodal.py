@@ -46,7 +46,15 @@ def decode_image_batch(payloads: pd.Series, *, fake: bool = False) -> pd.DataFra
             "environment; pass fake=True for the deterministic stand-in"
         )
     lengths = payloads.map(len)
-    first = payloads.map(lambda b: b[0] if len(b) else 0)
+    # header as the first CHARACTER's codepoint (UTF-8 decode), not the
+    # first raw byte: byte 0 of a multi-byte char is encoding-dependent
+    # (0xC3 for 'é') while the codepoint (233) is what SQL engines' ascii()
+    # computes — keeps the oracle engine-agnostic for non-ASCII payloads
+    first = payloads.map(
+        lambda b: ord(bytes(b).decode("utf-8", errors="ignore")[0])
+        if len(b) and bytes(b).decode("utf-8", errors="ignore")
+        else 0
+    )
     return pd.DataFrame(
         {
             "payload_bytes": lengths.astype("int64"),

@@ -107,8 +107,6 @@ def ngram_jaccard_pairs(
     distinct_rows = shingle_rows(
         df, id_col=id_col, text_col=text_col, n=n
     ).dropDuplicates([id_col, "shingle"])
-    sizes = distinct_rows.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size")) \
-        .select(F.col(id_col).alias("sid"), "set_size")
     exploded = distinct_rows.select(F.col(id_col).alias("doc_id_"), "shingle")
     if max_shingle_freq is not None:
         freq_ok = (
@@ -118,6 +116,11 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         exploded = exploded.join(freq_ok, "shingle")
+    # sizes AFTER the stop-shingle cut: intersection and sizes must count
+    # the same shingle universe or Jaccard is systematically understated
+    # (a fully-filtered duplicate pair would score 0 against stale sizes)
+    sizes = exploded.groupBy("doc_id_").agg(F.count(F.lit(1)).alias("set_size")) \
+        .select(F.col("doc_id_").alias("sid"), "set_size")
     a = exploded.select(F.col("doc_id_").alias("id_a"), "shingle")
     b = exploded.select(F.col("doc_id_").alias("id_b"), "shingle")
     inter = (
@@ -192,6 +195,11 @@ def minhash_lsh_pairs(
     docs sharing any band bucket become candidates; candidates are verified
     with exact Jaccard on the shingle sets. Output matches
     ``ngram_jaccard_pairs`` columns (minus sizes) for pairs LSH recalls."""
+    if not 1 <= bands <= num_hashes or num_hashes % bands:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}); "
+            "rows-per-band = num_hashes // bands must be >= 1"
+        )
     rows = num_hashes // bands
     # ONE text-processing pass: signatures derive from the same shingle-set
     # aggregate the verification step joins (exploding a materialized

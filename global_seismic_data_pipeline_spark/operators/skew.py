@@ -76,8 +76,17 @@ def replicated_broadcast_join(
     The dim is replicated ``salt`` times (salt column cross join — still
     broadcast-sized for real dims) and each fact row picks one replica, so
     rows of the hot key spread over ``salt`` partitions. Result equals
-    ``fact.join(broadcast(dim), on, how)`` row-for-row.
+    ``fact.join(broadcast(dim), on, how)`` row-for-row for fact-preserving
+    joins only — ``inner``/``left``/``left_semi``/``left_anti``. Dim-
+    preserving sides (right/full outer) would emit ``salt`` null-extended
+    copies of every unmatched dim row, so they are rejected.
     """
+    if how not in {"inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti"}:
+        raise ValueError(
+            f"how={how!r}: only fact-preserving joins are equivalent under "
+            "dim replication (unmatched dim rows would appear salt times)"
+        )
     salts = fact.sparkSession.range(salt).select(F.col("id").cast("int").alias("__salt"))
     dim_rep = dim.crossJoin(salts)
     salted_fact = fact.withColumn(

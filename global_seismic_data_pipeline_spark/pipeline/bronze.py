@@ -96,15 +96,19 @@ def dedup_rewrite(wh: Warehouse) -> int:
     batch_id the reference lacks. Returns the deduped row count.
 
     The overwrite is atomic (staging + rename), unlike the reference's
-    in-place Delta overwrite-on-self which relies on Delta's log.
+    in-place Delta overwrite-on-self which relies on Delta's log. The row
+    count rides the rewrite via ``observe`` — one pass, not a count job
+    plus a write job.
     """
+    from pyspark.sql import Observation
+
     bronze = wh.read(BRONZE_TABLE)
     deduped = dedup.keep_latest(
         bronze, ["event_id"], "ingestion_ts", ["batch_id"]
     )
-    count = deduped.count()
-    wh.overwrite(deduped, BRONZE_TABLE)
-    return count
+    obs = Observation()
+    wh.overwrite(deduped.observe(obs, F.count(F.lit(1)).alias("n")), BRONZE_TABLE)
+    return obs.get["n"]
 
 
 def utc_batch_id(now: datetime | None = None) -> str:

@@ -46,6 +46,7 @@ def compact(
     """
     before = wh.table_stats(name)
     df = wh.read(name)
+    part_cols = wh.partition_columns(name)  # preserve hive-style layout
     n_parts = max(1, before["size_bytes"] // (target_file_mb * 1024 * 1024))
     if sort_cols:
         df = df.repartitionByRange(n_parts, *sort_cols).sortWithinPartitions(
@@ -53,7 +54,7 @@ def compact(
         )
     else:
         df = df.coalesce(n_parts)
-    wh.overwrite(df, name)
+    wh.overwrite(df, name, partition_by=part_cols)
     after = wh.table_stats(name)
     return {"files_before": before["num_files"], "files_after": after["num_files"],
             "bytes": after["size_bytes"]}

@@ -98,16 +98,22 @@ def run_silver(
     silver = build_silver_increment(
         bronze, tectonic_regions(wh.spark), clock=clock
     )
-    # one job for the three driver-side facts the reference computes with
-    # three separate actions (04:46, 04:213, 04:214)
-    stats = silver.agg(
-        F.count(F.lit(1)).alias("n"), F.max("event_time").alias("max_t")
-    ).collect()[0]
-    if stats.n == 0:
-        return 0
-
-    wh.merge(
-        silver, SILVER_TABLE, keys=["event_id"], prune_partition_col=partition_col
-    )
-    store.advance(SILVER_TABLE, stats.max_t, stats.n)
-    return stats.n
+    # persist the increment: it is consumed by the stats agg AND (twice) by
+    # the merge's anti-join/union — without this the whole validate/clean/
+    # join/physics chain re-executes ~3x per run. One job computes the
+    # three driver-side facts the reference takes three actions for
+    # (04:46, 04:213, 04:214).
+    silver = silver.persist()
+    try:
+        stats = silver.agg(
+            F.count(F.lit(1)).alias("n"), F.max("event_time").alias("max_t")
+        ).collect()[0]
+        if stats.n == 0:
+            return 0
+        wh.merge(
+            silver, SILVER_TABLE, keys=["event_id"], prune_partition_col=partition_col
+        )
+        store.advance(SILVER_TABLE, stats.max_t, stats.n)
+        return stats.n
+    finally:
+        silver.unpersist()

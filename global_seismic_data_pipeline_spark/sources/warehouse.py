@@ -131,15 +131,35 @@ class Warehouse:
             self.overwrite(merged, name)
             return
 
-        touched = [r[0] for r in updates.select(pcol).distinct().collect()]
+        # compare partition values in string form: hive-style directory
+        # reads type-infer the partition column (e.g. "2025" → int), and a
+        # typed isin against differently-typed literals silently mismatches
+        pstr = F.col(pcol).cast("string")
+        touched = [
+            r[0] for r in updates.select(F.col(pcol).cast("string")).distinct().collect()
+        ]
         target = self.read(name)
-        pruned = target.filter(F.col(pcol).isin(touched))
+        # a key may have MOVED partitions (e.g. a revised event time crosses
+        # a year boundary): find update keys living in untouched partitions
+        # via a column-pruned scan of (pcol, keys) only — cheap on parquet —
+        # and pull those partitions into the rewrite so the old copy dies
+        movers = (
+            target.filter(~pstr.isin(touched))
+            .select(pstr.alias("__p"), *keys)
+            .join(updates.select(*keys), on=list(keys), how="inner")
+            .select("__p")
+            .distinct()
+            .collect()
+        )
+        touched = touched + [r[0] for r in movers]
+        pruned = target.filter(pstr.isin(touched))
         kept = pruned.join(updates.select(*keys), on=list(keys), how="left_anti")
         merged = kept.unionByName(updates.select(*target.columns))
 
         staging = os.path.join(self.root, f".staging-{name}-{uuid.uuid4().hex}")
         merged.write.mode("overwrite").partitionBy(pcol).parquet(staging)
         final = self.path(name)
+        swapped = set()
         for d in os.listdir(staging):
             if not d.startswith(f"{pcol}="):
                 continue
@@ -148,9 +168,20 @@ class Warehouse:
             if os.path.isdir(dst):
                 os.rename(dst, trash)
             os.rename(os.path.join(staging, d), dst)
+            swapped.add(d)
             if os.path.isdir(trash):
                 shutil.rmtree(trash)
         shutil.rmtree(staging)
+        # a touched partition with NO staged dir ended up empty (its only
+        # rows moved elsewhere) — its old directory must go too
+        from urllib.parse import unquote
+
+        touched_set = {str(v) for v in touched}
+        for d in os.listdir(final):
+            if not d.startswith(f"{pcol}=") or d in swapped:
+                continue
+            if unquote(d.split("=", 1)[1]) in touched_set:
+                shutil.rmtree(os.path.join(final, d))
 
     # -- bucketing --------------------------------------------------------
     def save_bucketed(
@@ -201,12 +232,27 @@ class Warehouse:
 
     def table_stats(self, name: str) -> dict[str, int]:
         """File count + total bytes (ref: DESCRIBE DETAIL,
-        TABLE OPTIMIZATION.py:24-26) from the filesystem directly."""
-        p = self.path(name)
-        files = [
-            os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet")
-        ]
+        TABLE OPTIMIZATION.py:24-26) from the filesystem directly
+        (recursive — partitioned tables keep files under key=value dirs)."""
+        files = []
+        for root_, _dirs, fnames in os.walk(self.path(name)):
+            files += [os.path.join(root_, f) for f in fnames if f.endswith(".parquet")]
         return {
             "num_files": len(files),
             "size_bytes": sum(os.path.getsize(f) for f in files),
         }
+
+    def partition_columns(self, name: str) -> list[str]:
+        """Directory-partition columns of ``name`` (outermost first), from
+        the key=value directory layout; [] for flat tables."""
+        cols: list[str] = []
+        p = self.path(name)
+        while True:
+            sub = [
+                d for d in os.listdir(p)
+                if "=" in d and os.path.isdir(os.path.join(p, d))
+            ]
+            if not sub:
+                return cols
+            cols.append(sub[0].split("=", 1)[0])
+            p = os.path.join(p, sub[0])

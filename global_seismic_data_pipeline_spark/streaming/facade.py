@@ -115,15 +115,26 @@ def upsert_sink(
     keys: list[str],
     *,
     checkpoint_dir: str,
+    version_col: str | None = None,
 ) -> DataStreamWriter:
     """Streaming S5: MERGE each micro-batch into a warehouse table via
-    foreachBatch — the streaming form of the silver upsert. Batch-local
-    dedup keeps the merge key-unique even if one micro-batch carries
-    multiple versions of a key."""
+    foreachBatch — the streaming form of the silver upsert.
+
+    ``version_col`` (e.g. ``ingestion_ts``) makes batch-local dedup
+    deterministic: when one micro-batch carries several versions of a key
+    (availableNow routinely batches many files), the greatest version wins
+    — matching the batch pipeline's keep-latest semantics. Without it,
+    ``dropDuplicates`` keeps an arbitrary version (documented hazard)."""
+    from ..operators import dedup as dedup_ops
 
     def merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
-        if not batch_df.isEmpty():
-            wh.merge(batch_df.dropDuplicates(keys), table, keys)
+        if batch_df.isEmpty():
+            return
+        if version_col is not None:
+            unique = dedup_ops.keep_latest(batch_df, keys, version_col)
+        else:
+            unique = batch_df.dropDuplicates(keys)
+        wh.merge(unique, table, keys)
 
     return (
         stream.writeStream.foreachBatch(merge_batch)

@@ -74,6 +74,34 @@ def test_minhash_lsh_recalls_exhaustive(spark, doc_df):
     assert lsh == truth
 
 
+def test_ngram_jaccard_sizes_consistent_under_stop_shingle_cut(spark, doc_df):
+    """With a stop-shingle frequency cut, sizes and intersections must count
+    the same universe — an exact duplicate pair stays at jaccard 1.0."""
+    pairs = neardup.ngram_jaccard_pairs(
+        doc_df, id_col="doc_id", text_col="text",
+        threshold=0.9, max_shingle_freq=2,
+    )
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    # (0, 990) is an exact duplicate; its shingles appear in 3 docs (0, 1,
+    # 990 share most) — those above the cut vanish from BOTH sizes and
+    # intersection, so surviving shingles still give jaccard 1.0
+    if (0, 990) in got:
+        assert got[(0, 990)] == 1.0
+
+
+def test_minhash_bands_validation(spark, doc_df):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bands"):
+        neardup.minhash_lsh_pairs(
+            doc_df, id_col="doc_id", text_col="text", num_hashes=64, bands=100
+        )
+    with _pytest.raises(ValueError, match="bands"):
+        neardup.minhash_lsh_pairs(
+            doc_df, id_col="doc_id", text_col="text", num_hashes=64, bands=24
+        )
+
+
 def test_minhash_deterministic(spark, doc_df):
     a = sorted(
         map(tuple, neardup.minhash_signatures(
