@@ -84,6 +84,26 @@ def test_streaming_upsert_dedups_by_key(spark, stream_dir, tmp_path):
     assert wh.read("silver_stream").count() == 4
 
 
+def test_streaming_upsert_version_col_keeps_latest(spark, stream_dir, tmp_path):
+    """With version_col, in-batch duplicates resolve deterministically to
+    the greatest version — matching the batch keep-latest semantics."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    stream = facade.read_stream(
+        spark, str(stream_dir / "events"), BRONZE_EARTHQUAKES
+    )
+    facade.run_available_now(
+        facade.upsert_sink(
+            stream, wh, "silver_v", ["event_id"],
+            checkpoint_dir=str(tmp_path / "ck2"),
+            version_col="batch_id",  # b2 > b1 lexicographically
+        )
+    )
+    got = {r.event_id: r.mag for r in wh.read("silver_v").collect()}
+    # s3 appears in both files (mag 6.0 @b1, 6.5 @b2): one availableNow
+    # micro-batch may carry both — the b2 version must win
+    assert got["s3"] == 6.5
+
+
 def test_streaming_dedup_one_row_per_key(spark, stream_dir, tmp_path):
     stream = facade.read_stream(
         spark, str(stream_dir / "events"), BRONZE_EARTHQUAKES
