@@ -46,9 +46,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = ent.queries()
 
-    # Warm the JVM/reader paths once with a cheap query so the first timed
-    # query doesn't pay session startup.
-    next(iter(qs.values()))(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Warm the JVM/reader paths once with an explicitly cheap query so the
+    # first timed query doesn't pay session startup.
+    qs["agg_frequency_table"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

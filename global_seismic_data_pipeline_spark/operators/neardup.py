@@ -278,9 +278,7 @@ def simhash_fingerprints(
     one hash-aggregate with ``bits`` sum columns (codegen, map-side partial
     sums) — the array-aggregate form re-evaluates the token-hash subtree
     per bit per element in interpreted mode, ~bits× redundant work."""
-    tokens = F.array_distinct(
-        F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
-    )
+    tokens = F.array_distinct(F.split(normalized(F.col(text_col)), " "))
     hashed = (
         ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
         .select(F.col(id_col), F.explode(tokens).alias("tok"))

@@ -142,14 +142,19 @@ def cosine_all_pairs(
         F.col(id_col).cast("long").alias("_id"),
         as_double_vec(F.col(vec_col)).alias("_v"),
     )
+    # NOTE: building this plan collects the corpus (one eager job) — the
+    # codebook must exist before the mapInPandas closure is serialized.
     rows = src.collect()
     ids = np.array([r._id for r in rows], dtype=np.int64)
     mat = np.array([r._v for r in rows], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
-    unit = mat / norms
+    # torrent-broadcast the codebook: shipped once per executor, not
+    # re-pickled into every task closure
+    bc = df.sparkSession.sparkContext.broadcast((ids, mat / norms))
 
     def gen(batches):
+        b_ids, unit = bc.value
         for pdf in batches:
             a_ids = pdf["_id"].to_numpy(dtype=np.int64)
             a = np.array(pdf["_v"].tolist(), dtype=np.float64)
@@ -157,7 +162,7 @@ def cosine_all_pairs(
             an[an == 0] = 1.0
             sims = np.round((a / an) @ unit.T, round_decimals)
             ia, ib = np.nonzero(sims >= threshold)
-            left, right = a_ids[ia], ids[ib]
+            left, right = a_ids[ia], b_ids[ib]
             keep = left < right
             yield pd.DataFrame(
                 {

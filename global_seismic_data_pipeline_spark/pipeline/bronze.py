@@ -139,7 +139,9 @@ def run_ingestion_loop(
     from datetime import timedelta
 
     from ..sources.geojson import feature_rows, rows_to_bronze
+    from ..state import _naive_utc
 
+    end = _naive_utc(end)  # watermarks are naive-UTC; accept aware input
     entry = store.init(BRONZE_TABLE, "time")
     start = entry.watermark_value
     total = 0

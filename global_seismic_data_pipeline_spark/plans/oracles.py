@@ -180,6 +180,25 @@ FROM events e LEFT JOIN bands b
     ON e.value >= b.lo AND (b.hi IS NULL OR e.value < b.hi)
 """
 
+# The expression form intentionally differs from the join form BELOW the
+# bottom band: the when-chain (the reference's risk UDF, 04:142-147)
+# defaults to MINIMAL where the join yields NULL — so it gets its own
+# oracle with the same CASE default rather than sharing the join SQL.
+BAND_CASE_CLASSIFY_SQL = """
+SELECT event_id,
+    CASE WHEN value >= 400.0 THEN 'CRITICAL'
+         WHEN value >= 300.0 THEN 'HIGH'
+         WHEN value >= 200.0 THEN 'MODERATE'
+         WHEN value >= 100.0 THEN 'LOW'
+         ELSE 'MINIMAL' END AS band_level,
+    CAST(CASE WHEN value >= 400.0 THEN 1
+         WHEN value >= 300.0 THEN 2
+         WHEN value >= 200.0 THEN 3
+         WHEN value >= 100.0 THEN 4
+         ELSE 5 END AS BIGINT) AS band_rank
+FROM events
+"""
+
 ANTI_JOIN_SQL = """
 SELECT c_custkey, c_name, c_mktsegment
 FROM customer c
@@ -433,7 +452,7 @@ ORACLES: dict[str, str] = {
     "dense_rank_nations": DENSE_RANK_NATIONS_SQL,
     "spatial_box_enrich": SPATIAL_BOX_ENRICH_SQL,
     "band_join_classify": BAND_CLASSIFY_SQL,
-    "band_case_classify": BAND_CLASSIFY_SQL,
+    "band_case_classify": BAND_CASE_CLASSIFY_SQL,
     "anti_join_inactive_customers": ANTI_JOIN_SQL,
     "union_by_name_mixed": UNION_BY_NAME_SQL,
     "agg_pricing_summary": AGG_PRICING_SQL,

@@ -74,11 +74,18 @@ SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id,
 FROM documents GROUP BY md5(text)
 """
 
+# single source of truth for the n-gram Jaccard knobs — the workload
+# (workloads_ext.ngram_jaccard_near_dup) imports these, so retuning either
+# side cannot silently desynchronize the oracle
+NGRAM_N = 3
+NGRAM_THRESHOLD = 0.2
+_SHINGLE_CONCAT = " || ' ' || ".join(f"w[i+{j}]" for j in range(NGRAM_N))
+
 NGRAM_JACCARD_SQL = rf"""
 WITH sets AS (
     SELECT doc_id,
-        list_distinct(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
-            i -> ((w[i] || ' ') || w[i+1] || ' ') || w[i+2])) AS shingles
+        list_distinct(list_transform(range(1, greatest(len(w) - {NGRAM_N - 1}, 0) + 1),
+            i -> {_SHINGLE_CONCAT})) AS shingles
     FROM (SELECT doc_id, string_split({NORM}, ' ') AS w FROM documents)
 ), nonempty AS (
     SELECT * FROM sets WHERE len(shingles) > 0
@@ -101,7 +108,7 @@ WITH sets AS (
 SELECT id_a, id_b, intersection, size_a, size_b,
     intersection / ((size_a + size_b) - intersection) AS jaccard
 FROM sized
-WHERE intersection / ((size_a + size_b) - intersection) >= 0.2
+WHERE intersection / ((size_a + size_b) - intersection) >= {NGRAM_THRESHOLD}
 """
 
 COSINE_TOPK_SQL = """

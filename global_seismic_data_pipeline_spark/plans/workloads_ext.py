@@ -75,9 +75,13 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ngram_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exhaustive word-3-gram Jaccard pairs ≥ 0.2 (oracle ground truth)."""
+    """Exhaustive word-n-gram Jaccard pairs (oracle ground truth); the
+    n / threshold knobs are shared with the oracle SQL."""
+    from .oracles_ext import NGRAM_N, NGRAM_THRESHOLD
+
     return neardup.ngram_jaccard_pairs(
-        _docs(spark, sf_dir), id_col="doc_id", text_col="text", n=3, threshold=0.2
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text",
+        n=NGRAM_N, threshold=NGRAM_THRESHOLD,
     )
 
 

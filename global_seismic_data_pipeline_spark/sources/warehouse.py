@@ -133,10 +133,18 @@ class Warehouse:
 
         # compare partition values in string form: hive-style directory
         # reads type-infer the partition column (e.g. "2025" → int), and a
-        # typed isin against differently-typed literals silently mismatches
-        pstr = F.col(pcol).cast("string")
+        # typed isin against differently-typed literals silently mismatches.
+        # NULL partition values map to hive's default-partition sentinel so
+        # isin / movers logic is null-safe (plain isin never matches NULL).
+        null_dir = "__HIVE_DEFAULT_PARTITION__"
+        pstr = F.coalesce(F.col(pcol).cast("string"), F.lit(null_dir))
         touched = [
-            r[0] for r in updates.select(F.col(pcol).cast("string")).distinct().collect()
+            r[0]
+            for r in updates.select(
+                F.coalesce(F.col(pcol).cast("string"), F.lit(null_dir))
+            )
+            .distinct()
+            .collect()
         ]
         target = self.read(name)
         # a key may have MOVED partitions (e.g. a revised event time crosses

@@ -79,7 +79,11 @@ def _sessionize_group(
                 closed.append((cur_s, cur_e, cur_n))
                 cur_s, cur_e, cur_n = t, t, 1
             else:
-                cur_e, cur_n = t, cur_n + 1
+                # late (out-of-order) events may precede the open session's
+                # bounds — extend conservatively, never move end backwards
+                cur_s = min(cur_s, t)
+                cur_e = max(cur_e, t)
+                cur_n += 1
         if cur_s is not None:
             state.update((cur_s, cur_e, cur_n))
             # close the open session once the watermark passes end + gap

@@ -107,6 +107,26 @@ def test_pruned_merge_handles_partition_movers(spark, tmp_path):
     assert wh.read("t").filter("year = '2024'").count() == 0
 
 
+def test_pruned_merge_null_partition_values(spark, tmp_path):
+    """NULL partition values must not be silently dropped or deleted."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    base = spark.createDataFrame(
+        [("a", 1, None), ("b", 2, None), ("c", 3, "2025")],
+        "k string, v int, year string",
+    )
+    wh.merge(base, "t", ["k"], prune_partition_col="year")
+    # update one null-partition key; the OTHER null-partition row survives
+    upd = spark.createDataFrame([("a", 10, None)], "k string, v int, year string")
+    wh.merge(upd, "t", ["k"], prune_partition_col="year")
+    got = {r.k: r.v for r in wh.read("t").collect()}
+    assert got == {"a": 10, "b": 2, "c": 3}
+    # and a key moving OUT of the null partition leaves no stale copy
+    upd2 = spark.createDataFrame([("b", 20, "2025")], "k string, v int, year string")
+    wh.merge(upd2, "t", ["k"], prune_partition_col="year")
+    rows = {r.k: (r.v, r.year) for r in wh.read("t").collect()}
+    assert rows == {"a": (10, None), "b": (20, 2025), "c": (3, 2025)}
+
+
 def test_compact_preserves_partitioning(spark, tmp_path):
     from global_seismic_data_pipeline_spark.pipeline import maintenance
 

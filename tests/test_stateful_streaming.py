@@ -44,6 +44,45 @@ def event_dir(spark, tmp_path_factory):
     return d
 
 
+def test_late_event_does_not_move_session_end_backwards(spark, tmp_path):
+    """An out-of-order event older than the open session's end must extend
+    the session conservatively, not rewind its end (which would split the
+    session and emit a bogus early close)."""
+    d = tmp_path / "late"
+    t0 = datetime(2025, 5, 1, 10, 0, 0)
+    # file 1: events at 10:00 and 10:20 (one open session)
+    spark.createDataFrame(
+        [(1, t0), (1, t0 + timedelta(minutes=20))], EVENT_SCHEMA
+    ).write.mode("append").parquet(str(d / "ev"))
+    # file 2: a LATE event at 10:05 plus one at 10:40 (within gap of 10:20),
+    # plus a far-future watermark push
+    spark.createDataFrame(
+        [(1, t0 + timedelta(minutes=5)), (1, t0 + timedelta(minutes=40)),
+         (99, t0 + timedelta(days=2))],
+        EVENT_SCHEMA,
+    ).write.mode("append").parquet(str(d / "ev"))
+
+    stream = facade.read_stream(
+        spark, str(d / "ev"), EVENT_SCHEMA, max_files_per_trigger=1
+    )
+    out = sessionize_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("late_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = [r for r in spark.table("late_sessions").collect() if r.user_id == 1]
+    # one single session 10:00-10:40 with all 4 events — no bogus split
+    assert len(rows) == 1
+    assert rows[0].session_start == t0
+    assert rows[0].session_end == t0 + timedelta(minutes=40)
+    assert rows[0].n_events == 4
+
+
 def test_stateful_sessionization_matches_batch(spark, event_dir, tmp_path):
     stream = facade.read_stream(spark, str(event_dir / "events"), EVENT_SCHEMA)
     out = sessionize_stream(stream)
