@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": workloads_ext.ivf_ann_topk,
         "multimodal_metadata": workloads_ext.multimodal_metadata,
         "salted_agg_lineitem": workloads_ext.salted_agg_lineitem,
+        "asof_join_purchases": workloads_ext.asof_join_purchases,
         "tumbling_window_daily": workloads_ext.tumbling_window_daily,
         "sliding_window_7d": workloads_ext.sliding_window_7d,
     }

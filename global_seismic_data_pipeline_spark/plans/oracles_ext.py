@@ -170,6 +170,19 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE ROUND(list_cosine_similarity(a.emb, b.emb), 4) >= 0.45
 """
 
+ASOF_JOIN_SQL = """
+WITH purchases AS (
+    SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase'
+), clicks AS (
+    SELECT user_id, ts, MAX(value) AS click_value
+    FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+)
+SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, l.value,
+       r.click_value AS click_value_asof
+FROM purchases l ASOF LEFT JOIN clicks r
+    ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
 SALTED_AGG_SQL = """
 SELECT l_returnflag,
     ROUND(SUM(l_quantity), 2) AS qty_sum,
@@ -189,6 +202,7 @@ ORACLES_EXT: dict[str, str] = {
     "cosine_topk_bruteforce": COSINE_TOPK_SQL,
     "embedding_cosine_near_dup": EMBEDDING_COSINE_NEAR_DUP_SQL,
     "salted_agg_lineitem": SALTED_AGG_SQL,
+    "asof_join_purchases": ASOF_JOIN_SQL,
     "multimodal_metadata": MULTIMODAL_METADATA_SQL,
     "tumbling_window_daily": TUMBLING_WINDOW_SQL,
     "sliding_window_7d": SLIDING_WINDOW_SQL,

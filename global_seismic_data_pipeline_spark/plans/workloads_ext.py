@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup, multimodal, neardup, similarity, skew, text
+from ..operators.asof import asof_join
 from ..operators.partitioning import ensure_parallelism
 from ..sources.catalog import load_table
 
@@ -137,6 +138,33 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
     queries = embs.filter(F.col("vec_id") < 20)
     return similarity.ivf_topk(embs, queries, k=5, cells=16, nprobe=4)
+
+
+def asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest click value
+    at-or-before the purchase time (oracle: DuckDB's native ASOF JOIN).
+    Right side is deduped to one row per (user, ts) so tie resolution is
+    engine-independent."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    out = asof_join(
+        purchases, clicks, on=["user_id"], left_time="ts", right_time="ts",
+        value_cols=["click_value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        F.col("click_value_asof"),
+    )
 
 
 def salted_agg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
