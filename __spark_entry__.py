@@ -56,6 +56,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_features": workloads.temporal_features,
         "physics_suite": workloads.physics_suite,
         "physics_damage_summary": workloads.physics_damage_summary,
+        "percentile_by_type": workloads.percentile_by_type,
+        "rollup_orders": workloads.rollup_orders,
         "sessionize_users": workloads.sessionize_users,
         # --- extension operators (LLM-data-pipeline + streaming shapes) ---
         "text_quality_score": workloads_ext.text_quality_score,

@@ -364,6 +364,24 @@ SELECT event_id,
 FROM events
 """
 
+PERCENTILE_SQL = """
+SELECT event_type,
+    ROUND(quantile_cont(value, 0.5), 4) AS p50,
+    ROUND(quantile_cont(value, 0.9), 4) AS p90,
+    ROUND(quantile_cont(value, 0.99), 4) AS p99,
+    COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+
+ROLLUP_ORDERS_SQL = """
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+    COALESCE(o_orderstatus, 'ALL') AS status,
+    COUNT(*) AS n_orders,
+    ROUND(SUM(o_totalprice) / 1000000.0, 4) AS value_m
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
 PHYSICS_SUITE_SQL = f"""
 WITH base AS (
     SELECT event_id, {MAG} AS magnitude, {DEP} AS depth_km,
@@ -468,6 +486,8 @@ ORACLES: dict[str, str] = {
     "membership_topk": MEMBERSHIP_TOPK_SQL,
     "case_custom_sort": CASE_CUSTOM_SORT_SQL,
     "temporal_features": TEMPORAL_FEATURES_SQL,
+    "percentile_by_type": PERCENTILE_SQL,
+    "rollup_orders": ROLLUP_ORDERS_SQL,
     "physics_suite": PHYSICS_SUITE_SQL,
     "physics_damage_summary": PHYSICS_DAMAGE_SUMMARY_SQL,
     "sessionize_users": SESSIONIZE_SQL,

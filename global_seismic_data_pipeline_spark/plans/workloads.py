@@ -597,6 +597,41 @@ def physics_damage_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def percentile_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (p50/p90/p99 with linear interpolation —
+    Spark ``percentile`` ≡ DuckDB ``quantile_cont``). The exact form is the
+    oracle-checkable baseline; at 100 TB swap in ``percentile_approx``
+    (t-digest sketch, map-side mergeable) for the same plan shape."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping-sets aggregate: (priority, status), (priority), ()
+    subtotals in one pass — the multi-grain form of A9 the reference
+    re-aggregates by hand. NULL grouping slots are labeled 'ALL' so the
+    hash compare is unambiguous."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice") / F.lit(1000000.0), 4).alias("value_m"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders",
+            "value_m",
+        )
+    )
+
+
 def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful-shape sessionization in pure window algebra: 30-minute
     inactivity gap; per-session row with bounds and size."""
