@@ -58,6 +58,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "physics_damage_summary": workloads.physics_damage_summary,
         "percentile_by_type": workloads.percentile_by_type,
         "rollup_orders": workloads.rollup_orders,
+        "pivot_status_by_priority": workloads.pivot_status_by_priority,
+        "lag_lead_deltas": workloads.lag_lead_deltas,
+        "setops_purchasers": workloads.setops_purchasers,
         "sessionize_users": workloads.sessionize_users,
         # --- extension operators (LLM-data-pipeline + streaming shapes) ---
         "text_quality_score": workloads_ext.text_quality_score,

@@ -364,6 +364,37 @@ SELECT event_id,
 FROM events
 """
 
+PIVOT_STATUS_SQL = """
+SELECT o_orderpriority,
+    COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS status_f,
+    COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS status_o,
+    COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS status_p
+FROM orders GROUP BY o_orderpriority
+"""
+
+LAG_LEAD_SQL = """
+SELECT event_id, user_id,
+    epoch_us(ts) - epoch_us(lag(ts) OVER w) AS us_since_prev,
+    epoch_us(lead(ts) OVER w) - epoch_us(ts) AS us_until_next,
+    CAST(ntile(4) OVER (ORDER BY value, event_id) AS BIGINT) AS value_quartile
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+SETOPS_SQL = """
+SELECT 'EXCEPT' AS op, user_id FROM (
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'error'
+)
+UNION ALL
+SELECT 'INTERSECT' AS op, user_id FROM (
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'error'
+)
+"""
+
 PERCENTILE_SQL = """
 SELECT event_type,
     ROUND(quantile_cont(value, 0.5), 4) AS p50,
@@ -488,6 +519,9 @@ ORACLES: dict[str, str] = {
     "temporal_features": TEMPORAL_FEATURES_SQL,
     "percentile_by_type": PERCENTILE_SQL,
     "rollup_orders": ROLLUP_ORDERS_SQL,
+    "pivot_status_by_priority": PIVOT_STATUS_SQL,
+    "lag_lead_deltas": LAG_LEAD_SQL,
+    "setops_purchasers": SETOPS_SQL,
     "physics_suite": PHYSICS_SUITE_SQL,
     "physics_damage_summary": PHYSICS_DAMAGE_SUMMARY_SQL,
     "sessionize_users": SESSIONIZE_SQL,

@@ -632,6 +632,54 @@ def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 in true pivot form: ``groupBy().pivot()`` with explicit pivot
+    values (explicit values keep the plan single-pass — no distinct-scan
+    job — and make the output schema static for the oracle)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("status_f"),
+            F.coalesce("O", F.lit(0)).alias("status_o"),
+            F.coalesce("P", F.lit(0)).alias("status_p"),
+        )
+    )
+
+
+def lag_lead_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/ntile coverage (absent from the reference, SURVEY §2.5):
+    per-user previous/next event gap and a global value quartile."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("us_since_prev"),
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias("us_until_next"),
+        F.ntile(4).over(Window.orderBy("value", "event_id")).cast("long").alias("value_quartile"),
+    )
+
+
+def setops_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations beyond the reference's union-only surface: EXCEPT
+    (purchasers who never errored) and INTERSECT (purchasers who also
+    errored), labeled and stacked in one result."""
+    ev = _events(spark, sf_dir)
+    purchasers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    error_users = ev.filter(F.col("event_type") == "error").select("user_id")
+    clean = purchasers.subtract(error_users).select(
+        F.lit("EXCEPT").alias("op"), "user_id"
+    )
+    both = purchasers.intersect(error_users).select(
+        F.lit("INTERSECT").alias("op"), "user_id"
+    )
+    return clean.unionByName(both)
+
+
 def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful-shape sessionization in pure window algebra: 30-minute
     inactivity gap; per-session row with bounds and size."""

@@ -85,9 +85,19 @@ def _sessionize_group(
                 cur_e = max(cur_e, t)
                 cur_n += 1
         if cur_s is not None:
-            state.update((cur_s, cur_e, cur_n))
-            # close the open session once the watermark passes end + gap
-            state.setTimeoutTimestamp(cur_e // 1000 + GAP_US // 1000)
+            # close the open session once the watermark passes end + gap;
+            # if this batch's watermark ALREADY passed it (another key's
+            # far-newer events advanced it), the session is expired — emit
+            # now, since a timeout in the past is rejected by the state API
+            deadline_ms = cur_e // 1000 + GAP_US // 1000
+            wm_ms = state.getCurrentWatermarkMs()
+            if wm_ms >= deadline_ms > 0:
+                closed.append((cur_s, cur_e, cur_n))
+                if state.exists:
+                    state.remove()
+            else:
+                state.update((cur_s, cur_e, cur_n))
+                state.setTimeoutTimestamp(deadline_ms)
 
     if closed:
         yield pd.DataFrame(
