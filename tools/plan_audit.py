@@ -1,0 +1,84 @@
+"""Plan-quality audit: inspects the physical plan of every driver query and
+reports scale-relevant properties — filter/column pushdown into scans,
+broadcast vs shuffle joins, exchange (shuffle) counts, Python/Arrow stages,
+and cartesian products. The invariant checks at the bottom fail loudly if a
+plan regresses (e.g. a dimension join stops broadcasting).
+
+Usage: python tools/plan_audit.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as ent
+from global_seismic_data_pipeline_spark.session import get_spark
+
+
+def audit_plan(df) -> dict:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return {
+        "exchanges": len(re.findall(r"\bExchange\b", plan)),
+        "broadcast_joins": len(re.findall(r"BroadcastHashJoin|BroadcastNestedLoopJoin", plan)),
+        "sortmerge_joins": len(re.findall(r"SortMergeJoin", plan)),
+        "cartesian": "CartesianProduct" in plan,
+        "python_stages": len(re.findall(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", plan)),
+        "pushed_filters": bool(re.search(r"PushedFilters: \[[^\]]", plan)),
+        "scans": len(re.findall(r"Scan parquet", plan)),
+        "wscg_spans": len(set(re.findall(r"\*\((\d+)\)", plan))),
+    }
+
+
+# queries whose plan MUST contain a broadcast join (dimension enrichment)
+MUST_BROADCAST = {
+    "spatial_box_enrich", "band_join_classify", "dense_rank_nations",
+    "cosine_topk_bruteforce",
+}
+# queries whose scans MUST show pushed filters
+MUST_PUSH = {"watermark_incremental_filter", "membership_topk", "agg_pricing_summary"}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    names = sys.argv[2:] or None
+    spark = get_spark("plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = ent.queries()
+    failures = []
+    for name, fn in qs.items():
+        if names and name not in names:
+            continue
+        try:
+            info = audit_plan(fn(spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001 — report and continue
+            print(f"{name:32s} ERROR {exc!r}")
+            failures.append(name)
+            continue
+        flags = []
+        if info["cartesian"]:
+            flags.append("CARTESIAN!")
+        if name in MUST_BROADCAST and info["broadcast_joins"] == 0:
+            flags.append("NO-BROADCAST!")
+            failures.append(name)
+        if name in MUST_PUSH and not info["pushed_filters"]:
+            flags.append("NO-PUSHDOWN!")
+            failures.append(name)
+        print(
+            f"{name:32s} exch={info['exchanges']:2d} "
+            f"bcast={info['broadcast_joins']} smj={info['sortmerge_joins']} "
+            f"py={info['python_stages']} scans={info['scans']} "
+            f"wscg={info['wscg_spans']:2d} "
+            f"push={'y' if info['pushed_filters'] else '-'} "
+            + " ".join(flags)
+        )
+    if failures:
+        print(f"\nAUDIT FAILURES: {sorted(set(failures))}")
+        sys.exit(1)
+    print("\nplan audit OK")
+
+
+if __name__ == "__main__":
+    main()
