@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_by_type": workloads.percentile_by_type,
         "rollup_orders": workloads.rollup_orders,
         "pivot_status_by_priority": workloads.pivot_status_by_priority,
+        "above_avg_orders": workloads.above_avg_orders,
         "lag_lead_deltas": workloads.lag_lead_deltas,
         "setops_purchasers": workloads.setops_purchasers,
         "sessionize_users": workloads.sessionize_users,

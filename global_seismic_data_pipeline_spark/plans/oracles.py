@@ -395,6 +395,17 @@ SELECT 'INTERSECT' AS op, user_id FROM (
 )
 """
 
+ABOVE_AVG_ORDERS_SQL = """
+WITH w AS (
+    SELECT o_orderkey, o_custkey, o_totalprice,
+        ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey), 2)
+            / COUNT(*) OVER (PARTITION BY o_custkey) AS cust_avg
+    FROM orders
+)
+SELECT o_orderkey, o_custkey, o_totalprice, cust_avg
+FROM w WHERE o_totalprice > cust_avg
+"""
+
 PERCENTILE_SQL = """
 SELECT event_type,
     ROUND(quantile_cont(value, 0.5), 4) AS p50,
@@ -520,6 +531,7 @@ ORACLES: dict[str, str] = {
     "percentile_by_type": PERCENTILE_SQL,
     "rollup_orders": ROLLUP_ORDERS_SQL,
     "pivot_status_by_priority": PIVOT_STATUS_SQL,
+    "above_avg_orders": ABOVE_AVG_ORDERS_SQL,
     "lag_lead_deltas": LAG_LEAD_SQL,
     "setops_purchasers": SETOPS_SQL,
     "physics_suite": PHYSICS_SUITE_SQL,

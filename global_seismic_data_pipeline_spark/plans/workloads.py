@@ -680,6 +680,25 @@ def setops_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean.unionByName(both)
 
 
+def above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery shape (orders above their customer's
+    average), expressed as a windowed average — the decorrelated plan Spark
+    and DuckDB both reduce the subquery to. One shuffle on the customer
+    key; no join."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    # round the SUM to 2 decimals before dividing: 2-decimal money summed
+    # then re-rounded is exact, killing summation-order drift between
+    # engines; the division of identical doubles is then bit-identical
+    # (module docstring float conventions)
+    avg_price = F.round(F.sum("o_totalprice").over(w), 2) / F.count(F.lit(1)).over(w)
+    return (
+        orders.withColumn("cust_avg", avg_price)
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
+    )
+
+
 def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful-shape sessionization in pure window algebra: 30-minute
     inactivity gap; per-session row with bounds and size."""
