@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_orders": workloads.rollup_orders,
         "pivot_status_by_priority": workloads.pivot_status_by_priority,
         "above_avg_orders": workloads.above_avg_orders,
+        "approx_distinct_users": workloads.approx_distinct_users,
         "lag_lead_deltas": workloads.lag_lead_deltas,
         "setops_purchasers": workloads.setops_purchasers,
         "sessionize_users": workloads.sessionize_users,

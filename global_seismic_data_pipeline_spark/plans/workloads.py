@@ -699,6 +699,20 @@ def above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch family: HyperLogLog++ approximate distinct counts beside the
+    exact ones (rows-only check — HLL values are engine-specific; the
+    relative-error bound is asserted in pytest). At 100 TB the approx form
+    is the default: mergeable map-side sketches, no exact-distinct
+    shuffle-dedup pass."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful-shape sessionization in pure window algebra: 30-minute
     inactivity gap; per-session row with bounds and size."""
