@@ -7,12 +7,16 @@ A composable, tested library — not a notebook port. Modules:
 - ``schemas``    — canonical StructTypes (bronze/silver/control/ref)
 - ``refdata``    — reference dimension builders (tectonic regions, risk bands)
 - ``state``      — watermark/control-table incremental state
-- ``sources``    — GeoJSON flattener, USGS REST client (gated), parquet catalog
+- ``sources``    — GeoJSON flattener, USGS REST client (gated), parquet
+                   catalog, warehouse (atomic overwrite, MERGE, bucketing)
 - ``functions``  — native column expressions (physics, cleaning, temporal, risk)
 - ``operators``  — reusable distributed operators (dedup, spatial join, bands,
-                   rolling, similarity, text, multimodal, merge, maintenance)
-- ``plans``      — medallion pipeline stages (quality, silver, gold, reports)
-- ``streaming``  — Structured Streaming facade for the same semantics
+                   rolling, as-of join, near-dup, similarity, text,
+                   multimodal, skew salting, partitioning hygiene)
+- ``pipeline``   — medallion stages (bronze, silver, gold, reports,
+                   maintenance, runner DAG)
+- ``plans``      — driver-facing workloads + DuckDB oracles
+- ``streaming``  — Structured Streaming facade + stateful sessionization
 """
 
 __version__ = "0.1.0"

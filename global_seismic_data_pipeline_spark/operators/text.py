@@ -123,6 +123,9 @@ def shingles_from_words(words: Column, n: int = 3) -> Column:
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Array of distinct word n-gram shingles of the normalized text.
 
-    Convenience single-expression form for small inputs; hot paths should
-    split once and use ``shingles_from_words`` (see that docstring)."""
+    Convenience single-expression form for small inputs ONLY. Hot paths
+    (near-dup, anything that explodes or filters on the result) must use
+    ``neardup.shingle_rows`` — Generate/Filter over an HOF-built array
+    re-evaluates the lambda chain per element (see neardup module
+    docstring)."""
     return shingles_from_words(F.split(normalized(text), " "), n)
