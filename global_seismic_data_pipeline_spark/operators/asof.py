@@ -44,25 +44,33 @@ def asof_join(
     Left rows with no prior right row keep nulls (left-outer semantics).
     """
     on = list(on)
-    lt = left.select(
-        "*",
-        F.col(left_time).alias("__t"),
-        F.lit(0).alias("__is_right"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
-          for c in value_cols],
-    )
+    # the right payload travels as ONE struct: the struct is non-null for
+    # every right row even when its FIELDS are null, so last(ignorenulls)
+    # tracks "latest right ROW" — a genuine NULL payload value from the
+    # latest right row is preserved, not skipped for an older non-null one
+    payload = F.struct(*[F.col(c).alias(c) for c in value_cols])
     rt = right.select(
         *on,
         F.col(right_time).alias("__t"),
         F.lit(1).alias("__is_right"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+        payload.alias("__r"),
+    )
+    r_struct_type = rt.schema["__r"].dataType
+    lt = left.select(
+        "*",
+        F.col(left_time).alias("__t"),
+        F.lit(0).alias("__is_right"),
+        F.lit(None).cast(r_struct_type).alias("__r"),
     )
     # null-fill the left-only columns on the right side for the union
-    for c in lt.columns:
-        if c not in rt.columns:
-            rt = rt.withColumn(c, F.lit(None).cast(dict(
-                (f.name, f.dataType) for f in lt.schema.fields)[c]))
-    unioned = lt.unionByName(rt.select(*lt.columns))
+    l_types = {f.name: f.dataType for f in lt.schema.fields}
+    rt = rt.select(
+        *[
+            F.col(c) if c in rt.columns else F.lit(None).cast(l_types[c]).alias(c)
+            for c in lt.columns
+        ]
+    )
+    unioned = lt.unionByName(rt)
 
     w = (
         Window.partitionBy(*on)
@@ -70,13 +78,9 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = unioned.select(
-        "*",
-        *[
-            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"__f_{c}")
-            for c in value_cols
-        ],
+        "*", F.last("__r", ignorenulls=True).over(w).alias("__f")
     )
     out = filled.filter(F.col("__is_right") == 0)
     for c in value_cols:
-        out = out.drop(f"{c}{suffix}").withColumnRenamed(f"__f_{c}", f"{c}{suffix}")
-    return out.drop("__t", "__is_right")
+        out = out.withColumn(f"{c}{suffix}", F.col(f"__f.{c}"))
+    return out.drop("__t", "__is_right", "__r", "__f")

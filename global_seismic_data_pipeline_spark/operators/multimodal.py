@@ -50,11 +50,11 @@ def decode_image_batch(payloads: pd.Series, *, fake: bool = False) -> pd.DataFra
     # first raw byte: byte 0 of a multi-byte char is encoding-dependent
     # (0xC3 for 'é') while the codepoint (233) is what SQL engines' ascii()
     # computes — keeps the oracle engine-agnostic for non-ASCII payloads
-    first = payloads.map(
-        lambda b: ord(bytes(b).decode("utf-8", errors="ignore")[0])
-        if len(b) and bytes(b).decode("utf-8", errors="ignore")
-        else 0
-    )
+    def _first_codepoint(b) -> int:
+        s = bytes(b).decode("utf-8", errors="ignore")  # decode once per row
+        return ord(s[0]) if s else 0
+
+    first = payloads.map(_first_codepoint)
     return pd.DataFrame(
         {
             "payload_bytes": lengths.astype("int64"),

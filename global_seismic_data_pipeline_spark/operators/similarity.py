@@ -150,7 +150,10 @@ def cosine_all_pairs(
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     # torrent-broadcast the codebook: shipped once per executor, not
-    # re-pickled into every task closure
+    # re-pickled into every task closure. The broadcast lives until the
+    # plan is garbage-collected — callers building MANY of these plans in
+    # one session should unpersist via the returned DataFrame's lifecycle
+    # (each call leaks one O(N·d) broadcast otherwise).
     bc = df.sparkSession.sparkContext.broadcast((ids, mat / norms))
 
     def gen(batches):

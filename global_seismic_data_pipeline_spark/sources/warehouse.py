@@ -82,7 +82,13 @@ class Warehouse:
 
         The plan is fully executed into a staging dir before the swap, so
         ``df`` may be derived from the current contents of ``name``.
+
+        An existing table's hive partition layout is preserved by default
+        (flattening it would corrupt later partition-pruned merges); pass
+        ``partition_by`` explicitly to change the layout.
         """
+        if not partition_by and self.exists(name):
+            partition_by = self.partition_columns(name)
         final = self.path(name)
         staging = os.path.join(self.root, f".staging-{name}-{uuid.uuid4().hex}")
         trash = os.path.join(self.root, f".trash-{name}-{uuid.uuid4().hex}")
@@ -138,14 +144,7 @@ class Warehouse:
         # isin / movers logic is null-safe (plain isin never matches NULL).
         null_dir = "__HIVE_DEFAULT_PARTITION__"
         pstr = F.coalesce(F.col(pcol).cast("string"), F.lit(null_dir))
-        touched = [
-            r[0]
-            for r in updates.select(
-                F.coalesce(F.col(pcol).cast("string"), F.lit(null_dir))
-            )
-            .distinct()
-            .collect()
-        ]
+        touched = [r[0] for r in updates.select(pstr).distinct().collect()]
         target = self.read(name)
         # a key may have MOVED partitions (e.g. a revised event time crosses
         # a year boundary): find update keys living in untouched partitions

@@ -67,23 +67,31 @@ def _sessionize_group(
         times: list[int] = []
         for pdf in pdfs:
             times.extend(int(t) for t in pdf["ts_us"])
-        times.sort()
+        # interval-chain segmentation over batch events + the open-session
+        # interval, in start order: the stored session is one contiguous
+        # interval (its events already satisfied gap chaining), new events
+        # are points; adjacent items within GAP merge. This handles
+        # out-of-order events correctly in BOTH directions — a late event
+        # inside/near the open session extends it, while one more than a
+        # gap EARLIER than session start forms its own (earlier) session
+        # instead of being glued on, matching the batch sessionizer.
+        items = [(t, t, 1) for t in times]
         if state.exists:
-            cur_s, cur_e, cur_n = state.get
-        else:
-            cur_s = cur_e = cur_n = None
-        for t in times:
-            if cur_s is None:
-                cur_s, cur_e, cur_n = t, t, 1
-            elif t - cur_e > GAP_US:
-                closed.append((cur_s, cur_e, cur_n))
-                cur_s, cur_e, cur_n = t, t, 1
+            items.append(tuple(state.get))
+        items.sort()
+        merged: list[list[int]] = []
+        for s, e, n in items:
+            if merged and s - merged[-1][1] <= GAP_US:
+                merged[-1][1] = max(merged[-1][1], e)
+                merged[-1][2] += n
             else:
-                # late (out-of-order) events may precede the open session's
-                # bounds — extend conservatively, never move end backwards
-                cur_s = min(cur_s, t)
-                cur_e = max(cur_e, t)
-                cur_n += 1
+                merged.append([s, e, n])
+        cur_s = cur_e = cur_n = None
+        if merged:
+            # every segment except the last is followed by an out-of-gap
+            # event, so it is definitively closed
+            closed.extend((s, e, n) for s, e, n in merged[:-1])
+            cur_s, cur_e, cur_n = merged[-1]
         if cur_s is not None:
             # close the open session once the watermark passes end + gap;
             # if this batch's watermark ALREADY passed it (another key's

@@ -36,6 +36,23 @@ def test_asof_join_semantics(spark):
     assert set(out.columns) == {"k", "lid", "lt", "v_asof"}
 
 
+def test_asof_null_payload_not_skipped(spark):
+    """A genuine NULL value on the latest prior right row must be returned
+    as NULL, not replaced by an older non-null value (ASOF picks rows,
+    not values)."""
+    t = datetime
+    left = spark.createDataFrame(
+        [(1, "L1", t(2025, 1, 1, 13))], "k long, lid string, lt timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, t(2025, 1, 1, 9), 90.0), (1, t(2025, 1, 1, 12), None)],
+        "k long, rt timestamp, v double",
+    )
+    out = asof_join(left, right, on=["k"], left_time="lt", right_time="rt",
+                    value_cols=["v"])
+    assert out.collect()[0].v_asof is None
+
+
 def test_asof_join_matches_bruteforce(spark):
     import random
 

@@ -127,6 +127,27 @@ def test_pruned_merge_null_partition_values(spark, tmp_path):
     assert rows == {"a": (10, None), "b": (20, 2025), "c": (3, 2025)}
 
 
+def test_plain_overwrite_and_merge_preserve_partitioning(spark, tmp_path):
+    """overwrite()/merge() without explicit partition args must keep an
+    existing hive layout (flattening would corrupt later pruned merges)."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    base = spark.createDataFrame(
+        [("a", 1, "2024"), ("b", 2, "2025")], "k string, v int, year string"
+    )
+    wh.merge(base, "t", ["k"], prune_partition_col="year")
+    assert wh.partition_columns("t") == ["year"]
+    # non-pruned merge keeps the layout
+    upd = spark.createDataFrame([("c", 3, "2025")], "k string, v int, year string")
+    wh.merge(upd, "t", ["k"])
+    assert wh.partition_columns("t") == ["year"]
+    assert wh.read("t").count() == 3
+    # and a later pruned merge still works on a consistent layout
+    upd2 = spark.createDataFrame([("b", 20, "2025")], "k string, v int, year string")
+    wh.merge(upd2, "t", ["k"], prune_partition_col="year")
+    got = {r.k: r.v for r in wh.read("t").collect()}
+    assert got == {"a": 1, "b": 20, "c": 3}
+
+
 def test_compact_preserves_partitioning(spark, tmp_path):
     from global_seismic_data_pipeline_spark.pipeline import maintenance
 

@@ -87,6 +87,49 @@ def test_late_event_does_not_move_session_end_backwards(spark, tmp_path):
     assert rows[0].n_events in (3, 4)
 
 
+def test_far_earlier_late_event_forms_own_session(spark, tmp_path):
+    """A late event more than a gap BEFORE the open session's start must
+    become its own (earlier) session, not be glued onto the open one —
+    matching the batch sessionizer's segmentation."""
+    d = tmp_path / "early"
+    t0 = datetime(2025, 5, 1, 10, 0, 0)
+    spark.createDataFrame([(1, t0)], EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(d / "ev"))
+    import time as _t
+    _t.sleep(1.1)  # distinct mtimes → deterministic file pickup order
+    # late event 45 min EARLIER (within the 1h lateness bound), plus a
+    # watermark pusher to flush state
+    spark.createDataFrame(
+        [(1, t0 - timedelta(minutes=45)), (99, t0 + timedelta(days=2))],
+        EVENT_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(str(d / "ev"))
+
+    stream = facade.read_stream(
+        spark, str(d / "ev"), EVENT_SCHEMA, max_files_per_trigger=1
+    )
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("early_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = sorted(
+        (r.session_start, r.session_end, r.n_events)
+        for r in spark.table("early_sessions").collect()
+        if r.user_id == 1
+    )
+    # two singleton sessions 45 minutes apart (gap is 30 min)
+    assert rows == [
+        (t0 - timedelta(minutes=45), t0 - timedelta(minutes=45), 1),
+        (t0, t0, 1),
+    ]
+
+
 def test_stateful_sessionization_matches_batch(spark, event_dir, tmp_path):
     stream = facade.read_stream(spark, str(event_dir / "events"), EVENT_SCHEMA)
     out = sessionize_stream(stream)

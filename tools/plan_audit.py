@@ -60,6 +60,7 @@ def main() -> None:
         flags = []
         if info["cartesian"]:
             flags.append("CARTESIAN!")
+            failures.append(name)
         if name in MUST_BROADCAST and info["broadcast_joins"] == 0:
             flags.append("NO-BROADCAST!")
             failures.append(name)
