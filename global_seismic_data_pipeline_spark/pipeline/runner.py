@@ -60,6 +60,7 @@ def build_pipeline(
     *,
     geojson_path: str | None = None,
     clock: datetime | None = None,
+    silver_partition_col: str | None = None,
 ) -> Pipeline:
     """Wire the full medallion DAG (ref: Pipeline.json task chain:
     ingestion → bronze_processing → silver_transformation →
@@ -84,7 +85,12 @@ def build_pipeline(
         "quality": bronze.quality_report(wh.read(bronze.BRONZE_TABLE)),
         "deduped_rows": bronze.dedup_rewrite(wh),
     })
-    p.add("silver_transformation", lambda: silver.run_silver(wh, store, clock=clock))
+    p.add(
+        "silver_transformation",
+        lambda: silver.run_silver(
+            wh, store, clock=clock, partition_col=silver_partition_col
+        ),
+    )
     p.add("gold_aggregation", lambda: gold.run_gold(wh, clock=clock))
     p.add("optimization", lambda: maintenance.optimize_all(wh))
     p.add("dashboard", lambda: {
