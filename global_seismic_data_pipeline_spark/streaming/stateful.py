@@ -22,6 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     LongType,
     StructField,
     StructType,
@@ -39,9 +40,9 @@ SESSION_SCHEMA = StructType(
 
 STATE_SCHEMA = StructType(
     [
-        StructField("start_us", LongType()),
-        StructField("end_us", LongType()),
-        StructField("n_events", LongType()),
+        StructField("starts_us", ArrayType(LongType())),
+        StructField("ends_us", ArrayType(LongType())),
+        StructField("counts", ArrayType(LongType())),
     ]
 )
 
@@ -53,59 +54,65 @@ def _sessionize_group(
     pdfs: Iterable[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    """Merge this micro-batch's events into the open session; emit every
-    session closed by a gap; keep the still-open tail in state."""
+    """Merge this micro-batch's events into the per-key open segments and
+    emit every segment the watermark has sealed.
+
+    State holds ALL still-sealable segments, not only the newest: a
+    segment is closed exactly when the watermark passes ``end + gap`` —
+    before that, a late event (still above the watermark) could legally
+    bridge two segments into one, so emitting a segment merely because a
+    newer one exists would be premature and unmergeable (append mode).
+    The lateness bound caps the open-segment span, so state stays small.
+    """
     (user_id,) = key
     closed: list[tuple[int, int, int]] = []
 
-    if state.hasTimedOut:
-        if state.exists:
-            s, e, n = state.get
-            closed.append((s, e, n))
-        state.remove()
-    else:
+    segments: list[list[int]] = []
+    if state.exists:
+        starts, ends, counts = state.get
+        segments = [[s, e, n] for s, e, n in zip(starts, ends, counts)]
+
+    if not state.hasTimedOut:
         times: list[int] = []
         for pdf in pdfs:
             times.extend(int(t) for t in pdf["ts_us"])
-        # interval-chain segmentation over batch events + the open-session
-        # interval, in start order: the stored session is one contiguous
-        # interval (its events already satisfied gap chaining), new events
-        # are points; adjacent items within GAP merge. This handles
-        # out-of-order events correctly in BOTH directions — a late event
-        # inside/near the open session extends it, while one more than a
-        # gap EARLIER than session start forms its own (earlier) session
-        # instead of being glued on, matching the batch sessionizer.
-        items = [(t, t, 1) for t in times]
-        if state.exists:
-            items.append(tuple(state.get))
+        # interval-chain segmentation over batch events + stored segments,
+        # in start order: stored segments are contiguous spans, new events
+        # are points; adjacent items within GAP merge. Out-of-order events
+        # extend/bridge segments in either direction, exactly like the
+        # batch sessionizer's segmentation over the full history.
+        items = [[t, t, 1] for t in times] + segments
         items.sort()
-        merged: list[list[int]] = []
+        segments = []
         for s, e, n in items:
-            if merged and s - merged[-1][1] <= GAP_US:
-                merged[-1][1] = max(merged[-1][1], e)
-                merged[-1][2] += n
+            if segments and s - segments[-1][1] <= GAP_US:
+                segments[-1][1] = max(segments[-1][1], e)
+                segments[-1][2] += n
             else:
-                merged.append([s, e, n])
-        cur_s = cur_e = cur_n = None
-        if merged:
-            # every segment except the last is followed by an out-of-gap
-            # event, so it is definitively closed
-            closed.extend((s, e, n) for s, e, n in merged[:-1])
-            cur_s, cur_e, cur_n = merged[-1]
-        if cur_s is not None:
-            # close the open session once the watermark passes end + gap;
-            # if this batch's watermark ALREADY passed it (another key's
-            # far-newer events advanced it), the session is expired — emit
-            # now, since a timeout in the past is rejected by the state API
-            deadline_ms = cur_e // 1000 + GAP_US // 1000
-            wm_ms = state.getCurrentWatermarkMs()
-            if wm_ms >= deadline_ms > 0:
-                closed.append((cur_s, cur_e, cur_n))
-                if state.exists:
-                    state.remove()
-            else:
-                state.update((cur_s, cur_e, cur_n))
-                state.setTimeoutTimestamp(deadline_ms)
+                segments.append([s, e, n])
+
+    # seal every segment whose close deadline the watermark has passed
+    wm_ms = state.getCurrentWatermarkMs()
+    still_open: list[list[int]] = []
+    for s, e, n in segments:
+        if wm_ms >= (e // 1000 + GAP_US // 1000) > 0:
+            closed.append((s, e, n))
+        else:
+            still_open.append([s, e, n])
+
+    if still_open:
+        state.update((
+            [s for s, _, _ in still_open],
+            [e for _, e, _ in still_open],
+            [n for _, _, n in still_open],
+        ))
+        # wake when the earliest deadline passes (timeouts fire strictly
+        # after the watermark, so this is always in the future here)
+        state.setTimeoutTimestamp(
+            min(e for _, e, _ in still_open) // 1000 + GAP_US // 1000
+        )
+    elif state.exists:
+        state.remove()
 
     if closed:
         yield pd.DataFrame(
@@ -128,10 +135,10 @@ def sessionize_stream(
     """Emit closed sessions from an event stream (append mode).
 
     Input: a streaming DataFrame with (user_col long, time_col timestamp).
-    A session closes when a newer event of the same user arrives past the
-    30-min gap, or when event time advances past session end + gap
+    A session closes exactly when the watermark passes session end + gap
     (EventTimeTimeout — watermark-driven, so results are deterministic
-    under replay)."""
+    under replay). Until then it stays in state even if newer out-of-gap
+    events exist, because a late event could still bridge the two."""
     from pyspark.sql import functions as F
 
     prepared = (

@@ -130,6 +130,48 @@ def test_far_earlier_late_event_forms_own_session(spark, tmp_path):
     ]
 
 
+def test_late_event_bridges_two_open_segments(spark, tmp_path):
+    """Two events more than a gap apart form two open segments; a late
+    event between them (still above the watermark) must bridge them into
+    ONE session. This requires keeping every unsealed segment in state —
+    emitting the earlier segment just because a newer one exists would
+    close it prematurely and make the merge impossible (append mode)."""
+    d = tmp_path / "bridge"
+    t0 = datetime(2025, 5, 1, 10, 0, 0)
+    # file 1: events at 10:00 and 10:40 (40 min apart > 30-min gap)
+    spark.createDataFrame(
+        [(1, t0), (1, t0 + timedelta(minutes=40))], EVENT_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(str(d / "ev"))
+    import time as _t
+    _t.sleep(1.1)  # distinct mtimes → deterministic file pickup order
+    # file 2: late event at 10:20 (above the 1h-lateness watermark of
+    # 09:40) bridging both segments, plus a watermark pusher to flush
+    spark.createDataFrame(
+        [(1, t0 + timedelta(minutes=20)), (99, t0 + timedelta(days=2))],
+        EVENT_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(str(d / "ev"))
+
+    stream = facade.read_stream(
+        spark, str(d / "ev"), EVENT_SCHEMA, max_files_per_trigger=1
+    )
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("bridge_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = [
+        (r.session_start, r.session_end, r.n_events)
+        for r in spark.table("bridge_sessions").collect()
+        if r.user_id == 1
+    ]
+    assert rows == [(t0, t0 + timedelta(minutes=40), 3)]
+
+
 def test_stateful_sessionization_matches_batch(spark, event_dir, tmp_path):
     stream = facade.read_stream(spark, str(event_dir / "events"), EVENT_SCHEMA)
     out = sessionize_stream(stream)
