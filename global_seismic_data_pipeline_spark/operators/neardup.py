@@ -27,6 +27,18 @@ MinHash/SimHash hashing uses xxhash64 — JVM-side and stable — so results
 are reproducible but not expressible in ANSI SQL (the driver records a
 rows-only check for those; the exact-Jaccard operator is the oracle-checked
 ground truth).
+
+Diamond DAGs here are persisted explicitly (MEMORY_AND_DISK): each pair
+operator consumes its shingle/signature table from 2-4 places (band-join
+left/right, per-side verify joins), and Spark does NOT collapse those into
+one computation — the executed plan shows the full split → explode →
+window → collect_set pipeline repeated per consumer (exchange reuse does
+not fire across these subtrees under AQE; verified empirically on 4.1).
+Materialize-once is the standard MinHash build anyway: at corpus scale the
+signature/set tables are written once and joined many times, never
+recomputed per consumer. Persisted blocks stay in the session cache
+(LRU-evicted; MEMORY_AND_DISK spills instead of OOMing), and repeated
+calls with the same input reuse them via CacheManager plan matching.
 """
 
 from __future__ import annotations
@@ -35,6 +47,7 @@ import random
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from .partitioning import ensure_parallelism
 from .text import normalized
@@ -116,6 +129,8 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         exploded = exploded.join(freq_ok, "shingle")
+    # three consumers (sizes, join left, join right) — materialize once
+    exploded = exploded.persist(StorageLevel.MEMORY_AND_DISK)
     # sizes AFTER the stop-shingle cut: intersection and sizes must count
     # the same shingle universe or Jaccard is systematically understated
     # (a fully-filtered duplicate pair would score 0 against stale sizes)
@@ -201,17 +216,21 @@ def minhash_lsh_pairs(
             "rows-per-band = num_hashes // bands must be >= 1"
         )
     rows = num_hashes // bands
-    # ONE text-processing pass: signatures derive from the same shingle-set
-    # aggregate the verification step joins (exploding a materialized
-    # aggregate output is safe — no lambda re-evaluation), and Catalyst's
-    # ReusedExchange dedupes the shared subtree across both consumers
-    sets = shingle_sets(df, id_col=id_col, text_col=text_col, n=n)
+    # ONE text-processing pass: the shingle-set table feeds signature
+    # derivation AND both verify joins, and the signature table feeds both
+    # band-join sides — persist each, or the full split→window→collect_set
+    # pipeline re-executes per consumer (see module docstring)
+    sets = shingle_sets(df, id_col=id_col, text_col=text_col, n=n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     hashed = sets.select(
         F.col(id_col), F.explode("shingles").alias("shingle")
     ).select(
         F.col(id_col), F.pmod(F.xxhash64("shingle"), F.lit(HASH_PRIME)).alias("h")
     )
-    sigs = _signatures_from_hashes(hashed, id_col, num_hashes, seed)
+    sigs = _signatures_from_hashes(hashed, id_col, num_hashes, seed).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     # the band self-join carries ONLY (id, band, bucket) — shipping the
     # shingle arrays through a B-way explode + shuffle would multiply the
     # shuffled bytes by bands×|shingles|; arrays attach later, once, to the
@@ -314,7 +333,10 @@ def simhash_pairs(
     band join has full recall at ≤3 and the verify step is exact."""
     chunk_bits = SIMHASH_BITS // SIMHASH_BANDS
     mask = (1 << chunk_bits) - 1
-    sh = simhash_fingerprints(df, id_col=id_col, text_col=text_col)
+    # both band-join sides consume the fingerprints — materialize once
+    sh = simhash_fingerprints(df, id_col=id_col, text_col=text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     banded = sh.select(
         F.col(id_col),
         "sh",
