@@ -112,8 +112,13 @@ def with_lsh_buckets(
         return pd.Series(list(bkt))
 
     with_b = df.withColumn("__buckets", buckets_pd(F.col(vec_col)))
+    # posexplode_OUTER: the UDF always returns exactly ``tables`` entries,
+    # so outer vs inner explode are equivalent — but the inner form makes
+    # InferFiltersFromGenerate add a `size(__buckets) > 0` filter that
+    # pushes below the repartition and drags a SECOND ArrowEvalPython of
+    # the same UDF with it (the whole bucketing matmul, computed twice)
     return with_b.select(
-        "*", F.posexplode("__buckets").alias("table", "bucket")
+        "*", F.posexplode_outer("__buckets").alias("table", "bucket")
     ).drop("__buckets")
 
 
@@ -214,7 +219,9 @@ def with_ivf_cells(
         return pd.Series(list(top))
 
     with_c = df.withColumn("__cells", cells_pd(F.col(vec_col)))
-    return with_c.select("*", F.explode("__cells").alias("cell")).drop("__cells")
+    # explode_outer for the same reason as with_lsh_buckets: the inferred
+    # size()>0 filter otherwise re-evaluates the UDF below the exchange
+    return with_c.select("*", F.explode_outer("__cells").alias("cell")).drop("__cells")
 
 
 def ivf_topk(
