@@ -37,8 +37,9 @@ not fire across these subtrees under AQE; verified empirically on 4.1).
 Materialize-once is the standard MinHash build anyway: at corpus scale the
 signature/set tables are written once and joined many times, never
 recomputed per consumer. Persisted blocks stay in the session cache
-(LRU-evicted; MEMORY_AND_DISK spills instead of OOMing), and repeated
-calls with the same input reuse them via CacheManager plan matching.
+(LRU-evicted; MEMORY_AND_DISK spills instead of OOMing), repeated calls
+with the same input reuse them via CacheManager plan matching, and
+``release_cached()`` frees everything this module pinned.
 """
 
 from __future__ import annotations
@@ -53,6 +54,28 @@ from .partitioning import ensure_parallelism
 from .text import normalized
 
 HASH_PRIME = 2147483647  # 2^31 - 1; keeps a*h + b within int64
+
+# Every table persisted by this module is tracked so sessions running many
+# pair operators (the correctness checker sweeps 3 SFs) can release them;
+# otherwise blocks stay pinned until the session ends.
+_PERSISTED: list[DataFrame] = []
+
+
+def _materialized(df: DataFrame) -> DataFrame:
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(df)
+    return df
+
+
+def release_cached() -> int:
+    """Unpersist every table cached by this module's operators; returns the
+    number released. Safe to call while derived DataFrames are still alive
+    (they recompute from lineage on next use)."""
+    n = len(_PERSISTED)
+    for df in _PERSISTED:
+        df.unpersist()
+    _PERSISTED.clear()
+    return n
 
 
 def _minhash_perms(num: int, seed: int) -> list[tuple[int, int]]:
@@ -122,6 +145,9 @@ def ngram_jaccard_pairs(
     ).dropDuplicates([id_col, "shingle"])
     exploded = distinct_rows.select(F.col(id_col).alias("doc_id_"), "shingle")
     if max_shingle_freq is not None:
+        # the pre-cut rows feed BOTH the frequency aggregate and the join
+        # probe side — materialize first or the shingling runs twice
+        exploded = _materialized(exploded)
         freq_ok = (
             exploded.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df_"))
@@ -130,7 +156,7 @@ def ngram_jaccard_pairs(
         )
         exploded = exploded.join(freq_ok, "shingle")
     # three consumers (sizes, join left, join right) — materialize once
-    exploded = exploded.persist(StorageLevel.MEMORY_AND_DISK)
+    exploded = _materialized(exploded)
     # sizes AFTER the stop-shingle cut: intersection and sizes must count
     # the same shingle universe or Jaccard is systematically understated
     # (a fully-filtered duplicate pair would score 0 against stale sizes)
@@ -220,17 +246,13 @@ def minhash_lsh_pairs(
     # derivation AND both verify joins, and the signature table feeds both
     # band-join sides — persist each, or the full split→window→collect_set
     # pipeline re-executes per consumer (see module docstring)
-    sets = shingle_sets(df, id_col=id_col, text_col=text_col, n=n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sets = _materialized(shingle_sets(df, id_col=id_col, text_col=text_col, n=n))
     hashed = sets.select(
         F.col(id_col), F.explode("shingles").alias("shingle")
     ).select(
         F.col(id_col), F.pmod(F.xxhash64("shingle"), F.lit(HASH_PRIME)).alias("h")
     )
-    sigs = _signatures_from_hashes(hashed, id_col, num_hashes, seed).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sigs = _materialized(_signatures_from_hashes(hashed, id_col, num_hashes, seed))
     # the band self-join carries ONLY (id, band, bucket) — shipping the
     # shingle arrays through a B-way explode + shuffle would multiply the
     # shuffled bytes by bands×|shingles|; arrays attach later, once, to the
@@ -334,9 +356,7 @@ def simhash_pairs(
     chunk_bits = SIMHASH_BITS // SIMHASH_BANDS
     mask = (1 << chunk_bits) - 1
     # both band-join sides consume the fingerprints — materialize once
-    sh = simhash_fingerprints(df, id_col=id_col, text_col=text_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sh = _materialized(simhash_fingerprints(df, id_col=id_col, text_col=text_col))
     banded = sh.select(
         F.col(id_col),
         "sh",

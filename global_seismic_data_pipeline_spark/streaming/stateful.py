@@ -38,6 +38,9 @@ SESSION_SCHEMA = StructType(
     ]
 )
 
+# NOTE: changing this schema is a breaking change for existing checkpoints
+# (Spark's state-store schema check rejects the restart); redeploys must
+# start from a fresh checkpoint location, losing open-session state.
 STATE_SCHEMA = StructType(
     [
         StructField("starts_us", ArrayType(LongType())),

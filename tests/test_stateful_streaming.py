@@ -189,8 +189,8 @@ def test_stateful_sessionization_matches_batch(spark, event_dir, tmp_path):
         for r in spark.table("sessions").collect()
     }
     t0 = datetime(2025, 5, 1, 10, 0, 0)
-    # user 1's first session closes by gap within the batch; the remaining
-    # sessions close via event-time timeout when the watermark jumps ahead
+    # no session seals in the data batch (watermark still 0 there); all
+    # three emit once the advanced watermark passes each end + gap
     assert got[(1, t0, t0 + timedelta(minutes=10))] == 3
     assert got[(1, t0 + timedelta(minutes=45), t0 + timedelta(minutes=50))] == 2
     assert got[(2, t0, t0 + timedelta(minutes=50))] == 6
