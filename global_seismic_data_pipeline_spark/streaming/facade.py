@@ -108,6 +108,26 @@ def sliding_weekly(
     )
 
 
+def enriched_bands(
+    stream: DataFrame,
+    bands: DataFrame,
+    *,
+    value_col: str = "mag",
+    carry_cols: tuple[str, ...] = ("risk_level",),
+) -> DataFrame:
+    """Streaming J5: stream-static broadcast band classification.
+
+    A stream-static left join is STATELESS — each micro-batch joins the
+    broadcast dimension map-side, no watermark and no state store — so the
+    batch ``band_join`` operator applies to a streaming DataFrame as-is
+    (disjoint bands ⇒ at most one match per row, row count preserved).
+    The static side is re-resolved per micro-batch, so a dimension table
+    updated in place is picked up without restarting the query."""
+    from ..operators.bands import band_join
+
+    return band_join(stream, bands, value_col=value_col, carry_cols=list(carry_cols))
+
+
 def upsert_sink(
     stream: DataFrame,
     wh: Warehouse,

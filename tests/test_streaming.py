@@ -134,3 +134,37 @@ def test_sliding_weekly_counts(spark, stream_dir):
     rows = spark.table("t_weekly").collect()
     # every event lands in 7 overlapping windows; peak window covers all 5
     assert max(r.rolling_7d_count for r in rows) == 5
+
+
+def test_stream_static_band_enrichment_matches_batch(spark, stream_dir, tmp_path):
+    """Stream-static broadcast join: per-event risk band on the stream
+    equals the batch band_join result (stateless — append mode, no
+    watermark)."""
+    from global_seismic_data_pipeline_spark.operators.bands import band_join
+    from global_seismic_data_pipeline_spark.refdata import risk_classification
+
+    bands = risk_classification(spark)
+    stream = facade.read_stream(
+        spark, str(stream_dir / "events"), BRONZE_EARTHQUAKES
+    )
+    out = facade.enriched_bands(stream, bands).select(
+        "event_id", "batch_id", "mag", "risk_level"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("band_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.event_id, r.batch_id): r.risk_level
+        for r in spark.table("band_stream").collect()
+    }
+    batch = band_join(
+        spark.read.parquet(str(stream_dir / "events")), bands, value_col="mag"
+    )
+    want = {(r.event_id, r.batch_id): r.risk_level for r in batch.collect()}
+    assert got == want and len(got) == 5
