@@ -54,6 +54,8 @@ def test_late_event_does_not_move_session_end_backwards(spark, tmp_path):
     spark.createDataFrame(
         [(1, t0), (1, t0 + timedelta(minutes=20))], EVENT_SCHEMA
     ).write.mode("append").parquet(str(d / "ev"))
+    import time as _t
+    _t.sleep(1.1)  # distinct mtimes → deterministic file pickup order
     # file 2: a LATE event at 10:05 plus one at 10:40 (within gap of 10:20),
     # plus a far-future watermark push
     spark.createDataFrame(
@@ -194,3 +196,65 @@ def test_stateful_sessionization_matches_batch(spark, event_dir, tmp_path):
     assert got[(1, t0, t0 + timedelta(minutes=10))] == 3
     assert got[(1, t0 + timedelta(minutes=45), t0 + timedelta(minutes=50))] == 2
     assert got[(2, t0, t0 + timedelta(minutes=50))] == 6
+
+
+@pytest.mark.parametrize("seed", [7, 21, 1234])
+def test_randomized_sessionization_matches_python_reference(spark, tmp_path, seed):
+    """Random event sets (arbitrary within-batch order, duplicate
+    timestamps, many users) sessionize identically to an independent
+    pure-Python gap-chaining reference. All data arrives in one file
+    (watermark 0 during that batch, so nothing is dropped or sealed);
+    a far-future pusher then seals every session."""
+    import random
+
+    rng = random.Random(seed)
+    t0 = datetime(2025, 5, 1, 0, 0, 0)
+    rows = []
+    by_user: dict[int, list[int]] = {}
+    for u in range(1, 6):
+        minutes = [rng.randrange(0, 600) for _ in range(rng.randrange(5, 41))]
+        by_user[u] = minutes
+        rows.extend((u, t0 + timedelta(minutes=m)) for m in minutes)
+    rng.shuffle(rows)
+
+    d = tmp_path / "rand"
+    spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(d / "ev"))
+    import time as _t
+    _t.sleep(1.1)
+    spark.createDataFrame(
+        [(99, t0 + timedelta(days=2))], EVENT_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(str(d / "ev"))
+
+    stream = facade.read_stream(
+        spark, str(d / "ev"), EVENT_SCHEMA, max_files_per_trigger=1
+    )
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName(f"rand_sessions_{seed}")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.table(f"rand_sessions_{seed}").collect()
+        if r.user_id != 99
+    )
+
+    want = []
+    for u, minutes in by_user.items():
+        sessions: list[list] = []
+        for m in sorted(minutes):
+            t = t0 + timedelta(minutes=m)
+            if sessions and (t - sessions[-1][1]) <= timedelta(minutes=30):
+                sessions[-1][1] = t
+                sessions[-1][2] += 1
+            else:
+                sessions.append([t, t, 1])
+        want.extend((u, s, e, n) for s, e, n in sessions)
+    assert got == sorted(want)
