@@ -82,6 +82,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_purchases": workloads_ext.asof_join_purchases,
         "tumbling_window_daily": workloads_ext.tumbling_window_daily,
         "sliding_window_7d": workloads_ext.sliding_window_7d,
+        "split_train_val_test": workloads_ext.split_train_val_test,
+        "pack_token_shards": workloads_ext.pack_token_shards,
     }
 
 

@@ -1,0 +1,119 @@
+"""Deterministic dataset splitting and shard packing for training pipelines.
+
+Two staples of large-scale training-data preparation, both pure Catalyst
+expressions (no Python, no randomness, reproducible across runs/engines):
+
+- **hash_split**: assign each row to train/val/test by comparing a hex
+  prefix of ``md5(key || '|' || salt)`` against cumulative-fraction
+  thresholds. Splitting on a GROUP key (e.g. ``source``) instead of the
+  row id keeps all rows of a group in one split — the standard guard
+  against train/eval leakage through near-duplicate documents from the
+  same origin. Changing ``salt`` re-deals the assignment; md5 is
+  engine-portable (identical lowercase hex in Spark and DuckDB, so the
+  split is oracle-checkable and stable across the stack).
+- **pack_token_shards**: pack documents into fixed-token-budget shards the
+  way a sequential shard writer would. A GLOBAL greedy pack is inherently
+  serial (one running total), so the corpus is first split across
+  ``writers`` independent writers (``id % writers``); each writer packs
+  its docs in id order via a windowed running sum — the window shuffles
+  once on the writer key and each partition runs independently, which is
+  exactly how parallel shard writers behave at 100 TB. A doc that crosses
+  the budget boundary finishes its current shard (shards can overflow by
+  at most one document, never split a document).
+
+Scale notes: hash_split is map-side only (no shuffle). pack_token_shards
+shuffles once (hash by writer) and sorts within writers; skew is bounded
+because ``id % writers`` spreads uniformly regardless of data skew.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+_HEX_DIGITS = 8  # 32 bits of the md5 — fraction resolution ~2.3e-10
+
+
+def split_thresholds(fractions: Mapping[str, float]) -> list[tuple[str, str]]:
+    """(label, upper-bound hex prefix) per split, cumulative order.
+
+    The last split's bound is forced to the maximum so fractions that sum
+    to 1 within float error still cover every row."""
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"fractions must sum to 1 (got {total})")
+    out: list[tuple[str, str]] = []
+    cum = 0.0
+    labels = list(fractions)
+    for label in labels[:-1]:
+        cum += fractions[label]
+        bound = min(int(cum * 16**_HEX_DIGITS), 16**_HEX_DIGITS - 1)
+        out.append((label, format(bound, f"0{_HEX_DIGITS}x")))
+    out.append((labels[-1], "g" * _HEX_DIGITS))  # > every hex string
+    return out
+
+
+def split_column(key: Column, fractions: Mapping[str, float], *, salt: str = "") -> Column:
+    """The split label as an expression over a (group) key column."""
+    prefix = F.substring(F.md5(F.concat(key.cast("string"), F.lit("|" + salt))), 1, _HEX_DIGITS)
+    thresholds = split_thresholds(fractions)
+    expr = F.lit(thresholds[-1][0])
+    for label, bound in reversed(thresholds[:-1]):
+        expr = F.when(prefix < F.lit(bound), F.lit(label)).otherwise(expr)
+    return expr
+
+
+def hash_split(
+    df: DataFrame,
+    *,
+    key_col: str,
+    fractions: Mapping[str, float] | None = None,
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Add a deterministic train/val/test assignment keyed on ``key_col``.
+
+    All rows sharing a key land in the same split (leakage-safe when the
+    key is a group id like ``source``). Map-side only — no shuffle."""
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    return df.withColumn(out_col, split_column(F.col(key_col), fractions, salt=salt))
+
+
+def pack_token_shards(
+    df: DataFrame,
+    *,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    writers: int = 8,
+) -> DataFrame:
+    """Add (writer, shard) columns: contiguous fixed-budget packing.
+
+    writer = id % writers; within a writer, docs pack in id order: a doc
+    goes to the budget window its running-total START falls in, and the
+    occupied windows are dense-ranked so shard numbers are 0..n with no
+    gaps (a single doc spanning several whole budgets still yields one
+    shard — documents are never split). Shards hold at most budget +
+    one-overflowing-document tokens. One shuffle (by writer), then each
+    writer packs independently via two same-partition window passes — the
+    distributed form of parallel sequential shard writers."""
+    if budget <= 0 or writers <= 0:
+        raise ValueError("budget and writers must be positive")
+    writer = F.pmod(F.col(id_col), F.lit(writers)).cast("long")
+    w = (
+        Window.partitionBy("writer")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(token_col).over(w)
+    bucket = F.floor((cum - F.col(token_col)) / F.lit(float(budget)))
+    with_bucket = df.withColumn("writer", writer).withColumn("__bucket", bucket)
+    dense = Window.partitionBy("writer").orderBy("__bucket")
+    return with_bucket.withColumn(
+        "shard", (F.dense_rank().over(dense) - 1).cast("long")
+    ).drop("__bucket")

@@ -209,3 +209,46 @@ ORACLES_EXT: dict[str, str] = {
     # minhash_near_dup, simhash_near_dup, lsh_ann_topk: rows-only
     # (xxhash64-based; verified in tests/test_neardup.py instead)
 }
+
+# Thresholds = format(int(cum_fraction * 16**8), '08x') for (0.9, 0.95) —
+# pinned by tests/test_sampling.py::test_default_thresholds_match_oracle.
+SPLIT_TRAIN_VAL_TEST_SQL = r"""
+WITH s AS (
+    SELECT n_chars, source,
+        CASE WHEN substr(md5(CAST(source AS VARCHAR) || '|s1'), 1, 8) < 'e6666666' THEN 'train'
+             WHEN substr(md5(CAST(source AS VARCHAR) || '|s1'), 1, 8) < 'f3333333' THEN 'val'
+             ELSE 'test' END AS split
+    FROM documents
+)
+SELECT split,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+    CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+FROM s GROUP BY split
+"""
+
+PACK_TOKEN_SHARDS_SQL = r"""
+WITH t AS (
+    SELECT doc_id, doc_id % 8 AS writer,
+        CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS toks
+    FROM documents
+), c AS (
+    SELECT doc_id, writer, toks,
+        SUM(toks) OVER (PARTITION BY writer ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM t
+), b AS (
+    SELECT writer, toks,
+        CAST(DENSE_RANK() OVER (
+            PARTITION BY writer ORDER BY FLOOR((cum - toks) / 2000.0)
+        ) - 1 AS BIGINT) AS shard
+    FROM c
+)
+SELECT writer, shard,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(toks) AS BIGINT) AS shard_tokens
+FROM b GROUP BY writer, shard
+"""
+
+ORACLES_EXT["split_train_val_test"] = SPLIT_TRAIN_VAL_TEST_SQL
+ORACLES_EXT["pack_token_shards"] = PACK_TOKEN_SHARDS_SQL

@@ -235,3 +235,39 @@ def sliding_window_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
             "active_users",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Dataset splitting / shard packing (training-data staples)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic leakage-safe split: every doc of a source lands in the
+    same split (md5-threshold on the source key; operators/sampling.py).
+    Returns per-split doc/char/source counts."""
+    from ..operators import sampling
+
+    d = sampling.hash_split(
+        _docs(spark, sf_dir), key_col="source", salt="s1"
+    )
+    return d.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+def pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-budget shard packing across 8 parallel writers
+    (operators/sampling.py). Returns per-(writer, shard) doc and token
+    totals."""
+    from ..operators import sampling
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", text.word_count(F.col("text")).alias("toks")
+    )
+    packed = sampling.pack_token_shards(
+        toks, id_col="doc_id", token_col="toks", budget=2000, writers=8
+    )
+    return packed.groupBy("writer", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").alias("shard_tokens"),
+    )

@@ -1,0 +1,110 @@
+"""Deterministic splitting and shard packing (operators/sampling.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from global_seismic_data_pipeline_spark.operators import sampling, text
+from global_seismic_data_pipeline_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_default_thresholds_match_oracle():
+    """The hardcoded hex bounds in oracles_ext.SPLIT_TRAIN_VAL_TEST_SQL must
+    equal what the operator computes for the default fractions."""
+    th = sampling.split_thresholds({"train": 0.9, "val": 0.05, "test": 0.05})
+    assert th[0] == ("train", "e6666666")
+    assert th[1] == ("val", "f3333333")
+    assert th[2][0] == "test"
+
+
+def test_split_thresholds_validate():
+    with pytest.raises(ValueError):
+        sampling.split_thresholds({"a": 0.5, "b": 0.2})
+    with pytest.raises(ValueError):
+        sampling.split_thresholds({})
+
+
+def test_hash_split_leakage_safe_and_deterministic(spark):
+    docs = load_table(spark, SF, "documents")
+    s1 = sampling.hash_split(docs, key_col="source", salt="s1")
+    # every source maps to exactly one split
+    per_source = s1.groupBy("source").agg(
+        F.countDistinct("split").alias("n_splits")
+    )
+    assert per_source.filter(F.col("n_splits") != 1).count() == 0
+    # identical on recompute (pure expression, no randomness)
+    s2 = sampling.hash_split(docs, key_col="source", salt="s1")
+    assert (
+        s1.select("doc_id", "split")
+        .exceptAll(s2.select("doc_id", "split"))
+        .count()
+        == 0
+    )
+    # a different salt re-deals at least something (500 docs, 5% bands)
+    s3 = sampling.hash_split(docs, key_col="source", salt="other")
+    moved = (
+        s1.select("doc_id", "split")
+        .exceptAll(s3.select("doc_id", "split"))
+        .count()
+    )
+    assert moved > 0
+
+
+def test_hash_split_fractions_roughly_honored(spark):
+    """Row-level split (key = doc_id, many keys) lands near the requested
+    fractions; wide tolerance — it's a hash, not a quota."""
+    docs = load_table(spark, SF, "documents")
+    total = docs.count()
+    got = dict(
+        sampling.hash_split(docs, key_col="doc_id")
+        .groupBy("split")
+        .count()
+        .collect()
+    )
+    assert got.get("train", 0) / total == pytest.approx(0.9, abs=0.08)
+
+
+def test_pack_token_shards_budget_and_contiguity(spark):
+    docs = load_table(spark, SF, "documents")
+    toks = docs.select("doc_id", text.word_count(F.col("text")).alias("toks"))
+    packed = sampling.pack_token_shards(
+        toks, id_col="doc_id", token_col="toks", budget=500, writers=4
+    ).cache()
+    max_doc = packed.agg(F.max("toks")).collect()[0][0]
+    per_shard = packed.groupBy("writer", "shard").agg(
+        F.sum("toks").alias("tot"), F.count(F.lit(1)).alias("n")
+    )
+    rows = per_shard.collect()
+    # a shard never exceeds budget + one overflowing document
+    assert all(r.tot <= 500 + max_doc for r in rows)
+    # shards are dense 0..max per writer
+    last = {
+        r.writer: r.shard
+        for r in per_shard.groupBy("writer").agg(F.max("shard").alias("shard")).collect()
+    }
+    for w, top in last.items():
+        shards = sorted(r.shard for r in rows if r.writer == w)
+        assert shards == list(range(top + 1))
+    # packing is contiguous: doc-id ranges of consecutive shards never
+    # interleave within a writer
+    bounds = (
+        packed.groupBy("writer", "shard")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .collect()
+    )
+    by_writer: dict = {}
+    for r in bounds:
+        by_writer.setdefault(r.writer, []).append((r.shard, r.lo, r.hi))
+    for spans in by_writer.values():
+        spans.sort()
+        for (_, _, hi_prev), (_, lo_next, _) in zip(spans, spans[1:]):
+            assert hi_prev < lo_next
+    packed.unpersist()
+
+
+def test_pack_token_shards_validates():
+    with pytest.raises(ValueError):
+        sampling.pack_token_shards(
+            None, id_col="x", token_col="y", budget=0
+        )
