@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window_7d": workloads_ext.sliding_window_7d,
         "split_train_val_test": workloads_ext.split_train_val_test,
         "pack_token_shards": workloads_ext.pack_token_shards,
+        "decontaminate_docs": workloads_ext.decontaminate_docs,
     }
 
 

@@ -252,3 +252,15 @@ FROM b GROUP BY writer, shard
 
 ORACLES_EXT["split_train_val_test"] = SPLIT_TRAIN_VAL_TEST_SQL
 ORACLES_EXT["pack_token_shards"] = PACK_TOKEN_SHARDS_SQL
+
+DECONTAMINATE_SQL = rf"""
+WITH fp AS (
+    SELECT doc_id, md5({NORM}) AS fp FROM documents
+)
+SELECT c.doc_id, c.fp FROM fp c
+WHERE NOT EXISTS (
+    SELECT 1 FROM fp ev WHERE ev.doc_id % 97 = 0 AND ev.fp = c.fp
+)
+"""
+
+ORACLES_EXT["decontaminate_docs"] = DECONTAMINATE_SQL

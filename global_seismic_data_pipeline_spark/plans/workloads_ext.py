@@ -271,3 +271,18 @@ def pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("toks").alias("shard_tokens"),
     )
+
+
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: drop every corpus doc whose normalized
+    fingerprint appears in the benchmark set (stand-in: docs with
+    doc_id % 97 == 0). The eval set is tiny relative to the corpus, so the
+    anti-join broadcasts it — the corpus never shuffles, which is the only
+    shape that survives a 100 TB corpus vs a few thousand eval prompts."""
+    fp = _docs(spark, sf_dir).select(
+        "doc_id", text.fingerprint(F.col("text")).alias("fp")
+    )
+    eval_fps = (
+        fp.filter(F.col("doc_id") % 97 == 0).select("fp").distinct()
+    )
+    return fp.join(F.broadcast(eval_fps), "fp", "left_anti").select("doc_id", "fp")

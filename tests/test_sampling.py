@@ -108,3 +108,17 @@ def test_pack_token_shards_validates():
         sampling.pack_token_shards(
             None, id_col="x", token_col="y", budget=0
         )
+
+
+def test_decontaminate_removes_all_eval_fingerprints(spark):
+    from global_seismic_data_pipeline_spark.plans import workloads_ext
+
+    clean = workloads_ext.decontaminate_docs(spark, SF)
+    docs = load_table(spark, SF, "documents")
+    fp = docs.select("doc_id", text.fingerprint(F.col("text")).alias("fp"))
+    eval_fps = fp.filter(F.col("doc_id") % 97 == 0).select("fp").distinct()
+    # nothing in the cleaned corpus shares a fingerprint with the eval set
+    assert clean.join(eval_fps, "fp").count() == 0
+    # and it kept everything that doesn't (no over-removal)
+    kept = fp.join(eval_fps, "fp", "left_anti").count()
+    assert clean.count() == kept > 0
