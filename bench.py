@@ -9,6 +9,12 @@ pays one-off costs — scan-cache population, codegen compilation, Python
 worker spin-up — that are amortized away in any sustained workload, and
 their inclusion makes single-shot numbers swing ±30% with machine noise.
 Set BENCH_COLD=1 to report first-run (cold) times instead.
+
+Methodology note: operators that persist shared subtrees module-globally
+(the near-dup family) are released between the warm-up and the measured
+run, so the steady-state number re-executes the full pipeline including
+its own within-query materialization — cross-run cache hits would
+otherwise measure the session cache, not the query.
 """
 
 from __future__ import annotations
@@ -55,6 +61,8 @@ def main() -> None:
     # first timed query doesn't pay session startup.
     qs["agg_frequency_table"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    from global_seismic_data_pipeline_spark.operators import neardup
+
     cold = os.environ.get("BENCH_COLD") == "1"
     times: dict[str, float] = {}
     for name in HEADLINE:
@@ -63,9 +71,14 @@ def main() -> None:
             continue
         runs = 1 if cold else 2
         for i in range(runs):
+            # drop module-persisted blocks so every run pays its own
+            # materialization (within-run persist is the operator's design;
+            # cross-run reuse would be a cache benchmark)
+            neardup.release_cached()
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             times[name] = round(time.time() - t0, 3)
+    neardup.release_cached()
 
     total = round(sum(times.values()), 3)
     print(

@@ -111,8 +111,15 @@ def pack_token_shards(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum(token_col).over(w)
-    bucket = F.floor((cum - F.col(token_col)) / F.lit(float(budget)))
-    with_bucket = df.withColumn("writer", writer).withColumn("__bucket", bucket)
+    # integer `div`, not FLOOR(x / float): double division loses exactness
+    # past ~2^53 cumulative tokens per writer, which matters at 100 TB
+    with_start = (
+        df.withColumn("writer", writer)
+        .withColumn("__start", (cum - F.col(token_col)).cast("long"))
+    )
+    with_bucket = with_start.withColumn(
+        "__bucket", F.expr(f"__start div {int(budget)}")
+    ).drop("__start")
     dense = Window.partitionBy("writer").orderBy("__bucket")
     return with_bucket.withColumn(
         "shard", (F.dense_rank().over(dense) - 1).cast("long")

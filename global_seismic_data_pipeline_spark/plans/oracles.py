@@ -133,9 +133,9 @@ WITH daily AS (
 SELECT CAST(event_date AS VARCHAR) AS event_date, total_events, avg_value,
     max_value, active_types, critical_events, rolling_7d_count,
     rolling_30d_count,
-    CASE WHEN rolling_7d_count > 0
+    CAST(CASE WHEN rolling_7d_count > 0
          THEN total_events > (rolling_7d_count / 7 * 2)
-         ELSE FALSE END AS is_anomaly
+         ELSE FALSE END AS BIGINT) AS is_anomaly
 FROM roll
 """
 
@@ -366,9 +366,11 @@ FROM events
 
 PIVOT_STATUS_SQL = """
 SELECT o_orderpriority,
-    COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS status_f,
-    COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS status_o,
-    COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS status_p
+    -- CAST AS BIGINT: DuckDB SUM over ints yields HUGEINT, which pandas
+    -- renders float64 ('976.0') while Spark's bigint hashes '976'.
+    CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS status_f,
+    CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS status_o,
+    CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS status_p
 FROM orders GROUP BY o_orderpriority
 """
 
@@ -432,7 +434,8 @@ WITH base AS (
 )
 SELECT event_id, magnitude, depth_km,
     1.5 * magnitude + 4.8 AS energy_joules_log,
-    mercalli_intensity,
+    -- + 0.0 folds -0.0 (DuckDB ROUND signs its zero; Spark does not)
+    mercalli_intensity + 0.0 AS mercalli_intensity,
     CASE WHEN mercalli_intensity >= 10 THEN 'X+ (Extreme)'
          WHEN mercalli_intensity >= 8 THEN 'VIII-IX (Severe)'
          WHEN mercalli_intensity >= 6 THEN 'VI-VII (Strong)'
@@ -450,7 +453,7 @@ SELECT event_id, magnitude, depth_km,
          WHEN mercalli_intensity >= 4 THEN 'MODERATE'
          WHEN mercalli_intensity >= 2 THEN 'LOW'
          ELSE 'MINIMAL' END AS damage_potential,
-    (magnitude >= 7.0 AND depth_km < 70) AS tsunami_potential
+    CAST(magnitude >= 7.0 AND depth_km < 70 AS BIGINT) AS tsunami_potential
 FROM base
 """
 

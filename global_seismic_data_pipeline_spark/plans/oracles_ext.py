@@ -60,7 +60,7 @@ TEXT_TOKENIZE_SQL = r"""
 SELECT doc_id,
     CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
     CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens,
-    (CAST(length(text) AS BIGINT) = n_chars) AS len_matches_meta
+    CAST(CAST(length(text) AS BIGINT) = n_chars AS BIGINT) AS len_matches_meta
 FROM documents
 """
 
@@ -240,7 +240,7 @@ WITH t AS (
 ), b AS (
     SELECT writer, toks,
         CAST(DENSE_RANK() OVER (
-            PARTITION BY writer ORDER BY FLOOR((cum - toks) / 2000.0)
+            PARTITION BY writer ORDER BY (cum - toks) // 2000
         ) - 1 AS BIGINT) AS shard
     FROM c
 )

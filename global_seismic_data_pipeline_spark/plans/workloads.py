@@ -214,7 +214,8 @@ def rolling_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "critical_events",
         "rolling_7d_count",
         "rolling_30d_count",
-        "is_anomaly",
+        # driver-hash discipline: no raw boolean output columns
+        F.col("is_anomaly").cast("long").alias("is_anomaly"),
     )
 
 
@@ -522,7 +523,9 @@ def physics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "magnitude",
         "depth_km",
         (F.lit(1.5) * m + F.lit(4.8)).alias("energy_joules_log"),
-        mmi.alias("mercalli_intensity"),
+        # + 0.0 folds IEEE -0.0 to +0.0 (engines disagree on ROUND's zero
+        # sign near the boundary; the driver hashes the strings apart).
+        (mmi + F.lit(0.0)).alias("mercalli_intensity"),
         (
             F.when(mmi >= 10, "X+ (Extreme)")
             .when(mmi >= 8, "VIII-IX (Severe)")
@@ -547,7 +550,9 @@ def physics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .when(mmi >= 2, "LOW")
             .otherwise("MINIMAL")
         ).alias("damage_potential"),
-        ((m >= 7.0) & (d < 70)).alias("tsunami_potential"),
+        # long, not boolean: Spark stringifies bools 'true' vs pandas 'True',
+        # so a raw boolean output column can never driver-hash-match.
+        ((m >= 7.0) & (d < 70)).cast("long").alias("tsunami_potential"),
     )
 
 

@@ -60,7 +60,8 @@ def text_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         text.word_count(F.col("text")).alias("ws_tokens"),
         text.token_count_bpe_ish(F.col("text")).alias("bpe_tokens"),
-        (F.length("text").cast("long") == F.col("n_chars")).alias("len_matches_meta"),
+        # cast: no raw boolean outputs (driver-hash discipline)
+        (F.length("text").cast("long") == F.col("n_chars")).cast("long").alias("len_matches_meta"),
     )
 
 

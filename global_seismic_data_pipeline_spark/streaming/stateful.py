@@ -94,11 +94,14 @@ def _sessionize_group(
             else:
                 segments.append([s, e, n])
 
-    # seal every segment whose close deadline the watermark has passed
+    # seal every segment whose close deadline the watermark has passed.
+    # Strict >: an event at ts == watermark is still admissible, and at
+    # gap == deadline exactly the batch sessionizer would merge it — so a
+    # segment is only safe to close once wm (in us) exceeds end + gap.
     wm_ms = state.getCurrentWatermarkMs()
     still_open: list[list[int]] = []
     for s, e, n in segments:
-        if wm_ms >= (e // 1000 + GAP_US // 1000) > 0:
+        if wm_ms > 0 and wm_ms * 1000 > e + GAP_US:
             closed.append((s, e, n))
         else:
             still_open.append([s, e, n])
@@ -109,10 +112,13 @@ def _sessionize_group(
             [e for _, e, _ in still_open],
             [n for _, _, n in still_open],
         ))
-        # wake when the earliest deadline passes (timeouts fire strictly
-        # after the watermark, so this is always in the future here)
+        # wake when the earliest deadline passes. Timeouts fire once
+        # wm_ms > T; T = (e + gap) // 1000 guarantees (T+1)*1000 > e + gap,
+        # so the seal condition above always holds when the timeout fires
+        # (the old e//1000 + gap//1000 could under-round by 1 ms and
+        # re-arm a timeout already behind the watermark).
         state.setTimeoutTimestamp(
-            min(e for _, e, _ in still_open) // 1000 + GAP_US // 1000
+            min(e + GAP_US for _, e, _ in still_open) // 1000
         )
     elif state.exists:
         state.remove()

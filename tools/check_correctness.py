@@ -2,10 +2,18 @@
 
 Runs every ``queries()[name]`` on Spark and its ``oracle_sql()[name]`` on
 DuckDB against the same parquet directory, then compares:
-row count, column-name set, and order-insensitive cell values
-(exact for non-floats; floats must match to ~1e-12 relative — the driver
-hashes, so we treat any float difference as failure and report the max
-diff to guide fixes).
+
+1. row count and column-name set;
+2. order-insensitive NUMERIC cell values (exact; useful diagnostics —
+   reports the max float diff to guide fixes);
+3. order-insensitive DRIVER-STYLE STRINGIFIED cells. The driver hashes
+   stringified values, so two results that are numerically equal can still
+   hash apart: Spark stringifies booleans ``true``/``false`` while the
+   DuckDB→pandas path yields ``True``/``False``; DuckDB HUGEINT/DECIMAL
+   aggregates come back as float64 (``976.0``) while Spark bigints print
+   ``976``; ``-0.0`` and ``0.0`` are numerically equal but string-distinct.
+   Round 1 shipped two driver-red queries that the old numeric-only compare
+   green-lit — this pass exists to make local green predict driver green.
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
 """
@@ -22,7 +30,10 @@ import numpy as np
 import pandas as pd
 
 
-def normalize(df: pd.DataFrame) -> pd.DataFrame:
+def _numeric_view(df: pd.DataFrame) -> pd.DataFrame:
+    """Type-normalized copy used for the numeric compare AND as the sort key
+    (both sides sort identically when numerically equal, so the string pass
+    compares aligned rows)."""
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if pd.api.types.is_bool_dtype(df[c]):
@@ -33,7 +44,40 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("float64")
         else:
             df[c] = df[c].astype("string")
-    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def sorted_views(df: pd.DataFrame) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """(numeric view, raw frame) both in the numeric view's sort order."""
+    num = _numeric_view(df)
+    order = num.sort_values(by=list(num.columns), kind="mergesort").index
+    raw = df[sorted(df.columns)].iloc[order].reset_index(drop=True)
+    return num.iloc[order].reset_index(drop=True), raw
+
+
+def cell_str(v, spark_side: bool) -> str:
+    """Driver-style stringification of one cell.
+
+    Spark booleans stringify lowercase on the JVM; the DuckDB→pandas oracle
+    path yields Python ``True``/``False`` — so any raw boolean output column
+    is a driver-hash hazard and fails here by construction. Ints print
+    undecorated, floats via shortest repr with NO -0.0 folding (the driver
+    doesn't fold either; being stricter than the driver is the safe side).
+    """
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ", ".join(cell_str(x, spark_side) for x in v) + "]"
+    try:
+        if pd.isna(v):
+            return "\x00NULL"
+    except (TypeError, ValueError):
+        pass
+    if isinstance(v, (bool, np.bool_)):
+        return ("true" if v else "false") if spark_side else str(bool(v))
+    if isinstance(v, (np.floating, float)):
+        return repr(float(v))
+    if isinstance(v, (np.integer, int)):
+        return str(int(v))
+    return str(v)
 
 
 def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
@@ -46,9 +90,10 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
     if len(spark_df) != len(oracle_df):
         problems.append(f"row count: spark={len(spark_df)} oracle={len(oracle_df)}")
         return problems
-    s, o = normalize(spark_df), normalize(oracle_df)
+    s, s_raw = sorted_views(spark_df)
+    o, o_raw = sorted_views(oracle_df)
     for c in s.columns:
-        if pd.api.types.is_float_dtype(s[c]):
+        if pd.api.types.is_float_dtype(s[c]) and pd.api.types.is_float_dtype(o[c]):
             a, b = s[c].to_numpy(), o[c].to_numpy()
             both_nan = np.isnan(a) & np.isnan(b)
             diff = np.where(both_nan, 0.0, np.abs(a - b))
@@ -65,6 +110,18 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
                     f"col {c}: {int(neq.sum())} mismatches, first at row {i}: "
                     f"spark={s[c].iloc[i]!r} oracle={o[c].iloc[i]!r}"
                 )
+    # Driver-style string pass: catches bool-vs-bool, int-vs-float dtype
+    # drift, and -0.0 — all invisible to the numeric compare above.
+    for c in s_raw.columns:
+        a = [cell_str(v, True) for v in s_raw[c]]
+        b = [cell_str(v, False) for v in o_raw[c]]
+        bad = [i for i, (x, y) in enumerate(zip(a, b)) if x != y]
+        if bad and not any(p.startswith(f"float col {c}:") or p.startswith(f"col {c}:") for p in problems):
+            i = bad[0]
+            problems.append(
+                f"stringified col {c}: {len(bad)} driver-hash mismatches, first at "
+                f"row {i}: spark={a[i]!r} oracle={b[i]!r}"
+            )
     return problems
 
 
