@@ -23,10 +23,12 @@ drops the stage to interpreted evaluation, and Generate/Filter over a
 HOF-produced array re-evaluates the lambda chain per consumed element —
 measured ~15× slower end-to-end at sf0.1.
 
-MinHash/SimHash hashing uses xxhash64 — JVM-side and stable — so results
-are reproducible but not expressible in ANSI SQL (the driver records a
-rows-only check for those; the exact-Jaccard operator is the oracle-checked
-ground truth).
+MinHash/SimHash hashing is pluggable (``hasher=``): ``xxhash64`` (fastest,
+JVM intrinsic, default) or ``md5`` — a 60-bit integer from the md5 hex
+prefix, computable bit-identically in DuckDB as
+``('0x' || substr(md5(x), 1, 15))::BIGINT`` — which makes the FULL
+MinHash-LSH and SimHash pipelines oracle-checkable cross-engine (the
+driver queries use ``md5``; pure-Spark callers keep xxhash64).
 
 Diamond DAGs here are persisted explicitly (MEMORY_AND_DISK): each pair
 operator consumes its shingle/signature table from 2-4 places (band-join
@@ -76,6 +78,22 @@ def release_cached() -> int:
         df.unpersist()
     _PERSISTED.clear()
     return n
+
+
+def portable_hash64(col) -> "F.Column":
+    """60-bit non-negative hash of a string column, identical across
+    engines: Spark ``conv(substring(md5(x),1,15),16,10)`` ==
+    DuckDB ``('0x' || substr(md5(x),1,15))::BIGINT``. Costs ~2-3x
+    xxhash64 (md5 is not an intrinsic), so it is opt-in via ``hasher``."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _hash64(col, hasher: str) -> "F.Column":
+    if hasher == "xxhash64":
+        return F.xxhash64(col)
+    if hasher == "md5":
+        return portable_hash64(col)
+    raise ValueError(f"unknown hasher {hasher!r}; use 'xxhash64' or 'md5'")
 
 
 def _minhash_perms(num: int, seed: int) -> list[tuple[int, int]]:
@@ -191,16 +209,17 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 64,
     seed: int = 42,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig array<long>[num_hashes]) MinHash signatures.
 
-    Shingle → xxhash64 → fold into [0, 2^31) → K universal-hash minimums,
+    Shingle → hash64 → fold into [0, 2^31) → K universal-hash minimums,
     as shingle rows + one hash-aggregate with K ``min`` columns. The agg
     runs with map-side partial mins, so the shuffle carries one K-long row
     per doc. Within-doc duplicate shingles are harmless (min is idempotent),
     so the rows skip the dedup shuffle entirely."""
     hashed = shingle_rows(df, id_col=id_col, text_col=text_col, n=n).select(
-        F.col(id_col), F.pmod(F.xxhash64("shingle"), F.lit(HASH_PRIME)).alias("h")
+        F.col(id_col), F.pmod(_hash64(F.col("shingle"), hasher), F.lit(HASH_PRIME)).alias("h")
     )
     return _signatures_from_hashes(hashed, id_col, num_hashes, seed)
 
@@ -229,6 +248,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     seed: int = 42,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """LSH candidate generation + exact-Jaccard verification.
 
@@ -250,7 +270,7 @@ def minhash_lsh_pairs(
     hashed = sets.select(
         F.col(id_col), F.explode("shingles").alias("shingle")
     ).select(
-        F.col(id_col), F.pmod(F.xxhash64("shingle"), F.lit(HASH_PRIME)).alias("h")
+        F.col(id_col), F.pmod(_hash64(F.col("shingle"), hasher), F.lit(HASH_PRIME)).alias("h")
     )
     sigs = _materialized(_signatures_from_hashes(hashed, id_col, num_hashes, seed))
     # the band self-join carries ONLY (id, band, bucket) — shipping the
@@ -264,10 +284,11 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.xxhash64(
+                        _hash64(
                             F.concat_ws(
                                 ",", *[F.element_at("sig", i * rows + j + 1).cast("string") for j in range(rows)]
-                            )
+                            ),
+                            hasher,
                         ).alias("bucket"),
                     )
                     for i in range(bands)
@@ -311,8 +332,10 @@ def simhash_fingerprints(
     id_col: str,
     text_col: str,
     bits: int = SIMHASH_BITS,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
-    """(id, sh long) sign-aggregated token-hash fingerprints (bits ≤ 62).
+    """(id, sh long) sign-aggregated token-hash fingerprints (bits ≤ 62
+    for xxhash64; ≤ 60 for the md5 hasher, whose hash is 60-bit).
 
     For each bit j: sum over distinct tokens of ±1 by token-hash bit j; the
     fingerprint sets bit j when the sum is positive. Shaped as explode +
@@ -323,7 +346,7 @@ def simhash_fingerprints(
     hashed = (
         ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
         .select(F.col(id_col), F.explode(tokens).alias("tok"))
-        .select(F.col(id_col), F.xxhash64("tok").alias("h"))
+        .select(F.col(id_col), _hash64(F.col("tok"), hasher).alias("h"))
     )
     votes = hashed.groupBy(id_col).agg(
         *[
@@ -347,6 +370,7 @@ def simhash_pairs(
     id_col: str,
     text_col: str,
     max_hamming: int = 3,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash banding + Hamming verification.
 
@@ -356,7 +380,9 @@ def simhash_pairs(
     chunk_bits = SIMHASH_BITS // SIMHASH_BANDS
     mask = (1 << chunk_bits) - 1
     # both band-join sides consume the fingerprints — materialize once
-    sh = _materialized(simhash_fingerprints(df, id_col=id_col, text_col=text_col))
+    sh = _materialized(
+        simhash_fingerprints(df, id_col=id_col, text_col=text_col, hasher=hasher)
+    )
     banded = sh.select(
         F.col(id_col),
         "sh",

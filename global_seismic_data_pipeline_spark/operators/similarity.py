@@ -129,59 +129,85 @@ def cosine_all_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.45,
     round_decimals: int = 4,
+    blocks: int = 8,
 ) -> DataFrame:
     """Exact all-pairs cosine near-duplicates: (id_a < id_b, cosine ≥ τ).
 
-    Blocked matrix multiply: the (normalized) corpus is captured once into
-    the task closure, each Arrow batch computes ``batch @ corpusᵀ`` and
-    emits only pairs over the threshold — O(N²·d) flops but vectorized and
-    embarrassingly parallel over corpus partitions. Similarities round to
-    ``round_decimals`` BEFORE thresholding so the cut is reproducible
-    across engines/summation orders.
+    Block-pair self-join, fully distributed — the plan is lazy, nothing is
+    collected to the driver and no broadcast is leaked. Each vector lands
+    in block ``blk = hash(id) % blocks`` and is replicated to the
+    ``blocks`` group keys ``(min(blk, t), max(blk, t))``; every group then
+    holds exactly the vectors of its two blocks and computes their
+    cross-block (or upper-triangular, when i == j) matmul in one Arrow
+    batch. Similarities round to ``round_decimals`` BEFORE thresholding so
+    the cut is reproducible across engines/summation orders.
 
-    This exact operator is for corpora whose (id, vector) table fits in a
-    broadcast (~1M × small dim); beyond that use ``lsh_topk``/``ivf_topk``
-    candidates + this as the within-bucket verifier.
+    Scale shape: shuffle = N·blocks rows, per-task memory = 2N/blocks
+    vectors, total flops ~N²·d/2 spread over blocks·(blocks+1)/2
+    independent tasks. Exact all-pairs is inherently O(N²) — size
+    ``blocks`` so a block pair fits executor memory; beyond exact-feasible
+    corpus sizes use ``lsh_topk``/``ivf_topk`` candidates + exact verify.
     """
+    if blocks < 1:
+        raise ValueError("blocks must be >= 1")
     src = df.select(
         F.col(id_col).cast("long").alias("_id"),
         as_double_vec(F.col(vec_col)).alias("_v"),
     )
-    # NOTE: building this plan collects the corpus (one eager job) — the
-    # codebook must exist before the mapInPandas closure is serialized.
-    rows = src.collect()
-    ids = np.array([r._id for r in rows], dtype=np.int64)
-    mat = np.array([r._v for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    # torrent-broadcast the codebook: shipped once per executor, not
-    # re-pickled into every task closure. The broadcast lives until the
-    # plan is garbage-collected — callers building MANY of these plans in
-    # one session should unpersist via the returned DataFrame's lifecycle
-    # (each call leaks one O(N·d) broadcast otherwise).
-    bc = df.sparkSession.sparkContext.broadcast((ids, mat / norms))
+    spread = ensure_parallelism(src).withColumn(
+        "_blk", F.pmod(F.xxhash64("_id"), F.lit(blocks)).cast("int")
+    )
+    replicated = spread.select(
+        "_id",
+        "_v",
+        "_blk",
+        F.explode(F.array(*[F.lit(t) for t in range(blocks)])).alias("_partner"),
+    ).select(
+        "_id",
+        "_v",
+        "_blk",
+        F.least("_blk", "_partner").alias("_lo"),
+        F.greatest("_blk", "_partner").alias("_hi"),
+    )
 
-    def gen(batches):
-        b_ids, unit = bc.value
-        for pdf in batches:
-            a_ids = pdf["_id"].to_numpy(dtype=np.int64)
-            a = np.array(pdf["_v"].tolist(), dtype=np.float64)
-            an = np.linalg.norm(a, axis=1, keepdims=True)
-            an[an == 0] = 1.0
-            sims = np.round((a / an) @ unit.T, round_decimals)
-            ia, ib = np.nonzero(sims >= threshold)
-            left, right = a_ids[ia], b_ids[ib]
+    def pairs_for_group(key, pdf):
+        lo, hi = key
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "cosine_sim": pd.Series(dtype="float64"),
+            }
+        )
+        a = pdf[pdf["_blk"] == lo]
+        b = pdf[pdf["_blk"] == hi]
+        if not len(a) or not len(b):
+            return empty
+        a_ids = a["_id"].to_numpy(dtype=np.int64)
+        b_ids = b["_id"].to_numpy(dtype=np.int64)
+        am = np.array(a["_v"].tolist(), dtype=np.float64)
+        bm = np.array(b["_v"].tolist(), dtype=np.float64)
+        an = np.linalg.norm(am, axis=1, keepdims=True)
+        an[an == 0] = 1.0
+        bn = np.linalg.norm(bm, axis=1, keepdims=True)
+        bn[bn == 0] = 1.0
+        sims = np.round((am / an) @ (bm / bn).T, round_decimals)
+        ia, ib = np.nonzero(sims >= threshold)
+        left, right = a_ids[ia], b_ids[ib]
+        # same-block groups see each unordered pair twice ((x,y) and (y,x)
+        # land in the same matrix) — the strict < keeps one; cross-block
+        # groups see it once with arbitrary id order — normalize to (min,max)
+        if lo == hi:
             keep = left < right
-            yield pd.DataFrame(
-                {
-                    "id_a": left[keep],
-                    "id_b": right[keep],
-                    "cosine_sim": sims[ia, ib][keep],
-                }
-            )
+            left, right, sim = left[keep], right[keep], sims[ia, ib][keep]
+        else:
+            sim = sims[ia, ib]
+            left, right = np.minimum(left, right), np.maximum(left, right)
+        return pd.DataFrame({"id_a": left, "id_b": right, "cosine_sim": sim})
 
-    spread = ensure_parallelism(src)
-    return spread.mapInPandas(gen, schema="id_a long, id_b long, cosine_sim double")
+    return replicated.groupBy("_lo", "_hi").applyInPandas(
+        pairs_for_group, schema="id_a long, id_b long, cosine_sim double"
+    )
 
 
 def _centroids(dim: int, cells: int, seed: int) -> np.ndarray:

@@ -253,6 +253,131 @@ FROM b GROUP BY writer, shard
 ORACLES_EXT["split_train_val_test"] = SPLIT_TRAIN_VAL_TEST_SQL
 ORACLES_EXT["pack_token_shards"] = PACK_TOKEN_SHARDS_SQL
 
+# --------------------------------------------------------------------------
+# MinHash-LSH and SimHash full-pipeline oracles.
+#
+# Both Spark queries use the portable md5-derived 60-bit hash
+# (operators/neardup.py `portable_hash64`), which DuckDB reproduces
+# bit-identically as ('0x' || substr(md5(x),1,15))::BIGINT — so the oracle
+# replicates the ENTIRE pipeline (hashing, universal-hash minimums, band
+# buckets, candidate join, verification), not just the output shape.
+# The universal-hash coefficients are generated from the same seeded
+# generator the operator uses, so both engines evaluate identical
+# (a*h + b) % P chains.
+
+_MD5_INT = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+_MH_PRIME = 2147483647  # operators/neardup.py HASH_PRIME
+_MH_NUM, _MH_BANDS, _MH_SEED, _MH_THRESH = 64, 16, 42, 0.2
+_MH_ROWS = _MH_NUM // _MH_BANDS
+
+
+def _minhash_sql() -> str:
+    from ..operators.neardup import _minhash_perms
+
+    perms = _minhash_perms(_MH_NUM, _MH_SEED)
+    mins = ",\n        ".join(
+        f"MIN(({a} * h + {b}) % {_MH_PRIME}) AS m{i}"
+        for i, (a, b) in enumerate(perms)
+    )
+    band_selects = "\n    UNION ALL\n    ".join(
+        "SELECT doc_id, {band} AS band, {bucket} AS bucket FROM sigs".format(
+            band=i,
+            bucket=_MD5_INT.format(
+                x="concat_ws(',', "
+                + ", ".join(f"m{i * _MH_ROWS + j}" for j in range(_MH_ROWS))
+                + ")"
+            ),
+        )
+        for i in range(_MH_BANDS)
+    )
+    shingle_hash = _MD5_INT.format(x="shingle")
+    return rf"""
+WITH sets AS (
+    SELECT doc_id,
+        list_distinct(list_transform(range(1, greatest(len(w) - {NGRAM_N - 1}, 0) + 1),
+            i -> {_SHINGLE_CONCAT})) AS shingles
+    FROM (SELECT doc_id, string_split({NORM}, ' ') AS w FROM documents)
+), nonempty AS (
+    SELECT * FROM sets WHERE len(shingles) > 0
+), hashes AS (
+    SELECT doc_id, {shingle_hash} % {_MH_PRIME} AS h
+    FROM (SELECT doc_id, unnest(shingles) AS shingle FROM nonempty)
+), sigs AS (
+    SELECT doc_id,
+        {mins}
+    FROM hashes GROUP BY doc_id
+), bands AS (
+    {band_selects}
+), cands AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+    WHERE a.doc_id < b.doc_id
+), verified AS (
+    SELECT c.id_a, c.id_b,
+        CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS intersection,
+        CAST(len(sa.shingles) AS BIGINT) AS size_a,
+        CAST(len(sb.shingles) AS BIGINT) AS size_b
+    FROM cands c
+    JOIN nonempty sa ON sa.doc_id = c.id_a
+    JOIN nonempty sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b, intersection,
+    intersection / ((size_a + size_b) - intersection) AS jaccard
+FROM verified
+WHERE intersection / ((size_a + size_b) - intersection) >= {_MH_THRESH}
+"""
+
+
+_SH_BITS, _SH_BANDS, _SH_MAXHAM = 48, 4, 3
+_SH_CHUNK = _SH_BITS // _SH_BANDS
+_SH_MASK = (1 << _SH_CHUNK) - 1
+
+
+def _simhash_sql() -> str:
+    votes = ",\n        ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(_SH_BITS)
+    )
+    fingerprint = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN {1 << j}::BIGINT ELSE 0::BIGINT END"
+        for j in range(_SH_BITS)
+    )
+    band_selects = "\n    UNION ALL\n    ".join(
+        f"SELECT doc_id, sh, {i} AS band, (sh >> {i * _SH_CHUNK}) & {_SH_MASK} AS chunk FROM fps"
+        for i in range(_SH_BANDS)
+    )
+    tok_hash = _MD5_INT.format(x="tok")
+    return rf"""
+WITH toks AS (
+    SELECT doc_id, unnest(list_distinct(string_split({NORM}, ' '))) AS tok
+    FROM documents
+), hashes AS (
+    SELECT doc_id, {tok_hash} AS h FROM toks
+), votes AS (
+    SELECT doc_id,
+        {votes}
+    FROM hashes GROUP BY doc_id
+), fps AS (
+    SELECT doc_id, ({fingerprint}) AS sh FROM votes
+), bands AS (
+    {band_selects}
+), cands AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        a.sh AS sh_a, b.sh AS sh_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.chunk = b.chunk
+    WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+FROM cands
+WHERE bit_count(xor(sh_a, sh_b)) <= {_SH_MAXHAM}
+"""
+
+
+MINHASH_NEAR_DUP_SQL = _minhash_sql()
+SIMHASH_NEAR_DUP_SQL = _simhash_sql()
+ORACLES_EXT["minhash_near_dup"] = MINHASH_NEAR_DUP_SQL
+ORACLES_EXT["simhash_near_dup"] = SIMHASH_NEAR_DUP_SQL
+
 DECONTAMINATE_SQL = rf"""
 WITH fp AS (
     SELECT doc_id, md5({NORM}) AS fp FROM documents

@@ -3,10 +3,12 @@
 These go beyond the reference's surface (SURVEY.md §7 step 9): text
 analysis, exact/near-duplicate detection, embedding similarity search,
 multimodal metadata plumbing, and the batch-equivalent forms of the
-streaming windows. Oracle-checkable ones have SQL in ``oracles_ext.py``;
-hash-based ops (MinHash/SimHash/LSH — xxhash64 is not expressible in
-ANSI SQL) are rows-only checked by the driver and verified in pytest
-against planted duplicates instead.
+streaming windows. Oracle-checkable ones have SQL in ``oracles_ext.py`` —
+including the full MinHash-LSH / SimHash pipelines, which use the portable
+md5-derived hash so DuckDB replicates them bit-identically. Only the
+random-projection ANN paths (LSH/IVF top-k, float matmul inside a Pandas
+UDF) and the HLL sketch remain rows-only, with recall/error bounds
+verified in pytest instead.
 """
 
 from __future__ import annotations
@@ -88,8 +90,11 @@ def ngram_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidates verified by exact Jaccard (rows-only check;
-    recall vs the exhaustive operator is asserted in tests)."""
+    """MinHash-LSH candidates verified by exact Jaccard. Uses the portable
+    md5-derived hash so the FULL pipeline (shingle hash → 64 universal-hash
+    minimums → 16 band buckets → candidate join → Jaccard verify) is
+    replicated bit-identically by the DuckDB oracle; recall vs the
+    exhaustive operator is additionally asserted in tests."""
     return neardup.minhash_lsh_pairs(
         _docs(spark, sf_dir),
         id_col="doc_id",
@@ -98,15 +103,19 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=64,
         bands=16,
         threshold=0.2,
+        hasher="md5",
     )
 
 
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash band-join near-dups at Hamming ≤ 3 of 48 bits (rows-only) —
-    the radius where 4-band pigeonhole gives full recall."""
-    return neardup.simhash_pairs(
-        _docs(spark, sf_dir), id_col="doc_id", text_col="text", max_hamming=3
+    """SimHash band-join near-dups at Hamming ≤ 3 of 48 bits — the radius
+    where 4-band pigeonhole gives full recall. Portable md5 hashing makes
+    the whole pipeline oracle-checkable in DuckDB."""
+    out = neardup.simhash_pairs(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text", hasher="md5",
+        max_hamming=3,
     )
+    return out.withColumn("hamming", F.col("hamming").cast("long"))
 
 
 # --------------------------------------------------------------------------

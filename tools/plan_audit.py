@@ -39,6 +39,12 @@ MUST_BROADCAST = {
 }
 # queries whose scans MUST show pushed filters
 MUST_PUSH = {"watermark_incremental_filter", "membership_topk", "agg_pricing_summary"}
+# queries whose plan construction MUST NOT run real work (the round-1
+# cosine_all_pairs collected the whole corpus at build time). Every
+# load_table fires a 1-task parquet schema-inference job, so the signal is
+# TASK count, not job count: a data collect scans all input partitions.
+MUST_LAZY = {"embedding_cosine_near_dup"}
+LAZY_TASK_BUDGET = 4  # schema/footer reads are single-task
 
 
 def main() -> None:
@@ -51,9 +57,22 @@ def main() -> None:
     for name, fn in qs.items():
         if names and name not in names:
             continue
+        sc = spark.sparkContext
+        group = f"plan-build-{name}"
         try:
-            info = audit_plan(fn(spark, sf_dir))
+            sc.setJobGroup(group, "plan construction should be lazy")
+            df = fn(spark, sf_dir)
+            sc.setLocalProperty("spark.jobGroup.id", None)
+            tracker = sc.statusTracker()
+            eager_tasks = 0
+            for j in tracker.getJobIdsForGroup(group):
+                job = tracker.getJobInfo(j)
+                for s in job.stageIds if job else ():
+                    stage = tracker.getStageInfo(s)
+                    eager_tasks += stage.numTasks if stage else 0
+            info = audit_plan(df)
         except Exception as exc:  # noqa: BLE001 — report and continue
+            sc.setLocalProperty("spark.jobGroup.id", None)
             print(f"{name:32s} ERROR {exc!r}")
             failures.append(name)
             continue
@@ -67,8 +86,11 @@ def main() -> None:
         if name in MUST_PUSH and not info["pushed_filters"]:
             flags.append("NO-PUSHDOWN!")
             failures.append(name)
+        if name in MUST_LAZY and eager_tasks > LAZY_TASK_BUDGET:
+            flags.append("EAGER-BUILD!")
+            failures.append(name)
         print(
-            f"{name:32s} exch={info['exchanges']:2d} "
+            f"{name:32s} eager={eager_tasks:2d} exch={info['exchanges']:2d} "
             f"bcast={info['broadcast_joins']} smj={info['sortmerge_joins']} "
             f"py={info['python_stages']} scans={info['scans']} "
             f"wscg={info['wscg_spans']:2d} "
