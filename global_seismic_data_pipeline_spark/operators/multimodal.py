@@ -7,20 +7,28 @@ stream through Python in columnar batches (never row-at-a-time), and the
 surrounding plan (partitioning, predicate pushdown on metadata, column
 pruning of the heavy payload) stays fully native.
 
-The actual codec step is STUBBED here (no image/audio libraries in this
-environment): ``decode_image_batch`` raises NotImplementedError unless the
-deterministic fake decoder is requested. The Spark-side plumbing — schema,
-batch iteration, payload pruning — is real and tested.
+Codec support is split by what this environment can actually decode:
+**BMP images and PCM WAV audio have REAL codecs** (pure numpy / stdlib
+``wave``, see :mod:`.codecs`) — decode, nearest-neighbor resize, audio
+feature extraction, and frame slicing operate on real pixels/samples.
+JPEG/PNG/MP4 need PIL/ffmpeg (absent here) and stay behind documented
+NotImplementedError guards; ``fake=True`` selects a deterministic stand-in
+so the distributed plumbing is testable on arbitrary payloads. The
+Spark-side plumbing — schema, batch iteration, payload pruning — is real
+and tested in all modes.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from . import codecs
 
 METADATA_SCHEMA = (
     "doc_id long, payload_bytes long, header_byte long, width long, height long"
@@ -37,14 +45,27 @@ def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 def decode_image_batch(payloads: pd.Series, *, fake: bool = False) -> pd.DataFrame:
     """Decode a batch of image payloads to (width, height, header_byte).
 
-    STUB: real decoding needs PIL/ffmpeg (absent here). ``fake=True`` uses
-    a deterministic stand-in derived from the bytes so the distributed
-    plumbing is testable end-to-end."""
+    Real path (``fake=False``): BMP payloads are decoded with the pure-numpy
+    codec (:func:`codecs.decode_bmp`) — width/height come from actual pixel
+    data. JPEG/PNG need PIL (absent here) and raise NotImplementedError.
+    ``fake=True`` uses a deterministic stand-in derived from the bytes so
+    the distributed plumbing is testable on arbitrary payloads."""
     if not fake:
-        raise NotImplementedError(
-            "image decoding requires PIL/libvips — not available in this "
-            "environment; pass fake=True for the deterministic stand-in"
-        )
+        recs = []
+        for b in payloads:
+            b = bytes(b)
+            kind = codecs.sniff(b)
+            if kind != "bmp":
+                raise NotImplementedError(
+                    f"decoding {kind or 'unknown'} payloads requires PIL/libvips "
+                    "— only BMP has a built-in codec; pass fake=True for the "
+                    "deterministic stand-in"
+                )
+            px = codecs.decode_bmp(b)
+            recs.append((len(b), b[0], px.shape[1], px.shape[0]))
+        return pd.DataFrame(
+            recs, columns=["payload_bytes", "header_byte", "width", "height"]
+        ).astype("int64")
     lengths = payloads.map(len)
     # header as the first CHARACTER's codepoint (UTF-8 decode), not the
     # first raw byte: byte 0 of a multi-byte char is encoding-dependent
@@ -66,16 +87,21 @@ def decode_image_batch(payloads: pd.Series, *, fake: bool = False) -> pd.DataFra
     )
 
 
-def extract_metadata(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+def extract_metadata(
+    df: DataFrame, *, id_col: str = "doc_id", fake: bool = True
+) -> DataFrame:
     """mapInPandas metadata extraction over the binary payload.
 
     Arrow-batched; only (id, payload) reach Python — Spark prunes all other
-    columns. Output is the typed metadata table."""
+    columns. Output is the typed metadata table. ``fake=False`` selects the
+    real BMP codec (see :func:`decode_image_batch`); the default keeps the
+    deterministic stand-in so arbitrary (e.g. text-derived) payloads work —
+    the driver's ``multimodal_metadata`` query relies on that."""
     pruned = df.select(id_col, "payload")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            meta = decode_image_batch(pdf["payload"], fake=True)
+            meta = decode_image_batch(pdf["payload"], fake=fake)
             meta.insert(0, "doc_id", pdf[id_col].astype("int64").to_numpy())
             yield meta
 
@@ -95,17 +121,31 @@ def resize_images(
 ) -> DataFrame:
     """Resize image payloads to (width, height) via mapInPandas.
 
-    STUB codec (no PIL here): ``fake=True`` emits a deterministic
-    truncated/padded byte payload of width*height bytes so the Arrow batch
-    shape, schema, and pruning are exercised end-to-end; the real decoder
-    drops in by replacing the inner function only."""
+    Real path (``fake=False``): BMP payloads are decoded, resampled with
+    the pixel-center nearest-neighbor kernel (:func:`codecs.resize_nearest`,
+    PIL-NEAREST-compatible grid), and re-encoded as BMP — a genuine
+    pixels-in/pixels-out transform with no external libraries. JPEG/PNG
+    raise NotImplementedError (needs PIL). ``fake=True`` emits a
+    deterministic truncated/padded byte payload of width*height bytes so
+    the Arrow batch shape, schema, and pruning are exercised on arbitrary
+    payloads."""
+
+    def _resize_real(b) -> bytes:
+        b = bytes(b)
+        kind = codecs.sniff(b)
+        if kind != "bmp":
+            raise NotImplementedError(
+                f"resizing {kind or 'unknown'} payloads requires PIL/libvips "
+                "— only BMP has a built-in codec; pass fake=True for the "
+                "deterministic stand-in"
+            )
+        return codecs.encode_bmp(
+            codecs.resize_nearest(codecs.decode_bmp(b), width, height)
+        )
 
     def resize_batch(payloads: pd.Series) -> pd.Series:
         if not fake:
-            raise NotImplementedError(
-                "image resize requires PIL/libvips — pass fake=True for the "
-                "deterministic stand-in"
-            )
+            return payloads.map(_resize_real)
         target = width * height
         return payloads.map(
             lambda b: bytes(b[:target]).ljust(target, b"\0")
@@ -141,18 +181,45 @@ def sample_frames(
     """Sample 'frames' from a video payload — a 1→N mapInPandas expansion
     (the multimodal analogue of explode, but batched through Arrow).
 
-    STUB codec: with ``fake=True`` each frame is a fixed-stride byte slice;
-    a real implementation swaps in ffmpeg keyframe extraction with the
-    exact same batch contract (one output row per sampled frame)."""
+    Real path (``fake=False``): payloads that are a concatenation of BMP
+    images (a naive motion-BMP container — each frame's byte length sits in
+    its own header at offset 2) are split into per-frame BMP payloads by
+    walking the declared sizes; ``max_frames`` caps the expansion. True
+    video containers (MP4 etc.) raise NotImplementedError (needs ffmpeg).
+    With ``fake=True`` each frame is a fixed-stride byte slice; both modes
+    share the exact batch contract (one output row per sampled frame)."""
 
     pruned = df.select(id_col, "payload")
 
+    def _split_bmp_frames(b: bytes) -> list[bytes]:
+        if codecs.sniff(b) != "bmp":
+            raise NotImplementedError(
+                f"frame sampling from {codecs.sniff(b) or 'unknown'} payloads "
+                "requires ffmpeg — only concatenated-BMP containers have a "
+                "built-in parser; pass fake=True for the deterministic stand-in"
+            )
+        frames, off = [], 0
+        while off + codecs.BMP_HEADER_SIZE <= len(b) and len(frames) < max_frames:
+            if b[off:off + 2] != b"BM":
+                break
+            size = int.from_bytes(b[off + 2:off + 6], "little")
+            if size < codecs.BMP_HEADER_SIZE or off + size > len(b):
+                break
+            frames.append(b[off:off + size])
+            off += size
+        return frames
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if not fake:
-            raise NotImplementedError(
-                "frame sampling requires ffmpeg — pass fake=True for the "
-                "deterministic stand-in"
-            )
+            for pdf in batches:
+                ids, idxs, frames = [], [], []
+                for i, b in zip(pdf[id_col].astype("int64"), pdf["payload"]):
+                    for j, fr in enumerate(_split_bmp_frames(bytes(b))):
+                        ids.append(i)
+                        idxs.append(j)
+                        frames.append(fr)
+                yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+            return
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for i, b in zip(pdf[id_col].astype("int64"), pdf["payload"]):
@@ -163,3 +230,50 @@ def sample_frames(
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
 
     return pruned.mapInPandas(gen, schema=FRAMES_SCHEMA)
+
+
+AUDIO_SCHEMA = (
+    "doc_id long, sample_rate long, num_samples long, duration_s double, "
+    "rms double, peak long"
+)
+
+
+def extract_audio_features(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Decode PCM WAV payloads and compute per-clip features via mapInPandas.
+
+    REAL codec (stdlib ``wave`` + numpy, :func:`codecs.decode_wav`): output
+    is (sample_rate, num_samples, duration_s, rms, peak) from actual
+    samples. Same distributed shape as :func:`extract_metadata` — only
+    (id, payload) reach Python, Arrow-batched, metadata-only result so the
+    heavy payload never travels further than this stage. Non-WAV payloads
+    raise NotImplementedError (MP3/AAC need ffmpeg)."""
+    pruned = df.select(id_col, "payload")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for i, b in zip(pdf[id_col].astype("int64"), pdf["payload"]):
+                b = bytes(b)
+                if codecs.sniff(b) != "wav":
+                    raise NotImplementedError(
+                        f"decoding {codecs.sniff(b) or 'unknown'} audio requires "
+                        "ffmpeg — only PCM WAV has a built-in codec"
+                    )
+                samples, rate = codecs.decode_wav(b)
+                n = int(samples.size)
+                x = samples.astype(np.float64)
+                recs.append((
+                    int(i), rate, n,
+                    n / rate if rate else 0.0,
+                    float(np.sqrt(np.mean(x * x))) if n else 0.0,
+                    int(np.max(np.abs(x))) if n else 0,
+                ))
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "doc_id", "sample_rate", "num_samples",
+                    "duration_s", "rms", "peak",
+                ],
+            )
+
+    return pruned.mapInPandas(gen, schema=AUDIO_SCHEMA)

@@ -1,0 +1,119 @@
+"""Real codec paths: pure-numpy BMP, stdlib WAV, and their Spark operators."""
+
+import numpy as np
+import pytest
+
+from global_seismic_data_pipeline_spark.operators import codecs, multimodal
+
+
+def _gradient(h, w):
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(x * 7) % 256, (y * 11) % 256, (x + y) % 256], axis=-1
+    ).astype(np.uint8)
+
+
+def test_bmp_round_trip_padded_width():
+    # w=5 -> 15-byte rows padded to 16: exercises the stride math
+    px = _gradient(4, 5)
+    assert np.array_equal(codecs.decode_bmp(codecs.encode_bmp(px)), px)
+
+
+def test_bmp_round_trip_aligned_width():
+    px = _gradient(3, 8)
+    assert np.array_equal(codecs.decode_bmp(codecs.encode_bmp(px)), px)
+
+
+def test_sniff_magic_bytes():
+    assert codecs.sniff(codecs.encode_bmp(_gradient(2, 2))) == "bmp"
+    assert codecs.sniff(codecs.encode_wav(np.zeros(4, dtype=np.int16))) == "wav"
+    assert codecs.sniff(b"\x89PNG\r\n\x1a\nxxxx") == "png"
+    assert codecs.sniff(b"\xff\xd8\xff\xe0") == "jpeg"
+    assert codecs.sniff(b"hello world") is None
+
+
+def test_decode_bmp_rejects_garbage():
+    with pytest.raises(ValueError):
+        codecs.decode_bmp(b"not a bitmap at all, far too short pad pad pad pad pad")
+
+
+def test_resize_nearest_identity_and_downsample():
+    px = _gradient(4, 4)
+    assert np.array_equal(codecs.resize_nearest(px, 4, 4), px)
+    half = codecs.resize_nearest(px, 2, 2)
+    # pixel-center mapping: dst 0 -> src floor(0.5*2)=1, dst 1 -> src 3
+    assert np.array_equal(half, px[[1, 3]][:, [1, 3]])
+
+
+def test_wav_round_trip():
+    t = np.arange(800)
+    sine = (np.sin(2 * np.pi * 440 * t / 8000) * 20000).astype(np.int16)
+    samples, rate = codecs.decode_wav(codecs.encode_wav(sine, 8000))
+    assert rate == 8000
+    assert np.array_equal(samples, sine)
+
+
+@pytest.fixture(scope="module")
+def bmp_df(spark):
+    rows = [(i, bytearray(codecs.encode_bmp(_gradient(6 + i, 5 + i)))) for i in range(3)]
+    return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+
+def test_extract_metadata_real_bmp(spark, bmp_df):
+    out = {r.doc_id: r for r in multimodal.extract_metadata(bmp_df, fake=False).collect()}
+    for i in range(3):
+        assert (out[i].width, out[i].height) == (5 + i, 6 + i)
+        assert out[i].header_byte == ord("B")
+
+
+def test_resize_images_real_bmp(spark, bmp_df):
+    out = {r.doc_id: r for r in
+           multimodal.resize_images(bmp_df, width=3, height=2).collect()}
+    for i in range(3):
+        got = codecs.decode_bmp(bytes(out[i].payload))
+        want = codecs.resize_nearest(_gradient(6 + i, 5 + i), 3, 2)
+        assert np.array_equal(got, want)
+        assert out[i].out_width == 3 and out[i].out_height == 2
+
+
+def test_sample_frames_real_concatenated_bmp(spark):
+    frames = [codecs.encode_bmp(_gradient(2, 2 + k)) for k in range(5)]
+    container = b"".join(frames)
+    df = spark.createDataFrame(
+        [(1, bytearray(container)), (2, bytearray(frames[0]))],
+        "doc_id long, payload binary",
+    )
+    out = multimodal.sample_frames(df, max_frames=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 4  # 5 frames capped at 4
+    for r in by_doc[1]:
+        assert bytes(r.frame) == frames[r.frame_idx]
+        assert codecs.decode_bmp(bytes(r.frame)).shape == (2, 2 + r.frame_idx, 3)
+    assert len(by_doc[2]) == 1
+
+
+def test_extract_audio_features_real_wav(spark):
+    loud = (np.sin(2 * np.pi * np.arange(1600) * 440 / 16000) * 20000).astype(np.int16)
+    quiet = (loud // 10).astype(np.int16)
+    df = spark.createDataFrame(
+        [(1, bytearray(codecs.encode_wav(loud))),
+         (2, bytearray(codecs.encode_wav(quiet)))],
+        "doc_id long, payload binary",
+    )
+    out = {r.doc_id: r for r in multimodal.extract_audio_features(df).collect()}
+    assert out[1].sample_rate == 16000 and out[1].num_samples == 1600
+    assert out[1].duration_s == pytest.approx(0.1)
+    assert out[1].rms == pytest.approx(20000 / np.sqrt(2), rel=0.01)
+    assert out[1].peak == 20000
+    assert out[2].rms < out[1].rms / 5
+
+
+def test_non_bmp_payload_raises_not_implemented(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG\r\n\x1a\n" + b"\0" * 64))],
+        "doc_id long, payload binary",
+    )
+    with pytest.raises(Exception, match="png"):
+        multimodal.extract_metadata(df, fake=False).collect()
