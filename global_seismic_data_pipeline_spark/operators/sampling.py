@@ -84,6 +84,46 @@ def hash_split(
     return df.withColumn(out_col, split_column(F.col(key_col), fractions, salt=salt))
 
 
+def rate_bound(rate: float) -> str:
+    """Hex md5-prefix upper bound for a keep-rate in [0, 1]."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1] (got {rate})")
+    if rate >= 1.0:
+        return "g" * _HEX_DIGITS  # > every hex string: keep all
+    return format(int(rate * 16**_HEX_DIGITS), f"0{_HEX_DIGITS}x")
+
+
+def stratified_sample(
+    df: DataFrame,
+    *,
+    strata_col: str,
+    key_col: str,
+    rates: Mapping[str, float],
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff the md5-prefix of
+    its key falls under the stratum's rate threshold.
+
+    The map-side, engine-portable form of ``df.sampleBy``: same md5
+    mechanics as :func:`hash_split` (reproducible across runs, engines and
+    partitionings — seeded RNG sampling is none of those), so rebalancing
+    a corpus (e.g. downsampling over-represented languages) is exactly
+    repeatable and oracle-checkable. No shuffle; strata not in ``rates``
+    fall back to ``default_rate``."""
+    prefix = F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit("|" + salt))),
+        1,
+        _HEX_DIGITS,
+    )
+    bound = F.lit(rate_bound(default_rate))
+    for label, rate in rates.items():
+        bound = F.when(
+            F.col(strata_col) == F.lit(label), F.lit(rate_bound(rate))
+        ).otherwise(bound)
+    return df.filter(prefix < bound)
+
+
 def pack_token_shards(
     df: DataFrame,
     *,

@@ -11,7 +11,7 @@ heuristic), document fingerprinting (normalization + md5), shingling.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword signals for the heuristic language-ID.
@@ -117,6 +117,125 @@ def shingles_from_words(words: Column, n: int = 3) -> Column:
     # short documents to an empty shingle set instead.
     return F.when(k >= 1, F.array_distinct(shingles)).otherwise(
         F.array().cast("array<string>")
+    )
+
+
+def token_rows(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, pos, tok) rows of the normalized text — split → posexplode,
+    the sanctioned row-generation path (never explode an HOF-built array;
+    see neardup module docstring)."""
+    return df.select(
+        id_col,
+        F.posexplode(F.split(normalized(F.col(text_col)), " ")).alias("pos", "tok"),
+    )
+
+
+def repetition_stats(
+    df,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dup_token_frac: float = 0.5,
+    max_top_bigram_frac: float = 0.18,
+) -> DataFrame:
+    """Gopher-style repetition features + keep/drop flag per document.
+
+    Per doc: total/distinct token counts, the most-frequent token's and
+    bigram's share, the duplicate-token fraction, and ``keep`` (1 when
+    both repetition fractions are under their thresholds) — the repetition
+    family of the Gopher quality rules (massive-web-corpora filtering).
+
+    Fractions are exact count ratios left UNROUNDED: both engines do the
+    same IEEE count/count division, and rounding would add a HALF_UP
+    hazard for nothing (plans/workloads.py float discipline).
+
+    Scale shape: tokens are generated as rows (linear in corpus size),
+    then two partial-aggregated shuffles — by (doc, token) and by doc —
+    plus one windowed pass for bigrams; skew is bounded by the longest
+    single document, so this survives 100 TB corpora."""
+    toks = token_rows(df, id_col=id_col, text_col=text_col)
+    uni = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    per_uni = uni.groupBy(id_col).agg(
+        F.sum("cnt").alias("total_tokens"),
+        F.count(F.lit(1)).alias("distinct_tokens"),
+        F.max("cnt").alias("top_token_cnt"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    bigrams = (
+        toks.withColumn("nxt", F.lead("tok").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(id_col, F.concat_ws(" ", "tok", "nxt").alias("bigram"))
+    )
+    per_big = (
+        bigrams.groupBy(id_col, "bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("total_bigrams"),
+            F.max("cnt").alias("top_bigram_cnt"),
+        )
+    )
+    joined = per_uni.join(per_big, id_col, "left").select(
+        id_col,
+        "total_tokens",
+        "distinct_tokens",
+        "top_token_cnt",
+        F.coalesce("total_bigrams", F.lit(0)).alias("total_bigrams"),
+        F.coalesce("top_bigram_cnt", F.lit(0)).alias("top_bigram_cnt"),
+    )
+    dup_frac = F.lit(1.0) - F.col("distinct_tokens") / F.col("total_tokens")
+    top_tok_frac = F.col("top_token_cnt") / F.col("total_tokens")
+    top_big_frac = F.when(F.col("total_bigrams") > 0,
+                          F.col("top_bigram_cnt") / F.col("total_bigrams")
+                          ).otherwise(F.lit(0.0))
+    return (
+        joined.withColumn("dup_token_frac", dup_frac)
+        .withColumn("top_token_frac", top_tok_frac)
+        .withColumn("top_bigram_frac", top_big_frac)
+        .withColumn(
+            "keep",
+            (
+                (F.col("dup_token_frac") <= F.lit(max_dup_token_frac))
+                & (F.col("top_bigram_frac") <= F.lit(max_top_bigram_frac))
+            ).cast("long"),
+        )
+    )
+
+
+def corpus_top_ngrams(
+    df,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams with deterministic tie-break
+    (count DESC, ngram ASC) — vocabulary/contamination spot-checks.
+
+    Shape: token rows → (n-1) leads over a per-doc window → one
+    partial-aggregated shuffle keyed by ngram → global top-k. The final
+    sort sees only the distinct-ngram table, already combiner-reduced
+    map-side; with AQE the top-k is a TakeOrdered over that — no
+    full-corpus sort at any point."""
+    toks = token_rows(df, id_col=id_col, text_col=text_col)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    cols = [F.col("tok")] + [
+        F.lead("tok", i).over(w).alias(f"t{i}") for i in range(1, n)
+    ]
+    grams = toks.select(*cols)
+    for i in range(1, n):
+        grams = grams.filter(F.col(f"t{i}").isNotNull())
+    grams = grams.select(
+        F.concat_ws(" ", "tok", *[f"t{i}" for i in range(1, n)]).alias("ngram")
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("ngram").asc())
+        .limit(k)
     )
 
 

@@ -389,3 +389,134 @@ WHERE NOT EXISTS (
 """
 
 ORACLES_EXT["decontaminate_docs"] = DECONTAMINATE_SQL
+
+# --------------------------------------------------------------------------
+# PII redaction / repetition filter / URL normalization / stratified sample
+# / corpus n-grams. Patterns live in the RE2∩Java-regex subset so both
+# engines evaluate them identically (operators/scrub.py docstring).
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_SSN = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+_PII_PHONE = r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"
+_PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+PII_REDACT_SQL = rf"""
+WITH aug AS (
+    SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0 THEN
+            text || ' contact u' || doc_id || '@mail.example.com ph 555-'
+                 || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                 || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 || ' ip 10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+                 || ' ssn 987-65-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        ELSE text END AS text
+    FROM documents
+)
+SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+    CAST(len(regexp_extract_all(text, '{_PII_SSN}')) AS BIGINT) AS n_ssn,
+    CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+    CAST(len(regexp_extract_all(text, '{_PII_IP}')) AS BIGINT) AS n_ipv4,
+    regexp_replace(
+        regexp_replace(
+            regexp_replace(
+                regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                '{_PII_SSN}', '<SSN>', 'g'),
+            '{_PII_PHONE}', '<PHONE>', 'g'),
+        '{_PII_IP}', '<IP>', 'g') AS clean_text
+FROM aug
+"""
+
+REPETITION_FILTER_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split({NORM}, ' ')) AS tok FROM documents
+), uni AS (
+    SELECT doc_id, tok, COUNT(*) AS cnt FROM toks GROUP BY doc_id, tok
+), per_uni AS (
+    SELECT doc_id,
+        CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+        CAST(COUNT(*) AS BIGINT) AS distinct_tokens,
+        CAST(MAX(cnt) AS BIGINT) AS top_token_cnt
+    FROM uni GROUP BY doc_id
+), bigs AS (
+    SELECT doc_id,
+        unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram
+    FROM (SELECT doc_id, string_split({NORM}, ' ') AS w FROM documents)
+), per_big AS (
+    SELECT doc_id,
+        CAST(SUM(cnt) AS BIGINT) AS total_bigrams,
+        CAST(MAX(cnt) AS BIGINT) AS top_bigram_cnt
+    FROM (SELECT doc_id, bigram, COUNT(*) AS cnt FROM bigs GROUP BY doc_id, bigram)
+    GROUP BY doc_id
+), joined AS (
+    SELECT u.doc_id, u.total_tokens, u.distinct_tokens, u.top_token_cnt,
+        COALESCE(b.total_bigrams, 0) AS total_bigrams,
+        COALESCE(b.top_bigram_cnt, 0) AS top_bigram_cnt
+    FROM per_uni u LEFT JOIN per_big b ON u.doc_id = b.doc_id
+)
+SELECT doc_id, total_tokens, distinct_tokens, top_token_cnt,
+    total_bigrams, top_bigram_cnt,
+    1.0 - (distinct_tokens / total_tokens) AS dup_token_frac,
+    top_token_cnt / total_tokens AS top_token_frac,
+    CASE WHEN total_bigrams > 0 THEN top_bigram_cnt / total_bigrams
+         ELSE 0.0 END AS top_bigram_frac,
+    CAST(
+        (1.0 - (distinct_tokens / total_tokens)) <= 0.5
+        AND (CASE WHEN total_bigrams > 0 THEN top_bigram_cnt / total_bigrams
+                  ELSE 0.0 END) <= 0.18
+    AS BIGINT) AS keep
+FROM joined
+"""
+
+URL_HOST_STATS_SQL = r"""
+WITH urls AS (
+    SELECT doc_id,
+        lower('https://WWW.Host' || (doc_id % 50) || '.example.com:443/p/'
+              || doc_id || '?utm_source=x&sid=' || (doc_id % 7) || '#frag') AS url
+    FROM documents
+), canon AS (
+    SELECT
+        regexp_replace(
+            regexp_replace(
+                lower(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)),
+                ':[0-9]+$', ''),
+            '^www\.', '') AS host,
+        regexp_extract(url, '^([^?#]*)', 1) AS clean_url
+    FROM urls
+)
+SELECT host,
+    CAST(COUNT(*) AS BIGINT) AS n_urls,
+    CAST(COUNT(DISTINCT clean_url) AS BIGINT) AS n_pages
+FROM canon GROUP BY host
+"""
+
+# Bounds = operators/sampling.py rate_bound(rate): format(int(rate*16**8),
+# '08x'), 'gggggggg' for rate >= 1 — pinned by tests/test_sampling.py.
+STRATIFIED_SAMPLE_SQL = r"""
+SELECT doc_id, lang, source FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR) || '|strat1'), 1, 8) <
+    CASE lang
+        WHEN 'en' THEN '80000000'
+        WHEN 'zh' THEN 'cccccccc'
+        WHEN 'es' THEN '99999999'
+        WHEN 'fr' THEN 'gggggggg'
+        ELSE '40000000' END
+"""
+
+CORPUS_TOP_TRIGRAMS_SQL = rf"""
+WITH grams AS (
+    SELECT unnest(list_transform(range(1, len(w) - 1),
+        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ngram
+    FROM (SELECT string_split({NORM}, ' ') AS w FROM documents)
+)
+SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n
+FROM grams GROUP BY ngram
+ORDER BY n DESC, ngram ASC
+LIMIT 20
+"""
+
+ORACLES_EXT["pii_redact_docs"] = PII_REDACT_SQL
+ORACLES_EXT["repetition_filter_docs"] = REPETITION_FILTER_SQL
+ORACLES_EXT["url_host_stats"] = URL_HOST_STATS_SQL
+ORACLES_EXT["stratified_sample_docs"] = STRATIFIED_SAMPLE_SQL
+ORACLES_EXT["corpus_top_trigrams"] = CORPUS_TOP_TRIGRAMS_SQL

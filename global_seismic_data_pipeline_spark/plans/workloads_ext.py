@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import dedup, multimodal, neardup, similarity, skew, text
+from ..operators import dedup, multimodal, neardup, scrub, similarity, skew, text
 from ..operators.asof import asof_join
 from ..operators.partitioning import ensure_parallelism
 from ..sources.catalog import load_table
@@ -281,6 +281,92 @@ def pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("toks").alias("shard_tokens"),
     )
+
+
+def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: every third doc gets deterministic synthetic PII (email,
+    phone, IPv4, SSN-shaped) appended, then the redaction operator counts
+    and replaces each kind. Map-side only — JVM regex under whole-stage
+    codegen, no Python, no shuffle: at 100 TB the scan is the cost.
+    The synthesis is part of the query on BOTH engines, so the oracle
+    checks the actual regex semantics, not a no-op."""
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    pii = F.concat(
+        F.col("text"),
+        F.lit(" contact u"), s(i), F.lit("@mail.example.com ph 555-"),
+        F.lpad(s(i % 1000), 3, "0"), F.lit("-"), F.lpad(s(i % 10000), 4, "0"),
+        F.lit(" ip 10.0."), s(i % 256), F.lit("."), s((i * 7) % 256),
+        F.lit(" ssn 987-65-"), F.lpad(s(i % 10000), 4, "0"),
+    )
+    aug = d.select(
+        "doc_id",
+        F.when(i % 3 == 0, pii).otherwise(F.col("text")).alias("text"),
+    )
+    out = scrub.redact_pii(aug)
+    return out.select(
+        "doc_id", "n_email", "n_ssn", "n_phone", "n_ipv4", "clean_text"
+    )
+
+
+def repetition_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality features + keep flag
+    (operators/text.py repetition_stats)."""
+    out = text.repetition_stats(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "total_tokens", "distinct_tokens", "top_token_cnt",
+        "total_bigrams", "top_bigram_cnt", "dup_token_frac",
+        "top_token_frac", "top_bigram_frac", "keep",
+    )
+
+
+def url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization: synthetic per-doc URLs (scheme, www, port,
+    tracking params, fragment) are normalized — host extracted and
+    lower-cased, www./port stripped, query+fragment dropped — then
+    aggregated per host. Map-side scrub + one partial-aggregated shuffle
+    on the (tiny) host key."""
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://WWW.Host"), (i % 50).cast("string"),
+        F.lit(".example.com:443/p/"), i.cast("string"),
+        F.lit("?utm_source=x&sid="), (i % 7).cast("string"), F.lit("#frag"),
+    )
+    urls = d.select("doc_id", F.lower(url).alias("url"))
+    canon = urls.select(
+        scrub.url_host(F.col("url")).alias("host"),
+        scrub.url_strip_tracking(F.col("url")).alias("clean_url"),
+    )
+    return canon.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("clean_url").alias("n_pages"),
+    )
+
+
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalancing sample: per-lang keep rates via deterministic
+    md5-threshold (operators/sampling.py stratified_sample) — the
+    engine-portable, reproducible form of sampleBy. Returns the sampled
+    rows themselves so the oracle hash checks membership exactly."""
+    from ..operators import sampling
+
+    out = sampling.stratified_sample(
+        _docs(spark, sf_dir),
+        strata_col="lang",
+        key_col="doc_id",
+        rates={"en": 0.5, "zh": 0.8, "es": 0.6, "fr": 1.0},
+        default_rate=0.25,  # exercised by 'de'
+        salt="strat1",
+    )
+    return out.select("doc_id", "lang", "source")
+
+
+def corpus_top_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 word trigrams, deterministic tie-break
+    (operators/text.py corpus_top_ngrams)."""
+    return text.corpus_top_ngrams(_docs(spark, sf_dir), n=3, k=20)
 
 
 def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
