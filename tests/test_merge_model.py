@@ -4,7 +4,15 @@ Python dict."""
 
 from hypothesis import HealthCheck, given, settings, strategies as st
 
+import pytest
+
 from global_seismic_data_pipeline_spark.sources.warehouse import Warehouse
+from global_seismic_data_pipeline_spark.sources.versioned import VersionedWarehouse
+
+
+@pytest.fixture(params=[Warehouse, VersionedWarehouse], ids=["plain", "versioned"])
+def wh_cls(request):
+    return request.param
 
 _spark = None
 
@@ -28,12 +36,12 @@ batch_strategy = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(batches=batch_strategy)
-def test_merge_sequence_equals_dict_model(batches):
+def test_merge_sequence_equals_dict_model(wh_cls, batches):
     spark = _spark
     import tempfile
 
     root = tempfile.mkdtemp(prefix="mergemodel-")
-    wh = Warehouse(spark, root)
+    wh = wh_cls(spark, root)
     model: dict[str, int] = {}
     for batch in batches:
         df = spark.createDataFrame(batch, "k string, v int")

@@ -5,12 +5,22 @@ from datetime import datetime
 
 from pyspark.sql import functions as F
 
+import pytest
+
 from global_seismic_data_pipeline_spark.sources.warehouse import Warehouse
+from global_seismic_data_pipeline_spark.sources.versioned import VersionedWarehouse
+
+
+@pytest.fixture(params=[Warehouse, VersionedWarehouse], ids=["plain", "versioned"])
+def wh_cls(request):
+    """Every warehouse-semantics test runs under BOTH backends — the
+    versioned (Delta-style commit log) warehouse must be a drop-in."""
+    return request.param
 from global_seismic_data_pipeline_spark.state import WatermarkStore
 
 
-def test_watermark_init_get_advance(spark, tmp_path):
-    wh = Warehouse(spark, str(tmp_path / "wh"))
+def test_watermark_init_get_advance(spark, tmp_path, wh_cls):
+    wh = wh_cls(spark, str(tmp_path / "wh"))
     store = WatermarkStore(wh)
     assert store.get("t") is None
     store.init("t", "time", datetime(2000, 1, 1))
@@ -30,8 +40,8 @@ def test_watermark_init_get_advance(spark, tmp_path):
     assert e.records_processed == 107
 
 
-def test_watermark_init_is_idempotent(spark, tmp_path):
-    wh = Warehouse(spark, str(tmp_path / "wh"))
+def test_watermark_init_is_idempotent(spark, tmp_path, wh_cls):
+    wh = wh_cls(spark, str(tmp_path / "wh"))
     store = WatermarkStore(wh)
     store.init("t", "time", datetime(2001, 1, 1))
     store.advance("t", datetime(2020, 1, 1), 5)
@@ -39,8 +49,8 @@ def test_watermark_init_is_idempotent(spark, tmp_path):
     assert store.get("t").watermark_value == datetime(2020, 1, 1)
 
 
-def test_merge_insert_then_update(spark, tmp_path):
-    wh = Warehouse(spark, str(tmp_path / "wh"))
+def test_merge_insert_then_update(spark, tmp_path, wh_cls):
+    wh = wh_cls(spark, str(tmp_path / "wh"))
     base = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
     wh.merge(base, "t", ["k"])
     upd = spark.createDataFrame([("b", 20), ("c", 3)], "k string, v int")
@@ -49,8 +59,8 @@ def test_merge_insert_then_update(spark, tmp_path):
     assert got == {"a": 1, "b": 20, "c": 3}
 
 
-def test_merge_is_idempotent(spark, tmp_path):
-    wh = Warehouse(spark, str(tmp_path / "wh"))
+def test_merge_is_idempotent(spark, tmp_path, wh_cls):
+    wh = wh_cls(spark, str(tmp_path / "wh"))
     upd = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
     wh.merge(upd, "t", ["k"])
     before = sorted((r.k, r.v) for r in wh.read("t").collect())
@@ -59,11 +69,11 @@ def test_merge_is_idempotent(spark, tmp_path):
     assert before == after
 
 
-def test_partition_pruned_merge(spark, tmp_path):
+def test_partition_pruned_merge(spark, tmp_path, wh_cls):
     """MERGE with prune_partition_col rewrites only touched partitions."""
     import os
 
-    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh = wh_cls(spark, str(tmp_path / "wh"))
     base = spark.createDataFrame(
         [("a", 1, "2025-01"), ("b", 2, "2025-01"), ("c", 3, "2025-02"),
          ("d", 4, "2025-03")],
@@ -88,10 +98,10 @@ def test_partition_pruned_merge(spark, tmp_path):
     assert wh.read("t").count() == 5
 
 
-def test_pruned_merge_handles_partition_movers(spark, tmp_path):
+def test_pruned_merge_handles_partition_movers(spark, tmp_path, wh_cls):
     """A key whose partition-column value changes must not leave a stale
     copy in its old partition."""
-    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh = wh_cls(spark, str(tmp_path / "wh"))
     base = spark.createDataFrame(
         [("e1", 1, "2024"), ("e2", 2, "2025")], "k string, v int, year string"
     )
@@ -107,9 +117,9 @@ def test_pruned_merge_handles_partition_movers(spark, tmp_path):
     assert wh.read("t").filter("year = '2024'").count() == 0
 
 
-def test_pruned_merge_null_partition_values(spark, tmp_path):
+def test_pruned_merge_null_partition_values(spark, tmp_path, wh_cls):
     """NULL partition values must not be silently dropped or deleted."""
-    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh = wh_cls(spark, str(tmp_path / "wh"))
     base = spark.createDataFrame(
         [("a", 1, None), ("b", 2, None), ("c", 3, "2025")],
         "k string, v int, year string",
@@ -127,10 +137,10 @@ def test_pruned_merge_null_partition_values(spark, tmp_path):
     assert rows == {"a": (10, None), "b": (20, 2025), "c": (3, 2025)}
 
 
-def test_plain_overwrite_and_merge_preserve_partitioning(spark, tmp_path):
+def test_plain_overwrite_and_merge_preserve_partitioning(spark, tmp_path, wh_cls):
     """overwrite()/merge() without explicit partition args must keep an
     existing hive layout (flattening would corrupt later pruned merges)."""
-    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh = wh_cls(spark, str(tmp_path / "wh"))
     base = spark.createDataFrame(
         [("a", 1, "2024"), ("b", 2, "2025")], "k string, v int, year string"
     )
@@ -148,10 +158,10 @@ def test_plain_overwrite_and_merge_preserve_partitioning(spark, tmp_path):
     assert got == {"a": 1, "b": 20, "c": 3}
 
 
-def test_compact_preserves_partitioning(spark, tmp_path):
+def test_compact_preserves_partitioning(spark, tmp_path, wh_cls):
     from global_seismic_data_pipeline_spark.pipeline import maintenance
 
-    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh = wh_cls(spark, str(tmp_path / "wh"))
     df = spark.createDataFrame(
         [(i, f"20{20 + i % 3}") for i in range(100)], "v long, year string"
     )
@@ -164,7 +174,7 @@ def test_compact_preserves_partitioning(spark, tmp_path):
     assert res["files_after"] >= 1
 
 
-def test_crash_between_merge_and_watermark_is_safe(spark, tmp_path):
+def test_crash_between_merge_and_watermark_is_safe(spark, tmp_path, wh_cls):
     """At-least-once data, exactly-once effect: if a run dies after the
     silver MERGE but before the watermark advance (the reference's
     double-count hazard, SURVEY §7 hard-part b), the rerun reprocesses the
@@ -176,7 +186,7 @@ def test_crash_between_merge_and_watermark_is_safe(spark, tmp_path):
     from global_seismic_data_pipeline_spark.schemas import BRONZE_EARTHQUAKES
     from conftest import bronze_row
 
-    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh = wh_cls(spark, str(tmp_path / "wh"))
     store = WatermarkStore(wh)
     batch = spark.createDataFrame(
         [bronze_row("x1", dt(2025, 5, 1)), bronze_row("x2", dt(2025, 5, 2))],
@@ -197,9 +207,9 @@ def test_crash_between_merge_and_watermark_is_safe(spark, tmp_path):
     assert after == before  # table identical — no duplicates, no drift
 
 
-def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+def test_bucketed_join_has_no_shuffle(spark, tmp_path, wh_cls):
     """Bucketed-on-same-key tables must join without an Exchange."""
-    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh = wh_cls(spark, str(tmp_path / "wh"))
     left = spark.range(1000).select(
         F.col("id").alias("k"), (F.col("id") * 2).alias("a")
     )
@@ -222,15 +232,19 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bkt_right")
 
 
-def test_atomic_overwrite_derived_from_self(spark, tmp_path):
+def test_atomic_overwrite_derived_from_self(spark, tmp_path, wh_cls):
     """Overwriting a table with a plan that reads the same table must not
     corrupt it (the reference leans on Delta for this; our staging-swap
     provides it on parquet)."""
-    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh = wh_cls(spark, str(tmp_path / "wh"))
     wh.overwrite(spark.range(100).withColumnRenamed("id", "v"), "t")
     doubled = wh.read("t").withColumn("v", F.col("v") * 2)
     wh.overwrite(doubled, "t")
     assert wh.read("t").agg(F.sum("v")).collect()[0][0] == 9900
-    # no staging/trash leftovers
-    leftovers = [d for d in __import__("os").listdir(wh.root) if d.startswith(".")]
+    # no staging/trash leftovers (the versioned backend's commit log is
+    # a permanent directory, not a leftover)
+    leftovers = [
+        d for d in __import__("os").listdir(wh.root)
+        if d.startswith(".") and d != ".snapshots"
+    ]
     assert leftovers == []
