@@ -75,6 +75,22 @@ def cosine_topk(
     )
 
 
+QUANT = 1 << 20
+"""Fixed-point scale for bucket/cell assignment: vectors and planes are
+quantized to ``floor(x * 2^20)`` int64 and dotted in EXACT integer
+arithmetic. Rationale: float dot products are summation-order-dependent
+(numpy's 8-way-unrolled pairwise sum vs a SQL engine's left fold differ in
+the last ulps), so a sign/argmax taken on floats can disagree across
+engines on knife-edge values — unverifiable by an oracle. Integer dots are
+associative: bucket assignment is bit-identical everywhere (and 2^-20
+resolution is far below any LSH/IVF accuracy scale). Magnitudes: |x|<~100
+→ |q|<2^27, dim-64 dot < 2^62 — no int64 overflow."""
+
+
+def quantize(mat: np.ndarray) -> np.ndarray:
+    return np.floor(mat * QUANT).astype(np.int64)
+
+
 def _hyperplanes(dim: int, bits: int, tables: int, seed: int) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.standard_normal((tables, bits, dim))
@@ -92,21 +108,23 @@ def with_lsh_buckets(
     """Add (table, bucket) rows per vector via random-hyperplane signs.
 
     Buckets for ALL tables are computed in one Arrow-batched Pandas UDF as
-    a single numpy matmul — (batch × dim) @ (dim × tables·bits) — then
+    a single integer matmul — quantized (batch × dim) @ (dim × tables·bits)
+    (see ``QUANT``: exact int64 arithmetic makes bucket assignment
+    engine-portable, so the whole ANN pipeline is oracle-checkable) — then
     posexploded to rows. One vectorized pass beats tables×bits interpreted
     higher-order-function dot products per row by an order of magnitude,
     and the UDF output is a materialized attribute, so the explode is a
     plain codegen Generate (no lambda re-evaluation). Planes are seeded
     and baked into the closure — identical across executors and runs."""
     planes = _hyperplanes(dim, bits, tables, seed)
-    # (dim, tables*bits), column-major by table
-    proj = np.concatenate([planes[t].T for t in range(tables)], axis=1)
-    weights = np.power(2.0, np.arange(bits))
+    # (dim, tables*bits), column-major by table; quantized int64
+    proj = quantize(np.concatenate([planes[t].T for t in range(tables)], axis=1))
+    weights = np.power(2, np.arange(bits)).astype(np.int64)
 
     @F.pandas_udf(ArrayType(LongType()))
     def buckets_pd(vecs: pd.Series) -> pd.Series:
         mat = np.array(vecs.tolist(), dtype=np.float64)  # (n, dim)
-        signs = (mat @ proj) > 0  # (n, tables*bits)
+        signs = (quantize(mat) @ proj) > 0  # exact int64 dots
         per_table = signs.reshape(len(mat), tables, bits)
         bkt = (per_table * weights).sum(axis=2).astype(np.int64)  # (n, tables)
         return pd.Series(list(bkt))
@@ -230,18 +248,22 @@ def with_ivf_cells(
 ) -> DataFrame:
     """Assign each vector its ``nprobe`` nearest coarse cells (IVF lists).
 
-    One Arrow-batched matmul against the codebook per batch; emits one row
-    per (vector, probed cell). Corpus side uses nprobe=1 (each vector lives
-    in exactly one inverted list); query side probes several."""
-    cb = _centroids(dim, cells, seed)
+    One Arrow-batched integer matmul against the quantized codebook per
+    batch (see ``QUANT``); emits one row per (vector, probed cell). Cell
+    ranking uses the raw dot against unit-norm centroids — same argmax as
+    cosine (normalizing the query is a positive scalar on every dot), so
+    skipping the normalization removes the one float step that would make
+    ranking engine-dependent. Ties break to the LOWEST cell index (stable
+    argsort ↔ the oracle's ROW_NUMBER ... ORDER BY dot DESC, idx ASC).
+    Corpus side uses nprobe=1 (each vector lives in exactly one inverted
+    list); query side probes several."""
+    cb_q = quantize(_centroids(dim, cells, seed))
 
     @F.pandas_udf(ArrayType(LongType()))
     def cells_pd(vecs: pd.Series) -> pd.Series:
         mat = np.array(vecs.tolist(), dtype=np.float64)
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        sims = (mat / norms) @ cb.T  # (n, cells)
-        top = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int64)
+        sims = quantize(mat) @ cb_q.T  # (n, cells), exact int64
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe].astype(np.int64)
         return pd.Series(list(top))
 
     with_c = df.withColumn("__cells", cells_pd(F.col(vec_col)))

@@ -206,8 +206,8 @@ ORACLES_EXT: dict[str, str] = {
     "multimodal_metadata": MULTIMODAL_METADATA_SQL,
     "tumbling_window_daily": TUMBLING_WINDOW_SQL,
     "sliding_window_7d": SLIDING_WINDOW_SQL,
-    # minhash_near_dup, simhash_near_dup, lsh_ann_topk: rows-only
-    # (xxhash64-based; verified in tests/test_neardup.py instead)
+    # approx_distinct_users is the single remaining rows-only query
+    # (HLL is genuinely approximate; 3σ error bound verified in pytest)
 }
 
 # Thresholds = format(int(cum_fraction * 16**8), '08x') for (0.9, 0.95) —
@@ -514,6 +514,123 @@ FROM grams GROUP BY ngram
 ORDER BY n DESC, ngram ASC
 LIMIT 20
 """
+
+# --------------------------------------------------------------------------
+# ANN top-k full-pipeline oracles (LSH + IVF).
+#
+# Both Spark paths quantize vectors and hyperplanes/centroids to
+# floor(x * 2^20) int64 and assign buckets/cells with EXACT integer dot
+# products (operators/similarity.py QUANT rationale) — so DuckDB replicates
+# the entire candidate-generation stage bit-identically from the same
+# seeded planes, then the exact re-rank reuses the engine-portable rounded
+# cosine of COSINE_TOPK_SQL.
+
+_ANN_DIM, _ANN_K, _ANN_SEED = 64, 5, 42
+_LSH_BITS, _LSH_TABLES = 8, 4
+_IVF_CELLS, _IVF_NPROBE = 16, 4
+
+_XQ = (
+    "list_transform(range(1, 65), i -> "
+    "CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT))"
+)
+
+_RERANK = """
+, scored AS (
+    SELECT c.query_id, c.neighbor_id,
+        ROUND(
+            list_sum(list_transform(range(1, 65),
+                i -> CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(range(1, 65),
+                i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+             * sqrt(list_sum(list_transform(range(1, 65),
+                i -> CAST(n.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE))))),
+        6) AS cosine_sim
+    FROM cands c
+    JOIN embeddings q ON q.vec_id = c.query_id
+    JOIN embeddings n ON n.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine_sim,
+    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY cosine_sim DESC, neighbor_id ASC) AS BIGINT) AS sim_rank
+FROM scored
+QUALIFY sim_rank <= {k}
+""".format(k=_ANN_K)
+
+
+def _int_list(vals) -> str:
+    return "list_value(" + ", ".join(str(int(v)) for v in vals) + ")"
+
+
+def _lsh_ann_sql() -> str:
+    from ..operators.similarity import _hyperplanes, quantize
+
+    planes_q = quantize(_hyperplanes(_ANN_DIM, _LSH_BITS, _LSH_TABLES, _ANN_SEED))
+    tables_sql = []
+    for t in range(_LSH_TABLES):
+        bits_sum = " + ".join(
+            f"CASE WHEN list_sum(list_transform(range(1, 65), "
+            f"i -> xq[i] * ({_int_list(planes_q[t][b])})[i])) > 0 "
+            f"THEN {1 << b} ELSE 0 END"
+            for b in range(_LSH_BITS)
+        )
+        tables_sql.append(
+            f"SELECT vec_id, {t} AS tbl, ({bits_sum}) AS bucket FROM xq"
+        )
+    buckets = "\n    UNION ALL\n    ".join(tables_sql)
+    return f"""
+WITH xq AS (
+    SELECT vec_id, {_XQ} AS xq FROM embeddings
+), buckets AS (
+    {buckets}
+), cands AS (
+    SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+    FROM buckets q JOIN buckets c ON q.tbl = c.tbl AND q.bucket = c.bucket
+    WHERE q.vec_id < 20 AND q.vec_id != c.vec_id
+){_RERANK}"""
+
+
+def _ivf_ann_sql() -> str:
+    from ..operators.similarity import _centroids, quantize
+
+    cb_q = quantize(_centroids(_ANN_DIM, _IVF_CELLS, _ANN_SEED))
+    dots = ", ".join(
+        f"list_sum(list_transform(range(1, 65), "
+        f"i -> xq[i] * ({_int_list(cb_q[c])})[i]))"
+        for c in range(_IVF_CELLS)
+    )
+    return f"""
+WITH xq AS (
+    SELECT vec_id, {_XQ} AS xq FROM embeddings
+), dots AS (
+    SELECT vec_id, list_value({dots}) AS d FROM xq
+), corpus_cells AS (
+    -- nprobe=1: first occurrence of the max dot = lowest tied index
+    SELECT vec_id, CAST(list_position(d, list_max(d)) - 1 AS BIGINT) AS cell
+    FROM dots
+), q_exp AS (
+    SELECT vec_id, i AS idx, d[i] AS dot
+    FROM dots, range(1, {_IVF_CELLS + 1}) t(i)
+    WHERE vec_id < 20
+), query_cells AS (
+    SELECT vec_id, CAST(idx - 1 AS BIGINT) AS cell
+    FROM (
+        SELECT vec_id, idx,
+            ROW_NUMBER() OVER (PARTITION BY vec_id
+                ORDER BY dot DESC, idx ASC) AS rn
+        FROM q_exp
+    )
+    WHERE rn <= {_IVF_NPROBE}
+), cands AS (
+    SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+    FROM query_cells q JOIN corpus_cells c ON q.cell = c.cell
+    WHERE q.vec_id != c.vec_id
+){_RERANK}"""
+
+
+LSH_ANN_TOPK_SQL = _lsh_ann_sql()
+IVF_ANN_TOPK_SQL = _ivf_ann_sql()
+ORACLES_EXT["lsh_ann_topk"] = LSH_ANN_TOPK_SQL
+ORACLES_EXT["ivf_ann_topk"] = IVF_ANN_TOPK_SQL
 
 ORACLES_EXT["pii_redact_docs"] = PII_REDACT_SQL
 ORACLES_EXT["repetition_filter_docs"] = REPETITION_FILTER_SQL

@@ -4,11 +4,11 @@ These go beyond the reference's surface (SURVEY.md §7 step 9): text
 analysis, exact/near-duplicate detection, embedding similarity search,
 multimodal metadata plumbing, and the batch-equivalent forms of the
 streaming windows. Oracle-checkable ones have SQL in ``oracles_ext.py`` —
-including the full MinHash-LSH / SimHash pipelines, which use the portable
-md5-derived hash so DuckDB replicates them bit-identically. Only the
-random-projection ANN paths (LSH/IVF top-k, float matmul inside a Pandas
-UDF) and the HLL sketch remain rows-only, with recall/error bounds
-verified in pytest instead.
+including the full MinHash-LSH / SimHash pipelines (portable md5-derived
+hash) AND the LSH/IVF ANN pipelines (quantized integer bucket/cell
+assignment, similarity.QUANT) — DuckDB replicates all of them
+bit-identically. Only the HLL sketch remains rows-only (genuinely
+approximate; 3σ error bound verified in pytest).
 """
 
 from __future__ import annotations
@@ -127,8 +127,10 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via random-hyperplane LSH (rows-only; recall vs
-    brute force asserted in tests)."""
+    """Approximate top-k via random-hyperplane LSH. Fully oracle-checked:
+    quantized integer bucket assignment is bit-identical in DuckDB
+    (similarity.QUANT); recall vs brute force additionally asserted in
+    tests."""
     embs = _embs(spark, sf_dir)
     queries = embs.filter(F.col("vec_id") < 20)
     return similarity.lsh_topk(embs, queries, k=5, bits=8, tables=4)
@@ -143,8 +145,10 @@ def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via IVF coarse quantization + probe re-rank
-    (rows-only; recall vs brute force asserted in tests)."""
+    """Approximate top-k via IVF coarse quantization + probe re-rank.
+    Fully oracle-checked: integer cell assignment with lowest-index
+    tie-break is bit-identical in DuckDB; recall vs brute force
+    additionally asserted in tests."""
     embs = _embs(spark, sf_dir)
     queries = embs.filter(F.col("vec_id") < 20)
     return similarity.ivf_topk(embs, queries, k=5, cells=16, nprobe=4)
