@@ -262,14 +262,19 @@ def minhash_lsh_pairs(
             "rows-per-band = num_hashes // bands must be >= 1"
         )
     rows = num_hashes // bands
-    # ONE text-processing pass: the shingle-set table feeds signature
-    # derivation AND both verify joins, and the signature table feeds both
-    # band-join sides — persist each, or the full split→window→collect_set
-    # pipeline re-executes per consumer (see module docstring)
-    sets = _materialized(shingle_sets(df, id_col=id_col, text_col=text_col, n=n))
-    hashed = sets.select(
-        F.col(id_col), F.explode("shingles").alias("shingle")
-    ).select(
+    # ONE text-processing pass: the shingle ROWS table feeds the shingle-set
+    # aggregate AND the signature aggregate (min over raw rows == min over
+    # distinct shingles — no dedup needed), both running in the shingle
+    # window's existing doc-id partitioning, so neither agg re-shuffles and
+    # the old explode→rehash→agg chain over the set table disappears. The
+    # set table then feeds both verify joins and the signature table both
+    # band-join sides — persist each, or the split→window pipeline
+    # re-executes per consumer (see module docstring).
+    srows = _materialized(shingle_rows(df, id_col=id_col, text_col=text_col, n=n))
+    sets = _materialized(
+        srows.groupBy(id_col).agg(F.collect_set("shingle").alias("shingles"))
+    )
+    hashed = srows.select(
         F.col(id_col), F.pmod(_hash64(F.col("shingle"), hasher), F.lit(HASH_PRIME)).alias("h")
     )
     sigs = _materialized(_signatures_from_hashes(hashed, id_col, num_hashes, seed))
