@@ -1,0 +1,186 @@
+"""Portable HyperLogLog: approximate distinct counts as native algebra.
+
+Classic HLL (Flajolet et al., "HyperLogLog: the analysis of a near-optimal
+cardinality estimation algorithm", 2007) with the standard linear-counting
+small-range correction, built entirely from DataFrame expressions — no UDF,
+no sketch library. Spark's built-in ``approx_count_distinct`` (HLL++) is
+the production default at 100 TB (see ``plans/workloads.py``), but its
+register layout is engine-private, so results can't be cross-checked by
+another engine. This implementation trades a little speed for
+*portability*: every step up to the final estimate is exact 64-bit integer
+arithmetic over the md5-derived 60-bit hash (``neardup.portable_hash64``),
+so DuckDB replicates registers AND estimates bit-for-bit and the driver's
+value-hash gate covers the whole pipeline.
+
+Scale shape: one hash-aggregate to registers — map-side partial ``max``
+per (group, bucket), shuffle carries at most m=2^p rows per group — then a
+second tiny aggregate to estimates. Registers are max-mergeable, so
+incremental/streaming variants union register tables and re-``max`` (see
+``test_sketch.py::test_register_merge``); that is the HLL property that
+makes the sketch a warehouse primitive (store registers, merge on read).
+
+Determinism across engines, step by step:
+- bucket = hash mod m and w = hash div m: exact integers.
+- rho(w) = trailing-zero count of w, + 1 (geometric with P(rho=k)=2^-k,
+  same as the leading-zero form): ``w & -w`` isolates the lowest set bit —
+  an exact power of two — and ``round(log2(.))`` recovers its exponent.
+  log2 of a power of two is within 1e-13 of an integer in any IEEE libm,
+  so the round is exact in both engines and rho is an exact integer.
+- Registers m_j = max(rho): exact integers.
+- sum(2^-m_j) is kept as the exact integer S = sum(2^(RHO_MAX - m_j)),
+  absent buckets contributing 2^RHO_MAX each; S <= 2^61 (m*2^(RHO_MAX+1-p)
+  = 2^61 for every p), no overflow.
+- Raw estimate alpha*m^2/sum(2^-m_j) = C/S where C = alpha*m^2*2^RHO_MAX
+  is embedded as one repr'd double literal (parsed to the identical double
+  by both engines); a single IEEE division is identically rounded
+  everywhere.
+- Linear counting (E <= 2.5m and zeros > 0): m*ln(m/zeros). ln may differ
+  by ~1 ulp between libms — relative 2e-16, absolute << 1e-9 at any
+  cardinality a sketch would report — and the result is rounded to a whole
+  count, so both engines agree unless the true value sits within 1e-9 of
+  .5, which the 3-SF oracle sweep would catch on this deterministic data.
+  The branch condition itself compares identical doubles, so both engines
+  always take the same branch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .neardup import portable_hash64
+
+HASH_BITS = 60  # portable_hash64 yields 15 hex digits
+
+
+def _rho_max(p: int) -> int:
+    return HASH_BITS - p + 1
+
+
+def _alpha_c(p: int) -> float:
+    """alpha_m * m^2 * 2^RHO_MAX — the raw-estimate numerator constant."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return alpha * m * m * float(1 << _rho_max(p))
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    p: int = 12,
+) -> DataFrame:
+    """(group_cols..., bucket, m_j) HLL registers, one row per non-empty
+    bucket. Null keys are ignored (countDistinct semantics). Max-mergeable:
+    union register tables and re-aggregate ``max(m_j)`` to combine
+    sketches."""
+    if not 4 <= p <= 18:
+        raise ValueError(f"p={p} out of range [4, 18]")
+    m = 1 << p
+    rho_max = _rho_max(p)
+    h = df.filter(F.col(key_col).isNotNull()).select(
+        *group_cols,
+        portable_hash64(F.col(key_col).cast("string")).alias("hv_"),
+    )
+    w = f"(hv_ div {m})"
+    rho = F.when(
+        F.expr(w) > F.lit(0),
+        F.round(F.log2(F.expr(f"{w} & -{w}"))).cast("long") + F.lit(1),
+    ).otherwise(F.lit(rho_max))
+    return (
+        h.select(*group_cols, F.pmod("hv_", F.lit(m)).alias("bucket"), rho.alias("rho_"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho_").alias("m_j"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: list[str],
+    p: int = 12,
+    out_col: str = "hll_count",
+) -> DataFrame:
+    """Collapse a register table to one approximate distinct count (long)
+    per group. Groups must be the same ``group_cols`` the registers were
+    built with."""
+    m = 1 << p
+    rho_max = _rho_max(p)
+    c_lit = repr(_alpha_c(p))
+    lc_threshold = repr(2.5 * m)
+    g = registers.groupBy(*group_cols).agg(
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), cast({rho_max} - m_j as int))")).alias(
+            "s_present_"
+        ),
+        F.count(F.lit(1)).alias("nonzero_"),
+    )
+    zeros = F.lit(m) - F.col("nonzero_")
+    s_total = F.col("s_present_") + zeros * F.lit(1 << rho_max)
+    e_raw = F.lit(float(c_lit)) / s_total.cast("double")
+    est = F.when(
+        (e_raw <= F.lit(float(lc_threshold))) & (zeros > F.lit(0)),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(e_raw)
+    return g.select(*group_cols, F.round(est).cast("long").alias(out_col))
+
+
+def hll_distinct(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    p: int = 12,
+    out_col: str = "hll_count",
+) -> DataFrame:
+    """One-shot: registers + estimate."""
+    return hll_estimate(
+        hll_registers(df, key_col, group_cols, p=p), group_cols, p=p, out_col=out_col
+    )
+
+
+def oracle_sql(
+    table_expr: str,
+    key_col: str,
+    group_cols: list[str],
+    p: int = 12,
+    out_col: str = "hll_count",
+) -> str:
+    """DuckDB SQL replicating ``hll_distinct`` bit-for-bit (same hash, same
+    integer register math, same float literals). ``table_expr`` may be a
+    table name or a parenthesized subquery."""
+    m = 1 << p
+    rho_max = _rho_max(p)
+    c_lit = repr(_alpha_c(p))
+    lc_threshold = repr(2.5 * m)
+    gcols = ", ".join(group_cols)
+    w = f"(hv // {m})"
+    return f"""
+WITH hll_h AS (
+  SELECT {gcols},
+         ('0x' || substr(md5(CAST({key_col} AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM {table_expr} WHERE {key_col} IS NOT NULL
+),
+hll_r AS (
+  SELECT {gcols}, hv % {m} AS bucket,
+         MAX(CASE WHEN {w} > 0
+                  THEN CAST(ROUND(LOG2({w} & (-{w})), 0) AS BIGINT) + 1
+                  ELSE {rho_max} END) AS m_j
+  FROM hll_h GROUP BY {gcols}, hv % {m}
+),
+hll_g AS (
+  SELECT {gcols},
+         SUM(1::BIGINT << CAST({rho_max} - m_j AS INTEGER)) AS s_present,
+         COUNT(*) AS nonzero
+  FROM hll_r GROUP BY {gcols}
+),
+hll_e AS (
+  SELECT {gcols},
+         {m} - nonzero AS zeros,
+         CAST(s_present + ({m} - nonzero) * (1::BIGINT << {rho_max}) AS DOUBLE) AS s_total
+  FROM hll_g
+)
+SELECT {gcols},
+       CAST(ROUND(
+         CASE WHEN {c_lit} / s_total <= {lc_threshold} AND zeros > 0
+              THEN {float(m)!r} * ln({float(m)!r} / zeros)
+              ELSE {c_lit} / s_total END, 0) AS BIGINT) AS {out_col}
+FROM hll_e
+"""

@@ -507,8 +507,26 @@ SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
 FROM tagged GROUP BY user_id, session_seq
 """
 
+# The HLL register/estimate SQL is generated by the operator module from
+# the same constants (p, hash width, alpha literal) as the Spark side, so
+# the two can never drift.
+from ..operators.sketch import oracle_sql as _hll_oracle_sql  # noqa: E402
+
+APPROX_DISTINCT_SQL = f"""
+WITH base AS (
+    SELECT event_type,
+        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+),
+hll AS ({_hll_oracle_sql("events", "user_id", ["event_type"], p=12, out_col="hll_users")})
+SELECT base.event_type, base.exact_users, hll.hll_users, base.n_events
+FROM base JOIN hll USING (event_type)
+"""
+
 ORACLES: dict[str, str] = {
     "flagship_regional_rollup": FLAGSHIP_SQL,
+    "approx_distinct_users": APPROX_DISTINCT_SQL,
     "dedup_keep_latest": DEDUP_KEEP_LATEST_SQL,
     "window_priority_pick": WINDOW_PRIORITY_PICK_SQL,
     "rolling_daily_metrics": ROLLING_DAILY_SQL,

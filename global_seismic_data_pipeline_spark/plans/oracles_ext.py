@@ -206,8 +206,6 @@ ORACLES_EXT: dict[str, str] = {
     "multimodal_metadata": MULTIMODAL_METADATA_SQL,
     "tumbling_window_daily": TUMBLING_WINDOW_SQL,
     "sliding_window_7d": SLIDING_WINDOW_SQL,
-    # approx_distinct_users is the single remaining rows-only query
-    # (HLL is genuinely approximate; 3σ error bound verified in pytest)
 }
 
 # Thresholds = format(int(cum_fraction * 16**8), '08x') for (0.9, 0.95) —

@@ -705,16 +705,24 @@ def above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch family: HyperLogLog++ approximate distinct counts beside the
-    exact ones (rows-only check — HLL values are engine-specific; the
-    relative-error bound is asserted in pytest). At 100 TB the approx form
-    is the default: mergeable map-side sketches, no exact-distinct
-    shuffle-dedup pass."""
+    """Sketch family: portable HyperLogLog distinct counts beside the exact
+    ones. The sketch is ``operators/sketch.py`` — explicit max-mergeable
+    registers from the md5-derived hash, replicated bit-for-bit by the
+    DuckDB oracle, so the whole approximate pipeline is value-hash-checked
+    (Spark's built-in ``approx_count_distinct`` HLL++ serves the same role
+    natively but its registers are engine-private; its error bound is
+    asserted in pytest instead). At 100 TB the sketch form is the default:
+    mergeable map-side registers, no exact-distinct shuffle-dedup pass."""
+    from ..operators import sketch
+
     ev = _events(spark, sf_dir)
-    return ev.groupBy("event_type").agg(
+    exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_users"),
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
+    )
+    approx = sketch.hll_distinct(ev, "user_id", ["event_type"], p=12, out_col="hll_users")
+    return exact.join(approx, "event_type").select(
+        "event_type", "exact_users", "hll_users", "n_events"
     )
 
 

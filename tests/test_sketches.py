@@ -1,6 +1,10 @@
-"""Approximate-distinct sketch: HLL++ error bound vs exact."""
+"""Approximate-distinct sketches: native HLL++ error bound, and the
+portable HLL operator's error bound / mergeability / branch coverage
+(cross-engine bit-equality is covered by the DuckDB oracle gate)."""
 
 from pyspark.sql import functions as F
+
+from global_seismic_data_pipeline_spark.operators import sketch
 
 
 def test_approx_count_distinct_error_bound(spark):
@@ -24,3 +28,57 @@ def test_approx_distinct_deterministic(spark):
     a = df.agg(F.approx_count_distinct("u")).collect()[0][0]
     b = df.repartition(7).agg(F.approx_count_distinct("u")).collect()[0][0]
     assert a == b  # HLL sketch merge is order/partitioning-insensitive
+
+
+def test_portable_hll_error_bound(spark):
+    # p=12 -> ~1.04/sqrt(4096) = 1.6% standard error; 5% is a ~3-sigma
+    # bound. 3517 distinct per group sits in the linear-counting range.
+    n = 20000
+    df = spark.range(n).select(
+        (F.col("id") % 5).cast("string").alias("g"),
+        (F.col("id") % 3517).alias("u"),
+    )
+    out = sketch.hll_distinct(df, "u", ["g"], p=12).collect()
+    assert len(out) == 5
+    for r in out:
+        assert abs(r.hll_count - 3517) / 3517 < 0.05, (r.g, r.hll_count)
+
+
+def test_portable_hll_raw_branch(spark):
+    # p=4 -> m=16, linear counting only below 2.5m=40 distinct; 5000
+    # distinct forces the raw harmonic-mean estimate. Error bound for
+    # m=16 is ~26% standard error; accept 3 sigma.
+    df = spark.range(5000).select(F.col("id").alias("u"), F.lit(1).alias("g"))
+    out = sketch.hll_distinct(df, "u", ["g"], p=4).collect()
+    assert len(out) == 1
+    assert abs(out[0].hll_count - 5000) / 5000 < 0.80, out[0].hll_count
+
+
+def test_portable_hll_register_merge(spark):
+    # Sketch property that matters at 100 TB: registers from disjoint
+    # partitions merged by max == registers of the union.
+    df = spark.range(10000).select((F.col("id") * 37 % 4999).alias("u"), F.lit(1).alias("g"))
+    left = df.filter(F.col("u") % 2 == 0)
+    right = df.filter(F.col("u") % 2 == 1)
+    merged = (
+        sketch.hll_registers(left, "u", ["g"], p=10)
+        .unionByName(sketch.hll_registers(right, "u", ["g"], p=10))
+        .groupBy("g", "bucket")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+    whole = sketch.hll_registers(df, "u", ["g"], p=10)
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+    # and the merged estimate equals the whole-table estimate exactly
+    a = sketch.hll_estimate(merged, ["g"], p=10).collect()[0].hll_count
+    b = sketch.hll_estimate(whole, ["g"], p=10).collect()[0].hll_count
+    assert a == b
+
+
+def test_portable_hll_null_keys_ignored(spark):
+    df = spark.range(100).select(
+        F.when(F.col("id") % 2 == 0, F.col("id")).alias("u"), F.lit(1).alias("g")
+    )
+    est = sketch.hll_distinct(df, "u", ["g"], p=12).collect()[0].hll_count
+    # 50 distinct non-null keys; linear counting is near-exact here
+    assert abs(est - 50) <= 3, est
