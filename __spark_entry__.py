@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_docs": workloads_ext.exact_dedup_docs,
         "ngram_jaccard_near_dup": workloads_ext.ngram_jaccard_near_dup,
         "minhash_near_dup": workloads_ext.minhash_near_dup,
+        "near_dup_clusters": workloads_ext.near_dup_clusters,
         "simhash_near_dup": workloads_ext.simhash_near_dup,
         "cosine_topk_bruteforce": workloads_ext.cosine_topk_bruteforce,
         "embedding_cosine_near_dup": workloads_ext.embedding_cosine_near_dup,

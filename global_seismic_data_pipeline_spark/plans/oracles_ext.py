@@ -376,6 +376,32 @@ SIMHASH_NEAR_DUP_SQL = _simhash_sql()
 ORACLES_EXT["minhash_near_dup"] = MINHASH_NEAR_DUP_SQL
 ORACLES_EXT["simhash_near_dup"] = SIMHASH_NEAR_DUP_SQL
 
+# Pairs → connected components: the same MinHash edges closed transitively
+# with a recursive CTE; component id = min doc id, exactly the fixpoint the
+# Spark min-label propagation converges to (operators/cluster.py).
+NEAR_DUP_CLUSTERS_SQL = rf"""
+WITH RECURSIVE pairs AS (
+    SELECT id_a, id_b FROM ({MINHASH_NEAR_DUP_SQL}) mh
+), sym AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION ALL
+    SELECT id_b AS a, id_a AS b FROM pairs
+), reach AS (
+    SELECT a AS id, a AS r FROM sym
+    UNION
+    SELECT reach.id, sym.b FROM reach JOIN sym ON sym.a = reach.r
+), labels AS (
+    SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+), sized AS (
+    SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+    FROM labels GROUP BY cluster_id
+)
+SELECT l.doc_id, l.cluster_id, s.cluster_size,
+    CAST(CASE WHEN l.doc_id = l.cluster_id THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM labels l JOIN sized s USING (cluster_id)
+"""
+ORACLES_EXT["near_dup_clusters"] = NEAR_DUP_CLUSTERS_SQL
+
 DECONTAMINATE_SQL = rf"""
 WITH fp AS (
     SELECT doc_id, md5({NORM}) AS fp FROM documents

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import dedup, multimodal, neardup, scrub, similarity, skew, text
+from ..operators import cluster, dedup, multimodal, neardup, scrub, similarity, skew, text
 from ..operators.asof import asof_join
 from ..operators.partitioning import ensure_parallelism
 from ..sources.catalog import load_table
@@ -104,6 +104,28 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=16,
         threshold=0.2,
         hasher="md5",
+    )
+
+
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → clusters → canonical picks: the MinHash-LSH pairs collapsed
+    into connected components (operators/cluster.py min-label propagation
+    with pointer jumping), one row per clustered doc with its component id,
+    component size, and keep flag (1 = the minimum-id canonical member).
+    The DuckDB oracle recomputes the same edges and closes them with a
+    recursive CTE, so the whole pairs→components pipeline is hash-checked."""
+    edges = neardup.minhash_lsh_pairs(
+        _docs(spark, sf_dir),
+        id_col="doc_id",
+        text_col="text",
+        n=3,
+        num_hashes=64,
+        bands=16,
+        threshold=0.2,
+        hasher="md5",
+    ).select("id_a", "id_b")
+    return cluster.cluster_assignments(edges, id_out="doc_id").select(
+        "doc_id", "cluster_id", "cluster_size", "keep"
     )
 
 

@@ -1,0 +1,98 @@
+"""Connected components / cluster_assignments (operators/cluster.py):
+fixed topologies, convergence behavior, and a randomized comparison
+against a driver-side union-find reference."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from global_seismic_data_pipeline_spark.operators import cluster
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "id_a long, id_b long"
+    )
+
+
+def _components(rows):
+    return {(r.id, r.comp) for r in rows}
+
+
+def test_chain_and_islands(spark):
+    # chain 1-2-3-4 plus island 10-11: min-label must cross the chain
+    out = cluster.connected_components(
+        _edges_df(spark, [(1, 2), (2, 3), (3, 4), (10, 11)])
+    ).collect()
+    assert _components(out) == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
+def test_long_path_converges(spark):
+    # a 64-node path is the pointer-jumping stress case: pure neighbor
+    # propagation needs 63 rounds; with jumping it must fit in max_iter=25
+    edges = [(i, i + 1) for i in range(64)]
+    out = cluster.connected_components(_edges_df(spark, edges)).collect()
+    assert {r.comp for r in out} == {0}
+    assert len(out) == 65
+
+
+def test_empty_edges(spark):
+    out = cluster.connected_components(
+        spark.createDataFrame([], "id_a long, id_b long")
+    ).collect()
+    assert out == []
+
+
+def test_cluster_assignments_canonical(spark):
+    out = cluster.cluster_assignments(
+        _edges_df(spark, [(7, 3), (3, 9), (20, 21)]), id_out="doc_id"
+    ).collect()
+    rows = {r.doc_id: (r.cluster_id, r.cluster_size, r.keep) for r in out}
+    assert rows == {
+        3: (3, 3, 1),
+        7: (3, 3, 0),
+        9: (3, 3, 0),
+        20: (20, 2, 1),
+        21: (20, 2, 0),
+    }
+
+
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical = min node id per component
+    comp = {}
+    for x in parent:
+        root = find(x)
+        comp.setdefault(root, []).append(x)
+    out = {}
+    for members in comp.values():
+        m = min(members)
+        for x in members:
+            out[x] = m
+    return out
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_random_graphs_match_union_find(spark, seed):
+    rng = random.Random(seed)
+    n = 200
+    pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    expected = _union_find(pairs)
+    out = cluster.connected_components(_edges_df(spark, pairs)).collect()
+    got = {r.id: r.comp for r in out}
+    assert got == expected
+    cluster.release_cached()
