@@ -50,7 +50,11 @@ LAZY_TASK_BUDGET = 4  # schema/footer reads are single-task
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     names = sys.argv[2:] or None
-    spark = get_spark("plan-audit")
+    # AQE off for the audit only: the pre-execution adaptive plan carries
+    # no WholeStageCodegen markers (codegen is injected per query stage at
+    # runtime), so the static plan is the only place the wscg span count is
+    # visible. Operator choice for these sizes is identical either way.
+    spark = get_spark("plan-audit", extra_conf={"spark.sql.adaptive.enabled": "false"})
     spark.sparkContext.setLogLevel("ERROR")
     qs = ent.queries()
     failures = []
@@ -88,6 +92,10 @@ def main() -> None:
             failures.append(name)
         if name in MUST_LAZY and eager_tasks > LAZY_TASK_BUDGET:
             flags.append("EAGER-BUILD!")
+            failures.append(name)
+        if info["python_stages"] == 0 and info["wscg_spans"] == 0:
+            # every pure-JVM query must run inside whole-stage codegen
+            flags.append("NO-CODEGEN!")
             failures.append(name)
         print(
             f"{name:32s} eager={eager_tasks:2d} exch={info['exchanges']:2d} "
