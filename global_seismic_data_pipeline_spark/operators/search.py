@@ -1,0 +1,200 @@
+"""BM25 full-text relevance search as native DataFrame algebra.
+
+Okapi BM25 (Robertson & Zaragoza 2009, the Lucene-default scoring
+function) over the shared text normalization (``text.normalized``): given
+a small bag of query terms, rank documents by
+
+    sum_t idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+
+with the Lucene idf = ln(1 + (N - df + 0.5)/(df + 0.5)).
+
+Scale shape (inverted-index discipline, no index materialized):
+- ONE tokenization pass feeds both document lengths and term frequencies
+  (materialized once via persist — two aggregate consumers).
+- The query-term filter lands directly on the token rows BEFORE any
+  shuffle, so the tf aggregate only moves rows for the handful of query
+  terms; everything else dies map-side.
+- Per-term document frequencies and the 1-row corpus stats are broadcast;
+  the only big shuffles are the two token aggregates, both keyed on the
+  high-cardinality doc id with map-side partial counts.
+- Top-k is a TakeOrdered (k per partition, then merged on the driver) —
+  no global sort.
+
+Cross-engine float determinism (driver hash discipline): per-term scores
+are pivoted into FIXED columns and added in query-term order with explicit
+left association, so the float sum never depends on row order; tf/dl/df/N
+are exact integers; the scoring expression tree is written identically on
+both engines (the oracle SQL is generated from the same constants); ln's
+potential 1-ulp libm difference is absorbed by rounding scores to 4
+decimals (boundary collision would require the true score within ~1e-12 of
+a rounding edge — checked at all three SFs on this deterministic corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from .partitioning import ensure_parallelism
+from .text import normalized
+
+_PERSISTED: list[DataFrame] = []
+
+
+def release_cached() -> int:
+    """Unpersist tables cached by this module; returns the count."""
+    n = len(_PERSISTED)
+    for df in _PERSISTED:
+        df.unpersist()
+    _PERSISTED.clear()
+    return n
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k (id, score, n_terms_matched, dl) by BM25 for ``query_terms``.
+
+    Documents matching no query term are not returned (score 0). Ties are
+    broken by ascending id so the k-selection is deterministic."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if len(set(query_terms)) != len(query_terms):
+        raise ValueError("query_terms must be distinct")
+    toks = (
+        ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
+        .select(
+            F.col(id_col).alias("id_"),
+            F.explode(F.split(normalized(F.col(text_col)), " ")).alias("tok"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _PERSISTED.append(toks)
+
+    dl = toks.groupBy("id_").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_toks")
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(list(query_terms)))
+        .groupBy("id_", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("dft"))
+
+    joined = (
+        tf.join(F.broadcast(dft), "tok")
+        .join(dl, "id_")
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("total_toks").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("dft") + F.lit(0.5)) / (F.col("dft") + F.lit(0.5))
+    )
+    den = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl)
+    )
+    s = idf * (F.col("tf") * F.lit(k1 + 1.0)) / den
+    scored = joined.select("id_", "tok", "dl", s.alias("s_"))
+
+    # pivot the per-term scores into fixed columns so the final addition
+    # has a FIXED order/association — float sums must not depend on row
+    # order or the driver hash drifts between engines
+    pivots = [
+        F.sum(F.when(F.col("tok") == F.lit(t), F.col("s_"))).alias(f"s{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    per_doc = scored.groupBy("id_").agg(F.max("dl").alias("dl"), *pivots)
+    total = F.coalesce(F.col("s0"), F.lit(0.0))
+    for i in range(1, len(query_terms)):
+        total = total + F.coalesce(F.col(f"s{i}"), F.lit(0.0))
+    matched = sum(
+        F.when(F.col(f"s{i}").isNotNull(), 1).otherwise(0)
+        for i in range(len(query_terms))
+    )
+    return (
+        per_doc.select(
+            F.col("id_").alias(id_col),
+            F.round(total, 4).alias("score"),
+            matched.cast("long").alias("n_terms_matched"),
+            "dl",
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def oracle_sql(
+    table_expr: str,
+    norm_expr: str,
+    query_terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB SQL replicating ``bm25_topk`` with the identical expression
+    tree (generated from the same constants). ``norm_expr`` is the
+    engine's normalization of the text column (the shared NORM macro)."""
+    terms_in = ", ".join(f"'{t}'" for t in query_terms)
+    pivot_cols = ",\n        ".join(
+        f"SUM(CASE WHEN tok = '{t}' THEN s END) AS s{i}"
+        for i, t in enumerate(query_terms)
+    )
+    total = "COALESCE(s0, 0.0)"
+    for i in range(1, len(query_terms)):
+        total = f"({total} + COALESCE(s{i}, 0.0))"
+    matched = " + ".join(
+        f"CASE WHEN s{i} IS NOT NULL THEN 1 ELSE 0 END"
+        for i in range(len(query_terms))
+    )
+    return f"""
+WITH bm_toks AS (
+    SELECT {id_col} AS id_, unnest(string_split({norm_expr}, ' ')) AS tok
+    FROM {table_expr}
+), bm_dl AS (
+    SELECT id_, CAST(COUNT(*) AS BIGINT) AS dl FROM bm_toks GROUP BY id_
+), bm_stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dl) AS BIGINT) AS total_toks
+    FROM bm_dl
+), bm_tf AS (
+    SELECT id_, tok, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM bm_toks WHERE tok IN ({terms_in}) GROUP BY id_, tok
+), bm_dft AS (
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS dft FROM bm_tf GROUP BY tok
+), bm_scored AS (
+    SELECT t.id_, t.tok, d.dl,
+        ln(1.0 + (st.n_docs - f.dft + 0.5) / (f.dft + 0.5))
+        * (t.tf * {k1 + 1.0!r})
+        / (t.tf + {k1!r} * ({1.0 - b!r} + {b!r} *
+            (CAST(d.dl AS DOUBLE)
+             / (CAST(st.total_toks AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))))
+        AS s
+    FROM bm_tf t
+    JOIN bm_dft f USING (tok)
+    JOIN bm_dl d USING (id_)
+    CROSS JOIN bm_stats st
+), bm_pivot AS (
+    SELECT id_, MAX(dl) AS dl,
+        {pivot_cols}
+    FROM bm_scored GROUP BY id_
+)
+SELECT id_ AS {id_col},
+    ROUND({total}, 4) AS score,
+    CAST({matched} AS BIGINT) AS n_terms_matched,
+    dl
+FROM bm_pivot
+ORDER BY score DESC, id_
+LIMIT {k}
+"""

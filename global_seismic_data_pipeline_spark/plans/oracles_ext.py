@@ -402,6 +402,16 @@ FROM labels l JOIN sized s USING (cluster_id)
 """
 ORACLES_EXT["near_dup_clusters"] = NEAR_DUP_CLUSTERS_SQL
 
+# BM25: generated by the operator module from the same constants/terms as
+# the Spark side (identical expression tree, identical pivot order).
+from ..operators.search import oracle_sql as _bm25_oracle_sql  # noqa: E402
+from .workloads_ext import BM25_K, BM25_TERMS  # noqa: E402
+
+BM25_SEARCH_SQL = _bm25_oracle_sql(
+    "documents", NORM, BM25_TERMS, id_col="doc_id", k=BM25_K
+)
+ORACLES_EXT["bm25_search_docs"] = BM25_SEARCH_SQL
+
 DECONTAMINATE_SQL = rf"""
 WITH fp AS (
     SELECT doc_id, md5({NORM}) AS fp FROM documents

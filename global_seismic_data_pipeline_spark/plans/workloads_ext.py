@@ -16,7 +16,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import cluster, dedup, multimodal, neardup, scrub, similarity, skew, text
+from ..operators import (
+    cluster,
+    dedup,
+    multimodal,
+    neardup,
+    scrub,
+    search,
+    similarity,
+    skew,
+    text,
+)
+
+# Fixed query-term bag for the BM25 query — shared with the oracle SQL so
+# the pivot column order (and thus the float addition order) is identical.
+BM25_TERMS = ["hash", "merge", "stream", "vector"]
+BM25_K = 25
 from ..operators.asof import asof_join
 from ..operators.partitioning import ensure_parallelism
 from ..sources.catalog import load_table
@@ -104,6 +119,20 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=16,
         threshold=0.2,
         hasher="md5",
+    )
+
+
+def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k relevance search (operators/search.py) for a fixed
+    query-term bag. One tokenization pass, query-term filter before any
+    shuffle, broadcast df/corpus stats, fixed-order float sum — the DuckDB
+    oracle replicates the identical expression tree."""
+    return search.bm25_topk(
+        _docs(spark, sf_dir),
+        BM25_TERMS,
+        id_col="doc_id",
+        text_col="text",
+        k=BM25_K,
     )
 
 
