@@ -108,6 +108,45 @@ def sliding_weekly(
     )
 
 
+def windowed_hll_registers(
+    stream: DataFrame,
+    *,
+    key_col: str = "event_id",
+    time_col: str = "time",
+    window: str = "1 day",
+    late_threshold: str = "1 day",
+    p: int = 12,
+) -> DataFrame:
+    """Streaming approximate-distinct: per-window portable-HLL registers.
+
+    The register table (window_start, window_end, bucket, m_j) is the
+    streamable form of ``operators/sketch.py``: ``max(rho)`` is an
+    order-insensitive, incrementally-mergeable aggregate, so each
+    micro-batch folds into window state exactly like HLL union, the state
+    per window is bounded by 2^p rows regardless of stream volume, and the
+    watermark evicts closed windows. Estimation (``sketch.hll_estimate`` on
+    the sink table, grouped by the window bounds) happens on read — a
+    chained second stateful aggregate would be a multi-stateful-operator
+    pipeline, and the registers themselves are the right thing to store
+    anyway (they keep merging across windows, days, or tables).
+
+    Determinism: registers are exact integers (sketch.py docstring), so the
+    streaming result equals the batch ``hll_registers`` on the same rows
+    bit-for-bit — asserted in tests."""
+    from ..operators.sketch import hll_registers
+
+    windowed = stream.withWatermark(time_col, late_threshold).select(
+        F.window(time_col, window).alias("w"), F.col(key_col)
+    )
+    regs = hll_registers(windowed, key_col, ["w"], p=p)
+    return regs.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "bucket",
+        "m_j",
+    )
+
+
 def enriched_bands(
     stream: DataFrame,
     bands: DataFrame,

@@ -168,3 +168,45 @@ def test_stream_static_band_enrichment_matches_batch(spark, stream_dir, tmp_path
     )
     want = {(r.event_id, r.batch_id): r.risk_level for r in batch.collect()}
     assert got == want and len(got) == 5
+
+
+def test_windowed_hll_registers_match_batch(spark, stream_dir):
+    """Streaming per-window HLL registers == batch registers bit-for-bit,
+    and the estimate on the streamed register table == batch hll_distinct."""
+    from global_seismic_data_pipeline_spark.operators import sketch
+
+    stream = facade.read_stream(
+        spark, str(stream_dir / "events"), BRONZE_EARTHQUAKES
+    )
+    facade.to_memory_table(
+        facade.windowed_hll_registers(stream, key_col="event_id", p=10),
+        "t_hll_regs",
+        complete=True,
+    )
+    streamed = spark.table("t_hll_regs")
+
+    batch = spark.read.parquet(str(stream_dir / "events")).select(
+        F.window("time", "1 day").alias("w"), "event_id"
+    )
+    batch_regs = sketch.hll_registers(batch, "event_id", ["w"], p=10).select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "bucket",
+        "m_j",
+    )
+    assert streamed.exceptAll(batch_regs).count() == 0
+    assert batch_regs.exceptAll(streamed).count() == 0
+
+    est = {
+        str(r.window_start): r.hll_count
+        for r in sketch.hll_estimate(
+            streamed, ["window_start", "window_end"], p=10
+        ).collect()
+    }
+    want = {
+        str(r.w.start): r.hll_count
+        for r in sketch.hll_distinct(batch, "event_id", ["w"], p=10).collect()
+    }
+    assert est == want
+    # tiny per-day cardinalities sit in the exact linear-counting range
+    assert set(est.values()) == {1, 2}
