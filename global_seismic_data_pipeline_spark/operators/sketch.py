@@ -136,6 +136,154 @@ def hll_distinct(
     )
 
 
+# ---------------------------------------------------------------------------
+# Portable quantile histogram (HDR-histogram / DDSketch-shaped, exact-integer)
+#
+# Buckets a non-negative INTEGER value column into log2 octaves with 2^k
+# linear sub-buckets each (HdrHistogram's layout; DDSketch quality bounds):
+# values below 2^k index to themselves (exact region); larger values index
+# by (exponent, top-k mantissa bits), giving relative error < 2^-k per
+# bucket. The exponent is NOT computed with libm log2 on arbitrary values
+# (1-ulp differences near powers of two would shift bucket boundaries
+# between engines): a 6-step OR-smear isolates the highest set bit — an
+# exact power of two, whose log2 rounds exactly (same argument as rho in
+# the HLL above) — so bucket ids, counts, and representatives are exact
+# integers in both engines. Histograms are sum-mergeable; the quantile walk
+# is a window cumulative sum; the only float op is the literal q * n rank
+# product, which is one identically-rounded IEEE multiply.
+
+QH_K_BITS = 5  # 32 sub-buckets per octave -> < 3.2% relative error
+
+
+def _exponent_expr(v: str) -> str:
+    """Exact floor(log2({v})) for {v} >= 1 as a SQL expression string
+    (valid in both Spark SQL and DuckDB): OR-smear to fill all bits below
+    the highest, then isolate it and take its (exact) log2."""
+    x = f"({v})"
+    for s in (1, 2, 4, 8, 16, 32):
+        x = f"({x} | ({x} >> {s}))"
+    highbit = f"({x} - ({x} >> 1))"
+    return f"CAST(ROUND(LOG2({highbit}), 0) AS BIGINT)"
+
+
+def _bucket_expr(v: str, k: int) -> str:
+    """Bucket index for non-negative integer {v}: identity below 2^k, else
+    ((e - k + 1) << k) + top-k mantissa bits — contiguous, order-preserving."""
+    e = _exponent_expr(v)
+    sub = f"((({v}) >> ({e} - {k})) & {(1 << k) - 1})"
+    return (
+        f"CASE WHEN ({v}) < {1 << k} THEN ({v}) "
+        f"ELSE ((({e}) - {k} + 1) * {1 << k}) + {sub} END"
+    )
+
+
+def quantile_histogram(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    k: int = QH_K_BITS,
+) -> DataFrame:
+    """(group_cols..., qbucket, cnt, rep) histogram of a non-negative
+    integer column. Sum-mergeable on (group, qbucket) — ``rep`` is a pure
+    function of the bucket id. Null and negative values are dropped."""
+    v = f"cast({value_col} as bigint)"
+    base = df.filter(F.col(value_col).isNotNull() & (F.col(value_col) >= 0)).select(
+        *group_cols, F.expr(_bucket_expr(v, k)).alias("qbucket")
+    )
+    hist = base.groupBy(*group_cols, "qbucket").agg(F.count(F.lit(1)).alias("cnt"))
+    return hist.withColumn(
+        "rep", F.expr(_spark_rep_expr("qbucket", k))
+    )
+
+
+def _spark_rep_expr(idx: str, k: int) -> str:
+    # Spark SQL has no '//' operator; 'div' is its exact integer division.
+    e = f"((({idx}) div {1 << k}) + {k} - 1)"
+    sub = f"(({idx}) % {1 << k})"
+    return (
+        f"CASE WHEN ({idx}) < {1 << k} THEN cast(({idx}) as bigint) "
+        f"ELSE cast(({1 << k} + {sub}) as bigint) * cast(shiftleft(cast(1 as bigint), cast({e} - {k} as int)) as bigint) END"
+    )
+
+
+def _duck_rep_expr(idx: str, k: int) -> str:
+    e = f"((({idx}) // {1 << k}) + {k} - 1)"
+    sub = f"(({idx}) % {1 << k})"
+    return (
+        f"CASE WHEN ({idx}) < {1 << k} THEN CAST(({idx}) AS BIGINT) "
+        f"ELSE CAST(({1 << k} + {sub}) AS BIGINT) * (1::BIGINT << CAST({e} - {k} AS INTEGER)) END"
+    )
+
+
+def approx_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    qs: list[float],
+    k: int = QH_K_BITS,
+) -> DataFrame:
+    """Per-group approximate quantiles (bucket lower bounds, as longs) at
+    the given fractions: rank = greatest(1, ceil(q*n)) against the
+    cumulative histogram. Column names are p{100q} (p50, p99, ...)."""
+    from pyspark.sql import Window
+
+    hist = quantile_histogram(df, value_col, group_cols, k=k)
+    tot = hist.groupBy(*group_cols).agg(F.sum("cnt").alias("n_"))
+    w = Window.partitionBy(*group_cols).orderBy("qbucket")
+    cum = hist.withColumn("cum_", F.sum("cnt").over(w)).join(tot, group_cols)
+    aggs = []
+    for q in qs:
+        rank = F.greatest(F.lit(1).cast("long"), F.ceil(F.lit(q) * F.col("n_")).cast("long"))
+        aggs.append(
+            F.min(F.when(F.col("cum_") >= rank, F.col("rep"))).alias(_q_name(q))
+        )
+    return cum.groupBy(*group_cols).agg(*aggs)
+
+
+def _q_name(q: float) -> str:
+    name = f"p{q * 100:g}".replace(".", "_")
+    return name
+
+
+def quantile_oracle_sql(
+    table_expr: str,
+    value_expr: str,
+    group_cols: list[str],
+    qs: list[float],
+    k: int = QH_K_BITS,
+) -> str:
+    """DuckDB SQL replicating ``approx_quantiles`` exactly. ``value_expr``
+    must already be a non-negative BIGINT expression."""
+    gcols = ", ".join(group_cols)
+    sels = ",\n        ".join(
+        f"MIN(CASE WHEN cum_ >= GREATEST(1, CAST(CEIL({q!r} * n_) AS BIGINT)) "
+        f"THEN rep END) AS {_q_name(q)}"
+        for q in qs
+    )
+    return f"""
+WITH qh_base AS (
+    SELECT {gcols}, {_bucket_expr(f"({value_expr})", k)} AS qbucket
+    FROM {table_expr}
+    WHERE ({value_expr}) IS NOT NULL AND ({value_expr}) >= 0
+), qh_hist AS (
+    SELECT {gcols}, qbucket, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM qh_base GROUP BY {gcols}, qbucket
+), qh_rep AS (
+    SELECT {gcols}, qbucket, cnt, {_duck_rep_expr("qbucket", k)} AS rep
+    FROM qh_hist
+), qh_cum AS (
+    SELECT {gcols}, qbucket, cnt, rep,
+        SUM(cnt) OVER (PARTITION BY {gcols} ORDER BY qbucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_,
+        SUM(cnt) OVER (PARTITION BY {gcols}) AS n_
+    FROM qh_rep
+)
+SELECT {gcols},
+    {sels}
+FROM qh_cum GROUP BY {gcols}
+"""
+
+
 def oracle_sql(
     table_expr: str,
     key_col: str,

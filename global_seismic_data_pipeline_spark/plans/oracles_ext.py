@@ -412,6 +412,18 @@ BM25_SEARCH_SQL = _bm25_oracle_sql(
 )
 ORACLES_EXT["bm25_search_docs"] = BM25_SEARCH_SQL
 
+# Portable quantile histogram: same exact-integer bucket math as the Spark
+# side, generated by the operator module.
+from ..operators.sketch import quantile_oracle_sql as _qh_oracle_sql  # noqa: E402
+
+APPROX_PRICE_QUANTILES_SQL = _qh_oracle_sql(
+    "(SELECT o_orderpriority, CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders) s",
+    "cents",
+    ["o_orderpriority"],
+    [0.5, 0.9, 0.99],
+)
+ORACLES_EXT["approx_price_quantiles"] = APPROX_PRICE_QUANTILES_SQL
+
 DECONTAMINATE_SQL = rf"""
 WITH fp AS (
     SELECT doc_id, md5({NORM}) AS fp FROM documents

@@ -3,12 +3,13 @@
 These go beyond the reference's surface (SURVEY.md §7 step 9): text
 analysis, exact/near-duplicate detection, embedding similarity search,
 multimodal metadata plumbing, and the batch-equivalent forms of the
-streaming windows. Oracle-checkable ones have SQL in ``oracles_ext.py`` —
+streaming windows. Every query here has oracle SQL in ``oracles_ext.py`` —
 including the full MinHash-LSH / SimHash pipelines (portable md5-derived
-hash) AND the LSH/IVF ANN pipelines (quantized integer bucket/cell
-assignment, similarity.QUANT) — DuckDB replicates all of them
-bit-identically. Only the HLL sketch remains rows-only (genuinely
-approximate; 3σ error bound verified in pytest).
+hash), the LSH/IVF ANN pipelines (quantized integer bucket/cell
+assignment, similarity.QUANT), connected-components clustering (recursive
+CTE closure), BM25 (identical expression tree), and the portable
+HLL/quantile sketches (exact-integer register and bucket math) — DuckDB
+replicates all of them bit-identically.
 """
 
 from __future__ import annotations
@@ -24,6 +25,7 @@ from ..operators import (
     scrub,
     search,
     similarity,
+    sketch,
     skew,
     text,
 )
@@ -119,6 +121,20 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=16,
         threshold=0.2,
         hasher="md5",
+    )
+
+
+def approx_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (operators/sketch.py HDR-histogram-shaped
+    buckets, exact-integer bucketing): p50/p90/p99 of order price in cents
+    per priority, <3.2% relative error, replicated bit-for-bit by DuckDB.
+    At 100 TB the histogram (group, bucket, cnt) is the storable artifact:
+    sum-mergeable across partitions/days, quantiles recomputed on read."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * F.lit(100)).cast("long")
+    d = orders.select("o_orderpriority", cents.alias("cents"))
+    return sketch.approx_quantiles(
+        d, "cents", ["o_orderpriority"], [0.5, 0.9, 0.99]
     )
 
 

@@ -82,3 +82,56 @@ def test_portable_hll_null_keys_ignored(spark):
     est = sketch.hll_distinct(df, "u", ["g"], p=12).collect()[0].hll_count
     # 50 distinct non-null keys; linear counting is near-exact here
     assert abs(est - 50) <= 3, est
+
+
+def test_quantile_histogram_accuracy(spark):
+    # uniform 1..100000: bucket lower bounds guarantee estimate <= true
+    # value with relative error < 2^-5 (3.2%) at any quantile
+    df = spark.range(1, 100001).select(F.col("id").alias("v"), F.lit(1).alias("g"))
+    out = sketch.approx_quantiles(df, "v", ["g"], [0.5, 0.9, 0.99]).collect()[0]
+    for true, got in ((50000, out.p50), (90000, out.p90), (99000, out.p99)):
+        assert got <= true
+        assert (true - got) / true < 0.04, (true, got)
+
+
+def test_quantile_histogram_exact_region(spark):
+    # values below 2^k bucket to themselves -> exact quantiles
+    df = spark.range(1, 21).select(F.col("id").alias("v"), F.lit(1).alias("g"))
+    out = sketch.approx_quantiles(df, "v", ["g"], [0.5, 0.9], k=5).collect()[0]
+    assert out.p50 == 10  # rank ceil(0.5*20)=10
+    assert out.p90 == 18  # rank ceil(0.9*20)=18
+
+
+def test_quantile_histogram_mergeable(spark):
+    # histograms from disjoint halves, summed, give the same quantiles as
+    # the whole — the property that lets registers be stored and merged
+    df = spark.range(1, 50001).select((F.col("id") * 7919 % 99991).alias("v"), F.lit(1).alias("g"))
+    left = df.filter(F.col("v") % 2 == 0)
+    right = df.filter(F.col("v") % 2 == 1)
+    merged_hist = (
+        sketch.quantile_histogram(left, "v", ["g"])
+        .unionByName(sketch.quantile_histogram(right, "v", ["g"]))
+        .groupBy("g", "qbucket", "rep")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    # estimate from the merged histogram via the same cumulative walk
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g").orderBy("qbucket")
+    tot = merged_hist.groupBy("g").agg(F.sum("cnt").alias("n_"))
+    cum = merged_hist.withColumn("cum_", F.sum("cnt").over(w)).join(tot, ["g"])
+    rank = F.greatest(F.lit(1).cast("long"), F.ceil(F.lit(0.5) * F.col("n_")).cast("long"))
+    merged_p50 = (
+        cum.groupBy("g").agg(F.min(F.when(F.col("cum_") >= rank, F.col("rep"))).alias("p"))
+        .collect()[0].p
+    )
+    whole_p50 = sketch.approx_quantiles(df, "v", ["g"], [0.5]).collect()[0].p50
+    assert merged_p50 == whole_p50
+
+
+def test_quantile_histogram_drops_nulls_and_negatives(spark):
+    df = spark.createDataFrame(
+        [(None,), (-5,), (1,), (2,), (3,)], "v long"
+    ).select("v", F.lit(1).alias("g"))
+    out = sketch.approx_quantiles(df, "v", ["g"], [0.5]).collect()[0]
+    assert out.p50 == 2

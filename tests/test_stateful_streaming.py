@@ -38,9 +38,9 @@ def event_dir(spark, tmp_path_factory):
         rows.append((2, t0 + timedelta(minutes=m)))
     # a far-future event advances the watermark so open sessions time out
     rows.append((99, t0 + timedelta(days=2)))
-    spark.createDataFrame(rows, EVENT_SCHEMA).write.mode("append").parquet(
-        str(d / "events")
-    )
+    spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(d / "events"))
     return d
 
 
@@ -51,9 +51,13 @@ def test_late_event_does_not_move_session_end_backwards(spark, tmp_path):
     d = tmp_path / "late"
     t0 = datetime(2025, 5, 1, 10, 0, 0)
     # file 1: events at 10:00 and 10:20 (one open session)
+    # coalesce(1): one part file per logical arrival batch — multi-part
+    # writes land with near-equal mtimes and maxFilesPerTrigger=1 then
+    # picks them up in nondeterministic order (the watermark-push row
+    # processed first would drop the 10:40 event as late)
     spark.createDataFrame(
         [(1, t0), (1, t0 + timedelta(minutes=20))], EVENT_SCHEMA
-    ).write.mode("append").parquet(str(d / "ev"))
+    ).coalesce(1).write.mode("append").parquet(str(d / "ev"))
     import time as _t
     _t.sleep(1.1)  # distinct mtimes → deterministic file pickup order
     # file 2: a LATE event at 10:05 plus one at 10:40 (within gap of 10:20),
@@ -62,7 +66,7 @@ def test_late_event_does_not_move_session_end_backwards(spark, tmp_path):
         [(1, t0 + timedelta(minutes=5)), (1, t0 + timedelta(minutes=40)),
          (99, t0 + timedelta(days=2))],
         EVENT_SCHEMA,
-    ).write.mode("append").parquet(str(d / "ev"))
+    ).coalesce(1).write.mode("append").parquet(str(d / "ev"))
 
     stream = facade.read_stream(
         spark, str(d / "ev"), EVENT_SCHEMA, max_files_per_trigger=1
