@@ -48,11 +48,30 @@ def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
     )
 
 
+def _normalize_session(spark: SparkSession) -> None:
+    """Make any SparkSession (including the driver's, which we don't build)
+    read the testdata the way the DuckDB oracle does:
+
+    - tz-naive parquet timestamps (``isAdjustedToUTC=false``) load as
+      TIMESTAMP_LTZ, not TIMESTAMP_NTZ — NTZ breaks ``unix_micros``/datetime
+      arithmetic and stringifies differently from the oracle;
+    - session timezone UTC, so the LTZ interpretation of those naive wall
+      times is the identity (DuckDB treats naive timestamps as UTC instants).
+
+    Both confs are runtime-settable SQL confs, so this works on sessions we
+    did not construct.
+    """
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table; nanosecond timestamp columns are read as raw int64
     (``nanosAsLong``) and truncated to microsecond timestamps with exact
     integer division — the same truncation DuckDB applies, so oracle
-    comparisons agree."""
+    comparisons agree. Tz-naive micro/milli timestamps load as LTZ under a
+    UTC session (see ``_normalize_session``)."""
+    _normalize_session(spark)
     path = table_path(sf_dir, name)
     ns_cols = _nanos_timestamp_cols(path)
     if ns_cols:
@@ -60,6 +79,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    for f in df.schema.fields:
+        if f.dataType.simpleString() == "timestamp_ntz":
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
 
 
