@@ -436,6 +436,23 @@ WHERE NOT EXISTS (
 
 ORACLES_EXT["decontaminate_docs"] = DECONTAMINATE_SQL
 
+# Trailing-window range self-join: the oracle states the interval predicate
+# directly (DuckDB plans it as an IEJoin); the Spark side runs the
+# bin-bucketed equi-join of operators/rangejoin.py. Window (t, t+30min],
+# exact microsecond timestamp arithmetic on both engines.
+RANGE_JOIN_BURSTS_SQL = r"""
+WITH a AS (SELECT event_id, ts FROM events WHERE value > 180)
+SELECT a.event_id,
+       count(b.ts) AS n_follow,
+       count(DISTINCT b.user_id) AS n_users,
+       max(b.value) AS max_follow_value
+FROM a LEFT JOIN events b
+  ON b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+GROUP BY a.event_id
+"""
+
+ORACLES_EXT["range_join_event_bursts"] = RANGE_JOIN_BURSTS_SQL
+
 # --------------------------------------------------------------------------
 # PII redaction / repetition filter / URL normalization / stratified sample
 # / corpus n-grams. Patterns live in the RE2∩Java-regex subset so both

@@ -440,6 +440,35 @@ def corpus_top_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.corpus_top_ngrams(_docs(spark, sf_dir), n=3, k=20)
 
 
+def range_join_event_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window range self-join (operators/rangejoin.py): for each
+    high-value anchor event, the count / distinct-user count / max value of
+    all events in the following 30 minutes — the aftershock-association
+    query shape. The interval predicate runs as a bin-bucketed EQUI-join
+    (anchors duplicated 2×, candidates shuffled once by time bin), not the
+    BNLJ Spark would pick for a raw theta-join; the DuckDB oracle states
+    the same join as a plain interval predicate."""
+    from ..operators import rangejoin
+
+    ev = load_table(spark, sf_dir, "events")
+    anchors = ev.filter(F.col("value") > 180).select("event_id", "ts")
+    cands = ev.select("user_id", "ts", "value")
+    pairs = rangejoin.interval_join(
+        anchors, cands, lower_us=0, upper_us=30 * 60 * 1_000_000
+    )
+    agg = pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_follow"),
+        F.countDistinct("user_id_c").alias("n_users"),
+        F.max("value_c").alias("max_follow_value"),
+    )
+    return anchors.join(agg, "event_id", "left").select(
+        "event_id",
+        F.coalesce("n_follow", F.lit(0)).alias("n_follow"),
+        F.coalesce("n_users", F.lit(0)).alias("n_users"),
+        "max_follow_value",
+    )
+
+
 def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set decontamination: drop every corpus doc whose normalized
     fingerprint appears in the benchmark set (stand-in: docs with
