@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_token_shards": workloads_ext.pack_token_shards,
         "decontaminate_docs": workloads_ext.decontaminate_docs,
         "range_join_event_bursts": workloads_ext.range_join_event_bursts,
+        "temperature_mixture_sample": workloads_ext.temperature_mixture_sample,
         "pii_redact_docs": workloads_ext.pii_redact_docs,
         "repetition_filter_docs": workloads_ext.repetition_filter_docs,
         "url_host_stats": workloads_ext.url_host_stats,

@@ -124,6 +124,68 @@ def stratified_sample(
     return df.filter(prefix < bound)
 
 
+_TEMP_BITS = 20  # per-row hash fraction resolution (2^-20 ≈ 1e-6)
+
+
+def temperature_sample(
+    df: DataFrame,
+    *,
+    domain_col: str,
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic sqrt-temperature domain rebalancing (α = 1/2).
+
+    Training mixtures flatten domain frequencies with a temperature:
+    target counts ∝ n_d^α. For the standard α = 1/2, each domain keeps
+    rows at rate ``sqrt(n_min / n_d)`` (the smallest domain is kept whole,
+    larger domains are downsampled toward equal representation).
+
+    The keep decision is EXACT INTEGER math — no pow/sqrt calls whose last
+    ulp could differ between engines and flip a membership near the
+    threshold. With h a ``2^k``-bounded hash of the row key (k=20 bits of
+    md5, the portable-hash idiom of operators/neardup.py) and
+    u = h / 2^k the row's uniform draw::
+
+        keep  ⟺  u < sqrt(n_min / n_d)
+              ⟺  u² < n_min / n_d
+              ⟺  h² · n_d < n_min · 4^k      (all integers)
+
+    The product comparison runs in DECIMAL(38,0) (exact in Spark decimal
+    arithmetic and DuckDB HUGEINT alike): h² < 2^40, so both sides stay
+    under 1e38 for any n_d below ~1e13 rows per domain — comfortably past
+    100 TB corpora.
+
+    Shape at scale: one partial-aggregated shuffle over the (tiny) domain
+    key to get counts, a broadcast join of those counts back (the corpus
+    itself never shuffles), then a map-side filter. Reproducible across
+    runs, engines, and partitionings; re-deal with ``salt``.
+    """
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n_d"))
+    n_min = counts.agg(F.min("__n_d").alias("__n_min"))
+    rates = F.broadcast(counts.crossJoin(F.broadcast(n_min)))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(key_col).cast("string"), F.lit("|" + salt))),
+            1,
+            _TEMP_BITS // 4,
+        ),
+        16,
+        10,
+    ).cast("long")
+    dec = "decimal(38,0)"
+    keep = (
+        F.col("__h").cast(dec) * F.col("__h").cast(dec) * F.col("__n_d").cast(dec)
+        < F.col("__n_min").cast(dec) * F.lit(4 ** _TEMP_BITS).cast(dec)
+    )
+    return (
+        df.withColumn("__h", h)
+        .join(rates, domain_col)
+        .where(keep)
+        .drop("__h", "__n_d", "__n_min")
+    )
+
+
 def pack_token_shards(
     df: DataFrame,
     *,

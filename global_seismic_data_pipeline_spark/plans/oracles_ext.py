@@ -453,6 +453,26 @@ GROUP BY a.event_id
 
 ORACLES_EXT["range_join_event_bursts"] = RANGE_JOIN_BURSTS_SQL
 
+# Sqrt-temperature domain mixture sampling: keep ⟺ h²·n_d < n_min·4^20 in
+# exact integer math (HUGEINT here, DECIMAL(38,0) on the Spark side) — no
+# pow/sqrt whose final ulp could flip a membership near the threshold.
+TEMPERATURE_SAMPLE_SQL = r"""
+WITH counts AS (
+    SELECT lang, count(*) AS n_d FROM documents GROUP BY lang
+), m AS (
+    SELECT min(n_d) AS n_min FROM counts
+), h AS (
+    SELECT doc_id, lang, source,
+           ('0x' || substr(md5(doc_id::VARCHAR || '|temp1'), 1, 5))::BIGINT AS hv
+    FROM documents
+)
+SELECT h.doc_id, h.lang, h.source
+FROM h JOIN counts USING (lang) CROSS JOIN m
+WHERE hv::HUGEINT * hv * n_d < n_min::HUGEINT * 1099511627776
+"""
+
+ORACLES_EXT["temperature_mixture_sample"] = TEMPERATURE_SAMPLE_SQL
+
 # --------------------------------------------------------------------------
 # PII redaction / repetition filter / URL normalization / stratified sample
 # / corpus n-grams. Patterns live in the RE2∩Java-regex subset so both

@@ -434,6 +434,21 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "source")
 
 
+def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sqrt-temperature (α = 1/2) domain rebalancing over ``lang`` (the
+    skewed domain in the corpus: en is ~3× the others, so en is really
+    downsampled — operators/sampling.py temperature_sample). Keep
+    decisions are exact integer math so the DuckDB oracle reproduces the
+    membership bit-for-bit."""
+    from ..operators import sampling
+
+    out = sampling.temperature_sample(
+        _docs(spark, sf_dir), domain_col="lang", key_col="doc_id",
+        salt="temp1",
+    )
+    return out.select("doc_id", "lang", "source")
+
+
 def corpus_top_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-20 word trigrams, deterministic tie-break
     (operators/text.py corpus_top_ngrams)."""

@@ -122,3 +122,58 @@ def test_decontaminate_removes_all_eval_fingerprints(spark):
     # and it kept everything that doesn't (no over-removal)
     kept = fp.join(eval_fps, "fp", "left_anti").count()
     assert clean.count() == kept > 0
+
+
+# --------------------------------------------------------------------------
+# temperature_sample
+
+
+def _py_temperature_keep(key, n_d, n_min, salt="t"):
+    """Pure-Python replica of the exact-integer keep rule."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{key}|{salt}".encode()).hexdigest()[:5], 16)
+    return h * h * n_d < n_min * (4**20)
+
+
+def test_temperature_sample_matches_python_reference(spark):
+    rows = [(i, "big" if i < 400 else ("mid" if i < 490 else "small"))
+            for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, dom string")
+    out = sampling.temperature_sample(
+        df, domain_col="dom", key_col="k", salt="t"
+    )
+    got = {r["k"] for r in out.collect()}
+    counts = {"big": 400, "mid": 90, "small": 10}
+    exp = {
+        k for k, dom in rows
+        if _py_temperature_keep(k, counts[dom], 10, salt="t")
+    }
+    assert got == exp
+
+
+def test_temperature_sample_keeps_smallest_domain_whole(spark):
+    rows = [(i, "a" if i < 900 else "b") for i in range(1000)]
+    df = spark.createDataFrame(rows, "k long, dom string")
+    out = sampling.temperature_sample(df, domain_col="dom", key_col="k")
+    by_dom = {
+        r["dom"]: r["n"]
+        for r in out.groupBy("dom").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_dom["b"] == 100  # rate sqrt(100/100) = 1: kept whole
+    # big domain targets sqrt(n_min * n_d) = sqrt(100*900) = 300 kept
+    assert 200 <= by_dom["a"] <= 400
+
+
+def test_temperature_sample_salt_changes_membership(spark):
+    rows = [(i, "a" if i < 950 else "b") for i in range(1000)]
+    df = spark.createDataFrame(rows, "k long, dom string")
+    a = {r["k"] for r in sampling.temperature_sample(
+        df, domain_col="dom", key_col="k", salt="s1").collect()}
+    b = {r["k"] for r in sampling.temperature_sample(
+        df, domain_col="dom", key_col="k", salt="s2").collect()}
+    assert a != b
+    # re-running with the same salt is identical
+    a2 = {r["k"] for r in sampling.temperature_sample(
+        df, domain_col="dom", key_col="k", salt="s1").collect()}
+    assert a == a2
