@@ -473,6 +473,33 @@ WHERE hv::HUGEINT * hv * n_d < n_min::HUGEINT * 1099511627776
 
 ORACLES_EXT["temperature_mixture_sample"] = TEMPERATURE_SAMPLE_SQL
 
+# JSONL parse/recovery: both engines serialize each doc to a minimal JSON
+# line ({"doc_id":N,"text":"..."}, same field order, no spaces), truncate
+# every 7th, and re-parse their OWN serialization — so the per-line parse
+# outcome (Jackson PERMISSIVE vs json_valid) must agree line-for-line.
+JSONL_PARSE_SQL = r"""
+WITH j AS (
+    SELECT doc_id AS orig_id,
+           to_json(struct_pack(doc_id := doc_id, text := text))::VARCHAR AS js
+    FROM documents
+), lines AS (
+    SELECT CASE WHEN orig_id % 7 = 0 THEN substr(js, 1, length(js) - 5)
+                ELSE js END AS line
+    FROM j
+)
+SELECT
+    CASE WHEN json_valid(line) THEN json_extract(line, '$.doc_id')::BIGINT
+         ELSE NULLIF(regexp_extract(line, '"doc_id":([0-9]+)', 1), '')::BIGINT
+    END AS doc_id,
+    CAST(json_valid(line) AS BIGINT) AS ok,
+    CAST(CASE WHEN json_valid(line)
+              THEN length(json_extract_string(line, '$.text')) END
+         AS BIGINT) AS parsed_text_len
+FROM lines
+"""
+
+ORACLES_EXT["jsonl_parse_recovery"] = JSONL_PARSE_SQL
+
 # --------------------------------------------------------------------------
 # PII redaction / repetition filter / URL normalization / stratified sample
 # / corpus n-grams. Patterns live in the RE2∩Java-regex subset so both

@@ -449,6 +449,35 @@ def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "source")
 
 
+def jsonl_parse_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL ingestion with corrupt-record recovery (sources/jsonl.py):
+    each doc is serialized to a JSON line, every 7th line is truncated
+    (simulating damaged shard lines), then the corpus is re-ingested
+    through the text→from_json PERMISSIVE path. Corrupt lines surface in
+    the quarantine column; their doc_id is salvaged from the raw line by
+    regex — per-line outcome (id, ok flag, parsed text length) is
+    oracle-checked, so BOTH engines agree on exactly which lines parse."""
+    from ..sources import jsonl
+
+    d = _docs(spark, sf_dir)
+    js = F.to_json(F.struct("doc_id", "text"))
+    line = F.when(
+        F.col("doc_id") % 7 == 0, js.substr(F.lit(1), F.length(js) - 5)
+    ).otherwise(js)
+    parsed = jsonl.parse_jsonl_lines(
+        d.select(line.alias("value")), "doc_id long, text string"
+    )
+    ok = F.col(jsonl.CORRUPT_COL).isNull()
+    salvaged = F.regexp_extract(
+        F.col(jsonl.CORRUPT_COL), r'"doc_id":([0-9]+)', 1
+    ).cast("long")
+    return parsed.select(
+        F.coalesce(F.col("doc_id"), salvaged).alias("doc_id"),
+        ok.cast("long").alias("ok"),
+        F.when(ok, F.length("text").cast("long")).alias("parsed_text_len"),
+    )
+
+
 def corpus_top_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-20 word trigrams, deterministic tie-break
     (operators/text.py corpus_top_ngrams)."""
