@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_event_bursts": workloads_ext.range_join_event_bursts,
         "temperature_mixture_sample": workloads_ext.temperature_mixture_sample,
         "jsonl_parse_recovery": workloads_ext.jsonl_parse_recovery,
+        "token_diversity_docs": workloads_ext.token_diversity_docs,
         "pii_redact_docs": workloads_ext.pii_redact_docs,
         "repetition_filter_docs": workloads_ext.repetition_filter_docs,
         "url_host_stats": workloads_ext.url_host_stats,

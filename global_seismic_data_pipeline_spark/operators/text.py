@@ -204,6 +204,48 @@ def repetition_stats(
     )
 
 
+def token_diversity(
+    df, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Simpson-diversity token statistics per document.
+
+    Quality filters use distribution *concentration*, not just distinct
+    counts: a doc whose tokens are dominated by a few repeats scores low
+    even with a large vocabulary. Shannon entropy is the textbook measure
+    but needs log() calls whose final ulp differs between engines; the
+    Simpson family carries the same signal from exact integers only:
+
+    - ``sum_sq``       = Σ cnt²            (exact integer)
+    - ``effective_vocab`` = N² / Σcnt²     (inverse Simpson — the number of
+      equally-frequent tokens that would produce this concentration)
+    - ``gini_simpson`` = 1 − Σcnt²/N²      (probability two random tokens
+      differ)
+
+    Each float output is ONE IEEE division (plus one exact subtraction) of
+    exactly-representable integers, so Spark and the DuckDB oracle agree
+    bit-for-bit — no float-sum ordering, no libm.
+
+    Shape: token rows → two partial-aggregated shuffles ((doc,tok), then
+    doc). Skew bounded by the longest document.
+    """
+    toks = token_rows(df, id_col=id_col, text_col=text_col)
+    cnts = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    agg = cnts.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("distinct_tokens"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sum_sq"),
+    )
+    n2 = F.col("n_tokens") * F.col("n_tokens")
+    return agg.select(
+        id_col,
+        "n_tokens",
+        "distinct_tokens",
+        "sum_sq",
+        (n2 / F.col("sum_sq")).alias("effective_vocab"),
+        (F.lit(1.0) - F.col("sum_sq") / n2).alias("gini_simpson"),
+    )
+
+
 def corpus_top_ngrams(
     df,
     *,

@@ -500,6 +500,29 @@ FROM lines
 
 ORACLES_EXT["jsonl_parse_recovery"] = JSONL_PARSE_SQL
 
+# Simpson-diversity token stats: Σcnt² is an exact integer; each float
+# output is one IEEE division of exactly-representable ints — portable
+# without any float-sum ordering or libm concerns.
+TOKEN_DIVERSITY_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split({NORM}, ' ')) AS tok FROM documents
+), cnts AS (
+    SELECT doc_id, tok, COUNT(*) AS cnt FROM toks GROUP BY doc_id, tok
+), agg AS (
+    SELECT doc_id,
+        CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+        CAST(COUNT(*) AS BIGINT) AS distinct_tokens,
+        CAST(SUM(cnt * cnt) AS BIGINT) AS sum_sq
+    FROM cnts GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, distinct_tokens, sum_sq,
+    (n_tokens * n_tokens) / sum_sq AS effective_vocab,
+    1.0 - sum_sq / (n_tokens * n_tokens) AS gini_simpson
+FROM agg
+"""
+
+ORACLES_EXT["token_diversity_docs"] = TOKEN_DIVERSITY_SQL
+
 # --------------------------------------------------------------------------
 # PII redaction / repetition filter / URL normalization / stratified sample
 # / corpus n-grams. Patterns live in the RE2∩Java-regex subset so both

@@ -449,6 +449,13 @@ def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "source")
 
 
+def token_diversity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson-diversity token concentration per doc (operators/text.py
+    token_diversity): exact-integer Σcnt² with single-division float
+    outputs, bit-identical in DuckDB."""
+    return text.token_diversity(_docs(spark, sf_dir))
+
+
 def jsonl_parse_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL ingestion with corrupt-record recovery (sources/jsonl.py):
     each doc is serialized to a JSON line, every 7th line is truncated

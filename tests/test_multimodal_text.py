@@ -86,3 +86,23 @@ def test_fingerprint_normalization_invariant(spark):
         "doc_id", text.fingerprint(F.col("text")).alias("fp")
     ).collect()}
     assert out[1] == out[2] != out[3]
+
+
+def test_token_diversity_hand_computed(spark):
+    from global_seismic_data_pipeline_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "x y z w"), (3, "q q q q")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in T.token_diversity(df).collect()}
+    # doc 1: cnts {a:2, b:1} -> N=3, S2=5
+    assert got[1]["n_tokens"] == 3 and got[1]["sum_sq"] == 5
+    assert got[1]["effective_vocab"] == 9 / 5
+    assert got[1]["gini_simpson"] == 1.0 - 5 / 9
+    # doc 2: uniform -> effective vocab == distinct == 4, gini = 1 - 1/4
+    assert got[2]["effective_vocab"] == 4.0
+    assert got[2]["gini_simpson"] == 0.75
+    # doc 3: one token repeated -> effective vocab 1, gini 0
+    assert got[3]["effective_vocab"] == 1.0
+    assert got[3]["gini_simpson"] == 0.0
