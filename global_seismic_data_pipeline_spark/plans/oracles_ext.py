@@ -523,6 +523,33 @@ FROM agg
 
 ORACLES_EXT["token_diversity_docs"] = TOKEN_DIVERSITY_SQL
 
+# Context-window chunking: the oracle slices each chunk's tokens directly
+# from the split array (1-based list_slice), mirroring the row-generating
+# Spark operator chunk-for-chunk. L=40, S=20, min 20 tokens.
+_CH_L, _CH_S, _CH_MIN = 40, 20, 20
+CHUNK_DOCS_SQL = rf"""
+WITH w AS (
+    SELECT doc_id, string_split({NORM}, ' ') AS ws FROM documents
+), c AS (
+    SELECT doc_id, ws,
+           unnest(range(((len(ws) - 1) // {_CH_S}) + 1)) AS chunk_id
+    FROM w WHERE len(ws) > 0
+)
+SELECT doc_id,
+    chunk_id::BIGINT AS chunk_id,
+    (least(chunk_id * {_CH_S} + {_CH_L}, len(ws))
+        - chunk_id * {_CH_S})::BIGINT AS n_tokens,
+    array_to_string(
+        list_slice(ws, chunk_id * {_CH_S} + 1,
+                   least(chunk_id * {_CH_S} + {_CH_L}, len(ws))), ' '
+    ) AS chunk_text
+FROM c
+WHERE least(chunk_id * {_CH_S} + {_CH_L}, len(ws)) - chunk_id * {_CH_S}
+      >= {_CH_MIN}
+"""
+
+ORACLES_EXT["chunk_docs_for_training"] = CHUNK_DOCS_SQL
+
 # --------------------------------------------------------------------------
 # PII redaction / repetition filter / URL normalization / stratified sample
 # / corpus n-grams. Patterns live in the RE2∩Java-regex subset so both

@@ -456,6 +456,18 @@ def token_diversity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_diversity(_docs(spark, sf_dir))
 
 
+def chunk_docs_for_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (operators/chunking.py): 40-token windows
+    every 20 tokens (50% overlap), trailing windows under 20 tokens
+    dropped. The oracle reproduces every chunk's exact text by list
+    slicing, so window boundaries are hash-checked token-for-token."""
+    from ..operators import chunking
+
+    return chunking.chunk_tokens(
+        _docs(spark, sf_dir), chunk_len=40, stride=20, min_tokens=20
+    )
+
+
 def jsonl_parse_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL ingestion with corrupt-record recovery (sources/jsonl.py):
     each doc is serialized to a JSON line, every 7th line is truncated
