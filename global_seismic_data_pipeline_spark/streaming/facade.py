@@ -167,6 +167,52 @@ def enriched_bands(
     return band_join(stream, bands, value_col=value_col, carry_cols=list(carry_cols))
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: tuple[str, ...],
+    left_time: str,
+    right_time: str,
+    lower: str,
+    upper: str,
+    late_threshold: str = "1 day",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream event correlation: right events in the interval
+    ``(left_time + lower, left_time + upper]`` of a left event, equi-keyed
+    on ``on`` — the continuous form of the batch range join
+    (operators/rangejoin.py) and the canonical stateful two-stream shape.
+
+    Both inputs are watermarked and the join carries an event-time range
+    condition; together these BOUND THE STATE STORE — Spark buffers each
+    side only until the other side's watermark passes the end of its join
+    window, then evicts. A stream-stream join without the time bound
+    accumulates state forever (the documented anti-pattern this wrapper
+    exists to prevent). ``how='left_outer'`` is supported (outer results
+    emit once the watermark closes the window; inner results emit as
+    matches arrive).
+
+    The result carries BOTH sides' columns — select through the ``l``/``r``
+    aliases (``F.col("l.event_id")``), since the sides usually share names.
+    """
+    half_open = (
+        f"r.{right_time} > l.{left_time} + INTERVAL {lower} AND "
+        f"r.{right_time} <= l.{left_time} + INTERVAL {upper}"
+    )
+    keys = " AND ".join([f"l.{k} = r.{k}" for k in on])
+    cond = f"{keys} AND {half_open}" if keys else half_open
+    return (
+        left.withWatermark(left_time, late_threshold)
+        .alias("l")
+        .join(
+            right.withWatermark(right_time, late_threshold).alias("r"),
+            F.expr(cond),
+            how,
+        )
+    )
+
+
 def upsert_sink(
     stream: DataFrame,
     wh: Warehouse,

@@ -210,3 +210,57 @@ def test_windowed_hll_registers_match_batch(spark, stream_dir):
     assert est == want
     # tiny per-day cardinalities sit in the exact linear-counting range
     assert set(est.values()) == {1, 2}
+
+
+def test_interval_join_streams_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (mainshock -> aftershocks within 1 day,
+    same network) drains to exactly the batch join's pairs."""
+    t = datetime
+    rows = [
+        bronze_row("m1", t(2025, 5, 1, 0), mag=6.5, net="us"),
+        bronze_row("a1", t(2025, 5, 1, 5), mag=3.0, net="us"),   # +5h: match
+        bronze_row("a2", t(2025, 5, 2, 0), mag=2.5, net="us"),   # +24h: match (<=)
+        bronze_row("a3", t(2025, 5, 2, 0, 0, 1), mag=2.0, net="us"),  # past
+        bronze_row("b1", t(2025, 5, 1, 1), mag=3.5, net="ak"),   # other net
+        bronze_row("m2", t(2025, 5, 3, 0), mag=7.0, net="ak"),
+        bronze_row("a4", t(2025, 5, 3, 2), mag=4.0, net="ak"),   # match m2
+    ]
+    d = tmp_path / "sj"
+    spark.createDataFrame(rows, BRONZE_EARTHQUAKES).write.parquet(str(d))
+
+    def mains(df):
+        return df.filter(F.col("mag") >= 6.0).select("event_id", "time", "net")
+
+    def after(df):
+        return df.select("event_id", "time", "net", "mag")
+
+    joined = facade.interval_join_streams(
+        mains(facade.read_stream(spark, str(d), BRONZE_EARTHQUAKES)),
+        after(facade.read_stream(spark, str(d), BRONZE_EARTHQUAKES)),
+        on=("net",),
+        left_time="time",
+        right_time="time",
+        lower="0 SECONDS",
+        upper="1 DAY",
+    ).select(
+        F.col("l.event_id").alias("main_id"),
+        F.col("r.event_id").alias("after_id"),
+    )
+    facade.to_memory_table(joined, "sj_pairs", complete=False)
+    got = {(r.main_id, r.after_id) for r in spark.table("sj_pairs").collect()}
+
+    batch = spark.read.parquet(str(d))
+    exp_df = (
+        mains(batch).alias("l")
+        .join(
+            after(batch).alias("r"),
+            F.expr(
+                "l.net = r.net AND r.time > l.time AND "
+                "r.time <= l.time + INTERVAL 1 DAY"
+            ),
+        )
+        .select(F.col("l.event_id").alias("m"), F.col("r.event_id").alias("a"))
+    )
+    exp = {(r.m, r.a) for r in exp_df.collect()}
+    assert got == exp
+    assert got == {("m1", "a1"), ("m1", "a2"), ("m2", "a4")}
