@@ -794,6 +794,43 @@ ORACLES_EXT["ivf_ann_topk"] = IVF_ANN_TOPK_SQL
 
 ORACLES_EXT["pii_redact_docs"] = PII_REDACT_SQL
 ORACLES_EXT["repetition_filter_docs"] = REPETITION_FILTER_SQL
+
+# Curation funnel: composes the quality and repetition oracles as
+# subqueries (defined above), so the funnel's cumulative accounting reuses
+# the exact stage predicates already hash-checked in isolation.
+CURATION_FUNNEL_SQL = rf"""
+WITH q AS ({TEXT_QUALITY_SQL}), r AS ({REPETITION_FILTER_SQL}),
+fp AS (
+    SELECT doc_id, n_chars, md5({NORM}) AS fp FROM documents
+), flags AS (
+    SELECT fp.n_chars,
+        CASE WHEN q.quality_score >= 1.2 THEN 1 ELSE 0 END AS c1,
+        CASE WHEN q.quality_score >= 1.2 AND r.keep = 1 THEN 1 ELSE 0 END AS c2,
+        CASE WHEN q.quality_score >= 1.2 AND r.keep = 1 AND NOT EXISTS (
+            SELECT 1 FROM fp ev
+            WHERE ev.doc_id % 97 = 0 AND ev.fp = fp.fp
+        ) THEN 1 ELSE 0 END AS c3
+    FROM fp
+    JOIN q USING (doc_id)
+    JOIN r USING (doc_id)
+), agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS n0,
+        CAST(sum(n_chars) AS BIGINT) AS ch0,
+        CAST(sum(c1) AS BIGINT) AS n1,
+        CAST(COALESCE(sum(CASE WHEN c1 = 1 THEN n_chars END), 0) AS BIGINT) AS ch1,
+        CAST(sum(c2) AS BIGINT) AS n2,
+        CAST(COALESCE(sum(CASE WHEN c2 = 1 THEN n_chars END), 0) AS BIGINT) AS ch2,
+        CAST(sum(c3) AS BIGINT) AS n3,
+        CAST(COALESCE(sum(CASE WHEN c3 = 1 THEN n_chars END), 0) AS BIGINT) AS ch3
+    FROM flags
+)
+SELECT '0_ingested' AS stage, n0 AS n_docs, ch0 AS total_chars FROM agg
+UNION ALL SELECT '1_quality', n1, ch1 FROM agg
+UNION ALL SELECT '2_repetition', n2, ch2 FROM agg
+UNION ALL SELECT '3_decontaminated', n3, ch3 FROM agg
+"""
+
+ORACLES_EXT["curation_funnel_docs"] = CURATION_FUNNEL_SQL
 ORACLES_EXT["url_host_stats"] = URL_HOST_STATS_SQL
 ORACLES_EXT["stratified_sample_docs"] = STRATIFIED_SAMPLE_SQL
 ORACLES_EXT["corpus_top_trigrams"] = CORPUS_TOP_TRIGRAMS_SQL

@@ -497,6 +497,69 @@ def jsonl_parse_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def curation_funnel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation funnel: per-stage survivor accounting for
+    the sequential filter chain a training-data pipeline actually runs —
+
+      ingested → quality (score ≥ 1.2) → repetition (Gopher keep)
+               → decontaminated (fingerprint ∉ eval set)
+
+    One row per stage with cumulative doc and char counts; the DuckDB
+    oracle composes the SAME stage predicates (it embeds the quality and
+    repetition oracle SQL as subqueries), so the whole funnel's accounting
+    is hash-checked, not just each operator in isolation.
+
+    Scale shape: quality flags are map-side; repetition adds its two
+    token-row shuffles; the flag joins are keyed on doc_id; the final
+    accounting is one global aggregate folded to four rows via stack —
+    no per-stage rescans of the corpus."""
+    d = _docs(spark, sf_dir)
+    q = text.with_quality_features(d).select("doc_id", "quality_score")
+    rep = text.repetition_stats(d).select("doc_id", "keep")
+    fp = d.select("doc_id", "n_chars", text.fingerprint(F.col("text")).alias("fp"))
+    eval_fps = (
+        fp.filter(F.col("doc_id") % 97 == 0)
+        .select(F.col("fp").alias("eval_fp"))
+        .distinct()
+    )
+    flags = (
+        fp.join(q, "doc_id")
+        .join(rep, "doc_id")
+        .join(
+            F.broadcast(eval_fps),
+            F.col("fp") == F.col("eval_fp"),
+            "left",
+        )
+        .select(
+            "n_chars",
+            (F.col("quality_score") >= 1.2).cast("long").alias("c1"),
+            F.col("keep").alias("rep_keep"),
+            F.col("eval_fp").isNull().cast("long").alias("clean"),
+        )
+        .withColumn("c2", F.col("c1") * F.col("rep_keep"))
+        .withColumn("c3", F.col("c2") * F.col("clean"))
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum("n_chars").alias("ch0"),
+        F.sum("c1").alias("n1"),
+        F.coalesce(F.sum(F.when(F.col("c1") == 1, F.col("n_chars"))), F.lit(0)).alias("ch1"),
+        F.sum("c2").alias("n2"),
+        F.coalesce(F.sum(F.when(F.col("c2") == 1, F.col("n_chars"))), F.lit(0)).alias("ch2"),
+        F.sum("c3").alias("n3"),
+        F.coalesce(F.sum(F.when(F.col("c3") == 1, F.col("n_chars"))), F.lit(0)).alias("ch3"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(4, "
+            "'0_ingested', n0, ch0, "
+            "'1_quality', n1, ch1, "
+            "'2_repetition', n2, ch2, "
+            "'3_decontaminated', n3, ch3) AS (stage, n_docs, total_chars)"
+        )
+    )
+
+
 def corpus_top_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-20 word trigrams, deterministic tie-break
     (operators/text.py corpus_top_ngrams)."""
