@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_diversity_docs": workloads_ext.token_diversity_docs,
         "chunk_docs_for_training": workloads_ext.chunk_docs_for_training,
         "curation_funnel_docs": workloads_ext.curation_funnel_docs,
+        "bloom_prune_lineitem": workloads_ext.bloom_prune_lineitem,
         "pii_redact_docs": workloads_ext.pii_redact_docs,
         "repetition_filter_docs": workloads_ext.repetition_filter_docs,
         "url_host_stats": workloads_ext.url_host_stats,

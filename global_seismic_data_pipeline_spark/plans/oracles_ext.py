@@ -831,6 +831,59 @@ UNION ALL SELECT '3_decontaminated', n3, ch3 FROM agg
 """
 
 ORACLES_EXT["curation_funnel_docs"] = CURATION_FUNNEL_SQL
+
+# Bloom semi-join pruning: the oracle rebuilds the identical bitmap (same
+# md5 double-hash positions (h1 + i·h2) mod 2^18, same 32-bit words) and
+# must agree with Spark on every false positive, not just the exact
+# membership. The per-key probe is computed once per DISTINCT fact key,
+# then joined back to the fact rows.
+_BLOOM_M = 1 << 18
+_BLOOM_HASH = (
+    "('0x' || substr(md5({key}::VARCHAR || '|bl1'), 1, 15))::BIGINT"
+)
+_BLOOM_HASH2 = (
+    "('0x' || substr(md5({key}::VARCHAR || '|bl1'), 17, 15))::BIGINT"
+)
+BLOOM_PRUNE_SQL = rf"""
+WITH dimk AS (
+    SELECT DISTINCT o_orderkey AS key FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+), words AS (
+    SELECT p // 32 AS word,
+           bit_or(1::BIGINT << (p % 32)::INT) AS bits
+    FROM (
+        SELECT ({_BLOOM_HASH.format(key='key')}
+                + i * {_BLOOM_HASH2.format(key='key')}) % {_BLOOM_M} AS p
+        FROM dimk, (VALUES (0), (1), (2), (3)) t(i)
+    )
+    GROUP BY 1
+), fkeys AS (
+    SELECT DISTINCT l_orderkey FROM lineitem
+), fpos AS (
+    SELECT l_orderkey,
+           ({_BLOOM_HASH.format(key='l_orderkey')}
+            + i * {_BLOOM_HASH2.format(key='l_orderkey')}) % {_BLOOM_M} AS p
+    FROM fkeys, (VALUES (0), (1), (2), (3)) t(i)
+), fhit AS (
+    SELECT l_orderkey
+    FROM fpos LEFT JOIN words ON (p // 32) = word
+    GROUP BY l_orderkey
+    HAVING count(*) FILTER (
+        WHERE bits IS NOT NULL
+          AND (bits & (1::BIGINT << (p % 32)::INT))
+              = (1::BIGINT << (p % 32)::INT)
+    ) = 4
+)
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_bloom_pass,
+       CAST(count(*) FILTER (
+           WHERE l_orderkey IN (SELECT key FROM dimk)
+       ) AS BIGINT) AS n_exact
+FROM lineitem JOIN fhit USING (l_orderkey)
+GROUP BY l_returnflag
+"""
+
+ORACLES_EXT["bloom_prune_lineitem"] = BLOOM_PRUNE_SQL
 ORACLES_EXT["url_host_stats"] = URL_HOST_STATS_SQL
 ORACLES_EXT["stratified_sample_docs"] = STRATIFIED_SAMPLE_SQL
 ORACLES_EXT["corpus_top_trigrams"] = CORPUS_TOP_TRIGRAMS_SQL

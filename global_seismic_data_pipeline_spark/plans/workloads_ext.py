@@ -497,6 +497,34 @@ def jsonl_parse_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bloom_prune_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom semi-join pruning (operators/bloom.py): lineitem rows are
+    pre-filtered map-side against a 2^18-bit bloom of the urgent orders'
+    keys, then the exact membership is flagged by the (broadcast) true
+    key set. Per returnflag: rows passing the bloom vs rows in the exact
+    semi-join — the gap is the bloom's false-positive volume, which both
+    engines must reproduce EXACTLY (same md5 double-hash positions, same
+    bitmap words)."""
+    from ..operators import bloom
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    bm = bloom.build_bloom(dim, "o_orderkey", m_log2=18, k=4, salt="bl1")
+    fact = li.select("l_orderkey", "l_returnflag")
+    pruned = bloom.bloom_prune(
+        fact, bm, "l_orderkey", m_log2=18, k=4, salt="bl1"
+    )
+    true_keys = dim.select(
+        F.col("o_orderkey").alias("l_orderkey")
+    ).distinct().withColumn("__in", F.lit(1))
+    flagged = pruned.join(F.broadcast(true_keys), "l_orderkey", "left")
+    return flagged.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_bloom_pass"),
+        F.count("__in").alias("n_exact"),
+    )
+
+
 def curation_funnel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus curation funnel: per-stage survivor accounting for
     the sequential filter chain a training-data pipeline actually runs —
