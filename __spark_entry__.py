@@ -95,6 +95,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs_for_training": workloads_ext.chunk_docs_for_training,
         "curation_funnel_docs": workloads_ext.curation_funnel_docs,
         "bloom_prune_lineitem": workloads_ext.bloom_prune_lineitem,
+        "uniform_sample_docs": workloads_ext.uniform_sample_docs,
+        "cube_orders": workloads_ext.cube_orders,
         "pii_redact_docs": workloads_ext.pii_redact_docs,
         "repetition_filter_docs": workloads_ext.repetition_filter_docs,
         "url_host_stats": workloads_ext.url_host_stats,

@@ -884,6 +884,30 @@ GROUP BY l_returnflag
 """
 
 ORACLES_EXT["bloom_prune_lineitem"] = BLOOM_PRUNE_SQL
+
+# K-minimum-values uniform sample: ORDER BY md5 hash, deterministic
+# doc_id tiebreak (md5 collisions don't occur here, but the tiebreak makes
+# the contract airtight).
+UNIFORM_SAMPLE_SQL = r"""
+SELECT doc_id, lang, source,
+       md5(doc_id::VARCHAR || '|usamp1') AS h
+FROM documents
+ORDER BY h, doc_id
+LIMIT 100
+"""
+
+ORACLES_EXT["uniform_sample_docs"] = UNIFORM_SAMPLE_SQL
+
+CUBE_ORDERS_SQL = """
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+    COALESCE(o_orderstatus, 'ALL') AS status,
+    CAST(COUNT(*) AS BIGINT) AS n_orders,
+    ROUND(SUM(o_totalprice) / 1000000.0, 4) AS value_m
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+ORACLES_EXT["cube_orders"] = CUBE_ORDERS_SQL
 ORACLES_EXT["url_host_stats"] = URL_HOST_STATS_SQL
 ORACLES_EXT["stratified_sample_docs"] = STRATIFIED_SAMPLE_SQL
 ORACLES_EXT["corpus_top_trigrams"] = CORPUS_TOP_TRIGRAMS_SQL

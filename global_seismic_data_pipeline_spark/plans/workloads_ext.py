@@ -497,6 +497,43 @@ def jsonl_parse_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def uniform_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size uniform sample: the K documents with the
+    smallest md5(key|salt) — the K-minimum-values idiom, so the 'random'
+    subset is reproducible across runs, engines, and partitionings (unlike
+    seeded RNG sampling, which is partitioning-dependent). Spark executes
+    the ORDER BY + LIMIT as a TakeOrdered (per-partition top-K, then a
+    K-row merge on the driver) — no global sort at any scale."""
+    d = _docs(spark, sf_dir)
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|usamp1")))
+    return (
+        d.select("doc_id", "lang", "source", h.alias("h"))
+        .orderBy("h", "doc_id")
+        .limit(100)
+    )
+
+
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over (priority, status): all four grain
+    combinations in one pass — completes the grouping-set family next to
+    rollup_orders. NULL slots labeled 'ALL' (both group columns are
+    non-null in the data, so the marker is unambiguous)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice") / F.lit(1000000.0), 4).alias("value_m"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders",
+            "value_m",
+        )
+    )
+
+
 def bloom_prune_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom semi-join pruning (operators/bloom.py): lineitem rows are
     pre-filtered map-side against a 2^18-bit bloom of the urgent orders'
