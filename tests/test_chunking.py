@@ -63,3 +63,32 @@ def test_validates_parameters(spark):
         chunk_tokens(df, chunk_len=4, stride=5)
     with pytest.raises(ValueError):
         chunk_tokens(df, chunk_len=4, stride=2, min_tokens=9)
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.data(),
+    n_words=st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=5),
+)
+def test_property_matches_reference(spark, data, n_words):
+    L = data.draw(st.integers(min_value=1, max_value=12))
+    S = data.draw(st.integers(min_value=1, max_value=L))
+    mn = data.draw(st.integers(min_value=1, max_value=L))
+    docs = [
+        (i, " ".join(f"w{j}" for j in range(k))) for i, k in enumerate(n_words)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = _got(chunk_tokens(df, chunk_len=L, stride=S, min_tokens=mn))
+    exp = {
+        (d, c): v
+        for d, text in docs
+        for c, v in _py_chunks(text, L, S, mn).items()
+    }
+    assert got == exp

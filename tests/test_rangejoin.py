@@ -75,3 +75,33 @@ def test_rejects_empty_interval(spark):
     df = _events(spark, [(1, T0, 1.0)])
     with pytest.raises(ValueError):
         interval_join(df, df, lower_us=60, upper_us=60)
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    secs=st.lists(
+        st.integers(min_value=0, max_value=3600), min_size=2, max_size=25
+    ),
+    bounds=st.tuples(
+        st.integers(min_value=0, max_value=600),
+        st.integers(min_value=1, max_value=1200),
+    ),
+)
+def test_property_matches_brute_force(spark, secs, bounds):
+    lo_s, span_s = bounds
+    lower_us, upper_us = lo_s * 1_000_000, (lo_s + span_s) * 1_000_000
+    rows = [
+        (i, T0 + timedelta(seconds=s), float(i)) for i, s in enumerate(secs)
+    ]
+    df = _events(spark, rows)
+    got = interval_join(df, df, lower_us=lower_us, upper_us=upper_us)
+    exp = _brute(df, df, lower_us, upper_us)
+    assert _pairs_set(got) == _pairs_set(exp)
+    assert got.count() == len(_pairs_set(got))  # no pair duplication
