@@ -332,3 +332,90 @@ SELECT {gcols},
               ELSE {c_lit} / s_total END, 0) AS BIGINT) AS {out_col}
 FROM hll_e
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: mergeable heavy-hitter counters (Cormode & Muthukrishnan,
+# "An improved data stream summary: the count-min sketch and its
+# applications", 2005). Third member of the sketch family next to the HLL
+# (distincts) and the quantile histogram (quantiles): d×w integer counters,
+# estimate = min over rows — always an UPPER bound on the true count, exact
+# when no collision lands in all d rows. Counters are sum-mergeable across
+# partitions/days/tables, which is what makes them a warehouse primitive at
+# 100 TB: store the (row, pos, cnt) table, add on merge, probe on read.
+#
+# Positions use the same md5 double-hash (Kirsch–Mitzenmacher) as the bloom
+# filter, so DuckDB reproduces every counter and every estimate exactly —
+# integer arithmetic end to end.
+
+
+def cms_counters(
+    df: DataFrame,
+    col: str,
+    *,
+    w_log2: int = 10,
+    d: int = 4,
+    salt: str = "cms",
+) -> DataFrame:
+    """(row, pos, cnt) Count-Min counter table over occurrences of ``df[col]``.
+
+    One shuffle: occurrences explode to d position rows (bounded ×d, like
+    the bloom build), then a partial-aggregated count onto ≤ d·w rows.
+    """
+    from .bloom import _h12
+
+    if d < 1:
+        raise ValueError("d must be >= 1")
+    w = 1 << w_log2
+    h1, h2 = _h12(F.col(col), salt)
+    pos = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    ((h1 + F.lit(i) * h2) % F.lit(w)).alias("pos"),
+                )
+                for i in range(d)
+            ]
+        )
+    ).alias("rp")
+    return (
+        df.select(pos)
+        .select("rp.row", "rp.pos")
+        .groupBy("row", "pos")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame,
+    probes: DataFrame,
+    probe_col: str,
+    *,
+    w_log2: int = 10,
+    d: int = 4,
+    salt: str = "cms",
+    out_col: str = "cms_cnt",
+) -> DataFrame:
+    """Probe rows + ``out_col`` = min over the d counters — the CMS
+    count estimate (≥ the true count; parameters must match the build).
+    d broadcast left-joins of the ≤ d·w-row counter table; map-side only.
+    """
+    from .bloom import _h12
+
+    w = 1 << w_log2
+    h1, h2 = _h12(F.col(probe_col), salt)
+    out = probes
+    temp: list[str] = []
+    for i in range(d):
+        out = out.withColumn(f"__cp{i}", (h1 + F.lit(i) * h2) % F.lit(w))
+        side = F.broadcast(
+            cms.where(F.col("row") == i).select(
+                F.col("pos").alias(f"__cp{i}"), F.col("cnt").alias(f"__cc{i}")
+            )
+        )
+        out = out.join(side, f"__cp{i}", "left")
+        temp += [f"__cp{i}", f"__cc{i}"]
+    counters = [F.coalesce(F.col(f"__cc{i}"), F.lit(0)) for i in range(d)]
+    est = counters[0] if d == 1 else F.least(*counters)
+    return out.withColumn(out_col, est.cast("long")).drop(*temp)

@@ -898,6 +898,42 @@ LIMIT 100
 
 ORACLES_EXT["uniform_sample_docs"] = UNIFORM_SAMPLE_SQL
 
+# Count-Min heavy hitters: counters built from per-token totals (equal to
+# counting occurrences), probes = the exact top-20; estimate = min over
+# the d=4 rows. Same md5 double-hash as the bloom oracle; all integers.
+_CMS_W, _CMS_D = 1 << 10, 4
+_CMS_H1 = "('0x' || substr(md5(tok || '|cms1'), 1, 15))::BIGINT"
+_CMS_H2 = "('0x' || substr(md5(tok || '|cms1'), 17, 15))::BIGINT"
+CMS_HEAVY_SQL = rf"""
+WITH toks AS (
+    SELECT unnest(string_split({NORM}, ' ')) AS tok FROM documents
+), tokc AS (
+    SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok
+), counters AS (
+    SELECT i, ({_CMS_H1} + i * {_CMS_H2}) % {_CMS_W} AS pos,
+           CAST(SUM(cnt) AS BIGINT) AS c
+    FROM tokc, (VALUES (0), (1), (2), (3)) v(i)
+    GROUP BY 1, 2
+), top20 AS (
+    SELECT tok, cnt AS exact_cnt FROM tokc
+    ORDER BY cnt DESC, tok ASC LIMIT 20
+), est AS (
+    SELECT t.tok, CAST(min(c.c) AS BIGINT) AS cms_cnt
+    FROM top20 t
+    CROSS JOIN (VALUES (0), (1), (2), (3)) v(i)
+    JOIN counters c
+      ON c.i = v.i
+     AND c.pos = (('0x' || substr(md5(t.tok || '|cms1'), 1, 15))::BIGINT
+                  + v.i * ('0x' || substr(md5(t.tok || '|cms1'), 17, 15))::BIGINT)
+                 % {_CMS_W}
+    GROUP BY t.tok
+)
+SELECT t.tok, t.exact_cnt, e.cms_cnt
+FROM top20 t JOIN est e USING (tok)
+"""
+
+ORACLES_EXT["cms_heavy_tokens"] = CMS_HEAVY_SQL
+
 CUBE_ORDERS_SQL = """
 SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
     COALESCE(o_orderstatus, 'ALL') AS status,

@@ -497,6 +497,26 @@ def jsonl_parse_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cms_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters (operators/sketch.py cms_counters /
+    cms_estimate): the corpus's true top-20 tokens probed against a d=4,
+    w=1024 CMS of all token occurrences. Output carries the exact count
+    beside the CMS estimate (always ≥, equal when collision-free in some
+    row) — both exact integers, reproduced counter-for-counter by the
+    DuckDB oracle."""
+    toks = text.token_rows(_docs(spark, sf_dir))
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("tok").asc())
+        .limit(20)
+    )
+    cms = sketch.cms_counters(toks, "tok", w_log2=10, d=4, salt="cms1")
+    return sketch.cms_estimate(
+        cms, exact, "tok", w_log2=10, d=4, salt="cms1"
+    ).select("tok", "exact_cnt", "cms_cnt")
+
+
 def uniform_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic fixed-size uniform sample: the K documents with the
     smallest md5(key|salt) — the K-minimum-values idiom, so the 'random'

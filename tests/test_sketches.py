@@ -135,3 +135,72 @@ def test_quantile_histogram_drops_nulls_and_negatives(spark):
     ).select("v", F.lit(1).alias("g"))
     out = sketch.approx_quantiles(df, "v", ["g"], [0.5]).collect()[0]
     assert out.p50 == 2
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch
+
+
+def _py_cms_positions(tok, w, d, salt="t"):
+    import hashlib
+
+    hx = hashlib.md5(f"{tok}|{salt}".encode()).hexdigest()
+    h1, h2 = int(hx[:15], 16), int(hx[16:31], 16)
+    return [(h1 + i * h2) % w for i in range(d)]
+
+
+def test_cms_estimate_upper_bounds_and_matches_reference(spark):
+    from collections import Counter
+
+    from global_seismic_data_pipeline_spark.operators import sketch
+
+    words = (["apple"] * 50 + ["pear"] * 20 + [f"rare{i}" for i in range(200)])
+    df = spark.createDataFrame([(w,) for w in words], "tok string")
+    W_LOG2, D, SALT = 8, 3, "t"
+    w = 1 << W_LOG2
+    cms = sketch.cms_counters(df, "tok", w_log2=W_LOG2, d=D, salt=SALT)
+    probes = spark.createDataFrame(
+        [("apple",), ("pear",), ("rare7",), ("absent",)], "tok string"
+    )
+    got = {
+        r["tok"]: r["cms_cnt"]
+        for r in sketch.cms_estimate(
+            cms, probes, "tok", w_log2=W_LOG2, d=D, salt=SALT
+        ).collect()
+    }
+    truth = Counter(words)
+    # upper-bound property, always
+    for tok in ("apple", "pear", "rare7", "absent"):
+        assert got[tok] >= truth[tok]
+    # exact python replica of the counters -> estimates must match exactly
+    counters = [Counter() for _ in range(D)]
+    for tok, cnt in truth.items():
+        for i, p in enumerate(_py_cms_positions(tok, w, D, SALT)):
+            counters[i][p] += cnt
+    for tok in ("apple", "pear", "rare7", "absent"):
+        exp = min(
+            counters[i][p]
+            for i, p in enumerate(_py_cms_positions(tok, w, D, SALT))
+        )
+        assert got[tok] == exp
+
+
+def test_cms_counters_are_sum_mergeable(spark):
+    from global_seismic_data_pipeline_spark.operators import sketch
+    from pyspark.sql import functions as F
+
+    words = [f"w{i % 17}" for i in range(300)]
+    half1 = spark.createDataFrame([(w,) for w in words[:150]], "tok string")
+    half2 = spark.createDataFrame([(w,) for w in words[150:]], "tok string")
+    full = spark.createDataFrame([(w,) for w in words], "tok string")
+    kw = dict(w_log2=7, d=2, salt="m")
+    merged = (
+        sketch.cms_counters(half1, "tok", **kw)
+        .unionByName(sketch.cms_counters(half2, "tok", **kw))
+        .groupBy("row", "pos")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = sketch.cms_counters(full, "tok", **kw)
+    a = {(r["row"], r["pos"]): r["cnt"] for r in merged.collect()}
+    b = {(r["row"], r["pos"]): r["cnt"] for r in direct.collect()}
+    assert a == b
