@@ -246,6 +246,51 @@ def token_diversity(
     )
 
 
+def build_vocab(
+    df, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(tok, cnt, id) frequency-ordered vocabulary of the corpus.
+
+    Ids are dense 0-based ranks by (count DESC, token ASC) — the
+    deterministic tie-break makes the id assignment reproducible across
+    runs and engines, which is what lets an encoded corpus be re-derived
+    or verified later. One partial-aggregated shuffle on the token key;
+    the global rank runs over the (small) distinct-vocab table only."""
+    cnts = token_rows(df, id_col=id_col, text_col=text_col).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    return cnts.withColumn("id", (F.row_number().over(w) - 1).cast("long"))
+
+
+def encode_docs(
+    df, vocab: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id_col, n_tokens, ids): each document as its position-ordered
+    token-id sequence — the tokenize-to-ids step of a training pipeline.
+
+    The vocab joins BROADCAST (a natural-language vocabulary is ≤ a few
+    million rows regardless of corpus size, so the corpus tokens never
+    shuffle for the lookup); sequences reassemble with one (doc) shuffle
+    via the sorted-struct collect, the same pattern as chunking."""
+    toks = token_rows(df, id_col=id_col, text_col=text_col)
+    joined = toks.join(F.broadcast(vocab.select("tok", "id")), "tok")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("id")))
+            ).alias("__ordered"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.transform(F.col("__ordered"), lambda s: s["id"]).alias("ids"),
+        )
+    )
+
+
 def corpus_top_ngrams(
     df,
     *,

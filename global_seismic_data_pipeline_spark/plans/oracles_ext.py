@@ -934,6 +934,30 @@ FROM top20 t JOIN est e USING (tok)
 
 ORACLES_EXT["cms_heavy_tokens"] = CMS_HEAVY_SQL
 
+# Vocabulary encoding: dense frequency-ranked ids (count DESC, token ASC
+# tie-break), documents re-emitted as position-ordered id lists.
+VOCAB_ENCODE_SQL = rf"""
+WITH w AS (
+    SELECT doc_id, string_split({NORM}, ' ') AS ws FROM documents
+), toks AS (
+    SELECT doc_id, unnest(range(len(ws))) AS pos, ws FROM w
+), tok_rows AS (
+    SELECT doc_id, pos, ws[pos + 1] AS tok FROM toks
+), vocab AS (
+    SELECT tok,
+           CAST(row_number() OVER (ORDER BY count(*) DESC, tok ASC) - 1
+                AS BIGINT) AS id
+    FROM tok_rows GROUP BY tok
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       list(v.id ORDER BY t.pos) AS ids
+FROM tok_rows t JOIN vocab v USING (tok)
+GROUP BY t.doc_id
+"""
+
+ORACLES_EXT["vocab_encode_docs"] = VOCAB_ENCODE_SQL
+
 CUBE_ORDERS_SQL = """
 SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
     COALESCE(o_orderstatus, 'ALL') AS status,

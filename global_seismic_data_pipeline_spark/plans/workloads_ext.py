@@ -497,6 +497,17 @@ def jsonl_parse_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def vocab_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build + corpus encoding (operators/text.py build_vocab /
+    encode_docs): frequency-ranked token ids with deterministic tie-break,
+    every document re-emitted as its position-ordered id sequence. The
+    oracle rebuilds the identical vocabulary and sequences, so the whole
+    encoding — id assignment AND ordering — is hash-checked."""
+    d = _docs(spark, sf_dir)
+    vocab = text.build_vocab(d)
+    return text.encode_docs(d, vocab)
+
+
 def cms_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min heavy hitters (operators/sketch.py cms_counters /
     cms_estimate): the corpus's true top-20 tokens probed against a d=4,

@@ -106,3 +106,18 @@ def test_token_diversity_hand_computed(spark):
     # doc 3: one token repeated -> effective vocab 1, gini 0
     assert got[3]["effective_vocab"] == 1.0
     assert got[3]["gini_simpson"] == 0.0
+
+
+def test_vocab_encode_round_trip(spark):
+    from global_seismic_data_pipeline_spark.operators import text as T
+
+    docs = [(1, "b a b c"), (2, "a b a")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    vocab = {r["tok"]: r["id"] for r in T.build_vocab(df).collect()}
+    # freq: a=3, b=3, c=1 -> tie a/b broken alphabetically: a=0, b=1, c=2
+    assert vocab == {"a": 0, "b": 1, "c": 2}
+    enc = {r["doc_id"]: list(r["ids"]) for r in T.encode_docs(df, T.build_vocab(df)).collect()}
+    assert enc == {1: [1, 0, 1, 2], 2: [0, 1, 0]}
+    # decoding through the vocab recovers the original token stream
+    inv = {v: k for k, v in vocab.items()}
+    assert " ".join(inv[i] for i in enc[1]) == "b a b c"
