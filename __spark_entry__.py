@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uniform_sample_docs": workloads_ext.uniform_sample_docs,
         "cms_heavy_tokens": workloads_ext.cms_heavy_tokens,
         "vocab_encode_docs": workloads_ext.vocab_encode_docs,
+        "outlier_orders_exact": workloads_ext.outlier_orders_exact,
         "cube_orders": workloads_ext.cube_orders,
         "pii_redact_docs": workloads_ext.pii_redact_docs,
         "repetition_filter_docs": workloads_ext.repetition_filter_docs,

@@ -958,6 +958,32 @@ GROUP BY t.doc_id
 
 ORACLES_EXT["vocab_encode_docs"] = VOCAB_ENCODE_SQL
 
+# Exact-integer 1.5σ outliers: 4(n·x − S)²·(n−1) > 9n(nQ − S²) in HUGEINT
+# — the denominator-cleared |x − μ| > 1.5σ, no float anywhere.
+OUTLIER_ORDERS_SQL = r"""
+WITH c AS (
+    SELECT o_orderpriority,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS x
+    FROM orders
+), s AS (
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS HUGEINT) AS sm,
+           CAST(sum(x::HUGEINT * x) AS HUGEINT) AS q
+    FROM c GROUP BY o_orderpriority
+)
+SELECT c.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(*) FILTER (
+           WHERE 4 * (n::HUGEINT * x - sm) * (n::HUGEINT * x - sm) * (n - 1)
+                 > 9 * n::HUGEINT * (n * q - sm * sm)
+       ) AS BIGINT) AS n_outliers
+FROM c JOIN s USING (o_orderpriority)
+GROUP BY c.o_orderpriority
+"""
+
+ORACLES_EXT["outlier_orders_exact"] = OUTLIER_ORDERS_SQL
+
 CUBE_ORDERS_SQL = """
 SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
     COALESCE(o_orderstatus, 'ALL') AS status,

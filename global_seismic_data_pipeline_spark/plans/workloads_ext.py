@@ -497,6 +497,47 @@ def jsonl_parse_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def outlier_orders_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority 1.5σ price-outlier counts with ZERO float operations.
+
+    |x − μ| > 1.5σ (sample variance; 1.5 because the uniform-ish price
+    distribution has max deviation √3σ ≈ 1.73σ — a 2σ rule would flag
+    nothing) rides on unrounded mean/stddev doubles whose summation order
+    differs across engines — membership near the threshold could flip on
+    an ulp. Clearing denominators (and the 1.5 = 3/2 ratio) turns the
+    condition into pure integers over price cents (x), per-group count n,
+    sum S = Σx, and Q = Σx²::
+
+        4 · (n·x − S)² · (n−1)  >  9n · (nQ − S²)
+
+    evaluated in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — exact at any
+    realistic scale (~1e30 peak vs 1e38 headroom), n=1 groups degrade to
+    0 > 0 = no outlier without any division-by-zero guard. The same
+    exactness discipline as temperature sampling and the bloom bitmap.
+
+    Shape: one partial-aggregated shuffle for (n, S, Q), broadcast of the
+    5-row stats back, map-side flagging, one final tiny aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    dec = "decimal(38,0)"
+    x = F.round(F.col("o_totalprice") * F.lit(100)).cast("long")
+    c = orders.select("o_orderpriority", x.alias("x"))
+    stats = c.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast(dec).alias("s"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias("q"),
+    )
+    j = c.join(F.broadcast(stats), "o_orderpriority")
+    nd = F.col("n").cast(dec)
+    lhs = (nd * F.col("x").cast(dec) - F.col("s"))
+    outlier = (F.lit(4).cast(dec) * lhs * lhs * (nd - 1)) > (
+        F.lit(9).cast(dec) * nd * (nd * F.col("q") - F.col("s") * F.col("s"))
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(outlier.cast("long")).alias("n_outliers"),
+    )
+
+
 def vocab_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary build + corpus encoding (operators/text.py build_vocab /
     encode_docs): frequency-ranked token ids with deterministic tie-break,
