@@ -984,6 +984,23 @@ GROUP BY c.o_orderpriority
 
 ORACLES_EXT["outlier_orders_exact"] = OUTLIER_ORDERS_SQL
 
+# Incremental view maintenance: the oracle aggregates the WHOLE table
+# directly; the Spark side merges per-batch partials — equality is the IVM
+# invariant itself.
+INCREMENTAL_ROLLUP_SQL = r"""
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_value_cents,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events
+GROUP BY 1, 2
+"""
+
+ORACLES_EXT["incremental_daily_rollup"] = INCREMENTAL_ROLLUP_SQL
+
 CUBE_ORDERS_SQL = """
 SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
     COALESCE(o_orderstatus, 'ALL') AS status,

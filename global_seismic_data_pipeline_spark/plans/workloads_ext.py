@@ -497,6 +497,40 @@ def jsonl_parse_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (operators/incremental.py): the daily
+    (date, event_type) rollup computed by splitting events into two
+    deterministic 'arrival batches' (user_id parity), partial-aggregating
+    each, and MERGING the partials — while the oracle aggregates the whole
+    table directly. Equality is the IVM invariant: merge(partials over any
+    partition) == direct aggregate. Value sums are carried in exact cents
+    so the merge is bit-stable under any merge order."""
+    from ..operators import incremental
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("ts").cast("date").cast("string").alias("event_date"),
+        "event_type",
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "value",
+    )
+    keys = ["event_date", "event_type"]
+    spec = {
+        "n_events": ("count", "value"),
+        "sum_value_cents": ("sum", "cents"),
+        "min_value": ("min", "value"),
+        "max_value": ("max", "value"),
+    }
+    half_a = incremental.partial_agg(
+        base.filter(F.col("user_id") % 2 == 0), keys, spec
+    )
+    half_b = incremental.partial_agg(
+        base.filter(F.col("user_id") % 2 == 1), keys, spec
+    )
+    return incremental.merge_partials([half_a, half_b], keys, spec)
+
+
 def outlier_orders_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-priority 1.5σ price-outlier counts with ZERO float operations.
 
