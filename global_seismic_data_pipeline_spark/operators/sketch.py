@@ -352,20 +352,26 @@ FROM hll_e
 def cms_counters(
     df: DataFrame,
     col: str,
+    groups: list[str] | None = None,
     *,
     w_log2: int = 10,
     d: int = 4,
     salt: str = "cms",
 ) -> DataFrame:
-    """(row, pos, cnt) Count-Min counter table over occurrences of ``df[col]``.
+    """(groups..., row, pos, cnt) Count-Min counter table over occurrences
+    of ``df[col]``, one sketch per group (e.g. per time window).
 
     One shuffle: occurrences explode to d position rows (bounded ×d, like
-    the bloom build), then a partial-aggregated count onto ≤ d·w rows.
+    the bloom build), then a partial-aggregated count onto ≤ d·w rows per
+    group. The count aggregate is sum-mergeable, so the same expression
+    runs as a STREAMING windowed aggregate (see
+    ``streaming/facade.windowed_cms_counters``).
     """
     from .bloom import _h12
 
     if d < 1:
         raise ValueError("d must be >= 1")
+    groups = list(groups or [])
     w = 1 << w_log2
     h1, h2 = _h12(F.col(col), salt)
     pos = F.explode(
@@ -380,9 +386,9 @@ def cms_counters(
         )
     ).alias("rp")
     return (
-        df.select(pos)
-        .select("rp.row", "rp.pos")
-        .groupBy("row", "pos")
+        df.select(*groups, pos)
+        .select(*groups, "rp.row", "rp.pos")
+        .groupBy(*groups, "row", "pos")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 

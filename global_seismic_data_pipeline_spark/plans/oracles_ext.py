@@ -1001,6 +1001,33 @@ GROUP BY 1, 2
 
 ORACLES_EXT["incremental_daily_rollup"] = INCREMENTAL_ROLLUP_SQL
 
+# Calendar-spine gap filling: dense (day × type) grid, zero-filled.
+GAP_FILL_SQL = r"""
+WITH b AS (
+    SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+    FROM events
+), spine AS (
+    SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS event_date
+    FROM b
+), types AS (
+    SELECT DISTINCT event_type FROM events
+), daily AS (
+    SELECT CAST(ts AS DATE) AS event_date, event_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events WHERE value > 400
+    GROUP BY 1, 2
+)
+SELECT CAST(s.event_date AS VARCHAR) AS event_date,
+       t.event_type,
+       CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events
+FROM spine s
+CROSS JOIN types t
+LEFT JOIN daily d
+  ON d.event_date = s.event_date AND d.event_type = t.event_type
+"""
+
+ORACLES_EXT["gap_fill_daily"] = GAP_FILL_SQL
+
 CUBE_ORDERS_SQL = """
 SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
     COALESCE(o_orderstatus, 'ALL') AS status,

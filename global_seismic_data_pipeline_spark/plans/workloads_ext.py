@@ -497,6 +497,40 @@ def jsonl_parse_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap filling: daily counts of rare events (value >
+    400, ~2% of rows) on a DENSE (day × event_type) grid with zeros where
+    nothing happened — the resampling step every downstream time-series
+    model assumes. The spine is generated from the full table's min/max
+    day (one 1-row aggregate, exploded to a date sequence) crossed with
+    the distinct types — grid cardinality is days×types regardless of
+    fact size, so the only fact-sized work is the filtered daily
+    aggregate; the grid join is a broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    bounds = ev.agg(
+        F.min(day).alias("d0"), F.max(day).alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("event_date")
+    )
+    types = ev.select("event_type").distinct()
+    grid = spine.crossJoin(types)
+    daily = (
+        ev.filter(F.col("value") > 400)
+        .groupBy(day.alias("event_date"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        grid.join(F.broadcast(daily), ["event_date", "event_type"], "left")
+        .select(
+            F.col("event_date").cast("string").alias("event_date"),
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+        )
+    )
+
+
 def incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance (operators/incremental.py): the daily
     (date, event_type) rollup computed by splitting events into two

@@ -147,6 +147,42 @@ def windowed_hll_registers(
     )
 
 
+def windowed_cms_counters(
+    stream: DataFrame,
+    *,
+    key_col: str = "event_id",
+    time_col: str = "time",
+    window: str = "1 day",
+    late_threshold: str = "1 day",
+    w_log2: int = 10,
+    d: int = 4,
+    salt: str = "cms",
+) -> DataFrame:
+    """Streaming heavy-hitter sketch: per-window Count-Min counters.
+
+    The counter table is the streamable form of ``operators/sketch.py
+    cms_counters`` — ``count`` is sum-mergeable, so each micro-batch folds
+    into window state exactly like CMS merge, state per window is bounded
+    by d·w rows regardless of stream volume, and the watermark evicts
+    closed windows. Same design as ``windowed_hll_registers``: store the
+    counters (they keep merging across windows/days/tables), probe with
+    ``sketch.cms_estimate`` on read. Streamed counters equal the batch
+    sketch on the same rows bit-for-bit — asserted in tests."""
+    from ..operators.sketch import cms_counters
+
+    windowed = stream.withWatermark(time_col, late_threshold).select(
+        F.window(time_col, window).alias("w"), F.col(key_col)
+    )
+    out = cms_counters(windowed, key_col, ["w"], w_log2=w_log2, d=d, salt=salt)
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "row",
+        "pos",
+        "cnt",
+    )
+
+
 def enriched_bands(
     stream: DataFrame,
     bands: DataFrame,

@@ -264,3 +264,45 @@ def test_interval_join_streams_matches_batch(spark, tmp_path):
     exp = {(r.m, r.a) for r in exp_df.collect()}
     assert got == exp
     assert got == {("m1", "a1"), ("m1", "a2"), ("m2", "a4")}
+
+
+def test_windowed_cms_counters_match_batch(spark, stream_dir):
+    """Streaming per-window CMS counters == batch counters bit-for-bit,
+    and probing the streamed table upper-bounds true per-window counts."""
+    from global_seismic_data_pipeline_spark.operators import sketch
+
+    kw = dict(w_log2=8, d=3, salt="scms")
+    stream = facade.read_stream(
+        spark, str(stream_dir / "events"), BRONZE_EARTHQUAKES
+    )
+    facade.to_memory_table(
+        facade.windowed_cms_counters(stream, key_col="event_id", **kw),
+        "t_cms",
+        complete=True,
+    )
+    streamed = spark.table("t_cms")
+
+    batch = spark.read.parquet(str(stream_dir / "events")).select(
+        F.window("time", "1 day").alias("w"), "event_id"
+    )
+    batch_cms = sketch.cms_counters(batch, "event_id", ["w"], **kw).select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "row",
+        "pos",
+        "cnt",
+    )
+    assert streamed.exceptAll(batch_cms).count() == 0
+    assert batch_cms.exceptAll(streamed).count() == 0
+
+    # probe one window's sketch: estimates must upper-bound true counts
+    one_day = streamed.filter(
+        F.col("window_start") == F.lit("2025-05-02 00:00:00").cast("timestamp")
+    ).select("row", "pos", "cnt")
+    probes = spark.createDataFrame([("s3",), ("s1",)], "event_id string")
+    got = {
+        r["event_id"]: r["cms_cnt"]
+        for r in sketch.cms_estimate(one_day, probes, "event_id", **kw).collect()
+    }
+    assert got["s3"] >= 2  # s3 appears twice on 5/2 (dup arrival)
+    assert got["s1"] >= 0  # s1 is on 5/1: zero in this window's sketch
