@@ -1028,6 +1028,20 @@ LEFT JOIN daily d
 
 ORACLES_EXT["gap_fill_daily"] = GAP_FILL_SQL
 
+# Z-order clustering: the oracle mirrors the exact bit interleave
+# (operators/zorder.py morton_sql — integer shift/and/or only).
+from ..operators.zorder import morton_sql as _morton_sql  # noqa: E402
+
+ZORDER_SQL = rf"""
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       {_morton_sql('(l_partkey % 1024)', '(l_suppkey % 1024)', bits=10)} AS zkey
+FROM lineitem
+ORDER BY zkey, l_orderkey, l_linenumber
+LIMIT 100
+"""
+
+ORACLES_EXT["zorder_cluster_lineitem"] = ZORDER_SQL
+
 CUBE_ORDERS_SQL = """
 SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
     COALESCE(o_orderstatus, 'ALL') AS status,

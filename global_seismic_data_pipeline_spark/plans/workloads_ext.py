@@ -497,6 +497,31 @@ def jsonl_parse_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def zorder_cluster_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key (operators/zorder.py): lineitem keyed by the
+    Morton interleave of 10-bit (partkey, suppkey) buckets — the layout
+    that gives min/max row-group pruning on BOTH dimensions after a
+    sort-by-zkey write. Returns the first 100 rows in Z order
+    (deterministic tiebreak), which pins the exact bit interleave and the
+    clustering order against the DuckDB oracle."""
+    from ..operators import zorder
+
+    li = load_table(spark, sf_dir, "lineitem")
+    zkey = zorder.morton_key(
+        F.pmod(F.col("l_partkey"), F.lit(1024)).cast("long"),
+        F.pmod(F.col("l_suppkey"), F.lit(1024)).cast("long"),
+        bits=10,
+    )
+    return (
+        li.select(
+            "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            zkey.alias("zkey"),
+        )
+        .orderBy("zkey", "l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
 def gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar-spine gap filling: daily counts of rare events (value >
     400, ~2% of rows) on a DENSE (day × event_type) grid with zeros where
