@@ -1028,13 +1028,14 @@ LEFT JOIN daily d
 
 ORACLES_EXT["gap_fill_daily"] = GAP_FILL_SQL
 
-# Z-order clustering: the oracle mirrors the exact bit interleave
-# (operators/zorder.py morton_sql — integer shift/and/or only).
-from ..operators.zorder import morton_sql as _morton_sql  # noqa: E402
+# Z-order clustering: the oracle evaluates the SAME mask-spread SQL
+# expression (operators/zorder.py zvalue_expr — integer shifts/masks,
+# valid verbatim in both Spark SQL and DuckDB).
+from ..operators.zorder import zvalue_expr as _zvalue_expr  # noqa: E402
 
 ZORDER_SQL = rf"""
 SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-       {_morton_sql('(l_partkey % 1024)', '(l_suppkey % 1024)', bits=10)} AS zkey
+       CAST({_zvalue_expr('(l_partkey % 1024)', '(l_suppkey % 1024)')} AS BIGINT) AS zkey
 FROM lineitem
 ORDER BY zkey, l_orderkey, l_linenumber
 LIMIT 100

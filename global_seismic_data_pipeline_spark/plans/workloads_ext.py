@@ -499,19 +499,16 @@ def jsonl_parse_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def zorder_cluster_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustering key (operators/zorder.py): lineitem keyed by the
-    Morton interleave of 10-bit (partkey, suppkey) buckets — the layout
-    that gives min/max row-group pruning on BOTH dimensions after a
-    sort-by-zkey write. Returns the first 100 rows in Z order
-    (deterministic tiebreak), which pins the exact bit interleave and the
-    clustering order against the DuckDB oracle."""
+    Morton interleave of (partkey, suppkey) 1024-buckets — the layout that
+    gives min/max row-group pruning on BOTH dimensions after
+    ``cluster_by_zorder``'s range shuffle + in-partition sort. Returns the
+    first 100 rows in Z order (deterministic tiebreak), pinning the exact
+    mask-spread bit interleave and the clustering order against the
+    DuckDB oracle."""
     from ..operators import zorder
 
     li = load_table(spark, sf_dir, "lineitem")
-    zkey = zorder.morton_key(
-        F.pmod(F.col("l_partkey"), F.lit(1024)).cast("long"),
-        F.pmod(F.col("l_suppkey"), F.lit(1024)).cast("long"),
-        bits=10,
-    )
+    zkey = zorder.zvalue("(l_partkey % 1024)", "(l_suppkey % 1024)")
     return (
         li.select(
             "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",

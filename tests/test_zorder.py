@@ -1,4 +1,4 @@
-"""Morton key: Python-reference parity + the 2x2-block contiguity law."""
+"""Morton key: Python-reference parity, 2x2-block contiguity, layout job."""
 
 from __future__ import annotations
 
@@ -6,15 +6,27 @@ import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
 
-from global_seismic_data_pipeline_spark.operators.zorder import morton_key
+from global_seismic_data_pipeline_spark.operators.zorder import (
+    ZBITS,
+    cluster_by_zorder,
+    zvalue,
+)
 
 
-def _py_morton(x, y, bits):
+def _py_morton(x, y, bits=ZBITS):
     out = 0
     for b in range(bits):
         out |= ((x >> b) & 1) << (2 * b)
         out |= ((y >> b) & 1) << (2 * b + 1)
     return out
+
+
+def _keys(spark, pts):
+    df = spark.createDataFrame(pts, "x long, y long")
+    return {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select("x", "y", zvalue("x", "y").alias("z")).collect()
+    }
 
 
 @settings(
@@ -25,23 +37,16 @@ def _py_morton(x, y, bits):
 @given(
     pts=st.lists(
         st.tuples(
-            st.integers(min_value=0, max_value=2**12 - 1),
-            st.integers(min_value=0, max_value=2**12 - 1),
+            st.integers(min_value=0, max_value=2**ZBITS - 1),
+            st.integers(min_value=0, max_value=2**ZBITS - 1),
         ),
         min_size=1,
         max_size=20,
     )
 )
 def test_matches_python_reference(spark, pts):
-    df = spark.createDataFrame(pts, "x long, y long")
-    got = {
-        (r["x"], r["y"]): r["z"]
-        for r in df.select(
-            "x", "y", morton_key(F.col("x"), F.col("y"), bits=12).alias("z")
-        ).collect()
-    }
-    for (x, y), z in got.items():
-        assert z == _py_morton(x, y, 12)
+    for (x, y), z in _keys(spark, pts).items():
+        assert z == _py_morton(x, y)
 
 
 def test_block_contiguity(spark):
@@ -54,25 +59,35 @@ def test_block_contiguity(spark):
         for dx in (0, 1)
         for dy in (0, 1)
     ]
-    df = spark.createDataFrame(pts, "x long, y long")
-    got = {
-        (r["x"], r["y"]): r["z"]
-        for r in df.select(
-            "x", "y", morton_key(F.col("x"), F.col("y"), bits=8).alias("z")
-        ).collect()
-    }
+    got = _keys(spark, pts)
     for x in range(4):
         for y in range(4):
-            base = 4 * _py_morton(x, y, 8)
+            base = 4 * _py_morton(x, y)
             assert got[(2 * x, 2 * y)] == base
             assert got[(2 * x + 1, 2 * y)] == base + 1
             assert got[(2 * x, 2 * y + 1)] == base + 2
             assert got[(2 * x + 1, 2 * y + 1)] == base + 3
 
 
-def test_validates_bits(spark):
-    df = spark.createDataFrame([(1, 1)], "x long, y long")
+def test_cluster_by_zorder_partitions_are_z_ranges(spark):
+    # after the layout job, each partition covers a contiguous z interval
+    # (that is what makes every output file a compact key-space rectangle)
+    pts = [(x, y) for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(pts, "a long, b long")
+    laid = cluster_by_zorder(df, ["a", "b"], num_partitions=4)
+    parts = laid.select(
+        F.spark_partition_id().alias("pid"), zvalue("a", "b").alias("z")
+    ).collect()
+    by_pid = {}
+    for r in parts:
+        by_pid.setdefault(r["pid"], []).append(r["z"])
+    assert len(by_pid) == 4
+    ranges = sorted((min(v), max(v)) for v in by_pid.values())
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2  # disjoint, ordered intervals
+
+
+def test_cluster_validates_dims(spark):
+    df = spark.createDataFrame([(1, 2, 3)], "a long, b long, c long")
     with pytest.raises(ValueError):
-        df.select(morton_key(F.col("x"), F.col("y"), bits=0))
-    with pytest.raises(ValueError):
-        df.select(morton_key(F.col("x"), F.col("y"), bits=32))
+        cluster_by_zorder(df, ["a", "b", "c"], num_partitions=2)
