@@ -33,6 +33,7 @@ def compact(
     name: str,
     *,
     sort_cols: Sequence[str] = (),
+    zorder_by: tuple[str, str] | None = None,
     target_file_mb: int = 128,
 ) -> dict[str, int]:
     """Rewrite ``name`` into ~target-sized files, clustered on ``sort_cols``
@@ -41,14 +42,24 @@ def compact(
     ``repartitionByRange`` on the leading sort keys gives global range
     clustering; ``sortWithinPartitions`` orders rows inside each file so
     parquet row-group min/max stats prune scans on those columns — the
-    plain-parquet analogue of Z-ORDER's data skipping. Returns before/after
-    file stats.
+    plain-parquet analogue of Z-ORDER's data skipping along the leading
+    key. ``zorder_by=(a, b)`` instead lays rows along the Morton curve of
+    TWO integer keys (``operators/zorder.cluster_by_zorder``) — the
+    genuine multi-dimensional ZORDER: every file covers a compact
+    rectangle of (a, b) space, so min/max stats prune on EITHER key.
+    Returns before/after file stats.
     """
+    if zorder_by and sort_cols:
+        raise ValueError("pass either sort_cols or zorder_by, not both")
     before = wh.table_stats(name)
     df = wh.read(name)
     part_cols = wh.partition_columns(name)  # preserve hive-style layout
     n_parts = max(1, before["size_bytes"] // (target_file_mb * 1024 * 1024))
-    if sort_cols:
+    if zorder_by:
+        from ..operators.zorder import cluster_by_zorder
+
+        df = cluster_by_zorder(df, list(zorder_by), num_partitions=n_parts)
+    elif sort_cols:
         df = df.repartitionByRange(n_parts, *sort_cols).sortWithinPartitions(
             *sort_cols
         )

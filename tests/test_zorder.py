@@ -91,3 +91,60 @@ def test_cluster_validates_dims(spark):
     df = spark.createDataFrame([(1, 2, 3)], "a long, b long, c long")
     with pytest.raises(ValueError):
         cluster_by_zorder(df, ["a", "b", "c"], num_partitions=2)
+
+
+def _file_ranges(path, col):
+    import glob
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        pf = pq.ParquetFile(f)
+        lo, hi = None, None
+        idx = pf.schema_arrow.names.index(col)
+        for rg in range(pf.metadata.num_row_groups):
+            st = pf.metadata.row_group(rg).column(idx).statistics
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        out.append((lo, hi))
+    return out
+
+
+def test_zorder_layout_prunes_on_both_dimensions(spark, tmp_path):
+    """The point of ZORDER: parquet min/max file stats skip on EITHER key,
+    where 1-D range clustering skips only on the leading key."""
+    grid = [(x, y, x * 100 + y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(grid, "a long, b long, payload long")
+
+    zpath = str(tmp_path / "z")
+    cluster_by_zorder(df, ["a", "b"], num_partitions=8).write.parquet(zpath)
+    rpath = str(tmp_path / "r")
+    df.repartitionByRange(8, "a", "b").sortWithinPartitions("a", "b").write.parquet(rpath)
+
+    def files_matching(path, col, lo, hi):
+        return sum(
+            1 for mn, mx in _file_ranges(path, col) if not (mx < lo or mn > hi)
+        )
+
+    n_z = len(_file_ranges(zpath, "a"))
+    n_r = len(_file_ranges(rpath, "a"))
+    # leading key: both layouts prune a strip predicate a in [0, 7]
+    assert files_matching(zpath, "a", 0, 7) < n_z
+    assert files_matching(rpath, "a", 0, 7) < n_r
+    # second key: ONLY the z-order layout prunes b in [0, 7]
+    assert files_matching(zpath, "b", 0, 7) < n_z
+    assert files_matching(rpath, "b", 0, 7) == n_r
+
+
+def test_compact_zorder_wiring(spark, tmp_path):
+    from global_seismic_data_pipeline_spark.pipeline.maintenance import compact
+    from global_seismic_data_pipeline_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    grid = [(x, y) for x in range(32) for y in range(32)]
+    wh.overwrite(spark.createDataFrame(grid, "a long, b long"), "t")
+    stats = compact(wh, "t", zorder_by=("a", "b"))
+    assert stats["files_after"] >= 1
+    assert wh.read("t").count() == 1024
+    with pytest.raises(ValueError):
+        compact(wh, "t", sort_cols=("a",), zorder_by=("a", "b"))
