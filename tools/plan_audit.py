@@ -23,22 +23,35 @@ def audit_plan(df) -> dict:
     return {
         "exchanges": len(re.findall(r"\bExchange\b", plan)),
         "broadcast_joins": len(re.findall(r"BroadcastHashJoin|BroadcastNestedLoopJoin", plan)),
+        "bnlj": len(re.findall(r"BroadcastNestedLoopJoin", plan)),
         "sortmerge_joins": len(re.findall(r"SortMergeJoin", plan)),
         "cartesian": "CartesianProduct" in plan,
         "python_stages": len(re.findall(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", plan)),
         "pushed_filters": bool(re.search(r"PushedFilters: \[[^\]]", plan)),
         "scans": len(re.findall(r"Scan parquet", plan)),
         "wscg_spans": len(set(re.findall(r"\*\((\d+)\)", plan))),
+        "take_ordered": "TakeOrderedAndProject" in plan,
     }
 
 
 # queries whose plan MUST contain a broadcast join (dimension enrichment)
 MUST_BROADCAST = {
     "spatial_box_enrich", "band_join_classify", "dense_rank_nations",
-    "cosine_topk_bruteforce",
+    "cosine_topk_bruteforce", "bloom_prune_lineitem",
+    "range_join_event_bursts", "temperature_mixture_sample",
 }
 # queries whose scans MUST show pushed filters
 MUST_PUSH = {"watermark_incremental_filter", "membership_topk", "agg_pricing_summary"}
+# the bin-bucketed range join exists to AVOID BroadcastNestedLoopJoin — a
+# BNLJ appearing means the interval predicate leaked back into the join
+MUST_NOT_BNLJ = {"range_join_event_bursts"}
+# fact side must never sort-merge in these broadcast-probe pipelines
+MUST_NOT_SMJ = {
+    "bloom_prune_lineitem", "temperature_mixture_sample", "decontaminate_docs",
+}
+# ORDER BY + LIMIT must plan as TakeOrdered (per-partition top-K + K-row
+# merge), never a global sort
+MUST_TAKEORDERED = {"uniform_sample_docs", "zorder_cluster_lineitem"}
 # queries whose plan construction MUST NOT run real work (the round-1
 # cosine_all_pairs collected the whole corpus at build time). Every
 # load_table fires a 1-task parquet schema-inference job, so the signal is
@@ -89,6 +102,15 @@ def main() -> None:
             failures.append(name)
         if name in MUST_PUSH and not info["pushed_filters"]:
             flags.append("NO-PUSHDOWN!")
+            failures.append(name)
+        if name in MUST_NOT_BNLJ and info["bnlj"] > 0:
+            flags.append("BNLJ!")
+            failures.append(name)
+        if name in MUST_NOT_SMJ and info["sortmerge_joins"] > 0:
+            flags.append("SMJ!")
+            failures.append(name)
+        if name in MUST_TAKEORDERED and not info["take_ordered"]:
+            flags.append("GLOBAL-SORT!")
             failures.append(name)
         if name in MUST_LAZY and eager_tasks > LAZY_TASK_BUDGET:
             flags.append("EAGER-BUILD!")
