@@ -16,7 +16,7 @@ Methodology (per-query JVM isolation, min-of-steady-state):
   running a steady workload, so cross-query profile pollution inside one
   benchmark process is a measurement artifact, not a property of the
   engine. Isolation removes it.
-- Within each subprocess the query runs 3x and the MINIMUM of runs 2-3 is
+- Within each subprocess the query runs 4x and the MINIMUM of runs 2-4 is
   reported: run 1 pays one-off costs (scan-cache population, codegen
   compilation, Python worker spin-up); the min of the steady runs is the
   standard noise-robust estimator under external interference (shared-host
@@ -70,7 +70,7 @@ def run_one(name: str, sf_dir: str) -> float:
     fn = ent.queries()[name]
 
     cold = os.environ.get("BENCH_COLD") == "1"
-    runs = 1 if cold else 3
+    runs = 1 if cold else 4
     times = []
     for _ in range(runs):
         neardup.release_cached()
