@@ -18,6 +18,8 @@ row, so the fallback is a plain ``coalesce`` — no second pass.
 
 from __future__ import annotations
 
+from collections.abc import Mapping, Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -65,3 +67,55 @@ def enrich_point_in_box(
         for c, v in fallback.items():
             best = best.withColumn(c, F.coalesce(F.col(c), F.lit(v)))
     return best
+
+
+def enrich_point_in_box_fused(
+    points: DataFrame,
+    boxes: Sequence[Mapping],
+    *,
+    x_col: str,
+    y_col: str,
+    box_cols: tuple[str, str, str, str] = ("min_lon", "max_lon", "min_lat", "max_lat"),
+    priority_col: str = "priority",
+    carry_cols: tuple[str, ...] = ("region_code", "region_name"),
+    fallback: dict[str, str] | None = None,
+) -> DataFrame:
+    """Map-side form of :func:`enrich_point_in_box` for STATIC literal
+    boxes: the broadcast join + priority window collapses into one
+    priority-ordered CASE chain evaluated per row — no join, no window, NO
+    SHUFFLE (the join form shuffles once on the point key for the window).
+    Identical semantics when priorities are unique: first match in
+    (priority asc, definition order) == the window's lowest-priority pick;
+    the definition-order tiebreak is stricter than the window form, whose
+    row_number over equal priorities is nondeterministic — prefer this
+    form whenever the dimension is a literal table (reference data), which
+    is exactly when the chain can be built at plan time.
+
+    Equivalence with the join form is pinned in ``test_spatial.py``.
+    """
+    min_x, max_x, min_y, max_y = box_cols
+    order = sorted(range(len(boxes)), key=lambda i: (boxes[i][priority_col], i))
+    fb = fallback or {}
+    chain = F.lit(None).cast(
+        "struct<" + ", ".join(f"{c}: string" for c in carry_cols) + ">"
+    ) if fallback is None else F.struct(
+        *[F.lit(fb.get(c)).alias(c) for c in carry_cols]
+    )
+    for i in reversed(order):
+        b = boxes[i]
+        cond = (
+            (F.col(y_col) >= F.lit(b[min_y]))
+            & (F.col(y_col) <= F.lit(b[max_y]))
+            & (F.col(x_col) >= F.lit(b[min_x]))
+            & (F.col(x_col) <= F.lit(b[max_x]))
+        )
+        chain = F.when(
+            cond, F.struct(*[F.lit(b[c]).alias(c) for c in carry_cols])
+        ).otherwise(chain)
+    out = points.withColumn("__box", chain)
+    if fallback is None:
+        out = out.filter(F.col("__box").isNotNull())
+    return out.select(
+        *points.columns,
+        *[F.col(f"__box.{c}").alias(c) for c in carry_cols],
+    )

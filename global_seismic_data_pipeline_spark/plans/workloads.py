@@ -238,13 +238,22 @@ def dense_rank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Joins
+_ZONE_BOX_KEYS = (
+    "zone_code", "zone_name", "min_x", "max_x", "min_y", "max_y", "priority"
+)
+
+
 def spatial_box_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1+J2+J3+U1: broadcast box join + priority pick + anti-join fallback."""
+    """J1+J2+J3+U1 via the FUSED form (operators/spatial.py
+    enrich_point_in_box_fused): the boxes are a static literal table, so
+    the broadcast join + priority window collapses into one map-side CASE
+    chain — same semantics (priorities unique), zero shuffles. The general
+    join+window form stays in use by the silver pipeline and is
+    equivalence-tested against this one."""
     pts = _events(spark, sf_dir).withColumn("hx", F.hour("ts").cast("double"))
-    out = spatial.enrich_point_in_box(
+    out = spatial.enrich_point_in_box_fused(
         pts,
-        _zone_boxes_df(spark),
-        point_id="event_id",
+        [dict(zip(_ZONE_BOX_KEYS, b)) for b in ZONE_BOXES],
         x_col="hx",
         y_col="value",
         box_cols=("min_x", "max_x", "min_y", "max_y"),

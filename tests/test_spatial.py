@@ -99,3 +99,47 @@ def test_japan_box_assignment(spark, bronze_fixture):
     got = {r.event_id: r.tectonic_region for r in _enriched(spark, bronze_fixture).collect()}
     for eid in ("jp1", "jp2", "jp3", "jp4"):
         assert got[eid] == "JAPAN"
+
+
+def test_fused_form_equals_join_form(spark):
+    """The CASE-chain form must reproduce the join+window form exactly,
+    including edges, overlaps (priority pick), and unmatched fallback."""
+    import random
+
+    from global_seismic_data_pipeline_spark.operators.spatial import (
+        enrich_point_in_box,
+        enrich_point_in_box_fused,
+    )
+
+    boxes = [
+        {"code": "A", "min_x": 0.0, "max_x": 10.0, "min_y": 0.0, "max_y": 10.0, "priority": 2},
+        {"code": "B", "min_x": 5.0, "max_x": 15.0, "min_y": 5.0, "max_y": 15.0, "priority": 1},
+        {"code": "C", "min_x": 20.0, "max_x": 30.0, "min_y": 0.0, "max_y": 30.0, "priority": 3},
+    ]
+    rng = random.Random(7)
+    pts = [(i, rng.uniform(-5, 35), rng.uniform(-5, 35)) for i in range(300)]
+    # deterministic edge/overlap probes
+    pts += [(1000, 10.0, 10.0), (1001, 5.0, 5.0), (1002, 15.0, 15.0),
+            (1003, -1.0, -1.0), (1004, 20.0, 0.0)]
+    df = spark.createDataFrame(pts, "pid long, x double, y double")
+    kw = dict(
+        x_col="x", y_col="y",
+        box_cols=("min_x", "max_x", "min_y", "max_y"),
+        priority_col="priority", carry_cols=("code",),
+        fallback={"code": "NONE"},
+    )
+    fused = {
+        r["pid"]: r["code"]
+        for r in enrich_point_in_box_fused(df, boxes, **kw).collect()
+    }
+    box_df = spark.createDataFrame(
+        [tuple(b.values()) for b in boxes],
+        "code string, min_x double, max_x double, min_y double, max_y double, priority int",
+    )
+    joined = {
+        r["pid"]: r["code"]
+        for r in enrich_point_in_box(df, box_df, point_id="pid", **kw).collect()
+    }
+    assert fused == joined
+    assert fused[1000] == "B"  # overlap edge: priority 1 wins
+    assert fused[1003] == "NONE"
