@@ -41,6 +41,19 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
+# Round-2 extension operators, benched separately: "value" stays the sum
+# of the original 14 HEADLINE queries (comparable round-over-round); the
+# extension times ride along under "extended"/"extended_total".
+EXTENDED = [
+    "range_join_event_bursts",
+    "bloom_prune_lineitem",
+    "temperature_mixture_sample",
+    "chunk_docs_for_training",
+    "vocab_encode_docs",
+    "cms_heavy_tokens",
+    "curation_funnel_docs",
+]
+
 HEADLINE = [
     "flagship_regional_rollup",
     "dedup_keep_latest",
@@ -62,7 +75,7 @@ HEADLINE = [
 def run_one(name: str, sf_dir: str) -> float:
     """Measure one query in this process; prints the chosen time."""
     import __spark_entry__ as ent
-    from global_seismic_data_pipeline_spark.operators import neardup
+    from global_seismic_data_pipeline_spark.operators import bloom, neardup
     from global_seismic_data_pipeline_spark.session import get_spark
 
     spark = get_spark(f"bench-{name}")
@@ -74,6 +87,7 @@ def run_one(name: str, sf_dir: str) -> float:
     times = []
     for _ in range(runs):
         neardup.release_cached()
+        bloom.release_cached()
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         times.append(time.time() - t0)
@@ -90,7 +104,9 @@ def main() -> None:
         return
 
     times: dict[str, float] = {}
-    for name in HEADLINE:
+    ext_times: dict[str, float] = {}
+    for name in HEADLINE + EXTENDED:
+        sink = times if name in HEADLINE else ext_times
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--one", name],
             capture_output=True,
@@ -99,7 +115,7 @@ def main() -> None:
         )
         last = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
         try:
-            times[name] = round(json.loads(last)["t"], 3)
+            sink[name] = round(json.loads(last)["t"], 3)
         except (ValueError, KeyError):
             print(
                 f"bench: query {name} failed rc={proc.returncode}: "
@@ -115,6 +131,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "extended": ext_times,
+                "extended_total": round(sum(ext_times.values()), 3),
                 "sf": sf,
             }
         )

@@ -34,6 +34,29 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+_PERSISTED: list[DataFrame] = []
+
+
+def _materialized(df: DataFrame) -> DataFrame:
+    """Materialize-once (module docstring of operators/neardup.py): the
+    probe joins the bitmap k times, and an unpersisted bitmap would
+    re-execute its build (dim scan + distinct + explode + bit_or shuffle)
+    once PER PROBE JOIN — measured 4× build cost at sf0.1. Persist is
+    lazy: run 1 of the probe computes and caches, probes 2..k reuse."""
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(df)
+    return df
+
+
+def release_cached() -> int:
+    """Unpersist every bitmap pinned by this module; returns the count."""
+    n = len(_PERSISTED)
+    for df in _PERSISTED:
+        df.unpersist()
+    _PERSISTED.clear()
+    return n
 
 
 def _h12(key: Column, salt: str) -> tuple[Column, Column]:
@@ -97,17 +120,32 @@ def bloom_prune(
     """
     _validate(m_log2, k)
     m = 1 << m_log2
+    bloom = _materialized(bloom)
     h1, h2 = _h12(F.col(key_col), salt)
-    out = fact
-    temp: list[str] = []
+    # Optimizer barrier: CollapseProject re-inlines deterministic
+    # expressions into every downstream join projection — measured 25
+    # copies of the md5/conv chain (≈3× runtime) for a k=4 probe. A
+    # projection containing a NONDETERMINISTIC column cannot be collapsed,
+    # so the k position columns stay materialized attributes, computed
+    # once per row; runtime subexpression elimination then shares the one
+    # md5 among them. The guard column is kept alive by an always-true
+    # filter (rand() ∈ [0,1) ⇒ __nd >= 0) and dropped at the end — result
+    # determinism is untouched.
+    pre = fact.select(
+        "*",
+        *[((h1 + F.lit(i) * h2) % F.lit(m)).alias(f"__p{i}") for i in range(k)],
+        F.rand().alias("__nd"),
+    )
+    out = pre.select(
+        "*",
+        *[F.expr(f"__p{i} div 32").alias(f"__w{i}") for i in range(k)],
+        *[
+            F.expr(f"shiftleft(1L, cast(__p{i} % 32 as int))").alias(f"__m{i}")
+            for i in range(k)
+        ],
+    )
+    temp = ["__nd"]
     for i in range(k):
-        p = (h1 + F.lit(i) * h2) % F.lit(m)
-        out = out.withColumn(f"__p{i}", p)
-        out = out.withColumn(
-            f"__w{i}", F.expr(f"__p{i} div 32")
-        ).withColumn(
-            f"__m{i}", F.expr(f"shiftleft(1L, cast(__p{i} % 32 as int))")
-        )
         side = F.broadcast(
             bloom.select(
                 F.col("word").alias(f"__w{i}"), F.col("bits").alias(f"__b{i}")
@@ -115,7 +153,7 @@ def bloom_prune(
         )
         out = out.join(side, f"__w{i}", "left")
         temp += [f"__p{i}", f"__w{i}", f"__m{i}", f"__b{i}"]
-    hit = F.lit(True)
+    hit = F.col("__nd") >= F.lit(0.0)
     for i in range(k):
         hit = hit & (
             F.col(f"__b{i}").isNotNull()
