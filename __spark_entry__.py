@@ -101,6 +101,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlier_orders_exact": workloads_ext.outlier_orders_exact,
         "incremental_daily_rollup": workloads_ext.incremental_daily_rollup,
         "gap_fill_daily": workloads_ext.gap_fill_daily,
+        "cumulative_new_users": workloads_ext.cumulative_new_users,
+        "cohort_retention": workloads_ext.cohort_retention,
         "zorder_cluster_lineitem": workloads_ext.zorder_cluster_lineitem,
         "cube_orders": workloads_ext.cube_orders,
         "pii_redact_docs": workloads_ext.pii_redact_docs,

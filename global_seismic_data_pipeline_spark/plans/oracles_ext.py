@@ -1028,6 +1028,38 @@ LEFT JOIN daily d
 
 ORACLES_EXT["gap_fill_daily"] = GAP_FILL_SQL
 
+# Running distinct users: distinct-to-date == Σ first-seen-that-day.
+CUMULATIVE_NEW_USERS_SQL = r"""
+WITH fs AS (
+    SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+), dn AS (
+    SELECT d0, CAST(count(*) AS BIGINT) AS n_new FROM fs GROUP BY d0
+)
+SELECT CAST(d0 AS VARCHAR) AS event_date, n_new,
+       CAST(sum(n_new) OVER (ORDER BY d0 ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum_users
+FROM dn
+"""
+
+ORACLES_EXT["cumulative_new_users"] = CUMULATIVE_NEW_USERS_SQL
+
+COHORT_RETENTION_SQL = r"""
+WITH fw AS (
+    SELECT user_id, min(CAST(date_trunc('week', ts) AS DATE)) AS w0
+    FROM events GROUP BY user_id
+), act AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+    FROM events
+)
+SELECT CAST(f.w0 AS VARCHAR) AS cohort_week,
+       CAST((a.w - f.w0) / 7 AS BIGINT) AS week_offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+FROM act a JOIN fw f USING (user_id)
+GROUP BY 1, 2
+"""
+
+ORACLES_EXT["cohort_retention"] = COHORT_RETENTION_SQL
+
 # Z-order clustering: the oracle evaluates the SAME mask-spread SQL
 # expression (operators/zorder.py zvalue_expr — integer shifts/masks,
 # valid verbatim in both Spark SQL and DuckDB).

@@ -14,7 +14,7 @@ replicates all of them bit-identically.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import (
@@ -516,6 +516,44 @@ def zorder_cluster_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zkey", "l_orderkey", "l_linenumber")
         .limit(100)
+    )
+
+
+def cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-user count per day. A windowed ``countDistinct``
+    is unsupported (and would hold unbounded state); the scalable identity
+    is: distinct-users-to-date == Σ first-seen-that-day. One aggregate to
+    per-user first day, one tiny daily rollup, one cumulative sum over the
+    (days-sized) result — the fact table shuffles once on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    first_seen = ev.groupBy("user_id").agg(F.min(day).alias("d0"))
+    daily = first_seen.groupBy("d0").agg(F.count(F.lit(1)).alias("n_new"))
+    w = Window.orderBy("d0").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.col("d0").cast("string").alias("event_date"),
+        "n_new",
+        F.sum("n_new").over(w).alias("cum_users"),
+    )
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-seen ISO week,
+    counted distinct per (cohort, week-offset). Two aggregates (per-user
+    first week, then distinct activity) and one join on user_id — the
+    standard product-analytics matrix, where both engines must agree on
+    ISO week truncation."""
+    ev = load_table(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts")).cast("date")
+    first_week = ev.groupBy("user_id").agg(F.min(week).alias("w0"))
+    activity = ev.select("user_id", week.alias("w")).distinct()
+    joined = activity.join(first_week, "user_id")
+    return (
+        joined.groupBy(
+            F.col("w0").cast("string").alias("cohort_week"),
+            (F.datediff("w", "w0") / 7).cast("long").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
     )
 
 
