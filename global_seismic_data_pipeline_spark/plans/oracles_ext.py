@@ -1060,6 +1060,30 @@ GROUP BY 1, 2
 
 ORACLES_EXT["cohort_retention"] = COHORT_RETENTION_SQL
 
+EVENT_FUNNEL_SQL = r"""
+WITH t1 AS (
+    SELECT user_id, min(ts) AS t1 FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+), t2 AS (
+    SELECT e.user_id, min(e.ts) AS t2
+    FROM events e JOIN t1 USING (user_id)
+    WHERE e.event_type = 'click' AND e.ts > t1.t1
+    GROUP BY e.user_id
+), t3 AS (
+    SELECT e.user_id, min(e.ts) AS t3
+    FROM events e JOIN t2 USING (user_id)
+    WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+    GROUP BY e.user_id
+)
+SELECT '1_view' AS stage, CAST((SELECT count(*) FROM t1) AS BIGINT) AS n_users
+UNION ALL
+SELECT '2_click_after_view', CAST((SELECT count(*) FROM t2) AS BIGINT)
+UNION ALL
+SELECT '3_purchase_after_click', CAST((SELECT count(*) FROM t3) AS BIGINT)
+"""
+
+ORACLES_EXT["event_funnel_conversion"] = EVENT_FUNNEL_SQL
+
 # Z-order clustering: the oracle evaluates the SAME mask-spread SQL
 # expression (operators/zorder.py zvalue_expr — integer shifts/masks,
 # valid verbatim in both Spark SQL and DuckDB).

@@ -557,6 +557,46 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: first view → first click AFTER that view → first
+    purchase AFTER that click, per user; output is users surviving each
+    stage. Sequential '…after the previous step' semantics need the prior
+    step's timestamp, so the pipeline is three user-keyed conditional
+    aggregates chained by joins — each stage's shuffle carries one row per
+    surviving user, monotonically shrinking."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    t1 = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = (
+        t1.agg(F.count(F.lit(1)).alias("n1"))
+        .crossJoin(t2.agg(F.count(F.lit(1)).alias("n2")))
+        .crossJoin(t3.agg(F.count(F.lit(1)).alias("n3")))
+    )
+    return counts.select(
+        F.expr(
+            "stack(3, '1_view', n1, '2_click_after_view', n2, "
+            "'3_purchase_after_click', n3) AS (stage, n_users)"
+        )
+    )
+
+
 def gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar-spine gap filling: daily counts of rare events (value >
     400, ~2% of rows) on a DENSE (day × event_type) grid with zeros where
