@@ -1084,6 +1084,28 @@ SELECT '3_purchase_after_click', CAST((SELECT count(*) FROM t3) AS BIGINT)
 
 ORACLES_EXT["event_funnel_conversion"] = EVENT_FUNNEL_SQL
 
+# Q5-shaped star join; revenue as exact integer cents·(100−disc) summed,
+# one division at the end — no float-sum ordering hazard.
+STAR_JOIN_SQL = r"""
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS BIGINT) / 10000.0 AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+ORACLES_EXT["star_join_revenue"] = STAR_JOIN_SQL
+
 # Z-order clustering: the oracle evaluates the SAME mask-spread SQL
 # expression (operators/zorder.py zvalue_expr — integer shifts/masks,
 # valid verbatim in both Spark SQL and DuckDB).

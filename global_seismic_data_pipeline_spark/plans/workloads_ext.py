@@ -519,6 +519,54 @@ def zorder_cluster_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped six-table star join: per-nation revenue for one
+    region and one order year, where the supplying nation must equal the
+    customer's nation. The fact (lineitem) joins five dimensions — region
+    and nation broadcast outright; Catalyst + AQE pick build sides and
+    reorder the rest; the date filter pushes into the orders scan.
+
+    Revenue is hash-stable by construction: Σ price_cents·(100 − disc_pct)
+    is an exact integer (2-decimal inputs), divided once by 10⁴ at the
+    end — no float-sum ordering between engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.sum(cents * (F.lit(100) - disc)).alias("rev_e4"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .select(
+            "n_name",
+            (F.col("rev_e4") / F.lit(10000.0)).alias("revenue"),
+            "n_lineitems",
+        )
+    )
+
+
 def cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running distinct-user count per day. A windowed ``countDistinct``
     is unsupported (and would hold unbounded state); the scalable identity
