@@ -36,10 +36,14 @@ def audit_plan(df) -> dict:
 
 # queries whose plan MUST contain a broadcast join (dimension enrichment)
 MUST_BROADCAST = {
-    "spatial_box_enrich", "band_join_classify", "dense_rank_nations",
+    "band_join_classify", "dense_rank_nations",
     "cosine_topk_bruteforce", "bloom_prune_lineitem",
     "range_join_event_bursts", "temperature_mixture_sample",
 }
+# fused static-dimension enrichment: the CASE-chain form must stay fully
+# map-side — zero exchanges (stronger than the old must-broadcast check;
+# a join or window reappearing here is a regression)
+MUST_MAPSIDE = {"spatial_box_enrich"}
 # queries whose scans MUST show pushed filters
 MUST_PUSH = {"watermark_incremental_filter", "membership_topk", "agg_pricing_summary"}
 # the bin-bucketed range join exists to AVOID BroadcastNestedLoopJoin — a
@@ -111,6 +115,9 @@ def main() -> None:
             failures.append(name)
         if name in MUST_TAKEORDERED and not info["take_ordered"]:
             flags.append("GLOBAL-SORT!")
+            failures.append(name)
+        if name in MUST_MAPSIDE and info["exchanges"] > 0:
+            flags.append("NOT-MAPSIDE!")
             failures.append(name)
         if name in MUST_LAZY and eager_tasks > LAZY_TASK_BUDGET:
             flags.append("EAGER-BUILD!")
