@@ -23,8 +23,11 @@ handles hot bins; no driver-side state, no broadcast of a big side.
 
 Correctness notes:
 - all arithmetic is on ``unix_micros`` int64 epochs — no float time math;
-- integer ``div`` truncates toward zero, which equals floor for the
-  non-negative (post-epoch) timestamps this engine targets;
+- bin ids use true FLOOR division (``div`` adjusted for negative
+  operands), so the "two consecutive bins per anchor" invariant holds
+  even for pre-epoch timestamps or a negative ``lower_us`` — truncating
+  ``div`` alone would collapse both bins onto 0 near the epoch and emit
+  duplicate pairs;
 - the window is half-open ``(lo, hi]``: an event never matches itself
   (delta 0 is excluded) and duplicate-timestamp events resolve identically
   in Spark and the DuckDB oracle.
@@ -36,6 +39,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _L, _R = "__rj_l", "__rj_r"
+
+
+def _floor_div(col: str, span: int) -> str:
+    """SQL for floor(col / span) on int64, span > 0.
+
+    Spark's ``div`` truncates toward zero; subtract 1 when the operands
+    disagree in sign and the division is inexact to recover floor
+    semantics without going through (lossy beyond 2^53) doubles.
+    """
+    return (
+        f"(({col} div {span}) - "
+        f"(CASE WHEN {col} % {span} != 0 AND {col} < 0 THEN 1 ELSE 0 END))"
+    )
 
 
 def interval_join(
@@ -68,19 +84,20 @@ def interval_join(
         "__bin",
         F.explode(
             F.array(
-                F.expr(f"__lo div {span}"),
-                F.expr(f"__hi div {span}"),
+                F.expr(_floor_div("__lo", span)),
+                F.expr(_floor_div("__hi", span)),
             )
         ),
     )
-    # __lo div span and __hi div span differ by exactly 1 (hi = lo + span),
-    # so the explode emits 2 distinct bins per anchor — no dedup needed.
+    # floor(__lo/span) and floor(__hi/span) differ by exactly 1
+    # (hi = lo + span), so the explode emits 2 distinct bins per anchor —
+    # no dedup needed, including for negative __lo.
 
     c_t = F.unix_micros(F.col(candidate_time))
     c = candidates.select(
         *[F.col(c0).alias(f"{c0}_c") for c0 in candidates.columns],
         c_t.alias("__ct"),
-    ).withColumn("__bin", F.expr(f"__ct div {span}"))
+    ).withColumn("__bin", F.expr(_floor_div("__ct", span)))
 
     pairs = a.join(c, "__bin").where(
         (F.col("__ct") > F.col("__lo")) & (F.col("__ct") <= F.col("__hi"))

@@ -96,11 +96,25 @@ def enrich_point_in_box_fused(
     min_x, max_x, min_y, max_y = box_cols
     order = sorted(range(len(boxes)), key=lambda i: (boxes[i][priority_col], i))
     fb = fallback or {}
-    chain = F.lit(None).cast(
-        "struct<" + ", ".join(f"{c}: string" for c in carry_cols) + ">"
-    ) if fallback is None else F.struct(
-        *[F.lit(fb.get(c)).alias(c) for c in carry_cols]
-    )
+    if fallback is None:
+        # Typed NULL whose field types MATCH the match branches exactly:
+        # when(false, <struct built from a real box>) folds to a null
+        # literal of that struct type at plan time. Hardcoding string
+        # field types here would type-mismatch non-string carry columns
+        # (e.g. an int region id) and fail analysis.
+        if boxes:
+            chain = F.when(
+                F.lit(False),
+                F.struct(
+                    *[F.lit(boxes[order[0]][c]).alias(c) for c in carry_cols]
+                ),
+            )
+        else:
+            chain = F.lit(None).cast(
+                "struct<" + ", ".join(f"{c}: string" for c in carry_cols) + ">"
+            )
+    else:
+        chain = F.struct(*[F.lit(fb.get(c)).alias(c) for c in carry_cols])
     for i in reversed(order):
         b = boxes[i]
         cond = (

@@ -1125,7 +1125,8 @@ CUBE_ORDERS_SQL = """
 SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
     COALESCE(o_orderstatus, 'ALL') AS status,
     CAST(COUNT(*) AS BIGINT) AS n_orders,
-    ROUND(SUM(o_totalprice) / 1000000.0, 4) AS value_m
+    ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 1e8, 4)
+        AS value_m
 FROM orders
 GROUP BY CUBE (o_orderpriority, o_orderstatus)
 """

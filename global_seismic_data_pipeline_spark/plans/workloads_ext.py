@@ -805,13 +805,19 @@ def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping sets over (priority, status): all four grain
     combinations in one pass — completes the grouping-set family next to
     rollup_orders. NULL slots labeled 'ALL' (both group columns are
-    non-null in the data, so the marker is unambiguous)."""
+    non-null in the data, so the marker is unambiguous).
+
+    value_m is hash-stable by construction (star_join_revenue idiom):
+    the SUM runs over exact integer cents, and the single division /
+    ROUND happen once on the identical BIGINT in both engines — no
+    float-sum ulp can flip the 4th decimal."""
     orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     return (
         orders.cube("o_orderpriority", "o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice") / F.lit(1000000.0), 4).alias("value_m"),
+            F.round(F.sum(cents) / F.lit(1e8), 4).alias("value_m"),
         )
         .select(
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),

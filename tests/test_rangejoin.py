@@ -71,6 +71,19 @@ def test_pair_multiplicity_no_duplicates(spark):
     assert n_pairs == len(_pairs_set(got))
 
 
+def test_negative_lower_bound_and_pre_epoch(spark):
+    # Near-epoch timestamps with a NEGATIVE lower bound push __lo below
+    # zero: truncating div would collapse the two anchor bins into one
+    # (emitting duplicate pairs) — floor-division must keep them distinct.
+    epoch = datetime(1970, 1, 1, 0, 0, 0)
+    rows = [(i, epoch + timedelta(minutes=2 * i), float(i)) for i in range(20)]
+    df = _events(spark, rows)
+    got = interval_join(df, df, lower_us=-10 * MIN_US, upper_us=10 * MIN_US)
+    exp = _brute(df, df, -10 * MIN_US, 10 * MIN_US)
+    assert _pairs_set(got) == _pairs_set(exp)
+    assert got.count() == len(_pairs_set(got))  # no pair duplication
+
+
 def test_rejects_empty_interval(spark):
     df = _events(spark, [(1, T0, 1.0)])
     with pytest.raises(ValueError):

@@ -143,3 +143,30 @@ def test_fused_form_equals_join_form(spark):
     assert fused == joined
     assert fused[1000] == "B"  # overlap edge: priority 1 wins
     assert fused[1003] == "NONE"
+
+
+def test_fused_no_fallback_with_non_string_carry(spark):
+    """fallback=None must build a typed null struct matching the carry
+    columns' ACTUAL types (here an int region id) — a hardcoded string
+    null struct would fail analysis with a when/otherwise type mismatch."""
+    from global_seismic_data_pipeline_spark.operators.spatial import (
+        enrich_point_in_box_fused,
+    )
+
+    boxes = [
+        {"rid": 7, "min_x": 0.0, "max_x": 10.0, "min_y": 0.0, "max_y": 10.0, "priority": 1},
+        {"rid": 9, "min_x": 20.0, "max_x": 30.0, "min_y": 0.0, "max_y": 10.0, "priority": 2},
+    ]
+    df = spark.createDataFrame(
+        [(1, 5.0, 5.0), (2, 25.0, 5.0), (3, 50.0, 50.0)],
+        "pid long, x double, y double",
+    )
+    out = enrich_point_in_box_fused(
+        df, boxes,
+        x_col="x", y_col="y",
+        box_cols=("min_x", "max_x", "min_y", "max_y"),
+        priority_col="priority", carry_cols=("rid",),
+        fallback=None,
+    )
+    got = {r["pid"]: r["rid"] for r in out.collect()}
+    assert got == {1: 7, 2: 9}  # unmatched pid=3 dropped (inner semantics)
