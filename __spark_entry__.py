@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_host_stats": workloads_ext.url_host_stats,
         "stratified_sample_docs": workloads_ext.stratified_sample_docs,
         "corpus_top_trigrams": workloads_ext.corpus_top_trigrams,
+        "incremental_minhash_dedup": workloads_ext.incremental_minhash_dedup,
     }
 
 

@@ -52,6 +52,7 @@ EXTENDED = [
     "vocab_encode_docs",
     "cms_heavy_tokens",
     "curation_funnel_docs",
+    "incremental_minhash_dedup",
 ]
 
 HEADLINE = [

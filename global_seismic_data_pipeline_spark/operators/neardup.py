@@ -224,18 +224,61 @@ def minhash_signatures(
     return _signatures_from_hashes(hashed, id_col, num_hashes, seed)
 
 
+def _min_exprs(num_hashes: int, seed: int, h_col: str = "h") -> list:
+    """The K universal-hash minimum aggregates over a folded hash column."""
+    perms = _minhash_perms(num_hashes, seed)
+    return [
+        F.min(F.pmod(a * F.col(h_col) + b, F.lit(HASH_PRIME))).alias(f"m{i}")
+        for i, (a, b) in enumerate(perms)
+    ]
+
+
 def _signatures_from_hashes(
     hashed: DataFrame, id_col: str, num_hashes: int, seed: int
 ) -> DataFrame:
-    perms = _minhash_perms(num_hashes, seed)
-    mins = [
-        F.min(F.pmod(a * F.col("h") + b, F.lit(HASH_PRIME))).alias(f"m{i}")
-        for i, (a, b) in enumerate(perms)
-    ]
-    sig_df = hashed.groupBy(id_col).agg(*mins)
+    sig_df = hashed.groupBy(id_col).agg(*_min_exprs(num_hashes, seed))
     return sig_df.select(
         F.col(id_col), F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig")
     )
+
+
+def band_rows(
+    sigs: DataFrame,
+    *,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """(id, band, bucket) LSH band rows from a signature table: signature
+    slices of ``num_hashes // bands`` values hash to one bucket id per
+    band. Pure map-side (explode of a bands-long literal array); the band
+    join carries ONLY these three columns — never the signature or the
+    shingle arrays (see ``minhash_lsh_pairs``)."""
+    rows = num_hashes // bands
+    return sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        _hash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", i * rows + j + 1).cast("string")
+                                    for j in range(rows)
+                                ],
+                            ),
+                            hasher,
+                        ).alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(F.col(id_col), F.col("bb.band"), F.col("bb.bucket"))
 
 
 def minhash_lsh_pairs(
@@ -261,7 +304,6 @@ def minhash_lsh_pairs(
             f"bands ({bands}) must divide num_hashes ({num_hashes}); "
             "rows-per-band = num_hashes // bands must be >= 1"
         )
-    rows = num_hashes // bands
     # ONE text-processing pass: the shingle ROWS table feeds the shingle-set
     # aggregate AND the signature aggregate (min over raw rows == min over
     # distinct shingles — no dedup needed), both running in the shingle
@@ -282,25 +324,9 @@ def minhash_lsh_pairs(
     # shingle arrays through a B-way explode + shuffle would multiply the
     # shuffled bytes by bands×|shingles|; arrays attach later, once, to the
     # (few) surviving candidate pairs
-    banded = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        _hash64(
-                            F.concat_ws(
-                                ",", *[F.element_at("sig", i * rows + j + 1).cast("string") for j in range(rows)]
-                            ),
-                            hasher,
-                        ).alias("bucket"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(F.col(id_col), F.col("bb.band"), F.col("bb.bucket"))
+    banded = band_rows(
+        sigs, id_col=id_col, num_hashes=num_hashes, bands=bands, hasher=hasher
+    )
 
     left = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     right = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")

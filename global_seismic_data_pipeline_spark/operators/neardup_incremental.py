@@ -1,0 +1,239 @@
+"""Incremental MinHash-LSH dedup against a persisted signature store.
+
+The batch operators in :mod:`.neardup` recompute the whole corpus per run.
+A production training-data pipeline is incremental (the reference's whole
+design is watermark CDC, ref: 02_ingestion.py:75-94): batch N+1 must dedup
+*new* documents against the already-indexed corpus WITHOUT re-reading or
+re-shingling the old text. This module persists the MinHash index as two
+warehouse tables and probes it per batch:
+
+- ``{name}_docs``  — (id, shingles array<string>, sig array<long>), the
+  per-doc index, bucketed on the doc id. Shingle sets ride along so the
+  exact-Jaccard verification of a future candidate never goes back to the
+  raw text.
+- ``{name}_bands`` — (id, band, bucket), the LSH postings, bucketed on
+  (band, bucket): the per-batch candidate probe joins on exactly those
+  keys, so the STORED side is read co-partitioned from disk and only the
+  (small) new-batch band rows shuffle. At 100 TB this is the difference
+  between "join against the corpus" and "shuffle the corpus every day".
+- ``{name}_meta``  — one row of the index knobs (n, num_hashes, bands,
+  seed, hasher); probes validate against it so a batch can never be
+  signed with mismatched parameters and silently miss every duplicate.
+
+Incremental probing is EXACTLY equivalent to full recompute restricted to
+pairs touching the new batch: a pair collides in band i iff their band-i
+signature slices hash to the same bucket, and a document's signature
+depends only on its own text — never on the rest of the corpus. The
+driver query ``incremental_minhash_dedup`` pins this equivalence against
+a DuckDB oracle that recomputes the FULL union and filters to new-doc
+pairs; ``tests/test_neardup_incremental.py`` additionally pins it against
+the batch operator and asserts the no-retext/no-corpus-shuffle plan
+properties.
+
+Scale shape per batch: shingle/sign the new docs only (one text pass, one
+doc-id shuffle), one bucketed probe join for new-vs-old, one tiny
+self-join for new-vs-new, verification joins keyed on the bucketed doc id
+(stored side again read in place), then a bucketed append of the new
+signatures. The corpus index is never rewritten, only appended.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..sources.warehouse import Warehouse
+from .neardup import (
+    _hash64,
+    _materialized,
+    _min_exprs,
+    band_rows,
+    shingle_rows,
+    HASH_PRIME,
+)
+
+_DOCS, _BANDS, _META = "_docs", "_bands", "_meta"
+
+
+def _index_rows(
+    docs: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_hashes: int,
+    seed: int,
+    hasher: str,
+) -> DataFrame:
+    """(id, shingles, sig) in ONE aggregate: the shingle rows feed the
+    collect_set AND the K signature minimums in the same groupBy, so the
+    text is processed once and the shuffle carries one row per doc. The
+    fold hash is computed per shingle ROW before the aggregate — putting
+    ``_hash64`` inside each of the K min() expressions would evaluate the
+    (md5) hash K times per row."""
+    srows = shingle_rows(docs, id_col=id_col, text_col=text_col, n=n)
+    hashed = srows.select(
+        F.col(id_col),
+        F.col("shingle"),
+        F.pmod(_hash64(F.col("shingle"), hasher), F.lit(HASH_PRIME)).alias("h"),
+    )
+    agg = hashed.groupBy(id_col).agg(
+        F.collect_set("shingle").alias("shingles"),
+        *_min_exprs(num_hashes, seed),
+    )
+    return agg.select(
+        F.col(id_col),
+        "shingles",
+        F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"),
+    )
+
+
+def build_minhash_index(
+    warehouse: Warehouse,
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    hasher: str = "xxhash64",
+    name: str = "minhash_index",
+    num_buckets: int = 16,
+) -> None:
+    """Full (re)build of the signature store from ``docs``."""
+    if not 1 <= bands <= num_hashes or num_hashes % bands:
+        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
+    idx = _materialized(
+        _index_rows(
+            docs, id_col=id_col, text_col=text_col, n=n,
+            num_hashes=num_hashes, seed=seed, hasher=hasher,
+        )
+    )
+    warehouse.save_bucketed(
+        idx, f"{name}{_DOCS}", (id_col,), num_buckets=num_buckets
+    )
+    # band rows from the WRITTEN table: lineage stops at the index files,
+    # so the band write never re-runs the shingling
+    stored = warehouse.spark.table(f"{name}{_DOCS}")
+    warehouse.save_bucketed(
+        band_rows(stored, id_col=id_col, num_hashes=num_hashes, bands=bands, hasher=hasher),
+        f"{name}{_BANDS}",
+        ("band", "bucket"),
+        num_buckets=num_buckets,
+    )
+    meta = warehouse.spark.createDataFrame(
+        [(id_col, n, num_hashes, bands, seed, hasher, num_buckets)],
+        "id_col string, n int, num_hashes int, bands int, seed int, "
+        "hasher string, num_buckets int",
+    )
+    warehouse.overwrite(meta, f"{name}{_META}")
+
+
+def _load_meta(warehouse: Warehouse, name: str) -> dict:
+    row = warehouse.read(f"{name}{_META}").collect()
+    if len(row) != 1:
+        raise ValueError(f"index {name!r} has no valid meta table")
+    return row[0].asDict()
+
+
+def incremental_minhash_pairs(
+    warehouse: Warehouse,
+    new_docs: DataFrame,
+    *,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    name: str = "minhash_index",
+    append: bool = True,
+) -> DataFrame:
+    """Near-dup pairs of ``new_docs`` vs (stored corpus ∪ the batch
+    itself), verified by exact Jaccard ≥ ``threshold``. New doc ids must
+    be disjoint from the stored ids (watermark CDC guarantees this; the
+    merge path handles replays upstream).
+
+    Returns (id_a, id_b, intersection, jaccard), id_a < id_b, at least
+    one side new. With ``append=True`` the batch's signatures join the
+    index afterwards (bucketed append — the stored corpus is not
+    rewritten), and the pair result is first written to ``{name}_pairs``
+    and returned as a read of those files: the append INVALIDATES any
+    cached plan that references the store tables (Spark recaches catalog
+    tables on insert), so a lazily-returned plan would silently recompute
+    against the post-append store — finding each new doc as a duplicate
+    of itself. The written artifact is also what a real pipeline wants:
+    batch N's dedup verdict, durable next to the index.
+    """
+    meta = _load_meta(warehouse, name)
+    id_col, n = meta["id_col"], meta["n"]
+    num_hashes, bands_n, seed = meta["num_hashes"], meta["bands"], meta["seed"]
+    hasher, num_buckets = meta["hasher"], meta["num_buckets"]
+    spark = warehouse.spark
+
+    new_idx = _materialized(
+        _index_rows(
+            new_docs, id_col=id_col, text_col=text_col, n=n,
+            num_hashes=num_hashes, seed=seed, hasher=hasher,
+        )
+    )
+    new_bands = _materialized(
+        band_rows(
+            new_idx, id_col=id_col, num_hashes=num_hashes,
+            bands=bands_n, hasher=hasher,
+        )
+    )
+    stored_bands = spark.table(f"{name}{_BANDS}")
+    stored_docs = spark.table(f"{name}{_DOCS}")
+
+    # new-vs-old: probe the bucketed postings on its bucketing keys — the
+    # stored side is read co-partitioned from disk, only new rows shuffle.
+    # Old ids can sort either side of the pair: normalize via least/greatest.
+    probe = new_bands.select(F.col(id_col).alias("id_n"), "band", "bucket")
+    old = stored_bands.select(F.col(id_col).alias("id_o"), "band", "bucket")
+    no_pairs = (
+        probe.join(old, ["band", "bucket"])
+        .select(
+            F.least("id_n", "id_o").alias("id_a"),
+            F.greatest("id_n", "id_o").alias("id_b"),
+        )
+    )
+    # new-vs-new: the batch against itself (tiny self-join)
+    left = new_bands.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    right = new_bands.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    nn_pairs = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    cands = no_pairs.unionByName(nn_pairs).dropDuplicates(["id_a", "id_b"])
+
+    # verification sets: new docs from the in-batch index, old docs from
+    # the stored index (shingles stored — the raw text is never re-read)
+    sets = stored_docs.select(id_col, "shingles").unionByName(
+        new_idx.select(id_col, "shingles")
+    )
+    cands = cands.join(
+        sets.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")),
+        "id_a",
+    ).join(
+        sets.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    out = (
+        cands.withColumn("intersection", inter.cast("long"))
+        .withColumn("jaccard", F.col("intersection") / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "intersection", "jaccard")
+    )
+    if append:
+        # execute against the PRE-append store, then append
+        warehouse.overwrite(out, f"{name}_pairs")
+        out = warehouse.read(f"{name}_pairs")
+        warehouse.append_bucketed(
+            new_idx, f"{name}{_DOCS}", (id_col,), num_buckets=num_buckets
+        )
+        warehouse.append_bucketed(
+            new_bands, f"{name}{_BANDS}", ("band", "bucket"), num_buckets=num_buckets
+        )
+    return out

@@ -1135,3 +1135,13 @@ ORACLES_EXT["cube_orders"] = CUBE_ORDERS_SQL
 ORACLES_EXT["url_host_stats"] = URL_HOST_STATS_SQL
 ORACLES_EXT["stratified_sample_docs"] = STRATIFIED_SAMPLE_SQL
 ORACLES_EXT["corpus_top_trigrams"] = CORPUS_TOP_TRIGRAMS_SQL
+
+# Incremental MinHash dedup: full recompute on the union (base ∪ batch ==
+# all documents), restricted to pairs touching the batch (doc_id % 5 == 0)
+# — the equivalence the incremental probe must reproduce exactly.
+INCREMENTAL_MINHASH_SQL = f"""
+SELECT id_a, id_b, intersection, jaccard
+FROM ({MINHASH_NEAR_DUP_SQL}) m
+WHERE id_a % 5 = 0 OR id_b % 5 = 0
+"""
+ORACLES_EXT["incremental_minhash_dedup"] = INCREMENTAL_MINHASH_SQL

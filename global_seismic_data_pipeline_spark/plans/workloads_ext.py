@@ -967,3 +967,35 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp.filter(F.col("doc_id") % 97 == 0).select("fp").distinct()
     )
     return fp.join(F.broadcast(eval_fps), "fp", "left_anti").select("doc_id", "fp")
+
+
+def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup (operators/neardup_incremental.py): the
+    already-indexed corpus (doc_id % 5 != 0) is built into a persisted,
+    bucketed signature store ONCE; the 'daily batch' (doc_id % 5 == 0) is
+    then shingled/signed ALONE, probes the stored band postings for
+    candidates, verifies by exact Jaccard from the stored shingle sets
+    (the corpus text is never re-read), and appends its signatures. Same
+    knobs as minhash_near_dup, portable md5 hashing throughout.
+
+    The DuckDB oracle recomputes the FULL union and restricts to pairs
+    touching the batch — pinning the probe ≡ full-recompute equivalence
+    that makes incremental dedup trustworthy at 100 TB (a daily batch
+    must find exactly the duplicates a from-scratch run would)."""
+    import tempfile
+
+    from ..operators import neardup_incremental as ninc
+    from ..sources.warehouse import Warehouse
+
+    d = _docs(spark, sf_dir)
+    base = d.filter(F.col("doc_id") % 5 != 0)
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="incmh-"))
+    ninc.build_minhash_index(
+        wh, base, id_col="doc_id", text_col="text",
+        n=3, num_hashes=64, bands=16, seed=42, hasher="md5",
+        name="inc_mh_idx",
+    )
+    return ninc.incremental_minhash_pairs(
+        wh, batch, text_col="text", threshold=0.2, name="inc_mh_idx",
+    )

@@ -223,6 +223,31 @@ class Warehouse:
         writer.saveAsTable(name)
         return self.spark.table(name)
 
+    def append_bucketed(
+        self,
+        df: DataFrame,
+        name: str,
+        bucket_cols: Sequence[str],
+        *,
+        num_buckets: int = 8,
+        sort_cols: Sequence[str] | None = None,
+    ) -> DataFrame:
+        """Append to a table created by :meth:`save_bucketed` with the SAME
+        bucket spec. Each append writes its own bucketed file set (one more
+        file per bucket — compact periodically via maintenance), and the
+        table keeps its shuffle-free join property: this is the
+        incremental-index write path (a daily batch adds its signatures
+        without rewriting the corpus index)."""
+        writer = (
+            df.write.mode("append")
+            .option("path", self.path(name))
+            .bucketBy(num_buckets, *bucket_cols)
+        )
+        if sort_cols:
+            writer = writer.sortBy(*sort_cols)
+        writer.saveAsTable(name)
+        return self.spark.table(name)
+
     # -- SQL surface ------------------------------------------------------
     def register_views(self, names: Sequence[str] | None = None) -> list[str]:
         """Register every table as a temp view so spark.sql sees the same
