@@ -229,12 +229,85 @@ def cosine_all_pairs(
 
 
 def _centroids(dim: int, cells: int, seed: int) -> np.ndarray:
-    """Seeded spherical centroids (no training pass — a fixed random
-    codebook; real deployments would k-means a sample, the plan shape is
-    identical)."""
+    """Seeded spherical centroids — the k-means INIT (and the fallback
+    codebook when no training pass is run)."""
     rng = np.random.RandomState(seed)
     c = rng.standard_normal((cells, dim))
     return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def train_ivf_codebook(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    cells: int = 16,
+    iters: int = 4,
+    seed: int = 42,
+) -> np.ndarray:
+    """Distributed Lloyd k-means over the (sampled) corpus, entirely in
+    EXACT integer arithmetic — returns the trained quantized codebook
+    (int64, cells × dim) for :func:`with_ivf_cells` / :func:`ivf_topk`.
+
+    Why integer Lloyd: float centroid means are summation-order-dependent,
+    so a trained codebook would differ run-to-run and engine-to-engine —
+    unverifiable. Here every step is order-free and deterministic:
+
+    - assignment: argmax of int64 dots of quantized vectors against the
+      quantized codebook (ties → lowest cell, ``np.argmax`` first-hit);
+    - update: per-cell per-dim int64 SUMS (associative — any partial
+      aggregation order gives the same total) + a count, floor-divided
+      on the driver (cells × dim ints — control-plane sized);
+    - empty cells keep their previous centroid.
+
+    ``plans/oracles_ext._trained_ivf_codebook`` replicates this loop in
+    numpy from the same parquet and lands on the identical codebook, which
+    is what keeps the trained ``ivf_ann_topk`` hash-checkable.
+
+    Scale shape per iteration: one Arrow-batched int matmul over the
+    sample + one groupBy(cell) with map-side partial sums (shuffle carries
+    ≤ cells × (dim+1) longs per task). The quantized-vector column is
+    persisted once across iterations. Train on a sample at 100 TB (pass a
+    pre-sampled df — k-means quality saturates far below corpus size).
+    """
+    init = quantize(_centroids(dim, cells, seed))
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def quant_pd(vecs: pd.Series) -> pd.Series:
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        return pd.Series(list(quantize(mat)))
+
+    xq = df.select(quant_pd(F.col(vec_col)).alias("xq")).persist()
+    try:
+        cb = init
+        sums = [F.sum(F.element_at("xq", d + 1)).alias(f"s{d}") for d in range(dim)]
+        def _cell_udf(cb_now: np.ndarray):
+            # factory: bakes THIS iteration's codebook into the closure
+            # (a plain loop capture would late-bind to the final cb)
+            @F.pandas_udf(LongType())
+            def cell_pd(xqs: pd.Series) -> pd.Series:
+                m = np.array(xqs.tolist(), dtype=np.int64)
+                return pd.Series(np.argmax(m @ cb_now.T, axis=1).astype(np.int64))
+
+            return cell_pd
+
+        for _ in range(iters):
+            cell_pd = _cell_udf(cb)
+            rows = (
+                xq.select(cell_pd("xq").alias("cell"), "xq")
+                .groupBy("cell")
+                .agg(F.count(F.lit(1)).alias("n"), *sums)
+                .collect()
+            )
+            new_cb = cb.copy()
+            for r in rows:
+                c, n = int(r["cell"]), int(r["n"])
+                # python ints: floor division (matches np.floor_divide)
+                new_cb[c] = [int(r[f"s{d}"]) // n for d in range(dim)]
+            cb = new_cb
+        return cb
+    finally:
+        xq.unpersist()
 
 
 def with_ivf_cells(
@@ -245,6 +318,7 @@ def with_ivf_cells(
     cells: int = 16,
     nprobe: int = 1,
     seed: int = 42,
+    codebook_q: np.ndarray | None = None,
 ) -> DataFrame:
     """Assign each vector its ``nprobe`` nearest coarse cells (IVF lists).
 
@@ -256,8 +330,11 @@ def with_ivf_cells(
     ranking engine-dependent. Ties break to the LOWEST cell index (stable
     argsort ↔ the oracle's ROW_NUMBER ... ORDER BY dot DESC, idx ASC).
     Corpus side uses nprobe=1 (each vector lives in exactly one inverted
-    list); query side probes several."""
-    cb_q = quantize(_centroids(dim, cells, seed))
+    list); query side probes several.
+
+    ``codebook_q`` overrides the seeded random codebook with a TRAINED
+    quantized one (:func:`train_ivf_codebook`)."""
+    cb_q = codebook_q if codebook_q is not None else quantize(_centroids(dim, cells, seed))
 
     @F.pandas_udf(ArrayType(LongType()))
     def cells_pd(vecs: pd.Series) -> pd.Series:
@@ -283,6 +360,7 @@ def ivf_topk(
     cells: int = 16,
     nprobe: int = 4,
     seed: int = 42,
+    codebook_q: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: coarse-quantize the corpus into ``cells``
     inverted lists, probe the query's ``nprobe`` nearest lists, exact
@@ -291,16 +369,19 @@ def ivf_topk(
     The 100 TB path: the corpus is bucketed ONCE (map-side matmul), the
     per-query scan shrinks by ~cells/nprobe, and the probe join is a
     broadcast of the (small) query side — the corpus never shuffles.
-    Recall grows with nprobe (tests measure it against brute force)."""
+    Recall grows with nprobe (tests measure it against brute force) and
+    with codebook quality — pass ``codebook_q`` from
+    :func:`train_ivf_codebook` (recall vs the random codebook is measured
+    in ``test_neardup_similarity.py``)."""
     cb = with_ivf_cells(
         ensure_parallelism(
             corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
         ),
-        vec_col="cv", dim=dim, cells=cells, nprobe=1, seed=seed,
+        vec_col="cv", dim=dim, cells=cells, nprobe=1, seed=seed, codebook_q=codebook_q,
     )
     qb = with_ivf_cells(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
-        vec_col="qv", dim=dim, cells=cells, nprobe=nprobe, seed=seed,
+        vec_col="qv", dim=dim, cells=cells, nprobe=nprobe, seed=seed, codebook_q=codebook_q,
     )
     cands = (
         cb.join(F.broadcast(qb), ["cell"])

@@ -749,10 +749,46 @@ WITH xq AS (
 ){_RERANK}"""
 
 
-def _ivf_ann_sql() -> str:
+_IVF_ITERS = 4
+
+
+def _trained_ivf_codebook() -> "np.ndarray":
+    """Retrain the IVF codebook exactly as the Spark query does
+    (similarity.train_ivf_codebook: quantize → argmax int64 dots →
+    order-free int64 per-dim sums → floor-division update, empty cells
+    keep their centroid) — in numpy, from the parquet the oracle will run
+    against. Every step is exact integer arithmetic, so both trainings
+    land on the IDENTICAL codebook and it can be embedded as literals.
+
+    The parquet path comes from $SPARK_GRAFT_ORACLE_SF_DIR (the driver
+    checks at sf0.01 — the default; tools/check_correctness.py sets it to
+    whatever sf_dir it was given, because embeddings differ across SFs).
+    """
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
     from ..operators.similarity import _centroids, quantize
 
-    cb_q = quantize(_centroids(_ANN_DIM, _IVF_CELLS, _ANN_SEED))
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    mat = np.array(emb.column("embedding").to_pylist(), dtype=np.float64)
+    xq = quantize(mat)
+    cb = quantize(_centroids(_ANN_DIM, _IVF_CELLS, _ANN_SEED))
+    for _ in range(_IVF_ITERS):
+        assign = np.argmax(xq @ cb.T, axis=1)
+        new_cb = cb.copy()
+        for c in range(_IVF_CELLS):
+            members = xq[assign == c]
+            if len(members):
+                new_cb[c] = np.floor_divide(members.sum(axis=0), len(members))
+        cb = new_cb
+    return cb
+
+
+def _ivf_ann_sql() -> str:
+    cb_q = _trained_ivf_codebook()
     dots = ", ".join(
         f"list_sum(list_transform(range(1, 65), "
         f"i -> xq[i] * ({_int_list(cb_q[c])})[i]))"

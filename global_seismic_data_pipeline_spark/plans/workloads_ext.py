@@ -212,13 +212,21 @@ def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via IVF coarse quantization + probe re-rank.
-    Fully oracle-checked: integer cell assignment with lowest-index
-    tie-break is bit-identical in DuckDB; recall vs brute force
-    additionally asserted in tests."""
+    """Approximate top-k via IVF coarse quantization + probe re-rank, with
+    a TRAINED codebook: 4 rounds of distributed exact-integer Lloyd
+    k-means over the corpus (similarity.train_ivf_codebook) replace the
+    seeded random centroids. Fully oracle-checked: the integer Lloyd loop
+    is order-free and deterministic, so the oracle builder retrains the
+    identical codebook in numpy from the same parquet and embeds it as
+    literals; integer cell assignment with lowest-index tie-break is then
+    bit-identical in DuckDB. Recall vs brute force (and vs the untrained
+    codebook) asserted in tests."""
     embs = _embs(spark, sf_dir)
+    cb_q = similarity.train_ivf_codebook(embs, dim=64, cells=16, iters=4)
     queries = embs.filter(F.col("vec_id") < 20)
-    return similarity.ivf_topk(embs, queries, k=5, cells=16, nprobe=4)
+    return similarity.ivf_topk(
+        embs, queries, k=5, cells=16, nprobe=4, codebook_q=cb_q
+    )
 
 
 def asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:

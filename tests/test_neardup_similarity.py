@@ -196,3 +196,73 @@ def test_lsh_topk_recall_vs_bruteforce(spark, vec_df):
     # per query; the identical pair (0,900) collides in every table
     assert (0, 900) in a
     assert len(t & a) / len(t) >= 0.8
+
+
+def test_train_ivf_codebook_deterministic_and_matches_numpy(spark, vec_df):
+    """The distributed integer Lloyd loop is order-free: two runs agree
+    exactly, and a sequential numpy replication (the oracle builder's
+    loop) lands on the identical codebook."""
+    import numpy as np
+
+    from global_seismic_data_pipeline_spark.operators.similarity import (
+        _centroids,
+        quantize,
+    )
+
+    kw = dict(dim=64, cells=8, iters=3, seed=42)
+    cb1 = similarity.train_ivf_codebook(vec_df, **kw)
+    cb2 = similarity.train_ivf_codebook(vec_df, **kw)
+    assert np.array_equal(cb1, cb2)
+
+    rows = vec_df.select("embedding").collect()
+    xq = quantize(np.array([r[0] for r in rows], dtype=np.float64))
+    cb = quantize(_centroids(64, 8, 42))
+    for _ in range(3):
+        assign = np.argmax(xq @ cb.T, axis=1)
+        new_cb = cb.copy()
+        for c in range(8):
+            members = xq[assign == c]
+            if len(members):
+                new_cb[c] = np.floor_divide(members.sum(axis=0), len(members))
+        cb = new_cb
+    assert np.array_equal(cb1, cb)
+
+
+@pytest.fixture(scope="module")
+def clustered_df(spark):
+    """8 gaussian clusters with noise large enough that a RANDOM codebook
+    splits cluster members across cells, while trained (k-means) centroids
+    sit on the cluster means and keep each cluster in one cell."""
+    import random as _random
+
+    rng = _random.Random(99)
+    centers = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(8)]
+    rows = []
+    vid = 0
+    for ci, c in enumerate(centers):
+        for _ in range(30):
+            rows.append((vid, [x + rng.gauss(0, 0.8) for x in c]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_trained_codebook_beats_random_recall(spark, clustered_df):
+    """Same cells / nprobe: the trained codebook must recover a strictly
+    larger share of true top-3 neighbors than the seeded random one."""
+    queries = clustered_df.filter(F.col("vec_id") % 30 == 0)  # 1 per cluster
+    truth = similarity.cosine_topk(clustered_df, queries, k=3)
+    t = {(r.query_id, r.neighbor_id) for r in truth.collect()}
+
+    def recall(codebook_q):
+        out = similarity.ivf_topk(
+            clustered_df, queries, k=3, cells=8, nprobe=1, codebook_q=codebook_q
+        )
+        a = {(r.query_id, r.neighbor_id) for r in out.collect()}
+        return len(t & a) / len(t)
+
+    trained = similarity.train_ivf_codebook(
+        clustered_df, dim=64, cells=8, iters=4
+    )
+    r_trained, r_random = recall(trained), recall(None)
+    assert r_trained > r_random
+    assert r_trained >= 0.9

@@ -129,6 +129,11 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # data-dependent oracle literals (trained IVF codebook) must be built
+    # from the SAME parquet this run checks against — set before import
+    import os
+
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     import __spark_entry__ as ent
     from global_seismic_data_pipeline_spark.session import get_spark
 
