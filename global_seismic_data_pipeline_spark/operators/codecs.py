@@ -1,19 +1,24 @@
 """Real, dependency-free media codecs for the multimodal operators.
 
-The container ships no image/audio libraries (no PIL, no ffmpeg), but two
-formats are fully decodable with the standard library + numpy alone:
+The container ships no image/audio libraries (no PIL, no ffmpeg), but
+three formats are fully decodable with the standard library + numpy alone:
 
 - **BMP** (Windows bitmap, uncompressed 24-bit): fixed 54-byte header with
   little-endian size fields, bottom-up BGR rows padded to 4 bytes. Encode
   and decode are pure numpy.
+- **PNG**: zlib (stdlib) deflate over filtered scanlines. The decoder
+  implements all five scanline filters (None/Sub/Up/Average/Paeth) for
+  8-bit gray/RGB/RGBA, the encoder writes filter-0 RGB with correct CRCs
+  — round-trips through any standards-compliant reader.
 - **WAV** (RIFF PCM): the stdlib ``wave`` module parses the container;
   samples land in a numpy int16 array.
 
 These give :mod:`.multimodal` a *real* codec path — decode, resize,
-feature-extract, frame-slice on actual pixel/sample data — while JPEG/PNG/
-MP4 stay behind the documented NotImplementedError guards (reference
-parity: the reference pipeline treats media as opaque blobs + metadata;
-see SURVEY.md §2 multimodal extension rows).
+feature-extract, frame-slice on actual pixel/sample data — while JPEG and
+MP4/MP3 stay behind the documented NotImplementedError guards (entropy
+coding / DCT legitimately need PIL/ffmpeg; reference parity: the
+reference pipeline treats media as opaque blobs + metadata; see SURVEY.md
+§2 multimodal extension rows).
 
 Everything here is per-payload Python called from Arrow-batched
 ``mapInPandas`` stages — the distributed contract (pruned columns, batch
@@ -27,6 +32,7 @@ from __future__ import annotations
 import io
 import struct
 import wave
+import zlib
 
 import numpy as np
 
@@ -100,6 +106,34 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return np.ascontiguousarray(rgb)
 
 
+def decode_image(payload: bytes) -> tuple[str, np.ndarray]:
+    """Sniff + decode an image payload with the built-in codecs.
+
+    Returns (kind, (h, w, 3) uint8 RGB). JPEG (entropy coding needs a real
+    library) and unknown formats raise NotImplementedError — the guard the
+    multimodal operators surface verbatim."""
+    b = bytes(payload)
+    kind = sniff(b)
+    if kind == "bmp":
+        return "bmp", decode_bmp(b)
+    if kind == "png":
+        return "png", decode_png(b)
+    raise NotImplementedError(
+        f"decoding {kind or 'unknown'} payloads requires PIL/libvips — "
+        "built-in codecs cover BMP and PNG; pass fake=True for the "
+        "deterministic stand-in"
+    )
+
+
+def encode_image(kind: str, pixels: np.ndarray) -> bytes:
+    """Encode (h, w, 3) uint8 RGB back into ``kind`` ('bmp' or 'png')."""
+    if kind == "bmp":
+        return encode_bmp(pixels)
+    if kind == "png":
+        return encode_png(pixels)
+    raise NotImplementedError(f"no built-in encoder for {kind!r}")
+
+
 def resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
     """Nearest-neighbor resample of an (h, w, 3) array to (height, width, 3).
 
@@ -110,6 +144,119 @@ def resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
     ys = np.minimum(((np.arange(height) + 0.5) * src_h / height).astype(np.int64), src_h - 1)
     xs = np.minimum(((np.arange(width) + 0.5) * src_w / width).astype(np.int64), src_w - 1)
     return pixels[ys][:, xs]
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> channels (8-bit depth only)
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an 8-bit truecolor PNG
+    (filter 0 scanlines, one zlib stream, correct chunk CRCs)."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) RGB array, got {pixels.shape}")
+    h, w = pixels.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    px = np.ascontiguousarray(pixels.astype(np.uint8))
+    # prepend the filter byte (0 = None) to each scanline
+    raw = np.zeros((h, 1 + w * 3), dtype=np.uint8)
+    raw[:, 1:] = px.reshape(h, w * 3)
+    idat = zlib.compress(raw.tobytes(), 6)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit gray/RGB/RGBA PNG into an (h, w, 3) uint8 RGB array
+    (gray replicated, alpha dropped). Implements all five scanline filters;
+    interlaced or non-8-bit images raise ValueError.
+    """
+    b = bytes(payload)
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack_from(">I", b, pos)
+        tag = b[pos + 4 : pos + 8]
+        body = b[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + tag + body + crc
+        if tag == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or color not in _PNG_CHANNELS:
+                raise ValueError(f"unsupported PNG (depth={depth}, color={color})")
+            if interlace:
+                raise ValueError("interlaced PNG not supported")
+            ch = _PNG_CHANNELS[color]
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    try:
+        raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG deflate stream: {e}") from e
+    stride = 1 + w * ch
+    if len(raw) < stride * h:
+        raise ValueError("truncated PNG pixel data")
+    lines = raw[: stride * h].reshape(h, stride)
+    out = np.zeros((h, w * ch), dtype=np.uint8)
+    prev = np.zeros(w * ch, dtype=np.uint8)
+    for y in range(h):
+        ftype, row = int(lines[y, 0]), lines[y, 1:].copy()
+        if ftype == 0:
+            rec = row
+        elif ftype == 1:  # Sub: + recon[x - ch] — per-channel prefix sum
+            rec = row.reshape(w, ch)
+            np.add.accumulate(rec, axis=0, out=rec)  # uint8 wraps mod 256
+            rec = rec.reshape(-1)
+        elif ftype == 2:  # Up
+            rec = row + prev
+        elif ftype == 3:  # Average: sequential in x (left is reconstructed)
+            rec = row
+            for x in range(len(rec)):
+                left = int(rec[x - ch]) if x >= ch else 0
+                rec[x] = (int(rec[x]) + (left + int(prev[x])) // 2) & 0xFF
+        elif ftype == 4:  # Paeth: sequential in x
+            rec = row
+            for x in range(len(rec)):
+                a = int(rec[x - ch]) if x >= ch else 0
+                c = int(prev[x - ch]) if x >= ch else 0
+                rec[x] = (int(rec[x]) + _paeth(a, int(prev[x]), c)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = rec
+        prev = out[y]
+    px = out.reshape(h, w, ch)
+    if ch == 1:
+        return np.repeat(px, 3, axis=2)
+    return np.ascontiguousarray(px[:, :, :3])
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:

@@ -11,7 +11,8 @@ Codec support is split by what this environment can actually decode:
 **BMP images and PCM WAV audio have REAL codecs** (pure numpy / stdlib
 ``wave``, see :mod:`.codecs`) — decode, nearest-neighbor resize, audio
 feature extraction, and frame slicing operate on real pixels/samples.
-JPEG/PNG/MP4 need PIL/ffmpeg (absent here) and stay behind documented
+BMP, PNG, and PCM WAV have REAL built-in codecs (operators/codecs.py);
+JPEG/MP4/MP3 need PIL/ffmpeg (absent here) and stay behind documented
 NotImplementedError guards; ``fake=True`` selects a deterministic stand-in
 so the distributed plumbing is testable on arbitrary payloads. The
 Spark-side plumbing — schema, batch iteration, payload pruning — is real
@@ -45,23 +46,17 @@ def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 def decode_image_batch(payloads: pd.Series, *, fake: bool = False) -> pd.DataFrame:
     """Decode a batch of image payloads to (width, height, header_byte).
 
-    Real path (``fake=False``): BMP payloads are decoded with the pure-numpy
-    codec (:func:`codecs.decode_bmp`) — width/height come from actual pixel
-    data. JPEG/PNG need PIL (absent here) and raise NotImplementedError.
-    ``fake=True`` uses a deterministic stand-in derived from the bytes so
-    the distributed plumbing is testable on arbitrary payloads."""
+    Real path (``fake=False``): BMP and PNG payloads are decoded with the
+    stdlib+numpy codecs (:func:`codecs.decode_image`) — width/height come
+    from actual pixel data. JPEG needs PIL (absent here) and raises
+    NotImplementedError. ``fake=True`` uses a deterministic stand-in
+    derived from the bytes so the distributed plumbing is testable on
+    arbitrary payloads."""
     if not fake:
         recs = []
         for b in payloads:
             b = bytes(b)
-            kind = codecs.sniff(b)
-            if kind != "bmp":
-                raise NotImplementedError(
-                    f"decoding {kind or 'unknown'} payloads requires PIL/libvips "
-                    "— only BMP has a built-in codec; pass fake=True for the "
-                    "deterministic stand-in"
-                )
-            px = codecs.decode_bmp(b)
+            _, px = codecs.decode_image(b)
             recs.append((len(b), b[0], px.shape[1], px.shape[0]))
         return pd.DataFrame(
             recs, columns=["payload_bytes", "header_byte", "width", "height"]
@@ -121,27 +116,18 @@ def resize_images(
 ) -> DataFrame:
     """Resize image payloads to (width, height) via mapInPandas.
 
-    Real path (``fake=False``): BMP payloads are decoded, resampled with
-    the pixel-center nearest-neighbor kernel (:func:`codecs.resize_nearest`,
-    PIL-NEAREST-compatible grid), and re-encoded as BMP — a genuine
-    pixels-in/pixels-out transform with no external libraries. JPEG/PNG
-    raise NotImplementedError (needs PIL). ``fake=True`` emits a
-    deterministic truncated/padded byte payload of width*height bytes so
-    the Arrow batch shape, schema, and pruning are exercised on arbitrary
-    payloads."""
+    Real path (``fake=False``): BMP/PNG payloads are decoded, resampled
+    with the pixel-center nearest-neighbor kernel
+    (:func:`codecs.resize_nearest`, PIL-NEAREST-compatible grid), and
+    re-encoded in their ORIGINAL format — a genuine pixels-in/pixels-out
+    transform with no external libraries. JPEG raises NotImplementedError
+    (needs PIL). ``fake=True`` emits a deterministic truncated/padded byte
+    payload of width*height bytes so the Arrow batch shape, schema, and
+    pruning are exercised on arbitrary payloads."""
 
     def _resize_real(b) -> bytes:
-        b = bytes(b)
-        kind = codecs.sniff(b)
-        if kind != "bmp":
-            raise NotImplementedError(
-                f"resizing {kind or 'unknown'} payloads requires PIL/libvips "
-                "— only BMP has a built-in codec; pass fake=True for the "
-                "deterministic stand-in"
-            )
-        return codecs.encode_bmp(
-            codecs.resize_nearest(codecs.decode_bmp(b), width, height)
-        )
+        kind, px = codecs.decode_image(bytes(b))
+        return codecs.encode_image(kind, codecs.resize_nearest(px, width, height))
 
     def resize_batch(payloads: pd.Series) -> pd.Series:
         if not fake:

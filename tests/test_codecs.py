@@ -110,10 +110,148 @@ def test_extract_audio_features_real_wav(spark):
     assert out[2].rms < out[1].rms / 5
 
 
-def test_non_bmp_payload_raises_not_implemented(spark):
+def test_jpeg_payload_raises_not_implemented(spark):
+    # JPEG needs real entropy-coding support (PIL) — still guarded
     df = spark.createDataFrame(
-        [(1, bytearray(b"\x89PNG\r\n\x1a\n" + b"\0" * 64))],
+        [(1, bytearray(b"\xff\xd8\xff\xe0" + b"\0" * 64))],
         "doc_id long, payload binary",
     )
-    with pytest.raises(Exception, match="png"):
+    with pytest.raises(Exception, match="jpeg"):
         multimodal.extract_metadata(df, fake=False).collect()
+
+
+# ---------------------------------------------------------------------------
+# PNG codec
+
+
+def _rand_rgb(h, w, seed=3):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def test_png_round_trip():
+    px = _rand_rgb(13, 9)
+    assert np.array_equal(codecs.decode_png(codecs.encode_png(px)), px)
+
+
+def _filtered_png(px: np.ndarray, ftype: int) -> bytes:
+    """Hand-assemble a PNG whose every scanline uses filter ``ftype`` —
+    exercises each defilter path against an independent forward filter."""
+    import struct
+    import zlib
+
+    h, w = px.shape[:2]
+    flat = px.reshape(h, w * 3).astype(np.int64)
+    ch = 3
+    lines = bytearray()
+    for y in range(h):
+        row = flat[y]
+        prev = flat[y - 1] if y else np.zeros(w * ch, dtype=np.int64)
+        stored = np.zeros(w * ch, dtype=np.int64)
+        for x in range(w * ch):
+            left = row[x - ch] if x >= ch else 0
+            ul = prev[x - ch] if x >= ch else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = prev[x]
+            elif ftype == 3:
+                pred = (left + prev[x]) // 2
+            else:
+                p = left + prev[x] - ul
+                pa, pb, pc = abs(p - left), abs(p - prev[x]), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else (prev[x] if pb <= pc else ul)
+            stored[x] = (row[x] - pred) % 256
+        lines += bytes([ftype]) + bytes(stored.astype(np.uint8))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    from global_seismic_data_pipeline_spark.operators.codecs import _png_chunk, _PNG_SIG
+
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_all_filter_types_decode(ftype):
+    px = _rand_rgb(7, 5, seed=ftype + 10)
+    assert np.array_equal(codecs.decode_png(_filtered_png(px, ftype)), px)
+
+
+def test_png_gray_and_rgba():
+    import struct
+    import zlib
+
+    from global_seismic_data_pipeline_spark.operators.codecs import _png_chunk, _PNG_SIG
+
+    # 2x2 grayscale: replicated into RGB
+    g = np.array([[0, 255], [17, 200]], dtype=np.uint8)
+    lines = b"".join(b"\x00" + bytes(g[y]) for y in range(2))
+    png = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(lines))
+        + _png_chunk(b"IEND", b"")
+    )
+    out = codecs.decode_png(png)
+    assert out.shape == (2, 2, 3)
+    assert np.array_equal(out[:, :, 0], g) and np.array_equal(out[:, :, 2], g)
+
+    # 1x2 RGBA: alpha dropped
+    rgba = bytes([1, 2, 3, 255, 9, 8, 7, 0])
+    png = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 6, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" + rgba))
+        + _png_chunk(b"IEND", b"")
+    )
+    out = codecs.decode_png(png)
+    assert np.array_equal(out, np.array([[[1, 2, 3], [9, 8, 7]]], dtype=np.uint8))
+
+
+def test_png_rejects_bad_inputs():
+    with pytest.raises(ValueError):
+        codecs.decode_png(b"not a png at all")
+    px = _rand_rgb(4, 4)
+    with pytest.raises(ValueError):
+        codecs.decode_png(codecs.encode_png(px)[:40])  # truncated
+
+
+def test_extract_metadata_and_resize_real_png(spark):
+    px1, px2 = _rand_rgb(8, 6, seed=1), _rand_rgb(5, 11, seed=2)
+    df = spark.createDataFrame(
+        [(1, bytearray(codecs.encode_png(px1))),
+         (2, bytearray(codecs.encode_png(px2)))],
+        "doc_id long, payload binary",
+    )
+    meta = {r.doc_id: r for r in multimodal.extract_metadata(df, fake=False).collect()}
+    assert (meta[1].width, meta[1].height) == (6, 8)
+    assert (meta[2].width, meta[2].height) == (11, 5)
+
+    out = {
+        r.doc_id: r
+        for r in multimodal.resize_images(df, width=4, height=3).collect()
+    }
+    for doc_id, src in ((1, px1), (2, px2)):
+        resized = codecs.decode_png(bytes(out[doc_id].payload))  # stays PNG
+        assert resized.shape == (3, 4, 3)
+        assert np.array_equal(resized, codecs.resize_nearest(src, 4, 3))
+
+
+def test_resize_mixed_bmp_png_keeps_format(spark):
+    px = _rand_rgb(6, 6, seed=7)
+    df = spark.createDataFrame(
+        [(1, bytearray(codecs.encode_bmp(px))),
+         (2, bytearray(codecs.encode_png(px)))],
+        "doc_id long, payload binary",
+    )
+    out = {
+        r.doc_id: bytes(r.payload)
+        for r in multimodal.resize_images(df, width=3, height=3).collect()
+    }
+    assert codecs.sniff(out[1]) == "bmp" and codecs.sniff(out[2]) == "png"
+    assert np.array_equal(codecs.decode_bmp(out[1]), codecs.decode_png(out[2]))
