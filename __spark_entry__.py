@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_docs": workloads_ext.stratified_sample_docs,
         "corpus_top_trigrams": workloads_ext.corpus_top_trigrams,
         "incremental_minhash_dedup": workloads_ext.incremental_minhash_dedup,
+        "scalable_rank_parts": workloads_ext.scalable_rank_parts,
     }
 
 

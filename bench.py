@@ -53,6 +53,7 @@ EXTENDED = [
     "cms_heavy_tokens",
     "curation_funnel_docs",
     "incremental_minhash_dedup",
+    "scalable_rank_parts",
 ]
 
 HEADLINE = [
@@ -101,7 +102,12 @@ def _calibrate(spark) -> float:
 def run_one(name: str, sf_dir: str) -> dict:
     """Measure one query (and the calibration probe) in this process."""
     import __spark_entry__ as ent
-    from global_seismic_data_pipeline_spark.operators import bloom, neardup, sketch
+    from global_seismic_data_pipeline_spark.operators import (
+        bloom,
+        neardup,
+        ranking,
+        sketch,
+    )
     from global_seismic_data_pipeline_spark.session import get_spark
 
     spark = get_spark(f"bench-{name}")
@@ -115,6 +121,7 @@ def run_one(name: str, sf_dir: str) -> dict:
         neardup.release_cached()
         bloom.release_cached()
         sketch.release_cached()
+        ranking.release_cached()
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         times.append(time.time() - t0)

@@ -1,0 +1,151 @@
+"""Scalable global ranking: range-partitioned two-pass rank/dense_rank.
+
+``Window.orderBy(...)`` with no partition key moves EVERY row into one
+task (Spark's own WindowExec warning) — fine at the reference's
+post-aggregation grain (25 nations, ref: 05_gold_aggregation.py:179),
+fatal on a raw 100 TB fact. This operator is the scale form, mirroring
+what ``operators/rolling.py`` does for the rolling frames:
+
+1. ``repartitionByRange`` on the order keys — one shuffle; partition i
+   holds only keys ordered before partition i+1's, and a given key value
+   never straddles partitions (the range partitioner assigns by key).
+2. JVM sort within each partition (Tungsten, spillable).
+3. One tiny per-partition aggregate — (rows, distinct keys) per
+   partition id — collected to the driver (num_partitions rows,
+   control-plane) and turned into cumulative offsets.
+4. A single Arrow-batched ``mapInPandas`` pass adds the partition's
+   offset to a vectorized within-partition running rank. Python is
+   justified here: the within-partition pass is inherently sequential
+   (each row's rank depends on its predecessor), which a window without
+   a partition key can only express single-task.
+
+Total cost: one full shuffle + one pass — the same as the degenerate
+global window pays, but parallel across ``num_partitions`` tasks.
+
+Semantics match ``F.dense_rank()`` / ``F.rank()`` over
+``Window.orderBy(order_cols)`` exactly (equivalence is pinned in
+``tests/test_ranking.py``). Order keys must be non-null (null ordering
+is engine-specific; filter or coalesce first). Heavily repeated keys
+skew the range partitioner like any single hot key skews a shuffle —
+inherent to ranking (equal keys must meet to share a rank).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_PID = "__rank_pid"
+
+# the range-partitioned input stays pinned while its ranked output is
+# alive (pid-based offsets are only valid against the SAME materialized
+# partitioning); release like the other operator caches
+_PERSISTED: list[DataFrame] = []
+
+
+def release_cached() -> int:
+    """Unpersist every partitioning pinned by this module."""
+    n = len(_PERSISTED)
+    for df in _PERSISTED:
+        df.unpersist()
+    _PERSISTED.clear()
+    return n
+
+
+def ranked(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    *,
+    method: str = "dense_rank",
+    out_col: str = "rank",
+    ascending: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``df`` + ``out_col`` = global ``dense_rank`` or ``rank`` over
+    ``order_cols``, computed without a single-partition window."""
+    if method not in ("dense_rank", "rank"):
+        raise ValueError(f"method must be 'dense_rank' or 'rank', not {method!r}")
+    order_cols = list(order_cols)
+    sort_exprs = [
+        F.col(c).asc() if ascending else F.col(c).desc() for c in order_cols
+    ]
+    spark = df.sparkSession
+    n_parts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    part = (
+        df.repartitionByRange(n_parts, *sort_exprs).sortWithinPartitions(*sort_exprs)
+    ).persist()  # pin: the stats job and the rank pass must see the SAME
+    # range boundaries (the partitioner samples; two independent
+    # executions could split differently and corrupt the offsets)
+    _PERSISTED.append(part)
+    try:
+        stats = (
+            part.select(F.spark_partition_id().alias(_PID), *order_cols)
+            .groupBy(_PID)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct(*order_cols).alias("n_keys"),
+            )
+            .collect()
+        )
+        by_pid = {int(r[_PID]): (int(r["n_rows"]), int(r["n_keys"])) for r in stats}
+        rank_off: dict[int, int] = {}
+        dense_off: dict[int, int] = {}
+        rows_cum = keys_cum = 0
+        for p in range(n_parts):
+            rank_off[p], dense_off[p] = rows_cum, keys_cum
+            n_rows, n_keys = by_pid.get(p, (0, 0))
+            rows_cum += n_rows
+            keys_cum += n_keys
+        offsets = rank_off if method == "rank" else dense_off
+        use_rank = method == "rank"
+
+        # fresh StructType — StructType.add MUTATES the receiver, and
+        # df.schema hands back the DataFrame's own object: a second
+        # ranked() call on the same df would see a corrupted schema
+        out_schema = T.StructType(
+            list(df.schema.fields) + [T.StructField(out_col, T.LongType())]
+        )
+        key_cols = list(order_cols)
+
+        def rank_pass(batches):
+            from pyspark import TaskContext
+
+            off = offsets[TaskContext.get().partitionId()]
+            last_key: tuple | None = None
+            cur_rank = 0  # rank of last_key (method-dependent)
+            rows_seen = 0
+            for pdf in batches:
+                n = len(pdf)
+                if n == 0:
+                    continue
+                keys = pdf[key_cols]
+                prev = keys.shift()
+                new = (keys.ne(prev)).any(axis=1).to_numpy()
+                first_key = tuple(keys.iloc[0])
+                new[0] = last_key is None or first_key != last_key
+                if use_rank:
+                    pos = rows_seen + np.arange(n, dtype=np.int64)
+                    vals = np.where(new, pos + 1, 0)
+                    vals = np.maximum.accumulate(vals)  # carry rank forward
+                    if not new[0]:
+                        vals = np.maximum(vals, cur_rank)
+                else:
+                    vals = np.cumsum(new.astype(np.int64)) + cur_rank
+                out = pdf.copy()
+                out[out_col] = vals + off
+                last_key = tuple(keys.iloc[-1])
+                cur_rank = int(vals[-1])
+                rows_seen += n
+                yield out
+
+        return part.mapInPandas(rank_pass, schema=out_schema)
+    except Exception:
+        part.unpersist()
+        raise

@@ -1181,3 +1181,10 @@ FROM ({MINHASH_NEAR_DUP_SQL}) m
 WHERE id_a % 5 = 0 OR id_b % 5 = 0
 """
 ORACLES_EXT["incremental_minhash_dedup"] = INCREMENTAL_MINHASH_SQL
+
+SCALABLE_RANK_SQL = """
+SELECT p_partkey, p_retailprice,
+    CAST(DENSE_RANK() OVER (ORDER BY p_retailprice) AS BIGINT) AS price_rank
+FROM part
+"""
+ORACLES_EXT["scalable_rank_parts"] = SCALABLE_RANK_SQL

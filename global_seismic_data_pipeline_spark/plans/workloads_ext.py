@@ -1007,3 +1007,21 @@ def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ninc.incremental_minhash_pairs(
         wh, batch, text_col="text", threshold=0.2, name="inc_mh_idx",
     )
+
+
+def scalable_rank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global dense_rank at fact scale WITHOUT the single-partition window
+    (operators/ranking.py): range-repartition on the key, per-partition
+    vectorized running rank, broadcast cumulative offsets. Same semantics
+    as DENSE_RANK() OVER (ORDER BY price) — the oracle — but parallel
+    across 32 range partitions; plan_audit asserts the plan contains NO
+    Window node (the W5 anti-pattern this operator exists to replace)."""
+    from ..operators import ranking
+
+    part = load_table(spark, sf_dir, "part")
+    return ranking.ranked(
+        part.select("p_partkey", "p_retailprice"),
+        ["p_retailprice"],
+        method="dense_rank",
+        out_col="price_rank",
+    )

@@ -31,6 +31,8 @@ def audit_plan(df) -> dict:
         "scans": len(re.findall(r"Scan parquet", plan)),
         "wscg_spans": len(set(re.findall(r"\*\((\d+)\)", plan))),
         "take_ordered": "TakeOrderedAndProject" in plan,
+        # \bWindow\b does not match WindowGroupLimit (word boundary)
+        "windows": len(re.findall(r"\bWindow\b", plan)),
     }
 
 
@@ -56,6 +58,9 @@ MUST_NOT_SMJ = {
 # ORDER BY + LIMIT must plan as TakeOrdered (per-partition top-K + K-row
 # merge), never a global sort
 MUST_TAKEORDERED = {"uniform_sample_docs", "zorder_cluster_lineitem"}
+# the scalable-rank operator exists to AVOID the unpartitioned Window —
+# a Window node reappearing here means the W5 anti-pattern is back
+MUST_NOT_WINDOW = {"scalable_rank_parts"}
 # queries whose plan construction MUST NOT run real work (the round-1
 # cosine_all_pairs collected the whole corpus at build time). Every
 # load_table fires a 1-task parquet schema-inference job, so the signal is
@@ -115,6 +120,9 @@ def main() -> None:
             failures.append(name)
         if name in MUST_TAKEORDERED and not info["take_ordered"]:
             flags.append("GLOBAL-SORT!")
+            failures.append(name)
+        if name in MUST_NOT_WINDOW and info["windows"] > 0:
+            flags.append("WINDOW!")
             failures.append(name)
         if name in MUST_MAPSIDE and info["exchanges"] > 0:
             flags.append("NOT-MAPSIDE!")
