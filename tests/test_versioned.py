@@ -114,3 +114,67 @@ def test_occ_claim_skips_taken_version(spark, wh):
 def test_snapshot_dir_hidden_from_views(spark, wh):
     wh.overwrite(_df(spark, [("a", 1)]), "t")
     assert wh.register_views() == ["t"]
+
+
+def test_occ_two_writers_racing_claim(spark, wh):
+    """True contention on _claim_version: two threads released by a
+    barrier race for the next version. Exactly one wins each claimed
+    number, the loser's retry lands cleanly on the next, and the commit
+    history stays linear with no gaps or duplicates."""
+    import threading
+
+    wh.overwrite(_df(spark, [("seed", 0)]), "t")  # v1
+    barrier = threading.Barrier(2)
+    results: dict[str, int] = {}
+    errors: list[Exception] = []
+
+    def writer(tag: str) -> None:
+        try:
+            barrier.wait()
+            results[tag] = wh._claim_version("t")[0]
+        except Exception as e:  # noqa: BLE001 — surface in the main thread
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in ("A", "B")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    # both claims succeeded, on DISTINCT consecutive versions after v1
+    assert sorted(results.values()) == [2, 3]
+
+
+def test_occ_concurrent_appends_history_linear(spark, wh):
+    """Two writers appending concurrently (each claim->hardlink->commit):
+    both commits land, versions are consecutive, history is linear, and
+    the live table holds both writers' rows."""
+    import threading
+
+    wh.overwrite(_df(spark, [("seed", 0)]), "t")  # v1
+    barrier = threading.Barrier(2)
+    errors: list[Exception] = []
+
+    def writer(val: int) -> None:
+        try:
+            barrier.wait()
+            wh.append(_df(spark, [(f"w{val}", val)]), "t")
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(v,)) for v in (1, 2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert wh.versions("t") == [1, 2, 3]
+    hist = wh.history("t")
+    assert [h["version"] for h in hist] == [3, 2, 1]
+    assert all(h["operation"] in ("append", "overwrite") for h in hist)
+    live = {(r.k, r.v) for r in wh.read("t").collect()}
+    assert live == {("seed", 0), ("w1", 1), ("w2", 2)}
+    # the newest snapshot must equal the live table (last commit wins the
+    # final hardlink pass; both rows were on disk by then)
+    snap = {(r.k, r.v) for r in wh.read_version("t", 3).collect()}
+    assert snap == live
