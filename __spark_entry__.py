@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_top_trigrams": workloads_ext.corpus_top_trigrams,
         "incremental_minhash_dedup": workloads_ext.incremental_minhash_dedup,
         "scalable_rank_parts": workloads_ext.scalable_rank_parts,
+        "skipping_pruned_scan": workloads_ext.skipping_pruned_scan,
     }
 
 

@@ -1,0 +1,160 @@
+"""Data-skipping index: file-level min/max stats + pruned reads.
+
+Delta/Iceberg keep per-file column min/max in the table log and skip
+whole files whose range cannot match a predicate (the reference relies on
+this via Delta + ZORDER, ref: TABLE OPTIMIZATION.py:33-36). Parquet
+footers carry row-group stats too, but at 100 TB the planner still has to
+LIST and OPEN every file to read footers — a stats TABLE (one tiny row
+per file) moves skipping before any file is touched, which is the whole
+point of the index. This module provides that layer over the plain-
+parquet warehouse:
+
+- :func:`collect_file_stats` — one scan → (file, n_rows, min/max per
+  indexed column). Stored as ``{name}__stats`` beside the table.
+- :func:`refresh_file_stats` — INCREMENTAL maintenance: only files not
+  yet in the stored stats are scanned (bronze appends never rewrite old
+  files, so their stats are immutable); stats of deleted files drop out.
+- :func:`pruned_read` — prune the stats table by range-overlap, then
+  read ONLY the surviving files. The exact predicate is re-applied to
+  the surviving rows, so pruning can only skip work, never change
+  results (pinned by the ``skipping_pruned_scan`` driver oracle).
+
+Skipping pays off exactly when files are VALUE-CLUSTERED on the indexed
+columns — ``repartitionByRange`` at write time or
+``maintenance.compact(zorder_by=...)`` (operators/zorder.py) — otherwise
+every file's [min, max] spans the domain and nothing prunes; the tests
+demonstrate both regimes.
+
+Scale notes: the stats table is #files rows (control-plane at any scale —
+a 100 TB table with 128 MB files is ~800k rows); the pruned file list is
+collected on the driver like any catalog file listing. Stats rows are
+per-file independent, so incremental refresh parallelizes over new files
+only.
+"""
+
+from __future__ import annotations
+
+import os
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.warehouse import Warehouse
+
+STATS_SUFFIX = "__stats"
+
+
+def _list_parquet_files(path: str) -> list[str]:
+    out = []
+    for root_, _dirs, files in os.walk(path):
+        out += [
+            os.path.join(root_, f) for f in files if f.endswith(".parquet")
+        ]
+    return sorted(out)
+
+
+def _stats_agg(cols: Sequence[str]):
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return aggs
+
+
+def collect_file_stats(
+    spark: SparkSession, files: Sequence[str], cols: Sequence[str]
+) -> DataFrame:
+    """(file, n_rows, min_<c>, max_<c>...) — one row per parquet file.
+
+    One scan with a map-side-partial aggregate keyed on the (low-
+    cardinality, scan-local) file name; the shuffle carries one row per
+    file."""
+    if not files:
+        raise ValueError("no files to index")
+    df = spark.read.parquet(*files)
+    return (
+        df.select(F.input_file_name().alias("file"), *cols)
+        .groupBy("file")
+        .agg(*_stats_agg(cols))
+    )
+
+
+def refresh_file_stats(
+    warehouse: Warehouse, name: str, cols: Sequence[str]
+) -> int:
+    """Create or incrementally refresh ``{name}__stats``: scan ONLY files
+    that appeared since the last refresh (append-only files never change,
+    so their stats rows are reusable verbatim); drop rows of files that
+    vanished (compaction/vacuum). Returns the number of files scanned."""
+    spark = warehouse.spark
+    stats_name = f"{name}{STATS_SUFFIX}"
+    # normalize to the file:// URI scheme input_file_name() reports
+    # ("file:///abs/path"), so set arithmetic between the disk listing and
+    # stored stats lines up
+    live = {"file://" + f for f in _list_parquet_files(warehouse.path(name))}
+    if warehouse.exists(stats_name):
+        old = warehouse.read(stats_name)
+        known = {r["file"] for r in old.select("file").collect()}
+    else:
+        old, known = None, set()
+    new_files = sorted(live - known)
+    keep_old = old.filter(F.col("file").isin(list(live & known))) if old else None
+    if new_files:
+        fresh = collect_file_stats(
+            spark, [f.removeprefix("file://") for f in new_files], list(cols)
+        )
+        merged = keep_old.unionByName(fresh) if keep_old is not None else fresh
+    else:
+        merged = keep_old
+    if merged is not None:
+        warehouse.overwrite(merged, stats_name)
+    return len(new_files)
+
+
+def prune_files(
+    stats: DataFrame, ranges: Mapping[str, tuple]
+) -> list[str]:
+    """Files whose [min, max] ranges can intersect every ``col: (lo, hi)``
+    predicate (inclusive; pass None for an open bound). Files with null
+    stats on a predicate column are kept — skipping must be conservative."""
+    cond = F.lit(True)
+    for c, (lo, hi) in ranges.items():
+        mn, mx = F.col(f"min_{c}"), F.col(f"max_{c}")
+        ok = F.lit(True)
+        if lo is not None:
+            ok = ok & (mx >= F.lit(lo))
+        if hi is not None:
+            ok = ok & (mn <= F.lit(hi))
+        cond = cond & (ok | mn.isNull() | mx.isNull())
+    return [r["file"] for r in stats.filter(cond).select("file").collect()]
+
+
+def pruned_read(
+    spark: SparkSession,
+    stats: DataFrame,
+    ranges: Mapping[str, tuple],
+) -> DataFrame:
+    """Read only the files surviving :func:`prune_files`, with the exact
+    range predicate re-applied (pruning is a superset guarantee — the
+    residual filter also pushes into the parquet scan for row-group
+    skipping inside the surviving files). When NO file survives, Spark
+    can't express a zero-file parquet read — one sentinel file is read
+    under an always-false filter to produce the empty, correctly-typed
+    result."""
+    files = prune_files(stats, ranges)
+    all_files = [r["file"] for r in stats.select("file").collect()]
+    if not all_files:
+        raise ValueError("empty stats table")
+    if files:
+        df = spark.read.parquet(*[f.removeprefix("file://") for f in files])
+        keep = F.lit(True)
+    else:
+        df = spark.read.parquet(all_files[0].removeprefix("file://"))
+        keep = F.lit(False)
+    for c, (lo, hi) in ranges.items():
+        if lo is not None:
+            keep = keep & (F.col(c) >= F.lit(lo))
+        if hi is not None:
+            keep = keep & (F.col(c) <= F.lit(hi))
+    return df.filter(keep)

@@ -1188,3 +1188,14 @@ SELECT p_partkey, p_retailprice,
 FROM part
 """
 ORACLES_EXT["scalable_rank_parts"] = SCALABLE_RANK_SQL
+
+SKIPPING_PRUNED_SCAN_SQL = """
+SELECT l_returnflag,
+    CAST(COUNT(*) AS BIGINT) AS n_rows,
+    CAST(SUM(l_quantity) AS BIGINT) AS qty_sum,
+    CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+FROM lineitem
+WHERE l_orderkey >= 1000 AND l_orderkey <= 3000
+GROUP BY l_returnflag
+"""
+ORACLES_EXT["skipping_pruned_scan"] = SKIPPING_PRUNED_SCAN_SQL

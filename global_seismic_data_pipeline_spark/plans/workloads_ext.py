@@ -1025,3 +1025,35 @@ def scalable_rank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         method="dense_rank",
         out_col="price_rank",
     )
+
+
+def skipping_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping index end-to-end (operators/skipping.py): lineitem is
+    written range-clustered on l_orderkey (each file a key range), a
+    per-file min/max stats table is built, and a narrow key-range query
+    reads ONLY the overlapping files (the residual predicate re-applied).
+    The oracle runs the same predicate over the FULL table — a wrongly
+    skipped file would drop rows and hash-mismatch, so the driver gate
+    pins the superset property, not just the happy path. Summarized per
+    returnflag with exact-cents revenue so the output is hash-stable."""
+    import tempfile
+
+    from ..operators import skipping
+    from ..sources.warehouse import Warehouse
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="skip-"))
+    clustered = li.repartitionByRange(16, F.col("l_orderkey"))
+    wh.overwrite(clustered, "li_clustered")
+    skipping.refresh_file_stats(wh, "li_clustered", ["l_orderkey"])
+    stats = wh.read("li_clustered__stats")
+    lo, hi = 1000, 3000
+    pruned = skipping.pruned_read(spark, stats, {"l_orderkey": (lo, hi)})
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return pruned.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").cast("long").alias("qty_sum"),
+        F.sum(cents).alias("price_cents"),
+    )

@@ -1,0 +1,104 @@
+"""Data-skipping index: pruning really skips files, never drops rows,
+and the stats refresh is genuinely incremental."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from global_seismic_data_pipeline_spark.operators import skipping
+from global_seismic_data_pipeline_spark.sources.warehouse import Warehouse
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    return Warehouse(spark, str(tmp_path / "wh"))
+
+
+def _clustered(spark, wh, n=1000, parts=8, name="t"):
+    df = spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    wh.overwrite(df.repartitionByRange(parts, "k"), name)
+    return df
+
+
+def test_pruned_read_equals_full_filter_and_skips_files(spark, wh):
+    _clustered(spark, wh)
+    assert skipping.refresh_file_stats(wh, "t", ["k"]) == 8
+    stats = wh.read("t__stats")
+    assert stats.count() == 8
+
+    lo, hi = 100, 260
+    kept = skipping.prune_files(stats, {"k": (lo, hi)})
+    assert 0 < len(kept) < 8  # genuinely skipped most files
+
+    got = skipping.pruned_read(spark, stats, {"k": (lo, hi)})
+    # only the surviving files are in the scan
+    assert set(got.inputFiles()) <= set(kept)
+    exp = {
+        (r.k, r.v)
+        for r in wh.read("t").filter(F.col("k").between(lo, hi)).collect()
+    }
+    assert {(r.k, r.v) for r in got.collect()} == exp
+
+
+def test_unclustered_layout_prunes_nothing(spark, wh):
+    # round-robin layout: every file spans the whole key domain
+    df = spark.range(1000).select(F.col("id").alias("k"))
+    wh.overwrite(df.repartition(8), "u")
+    skipping.refresh_file_stats(wh, "u", ["k"])
+    stats = wh.read("u__stats")
+    assert len(skipping.prune_files(stats, {"k": (100, 260)})) == 8
+    # ...but results are still exact (pruning is only ever a superset)
+    got = skipping.pruned_read(spark, stats, {"k": (100, 260)}).count()
+    assert got == 161
+
+
+def test_empty_survivor_set_returns_typed_empty(spark, wh):
+    _clustered(spark, wh, name="e")
+    skipping.refresh_file_stats(wh, "e", ["k"])
+    stats = wh.read("e__stats")
+    out = skipping.pruned_read(spark, stats, {"k": (10_000, 20_000)})
+    assert out.count() == 0
+    assert set(out.columns) == {"k", "v"}
+
+
+def test_refresh_scans_only_new_files(spark, wh):
+    _clustered(spark, wh, name="inc")
+    assert skipping.refresh_file_stats(wh, "inc", ["k"]) == 8
+    # append a new batch: exactly its files get scanned, old rows reused
+    batch = spark.range(2000, 2100).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    wh.append(batch.coalesce(2), "inc")
+    assert skipping.refresh_file_stats(wh, "inc", ["k"]) == 2
+    stats = wh.read("inc__stats")
+    assert stats.count() == 10
+    # the refreshed index still matches a from-scratch rebuild
+    rebuilt = skipping.collect_file_stats(
+        spark, skipping._list_parquet_files(wh.path("inc")), ["k"]
+    )
+    assert {tuple(r) for r in stats.collect()} == {
+        tuple(r) for r in rebuilt.collect()
+    }
+    # no-op refresh scans nothing
+    assert skipping.refresh_file_stats(wh, "inc", ["k"]) == 0
+
+
+def test_null_stats_kept_conservatively(spark, wh):
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "b")], "k int, s string"
+    )
+    wh.overwrite(df.repartition(1), "n")
+    skipping.refresh_file_stats(wh, "n", ["k"])
+    stats = wh.read("n__stats")
+    # file min/max over (1, null) is 1/1 — file survives a k range around 1
+    assert len(skipping.prune_files(stats, {"k": (0, 5)})) == 1
+    # the all-null file case: min/max are null -> conservatively kept
+    wh.overwrite(
+        spark.createDataFrame([(None, "x")], "k int, s string").repartition(1),
+        "n2",
+    )
+    skipping.refresh_file_stats(wh, "n2", ["k"])
+    assert len(skipping.prune_files(wh.read("n2__stats"), {"k": (0, 5)})) == 1
