@@ -115,6 +115,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_minhash_dedup": workloads_ext.incremental_minhash_dedup,
         "scalable_rank_parts": workloads_ext.scalable_rank_parts,
         "skipping_pruned_scan": workloads_ext.skipping_pruned_scan,
+        "json_extract_events": workloads_ext.json_extract_events,
+        "window_rank_suite": workloads_ext.window_rank_suite,
+        "listagg_top_customers": workloads_ext.listagg_top_customers,
+        "grouping_sets_orders": workloads_ext.grouping_sets_orders,
+        "ewma_daily_revenue": workloads_ext.ewma_daily_revenue,
     }
 
 

@@ -1199,3 +1199,120 @@ WHERE l_orderkey >= 1000 AND l_orderkey <= 3000
 GROUP BY l_returnflag
 """
 ORACLES_EXT["skipping_pruned_scan"] = SKIPPING_PRUNED_SCAN_SQL
+
+# Round-3 SQL-surface depth -------------------------------------------------
+
+JSON_EXTRACT_EVENTS_SQL = r"""
+WITH probed AS (
+    SELECT event_type,
+        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        CAST(json_extract_string(props, '$.k') IS NOT NULL AS BIGINT) AS has_k
+    FROM events
+)
+SELECT event_type,
+    CAST(COUNT(*) AS BIGINT) AS n_events,
+    CAST(SUM(has_k) AS BIGINT) AS n_with_k,
+    CAST(SUM(k) AS BIGINT) AS k_sum,
+    CAST(MIN(k) AS BIGINT) AS k_min,
+    CAST(MAX(k) AS BIGINT) AS k_max,
+    CAST(SUM(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+FROM probed GROUP BY event_type
+"""
+
+ORACLES_EXT["json_extract_events"] = JSON_EXTRACT_EVENTS_SQL
+
+WINDOW_RANK_SUITE_SQL = r"""
+WITH base AS (
+    SELECT o_orderkey, o_orderpriority,
+        CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM orders
+)
+SELECT o_orderkey, o_orderpriority, price_cents,
+    CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+    PERCENT_RANK() OVER w AS pct_rank,
+    CUME_DIST() OVER w AS cum_dist,
+    FIRST_VALUE(o_orderkey) OVER w AS top_order_in_priority
+FROM base
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY price_cents DESC, o_orderkey ASC)
+"""
+
+ORACLES_EXT["window_rank_suite"] = WINDOW_RANK_SUITE_SQL
+
+LISTAGG_TOP_CUSTOMERS_SQL = r"""
+WITH ranked AS (
+    SELECT c_custkey, c_name, c_nationkey,
+        CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents,
+        ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                           ORDER BY CAST(ROUND(c_acctbal * 100) AS BIGINT) DESC,
+                                    c_custkey ASC) AS rnk
+    FROM customer
+), top AS (
+    SELECT * FROM ranked WHERE rnk <= 5
+), grouped AS (
+    SELECT c_nationkey,
+        CAST(COUNT(*) AS BIGINT) AS n_top,
+        string_agg(c_name, '|' ORDER BY rnk) AS top_names,
+        CAST(SUM(bal_cents) AS BIGINT) AS top_bal_cents
+    FROM top GROUP BY c_nationkey
+)
+SELECT n.n_name, g.n_top, g.top_names, g.top_bal_cents
+FROM grouped g JOIN nation n ON g.c_nationkey = n.n_nationkey
+"""
+
+ORACLES_EXT["listagg_top_customers"] = LISTAGG_TOP_CUSTOMERS_SQL
+
+GROUPING_SETS_ORDERS_SQL = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+    COALESCE(o_orderpriority, 'ALL') AS priority,
+    CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+    CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+    CAST(COUNT(*) AS BIGINT) AS n_orders,
+    ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+          / 1e8, 4) AS value_m
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+ORACLES_EXT["grouping_sets_orders"] = GROUPING_SETS_ORDERS_SQL
+
+# EWMA: integer numerator/denominator built from 14 dense-spine lags with
+# power-of-two weights (half-life-1 over a 14-day span), one division at
+# the end. Generated from the same span constant as the workload.
+_EWMA_SPAN = 14
+_EWMA_NUM = " + ".join(
+    f"CASE WHEN lag(day_cents, {a}) OVER w IS NOT NULL "
+    f"THEN lag(day_cents, {a}) OVER w * {1 << (_EWMA_SPAN - 1 - a)} ELSE 0 END"
+    for a in range(_EWMA_SPAN)
+)
+_EWMA_DEN = " + ".join(
+    f"CASE WHEN lag(day_cents, {a}) OVER w IS NOT NULL "
+    f"THEN {1 << (_EWMA_SPAN - 1 - a)} ELSE 0 END"
+    for a in range(_EWMA_SPAN)
+)
+
+EWMA_DAILY_REVENUE_SQL = rf"""
+WITH b AS (
+    SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events
+), spine AS (
+    SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d FROM b
+), daily AS (
+    SELECT CAST(ts AS DATE) AS d,
+        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS day_cents
+    FROM events GROUP BY 1
+), dense AS (
+    SELECT s.d, CAST(COALESCE(daily.day_cents, 0) AS BIGINT) AS day_cents
+    FROM spine s LEFT JOIN daily ON daily.d = s.d
+), terms AS (
+    SELECT d, day_cents,
+        CAST({_EWMA_NUM} AS BIGINT) AS ewma_num,
+        CAST({_EWMA_DEN} AS BIGINT) AS ewma_den
+    FROM dense
+    WINDOW w AS (ORDER BY d)
+)
+SELECT CAST(d AS VARCHAR) AS event_date, day_cents, ewma_num, ewma_den,
+    CAST(ewma_num AS DOUBLE) / CAST(ewma_den AS DOUBLE) AS ewma_cents
+FROM terms
+"""
+
+ORACLES_EXT["ewma_daily_revenue"] = EWMA_DAILY_REVENUE_SQL

@@ -1057,3 +1057,166 @@ def skipping_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("l_quantity").cast("long").alias("qty_sum"),
         F.sum(cents).alias("price_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-3 SQL-surface depth: semi-structured JSON, ranking-function suite,
+# ordered string aggregation, GROUPING SETS, exact-integer EWMA.
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON extraction (schema-projected ``from_json`` —
+    the Spark-idiomatic path for typed access, pushed into codegen) plus a
+    single-path ``get_json_object`` probe, aggregated per event type.
+
+    Scale shape: parsing is a pure map-side expression on the fact scan —
+    no shuffle beyond the tiny per-type aggregate; at 100 TB the cost is
+    the scan itself (and a real deployment would parse once and persist
+    the typed column, which is exactly what this projection expresses).
+    All outputs are exact integers."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k BIGINT")["k"]
+    probed = ev.select(
+        "event_type",
+        k.alias("k"),
+        F.get_json_object("props", "$.k").isNotNull().cast("long").alias("has_k"),
+    )
+    return probed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("has_k").alias("n_with_k"),
+        F.sum("k").alias("k_sum"),
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+        F.sum((F.col("k") >= 50).cast("long")).alias("n_high"),
+    )
+
+
+def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function coverage in one pass: NTILE / PERCENT_RANK /
+    CUME_DIST / FIRST_VALUE over a total order (exact-cents price DESC,
+    key ASC — the tiebreak makes every rank deterministic, and the float
+    outputs are single divisions of exact integers, portable bit-for-bit).
+
+    The window partitions on o_orderpriority (5 values) — fine here
+    because the partition count is the parallelism bound and the data per
+    key fits an executor; for a GLOBAL total-order rank at fact scale use
+    operators/ranking.ranked (scalable_rank_parts), which this suite
+    deliberately does not replace."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = o.select("o_orderkey", "o_orderpriority", cents.alias("price_cents"))
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("price_cents").desc(), F.col("o_orderkey").asc()
+    )
+    return base.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "price_cents",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+        F.first_value(F.col("o_orderkey")).over(w).alias("top_order_in_priority"),
+    )
+
+
+def listagg_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg semantics): the
+    top-5 customers per nation by exact-cents balance, concatenated in
+    rank order. Spark has no ordered string_agg, so the portable identity
+    is collect_list(struct(rank, name)) → array_sort → transform →
+    array_join — deterministic because the struct sort key is the rank.
+
+    Scale shape: the window prunes to ≤5 rows per nation BEFORE the
+    aggregation, so the collected arrays are bounded (never an unbounded
+    per-group listagg, which is a skew/OOM hazard at 100 TB); the nation
+    dim joins broadcast."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    bal_c = F.round(F.col("c_acctbal") * 100).cast("long")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("bal_cents").desc(), F.col("c_custkey").asc()
+    )
+    top = (
+        cust.select("c_custkey", "c_name", "c_nationkey", bal_c.alias("bal_cents"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+    )
+    grouped = top.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_top"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rnk", "c_name"))),
+                lambda s: s["c_name"],
+            ),
+            "|",
+        ).alias("top_names"),
+        F.sum("bal_cents").alias("top_bal_cents"),
+    )
+    return grouped.join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("n_name", "n_top", "top_names", "top_bal_cents")
+
+
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((status), (priority), ()) with GROUPING()
+    disambiguation — the grouping-sets form that neither CUBE nor ROLLUP
+    expresses (cube_orders / rollup_orders cover those). Runs through
+    spark.sql so the exact ANSI construct is exercised; Spark expands it
+    into a single Expand+Aggregate (one scan, one shuffle of the expanded
+    rows — same cost model as cube). Revenue is summed in exact cents and
+    divided once at the end."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("gs_orders_v")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                     / 1e8, 4) AS value_m
+        FROM gs_orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily revenue, exact to
+    the last bit: the day grain is gap-filled from a calendar spine, each
+    day's value summed in exact cents, and the 14-day half-life-1 EWMA is
+    evaluated as Σ lag_a·2^(13-a) / Σ 2^(13-a) — integer numerator and
+    denominator (weights are exact powers of two, lags over the dense
+    spine), ONE float division at the end. No float accumulation order,
+    no libm: both engines agree bit-for-bit (the repo's exact-integer
+    rearrangement rule applied to smoothing).
+
+    Scale shape: the fact table contributes one partial-aggregated
+    shuffle to day grain; the window and lags run over the DAYS-sized
+    spine (tiny regardless of fact size)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = ev.groupBy(day.alias("d")).agg(F.sum(cents).alias("day_cents"))
+    spine = ev.agg(F.min(day).alias("d0"), F.max(day).alias("d1")).select(
+        F.explode(F.sequence("d0", "d1")).alias("d")
+    )
+    dense = spine.join(daily, "d", "left").select(
+        "d", F.coalesce("day_cents", F.lit(0)).cast("long").alias("day_cents")
+    )
+    w = Window.orderBy("d")
+    span = 14
+    num = None
+    den = None
+    for a in range(span):
+        lag_a = F.lag("day_cents", a).over(w)
+        wt = 1 << (span - 1 - a)
+        term = F.when(lag_a.isNotNull(), lag_a * F.lit(wt)).otherwise(F.lit(0))
+        dterm = F.when(lag_a.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
+        num = term if num is None else num + term
+        den = dterm if den is None else den + dterm
+    return dense.select(
+        F.col("d").cast("string").alias("event_date"),
+        "day_cents",
+        num.alias("ewma_num"),
+        den.alias("ewma_den"),
+        (num.cast("double") / den.cast("double")).alias("ewma_cents"),
+    )
