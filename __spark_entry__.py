@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "listagg_top_customers": workloads_ext.listagg_top_customers,
         "grouping_sets_orders": workloads_ext.grouping_sets_orders,
         "ewma_daily_revenue": workloads_ext.ewma_daily_revenue,
+        "semdedup_prune_embeddings": workloads_ext.semdedup_prune_embeddings,
     }
 
 

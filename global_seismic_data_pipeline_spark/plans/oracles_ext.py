@@ -1316,3 +1316,46 @@ FROM terms
 """
 
 ORACLES_EXT["ewma_daily_revenue"] = EWMA_DAILY_REVENUE_SQL
+
+
+def _semdedup_sql() -> str:
+    """SemDeDup oracle: identical retrained codebook literals (the same
+    exact-integer Lloyd loop as the IVF oracle), nprobe=1 assignment for
+    every vector, then the greedy lower-id prune on round-4 cosines."""
+    cb_q = _trained_ivf_codebook()
+    dots = ", ".join(
+        f"list_sum(list_transform(range(1, 65), "
+        f"i -> xq[i] * ({_int_list(cb_q[c])})[i]))"
+        for c in range(_IVF_CELLS)
+    )
+    return f"""
+WITH xq AS (
+    SELECT vec_id, {_XQ} AS xq FROM embeddings
+), dots AS (
+    SELECT vec_id, list_value({dots}) AS d FROM xq
+), cc AS (
+    SELECT vec_id, CAST(list_position(d, list_max(d)) - 1 AS BIGINT) AS cell
+    FROM dots
+), e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+), hits AS (
+    SELECT a.vec_id AS ia, b.vec_id AS ib
+    FROM cc a
+    JOIN cc b ON a.cell = b.cell AND a.vec_id != b.vec_id
+    JOIN e ea ON ea.vec_id = a.vec_id
+    JOIN e eb ON eb.vec_id = b.vec_id
+    WHERE ROUND(list_cosine_similarity(ea.emb, eb.emb), 4) >= 0.45
+), agg AS (
+    SELECT ia AS vec_id,
+        CAST(COUNT(*) AS BIGINT) AS n_dups,
+        CAST(SUM(CASE WHEN ib < ia THEN 1 ELSE 0 END) AS BIGINT) AS n_lower
+    FROM hits GROUP BY ia
+)
+SELECT c.vec_id, c.cell,
+    CAST(COALESCE(a.n_lower, 0) = 0 AS BIGINT) AS keep,
+    CAST(COALESCE(a.n_dups, 0) AS BIGINT) AS n_dups_in_cell
+FROM cc c LEFT JOIN agg a USING (vec_id)
+"""
+
+
+ORACLES_EXT["semdedup_prune_embeddings"] = _semdedup_sql()

@@ -1220,3 +1220,20 @@ def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         den.alias("ewma_den"),
         (num.cast("double") / den.cast("double")).alias("ewma_cents"),
     )
+
+
+def semdedup_prune_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/semdedup.py): embeddings
+    are clustered by the TRAINED exact-integer k-means codebook (same
+    Lloyd loop as ivf_ann_topk, so the oracle retrains it bit-identically
+    in numpy), then each cluster is pruned greedily — a vector is dropped
+    when a lower-id cell-mate sits at cosine ≥ 0.45. O(Σ|cell|²) instead
+    of O(N²); the full pipeline (assignment + prune flags + in-cell dup
+    counts) is hash-checked against DuckDB."""
+    from ..operators import semdedup
+
+    embs = _embs(spark, sf_dir)
+    cb_q = similarity.train_ivf_codebook(embs, dim=64, cells=16, iters=4)
+    return semdedup.semdedup_flags(
+        embs, dim=64, cells=16, threshold=0.45, round_decimals=4, codebook_q=cb_q
+    )
