@@ -121,6 +121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_orders": workloads_ext.grouping_sets_orders,
         "ewma_daily_revenue": workloads_ext.ewma_daily_revenue,
         "semdedup_prune_embeddings": workloads_ext.semdedup_prune_embeddings,
+        "tfidf_search_docs": workloads_ext.tfidf_search_docs,
+        "hybrid_rrf_search": workloads_ext.hybrid_rrf_search,
     }
 
 

@@ -198,3 +198,143 @@ FROM bm_pivot
 ORDER BY score DESC, id_
 LIMIT {k}
 """
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k (id, score, n_terms_matched) by TF-IDF cosine — the vector-
+    space complement to BM25, built so EVERY arithmetic step before the
+    final division is exact integer:
+
+    - idf is the integer log2 ``length(bin(N div df))`` = ⌊log2(N/df)⌋+1 —
+      the log-scaled rarity weight WITHOUT libm (a float ln pushed through
+      floor() is a knife-edge the repo's exactness rule forbids);
+    - doc weight w = tf·idf, doc norm² = Σ w² and the query·doc dot
+      Σ_{t∈q} w·idf are int64 sums — associative, so no pivot ordering is
+      even needed (contrast bm25_topk's float pivot);
+    - cosine = dot / (sqrt(norm²_d)·sqrt(norm²_q)): two correctly-rounded
+      IEEE sqrts of exact ints and ONE division — bit-portable; rounded
+      to 6 for rank stability.
+
+    Scale shape mirrors bm25_topk: one tokenization pass feeds tf; the
+    per-term df table is vocab-sized and joins BROADCAST (corpus tokens
+    never shuffle for the idf lookup); norms aggregate map-side partial;
+    top-k is TakeOrdered. Magnitudes: w ≤ dl·⌈log2 N⌉ keeps norm² far
+    under int64 for any real document."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if len(set(query_terms)) != len(query_terms):
+        raise ValueError("query_terms must be distinct")
+    toks = (
+        ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
+        .select(
+            F.col(id_col).alias("id_"),
+            F.explode(F.split(normalized(F.col(text_col)), " ")).alias("tok"),
+        )
+    )
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    tf = toks.groupBy("id_", "tok").agg(F.count(F.lit(1)).alias("tf")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    _PERSISTED.append(tf)
+    dft = (
+        tf.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("dft"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok",
+            F.length(F.bin(F.expr("n_docs div dft"))).cast("long").alias("idf_q"),
+        )
+    )
+    weighted = tf.join(F.broadcast(dft), "tok").select(
+        "id_", "tok", (F.col("tf") * F.col("idf_q")).alias("w"), "idf_q"
+    )
+    norms = weighted.groupBy("id_").agg(
+        F.sum(F.col("w") * F.col("w")).alias("norm2")
+    )
+    qnorm = dft.filter(F.col("tok").isin(list(query_terms))).agg(
+        F.sum(F.col("idf_q") * F.col("idf_q")).alias("qnorm2")
+    )
+    hits = (
+        weighted.filter(F.col("tok").isin(list(query_terms)))
+        .groupBy("id_")
+        .agg(
+            F.sum(F.col("w") * F.col("idf_q")).alias("dot"),
+            F.count(F.lit(1)).alias("n_terms_matched"),
+        )
+    )
+    scored = hits.join(norms, "id_").crossJoin(F.broadcast(qnorm))
+    score = F.round(
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("norm2").cast("double")) * F.sqrt(F.col("qnorm2").cast("double"))),
+        6,
+    )
+    return (
+        scored.select(
+            F.col("id_").alias(id_col),
+            score.alias("tfidf_cosine"),
+            F.col("n_terms_matched").cast("long").alias("n_terms_matched"),
+            F.col("dot").alias("dot_q"),
+        )
+        .orderBy(F.col("tfidf_cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def tfidf_oracle_sql(
+    table_expr: str,
+    norm_expr: str,
+    query_terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> str:
+    """DuckDB SQL replicating ``tfidf_topk`` — integer idf/weights/norms,
+    one float division, generated from the same constants."""
+    terms_in = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+WITH ti_toks AS (
+    SELECT {id_col} AS id_, unnest(string_split({norm_expr}, ' ')) AS tok
+    FROM {table_expr}
+), ti_n AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM {table_expr}
+), ti_tf AS (
+    SELECT id_, tok, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM ti_toks GROUP BY id_, tok
+), ti_idf AS (
+    SELECT tok,
+        CAST(length(bin(CAST(n.n_docs // f.dft AS BIGINT))) AS BIGINT) AS idf_q
+    FROM (SELECT tok, CAST(COUNT(*) AS BIGINT) AS dft
+          FROM ti_tf GROUP BY tok) f
+    CROSS JOIN ti_n n
+), ti_w AS (
+    SELECT t.id_, t.tok, t.tf * i.idf_q AS w, i.idf_q
+    FROM ti_tf t JOIN ti_idf i USING (tok)
+), ti_norm AS (
+    SELECT id_, CAST(SUM(w * w) AS BIGINT) AS norm2 FROM ti_w GROUP BY id_
+), ti_qnorm AS (
+    SELECT CAST(SUM(idf_q * idf_q) AS BIGINT) AS qnorm2
+    FROM ti_idf WHERE tok IN ({terms_in})
+), ti_hits AS (
+    SELECT id_, CAST(SUM(w * idf_q) AS BIGINT) AS dot,
+        CAST(COUNT(*) AS BIGINT) AS n_terms_matched
+    FROM ti_w WHERE tok IN ({terms_in}) GROUP BY id_
+)
+SELECT h.id_ AS {id_col},
+    ROUND(CAST(h.dot AS DOUBLE)
+          / (sqrt(CAST(n.norm2 AS DOUBLE)) * sqrt(CAST(q.qnorm2 AS DOUBLE))),
+          6) AS tfidf_cosine,
+    h.n_terms_matched,
+    h.dot AS dot_q
+FROM ti_hits h
+JOIN ti_norm n USING (id_)
+CROSS JOIN ti_qnorm q
+ORDER BY tfidf_cosine DESC, id_
+LIMIT {k}
+"""

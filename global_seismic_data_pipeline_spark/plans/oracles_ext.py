@@ -1359,3 +1359,51 @@ FROM cc c LEFT JOIN agg a USING (vec_id)
 
 
 ORACLES_EXT["semdedup_prune_embeddings"] = _semdedup_sql()
+
+
+# TF-IDF retrieval + RRF hybrid fusion: generated from the same constants
+# as the workloads (search.tfidf_oracle_sql / search.oracle_sql).
+def _tfidf_sql(k: int) -> str:
+    from ..operators.search import tfidf_oracle_sql
+
+    return tfidf_oracle_sql("documents", NORM, BM25_TERMS_O, k=k)
+
+
+def _bm25_sql_k(k: int) -> str:
+    from ..operators.search import oracle_sql as bm25_oracle_sql
+
+    return bm25_oracle_sql("documents", NORM, BM25_TERMS_O, k=k)
+
+
+from .workloads_ext import BM25_TERMS as BM25_TERMS_O  # noqa: E402
+
+TFIDF_SEARCH_SQL = _tfidf_sql(25)
+
+HYBRID_RRF_SQL = f"""
+WITH bm_list AS (
+    SELECT * FROM ({_bm25_sql_k(50)})
+), ti_list AS (
+    SELECT * FROM ({_tfidf_sql(50)})
+), bmr AS (
+    SELECT doc_id,
+        CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+            AS bm25_rank
+    FROM bm_list
+), tir AS (
+    SELECT doc_id,
+        CAST(ROW_NUMBER() OVER (ORDER BY tfidf_cosine DESC, doc_id) AS BIGINT)
+            AS tfidf_rank
+    FROM ti_list
+)
+SELECT COALESCE(bmr.doc_id, tir.doc_id) AS doc_id,
+    CAST(COALESCE(bm25_rank, 0) AS BIGINT) AS bm25_rank,
+    CAST(COALESCE(tfidf_rank, 0) AS BIGINT) AS tfidf_rank,
+    COALESCE(1.0 / (60.0 + bm25_rank), 0.0)
+        + COALESCE(1.0 / (60.0 + tfidf_rank), 0.0) AS rrf_score
+FROM bmr FULL OUTER JOIN tir ON bmr.doc_id = tir.doc_id
+ORDER BY rrf_score DESC, doc_id
+LIMIT 15
+"""
+
+ORACLES_EXT["tfidf_search_docs"] = TFIDF_SEARCH_SQL
+ORACLES_EXT["hybrid_rrf_search"] = HYBRID_RRF_SQL

@@ -1237,3 +1237,57 @@ def semdedup_prune_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup.semdedup_flags(
         embs, dim=64, cells=16, threshold=0.45, round_decimals=4, codebook_q=cb_q
     )
+
+
+def tfidf_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF cosine retrieval (operators/search.tfidf_topk): integer-log2
+    idf, exact-int weights/norms/dot, one float division — the vector-
+    space twin of bm25_search_docs, same query-term bag, hash-checked."""
+    return search.tfidf_topk(
+        _docs(spark, sf_dir), BM25_TERMS, id_col="doc_id", k=BM25_K
+    )
+
+
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by Reciprocal Rank Fusion (Cormack et al. 2009):
+    BM25 (lexical) and TF-IDF-cosine (vector-space) top-50 lists are
+    fused by rrf = Σ 1/(60+rank). Rank fusion is the engine-portability
+    sweet spot — scores never mix across scoring scales, and the fused
+    value is a fixed-order sum of two correctly-rounded divisions of
+    INTEGER ranks, so the result is bit-stable even though the two
+    retrievers use different float pipelines. Ranks re-derive from each
+    list's (score, id) total order; absent docs contribute 0 (rank 0 in
+    the output marks absence). The rank windows run over k-bounded lists
+    (≤50 rows) — never corpus-sized."""
+    docs = _docs(spark, sf_dir)
+    k_each, c = 50, 60
+    bm = search.bm25_topk(docs, BM25_TERMS, k=k_each)
+    ti = search.tfidf_topk(docs, BM25_TERMS, k=k_each)
+    bmr = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("doc_id")))
+        .cast("long")
+        .alias("bm25_rank"),
+    )
+    tir = ti.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("tfidf_cosine").desc(), F.col("doc_id")))
+        .cast("long")
+        .alias("tfidf_rank"),
+    )
+    fused = bmr.join(tir, "doc_id", "full")
+    rrf = F.coalesce(F.lit(1.0) / (F.lit(float(c)) + F.col("bm25_rank")), F.lit(0.0)) + F.coalesce(
+        F.lit(1.0) / (F.lit(float(c)) + F.col("tfidf_rank")), F.lit(0.0)
+    )
+    return (
+        fused.select(
+            "doc_id",
+            F.coalesce("bm25_rank", F.lit(0)).alias("bm25_rank"),
+            F.coalesce("tfidf_rank", F.lit(0)).alias("tfidf_rank"),
+            rrf.alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+        .limit(15)
+    )

@@ -78,3 +78,60 @@ def test_validation(spark):
         search.bm25_topk(_mini_corpus(spark), [])
     with pytest.raises(ValueError):
         search.bm25_topk(_mini_corpus(spark), ["a", "a"])
+
+
+def _tfidf_ref(docs, terms):
+    """Pure-python mirror of tfidf_topk: integer log2 idf, int weights."""
+    toks = {i: t.split() for i, t in docs}
+    n = len(toks)
+    dfs = {}
+    for v in toks.values():
+        for t in set(v):
+            dfs[t] = dfs.get(t, 0) + 1
+    idf = {t: (n // d).bit_length() for t, d in dfs.items()}
+    qnorm2 = sum(idf[t] ** 2 for t in terms if t in idf)
+    out = {}
+    for i, v in toks.items():
+        w = {t: v.count(t) * idf[t] for t in set(v)}
+        norm2 = sum(x * x for x in w.values())
+        dot = sum(w[t] * idf[t] for t in terms if t in w)
+        hit = sum(1 for t in terms if t in w)
+        if hit:
+            out[i] = (round(dot / (math.sqrt(norm2) * math.sqrt(qnorm2)), 6), hit, dot)
+    return out
+
+
+def test_tfidf_scores_match_reference(spark):
+    docs = [
+        (1, "spark spark shuffle join"),
+        (2, "join join join filter"),
+        (3, "filter scan scan scan scan scan"),
+        (4, "spark"),
+    ]
+    terms = ["spark", "join"]
+    expected = _tfidf_ref(docs, terms)
+    rows = search.tfidf_topk(_mini_corpus(spark), terms, k=10).collect()
+    got = {r.doc_id: (r.tfidf_cosine, r.n_terms_matched, r.dot_q) for r in rows}
+    assert got == pytest.approx(expected)
+    search.release_cached()
+
+
+def test_tfidf_idf_downweights_common_terms(spark):
+    # 'filter' appears in 2/4 docs, 'spark' in 2/4, 'scan' in 1/4 —
+    # a doc matching only the rarer term must beat one matching only a
+    # term present in every document
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha delta epsilon"),
+            (3, "alpha zeta eta"),
+            (4, "rare beta theta"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = search.tfidf_topk(docs, ["alpha", "rare"], k=10).collect()
+    got = {r.doc_id: r.tfidf_cosine for r in rows}
+    # doc 4 matches 'rare' (df=1, idf=3); docs 1-3 match 'alpha'
+    # (df=4 of 4, idf=1) — rarity must dominate
+    assert got[4] > max(got[1], got[2], got[3])
+    search.release_cached()
