@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_prune_embeddings": workloads_ext.semdedup_prune_embeddings,
         "tfidf_search_docs": workloads_ext.tfidf_search_docs,
         "hybrid_rrf_search": workloads_ext.hybrid_rrf_search,
+        "grid_nearest_station": workloads_ext.grid_nearest_station,
     }
 
 

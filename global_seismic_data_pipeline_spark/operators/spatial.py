@@ -133,3 +133,83 @@ def enrich_point_in_box_fused(
         *points.columns,
         *[F.col(f"__box.{c}").alias(c) for c in carry_cols],
     )
+
+
+def nearest_neighbor_grid_join(
+    points: DataFrame,
+    stations: DataFrame,
+    *,
+    point_id: str,
+    px_col: str,
+    py_col: str,
+    station_id: str,
+    sx_col: str,
+    sy_col: str,
+    cell_size: int,
+    broadcast_stations: bool = True,
+) -> DataFrame:
+    """1-NN join on an integer plane via grid-cell candidate pruning.
+
+    The scalable nearest-neighbor shape: stations are replicated to the
+    3×3 neighborhood of their grid cell (bounded 9× blowup of the SMALL
+    side only), points compute their cell map-side, and the candidate
+    pairing is a plain equi-join on the cell key — never an all-pairs
+    cross join. The per-point argmin folds into one map-side-combinable
+    ``min(struct(d2, id, …))`` aggregate (lexicographic struct ordering
+    gives the deterministic lowest-id tiebreak) — with a broadcast
+    station side the whole operator is one scan of the points plus one
+    partial-aggregated shuffle on the point key.
+
+    CORRECTNESS CONTRACT: the 3×3 ring must contain the true nearest
+    station — guaranteed when every grid cell contains ≥1 station (then
+    the own-cell station is nearer than anything ≥2 cells away). Callers
+    own that invariant; the oracle brute-forces ALL stations, so a
+    violation hash-fails rather than passing silently.
+
+    All distances are EXACT int64 squared euclidean — no sqrt, no float:
+    comparisons (the argmin) never ride a rounding edge. Coordinates
+    |x| < ~1.5e9 keep (Δx)²+(Δy)² inside int64.
+
+    Set ``broadcast_stations=False`` when the station side is too big to
+    broadcast: the same plan becomes a shuffle equi-join on the cell key,
+    still never all-pairs."""
+    cs = F.lit(int(cell_size))
+    st = stations.select(
+        F.col(station_id).alias("__sid"),
+        F.col(sx_col).cast("long").alias("__sx"),
+        F.col(sy_col).cast("long").alias("__sy"),
+    )
+    offsets = F.expr("explode(sequence(-1, 1))")
+    st9 = (
+        st.select("*", offsets.alias("__dx"))
+        .select("*", F.expr("explode(sequence(-1, 1))").alias("__dy"))
+        .select(
+            "__sid",
+            "__sx",
+            "__sy",
+            (F.floor(F.col("__sx") / cs) + F.col("__dx")).cast("long").alias("__cx"),
+            (F.floor(F.col("__sy") / cs) + F.col("__dy")).cast("long").alias("__cy"),
+        )
+    )
+    pts = points.select(
+        F.col(point_id).alias("__pid"),
+        F.col(px_col).cast("long").alias("__px"),
+        F.col(py_col).cast("long").alias("__py"),
+    ).select(
+        "*",
+        F.floor(F.col("__px") / cs).cast("long").alias("__cx"),
+        F.floor(F.col("__py") / cs).cast("long").alias("__cy"),
+    )
+    right = F.broadcast(st9) if broadcast_stations else st9
+    d2 = (F.col("__px") - F.col("__sx")) * (F.col("__px") - F.col("__sx")) + (
+        F.col("__py") - F.col("__sy")
+    ) * (F.col("__py") - F.col("__sy"))
+    cands = pts.join(right, ["__cx", "__cy"]).select(
+        "__pid", F.struct(d2.alias("d2"), F.col("__sid").alias("sid")).alias("__c")
+    )
+    best = cands.groupBy("__pid").agg(F.min("__c").alias("__b"))
+    return best.select(
+        F.col("__pid").alias(point_id),
+        F.col("__b.sid").alias(station_id),
+        F.col("__b.d2").alias("dist_sq"),
+    )

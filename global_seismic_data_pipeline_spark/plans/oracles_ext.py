@@ -1407,3 +1407,29 @@ LIMIT 15
 
 ORACLES_EXT["tfidf_search_docs"] = TFIDF_SEARCH_SQL
 ORACLES_EXT["hybrid_rrf_search"] = HYBRID_RRF_SQL
+
+
+# Grid 1-NN: the oracle is the BRUTE-FORCE argmin over all stations —
+# a grid-pruning bug (missed true NN) hash-fails instead of passing.
+GRID_NEAREST_STATION_SQL = r"""
+WITH st AS (
+    SELECT range AS station_id,
+        (range // 10) * 100 + 50 + (((range // 10) * 37) % 21) - 10 AS sx,
+        (range % 10) * 100 + 50 + (((range % 10) * 53) % 21) - 10 AS sy
+    FROM range(100)
+), pts AS (
+    SELECT event_id, event_id % 1000 AS px, (event_id * 7919) % 1000 AS py
+    FROM events
+), pairs AS (
+    SELECT p.event_id, s.station_id,
+        CAST((p.px - s.sx) * (p.px - s.sx)
+             + (p.py - s.sy) * (p.py - s.sy) AS BIGINT) AS dist_sq
+    FROM pts p CROSS JOIN st s
+)
+SELECT event_id, CAST(station_id AS BIGINT) AS station_id, dist_sq
+FROM pairs
+QUALIFY ROW_NUMBER() OVER (PARTITION BY event_id
+                           ORDER BY dist_sq, station_id) = 1
+"""
+
+ORACLES_EXT["grid_nearest_station"] = GRID_NEAREST_STATION_SQL

@@ -1291,3 +1291,46 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
         .limit(15)
     )
+
+
+def grid_nearest_station(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-pruned 1-NN spatial join (operators/spatial.py
+    nearest_neighbor_grid_join): events on a deterministic 1000×1000
+    integer plane, a 10×10 perturbed station grid (one station per
+    100-cell, jitter ±10 keeps the own-cell-station invariant that makes
+    the 3×3 candidate ring provably sufficient). Spark prunes candidates
+    by grid cell (9 per point); the DuckDB oracle brute-forces ALL
+    stations — so the hash check pins grid-pruned ≡ exhaustive, which is
+    exactly the property that lets the operator scale. Distances are
+    exact int64 squared euclidean; ties break to the lowest station id
+    via lexicographic min(struct)."""
+    from ..operators import spatial as sp
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("event_id") % 1000).alias("px"),
+        ((F.col("event_id") * 7919) % 1000).alias("py"),
+    )
+    st = spark.range(100).select(
+        F.col("id").alias("station_id"),
+        (
+            (F.col("id") / 10).cast("long") * 100
+            + 50
+            + (((F.col("id") / 10).cast("long") * 37) % 21)
+            - 10
+        ).alias("sx"),
+        ((F.col("id") % 10) * 100 + 50 + (((F.col("id") % 10) * 53) % 21) - 10).alias(
+            "sy"
+        ),
+    )
+    return sp.nearest_neighbor_grid_join(
+        ev,
+        st,
+        point_id="event_id",
+        px_col="px",
+        py_col="py",
+        station_id="station_id",
+        sx_col="sx",
+        sy_col="sy",
+        cell_size=100,
+    )

@@ -1,10 +1,13 @@
 """Spatial box-join semantics: edge inclusion, overlap priority, fallback
 (ref: 04_silver_transformation.py:95-125; SURVEY.md §5.1/§7 hard-part d)."""
 
+import random
+
+import pytest
 from pyspark.sql import functions as F
 
 from global_seismic_data_pipeline_spark.functions import cleaning
-from global_seismic_data_pipeline_spark.operators import dedup
+from global_seismic_data_pipeline_spark.operators import dedup, spatial
 from global_seismic_data_pipeline_spark.pipeline.silver import spatial_enrich
 from global_seismic_data_pipeline_spark.refdata import tectonic_regions
 
@@ -170,3 +173,67 @@ def test_fused_no_fallback_with_non_string_carry(spark):
     )
     got = {r["pid"]: r["rid"] for r in out.collect()}
     assert got == {1: 7, 2: 9}  # unmatched pid=3 dropped (inner semantics)
+
+
+class TestNearestNeighborGridJoin:
+    CS = 10
+
+    def _stations(self, spark):
+        # one station per cell over [-30, 30)²: jitter ±3 inside the cell
+        rows = []
+        sid = 0
+        for cx in range(-3, 3):
+            for cy in range(-3, 3):
+                rows.append(
+                    (sid, cx * 10 + 5 + (sid * 7) % 7 - 3, cy * 10 + 5 + (sid * 5) % 7 - 3)
+                )
+                sid += 1
+        return rows
+
+    def _points(self):
+        rng = random.Random(13)
+        return [(i, rng.randrange(-30, 30), rng.randrange(-30, 30)) for i in range(200)]
+
+    def _brute(self, points, stations):
+        out = {}
+        for pid, px, py in points:
+            best = min(
+                ((px - sx) ** 2 + (py - sy) ** 2, sid) for sid, sx, sy in stations
+            )
+            out[pid] = (best[1], best[0])
+        return out
+
+    @pytest.mark.parametrize("broadcast", [True, False])
+    def test_matches_brute_force(self, spark, broadcast):
+        stations = self._stations(spark)
+        points = self._points()
+        st = spark.createDataFrame(stations, "station_id long, sx long, sy long")
+        pts = spark.createDataFrame(points, "pid long, px long, py long")
+        got = {
+            r.pid: (r.station_id, r.dist_sq)
+            for r in spatial.nearest_neighbor_grid_join(
+                pts,
+                st,
+                point_id="pid",
+                px_col="px",
+                py_col="py",
+                station_id="station_id",
+                sx_col="sx",
+                sy_col="sy",
+                cell_size=self.CS,
+                broadcast_stations=broadcast,
+            ).collect()
+        }
+        assert got == self._brute(points, stations)
+
+    def test_every_point_matched_once(self, spark):
+        stations = self._stations(spark)
+        points = self._points()
+        st = spark.createDataFrame(stations, "station_id long, sx long, sy long")
+        pts = spark.createDataFrame(points, "pid long, px long, py long")
+        rows = spatial.nearest_neighbor_grid_join(
+            pts, st, point_id="pid", px_col="px", py_col="py",
+            station_id="station_id", sx_col="sx", sy_col="sy", cell_size=self.CS,
+        ).collect()
+        assert len(rows) == len(points)
+        assert len({r.pid for r in rows}) == len(points)
