@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_search_docs": workloads_ext.tfidf_search_docs,
         "hybrid_rrf_search": workloads_ext.hybrid_rrf_search,
         "grid_nearest_station": workloads_ext.grid_nearest_station,
+        "bpe_learn_merges": workloads_ext.bpe_learn_merges,
     }
 
 

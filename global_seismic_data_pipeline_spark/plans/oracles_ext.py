@@ -1433,3 +1433,70 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY event_id
 """
 
 ORACLES_EXT["grid_nearest_station"] = GRID_NEAREST_STATION_SQL
+
+
+def _bpe_sql(k: int) -> str:
+    """Generated K-round BPE oracle: the same lead/count/argmax/islands/
+    lag pipeline as operators/bpe.py, one CTE block per round — all
+    string/integer ops, so every round replicates bit-for-bit."""
+    parts = [
+        f"""
+WITH w0 AS (
+    SELECT doc_id AS doc, string_split({NORM}, ' ') AS ws FROM documents
+), wrows AS (
+    SELECT doc, unnest(range(len(ws))) AS w, ws FROM w0
+), words AS (
+    SELECT doc, w, ws[w + 1] AS word FROM wrows
+), crows AS (
+    SELECT doc, w, unnest(range(length(word))) AS pos, word FROM words
+), t0 AS (
+    SELECT doc, w, pos, word[pos + 1] AS sym FROM crows
+)"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""", r{i} AS (
+    SELECT doc, w, pos, sym,
+        ROW_NUMBER() OVER (PARTITION BY doc, w ORDER BY pos) AS rn,
+        LEAD(sym) OVER (PARTITION BY doc, w ORDER BY pos) AS nxt
+    FROM t{i - 1}
+), p{i} AS (
+    SELECT sym AS a, nxt AS b, COUNT(*) AS cnt
+    FROM r{i} WHERE nxt IS NOT NULL
+    GROUP BY sym, nxt
+    ORDER BY cnt DESC, a ASC, b ASC
+    LIMIT 1
+), m{i} AS (
+    SELECT r.*, (r.sym = p.a AND r.nxt = p.b) AS is_cand
+    FROM r{i} r CROSS JOIN p{i} p
+), g{i} AS (
+    SELECT *, CASE WHEN is_cand THEN
+        rn - ROW_NUMBER() OVER (PARTITION BY doc, w, is_cand ORDER BY rn)
+        END AS isl
+    FROM m{i}
+), k{i} AS (
+    SELECT *, is_cand AND
+        ((rn - MIN(rn) OVER (PARTITION BY doc, w, isl)) % 2 = 0) AS do_merge
+    FROM g{i}
+), d{i} AS (
+    SELECT *, LAG(do_merge) OVER (PARTITION BY doc, w ORDER BY rn) AS prev_merge
+    FROM k{i}
+), t{i} AS (
+    SELECT doc, w, pos,
+        CASE WHEN do_merge THEN sym || nxt ELSE sym END AS sym
+    FROM d{i}
+    WHERE NOT COALESCE(prev_merge, FALSE)
+)"""
+        )
+    selects = [
+        f"""SELECT CAST({i} AS BIGINT) AS step, a || ' ' || b AS merged_pair,
+    CAST(cnt AS BIGINT) AS pair_count,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM t{i}) AS symbols_after
+FROM p{i}"""
+        for i in range(1, k + 1)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+BPE_LEARN_SQL = _bpe_sql(3)
+ORACLES_EXT["bpe_learn_merges"] = BPE_LEARN_SQL

@@ -1334,3 +1334,16 @@ def grid_nearest_station(spark: SparkSession, sf_dir: str) -> DataFrame:
         sy_col="sy",
         cell_size=100,
     )
+
+
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.py): learns the
+    corpus's first 3 merges — adjacent-pair counting, deterministic
+    global argmax, greedy-leftmost merge application via gaps-and-islands
+    — all as windows + partial-aggregated shuffles, collect-free. The
+    oracle replays all 3 rounds as generated CTEs; the symbols_after
+    column pins merge APPLICATION (overlap handling included), not just
+    pair counting."""
+    from ..operators import bpe
+
+    return bpe.learn_merges(_docs(spark, sf_dir), k=3)
