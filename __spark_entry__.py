@@ -125,6 +125,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf_search": workloads_ext.hybrid_rrf_search,
         "grid_nearest_station": workloads_ext.grid_nearest_station,
         "bpe_learn_merges": workloads_ext.bpe_learn_merges,
+        "event_transition_matrix": workloads_ext.event_transition_matrix,
+        "pagerank_hosts": workloads_ext.pagerank_hosts,
+        "record_linkage_customers": workloads_ext.record_linkage_customers,
     }
 
 

@@ -143,3 +143,77 @@ def cluster_assignments(
             (F.col("id") == F.col("comp")).cast("long").alias("keep"),
         )
     )
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    scale: int = 1 << 20,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    iters: int = 3,
+) -> DataFrame:
+    """Fixed-iteration PageRank in EXACT integer arithmetic.
+
+    Ranks live in units of ``1/scale`` (default 2^-20). Each superstep:
+
+        contrib(u) = (damping_num * (pr(u) div outdeg(u))) div damping_den
+        pr'(v)     = (scale*(den-num)) div den  +  Σ_{u→v} contrib(u)
+
+    Every step is integer floor-division and an ASSOCIATIVE int64 sum, so
+    the result is bit-identical across engines, partitionings, and
+    aggregation orders — the float-free rearrangement the repo applies to
+    every keep/score decision (a float PageRank differs in final ulps per
+    summation order and can't be hash-verified). Dangling-node mass is
+    dropped, the common simplification (ranks are relative, not a
+    probability simplex).
+
+    Scale shape (Pregel-style): per iteration, one broadcast-or-shuffle
+    join of the rank table onto edges keyed by src and one map-side
+    combinable sum keyed by dst — the classic two-shuffle superstep; the
+    edge table is persisted ONCE and reused by every round (release via
+    ``release_cached``). Returns (node, pagerank_q, outdeg, indeg)."""
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"), F.col(dst_col).cast("long").alias("dst")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(e)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _PERSISTED.append(nodes)
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    indeg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("indeg"))
+    base = (scale * (damping_den - damping_num)) // damping_den
+
+    pr = nodes.select("node", F.lit(int(scale)).cast("long").alias("pr"))
+    for _ in range(iters):
+        contrib = pr.join(outdeg, pr["node"] == outdeg["src"]).select(
+            F.col("node").alias("cnode"),
+            F.expr(
+                f"({damping_num} * (pr div outdeg)) div {damping_den}"
+            ).alias("c"),
+        )
+        inflow = (
+            e.join(contrib, e["src"] == contrib["cnode"])
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        pr = nodes.join(inflow, nodes["node"] == inflow["dst"], "left").select(
+            "node",
+            (F.lit(int(base)) + F.coalesce("inflow", F.lit(0))).cast("long").alias("pr"),
+        )
+    return (
+        pr.join(outdeg, pr["node"] == outdeg["src"], "left")
+        .join(indeg, pr["node"] == indeg["dst"], "left")
+        .select(
+            "node",
+            F.col("pr").alias("pagerank_q"),
+            F.coalesce("outdeg", F.lit(0)).cast("long").alias("outdeg"),
+            F.coalesce("indeg", F.lit(0)).cast("long").alias("indeg"),
+        )
+    )

@@ -1500,3 +1500,99 @@ FROM p{i}"""
 
 BPE_LEARN_SQL = _bpe_sql(3)
 ORACLES_EXT["bpe_learn_merges"] = BPE_LEARN_SQL
+
+
+EVENT_TRANSITION_SQL = r"""
+WITH trans AS (
+    SELECT user_id,
+        LAG(event_type) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS from_type,
+        event_type AS to_type
+    FROM events
+), f AS (
+    SELECT from_type, to_type FROM trans WHERE from_type IS NOT NULL
+), counts AS (
+    SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+    FROM f GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n_transitions,
+    CAST(n_transitions AS DOUBLE)
+        / CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE)
+        AS p_transition
+FROM counts
+"""
+
+ORACLES_EXT["event_transition_matrix"] = EVENT_TRANSITION_SQL
+
+
+def _pagerank_sql(iters: int = 3, scale: int = 1 << 20,
+                  num: int = 85, den: int = 100) -> str:
+    """Generated fixed-iteration integer-PageRank oracle (mirrors
+    cluster.pagerank_integer on the synthetic 50-host doc graph)."""
+    base = (scale * (den - num)) // den
+    parts = [f"""
+WITH e AS (
+    SELECT DISTINCT doc_id % 50 AS src, (doc_id * 7) % 50 AS dst
+    FROM documents
+    WHERE doc_id % 50 != (doc_id * 7) % 50
+), nodes AS (
+    SELECT DISTINCT n FROM (
+        SELECT src AS n FROM e UNION ALL SELECT dst AS n FROM e
+    )
+), od AS (
+    SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY src
+), idg AS (
+    SELECT dst, CAST(COUNT(*) AS BIGINT) AS indeg FROM e GROUP BY dst
+), pr0 AS (
+    SELECT n, CAST({scale} AS BIGINT) AS pr FROM nodes
+)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""", c{i} AS (
+    SELECT p.n, ({num} * (p.pr // o.outdeg)) // {den} AS c
+    FROM pr{i - 1} p JOIN od o ON o.src = p.n
+), in{i} AS (
+    SELECT e.dst AS n, CAST(SUM(c.c) AS BIGINT) AS inflow
+    FROM e JOIN c{i} c ON c.n = e.src GROUP BY e.dst
+), pr{i} AS (
+    SELECT nodes.n, CAST({base} + COALESCE(i.inflow, 0) AS BIGINT) AS pr
+    FROM nodes LEFT JOIN in{i} i USING (n)
+)""")
+    parts.append(f"""
+SELECT p.n AS node, p.pr AS pagerank_q,
+    CAST(COALESCE(o.outdeg, 0) AS BIGINT) AS outdeg,
+    CAST(COALESCE(i.indeg, 0) AS BIGINT) AS indeg
+FROM pr{iters} p
+LEFT JOIN od o ON o.src = p.n
+LEFT JOIN idg i ON i.dst = p.n
+""")
+    return "".join(parts)
+
+
+ORACLES_EXT["pagerank_hosts"] = _pagerank_sql()
+
+
+RECORD_LINKAGE_SQL = r"""
+WITH clean AS (
+    SELECT c_custkey AS rec_id, c_name AS name, c_nationkey AS nat
+    FROM customer
+), dirty AS (
+    SELECT c_custkey + 1000000 AS rec_id,
+        substr(c_name, 1, length(c_name) - 1) || 'X' AS name,
+        c_nationkey AS nat
+    FROM customer WHERE c_custkey % 7 = 0
+), recs AS (
+    SELECT *, CAST(nat AS VARCHAR) || '|' || substr(name, 1, 12) AS block
+    FROM (SELECT * FROM clean UNION ALL SELECT * FROM dirty)
+), pairs AS (
+    SELECT a.rec_id AS id_a, b.rec_id AS id_b,
+        a.name AS name_a, b.name AS name_b
+    FROM recs a JOIN recs b ON a.block = b.block AND a.rec_id < b.rec_id
+)
+SELECT id_a, id_b, name_a, name_b,
+    CAST(levenshtein(name_a, name_b) AS BIGINT) AS lev_dist,
+    CAST(id_b = id_a + 1000000 AS BIGINT) AS is_planted
+FROM pairs
+WHERE levenshtein(name_a, name_b) <= 1
+"""
+
+ORACLES_EXT["record_linkage_customers"] = RECORD_LINKAGE_SQL

@@ -1347,3 +1347,100 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import bpe
 
     return bpe.learn_merges(_docs(spark, sf_dir), k=3)
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts of user event streams: one
+    lag() window over (user, ts, event_id) — the total order makes the
+    predecessor deterministic even for same-timestamp events — then a
+    tiny (from, to) aggregate with an exact per-from-state probability
+    (single division of two ints). The canonical behavioral-model
+    preprocessing step; fact shuffles once on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = ev.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    counts = trans.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    wf = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(wf).cast("double")
+        ).alias("p_transition"),
+    )
+
+
+def pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer PageRank (operators/cluster.pagerank_integer) over a
+    deterministic 50-host link graph derived from documents (src = doc%50,
+    dst = doc·7 % 50, self-loops dropped, multi-edges collapsed). Three
+    Pregel-style supersteps, all integer floor-div/sum arithmetic — the
+    oracle replays the iterations as generated CTEs and matches
+    bit-for-bit, which float PageRank cannot do."""
+    d = load_table(spark, sf_dir, "documents")
+    edges = (
+        d.select(
+            (F.col("doc_id") % 50).alias("src"),
+            ((F.col("doc_id") * 7) % 50).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return cluster.pagerank_integer(edges, iters=3)
+
+
+def record_linkage_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by blocking + edit distance: a deterministic
+    'dirty' copy (last name char replaced, id offset by 1,000,000) is
+    planted for every 7th customer, then candidate pairs are generated
+    ONLY within a blocking key (nation, name-prefix) — never all-pairs —
+    and matched at Levenshtein ≤ 1. Both engines' native levenshtein is
+    exact integer, so the full match set (planted dirty pairs plus
+    genuine one-digit-apart name collisions, flagged apart) is
+    hash-checked. Production blocking swaps the prefix for phonetic /
+    sorted-neighborhood keys; the join shape is identical."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    dirty = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("rec_id"),
+        F.concat(
+            F.expr("substring(c_name, 1, length(c_name) - 1)"), F.lit("X")
+        ).alias("name"),
+        F.col("c_nationkey").alias("nat"),
+    )
+    clean = cust.select(
+        F.col("c_custkey").alias("rec_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nat"),
+    )
+    recs = clean.unionByName(dirty).withColumn(
+        "block", F.concat_ws("|", F.col("nat"), F.substring("name", 1, 12))
+    )
+    a = recs.select(
+        F.col("rec_id").alias("id_a"), F.col("name").alias("name_a"), "block"
+    )
+    b = recs.select(
+        F.col("rec_id").alias("id_b"), F.col("name").alias("name_b"), "block"
+    )
+    pairs = a.join(b, "block").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("lev_dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("lev_dist") <= 1)
+        .select(
+            "id_a",
+            "id_b",
+            "name_a",
+            "name_b",
+            "lev_dist",
+            (F.col("id_b") == F.col("id_a") + 1000000).cast("long").alias("is_planted"),
+        )
+    )

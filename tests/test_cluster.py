@@ -96,3 +96,41 @@ def test_random_graphs_match_union_find(spark, seed):
     got = {r.id: r.comp for r in out}
     assert got == expected
     cluster.release_cached()
+
+
+class TestPagerankInteger:
+    def _ref(self, edges, iters=3, scale=1 << 20, num=85, den=100):
+        nodes = sorted({n for e in edges for n in e})
+        out = {}
+        for s, _ in edges:
+            out[s] = out.get(s, 0) + 1
+        base = (scale * (den - num)) // den
+        pr = {n: scale for n in nodes}
+        for _ in range(iters):
+            contrib = {n: (num * (pr[n] // out[n])) // den for n in nodes if n in out}
+            nxt = {n: base for n in nodes}
+            for s, d in edges:
+                nxt[d] += contrib[s]
+            pr = nxt
+        return pr
+
+    def test_matches_reference_on_cycle_with_hub(self, spark):
+        edges = [(0, 1), (1, 2), (2, 0), (0, 2), (3, 0), (4, 0)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.node: r.pagerank_q for r in cluster.pagerank_integer(df).collect()}
+        assert got == self._ref(edges)
+        cluster.release_cached()
+
+    def test_sink_node_and_degrees(self, spark):
+        # node 2 is a sink (no out-edges): keeps only the base share;
+        # degrees reported correctly
+        edges = [(0, 2), (1, 2)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        rows = {r.node: r for r in cluster.pagerank_integer(df, iters=2).collect()}
+        assert rows[2].pagerank_q == self._ref(edges, iters=2)[2]
+        assert (rows[2].outdeg, rows[2].indeg) == (0, 2)
+        assert (rows[0].outdeg, rows[0].indeg) == (1, 0)
+        # sources end at exactly the base share after >=2 iters
+        base = ((1 << 20) * 15) // 100
+        assert rows[0].pagerank_q == base
+        cluster.release_cached()
