@@ -54,6 +54,12 @@ EXTENDED = [
     "curation_funnel_docs",
     "incremental_minhash_dedup",
     "scalable_rank_parts",
+    # round-3 depth operators
+    "tfidf_search_docs",
+    "hybrid_rrf_search",
+    "semdedup_prune_embeddings",
+    "bpe_learn_merges",
+    "grid_nearest_station",
 ]
 
 HEADLINE = [
@@ -104,8 +110,11 @@ def run_one(name: str, sf_dir: str) -> dict:
     import __spark_entry__ as ent
     from global_seismic_data_pipeline_spark.operators import (
         bloom,
+        bpe,
+        cluster,
         neardup,
         ranking,
+        search,
         sketch,
     )
     from global_seismic_data_pipeline_spark.session import get_spark
@@ -122,6 +131,9 @@ def run_one(name: str, sf_dir: str) -> dict:
         bloom.release_cached()
         sketch.release_cached()
         ranking.release_cached()
+        search.release_cached()
+        bpe.release_cached()
+        cluster.release_cached()
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         times.append(time.time() - t0)

@@ -224,9 +224,13 @@ def tfidf_topk(
 
     Scale shape mirrors bm25_topk: one tokenization pass feeds tf; the
     per-term df table is vocab-sized and joins BROADCAST (corpus tokens
-    never shuffle for the idf lookup); norms aggregate map-side partial;
-    top-k is TakeOrdered. Magnitudes: w ≤ dl·⌈log2 N⌉ keeps norm² far
-    under int64 for any real document."""
+    never shuffle for the idf lookup). norm², the query dot AND the
+    match count fold into ONE map-side-combinable aggregate keyed by doc
+    — no norms⋈hits join exists in the plan (conditional aggregation
+    beats a self-join whenever both sides share the group key); the only
+    shuffles are the two token aggregates. Top-k is TakeOrdered.
+    Magnitudes: w ≤ dl·⌈log2 N⌉ keeps norm² far under int64 for any real
+    document."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     if len(set(query_terms)) != len(query_terms):
@@ -255,21 +259,20 @@ def tfidf_topk(
     weighted = tf.join(F.broadcast(dft), "tok").select(
         "id_", "tok", (F.col("tf") * F.col("idf_q")).alias("w"), "idf_q"
     )
-    norms = weighted.groupBy("id_").agg(
-        F.sum(F.col("w") * F.col("w")).alias("norm2")
-    )
     qnorm = dft.filter(F.col("tok").isin(list(query_terms))).agg(
         F.sum(F.col("idf_q") * F.col("idf_q")).alias("qnorm2")
     )
-    hits = (
-        weighted.filter(F.col("tok").isin(list(query_terms)))
-        .groupBy("id_")
-        .agg(
-            F.sum(F.col("w") * F.col("idf_q")).alias("dot"),
-            F.count(F.lit(1)).alias("n_terms_matched"),
-        )
+    is_q = F.col("tok").isin(list(query_terms))
+    per_doc = weighted.groupBy("id_").agg(
+        F.sum(F.col("w") * F.col("w")).alias("norm2"),
+        F.sum(
+            F.when(is_q, F.col("w") * F.col("idf_q")).otherwise(F.lit(0))
+        ).alias("dot"),
+        F.sum(is_q.cast("long")).alias("n_terms_matched"),
     )
-    scored = hits.join(norms, "id_").crossJoin(F.broadcast(qnorm))
+    scored = per_doc.filter(F.col("n_terms_matched") > 0).crossJoin(
+        F.broadcast(qnorm)
+    )
     score = F.round(
         F.col("dot").cast("double")
         / (F.sqrt(F.col("norm2").cast("double")) * F.sqrt(F.col("qnorm2").cast("double"))),

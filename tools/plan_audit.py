@@ -41,6 +41,8 @@ MUST_BROADCAST = {
     "band_join_classify", "dense_rank_nations",
     "cosine_topk_bruteforce", "bloom_prune_lineitem",
     "range_join_event_bursts", "temperature_mixture_sample",
+    # round-3: station ring, nation dim, vocab-df/qnorm tables
+    "grid_nearest_station", "listagg_top_customers", "tfidf_search_docs",
 }
 # fused static-dimension enrichment: the CASE-chain form must stay fully
 # map-side — zero exchanges (stronger than the old must-broadcast check;
@@ -54,10 +56,18 @@ MUST_NOT_BNLJ = {"range_join_event_bursts"}
 # fact side must never sort-merge in these broadcast-probe pipelines
 MUST_NOT_SMJ = {
     "bloom_prune_lineitem", "temperature_mixture_sample", "decontaminate_docs",
+    # grid-NN folds the argmin into an aggregate — a join reappearing on
+    # the point key would mean the broadcast candidate shape regressed;
+    # tfidf's norm²/dot/match-count is ONE conditional aggregate — an SMJ
+    # means the norms⋈hits self-join crept back
+    "grid_nearest_station", "tfidf_search_docs",
 }
 # ORDER BY + LIMIT must plan as TakeOrdered (per-partition top-K + K-row
 # merge), never a global sort
-MUST_TAKEORDERED = {"uniform_sample_docs", "zorder_cluster_lineitem"}
+MUST_TAKEORDERED = {
+    "uniform_sample_docs", "zorder_cluster_lineitem",
+    "tfidf_search_docs", "hybrid_rrf_search",
+}
 # the scalable-rank operator exists to AVOID the unpartitioned Window —
 # a Window node reappearing here means the W5 anti-pattern is back
 MUST_NOT_WINDOW = {"scalable_rank_parts"}
