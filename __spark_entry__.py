@@ -128,6 +128,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transition_matrix": workloads_ext.event_transition_matrix,
         "pagerank_hosts": workloads_ext.pagerank_hosts,
         "record_linkage_customers": workloads_ext.record_linkage_customers,
+        "robust_outliers_mad": workloads_ext.robust_outliers_mad,
+        "exact_corr_lineitem": workloads_ext.exact_corr_lineitem,
+        "copurchase_pairs_topk": workloads_ext.copurchase_pairs_topk,
+        "dsir_select_docs": workloads_ext.dsir_select_docs,
     }
 
 

@@ -226,3 +226,82 @@ def pack_token_shards(
     return with_bucket.withColumn(
         "shard", (F.dense_rank().over(dense) - 1).cast("long")
     ).drop("__bucket")
+
+
+def dsir_importance_scores(
+    docs: DataFrame,
+    target: Column,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 256,
+    ratio_scale: int = 1024,
+) -> DataFrame:
+    """Importance-weighted data selection à la DSIR (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling") with
+    the log-likelihood-ratio arithmetic rearranged to EXACT integers.
+
+    DSIR scores each raw document by how target-like its hashed n-gram
+    features are: score(d) = Σ_f c_df·(log p_target(f) − log p_raw(f)).
+    Floats + libm logs make that unverifiable across engines, so here:
+
+    - features are word unigrams hashed into ``buckets`` buckets with the
+      portable md5 hash (identical in Spark and DuckDB);
+    - the Laplace-smoothed probability ratio becomes one integer floor
+      division: r_f = ((T_f+1)·R_tot·scale) div ((R_f+1)·T_tot);
+    - log2 is the INTEGER log ``length(bin(r_f))``, giving the weight
+      w_f = ⌊log2 r_f⌋ + 1 − (⌊log2 scale⌋ + 1) ∈ [−log2 scale, …] —
+      0 for features exactly as common in target as in raw;
+    - score(d) = Σ c_df·w_f is an associative int64 sum; keep = score ≥ 0.
+
+    Scale shape: one tokenization pass; the feature table is ``buckets``
+    rows (partial-aggregated map-side — low key cardinality is fine
+    BECAUSE of the map-side combine) and joins back BROADCAST, so corpus
+    tokens shuffle only for the per-doc score aggregate. The target set
+    is identified by a per-row boolean column — no second corpus scan.
+
+    Returns (id, n_tokens, dsir_score, keep)."""
+    from .neardup import portable_hash64
+    from .text import normalized
+
+    base = docs.select(
+        F.col(id_col).alias("id_"),
+        F.col(text_col).alias("txt_"),
+        target.cast("long").alias("is_t"),
+    )
+    toks = base.select(
+        "id_",
+        "is_t",
+        F.explode(F.split(normalized(F.col("txt_")), " ")).alias("tok"),
+    ).withColumn("f", portable_hash64(F.col("tok")) % F.lit(int(buckets)))
+    feat = toks.groupBy("f").agg(
+        F.sum("is_t").alias("t_f"), F.count(F.lit(1)).alias("r_f")
+    )
+    totals = feat.agg(
+        F.sum("t_f").alias("t_tot"), F.sum("r_f").alias("r_tot")
+    )
+    log2_scale_p1 = int(ratio_scale).bit_length()  # length(bin(scale))
+    weights = feat.crossJoin(F.broadcast(totals)).select(
+        "f",
+        (
+            F.length(
+                F.bin(
+                    F.expr(
+                        f"((t_f + 1) * r_tot * {int(ratio_scale)}) div ((r_f + 1) * t_tot)"
+                    )
+                )
+            ).cast("long")
+            - F.lit(log2_scale_p1)
+        ).alias("w"),
+    )
+    scored = (
+        toks.join(F.broadcast(weights), "f")
+        .groupBy("id_")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("w").alias("dsir_score"))
+    )
+    return scored.select(
+        F.col("id_").alias(id_col),
+        "n_tokens",
+        "dsir_score",
+        (F.col("dsir_score") >= 0).cast("long").alias("keep"),
+    )

@@ -1596,3 +1596,108 @@ WHERE levenshtein(name_a, name_b) <= 1
 """
 
 ORACLES_EXT["record_linkage_customers"] = RECORD_LINKAGE_SQL
+
+
+ROBUST_OUTLIERS_SQL = r"""
+WITH base AS (
+    SELECT o_orderkey, o_orderstatus,
+        CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+), med AS (
+    SELECT o_orderstatus, median(cents) AS med FROM base GROUP BY o_orderstatus
+), dev AS (
+    SELECT b.*, m.med, abs(b.cents - m.med) AS adev
+    FROM base b JOIN med m USING (o_orderstatus)
+), mad AS (
+    SELECT o_orderstatus, median(adev) AS mad FROM dev GROUP BY o_orderstatus
+), flagged AS (
+    SELECT d.*, m.mad,
+        CAST((8.0 * d.adev) > (28.0 * m.mad) AS BIGINT) AS is_outlier
+    FROM dev d JOIN mad m USING (o_orderstatus)
+)
+SELECT o_orderstatus,
+    CAST(COUNT(*) AS BIGINT) AS n_orders,
+    MAX(med) AS med_cents,
+    MAX(mad) AS mad_cents,
+    CAST(SUM(is_outlier) AS BIGINT) AS n_outliers
+FROM flagged GROUP BY o_orderstatus
+"""
+
+ORACLES_EXT["robust_outliers_mad"] = ROBUST_OUTLIERS_SQL
+
+EXACT_CORR_SQL = r"""
+WITH s AS (
+    SELECT l_returnflag,
+        CAST(COUNT(*) AS HUGEINT) AS n,
+        CAST(SUM(CAST(l_quantity AS HUGEINT)) AS HUGEINT) AS sx,
+        CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS HUGEINT)) AS HUGEINT) AS sy,
+        CAST(SUM(CAST(l_quantity AS HUGEINT)
+                 * CAST(ROUND(l_extendedprice * 100) AS HUGEINT)) AS HUGEINT) AS sxy,
+        CAST(SUM(CAST(l_quantity AS HUGEINT)
+                 * CAST(l_quantity AS HUGEINT)) AS HUGEINT) AS sxx,
+        CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS HUGEINT)
+                 * CAST(ROUND(l_extendedprice * 100) AS HUGEINT)) AS HUGEINT) AS syy
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+    CAST(n AS BIGINT) AS n_rows,
+    ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+          / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+             * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr_qty_price
+FROM s
+"""
+
+ORACLES_EXT["exact_corr_lineitem"] = EXACT_CORR_SQL
+
+COPURCHASE_SQL = r"""
+WITH pairs AS (
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb
+    FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT pa, pb, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM pairs GROUP BY pa, pb
+ORDER BY n_orders DESC, pa ASC, pb ASC
+LIMIT 20
+"""
+
+ORACLES_EXT["copurchase_pairs_topk"] = COPURCHASE_SQL
+
+
+# DSIR importance selection: portable md5 feature hash, integer weights.
+_DSIR_BUCKETS, _DSIR_SCALE = 256, 1024
+_DSIR_LOGSP1 = _DSIR_SCALE.bit_length()
+
+DSIR_SELECT_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id AS id_,
+        CAST(lang = 'en' AS BIGINT) AS is_t,
+        ('0x' || substr(md5(unnest(string_split({NORM}, ' '))), 1, 15))::BIGINT
+            % {_DSIR_BUCKETS} AS f
+    FROM documents
+), feat AS (
+    SELECT f, CAST(SUM(is_t) AS BIGINT) AS t_f,
+        CAST(COUNT(*) AS BIGINT) AS r_f
+    FROM toks GROUP BY f
+), totals AS (
+    SELECT CAST(SUM(t_f) AS BIGINT) AS t_tot,
+        CAST(SUM(r_f) AS BIGINT) AS r_tot
+    FROM feat
+), weights AS (
+    SELECT f,
+        CAST(length(bin(CAST(((t_f + 1) * r_tot * {_DSIR_SCALE})
+                             // ((r_f + 1) * t_tot) AS BIGINT)))
+             - {_DSIR_LOGSP1} AS BIGINT) AS w
+    FROM feat CROSS JOIN totals
+), scored AS (
+    SELECT t.id_, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        CAST(SUM(w.w) AS BIGINT) AS dsir_score
+    FROM toks t JOIN weights w USING (f)
+    GROUP BY t.id_
+)
+SELECT id_ AS doc_id, n_tokens, dsir_score,
+    CAST(dsir_score >= 0 AS BIGINT) AS keep
+FROM scored
+"""
+
+ORACLES_EXT["dsir_select_docs"] = DSIR_SELECT_SQL

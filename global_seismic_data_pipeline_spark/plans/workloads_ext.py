@@ -1444,3 +1444,96 @@ def record_linkage_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("id_b") == F.col("id_a") + 1000000).cast("long").alias("is_planted"),
         )
     )
+
+
+def robust_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection by median/MAD (the estimator that, unlike
+    mean/stddev, is not dragged by the outliers it hunts): per order
+    status, med = median(cents) and MAD = median(|cents − med|), flagging
+    |x − med| > 3.5·MAD. Medians of exact cents are dyadic rationals
+    (k/2), |x−med| likewise, and MAD k/4 — all exactly representable
+    doubles, and the flag comparison multiplies through (4·2·|x−med| vs
+    4·2·3.5·MAD = 28·MAD, both exact) so no rounding edge exists in the
+    decision. Two grouped median passes + one broadcast join of the 3-row
+    stats table back onto the facts."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = o.select("o_orderkey", "o_orderstatus", cents.alias("cents"))
+    med = base.groupBy("o_orderstatus").agg(F.median("cents").alias("med"))
+    dev = base.join(F.broadcast(med), "o_orderstatus").withColumn(
+        "adev", F.abs(F.col("cents") - F.col("med"))
+    )
+    mad = dev.groupBy("o_orderstatus").agg(F.median("adev").alias("mad"))
+    flagged = dev.join(F.broadcast(mad), "o_orderstatus").withColumn(
+        "is_outlier",
+        ((F.lit(8.0) * F.col("adev")) > (F.lit(28.0) * F.col("mad"))).cast("long"),
+    )
+    return flagged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.max("med").alias("med_cents"),
+        F.max("mad").alias("mad_cents"),
+        F.sum("is_outlier").alias("n_outliers"),
+    )
+
+
+def exact_corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation with a hash-stable result: the five sufficient
+    statistics (n, Σx, Σy, Σxy, Σx², Σy²) are summed as EXACT integers
+    (quantity units and price cents) in DECIMAL(38,0), so every partial-
+    aggregation order gives identical totals; the correlation then forms
+    as (nΣxy−ΣxΣy) / (sqrt(nΣx²−(Σx)²)·sqrt(nΣy²−(Σy)²)) — exact-decimal
+    numerators, two correctly-rounded sqrts, one division, rounded to 6.
+    A float corr() aggregate is summation-order-dependent and cannot be
+    oracle-verified; this one is."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(38,0)")
+    y = F.round(F.col("l_extendedprice") * 100).cast("decimal(38,0)")
+    stats = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return stats.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6).alias("corr_qty_price"),
+    )
+
+
+def copurchase_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: unordered part pairs bought in the
+    same order, top-20 by support with (count desc, pair asc) tie-break.
+    The self-join keys on the order id, so the blowup is bounded by
+    (items-per-order choose 2) — a per-basket constant, never corpus² —
+    and the pair aggregate partial-combines map-side; the top-k is a
+    TakeOrdered over the distinct-pair table."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    pairs = a.join(b, "ok").filter(F.col("pa") < F.col("pb"))
+    return (
+        pairs.groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), F.col("pa").asc(), F.col("pb").asc())
+        .limit(20)
+    )
+
+
+def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance-weighted data selection (operators/sampling.
+    dsir_importance_scores): hashed-unigram likelihood-ratio scores of
+    every document against the lang='en' target distribution, in exact
+    integer arithmetic (portable md5 feature hash, integer-log2 weights)
+    — the data-selection step of a targeted pretraining corpus, fully
+    hash-checked."""
+    from ..operators import sampling
+
+    return sampling.dsir_importance_scores(
+        _docs(spark, sf_dir), F.col("lang") == "en"
+    )

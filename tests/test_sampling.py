@@ -177,3 +177,32 @@ def test_temperature_sample_salt_changes_membership(spark):
     a2 = {r["k"] for r in sampling.temperature_sample(
         df, domain_col="dom", key_col="k", salt="s1").collect()}
     assert a == a2
+
+
+def test_dsir_scores_prefer_target_like_docs(spark):
+    from pyspark.sql import functions as F
+
+    from global_seismic_data_pipeline_spark.operators import sampling
+
+    # two sharply different vocabularies; is_target marks distribution A
+    docs = []
+    for i in range(10):
+        docs.append((i, "alpha beta gamma delta alpha beta", 1))
+    for i in range(10, 20):
+        docs.append((i, "omega psi chi phi omega psi", 0))
+    # held-out rows, one from each vocabulary, NOT in the target set
+    docs.append((100, "alpha beta gamma alpha", 0))
+    docs.append((101, "omega psi chi omega", 0))
+    df = spark.createDataFrame(docs, "doc_id long, text string, is_t long")
+    out = {
+        r.doc_id: r
+        for r in sampling.dsir_importance_scores(
+            df, F.col("is_t") == 1
+        ).collect()
+    }
+    assert len(out) == 22
+    # target-vocabulary held-out doc scores above the off-target one
+    assert out[100].dsir_score > out[101].dsir_score
+    assert out[100].keep == 1 and out[101].keep == 0
+    # scores are per-token sums: every token counted
+    assert out[100].n_tokens == 4
