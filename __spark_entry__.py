@@ -132,6 +132,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_corr_lineitem": workloads_ext.exact_corr_lineitem,
         "copurchase_pairs_topk": workloads_ext.copurchase_pairs_topk,
         "dsir_select_docs": workloads_ext.dsir_select_docs,
+        "bucketed_join_revenue": workloads_ext.bucketed_join_revenue,
+        "dq_expectations": workloads_ext.dq_expectations,
     }
 
 

@@ -1701,3 +1701,41 @@ FROM scored
 """
 
 ORACLES_EXT["dsir_select_docs"] = DSIR_SELECT_SQL
+
+
+BUCKETED_JOIN_SQL = r"""
+SELECT c.c_mktsegment,
+    CAST(COUNT(*) AS BIGINT) AS n_orders,
+    CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        AS revenue_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+ORACLES_EXT["bucketed_join_revenue"] = BUCKETED_JOIN_SQL
+
+DQ_EXPECTATIONS_SQL = r"""
+SELECT 'orders_pk_unique' AS check_name,
+    CAST((SELECT COUNT(*) FROM (
+        SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1
+    )) AS BIGINT) AS n_violations
+UNION ALL
+SELECT 'orders_custkey_fk',
+    CAST((SELECT COUNT(*) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+UNION ALL
+SELECT 'orders_status_accepted',
+    CAST((SELECT COUNT(*) FROM orders
+          WHERE o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT)
+UNION ALL
+SELECT 'orders_price_positive',
+    CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0) AS BIGINT)
+UNION ALL
+SELECT 'orders_date_in_range',
+    CAST((SELECT COUNT(*) FROM orders
+          WHERE CAST(o_orderdate AS DATE) < DATE '1992-01-01'
+             OR CAST(o_orderdate AS DATE) > DATE '1998-12-31') AS BIGINT)
+"""
+
+ORACLES_EXT["dq_expectations"] = DQ_EXPECTATIONS_SQL

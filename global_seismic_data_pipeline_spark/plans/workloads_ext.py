@@ -1537,3 +1537,85 @@ def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.dsir_importance_scores(
         _docs(spark, sf_dir), F.col("lang") == "en"
     )
+
+
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located (bucketed) join: orders and customer are written
+    hash-bucketed on the customer key (Warehouse.save_bucketed, 8
+    buckets, sorted), then joined WITHOUT a per-query shuffle — Spark
+    pairs matching bucket files (the pay-the-shuffle-once-at-write-time
+    path for repeated 100 TB joins; tests/test_state_and_merge.py pins
+    the Exchange-free plan). The driver gate checks the RESULT equals a
+    plain join — bucketing must never change semantics. Revenue in exact
+    cents per market segment."""
+    import tempfile
+
+    from ..sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="bktjoin-"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    ot = wh.save_bucketed(
+        orders, "bkt_orders_q", ["o_custkey"], num_buckets=8, sort_cols=["o_custkey"]
+    )
+    ct = wh.save_bucketed(
+        cust, "bkt_cust_q", ["c_custkey"], num_buckets=8, sort_cols=["c_custkey"]
+    )
+    joined = ot.join(ct, ot["o_custkey"] == ct["c_custkey"])
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("revenue_cents"),
+    )
+
+
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (dbt-test / Great-
+    Expectations style) evaluated in ONE pass per table: uniqueness,
+    referential integrity (FK anti-join), accepted-values, and range
+    checks, each reported as (check_name, n_violations). All checks are
+    conditional aggregates or anti-join counts — no per-check table
+    rescans beyond the two fact scans and one broadcast of the customer
+    key set."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    dup_keys = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.count(F.lit(1)).alias("v"))
+        .select(F.lit("orders_pk_unique").alias("check_name"), F.col("v"))
+    )
+    fk_orphans = (
+        o.join(
+            F.broadcast(c.select("c_custkey")),
+            o["o_custkey"] == c["c_custkey"],
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("v"))
+        .select(F.lit("orders_custkey_fk").alias("check_name"), F.col("v"))
+    )
+    scalar_checks = o.agg(
+        F.sum(
+            (~F.col("o_orderstatus").isin("O", "F", "P")).cast("long")
+        ).alias("bad_status"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("bad_price"),
+        F.sum(
+            (
+                (F.col("o_orderdate") < F.lit("1992-01-01").cast("date"))
+                | (F.col("o_orderdate") > F.lit("1998-12-31").cast("date"))
+            ).cast("long")
+        ).alias("bad_date"),
+    ).select(
+        F.expr(
+            "stack(3, 'orders_status_accepted', bad_status, "
+            "'orders_price_positive', bad_price, "
+            "'orders_date_in_range', bad_date) AS (check_name, v)"
+        )
+    )
+    return (
+        dup_keys.unionByName(fk_orphans)
+        .unionByName(scalar_checks)
+        .select("check_name", F.col("v").cast("long").alias("n_violations"))
+    )
