@@ -134,6 +134,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select_docs": workloads_ext.dsir_select_docs,
         "bucketed_join_revenue": workloads_ext.bucketed_join_revenue,
         "dq_expectations": workloads_ext.dq_expectations,
+        "ngram_dup_rate_docs": workloads_ext.ngram_dup_rate_docs,
+        "unigram_surprisal_docs": workloads_ext.unigram_surprisal_docs,
     }
 
 

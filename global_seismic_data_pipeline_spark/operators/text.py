@@ -335,3 +335,140 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     re-evaluates the lambda chain per element (see neardup module
     docstring)."""
     return shingles_from_words(F.split(normalized(text), " "), n)
+
+
+def _ngram_rows(
+    df: DataFrame, *, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, gram) rows of word n-grams via token rows + (n-1) leads —
+    the bounded row-generation path shared with corpus_top_ngrams."""
+    toks = token_rows(df, id_col=id_col, text_col=text_col)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    cols = [F.col(id_col), F.col("tok")] + [
+        F.lead("tok", i).over(w).alias(f"t{i}") for i in range(1, n)
+    ]
+    grams = toks.select(*cols).filter(F.col(f"t{n - 1}").isNotNull())
+    return grams.select(
+        id_col,
+        F.concat_ws(" ", "tok", *[f"t{i}" for i in range(1, n)]).alias("gram"),
+    )
+
+
+def ngram_duplication_rate(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    max_dup_num: int = 3,
+    max_dup_den: int = 10,
+) -> DataFrame:
+    """Per-document duplicated-n-gram fraction — the corpus-level signal
+    behind exact-substring dedup ("Deduplicating Training Data Makes
+    Language Models Better", Lee et al. 2022): a document whose n-grams
+    mostly also occur elsewhere is boilerplate/template residue even when
+    no single whole-document near-duplicate exists.
+
+    Per doc (with ≥ n tokens): ``total_ngrams`` occurrences,
+    ``dup_ngrams`` = occurrences whose gram appears ≥ 2 times in the WHOLE
+    corpus (within- or cross-document), ``cross_dup_ngrams`` = occurrences
+    whose gram also appears in a DIFFERENT document, ``dup_frac`` =
+    dup/total (the single float division), and ``keep`` decided by the
+    exact-integer cross-multiplication ``dup_ngrams·den ≤ total·num`` —
+    the keep flag can never flip on a float ulp (CLAUDE.md discipline).
+
+    Scale shape: token rows → per-doc lead window (state = n-1 tokens) →
+    one partial-aggregated shuffle keyed by (doc, gram) → one window
+    keyed by gram over the ALREADY-AGGREGATED (doc, gram) rows (per-gram
+    row count ≤ #docs containing it, far smaller than occurrences) → one
+    final doc-keyed aggregate. No join back to the corpus, no all-pairs
+    anything; skew is bounded by the most widespread gram's document
+    frequency, and a stop-gram cut (as in neardup) slots in front of the
+    gram window if a corpus needs it.
+    """
+    grams = _ngram_rows(df, id_col=id_col, text_col=text_col, n=n)
+    occ = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    wg = Window.partitionBy("gram")
+    tot = occ.withColumn("total_cnt", F.sum("cnt").over(wg))
+    per_doc = tot.groupBy(id_col).agg(
+        F.sum("cnt").alias("total_ngrams"),
+        F.sum(F.when(F.col("total_cnt") >= 2, F.col("cnt")).otherwise(0)).alias(
+            "dup_ngrams"
+        ),
+        F.sum(
+            F.when(F.col("total_cnt") > F.col("cnt"), F.col("cnt")).otherwise(0)
+        ).alias("cross_dup_ngrams"),
+    )
+    return per_doc.select(
+        id_col,
+        "total_ngrams",
+        "dup_ngrams",
+        "cross_dup_ngrams",
+        (F.col("dup_ngrams") / F.col("total_ngrams")).alias("dup_frac"),
+        (
+            F.col("dup_ngrams") * F.lit(max_dup_den)
+            <= F.col("total_ngrams") * F.lit(max_dup_num)
+        )
+        .cast("long")
+        .alias("keep"),
+    )
+
+
+def unigram_lm_surprisal(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_bits: int = 2,
+    max_bits: int = 12,
+) -> DataFrame:
+    """Per-document mean unigram surprisal — the perplexity-style quality
+    filter (CCNet-family pipelines score documents under a language model
+    and drop both tails: too-predictable = boilerplate, too-surprising =
+    gibberish). The LM here is the corpus's own unigram distribution, and
+    the per-token surprisal is the integer log2 ``length(bin(N div cnt))``
+    = ⌊log2(N/cnt)⌋ + 1 — the same libm-free log-scaled weight as
+    search.tfidf_topk's idf, so every sum is an exact int64 and the oracle
+    matches bit-for-bit.
+
+    Output per doc: ``n_tokens``, ``surprisal_sum`` (Σ tf·surprisal,
+    exact), ``bits_per_token`` (the ONE float division), and ``keep`` via
+    the cross-multiplied exact-integer band
+    ``min_bits·n_tokens ≤ surprisal_sum ≤ max_bits·n_tokens``.
+
+    Scale shape: one tokenization pass → (doc, tok) partial-aggregated
+    shuffle → vocab-sized unigram table (broadcast back, corpus tokens
+    never shuffle for the lookup — same shape as text.encode_docs) → one
+    doc-keyed aggregate. The corpus-total row is a 1-row broadcast
+    cross-join.
+    """
+    toks = token_rows(df, id_col=id_col, text_col=text_col)
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    uni = tf.groupBy("tok").agg(F.sum("tf").alias("corpus_cnt"))
+    total = uni.agg(F.sum("corpus_cnt").alias("n_total"))
+    lm = uni.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.length(F.bin(F.expr("n_total div corpus_cnt")))
+        .cast("long")
+        .alias("surprisal_q"),
+    )
+    per_doc = (
+        tf.join(F.broadcast(lm), "tok")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("surprisal_q")).alias("surprisal_sum"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        "surprisal_sum",
+        (F.col("surprisal_sum") / F.col("n_tokens")).alias("bits_per_token"),
+        (
+            (F.col("surprisal_sum") >= F.col("n_tokens") * F.lit(min_bits))
+            & (F.col("surprisal_sum") <= F.col("n_tokens") * F.lit(max_bits))
+        )
+        .cast("long")
+        .alias("keep"),
+    )

@@ -1739,3 +1739,67 @@ SELECT 'orders_date_in_range',
 """
 
 ORACLES_EXT["dq_expectations"] = DQ_EXPECTATIONS_SQL
+
+# Exact-substring duplication rate: n-gram occurrence totals via a window
+# over the already-aggregated (doc, gram) rows; dup/total is the single
+# float division and the keep flag cross-multiplies to exact integers.
+NGRAM_DUP_RATE_SQL = rf"""
+WITH grams AS (
+    SELECT doc_id,
+        unnest(list_transform(range(1, len(w) - 3),
+            i -> array_to_string(list_slice(w, i, i + 4), ' '))) AS gram
+    FROM (SELECT doc_id, string_split({NORM}, ' ') AS w FROM documents)
+), occ AS (
+    SELECT doc_id, gram, COUNT(*) AS cnt FROM grams GROUP BY doc_id, gram
+), tot AS (
+    SELECT doc_id, cnt,
+        SUM(cnt) OVER (PARTITION BY gram) AS total_cnt
+    FROM occ
+), per_doc AS (
+    SELECT doc_id,
+        CAST(SUM(cnt) AS BIGINT) AS total_ngrams,
+        CAST(SUM(CASE WHEN total_cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT)
+            AS dup_ngrams,
+        CAST(SUM(CASE WHEN total_cnt > cnt THEN cnt ELSE 0 END) AS BIGINT)
+            AS cross_dup_ngrams
+    FROM tot GROUP BY doc_id
+)
+SELECT doc_id, total_ngrams, dup_ngrams, cross_dup_ngrams,
+    dup_ngrams / total_ngrams AS dup_frac,
+    CAST(dup_ngrams * 10 <= total_ngrams * 3 AS BIGINT) AS keep
+FROM per_doc
+"""
+
+ORACLES_EXT["ngram_dup_rate_docs"] = NGRAM_DUP_RATE_SQL
+
+# Unigram LM surprisal: integer-log2 per-token bits (same length(bin())
+# trick as TF-IDF idf), exact int64 sums, one division, integer keep band.
+UNIGRAM_SURPRISAL_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split({NORM}, ' ')) AS tok FROM documents
+), tf AS (
+    SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM toks GROUP BY doc_id, tok
+), uni AS (
+    SELECT tok, CAST(SUM(tf) AS BIGINT) AS corpus_cnt FROM tf GROUP BY tok
+), tot AS (
+    SELECT CAST(SUM(corpus_cnt) AS BIGINT) AS n_total FROM uni
+), lm AS (
+    SELECT tok,
+        CAST(length(bin(CAST(t.n_total // u.corpus_cnt AS BIGINT))) AS BIGINT)
+            AS surprisal_q
+    FROM uni u CROSS JOIN tot t
+), per_doc AS (
+    SELECT f.doc_id,
+        CAST(SUM(f.tf) AS BIGINT) AS n_tokens,
+        CAST(SUM(f.tf * l.surprisal_q) AS BIGINT) AS surprisal_sum
+    FROM tf f JOIN lm l USING (tok) GROUP BY f.doc_id
+)
+SELECT doc_id, n_tokens, surprisal_sum,
+    surprisal_sum / n_tokens AS bits_per_token,
+    CAST(surprisal_sum >= n_tokens * 2
+         AND surprisal_sum <= n_tokens * 12 AS BIGINT) AS keep
+FROM per_doc
+"""
+
+ORACLES_EXT["unigram_surprisal_docs"] = UNIGRAM_SURPRISAL_SQL

@@ -1619,3 +1619,22 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(scalar_checks)
         .select("check_name", F.col("v").cast("long").alias("n_violations"))
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus-level duplication + LM-quality scoring (round 3 session 2)
+def ngram_dup_rate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring-dedup signal: per-doc fraction of 5-gram
+    occurrences that also appear elsewhere in the corpus; keep flag via
+    exact-integer cross-multiplication (threshold 3/10)."""
+    return text.ngram_duplication_rate(
+        _docs(spark, sf_dir), n=5, max_dup_num=3, max_dup_den=10
+    )
+
+
+def unigram_surprisal_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality filter: mean integer-log2 unigram
+    surprisal per doc with an exact-integer keep band [2, 12] bits."""
+    return text.unigram_lm_surprisal(
+        _docs(spark, sf_dir), min_bits=2, max_bits=12
+    )

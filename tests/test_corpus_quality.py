@@ -1,0 +1,137 @@
+"""ngram_duplication_rate + unigram_lm_surprisal on hand-built corpora."""
+
+from __future__ import annotations
+
+import pytest
+
+from global_seismic_data_pipeline_spark.operators import text
+
+
+def _rows(out, key="doc_id"):
+    return {r[key]: r.asDict() for r in out.collect()}
+
+
+def test_ngram_dup_rate_cross_doc_and_unique(spark):
+    # A and B share every 5-gram; C is fully unique.
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c d e f"),
+            (3, "p q r s t u v"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = _rows(text.ngram_duplication_rate(df, n=5))
+    assert got[1]["total_ngrams"] == 2  # "a b c d e", "b c d e f"
+    assert got[1]["dup_ngrams"] == 2
+    assert got[1]["cross_dup_ngrams"] == 2
+    assert got[1]["dup_frac"] == 1.0
+    assert got[1]["keep"] == 0
+    assert got[2] == got[1] | {"doc_id": 2}
+    assert got[3]["total_ngrams"] == 3
+    assert got[3]["dup_ngrams"] == 0
+    assert got[3]["cross_dup_ngrams"] == 0
+    assert got[3]["keep"] == 1
+
+
+def test_ngram_dup_rate_within_doc_repeat_not_cross(spark):
+    # One doc repeating its own phrase: dup_ngrams counts the repeated
+    # occurrences (corpus total >= 2) but cross_dup stays 0.
+    df = spark.createDataFrame(
+        [(1, "x y z w v x y z w v"), (2, "alpha beta gamma delta eps zeta")],
+        ["doc_id", "text"],
+    )
+    got = _rows(text.ngram_duplication_rate(df, n=5))
+    # tokens: x y z w v x y z w v -> 6 overlapping 5-grams; the two
+    # "x y z w v" occurrences (positions 1 and 6) are the only gram seen
+    # twice.
+    assert got[1]["total_ngrams"] == 6
+    assert got[1]["dup_ngrams"] == 2
+    assert got[1]["cross_dup_ngrams"] == 0
+    assert got[2]["dup_ngrams"] == 0
+
+
+def test_ngram_dup_rate_short_docs_dropped(spark):
+    df = spark.createDataFrame(
+        [(1, "too short"), (2, "one two three four five")], ["doc_id", "text"]
+    )
+    got = _rows(text.ngram_duplication_rate(df, n=5))
+    assert set(got) == {2}
+    assert got[2]["total_ngrams"] == 1
+
+
+def test_ngram_dup_keep_is_integer_threshold(spark):
+    # 10 grams, 3 duplicated -> dup*10 == total*3 exactly: keep (<=).
+    base = [f"t{i}" for i in range(14)]  # 10 overlapping 5-grams
+    doc1 = " ".join(base)
+    # duplicate the first three 5-grams of doc1 inside doc2 without
+    # creating extra shared grams: separate them with unique fillers.
+    g0, g1, g2 = (
+        " ".join(base[0:5]),
+        " ".join(base[1:6]),
+        " ".join(base[2:7]),
+    )
+    doc2 = f"{g0} u1 u2 u3 u4 {g1} u5 u6 u7 u8 {g2}"
+    df = spark.createDataFrame([(1, doc1), (2, doc2)], ["doc_id", "text"])
+    got = _rows(text.ngram_duplication_rate(df, n=5, max_dup_num=3, max_dup_den=10))
+    assert got[1]["total_ngrams"] == 10
+    assert got[1]["cross_dup_ngrams"] == 3
+    assert got[1]["dup_ngrams"] == 3
+    assert got[1]["keep"] == 1  # 3*10 <= 10*3 boundary is a keep
+    # tighten the threshold one notch below the boundary: now dropped
+    got2 = _rows(
+        text.ngram_duplication_rate(df, n=5, max_dup_num=29, max_dup_den=100)
+    )
+    assert got2[1]["keep"] == 0
+
+
+def _surprisal_reference(docs: dict[int, str], min_bits=2, max_bits=12):
+    """Independent Python reference for the integer-log2 unigram score."""
+    from collections import Counter
+
+    tfs = {d: Counter(t.split()) for d, t in docs.items()}
+    uni: Counter = Counter()
+    for c in tfs.values():
+        uni.update(c)
+    n_total = sum(uni.values())
+    q = {tok: len(bin(n_total // cnt)) - 2 for tok, cnt in uni.items()}
+    out = {}
+    for d, c in tfs.items():
+        n = sum(c.values())
+        s = sum(tf * q[tok] for tok, tf in c.items())
+        out[d] = {
+            "n_tokens": n,
+            "surprisal_sum": s,
+            "bits_per_token": s / n,
+            "keep": int(min_bits * n <= s <= max_bits * n),
+        }
+    return out
+
+
+def test_unigram_surprisal_matches_python_reference(spark):
+    docs = {
+        1: "the the the cat sat on the mat",
+        2: "quantum chromodynamics flux lattice",
+        3: "the cat and the dog",
+    }
+    df = spark.createDataFrame(list(docs.items()), ["doc_id", "text"])
+    got = _rows(text.unigram_lm_surprisal(df))
+    ref = _surprisal_reference(docs)
+    for d in docs:
+        for k, v in ref[d].items():
+            assert got[d][k] == v, (d, k, got[d], ref[d])
+
+
+def test_unigram_surprisal_tails_flagged(spark):
+    # A doc made only of the corpus's dominant token scores ~1 bit/token
+    # (too predictable -> dropped by min_bits=2); normal docs kept.
+    common = " ".join(["hello"] * 50)
+    df = spark.createDataFrame(
+        [(1, common), (2, "some normal mixed words here today"),
+         (3, "other plain sentence with several words")],
+        ["doc_id", "text"],
+    )
+    got = _rows(text.unigram_lm_surprisal(df))
+    assert got[1]["keep"] == 0
+    assert got[1]["bits_per_token"] < 2
+    assert got[2]["keep"] == 1 and got[3]["keep"] == 1
