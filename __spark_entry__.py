@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_expectations": workloads_ext.dq_expectations,
         "ngram_dup_rate_docs": workloads_ext.ngram_dup_rate_docs,
         "unigram_surprisal_docs": workloads_ext.unigram_surprisal_docs,
+        "max_concurrent_events": workloads_ext.max_concurrent_events,
     }
 
 

@@ -1803,3 +1803,38 @@ FROM per_doc
 """
 
 ORACLES_EXT["unigram_surprisal_docs"] = UNIGRAM_SURPRISAL_SQL
+
+# Sweep-line peak concurrency: day-clipped segments -> +1/-1 boundary
+# rows -> per-day running sum; the (t, delta, id) sort order encodes the
+# half-open [s, e) semantics. Integer/timestamp outputs only.
+MAX_CONCURRENT_SQL = r"""
+WITH base AS (
+    SELECT event_id, ts AS s, ts + INTERVAL 15 MINUTE AS e,
+        CAST(ts AS DATE) AS d1,
+        CAST(CAST(ts AS DATE) + 1 AS TIMESTAMP) AS m
+    FROM events
+), segs AS (
+    SELECT event_id AS id_, d1 AS day, s, least(e, m) AS e FROM base
+    UNION ALL
+    SELECT event_id, CAST(m AS DATE), m, e FROM base WHERE e > m
+), bounds AS (
+    SELECT id_, day, s AS t, 1 AS delta FROM segs
+    UNION ALL
+    SELECT id_, day, e AS t, -1 AS delta FROM segs
+), run AS (
+    SELECT id_, day, t, delta,
+        CAST(SUM(delta) OVER (
+            PARTITION BY day ORDER BY t, delta, id_
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+    FROM bounds
+), mx AS (
+    SELECT *, MAX(run) OVER (PARTITION BY day) AS day_max FROM run
+)
+SELECT CAST(day AS VARCHAR) AS day,
+    CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_segments,
+    CAST(MAX(run) AS BIGINT) AS max_concurrent,
+    MIN(CASE WHEN run = day_max THEN t END) AS peak_first_ts
+FROM mx GROUP BY day
+"""
+
+ORACLES_EXT["max_concurrent_events"] = MAX_CONCURRENT_SQL

@@ -1638,3 +1638,17 @@ def unigram_surprisal_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.unigram_lm_surprisal(
         _docs(spark, sf_dir), min_bits=2, max_bits=12
     )
+
+
+def max_concurrent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line peak concurrency: how many 15-minute event intervals
+    are open at once, per day (operators/sweep.py)."""
+    from ..operators import sweep
+
+    ev = load_table(spark, sf_dir, "events")
+    out = sweep.max_concurrent_intervals(
+        ev, id_col="event_id", ts_col="ts", duration_minutes=15
+    )
+    # date -> string for the cross-engine hash (repo convention: pandas
+    # widens DuckDB DATE to midnight timestamps otherwise)
+    return out.withColumn("day", F.col("day").cast("string"))
