@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_dup_rate_docs": workloads_ext.ngram_dup_rate_docs,
         "unigram_surprisal_docs": workloads_ext.unigram_surprisal_docs,
         "max_concurrent_events": workloads_ext.max_concurrent_events,
+        "topk_orders_per_priority": workloads_ext.topk_orders_per_priority,
     }
 
 

@@ -1838,3 +1838,20 @@ FROM mx GROUP BY day
 """
 
 ORACLES_EXT["max_concurrent_events"] = MAX_CONCURRENT_SQL
+
+# Top-k per group: the oracle is the naive total-order window — the
+# map-side prune must be invisible in the result.
+TOPK_ORDERS_SQL = r"""
+SELECT o_orderpriority, o_orderkey, o_totalprice,
+    CAST(rn AS BIGINT) AS rn
+FROM (
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+        ROW_NUMBER() OVER (
+            PARTITION BY o_orderpriority
+            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+)
+WHERE rn <= 3
+"""
+
+ORACLES_EXT["topk_orders_per_priority"] = TOPK_ORDERS_SQL

@@ -1652,3 +1652,21 @@ def max_concurrent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # date -> string for the cross-engine hash (repo convention: pandas
     # widens DuckDB DATE to midnight timestamps otherwise)
     return out.withColumn("day", F.col("day").cast("string"))
+
+
+def topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by total price within each order priority, computed
+    with the map-side-pruned top-k (operators/topk.py) — result is
+    bit-identical to the naive window, which is the oracle shape."""
+    from ..operators import topk
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    return topk.topk_per_group(
+        ensure_parallelism(o),
+        group_cols=["o_orderpriority"],
+        order_col="o_totalprice",
+        id_col="o_orderkey",
+        k=3,
+    )
