@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_surprisal_docs": workloads_ext.unigram_surprisal_docs,
         "max_concurrent_events": workloads_ext.max_concurrent_events,
         "topk_orders_per_priority": workloads_ext.topk_orders_per_priority,
+        "triangle_count_copurchase": workloads_ext.triangle_count_copurchase,
     }
 
 

@@ -1855,3 +1855,36 @@ WHERE rn <= 3
 """
 
 ORACLES_EXT["topk_orders_per_priority"] = TOPK_ORDERS_SQL
+
+# Triangle count: identical degree-ordered orientation; every CTE is
+# exact-integer so the wedge/triangle counts match bit-for-bit.
+TRIANGLE_COUNT_SQL = r"""
+WITH pairs AS (
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb
+    FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+    WHERE a.l_partkey < b.l_partkey
+), e AS (
+    SELECT pa AS a, pb AS b FROM pairs GROUP BY pa, pb HAVING COUNT(*) >= 2
+), deg AS (
+    SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) GROUP BY v
+), oriented AS (
+    SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+                THEN e.a ELSE e.b END AS u,
+           CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+                THEN e.b ELSE e.a END AS w
+    FROM e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v
+), wedges AS (
+    SELECT e1.u AS x, e1.w AS y, e2.w AS z
+    FROM oriented e1 JOIN oriented e2 ON e1.w = e2.u
+), closed AS (
+    SELECT w2.x FROM wedges w2
+    JOIN oriented o ON w2.x = o.u AND w2.z = o.w
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_vertices,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM wedges) AS n_wedges,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM closed) AS n_triangles
+"""
+
+ORACLES_EXT["triangle_count_copurchase"] = TRIANGLE_COUNT_SQL

@@ -1670,3 +1670,23 @@ def topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="o_orderkey",
         k=3,
     )
+
+
+def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the co-purchase graph (parts co-bought in >= 2
+    orders) via degree-ordered edge orientation (cluster.triangle_count)
+    — the Suri–Vassilvitskii bound keeps the wedge join O(m^1.5) on any
+    degree distribution. Support >= 2 bounds the edge set the same way
+    the stop-shingle cut bounds the Jaccard join."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("pa", "pb")
+    )
+    return cluster.triangle_count(edges, src="pa", dst="pb")
