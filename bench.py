@@ -60,6 +60,12 @@ EXTENDED = [
     "semdedup_prune_embeddings",
     "bpe_learn_merges",
     "grid_nearest_station",
+    # round-3 session-2 operators
+    "ngram_dup_rate_docs",
+    "unigram_surprisal_docs",
+    "max_concurrent_events",
+    "topk_orders_per_priority",
+    "triangle_count_copurchase",
 ]
 
 HEADLINE = [

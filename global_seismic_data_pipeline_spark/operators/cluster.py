@@ -241,13 +241,23 @@ def triangle_count(
     count — every join keyed, no theta-join anywhere. Output:
     (n_vertices, n_edges, n_wedges, n_triangles) — all exact integers.
     """
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # e feeds deg, its own count, AND the orientation join; deg feeds two
+    # rank joins and the vertex count; wedges feed their count and the
+    # closing join — each diamond is persisted once or its whole build
+    # (including the caller's edge derivation) re-executes per consumer
+    # (CLAUDE.md: a DataFrame joined k times must be persisted).
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    _PERSISTED.append(e)
     deg = (
         e.select(F.col("a").alias("v"))
         .unionAll(e.select(F.col("b").alias("v")))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _PERSISTED.append(deg)
     ranked = (
         e.join(F.broadcast(deg.select(F.col("v").alias("a"), F.col("deg").alias("da"))), "a")
         .join(F.broadcast(deg.select(F.col("v").alias("b"), F.col("deg").alias("db"))), "b")
@@ -261,11 +271,12 @@ def triangle_count(
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("w"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     _PERSISTED.append(oriented)
-    wedges = oriented.select(
-        F.col("u").alias("x"), F.col("w").alias("y")
-    ).join(
-        oriented.select(F.col("u").alias("y"), F.col("w").alias("z")), "y"
+    wedges = (
+        oriented.select(F.col("u").alias("x"), F.col("w").alias("y"))
+        .join(oriented.select(F.col("u").alias("y"), F.col("w").alias("z")), "y")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _PERSISTED.append(wedges)
     closed = wedges.join(
         oriented.select(F.col("u").alias("x"), F.col("w").alias("z")),
         ["x", "z"],
