@@ -1,7 +1,7 @@
 """Real, dependency-free media codecs for the multimodal operators.
 
 The container ships no image/audio libraries (no PIL, no ffmpeg), but
-three formats are fully decodable with the standard library + numpy alone:
+four formats are fully decodable with the standard library + numpy alone:
 
 - **BMP** (Windows bitmap, uncompressed 24-bit): fixed 54-byte header with
   little-endian size fields, bottom-up BGR rows padded to 4 bytes. Encode
@@ -13,12 +13,17 @@ three formats are fully decodable with the standard library + numpy alone:
 - **WAV** (RIFF PCM): the stdlib ``wave`` module parses the container;
   samples land in a numpy int16 array.
 
+- **JPEG** (baseline sequential DCT): full spec-table codec in
+  :mod:`.jpegcodec` — canonical Huffman entropy coding, matrix IDCT,
+  chroma subsampling, restart markers. Progressive/arithmetic variants
+  raise NotImplementedError.
+
 These give :mod:`.multimodal` a *real* codec path — decode, resize,
-feature-extract, frame-slice on actual pixel/sample data — while JPEG and
-MP4/MP3 stay behind the documented NotImplementedError guards (entropy
-coding / DCT legitimately need PIL/ffmpeg; reference parity: the
-reference pipeline treats media as opaque blobs + metadata; see SURVEY.md
-§2 multimodal extension rows).
+feature-extract, frame-slice on actual pixel/sample data — while MP4/MP3
+stay behind the documented NotImplementedError guards (video/audio
+entropy stacks legitimately need ffmpeg; reference parity: the reference
+pipeline treats media as opaque blobs + metadata; see SURVEY.md §2
+multimodal extension rows).
 
 Everything here is per-payload Python called from Arrow-batched
 ``mapInPandas`` stages — the distributed contract (pruned columns, batch
@@ -118,19 +123,27 @@ def decode_image(payload: bytes) -> tuple[str, np.ndarray]:
         return "bmp", decode_bmp(b)
     if kind == "png":
         return "png", decode_png(b)
+    if kind == "jpeg":
+        from . import jpegcodec
+
+        return "jpeg", jpegcodec.decode_jpeg(b)
     raise NotImplementedError(
         f"decoding {kind or 'unknown'} payloads requires PIL/libvips — "
-        "built-in codecs cover BMP and PNG; pass fake=True for the "
-        "deterministic stand-in"
+        "built-in codecs cover BMP, PNG and baseline JPEG; pass fake=True "
+        "for the deterministic stand-in"
     )
 
 
 def encode_image(kind: str, pixels: np.ndarray) -> bytes:
-    """Encode (h, w, 3) uint8 RGB back into ``kind`` ('bmp' or 'png')."""
+    """Encode (h, w, 3) uint8 RGB back into ``kind`` ('bmp', 'png', 'jpeg')."""
     if kind == "bmp":
         return encode_bmp(pixels)
     if kind == "png":
         return encode_png(pixels)
+    if kind == "jpeg":
+        from . import jpegcodec
+
+        return jpegcodec.encode_jpeg(pixels)
     raise NotImplementedError(f"no built-in encoder for {kind!r}")
 
 

@@ -11,10 +11,11 @@ Codec support is split by what this environment can actually decode:
 **BMP images and PCM WAV audio have REAL codecs** (pure numpy / stdlib
 ``wave``, see :mod:`.codecs`) — decode, nearest-neighbor resize, audio
 feature extraction, and frame slicing operate on real pixels/samples.
-BMP, PNG, and PCM WAV have REAL built-in codecs (operators/codecs.py);
-JPEG/MP4/MP3 need PIL/ffmpeg (absent here) and stay behind documented
-NotImplementedError guards; ``fake=True`` selects a deterministic stand-in
-so the distributed plumbing is testable on arbitrary payloads. The
+BMP, PNG, baseline JPEG and PCM WAV have REAL built-in codecs
+(operators/codecs.py, operators/jpegcodec.py); MP4/MP3 need ffmpeg
+(absent here) and stay behind documented NotImplementedError guards.
+``fake=True`` selects a deterministic stand-in so the distributed
+plumbing is testable on arbitrary payloads. The
 Spark-side plumbing — schema, batch iteration, payload pruning — is real
 and tested in all modes.
 """
@@ -48,8 +49,8 @@ def decode_image_batch(payloads: pd.Series, *, fake: bool = False) -> pd.DataFra
 
     Real path (``fake=False``): BMP and PNG payloads are decoded with the
     stdlib+numpy codecs (:func:`codecs.decode_image`) — width/height come
-    from actual pixel data. JPEG needs PIL (absent here) and raises
-    NotImplementedError. ``fake=True`` uses a deterministic stand-in
+    from actual pixel data; baseline JPEG decodes via
+    :mod:`.jpegcodec` (progressive raises NotImplementedError). ``fake=True`` uses a deterministic stand-in
     derived from the bytes so the distributed plumbing is testable on
     arbitrary payloads."""
     if not fake:
@@ -120,8 +121,8 @@ def resize_images(
     with the pixel-center nearest-neighbor kernel
     (:func:`codecs.resize_nearest`, PIL-NEAREST-compatible grid), and
     re-encoded in their ORIGINAL format — a genuine pixels-in/pixels-out
-    transform with no external libraries. JPEG raises NotImplementedError
-    (needs PIL). ``fake=True`` emits a deterministic truncated/padded byte
+    transform with no external libraries (BMP, PNG and baseline JPEG).
+    ``fake=True`` emits a deterministic truncated/padded byte
     payload of width*height bytes so the Arrow batch shape, schema, and
     pruning are exercised on arbitrary payloads."""
 

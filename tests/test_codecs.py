@@ -110,13 +110,28 @@ def test_extract_audio_features_real_wav(spark):
     assert out[2].rms < out[1].rms / 5
 
 
-def test_jpeg_payload_raises_not_implemented(spark):
-    # JPEG needs real entropy-coding support (PIL) — still guarded
+def test_jpeg_metadata_real_codec(spark):
+    # baseline JPEG now has a real decoder (operators/jpegcodec.py):
+    # extract_metadata reports true pixel dimensions
+    from global_seismic_data_pipeline_spark.operators import jpegcodec
+
+    img = np.tile(
+        np.arange(48, dtype=np.uint8).reshape(1, 48, 1) * 5, (32, 1, 3)
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(jpegcodec.encode_jpeg(img, quality=90)))],
+        "doc_id long, payload binary",
+    )
+    row = multimodal.extract_metadata(df, fake=False).collect()[0]
+    assert (row.width, row.height) == (48, 32)
+
+
+def test_malformed_jpeg_still_raises(spark):
     df = spark.createDataFrame(
         [(1, bytearray(b"\xff\xd8\xff\xe0" + b"\0" * 64))],
         "doc_id long, payload binary",
     )
-    with pytest.raises(Exception, match="jpeg"):
+    with pytest.raises(Exception):
         multimodal.extract_metadata(df, fake=False).collect()
 
 
