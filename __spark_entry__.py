@@ -139,6 +139,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_concurrent_events": workloads_ext.max_concurrent_events,
         "topk_orders_per_priority": workloads_ext.topk_orders_per_priority,
         "triangle_count_copurchase": workloads_ext.triangle_count_copurchase,
+        "hll_merge_rollup": workloads_ext.hll_merge_rollup,
+        "trimmed_mean_prices": workloads_ext.trimmed_mean_prices,
     }
 
 

@@ -159,6 +159,19 @@ def hll_distinct(
     )
 
 
+def hll_merge(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Max-merge a register table to a coarser grouping — the sketch
+    rollup primitive: registers built per (day, key) collapse to per-key
+    (or global) registers with ONE max-aggregate, no rescan of the raw
+    data. Because a register is max(rho) over hash values and max is
+    associative, merging partial sketches is bit-identical to sketching
+    the union — the property that makes HLL a 100 TB warehouse type
+    (store daily registers, answer any date-range distinct by merge)."""
+    return registers.groupBy(*group_cols, "bucket").agg(
+        F.max("m_j").alias("m_j")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Portable quantile histogram (HDR-histogram / DDSketch-shaped, exact-integer)
 #

@@ -1888,3 +1888,92 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_vertices,
 """
 
 ORACLES_EXT["triangle_count_copurchase"] = TRIANGLE_COUNT_SQL
+
+# HLL merge rollup: daily registers max-merged == direct registers,
+# estimate tail identical to sketch.oracle_sql (same float literals).
+from ..operators.sketch import _alpha_c as _hll_alpha  # noqa: E402
+from ..operators.sketch import _rho_max as _hll_rho_max  # noqa: E402
+from ..operators.sketch import oracle_sql as _hll_sql  # noqa: E402
+
+_HLL_P = 12
+_HLL_M = 1 << _HLL_P
+_HLL_RMAX = _hll_rho_max(_HLL_P)
+_HLL_C = repr(_hll_alpha(_HLL_P))
+_HLL_LC = repr(2.5 * _HLL_M)
+
+HLL_MERGE_ROLLUP_SQL = f"""
+WITH ev AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, user_id FROM events
+),
+mh AS (
+  SELECT event_type, day,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM ev WHERE user_id IS NOT NULL
+),
+daily_r AS (
+  SELECT event_type, day, hv % {_HLL_M} AS bucket,
+         MAX(CASE WHEN (hv // {_HLL_M}) > 0
+                  THEN CAST(ROUND(LOG2((hv // {_HLL_M}) & (-(hv // {_HLL_M}))), 0) AS BIGINT) + 1
+                  ELSE {_HLL_RMAX} END) AS m_j
+  FROM mh GROUP BY event_type, day, hv % {_HLL_M}
+),
+merged_r AS (
+  SELECT event_type, bucket, MAX(m_j) AS m_j
+  FROM daily_r GROUP BY event_type, bucket
+),
+merged_g AS (
+  SELECT event_type,
+         SUM(1::BIGINT << CAST({_HLL_RMAX} - m_j AS INTEGER)) AS s_present,
+         COUNT(*) AS nonzero
+  FROM merged_r GROUP BY event_type
+),
+merged_e AS (
+  SELECT event_type, {_HLL_M} - nonzero AS zeros,
+         CAST(s_present + ({_HLL_M} - nonzero) * (1::BIGINT << {_HLL_RMAX}) AS DOUBLE) AS s_total
+  FROM merged_g
+),
+merged AS (
+  SELECT event_type,
+       CAST(ROUND(CASE WHEN {_HLL_C} / s_total <= {_HLL_LC} AND zeros > 0
+            THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / zeros)
+            ELSE {_HLL_C} / s_total END, 0) AS BIGINT) AS merged_users
+  FROM merged_e
+),
+direct AS ({_hll_sql("events", "user_id", ["event_type"], p=12, out_col="direct_users")}),
+days AS (
+  SELECT event_type,
+         CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+  FROM events GROUP BY event_type
+)
+SELECT m.event_type, m.merged_users, d.direct_users,
+    CAST(m.merged_users = d.direct_users AS BIGINT) AS merge_exact,
+    days.n_days
+FROM merged m JOIN direct d USING (event_type) JOIN days USING (event_type)
+"""
+
+ORACLES_EXT["hll_merge_rollup"] = HLL_MERGE_ROLLUP_SQL
+
+# Trimmed mean: exact integer trim ranks, exact cents, one final division.
+TRIMMED_MEAN_SQL = r"""
+WITH ranked AS (
+    SELECT l_returnflag,
+        CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+        CAST(ROW_NUMBER() OVER (
+            PARTITION BY l_returnflag
+            ORDER BY CAST(ROUND(l_extendedprice * 100) AS BIGINT),
+                     l_orderkey, l_linenumber) AS BIGINT) AS rn,
+        CAST(COUNT(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+    FROM lineitem
+), kept AS (
+    SELECT *, (n * 5) // 100 AS lo FROM ranked
+    WHERE rn > (n * 5) // 100 AND rn <= n - (n * 5) // 100
+)
+SELECT l_returnflag,
+    CAST(MAX(n) AS BIGINT) AS n_rows,
+    CAST(COUNT(*) AS BIGINT) AS n_kept,
+    CAST(SUM(cents) AS BIGINT) AS kept_cents,
+    CAST(SUM(cents) AS BIGINT) / (COUNT(*) * 100) AS trimmed_mean
+FROM kept GROUP BY l_returnflag
+"""
+
+ORACLES_EXT["trimmed_mean_prices"] = TRIMMED_MEAN_SQL

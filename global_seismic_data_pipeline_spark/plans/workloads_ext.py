@@ -1690,3 +1690,90 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pa", "pb")
     )
     return cluster.triangle_count(edges, src="pa", dst="pb")
+
+
+def hll_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch rollup: daily per-event-type HLL registers max-merged up to
+    per-event-type, beside the directly-sketched counts — merge must be
+    bit-identical to sketching the union (sketch.hll_merge), which is
+    what lets a warehouse store daily registers and answer any date-range
+    distinct without rescanning raw data."""
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    daily = sketch.hll_registers(ev, "user_id", ["event_type", "day"], p=12)
+    merged = sketch.hll_merge(daily, ["event_type"])
+    est_merged = sketch.hll_estimate(
+        merged, ["event_type"], p=12, out_col="merged_users"
+    )
+    est_direct = sketch.hll_distinct(
+        ev, "user_id", ["event_type"], p=12, out_col="direct_users"
+    )
+    days = ev.groupBy("event_type").agg(
+        F.countDistinct("day").alias("n_days")
+    )
+    return (
+        est_merged.join(est_direct, "event_type")
+        .join(days, "event_type")
+        .select(
+            "event_type",
+            "merged_users",
+            "direct_users",
+            (F.col("merged_users") == F.col("direct_users"))
+            .cast("long")
+            .alias("merge_exact"),
+            "n_days",
+        )
+    )
+
+
+def trimmed_mean_cents(
+    df: DataFrame,
+    *,
+    group_col: str,
+    cents_col: str,
+    order_cols: list[str],
+    pct_num: int = 5,
+    pct_den: int = 100,
+) -> DataFrame:
+    """Exact trimmed mean over an integer-cents column: trim counts are
+    exact integer floor((n*pct)/den) ranks over a total order, kept sums
+    are exact cents, and the mean is the single final division — no
+    float enters until the last step.
+
+    Scale note: the per-group rank is a window here (fine for few
+    groups); at fact scale the two-pass range-partitioned rank
+    (operators/ranking.py) is the drop-in replacement, same as W5."""
+    w = Window.partitionBy(group_col).orderBy(cents_col, *order_cols)
+    wn = Window.partitionBy(group_col)
+    ranked = (
+        df.withColumn("rn", F.row_number().over(w).cast("long"))
+        .withColumn("n", F.count(F.lit(1)).over(wn).cast("long"))
+        .withColumn("lo", F.expr(f"(n * {int(pct_num)}) div {int(pct_den)}"))
+    )
+    kept = ranked.filter(
+        (F.col("rn") > F.col("lo")) & (F.col("rn") <= F.col("n") - F.col("lo"))
+    )
+    return kept.groupBy(group_col).agg(
+        F.max("n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(cents_col).alias("kept_cents"),
+        (F.sum(cents_col) / (F.count(F.lit(1)) * F.lit(100))).alias(
+            "trimmed_mean"
+        ),
+    )
+
+
+def trimmed_mean_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-trimmed mean of extended price per return flag (see
+    trimmed_mean_cents for the exactness argument)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    return trimmed_mean_cents(
+        li,
+        group_col="l_returnflag",
+        cents_col="cents",
+        order_cols=["l_orderkey", "l_linenumber"],
+    )

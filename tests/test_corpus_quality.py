@@ -135,3 +135,30 @@ def test_unigram_surprisal_tails_flagged(spark):
     assert got[1]["keep"] == 0
     assert got[1]["bits_per_token"] < 2
     assert got[2]["keep"] == 1 and got[3]["keep"] == 1
+
+
+def test_trimmed_mean_ignores_tail_outliers(spark):
+    # 20 values of 10.00 plus one absurd outlier: 5% trim drops exactly
+    # the outlier (and the lowest value), leaving the mean at 10.00
+    from pyspark.sql import functions as F
+
+    from global_seismic_data_pipeline_spark.plans.workloads_ext import (
+        trimmed_mean_cents,
+    )
+
+    rows = [("A", i, 1, 10.00) for i in range(20)] + [("A", 99, 1, 9e6)]
+    df = spark.createDataFrame(
+        rows, ["l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"]
+    ).select(
+        "l_returnflag", "l_orderkey", "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    out = trimmed_mean_cents(
+        df,
+        group_col="l_returnflag",
+        cents_col="cents",
+        order_cols=["l_orderkey", "l_linenumber"],
+    ).collect()[0]
+    assert out["trimmed_mean"] == 10.0
+    assert out["n_kept"] == 19  # 21 rows, lo = 1: drops 1 low + 1 high
+    assert out["n_rows"] == 21

@@ -204,3 +204,17 @@ def test_cms_counters_are_sum_mergeable(spark):
     a = {(r["row"], r["pos"]): r["cnt"] for r in merged.collect()}
     b = {(r["row"], r["pos"]): r["cnt"] for r in direct.collect()}
     assert a == b
+
+
+def test_hll_merge_helper_equals_union_sketch(spark):
+    # hll_merge over finer-grained registers == registers of the union
+    df = spark.range(8000).select(
+        (F.col("id") * 13 % 2999).alias("u"),
+        (F.col("id") % 4).alias("day"),
+        F.lit("t").alias("g"),
+    )
+    daily = sketch.hll_registers(df, "u", ["g", "day"], p=10)
+    merged = sketch.hll_merge(daily, ["g"])
+    whole = sketch.hll_registers(df, "u", ["g"], p=10)
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
