@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count_copurchase": workloads_ext.triangle_count_copurchase,
         "hll_merge_rollup": workloads_ext.hll_merge_rollup,
         "trimmed_mean_prices": workloads_ext.trimmed_mean_prices,
+        "csv_parse_recovery": workloads_ext.csv_parse_recovery,
     }
 
 

@@ -1977,3 +1977,17 @@ FROM kept GROUP BY l_returnflag
 """
 
 ORACLES_EXT["trimmed_mean_prices"] = TRIMMED_MEAN_SQL
+
+# CSV parse recovery: the oracle states the EXPECTED per-line outcome —
+# a type-corrupted id (every 7th doc) must quarantine, everything else
+# must parse with its fields intact. A Spark parse-semantics drift would
+# hash-fail here.
+CSV_RECOVERY_SQL = r"""
+SELECT doc_id,
+    CAST(doc_id % 7 != 0 AS BIGINT) AS ok,
+    CASE WHEN doc_id % 7 != 0 THEN n_chars END AS n_chars_parsed,
+    CASE WHEN doc_id % 7 != 0 THEN lang END AS lang_parsed
+FROM documents
+"""
+
+ORACLES_EXT["csv_parse_recovery"] = CSV_RECOVERY_SQL

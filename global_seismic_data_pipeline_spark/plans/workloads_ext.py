@@ -1777,3 +1777,36 @@ def trimmed_mean_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents_col="cents",
         order_cols=["l_orderkey", "l_linenumber"],
     )
+
+
+def csv_parse_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV ingestion with corrupt-record recovery (sources/csvsrc.py):
+    each doc serialized to a (doc_id, lang, n_chars) CSV line, every 7th
+    line's id corrupted with a letter prefix (type error -> PERMISSIVE
+    routes the raw line to the corrupt column), re-ingested through the
+    text -> from_csv path. Per-line outcome (salvaged id, ok flag,
+    parsed n_chars) is oracle-checked so both engines agree on exactly
+    which lines parse."""
+    from ..sources import csvsrc
+
+    d = _docs(spark, sf_dir)
+    line = F.concat_ws(
+        ",",
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.lit("X"), F.col("doc_id").cast("string")))
+        .otherwise(F.col("doc_id").cast("string")),
+        F.col("lang"),
+        F.col("n_chars").cast("string"),
+    )
+    parsed = csvsrc.parse_csv_lines(
+        d.select(line.alias("value")), "doc_id long, lang string, n_chars long"
+    )
+    ok = F.col(csvsrc.CORRUPT_COL).isNull()
+    salvaged = F.regexp_extract(
+        F.col(csvsrc.CORRUPT_COL), r"^X([0-9]+),", 1
+    ).cast("long")
+    return parsed.select(
+        F.coalesce(F.col("doc_id"), salvaged).alias("doc_id"),
+        ok.cast("long").alias("ok"),
+        F.when(ok, F.col("n_chars")).alias("n_chars_parsed"),
+        F.when(ok, F.col("lang")).alias("lang_parsed"),
+    )
