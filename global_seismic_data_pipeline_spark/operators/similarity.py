@@ -399,6 +399,237 @@ def ivf_topk(
     )
 
 
+def train_pq_codebooks(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 3,
+    seed: int = 42,
+) -> np.ndarray:
+    """Distributed Lloyd k-means per PQ subspace, exact integer arithmetic —
+    returns quantized codebooks (int64, m × ksub × dim/m) for
+    :func:`with_pq_codes` / :func:`ivf_pq_topk`.
+
+    Product quantization splits each vector into ``m`` contiguous
+    subvectors and learns an independent ``ksub``-centroid codebook per
+    subspace; a vector's code is then ``m`` small integers (m·log2(ksub)
+    bits — 4 GB for a billion vectors at m=8, ksub=16, vs 256 GB of raw
+    float32). Codebooks train on raw subvectors (no IVF residual) — the
+    residual refinement is a quality knob, not a semantics change, and
+    raw-subvector PQ keeps the oracle replay a single pass.
+
+    Same exact-integer discipline as :func:`train_ivf_codebook` (argmin of
+    L2 on quantized int64s, order-free int64 sums, floor-div update, empty
+    cells keep their centroid, ties → lowest code) so the oracle builder
+    retrains the bit-identical codebooks in numpy. ALL m subspaces train in
+    one pass per iteration: codes come from one Arrow matmul, the update is
+    one groupBy(sub, code) whose shuffle carries m rows × (dim/m + 2) longs
+    per vector with map-side partials.
+
+    L2 argmin drops the per-vector ``‖x‖²`` term: argmin over c of
+    ``‖c‖² − 2x·c`` — every quantity int64 (|q| < 2^27, dsub=8 products
+    < 2^58, no overflow).
+    """
+    if dim % m:
+        raise ValueError(f"m ({m}) must divide dim ({dim})")
+    dsub = dim // m
+    rng = np.random.RandomState(seed)
+    # init matches the data scale of unit-norm vectors (per-dim std ~ 1/sqrt(dim))
+    cb = quantize(rng.standard_normal((m, ksub, dsub)) / np.sqrt(dim))
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def quant_pd(vecs: pd.Series) -> pd.Series:
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        return pd.Series(list(quantize(mat)))
+
+    xq = df.select(quant_pd(F.col(vec_col)).alias("xq")).persist()
+    try:
+        sums = [
+            F.sum(
+                F.element_at("xq", (F.col("sub") * dsub + F.lit(d + 1)).cast("int"))
+            ).alias(f"s{d}")
+            for d in range(dsub)
+        ]
+        for _ in range(iters):
+            codes_pd = _pq_codes_udf(cb)
+            rows = (
+                xq.select(F.posexplode_outer(codes_pd("xq")).alias("sub", "code"), "xq")
+                .groupBy("sub", "code")
+                .agg(F.count(F.lit(1)).alias("n"), *sums)
+                .collect()
+            )
+            new_cb = cb.copy()
+            for r in rows:
+                s, c, n = int(r["sub"]), int(r["code"]), int(r["n"])
+                new_cb[s][c] = [int(r[f"s{d}"]) // n for d in range(dsub)]
+            cb = new_cb
+        return cb
+    finally:
+        xq.unpersist()
+
+
+def _pq_codes_udf(cb_q: np.ndarray):
+    """Factory: Arrow-batched PQ encoder for ONE codebook generation
+    (bakes the codebook into the closure — a loop capture would late-bind).
+    Input: quantized int64 vector column; output: m int64 codes, argmin of
+    exact-integer L2 per subspace, first-hit (lowest-code) tie-break."""
+    m, ksub, dsub = cb_q.shape
+    cnorm = (cb_q.astype(np.int64) ** 2).sum(axis=2)  # (m, ksub)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def codes_pd(xqs: pd.Series) -> pd.Series:
+        x = np.array(xqs.tolist(), dtype=np.int64).reshape(-1, m, dsub)
+        terms = cnorm[None, :, :] - 2 * np.einsum("nmd,mkd->nmk", x, cb_q)
+        return pd.Series(list(np.argmin(terms, axis=2).astype(np.int64)))
+
+    return codes_pd
+
+
+def with_pq_codes(
+    df: DataFrame, cb_q: np.ndarray, *, vec_col: str
+) -> DataFrame:
+    """Add ``codes`` (array<long>, m entries) — the PQ code of each vector.
+    One Arrow-batched integer einsum per batch; map-side only."""
+    m, ksub, dsub = cb_q.shape
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def quant_codes_pd(vecs: pd.Series) -> pd.Series:
+        mat = quantize(np.array(vecs.tolist(), dtype=np.float64))
+        terms = (cb_q.astype(np.int64) ** 2).sum(axis=2)[None, :, :] - 2 * np.einsum(
+            "nmd,mkd->nmk", mat.reshape(-1, m, dsub), cb_q
+        )
+        return pd.Series(list(np.argmin(terms, axis=2).astype(np.int64)))
+
+    return df.withColumn("codes", quant_codes_pd(F.col(vec_col)))
+
+
+def with_pq_lut(df: DataFrame, cb_q: np.ndarray, *, vec_col: str) -> DataFrame:
+    """Add ``lut`` (array<long>, m·ksub entries): the query's asymmetric-
+    distance table. Entry ``sub·ksub + code`` holds the exact-integer
+    partial distance ``‖c‖² − 2·xq_sub·c`` of the query's sub-vector
+    against centroid ``code`` of subspace ``sub`` (the constant ‖xq_sub‖²
+    is dropped — it cannot change per-query ranking)."""
+    m, ksub, dsub = cb_q.shape
+    cnorm = (cb_q.astype(np.int64) ** 2).sum(axis=2)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def lut_pd(vecs: pd.Series) -> pd.Series:
+        x = quantize(np.array(vecs.tolist(), dtype=np.float64)).reshape(-1, m, dsub)
+        terms = cnorm[None, :, :] - 2 * np.einsum("nmd,mkd->nmk", x, cb_q)
+        return pd.Series(list(terms.reshape(len(x), m * ksub)))
+
+    return df.withColumn("lut", lut_pd(F.col(vec_col)))
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 5,
+    cells: int = 16,
+    nprobe: int = 4,
+    refine: int = 20,
+    seed: int = 42,
+    ivf_codebook_q: np.ndarray | None = None,
+    pq_codebooks_q: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the billion-vector ANN shape (FAISS
+    IVFPQ): IVF cells bound WHICH vectors are scanned (~nprobe/cells of
+    the corpus), PQ codes bound the BYTES per scanned vector (m small ints
+    instead of dim floats), and only the ``refine`` ADC-nearest candidates
+    per query ever touch raw vectors again for the exact cosine re-rank.
+
+    Scale shape: the candidate join ships (id, cell, codes) — never the
+    embedding; ADC is a JVM-side sum of m LUT lookups against the
+    broadcast query side; the refine set (≤ Q·refine rows) broadcasts
+    BACK into the corpus scan to fetch raw vectors, so the corpus never
+    shuffles and raw vectors cross the wire only for re-ranked survivors.
+    Everything up to the refine cut is exact int64 (see ``QUANT``) with
+    id tie-breaks — bit-identical in the DuckDB oracle.
+
+    Pass trained codebooks (:func:`train_ivf_codebook`,
+    :func:`train_pq_codebooks`); seeded-random fallbacks otherwise.
+    """
+    m, ksub, _ = (
+        pq_codebooks_q.shape
+        if pq_codebooks_q is not None
+        else (8, 16, dim // 8)
+    )
+    if pq_codebooks_q is None:
+        rng = np.random.RandomState(seed)
+        pq_codebooks_q = quantize(rng.standard_normal((m, ksub, dim // m)) / np.sqrt(dim))
+
+    base = ensure_parallelism(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    )
+    corpus_idx = with_pq_codes(
+        with_ivf_cells(
+            base, vec_col="cv", dim=dim, cells=cells, nprobe=1, seed=seed,
+            codebook_q=ivf_codebook_q,
+        ),
+        pq_codebooks_q,
+        vec_col="cv",
+    ).select("neighbor_id", "cell", "codes")  # the compressed-domain index
+
+    qside = with_pq_lut(
+        with_ivf_cells(
+            queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+            vec_col="qv", dim=dim, cells=cells, nprobe=nprobe, seed=seed,
+            codebook_q=ivf_codebook_q,
+        ),
+        pq_codebooks_q,
+        vec_col="qv",
+    ).select("query_id", "cell", "lut")
+
+    # a pair reached via several probed cells must score once
+    cands = (
+        corpus_idx.join(F.broadcast(qside), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    adc = sum(
+        F.element_at(
+            "lut",
+            (F.lit(sub * ksub) + F.element_at("codes", sub + 1) + 1).cast("int"),
+        )
+        for sub in range(m)
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    survivors = (
+        cands.select("query_id", "neighbor_id", adc.alias("adc_dist"))
+        .withColumn("adc_rank", F.row_number().over(w_adc))
+        .filter(F.col("adc_rank") <= refine)
+        .select("query_id", "neighbor_id")
+    )
+    # exact re-rank: raw vectors fetched ONLY for survivors (broadcast
+    # back into the two vector scans — neither big side shuffles)
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"), as_double_vec(F.col(vec_col)).alias("qv")
+    )
+    nvecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_vec(F.col(vec_col)).alias("cv")
+    )
+    pairs = nvecs.join(F.broadcast(survivors), "neighbor_id").join(
+        F.broadcast(qvecs), "query_id"
+    )
+    sim = F.round(_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6)
+    scored = pairs.select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("sim_rank", F.row_number().over(w).cast("long")).filter(
+        F.col("sim_rank") <= k
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

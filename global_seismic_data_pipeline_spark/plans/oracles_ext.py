@@ -823,10 +823,126 @@ WITH xq AS (
 ){_RERANK}"""
 
 
+_PQ_M, _PQ_KSUB, _PQ_ITERS, _PQ_REFINE = 8, 16, 3, 20
+_PQ_DSUB = _ANN_DIM // _PQ_M
+
+
+def _trained_pq_codebooks() -> "np.ndarray":
+    """Retrain the PQ codebooks exactly as similarity.train_pq_codebooks
+    does (quantize → per-subspace argmin of ‖c‖²−2x·c on int64 → order-free
+    int64 sums → floor-division update, empty codes keep their centroid,
+    ties → lowest code) — in numpy, from the oracle's parquet. Exact
+    integer arithmetic end-to-end, so both trainings land on identical
+    codebooks and they embed as literals."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ..operators.similarity import quantize
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    mat = np.array(emb.column("embedding").to_pylist(), dtype=np.float64)
+    xq = quantize(mat).reshape(-1, _PQ_M, _PQ_DSUB)
+    rng = np.random.RandomState(_ANN_SEED)
+    cb = quantize(
+        rng.standard_normal((_PQ_M, _PQ_KSUB, _PQ_DSUB)) / np.sqrt(_ANN_DIM)
+    )
+    for _ in range(_PQ_ITERS):
+        terms = (cb.astype(np.int64) ** 2).sum(axis=2)[None, :, :] - 2 * np.einsum(
+            "nmd,mkd->nmk", xq, cb
+        )
+        codes = np.argmin(terms, axis=2)  # (n, m), first-hit ties
+        new_cb = cb.copy()
+        for s in range(_PQ_M):
+            for c in range(_PQ_KSUB):
+                members = xq[:, s, :][codes[:, s] == c]
+                if len(members):
+                    new_cb[s][c] = np.floor_divide(members.sum(axis=0), len(members))
+        cb = new_cb
+    return cb
+
+
+def _pq_ann_sql() -> str:
+    """IVF-PQ: the IVF cell CTEs from _ivf_ann_sql, plus per-vector PQ
+    terms/codes from the retrained codebook literals, ADC ranking
+    (sum of m LUT lookups — query terms indexed by corpus codes), a
+    refine cut, then the shared exact re-rank."""
+    ivf_cb = _trained_ivf_codebook()
+    pq_cb = _trained_pq_codebooks()
+    ivf_dots = ", ".join(
+        f"list_sum(list_transform(range(1, 65), "
+        f"i -> xq[i] * ({_int_list(ivf_cb[c])})[i]))"
+        for c in range(_IVF_CELLS)
+    )
+    term_lists = []
+    for s in range(_PQ_M):
+        cnorms = (pq_cb[s].astype("int64") ** 2).sum(axis=1)
+        entries = ", ".join(
+            f"({int(cnorms[c])} - 2 * list_sum(list_transform(range(1, {_PQ_DSUB + 1}), "
+            f"i -> xq[{s * _PQ_DSUB} + i] * ({_int_list(pq_cb[s][c])})[i])))"
+            for c in range(_PQ_KSUB)
+        )
+        term_lists.append(f"list_value({entries}) AS t{s}")
+    codes = ", ".join(
+        f"CAST(list_position(t{s}, list_min(t{s})) - 1 AS BIGINT)"
+        for s in range(_PQ_M)
+    )
+    terms = ", ".join(f"t{s}" for s in range(_PQ_M))
+    return f"""
+WITH xq AS (
+    SELECT vec_id, {_XQ} AS xq FROM embeddings
+), dots AS (
+    SELECT vec_id, list_value({ivf_dots}) AS d FROM xq
+), corpus_cells AS (
+    SELECT vec_id, CAST(list_position(d, list_max(d)) - 1 AS BIGINT) AS cell
+    FROM dots
+), q_exp AS (
+    SELECT vec_id, i AS idx, d[i] AS dot
+    FROM dots, range(1, {_IVF_CELLS + 1}) t(i)
+    WHERE vec_id < 20
+), query_cells AS (
+    SELECT vec_id, CAST(idx - 1 AS BIGINT) AS cell
+    FROM (
+        SELECT vec_id, idx,
+            ROW_NUMBER() OVER (PARTITION BY vec_id
+                ORDER BY dot DESC, idx ASC) AS rn
+        FROM q_exp
+    )
+    WHERE rn <= {_IVF_NPROBE}
+), pq_terms AS (
+    SELECT vec_id, {", ".join(term_lists)} FROM xq
+), pq AS (
+    SELECT vec_id, list_value({codes}) AS codes, list_value({terms}) AS terms
+    FROM pq_terms
+), cand0 AS (
+    SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+    FROM query_cells q JOIN corpus_cells c ON q.cell = c.cell
+    WHERE q.vec_id != c.vec_id
+), adc AS (
+    SELECT c0.query_id, c0.neighbor_id,
+        list_sum(list_transform(range(1, {_PQ_M + 1}),
+            s -> qp.terms[s][cp.codes[s] + 1])) AS ad
+    FROM cand0 c0
+    JOIN pq qp ON qp.vec_id = c0.query_id
+    JOIN pq cp ON cp.vec_id = c0.neighbor_id
+), cands AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY ad ASC, neighbor_id ASC) AS rn
+        FROM adc
+    )
+    WHERE rn <= {_PQ_REFINE}
+){_RERANK}"""
+
+
 LSH_ANN_TOPK_SQL = _lsh_ann_sql()
 IVF_ANN_TOPK_SQL = _ivf_ann_sql()
 ORACLES_EXT["lsh_ann_topk"] = LSH_ANN_TOPK_SQL
 ORACLES_EXT["ivf_ann_topk"] = IVF_ANN_TOPK_SQL
+ORACLES_EXT["pq_ann_topk"] = _pq_ann_sql()
 
 ORACLES_EXT["pii_redact_docs"] = PII_REDACT_SQL
 ORACLES_EXT["repetition_filter_docs"] = REPETITION_FILTER_SQL

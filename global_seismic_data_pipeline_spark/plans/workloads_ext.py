@@ -229,6 +229,25 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate top-k (similarity.ivf_pq_topk): trained IVF
+    cells bound which vectors are scanned, trained product-quantization
+    codes (m=8 subspaces × 16 centroids) bound the bytes per scanned
+    vector, asymmetric-distance (ADC) ranking keeps only the 20 nearest
+    codes per query for the exact cosine re-rank. Both trainings and the
+    whole candidate/ADC/refine path are exact int64 with id tie-breaks,
+    so the oracle retrains identical codebooks in numpy and replays the
+    pipeline bit-for-bit in DuckDB."""
+    embs = _embs(spark, sf_dir)
+    ivf_cb = similarity.train_ivf_codebook(embs, dim=64, cells=16, iters=4)
+    pq_cb = similarity.train_pq_codebooks(embs, dim=64, m=8, ksub=16, iters=3)
+    queries = embs.filter(F.col("vec_id") < 20)
+    return similarity.ivf_pq_topk(
+        embs, queries, k=5, cells=16, nprobe=4, refine=20,
+        ivf_codebook_q=ivf_cb, pq_codebooks_q=pq_cb,
+    )
+
+
 def asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase matched to the user's latest click value
     at-or-before the purchase time (oracle: DuckDB's native ASOF JOIN).

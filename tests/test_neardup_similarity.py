@@ -266,3 +266,95 @@ def test_trained_codebook_beats_random_recall(spark, clustered_df):
     r_trained, r_random = recall(trained), recall(None)
     assert r_trained > r_random
     assert r_trained >= 0.9
+
+
+def test_train_pq_codebooks_deterministic_and_match_numpy(spark, vec_df):
+    """The per-subspace integer Lloyd loop is order-free: two distributed
+    runs agree exactly, and a sequential numpy replication (what the
+    oracle builder embeds as literals) lands on identical codebooks."""
+    import numpy as np
+
+    from global_seismic_data_pipeline_spark.operators.similarity import quantize
+
+    kw = dict(dim=64, m=8, ksub=8, iters=3, seed=42)
+    cb1 = similarity.train_pq_codebooks(vec_df, **kw)
+    cb2 = similarity.train_pq_codebooks(vec_df, **kw)
+    assert np.array_equal(cb1, cb2)
+    assert cb1.shape == (8, 8, 8)
+
+    rows = vec_df.select("embedding").collect()
+    xq = quantize(np.array([r[0] for r in rows], dtype=np.float64)).reshape(-1, 8, 8)
+    rng = np.random.RandomState(42)
+    cb = quantize(rng.standard_normal((8, 8, 8)) / np.sqrt(64))
+    for _ in range(3):
+        terms = (cb.astype(np.int64) ** 2).sum(axis=2)[None, :, :] - 2 * np.einsum(
+            "nmd,mkd->nmk", xq, cb
+        )
+        codes = np.argmin(terms, axis=2)
+        new_cb = cb.copy()
+        for s in range(8):
+            for c in range(8):
+                members = xq[:, s, :][codes[:, s] == c]
+                if len(members):
+                    new_cb[s][c] = np.floor_divide(members.sum(axis=0), len(members))
+        cb = new_cb
+    assert np.array_equal(cb1, cb)
+
+
+def test_with_pq_codes_matches_numpy_argmin(spark, vec_df):
+    """Distributed PQ encoding == numpy argmin of exact-integer L2 per
+    subspace (first-hit ties), for every vector."""
+    import numpy as np
+
+    from global_seismic_data_pipeline_spark.operators.similarity import quantize
+
+    cb = similarity.train_pq_codebooks(vec_df, dim=64, m=8, ksub=8, iters=2)
+    got = {
+        r.vec_id: list(r.codes)
+        for r in similarity.with_pq_codes(vec_df, cb, vec_col="embedding")
+        .select("vec_id", "codes")
+        .collect()
+    }
+    rows = vec_df.select("vec_id", "embedding").collect()
+    for r in rows:
+        x = quantize(np.array([r.embedding], dtype=np.float64)).reshape(1, 8, 8)
+        terms = (cb.astype(np.int64) ** 2).sum(axis=2)[None, :, :] - 2 * np.einsum(
+            "nmd,mkd->nmk", x, cb
+        )
+        assert got[r.vec_id] == list(np.argmin(terms, axis=2)[0])
+
+
+def test_ivf_pq_topk_recall_vs_bruteforce(spark, vec_df):
+    """Planted near-copies recovered through the full IVF→ADC→refine→
+    re-rank funnel; ADC's compressed-domain ranking must not evict the
+    true top-1 from the refine set."""
+    queries = vec_df.filter(F.col("vec_id") < 10)
+    truth = similarity.cosine_topk(vec_df, queries, k=1)
+    ivf_cb = similarity.train_ivf_codebook(vec_df, dim=64, cells=8, iters=3)
+    pq_cb = similarity.train_pq_codebooks(vec_df, dim=64, m=8, ksub=16, iters=3)
+    approx = similarity.ivf_pq_topk(
+        vec_df, queries, k=1, cells=8, nprobe=4, refine=10,
+        ivf_codebook_q=ivf_cb, pq_codebooks_q=pq_cb,
+    )
+    t = {(r.query_id, r.neighbor_id) for r in truth.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    # the scaled copy (cosine 1.0) quantizes to (nearly) the query's own
+    # codes, so its ADC distance is the smallest possible — it cannot be
+    # refine-pruned
+    assert (0, 900) in a
+    assert len(t & a) / len(t) >= 0.8
+
+
+def test_ivf_pq_refine_bounds_rerank_set(spark, vec_df):
+    """With refine=k the exact re-rank sees exactly the ADC top-k, so the
+    output never exceeds k rows per query and ranks are dense from 1."""
+    queries = vec_df.filter(F.col("vec_id") < 5)
+    out = similarity.ivf_pq_topk(
+        vec_df, queries, k=3, cells=8, nprobe=8, refine=3
+    ).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r.sim_rank)
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 3
