@@ -116,6 +116,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_minhash_dedup": workloads_ext.incremental_minhash_dedup,
         "scalable_rank_parts": workloads_ext.scalable_rank_parts,
         "skipping_pruned_scan": workloads_ext.skipping_pruned_scan,
+        "metadata_only_agg": workloads_ext.metadata_only_agg,
+        "hybrid_range_count_lineitem": workloads_ext.hybrid_range_count_lineitem,
         "json_extract_events": workloads_ext.json_extract_events,
         "window_rank_suite": workloads_ext.window_rank_suite,
         "listagg_top_customers": workloads_ext.listagg_top_customers,

@@ -130,6 +130,73 @@ def prune_files(
     return [r["file"] for r in stats.filter(cond).select("file").collect()]
 
 
+def stats_only_agg(
+    warehouse: Warehouse, name: str, cols: Sequence[str]
+) -> DataFrame:
+    """Answer ``SELECT count(*), min(c), max(c)...`` from the stats table
+    ALONE — zero data files touched (Delta/Iceberg's metadata-only query
+    path: a 100 TB table answers in #files-row time).
+
+    Exactness rides the stats-freshness invariant: call
+    :func:`refresh_file_stats` first (incremental — only new files scan).
+    count = Σ per-file n_rows; global min/max = min/max of per-file
+    min/max (both levels skip nulls, so all-null files drop out of min/max
+    exactly as they would from a direct aggregate). These are the three
+    aggregates file stats CAN answer exactly; anything value-dependent
+    (sum/avg) still needs the data. The single-row result is
+    driver-oracle-checked against the direct full-table aggregate in
+    ``metadata_only_agg`` — a stale or wrong stats row hash-fails."""
+    stats = warehouse.read(f"{name}{STATS_SUFFIX}")
+    aggs = [F.sum("n_rows").cast("long").alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.min(f"min_{c}").alias(f"min_{c}"),
+            F.max(f"max_{c}").alias(f"max_{c}"),
+        ]
+    return stats.agg(*aggs)
+
+
+def hybrid_range_count(
+    spark: SparkSession,
+    stats: DataFrame,
+    col: str,
+    lo,
+    hi,
+) -> DataFrame:
+    """Exact ``count(*) WHERE lo <= col <= hi`` with the metadata fast
+    path: files FULLY contained in [lo, hi] contribute their stats-table
+    ``n_rows`` without being opened; only boundary files (ranges that
+    straddle an endpoint) and null-stats files (conservative) are scanned,
+    with the exact predicate applied. On a range-clustered layout the
+    scan set is O(1) files regardless of table size — the manifest
+    answers the interior. Single-row (n_rows bigint) result; the two
+    contributions come from disjoint file sets by construction, so
+    meta + scan is exact, not approximate."""
+    mn, mx = F.col(f"min_{col}"), F.col(f"max_{col}")
+    contained = (mn >= F.lit(lo)) & (mx <= F.lit(hi))
+    overlap = (mx >= F.lit(lo)) & (mn <= F.lit(hi))
+    meta_cnt = (
+        stats.filter(mn.isNotNull() & mx.isNotNull() & contained)
+        .agg(F.coalesce(F.sum("n_rows"), F.lit(0)).cast("long").alias("c"))
+    )
+    scan_files = [
+        r["file"]
+        for r in stats.filter(
+            mn.isNull() | mx.isNull() | (overlap & ~contained)
+        ).select("file").collect()
+    ]
+    if scan_files:
+        scan_cnt = (
+            spark.read.parquet(*[f.removeprefix("file://") for f in scan_files])
+            .filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        both = meta_cnt.unionByName(scan_cnt)
+    else:
+        both = meta_cnt
+    return both.agg(F.sum("c").cast("long").alias("n_rows"))
+
+
 def pruned_read(
     spark: SparkSession,
     stats: DataFrame,

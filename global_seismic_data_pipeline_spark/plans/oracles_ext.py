@@ -1316,6 +1316,24 @@ GROUP BY l_returnflag
 """
 ORACLES_EXT["skipping_pruned_scan"] = SKIPPING_PRUNED_SCAN_SQL
 
+# Metadata-only aggregates: the oracle is the DIRECT full-table aggregate —
+# the Spark side must reproduce it from per-file stats alone, so any stale,
+# missing, or double-counted stats row hash-fails.
+ORACLES_EXT["metadata_only_agg"] = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+    CAST(min(l_orderkey) AS BIGINT) AS min_l_orderkey,
+    CAST(max(l_orderkey) AS BIGINT) AS max_l_orderkey,
+    min(l_quantity) AS min_l_quantity,
+    max(l_quantity) AS max_l_quantity
+FROM lineitem
+"""
+
+ORACLES_EXT["hybrid_range_count_lineitem"] = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_orderkey BETWEEN 500 AND 4500
+"""
+
 # Round-3 SQL-surface depth -------------------------------------------------
 
 JSON_EXTRACT_EVENTS_SQL = r"""

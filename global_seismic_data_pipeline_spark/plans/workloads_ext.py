@@ -1028,6 +1028,47 @@ def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def metadata_only_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only query answering (skipping.stats_only_agg): lineitem is
+    written range-clustered, the per-file stats table is refreshed, and
+    count(*)/min/max over two columns are answered WITHOUT touching a
+    single data file — the Delta/Iceberg manifest fast path. The oracle
+    runs the direct aggregates over the full table, so a stale or wrong
+    stats row hash-fails (exactness == stats freshness, pinned)."""
+    import tempfile
+
+    from ..operators import skipping
+    from ..sources.warehouse import Warehouse
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="metaagg-"))
+    wh.overwrite(li.repartitionByRange(8, F.col("l_orderkey")), "li_meta")
+    skipping.refresh_file_stats(wh, "li_meta", ["l_orderkey", "l_quantity"])
+    return skipping.stats_only_agg(wh, "li_meta", ["l_orderkey", "l_quantity"])
+
+
+def hybrid_range_count_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact range count with the manifest fast path
+    (skipping.hybrid_range_count): on the range-clustered layout the
+    interior files contribute their stats n_rows unopened and only the
+    two boundary files scan. Oracle = the plain filtered count over the
+    full table — double-counting between the meta and scan contributions,
+    or a missed boundary row, hash-fails."""
+    import tempfile
+
+    from ..operators import skipping
+    from ..sources.warehouse import Warehouse
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="hybcnt-"))
+    wh.overwrite(li.repartitionByRange(8, F.col("l_orderkey")), "li_hyb")
+    skipping.refresh_file_stats(wh, "li_hyb", ["l_orderkey"])
+    stats = wh.read("li_hyb__stats")
+    return skipping.hybrid_range_count(spark, stats, "l_orderkey", 500, 4500)
+
+
 def scalable_rank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global dense_rank at fact scale WITHOUT the single-partition window
     (operators/ranking.py): range-repartition on the key, per-partition

@@ -102,3 +102,66 @@ def test_null_stats_kept_conservatively(spark, wh):
     )
     skipping.refresh_file_stats(wh, "n2", ["k"])
     assert len(skipping.prune_files(wh.read("n2__stats"), {"k": (0, 5)})) == 1
+
+
+def test_stats_only_agg_exact_and_touches_no_data_files(spark, wh):
+    """count/min/max answered from the stats table alone: values equal the
+    direct aggregates, and the plan's input files are ONLY the __stats
+    parquet — zero data files opened (the metadata-only query path)."""
+    _clustered(spark, wh)
+    skipping.refresh_file_stats(wh, "t", ["k", "v"])
+    out = skipping.stats_only_agg(wh, "t", ["k", "v"])
+    assert all("t__stats" in f for f in out.inputFiles())
+    row = out.collect()[0]
+    direct = wh.read("t").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("k").alias("mnk"), F.max("k").alias("mxk"),
+        F.min("v").alias("mnv"), F.max("v").alias("mxv"),
+    ).collect()[0]
+    assert (row.n_rows, row.min_k, row.max_k, row.min_v, row.max_v) == (
+        direct.n, direct.mnk, direct.mxk, direct.mnv, direct.mxv
+    )
+
+
+def test_stats_only_agg_reflects_appends_after_refresh(spark, wh):
+    """The freshness invariant round-trips: append → incremental refresh →
+    the metadata answer includes the new rows."""
+    _clustered(spark, wh, n=100, parts=2)
+    skipping.refresh_file_stats(wh, "t", ["k"])
+    extra = spark.range(100, 150).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    wh.append(extra.coalesce(1), "t")
+    assert skipping.refresh_file_stats(wh, "t", ["k"]) == 1  # only the new file
+    row = skipping.stats_only_agg(wh, "t", ["k"]).collect()[0]
+    assert row.n_rows == 150 and row.max_k == 149
+
+
+def test_hybrid_range_count_scans_only_boundary_files(spark, wh):
+    """Interior files are answered from the manifest: the scanned file set
+    excludes every file fully contained in the range, and the count equals
+    the direct filtered count."""
+    _clustered(spark, wh)  # 1000 rows over 8 range-clustered files
+    skipping.refresh_file_stats(wh, "t", ["k"])
+    stats = wh.read("t__stats")
+    lo, hi = 100, 800
+    mn, mx = F.col("min_k"), F.col("max_k")
+    contained = {
+        r["file"] for r in stats.filter((mn >= lo) & (mx <= hi)).collect()
+    }
+    assert contained  # the layout really has interior files
+    out = skipping.hybrid_range_count(spark, stats, "k", lo, hi)
+    assert not (set(out.inputFiles()) & contained)
+    expect = wh.read("t").filter(F.col("k").between(lo, hi)).count()
+    assert out.collect()[0].n_rows == expect
+
+
+def test_hybrid_range_count_no_boundary_files(spark, wh):
+    """A range covering the whole domain needs no scan at all — the answer
+    comes entirely from the manifest."""
+    _clustered(spark, wh, n=200, parts=4)
+    skipping.refresh_file_stats(wh, "t", ["k"])
+    stats = wh.read("t__stats")
+    out = skipping.hybrid_range_count(spark, stats, "k", -1, 10_000)
+    assert all("t__stats" in f for f in out.inputFiles())
+    assert out.collect()[0].n_rows == 200
