@@ -305,3 +305,79 @@ def dsir_importance_scores(
         "dsir_score",
         (F.col("dsir_score") >= 0).cast("long").alias("keep"),
     )
+
+
+def negative_samples(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    k: int = 4,
+    salt: str = "neg",
+) -> DataFrame:
+    """``k`` deterministic pseudo-random negatives per anchor row —
+    contrastive/DPO pair construction without a cross join and without
+    nondeterministic ``rand()``.
+
+    Every doc gets a dense 1..N position by ranking on ``md5(id)`` (a
+    deterministic shuffle of the id space), via the range-partitioned
+    :func:`operators.ranking.ranked` — no single-partition window. For
+    anchor ``a`` and slot ``i``, the negative is the doc at position
+    ``(pos(a) - 1 + step) % N + 1`` with
+    ``step = hash64(a || salt || i) % (N-1) + 1``: step ∈ [1, N-1] can
+    never select the anchor itself, and distinct slots of one anchor use
+    independent hashes. Engine-portable md5 arithmetic end-to-end, so
+    the pair set is oracle-checkable bit-for-bit.
+
+    Scale shape: one range shuffle for the position index (ranked pins
+    it), one N·k ↔ N equi-join on integer positions (uniform keys — the
+    md5 shuffle destroys any id clustering, so no skew); N is a
+    control-plane count. Real pipelines post-filter accidental positives
+    (a hashed negative that is a near-dup of its anchor) with the
+    near-dup operators; sampling and filtering stay separate passes.
+    """
+    from .neardup import portable_hash64
+    from .ranking import ranked
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    ids = df.select(F.col(id_col))
+    n = ids.count()
+    if n < 2:
+        raise ValueError("need at least 2 rows to draw negatives")
+    keyed = ids.withColumn("__h", F.md5(F.col(id_col).cast("string")))
+    # id_col as tie-break key: md5 collisions are negligible but the
+    # position map must be a PERMUTATION (rank ties would alias two docs
+    # onto one position and duplicate join rows)
+    pos = ranked(keyed, ["__h", id_col], method="rank", out_col="__p").drop("__h")
+    anchors = pos.select(
+        F.col(id_col).alias("anchor_id"),
+        "__p",
+        F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("slot"),
+    )
+    step = (
+        F.pmod(
+            portable_hash64(
+                F.concat(
+                    F.col("anchor_id").cast("string"),
+                    F.lit(f"|{salt}|"),
+                    F.col("slot").cast("string"),
+                )
+            ),
+            F.lit(n - 1),
+        )
+        + 1
+    )
+    with_tgt = anchors.withColumn(
+        "__tp", F.pmod(F.col("__p") - 1 + step, F.lit(n)) + 1
+    ).drop("__p")
+    lookup = pos.select(
+        F.col(id_col).alias("neg_id"), F.col("__p").alias("__tp")
+    )
+    return (
+        with_tgt.join(lookup, "__tp")
+        .select(
+            F.col("anchor_id").alias(id_col),
+            F.col("slot").cast("long").alias("slot"),
+            F.col("neg_id").alias("neg_doc_id"),
+        )
+    )

@@ -1334,6 +1334,29 @@ FROM lineitem
 WHERE l_orderkey BETWEEN 500 AND 4500
 """
 
+# Negative sampling: ROW_NUMBER over the md5 permutation == the scalable
+# rank's (md5, id) total order; step/target arithmetic is the identical
+# nonneg 60-bit md5-prefix hash, so the triple set matches bit-for-bit.
+ORACLES_EXT["negative_sample_pairs"] = """
+WITH pos AS (
+    SELECT doc_id,
+        ROW_NUMBER() OVER (ORDER BY md5(doc_id::VARCHAR), doc_id) AS p
+    FROM documents
+), n AS (SELECT count(*) AS c FROM documents),
+anchors AS (
+    SELECT doc_id, p, i AS slot FROM pos, range(0, 3) t(i)
+), tgt AS (
+    SELECT a.doc_id, a.slot,
+        ((a.p - 1
+          + (('0x' || substr(md5(a.doc_id::VARCHAR || '|neg|' || a.slot::VARCHAR),
+               1, 15))::BIGINT % (n.c - 1)) + 1)
+         % n.c) + 1 AS tp
+    FROM anchors a, n
+)
+SELECT t.doc_id, CAST(t.slot AS BIGINT) AS slot, q.doc_id AS neg_doc_id
+FROM tgt t JOIN pos q ON q.p = t.tp
+"""
+
 # Round-3 SQL-surface depth -------------------------------------------------
 
 JSON_EXTRACT_EVENTS_SQL = r"""

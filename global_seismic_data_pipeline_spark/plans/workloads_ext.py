@@ -1069,6 +1069,21 @@ def hybrid_range_count_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skipping.hybrid_range_count(spark, stats, "l_orderkey", 500, 4500)
 
 
+def negative_sample_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive negative mining (sampling.negative_samples): 3
+    deterministic pseudo-random negatives per document via a portable-md5
+    permutation of the id space — positions from the range-partitioned
+    scalable rank (no single-partition window), negatives from an integer
+    position join (no cross join, no rand()). The oracle replays the
+    identical ROW_NUMBER-over-md5 permutation and hash arithmetic, so
+    every (anchor, slot, negative) triple matches bit-for-bit."""
+    from ..operators import sampling
+
+    return sampling.negative_samples(
+        _docs(spark, sf_dir).select("doc_id"), id_col="doc_id", k=3
+    )
+
+
 def scalable_rank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global dense_rank at fact scale WITHOUT the single-partition window
     (operators/ranking.py): range-repartition on the key, per-partition

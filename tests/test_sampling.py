@@ -206,3 +206,52 @@ def test_dsir_scores_prefer_target_like_docs(spark):
     assert out[100].keep == 1 and out[101].keep == 0
     # scores are per-token sums: every token counted
     assert out[100].n_tokens == 4
+
+
+def test_negative_samples_shape_and_no_self(spark):
+    """Exactly k negatives per anchor, never the anchor itself, all
+    negatives are real ids."""
+    from global_seismic_data_pipeline_spark.operators.sampling import (
+        negative_samples,
+    )
+
+    df = spark.range(50).select(F.col("id").alias("doc_id"))
+    out = negative_samples(df, id_col="doc_id", k=4).collect()
+    assert len(out) == 200
+    per = {}
+    for r in out:
+        per.setdefault(r.doc_id, []).append(r)
+        assert r.neg_doc_id != r.doc_id
+        assert 0 <= r.neg_doc_id < 50
+    for a, rows in per.items():
+        assert sorted(r.slot for r in rows) == [0, 1, 2, 3]
+
+
+def test_negative_samples_deterministic_and_salt_redeals(spark):
+    """Same salt → identical triples across runs; a different salt deals a
+    (materially) different negative set."""
+    from global_seismic_data_pipeline_spark.operators.sampling import (
+        negative_samples,
+    )
+
+    df = spark.range(40).select(F.col("id").alias("doc_id"))
+    a = {(r.doc_id, r.slot, r.neg_doc_id) for r in negative_samples(df, k=2).collect()}
+    b = {(r.doc_id, r.slot, r.neg_doc_id) for r in negative_samples(df, k=2).collect()}
+    assert a == b
+    c = {
+        (r.doc_id, r.slot, r.neg_doc_id)
+        for r in negative_samples(df, k=2, salt="other").collect()
+    }
+    assert a != c
+
+
+def test_negative_samples_validation(spark):
+    from global_seismic_data_pipeline_spark.operators.sampling import (
+        negative_samples,
+    )
+
+    df = spark.range(1).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError):
+        negative_samples(df, k=0)
+    with pytest.raises(ValueError):
+        negative_samples(df, k=2)  # < 2 rows
