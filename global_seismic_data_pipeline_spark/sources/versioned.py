@@ -100,7 +100,7 @@ class VersionedWarehouse(Warehouse):
         for root_, _dirs, files in os.walk(table):
             rel = os.path.relpath(root_, table)
             for f in files:
-                if not f.endswith(".parquet"):
+                if not f.endswith(self._ext):
                     continue
                 src = os.path.join(root_, f)
                 dst_dir = os.path.join(vdir, "data", rel) if rel != "." else os.path.join(vdir, "data")
@@ -152,7 +152,7 @@ class VersionedWarehouse(Warehouse):
         d = os.path.join(self._version_dir(name, version), "data")
         if not os.path.isfile(os.path.join(self._version_dir(name, version), "_commit.json")):
             raise ValueError(f"{name}: no committed version {version}")
-        return self.spark.read.parquet(d)
+        return self.spark.read.format(self.fmt).load(d)
 
     def history(self, name: str) -> list[dict]:
         """Commit records, newest first (Delta: DESCRIBE HISTORY)."""

@@ -34,11 +34,23 @@ from pyspark.sql import functions as F
 
 
 class Warehouse:
-    """A directory of named parquet tables with atomic replacement."""
+    """A directory of named columnar tables with atomic replacement.
 
-    def __init__(self, spark: SparkSession, root: str):
+    ``fmt`` selects the storage format: ``parquet`` (default) or ``orc`` —
+    both splittable columnar formats with predicate-pushdown/column-pruning
+    DataSource implementations built into Spark, so every warehouse
+    semantic (append, atomic overwrite, partition-pruned MERGE, bucketed
+    tables, views, stats) is format-independent. The DuckDB oracle reads
+    parquet only, so driver queries stay on the default; the ORC path is
+    pinned by the warehouse test suite running under both formats."""
+
+    def __init__(self, spark: SparkSession, root: str, fmt: str = "parquet"):
+        if fmt not in ("parquet", "orc"):
+            raise ValueError(f"unsupported format {fmt!r}; use 'parquet' or 'orc'")
         self.spark = spark
         self.root = root
+        self.fmt = fmt
+        self._ext = f".{fmt}"
         os.makedirs(root, exist_ok=True)
 
     # -- paths ------------------------------------------------------------
@@ -50,7 +62,7 @@ class Warehouse:
         if not os.path.isdir(p):
             return False
         for _root, _dirs, files in os.walk(p):
-            if any(f.endswith(".parquet") for f in files):
+            if any(f.endswith(self._ext) for f in files):
                 return True
         return False
 
@@ -60,7 +72,7 @@ class Warehouse:
 
     # -- read / write -----------------------------------------------------
     def read(self, name: str) -> DataFrame:
-        return self.spark.read.parquet(self.path(name))
+        return self.spark.read.format(self.fmt).load(self.path(name))
 
     def append(
         self, df: DataFrame, name: str, partition_by: Sequence[str] = ()
@@ -73,7 +85,7 @@ class Warehouse:
         w = df.write.mode("append")
         if partition_by:
             w = w.partitionBy(*partition_by)
-        w.parquet(self.path(name))
+        w.format(self.fmt).save(self.path(name))
 
     def overwrite(
         self, df: DataFrame, name: str, partition_by: Sequence[str] = ()
@@ -95,7 +107,7 @@ class Warehouse:
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
-        w.parquet(staging)
+        w.format(self.fmt).save(staging)
         if os.path.isdir(final):
             os.rename(final, trash)
         os.rename(staging, final)
@@ -164,7 +176,7 @@ class Warehouse:
         merged = kept.unionByName(updates.select(*target.columns))
 
         staging = os.path.join(self.root, f".staging-{name}-{uuid.uuid4().hex}")
-        merged.write.mode("overwrite").partitionBy(pcol).parquet(staging)
+        merged.write.mode("overwrite").partitionBy(pcol).format(self.fmt).save(staging)
         final = self.path(name)
         swapped = set()
         for d in os.listdir(staging):
@@ -215,6 +227,7 @@ class Warehouse:
         self.drop(name)
         writer = (
             df.write.mode("overwrite")
+            .format(self.fmt)
             .option("path", self.path(name))
             .bucketBy(num_buckets, *bucket_cols)
         )
@@ -240,6 +253,7 @@ class Warehouse:
         without rewriting the corpus index)."""
         writer = (
             df.write.mode("append")
+            .format(self.fmt)
             .option("path", self.path(name))
             .bucketBy(num_buckets, *bucket_cols)
         )
@@ -268,7 +282,7 @@ class Warehouse:
         (recursive — partitioned tables keep files under key=value dirs)."""
         files = []
         for root_, _dirs, fnames in os.walk(self.path(name)):
-            files += [os.path.join(root_, f) for f in fnames if f.endswith(".parquet")]
+            files += [os.path.join(root_, f) for f in fnames if f.endswith(self._ext)]
         return {
             "num_files": len(files),
             "size_bytes": sum(os.path.getsize(f) for f in files),

@@ -11,10 +11,20 @@ from global_seismic_data_pipeline_spark.sources.warehouse import Warehouse
 from global_seismic_data_pipeline_spark.sources.versioned import VersionedWarehouse
 
 
-@pytest.fixture(params=[Warehouse, VersionedWarehouse], ids=["plain", "versioned"])
+import functools
+
+_ORC = functools.partial(Warehouse, fmt="orc")
+_ORC_VERSIONED = functools.partial(VersionedWarehouse, fmt="orc")
+
+
+@pytest.fixture(
+    params=[Warehouse, VersionedWarehouse, _ORC, _ORC_VERSIONED],
+    ids=["plain", "versioned", "orc", "orc-versioned"],
+)
 def wh_cls(request):
-    """Every warehouse-semantics test runs under BOTH backends — the
-    versioned (Delta-style commit log) warehouse must be a drop-in."""
+    """Every warehouse-semantics test runs under ALL backends — the
+    versioned (Delta-style commit log) warehouse must be a drop-in, and
+    both must be storage-format-independent (parquet and ORC)."""
     return request.param
 from global_seismic_data_pipeline_spark.state import WatermarkStore
 
