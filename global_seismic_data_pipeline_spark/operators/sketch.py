@@ -462,3 +462,48 @@ def cms_estimate(
     counters = [F.coalesce(F.col(f"__cc{i}"), F.lit(0)) for i in range(d)]
     est = counters[0] if d == 1 else F.least(*counters)
     return out.withColumn(out_col, est.cast("long")).drop(*temp)
+
+
+def join_size_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    p: int = 12,
+) -> DataFrame:
+    """Pre-execution equi-join cardinality estimate from sketch statistics
+    — the System-R / Selinger formula every cost-based optimizer uses:
+
+        |L ⋈ R|  ≈  n_L · n_R / max(ndv_L(k), ndv_R(k))
+
+    with the NDVs taken from the portable HLL (the stored-register
+    ANALYZE artifact — at 100 TB the planner reads two tiny register
+    tables, never the data). Returns one row:
+    (n_left, n_right, ndv_left, ndv_right, est_join_rows,
+    actual_join_rows) — the actual count is computed too so the estimate
+    is auditable; a real planner would skip it. The estimate arithmetic
+    is integer (floor div on HLL longs), so the whole row is
+    oracle-checkable bit-for-bit, approximation error included.
+    """
+    lg = left.select(F.col(left_key).alias("k")).withColumn("g", F.lit(1))
+    rg = right.select(F.col(right_key).alias("k")).withColumn("g", F.lit(1))
+    ndv_l = hll_distinct(lg, "k", ["g"], p=p, out_col="ndv_left")
+    ndv_r = hll_distinct(rg, "k", ["g"], p=p, out_col="ndv_right")
+    n_l = left.agg(F.count(F.lit(1)).alias("n_left"))
+    n_r = right.agg(F.count(F.lit(1)).alias("n_right"))
+    actual = (
+        left.select(F.col(left_key).alias("k"))
+        .join(right.select(F.col(right_key).alias("k")), "k")
+        .agg(F.count(F.lit(1)).alias("actual_join_rows"))
+    )
+    est = F.expr("(n_left * n_right) div greatest(ndv_left, ndv_right)")
+    return (
+        n_l.crossJoin(n_r)
+        .crossJoin(ndv_l.drop("g"))
+        .crossJoin(ndv_r.drop("g"))
+        .crossJoin(actual)
+        .select(
+            "n_left", "n_right", "ndv_left", "ndv_right",
+            est.alias("est_join_rows"), "actual_join_rows",
+        )
+    )

@@ -1334,6 +1334,27 @@ FROM lineitem
 WHERE l_orderkey BETWEEN 500 AND 4500
 """
 
+from ..operators.sketch import oracle_sql as _hll_sql  # noqa: E402
+
+# Join-size estimation: identical HLL register math (via sketch.oracle_sql)
+# + the integer System-R estimate; the actual join count audits the error.
+ORACLES_EXT["join_size_estimate_orders"] = f"""
+WITH ndvl AS ({_hll_sql("(SELECT 1 AS g, l_orderkey FROM lineitem)",
+                        "l_orderkey", ["g"], p=12, out_col="ndv_left")}),
+ndvr AS ({_hll_sql("(SELECT 1 AS g, o_orderkey FROM orders)",
+                   "o_orderkey", ["g"], p=12, out_col="ndv_right")}),
+nl AS (SELECT CAST(count(*) AS BIGINT) AS n_left FROM lineitem),
+nr AS (SELECT CAST(count(*) AS BIGINT) AS n_right FROM orders),
+j AS (
+    SELECT CAST(count(*) AS BIGINT) AS actual_join_rows
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT n_left, n_right, ndv_left, ndv_right,
+    (n_left * n_right) // greatest(ndv_left, ndv_right) AS est_join_rows,
+    actual_join_rows
+FROM nl, nr, ndvl, ndvr, j
+"""
+
 # Negative sampling: ROW_NUMBER over the md5 permutation == the scalable
 # rank's (md5, id) total order; step/target arithmetic is the identical
 # nonneg 60-bit md5-prefix hash, so the triple set matches bit-for-bit.

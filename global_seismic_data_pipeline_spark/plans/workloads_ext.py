@@ -1069,6 +1069,20 @@ def hybrid_range_count_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skipping.hybrid_range_count(spark, stats, "l_orderkey", 500, 4500)
 
 
+def join_size_estimate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimizer-statistics tooling (sketch.join_size_estimate): the
+    System-R join-cardinality formula n_L·n_R / max(ndv_L, ndv_R) with
+    NDVs from the portable HLL registers — what ANALYZE feeds a
+    cost-based planner, plus the audited actual count. Oracle replays
+    register math and the integer estimate, so the approximation error
+    itself is pinned bit-for-bit."""
+    from ..operators import sketch
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return sketch.join_size_estimate(li, orders, "l_orderkey", "o_orderkey")
+
+
 def negative_sample_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive negative mining (sampling.negative_samples): 3
     deterministic pseudo-random negatives per document via a portable-md5

@@ -218,3 +218,33 @@ def test_hll_merge_helper_equals_union_sketch(spark):
     whole = sketch.hll_registers(df, "u", ["g"], p=10)
     assert merged.exceptAll(whole).count() == 0
     assert whole.exceptAll(merged).count() == 0
+
+
+def test_join_size_estimate_pk_fk(spark):
+    """PK–FK equi-join: ndv(right) == n_right, so the System-R estimate
+    collapses to ~n_left — within HLL error of the actual join size (every
+    fact row matches exactly one dim row)."""
+    fact = spark.range(5000).select(
+        (F.col("id") % 500).alias("fk")
+    )
+    dim = spark.range(500).select(F.col("id").alias("pk"))
+    row = sketch.join_size_estimate(fact, dim, "fk", "pk").collect()[0]
+    assert row.n_left == 5000 and row.n_right == 500
+    assert row.actual_join_rows == 5000
+    # HLL at p=12 on 500 keys: ~±2% typical; allow generous 10%
+    assert abs(row.ndv_right - 500) <= 50
+    assert abs(row.est_join_rows - 5000) / 5000 <= 0.15
+
+
+def test_join_size_estimate_formula_consistent(spark):
+    """The returned estimate is exactly the integer formula over the
+    returned statistics (no hidden state)."""
+    a = spark.range(1000).select((F.col("id") % 77).alias("k"))
+    b = spark.range(300).select((F.col("id") % 77).alias("k"))
+    row = sketch.join_size_estimate(a, b, "k", "k").collect()[0]
+    assert row.est_join_rows == (row.n_left * row.n_right) // max(
+        row.ndv_left, row.ndv_right
+    )
+    # per-key counts: a = 13×76 keys + 12×1; b = 4×69 keys + 3×8
+    # Σ cnt_a·cnt_b = 69·52 + 7·39 + 1·36
+    assert row.actual_join_rows == 3897
