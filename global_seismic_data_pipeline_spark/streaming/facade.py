@@ -284,6 +284,59 @@ def upsert_sink(
     )
 
 
+def incremental_dedup_sink(
+    stream: DataFrame,
+    wh: Warehouse,
+    *,
+    checkpoint_dir: str,
+    name: str = "minhash_index",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataStreamWriter:
+    """Streaming near-dup dedup: each micro-batch of documents probes the
+    persisted MinHash-LSH signature store
+    (operators/neardup_incremental.py), emits its duplicate pairs, and
+    appends its own signatures — the continuous form of the daily
+    incremental dedup (build the index once with
+    ``build_minhash_index``, possibly on an empty corpus, then stream).
+
+    Per-batch pairs accumulate in ``{name}_pairs_log`` with the micro-
+    batch id; because a pair is emitted exactly when its LATER document
+    arrives, the log after draining equals the one-shot batch operator's
+    pairs over the full corpus (pinned in ``test_streaming.py``).
+    foreachBatch runs micro-batches sequentially, so probe-then-append
+    per batch is race-free; the store is only ever appended, never
+    rewritten."""
+    from pyspark.sql import functions as F
+
+    from ..operators.neardup_incremental import incremental_minhash_pairs
+
+    def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # foreachBatch hands a DataFrame of a CLONED session; resolving the
+        # store tables through the outer session would mix sessions and read
+        # a stale relation cache (the clone's appends don't invalidate the
+        # outer session's cached file listing — batch N+1 would probe the
+        # store as it looked before batch 1). Bind a per-batch warehouse to
+        # the batch's own session: every probe resolves fresh.
+        bwh = Warehouse(batch_df.sparkSession, wh.root, wh.fmt)
+        pairs = incremental_minhash_pairs(
+            bwh, batch_df, text_col=text_col, threshold=threshold,
+            name=name, append=True,
+        )
+        bwh.append(
+            pairs.withColumn("batch_id", F.lit(batch_id)),
+            f"{name}_pairs_log",
+        )
+
+    return (
+        stream.writeStream.foreachBatch(dedup_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+
+
 def run_available_now(writer: DataStreamWriter) -> None:
     """Drain everything currently available, then stop (hermetic test
     trigger; on a cluster use processingTime/continuous triggers)."""

@@ -306,3 +306,67 @@ def test_windowed_cms_counters_match_batch(spark, stream_dir):
     }
     assert got["s3"] >= 2  # s3 appears twice on 5/2 (dup arrival)
     assert got["s1"] >= 0  # s1 is on 5/1: zero in this window's sketch
+
+
+def test_streaming_incremental_dedup_equals_batch_operator(spark, tmp_path):
+    """Docs arriving across micro-batches: the accumulated pairs log
+    equals the one-shot batch LSH pairs over the full corpus — a pair is
+    found exactly when its later member arrives. The store starts EMPTY
+    (index built on zero docs) and is only appended."""
+    from global_seismic_data_pipeline_spark.operators import neardup
+    from global_seismic_data_pipeline_spark.operators.neardup_incremental import (
+        build_minhash_index,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "while birds sing in the tall green trees above"
+    )
+    docs = [
+        (0, base),
+        (1, base + " today"),                                   # near-dup of 0
+        (2, "completely different text about spark shuffles and "
+            "partitions in distributed query engines at scale"),
+        (3, base),                                              # exact dup of 0
+        (4, "another unrelated document discussing bloom filters "
+            "sketches and hyperloglog registers for analytics"),
+    ]
+    schema = "doc_id long, text string"
+    d = tmp_path / "docs"
+    # three arrival files → three micro-batches (maxFilesPerTrigger=1)
+    spark.createDataFrame(docs[:2], schema).coalesce(1).write.mode("append").parquet(str(d))
+    spark.createDataFrame(docs[2:4], schema).coalesce(1).write.mode("append").parquet(str(d))
+    spark.createDataFrame(docs[4:], schema).coalesce(1).write.mode("append").parquet(str(d))
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    empty = spark.createDataFrame([], schema)
+    build_minhash_index(wh, empty, bands=16, name="smh")
+
+    from pyspark.sql.types import StructType
+
+    stream_schema = spark.createDataFrame([], schema).schema
+    assert isinstance(stream_schema, StructType)
+    stream = facade.read_stream(
+        spark, str(d), stream_schema, max_files_per_trigger=1
+    )
+    facade.run_available_now(
+        facade.incremental_dedup_sink(
+            stream, wh, checkpoint_dir=str(tmp_path / "ckpt"),
+            name="smh", threshold=0.5,
+        )
+    )
+
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in wh.read("smh_pairs_log").collect()
+    }
+    full = spark.createDataFrame(docs, schema)
+    want = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in neardup.minhash_lsh_pairs(
+            full, id_col="doc_id", text_col="text", bands=16, threshold=0.5
+        ).collect()
+    }
+    assert got == want
+    assert (0, 3) in got and got[(0, 3)] == 1.0  # exact dup found cross-batch
+    neardup.release_cached()
