@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": workloads_ext.text_fingerprint,
         "exact_dedup_docs": workloads_ext.exact_dedup_docs,
         "ngram_jaccard_near_dup": workloads_ext.ngram_jaccard_near_dup,
+        "ppjoin_near_dup": workloads_ext.ppjoin_near_dup,
         "approx_price_quantiles": workloads_ext.approx_price_quantiles,
         "bm25_search_docs": workloads_ext.bm25_search_docs,
         "minhash_near_dup": workloads_ext.minhash_near_dup,

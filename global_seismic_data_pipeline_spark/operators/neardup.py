@@ -439,3 +439,102 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def prefix_filtered_jaccard_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """Exact all-pairs Jaccard ≥ τ via PREFIX FILTERING (AllPairs/PPJoin,
+    Bayardo et al., "Scaling up all pairs similarity search", WWW 2007) —
+    lossless candidate pruning that replaces the full inverted-index
+    self-join of :func:`ngram_jaccard_pairs`.
+
+    Under any GLOBAL total order on tokens (here: document frequency
+    ascending, then token — rarest first), two sets with
+    ``J = |∩|/|∪| ≥ τ`` must both contain their smallest common token
+    within their own first ``|s| − ⌈τ·|s|⌉ + 1`` tokens: if a's common
+    tokens all sat outside that prefix they would number at most
+    ``⌈τ|a|⌉ − 1 < τ|a| ≤ τ|∪| ≤ |∩|`` — contradiction; symmetrically
+    for b. So indexing ONLY prefix tokens generates every qualifying
+    pair (pair-set equality with the exhaustive join is pytest-pinned),
+    while frequent tokens — the quadratic blowup in a full inverted
+    index — mostly fall outside prefixes (rarest-first ordering pushes
+    them to suffix positions).
+
+    τ is taken as a RATIONAL ``threshold_num/threshold_den`` so the
+    prefix length ``|s| − ⌈τ|s|⌉ + 1`` is exact integer arithmetic
+    (``⌈τ·s⌉ = (s·num + den − 1) div den``) — no float boundary can
+    admit or drop a prefix token differently across engines.
+
+    Scale shape: one doc-keyed shuffle for ordering/sizing (window over
+    the doc id), one token-keyed LINEAR join to attach frequencies, and
+    a candidate join only over prefix tokens; verification touches the
+    (few) surviving pairs. Unlike ``max_shingle_freq`` this prunes with
+    NO recall loss — the 100 TB exact-join path when a hard cut is not
+    acceptable. Output matches ``ngram_jaccard_pairs``.
+    """
+    if not 0 < threshold_num <= threshold_den:
+        raise ValueError("threshold must be a rational in (0, 1]")
+    threshold = threshold_num / threshold_den
+    rows = _materialized(
+        shingle_rows(df, id_col=id_col, text_col=text_col, n=n)
+        .dropDuplicates([id_col, "shingle"])
+        .select(F.col(id_col).alias("doc_id_"), "shingle")
+    )
+    dfreq = rows.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    w_ord = Window.partitionBy("doc_id_").orderBy("df_", "shingle")
+    w_all = Window.partitionBy("doc_id_")
+    sized = (
+        rows.join(dfreq, "shingle")
+        .select(
+            "doc_id_", "shingle",
+            F.row_number().over(w_ord).alias("pos"),
+            F.count(F.lit(1)).over(w_all).alias("set_size"),
+        )
+    )
+    ceil_tau_s = F.expr(
+        f"((set_size * {threshold_num}) + {threshold_den} - 1) div {threshold_den}"
+    )
+    prefix = sized.filter(
+        F.col("pos") <= F.col("set_size") - ceil_tau_s + 1
+    ).select("doc_id_", "shingle")
+    a = prefix.select(F.col("doc_id_").alias("id_a"), "shingle")
+    b = prefix.select(F.col("doc_id_").alias("id_b"), "shingle")
+    cands = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sets = _materialized(
+        rows.groupBy("doc_id_").agg(F.collect_set("shingle").alias("sh"))
+    )
+    joined = cands.join(
+        sets.select(F.col("doc_id_").alias("id_a"), F.col("sh").alias("sh_a")),
+        "id_a",
+    ).join(
+        sets.select(F.col("doc_id_").alias("id_b"), F.col("sh").alias("sh_b")),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    size_a = F.size("sh_a").cast("long")
+    size_b = F.size("sh_b").cast("long")
+    out = joined.select(
+        "id_a", "id_b",
+        inter.alias("intersection"),
+        size_a.alias("size_a"),
+        size_b.alias("size_b"),
+    ).withColumn(
+        "jaccard",
+        F.col("intersection")
+        / (F.col("size_a") + F.col("size_b") - F.col("intersection")),
+    )
+    return out.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "intersection", "size_a", "size_b", "jaccard"
+    )

@@ -199,6 +199,9 @@ ORACLES_EXT: dict[str, str] = {
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "exact_dedup_docs": EXACT_DEDUP_SQL,
     "ngram_jaccard_near_dup": NGRAM_JACCARD_SQL,
+    # prefix filtering is LOSSLESS for J >= tau: the oracle is the same
+    # exhaustive join — any pruned qualifying pair hash-fails
+    "ppjoin_near_dup": NGRAM_JACCARD_SQL,
     "cosine_topk_bruteforce": COSINE_TOPK_SQL,
     "embedding_cosine_near_dup": EMBEDDING_COSINE_NEAR_DUP_SQL,
     "salted_agg_lineitem": SALTED_AGG_SQL,

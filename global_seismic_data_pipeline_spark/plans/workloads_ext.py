@@ -106,6 +106,21 @@ def ngram_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ppjoin_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard pairs via PREFIX FILTERING
+    (neardup.prefix_filtered_jaccard_pairs, AllPairs/PPJoin): only each
+    doc's rarest |s|−⌈τ|s|⌉+1 shingles enter the inverted index, which is
+    lossless for J ≥ τ — so the oracle is the SAME exhaustive SQL as
+    ngram_jaccard_near_dup (τ = 1/5 as exact integer prefix arithmetic).
+    A pruning bug that drops any qualifying pair hash-fails."""
+    from .oracles_ext import NGRAM_N
+
+    return neardup.prefix_filtered_jaccard_pairs(
+        _docs(spark, sf_dir), id_col="doc_id", text_col="text",
+        n=NGRAM_N, threshold_num=1, threshold_den=5,
+    )
+
+
 def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates verified by exact Jaccard. Uses the portable
     md5-derived hash so the FULL pipeline (shingle hash → 64 universal-hash

@@ -358,3 +358,54 @@ def test_ivf_pq_refine_bounds_rerank_set(spark, vec_df):
     for q, ranks in per_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= 3
+
+
+def test_prefix_filter_equals_exhaustive_join(spark, doc_df):
+    """Prefix filtering is LOSSLESS: identical pair set (and identical
+    Jaccard values) to the full inverted-index join at the same τ."""
+    exhaustive = {
+        (r.id_a, r.id_b): (r.intersection, r.size_a, r.size_b, r.jaccard)
+        for r in neardup.ngram_jaccard_pairs(
+            doc_df, id_col="doc_id", text_col="text", threshold=0.5
+        ).collect()
+    }
+    pruned = {
+        (r.id_a, r.id_b): (r.intersection, r.size_a, r.size_b, r.jaccard)
+        for r in neardup.prefix_filtered_jaccard_pairs(
+            doc_df, id_col="doc_id", text_col="text",
+            threshold_num=1, threshold_den=2,
+        ).collect()
+    }
+    assert pruned == exhaustive and exhaustive  # non-vacuous
+
+
+def test_prefix_filter_shrinks_the_index(spark, doc_df):
+    """The inverted index really shrinks: prefix rows < all rows, and at a
+    high τ each doc indexes only ~(1−τ) of its shingles."""
+    rows = neardup.shingle_rows(
+        doc_df, id_col="doc_id", text_col="text", n=3
+    ).dropDuplicates(["doc_id", "shingle"])
+    total = rows.count()
+    from pyspark.sql import Window as W
+
+    dfreq = rows.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    w = W.partitionBy("doc_id").orderBy("df_", "shingle")
+    sized = rows.join(dfreq, "shingle").select(
+        "doc_id",
+        F.row_number().over(w).alias("pos"),
+        F.count(F.lit(1)).over(W.partitionBy("doc_id")).alias("s"),
+    )
+    # τ = 4/5: prefix length = s - ceil(4s/5) + 1
+    prefix_n = sized.filter(
+        F.col("pos") <= F.col("s") - F.expr("((s * 4) + 4) div 5") + 1
+    ).count()
+    assert 0 < prefix_n < total / 2
+    neardup.release_cached()
+
+
+def test_prefix_filter_validation(spark, doc_df):
+    with pytest.raises(ValueError):
+        neardup.prefix_filtered_jaccard_pairs(
+            doc_df, id_col="doc_id", text_col="text",
+            threshold_num=3, threshold_den=2,
+        )
