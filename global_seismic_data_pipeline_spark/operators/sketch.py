@@ -507,3 +507,96 @@ def join_size_estimate(
             est.alias("est_join_rows"), "actual_join_rows",
         )
     )
+
+
+def kmv_sketch(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """K-minimum-values sketch: the ``k`` smallest distinct 60-bit
+    portable hashes of ``key_col`` (one tiny k-row table). TakeOrdered
+    shape — sort-limit pushes the top-k into per-partition heaps, no
+    global sort. Mergeable: union two sketches and re-take the k
+    smallest (:func:`kmv_overlap` does exactly that)."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .select(portable_hash64(F.col(key_col).cast("string")).alias("hv"))
+        .distinct()
+        .orderBy("hv")
+        .limit(k)
+    )
+
+
+def kmv_overlap(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    k: int = 256,
+) -> DataFrame:
+    """Set-overlap estimation from two KMV sketches (Beyer et al., "On
+    synopses for distinct-value estimation under multiset operations",
+    SIGMOD 2007): how much do two key sets overlap — WITHOUT joining
+    them. The workhorse audit for dataset overlap at 100 TB (corpus vs
+    corpus, audience vs audience, train vs eval): each side is reduced
+    to its k smallest distinct hashes; everything after that is
+    arithmetic on 2k rows.
+
+    - union sketch = k smallest of (sketch_L ∪ sketch_R); its k-th value
+      ``kth_min`` estimates |L ∪ R| ≈ (k−1)·M / kth_min (hashes are
+      uniform on [0, M), M = 2^60);
+    - ``matches`` = union-sketch members present in BOTH sketches;
+      Jaccard ≈ matches / k, |L ∩ R| ≈ matches · est_union / k.
+
+    Every estimator here is INTEGER floor-div arithmetic on the md5-
+    derived hashes — deterministic and engine-portable, so the sketch
+    estimates themselves (error included) are oracle-checked bit-for-bit
+    next to the exact audited counts. One row:
+    (k_used, kth_min, matches, est_union, est_intersection,
+    actual_union, actual_intersection)."""
+    m_space = 1 << 60
+    skl = kmv_sketch(left, left_key, k)
+    skr = kmv_sketch(right, right_key, k)
+    union_sk = skl.unionByName(skr).distinct().orderBy("hv").limit(k)
+    # membership flags via tiny broadcast joins (k rows each side)
+    marked = (
+        union_sk.join(
+            F.broadcast(skl.withColumn("in_l", F.lit(1))), "hv", "left"
+        )
+        .join(F.broadcast(skr.withColumn("in_r", F.lit(1))), "hv", "left")
+    )
+    est = marked.agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.max("hv").alias("kth_min"),
+        F.sum(
+            (F.col("in_l").isNotNull() & F.col("in_r").isNotNull()).cast("long")
+        ).alias("matches"),
+    ).select(
+        "k_used",
+        "kth_min",
+        "matches",
+        # not-full sketch (< k distinct hashes in the union) = the sketch
+        # IS the set: counts are exact, no extrapolation
+        # (k−1)·2^60 exceeds int64 — evaluate in DECIMAL(38,0) (HUGEINT in
+        # the oracle), floor-div back to bigint
+        F.when(F.col("k_used") < F.lit(k), F.col("k_used"))
+        .otherwise(
+            F.expr(
+                f"cast((cast(k_used - 1 as decimal(38,0)) * {m_space}) "
+                "div kth_min as bigint)"
+            )
+        )
+        .alias("est_union"),
+    ).select(
+        "*",
+        F.when(F.col("k_used") < F.lit(k), F.col("matches"))
+        .otherwise(F.expr("(matches * est_union) div k_used"))
+        .alias("est_intersection"),
+    )
+    lk = left.select(F.col(left_key).alias("kk")).filter(F.col("kk").isNotNull()).distinct()
+    rk = right.select(F.col(right_key).alias("kk")).filter(F.col("kk").isNotNull()).distinct()
+    actual = lk.unionByName(rk).distinct().agg(
+        F.count(F.lit(1)).alias("actual_union")
+    ).crossJoin(
+        lk.join(rk, "kk").agg(F.count(F.lit(1)).alias("actual_intersection"))
+    )
+    return est.crossJoin(actual)

@@ -1358,6 +1358,59 @@ SELECT n_left, n_right, ndv_left, ndv_right,
 FROM nl, nr, ndvl, ndvr, j
 """
 
+# KMV overlap: the oracle rebuilds both 256-row k-minimum-values sketches
+# (same md5-prefix hash, ORDER BY + LIMIT) and replays the integer
+# estimators — (k−1)·2^60 in HUGEINT ≡ Spark's DECIMAL(38,0) — so the
+# sketch ESTIMATES, approximation error included, match bit-for-bit.
+_KMV_K = 256
+_KMV_M = 1 << 60
+ORACLES_EXT["kmv_audience_overlap"] = f"""
+WITH lsk AS (
+    SELECT DISTINCT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv
+    FROM events WHERE event_type = 'view' AND user_id IS NOT NULL
+    ORDER BY hv LIMIT {_KMV_K}
+), rsk AS (
+    SELECT DISTINCT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv
+    FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    ORDER BY hv LIMIT {_KMV_K}
+), usk AS (
+    SELECT hv FROM (SELECT hv FROM lsk UNION SELECT hv FROM rsk)
+    ORDER BY hv LIMIT {_KMV_K}
+), est AS (
+    SELECT CAST(count(*) AS BIGINT) AS k_used,
+        max(hv) AS kth_min,
+        CAST(sum(CASE WHEN hv IN (SELECT hv FROM lsk)
+                       AND hv IN (SELECT hv FROM rsk)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS matches
+    FROM usk
+), est2 AS (
+    SELECT k_used, kth_min, matches,
+        CASE WHEN k_used < {_KMV_K} THEN k_used
+             ELSE CAST(((k_used - 1)::HUGEINT * {_KMV_M}::HUGEINT) // kth_min
+                       AS BIGINT) END AS est_union
+    FROM est
+), est3 AS (
+    SELECT *, CASE WHEN k_used < {_KMV_K} THEN matches
+                   ELSE (matches * est_union) // k_used END AS est_intersection
+    FROM est2
+), lk AS (
+    SELECT DISTINCT user_id FROM events
+    WHERE event_type = 'view' AND user_id IS NOT NULL
+), rk AS (
+    SELECT DISTINCT user_id FROM events
+    WHERE event_type = 'purchase' AND user_id IS NOT NULL
+), au AS (
+    SELECT CAST(count(*) AS BIGINT) AS actual_union
+    FROM (SELECT user_id FROM lk UNION SELECT user_id FROM rk)
+), ai AS (
+    SELECT CAST(count(*) AS BIGINT) AS actual_intersection
+    FROM lk JOIN rk USING (user_id)
+)
+SELECT k_used, kth_min, matches, est_union, est_intersection,
+    actual_union, actual_intersection
+FROM est3, au, ai
+"""
+
 # Negative sampling: ROW_NUMBER over the md5 permutation == the scalable
 # rank's (md5, id) total order; step/target arithmetic is the identical
 # nonneg 60-bit md5-prefix hash, so the triple set matches bit-for-bit.

@@ -1084,6 +1084,22 @@ def hybrid_range_count_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skipping.hybrid_range_count(spark, stats, "l_orderkey", 500, 4500)
 
 
+def kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation from KMV sketches (sketch.kmv_overlap):
+    how many 'view' users also 'purchase', answered from two 256-row
+    k-minimum-values sketches instead of a join — the dataset-overlap
+    audit shape (train-vs-eval, corpus-vs-corpus) at 100 TB. Integer
+    floor-div estimators on portable md5 hashes; the oracle replays the
+    sketches AND the estimates bit-for-bit, exact audited counts beside
+    them."""
+    from ..operators import sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view")
+    buys = ev.filter(F.col("event_type") == "purchase")
+    return sketch.kmv_overlap(views, buys, "user_id", "user_id", k=256)
+
+
 def join_size_estimate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Optimizer-statistics tooling (sketch.join_size_estimate): the
     System-R join-cardinality formula n_L·n_R / max(ndv_L, ndv_R) with

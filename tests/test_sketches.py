@@ -248,3 +248,35 @@ def test_join_size_estimate_formula_consistent(spark):
     # per-key counts: a = 13×76 keys + 12×1; b = 4×69 keys + 3×8
     # Σ cnt_a·cnt_b = 69·52 + 7·39 + 1·36
     assert row.actual_join_rows == 3897
+
+
+def test_kmv_overlap_exact_when_sketch_not_full(spark):
+    """Fewer distinct keys than k: the sketch IS the set — estimates equal
+    the exact audited counts."""
+    a = spark.range(100).select(F.col("id").alias("u"))
+    b = spark.range(50, 150).select(F.col("id").alias("u"))
+    row = sketch.kmv_overlap(a, b, "u", "u", k=256).collect()[0]
+    assert row.k_used == 150
+    assert row.est_union == row.actual_union == 150
+    assert row.est_intersection == row.actual_intersection == 50
+    assert row.matches == 50
+
+
+def test_kmv_overlap_estimates_within_error(spark):
+    """Full sketches: |union| and |intersection| estimates land within the
+    ~1/sqrt(k) band of the true values (50% planted overlap)."""
+    a = spark.range(4000).select(F.col("id").alias("u"))
+    b = spark.range(2000, 6000).select(F.col("id").alias("u"))
+    row = sketch.kmv_overlap(a, b, "u", "u", k=256).collect()[0]
+    assert row.k_used == 256
+    assert row.actual_union == 6000 and row.actual_intersection == 2000
+    assert abs(row.est_union - 6000) / 6000 < 0.25          # ~4σ at k=256
+    assert abs(row.est_intersection - 2000) / 2000 < 0.45   # ratio est: wider
+    assert row.est_intersection == (row.matches * row.est_union) // row.k_used
+
+
+def test_kmv_sketch_validation(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        sketch.kmv_sketch(spark.range(5), "id", 1)
