@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_sample_pairs": workloads_ext.negative_sample_pairs,
         "join_size_estimate_orders": workloads_ext.join_size_estimate_orders,
         "kmv_audience_overlap": workloads_ext.kmv_audience_overlap,
+        "phrase_search_docs": workloads_ext.phrase_search_docs,
         "hybrid_range_count_lineitem": workloads_ext.hybrid_range_count_lineitem,
         "json_extract_events": workloads_ext.json_extract_events,
         "window_rank_suite": workloads_ext.window_rank_suite,

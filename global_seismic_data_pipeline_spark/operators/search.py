@@ -341,3 +341,44 @@ CROSS JOIN ti_qnorm q
 ORDER BY tfidf_cosine DESC, id_
 LIMIT {k}
 """
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase matching over tokenized text: (id, n_occurrences) for
+    every document containing the phrase's tokens CONSECUTIVELY — the
+    positional-postings query BM25/TF-IDF ranking cannot answer (bag-of-
+    words scoring is order-blind).
+
+    Positional adjacency over a token sequence is exactly an n-gram
+    equality: the operator reuses :func:`..neardup.shingle_rows` (split →
+    posexplode → per-doc lead window, one doc-keyed shuffle, codegen
+    end-to-end) with n = phrase length and keeps rows equal to the
+    normalized phrase. Occurrences may overlap ("a a a" contains "a a"
+    twice) — the window form counts every start position, where a
+    substring replace-and-measure trick would undercount; the oracle
+    replays token positions for the same reason.
+
+    Scale shape: one tokenization pass + one count aggregate; no join at
+    all (the phrase is a literal). For a phrase WORKLOAD (many phrases),
+    generalize to a semi-join of the shingle rows against a broadcast
+    phrase table — same single corpus pass.
+    """
+    from .neardup import shingle_rows
+
+    words = phrase.strip().lower().split()
+    if not words:
+        raise ValueError("phrase must contain at least one token")
+    # normalize the phrase the same way document text is normalized
+    norm_phrase = " ".join(words)
+    rows = shingle_rows(df, id_col=id_col, text_col=text_col, n=len(words))
+    return (
+        rows.filter(F.col("shingle") == norm_phrase)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )

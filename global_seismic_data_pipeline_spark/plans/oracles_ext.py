@@ -1358,6 +1358,23 @@ SELECT n_left, n_right, ndv_left, ndv_right,
 FROM nl, nr, ndvl, ndvr, j
 """
 
+# Phrase search: token-position replay (w[i], w[i+1], w[i+2] equality over
+# every start position) — overlap-correct where substring replace-counting
+# is not.
+ORACLES_EXT["phrase_search_docs"] = rf"""
+WITH t AS (
+    SELECT doc_id, string_split({NORM}, ' ') AS w FROM documents
+), c AS (
+    SELECT doc_id,
+        CAST(list_sum(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+            i -> CASE WHEN w[i] = 'slow' AND w[i+1] = 'hash'
+                       AND w[i+2] = 'batch'
+                 THEN 1 ELSE 0 END)) AS BIGINT) AS n_occurrences
+    FROM t
+)
+SELECT doc_id, n_occurrences FROM c WHERE n_occurrences > 0
+"""
+
 # KMV overlap: the oracle rebuilds both 256-row k-minimum-values sketches
 # (same md5-prefix hash, ORDER BY + LIMIT) and replays the integer
 # estimators — (k−1)·2^60 in HUGEINT ≡ Spark's DECIMAL(38,0) — so the

@@ -1084,6 +1084,19 @@ def hybrid_range_count_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skipping.hybrid_range_count(spark, stats, "l_orderkey", 500, 4500)
 
 
+def phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact consecutive-token phrase matching (search.phrase_search):
+    positional adjacency expressed as n-gram equality over the shingle
+    window — counts every start position, overlaps included. The oracle
+    replays token positions with a lateral range, NOT substring replace
+    (which would undercount overlapping occurrences)."""
+    from ..operators import search
+
+    return search.phrase_search(
+        _docs(spark, sf_dir), "slow hash batch"
+    )
+
+
 def kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audience-overlap estimation from KMV sketches (sketch.kmv_overlap):
     how many 'view' users also 'purchase', answered from two 256-row

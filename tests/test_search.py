@@ -135,3 +135,35 @@ def test_tfidf_idf_downweights_common_terms(spark):
     # (df=4 of 4, idf=1) — rarity must dominate
     assert got[4] > max(got[1], got[2], got[3])
     search.release_cached()
+
+
+def test_phrase_search_counts_overlapping_occurrences(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # "a a" starts at 3 positions
+            (2, "x a a y"),          # once
+            (3, "a b a b"),          # zero "a a"
+            (4, "  A   a  b"),       # normalization: case + whitespace
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.n_occurrences
+        for r in search.phrase_search(df, "a a").collect()
+    }
+    assert got == {1: 3, 2: 1, 4: 1}
+
+
+def test_phrase_search_multiword_and_single(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox and the quick red fox")],
+        "doc_id long, text string",
+    )
+    assert search.phrase_search(df, "the quick").collect()[0].n_occurrences == 2
+    assert search.phrase_search(df, "fox").collect()[0].n_occurrences == 2
+    assert search.phrase_search(df, "Quick Brown Fox").collect()[0].n_occurrences == 1
+    assert search.phrase_search(df, "red brown").count() == 0
+    import pytest
+
+    with pytest.raises(ValueError):
+        search.phrase_search(df, "   ")
