@@ -122,6 +122,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_size_estimate_orders": workloads_ext.join_size_estimate_orders,
         "kmv_audience_overlap": workloads_ext.kmv_audience_overlap,
         "phrase_search_docs": workloads_ext.phrase_search_docs,
+        "feature_hash_docs": workloads_ext.feature_hash_docs,
+        "scd2_user_value_history": workloads_ext.scd2_user_value_history,
         "hybrid_range_count_lineitem": workloads_ext.hybrid_range_count_lineitem,
         "json_extract_events": workloads_ext.json_extract_events,
         "window_rank_suite": workloads_ext.window_rank_suite,

@@ -472,3 +472,52 @@ def unigram_lm_surprisal(
         .cast("long")
         .alias("keep"),
     )
+
+
+def feature_hash(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 256,
+) -> DataFrame:
+    """Signed feature hashing ("hashing trick", Weinberger et al., ICML
+    2009): project token counts into a FIXED ``dim``-dimensional space
+    with no vocabulary at all — index = hash(token) mod dim, sign =
+    ±1 from an independent hash bit, weight(idx) = Σ occurrences · sign.
+    The unbiased, collision-tolerant featurizer for linear models over
+    unbounded vocabularies: no vocab build, no broadcast, new tokens
+    never change the schema — at 100 TB this removes the only stateful
+    step of :func:`build_vocab`/:func:`encode_docs`.
+
+    Returns sparse rows (id, feature_idx, weight) — one shuffle keyed on
+    (doc, idx) with map-side partial sums; zero weights (sign
+    cancellation) are kept so the output is exactly the Σ±1 algebra.
+    Portable md5 hashing: index = low bits, sign = bit 20 (independent of
+    the index bits for any dim ≤ 2^20) — bit-identical in the oracle."""
+    if dim < 2:
+        raise ValueError("dim must be >= 2")
+    from .neardup import portable_hash64
+    from .partitioning import ensure_parallelism
+
+    toks = (
+        ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+        .select(
+            F.col(id_col),
+            F.explode(F.split(normalized(F.col(text_col)), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    h = portable_hash64(F.col("tok"))
+    sign = F.when(
+        F.shiftright(h, 20).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+    ).otherwise(F.lit(-1))
+    return (
+        toks.select(
+            F.col(id_col),
+            F.pmod(h, F.lit(dim)).alias("feature_idx"),
+            sign.alias("s"),
+        )
+        .groupBy(id_col, "feature_idx")
+        .agg(F.sum("s").cast("long").alias("weight"))
+    )

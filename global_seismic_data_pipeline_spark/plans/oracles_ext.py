@@ -1358,6 +1358,45 @@ SELECT n_left, n_right, ndv_left, ndv_right,
 FROM nl, nr, ndvl, ndvr, j
 """
 
+# Feature hashing: identical md5-prefix hash → index = hash mod 256,
+# sign = bit 20; weights are integer Σ±1 per (doc, idx).
+ORACLES_EXT["feature_hash_docs"] = rf"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split({NORM}, ' ')) AS tok FROM documents
+), hashed AS (
+    SELECT doc_id,
+        ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+    FROM toks WHERE tok != ''
+)
+SELECT doc_id,
+    h % 256 AS feature_idx,
+    CAST(sum(CASE WHEN (h >> 20) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT)
+        AS weight
+FROM hashed
+GROUP BY doc_id, h % 256
+"""
+
+# SCD2: lag-window no-op collapse + lead-window validity intervals.
+ORACLES_EXT["scd2_user_value_history"] = """
+WITH ded AS (
+    SELECT user_id, ts, max(value) AS value
+    FROM events GROUP BY user_id, ts
+), lagged AS (
+    SELECT user_id, ts, value,
+        lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts,
+        lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS prev_value
+    FROM ded
+), kept AS (
+    SELECT user_id, ts, value FROM lagged
+    WHERE prev_ts IS NULL OR value IS DISTINCT FROM prev_value
+)
+SELECT user_id, value, ts AS valid_from,
+    lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+    CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS BIGINT)
+        AS is_current
+FROM kept
+"""
+
 # Phrase search: token-position replay (w[i], w[i+1], w[i+2] equality over
 # every start position) — overlap-correct where substring replace-counting
 # is not.

@@ -1084,6 +1084,30 @@ def hybrid_range_count_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skipping.hybrid_range_count(spark, stats, "l_orderkey", 500, 4500)
 
 
+def feature_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed feature hashing (text.feature_hash, the Weinberger hashing
+    trick): tokens projected into 256 fixed dimensions with ±1 signs from
+    an independent hash bit — the vocabulary-free featurizer (no vocab
+    build, no broadcast, schema never changes). Sparse (doc, idx, weight)
+    rows; portable md5 index/sign arithmetic, oracle bit-for-bit."""
+    return text.feature_hash(_docs(spark, sf_dir), dim=256)
+
+
+def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 dimension build (operators/scd.py): the per-user value
+    change stream becomes versioned history rows with half-open
+    [valid_from, valid_to) intervals and an is_current flag; same-ts
+    collisions deterministically pre-deduped (max value), no-op changes
+    collapsed. The oracle replays the lag-filter + lead-interval windows."""
+    from ..operators import scd
+
+    ev = load_table(spark, sf_dir, "events")
+    ded = ev.groupBy("user_id", "ts").agg(F.max("value").alias("value"))
+    return scd.scd2_build(
+        ded, key_cols=["user_id"], ts_col="ts", attr_cols=["value"]
+    )
+
+
 def phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact consecutive-token phrase matching (search.phrase_search):
     positional adjacency expressed as n-gram equality over the shingle

@@ -121,3 +121,30 @@ def test_vocab_encode_round_trip(spark):
     # decoding through the vocab recovers the original token stream
     inv = {v: k for k, v in vocab.items()}
     assert " ".join(inv[i] for i in enc[1]) == "b a b c"
+
+
+def test_feature_hash_matches_python_reference(spark):
+    """Distributed signed hashing == a per-token python replica of the
+    md5 index/sign arithmetic."""
+    import hashlib
+    from collections import defaultdict
+
+    from global_seismic_data_pipeline_spark.operators import text as text_ops
+
+    docs = [(1, "spark shuffle spark join"), (2, "The  THE the")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.feature_idx): r.weight
+        for r in text_ops.feature_hash(df, dim=64).collect()
+    }
+    want = defaultdict(int)
+    for did, t in docs:
+        for tok in " ".join(t.lower().split()).split(" "):
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+            want[(did, h % 64)] += 1 if (h >> 20) & 1 else -1
+    assert got == dict(want)
+    # repeated token accumulates: 'spark' twice → |weight| == 2 somewhere
+    assert any(abs(w) == 2 for (d, _), w in got.items() if d == 1)
+    # case/whitespace normalization: doc 2 collapses to one token ×3
+    d2 = [w for (d, _), w in got.items() if d == 2]
+    assert d2 in ([3], [-3])
