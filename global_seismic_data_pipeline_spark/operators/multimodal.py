@@ -264,3 +264,105 @@ def extract_audio_features(df: DataFrame, *, id_col: str = "doc_id") -> DataFram
             )
 
     return pruned.mapInPandas(gen, schema=AUDIO_SCHEMA)
+
+
+PHASH_SCHEMA = "doc_id long, phash long"
+
+
+def _dct_matrix_n(n: int) -> np.ndarray:
+    """Orthonormal n-point DCT-II matrix (the jpegcodec 8-point matrix,
+    generalized): forward F = T @ f @ T.T."""
+    idx = np.arange(n)
+    k = idx.reshape(-1, 1)
+    t = np.cos((2 * idx + 1) * k * np.pi / (2 * n)) * np.sqrt(2 / n)
+    t[0, :] = np.sqrt(1 / n)
+    return t
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """64-bit perceptual hash of an (h, w, 3) uint8 image (the classic
+    pHash construction): integer luma → nearest-resize to 32×32 → 2-D
+    DCT-II → top-left 8×8 low-frequency block → bit j set iff
+    coefficient j exceeds the block's median (DC excluded from the
+    median — it is pure brightness). Deterministic numpy end-to-end;
+    robust to re-encoding, format conversion, resizing and uniform
+    brightness shifts, because those barely move low-frequency DCT
+    ratios."""
+    small = codecs.resize_nearest(pixels, 32, 32).astype(np.int64)
+    # integer luma (ITU-R 601 weights scaled to /256)
+    gray = (77 * small[:, :, 0] + 150 * small[:, :, 1] + 29 * small[:, :, 2]) >> 8
+    t = _dct_matrix_n(32)
+    coeffs = t @ gray.astype(np.float64) @ t.T
+    block = coeffs[:8, :8]
+    med = np.median(np.concatenate((block.flat[1:],)))
+    bits = (block.flatten() > med).astype(np.uint64)
+    h = np.uint64(0)
+    for j in range(64):
+        h |= bits[j] << np.uint64(j)
+    return int(h.astype(np.int64))  # two's-complement into Spark's long
+
+
+def phash_images(
+    df: DataFrame, *, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """(id, phash) via mapInPandas over binary payloads — decodes
+    BMP/PNG/baseline-JPEG with the built-in codecs. Map-side only; the
+    payload column is pruned away after hashing so downstream joins ship
+    8 bytes per image, not the image."""
+    pruned = df.select(id_col, payload_col)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = [
+                phash64(codecs.decode_image(bytes(b))[1])
+                for b in pdf[payload_col]
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "phash": hashes}
+            )
+
+    return pruned.mapInPandas(gen, schema=PHASH_SCHEMA)
+
+
+PHASH_BANDS, PHASH_CHUNK_BITS = 4, 16
+
+
+def phash_near_dup_pairs(
+    hashes: DataFrame, *, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Image near-dup pairs by banded pHash (same pigeonhole as SimHash:
+    4 × 16-bit chunks — any pair within Hamming distance 3 shares an
+    exact chunk, so the band join has FULL recall at ≤ 3) verified by
+    exact ``bit_count(xor)``. The join ships (id, band, chunk) only."""
+    mask = (1 << PHASH_CHUNK_BITS) - 1
+    banded = hashes.select(
+        F.col(id_col),
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("phash", i * PHASH_CHUNK_BITS)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for i in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select(F.col(id_col), "phash", F.col("bb.band"), F.col("bb.chunk"))
+    left = banded.select(
+        F.col(id_col).alias("id_a"), F.col("phash").alias("ph_a"), "band", "chunk"
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"), F.col("phash").alias("ph_b"), "band", "chunk"
+    )
+    return (
+        left.join(right, ["band", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -270,3 +270,61 @@ def test_resize_mixed_bmp_png_keeps_format(spark):
     }
     assert codecs.sniff(out[1]) == "bmp" and codecs.sniff(out[2]) == "png"
     assert np.array_equal(codecs.decode_bmp(out[1]), codecs.decode_png(out[2]))
+
+
+def _rand_img(rng, h=40, w=48):
+    return rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+
+
+def test_phash_invariant_to_format_and_brightness():
+    """The same picture re-encoded (BMP→PNG) or uniformly brightened
+    hashes identically; an unrelated picture is far away."""
+    rng = np.random.RandomState(11)
+    base = _rand_img(rng)
+    other = _rand_img(rng)
+    h_base = multimodal.phash64(base)
+    h_png = multimodal.phash64(
+        codecs.decode_image(codecs.encode_image("png", base))[1]
+    )
+    bright = np.clip(base.astype(np.int64) + 8, 0, 255).astype(np.uint8)
+    h_bright = multimodal.phash64(bright)
+    h_other = multimodal.phash64(other)
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(h_base, h_png) == 0          # lossless re-encode
+    assert ham(h_base, h_bright) <= 2       # DC-only shift
+    assert ham(h_base, h_other) > 12        # unrelated content
+
+
+def test_phash_robust_to_resize():
+    """A downscaled copy of the image stays within the near-dup band
+    (low-frequency structure survives resampling)."""
+    rng = np.random.RandomState(5)
+    # smooth image (random low-res upsampled) — pHash targets natural
+    # images, not per-pixel noise
+    small = rng.randint(0, 256, size=(8, 8, 3)).astype(np.uint8)
+    img = codecs.resize_nearest(small, 96, 80)
+    shrunk = codecs.resize_nearest(img, 48, 40)
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(multimodal.phash64(img), multimodal.phash64(shrunk)) <= 3
+
+
+def test_phash_near_dup_pairs_spark(spark):
+    """End-to-end: payloads → mapInPandas pHash → banded Hamming join.
+    Cross-format duplicates collide; unrelated images do not."""
+    rng = np.random.RandomState(7)
+    imgs = {1: _rand_img(rng), 3: _rand_img(rng), 4: _rand_img(rng)}
+    payloads = [
+        (1, bytearray(codecs.encode_image("bmp", imgs[1]))),
+        (2, bytearray(codecs.encode_image("png", imgs[1]))),  # dup of 1
+        (3, bytearray(codecs.encode_image("bmp", imgs[3]))),
+        (4, bytearray(codecs.encode_image("png", imgs[4]))),
+    ]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    hashes = multimodal.phash_images(df)
+    pairs = multimodal.phash_near_dup_pairs(hashes).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+    assert pairs[0].hamming == 0
