@@ -66,6 +66,12 @@ EXTENDED = [
     "max_concurrent_events",
     "topk_orders_per_priority",
     "triangle_count_copurchase",
+    # round-3 session-3 operators
+    "ppjoin_near_dup",
+    "phrase_search_docs",
+    "feature_hash_docs",
+    "scd2_user_value_history",
+    "kmv_audience_overlap",
 ]
 
 HEADLINE = [

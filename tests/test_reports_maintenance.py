@@ -95,3 +95,34 @@ def test_optimize_all_and_vacuum(spark, warehouse):
     os.makedirs(leftover)
     assert maintenance.vacuum(warehouse) == 1
     assert not os.path.isdir(leftover)
+
+def test_dashboard_renders_all_sections(spark, warehouse, tmp_path):
+    from global_seismic_data_pipeline_spark.pipeline import dashboard
+
+    path = dashboard.save_dashboard(
+        warehouse, str(tmp_path / "dash.html"), clock=CLOCK
+    )
+    page = open(path, encoding="utf-8").read()
+    assert page.startswith("<!doctype html>")
+    # every report section and every KPI caption present
+    for name in reports.ALL_REPORTS:
+        assert f"<h2>{name}</h2>" in page
+    for _, caption, _ in dashboard._KPI_CARDS:
+        assert caption in page
+    # real values from the 4-event fixture: total count + max magnitude
+    assert '<div class="num">4</div>' in page
+    assert ">7.3<" in page
+    assert "rendered 2025-06-01 12:00 UTC" in page
+
+
+def test_dashboard_escapes_markup(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from global_seismic_data_pipeline_spark.pipeline import dashboard
+
+    df = spark.createDataFrame(
+        [("<script>alert(1)</script>", 1)], "name string, n long"
+    )
+    block = dashboard.render_table(df, "t<i>tle")
+    assert "<script>" not in block
+    assert "&lt;script&gt;" in block and "t&lt;i&gt;tle" in block
