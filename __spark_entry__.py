@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": workloads_ext.lsh_ann_topk,
         "ivf_ann_topk": workloads_ext.ivf_ann_topk,
         "pq_ann_topk": workloads_ext.pq_ann_topk,
+        "jl_project_embeddings": workloads_ext.jl_project_embeddings,
         "multimodal_metadata": workloads_ext.multimodal_metadata,
         "salted_agg_lineitem": workloads_ext.salted_agg_lineitem,
         "asof_join_purchases": workloads_ext.asof_join_purchases,

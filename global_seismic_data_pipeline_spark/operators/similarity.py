@@ -669,3 +669,39 @@ def lsh_topk(
     return scored.withColumn("sim_rank", F.row_number().over(w).cast("long")).filter(
         F.col("sim_rank") <= k
     )
+
+
+def jl_projection_matrix(dim: int, out_dim: int, seed: int) -> np.ndarray:
+    """Seeded Gaussian JL matrix (out_dim × dim), scaled 1/√out_dim so
+    squared distances are preserved in expectation, then quantized."""
+    rng = np.random.RandomState(seed)
+    return quantize(rng.standard_normal((out_dim, dim)) / np.sqrt(out_dim))
+
+
+def jl_project(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    out_dim: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection: (id, proj array<long>)
+    with proj = Q(x) · Q(R)ᵀ — the dimensionality-reduction front of an
+    embedding pipeline (4× fewer bytes per vector into ANN/dedup, with
+    JL's distance-distortion guarantee; preservation measured in tests).
+
+    One Arrow-batched integer matmul per batch, map-side only. The
+    DOUBLE-quantized integer output (scale 2^40) is exact — the same
+    argmax/threshold discipline as the LSH/IVF operators (see ``QUANT``),
+    so projected vectors are bit-identical in the DuckDB oracle; consumers
+    rescale by 2^-40 when they need real-valued coordinates."""
+    proj_q = jl_projection_matrix(dim, out_dim, seed)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def project_pd(vecs: pd.Series) -> pd.Series:
+        mat = quantize(np.array(vecs.tolist(), dtype=np.float64))
+        return pd.Series(list(mat @ proj_q.T))
+
+    return df.select(F.col(id_col), project_pd(F.col(vec_col)).alias("proj"))

@@ -941,6 +941,27 @@ WITH xq AS (
 ){_RERANK}"""
 
 
+def _jl_sql() -> str:
+    """JL projection oracle: the 16 projected coordinates as integer dot
+    products against the seeded quantized matrix literals."""
+    from ..operators.similarity import jl_projection_matrix
+
+    r_q = jl_projection_matrix(_ANN_DIM, 16, _ANN_SEED)
+    coords = ", ".join(
+        f"list_sum(list_transform(range(1, 65), "
+        f"i -> xq[i] * ({_int_list(r_q[c])})[i]))"
+        for c in range(16)
+    )
+    return f"""
+WITH xq AS (
+    SELECT vec_id, {_XQ} AS xq FROM embeddings
+)
+SELECT vec_id, array_to_string(list_value({coords}), ',') AS proj_csv FROM xq
+"""
+
+
+ORACLES_EXT["jl_project_embeddings"] = _jl_sql()
+
 LSH_ANN_TOPK_SQL = _lsh_ann_sql()
 IVF_ANN_TOPK_SQL = _ivf_ann_sql()
 ORACLES_EXT["lsh_ann_topk"] = LSH_ANN_TOPK_SQL

@@ -244,6 +244,21 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def jl_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss reduction 64 → 16 dims
+    (similarity.jl_project): the embedding-pipeline front-end that cuts
+    per-vector bytes 4× before ANN/dedup. Quantized integer matmul —
+    the projected coordinates are exact int64, so the oracle reproduces
+    the full projected table bit-for-bit from the seeded matrix
+    literals; distance preservation is measured in pytest. Coordinates
+    are emitted CSV-joined (the checker's row compare needs scalar
+    columns, same convention as the other array outputs)."""
+    proj = similarity.jl_project(_embs(spark, sf_dir), dim=64, out_dim=16, seed=42)
+    return proj.select(
+        "vec_id", F.concat_ws(",", F.col("proj").cast("array<string>")).alias("proj_csv")
+    )
+
+
 def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ approximate top-k (similarity.ivf_pq_topk): trained IVF
     cells bound which vectors are scanned, trained product-quantization

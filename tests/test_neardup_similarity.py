@@ -409,3 +409,46 @@ def test_prefix_filter_validation(spark, doc_df):
             doc_df, id_col="doc_id", text_col="text",
             threshold_num=3, threshold_den=2,
         )
+
+
+def test_jl_projection_preserves_distances(spark, vec_df):
+    """JL guarantee, measured: pairwise squared distances in the 16-dim
+    projection correlate strongly with the 64-dim originals, and the
+    projection is the exact integer matmul (numpy replica match)."""
+    import numpy as np
+
+    from global_seismic_data_pipeline_spark.operators.similarity import (
+        jl_projection_matrix,
+        quantize,
+    )
+
+    out = {
+        r.vec_id: np.array(r.proj, dtype=np.float64)
+        for r in similarity.jl_project(vec_df, dim=64, out_dim=16).collect()
+    }
+    rows = {r.vec_id: np.array(r.embedding) for r in vec_df.collect()}
+    # exact integer replica
+    r_q = jl_projection_matrix(64, 16, 42)
+    for vid in list(rows)[:10]:
+        want = quantize(rows[vid][None, :]) @ r_q.T
+        assert np.array_equal(out[vid].astype(np.int64), want[0])
+    # distance preservation: per-pair relative distortion of squared
+    # distances is bounded (JL at k=16 → std ≈ sqrt(2/16) ≈ 0.35; note
+    # correlation would be meaningless here — iid gaussian distances
+    # concentrate, so their cross-pair variance is mostly JL noise)
+    ids = sorted(rows)
+    rng = np.random.RandomState(3)
+    pairs = [(ids[a], ids[b]) for a, b in rng.randint(0, len(ids), (200, 2)) if a != b]
+    scale = float(2**40) ** 2  # both matmul factors carry 2^20
+    dist = [
+        abs((np.sum((out[a] - out[b]) ** 2) / scale) / np.sum((rows[a] - rows[b]) ** 2) - 1)
+        for a, b in pairs
+    ]
+    assert np.median(dist) < 0.5, np.median(dist)
+    assert np.quantile(dist, 0.9) < 1.0
+    # planted near-copies stay near in the projection: their projected
+    # distances are far below the random-pair scale
+    planted = [(i, 900 + i) for i in range(1, 10)]
+    d_planted = np.mean([np.sum((out[a] - out[b]) ** 2) / scale for a, b in planted])
+    d_random = np.mean([np.sum((out[a] - out[b]) ** 2) / scale for a, b in pairs])
+    assert d_planted < d_random / 4, (d_planted, d_random)
