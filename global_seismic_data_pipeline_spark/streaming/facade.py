@@ -183,6 +183,44 @@ def windowed_cms_counters(
     )
 
 
+def windowed_quantile_histogram(
+    stream: DataFrame,
+    *,
+    value_col: str,
+    time_col: str = "time",
+    window: str = "1 day",
+    late_threshold: str = "1 day",
+    k: int = 5,
+) -> DataFrame:
+    """Streaming quantiles: per-window mergeable quantile histograms —
+    the third sketch of the streaming family (distincts =
+    :func:`windowed_hll_registers`, heavy hitters =
+    :func:`windowed_cms_counters`, quantiles = this).
+
+    The histogram counts of ``operators/sketch.quantile_histogram`` are
+    sum-mergeable on (window, qbucket), so each micro-batch folds into
+    window state like any windowed count; state per window is bounded by
+    the bucket count (exact-integer OR-smear bucketing — no libm, no
+    float state), and the watermark evicts closed windows. Store the
+    histograms, answer any quantile on read with the cumulative walk
+    (``sketch.approx_quantiles``'s estimator over the stored counts).
+    Streamed histograms equal the batch sketch bit-for-bit — asserted in
+    tests."""
+    from ..operators.sketch import quantile_histogram
+
+    windowed = stream.withWatermark(time_col, late_threshold).select(
+        F.window(time_col, window).alias("w"), F.col(value_col)
+    )
+    out = quantile_histogram(windowed, value_col, ["w"], k=k)
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "qbucket",
+        "cnt",
+        "rep",
+    )
+
+
 def enriched_bands(
     stream: DataFrame,
     bands: DataFrame,

@@ -370,3 +370,39 @@ def test_streaming_incremental_dedup_equals_batch_operator(spark, tmp_path):
     assert got == want
     assert (0, 3) in got and got[(0, 3)] == 1.0  # exact dup found cross-batch
     neardup.release_cached()
+
+
+def test_windowed_quantile_histogram_matches_batch(spark, stream_dir):
+    """Streaming per-window quantile histograms == batch sketch
+    bit-for-bit (sum-mergeable counts; exact-integer bucketing)."""
+    from global_seismic_data_pipeline_spark.operators import sketch
+
+    stream = facade.read_stream(
+        spark, str(stream_dir / "events"), BRONZE_EARTHQUAKES
+    )
+    # histogram over integer depth-decimeters (non-negative int column)
+    depth_dm = (F.col("depth") * 10).cast("long")
+    facade.to_memory_table(
+        facade.windowed_quantile_histogram(
+            stream.withColumn("depth_dm", depth_dm), value_col="depth_dm", k=5
+        ),
+        "t_qh",
+        complete=True,
+    )
+    streamed = spark.table("t_qh")
+
+    batch = (
+        spark.read.parquet(str(stream_dir / "events"))
+        .withColumn("depth_dm", depth_dm)
+        .select(F.window("time", "1 day").alias("w"), "depth_dm")
+    )
+    batch_qh = sketch.quantile_histogram(batch, "depth_dm", ["w"], k=5).select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "qbucket",
+        "cnt",
+        "rep",
+    )
+    assert streamed.exceptAll(batch_qh).count() == 0
+    assert batch_qh.exceptAll(streamed).count() == 0
+    assert streamed.count() > 0
