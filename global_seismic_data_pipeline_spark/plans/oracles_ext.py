@@ -200,8 +200,11 @@ ORACLES_EXT: dict[str, str] = {
     "exact_dedup_docs": EXACT_DEDUP_SQL,
     "ngram_jaccard_near_dup": NGRAM_JACCARD_SQL,
     # prefix filtering is LOSSLESS for J >= tau: the oracle is the same
-    # exhaustive join — any pruned qualifying pair hash-fails
-    "ppjoin_near_dup": NGRAM_JACCARD_SQL,
+    # exhaustive join at the query's tau = 4/5 — any pruned qualifying
+    # pair hash-fails
+    "ppjoin_near_dup": NGRAM_JACCARD_SQL.replace(
+        f">= {NGRAM_THRESHOLD}", ">= 0.8"
+    ),
     "cosine_topk_bruteforce": COSINE_TOPK_SQL,
     "embedding_cosine_near_dup": EMBEDDING_COSINE_NEAR_DUP_SQL,
     "salted_agg_lineitem": SALTED_AGG_SQL,

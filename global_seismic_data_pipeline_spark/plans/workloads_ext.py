@@ -108,16 +108,19 @@ def ngram_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ppjoin_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard pairs via PREFIX FILTERING
-    (neardup.prefix_filtered_jaccard_pairs, AllPairs/PPJoin): only each
-    doc's rarest |s|−⌈τ|s|⌉+1 shingles enter the inverted index, which is
-    lossless for J ≥ τ — so the oracle is the SAME exhaustive SQL as
-    ngram_jaccard_near_dup (τ = 1/5 as exact integer prefix arithmetic).
-    A pruning bug that drops any qualifying pair hash-fails."""
+    (neardup.prefix_filtered_jaccard_pairs, AllPairs/PPJoin) at τ = 4/5 —
+    the technique's regime: near-exact dup detection, where only each
+    doc's rarest ~|s|/5 shingles enter the inverted index and the
+    candidate set collapses to close pairs (at low τ the prefix covers
+    most of the doc and prunes nothing — measured, documented in the
+    operator). Lossless for J ≥ τ, so the oracle is the exhaustive join
+    at the same threshold: a pruning bug that drops any qualifying pair
+    hash-fails."""
     from .oracles_ext import NGRAM_N
 
     return neardup.prefix_filtered_jaccard_pairs(
         _docs(spark, sf_dir), id_col="doc_id", text_col="text",
-        n=NGRAM_N, threshold_num=1, threshold_den=5,
+        n=NGRAM_N, threshold_num=4, threshold_den=5,
     )
 
 
