@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search_docs": workloads_ext.phrase_search_docs,
         "feature_hash_docs": workloads_ext.feature_hash_docs,
         "scd2_user_value_history": workloads_ext.scd2_user_value_history,
+        "scd2_as_of_snapshot": workloads_ext.scd2_as_of_snapshot,
         "hybrid_range_count_lineitem": workloads_ext.hybrid_range_count_lineitem,
         "json_extract_events": workloads_ext.json_extract_events,
         "window_rank_suite": workloads_ext.window_rank_suite,

@@ -1421,6 +1421,29 @@ SELECT user_id, value, ts AS valid_from,
 FROM kept
 """
 
+# SCD2 point-in-time read: the oracle answers via latest-kept-change-at-
+# or-before-T (ROW_NUMBER), the operator via interval containment — the
+# two constructions must agree row-for-row.
+ORACLES_EXT["scd2_as_of_snapshot"] = """
+WITH ded AS (
+    SELECT user_id, ts, max(value) AS value
+    FROM events GROUP BY user_id, ts
+), lagged AS (
+    SELECT user_id, ts, value,
+        lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts,
+        lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS prev_value
+    FROM ded
+), kept AS (
+    SELECT user_id, ts, value FROM lagged
+    WHERE prev_ts IS NULL OR value IS DISTINCT FROM prev_value
+)
+SELECT user_id, value, ts AS valid_from FROM (
+    SELECT user_id, value, ts,
+        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+    FROM kept WHERE ts <= TIMESTAMP '2024-01-15'
+) WHERE rn = 1
+"""
+
 # Phrase search: token-position replay (w[i], w[i+1], w[i+2] equality over
 # every start position) — overlap-correct where substring replace-counting
 # is not.

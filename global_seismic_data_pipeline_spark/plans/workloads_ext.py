@@ -1126,6 +1126,25 @@ def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scd2_as_of_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension read (scd.as_of over the SCD2 history):
+    every user's value exactly as of 2024-01-15 — the reproducibility
+    query ("what did the model see on day X"). The oracle answers it the
+    OTHER way (latest change at-or-before T via ROW_NUMBER), pinning the
+    interval semantics: both constructions must agree row-for-row."""
+    from datetime import datetime
+
+    from ..operators import scd
+
+    ev = load_table(spark, sf_dir, "events")
+    ded = ev.groupBy("user_id", "ts").agg(F.max("value").alias("value"))
+    hist = scd.scd2_build(
+        ded, key_cols=["user_id"], ts_col="ts", attr_cols=["value"]
+    )
+    snap = scd.as_of(hist, datetime(2024, 1, 15))
+    return snap.select("user_id", "value", "valid_from")
+
+
 def phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact consecutive-token phrase matching (search.phrase_search):
     positional adjacency expressed as n-gram equality over the shingle
