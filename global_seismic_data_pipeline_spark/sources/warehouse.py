@@ -79,13 +79,32 @@ class Warehouse:
     ) -> None:
         """Append-only write (bronze semantics, ref: 02_ingestion.py:214-217).
 
-        Parquet append adds new files to the directory; existing files are
-        never touched, so concurrent readers stay consistent per-file.
-        """
-        w = df.write.mode("append")
+        STAGED: the batch is written to a private staging directory, then
+        its data files rename into the table (same filesystem — atomic
+        per-file moves; Spark part names embed a per-job UUID, so names
+        never collide). A direct ``mode("append")`` into the table would
+        share Hadoop's ``_temporary/0`` committer scratch across
+        concurrent jobs — one writer's commit deletes the other's attempt
+        directory mid-flight (observed as a chmod-on-vanished-path task
+        failure). With staging, concurrent appends from one session or
+        many are safe, existing files are never touched, and readers stay
+        consistent per-file."""
+        staging = os.path.join(self.root, f".staging-{name}-{uuid.uuid4().hex}")
+        w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
-        w.format(self.fmt).save(self.path(name))
+        w.format(self.fmt).save(staging)
+        final = self.path(name)
+        os.makedirs(final, exist_ok=True)
+        for root_, _dirs, files in os.walk(staging):
+            rel = os.path.relpath(root_, staging)
+            for f in files:
+                if not f.endswith(self._ext):
+                    continue  # _SUCCESS markers stay behind
+                dst_dir = final if rel == "." else os.path.join(final, rel)
+                os.makedirs(dst_dir, exist_ok=True)
+                os.rename(os.path.join(root_, f), os.path.join(dst_dir, f))
+        shutil.rmtree(staging)
 
     def overwrite(
         self, df: DataFrame, name: str, partition_by: Sequence[str] = ()
