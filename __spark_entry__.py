@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metadata_only_agg": workloads_ext.metadata_only_agg,
         "negative_sample_pairs": workloads_ext.negative_sample_pairs,
         "join_size_estimate_orders": workloads_ext.join_size_estimate_orders,
+        "profile_orders_table": workloads_ext.profile_orders_table,
         "kmv_audience_overlap": workloads_ext.kmv_audience_overlap,
         "phrase_search_docs": workloads_ext.phrase_search_docs,
         "feature_hash_docs": workloads_ext.feature_hash_docs,

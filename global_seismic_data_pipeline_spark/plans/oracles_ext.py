@@ -1363,6 +1363,30 @@ WHERE l_orderkey BETWEEN 500 AND 4500
 
 from ..operators.sketch import oracle_sql as _hll_sql  # noqa: E402
 
+# Table profiling: per-column stats + HLL NDV, one UNION ALL branch per
+# profiled column, each reusing the canonical register SQL.
+def _profile_orders_sql() -> str:
+    cols = ["o_orderstatus", "o_orderpriority", "o_custkey"]
+    branches = []
+    for c in cols:
+        hll = _hll_sql(
+            f"(SELECT 1 AS g, CAST({c} AS VARCHAR) AS v FROM orders)",
+            "v", ["g"], p=12, out_col="approx_ndv",
+        )
+        branches.append(f"""
+SELECT '{c}' AS column,
+    CAST(count(*) AS BIGINT) AS n_rows,
+    CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+    min(CAST({c} AS VARCHAR)) AS min_str,
+    max(CAST({c} AS VARCHAR)) AS max_str,
+    (SELECT approx_ndv FROM ({hll})) AS approx_ndv
+FROM orders""")
+    return "\nUNION ALL\n".join(branches)
+
+
+ORACLES_EXT["profile_orders_table"] = _profile_orders_sql()
+
+
 # Join-size estimation: identical HLL register math (via sketch.oracle_sql)
 # + the integer System-R estimate; the actual join count audits the error.
 ORACLES_EXT["join_size_estimate_orders"] = f"""

@@ -1174,6 +1174,20 @@ def kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.kmv_overlap(views, buys, "user_id", "user_id", k=256)
 
 
+def profile_orders_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass-per-kind table profiling (operators/profile.py): per-
+    column nulls / lexicographic min-max / portable-HLL NDV over three
+    orders columns — the ANALYZE column-statistics payload as rows. The
+    oracle replays the canonical-string profile and the register math
+    per column, so even the approximate NDVs match bit-for-bit."""
+    from ..operators import profile
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profile.profile_table(
+        orders, ["o_orderstatus", "o_orderpriority", "o_custkey"]
+    )
+
+
 def join_size_estimate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Optimizer-statistics tooling (sketch.join_size_estimate): the
     System-R join-cardinality formula n_L·n_R / max(ndv_L, ndv_R) with

@@ -280,3 +280,25 @@ def test_kmv_sketch_validation(spark):
 
     with pytest.raises(ValueError):
         sketch.kmv_sketch(spark.range(5), "id", 1)
+
+
+def test_profile_table_stats(spark):
+    """Per-column profile: exact nulls/min/max, HLL NDV within error, one
+    row per column; validation on empty column list."""
+    import pytest
+
+    from global_seismic_data_pipeline_spark.operators import profile
+
+    df = spark.range(1000).select(
+        (F.col("id") % 10).cast("string").alias("s"),
+        F.when(F.col("id") % 4 != 0, F.col("id") % 313).alias("k"),
+    )
+    rows = {r.column: r for r in profile.profile_table(df, ["s", "k"]).collect()}
+    assert set(rows) == {"s", "k"}
+    s, k = rows["s"], rows["k"]
+    assert (s.n_rows, s.n_null, s.min_str, s.max_str) == (1000, 0, "0", "9")
+    assert s.approx_ndv == 10  # tiny cardinality: linear counting is exact
+    assert k.n_rows == 1000 and k.n_null == 250
+    assert abs(k.approx_ndv - 313) / 313 < 0.1
+    with pytest.raises(ValueError):
+        profile.profile_table(df, [])
