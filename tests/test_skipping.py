@@ -165,3 +165,12 @@ def test_hybrid_range_count_no_boundary_files(spark, wh):
     out = skipping.hybrid_range_count(spark, stats, "k", -1, 10_000)
     assert all("t__stats" in f for f in out.inputFiles())
     assert out.collect()[0].n_rows == 200
+
+
+def test_refresh_rejects_non_parquet_warehouse(spark, tmp_path):
+    """An ORC warehouse must fail loudly — silent zero-file stats would
+    make every pruned read skip everything."""
+    orc_wh = Warehouse(spark, str(tmp_path / "orcwh"), fmt="orc")
+    orc_wh.overwrite(spark.range(10).selectExpr("id as k"), "t")
+    with pytest.raises(ValueError, match="parquet"):
+        skipping.refresh_file_stats(orc_wh, "t", ["k"])
