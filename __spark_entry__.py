@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": workloads_ext.ivf_ann_topk,
         "pq_ann_topk": workloads_ext.pq_ann_topk,
         "jl_project_embeddings": workloads_ext.jl_project_embeddings,
+        "incremental_ivf_ann": workloads_ext.incremental_ivf_ann,
         "multimodal_metadata": workloads_ext.multimodal_metadata,
         "salted_agg_lineitem": workloads_ext.salted_agg_lineitem,
         "asof_join_purchases": workloads_ext.asof_join_purchases,

@@ -793,6 +793,72 @@ def _trained_ivf_codebook() -> "np.ndarray":
     return cb
 
 
+def _trained_ivf_codebook_base_subset() -> "np.ndarray":
+    """The incremental-index codebook: trained (same exact-integer Lloyd)
+    on the BASE subset only (vec_id % 5 != 0) — mirrors
+    ann_index.build_ivf_index in the incremental_ivf_ann query."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ..operators.similarity import _centroids, quantize
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    emb = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = np.array(emb.column("vec_id").to_pylist())
+    mat = np.array(emb.column("embedding").to_pylist(), dtype=np.float64)
+    xq = quantize(mat[ids % 5 != 0])
+    cb = quantize(_centroids(_ANN_DIM, _IVF_CELLS, _ANN_SEED))
+    for _ in range(_IVF_ITERS):
+        assign = np.argmax(xq @ cb.T, axis=1)
+        new_cb = cb.copy()
+        for c in range(_IVF_CELLS):
+            members = xq[assign == c]
+            if len(members):
+                new_cb[c] = np.floor_divide(members.sum(axis=0), len(members))
+        cb = new_cb
+    return cb
+
+
+def _ivf_probe_sql(cb_q) -> str:
+    """The IVF probe pipeline (corpus cells → query cells → candidates →
+    exact re-rank) against a given quantized codebook's literals."""
+    dots = ", ".join(
+        f"list_sum(list_transform(range(1, 65), "
+        f"i -> xq[i] * ({_int_list(cb_q[c])})[i]))"
+        for c in range(_IVF_CELLS)
+    )
+    return f"""
+WITH xq AS (
+    SELECT vec_id, {_XQ} AS xq FROM embeddings
+), dots AS (
+    SELECT vec_id, list_value({dots}) AS d FROM xq
+), corpus_cells AS (
+    SELECT vec_id, CAST(list_position(d, list_max(d)) - 1 AS BIGINT) AS cell
+    FROM dots
+), q_exp AS (
+    SELECT vec_id, i AS idx, d[i] AS dot
+    FROM dots, range(1, {_IVF_CELLS + 1}) t(i)
+    WHERE vec_id < 20
+), query_cells AS (
+    SELECT vec_id, CAST(idx - 1 AS BIGINT) AS cell
+    FROM (
+        SELECT vec_id, idx,
+            ROW_NUMBER() OVER (PARTITION BY vec_id
+                ORDER BY dot DESC, idx ASC) AS rn
+        FROM q_exp
+    )
+    WHERE rn <= {_IVF_NPROBE}
+), cands AS (
+    SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+    FROM query_cells q JOIN corpus_cells c ON q.cell = c.cell
+    WHERE q.vec_id != c.vec_id
+){_RERANK}"""
+
+
 def _ivf_ann_sql() -> str:
     cb_q = _trained_ivf_codebook()
     dots = ", ".join(
@@ -970,6 +1036,11 @@ IVF_ANN_TOPK_SQL = _ivf_ann_sql()
 ORACLES_EXT["lsh_ann_topk"] = LSH_ANN_TOPK_SQL
 ORACLES_EXT["ivf_ann_topk"] = IVF_ANN_TOPK_SQL
 ORACLES_EXT["pq_ann_topk"] = _pq_ann_sql()
+# incremental index: frozen base-trained codebook assigns the WHOLE
+# corpus — append ≡ rebuild under a frozen codebook
+ORACLES_EXT["incremental_ivf_ann"] = _ivf_probe_sql(
+    _trained_ivf_codebook_base_subset()
+)
 
 ORACLES_EXT["pii_redact_docs"] = PII_REDACT_SQL
 ORACLES_EXT["repetition_filter_docs"] = REPETITION_FILTER_SQL

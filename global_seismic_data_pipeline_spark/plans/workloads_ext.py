@@ -281,6 +281,30 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def incremental_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted incremental ANN index (operators/ann_index.py): the base
+    corpus (vec_id % 5 != 0) trains the codebook and builds bucketed
+    inverted lists ONCE; the 'daily batch' (vec_id % 5 == 0) is assigned
+    with the FROZEN stored codebook and bucketed-appended — the base is
+    never re-read or re-assigned; queries then probe the grown index.
+    The oracle retrains the codebook on the base subset in numpy and
+    assigns the WHOLE corpus with it — pinning frozen-codebook
+    append ≡ rebuild, the invariant that makes the index trustworthy."""
+    import tempfile
+
+    from ..operators import ann_index
+    from ..sources.warehouse import Warehouse
+
+    embs = _embs(spark, sf_dir)
+    base = embs.filter(F.col("vec_id") % 5 != 0)
+    batch = embs.filter(F.col("vec_id") % 5 == 0)
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="incivf-"))
+    ann_index.build_ivf_index(wh, base, cells=16, iters=4, name="inc_ivf")
+    ann_index.append_to_ivf_index(wh, batch, name="inc_ivf")
+    queries = embs.filter(F.col("vec_id") < 20)
+    return ann_index.probe_ivf_index(wh, queries, name="inc_ivf", k=5, nprobe=4)
+
+
 def asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase matched to the user's latest click value
     at-or-before the purchase time (oracle: DuckDB's native ASOF JOIN).

@@ -452,3 +452,80 @@ def test_jl_projection_preserves_distances(spark, vec_df):
     d_planted = np.mean([np.sum((out[a] - out[b]) ** 2) / scale for a, b in planted])
     d_random = np.mean([np.sum((out[a] - out[b]) ** 2) / scale for a, b in pairs])
     assert d_planted < d_random / 4, (d_planted, d_random)
+
+
+def test_incremental_ivf_index_append_equals_rebuild(spark, vec_df, tmp_path):
+    """Frozen-codebook invariant: appending a batch to the stored index
+    produces EXACTLY the lists a rebuild (same codebook) would, and the
+    probe equals ivf_topk over the union with that codebook."""
+    from global_seismic_data_pipeline_spark.operators import ann_index
+    from global_seismic_data_pipeline_spark.sources.warehouse import Warehouse
+
+    base = vec_df.filter(F.col("vec_id") % 3 != 0)
+    batch = vec_df.filter(F.col("vec_id") % 3 == 0)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    cb = ann_index.build_ivf_index(wh, base, cells=8, iters=3, name="ix")
+    ann_index.append_to_ivf_index(wh, batch, name="ix")
+
+    grown = {
+        (r.vec_id, r.cell)
+        for r in spark.table("ix_lists").select("vec_id", "cell").collect()
+    }
+    rebuilt = {
+        (r.vec_id, r.cell)
+        for r in similarity.with_ivf_cells(
+            vec_df, dim=64, cells=8, nprobe=1, codebook_q=cb
+        ).select("vec_id", "cell").collect()
+    }
+    assert grown == rebuilt
+
+    queries = vec_df.filter(F.col("vec_id") < 10)
+    got = {
+        (r.query_id, r.neighbor_id, r.sim_rank)
+        for r in ann_index.probe_ivf_index(
+            wh, queries, name="ix", k=3, nprobe=4
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id, r.sim_rank)
+        for r in similarity.ivf_topk(
+            vec_df, queries, k=3, cells=8, nprobe=4, codebook_q=cb
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_incremental_ivf_append_never_rescans_base(spark, vec_df, tmp_path):
+    """The append job's scans touch only the NEW batch's source — the
+    stored corpus is not re-read (the whole point of the frozen
+    codebook)."""
+    from global_seismic_data_pipeline_spark.operators import ann_index
+    from global_seismic_data_pipeline_spark.sources.warehouse import Warehouse
+
+    base_path = str(tmp_path / "base.parquet")
+    batch_path = str(tmp_path / "batch.parquet")
+    vec_df.filter(F.col("vec_id") % 3 != 0).write.parquet(base_path)
+    vec_df.filter(F.col("vec_id") % 3 == 0).write.parquet(batch_path)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ann_index.build_ivf_index(
+        wh, spark.read.parquet(base_path), cells=8, iters=2, name="ix2"
+    )
+    batch = spark.read.parquet(batch_path)
+    meta, cb = ann_index._load(wh, "ix2")
+    assigned = similarity.with_ivf_cells(
+        batch.select("vec_id", "embedding"),
+        vec_col="embedding", dim=64, cells=8, nprobe=1, codebook_q=cb,
+    )
+    files = assigned.inputFiles()
+    assert files and all("batch.parquet" in f for f in files)
+
+
+def test_incremental_ivf_meta_validation(spark, tmp_path):
+    from global_seismic_data_pipeline_spark.operators import ann_index
+    from global_seismic_data_pipeline_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        ann_index._load(wh, "nonexistent")
