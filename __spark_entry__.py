@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search_docs": workloads_ext.bm25_search_docs,
         "minhash_near_dup": workloads_ext.minhash_near_dup,
         "near_dup_clusters": workloads_ext.near_dup_clusters,
+        "incremental_near_dup_clusters": workloads_ext.incremental_near_dup_clusters,
         "simhash_near_dup": workloads_ext.simhash_near_dup,
         "cosine_topk_bruteforce": workloads_ext.cosine_topk_bruteforce,
         "embedding_cosine_near_dup": workloads_ext.embedding_cosine_near_dup,

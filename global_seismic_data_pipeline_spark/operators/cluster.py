@@ -291,3 +291,67 @@ def triangle_count(
         .crossJoin(n_wedges.select(F.col("c").alias("n_wedges")))
         .crossJoin(n_tri.select(F.col("c").alias("n_triangles")))
     )
+
+
+def incremental_components(
+    prev: DataFrame,
+    new_edges: DataFrame,
+    *,
+    id_col: str = "id",
+    comp_col: str = "component",
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components MAINTAINED incrementally: yesterday's
+    (id, component) table + today's new edges → today's components,
+    WITHOUT re-traversing yesterday's edges.
+
+    The algorithm is component CONTRACTION: every settled component
+    collapses to its label (= min member id), new edges map their
+    endpoints through yesterday's labels (unlabelled endpoints stay
+    themselves), and :func:`connected_components` runs on that contracted
+    graph — whose size is (touched components + new nodes), not the
+    corpus. Old nodes then re-label through their old label's new
+    component. Labels equal a full recompute's EXACTLY: the contracted
+    min-label is the min over component labels, each of which is the min
+    member id of its old component — so the overall min member id wins,
+    the same label the from-scratch run assigns (property-tested over
+    random edge splits).
+
+    At 100 TB this is the daily near-dup maintenance step: the pair
+    stream from :mod:`.neardup_incremental` feeds ``new_edges``; the
+    cluster table updates in time proportional to the DELTA. Edges
+    internal to one old component contract to self-loops and cost
+    nothing."""
+    labels = prev.select(F.col(id_col).alias("__id"), F.col(comp_col).alias("__c"))
+    mapped = (
+        new_edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .join(labels.withColumnRenamed("__id", "a").withColumnRenamed("__c", "ca"), "a", "left")
+        .join(labels.withColumnRenamed("__id", "b").withColumnRenamed("__c", "cb"), "b", "left")
+        .select(
+            F.coalesce("ca", F.col("a")).alias(src),
+            F.coalesce("cb", F.col("b")).alias(dst),
+        )
+        .filter(F.col(src) != F.col(dst))
+    )
+    contracted = connected_components(mapped, src=src, dst=dst, max_iter=max_iter)
+    relabel = contracted.select(
+        F.col("id").alias("__c"), F.col("comp").alias("__new_c")
+    )
+    old = prev.select(
+        F.col(id_col).alias("id"), F.col(comp_col).alias("__c")
+    ).join(relabel, "__c", "left").select(
+        "id", F.coalesce("__new_c", F.col("__c")).alias("comp")
+    )
+    # new nodes: endpoints of new edges not present in prev
+    new_nodes = (
+        new_edges.select(F.col(src).alias("id"))
+        .union(new_edges.select(F.col(dst).alias("id")))
+        .distinct()
+        .join(prev.select(F.col(id_col).alias("id")), "id", "left_anti")
+    )
+    fresh = new_nodes.join(
+        contracted.select("id", "comp"), "id", "left"
+    ).select("id", F.coalesce("comp", F.col("id")).alias("comp"))
+    return old.unionByName(fresh)

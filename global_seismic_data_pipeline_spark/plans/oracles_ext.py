@@ -407,6 +407,9 @@ SELECT l.doc_id, l.cluster_id, s.cluster_size,
 FROM labels l JOIN sized s USING (cluster_id)
 """
 ORACLES_EXT["near_dup_clusters"] = NEAR_DUP_CLUSTERS_SQL
+# incremental maintenance must land on the identical clusters — same
+# recursive-CTE oracle, unchanged
+ORACLES_EXT["incremental_near_dup_clusters"] = NEAR_DUP_CLUSTERS_SQL
 
 # BM25: generated by the operator module from the same constants/terms as
 # the Spark side (identical expression tree, identical pivot order).

@@ -192,6 +192,35 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def incremental_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally MAINTAINED dedup clusters
+    (cluster.incremental_components): the MinHash pair set splits into a
+    'day 1' batch (component table built) and a 'day 2' batch (merged by
+    CONTRACTION — old components collapse to super-nodes, CC runs on the
+    delta-sized contracted graph, old edges never re-traversed). The
+    oracle is near_dup_clusters' recursive-CTE closure over ALL pairs,
+    UNCHANGED — pinning incremental ≡ from-scratch, labels included."""
+    edges = neardup.minhash_lsh_pairs(
+        _docs(spark, sf_dir),
+        id_col="doc_id", text_col="text",
+        n=3, num_hashes=64, bands=16, threshold=0.2, hasher="md5",
+    ).select("id_a", "id_b")
+    day1 = edges.filter((F.col("id_a") + F.col("id_b")) % 2 == 0)
+    day2 = edges.filter((F.col("id_a") + F.col("id_b")) % 2 != 0)
+    prev = (
+        cluster.connected_components(day1)
+        .withColumnRenamed("comp", "component")
+    )
+    comp = cluster.incremental_components(prev, day2)
+    sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comp.join(sizes, "comp").select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+        "cluster_size",
+        (F.col("id") == F.col("comp")).cast("long").alias("keep"),
+    )
+
+
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash band-join near-dups at Hamming ≤ 3 of 48 bits — the radius
     where 4-band pigeonhole gives full recall. Portable md5 hashing makes

@@ -134,3 +134,75 @@ class TestPagerankInteger:
         base = ((1 << 20) * 15) // 100
         assert rows[0].pagerank_q == base
         cluster.release_cached()
+
+
+def test_incremental_components_equal_full_recompute(spark):
+    """Random graphs, random edge split: components maintained
+    incrementally == from-scratch recompute, labels INCLUDED (the
+    contraction argument preserves min-member labels)."""
+    import random as _random
+
+    from global_seismic_data_pipeline_spark.operators import cluster
+
+    for seed in (1, 2, 3):
+        rng = _random.Random(seed)
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(70)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        cut = len(edges) * 2 // 3
+        day1, day2 = edges[:cut], edges[cut:]
+        e1 = spark.createDataFrame(day1, "id_a long, id_b long")
+        e2 = spark.createDataFrame(day2, "id_a long, id_b long")
+        full = spark.createDataFrame(edges, "id_a long, id_b long")
+
+        prev = cluster.connected_components(e1).withColumnRenamed("comp", "component")
+        inc = {
+            (r.id, r.comp)
+            for r in cluster.incremental_components(prev, e2).collect()
+        }
+        want = {
+            (r.id, r.comp)
+            for r in cluster.connected_components(full).collect()
+        }
+        assert inc == want, seed
+        cluster.release_cached()
+
+
+def test_incremental_components_internal_edges_noop(spark):
+    """New edges entirely inside settled components change nothing — the
+    contracted graph is all self-loops."""
+    from global_seismic_data_pipeline_spark.operators import cluster
+
+    e1 = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    prev = cluster.connected_components(e1).withColumnRenamed("comp", "component")
+    internal = spark.createDataFrame([(1, 3), (10, 11)], "id_a long, id_b long")
+    out = {
+        (r.id, r.comp)
+        for r in cluster.incremental_components(prev, internal).collect()
+    }
+    assert out == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    cluster.release_cached()
+
+
+def test_incremental_components_bridges_and_new_nodes(spark):
+    """A new edge bridging two old components merges them under the
+    global min label; brand-new nodes attach or form their own
+    components."""
+    from global_seismic_data_pipeline_spark.operators import cluster
+
+    e1 = spark.createDataFrame([(5, 6), (9, 12)], "id_a long, id_b long")
+    prev = cluster.connected_components(e1).withColumnRenamed("comp", "component")
+    day2 = spark.createDataFrame(
+        [(6, 9), (100, 101), (12, 1)], "id_a long, id_b long"
+    )
+    out = {
+        (r.id, r.comp)
+        for r in cluster.incremental_components(prev, day2).collect()
+    }
+    # 1 joins {5,6} ∪ {9,12} — global min member is 1
+    assert out == {
+        (5, 1), (6, 1), (9, 1), (12, 1), (1, 1), (100, 100), (101, 100)
+    }
+    cluster.release_cached()
