@@ -330,6 +330,7 @@ def incremental_dedup_sink(
     name: str = "minhash_index",
     text_col: str = "text",
     threshold: float = 0.5,
+    maintain_clusters: bool = False,
 ) -> DataStreamWriter:
     """Streaming near-dup dedup: each micro-batch of documents probes the
     persisted MinHash-LSH signature store
@@ -344,9 +345,17 @@ def incremental_dedup_sink(
     pairs over the full corpus (pinned in ``test_streaming.py``).
     foreachBatch runs micro-batches sequentially, so probe-then-append
     per batch is race-free; the store is only ever appended, never
-    rewritten."""
+    rewritten.
+
+    ``maintain_clusters=True`` additionally keeps ``{name}_clusters``
+    — the (id, component) table — current after every batch, via
+    :func:`..operators.cluster.incremental_components`: settled
+    components contract to super-nodes, only the batch's new pairs are
+    traversed. After draining, the table equals a from-scratch CC over
+    the full pair log (tested)."""
     from pyspark.sql import functions as F
 
+    from ..operators import cluster as cluster_ops
     from ..operators.neardup_incremental import incremental_minhash_pairs
 
     def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -367,6 +376,21 @@ def incremental_dedup_sink(
             pairs.withColumn("batch_id", F.lit(batch_id)),
             f"{name}_pairs_log",
         )
+        if maintain_clusters:
+            edges = pairs.select("id_a", "id_b")
+            if not edges.limit(1).count():
+                return  # no new pairs — the cluster table is already current
+            ctable = f"{name}_clusters"
+            if bwh.exists(ctable):
+                prev = bwh.read(ctable)
+                comp = cluster_ops.incremental_components(prev, edges)
+            else:
+                comp = cluster_ops.connected_components(edges)
+            bwh.overwrite(
+                comp.select(F.col("id"), F.col("comp").alias("component")),
+                ctable,
+            )
+            cluster_ops.release_cached()
 
     return (
         stream.writeStream.foreachBatch(dedup_batch)

@@ -406,3 +406,58 @@ def test_windowed_quantile_histogram_matches_batch(spark, stream_dir):
     assert streamed.exceptAll(batch_qh).count() == 0
     assert batch_qh.exceptAll(streamed).count() == 0
     assert streamed.count() > 0
+
+
+def test_streaming_dedup_maintains_cluster_table(spark, tmp_path):
+    """With maintain_clusters=True the per-batch contracted CC keeps
+    {name}_clusters equal to a from-scratch CC over the full pair log."""
+    from global_seismic_data_pipeline_spark.operators import cluster, neardup
+    from global_seismic_data_pipeline_spark.operators.neardup_incremental import (
+        build_minhash_index,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "while birds sing in the tall green trees above"
+    )
+    alt = (
+        "completely different text about spark shuffles and partitions "
+        "in distributed query engines running at warehouse scale"
+    )
+    docs = [
+        (0, base), (1, base + " today"),
+        (2, alt), (3, base), (4, alt + " indeed"),
+    ]
+    schema = "doc_id long, text string"
+    d = tmp_path / "docs"
+    spark.createDataFrame(docs[:2], schema).coalesce(1).write.mode("append").parquet(str(d))
+    spark.createDataFrame(docs[2:4], schema).coalesce(1).write.mode("append").parquet(str(d))
+    spark.createDataFrame(docs[4:], schema).coalesce(1).write.mode("append").parquet(str(d))
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    build_minhash_index(wh, spark.createDataFrame([], schema), bands=16, name="cmh")
+    stream = facade.read_stream(
+        spark, str(d), spark.createDataFrame([], schema).schema,
+        max_files_per_trigger=1,
+    )
+    facade.run_available_now(
+        facade.incremental_dedup_sink(
+            stream, wh, checkpoint_dir=str(tmp_path / "ckpt"),
+            name="cmh", threshold=0.5, maintain_clusters=True,
+        )
+    )
+
+    got = {
+        (r.id, r.component) for r in wh.read("cmh_clusters").collect()
+    }
+    all_pairs = wh.read("cmh_pairs_log").select("id_a", "id_b")
+    want = {
+        (r.id, r.comp)
+        for r in cluster.connected_components(all_pairs).collect()
+    }
+    assert got == want and got
+    # the two base-doc variants and the exact dup form one component
+    comp_of = dict(got)
+    assert comp_of[0] == comp_of[1] == comp_of[3] == 0
+    cluster.release_cached()
+    neardup.release_cached()
