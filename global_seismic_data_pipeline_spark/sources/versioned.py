@@ -40,7 +40,7 @@ import os
 import shutil
 import time
 
-from collections.abc import Sequence
+from collections.abc import Mapping, Sequence
 
 from pyspark.sql import DataFrame
 
@@ -216,3 +216,39 @@ class VersionedWarehouse(Warehouse):
             "last_modified_ms": hist[0]["timestamp_ms"] if hist else None,
             "num_snapshots": len(hist),
         }
+
+    # -- Delta-parity extensions ------------------------------------------
+    def clone(self, src: str, dst: str) -> int:
+        """SHALLOW-CLONE analogue: materialize ``dst`` as a hardlink copy
+        of ``src``'s CURRENT files — zero data copied, immediately
+        independent (both tables' future writes stage new files; a
+        hardlinked file dies only when its last referent does). The clone
+        starts its own commit log at v1. The cheap dev/test-branch
+        primitive (Delta: CREATE TABLE ... SHALLOW CLONE)."""
+        if not self.exists(src):
+            raise ValueError(f"clone source {src!r} does not exist")
+        if self.exists(dst) or self.versions(dst):
+            raise ValueError(f"clone target {dst!r} already exists")
+        staging = os.path.join(self.root, f".clone-staging-{dst}")
+        if os.path.isdir(staging):
+            shutil.rmtree(staging)
+        shutil.copytree(self.path(src), staging, copy_function=os.link)
+        os.rename(staging, self.path(dst))
+        return self._commit(dst, f"clone({src})")
+
+    def savepoint(self, names: Sequence[str]) -> dict[str, int]:
+        """A CONSISTENT multi-table snapshot: commit every listed table
+        now and return {table: version}. Restoring the returned mapping
+        (:meth:`restore_savepoint`) brings the whole warehouse back to
+        this moment — the cross-table consistency Delta's per-table time
+        travel alone cannot express. Caller serializes concurrent writers
+        across the savepoint (single-writer pipelines — the runner's
+        ``max_concurrent_runs=1`` — get this for free)."""
+        return {n: self._commit(n, "savepoint") for n in names}
+
+    def restore_savepoint(self, point: Mapping[str, int]) -> dict[str, int]:
+        """Restore every table of a :meth:`savepoint` mapping; returns
+        the new commit versions. Each restore is individually atomic;
+        a crash mid-way leaves a prefix restored and re-running the same
+        savepoint restore is idempotent in effect."""
+        return {n: self.restore(n, v) for n, v in point.items()}

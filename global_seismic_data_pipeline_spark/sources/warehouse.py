@@ -321,3 +321,44 @@ class Warehouse:
                 return cols
             cols.append(sub[0].split("=", 1)[0])
             p = os.path.join(p, sub[0])
+
+
+class ConstraintViolation(ValueError):
+    """Raised by :func:`enforce_constraints`; carries per-constraint
+    violation counts in ``violations``."""
+
+    def __init__(self, violations: dict[str, int]):
+        self.violations = violations
+        super().__init__(
+            "CHECK constraint violation: "
+            + ", ".join(f"{k}={v} rows" for k, v in violations.items())
+        )
+
+
+def enforce_constraints(df: DataFrame, constraints: dict[str, str]) -> DataFrame:
+    """Delta CHECK-constraint analogue at the write boundary: evaluate
+    every named boolean SQL expression over ``df`` in ONE aggregate pass
+    and raise :class:`ConstraintViolation` (with per-constraint counts)
+    if any row makes any expression strictly FALSE — SQL CHECK
+    semantics: NULL passes, only FALSE violates. Returns ``df`` for
+    fluent chaining::
+
+        wh.append(enforce_constraints(df, {"mag_range": "mag BETWEEN 0 AND 10"}), "t")
+
+    One job, map-side-combined counts — the validation never rescans per
+    constraint. Validation-as-filter (quarantine instead of abort) stays
+    in ``functions/cleaning.py``; this is the ABORT path a warehouse
+    table contract wants."""
+    if not constraints:
+        raise ValueError("no constraints given")
+    aggs = [
+        F.sum(
+            (~F.coalesce(F.expr(expr), F.lit(True))).cast("long")
+        ).alias(name)
+        for name, expr in constraints.items()
+    ]
+    row = df.agg(*aggs).collect()[0]
+    bad = {n: int(row[n]) for n in constraints if row[n]}
+    if bad:
+        raise ConstraintViolation(bad)
+    return df

@@ -178,3 +178,77 @@ def test_occ_concurrent_appends_history_linear(spark, wh):
     # final hardlink pass; both rows were on disk by then)
     snap = {(r.k, r.v) for r in wh.read_version("t", 3).collect()}
     assert snap == live
+
+
+def test_clone_is_zero_copy_and_independent(spark, wh):
+    """SHALLOW CLONE: same rows, no data copied (hardlinks), and future
+    writes to either table never affect the other."""
+    import os
+
+    wh.overwrite(_df(spark, [("a", 1), ("b", 2)]), "src")
+    wh.clone("src", "dst")
+    assert {(r.k, r.v) for r in wh.read("dst").collect()} == {("a", 1), ("b", 2)}
+    # hardlinked: every dst data file shares an inode with a src file
+    src_inodes = {
+        os.stat(os.path.join(r, f)).st_ino
+        for r, _, fs in os.walk(wh.path("src")) for f in fs
+        if f.endswith(".parquet")
+    }
+    for r, _, fs in os.walk(wh.path("dst")):
+        for f in fs:
+            if f.endswith(".parquet"):
+                assert os.stat(os.path.join(r, f)).st_ino in src_inodes
+    # independence both ways
+    wh.append(_df(spark, [("c", 3)]), "dst")
+    wh.overwrite(_df(spark, [("z", 9)]), "src")
+    assert {(r.k, r.v) for r in wh.read("dst").collect()} == {
+        ("a", 1), ("b", 2), ("c", 3)
+    }
+    assert {(r.k, r.v) for r in wh.read("src").collect()} == {("z", 9)}
+    assert wh.history("dst")[-1]["operation"] == "clone(src)"
+    with pytest.raises(ValueError, match="already exists"):
+        wh.clone("src", "dst")
+    with pytest.raises(ValueError, match="does not exist"):
+        wh.clone("nope", "other")
+
+
+def test_savepoint_restores_cross_table_consistency(spark, wh):
+    """A savepoint captures ALL listed tables at one moment; restoring it
+    brings every table back even after divergent writes."""
+    wh.overwrite(_df(spark, [("t1", 1)]), "a")
+    wh.overwrite(_df(spark, [("t1", 10)]), "b")
+    point = wh.savepoint(["a", "b"])
+    wh.append(_df(spark, [("t2", 2)]), "a")
+    wh.overwrite(_df(spark, [("t2", 20)]), "b")
+    wh.restore_savepoint(point)
+    assert {(r.k, r.v) for r in wh.read("a").collect()} == {("t1", 1)}
+    assert {(r.k, r.v) for r in wh.read("b").collect()} == {("t1", 10)}
+    # history is append-only: the restore is a NEW commit, not a rewind
+    assert wh.history("a")[0]["operation"].startswith("restore(")
+
+
+def test_enforce_constraints_check_semantics(spark, wh):
+    """Only strictly-FALSE rows violate (NULL passes — SQL CHECK); the
+    error carries per-constraint counts; a passing frame writes through."""
+    from global_seismic_data_pipeline_spark.sources.warehouse import (
+        ConstraintViolation,
+        enforce_constraints,
+    )
+
+    ok = _df(spark, [("a", 1), ("b", 2)])
+    wh.overwrite(
+        enforce_constraints(ok, {"v_pos": "v > 0", "k_nn": "k IS NOT NULL"}),
+        "checked",
+    )
+    assert wh.read("checked").count() == 2
+
+    bad = spark.createDataFrame(
+        [("a", 1), ("b", -2), ("c", None), (None, 5)],
+        "k string, v long",
+    )
+    with pytest.raises(ConstraintViolation) as ei:
+        enforce_constraints(bad, {"v_pos": "v > 0", "k_nn": "k IS NOT NULL"})
+    # v > 0: only -2 is FALSE (NULL passes); k IS NOT NULL: one violation
+    assert ei.value.violations == {"v_pos": 1, "k_nn": 1}
+    with pytest.raises(ValueError, match="no constraints"):
+        enforce_constraints(bad, {})
