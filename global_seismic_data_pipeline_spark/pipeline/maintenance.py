@@ -100,3 +100,47 @@ def vacuum(wh: Warehouse) -> int:
             shutil.rmtree(os.path.join(wh.root, d))
             removed += 1
     return removed
+
+
+def retention_delete(
+    wh: Warehouse, name: str, col: str, cutoff
+) -> dict:
+    """Row-level retention (TTL / GDPR erasure): drop every row with
+    ``col`` < ``cutoff``. Two regimes:
+
+    - **partition-drop fast path** — when the table is directory-
+      partitioned on ``col``, expired partitions are whole directories:
+      they are REMOVED without scanning or rewriting a single surviving
+      row (Delta's drop-partition-predicate DELETE). Hive directory
+      values compare as strings, so this path applies only to formats
+      whose lexicographic order equals value order (ISO dates,
+      zero-padded numbers) — it refuses otherwise rather than guessing;
+    - **filter-rewrite** — any other layout: one atomic overwrite of the
+      surviving rows (the plan executes into staging before the swap,
+      so deriving from the current table is safe).
+
+    Returns {"mode", "partitions_dropped" | "rows_deleted"}. Idempotent:
+    a re-run deletes nothing further.
+    """
+    from pyspark.sql import functions as F
+
+    pcols = wh.partition_columns(name)
+    if pcols and pcols[0] == col:
+        cutoff_str = str(cutoff)
+        table = wh.path(name)
+        dropped = []
+        for d in sorted(os.listdir(table)):
+            if not d.startswith(f"{col}="):
+                continue
+            val = d.split("=", 1)[1]
+            if val != "__HIVE_DEFAULT_PARTITION__" and val < cutoff_str:
+                shutil.rmtree(os.path.join(table, d))
+                dropped.append(val)
+        return {"mode": "partition_drop", "partitions_dropped": len(dropped)}
+    before = wh.read(name).count()
+    kept = wh.read(name).filter(
+        F.col(col).isNull() | (F.col(col) >= F.lit(cutoff))
+    )
+    wh.overwrite(kept, name)
+    after = wh.read(name).count()
+    return {"mode": "rewrite", "rows_deleted": before - after}

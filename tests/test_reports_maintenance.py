@@ -126,3 +126,55 @@ def test_dashboard_escapes_markup(spark, tmp_path):
     block = dashboard.render_table(df, "t<i>tle")
     assert "<script>" not in block
     assert "&lt;script&gt;" in block and "t&lt;i&gt;tle" in block
+
+
+def test_retention_delete_partition_drop_fast_path(spark, tmp_path):
+    """Date-partitioned table: expired partitions are removed as whole
+    directories — no surviving row is rewritten (file identity pinned)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from global_seismic_data_pipeline_spark.pipeline import maintenance
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [("2024-01-01", 1), ("2024-01-02", 2), ("2024-01-03", 3)],
+        "day string, v long",
+    )
+    wh.overwrite(df, "t", partition_by=["day"])
+    survivors_before = {
+        os.path.join(r, f)
+        for r, _, fs in os.walk(wh.path("t") + "/day=2024-01-03")
+        for f in fs
+    }
+    out = maintenance.retention_delete(wh, "t", "day", "2024-01-03")
+    assert out == {"mode": "partition_drop", "partitions_dropped": 2}
+    survivors_after = {
+        os.path.join(r, f)
+        for r, _, fs in os.walk(wh.path("t") + "/day=2024-01-03")
+        for f in fs
+    }
+    assert survivors_before == survivors_after  # untouched, not rewritten
+    # hive directory reads type-infer the partition value (str → date)
+    assert {str(r.day) for r in wh.read("t").collect()} == {"2024-01-03"}
+    # idempotent
+    assert maintenance.retention_delete(wh, "t", "day", "2024-01-03") == {
+        "mode": "partition_drop",
+        "partitions_dropped": 0,
+    }
+
+
+def test_retention_delete_rewrite_path(spark, tmp_path):
+    """Unpartitioned table: filter-rewrite; nulls are conservatively
+    kept in both regimes."""
+    from global_seismic_data_pipeline_spark.pipeline import maintenance
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (None, 30), (5, 50)], "age long, v long"
+    )
+    wh.overwrite(df, "t")
+    out = maintenance.retention_delete(wh, "t", "age", 2)
+    assert out == {"mode": "rewrite", "rows_deleted": 1}
+    assert {r.v for r in wh.read("t").collect()} == {20, 30, 50}
