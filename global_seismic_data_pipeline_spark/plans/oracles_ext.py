@@ -411,6 +411,33 @@ ORACLES_EXT["near_dup_clusters"] = NEAR_DUP_CLUSTERS_SQL
 # recursive-CTE oracle, unchanged
 ORACLES_EXT["incremental_near_dup_clusters"] = NEAR_DUP_CLUSTERS_SQL
 
+# Leakage-safe split: cluster closure + the standard md5-threshold rule
+# keyed on the component id (singletons: the doc id).
+LEAKAGE_SAFE_SPLIT_SQL = rf"""
+WITH RECURSIVE pairs AS (
+    SELECT id_a, id_b FROM ({MINHASH_NEAR_DUP_SQL}) mh
+), sym AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION ALL
+    SELECT id_b AS a, id_a AS b FROM pairs
+), reach AS (
+    SELECT a AS id, a AS r FROM sym
+    UNION
+    SELECT reach.id, sym.b FROM reach JOIN sym ON sym.a = reach.r
+), labels AS (
+    SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+), keyed AS (
+    SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS split_key
+    FROM documents d LEFT JOIN labels l USING (doc_id)
+)
+SELECT doc_id, split_key,
+    CASE WHEN substr(md5(split_key::VARCHAR || '|cl'), 1, 8) < 'e6666666' THEN 'train'
+         WHEN substr(md5(split_key::VARCHAR || '|cl'), 1, 8) < 'f3333333' THEN 'val'
+         ELSE 'test' END AS split
+FROM keyed
+"""
+ORACLES_EXT["leakage_safe_split_docs"] = LEAKAGE_SAFE_SPLIT_SQL
+
 # BM25: generated by the operator module from the same constants/terms as
 # the Spark side (identical expression tree, identical pivot order).
 from ..operators.search import oracle_sql as _bm25_oracle_sql  # noqa: E402

@@ -221,6 +221,34 @@ def incremental_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def leakage_safe_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware dataset splitting: train/val/test assigned per
+    NEAR-DUP CLUSTER, not per document — a doc and its near-duplicates
+    can never straddle splits, closing the classic eval-contamination
+    vector that plain per-doc hashing leaves open (near-identical copies
+    of a val doc leaking into train). Split key = the doc's MinHash
+    component id (singletons: the doc itself), then the standard
+    md5-threshold split rule. The oracle composes the recursive-CTE
+    closure with the same thresholds, so every assignment is pinned."""
+    from ..operators import sampling
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    edges = neardup.minhash_lsh_pairs(
+        _docs(spark, sf_dir),
+        id_col="doc_id", text_col="text",
+        n=3, num_hashes=64, bands=16, threshold=0.2, hasher="md5",
+    ).select("id_a", "id_b")
+    clusters = cluster.cluster_assignments(edges, id_out="doc_id").select(
+        "doc_id", "cluster_id"
+    )
+    keyed = docs.join(clusters, "doc_id", "left").withColumn(
+        "split_key", F.coalesce("cluster_id", F.col("doc_id"))
+    )
+    return sampling.hash_split(keyed, key_col="split_key", salt="cl").select(
+        "doc_id", "split_key", "split"
+    )
+
+
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash band-join near-dups at Hamming ≤ 3 of 48 bits — the radius
     where 4-band pigeonhole gives full recall. Portable md5 hashing makes

@@ -255,3 +255,48 @@ def test_negative_samples_validation(spark):
         negative_samples(df, k=0)
     with pytest.raises(ValueError):
         negative_samples(df, k=2)  # < 2 rows
+
+
+def test_leakage_safe_split_keeps_near_dups_together(spark):
+    """Docs of one near-dup cluster always share a split (the whole point);
+    a per-doc split on the same corpus DOES split some cluster apart —
+    demonstrating the leak this query closes."""
+    from global_seismic_data_pipeline_spark.operators import cluster, neardup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "while birds sing in tall green trees above the quiet valley"
+    )
+    rows = []
+    for i in range(30):
+        rows.append((i * 10, f"unique document number {i} about topic {i} "
+                             f"with its own words {i}"))
+        rows.append((i * 10 + 1, base + f" variant {i}"))
+        rows.append((i * 10 + 2, base + f" variant {i} extra"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    edges = neardup.minhash_lsh_pairs(
+        df, id_col="doc_id", text_col="text", threshold=0.5
+    ).select("id_a", "id_b")
+    clusters = cluster.cluster_assignments(edges, id_out="doc_id").select(
+        "doc_id", "cluster_id"
+    )
+    keyed = df.select("doc_id").join(clusters, "doc_id", "left").withColumn(
+        "split_key", F.coalesce("cluster_id", F.col("doc_id"))
+    )
+    out = sampling.hash_split(keyed, key_col="split_key", salt="cl")
+    split_of = {r.doc_id: r.split for r in out.collect()}
+    cluster_of = {r.doc_id: r.cluster_id for r in clusters.collect()}
+    by_cluster = {}
+    for d, c in cluster_of.items():
+        by_cluster.setdefault(c, set()).add(split_of[d])
+    assert by_cluster and all(len(s) == 1 for s in by_cluster.values())
+
+    # contrast: naive per-doc split breaks at least one cluster apart
+    naive = sampling.hash_split(df.select("doc_id"), key_col="doc_id", salt="cl")
+    naive_of = {r.doc_id: r.split for r in naive.collect()}
+    naive_by_cluster = {}
+    for d, c in cluster_of.items():
+        naive_by_cluster.setdefault(c, set()).add(naive_of[d])
+    assert any(len(s) > 1 for s in naive_by_cluster.values())
+    neardup.release_cached()
+    cluster.release_cached()
