@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": workloads_ext.near_dup_clusters,
         "incremental_near_dup_clusters": workloads_ext.incremental_near_dup_clusters,
         "leakage_safe_split_docs": workloads_ext.leakage_safe_split_docs,
+        "mixture_epoch_repeats": workloads_ext.mixture_epoch_repeats,
         "simhash_near_dup": workloads_ext.simhash_near_dup,
         "cosine_topk_bruteforce": workloads_ext.cosine_topk_bruteforce,
         "embedding_cosine_near_dup": workloads_ext.embedding_cosine_near_dup,

@@ -381,3 +381,59 @@ def negative_samples(
             F.col("neg_id").alias("neg_doc_id"),
         )
     )
+
+
+def epoch_repeats(
+    df: DataFrame,
+    *,
+    key_col: str,
+    epochs: Mapping[str, float],
+    strata_col: str,
+    salt: str = "mix",
+    default_epochs: float = 1.0,
+) -> DataFrame:
+    """Data mixing with REPETITION: realize fractional per-source epoch
+    counts (e.g. books ×2.25, web ×0.8) as integer per-row copy counts —
+    how a training mixture over/under-samples sources when weighting
+    alone is not enough (the Gopher/LLaMA recipe of "N epochs of X").
+
+    Each row repeats ``floor(e)`` times plus one more iff its md5
+    fraction falls below ``frac(e)`` — so any population's realized total
+    is exactly ``e`` in expectation with per-row determinism (same
+    rows get the extra copy on every run/engine; e < 1 becomes a plain
+    deterministic subsample). Output: input rows replicated with a
+    ``copy_ix`` (1-based) — downstream shuffling/packing treats copies
+    as independent rows.
+
+    Map-side only: a CASE over the strata column picks the rate, one
+    ``sequence``+explode realizes the copies (bounded ×⌈e⌉ blowup). The
+    md5 rule reuses :func:`rate_bound`, so the oracle replays assignments
+    bit-for-bit."""
+    if default_epochs < 0 or any(e < 0 for e in epochs.values()):
+        raise ValueError("epoch counts must be >= 0")
+
+    def parts(e: float) -> tuple[int, str]:
+        base = int(e)
+        return base, rate_bound(e - base)
+
+    base_col = F.lit(int(default_epochs))
+    bound_col = F.lit(rate_bound(default_epochs - int(default_epochs)))
+    for src, e in epochs.items():
+        b, frac_bound = parts(e)
+        base_col = F.when(F.col(strata_col) == src, F.lit(b)).otherwise(base_col)
+        bound_col = F.when(F.col(strata_col) == src, F.lit(frac_bound)).otherwise(
+            bound_col
+        )
+    prefix = F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit("|" + salt))),
+        1,
+        _HEX_DIGITS,
+    )
+    repeats = base_col + (prefix < bound_col).cast("int")
+    return (
+        df.withColumn("__rep", repeats)
+        .filter(F.col("__rep") > 0)
+        .withColumn("copy_ix", F.explode(F.sequence(F.lit(1), F.col("__rep"))))
+        .drop("__rep")
+        .withColumn("copy_ix", F.col("copy_ix").cast("long"))
+    )

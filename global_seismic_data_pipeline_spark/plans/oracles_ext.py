@@ -1639,6 +1639,36 @@ SELECT k_used, kth_min, matches, est_union, est_intersection,
 FROM est3, au, ai
 """
 
+# Mixture epochs: same base/frac-bound CASE + lateral range replication.
+def _mixture_epochs_sql() -> str:
+    from ..operators.sampling import rate_bound
+    from .workloads_ext import MIX_EPOCHS
+
+    base = " ".join(
+        f"WHEN '{src}' THEN {int(e)}" for src, e in MIX_EPOCHS.items()
+    )
+    frac = " ".join(
+        f"WHEN '{src}' THEN '{rate_bound(e - int(e))}'"
+        for src, e in MIX_EPOCHS.items()
+    )
+    zero = "'" + "0" * 8 + "'"
+    return f"""
+WITH k AS (
+    SELECT doc_id, source,
+        (CASE source {base} ELSE 1 END)
+        + (CASE WHEN substr(md5(doc_id::VARCHAR || '|mix'), 1, 8) <
+                 (CASE source {frac} ELSE {zero} END)
+            THEN 1 ELSE 0 END) AS rep
+    FROM documents
+)
+SELECT doc_id, source,
+    CAST(unnest(generate_series(1, rep)) AS BIGINT) AS copy_ix
+FROM k WHERE rep > 0
+"""
+
+
+ORACLES_EXT["mixture_epoch_repeats"] = _mixture_epochs_sql()
+
 # Negative sampling: ROW_NUMBER over the md5 permutation == the scalable
 # rank's (md5, id) total order; step/target arithmetic is the identical
 # nonneg 60-bit md5-prefix hash, so the triple set matches bit-for-bit.

@@ -221,6 +221,24 @@ def incremental_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+MIX_EPOCHS = {"src0": 2.25, "src1": 0.5, "src2": 3.0}
+
+
+def mixture_epoch_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing with repetition (sampling.epoch_repeats): fractional
+    per-source epoch targets (src0 ×2.25, src1 ×0.5, src2 ×3, rest ×1)
+    realized as deterministic integer copy counts — floor(e) copies plus
+    one more iff the doc's md5 fraction < frac(e). The oracle replays
+    the same base/bound CASE and lateral range, so every copy row is
+    pinned."""
+    from ..operators import sampling
+
+    return sampling.epoch_repeats(
+        _docs(spark, sf_dir).select("doc_id", "source"),
+        key_col="doc_id", strata_col="source", epochs=MIX_EPOCHS,
+    ).select("doc_id", "source", "copy_ix")
+
+
 def leakage_safe_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-aware dataset splitting: train/val/test assigned per
     NEAR-DUP CLUSTER, not per document — a doc and its near-duplicates

@@ -300,3 +300,46 @@ def test_leakage_safe_split_keeps_near_dups_together(spark):
     assert any(len(s) > 1 for s in naive_by_cluster.values())
     neardup.release_cached()
     cluster.release_cached()
+
+
+def test_epoch_repeats_realizes_fractional_epochs(spark):
+    """floor/frac split: ×2.25 gives 2 or 3 copies with ~25% threes;
+    ×0.5 keeps ~half once; default ×1 keeps all exactly once;
+    determinism across runs."""
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "a")
+        .when(F.col("id") % 3 == 1, "b")
+        .otherwise("c")
+        .alias("src"),
+    )
+    out = sampling.epoch_repeats(
+        df, key_col="doc_id", strata_col="src",
+        epochs={"a": 2.25, "b": 0.5},
+    )
+    rows = out.collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault((r.doc_id, r.src), []).append(r.copy_ix)
+    counts = {"a": [], "b": [], "c": []}
+    for (_, src), copies in per_doc.items():
+        assert sorted(copies) == list(range(1, len(copies) + 1))
+        counts[src].append(len(copies))
+    assert set(counts["a"]) <= {2, 3}
+    assert set(counts["b"]) == {1}  # kept docs appear once
+    assert set(counts["c"]) == {1} and len(counts["c"]) == 2000 // 3 + (2000 % 3 > 2)
+    # realized totals near expectation (~667 docs per source)
+    assert abs(sum(counts["a"]) - 2.25 * 667) / (2.25 * 667) < 0.1
+    assert abs(len(counts["b"]) - 0.5 * 667) / (0.5 * 667) < 0.15
+    again = sampling.epoch_repeats(
+        df, key_col="doc_id", strata_col="src", epochs={"a": 2.25, "b": 0.5}
+    ).collect()
+    assert {(r.doc_id, r.copy_ix) for r in again} == {
+        (r.doc_id, r.copy_ix) for r in rows
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sampling.epoch_repeats(
+            df, key_col="doc_id", strata_col="src", epochs={"a": -1.0}
+        )
