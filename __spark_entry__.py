@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": workloads_ext.ivf_ann_topk,
         "pq_ann_topk": workloads_ext.pq_ann_topk,
         "jl_project_embeddings": workloads_ext.jl_project_embeddings,
+        "filtered_ann_topk": workloads_ext.filtered_ann_topk,
         "incremental_ivf_ann": workloads_ext.incremental_ivf_ann,
         "multimodal_metadata": workloads_ext.multimodal_metadata,
         "salted_agg_lineitem": workloads_ext.salted_agg_lineitem,

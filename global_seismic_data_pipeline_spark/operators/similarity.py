@@ -705,3 +705,51 @@ def jl_project(
         return pd.Series(list(mat @ proj_q.T))
 
     return df.select(F.col(id_col), project_pd(F.col(vec_col)).alias("proj"))
+
+
+def filtered_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    filter_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """Metadata-FILTERED vector search: exact top-k restricted to
+    neighbors sharing the query's ``filter_col`` value — the headline
+    vector-database feature (search within a tenant / language / split)
+    that post-filtering an unfiltered ANN result gets WRONG (k survivors
+    are not the top-k of the filtered set when the filter is selective).
+
+    The filter value joins as a key, so candidate generation is already
+    restricted — per-query work is the filter partition, not the corpus,
+    and at scale a corpus stored partitioned/bucketed on the filter
+    column turns the join into a pruned scan. Compose with the IVF/PQ
+    operators inside each filter group when partitions are themselves
+    huge. Output carries the filter value."""
+    c = ensure_parallelism(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double_vec(F.col(vec_col)).alias("cv"),
+            F.col(filter_col),
+        )
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double_vec(F.col(vec_col)).alias("qv"),
+        F.col(filter_col),
+    )
+    pairs = c.join(F.broadcast(q), [filter_col]).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    sim = F.round(
+        _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6
+    )
+    scored = pairs.select("query_id", "neighbor_id", filter_col, sim.alias("cosine_sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("sim_rank", F.row_number().over(w).cast("long")).filter(
+        F.col("sim_rank") <= k
+    )

@@ -132,6 +132,27 @@ FROM pairs
 QUALIFY sim_rank <= 5
 """
 
+FILTERED_ANN_TOPK_SQL = """
+WITH pairs AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.label,
+        ROUND(
+            list_sum(list_transform(range(1, 65),
+                i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(range(1, 65),
+                i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+             * sqrt(list_sum(list_transform(range(1, 65),
+                i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))),
+        6) AS cosine_sim
+    FROM embeddings q JOIN embeddings c
+        ON q.vec_id != c.vec_id AND q.label = c.label
+    WHERE q.vec_id < 20
+)
+SELECT query_id, neighbor_id, label, cosine_sim,
+    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        ORDER BY cosine_sim DESC, neighbor_id ASC) AS BIGINT) AS sim_rank
+FROM pairs
+QUALIFY sim_rank <= 5
+"""
 MULTIMODAL_METADATA_SQL = """
 SELECT doc_id,
     CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
@@ -206,6 +227,7 @@ ORACLES_EXT: dict[str, str] = {
         f">= {NGRAM_THRESHOLD}", ">= 0.8"
     ),
     "cosine_topk_bruteforce": COSINE_TOPK_SQL,
+    "filtered_ann_topk": FILTERED_ANN_TOPK_SQL,
     "embedding_cosine_near_dup": EMBEDDING_COSINE_NEAR_DUP_SQL,
     "salted_agg_lineitem": SALTED_AGG_SQL,
     "asof_join_purchases": ASOF_JOIN_SQL,

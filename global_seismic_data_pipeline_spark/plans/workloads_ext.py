@@ -322,6 +322,17 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def filtered_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search (similarity.filtered_cosine_topk):
+    top-5 neighbors per query RESTRICTED to the query's own label — the
+    filter joins as a key, so candidates never leave the label partition
+    (post-filtering an unfiltered top-k would return fewer/wrong rows).
+    Oracle = the brute-force cosine join with the label equi-condition."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 20)
+    return similarity.filtered_cosine_topk(embs, queries, k=5)
+
+
 def jl_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson–Lindenstrauss reduction 64 → 16 dims
     (similarity.jl_project): the embedding-pipeline front-end that cuts

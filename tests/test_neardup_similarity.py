@@ -529,3 +529,35 @@ def test_incremental_ivf_meta_validation(spark, tmp_path):
 
     with _pytest.raises(Exception):
         ann_index._load(wh, "nonexistent")
+
+
+def test_filtered_topk_respects_filter_and_differs_from_postfilter(spark):
+    """Every neighbor shares the query's label, ranks are dense within
+    the filtered set — and post-filtering the UNfiltered top-k provably
+    loses results (why filtered search is its own operator)."""
+    import random as _random
+
+    rng = _random.Random(21)
+    rows = []
+    for i in range(120):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(64)], i % 2))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    )
+    queries = df.filter(F.col("vec_id") < 4)
+    out = similarity.filtered_cosine_topk(df, queries, k=5).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r)
+        assert r.label == r.query_id % 2  # neighbor shares the query label
+    for q, rs in per_q.items():
+        assert sorted(r.sim_rank for r in rs) == list(range(1, 6))
+    # post-filter contrast: unfiltered top-5 then filter-by-label keeps
+    # fewer than 5 for at least one query (random labels: ~P(all 5 match)
+    # = 2^-5 per query)
+    unf = similarity.cosine_topk(df, queries, k=5).collect()
+    kept = {}
+    for r in unf:
+        if r.neighbor_id % 2 == r.query_id % 2:
+            kept.setdefault(r.query_id, []).append(r)
+    assert any(len(v) < 5 for v in kept.values())
