@@ -1386,6 +1386,37 @@ SELECT '3_purchase_after_click', CAST((SELECT count(*) FROM t3) AS BIGINT)
 
 ORACLES_EXT["event_funnel_conversion"] = EVENT_FUNNEL_SQL
 
+# Time-bounded funnel: same chained min-aggregates with a 24h upper bound
+# per stage, on epoch-microsecond integers.
+BOUNDED_FUNNEL_SQL = """
+WITH t1 AS (
+    SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+), t2 AS (
+    SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+    FROM events e JOIN t1 USING (user_id)
+    WHERE e.event_type = 'click'
+      AND epoch_us(e.ts) > t1.t1
+      AND epoch_us(e.ts) <= t1.t1 + 86400000000
+    GROUP BY e.user_id
+), t3 AS (
+    SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+    FROM events e JOIN t2 USING (user_id)
+    WHERE e.event_type = 'purchase'
+      AND epoch_us(e.ts) > t2.t2
+      AND epoch_us(e.ts) <= t2.t2 + 86400000000
+    GROUP BY e.user_id
+), c AS (
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM t1) AS n1,
+           (SELECT CAST(count(*) AS BIGINT) FROM t2) AS n2,
+           (SELECT CAST(count(*) AS BIGINT) FROM t3) AS n3
+)
+SELECT '1_view' AS stage, n1 AS n_users FROM c
+UNION ALL SELECT '2_click_24h', n2 FROM c
+UNION ALL SELECT '3_purchase_24h', n3 FROM c
+"""
+ORACLES_EXT["bounded_funnel_conversion"] = BOUNDED_FUNNEL_SQL
+
 # Q5-shaped star join; revenue as exact integer cents·(100−disc) summed,
 # one division at the end — no float-sum ordering hazard.
 STAR_JOIN_SQL = r"""

@@ -815,6 +815,51 @@ def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bounded_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-BOUNDED funnel: each stage must convert within 24 hours of
+    the previous one (first view → first click in (v, v+24h] → first
+    purchase in (c, c+24h]) — the product-analytics form the unbounded
+    funnel (`event_funnel_conversion`) cannot answer: a click a week
+    later is not attributable. Same chained shrinking-aggregate shape
+    with an upper time bound per join; interval arithmetic on
+    unix_micros int64 (no calendar ambiguity)."""
+    window_us = 24 * 3600 * 1_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    us = F.unix_micros(F.col("ts"))
+    t1 = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min(us).alias("t1")
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", us.alias("tus"))
+        .join(t1, "user_id")
+        .filter((F.col("tus") > F.col("t1")) & (F.col("tus") <= F.col("t1") + window_us))
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", us.alias("tus"))
+        .join(t2, "user_id")
+        .filter((F.col("tus") > F.col("t2")) & (F.col("tus") <= F.col("t2") + window_us))
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t3"))
+    )
+    counts = (
+        t1.agg(F.count(F.lit(1)).alias("n1"))
+        .crossJoin(t2.agg(F.count(F.lit(1)).alias("n2")))
+        .crossJoin(t3.agg(F.count(F.lit(1)).alias("n3")))
+    )
+    return counts.select(
+        F.expr(
+            "stack(3, '1_view', n1, '2_click_24h', n2, "
+            "'3_purchase_24h', n3) AS (stage, n_users)"
+        )
+    )
+
+
 def gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar-spine gap filling: daily counts of rare events (value >
     400, ~2% of rows) on a DENSE (day × event_type) grid with zeros where
