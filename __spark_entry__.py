@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": workloads_ext.cohort_retention,
         "event_funnel_conversion": workloads_ext.event_funnel_conversion,
         "bounded_funnel_conversion": workloads_ext.bounded_funnel_conversion,
+        "abc_classification_parts": workloads_ext.abc_classification_parts,
         "star_join_revenue": workloads_ext.star_join_revenue,
         "zorder_cluster_lineitem": workloads_ext.zorder_cluster_lineitem,
         "cube_orders": workloads_ext.cube_orders,

@@ -1417,6 +1417,33 @@ UNION ALL SELECT '3_purchase_24h', n3 FROM c
 """
 ORACLES_EXT["bounded_funnel_conversion"] = BOUNDED_FUNNEL_SQL
 
+# ABC classification: same exact-cents running sum and cross-multiplied
+# boundaries.
+ABC_CLASSIFICATION_SQL = """
+WITH per_part AS (
+    SELECT l_partkey,
+        CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+            AS rev_cents
+    FROM lineitem GROUP BY l_partkey
+), cum AS (
+    SELECT l_partkey, rev_cents,
+        SUM(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents,
+        SUM(rev_cents) OVER () AS total_cents
+    FROM per_part
+), classed AS (
+    SELECT CASE WHEN cum_cents * 100 <= total_cents * 80 THEN 'A'
+                WHEN cum_cents * 100 <= total_cents * 95 THEN 'B'
+                ELSE 'C' END AS abc_class,
+        rev_cents
+    FROM cum
+)
+SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+    CAST(sum(rev_cents) AS BIGINT) AS class_cents
+FROM classed GROUP BY abc_class
+"""
+ORACLES_EXT["abc_classification_parts"] = ABC_CLASSIFICATION_SQL
+
 # Q5-shaped star join; revenue as exact integer cents·(100−disc) summed,
 # one division at the end — no float-sum ordering hazard.
 STAR_JOIN_SQL = r"""

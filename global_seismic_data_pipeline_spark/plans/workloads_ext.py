@@ -815,6 +815,43 @@ def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def abc_classification_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC inventory classification: parts ranked by revenue,
+    classified by CUMULATIVE share — A while cum ≤ 80% of total, B while
+    ≤ 95%, else C (the part that crosses a boundary falls into the next
+    class). All comparisons are cross-multiplied exact cents
+    (cum·100 ≤ 80·total) — no float share can flip a boundary part
+    between engines. The running sum is a single-partition window over
+    per-part aggregates (part cardinality, not fact cardinality — the
+    same bounded-key argument as the gold-layer ranks; facts are
+    pre-aggregated before the window sees them). Output: per-class part
+    counts and revenue."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    per_part = li.groupBy("l_partkey").agg(F.sum(cents).alias("rev_cents"))
+    w = Window.orderBy(F.col("rev_cents").desc(), F.col("l_partkey").asc())
+    total = per_part.agg(F.sum("rev_cents").alias("total_cents"))
+    classed = (
+        per_part.withColumn(
+            "cum_cents",
+            F.sum("rev_cents").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "abc_class",
+            F.when(F.col("cum_cents") * 100 <= F.col("total_cents") * 80, "A")
+            .when(F.col("cum_cents") * 100 <= F.col("total_cents") * 95, "B")
+            .otherwise("C"),
+        )
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("rev_cents").alias("class_cents"),
+    )
+
+
 def bounded_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-BOUNDED funnel: each stage must convert within 24 hours of
     the previous one (first view → first click in (v, v+24h] → first
