@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel_conversion": workloads_ext.event_funnel_conversion,
         "bounded_funnel_conversion": workloads_ext.bounded_funnel_conversion,
         "abc_classification_parts": workloads_ext.abc_classification_parts,
+        "theil_sen_daily_trend": workloads_ext.theil_sen_daily_trend,
         "star_join_revenue": workloads_ext.star_join_revenue,
         "zorder_cluster_lineitem": workloads_ext.zorder_cluster_lineitem,
         "cube_orders": workloads_ext.cube_orders,

@@ -1444,6 +1444,29 @@ FROM classed GROUP BY abc_class
 """
 ORACLES_EXT["abc_classification_parts"] = ABC_CLASSIFICATION_SQL
 
+# Theil-Sen: exact scaled-integer pairwise slopes — Spark div and
+# DuckDB // BOTH truncate toward zero, so plain integer division is
+# engine-identical; lower-median rank walk.
+THEIL_SEN_SQL = """
+WITH daily AS (
+    SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS di,
+        CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS c
+    FROM orders GROUP BY 1
+), slopes AS (
+    SELECT ((b.c - a.c) * 1000000) // (b.di - a.di) AS s
+    FROM daily a JOIN daily b ON a.di < b.di
+), r AS (
+    SELECT s, ROW_NUMBER() OVER (ORDER BY s ASC) AS rn,
+        count(*) OVER () AS n
+    FROM slopes
+)
+SELECT CAST(n AS BIGINT) AS n_pairs,
+    s AS median_slope_scaled,
+    s / 1000000.0 AS cents_per_day
+FROM r WHERE rn = (n + 1) // 2
+"""
+ORACLES_EXT["theil_sen_daily_trend"] = THEIL_SEN_SQL
+
 # Q5-shaped star join; revenue as exact integer cents·(100−disc) summed,
 # one division at the end — no float-sum ordering hazard.
 STAR_JOIN_SQL = r"""

@@ -815,6 +815,43 @@ def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend: the MEDIAN of all pairwise slopes of daily
+    order revenue — unlike least squares, up to ~29% outlier days cannot
+    move it. Slopes are exact scaled integers:
+    ``(cents_j − cents_i) · 10^6 div (j − i)`` — both engines TRUNCATE
+    integer division toward zero (Spark ``div`` ≡ DuckDB ``//``, checked
+    on negative operands: −7//2 = −3 in both), so the median's rank walk
+    is bit-identical with NO correction term (the rangejoin floor trick
+    serves a different invariant — two consecutive bins — not engine
+    parity). The pair
+    explosion is days², not facts (the self-join runs on the ~30-row
+    daily aggregate); the lower median (rank ⌈n/2⌉) is the deterministic
+    choice for even n."""
+    SCALE = 1_000_000
+    ord_ = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    daily = ord_.groupBy(
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")).alias("di")
+    ).agg(F.sum(cents).alias("c"))
+    a = daily.select(F.col("di").alias("i"), F.col("c").alias("ci"))
+    b = daily.select(F.col("di").alias("j"), F.col("c").alias("cj"))
+    slope = F.expr(f"((cj - ci) * {SCALE}) div (j - i)")
+    slopes = (
+        a.join(b, F.col("i") < F.col("j"))
+        .select(slope.alias("s"))
+    )
+    w = Window.orderBy(F.col("s").asc())
+    ranked_slopes = slopes.withColumn("rn", F.row_number().over(w))
+    n = slopes.count()
+    med_rank = (n + 1) // 2
+    return ranked_slopes.filter(F.col("rn") == med_rank).select(
+        F.lit(n).cast("long").alias("n_pairs"),
+        F.col("s").alias("median_slope_scaled"),
+        (F.col("s") / SCALE).alias("cents_per_day"),
+    )
+
+
 def abc_classification_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto / ABC inventory classification: parts ranked by revenue,
     classified by CUMULATIVE share — A while cum ≤ 80% of total, B while
