@@ -1467,6 +1467,27 @@ FROM r WHERE rn = (n + 1) // 2
 """
 ORACLES_EXT["theil_sen_daily_trend"] = THEIL_SEN_SQL
 
+# Mann-Whitney: RANK (first-of-tie) + per-value counts -> doubled
+# midranks, all integer.
+MANN_WHITNEY_SQL = """
+WITH base AS (
+    SELECT o_orderpriority AS grp,
+        CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v
+    FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+), ranked AS (
+    SELECT grp, v,
+        RANK() OVER (ORDER BY v ASC) AS rk,
+        COUNT(*) OVER (PARTITION BY v) AS cnt
+    FROM base
+), sums AS (
+    SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(rk * 2 + cnt - 1) AS BIGINT) AS r2
+    FROM ranked GROUP BY grp
+)
+SELECT grp, n, r2, r2 - n * (n + 1) AS u2 FROM sums
+"""
+ORACLES_EXT["mann_whitney_u_orders"] = MANN_WHITNEY_SQL
+
 # Q5-shaped star join; revenue as exact integer cents·(100−disc) summed,
 # one division at the end — no float-sum ordering hazard.
 STAR_JOIN_SQL = r"""

@@ -815,6 +815,39 @@ def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mann_whitney_u_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum test (urgent vs low-priority order
+    values), entirely in EXACT integers: ranks come from the
+    range-partitioned scalable rank (operators/ranking.py — no
+    single-partition window over fact rows), ties use doubled midranks
+    ``2·rank + cnt − 1`` (always integral where midranks are .5s), and
+    the statistic is reported doubled: ``2U_g = ΣmR2_g − n_g(n_g+1)``.
+    The identity 2U_a + 2U_b = 2·n_a·n_b makes any rank drift
+    self-evident; the oracle replays RANK + per-value counts."""
+    from ..operators import ranking
+
+    ord_ = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = ord_.select(
+        F.col("o_orderpriority").alias("grp"), cents.alias("v")
+    )
+    r = ranking.ranked(base, ["v"], method="rank", out_col="rk")
+    cnts = base.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+    mid2 = (F.col("rk") * 2 + F.col("cnt") - 1)
+    sums = (
+        r.join(cnts, "v")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(mid2).alias("r2"),
+        )
+        .withColumn("u2", F.col("r2") - F.col("n") * (F.col("n") + 1))
+    )
+    return sums.select("grp", "n", "r2", "u2")
+
+
 def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil–Sen robust trend: the MEDIAN of all pairwise slopes of daily
     order revenue — unlike least squares, up to ~29% outlier days cannot

@@ -76,3 +76,39 @@ def test_rejects_bad_method(spark):
     df = _data(spark, n=10)
     with pytest.raises(ValueError):
         ranking.ranked(df, ["k"], method="ntile")
+
+
+def test_mann_whitney_identity_and_reference(spark):
+    """2U_a + 2U_b == 2·n_a·n_b, and the doubled-U values match a scipy-
+    free python reference with midrank tie handling."""
+    from global_seismic_data_pipeline_spark.operators import ranking
+
+    vals_a = [3, 5, 5, 9, 12]
+    vals_b = [1, 5, 7, 7]
+    rows = [("a", v) for v in vals_a] + [("b", v) for v in vals_b]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    r = ranking.ranked(df, ["v"], method="rank", out_col="rk")
+    cnts = df.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+    out = {
+        row["grp"]: (row["n"], row["u2"])
+        for row in (
+            r.join(cnts, "v")
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("rk") * 2 + F.col("cnt") - 1).alias("r2"),
+            )
+            .withColumn("u2", F.col("r2") - F.col("n") * (F.col("n") + 1))
+            .collect()
+        )
+    }
+    # python reference: midranks over the pooled sample
+    pooled = sorted(vals_a + vals_b)
+    def midrank2(v):
+        first = pooled.index(v) + 1
+        cnt = pooled.count(v)
+        return 2 * first + cnt - 1
+    r2a = sum(midrank2(v) for v in vals_a)
+    na, nb = len(vals_a), len(vals_b)
+    assert out["a"] == (na, r2a - na * (na + 1))
+    assert out["a"][1] + out["b"][1] == 2 * na * nb
