@@ -1488,6 +1488,19 @@ SELECT grp, n, r2, r2 - n * (n + 1) AS u2 FROM sums
 """
 ORACLES_EXT["mann_whitney_u_orders"] = MANN_WHITNEY_SQL
 
+MANN_KENDALL_SQL = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+        CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS c
+    FROM orders GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+    CAST(sum(CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END)
+        AS BIGINT) AS s_statistic
+FROM daily a JOIN daily b ON a.d < b.d
+"""
+ORACLES_EXT["mann_kendall_trend_orders"] = MANN_KENDALL_SQL
+
 # Q5-shaped star join; revenue as exact integer cents·(100−disc) summed,
 # one division at the end — no float-sum ordering hazard.
 STAR_JOIN_SQL = r"""

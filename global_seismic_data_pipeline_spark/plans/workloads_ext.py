@@ -815,6 +815,31 @@ def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mann_kendall_trend_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend TEST (the significance companion to the
+    Theil–Sen SLOPE): S = Σ_{i<j} sign(c_j − c_i) over daily revenue —
+    pure integer comparisons, no arithmetic that could drift. |S| near
+    n(n−1)/2 = monotone trend; near 0 = no trend. Same days² pair join
+    over the tiny daily aggregate."""
+    ord_ = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    daily = ord_.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(F.sum(cents).alias("c"))
+    a = daily.select(F.col("d").alias("da"), F.col("c").alias("ca"))
+    b = daily.select(F.col("d").alias("db"), F.col("c").alias("cb"))
+    sgn = F.when(F.col("cb") > F.col("ca"), 1).when(
+        F.col("cb") < F.col("ca"), -1
+    ).otherwise(0)
+    return (
+        a.join(b, F.col("da") < F.col("db"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(sgn).cast("long").alias("s_statistic"),
+        )
+    )
+
+
 def mann_whitney_u_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann–Whitney U rank-sum test (urgent vs low-priority order
     values), entirely in EXACT integers: ranks come from the
