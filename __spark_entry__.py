@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen_daily_trend": workloads_ext.theil_sen_daily_trend,
         "mann_whitney_u_orders": workloads_ext.mann_whitney_u_orders,
         "mann_kendall_trend_orders": workloads_ext.mann_kendall_trend_orders,
+        "ks_test_orders": workloads_ext.ks_test_orders,
         "star_join_revenue": workloads_ext.star_join_revenue,
         "zorder_cluster_lineitem": workloads_ext.zorder_cluster_lineitem,
         "cube_orders": workloads_ext.cube_orders,

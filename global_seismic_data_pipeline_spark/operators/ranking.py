@@ -149,3 +149,82 @@ def ranked(
     except Exception:
         part.unpersist()
         raise
+
+
+def prefix_sums(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    *,
+    ascending: bool = True,
+    num_partitions: int | None = None,
+    suffix: str = "_cum",
+) -> DataFrame:
+    """Scalable GLOBAL running totals: for each ``c`` in ``sum_cols``,
+    add ``c{suffix}`` = sum of ``c`` over all rows ordered at-or-before
+    this row (``SUM(c) OVER (ORDER BY order_cols ROWS UNBOUNDED
+    PRECEDING)`` semantics, ROW frame) — without the single-partition
+    window. Same two-pass architecture as :func:`ranked`: range
+    partition + sort, per-partition integer totals collected as offsets
+    (control-plane), one Arrow cumsum pass adds them.
+
+    ROW-frame semantics make tie handling ORDER-dependent — pass a
+    tie-breaking key in ``order_cols`` (as you must for the equivalent
+    window) or equal-key rows get an arbitrary-but-consistent internal
+    order. Sum columns must be integral (int64 running sums are exact
+    and associative; float running sums are order-fragile by nature —
+    convert to exact cents first, the repo-wide discipline)."""
+    order_cols, sum_cols = list(order_cols), list(sum_cols)
+    for f in df.schema.fields:
+        if f.name in sum_cols and not isinstance(
+            f.dataType, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+        ):
+            raise ValueError(
+                f"sum column {f.name!r} must be integral, got {f.dataType.simpleString()}"
+            )
+    spark = df.sparkSession
+    n_parts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sort_exprs = [
+        F.col(c).asc() if ascending else F.col(c).desc() for c in order_cols
+    ]
+    part = (
+        df.repartitionByRange(n_parts, *sort_exprs).sortWithinPartitions(*sort_exprs)
+    ).persist()
+    _PERSISTED.append(part)
+    try:
+        stats = (
+            part.groupBy(F.spark_partition_id().alias(_PID))
+            .agg(*[F.sum(c).alias(c) for c in sum_cols])
+            .collect()
+        )
+        by_pid = {int(r[_PID]): [int(r[c] or 0) for c in sum_cols] for r in stats}
+        offsets: dict[int, list[int]] = {}
+        running = [0] * len(sum_cols)
+        for p in range(n_parts):
+            offsets[p] = list(running)
+            totals = by_pid.get(p, [0] * len(sum_cols))
+            running = [a + b for a, b in zip(running, totals)]
+
+        out_schema = T.StructType(
+            list(df.schema.fields)
+            + [T.StructField(f"{c}{suffix}", T.LongType()) for c in sum_cols]
+        )
+
+        def cum_pass(batches):
+            from pyspark import TaskContext
+
+            carry = list(offsets[TaskContext.get().partitionId()])
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                out = pdf.copy()
+                for k, c in enumerate(sum_cols):
+                    vals = pdf[c].to_numpy(dtype=np.int64).cumsum() + carry[k]
+                    out[f"{c}{suffix}"] = vals
+                    carry[k] = int(vals[-1])
+                yield out
+
+        return part.mapInPandas(cum_pass, schema=out_schema)
+    except Exception:
+        part.unpersist()
+        raise

@@ -1501,6 +1501,34 @@ FROM daily a JOIN daily b ON a.d < b.d
 """
 ORACLES_EXT["mann_kendall_trend_orders"] = MANN_KENDALL_SQL
 
+# KS two-sample: step-CDF supremum at sample values, cross-multiplied to
+# int64; one final division for the float statistic.
+KS_TEST_SQL = """
+WITH base AS (
+    SELECT o_orderpriority AS grp,
+        CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v
+    FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+), per_val AS (
+    SELECT v,
+        CAST(sum(CASE WHEN grp = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        CAST(sum(CASE WHEN grp = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+    FROM base GROUP BY v
+), cum AS (
+    SELECT SUM(ca) OVER (ORDER BY v) AS ca_cum,
+           SUM(cb) OVER (ORDER BY v) AS cb_cum
+    FROM per_val
+), tot AS (
+    SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+    FROM per_val
+)
+SELECT na AS n_a, nb AS n_b,
+    CAST(max(abs(ca_cum * nb - cb_cum * na)) AS BIGINT) AS d_scaled,
+    CAST(max(abs(ca_cum * nb - cb_cum * na)) AS BIGINT)
+        / CAST(na * nb AS DOUBLE) AS d_stat
+FROM cum, tot GROUP BY na, nb
+"""
+ORACLES_EXT["ks_test_orders"] = KS_TEST_SQL
+
 # Q5-shaped star join; revenue as exact integer cents·(100−disc) summed,
 # one division at the end — no float-sum ordering hazard.
 STAR_JOIN_SQL = r"""

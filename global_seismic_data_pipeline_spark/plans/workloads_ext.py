@@ -815,6 +815,44 @@ def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ks_test_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between urgent and
+    low-priority order-value distributions, exact until one final
+    division: per-distinct-value group counts → SCALABLE running
+    totals (ranking.prefix_sums — no single-partition window over the
+    value domain) → D·n_a·n_b = max |cumA·n_b − cumB·n_a| in int64.
+    The supremum over step CDFs is attained at sample values, so the
+    per-distinct-value scan is exhaustive, not approximate."""
+    from ..operators import ranking
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(
+            F.col("o_orderpriority").alias("grp"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        )
+    )
+    per_val = base.groupBy("v").agg(
+        F.sum((F.col("grp") == "1-URGENT").cast("long")).alias("ca"),
+        F.sum((F.col("grp") == "5-LOW").cast("long")).alias("cb"),
+    )
+    cum = ranking.prefix_sums(per_val, ["v"], ["ca", "cb"])
+    totals = per_val.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    ).collect()[0]
+    na, nb = int(totals["na"]), int(totals["nb"])
+    d_scaled = F.max(
+        F.abs(F.col("ca_cum") * nb - F.col("cb_cum") * na)
+    ).alias("d_scaled")
+    return cum.agg(d_scaled).select(
+        F.lit(na).cast("long").alias("n_a"),
+        F.lit(nb).cast("long").alias("n_b"),
+        "d_scaled",
+        (F.col("d_scaled") / F.lit(na * nb)).alias("d_stat"),
+    )
+
+
 def mann_kendall_trend_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann–Kendall trend TEST (the significance companion to the
     Theil–Sen SLOPE): S = Σ_{i<j} sign(c_j − c_i) over daily revenue —

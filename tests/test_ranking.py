@@ -112,3 +112,51 @@ def test_mann_whitney_identity_and_reference(spark):
     na, nb = len(vals_a), len(vals_b)
     assert out["a"] == (na, r2a - na * (na + 1))
     assert out["a"][1] + out["b"][1] == 2 * na * nb
+
+
+def test_prefix_sums_equal_single_partition_window(spark):
+    """Running totals from the range-partitioned pass == the degenerate
+    global window, including carries across partition boundaries and
+    multiple sum columns."""
+    from pyspark.sql import Window
+
+    from global_seismic_data_pipeline_spark.operators import ranking
+
+    df = spark.range(5000).select(
+        ((F.col("id") * 2654435761) % 100000).alias("k"),
+        F.col("id").alias("tie"),
+        (F.col("id") % 7).alias("x"),
+        (F.col("id") % 3 - 1).alias("y"),  # negative values too
+    )
+    got = ranking.prefix_sums(df, ["k", "tie"], ["x", "y"], num_partitions=16)
+    w = Window.orderBy("k", "tie").rowsBetween(Window.unboundedPreceding, 0)
+    want = df.withColumn("x_cum", F.sum("x").over(w)).withColumn(
+        "y_cum", F.sum("y").over(w)
+    )
+    g = {(r.k, r.tie): (r.x_cum, r.y_cum) for r in got.collect()}
+    e = {(r.k, r.tie): (r.x_cum, r.y_cum) for r in want.collect()}
+    assert g == e
+    ranking.release_cached()
+
+
+def test_prefix_sums_descending_and_validation(spark):
+    from pyspark.sql import Window
+
+    from global_seismic_data_pipeline_spark.operators import ranking
+
+    df = spark.range(200).select(F.col("id").alias("k"), F.lit(1).alias("one"))
+    got = {
+        r.k: r.one_cum
+        for r in ranking.prefix_sums(
+            df, ["k"], ["one"], ascending=False, num_partitions=4
+        ).collect()
+    }
+    # descending: k=199 is first → cum 1; k=0 last → cum 200
+    assert got[199] == 1 and got[0] == 200
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="integral"):
+        ranking.prefix_sums(
+            df.withColumn("f", F.lit(1.5)), ["k"], ["f"]
+        )
+    ranking.release_cached()
