@@ -58,7 +58,15 @@ def _list_parquet_files(path: str) -> list[str]:
 def _stats_agg(cols: Sequence[str]):
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:
-        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+        # n_nonnull matters because min/max skip nulls: a file whose
+        # non-null values all sit in [lo, hi] still reads as "contained"
+        # even when half its rows are NULL — those rows must NOT count
+        # toward a range predicate (hybrid_range_count).
+        aggs += [
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+            F.count(F.col(c)).alias(f"n_nonnull_{c}"),
+        ]
     return aggs
 
 
@@ -110,7 +118,14 @@ def refresh_file_stats(
         fresh = collect_file_stats(
             spark, [f.removeprefix("file://") for f in new_files], list(cols)
         )
-        merged = keep_old.unionByName(fresh) if keep_old is not None else fresh
+        # allowMissingColumns: a stats table written before a schema
+        # addition (e.g. n_nonnull_<c>) evolves in place — old rows get
+        # NULL for the new stat and consumers treat NULL conservatively
+        merged = (
+            keep_old.unionByName(fresh, allowMissingColumns=True)
+            if keep_old is not None
+            else fresh
+        )
     else:
         merged = keep_old
     if merged is not None:
@@ -177,18 +192,34 @@ def hybrid_range_count(
     scan set is O(1) files regardless of table size — the manifest
     answers the interior. Single-row (n_rows bigint) result; the two
     contributions come from disjoint file sets by construction, so
-    meta + scan is exact, not approximate."""
+    meta + scan is exact, not approximate.
+
+    Null discipline: min/max skip nulls, so "contained" only says the
+    NON-NULL values fit [lo, hi] — a contained file contributes its
+    ``n_nonnull_<col>`` count (null rows never satisfy a range
+    predicate). Stats rows written before n_nonnull existed carry NULL
+    there and are routed to the scan set instead — conservative, never
+    wrong."""
     mn, mx = F.col(f"min_{col}"), F.col(f"max_{col}")
+    nn_name = f"n_nonnull_{col}"
+    nn = (
+        F.col(nn_name)
+        if nn_name in stats.columns
+        else F.lit(None).cast("long")
+    )
     contained = (mn >= F.lit(lo)) & (mx <= F.lit(hi))
     overlap = (mx >= F.lit(lo)) & (mn <= F.lit(hi))
+    meta_ok = mn.isNotNull() & mx.isNotNull() & contained & nn.isNotNull()
     meta_cnt = (
-        stats.filter(mn.isNotNull() & mx.isNotNull() & contained)
-        .agg(F.coalesce(F.sum("n_rows"), F.lit(0)).cast("long").alias("c"))
+        stats.filter(meta_ok)
+        .agg(F.coalesce(F.sum(nn), F.lit(0)).cast("long").alias("c"))
     )
     scan_files = [
         r["file"]
         for r in stats.filter(
-            mn.isNull() | mx.isNull() | (overlap & ~contained)
+            mn.isNull() | mx.isNull()
+            | (overlap & ~contained)
+            | (contained & nn.isNull())
         ).select("file").collect()
     ]
     if scan_files:

@@ -12,6 +12,7 @@ swap time, so there is no retention backlog by construction).
 from __future__ import annotations
 
 import os
+import re
 import shutil
 from collections.abc import Sequence
 
@@ -102,6 +103,31 @@ def vacuum(wh: Warehouse) -> int:
     return removed
 
 
+# Partition-value encodings whose lexicographic order provably equals
+# value order: ISO dates / timestamps (fixed-width, most-significant-first)
+# and zero-padded digit strings of uniform width.
+_ISO_DATETIME = re.compile(
+    r"^\d{4}-\d{2}-\d{2}([ T]\d{2}(:|%3A)\d{2}((:|%3A)\d{2})?)?$"
+)
+
+
+def _lexicographic_order_is_value_order(vals: list[str], cutoff: str) -> bool:
+    """True only when comparing ``vals`` (and ``cutoff``) as strings is
+    guaranteed to agree with comparing them as values — ISO date/timestamp
+    strings, or all-digit strings of one uniform width (zero-padded ints).
+    Anything else (unpadded ints, floats, free text) must use the rewrite
+    path: e.g. ``"100" < "20"`` lexicographically though 100 > 20."""
+    candidates = [*vals, cutoff]
+    if all(_ISO_DATETIME.match(v) for v in candidates):
+        # same-format prefix comparison is safe; mixed date vs timestamp
+        # widths still order correctly because the date prefix dominates
+        return True
+    if all(v.isdigit() for v in candidates):
+        widths = {len(v) for v in candidates}
+        return len(widths) == 1
+    return False
+
+
 def retention_delete(
     wh: Warehouse, name: str, col: str, cutoff
 ) -> dict:
@@ -128,15 +154,23 @@ def retention_delete(
     if pcols and pcols[0] == col:
         cutoff_str = str(cutoff)
         table = wh.path(name)
-        dropped = []
-        for d in sorted(os.listdir(table)):
-            if not d.startswith(f"{col}="):
-                continue
-            val = d.split("=", 1)[1]
-            if val != "__HIVE_DEFAULT_PARTITION__" and val < cutoff_str:
-                shutil.rmtree(os.path.join(table, d))
-                dropped.append(val)
-        return {"mode": "partition_drop", "partitions_dropped": len(dropped)}
+        part_vals = [
+            d.split("=", 1)[1]
+            for d in sorted(os.listdir(table))
+            if d.startswith(f"{col}=")
+        ]
+        live = [v for v in part_vals if v != "__HIVE_DEFAULT_PARTITION__"]
+        if _lexicographic_order_is_value_order(live, cutoff_str):
+            dropped = []
+            for val in live:
+                if val < cutoff_str:
+                    shutil.rmtree(os.path.join(table, f"{col}={val}"))
+                    dropped.append(val)
+            return {"mode": "partition_drop",
+                    "partitions_dropped": len(dropped)}
+        # Encoding where string order may diverge from value order
+        # (e.g. unpadded integers: "100" < "20"): refuse the fast path
+        # and fall through to the always-correct filter-rewrite.
     before = wh.read(name).count()
     kept = wh.read(name).filter(
         F.col(col).isNull() | (F.col(col) >= F.lit(cutoff))

@@ -178,3 +178,39 @@ def test_retention_delete_rewrite_path(spark, tmp_path):
     out = maintenance.retention_delete(wh, "t", "age", 2)
     assert out == {"mode": "rewrite", "rows_deleted": 1}
     assert {r.v for r in wh.read("t").collect()} == {20, 30, 50}
+
+
+def test_retention_delete_refuses_non_lexicographic_partitions(
+    spark, tmp_path
+):
+    """Partitioned on UNPADDED integers ("100" < "20" lexicographically):
+    the fast path must refuse and fall back to the filter-rewrite, keeping
+    exactly the typed-comparison survivors — never rmtree the wrong dirs."""
+    from global_seismic_data_pipeline_spark.pipeline import maintenance
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(5, 1), (20, 2), (100, 3)], "age long, v long"
+    )
+    wh.overwrite(df, "t", partition_by=["age"])
+    out = maintenance.retention_delete(wh, "t", "age", 20)
+    assert out["mode"] == "rewrite"  # refused the string-compare fast path
+    # age=100 survives (100 >= 20); lexicographic compare would have
+    # deleted it ("100" < "20") and kept age=5
+    assert {r.age for r in wh.read("t").collect()} == {20, 100}
+
+
+def test_retention_delete_fast_path_zero_padded_ints(spark, tmp_path):
+    """Uniform-width zero-padded values order lexicographically like
+    values — the directory-drop fast path stays available."""
+    from global_seismic_data_pipeline_spark.pipeline import maintenance
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [("005", 1), ("020", 2), ("100", 3)], "age string, v long"
+    )
+    wh.overwrite(df, "t", partition_by=["age"])
+    out = maintenance.retention_delete(wh, "t", "age", "020")
+    assert out == {"mode": "partition_drop", "partitions_dropped": 1}
+    # hive reads type-infer "020" → 20; compare numerically
+    assert {int(r.age) for r in wh.read("t").collect()} == {20, 100}

@@ -167,6 +167,62 @@ def test_hybrid_range_count_no_boundary_files(spark, wh):
     assert out.collect()[0].n_rows == 200
 
 
+def test_hybrid_range_count_exact_on_nullable_column(spark, wh):
+    """A file whose non-null values all sit inside [lo, hi] but which also
+    carries NULL rows reads as "contained" by min/max alone — the count
+    must use n_nonnull, not n_rows, or nulls are silently overcounted."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "c"), (None, "d"), (50, "e")],
+        "k int, s string",
+    )
+    # file 0: {1, 2, null, null} (contained in [0, 10]); file 1: {50}
+    wh.overwrite(
+        df.repartitionByRange(2, F.col("k").asc_nulls_first()), "nn"
+    )
+    skipping.refresh_file_stats(wh, "nn", ["k"])
+    stats = wh.read("nn__stats")
+    out = skipping.hybrid_range_count(spark, stats, "k", 0, 10)
+    assert out.collect()[0].n_rows == 2  # not 4: nulls never match
+
+
+def test_hybrid_range_count_stale_stats_rows_fall_back_to_scan(spark, wh):
+    """Stats rows written before n_nonnull existed (NULL there) are routed
+    to the scan set — conservative, still exact."""
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (7, "c")], "k int, s string"
+    )
+    wh.overwrite(df.repartition(1), "old")
+    skipping.refresh_file_stats(wh, "old", ["k"])
+    stale = wh.read("old__stats").withColumn(
+        "n_nonnull_k", F.lit(None).cast("long")
+    )
+    out = skipping.hybrid_range_count(spark, stale, "k", 0, 10)
+    assert out.collect()[0].n_rows == 2
+    # the data file really was opened (no metadata shortcut on stale rows)
+    assert any("old" in f and "__stats" not in f for f in out.inputFiles())
+
+
+def test_stats_schema_evolution_on_refresh(spark, wh):
+    """A pre-n_nonnull stats table evolves in place on the next refresh:
+    old rows keep NULL for the new stat, new files carry real counts."""
+    _clustered(spark, wh, n=100, parts=2, name="ev")
+    skipping.refresh_file_stats(wh, "ev", ["k"])
+    # simulate a legacy manifest missing the n_nonnull_k column
+    legacy = wh.read("ev__stats").drop("n_nonnull_k")
+    wh.overwrite(legacy, "ev__stats")
+    batch = spark.range(200, 250).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    wh.append(batch.coalesce(1), "ev")
+    assert skipping.refresh_file_stats(wh, "ev", ["k"]) == 1
+    stats = wh.read("ev__stats")
+    assert "n_nonnull_k" in stats.columns
+    assert stats.filter(F.col("n_nonnull_k").isNull()).count() == 2
+    # hybrid count stays exact across the mixed-schema manifest
+    out = skipping.hybrid_range_count(spark, stats, "k", 0, 1_000)
+    assert out.collect()[0].n_rows == 150
+
+
 def test_refresh_rejects_non_parquet_warehouse(spark, tmp_path):
     """An ORC warehouse must fail loudly — silent zero-file stats would
     make every pruned read skip everything."""
