@@ -1,0 +1,274 @@
+"""SQL-string DML façade: the reference's verbatim MERGE / UPDATE texts
+run unchanged against the parquet warehouse (ref:
+04_silver_transformation.py:194-202,216-222; 02_ingestion.py:221-227)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from global_seismic_data_pipeline_spark.sources.sqldml import SqlDml
+from global_seismic_data_pipeline_spark.sources.warehouse import Warehouse
+from global_seismic_data_pipeline_spark.state import WatermarkStore
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    return Warehouse(spark, str(tmp_path / "wh"))
+
+
+def _mkdf(spark, rows):
+    return spark.createDataFrame(rows, "event_id string, mag double, place string")
+
+
+# -- the reference's verbatim texts ---------------------------------------
+
+
+def test_reference_merge_text_verbatim(spark, wh):
+    """04_silver_transformation.py:196-202, character-for-character."""
+    engine = SqlDml(wh)
+    wh.overwrite(
+        _mkdf(spark, [("e1", 5.0, "old"), ("e2", 6.0, "keep")]),
+        "silver_earthquakes",
+    )
+    _mkdf(spark, [("e1", 5.5, "updated"), ("e3", 4.0, "new")]) \
+        .createOrReplaceTempView("silver_updates")
+
+    engine.sql("""
+        MERGE INTO silver_earthquakes t
+        USING silver_updates s
+        ON t.event_id = s.event_id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    got = {
+        r.event_id: (r.mag, r.place)
+        for r in wh.read("silver_earthquakes").collect()
+    }
+    assert got == {
+        "e1": (5.5, "updated"),
+        "e2": (6.0, "keep"),
+        "e3": (4.0, "new"),
+    }
+    # idempotent: re-running the same MERGE changes nothing
+    engine.sql("""
+        MERGE INTO silver_earthquakes t
+        USING silver_updates s
+        ON t.event_id = s.event_id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    again = {
+        r.event_id: (r.mag, r.place)
+        for r in wh.read("silver_earthquakes").collect()
+    }
+    assert again == got
+
+
+def test_reference_update_text_verbatim(spark, wh):
+    """02_ingestion.py:221-227 / 04_silver_transformation.py:216-222: the
+    f-string UPDATE against the control table, same column math."""
+    engine = SqlDml(wh)
+    store = WatermarkStore(wh, clock=lambda: datetime(2025, 6, 1, 12, 0, 0))
+    store.init("silver_earthquakes", "event_time")
+
+    new_watermark, processed = "2025-05-30 08:00:00", 5332
+    out = engine.sql(f"""
+        UPDATE control_watermark
+        SET watermark_value = TIMESTAMP '{new_watermark}',
+            last_updated = current_timestamp(),
+            records_processed = records_processed + {processed}
+        WHERE table_name = 'silver_earthquakes'
+    """).collect()[0]
+    assert (out.statement, out.rows_updated) == ("UPDATE", 1)
+    e = store.get("silver_earthquakes")
+    assert e.watermark_value == datetime(2025, 5, 30, 8, 0, 0)
+    assert e.records_processed == 5332
+    # second batch accumulates (the reference re-runs the same shape)
+    engine.sql(f"""
+        UPDATE control_watermark
+        SET watermark_value = TIMESTAMP '2025-05-31 09:00:00',
+            last_updated = current_timestamp(),
+            records_processed = records_processed + 100
+        WHERE table_name = 'silver_earthquakes'
+    """)
+    e = store.get("silver_earthquakes")
+    assert e.records_processed == 5432
+    assert e.watermark_value == datetime(2025, 5, 31, 9, 0, 0)
+
+
+def test_select_passthrough_sees_warehouse_tables(spark, wh):
+    """04_silver_transformation.py:230-231: plain SELECT text works
+    against warehouse table names."""
+    wh.overwrite(_mkdf(spark, [("e1", 5.0, "x"), ("e2", 6.0, "y")]),
+                 "silver_earthquakes")
+    out = SqlDml(wh).sql(
+        "SELECT COUNT(*) AS total FROM silver_earthquakes"
+    ).collect()
+    assert out[0].total == 2
+
+
+# -- UPDATE semantics ------------------------------------------------------
+
+
+def test_update_reads_pre_update_row(spark, wh):
+    """SET a = b, b = a must swap (standard SQL), not chain."""
+    wh.overwrite(spark.createDataFrame([(1, 10, 20)], "k int, a int, b int"), "t")
+    SqlDml(wh).sql("UPDATE t SET a = b, b = a")
+    r = wh.read("t").collect()[0]
+    assert (r.a, r.b) == (20, 10)
+
+
+def test_update_null_where_rows_untouched(spark, wh):
+    wh.overwrite(
+        spark.createDataFrame([(1, None), (2, 5)], "k int, v int"), "t"
+    )
+    out = SqlDml(wh).sql("UPDATE t SET k = k + 100 WHERE v > 0").collect()[0]
+    assert out.rows_updated == 1
+    assert {r.k for r in wh.read("t").collect()} == {1, 102}
+
+
+def test_update_unknown_column_or_table_raises(spark, wh):
+    wh.overwrite(spark.createDataFrame([(1,)], "k int"), "t")
+    with pytest.raises(ValueError, match="unknown column"):
+        SqlDml(wh).sql("UPDATE t SET nope = 1")
+    with pytest.raises(ValueError, match="not a warehouse table"):
+        SqlDml(wh).sql("UPDATE missing SET k = 1")
+
+
+# -- DELETE ----------------------------------------------------------------
+
+
+def test_delete_where_and_null_semantics(spark, wh):
+    # NULL predicate keeps the row (SQL: DELETE only where cond IS TRUE)
+    wh.overwrite(
+        spark.createDataFrame([(1, 1), (2, None), (3, 9)], "k int, v int"), "t"
+    )
+    out = SqlDml(wh).sql("DELETE FROM t WHERE v > 5").collect()[0]
+    assert out.rows_deleted == 1
+    assert {r.k for r in wh.read("t").collect()} == {1, 2}
+
+
+# -- general MERGE (beyond the reference's SET */INSERT *) -----------------
+
+
+def test_conditional_merge_clause_priority(spark, wh):
+    """First-match-wins across WHEN MATCHED clauses; DELETE branch drops;
+    unclaimed matched rows and unmatched target rows pass through."""
+    engine = SqlDml(wh)
+    wh.overwrite(
+        spark.createDataFrame(
+            [("a", 1, "t"), ("b", 2, "t"), ("c", 3, "t"), ("d", 4, "t")],
+            "k string, v int, tag string",
+        ),
+        "m",
+    )
+    spark.createDataFrame(
+        [("a", 10, "s"), ("b", 99, "s"), ("c", -1, "s"), ("x", 7, "s")],
+        "k string, v int, tag string",
+    ).createOrReplaceTempView("m_src")
+    engine.sql("""
+        MERGE INTO m t
+        USING m_src s
+        ON t.k = s.k
+        WHEN MATCHED AND s.v < 0 THEN DELETE
+        WHEN MATCHED AND s.v < 50 THEN UPDATE SET v = s.v + t.v, tag = 'upd'
+        WHEN NOT MATCHED AND s.v > 5 THEN INSERT (k, v, tag) VALUES (s.k, s.v, 'ins')
+    """)
+    got = {r.k: (r.v, r.tag) for r in wh.read("m").collect()}
+    assert got == {
+        "a": (11, "upd"),   # matched second clause: 10 + 1
+        "b": (2, "t"),      # matched, no clause condition held → unchanged
+        "d": (4, "t"),      # never matched → unchanged
+        "x": (7, "ins"),    # not matched, inserted with explicit mapping
+    }                        # "c" deleted by the first clause
+
+
+def test_merge_first_write_creates_table(spark, wh):
+    engine = SqlDml(wh)
+    spark.createDataFrame([("a", 1)], "k string, v int") \
+        .createOrReplaceTempView("fw_src")
+    engine.sql("""
+        MERGE INTO fw t USING fw_src s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    assert [tuple(r) for r in wh.read("fw").collect()] == [("a", 1)]
+
+
+def test_merge_multi_key_and_warehouse_source(spark, wh):
+    engine = SqlDml(wh)
+    wh.overwrite(
+        spark.createDataFrame([(1, "x", 5), (2, "y", 6)], "a int, b string, v int"),
+        "mk",
+    )
+    wh.overwrite(
+        spark.createDataFrame([(1, "x", 50), (3, "z", 7)], "a int, b string, v int"),
+        "mk_updates",
+    )
+    engine.sql("""
+        MERGE INTO mk t USING mk_updates s
+        ON t.a = s.a AND t.b = s.b
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    got = {(r.a, r.b): r.v for r in wh.read("mk").collect()}
+    assert got == {(1, "x"): 50, (2, "y"): 6, (3, "z"): 7}
+
+
+def test_merge_rejects_bad_shapes(spark, wh):
+    engine = SqlDml(wh)
+    wh.overwrite(spark.createDataFrame([(1, 2)], "k int, v int"), "r")
+    spark.createDataFrame([(1, 3)], "k int, v int") \
+        .createOrReplaceTempView("r_src")
+    with pytest.raises(ValueError, match="t.key = s.key"):
+        engine.sql("""
+            MERGE INTO r t USING r_src s ON t.k > s.k
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+        """)
+    with pytest.raises(ValueError, match="unparsed MERGE clause"):
+        engine.sql("""
+            MERGE INTO r t USING r_src s ON t.k = s.k
+            WHEN MATCHED THEN FROBNICATE
+        """)
+    with pytest.raises(ValueError, match="neither a temp view nor"):
+        engine.sql("""
+            MERGE INTO r t USING nonexistent_src s ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET *
+        """)
+
+
+def test_merge_rejects_non_key_unique_source(spark, wh):
+    engine = SqlDml(wh)
+    wh.overwrite(spark.createDataFrame([(1, 2)], "k int, v int"), "u")
+    spark.createDataFrame([(1, 3), (1, 4)], "k int, v int") \
+        .createOrReplaceTempView("u_src")
+    with pytest.raises(ValueError, match="not key-unique"):
+        engine.sql("""
+            MERGE INTO u t USING u_src s ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+        """)
+
+
+def test_merge_preserves_partition_pruned_layout(spark, wh):
+    """MERGE through the façade on a hive-partitioned table keeps the
+    directory layout (overwrite preserves partition columns)."""
+    engine = SqlDml(wh)
+    df = spark.createDataFrame(
+        [("2024", "a", 1), ("2025", "b", 2)], "year string, k string, v int"
+    )
+    wh.overwrite(df, "pt", partition_by=["year"])
+    spark.createDataFrame([("2025", "b", 20)], "year string, k string, v int") \
+        .createOrReplaceTempView("pt_src")
+    engine.sql("""
+        MERGE INTO pt t USING pt_src s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    assert wh.partition_columns("pt") == ["year"]
+    got = {r.k: r.v for r in wh.read("pt").collect()}
+    assert got == {"a": 1, "b": 20}
