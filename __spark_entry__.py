@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jl_project_embeddings": workloads_ext.jl_project_embeddings,
         "filtered_ann_topk": workloads_ext.filtered_ann_topk,
         "incremental_ivf_ann": workloads_ext.incremental_ivf_ann,
+        "ivf_index_drift": workloads_ext.ivf_index_drift,
         "multimodal_metadata": workloads_ext.multimodal_metadata,
         "salted_agg_lineitem": workloads_ext.salted_agg_lineitem,
         "asof_join_purchases": workloads_ext.asof_join_purchases,

@@ -29,6 +29,7 @@ centroids — the standard IVF operational trade; retrain + rebuild is the
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -157,3 +158,151 @@ def probe_ivf_index(
         .withColumn("sim_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("sim_rank") <= k)
     )
+
+
+DRIFT_BASELINE = "_drift_base"
+
+
+def ivf_drift_metrics(
+    warehouse: Warehouse,
+    *,
+    name: str = "ivf_index",
+    new_pred: str | None = None,
+) -> DataFrame:
+    """Per-cell index-health metrics from the STORED lists — the corpus
+    is never re-read: (cell, n_vecs, n_new, sum_best_dot, mean_cos).
+
+    ``sum_best_dot`` sums each member's exact int64 dot against its own
+    (frozen) centroid — the quantization-alignment statistic: vectors
+    drifting away from the trained codebook push it down per member.
+    ``n_vecs`` per cell exposes occupancy skew: a shifted append crowds
+    a few cells, degrading probe pruning. ``new_pred`` (a SQL boolean
+    over the list columns, e.g. ``"vec_id % 5 = 0"``) splits out the
+    appended population as ``n_new`` so the drift of a specific batch is
+    attributable. All integers — bit-for-bit oracle-checkable
+    (``ivf_index_drift`` driver query). Magnitudes: member dot < 2^46
+    (QUANT²·dim with unit-norm data), so int64 sums hold to ~10^5
+    members/cell; beyond that cast the sum to DECIMAL(38,0). ``mean_cos``
+    is the scale-free member-to-centroid cosine (float, for the
+    :func:`reindex_due` trigger — the oracle-checked driver query selects
+    the integer columns only)."""
+    meta, cb_q = _load(warehouse, name)
+    vec_col = meta["vec_col"]
+    lists = warehouse.spark.table(f"{name}{_LISTS}")
+
+    from pyspark.sql.types import DoubleType, LongType
+
+    cb_norm = np.sqrt((cb_q.astype(np.float64) ** 2).sum(axis=1))
+
+    @F.pandas_udf(LongType())
+    def best_dot_pd(vecs: pd.Series, cells_s: pd.Series) -> pd.Series:
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        q = similarity.quantize(mat)
+        cidx = cells_s.to_numpy(dtype=np.int64)
+        return pd.Series(np.einsum("ij,ij->i", q, cb_q[cidx]))
+
+    @F.pandas_udf(DoubleType())
+    def cos_pd(vecs: pd.Series, cells_s: pd.Series) -> pd.Series:
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        q = similarity.quantize(mat).astype(np.float64)
+        cidx = cells_s.to_numpy(dtype=np.int64)
+        dots = np.einsum("ij,ij->i", q, cb_q[cidx].astype(np.float64))
+        denom = np.sqrt((q**2).sum(axis=1)) * cb_norm[cidx]
+        return pd.Series(np.where(denom > 0, dots / denom, 0.0))
+
+    new_flag = F.expr(new_pred) if new_pred else F.lit(False)
+    # both UDFs evaluate in ONE ArrowEvalPython pass over the same batch
+    scored = lists.select(
+        "cell",
+        new_flag.cast("long").alias("is_new"),
+        best_dot_pd(F.col(vec_col), F.col("cell")).alias("best_dot"),
+        cos_pd(F.col(vec_col), F.col("cell")).alias("cos"),
+    )
+    return (
+        scored.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("is_new").alias("n_new"),
+            F.sum("best_dot").alias("sum_best_dot"),
+            F.avg("cos").alias("mean_cos"),
+        )
+        .select(
+            F.col("cell").cast("long"),
+            "n_vecs",
+            "n_new",
+            "sum_best_dot",
+            "mean_cos",
+        )
+    )
+
+
+def save_drift_baseline(warehouse: Warehouse, *, name: str = "ivf_index") -> None:
+    """Snapshot the drift metrics at (re)build time — the reference point
+    :func:`reindex_due` compares against."""
+    warehouse.overwrite(
+        ivf_drift_metrics(warehouse, name=name).coalesce(1),
+        f"{name}{DRIFT_BASELINE}",
+    )
+
+
+def reindex_due(
+    warehouse: Warehouse,
+    *,
+    name: str = "ivf_index",
+    occupancy_factor: float = 1.5,
+    dot_drop: float = 0.2,
+) -> dict:
+    """Frozen-codebook maintenance trigger: compare current drift metrics
+    against the build-time baseline (both cells-row tables —
+    control-plane reads). Fires when either
+
+    - occupancy skew (max cell size / mean cell size) grew by more than
+      ``occupancy_factor``× over the baseline skew — appends are crowding
+      a few cells, probe pruning is degrading; or
+    - the n-weighted mean cosine-to-own-centroid fell more than
+      ``dot_drop`` (fraction) below baseline — scale-free, so a batch of
+      larger-norm vectors cannot mask misalignment the way a raw-dot
+      average would. The default tolerates the inherent fit-shrinkage of
+      fresh in-distribution samples (centroids are trained ON the base,
+      so any unseen batch aligns somewhat worse — ~10% on unclustered
+      data in the tests); only a drop beyond that is distribution drift.
+
+    Returns {due, occupancy_skew, baseline_skew, avg_dot, baseline_avg_dot,
+    reasons}; the caller's action is build_ivf_index + save_drift_baseline
+    (full retrain — the standard, rare IVF maintenance op)."""
+    cur = {r["cell"]: r for r in ivf_drift_metrics(warehouse, name=name).collect()}
+    base = {
+        r["cell"]: r
+        for r in warehouse.read(f"{name}{DRIFT_BASELINE}").collect()
+    }
+
+    def _skew(rows) -> float:
+        ns = [r["n_vecs"] for r in rows.values()]
+        return max(ns) / (sum(ns) / len(ns)) if ns else 0.0
+
+    def _avg_dot(rows) -> float:
+        n = sum(r["n_vecs"] for r in rows.values())
+        if not n:
+            return 0.0
+        return sum(r["mean_cos"] * r["n_vecs"] for r in rows.values()) / n
+
+    skew_c, skew_b = _skew(cur), _skew(base)
+    dot_c, dot_b = _avg_dot(cur), _avg_dot(base)
+    reasons = []
+    if skew_b and skew_c > occupancy_factor * skew_b:
+        reasons.append(
+            f"occupancy skew {skew_c:.2f} > {occupancy_factor}x baseline {skew_b:.2f}"
+        )
+    if dot_b > 0 and dot_c < (1 - dot_drop) * dot_b:
+        reasons.append(
+            f"avg centroid alignment {dot_c:.3g} fell >{dot_drop:.0%} below "
+            f"baseline {dot_b:.3g}"
+        )
+    return {
+        "due": bool(reasons),
+        "occupancy_skew": skew_c,
+        "baseline_skew": skew_b,
+        "avg_dot": dot_c,
+        "baseline_avg_dot": dot_b,
+        "reasons": reasons,
+    }

@@ -45,7 +45,8 @@ BMP_HEADER_SIZE = 54  # BITMAPFILEHEADER (14) + BITMAPINFOHEADER (40)
 
 
 def sniff(payload: bytes) -> str | None:
-    """Identify a payload by magic bytes: 'bmp', 'wav', 'png', 'jpeg', or None."""
+    """Identify a payload by magic bytes: 'bmp', 'wav', 'png', 'jpeg',
+    'mp4', 'mp3', or None."""
     b = bytes(payload[:12])
     if b[:2] == b"BM":
         return "bmp"
@@ -55,6 +56,20 @@ def sniff(payload: bytes) -> str | None:
         return "png"
     if b[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+        return "mp4"
+    if b[:3] == b"ID3":
+        return "mp3"
+    if (
+        len(b) >= 3
+        and b[0] == 0xFF
+        and (b[1] & 0xE0) == 0xE0          # frame sync (jpeg caught above)
+        and (b[1] >> 3) & 0x3 != 1         # valid MPEG version
+        and (b[1] >> 1) & 0x3 != 0         # valid layer
+        and (b[2] >> 4) & 0xF != 0xF       # valid bitrate index
+        and (b[2] >> 2) & 0x3 != 3         # valid sample-rate index
+    ):
+        return "mp3"
     return None
 
 

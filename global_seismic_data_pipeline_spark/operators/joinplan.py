@@ -1,0 +1,153 @@
+"""Stats-driven join planning — the engine's own CBO step.
+
+The reference ANALYZEs tables so Delta's optimizer can pick join
+strategies (ref: TABLE OPTIMIZATION.py:119-124); vanilla Spark only does
+this when the catalog carries statistics. This module makes the engine's
+OWN statistics actionable: the :mod:`.profile` table (row counts + HLL
+NDVs — the ANALYZE artifact) and the Selinger estimate of
+:func:`.sketch.join_size_estimate` feed :func:`choose_join_strategy`,
+which picks among the three physical shapes this engine uses everywhere:
+
+- **broadcast** — one side's estimated bytes fit the driver/executor
+  budget: ship it, zero shuffle of the big side (every dimension join
+  in ``plans/workloads.py``);
+- **bucketed** — both sides are stored bucketed on the join keys with
+  the same bucket count: Spark reads matching buckets pairwise, no
+  exchange at all (the signature-store probe shape);
+- **shuffle** — otherwise: hash-partition both sides on the key. The
+  decision row carries per-side ``skew = n_rows / ndv`` (average rows
+  per key); a skew factor above ``skew_flag`` additionally recommends
+  salting / AQE skew-join, because one hot key will otherwise pin a
+  single reducer no matter how the shuffle is arranged.
+
+The decision consumes STATS ROWS, never the data — at 100 TB the
+planner reads two profile rows and two register tables.
+:func:`apply_strategy` then executes the decision with the standard
+DataFrame hints, and the tests pin that the chosen hint actually
+surfaces in the physical plan (BroadcastHashJoin vs exchange-free SMJ vs
+shuffled join) and that the choice FLIPS at the documented thresholds.
+
+Byte sizing uses per-type widths matching Spark's own defaultSize
+accounting (numerics by width, strings at 20 bytes) — an estimate for a
+threshold decision, not an exact measure, exactly like Spark's
+``sizeInBytes`` plan statistic it stands in for.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# matches org.apache.spark.sql.types.*Type.defaultSize
+_TYPE_BYTES = {
+    T.BooleanType: 1, T.ByteType: 1, T.ShortType: 2, T.IntegerType: 4,
+    T.LongType: 8, T.FloatType: 4, T.DoubleType: 8, T.DateType: 4,
+    T.TimestampType: 8, T.TimestampNTZType: 8, T.StringType: 20,
+    T.BinaryType: 100,
+}
+DEFAULT_BROADCAST_BYTES = 10 * 1024 * 1024  # Spark's autoBroadcast default
+DEFAULT_SKEW_FLAG = 16.0  # avg rows/key above this → recommend salting
+
+
+def schema_row_bytes(schema: T.StructType) -> int:
+    """Estimated serialized row width, Spark defaultSize accounting."""
+    total = 0
+    for f in schema.fields:
+        dt = f.dataType
+        if isinstance(dt, T.DecimalType):
+            total += 16
+        elif isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
+            total += 100  # nested: same coarse default Spark uses
+        else:
+            total += _TYPE_BYTES.get(type(dt), 20)
+    return max(total, 1)
+
+
+def join_stats(df: DataFrame, key: str, *, p: int = 12) -> dict:
+    """The per-side statistics row the planner consumes:
+    {n_rows, ndv, row_bytes, est_bytes, skew}. One profile pass
+    (:func:`.profile.profile_table` on the join key); a real deployment
+    stores these rows at ANALYZE time and the planner only reads them."""
+    from .profile import profile_table
+
+    row = profile_table(df, [key], p=p).collect()[0]
+    n, ndv = int(row["n_rows"]), max(int(row["approx_ndv"]), 1)
+    rb = schema_row_bytes(df.schema)
+    return {
+        "n_rows": n,
+        "ndv": ndv,
+        "row_bytes": rb,
+        "est_bytes": n * rb,
+        "skew": n / ndv,
+    }
+
+
+@dataclass
+class JoinDecision:
+    strategy: str            # broadcast_left | broadcast_right | bucketed | shuffle
+    est_join_rows: int       # Selinger: n_l * n_r / max(ndv_l, ndv_r)
+    skew_warning: bool       # a side's avg rows/key exceeds skew_flag
+    reason: str
+
+
+def choose_join_strategy(
+    left_stats: dict,
+    right_stats: dict,
+    *,
+    both_bucketed_on_keys: bool = False,
+    broadcast_bytes: int = DEFAULT_BROADCAST_BYTES,
+    skew_flag: float = DEFAULT_SKEW_FLAG,
+) -> JoinDecision:
+    """Pick the physical join shape from two stats rows (no data read).
+
+    Preference order mirrors the engine's cost reality: broadcasting the
+    smaller side beats everything when it fits (zero big-side movement);
+    a pre-bucketed layout beats a fresh shuffle (the shuffle was paid at
+    write time); otherwise shuffle, with a skew recommendation when the
+    per-key average says one reducer will eat a hot key."""
+    est_rows = (left_stats["n_rows"] * right_stats["n_rows"]) // max(
+        left_stats["ndv"], right_stats["ndv"], 1
+    )
+    skew = max(left_stats["skew"], right_stats["skew"]) > skew_flag
+    sides = sorted(
+        (("left", left_stats), ("right", right_stats)),
+        key=lambda kv: kv[1]["est_bytes"],
+    )
+    small_name, small = sides[0]
+    if small["est_bytes"] <= broadcast_bytes:
+        return JoinDecision(
+            f"broadcast_{small_name}", est_rows, skew,
+            f"{small_name} side ~{small['est_bytes']} B fits the "
+            f"{broadcast_bytes} B broadcast budget",
+        )
+    if both_bucketed_on_keys:
+        return JoinDecision(
+            "bucketed", est_rows, skew,
+            "both sides bucketed on the join keys — co-located read, "
+            "no exchange",
+        )
+    return JoinDecision(
+        "shuffle", est_rows, skew,
+        "no side fits the broadcast budget and no co-located layout "
+        + ("; hot-key skew — salt or rely on AQE skew-join" if skew else ""),
+    )
+
+
+def apply_strategy(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    decision: JoinDecision,
+    how: str = "inner",
+) -> DataFrame:
+    """Execute ``decision``: broadcast hint on the chosen side, plain
+    join otherwise (a bucketed pair needs no hint — Spark sees the
+    bucket spec; a shuffle pair is the default)."""
+    if decision.strategy == "broadcast_left":
+        return F.broadcast(left).join(right, on, how)
+    if decision.strategy == "broadcast_right":
+        return left.join(F.broadcast(right), on, how)
+    return left.join(right, on, how)

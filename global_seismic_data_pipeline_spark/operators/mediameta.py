@@ -1,0 +1,257 @@
+"""Metadata-level MP4 (ISO-BMFF) and MP3 parsing — pure stdlib ``struct``
+byte-walking, no ffmpeg.
+
+Full sample DECODE of MP4/MP3 legitimately needs ffmpeg (absent in this
+environment; :mod:`.multimodal` keeps honest guards there). But the
+CONTAINER metadata a curation pipeline filters on — duration, track
+count, codec fourcc, bitrate, sample rate — is plain spec-defined byte
+layout, the same spec-only approach that produced the built-in PNG/JPEG
+codecs:
+
+- **MP4 / ISO base media file format** (ISO/IEC 14496-12): the file is a
+  tree of length-prefixed boxes. :func:`parse_mp4_meta` walks the tree —
+  ``ftyp`` (major brand), ``moov/mvhd`` (timescale + duration, version 0
+  and 1 layouts), ``moov/trak`` (track count), and each track's
+  ``stbl/stsd`` first sample-entry fourcc (codec id). 64-bit largesize
+  and size-to-EOF boxes handled.
+- **MP3** (ISO/IEC 11172-3 / 13818-3): a sequence of self-describing
+  frames. :func:`parse_mp3_meta` skips an ID3v2 tag (syncsafe length),
+  finds the first sync word, then walks frame headers — version, layer,
+  bitrate/sample-rate table lookups, padding — summing exact per-frame
+  durations (samples-per-frame / sample rate). VBR streams therefore get
+  a true duration, not a first-frame-bitrate guess; the reported
+  bitrate_kbps is the byte-weighted average.
+
+Spark-side, :func:`media_metadata` runs these per payload inside one
+Arrow-batched ``mapInPandas`` stage with the payload column pruned
+afterwards — identical shape to :func:`.multimodal.extract_metadata`.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+# -- MP4 / ISO-BMFF ---------------------------------------------------------
+
+_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _walk_boxes(b: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for each box in b[start:end]."""
+    off = start
+    while off + 8 <= end:
+        size = int.from_bytes(b[off : off + 4], "big")
+        btype = b[off + 4 : off + 8]
+        body = off + 8
+        if size == 1:  # 64-bit largesize follows the type
+            if off + 16 > end:
+                return
+            size = int.from_bytes(b[off + 8 : off + 16], "big")
+            body = off + 16
+            if size < 16:
+                return
+        elif size == 0:  # box extends to end of enclosing scope
+            size = end - off
+        elif size < 8:
+            return  # corrupt — stop rather than loop
+        box_end = off + size
+        if box_end > end:
+            return
+        yield btype, body, box_end
+        off = box_end
+
+
+def parse_mp4_meta(b: bytes) -> dict:
+    """Container metadata of an ISO-BMFF (MP4/MOV/M4A) payload:
+    {major_brand, timescale, duration_units, duration_s, track_count,
+    codecs (list of sample-entry fourccs, one per track)}.
+    Raises ValueError when the payload is not ISO-BMFF."""
+    b = bytes(b)
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF payload (no ftyp box)")
+    meta = {
+        "major_brand": b[8:12].decode("latin-1"),
+        "timescale": None,
+        "duration_units": None,
+        "duration_s": None,
+        "track_count": 0,
+        "codecs": [],
+    }
+
+    def visit(start: int, end: int) -> None:
+        for btype, body, box_end in _walk_boxes(b, start, end):
+            if btype == b"mvhd":
+                version = b[body]
+                if version == 1:
+                    ts, dur = struct.unpack_from(">IQ", b, body + 4 + 16)
+                else:
+                    ts, dur = struct.unpack_from(">II", b, body + 4 + 8)
+                meta["timescale"] = ts
+                meta["duration_units"] = dur
+                meta["duration_s"] = dur / ts if ts else None
+            elif btype == b"trak":
+                meta["track_count"] += 1
+                visit(body, box_end)
+            elif btype == b"stsd":
+                # version+flags (4), entry_count (4), then sample entries:
+                # [size:4][fourcc:4]...
+                if body + 16 <= box_end:
+                    meta["codecs"].append(
+                        b[body + 12 : body + 16].decode("latin-1")
+                    )
+            elif btype in _CONTAINERS:
+                visit(body, box_end)
+
+    visit(0, len(b))
+    return meta
+
+
+# -- MP3 --------------------------------------------------------------------
+
+# bitrate tables in kbps, index 1-14 (0 = free, 15 = bad)
+_BR_V1 = {
+    1: [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    2: [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    3: [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+}
+_BR_V2 = {
+    1: [0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
+    2: [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    3: [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+}
+_SR_V1 = [44100, 48000, 32000]
+
+
+def _mp3_frame(b: bytes, off: int):
+    """Parse one frame header at ``off``; returns (frame_bytes,
+    samples_per_frame, sample_rate, bitrate_kbps) or None if invalid."""
+    if off + 4 > len(b) or b[off] != 0xFF or (b[off + 1] & 0xE0) != 0xE0:
+        return None
+    b1, b2 = b[off + 1], b[off + 2]
+    ver_bits = (b1 >> 3) & 0x3   # 0=MPEG2.5, 2=MPEG2, 3=MPEG1
+    layer_bits = (b1 >> 1) & 0x3  # 1=III, 2=II, 3=I
+    if ver_bits == 1 or layer_bits == 0:
+        return None
+    layer = 4 - layer_bits  # 1, 2, 3
+    br_idx = (b2 >> 4) & 0xF
+    sr_idx = (b2 >> 2) & 0x3
+    padding = (b2 >> 1) & 0x1
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None
+    if ver_bits == 3:  # MPEG1
+        bitrate = _BR_V1[layer][br_idx]
+        sr = _SR_V1[sr_idx]
+        spf = 384 if layer == 1 else 1152
+    else:  # MPEG2 (ver_bits=2, sr/2) or MPEG2.5 (ver_bits=0, sr/4)
+        bitrate = _BR_V2[layer][br_idx]
+        sr = _SR_V1[sr_idx] // (2 if ver_bits == 2 else 4)
+        spf = 384 if layer == 1 else (1152 if layer == 2 else 576)
+    if layer == 1:
+        nbytes = (12 * bitrate * 1000 // sr + padding) * 4
+    else:
+        nbytes = spf // 8 * bitrate * 1000 // sr + padding
+    if nbytes < 4:
+        return None
+    return nbytes, spf, sr, bitrate
+
+
+def parse_mp3_meta(b: bytes) -> dict:
+    """Frame-walk metadata of an MP3 payload: {sample_rate, frame_count,
+    total_samples, duration_s, bitrate_kbps (byte-weighted average — exact
+    for CBR, honest for VBR), has_id3}. Raises ValueError when no valid
+    frame sequence is found."""
+    b = bytes(b)
+    off = 0
+    has_id3 = b[:3] == b"ID3" and len(b) >= 10
+    if has_id3:
+        syncsafe = b[6:10]
+        size = (
+            (syncsafe[0] & 0x7F) << 21
+            | (syncsafe[1] & 0x7F) << 14
+            | (syncsafe[2] & 0x7F) << 7
+            | (syncsafe[3] & 0x7F)
+        )
+        off = 10 + size
+    # find the first sync word (tolerate leading junk)
+    start = off
+    while start + 4 <= len(b) and _mp3_frame(b, start) is None:
+        start += 1
+    frames, samples, byte_sum, sr = 0, 0, 0, None
+    pos = start
+    while True:
+        fr = _mp3_frame(b, pos)
+        if fr is None:
+            break
+        nbytes, spf, fsr, _br = fr
+        if pos + nbytes > len(b):
+            break  # truncated final frame
+        frames += 1
+        samples += spf
+        byte_sum += nbytes
+        sr = sr or fsr
+        pos += nbytes
+    if not frames:
+        raise ValueError("no valid MP3 frames found")
+    duration = samples / sr
+    return {
+        "sample_rate": sr,
+        "frame_count": frames,
+        "total_samples": samples,
+        "duration_s": duration,
+        "bitrate_kbps": (byte_sum * 8 / 1000) / duration if duration else 0.0,
+        "has_id3": has_id3,
+    }
+
+
+# -- Spark stage ------------------------------------------------------------
+
+MEDIA_META_SCHEMA = (
+    "doc_id long, kind string, duration_s double, track_count long, "
+    "codec string, sample_rate long, bitrate_kbps double"
+)
+
+
+def media_metadata(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Container-level metadata for MP4/MP3 payloads via one Arrow-batched
+    ``mapInPandas`` stage (payload pruned afterwards). Rows whose payload
+    is neither get kind=NULL and NULL metrics — filterable, never a
+    per-row raise on mixed corpora."""
+    pruned = df.select(id_col, "payload")
+
+    def one(b) -> tuple:
+        b = bytes(b)
+        if len(b) >= 12 and b[4:8] == b"ftyp":
+            m = parse_mp4_meta(b)
+            return (
+                "mp4", m["duration_s"], m["track_count"],
+                ",".join(m["codecs"]) or None, None, None,
+            )
+        try:
+            m = parse_mp3_meta(b)
+            return (
+                "mp3", m["duration_s"], 1, "mp3",
+                m["sample_rate"], m["bitrate_kbps"],
+            )
+        except ValueError:
+            return (None, None, None, None, None, None)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = [
+                (int(i), *one(b))
+                for i, b in zip(pdf[id_col].astype("int64"), pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "doc_id", "kind", "duration_s", "track_count",
+                    "codec", "sample_rate", "bitrate_kbps",
+                ],
+            )
+
+    return pruned.mapInPandas(gen, schema=MEDIA_META_SCHEMA)

@@ -232,8 +232,15 @@ def extract_audio_features(df: DataFrame, *, id_col: str = "doc_id") -> DataFram
     is (sample_rate, num_samples, duration_s, rms, peak) from actual
     samples. Same distributed shape as :func:`extract_metadata` — only
     (id, payload) reach Python, Arrow-batched, metadata-only result so the
-    heavy payload never travels further than this stage. Non-WAV payloads
-    raise NotImplementedError (MP3/AAC need ffmpeg)."""
+    heavy payload never travels further than this stage.
+
+    MP3 payloads resolve at the METADATA level (:mod:`.mediameta` frame
+    walk — exact sample_rate / num_samples / duration from the frame
+    headers); their sample-dependent features (rms, peak) are NULL, since
+    actual MPEG audio decode still needs ffmpeg. Anything else raises
+    NotImplementedError."""
+    from .mediameta import parse_mp3_meta
+
     pruned = df.select(id_col, "payload")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -241,10 +248,19 @@ def extract_audio_features(df: DataFrame, *, id_col: str = "doc_id") -> DataFram
             recs = []
             for i, b in zip(pdf[id_col].astype("int64"), pdf["payload"]):
                 b = bytes(b)
-                if codecs.sniff(b) != "wav":
+                kind = codecs.sniff(b)
+                if kind == "mp3":
+                    m = parse_mp3_meta(b)
+                    recs.append((
+                        int(i), m["sample_rate"], m["total_samples"],
+                        m["duration_s"], None, None,
+                    ))
+                    continue
+                if kind != "wav":
                     raise NotImplementedError(
-                        f"decoding {codecs.sniff(b) or 'unknown'} audio requires "
-                        "ffmpeg — only PCM WAV has a built-in codec"
+                        f"decoding {kind or 'unknown'} audio requires "
+                        "ffmpeg — PCM WAV decodes built-in; MP3 resolves "
+                        "at the metadata level"
                     )
                 samples, rate = codecs.decode_wav(b)
                 n = int(samples.size)

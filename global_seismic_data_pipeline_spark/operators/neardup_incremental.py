@@ -138,6 +138,48 @@ def _load_meta(warehouse: Warehouse, name: str) -> dict:
     return row[0].asDict()
 
 
+def scrub_batch_ids(
+    warehouse: Warehouse,
+    batch_docs: DataFrame,
+    *,
+    name: str = "minhash_index",
+) -> bool:
+    """Torn-replay repair: if any of ``batch_docs``'s ids already sit in
+    the signature store (new ids are disjoint from stored ids by the CDC
+    contract, so presence ⟹ a previous attempt appended them before
+    crashing short of its commit), rebuild the store WITHOUT those ids.
+    Returns True when a scrub ran. Cheap-probe first (bucketed semi-join,
+    limit 1); the full-table rewrite happens only on the rare torn path.
+    Leaving the stale rows in place would make the replayed batch match
+    ITSELF in the store (self-pairs at jaccard 1.0) and double every
+    posting."""
+    meta = _load_meta(warehouse, name)
+    id_col, num_buckets = meta["id_col"], meta["num_buckets"]
+    spark = warehouse.spark
+    ids = batch_docs.select(id_col).distinct()
+    stored_docs = spark.table(f"{name}{_DOCS}")
+    if not stored_docs.join(ids, id_col, "left_semi").limit(1).count():
+        return False
+    # save_bucketed DROPS the table before rewriting, so the cleaned rows
+    # must be fully materialized off the old files first — an eager
+    # localCheckpoint cuts the lineage at in-memory blocks (a lazy persist
+    # would still scan the just-deleted files on first use)
+    clean_docs = stored_docs.join(ids, id_col, "left_anti").localCheckpoint()
+    clean_bands = (
+        spark.table(f"{name}{_BANDS}")
+        .join(ids, id_col, "left_anti")
+        .localCheckpoint()
+    )
+    warehouse.save_bucketed(
+        clean_docs, f"{name}{_DOCS}", (id_col,), num_buckets=num_buckets
+    )
+    warehouse.save_bucketed(
+        clean_bands, f"{name}{_BANDS}", ("band", "bucket"),
+        num_buckets=num_buckets,
+    )
+    return True
+
+
 def incremental_minhash_pairs(
     warehouse: Warehouse,
     new_docs: DataFrame,

@@ -25,9 +25,17 @@ global window pays, but parallel across ``num_partitions`` tasks.
 Semantics match ``F.dense_rank()`` / ``F.rank()`` over
 ``Window.orderBy(order_cols)`` exactly (equivalence is pinned in
 ``tests/test_ranking.py``). Order keys must be non-null (null ordering
-is engine-specific; filter or coalesce first). Heavily repeated keys
-skew the range partitioner like any single hot key skews a shuffle —
-inherent to ranking (equal keys must meet to share a rank).
+is engine-specific; filter or coalesce first).
+
+Skew: ``dense_rank`` is HOT-KEY-PROOF — it ranks the DISTINCT keys
+(each key value becomes ONE row before the range partition, so a 90%-
+one-key distribution ranks as evenly as a uniform one) and joins the
+key→rank map back; the join-back is an ordinary equi-join that AQE's
+skew handling / broadcast covers. ``rank`` is inherently exposed: equal
+rows must share a rank yet occupy distinct row positions, so every
+duplicate row of the hot key genuinely participates — the range
+partitioner then carries the skew (documented limitation; use
+dense_rank when tie positions don't matter).
 """
 
 from __future__ import annotations
@@ -68,10 +76,53 @@ def ranked(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """``df`` + ``out_col`` = global ``dense_rank`` or ``rank`` over
-    ``order_cols``, computed without a single-partition window."""
+    ``order_cols``, computed without a single-partition window.
+
+    ``dense_rank`` routes through the distinct-first shape (rank the
+    distinct keys, join the key→rank map back) — hot-key-proof, see
+    module docstring. ``rank`` runs the range-partitioned two-pass over
+    the full rows (row positions need every duplicate)."""
     if method not in ("dense_rank", "rank"):
         raise ValueError(f"method must be 'dense_rank' or 'rank', not {method!r}")
     order_cols = list(order_cols)
+    if method == "dense_rank":
+        # distinct collapses each key to one row: the range partitioner
+        # sees a uniform key set regardless of row-level skew, and rank ≡
+        # dense_rank on unique keys. The map-side-combined distinct plus
+        # the join-back replace the full-row range shuffle.
+        keys = df.select(*order_cols).distinct()
+        key_ranks = _range_ranked(
+            keys,
+            order_cols,
+            method="rank",
+            out_col=out_col,
+            ascending=ascending,
+            num_partitions=num_partitions,
+        )
+        return df.join(key_ranks, on=order_cols, how="inner").select(
+            *df.columns, out_col
+        )
+    return _range_ranked(
+        df,
+        order_cols,
+        method=method,
+        out_col=out_col,
+        ascending=ascending,
+        num_partitions=num_partitions,
+    )
+
+
+def _range_ranked(
+    df: DataFrame,
+    order_cols: list[str],
+    *,
+    method: str,
+    out_col: str,
+    ascending: bool,
+    num_partitions: int | None,
+) -> DataFrame:
+    """Range-partitioned two-pass rank (steps 1-4 of the module
+    docstring) over ``df`` as-is."""
     sort_exprs = [
         F.col(c).asc() if ascending else F.col(c).desc() for c in order_cols
     ]

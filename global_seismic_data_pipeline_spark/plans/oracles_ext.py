@@ -1094,6 +1094,39 @@ ORACLES_EXT["incremental_ivf_ann"] = _ivf_probe_sql(
     _trained_ivf_codebook_base_subset()
 )
 
+
+def _ivf_drift_sql() -> str:
+    """Per-cell drift metrics with the base-trained frozen codebook:
+    cell = argmax dot (ties → lowest index), best_dot = that max dot,
+    occupancy + new-batch split + alignment sums — all exact int64
+    (DuckDB SUM(BIGINT) is HUGEINT, so the sums cast back)."""
+    cb_q = _trained_ivf_codebook_base_subset()
+    dots = ", ".join(
+        f"list_sum(list_transform(range(1, 65), "
+        f"i -> xq[i] * ({_int_list(cb_q[c])})[i]))"
+        for c in range(_IVF_CELLS)
+    )
+    return f"""
+WITH xq AS (
+    SELECT vec_id, {_XQ} AS xq FROM embeddings
+), dots AS (
+    SELECT vec_id, list_value({dots}) AS d FROM xq
+), cells AS (
+    SELECT vec_id,
+        CAST(list_position(d, list_max(d)) - 1 AS BIGINT) AS cell,
+        list_max(d) AS best_dot
+    FROM dots
+)
+SELECT cell,
+    CAST(COUNT(*) AS BIGINT) AS n_vecs,
+    CAST(SUM(CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+    CAST(SUM(best_dot) AS BIGINT) AS sum_best_dot
+FROM cells
+GROUP BY cell"""
+
+
+ORACLES_EXT["ivf_index_drift"] = _ivf_drift_sql()
+
 ORACLES_EXT["pii_redact_docs"] = PII_REDACT_SQL
 ORACLES_EXT["repetition_filter_docs"] = REPETITION_FILTER_SQL
 

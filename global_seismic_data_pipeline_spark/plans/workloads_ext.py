@@ -391,6 +391,32 @@ def incremental_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_index.probe_ivf_index(wh, queries, name="inc_ivf", k=5, nprobe=4)
 
 
+def ivf_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-health / drift metrics (operators/ann_index.py
+    ivf_drift_metrics): the base corpus trains + builds the index, the
+    'daily batch' appends under the FROZEN codebook, then per-cell
+    (occupancy, new-batch share, Σ member·centroid alignment) come from
+    the STORED lists alone — the corpus is never re-read. The oracle
+    replays assignment with the base-trained codebook over the union,
+    pinning both the metrics arithmetic AND (again) append ≡ rebuild.
+    These are the rows reindex_due() thresholds against the build-time
+    baseline to trigger the (rare) full retrain."""
+    import tempfile
+
+    from ..operators import ann_index
+    from ..sources.warehouse import Warehouse
+
+    embs = _embs(spark, sf_dir)
+    base = embs.filter(F.col("vec_id") % 5 != 0)
+    batch = embs.filter(F.col("vec_id") % 5 == 0)
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="driftivf-"))
+    ann_index.build_ivf_index(wh, base, cells=16, iters=4, name="drift_ivf")
+    ann_index.append_to_ivf_index(wh, batch, name="drift_ivf")
+    return ann_index.ivf_drift_metrics(
+        wh, name="drift_ivf", new_pred="vec_id % 5 = 0"
+    ).select("cell", "n_vecs", "n_new", "sum_best_dot")
+
+
 def asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase matched to the user's latest click value
     at-or-before the purchase time (oracle: DuckDB's native ASOF JOIN).
@@ -838,8 +864,13 @@ def ks_test_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("grp") == "5-LOW").cast("long")).alias("cb"),
     )
     cum = ranking.prefix_sums(per_val, ["v"], ["ca", "cb"])
-    totals = per_val.agg(
-        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    # group totals read off the CUM frame (the final running totals equal
+    # the group sizes by construction) — this aggregates the persisted
+    # range-partitioned rows prefix_sums already materialized, instead of
+    # re-running the orders scan + groupBy from a fresh per_val lineage
+    # (cache reuse is by plan subtree, so per_val.agg would scan twice)
+    totals = cum.agg(
+        F.max("ca_cum").alias("na"), F.max("cb_cum").alias("nb")
     ).collect()[0]
     na, nb = int(totals["na"]), int(totals["nb"])
     d_scaled = F.max(

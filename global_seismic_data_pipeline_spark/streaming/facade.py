@@ -352,11 +352,55 @@ def incremental_dedup_sink(
     :func:`..operators.cluster.incremental_components`: settled
     components contract to super-nodes, only the batch's new pairs are
     traversed. After draining, the table equals a from-scratch CC over
-    the full pair log (tested)."""
+    the full pair log (tested).
+
+    **Replay idempotency**: Structured Streaming REDELIVERS a batch_id
+    after a restart that crashed between the sink completing and the
+    checkpoint commit. The sink keeps a ``{name}_epochs`` commit log,
+    appended as the LAST step of each batch:
+
+    - a replayed batch whose id is in the log is skipped outright — the
+      store, pair log, and cluster table are bit-identical to a single
+      delivery (tested);
+    - a TORN replay (crash mid-batch, after some appends, before the
+      epoch commit) is detected because the batch's doc ids are already
+      in the signature store (new ids are disjoint from stored ids by
+      the CDC contract, so presence ⟹ partial earlier attempt). The
+      scrub path rebuilds the store without those ids and drops the
+      batch's pair-log rows, then reprocesses from clean state — a
+      full-store rewrite, but only on the rare torn path, never per
+      batch."""
+    dedup_batch = make_dedup_batch_fn(
+        wh, name=name, text_col=text_col, threshold=threshold,
+        maintain_clusters=maintain_clusters,
+    )
+
+    return (
+        stream.writeStream.foreachBatch(dedup_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+
+
+def make_dedup_batch_fn(
+    wh: Warehouse,
+    *,
+    name: str = "minhash_index",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    maintain_clusters: bool = False,
+):
+    """The foreachBatch callable behind :func:`incremental_dedup_sink`,
+    exposed so replay semantics are testable deterministically: calling
+    it twice with the same ``batch_id`` is exactly what Structured
+    Streaming does on post-crash redelivery."""
     from pyspark.sql import functions as F
 
     from ..operators import cluster as cluster_ops
-    from ..operators.neardup_incremental import incremental_minhash_pairs
+    from ..operators.neardup_incremental import (
+        incremental_minhash_pairs,
+        scrub_batch_ids,
+    )
 
     def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -368,35 +412,66 @@ def incremental_dedup_sink(
         # store as it looked before batch 1). Bind a per-batch warehouse to
         # the batch's own session: every probe resolves fresh.
         bwh = Warehouse(batch_df.sparkSession, wh.root, wh.fmt)
+        epochs = f"{name}_epochs"
+        if bwh.exists(epochs) and (
+            bwh.read(epochs)
+            .filter(F.col("batch_id") == batch_id)
+            .limit(1)
+            .count()
+        ):
+            return  # committed batch redelivered — exact skip
+        # torn-replay scrub: any batch id already in the store means a
+        # prior attempt appended before crashing short of the epoch commit
+        scrub_batch_ids(bwh, batch_df, name=name)
+        log_tbl = f"{name}_pairs_log"
+        if bwh.exists(log_tbl):
+            stale = (
+                bwh.read(log_tbl)
+                .filter(F.col("batch_id") == batch_id)
+                .limit(1)
+                .count()
+            )
+            if stale:
+                bwh.overwrite(
+                    bwh.read(log_tbl).filter(F.col("batch_id") != batch_id),
+                    log_tbl,
+                )
         pairs = incremental_minhash_pairs(
             bwh, batch_df, text_col=text_col, threshold=threshold,
             name=name, append=True,
         )
         bwh.append(
             pairs.withColumn("batch_id", F.lit(batch_id)),
-            f"{name}_pairs_log",
+            log_tbl,
         )
         if maintain_clusters:
             edges = pairs.select("id_a", "id_b")
-            if not edges.limit(1).count():
-                return  # no new pairs — the cluster table is already current
-            ctable = f"{name}_clusters"
-            if bwh.exists(ctable):
-                prev = bwh.read(ctable)
-                comp = cluster_ops.incremental_components(prev, edges)
-            else:
-                comp = cluster_ops.connected_components(edges)
-            bwh.overwrite(
-                comp.select(F.col("id"), F.col("comp").alias("component")),
-                ctable,
-            )
-            cluster_ops.release_cached()
+            # no new pairs -> the cluster table is already current
+            if edges.limit(1).count():
+                ctable = f"{name}_clusters"
+                if bwh.exists(ctable):
+                    prev = bwh.read(ctable)
+                    comp = cluster_ops.incremental_components(prev, edges)
+                else:
+                    comp = cluster_ops.connected_components(edges)
+                bwh.overwrite(
+                    comp.select(
+                        F.col("id"), F.col("comp").alias("component")
+                    ),
+                    ctable,
+                )
+                cluster_ops.release_cached()
+        # commit the epoch LAST: everything above is now replay-safe —
+        # a crash before this append leaves a torn batch that the scrub
+        # path cleans on redelivery
+        bwh.append(
+            batch_df.sparkSession.createDataFrame(
+                [(int(batch_id),)], "batch_id long"
+            ).coalesce(1),
+            epochs,
+        )
 
-    return (
-        stream.writeStream.foreachBatch(dedup_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-    )
+    return dedup_batch
 
 
 def run_available_now(writer: DataStreamWriter) -> None:

@@ -67,6 +67,29 @@ def test_matches_reference(spark, texts):
     bpe.release_cached()
 
 
+@pytest.mark.parametrize("threshold", [0.0, 1000.0])
+def test_routing_paths_equivalent(spark, threshold):
+    """Forcing every round through the full path (0.0) or the delta path
+    (huge threshold) gives identical audits — the adaptive routing is purely a
+    performance decision, never a semantic one."""
+    texts = [
+        "lower lowest lowly slow slowly",
+        "new newer newest news renewal",
+        "the then there these theme zq zq xv",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        tuple(r)
+        for r in bpe.learn_merges(df, k=4, delta_threshold=threshold)
+        .orderBy("step")
+        .collect()
+    ]
+    bpe.release_cached()
+    assert got == _ref_bpe(texts, 4)
+
+
 def test_single_merge_on_run_word(spark):
     # "aaa": pair (a,a) counted twice but merged once (greedy leftmost)
     df = spark.createDataFrame([(0, "aaa")], "doc_id long, text string")

@@ -561,3 +561,51 @@ def test_filtered_topk_respects_filter_and_differs_from_postfilter(spark):
         if r.neighbor_id % 2 == r.query_id % 2:
             kept.setdefault(r.query_id, []).append(r)
     assert any(len(v) < 5 for v in kept.values())
+
+
+def test_ivf_drift_monitor_fires_on_shifted_append(spark, vec_df, tmp_path):
+    """Drift trigger: an append drawn from the SAME distribution leaves
+    the monitor quiet; a shifted batch (one far-off direction crowding a
+    single cell) moves both metrics and fires reindex_due."""
+    import numpy as np
+
+    from global_seismic_data_pipeline_spark.operators import ann_index
+    from global_seismic_data_pipeline_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    base = vec_df.filter(F.col("vec_id") < 150)
+    ann_index.build_ivf_index(wh, base, cells=8, iters=3, name="drift")
+    ann_index.save_drift_baseline(wh, name="drift")
+
+    # in-distribution append: more gaussians — no trigger
+    rng = np.random.RandomState(11)
+    same = spark.createDataFrame(
+        [(2000 + i, rng.standard_normal(64).tolist()) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    ann_index.append_to_ivf_index(wh, same, name="drift")
+    quiet = ann_index.reindex_due(wh, name="drift")
+    assert not quiet["due"], quiet["reasons"]
+
+    # shifted append: one far direction, scaled up — crowds one cell and
+    # sits far from every trained centroid
+    direction = rng.standard_normal(64)
+    shifted = spark.createDataFrame(
+        [
+            (3000 + i, (direction * 5 + rng.standard_normal(64) * 0.05).tolist())
+            for i in range(300)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    ann_index.append_to_ivf_index(wh, shifted, name="drift")
+    fired = ann_index.reindex_due(wh, name="drift")
+    assert fired["due"], fired
+    assert fired["occupancy_skew"] > quiet["occupancy_skew"]
+
+    # the metrics table attributes the new population per cell
+    m = ann_index.ivf_drift_metrics(
+        wh, name="drift", new_pred="vec_id >= 3000"
+    ).collect()
+    assert sum(r["n_new"] for r in m) == 300
+    top_cell = max(m, key=lambda r: r["n_new"])
+    assert top_cell["n_new"] == 300  # the whole shifted batch in ONE cell

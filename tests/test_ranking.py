@@ -72,6 +72,28 @@ def test_no_window_node_and_parallel_partitions(spark):
     assert n_parts > 1  # genuinely parallel, not one collapsed task
 
 
+def test_dense_rank_hot_key_distribution(spark):
+    """90%-one-key distribution: dense_rank's distinct-first shape ranks
+    the key SET (uniform) instead of the row multiset (massively skewed),
+    so the hot key cannot collapse the range partitioner; results still
+    match the window form exactly."""
+    rows = [(i, 7 if i % 10 else i, 0) for i in range(2000)]
+    df = spark.createDataFrame(rows, "row_id long, k long, k2 long")
+    got = ranking.ranked(df, ["k"], method="dense_rank", num_partitions=8)
+    exp = df.withColumn(
+        "rank", F.dense_rank().over(Window.orderBy("k")).cast("long")
+    )
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in exp.collect()}
+    # the shape is genuinely distinct-first: an aggregate (distinct) and a
+    # join-back appear in the plan; no Window node anywhere
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "HashAggregate" in plan  # the distinct
+    import re
+
+    assert re.search(r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", plan)
+
+
 def test_rejects_bad_method(spark):
     df = _data(spark, n=10)
     with pytest.raises(ValueError):

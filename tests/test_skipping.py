@@ -223,6 +223,42 @@ def test_stats_schema_evolution_on_refresh(spark, wh):
     assert out.collect()[0].n_rows == 150
 
 
+def test_stats_invalidated_by_overwrite_and_merge(spark, wh):
+    """Rewrites must not leave dead stats: after an overwrite (or a MERGE,
+    which rewrites files), refresh drops every old file's row — no pruned
+    read can use stale min/max from files that no longer exist."""
+    _clustered(spark, wh, n=400, parts=4, name="rw")
+    skipping.refresh_file_stats(wh, "rw", ["k"])
+    old_files = {r["file"] for r in wh.read("rw__stats").select("file").collect()}
+
+    # full overwrite with a SHIFTED key domain (old stats would claim
+    # 0..399; truth is 1000..1399)
+    shifted = spark.range(1000, 1400).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    wh.overwrite(shifted.repartitionByRange(4, "k"), "rw")
+    skipping.refresh_file_stats(wh, "rw", ["k"])
+    stats = wh.read("rw__stats")
+    new_files = {r["file"] for r in stats.select("file").collect()}
+    assert not (new_files & old_files)  # every stale row dropped
+    # a query on the OLD range prunes everything (correct: no such rows)
+    assert skipping.prune_files(stats, {"k": (0, 399)}) == []
+    assert skipping.pruned_read(spark, stats, {"k": (0, 399)}).count() == 0
+    # and the new range answers exactly
+    got = skipping.hybrid_range_count(spark, stats, "k", 1000, 1099)
+    assert got.collect()[0].n_rows == 100
+
+    # MERGE rewrites files too — same invalidation contract
+    upd = spark.createDataFrame([(1000, 99), (5000, 1)], "k long, v long")
+    wh.merge(upd, "rw", ["k"])
+    skipping.refresh_file_stats(wh, "rw", ["k"])
+    stats2 = wh.read("rw__stats")
+    files2 = {r["file"] for r in stats2.select("file").collect()}
+    assert not (files2 & new_files)  # merge replaced the file set
+    row = skipping.stats_only_agg(wh, "rw", ["k"]).collect()[0]
+    assert (row.n_rows, row.max_k) == (401, 5000)
+
+
 def test_refresh_rejects_non_parquet_warehouse(spark, tmp_path):
     """An ORC warehouse must fail loudly — silent zero-file stats would
     make every pruned read skip everything."""

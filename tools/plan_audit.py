@@ -31,6 +31,8 @@ def audit_plan(df) -> dict:
         "scans": len(re.findall(r"Scan parquet", plan)),
         "wscg_spans": len(set(re.findall(r"\*\((\d+)\)", plan))),
         "take_ordered": "TakeOrderedAndProject" in plan,
+        "joins": len(re.findall(r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", plan)),
+        "hashaggs": len(re.findall(r"HashAggregate", plan)),
         # \bWindow\b does not match WindowGroupLimit (word boundary)
         "windows": len(re.findall(r"\bWindow\b", plan)),
     }
@@ -71,6 +73,10 @@ MUST_TAKEORDERED = {
 # the scalable-rank operator exists to AVOID the unpartitioned Window —
 # a Window node reappearing here means the W5 anti-pattern is back
 MUST_NOT_WINDOW = {"scalable_rank_parts"}
+# dense_rank must keep the hot-key-proof distinct-first shape: rank the
+# DISTINCT keys (a HashAggregate pair) and JOIN the key->rank map back —
+# losing either means full rows hit the range partitioner again
+MUST_DISTINCT_FIRST = {"scalable_rank_parts"}
 # queries whose plan construction MUST NOT run real work (the round-1
 # cosine_all_pairs collected the whole corpus at build time). Every
 # load_table fires a 1-task parquet schema-inference job, so the signal is
@@ -133,6 +139,11 @@ def main() -> None:
             failures.append(name)
         if name in MUST_NOT_WINDOW and info["windows"] > 0:
             flags.append("WINDOW!")
+            failures.append(name)
+        if name in MUST_DISTINCT_FIRST and (
+            info["joins"] == 0 or info["hashaggs"] < 2
+        ):
+            flags.append("NOT-DISTINCT-FIRST!")
             failures.append(name)
         if name in MUST_MAPSIDE and info["exchanges"] > 0:
             flags.append("NOT-MAPSIDE!")
