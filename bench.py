@@ -72,6 +72,8 @@ EXTENDED = [
     "feature_hash_docs",
     "scd2_user_value_history",
     "kmv_audience_overlap",
+    # round-4 operators
+    "ivf_index_drift",
 ]
 
 HEADLINE = [

@@ -42,6 +42,13 @@ Supported grammar (case-insensitive keywords):
   atomic overwrite.
 - ``DELETE FROM <tbl> [WHERE <cond>]`` — filter-rewrite keeping rows where
   the condition is not TRUE (NULL keeps, SQL semantics).
+- ``DROP TABLE [IF EXISTS] <tbl>`` / ``CREATE TABLE [IF NOT EXISTS] <tbl>
+  (col TYPE, ...) [USING <anything>]`` / ``INSERT INTO <tbl> VALUES (...)
+  [, (...)] | SELECT ...`` — the reference's config-setup flow
+  (``01_config_setup.py:38-66``) verbatim: the column list parses through
+  Spark's own DDL grammar, ``USING DELTA`` is accepted and ignored (this
+  warehouse IS the storage layer), VALUES expressions evaluate with Spark
+  SQL semantics (TIMESTAMP literals, current_timestamp()).
 
 Execution is the same shuffle shape Delta uses for unpartitioned tables
 (join on the merge keys + rewrite); at 100 TB one bounds the rewrite with
@@ -76,6 +83,24 @@ _UPDATE_RE = re.compile(
 _DELETE_RE = re.compile(
     r"^\s*DELETE\s+FROM\s+(?P<target>[\w.]+)"
     r"(?:\s+WHERE\s+(?P<where>.*?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_DROP_RE = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?P<ifexists>IF\s+EXISTS\s+)?(?P<target>[\w.]+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+_CREATE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?P<ifnot>IF\s+NOT\s+EXISTS\s+)?(?P<target>[\w.]+)"
+    r"\s*\(\s*(?P<cols>.*?)\s*\)"
+    r"(?:\s+USING\s+(?P<provider>\w+))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<target>[\w.]+)\s+"
+    r"(?:VALUES\s*(?P<values>\(.*\))|(?P<select>SELECT\s+.*?))\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -169,7 +194,7 @@ class SqlDml:
 
     # -- dispatch ---------------------------------------------------------
     def sql(self, text: str) -> DataFrame:
-        head = text.lstrip().split(None, 1)
+        head = text.lstrip().split(None, 2)
         verb = head[0].upper() if head else ""
         if verb == "MERGE":
             return self._merge(text)
@@ -177,6 +202,12 @@ class SqlDml:
             return self._update(text)
         if verb == "DELETE":
             return self._delete(text)
+        if verb == "DROP" and len(head) > 1 and head[1].upper() == "TABLE":
+            return self._drop(text)
+        if verb == "CREATE" and len(head) > 1 and head[1].upper() == "TABLE":
+            return self._create(text)
+        if verb == "INSERT":
+            return self._insert(text)
         self.wh.register_views()
         return self.spark.sql(text)
 
@@ -234,6 +265,90 @@ class SqlDml:
         return self._summary(
             statement="DELETE", table=name, rows_deleted=n_before - n_kept
         )
+
+    # -- DDL / INSERT (01_config_setup.py's verbatim flow) ----------------
+    def _drop(self, text: str) -> DataFrame:
+        m = _DROP_RE.match(text)
+        if not m:
+            raise ValueError(f"unsupported DROP syntax: {text!r}")
+        name = m["target"]
+        existed = self.wh.exists(name)
+        if not existed and not m["ifexists"]:
+            raise ValueError(f"DROP TABLE: {name!r} does not exist")
+        self.wh.drop(name)
+        self.spark.catalog.dropTempView(name)
+        return self._summary(statement="DROP", table=name, dropped=existed)
+
+    def _create(self, text: str) -> DataFrame:
+        """``CREATE TABLE t (col TYPE, ...) [USING anything]`` — the
+        column list parses through Spark's own DDL grammar (so LONG /
+        STRING / TIMESTAMP etc. all resolve exactly as Spark would);
+        the USING clause is accepted and ignored (the warehouse is the
+        storage layer — the reference's ``USING DELTA`` runs verbatim)."""
+        m = _CREATE_RE.match(text)
+        if not m:
+            raise ValueError(f"unsupported CREATE TABLE syntax: {text!r}")
+        name = m["target"]
+        if self.wh.exists(name):
+            if m["ifnot"]:
+                return self._summary(statement="CREATE", table=name, created=False)
+            raise ValueError(f"CREATE TABLE: {name!r} already exists")
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromDDL(m["cols"])
+        empty = self.spark.createDataFrame([], schema).coalesce(1)
+        self.wh.overwrite(empty, name)
+        return self._summary(statement="CREATE", table=name, created=True)
+
+    def _insert(self, text: str) -> DataFrame:
+        m = _INSERT_RE.match(text)
+        if not m:
+            raise ValueError(f"unsupported INSERT syntax: {text!r}")
+        name = m["target"]
+        if not self.wh.exists(name):
+            raise ValueError(f"INSERT target {name!r} is not a warehouse table")
+        target_schema = self.wh.read(name).schema
+        if m["select"]:
+            self.wh.register_views()
+            rows = self.spark.sql(m["select"])
+        else:
+            # VALUES (...), (...): evaluate each tuple's expressions with
+            # Spark SQL semantics (TIMESTAMP literals, current_timestamp())
+            tuples = _split_top_level(m["values"])
+            parts = []
+            for tup in tuples:
+                tup = tup.strip()
+                if not (tup.startswith("(") and tup.endswith(")")):
+                    raise ValueError(f"malformed VALUES tuple: {tup!r}")
+                exprs = _split_top_level(tup[1:-1])
+                if len(exprs) != len(target_schema):
+                    raise ValueError(
+                        f"INSERT VALUES arity {len(exprs)} != table width "
+                        f"{len(target_schema)}"
+                    )
+                parts.append(
+                    self.spark.range(1).select(
+                        *[F.expr(e).alias(f.name)
+                          for e, f in zip(exprs, target_schema.fields)]
+                    )
+                )
+            rows = parts[0]
+            for p in parts[1:]:
+                rows = rows.unionByName(p)
+        if len(rows.columns) != len(target_schema):
+            raise ValueError(
+                f"INSERT column count {len(rows.columns)} != table width "
+                f"{len(target_schema)}"
+            )
+        aligned = rows.select(
+            *[
+                F.col(c).cast(f.dataType).alias(f.name)
+                for c, f in zip(rows.columns, target_schema.fields)
+            ]
+        )
+        n = aligned.count()
+        self.wh.append(aligned, name)
+        return self._summary(statement="INSERT", table=name, rows_inserted=n)
 
     # -- MERGE ------------------------------------------------------------
     def _resolve_source(self, name: str) -> DataFrame:

@@ -272,3 +272,74 @@ def test_merge_preserves_partition_pruned_layout(spark, wh):
     assert wh.partition_columns("pt") == ["year"]
     got = {r.k: r.v for r in wh.read("pt").collect()}
     assert got == {"a": 1, "b": 20}
+
+
+def test_reference_config_setup_flow_verbatim(spark, wh):
+    """01_config_setup.py:38-66 character-for-character: DROP, CREATE
+    TABLE ... USING DELTA, INSERT INTO ... VALUES, SELECT — the whole
+    control-table bootstrap runs through the façade, and the resulting
+    table is readable by WatermarkStore."""
+    engine = SqlDml(wh)
+    engine.sql("DROP TABLE IF EXISTS control_watermark")
+    out = engine.sql("""
+CREATE TABLE control_watermark (
+    table_name STRING,
+    watermark_column STRING,
+    watermark_value TIMESTAMP,
+    last_updated TIMESTAMP,
+    records_processed LONG
+)
+USING DELTA
+""").collect()[0]
+    assert out.created
+    initial_start_date = "2024-01-01"
+    engine.sql(f"""
+    INSERT INTO control_watermark VALUES (
+        'bronze_earthquakes',
+        'time',
+        TIMESTAMP '{initial_start_date} 00:00:00',
+        current_timestamp(),
+        0
+    )
+""")
+    rows = engine.sql("SELECT * FROM control_watermark").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.table_name == "bronze_earthquakes"
+    assert r.watermark_value == datetime(2024, 1, 1, 0, 0, 0)
+    assert r.records_processed == 0
+    # the store built by the façade is the same one WatermarkStore reads
+    store = WatermarkStore(wh)
+    e = store.get("bronze_earthquakes")
+    assert e is not None and e.watermark_column == "time"
+    # and the reference's UPDATE advances it (02_ingestion.py:221-227)
+    engine.sql("""
+        UPDATE control_watermark
+        SET watermark_value = TIMESTAMP '2024-02-01 12:00:00',
+            last_updated = current_timestamp(),
+            records_processed = records_processed + 777
+        WHERE table_name = 'bronze_earthquakes'
+    """)
+    e = store.get("bronze_earthquakes")
+    assert e.watermark_value == datetime(2024, 2, 1, 12, 0, 0)
+    assert e.records_processed == 777
+
+
+def test_ddl_insert_edge_cases(spark, wh):
+    engine = SqlDml(wh)
+    with pytest.raises(ValueError, match="does not exist"):
+        engine.sql("DROP TABLE missing")
+    engine.sql("CREATE TABLE t1 (a INT, b STRING)")
+    with pytest.raises(ValueError, match="already exists"):
+        engine.sql("CREATE TABLE t1 (a INT)")
+    # IF NOT EXISTS is a quiet no-op
+    assert not engine.sql("CREATE TABLE IF NOT EXISTS t1 (a INT)").collect()[0].created
+    # multi-tuple VALUES + INSERT ... SELECT
+    engine.sql("INSERT INTO t1 VALUES (1, 'x'), (2, 'y')")
+    engine.sql("INSERT INTO t1 SELECT a + 10, b FROM t1")
+    got = sorted(tuple(r) for r in wh.read("t1").collect())
+    assert got == [(1, "x"), (2, "y"), (11, "x"), (12, "y")]
+    with pytest.raises(ValueError, match="arity"):
+        engine.sql("INSERT INTO t1 VALUES (1)")
+    with pytest.raises(ValueError, match="not a warehouse table"):
+        engine.sql("INSERT INTO nope VALUES (1)")
