@@ -111,6 +111,105 @@ def parse_mp4_meta(b: bytes) -> dict:
     return meta
 
 
+def mp4_sample_table(b: bytes, track_index: int = 0) -> list[tuple[int, int]]:
+    """(offset, size) of every sample (frame) of one track, from the
+    ISO-BMFF sample tables — the DEMUX step, no codec needed:
+
+    - ``stsz``: per-sample sizes (or one uniform size),
+    - ``stco``/``co64``: chunk byte offsets (32/64-bit),
+    - ``stsc``: sample→chunk run-length map (first_chunk,
+      samples_per_chunk runs; last run extends to the final chunk).
+
+    Samples are laid consecutively within each chunk, so offsets are the
+    chunk offset plus the running size of earlier samples in that chunk
+    (ISO/IEC 14496-12 §8.7). Raises ValueError when the track or its
+    tables are absent."""
+    b = bytes(b)
+    tracks: list[dict] = []
+
+    def visit(start: int, end: int, cur: dict | None) -> None:
+        for btype, body, box_end in _walk_boxes(b, start, end):
+            if btype == b"trak":
+                tracks.append({})
+                visit(body, box_end, tracks[-1])
+            elif btype in _CONTAINERS:
+                visit(body, box_end, cur)
+            elif cur is not None and btype in (b"stsz", b"stco", b"co64", b"stsc"):
+                cur[btype.decode()] = (body, box_end)
+
+    visit(0, len(b), None)
+    if track_index >= len(tracks):
+        raise ValueError(f"no track {track_index} (found {len(tracks)})")
+    t = tracks[track_index]
+    if "stsz" not in t or "stsc" not in t or ("stco" not in t and "co64" not in t):
+        raise ValueError("track lacks stsz/stsc/stco sample tables")
+
+    # stsz: version+flags(4), sample_size(4), sample_count(4)[, sizes...]
+    body, _ = t["stsz"]
+    uniform, n_samples = struct.unpack_from(">II", b, body + 4)
+    if uniform:
+        sizes = [uniform] * n_samples
+    else:
+        sizes = list(struct.unpack_from(f">{n_samples}I", b, body + 12))
+
+    # chunk offsets
+    if "stco" in t:
+        body, _ = t["stco"]
+        (n_chunks,) = struct.unpack_from(">I", b, body + 4)
+        offsets = list(struct.unpack_from(f">{n_chunks}I", b, body + 8))
+    else:
+        body, _ = t["co64"]
+        (n_chunks,) = struct.unpack_from(">I", b, body + 4)
+        offsets = list(struct.unpack_from(f">{n_chunks}Q", b, body + 8))
+
+    # stsc runs: (first_chunk 1-based, samples_per_chunk, desc_index)
+    body, _ = t["stsc"]
+    (n_runs,) = struct.unpack_from(">I", b, body + 4)
+    runs = [
+        struct.unpack_from(">III", b, body + 8 + 12 * i)[:2]
+        for i in range(n_runs)
+    ]
+    per_chunk = []
+    for i, (first, spc) in enumerate(runs):
+        last = runs[i + 1][0] - 1 if i + 1 < len(runs) else len(offsets)
+        per_chunk += [spc] * (last - first + 1)
+
+    out, si = [], 0
+    for ci, chunk_off in enumerate(offsets):
+        off = chunk_off
+        for _ in range(per_chunk[ci] if ci < len(per_chunk) else 0):
+            if si >= n_samples:
+                break
+            out.append((off, sizes[si]))
+            off += sizes[si]
+            si += 1
+    if si != n_samples:
+        raise ValueError(
+            f"sample tables inconsistent: placed {si} of {n_samples} samples"
+        )
+    return out
+
+
+def mp4_extract_samples(
+    b: bytes, *, track_index: int = 0, max_samples: int | None = None
+) -> list[bytes]:
+    """Raw (undecoded) sample payloads of one track, in decode order —
+    genuine container demux; DECODING the samples (h264/aac...) is where
+    ffmpeg would start. Out-of-range entries raise (truncated file)."""
+    b = bytes(b)
+    table = mp4_sample_table(b, track_index)
+    if max_samples is not None:
+        table = table[:max_samples]
+    out = []
+    for off, size in table:
+        if off + size > len(b):
+            raise ValueError(
+                f"sample at {off}+{size} exceeds payload ({len(b)} bytes)"
+            )
+        out.append(b[off : off + size])
+    return out
+
+
 # -- MP3 --------------------------------------------------------------------
 
 # bitrate tables in kbps, index 1-14 (0 = free, 15 = bad)

@@ -7,13 +7,15 @@ stream through Python in columnar batches (never row-at-a-time), and the
 surrounding plan (partitioning, predicate pushdown on metadata, column
 pruning of the heavy payload) stays fully native.
 
-Codec support is split by what this environment can actually decode:
-**BMP images and PCM WAV audio have REAL codecs** (pure numpy / stdlib
-``wave``, see :mod:`.codecs`) — decode, nearest-neighbor resize, audio
-feature extraction, and frame slicing operate on real pixels/samples.
+Codec support is split by what this environment can actually decode.
 BMP, PNG, baseline JPEG and PCM WAV have REAL built-in codecs
-(operators/codecs.py, operators/jpegcodec.py); MP4/MP3 need ffmpeg
-(absent here) and stay behind documented NotImplementedError guards.
+(operators/codecs.py, operators/jpegcodec.py) — decode, nearest-neighbor
+resize, audio feature extraction, and frame slicing operate on real
+pixels/samples. MP4/MP3 resolve at the CONTAINER level without ffmpeg
+(operators/mediameta.py): box-walk metadata, exact MP3 frame-walk
+durations, and ISO-BMFF sample-table demux into raw track samples; only
+the sample DECODE (h264/aac/mpeg audio) still needs ffmpeg and stays
+behind documented NotImplementedError guards.
 ``fake=True`` selects a deterministic stand-in so the distributed
 plumbing is testable on arbitrary payloads. The
 Spark-side plumbing — schema, batch iteration, payload pruning — is real
@@ -171,19 +173,28 @@ def sample_frames(
     Real path (``fake=False``): payloads that are a concatenation of BMP
     images (a naive motion-BMP container — each frame's byte length sits in
     its own header at offset 2) are split into per-frame BMP payloads by
-    walking the declared sizes; ``max_frames`` caps the expansion. True
-    video containers (MP4 etc.) raise NotImplementedError (needs ffmpeg).
-    With ``fake=True`` each frame is a fixed-stride byte slice; both modes
+    walking the declared sizes; MP4 payloads DEMUX through the ISO-BMFF
+    sample tables (:func:`.mediameta.mp4_extract_samples` — stsz/stsc/
+    stco box walk, pure struct) into raw undecoded track samples — the
+    container layer is real; DECODING those h264/aac samples is where
+    ffmpeg would start, and stays guarded. ``max_frames`` caps the
+    expansion. Anything else raises NotImplementedError. With
+    ``fake=True`` each frame is a fixed-stride byte slice; all modes
     share the exact batch contract (one output row per sampled frame)."""
 
     pruned = df.select(id_col, "payload")
 
     def _split_bmp_frames(b: bytes) -> list[bytes]:
-        if codecs.sniff(b) != "bmp":
+        kind = codecs.sniff(b)
+        if kind == "mp4":
+            from .mediameta import mp4_extract_samples
+
+            return mp4_extract_samples(b, max_samples=max_frames)
+        if kind != "bmp":
             raise NotImplementedError(
-                f"frame sampling from {codecs.sniff(b) or 'unknown'} payloads "
-                "requires ffmpeg — only concatenated-BMP containers have a "
-                "built-in parser; pass fake=True for the deterministic stand-in"
+                f"frame sampling from {kind or 'unknown'} payloads requires "
+                "ffmpeg — concatenated-BMP and MP4 containers have built-in "
+                "parsers; pass fake=True for the deterministic stand-in"
             )
         frames, off = [], 0
         while off + codecs.BMP_HEADER_SIZE <= len(b) and len(frames) < max_frames:

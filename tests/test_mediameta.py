@@ -151,3 +151,104 @@ def test_extract_audio_features_mp3_metadata_level(spark):
     assert got[0].duration_s == pytest.approx(4 * 1152 / 44100)
     assert got[0].rms is None and got[0].peak is None
     assert got[1].sample_rate == 8000 and got[1].peak == 1000
+
+
+# -- MP4 sample-table demux -------------------------------------------------
+
+
+def _mp4_with_samples(sizes=(3, 4, 5, 6, 7), chunks=((1, 2), (2, 3)),
+                      co64=False, uniform=0):
+    """ftyp + mdat(samples) + moov(trak with stsz/stsc/stco tables whose
+    offsets point into the mdat)."""
+    samples = [bytes([65 + i]) * s for i, s in enumerate(sizes)]
+    ftyp = _box(b"ftyp", b"isom" + b"\x00" * 8)
+    mdat = _box(b"mdat", b"".join(samples))
+    data_start = len(ftyp) + 8  # mdat body offset in the file
+
+    # assign samples to chunks by walking the stsc runs
+    chunk_sizes, si, ci = [], 0, 1
+    while si < len(sizes):
+        spc = None
+        for j, (first, s) in enumerate(chunks):
+            nxt = chunks[j + 1][0] if j + 1 < len(chunks) else 10**9
+            if first <= ci < nxt:
+                spc = s
+        take = min(spc, len(sizes) - si)
+        chunk_sizes.append(sum(sizes[si:si + take]))
+        si += take
+        ci += 1
+    offs, acc = [], data_start
+    for cs in chunk_sizes:
+        offs.append(acc)
+        acc += cs
+
+    if uniform:
+        stsz = _box(b"stsz", b"\x00" * 4 + struct.pack(">II", uniform, len(sizes)))
+    else:
+        stsz = _box(b"stsz", b"\x00" * 4 + struct.pack(">II", 0, len(sizes))
+                    + b"".join(struct.pack(">I", s) for s in sizes))
+    stsc = _box(b"stsc", b"\x00" * 4 + struct.pack(">I", len(chunks))
+                + b"".join(struct.pack(">III", c, s, 1) for c, s in chunks))
+    if co64:
+        stco = _box(b"co64", b"\x00" * 4 + struct.pack(">I", len(offs))
+                    + b"".join(struct.pack(">Q", o) for o in offs))
+    else:
+        stco = _box(b"stco", b"\x00" * 4 + struct.pack(">I", len(offs))
+                    + b"".join(struct.pack(">I", o) for o in offs))
+    entry = struct.pack(">I", 16) + b"avc1" + b"\x00" * 8
+    stsd = _box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + entry)
+    stbl = _box(b"stbl", stsd + stsz + stsc + stco)
+    trak = _box(b"trak", _box(b"mdia", _box(b"minf", stbl)))
+    moov = _box(b"moov", trak)
+    return ftyp + mdat + moov, samples
+
+
+def test_mp4_sample_table_demux():
+    payload, samples = _mp4_with_samples()
+    got = mediameta.mp4_extract_samples(payload)
+    assert got == samples  # byte-exact demux across two chunks
+
+
+def test_mp4_sample_table_co64_and_cap():
+    payload, samples = _mp4_with_samples(co64=True)
+    assert mediameta.mp4_extract_samples(payload, max_samples=2) == samples[:2]
+
+
+def test_mp4_sample_table_uniform_sizes():
+    payload, samples = _mp4_with_samples(
+        sizes=(4, 4, 4), chunks=((1, 3),), uniform=4
+    )
+    assert mediameta.mp4_extract_samples(payload) == samples
+
+
+def test_mp4_out_of_range_offset_raises():
+    payload, _ = _mp4_with_samples()
+    # point the last chunk offset past the end of the file
+    idx = payload.index(b"stco")
+    n_off = struct.unpack_from(">I", payload, idx + 8)[0]
+    last_off_pos = idx + 12 + 4 * (n_off - 1)
+    bad = (payload[:last_off_pos] + struct.pack(">I", len(payload) + 100)
+           + payload[last_off_pos + 4:])
+    with pytest.raises(ValueError, match="exceeds payload"):
+        mediameta.mp4_extract_samples(bad)
+
+
+def test_mp4_missing_tables_raises():
+    with pytest.raises(ValueError, match="stsz|no track"):
+        mediameta.mp4_sample_table(_mp4())  # metadata-only fixture
+
+
+def test_sample_frames_demuxes_mp4(spark):
+    """sample_frames over an MP4 payload emits the raw track samples as
+    frame rows — container demux through the Spark stage."""
+    from global_seismic_data_pipeline_spark.operators import multimodal
+
+    payload, samples = _mp4_with_samples()
+    df = spark.createDataFrame(
+        [(7, bytearray(payload))], "doc_id long, payload binary"
+    )
+    got = sorted(
+        (r.doc_id, r.frame_idx, bytes(r.frame))
+        for r in multimodal.sample_frames(df, max_frames=4).collect()
+    )
+    assert got == [(7, i, s) for i, s in enumerate(samples[:4])]
