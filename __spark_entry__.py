@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skipping_pruned_scan": workloads_ext.skipping_pruned_scan,
         "metadata_only_agg": workloads_ext.metadata_only_agg,
         "negative_sample_pairs": workloads_ext.negative_sample_pairs,
+        "training_shuffle_shards": workloads_ext.training_shuffle_shards,
         "join_size_estimate_orders": workloads_ext.join_size_estimate_orders,
         "profile_orders_table": workloads_ext.profile_orders_table,
         "kmv_audience_overlap": workloads_ext.kmv_audience_overlap,

@@ -74,6 +74,7 @@ EXTENDED = [
     "kmv_audience_overlap",
     # round-4 operators
     "ivf_index_drift",
+    "training_shuffle_shards",
 ]
 
 HEADLINE = [

@@ -437,3 +437,49 @@ def epoch_repeats(
         .drop("__rep")
         .withColumn("copy_ix", F.col("copy_ix").cast("long"))
     )
+
+
+def seeded_shuffle_shards(
+    df,
+    *,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    seed: str = "epoch0",
+) -> "DataFrame":
+    """Reproducible global training order + balanced shard assignment —
+    the step between a curated corpus and a training job: every run (and
+    every engine) must agree on which example is sample k of shard s.
+
+    Order key = md5(seed || '|' || id) — a deterministic permutation
+    that reshuffles completely when the seed (e.g. the epoch tag)
+    changes, with the id itself as tiebreak so the order is total even
+    under hash collisions. Global positions come from the scalable rank
+    (:func:`.ranking.ranked` — range partition + Arrow carry pass; the
+    md5 keys are uniform, so the range partitioner is perfectly
+    balanced and the single-partition ORDER BY window never appears).
+    Shards interleave round-robin — |shard sizes| differ by ≤ 1 by
+    construction, no post-hoc rebalancing.
+
+    Returns (id, shard, pos): shard ∈ [0, n_shards), pos = position
+    within the shard's read order. Exact string/integer arithmetic
+    end-to-end, so the DuckDB oracle replays the whole permutation
+    (``training_shuffle_shards``)."""
+    from . import ranking
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    keyed = df.select(
+        F.col(id_col),
+        F.md5(
+            F.concat(F.lit(str(seed) + "|"), F.col(id_col).cast("string"))
+        ).alias("__okey"),
+    )
+    pos = ranking.ranked(
+        keyed, ["__okey", id_col], method="rank", out_col="__rn"
+    )
+    return pos.select(
+        F.col(id_col),
+        ((F.col("__rn") - 1) % n_shards).cast("long").alias("shard"),
+        # integer div, not float-divide-then-cast: exact at any N
+        F.expr(f"(__rn - 1) div {int(n_shards)}").cast("long").alias("pos"),
+    )

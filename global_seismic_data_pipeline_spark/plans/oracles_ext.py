@@ -1867,6 +1867,19 @@ FROM k WHERE rep > 0
 
 ORACLES_EXT["mixture_epoch_repeats"] = _mixture_epochs_sql()
 
+ORACLES_EXT["training_shuffle_shards"] = """
+WITH o AS (
+    SELECT doc_id,
+        md5('epoch0|' || CAST(doc_id AS VARCHAR)) AS okey
+    FROM documents
+), r AS (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY okey, doc_id) AS rn FROM o
+)
+SELECT doc_id,
+    CAST((rn - 1) % 8 AS BIGINT) AS shard,
+    CAST((rn - 1) // 8 AS BIGINT) AS pos
+FROM r"""
+
 # Negative sampling: ROW_NUMBER over the md5 permutation == the scalable
 # rank's (md5, id) total order; step/target arithmetic is the identical
 # nonneg 60-bit md5-prefix hash, so the triple set matches bit-for-bit.

@@ -1558,6 +1558,22 @@ def join_size_estimate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.join_size_estimate(li, orders, "l_orderkey", "o_orderkey")
 
 
+def training_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible seeded shuffle + balanced shard assignment
+    (operators/sampling.seeded_shuffle_shards): order = md5(seed|id)
+    permutation ranked by the SCALABLE rank (uniform hash keys — the
+    range partitioner balances perfectly, no single-partition window),
+    shards interleaved round-robin (sizes differ by <= 1). The oracle
+    replays the md5 permutation with ROW_NUMBER — engine-identical
+    training order, the contract an epoch reshuffle rides on."""
+    from ..operators import sampling
+
+    return sampling.seeded_shuffle_shards(
+        _docs(spark, sf_dir).select("doc_id"),
+        id_col="doc_id", n_shards=8, seed="epoch0",
+    )
+
+
 def negative_sample_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive negative mining (sampling.negative_samples): 3
     deterministic pseudo-random negatives per document via a portable-md5

@@ -343,3 +343,47 @@ def test_epoch_repeats_realizes_fractional_epochs(spark):
         sampling.epoch_repeats(
             df, key_col="doc_id", strata_col="src", epochs={"a": -1.0}
         )
+
+
+def test_seeded_shuffle_shards_balance_determinism_and_reseed(spark):
+    from global_seismic_data_pipeline_spark.operators import ranking, sampling
+
+    df = spark.createDataFrame([(i,) for i in range(103)], "doc_id long")
+    out1 = {
+        r.doc_id: (r.shard, r.pos)
+        for r in sampling.seeded_shuffle_shards(
+            df, n_shards=8, seed="e0"
+        ).collect()
+    }
+    ranking.release_cached()
+    # every doc placed exactly once; shards balanced to within one row
+    assert len(out1) == 103
+    sizes = {}
+    for s, _ in out1.values():
+        sizes[s] = sizes.get(s, 0) + 1
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # (shard, pos) pairs are a bijection onto the first 103 rank slots
+    assert sorted(
+        s + 8 * p for s, p in out1.values()
+    ) == list(range(103))
+    # deterministic: same seed → identical placement
+    out1b = {
+        r.doc_id: (r.shard, r.pos)
+        for r in sampling.seeded_shuffle_shards(
+            df, n_shards=8, seed="e0"
+        ).collect()
+    }
+    ranking.release_cached()
+    assert out1b == out1
+    # a new seed is a genuinely different permutation
+    out2 = {
+        r.doc_id: (r.shard, r.pos)
+        for r in sampling.seeded_shuffle_shards(
+            df, n_shards=8, seed="e1"
+        ).collect()
+    }
+    ranking.release_cached()
+    assert out2 != out1
+    # and not id-ordered (it is a shuffle)
+    by_slot = sorted(out1, key=lambda d: out1[d][0] + 8 * out1[d][1])
+    assert by_slot != sorted(by_slot)
