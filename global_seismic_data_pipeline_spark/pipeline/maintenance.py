@@ -16,6 +16,8 @@ import re
 import shutil
 from collections.abc import Sequence
 
+from pyspark.sql import functions as F
+
 from ..sources.warehouse import Warehouse
 
 # ZORDER key sets the reference declares (TABLE OPTIMIZATION.py:33-36,60-97)
@@ -80,6 +82,47 @@ def optimize_all(wh: Warehouse) -> dict[str, dict[str, int]]:
         if wh.exists(name):
             results[name] = compact(wh, name, sort_cols=keys)
     return results
+
+
+def compact_bucketed(
+    wh: Warehouse,
+    name: str,
+    bucket_cols: Sequence[str],
+    *,
+    num_buckets: int,
+    sort_cols: Sequence[str] | None = None,
+) -> dict[str, int]:
+    """Compact a BUCKETED table (the incremental signature / IVF stores):
+    every ``append_bucketed`` batch adds one more file per bucket, so a
+    daily pipeline accumulates #batches × #buckets small files — this
+    rewrites the table back to ~one file per bucket under the SAME bucket
+    spec, so the shuffle-free co-partitioned join property survives
+    (asserted in tests: the post-compaction bucket join still plans with
+    no Exchange). The rewrite stages through an eager localCheckpoint
+    because ``save_bucketed`` drops the old files before writing.
+
+    Must be called with the ORIGINAL bucket spec (bucket columns and
+    count are catalog metadata a rewrite must reproduce — changing them
+    silently would re-shuffle every downstream join). Returns
+    before/after file stats."""
+    before = wh.table_stats(name)
+    current = wh.spark.table(name).localCheckpoint()
+    # one file per bucket: hash-repartition on the bucket columns with
+    # the bucket count — Spark's repartition hash and its bucket hash are
+    # the same Murmur3, so each write task holds exactly one bucket's
+    # rows (otherwise every task emits a file for every bucket it sees:
+    # tasks × buckets files, which is the problem being fixed)
+    wh.save_bucketed(
+        current.repartition(num_buckets, *[F.col(c) for c in bucket_cols]),
+        name, bucket_cols,
+        num_buckets=num_buckets, sort_cols=sort_cols,
+    )
+    after = wh.table_stats(name)
+    return {
+        "files_before": before["num_files"],
+        "files_after": after["num_files"],
+        "bytes": after["size_bytes"],
+    }
 
 
 def analyze(wh: Warehouse, name: str) -> None:

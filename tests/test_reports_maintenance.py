@@ -214,3 +214,45 @@ def test_retention_delete_fast_path_zero_padded_ints(spark, tmp_path):
     assert out == {"mode": "partition_drop", "partitions_dropped": 1}
     # hive reads type-infer "020" → 20; compare numerically
     assert {int(r.age) for r in wh.read("t").collect()} == {20, 100}
+
+
+def test_compact_bucketed_preserves_colocated_join(spark, tmp_path):
+    """Repeated bucketed appends pile up files; compaction shrinks the
+    file count back to ~#buckets, keeps every row, and the bucket join
+    still plans WITHOUT an Exchange (the property the store exists for)."""
+    from pyspark.sql import functions as F
+
+    from global_seismic_data_pipeline_spark.pipeline import maintenance
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    n_b = 4
+    base = spark.range(100).select(F.col("id").alias("k"), F.lit(0).alias("batch"))
+    wh.save_bucketed(base, "cb_store", ("k",), num_buckets=n_b, sort_cols=("k",))
+    for i in range(1, 4):
+        batch = spark.range(100 * i + 100, 100 * i + 200).select(
+            F.col("id").alias("k"), F.lit(i).alias("batch")
+        )
+        wh.append_bucketed(batch, "cb_store", ("k",), num_buckets=n_b, sort_cols=("k",))
+    out = maintenance.compact_bucketed(
+        wh, "cb_store", ("k",), num_buckets=n_b, sort_cols=("k",)
+    )
+    assert out["files_before"] > n_b >= out["files_after"]
+    got = spark.table("cb_store")
+    assert got.count() == 400  # every row survived (0-99 ∪ 200-499)
+    # co-located join property intact: bucket-bucket SMJ, no Exchange
+    probe = wh.save_bucketed(
+        spark.range(250).select(F.col("id").alias("k")),
+        "cb_probe", ("k",), num_buckets=n_b, sort_cols=("k",),
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = got.join(probe, "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan and "Exchange" not in plan
+        # store ids: 0-99 ∪ 200-499; probe 0-249 → 100 + 50 overlap
+        assert j.count() == 150
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    spark.sql("DROP TABLE IF EXISTS cb_store")
+    spark.sql("DROP TABLE IF EXISTS cb_probe")
