@@ -85,6 +85,49 @@ def join_stats(df: DataFrame, key: str, *, p: int = 12) -> dict:
     }
 
 
+STATS_TABLE = "join_stats"
+
+
+def analyze_table(
+    warehouse, df: DataFrame, table: str, key: str, *, p: int = 12
+) -> dict:
+    """The ANALYZE step: compute :func:`join_stats` for (table, key) and
+    UPSERT the row into the warehouse ``join_stats`` table. Run at write
+    time / maintenance time; planning then reads rows, never data."""
+    row = {"table_name": table, "key_col": key, **join_stats(df, key, p=p)}
+    stats_df = warehouse.spark.createDataFrame(
+        [(
+            row["table_name"], row["key_col"], row["n_rows"], row["ndv"],
+            row["row_bytes"], row["est_bytes"], float(row["skew"]),
+        )],
+        "table_name string, key_col string, n_rows long, ndv long, "
+        "row_bytes long, est_bytes long, skew double",
+    ).coalesce(1)
+    warehouse.merge(stats_df, STATS_TABLE, ["table_name", "key_col"])
+    return row
+
+
+def stored_join_stats(warehouse, table: str, key: str) -> dict:
+    """Read one (table, key) stats row from the warehouse ``join_stats``
+    table — the control-plane read the planner uses at 100 TB. Raises
+    KeyError when the pair was never analyzed (refuse-loudly: planning
+    on missing stats would silently default somewhere arbitrary)."""
+    rows = (
+        warehouse.read(STATS_TABLE)
+        .filter(
+            (F.col("table_name") == table) & (F.col("key_col") == key)
+        )
+        .collect()
+    )
+    if not rows:
+        raise KeyError(f"no stored join stats for ({table!r}, {key!r}) — run analyze_table")
+    r = rows[0]
+    return {
+        "n_rows": r["n_rows"], "ndv": r["ndv"], "row_bytes": r["row_bytes"],
+        "est_bytes": r["est_bytes"], "skew": r["skew"],
+    }
+
+
 @dataclass
 class JoinDecision:
     strategy: str            # broadcast_left | broadcast_right | bucketed | shuffle

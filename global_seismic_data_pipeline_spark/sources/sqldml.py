@@ -225,6 +225,11 @@ class SqlDml:
         name = m["target"]
         if not self.wh.exists(name):
             raise ValueError(f"UPDATE target {name!r} is not a warehouse table")
+        if re.search(r"\bWHERE\b", m["sets"], re.IGNORECASE):
+            # a dangling/empty WHERE fails the optional where-group and
+            # would otherwise fold into the last SET expression (Spark
+            # happily parses "1 WHERE" as an aliased literal) — refuse
+            raise ValueError(f"malformed WHERE clause in: {text!r}")
         assigns = dict(_parse_assignments(m["sets"]))
         df = self.wh.read(name)
         missing = [c for c in assigns if c not in df.columns]

@@ -108,3 +108,30 @@ def test_schema_row_bytes_accounting(spark):
         T.StructField("c", T.IntegerType()),
     ])
     assert joinplan.schema_row_bytes(s) == 8 + 20 + 4
+
+
+def test_analyze_store_then_plan_without_data(spark, tmp_path):
+    """ANALYZE writes the stats row once; planning later reads ONLY the
+    stored row (the data can be gone) and reproduces the decision.
+    Re-analyzing upserts in place; unanalyzed pairs refuse loudly."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    dim, fact = _dim(spark), _fact(spark)
+    joinplan.analyze_table(wh, dim, "dim", "k")
+    joinplan.analyze_table(wh, fact, "fact", "k")
+
+    ds = joinplan.stored_join_stats(wh, "dim", "k")
+    fs = joinplan.stored_join_stats(wh, "fact", "k")
+    live = joinplan.choose_join_strategy(
+        joinplan.join_stats(fact, "k"), joinplan.join_stats(dim, "k")
+    )
+    stored = joinplan.choose_join_strategy(fs, ds)
+    assert stored.strategy == live.strategy == "broadcast_right"
+    assert stored.est_join_rows == live.est_join_rows
+
+    # upsert: re-analyze a grown fact, the row is replaced not duplicated
+    joinplan.analyze_table(wh, _fact(spark, n=9000), "fact", "k")
+    assert wh.read(joinplan.STATS_TABLE).count() == 2
+    assert joinplan.stored_join_stats(wh, "fact", "k")["n_rows"] == 9000
+
+    with pytest.raises(KeyError, match="never|no stored"):
+        joinplan.stored_join_stats(wh, "fact", "other_key")

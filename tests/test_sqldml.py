@@ -343,3 +343,61 @@ def test_ddl_insert_edge_cases(spark, wh):
         engine.sql("INSERT INTO t1 VALUES (1)")
     with pytest.raises(ValueError, match="not a warehouse table"):
         engine.sql("INSERT INTO nope VALUES (1)")
+
+
+# -- parser robustness (property) ------------------------------------------
+
+
+def test_merge_parser_case_and_whitespace_invariant(spark, wh):
+    """Keyword case and whitespace jitter never change what the MERGE
+    does — the same final table results from every formatting variant."""
+    import random
+
+    rng = random.Random(42)
+    tokens = [
+        "MERGE INTO", "mt", "t", "USING", "ms", "s", "ON",
+        "t.k = s.k", "WHEN MATCHED THEN UPDATE SET *",
+        "WHEN NOT MATCHED THEN INSERT *",
+    ]
+    engine = SqlDml(wh)
+    spark.createDataFrame([(1, 100), (3, 300)], "k int, v int") \
+        .createOrReplaceTempView("ms")
+    expected = {1: 100, 2: 20, 3: 300}
+    for trial in range(6):
+        wh.overwrite(
+            spark.createDataFrame([(1, 10), (2, 20)], "k int, v int"), "mt"
+        )
+        parts = []
+        for tok in tokens:
+            # jitter keyword case (identifiers stay lowercase: they are
+            # case-sensitive temp-view names) and whitespace
+            jittered = (
+                "".join(
+                    c.lower() if rng.random() < 0.5 else c.upper()
+                    for c in tok
+                )
+                if tok.upper() == tok or " " in tok and tok[0].isupper()
+                else tok
+            )
+            parts.append(jittered)
+        text = ""
+        for ptok in parts:
+            text += ptok + rng.choice([" ", "  ", "\n", "\n    ", "\t"])
+        engine.sql(text)
+        got = {r.k: r.v for r in wh.read("mt").collect()}
+        assert got == expected, f"variant {trial}: {text!r}"
+
+
+def test_parser_refuses_trailing_garbage(spark, wh):
+    engine = SqlDml(wh)
+    wh.overwrite(spark.createDataFrame([(1, 2)], "k int, v int"), "g")
+    spark.createDataFrame([(1, 3)], "k int, v int") \
+        .createOrReplaceTempView("g_src")
+    with pytest.raises(ValueError):
+        engine.sql("""
+            MERGE INTO g t USING g_src s ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET *
+            SOME TRAILING GARBAGE
+        """)
+    with pytest.raises(ValueError, match="malformed WHERE"):
+        engine.sql("UPDATE g SET v = 1 WHERE")  # empty predicate
