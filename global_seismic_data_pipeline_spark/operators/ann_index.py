@@ -40,6 +40,18 @@ from . import similarity
 _LISTS, _CB, _META = "_lists", "_codebook", "_meta"
 
 
+def _fresh_table(spark, table: str):
+    """Catalog read with the relation cache invalidated first: a
+    foreachBatch CLONE's saveAsTable append updates the files but not the
+    OUTER session's cached file listing — without the refresh, a reader
+    session sees the index as it looked before the stream ran (same
+    hazard class as the dedup sink's per-batch warehouse binding). The
+    refresh costs one file re-listing — the normal price of a fresh query
+    over an externally-appended table."""
+    spark.catalog.refreshTable(table)
+    return spark.table(table)
+
+
 def build_ivf_index(
     warehouse: Warehouse,
     df: DataFrame,
@@ -128,7 +140,7 @@ def probe_ivf_index(
     ``similarity.ivf_topk``."""
     meta, cb_q = _load(warehouse, name)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
-    lists = warehouse.spark.table(f"{name}{_LISTS}").select(
+    lists = _fresh_table(warehouse.spark, f"{name}{_LISTS}").select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         "cell",
@@ -188,7 +200,7 @@ def ivf_drift_metrics(
     the integer columns only)."""
     meta, cb_q = _load(warehouse, name)
     vec_col = meta["vec_col"]
-    lists = warehouse.spark.table(f"{name}{_LISTS}")
+    lists = _fresh_table(warehouse.spark, f"{name}{_LISTS}")
 
     from pyspark.sql.types import DoubleType, LongType
 
@@ -306,3 +318,29 @@ def reindex_due(
         "baseline_avg_dot": dot_b,
         "reasons": reasons,
     }
+
+
+def scrub_ids(
+    warehouse: Warehouse, batch_vectors: DataFrame, *, name: str = "ivf_index"
+) -> bool:
+    """Torn-replay repair for the IVF lists (vector-side twin of
+    ``neardup_incremental.scrub_batch_ids``): if any of the batch's ids
+    already sit in the stored lists (new ids are disjoint from stored by
+    the CDC contract, so presence ⟹ a previous attempt appended them
+    before crashing short of its commit), rebuild the lists WITHOUT those
+    ids under the same bucket spec. Cheap bucketed semi-probe first; the
+    rewrite only on the rare torn path. Returns True when a scrub ran."""
+    meta, _cb = _load(warehouse, name)
+    id_col, num_buckets = meta["id_col"], meta["num_buckets"]
+    spark = warehouse.spark
+    ids = batch_vectors.select(id_col).distinct()
+    lists = _fresh_table(spark, f"{name}{_LISTS}")
+    if not lists.join(ids, id_col, "left_semi").limit(1).count():
+        return False
+    # save_bucketed drops the old files before writing — materialize the
+    # survivors off them first (eager localCheckpoint)
+    clean = lists.join(ids, id_col, "left_anti").localCheckpoint()
+    warehouse.save_bucketed(
+        clean, f"{name}{_LISTS}", ("cell",), num_buckets=num_buckets
+    )
+    return True

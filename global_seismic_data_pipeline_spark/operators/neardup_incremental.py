@@ -55,6 +55,14 @@ from .neardup import (
 _DOCS, _BANDS, _META = "_docs", "_bands", "_meta"
 
 
+def _fresh_table(spark, table: str):
+    """Catalog read with the relation cache invalidated first — a
+    foreachBatch clone's bucketed append updates files but not other
+    sessions' cached listings (see ann_index._fresh_table)."""
+    spark.catalog.refreshTable(table)
+    return spark.table(table)
+
+
 def _index_rows(
     docs: DataFrame,
     *,
@@ -157,7 +165,7 @@ def scrub_batch_ids(
     id_col, num_buckets = meta["id_col"], meta["num_buckets"]
     spark = warehouse.spark
     ids = batch_docs.select(id_col).distinct()
-    stored_docs = spark.table(f"{name}{_DOCS}")
+    stored_docs = _fresh_table(spark, f"{name}{_DOCS}")
     if not stored_docs.join(ids, id_col, "left_semi").limit(1).count():
         return False
     # save_bucketed DROPS the table before rewriting, so the cleaned rows
@@ -166,7 +174,7 @@ def scrub_batch_ids(
     # would still scan the just-deleted files on first use)
     clean_docs = stored_docs.join(ids, id_col, "left_anti").localCheckpoint()
     clean_bands = (
-        spark.table(f"{name}{_BANDS}")
+        _fresh_table(spark, f"{name}{_BANDS}")
         .join(ids, id_col, "left_anti")
         .localCheckpoint()
     )
@@ -223,8 +231,8 @@ def incremental_minhash_pairs(
             bands=bands_n, hasher=hasher,
         )
     )
-    stored_bands = spark.table(f"{name}{_BANDS}")
-    stored_docs = spark.table(f"{name}{_DOCS}")
+    stored_bands = _fresh_table(spark, f"{name}{_BANDS}")
+    stored_docs = _fresh_table(spark, f"{name}{_DOCS}")
 
     # new-vs-old: probe the bucketed postings on its bucketing keys — the
     # stored side is read co-partitioned from disk, only new rows shuffle.

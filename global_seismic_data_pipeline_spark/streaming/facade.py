@@ -474,6 +474,66 @@ def make_dedup_batch_fn(
     return dedup_batch
 
 
+def incremental_ann_sink(
+    stream: DataFrame,
+    wh: Warehouse,
+    *,
+    checkpoint_dir: str,
+    name: str = "ivf_index",
+) -> DataStreamWriter:
+    """Streaming vector ingestion into the persisted IVF index — the
+    embedding-store twin of :func:`incremental_dedup_sink`: each
+    micro-batch is assigned with the FROZEN stored codebook
+    (:func:`..operators.ann_index.append_to_ivf_index`) and
+    bucketed-appended; the stored corpus is never re-read or re-assigned,
+    and append ≡ rebuild under the frozen codebook (the invariant the
+    batch operator pins against its oracle). Build the index first with
+    ``build_ivf_index`` (possibly on an empty/base corpus), then stream.
+
+    Same replay contract as the dedup sink: an ``{name}_epochs`` commit
+    log is appended as the LAST step per batch, so a redelivered
+    committed batch_id skips exactly, and a TORN replay (ids already in
+    the lists, no epoch row) scrubs the partial append before
+    reprocessing (:func:`..operators.ann_index.scrub_ids`)."""
+    fn = make_ann_batch_fn(wh, name=name)
+    return (
+        stream.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+
+
+def make_ann_batch_fn(wh: Warehouse, *, name: str = "ivf_index"):
+    """The foreachBatch callable behind :func:`incremental_ann_sink`,
+    exposed so replay semantics are testable deterministically."""
+    from ..operators import ann_index
+
+    def ann_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # per-batch warehouse bound to the micro-batch's cloned session
+        # (same stale-relation-cache hazard as the dedup sink)
+        bwh = Warehouse(batch_df.sparkSession, wh.root, wh.fmt)
+        epochs = f"{name}_epochs"
+        if bwh.exists(epochs) and (
+            bwh.read(epochs)
+            .filter(F.col("batch_id") == batch_id)
+            .limit(1)
+            .count()
+        ):
+            return  # committed batch redelivered — exact skip
+        ann_index.scrub_ids(bwh, batch_df, name=name)  # torn-replay repair
+        ann_index.append_to_ivf_index(bwh, batch_df, name=name)
+        bwh.append(
+            batch_df.sparkSession.createDataFrame(
+                [(int(batch_id),)], "batch_id long"
+            ).coalesce(1),
+            epochs,
+        )
+
+    return ann_batch
+
+
 def run_available_now(writer: DataStreamWriter) -> None:
     """Drain everything currently available, then stop (hermetic test
     trigger; on a cluster use processingTime/continuous triggers)."""

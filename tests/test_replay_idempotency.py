@@ -136,3 +136,94 @@ def test_upsert_sink_merge_batch_redelivery(spark, wh):
         wh.merge(unique, "silver", ["event_id"])
     got = sorted(tuple(r) for r in wh.read("silver").collect())
     assert got == [("e1", 5.5, 30), ("e2", 6.0, 20)]
+
+
+# -- streaming ANN-index sink ----------------------------------------------
+
+
+def _vecs(spark, lo, hi, seed=0):
+    import random
+
+    rng = random.Random(seed)
+    return spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(lo, hi)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def _lists_snapshot(spark, name):
+    # refresh first: appends from foreachBatch CLONES update files but not
+    # this session's relation cache (the hazard the library read paths
+    # handle via ann_index._fresh_table)
+    spark.catalog.refreshTable(f"{name}_lists")
+    return sorted(
+        (r.vec_id, r.cell)
+        for r in spark.table(f"{name}_lists").select("vec_id", "cell").collect()
+    )
+
+
+def test_ann_sink_stream_equals_batch_and_replays_exactly(spark, tmp_path):
+    """Drained stream ≡ batch appends under the frozen codebook;
+    committed redelivery is a no-op; torn replay scrubbed ≡ clean."""
+    from global_seismic_data_pipeline_spark.operators import ann_index
+    from global_seismic_data_pipeline_spark.streaming import facade
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    base = _vecs(spark, 0, 60, seed=1)
+    ann_index.build_ivf_index(wh, base, cells=8, iters=3, name="sann")
+    fn = facade.make_ann_batch_fn(wh, name="sann")
+
+    b0, b1 = _vecs(spark, 100, 130, seed=2), _vecs(spark, 200, 240, seed=3)
+    fn(b0, 0)
+    fn(b1, 1)
+    snap = _lists_snapshot(spark, "sann")
+    assert len(snap) == 60 + 30 + 40
+
+    # committed redelivery (latest and stale): bit-identical
+    fn(b1, 1)
+    fn(b0, 0)
+    assert _lists_snapshot(spark, "sann") == snap
+
+    # torn replay of batch 2: store append happened, epoch commit did not
+    b2 = _vecs(spark, 300, 320, seed=4)
+    ann_index.append_to_ivf_index(wh, b2, name="sann")
+    fn(b2, 2)  # sink redelivery must scrub the partial rows first
+    snap2 = _lists_snapshot(spark, "sann")
+    assert len(snap2) == 60 + 30 + 40 + 20  # each id exactly once
+
+    # stream result ≡ clean batch appends into a reference index
+    ref = Warehouse(spark, str(tmp_path / "whref"))
+    ann_index.build_ivf_index(ref, base, cells=8, iters=3, name="sannref")
+    for b in (b0, b1, b2):
+        ann_index.append_to_ivf_index(ref, b, name="sannref")
+    assert snap2 == _lists_snapshot(spark, "sannref")
+    spark.sql("DROP TABLE IF EXISTS sann_lists")
+    spark.sql("DROP TABLE IF EXISTS sannref_lists")
+
+
+def test_ann_sink_through_real_stream(spark, tmp_path):
+    """End-to-end through readStream/foreachBatch with availableNow."""
+    from global_seismic_data_pipeline_spark.operators import ann_index
+    from global_seismic_data_pipeline_spark.streaming import facade
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ann_index.build_ivf_index(
+        wh, _vecs(spark, 0, 40, seed=5), cells=8, iters=3, name="tann"
+    )
+    d = tmp_path / "arrivals"
+    _vecs(spark, 500, 520, seed=6).coalesce(1).write.mode("append").parquet(str(d))
+    _vecs(spark, 600, 630, seed=7).coalesce(1).write.mode("append").parquet(str(d))
+    schema = spark.createDataFrame([], "vec_id long, embedding array<double>").schema
+    stream = facade.read_stream(spark, str(d), schema, max_files_per_trigger=1)
+    facade.run_available_now(
+        facade.incremental_ann_sink(
+            stream, wh, checkpoint_dir=str(tmp_path / "ckpt"), name="tann"
+        )
+    )
+    assert len(_lists_snapshot(spark, "tann")) == 40 + 20 + 30
+    # probing the grown index sees streamed vectors as neighbors
+    out = ann_index.probe_ivf_index(
+        wh, _vecs(spark, 500, 501, seed=6), name="tann", k=3, nprobe=8
+    )
+    assert out.count() > 0
+    spark.sql("DROP TABLE IF EXISTS tann_lists")
