@@ -20,10 +20,10 @@ or ``02_ingestion.py:221-227`` / ``04_silver_transformation.py:216-222``::
     WHERE table_name = 'silver_earthquakes'
 
 ) gets an AnalysisException. :class:`SqlDml` closes that gap: it parses
-the three DML statement shapes with a small regex grammar and dispatches
-them to warehouse primitives (anti-join + union + atomic overwrite); any
-other statement passes through to ``spark.sql`` with the warehouse tables
-registered as views. No SQL generality is promised beyond the grammar
+the DML/DDL statement shapes below with a small regex grammar and
+dispatches them to warehouse primitives (anti-join + union + atomic
+overwrite); any other statement passes through to ``spark.sql`` with the
+warehouse tables registered as views. No SQL generality is promised beyond the grammar
 below — unsupported syntax raises ``ValueError`` with the offending text,
 never a silent misparse.
 
