@@ -13,7 +13,8 @@ the core loop of every subword tokenizer trainer, expressed Spark-first:
   semantics;
 - **adaptive delta-recount**: only words CONTAINING the chosen pair can
   change any pair count. When the chosen pair is RARE (occurrences /
-  total symbols below ``delta_threshold``) the round (a) splits state
+  total WORDS — the affected-word fraction, NOT the symbol fraction,
+  which under-routes; below ``delta_threshold``) the round (a) splits state
   into affected words (broadcast semi-join on the candidate word keys)
   and untouched words, (b) re-windows ONLY the affected rows, and
   (c) updates the count table by subtracting the affected words'

@@ -128,6 +128,62 @@ def stored_join_stats(warehouse, table: str, key: str) -> dict:
     }
 
 
+def plan_join(
+    warehouse,
+    left_table: str,
+    right_table: str,
+    key: str,
+    *,
+    left_df: DataFrame | None = None,
+    right_df: DataFrame | None = None,
+    both_bucketed_on_keys: bool = False,
+    broadcast_bytes: int = DEFAULT_BROADCAST_BYTES,
+    skew_flag: float = DEFAULT_SKEW_FLAG,
+    p: int = 12,
+) -> "JoinDecision":
+    """Stored-stats-FIRST planning entry point (the default path): read
+    the ANALYZE-time rows from ``join_stats`` — two control-plane lookups
+    that never touch the data tables (they need not even exist any more).
+    Only on a stats MISS fall back to an inline one-pass profile of the
+    corresponding fallback DataFrame, with a loud RuntimeWarning — at
+    100 TB that pass is exactly what scheduling ANALYZE
+    (``pipeline.maintenance.refresh_join_stats``) exists to avoid — and
+    refuse when no fallback df was provided."""
+    import warnings
+
+    have_store = warehouse.exists(STATS_TABLE)
+
+    def side(table: str, df: DataFrame | None) -> dict:
+        if have_store:
+            try:
+                return stored_join_stats(warehouse, table, key)
+            except KeyError:
+                pass
+        if df is None:
+            raise KeyError(
+                f"no stored join stats for ({table!r}, {key!r}) and no "
+                "fallback DataFrame — run analyze_table / "
+                "maintenance.refresh_join_stats first"
+            )
+        warnings.warn(
+            f"join planning fell back to an inline profile SCAN of "
+            f"{table!r} on {key!r}: stored stats missing — schedule "
+            "maintenance.refresh_join_stats so planning stays "
+            "control-plane only",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return join_stats(df, key, p=p)
+
+    return choose_join_strategy(
+        side(left_table, left_df),
+        side(right_table, right_df),
+        both_bucketed_on_keys=both_bucketed_on_keys,
+        broadcast_bytes=broadcast_bytes,
+        skew_flag=skew_flag,
+    )
+
+
 @dataclass
 class JoinDecision:
     strategy: str            # broadcast_left | broadcast_right | bucketed | shuffle

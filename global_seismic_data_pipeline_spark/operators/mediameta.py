@@ -86,11 +86,22 @@ def parse_mp4_meta(b: bytes) -> dict:
     def visit(start: int, end: int) -> None:
         for btype, body, box_end in _walk_boxes(b, start, end):
             if btype == b"mvhd":
+                if body >= box_end:
+                    continue  # truncated box — skip, don't raise
                 version = b[body]
+                # version 1: creation/modification are 64-bit (16 bytes
+                # after version+flags), then timescale:4 + duration:8;
+                # version 0: 32-bit times (8 bytes), timescale:4 +
+                # duration:4. Bounds-check against box_end so a valid
+                # ftyp with a truncated mvhd yields NULLs, not a raise.
+                at = body + 4 + (16 if version == 1 else 8)
+                need = 12 if version == 1 else 8
+                if at + need > box_end:
+                    continue
                 if version == 1:
-                    ts, dur = struct.unpack_from(">IQ", b, body + 4 + 16)
+                    ts, dur = struct.unpack_from(">IQ", b, at)
                 else:
-                    ts, dur = struct.unpack_from(">II", b, body + 4 + 8)
+                    ts, dur = struct.unpack_from(">II", b, at)
                 meta["timescale"] = ts
                 meta["duration_units"] = dur
                 meta["duration_s"] = dur / ts if ts else None
@@ -325,7 +336,14 @@ def media_metadata(df: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
     def one(b) -> tuple:
         b = bytes(b)
         if len(b) >= 12 and b[4:8] == b"ftyp":
-            m = parse_mp4_meta(b)
+            # struct.error covers corrupt-but-ftyp payloads (e.g. an
+            # undersized stsz/stsc) — the docstring's never-raise
+            # contract must hold for every malformed shape, not just
+            # the ones parse_mp4_meta bounds-checks itself.
+            try:
+                m = parse_mp4_meta(b)
+            except (ValueError, struct.error):
+                return (None, None, None, None, None, None)
             return (
                 "mp4", m["duration_s"], m["track_count"],
                 ",".join(m["codecs"]) or None, None, None,

@@ -41,6 +41,7 @@ dense_rank when tie positions don't matter).
 from __future__ import annotations
 
 from collections.abc import Sequence
+from functools import reduce
 
 import numpy as np
 import pandas as pd
@@ -99,8 +100,19 @@ def ranked(
             ascending=ascending,
             num_partitions=num_partitions,
         )
-        return df.join(key_ranks, on=order_cols, how="inner").select(
-            *df.columns, out_col
+        # Join back NULL-SAFE (<=> is still an equi-join key, so this
+        # stays a hash/sort-merge join): a plain inner equi-join would
+        # silently DROP rows whose order key is NULL, whereas a window
+        # dense_rank ranks them (NULLS FIRST asc / LAST desc — exactly
+        # where the range pass placed them).
+        for c in order_cols:
+            key_ranks = key_ranks.withColumnRenamed(c, f"__kr_{c}")
+        cond = reduce(
+            lambda a, b: a & b,
+            [df[c].eqNullSafe(key_ranks[f"__kr_{c}"]) for c in order_cols],
+        )
+        return df.join(key_ranks, cond, "inner").select(
+            *[df[c] for c in df.columns], key_ranks[out_col]
         )
     return _range_ranked(
         df,

@@ -14,6 +14,7 @@ from __future__ import annotations
 import os
 import re
 import shutil
+import urllib.parse
 from collections.abc import Sequence
 
 from pyspark.sql import functions as F
@@ -135,6 +136,25 @@ def analyze(wh: Warehouse, name: str) -> None:
         wh.spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
 
 
+def refresh_join_stats(
+    wh: Warehouse, pairs: Sequence[tuple[str, str]]
+) -> int:
+    """ANALYZE-step companion for the engine's own join planner: refresh
+    the stored (table, key) rows that :func:`operators.joinplan.plan_join`
+    consumes, so planning stays a control-plane read (never a data scan).
+    Run alongside :func:`analyze` in the maintenance window. Skips pairs
+    whose table does not exist; returns the number of rows refreshed."""
+    from ..operators import joinplan
+
+    n = 0
+    for table, key in pairs:
+        if not wh.exists(table):
+            continue
+        joinplan.analyze_table(wh, wh.read(table), table, key)
+        n += 1
+    return n
+
+
 def vacuum(wh: Warehouse) -> int:
     """Remove leftover staging/trash directories from interrupted writes
     (ref VACUUM, TABLE OPTIMIZATION.py:136-144). Returns dirs removed."""
@@ -148,9 +168,12 @@ def vacuum(wh: Warehouse) -> int:
 
 # Partition-value encodings whose lexicographic order provably equals
 # value order: ISO dates / timestamps (fixed-width, most-significant-first)
-# and zero-padded digit strings of uniform width.
+# and zero-padded digit strings of uniform width. Values must be DECODED
+# (hive %-unescaped) before matching/comparing: '%' (0x25) sorts before
+# ':' (0x3A), so an encoded '2024-01-02 12%3A00' compares below the
+# unencoded cutoff '2024-01-02 09:00:00' despite being a later time.
 _ISO_DATETIME = re.compile(
-    r"^\d{4}-\d{2}-\d{2}([ T]\d{2}(:|%3A)\d{2}((:|%3A)\d{2})?)?$"
+    r"^\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}(:\d{2})?)?$"
 )
 
 
@@ -197,18 +220,24 @@ def retention_delete(
     if pcols and pcols[0] == col:
         cutoff_str = str(cutoff)
         table = wh.path(name)
-        part_vals = [
+        # Hive directory names %-encode special chars (':' → '%3A');
+        # decode for the format check and the comparison, but keep the
+        # RAW name for rmtree — the directory on disk is the encoded one.
+        raw_vals = [
             d.split("=", 1)[1]
             for d in sorted(os.listdir(table))
             if d.startswith(f"{col}=")
         ]
-        live = [v for v in part_vals if v != "__HIVE_DEFAULT_PARTITION__"]
-        if _lexicographic_order_is_value_order(live, cutoff_str):
+        live = [(v, urllib.parse.unquote(v)) for v in raw_vals
+                if v != "__HIVE_DEFAULT_PARTITION__"]
+        if _lexicographic_order_is_value_order(
+            [dec for _, dec in live], cutoff_str
+        ):
             dropped = []
-            for val in live:
-                if val < cutoff_str:
-                    shutil.rmtree(os.path.join(table, f"{col}={val}"))
-                    dropped.append(val)
+            for raw, dec in live:
+                if dec < cutoff_str:
+                    shutil.rmtree(os.path.join(table, f"{col}={raw}"))
+                    dropped.append(raw)
             return {"mode": "partition_drop",
                     "partitions_dropped": len(dropped)}
         # Encoding where string order may diverge from value order

@@ -25,7 +25,9 @@ dispatches them to warehouse primitives (anti-join + union + atomic
 overwrite); any other statement passes through to ``spark.sql`` with the
 warehouse tables registered as views. No SQL generality is promised beyond the grammar
 below — unsupported syntax raises ``ValueError`` with the offending text,
-never a silent misparse.
+never a silent misparse. Keyword detection runs against a literal-MASKED
+copy of the statement (:func:`_mask_literals`), so grammar keywords inside
+single-quoted strings (``SET msg = 'x where y'``) never confuse the parse.
 
 Supported grammar (case-insensitive keywords):
 
@@ -110,6 +112,39 @@ _WHEN_RE = re.compile(
     r"(?=\s+WHEN\s+(?:NOT\s+)?MATCHED|\s*$)",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+def _mask_literals(text: str) -> str:
+    """Same-LENGTH copy of ``text`` with every character inside a
+    single-quoted string replaced by ``\\x00`` (the quotes themselves
+    stay). Keyword regexes run against the mask so a literal like
+    ``'x where y'`` can never be mistaken for a WHERE clause; because
+    the mask preserves length, every match span maps 1:1 back onto the
+    original text. SQL's ``''`` escape degenerates to close-then-reopen,
+    which masks identically."""
+    out, in_str = [], False
+    for ch in text:
+        if in_str and ch != "'":
+            out.append("\x00")
+            continue
+        out.append(ch)
+        if ch == "'":
+            in_str = not in_str
+    return "".join(out)
+
+
+def _mask_match(regex: re.Pattern, text: str) -> dict[str, str | None] | None:
+    """Match ``regex`` against the literal-masked ``text`` and return
+    {named group: ORIGINAL-text slice} (None for unmatched optional
+    groups), or None when the statement does not match the grammar."""
+    m = regex.match(_mask_literals(text))
+    if not m:
+        return None
+    out: dict[str, str | None] = {}
+    for name in regex.groupindex:
+        s, e = m.span(name)
+        out[name] = None if s == -1 else text[s:e]
+    return out
 
 
 def _split_top_level(text: str, sep: str = ",") -> list[str]:
@@ -219,13 +254,13 @@ class SqlDml:
 
     # -- UPDATE / DELETE --------------------------------------------------
     def _update(self, text: str) -> DataFrame:
-        m = _UPDATE_RE.match(text)
+        m = _mask_match(_UPDATE_RE, text)
         if not m:
             raise ValueError(f"unsupported UPDATE syntax: {text!r}")
         name = m["target"]
         if not self.wh.exists(name):
             raise ValueError(f"UPDATE target {name!r} is not a warehouse table")
-        if re.search(r"\bWHERE\b", m["sets"], re.IGNORECASE):
+        if re.search(r"\bWHERE\b", _mask_literals(m["sets"]), re.IGNORECASE):
             # a dangling/empty WHERE fails the optional where-group and
             # would otherwise fold into the last SET expression (Spark
             # happily parses "1 WHERE" as an aliased literal) — refuse
@@ -254,7 +289,7 @@ class SqlDml:
         return self._summary(statement="UPDATE", table=name, rows_updated=n)
 
     def _delete(self, text: str) -> DataFrame:
-        m = _DELETE_RE.match(text)
+        m = _mask_match(_DELETE_RE, text)
         if not m:
             raise ValueError(f"unsupported DELETE syntax: {text!r}")
         name = m["target"]
@@ -290,7 +325,7 @@ class SqlDml:
         STRING / TIMESTAMP etc. all resolve exactly as Spark would);
         the USING clause is accepted and ignored (the warehouse is the
         storage layer — the reference's ``USING DELTA`` runs verbatim)."""
-        m = _CREATE_RE.match(text)
+        m = _mask_match(_CREATE_RE, text)
         if not m:
             raise ValueError(f"unsupported CREATE TABLE syntax: {text!r}")
         name = m["target"]
@@ -306,7 +341,7 @@ class SqlDml:
         return self._summary(statement="CREATE", table=name, created=True)
 
     def _insert(self, text: str) -> DataFrame:
-        m = _INSERT_RE.match(text)
+        m = _mask_match(_INSERT_RE, text)
         if not m:
             raise ValueError(f"unsupported INSERT syntax: {text!r}")
         name = m["target"]
@@ -370,7 +405,7 @@ class SqlDml:
         )
 
     def _merge(self, text: str) -> DataFrame:
-        m = _MERGE_RE.match(text)
+        m = _mask_match(_MERGE_RE, text)
         if not m:
             raise ValueError(f"unsupported MERGE syntax: {text!r}")
         name = m["target"]
@@ -383,13 +418,19 @@ class SqlDml:
         # silently drop a clause
         clause_text = m["clauses"].strip()
         parsed, pos = [], 0
-        for mm in _WHEN_RE.finditer(clause_text):
+        # finditer over the MASKED clauses (so WHEN/THEN inside string
+        # literals are invisible), slicing each group from the original
+        # text by span — the mask is length-preserving.
+        for mm in _WHEN_RE.finditer(_mask_literals(clause_text)):
             if clause_text[pos : mm.start()].strip():
                 raise ValueError(
                     "unparsed MERGE clause text: "
                     f"{clause_text[pos:mm.start()].strip()!r}"
                 )
-            is_not, cond, action = mm.groups()
+            is_not = mm.group("not")
+            cs, ce = mm.span("cond")
+            cond = clause_text[cs:ce] if cs != -1 else None
+            action = clause_text[slice(*mm.span("action"))]
             parsed.append(
                 (bool(is_not), (cond or "").strip() or None, action.strip())
             )
@@ -430,14 +471,23 @@ class SqlDml:
         return self._general_merge(name, source, keys, talias, salias, parsed)
 
     def _check_key_unique(self, source: DataFrame, keys: list[str]) -> None:
-        agg = source.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count_distinct(*[F.col(k) for k in keys]).alias("d"),
-        ).collect()[0]
-        if agg["n"] != agg["d"]:
+        """Reject a source where one key tuple would match one target row
+        more than once. NULL-keyed rows are EXCLUDED from the check: the
+        equi-join can never match them to a target row (NULL = x is never
+        true), so they always take the NOT MATCHED insert path — Delta
+        accepts them, and count_distinct (which skips NULL tuples) used
+        to flag them spuriously."""
+        nonnull = source.select(*keys).na.drop(how="any", subset=keys)
+        worst = (
+            nonnull.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n").alias("mx"))
+            .collect()[0]["mx"]
+        )
+        if worst is not None and worst > 1:
             raise ValueError(
                 "MERGE source is not key-unique on "
-                f"{keys} ({agg['n']} rows, {agg['d']} distinct keys): "
+                f"{keys} (a key tuple appears {worst} times): "
                 "multiple source rows would match one target row"
             )
 

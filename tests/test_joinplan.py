@@ -135,3 +135,58 @@ def test_analyze_store_then_plan_without_data(spark, tmp_path):
 
     with pytest.raises(KeyError, match="never|no stored"):
         joinplan.stored_join_stats(wh, "fact", "other_key")
+
+
+def test_plan_join_stored_stats_default_no_data_scan(spark, tmp_path):
+    """plan_join's default path reads ONLY stored stats: the data tables
+    are never registered in the warehouse and no fallback df is passed,
+    so a data scan is impossible by construction — yet the decision
+    matches the inline-profile path. A stats miss with a fallback df
+    warns loudly; a miss without one refuses."""
+    import warnings
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    dim, fact = _dim(spark), _fact(spark)
+    joinplan.analyze_table(wh, dim, "dim", "k")
+    joinplan.analyze_table(wh, fact, "fact", "k")
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any fallback warning → fail
+        stored = joinplan.plan_join(wh, "fact", "dim", "k")
+    live = joinplan.choose_join_strategy(
+        joinplan.join_stats(fact, "k"), joinplan.join_stats(dim, "k")
+    )
+    assert stored.strategy == live.strategy == "broadcast_right"
+    assert stored.est_join_rows == live.est_join_rows
+
+    # miss + fallback df: plans, but with the loud scan warning
+    with pytest.warns(RuntimeWarning, match="inline profile SCAN"):
+        d = joinplan.plan_join(
+            wh, "fact", "other_dim", "k", right_df=_dim(spark, n=20)
+        )
+    assert d.strategy == "broadcast_right"
+
+    # miss + no fallback: refuse
+    with pytest.raises(KeyError, match="no stored join stats"):
+        joinplan.plan_join(wh, "fact", "missing", "k")
+
+
+def test_maintenance_refresh_join_stats(spark, tmp_path):
+    """The maintenance ANALYZE step refreshes the planner's stored rows:
+    after a table grows, refresh_join_stats updates n_rows in place and
+    plan_join sees the new numbers without scanning at plan time."""
+    from global_seismic_data_pipeline_spark.pipeline import maintenance
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.overwrite(_dim(spark), "dim")
+    wh.overwrite(_fact(spark, n=2000), "fact")
+    n = maintenance.refresh_join_stats(
+        wh, [("dim", "k"), ("fact", "k"), ("ghost", "k")]
+    )
+    assert n == 2  # ghost skipped
+    assert joinplan.stored_join_stats(wh, "fact", "k")["n_rows"] == 2000
+
+    wh.overwrite(_fact(spark, n=7000), "fact")
+    maintenance.refresh_join_stats(wh, [("fact", "k")])
+    assert joinplan.stored_join_stats(wh, "fact", "k")["n_rows"] == 7000
+    assert wh.read(joinplan.STATS_TABLE).count() == 2  # upsert, no dupes

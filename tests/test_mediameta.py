@@ -116,6 +116,33 @@ def test_sniff_recognizes_mp4_and_mp3():
 # -- Spark stage ------------------------------------------------------------
 
 
+def test_mp4_truncated_mvhd_yields_nulls_not_raise():
+    """A valid ftyp with an UNDERSIZED mvhd (fewer bytes than the version's
+    fixed layout) must not raise struct.error — the reads are bounds-checked
+    against box_end and the metadata stays NULL."""
+    bad = _box(b"ftyp", b"isom" + b"\x00" * 8) + _box(
+        b"moov", _box(b"mvhd", b"\x00\x00\x00\x00" + b"\x00" * 6)
+    )
+    m = mediameta.parse_mp4_meta(bad)
+    assert m["timescale"] is None and m["duration_s"] is None
+
+
+def test_media_metadata_stage_corrupt_mp4_payload(spark):
+    """docstring contract: 'never a per-row raise on mixed corpora' — a
+    corrupt-but-ftyp payload (undersized stsz-style garbage inside moov)
+    maps to a NULL row instead of failing the Spark stage."""
+    corrupt = (
+        _box(b"ftyp", b"isom" + b"\x00" * 8)
+        + _box(b"moov", _box(b"mvhd", b"\x01" + b"\x00" * 3))  # v1, truncated
+    )
+    rows = [(0, bytearray(_mp4())), (1, bytearray(corrupt))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in mediameta.media_metadata(df).collect()}
+    assert got[0].kind == "mp4"
+    # the corrupt payload is still BMFF-shaped → kind=mp4, NULL metrics
+    assert got[1].duration_s is None and got[1].codec is None
+
+
 def test_media_metadata_stage_mixed_payloads(spark):
     rows = [
         (0, bytearray(_mp4())),

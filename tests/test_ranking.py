@@ -41,6 +41,22 @@ def test_matches_window_form_multi_key_desc(spark, method):
     assert {tuple(r) for r in got.collect()} == {tuple(r) for r in exp.collect()}
 
 
+def test_dense_rank_null_keys_kept_and_ranked(spark):
+    """NULL order keys must NOT be dropped by the distinct-first
+    join-back (a plain inner equi-join would lose them). They rank where
+    a window dense_rank puts them: NULLS FIRST ascending."""
+    rows = [(0, None), (1, 5), (2, None), (3, 2), (4, 5)]
+    df = spark.createDataFrame(rows, "row_id long, k long")
+    got = ranking.ranked(df, ["k"], method="dense_rank", num_partitions=4)
+    assert got.count() == 5  # nothing silently dropped
+    exp = df.withColumn(
+        "rank", F.dense_rank().over(Window.orderBy("k")).cast("long")
+    )
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in exp.collect()
+    }
+
+
 def test_tie_runs_across_arrow_batches(spark):
     """Long runs of equal keys + a tiny Arrow batch size force key runs to
     straddle batch boundaries inside a partition — the carry state must

@@ -216,6 +216,42 @@ def test_retention_delete_fast_path_zero_padded_ints(spark, tmp_path):
     assert {int(r.age) for r in wh.read("t").collect()} == {20, 100}
 
 
+def test_retention_delete_fast_path_encoded_timestamp_partitions(
+    spark, tmp_path
+):
+    """Timestamp-grain partition values hive-encode ':' as '%3A' in the
+    directory name. '%' (0x25) sorts before ':' (0x3A), so comparing the
+    RAW directory string against the unencoded cutoff would put EVERY
+    same-day timestamp below the cutoff — deleting unexpired partitions.
+    The fast path must decode before comparing (and still rmtree the raw
+    encoded directory)."""
+    import os
+
+    from global_seismic_data_pipeline_spark.pipeline import maintenance
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 23:00:00", 1),  # previous day → expired
+            ("2024-01-02 08:00:00", 2),  # same day, before cutoff → expired
+            ("2024-01-02 12:00:00", 3),  # same day, AFTER cutoff → survives
+        ],
+        "ts string, v long",
+    )
+    wh.overwrite(df, "t", partition_by=["ts"])
+    # precondition: the hazard is real — dirs on disk are %-encoded
+    assert any("%3A" in d for d in os.listdir(wh.path("t")))
+    out = maintenance.retention_delete(wh, "t", "ts", "2024-01-02 09:00:00")
+    assert out == {"mode": "partition_drop", "partitions_dropped": 2}
+    assert {str(r.ts) for r in wh.read("t").collect()} == {
+        "2024-01-02 12:00:00"
+    }
+    # idempotent
+    assert maintenance.retention_delete(
+        wh, "t", "ts", "2024-01-02 09:00:00"
+    ) == {"mode": "partition_drop", "partitions_dropped": 0}
+
+
 def test_compact_bucketed_preserves_colocated_join(spark, tmp_path):
     """Repeated bucketed appends pile up files; compaction shrinks the
     file count back to ~#buckets, keeps every row, and the bucket join

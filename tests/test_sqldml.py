@@ -254,6 +254,89 @@ def test_merge_rejects_non_key_unique_source(spark, wh):
         """)
 
 
+def test_keywords_inside_string_literals_parse(spark, wh):
+    """Grammar keywords (WHERE / AND / VALUES / WHEN ... THEN) inside
+    single-quoted string literals must be invisible to the statement
+    regexes — the masked-match layer. All four DML shapes dispatch
+    correctly with hostile literals."""
+    engine = SqlDml(wh)
+    wh.overwrite(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "k int, msg string"
+        ),
+        "lit_t",
+    )
+    # UPDATE: literal containing ' where ' + a real WHERE clause
+    out = engine.sql(
+        "UPDATE lit_t SET msg = 'x where y and z' WHERE k = 1"
+    ).collect()[0]
+    assert out.rows_updated == 1
+    got = {r.k: r.msg for r in wh.read("lit_t").collect()}
+    assert got == {1: "x where y and z", 2: "b"}
+    # UPDATE with literal but NO where clause — applies to all rows
+    engine.sql("UPDATE lit_t SET msg = 'no where here'")
+    assert {r.msg for r in wh.read("lit_t").collect()} == {"no where here"}
+    # DELETE: literal containing ' where '
+    engine.sql("UPDATE lit_t SET msg = 'keep where kept' WHERE k = 2")
+    out = engine.sql(
+        "DELETE FROM lit_t WHERE msg = 'keep where kept'"
+    ).collect()[0]
+    assert out.rows_deleted == 1
+    assert [r.k for r in wh.read("lit_t").collect()] == [1]
+    # INSERT VALUES: literal containing 'values (' and a comma
+    engine.sql(
+        "INSERT INTO lit_t VALUES (3, 'values (4, 5), where x'), (4, 'and')"
+    )
+    assert wh.read("lit_t").count() == 3
+    # MERGE: WHEN-clause literals containing 'when matched then'
+    spark.createDataFrame([(1, "src")], "k int, msg string") \
+        .createOrReplaceTempView("lit_src")
+    engine.sql("""
+        MERGE INTO lit_t t USING lit_src s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET msg = 'when matched then insert'
+        WHEN NOT MATCHED THEN INSERT (k, msg) VALUES (s.k, 'not when matched')
+    """)
+    got = {r.k: r.msg for r in wh.read("lit_t").collect()}
+    assert got[1] == "when matched then insert"
+    # escaped '' quote inside a literal still masks correctly
+    engine.sql("UPDATE lit_t SET msg = 'it''s where o''clock' WHERE k = 3")
+    assert {r.msg for r in wh.read("lit_t").collect()
+            if r.k == 3} == {"it's where o'clock"}
+
+
+def test_merge_accepts_null_keyed_source_rows(spark, wh):
+    """NULL merge keys can never equi-match a target row, so they are NOT
+    a key-uniqueness violation (Delta accepts them as NOT MATCHED
+    inserts). count_distinct skips NULL tuples and used to flag them
+    spuriously; duplicates among NON-null keys must still be rejected."""
+    engine = SqlDml(wh)
+    wh.overwrite(spark.createDataFrame([(1, 2)], "k int, v int"), "nn")
+    spark.createDataFrame(
+        [(None, 30), (None, 40), (1, 10)], "k int, v int"
+    ).createOrReplaceTempView("nn_src")
+    engine.sql("""
+        MERGE INTO nn t USING nn_src s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    got = sorted(
+        ((r.k if r.k is not None else -1), r.v)
+        for r in wh.read("nn").collect()
+    )
+    # matched row updated, both NULL-keyed rows inserted
+    assert got == [(-1, 30), (-1, 40), (1, 10)]
+    # real duplicates among non-null keys still refuse
+    spark.createDataFrame(
+        [(2, 1), (2, 2), (None, 3)], "k int, v int"
+    ).createOrReplaceTempView("nn_dup")
+    with pytest.raises(ValueError, match="not key-unique"):
+        engine.sql("""
+            MERGE INTO nn t USING nn_dup s ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+        """)
+
+
 def test_merge_preserves_partition_pruned_layout(spark, wh):
     """MERGE through the façade on a hive-partitioned table keeps the
     directory layout (overwrite preserves partition columns)."""
