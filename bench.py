@@ -120,6 +120,19 @@ def _calibrate(spark) -> float:
     return min(ts)
 
 
+# Index-backed queries whose driver form builds the index INSIDE the
+# query (by construction — the oracle pins append ≡ rebuild). A daily
+# pipeline pays the build once and runs the probe per batch, so bench
+# times the phases separately: build once per subprocess (cold, timed),
+# then the probe with the standard min-of-steady-runs discipline. The
+# recorded query time stays build+probe (round-over-round comparable);
+# the probe_split section carries the serving-path number.
+SPLIT = {
+    "incremental_minhash_dedup": ("_inc_mh_build", "_inc_mh_probe"),
+    "ivf_index_drift": ("_ivf_drift_build", "_ivf_drift_probe"),
+}
+
+
 def run_one(name: str, sf_dir: str) -> dict:
     """Measure one query (and the calibration probe) in this process."""
     import __spark_entry__ as ent
@@ -136,12 +149,8 @@ def run_one(name: str, sf_dir: str) -> dict:
 
     spark = get_spark(f"bench-{name}")
     spark.sparkContext.setLogLevel("ERROR")
-    fn = ent.queries()[name]
 
-    cold = os.environ.get("BENCH_COLD") == "1"
-    runs = 1 if cold else 4
-    times = []
-    for _ in range(runs):
+    def _release():
         neardup.release_cached()
         bloom.release_cached()
         sketch.release_cached()
@@ -149,6 +158,45 @@ def run_one(name: str, sf_dir: str) -> dict:
         search.release_cached()
         bpe.release_cached()
         cluster.release_cached()
+
+    cold = os.environ.get("BENCH_COLD") == "1"
+    runs = 1 if cold else 4
+
+    if name in SPLIT:
+        from global_seismic_data_pipeline_spark.plans import workloads_ext
+
+        build = getattr(workloads_ext, SPLIT[name][0])
+        probe = getattr(workloads_ext, SPLIT[name][1])
+        # warm-build discipline, matching the min-of-runs-2..4 the whole
+        # query used in earlier rounds (so build+probe stays comparable):
+        # build 1 pays codegen/session one-offs and is discarded; build 2
+        # (a fresh tempdir store) is the recorded build time.
+        t_build = None
+        for i in range(1 if cold else 2):
+            _release()
+            t0 = time.time()
+            ctx = build(spark, sf_dir)
+            t_build = time.time() - t0
+        times = []
+        for _ in range(runs):
+            _release()
+            t0 = time.time()
+            probe(spark, sf_dir, ctx).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            times.append(time.time() - t0)
+        t_probe = times[0] if cold else min(times[1:])
+        return {
+            "t": round(t_build + t_probe, 3),
+            "t_build": round(t_build, 3),
+            "t_probe": round(t_probe, 3),
+            "calib": _calibrate(spark),
+        }
+
+    fn = ent.queries()[name]
+    times = []
+    for _ in range(runs):
+        _release()
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         times.append(time.time() - t0)
@@ -167,6 +215,7 @@ def main() -> None:
 
     times: dict[str, float] = {}
     ext_times: dict[str, float] = {}
+    probe_split: dict[str, dict] = {}
     calibs: list[float] = []
     for name in HEADLINE + EXTENDED:
         sink = times if name in HEADLINE else ext_times
@@ -180,6 +229,10 @@ def main() -> None:
         try:
             rec = json.loads(last)
             sink[name] = round(rec["t"], 3)
+            if "t_build" in rec:
+                probe_split[name] = {
+                    "build": rec["t_build"], "probe": rec["t_probe"]
+                }
             if "calib" in rec:
                 calibs.append(rec["calib"])
         except (ValueError, KeyError):
@@ -202,6 +255,7 @@ def main() -> None:
                 "queries": times,
                 "extended": ext_times,
                 "extended_total": round(sum(ext_times.values()), 3),
+                "probe_split": probe_split,
                 "calibration": {
                     "ref_sec": CALIB_REF,
                     "observed_median_sec": round(calib_med, 3) if calib_med else None,

@@ -175,6 +175,18 @@ def probe_ivf_index(
 DRIFT_BASELINE = "_drift_base"
 
 
+def sum_best_dot_agg():
+    """The drift-alignment aggregate: Σ best_dot evaluated in
+    DECIMAL(38,0). Per-member dots are int64 (< 2^46 at unit norm), but
+    a LONG sum wraps silently past ~1.3·10^5 members/cell — the decimal
+    sum is exact for any realistic cell (38 digits ≫ 10^19 · members).
+    Exposed standalone so the overflow behavior is pinned by a direct
+    expression-level test."""
+    return F.sum(F.col("best_dot").cast("decimal(38,0)")).alias(
+        "sum_best_dot"
+    )
+
+
 def ivf_drift_metrics(
     warehouse: Warehouse,
     *,
@@ -193,8 +205,10 @@ def ivf_drift_metrics(
     appended population as ``n_new`` so the drift of a specific batch is
     attributable. All integers — bit-for-bit oracle-checkable
     (``ivf_index_drift`` driver query). Magnitudes: member dot < 2^46
-    (QUANT²·dim with unit-norm data), so int64 sums hold to ~10^5
-    members/cell; beyond that cast the sum to DECIMAL(38,0). ``mean_cos``
+    (QUANT²·dim with unit-norm data), so an int64 SUM would silently
+    wrap past ~10^5 members/cell — the sum therefore evaluates in
+    DECIMAL(38,0) unconditionally (:func:`sum_best_dot_agg`), exact at
+    any cell size. ``mean_cos``
     is the scale-free member-to-centroid cosine (float, for the
     :func:`reindex_due` trigger — the oracle-checked driver query selects
     the integer columns only)."""
@@ -235,7 +249,7 @@ def ivf_drift_metrics(
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
             F.sum("is_new").alias("n_new"),
-            F.sum("best_dot").alias("sum_best_dot"),
+            sum_best_dot_agg(),
             F.avg("cos").alias("mean_cos"),
         )
         .select(

@@ -401,6 +401,14 @@ def ivf_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinning both the metrics arithmetic AND (again) append ≡ rebuild.
     These are the rows reindex_due() thresholds against the build-time
     baseline to trigger the (rare) full retrain."""
+    ctx = _ivf_drift_build(spark, sf_dir)
+    return _ivf_drift_probe(spark, sf_dir, ctx)
+
+
+def _ivf_drift_build(spark: SparkSession, sf_dir: str) -> dict:
+    """Index build + daily-batch append for ``ivf_index_drift`` — the
+    by-construction setup cost bench times separately from the monitor
+    probe (a deployment pays it at (re)build time only)."""
     import tempfile
 
     from ..operators import ann_index
@@ -412,9 +420,22 @@ def ivf_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     wh = Warehouse(spark, tempfile.mkdtemp(prefix="driftivf-"))
     ann_index.build_ivf_index(wh, base, cells=16, iters=4, name="drift_ivf")
     ann_index.append_to_ivf_index(wh, batch, name="drift_ivf")
+    return {"wh": wh}
+
+
+def _ivf_drift_probe(spark: SparkSession, sf_dir: str, ctx: dict) -> DataFrame:
+    """The monitor itself: per-cell metrics from the STORED lists only."""
+    from ..operators import ann_index
+
     return ann_index.ivf_drift_metrics(
-        wh, name="drift_ivf", new_pred="vec_id % 5 = 0"
-    ).select("cell", "n_vecs", "n_new", "sum_best_dot")
+        ctx["wh"], name="drift_ivf", new_pred="vec_id % 5 = 0"
+    ).select(
+        "cell", "n_vecs", "n_new",
+        # the operator sums in DECIMAL(38,0) (overflow-proof at any cell
+        # size); the checker compares scalar BIGINTs, so cast back —
+        # lossless at test SFs (sums ≪ 2^63)
+        F.col("sum_best_dot").cast("long").alias("sum_best_dot"),
+    )
 
 
 def asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1403,6 +1424,18 @@ def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import neardup_incremental as ninc
     from ..sources.warehouse import Warehouse
 
+    ctx = _inc_mh_build(spark, sf_dir)
+    return _inc_mh_probe(spark, sf_dir, ctx, append=True)
+
+
+def _inc_mh_build(spark: SparkSession, sf_dir: str) -> dict:
+    """Index-BUILD phase of ``incremental_minhash_dedup`` (bench times it
+    separately from the serving probe — a daily pipeline pays it once)."""
+    import tempfile
+
+    from ..operators import neardup_incremental as ninc
+    from ..sources.warehouse import Warehouse
+
     d = _docs(spark, sf_dir)
     base = d.filter(F.col("doc_id") % 5 != 0)
     batch = d.filter(F.col("doc_id") % 5 == 0)
@@ -1412,8 +1445,21 @@ def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=3, num_hashes=64, bands=16, seed=42, hasher="md5",
         name="inc_mh_idx",
     )
+    return {"wh": wh, "batch": batch}
+
+
+def _inc_mh_probe(
+    spark: SparkSession, sf_dir: str, ctx: dict, *, append: bool = False
+) -> DataFrame:
+    """Serving-path probe: shingle/sign the batch alone and hit the
+    stored band postings. ``append=False`` for repeated bench timing
+    (the store must not grow between runs); the driver query appends,
+    as the daily pipeline would."""
+    from ..operators import neardup_incremental as ninc
+
     return ninc.incremental_minhash_pairs(
-        wh, batch, text_col="text", threshold=0.2, name="inc_mh_idx",
+        ctx["wh"], ctx["batch"], text_col="text", threshold=0.2,
+        name="inc_mh_idx", append=append,
     )
 
 

@@ -563,6 +563,27 @@ def test_filtered_topk_respects_filter_and_differs_from_postfilter(spark):
     assert any(len(v) < 5 for v in kept.values())
 
 
+def test_sum_best_dot_decimal_sum_does_not_wrap(spark):
+    """Scaled-down overflow proof: per-member dots near 2^62 (the int64
+    regime a ~10^5-member cell of 2^46 dots reaches) sum EXACTLY under
+    the DECIMAL(38,0) aggregate, where a plain LONG sum wraps negative.
+    Pins the drift monitor's 100-TB-scale aggregate."""
+    from global_seismic_data_pipeline_spark.operators import ann_index
+
+    big = 1 << 62
+    df = spark.createDataFrame(
+        [(0, big), (0, big), (0, big)], "cell long, best_dot long"
+    )
+    row = df.groupBy("cell").agg(ann_index.sum_best_dot_agg()).collect()[0]
+    assert int(row["sum_best_dot"]) == 3 * big  # > 2^63: unrepresentable in int64
+    # and the old LONG sum really was broken at this magnitude: under
+    # ANSI (Spark 4 default, this session) the whole stage DIES with
+    # ARITHMETIC_OVERFLOW; non-ANSI would wrap silently — either way the
+    # decimal aggregate is the only correct form
+    with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW|overflow"):
+        df.groupBy("cell").agg(F.sum("best_dot").alias("s")).collect()
+
+
 def test_ivf_drift_monitor_fires_on_shifted_append(spark, vec_df, tmp_path):
     """Drift trigger: an append drawn from the SAME distribution leaves
     the monitor quiet; a shifted batch (one far-off direction crowding a
