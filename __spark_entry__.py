@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_merge_rollup": workloads_ext.hll_merge_rollup,
         "trimmed_mean_prices": workloads_ext.trimmed_mean_prices,
         "csv_parse_recovery": workloads_ext.csv_parse_recovery,
+        "cdf_order_changes": workloads_ext.cdf_order_changes,
     }
 
 

@@ -2694,3 +2694,31 @@ FROM documents
 """
 
 ORACLES_EXT["csv_parse_recovery"] = CSV_RECOVERY_SQL
+
+
+# change data feed: recompute each commit's diff set-theoretically from
+# the deterministic version definitions (v1 = %10<5 subset; v2 = merge of
+# +1e6-custkey rows for %10 in 3..6; v3 = v2 minus %10=0)
+CDF_ORDER_CHANGES_SQL = """
+WITH v1 AS (
+    SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 10 < 5
+), upd AS (
+    SELECT o_orderkey, o_custkey + 1000000 AS o_custkey
+    FROM orders WHERE o_orderkey % 10 BETWEEN 3 AND 6
+)
+SELECT u.o_orderkey, u.o_custkey,
+       'insert' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+FROM upd u LEFT JOIN v1 o ON u.o_orderkey = o.o_orderkey
+WHERE o.o_orderkey IS NULL
+UNION ALL
+SELECT o.o_orderkey, o.o_custkey, 'update_preimage', 2
+FROM v1 o JOIN upd u ON o.o_orderkey = u.o_orderkey
+UNION ALL
+SELECT u.o_orderkey, u.o_custkey, 'update_postimage', 2
+FROM v1 o JOIN upd u ON o.o_orderkey = u.o_orderkey
+UNION ALL
+SELECT o_orderkey, o_custkey, 'delete', 3
+FROM v1 WHERE o_orderkey % 10 = 0
+"""
+
+ORACLES_EXT["cdf_order_changes"] = CDF_ORDER_CHANGES_SQL

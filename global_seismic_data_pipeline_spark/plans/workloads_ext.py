@@ -2436,3 +2436,36 @@ def csv_parse_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, F.col("n_chars")).alias("n_chars_parsed"),
         F.when(ok, F.col("lang")).alias("lang_parsed"),
     )
+
+
+def cdf_order_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed on the versioned warehouse
+    (sources/versioned.py table_changes — Delta's
+    ``table_changes(name, from_v, to_v)``): v1 seeds a subset of orders,
+    v2 MERGEs updated+new rows, v3 deletes a band; the feed over commits
+    2..3 must report exactly the per-commit row deltas with Delta's
+    change vocabulary. The oracle recomputes the diffs set-theoretically
+    from the same deterministic version definitions — a wrong pre/post
+    pairing, a missed delete, or a phantom change for an untouched row
+    all hash-fail."""
+    import tempfile
+
+    from ..sources.versioned import VersionedWarehouse
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    wh = VersionedWarehouse(spark, tempfile.mkdtemp(prefix="cdf-"))
+    wh.overwrite(orders.filter(F.col("o_orderkey") % 10 < 5), "ord")  # v1
+    updates = orders.filter(
+        (F.col("o_orderkey") % 10 >= 3) & (F.col("o_orderkey") % 10 <= 6)
+    ).select(
+        "o_orderkey", (F.col("o_custkey") + 1000000).alias("o_custkey")
+    )
+    wh.merge(updates, "ord", ["o_orderkey"])                           # v2
+    wh.overwrite(
+        wh.read("ord").filter(F.col("o_orderkey") % 10 != 0), "ord"
+    )                                                                  # v3
+    return wh.table_changes("ord", 2, 3, keys=["o_orderkey"]).select(
+        "o_orderkey", "o_custkey", "_change_type", "_commit_version"
+    )

@@ -236,6 +236,131 @@ class VersionedWarehouse(Warehouse):
         os.rename(staging, self.path(dst))
         return self._commit(dst, f"clone({src})")
 
+    def table_changes(
+        self,
+        name: str,
+        from_version: int,
+        to_version: int | None = None,
+        *,
+        keys: Sequence[str] | None = None,
+    ) -> DataFrame:
+        """Change data feed (Delta: ``table_changes(name, from_v, to_v)``):
+        row-level deltas of every commit in ``[from_version, to_version]``
+        (``to_version`` defaults to the latest), derived from the commit
+        log's snapshots — each commit v is diffed against its nearest
+        RETAINED predecessor (normally v-1; after vacuum_snapshots the
+        diff spans the gap; the first retained commit diffs against
+        empty, so it reports its rows as inserts).
+
+        Output = the table's columns plus ``_change_type`` (``insert`` /
+        ``delete`` / ``update_preimage`` / ``update_postimage``),
+        ``_commit_version`` and ``_commit_timestamp_ms`` (from the commit
+        record). With ``keys``, adjacent snapshots full-outer-join
+        null-safely on the keys: key only in new → insert, only in old →
+        delete, in both with any non-key change (null-safe struct
+        compare) → a preimage/postimage pair — Delta CDF's exact row
+        vocabulary. Without ``keys`` rows diff by WHOLE-ROW multiset
+        (``exceptAll`` both ways): inserts/deletes only, a modified row
+        appearing as delete+insert (no update pairing without identity).
+
+        Scale: one keyed shuffle join per commit over two snapshots —
+        the same cost class as the MERGE that produced the commit; at
+        100 TB consume the feed incrementally (one commit per run), not
+        as a deep history scan. Unlike Delta's file-level CDF this
+        recomputes from snapshots, so it needs no extra write-path state."""
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        vs = self.versions(name)
+        if not vs:
+            raise ValueError(f"{name}: no committed versions")
+        to_version = vs[-1] if to_version is None else to_version
+        wanted = [v for v in vs if from_version <= v <= to_version]
+        if not wanted:
+            raise ValueError(
+                f"{name}: no commits in [{from_version}, {to_version}] "
+                f"(log has {vs})"
+            )
+        records = {r["version"]: r for r in self.history(name)}
+
+        def prev_snapshot(v: int) -> DataFrame:
+            older = [x for x in vs if x < v]
+            if older:
+                return self.read_version(name, older[-1])
+            schema = self.read_version(name, v).schema
+            return self.spark.createDataFrame([], schema)
+
+        def one_commit(v: int) -> DataFrame:
+            old, new = prev_snapshot(v), self.read_version(name, v)
+            cols = new.columns
+            if keys:
+                key_list = list(keys)
+                val_cols = [c for c in cols if c not in key_list]
+                o = old.select(
+                    *[F.col(k).alias(f"__ko_{k}") for k in key_list],
+                    F.struct(*cols).alias("__o"),
+                )
+                n = new.select(
+                    *[F.col(k).alias(f"__kn_{k}") for k in key_list],
+                    F.struct(*cols).alias("__n"),
+                )
+                cond = reduce(
+                    lambda a, b: a & b,
+                    [
+                        F.col(f"__ko_{k}").eqNullSafe(F.col(f"__kn_{k}"))
+                        for k in key_list
+                    ],
+                )
+                j = o.join(n, cond, "full_outer")
+                has_o, has_n = F.col("__o").isNotNull(), F.col("__n").isNotNull()
+                # null-safe VALUE compare: identical rows emit nothing
+                same_vals = (
+                    F.struct(*[F.col(f"__o.{c}") for c in val_cols]).eqNullSafe(
+                        F.struct(*[F.col(f"__n.{c}") for c in val_cols])
+                    )
+                    if val_cols
+                    else F.lit(True)
+                )
+
+                def rows(side: str, tag: str, pred):
+                    return j.filter(pred).select(
+                        *[F.col(f"__{side}.{c}").alias(c) for c in cols],
+                        F.lit(tag).alias("_change_type"),
+                    )
+
+                out = (
+                    rows("n", "insert", ~has_o & has_n)
+                    .unionByName(rows("o", "delete", has_o & ~has_n))
+                    .unionByName(
+                        rows("o", "update_preimage", has_o & has_n & ~same_vals)
+                    )
+                    .unionByName(
+                        rows("n", "update_postimage", has_o & has_n & ~same_vals)
+                    )
+                )
+            else:
+                out = new.exceptAll(old).select(
+                    *cols, F.lit("insert").alias("_change_type")
+                ).unionByName(
+                    old.exceptAll(new).select(
+                        *cols, F.lit("delete").alias("_change_type")
+                    )
+                )
+            rec = records[v]
+            return out.select(
+                *cols,
+                "_change_type",
+                F.lit(v).cast("long").alias("_commit_version"),
+                F.lit(rec["timestamp_ms"]).cast("long").alias(
+                    "_commit_timestamp_ms"
+                ),
+            )
+
+        return reduce(
+            lambda a, b: a.unionByName(b), [one_commit(v) for v in wanted]
+        )
+
     def savepoint(self, names: Sequence[str]) -> dict[str, int]:
         """A CONSISTENT multi-table snapshot: commit every listed table
         now and return {table: version}. Restoring the returned mapping

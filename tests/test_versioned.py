@@ -252,3 +252,86 @@ def test_enforce_constraints_check_semantics(spark, wh):
     assert ei.value.violations == {"v_pos": 1, "k_nn": 1}
     with pytest.raises(ValueError, match="no constraints"):
         enforce_constraints(bad, {})
+
+
+def test_table_changes_cdf_vocabulary(spark, wh):
+    """Change data feed: MERGE/UPDATE/DELETE through the SQL façade, then
+    table_changes returns exactly the changed rows with Delta's change
+    vocabulary (insert / delete / update_preimage / update_postimage) and
+    the right commit versions."""
+    from global_seismic_data_pipeline_spark.sources.sqldml import SqlDml
+
+    engine = SqlDml(wh)
+    wh.overwrite(_df(spark, [("a", 1), ("b", 2), ("c", 3)]), "t")  # v1
+    spark.createDataFrame([("a", 10), ("d", 4)], "k string, v int") \
+        .createOrReplaceTempView("t_src")
+    engine.sql("""
+        MERGE INTO t tt USING t_src s ON tt.k = s.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+    """)                                                          # v2
+    engine.sql("UPDATE t SET v = v + 100 WHERE k = 'b'")          # v3
+    engine.sql("DELETE FROM t WHERE k = 'c'")                     # v4
+    assert wh.versions("t") == [1, 2, 3, 4]
+
+    ch = wh.table_changes("t", 1, keys=["k"])
+    got = sorted(
+        (r._commit_version, r._change_type, r.k, r.v) for r in ch.collect()
+    )
+    assert got == [
+        (1, "insert", "a", 1),
+        (1, "insert", "b", 2),
+        (1, "insert", "c", 3),
+        (2, "insert", "d", 4),
+        (2, "update_postimage", "a", 10),
+        (2, "update_preimage", "a", 1),
+        (3, "update_postimage", "b", 102),
+        (3, "update_preimage", "b", 2),
+        (4, "delete", "c", 3),
+    ]
+    # range filter: only the DELETE commit
+    only4 = wh.table_changes("t", 4, 4, keys=["k"]).collect()
+    assert [(r._change_type, r.k) for r in only4] == [("delete", "c")]
+    # timestamps come from the commit record
+    rec_ts = {h["version"]: h["timestamp_ms"] for h in wh.history("t")}
+    assert all(r._commit_timestamp_ms == rec_ts[r._commit_version]
+               for r in ch.collect())
+    # unchanged rows never appear: v2 touched a and d only
+    v2 = wh.table_changes("t", 2, 2, keys=["k"]).collect()
+    assert {r.k for r in v2} == {"a", "d"}
+
+
+def test_table_changes_keyless_and_errors(spark, wh):
+    """Without keys: whole-row multiset diff (modified row = delete +
+    insert, duplicates respected); empty ranges and missing tables refuse."""
+    wh.overwrite(_df(spark, [("a", 1), ("a", 1), ("b", 2)]), "t")   # v1
+    wh.overwrite(_df(spark, [("a", 1), ("b", 99)]), "t")            # v2
+    ch = wh.table_changes("t", 2, 2)
+    got = sorted((r._change_type, r.k, r.v) for r in ch.collect())
+    # one duplicate 'a' dropped + b modified → delete+insert pair
+    assert got == [
+        ("delete", "a", 1), ("delete", "b", 2), ("insert", "b", 99),
+    ]
+    with pytest.raises(ValueError, match="no commits in"):
+        wh.table_changes("t", 5, 9)
+    with pytest.raises(ValueError, match="no committed versions"):
+        wh.table_changes("ghost", 1)
+
+
+def test_table_changes_null_keys_and_null_values(spark, wh):
+    """NULL keys pair null-safely (no spurious insert+delete) and a
+    NULL→value change is detected (null-safe struct compare)."""
+    rows1 = spark.createDataFrame([(None, 1), ("a", None)], "k string, v int")
+    rows2 = spark.createDataFrame([(None, 5), ("a", 7)], "k string, v int")
+    wh.overwrite(rows1, "t")   # v1
+    wh.overwrite(rows2, "t")   # v2
+    ch = wh.table_changes("t", 2, 2, keys=["k"])
+    got = sorted(
+        (r._change_type, r.k or "", r.v) for r in ch.collect()
+    )
+    assert got == [
+        ("update_postimage", "", 5),
+        ("update_postimage", "a", 7),
+        ("update_preimage", "", 1),
+        ("update_preimage", "a", None),
+    ]
