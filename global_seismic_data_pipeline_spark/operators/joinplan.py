@@ -190,6 +190,7 @@ class JoinDecision:
     est_join_rows: int       # Selinger: n_l * n_r / max(ndv_l, ndv_r)
     skew_warning: bool       # a side's avg rows/key exceeds skew_flag
     reason: str
+    skew_side: str | None = None  # "left"/"right": the hotter side (set iff skew_warning)
 
 
 def choose_join_strategy(
@@ -211,6 +212,11 @@ def choose_join_strategy(
         left_stats["ndv"], right_stats["ndv"], 1
     )
     skew = max(left_stats["skew"], right_stats["skew"]) > skew_flag
+    skew_side = None
+    if skew:
+        skew_side = (
+            "left" if left_stats["skew"] >= right_stats["skew"] else "right"
+        )
     sides = sorted(
         (("left", left_stats), ("right", right_stats)),
         key=lambda kv: kv[1]["est_bytes"],
@@ -221,17 +227,25 @@ def choose_join_strategy(
             f"broadcast_{small_name}", est_rows, skew,
             f"{small_name} side ~{small['est_bytes']} B fits the "
             f"{broadcast_bytes} B broadcast budget",
+            skew_side,
         )
     if both_bucketed_on_keys:
         return JoinDecision(
             "bucketed", est_rows, skew,
             "both sides bucketed on the join keys — co-located read, "
             "no exchange",
+            skew_side,
         )
     return JoinDecision(
         "shuffle", est_rows, skew,
         "no side fits the broadcast budget and no co-located layout "
-        + ("; hot-key skew — salt or rely on AQE skew-join" if skew else ""),
+        + (
+            f"; hot-key skew on the {skew_side} side — apply_strategy"
+            "(salt=...) or AQE skew-join"
+            if skew
+            else ""
+        ),
+        skew_side,
     )
 
 
@@ -241,12 +255,45 @@ def apply_strategy(
     on,
     decision: JoinDecision,
     how: str = "inner",
+    *,
+    salt: int | None = None,
 ) -> DataFrame:
     """Execute ``decision``: broadcast hint on the chosen side, plain
     join otherwise (a bucketed pair needs no hint — Spark sees the
-    bucket spec; a shuffle pair is the default)."""
+    bucket spec; a shuffle pair is the default).
+
+    ``salt`` EXECUTES the planner's skew advisory instead of just
+    reporting it: on a ``shuffle`` decision with ``skew_warning``, the
+    hotter side (``decision.skew_side``) is salted and the other side
+    replicated ``salt``× via :func:`.skew.salted_shuffle_join`, spreading
+    the hot key over ``salt`` reduce tasks. Requires join-key ``on`` as
+    column names and a join type preserving only the skewed side
+    (inner, or left/semi/anti when the skewed side is the left);
+    otherwise (or when ``salt`` is None / no skew) the plain shuffle
+    join runs."""
     if decision.strategy == "broadcast_left":
         return F.broadcast(left).join(right, on, how)
     if decision.strategy == "broadcast_right":
         return left.join(F.broadcast(right), on, how)
+    if (
+        decision.strategy == "shuffle"
+        and salt
+        and decision.skew_warning
+        and decision.skew_side
+    ):
+        from .skew import salted_shuffle_join
+
+        keys = [on] if isinstance(on, str) else list(on)
+        if decision.skew_side == "left":
+            return salted_shuffle_join(left, right, keys, salt=salt, how=how)
+        if how == "inner":  # only inner is symmetric in the skewed side
+            out = salted_shuffle_join(right, left, keys, salt=salt, how=how)
+            # restore left.join(right) column order
+            return out.select(
+                *keys,
+                *[c for c in left.columns if c not in keys],
+                *[c for c in right.columns if c not in keys],
+            )
+        # left-preserving join with a right-side hot key: replication
+        # would multiply unmatched left rows — fall through to plain
     return left.join(right, on, how)

@@ -95,3 +95,47 @@ def replicated_broadcast_join(
     return salted_fact.join(
         F.broadcast(dim_rep), on=[*on, "__salt"], how=how
     ).drop("__salt")
+
+
+def salted_shuffle_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: Sequence[str],
+    *,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigating SHUFFLE join — the shuffle-class sibling of
+    :func:`replicated_broadcast_join` for when neither side fits the
+    broadcast budget (the ``joinplan`` shuffle-with-hot-key decision).
+
+    The skewed side gets a uniform salt in ``[0, salt)``; the other side
+    is replicated ``salt`` times (tiny range cross join, ``salt`` rows —
+    NOT a broadcast of ``other`` itself); both then hash-shuffle on
+    ``(keys, salt)``, so the hot key's rows spread over ``salt`` reduce
+    tasks instead of pinning one. Cost: ``other`` shuffles ``salt``× its
+    size — worth it exactly when one reducer would otherwise run ``salt``×
+    longer than the rest, which is what the planner's rows-per-key skew
+    advisory detects.
+
+    Row-equivalent to ``skewed.join(other, on, how)`` for joins that
+    preserve only the SKEWED side's unmatched rows (``inner`` / ``left`` /
+    ``left_semi`` / ``left_anti`` with ``skewed`` on the left): an
+    unmatched ``other`` row exists ``salt`` times, so right/full outer
+    would emit it ``salt`` times and are rejected."""
+    if how not in {"inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti"}:
+        raise ValueError(
+            f"how={how!r}: only skewed-side-preserving joins are "
+            "equivalent under replication (unmatched replica rows would "
+            "appear salt times)"
+        )
+    salts = skewed.sparkSession.range(salt).select(
+        F.col("id").cast("int").alias("__salt")
+    )
+    other_rep = other.crossJoin(F.broadcast(salts))
+    salted = skewed.withColumn(
+        "__salt",
+        F.pmod(F.monotonically_increasing_id(), F.lit(salt)).cast("int"),
+    )
+    return salted.join(other_rep, on=[*on, "__salt"], how=how).drop("__salt")
