@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trimmed_mean_prices": workloads_ext.trimmed_mean_prices,
         "csv_parse_recovery": workloads_ext.csv_parse_recovery,
         "cdf_order_changes": workloads_ext.cdf_order_changes,
+        "bloom_point_lookup_events": workloads_ext.bloom_point_lookup_events,
     }
 
 

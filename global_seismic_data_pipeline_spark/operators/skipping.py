@@ -262,3 +262,193 @@ def pruned_read(
         if hi is not None:
             keep = keep & (F.col(c) <= F.lit(hi))
     return df.filter(keep)
+
+
+# -- Bloom file-skipping sidecar -------------------------------------------
+#
+# min/max skipping cannot prune POINT lookups on an unclustered high-
+# cardinality key (every file's [min, max] spans the domain — the exact
+# case the reference Z-orders bronze on (event_id, time) for, ref TABLE
+# OPTIMIZATION.py:33-36, when clustering on that key isn't available).
+# The bloom sidecar closes it: per file, a portable 32-bit-word Bloom
+# bitmap over the key column (operators/bloom.py construction — md5 →
+# two 60-bit halves → Kirsch-Mitzenmacher double hashing), stored as
+# (file, word, bits, m_log2, k) rows. An equality probe hashes the value
+# DRIVER-SIDE (same md5 arithmetic, pinned by a parity test), reads only
+# the k probed words per file from the sidecar (word-pruned scan:
+# O(k · #files) rows regardless of m), and skips every file whose bitmap
+# proves the value absent. False positives read harmlessly (the exact
+# predicate re-applies); absent sidecar rows keep the file —
+# conservative, never wrong. Size m_log2 to the per-file distinct-key
+# count (FP ≈ (1 − e^(−k·n/m))^k).
+
+BLOOM_SUFFIX = "__bloom"
+
+
+def _bloom_table(name: str, col: str) -> str:
+    return f"{name}{BLOOM_SUFFIX}_{col}"
+
+
+def refresh_file_blooms(
+    warehouse: Warehouse,
+    name: str,
+    col: str,
+    *,
+    m_log2: int = 16,
+    k: int = 4,
+) -> int:
+    """Create or incrementally refresh the per-file Bloom sidecar for
+    ``col`` — same incremental discipline as :func:`refresh_file_stats`
+    (only NEW files scan; vanished files' rows drop). Integer/string key
+    columns only (the probe must reproduce Spark's cast-to-string
+    exactly). Returns files scanned."""
+    from . import bloom as _bloom
+
+    if warehouse.fmt != "parquet":
+        raise ValueError(
+            f"bloom sidecar supports parquet warehouses only, got {warehouse.fmt!r}"
+        )
+    _bloom._validate(m_log2, k)
+    spark = warehouse.spark
+    side_name = _bloom_table(name, col)
+    live = {"file://" + f for f in _list_parquet_files(warehouse.path(name))}
+    if warehouse.exists(side_name):
+        old = warehouse.read(side_name)
+        known = {r["file"] for r in old.select("file").distinct().collect()}
+        stored = old.select("m_log2", "k").first()
+        if (stored["m_log2"], stored["k"]) != (m_log2, k):
+            raise ValueError(
+                f"{side_name}: stored bitmap has (m_log2={stored['m_log2']}, "
+                f"k={stored['k']}) != requested ({m_log2}, {k}) — rebuild "
+                "the sidecar, bitmaps of different geometry cannot merge"
+            )
+    else:
+        old, known = None, set()
+    new_files = sorted(live - known)
+    keep_old = (
+        old.filter(F.col("file").isin(list(live & known))) if old is not None else None
+    )
+    if new_files:
+        m = 1 << m_log2
+        df = spark.read.parquet(*[f.removeprefix("file://") for f in new_files])
+        h1, h2 = _bloom._h12(F.col(col), f"fskip|{col}")
+        pos = F.explode(
+            F.array(*[(h1 + F.lit(i) * h2) % F.lit(m) for i in range(k)])
+        ).alias("p")
+        fresh = (
+            df.select(F.input_file_name().alias("file"), col)
+            .filter(F.col(col).isNotNull())
+            .select("file", pos)
+            .select(
+                "file",
+                F.expr("p div 32").alias("word"),
+                F.expr("shiftleft(1L, cast(p % 32 as int))").alias("mask"),
+            )
+            .groupBy("file", "word")
+            .agg(F.bit_or("mask").alias("bits"))
+            .select(
+                "file", "word", "bits",
+                F.lit(m_log2).cast("int").alias("m_log2"),
+                F.lit(k).cast("int").alias("k"),
+            )
+        )
+        merged = (
+            keep_old.unionByName(fresh) if keep_old is not None else fresh
+        )
+    else:
+        merged = keep_old
+    if merged is not None:
+        warehouse.overwrite(merged, side_name)
+    return len(new_files)
+
+
+def _bloom_positions_py(value, m_log2: int, k: int, col: str) -> list[int]:
+    """Driver-side twin of the Spark-side hashing in
+    :func:`refresh_file_blooms` — must match bit-for-bit (md5 of
+    ``str(value)|fskip|col``, hex[0:15]/hex[16:31] as h1/h2, k double-
+    hashed positions). Parity is pinned by a test that cross-checks
+    against the Spark expressions."""
+    import hashlib
+
+    hx = hashlib.md5(f"{value}|fskip|{col}".encode()).hexdigest()
+    h1, h2 = int(hx[0:15], 16), int(hx[16:31], 16)
+    m = 1 << m_log2
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def bloom_prune_files(
+    sidecar: DataFrame, col: str, value
+) -> tuple[set, set]:
+    """(indexed_files, may_contain_files) for ``col = value``.
+
+    Only the k probed words are read from the sidecar (``word IN (...)``
+    prunes the scan); a file may contain the value iff EVERY position's
+    bit is set. Files not in ``indexed_files`` have no sidecar rows and
+    must be kept by the caller (conservative)."""
+    geo = sidecar.select("m_log2", "k").first()
+    if geo is None:
+        return set(), set()
+    positions = _bloom_positions_py(value, geo["m_log2"], geo["k"], col)
+    words = sorted({p // 32 for p in positions})
+    indexed = {
+        r["file"] for r in sidecar.select("file").distinct().collect()
+    }
+    per_pos = [
+        F.max(
+            F.when(
+                (F.col("word") == p // 32)
+                & (F.col("bits").bitwiseAND(F.lit(1 << (p % 32))) != 0),
+                1,
+            ).otherwise(0)
+        ).alias(f"h{i}")
+        for i, p in enumerate(positions)
+    ]
+    hits = (
+        sidecar.filter(F.col("word").isin(words))
+        .groupBy("file")
+        .agg(*per_pos)
+    )
+    may = {
+        r["file"]
+        for r in hits.filter(
+            sum(F.col(f"h{i}") for i in range(len(positions)))
+            == len(positions)
+        ).select("file").collect()
+    }
+    return indexed, may
+
+
+def point_lookup_read(
+    warehouse: Warehouse, name: str, col: str, value
+) -> DataFrame:
+    """``SELECT * FROM name WHERE col = value`` reading ONLY the files
+    the Bloom sidecar cannot rule out (plus any file the sidecar has no
+    rows for — conservative). The exact equality predicate re-applies to
+    the surviving rows, so skipping can only skip work, never change the
+    result (driver-oracle-pinned by ``bloom_point_lookup_events`` — a
+    wrongly-skipped file means missing rows and a hash fail). On a 100 TB
+    unclustered table this reads O(k · #files) sidecar rows and the
+    handful of true-hit files instead of every file."""
+    spark = warehouse.spark
+    side_name = _bloom_table(name, col)
+    all_files = {
+        "file://" + f for f in _list_parquet_files(warehouse.path(name))
+    }
+    if not all_files:
+        raise ValueError(f"{name}: no parquet files")
+    if warehouse.exists(side_name):
+        indexed, may = bloom_prune_files(warehouse.read(side_name), col, value)
+        survivors = sorted((all_files - indexed) | (may & all_files))
+    else:
+        survivors = sorted(all_files)
+    if survivors:
+        df = spark.read.parquet(
+            *[f.removeprefix("file://") for f in survivors]
+        )
+        keep = F.col(col) == F.lit(value)
+    else:
+        # zero-file parquet reads are inexpressible — sentinel file under
+        # an always-false filter yields the empty, correctly-typed result
+        df = spark.read.parquet(sorted(all_files)[0].removeprefix("file://"))
+        keep = F.lit(False)
+    return df.filter(keep)

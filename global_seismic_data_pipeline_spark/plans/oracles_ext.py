@@ -2722,3 +2722,9 @@ FROM v1 WHERE o_orderkey % 10 = 0
 """
 
 ORACLES_EXT["cdf_order_changes"] = CDF_ORDER_CHANGES_SQL
+
+
+ORACLES_EXT["bloom_point_lookup_events"] = """
+SELECT event_id, user_id, event_type
+FROM events WHERE event_id IN (1, 7, 42, 987, -1)
+"""

@@ -2469,3 +2469,34 @@ def cdf_order_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wh.table_changes("ord", 2, 3, keys=["o_orderkey"]).select(
         "o_orderkey", "o_custkey", "_change_type", "_commit_version"
     )
+
+
+def bloom_point_lookup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom file-skipping point lookup (operators/skipping.py
+    refresh_file_blooms / point_lookup_read): events is written
+    round-robin across 8 files — every file spans the full event_id
+    domain, so min/max skipping prunes NOTHING (the regime the reference
+    Z-orders bronze on (event_id, time) to escape, TABLE
+    OPTIMIZATION.py:33-36). The per-file Bloom sidecar prunes instead;
+    the probe hashes driver-side and reads only k words per file. Five
+    point lookups (incl. one absent key) union; the oracle is the direct
+    IN-filter over the full table, so a wrongly-skipped file (missing
+    rows) or stale sidecar hash-fails — the same exactness contract as
+    skipping_pruned_scan."""
+    import tempfile
+
+    from ..operators import skipping
+    from ..sources.warehouse import Warehouse
+
+    ev = load_table(spark, sf_dir, "events")
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="bloomskip-"))
+    wh.overwrite(ev.repartition(8), "ev")
+    skipping.refresh_file_blooms(wh, "ev", "event_id", m_log2=17, k=4)
+    keys = [1, 7, 42, 987, -1]
+    parts = [
+        skipping.point_lookup_read(wh, "ev", "event_id", v) for v in keys
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("event_id", "user_id", "event_type")

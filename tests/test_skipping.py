@@ -266,3 +266,82 @@ def test_refresh_rejects_non_parquet_warehouse(spark, tmp_path):
     orc_wh.overwrite(spark.range(10).selectExpr("id as k"), "t")
     with pytest.raises(ValueError, match="parquet"):
         skipping.refresh_file_stats(orc_wh, "t", ["k"])
+
+
+# -- Bloom file-skipping sidecar -------------------------------------------
+
+
+def _unclustered(spark, wh, n=2000, parts=8, name="b"):
+    """Every file spans the full key domain — min/max skipping is
+    useless here by construction (the bloom sidecar's home turf)."""
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 13).alias("grp"),
+        F.concat(F.lit("p"), (F.col("id") % 5).cast("string")).alias("tag"),
+    )
+    # round-robin: every file is non-empty and spans the full key domain
+    wh.overwrite(df.repartition(parts), name)
+    return df
+
+
+def test_bloom_hash_parity_python_vs_spark(spark):
+    """The driver-side position computation must reproduce the Spark
+    expressions bit-for-bit — otherwise the probe consults the wrong
+    words and silently skips live files."""
+    from global_seismic_data_pipeline_spark.operators import bloom as _bloom
+
+    m_log2, k, col = 14, 4, "k"
+    vals = [0, 1, 42, 99999, -7, "abc"]
+    df = spark.createDataFrame([(str(v),) for v in vals], "k string")
+    h1, h2 = _bloom._h12(F.col("k"), f"fskip|{col}")
+    m = 1 << m_log2
+    rows = df.select(
+        "k", *[((h1 + F.lit(i) * h2) % F.lit(m)).alias(f"p{i}") for i in range(k)]
+    ).collect()
+    spark_pos = {r["k"]: [r[f"p{i}"] for i in range(k)] for r in rows}
+    for v in vals:
+        assert (
+            skipping._bloom_positions_py(v, m_log2, k, col) == spark_pos[str(v)]
+        ), v
+
+
+def test_bloom_point_lookup_skips_files_and_never_drops_rows(spark, wh):
+    """On an unclustered high-cardinality key: min/max prunes nothing,
+    the bloom sidecar prunes most files, and the lookup result equals the
+    full-scan filter exactly (present key, absent key, string key)."""
+    df = _unclustered(spark, wh)
+    # min/max stats: every file spans [*, *] → zero range pruning
+    skipping.refresh_file_stats(wh, "b", ["k"])
+    assert len(skipping.prune_files(wh.read("b__stats"), {"k": (777, 777)})) == 8
+
+    assert skipping.refresh_file_blooms(wh, "b", "k", m_log2=14, k=4) == 8
+    side = wh.read(skipping._bloom_table("b", "k"))
+    indexed, may = skipping.bloom_prune_files(side, "k", 777)
+    assert len(indexed) == 8
+    assert len(may) < 8          # real pruning (p_fp ~ (1-e^-n/m)^k << 1)
+    assert len(may) >= 1         # the true file always survives
+
+    got = skipping.point_lookup_read(wh, "b", "k", 777).collect()
+    assert [(r.k, r.grp) for r in got] == [(777, 777 % 13)]
+    # absent key: usually zero files survive; rows NEVER appear
+    assert skipping.point_lookup_read(wh, "b", "k", 10**9).count() == 0
+    # no sidecar for another column → conservative full read, same rows
+    assert skipping.point_lookup_read(wh, "b", "grp", 5).count() == df.filter(
+        F.col("grp") == 5
+    ).count()
+
+
+def test_bloom_sidecar_incremental_refresh_and_geometry_guard(spark, wh):
+    _unclustered(spark, wh, n=1000, parts=4)
+    assert skipping.refresh_file_blooms(wh, "b", "k", m_log2=13, k=3) == 4
+    # append a new file: only IT is scanned; lookups see its keys
+    extra = spark.createDataFrame(
+        [(50_000, 1, "pX")], "k long, grp long, tag string"
+    )
+    wh.append(extra.coalesce(1), "b")
+    assert skipping.refresh_file_blooms(wh, "b", "k", m_log2=13, k=3) == 1
+    got = skipping.point_lookup_read(wh, "b", "k", 50_000).collect()
+    assert [(r.k, r.tag) for r in got] == [(50_000, "pX")]
+    # differing geometry cannot merge — refuse loudly
+    with pytest.raises(ValueError, match="cannot merge"):
+        skipping.refresh_file_blooms(wh, "b", "k", m_log2=14, k=3)
