@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_parse_recovery": workloads_ext.csv_parse_recovery,
         "cdf_order_changes": workloads_ext.cdf_order_changes,
         "bloom_point_lookup_events": workloads_ext.bloom_point_lookup_events,
+        "ivm_orders_by_status": workloads_ext.ivm_orders_by_status,
     }
 
 

@@ -2728,3 +2728,17 @@ ORACLES_EXT["bloom_point_lookup_events"] = """
 SELECT event_id, user_id, event_type
 FROM events WHERE event_id IN (1, 7, 42, 987, -1)
 """
+
+
+ORACLES_EXT["ivm_orders_by_status"] = """
+WITH final AS (
+    SELECT o_orderstatus,
+           CASE WHEN o_orderkey % 10 BETWEEN 3 AND 6
+                THEN o_custkey + 1000000 ELSE o_custkey END AS o_custkey
+    FROM orders
+    WHERE o_orderkey % 10 BETWEEN 1 AND 6
+)
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(o_custkey) AS BIGINT) AS sum_custkey
+FROM final GROUP BY o_orderstatus
+"""

@@ -2500,3 +2500,42 @@ def bloom_point_lookup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.select("event_id", "user_id", "event_type")
+
+
+def ivm_orders_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance over the change data feed
+    (operators/ivm.py): a count+sum view by o_orderstatus is defined at
+    v1, then two commits land (the cdf_order_changes scenario: a MERGE
+    updating+inserting, then a band delete) and ONE O(Δ) refresh applies
+    both via table_changes — no base-table rescan. The oracle recomputes
+    the aggregate from the final deterministic state, so any signed-delta
+    slip (double-applied update, missed delete, undead group)
+    hash-fails: incremental ≡ recompute, bit-for-bit in LONG."""
+    import tempfile
+
+    from ..operators import ivm
+    from ..sources.versioned import VersionedWarehouse
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_custkey"
+    )
+    wh = VersionedWarehouse(spark, tempfile.mkdtemp(prefix="ivm-"))
+    wh.overwrite(orders.filter(F.col("o_orderkey") % 10 < 5), "ord")  # v1
+    ivm.define_agg_view(
+        wh, "ord", "ord_by_status", ["o_orderstatus"],
+        {"n_orders": ("count", None), "sum_custkey": ("sum", "o_custkey")},
+    )
+    updates = orders.filter(
+        (F.col("o_orderkey") % 10 >= 3) & (F.col("o_orderkey") % 10 <= 6)
+    ).select(
+        "o_orderkey", "o_orderstatus",
+        (F.col("o_custkey") + 1000000).alias("o_custkey"),
+    )
+    wh.merge(updates, "ord", ["o_orderkey"])                           # v2
+    wh.overwrite(
+        wh.read("ord").filter(F.col("o_orderkey") % 10 != 0), "ord"
+    )                                                                  # v3
+    ivm.refresh_agg_view(wh, "ord_by_status")
+    return wh.read("ord_by_status").select(
+        "o_orderstatus", "n_orders", "sum_custkey"
+    )
