@@ -51,6 +51,16 @@ Supported grammar (case-insensitive keywords):
   Spark's own DDL grammar, ``USING DELTA`` is accepted and ignored (this
   warehouse IS the storage layer), VALUES expressions evaluate with Spark
   SQL semantics (TIMESTAMP literals, current_timestamp()).
+- **Delta operational SQL** — the reference's TABLE OPTIMIZATION.py flow
+  verbatim: ``OPTIMIZE <tbl> [ZORDER BY (cols)]`` (→ compaction with
+  range clustering, :33-36/:100), ``DESCRIBE DETAIL <tbl>`` (Delta
+  column names — ``numFiles`` etc., :23-26), ``ANALYZE TABLE <tbl>
+  COMPUTE STATISTICS`` (:119-124, also refreshing the engine's stored
+  join-planning stats), ``VACUUM <tbl> [RETAIN n HOURS]`` (:136-144).
+  On the versioned backend additionally ``DESCRIBE HISTORY <tbl>``,
+  ``RESTORE TABLE <tbl> TO VERSION AS OF n``, ``SELECT … FROM <tbl>
+  VERSION AS OF n`` and ``SELECT … FROM table_changes('<tbl>', a[, b])``
+  (keyless change feed: updates surface as delete+insert pairs).
 
 Execution is the same shuffle shape Delta uses for unpartitioned tables
 (join on the merge keys + rewrite); at 100 TB one bounds the rewrite with
@@ -104,6 +114,45 @@ _INSERT_RE = re.compile(
     r"^\s*INSERT\s+INTO\s+(?P<target>[\w.]+)\s+"
     r"(?:VALUES\s*(?P<values>\(.*\))|(?P<select>SELECT\s+.*?))\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
+)
+
+_OPTIMIZE_RE = re.compile(
+    r"^\s*OPTIMIZE\s+(?P<target>[\w.]+)"
+    r"(?:\s+ZORDER\s+BY\s*\(\s*(?P<cols>[^)]*?)\s*\))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_VACUUM_RE = re.compile(
+    r"^\s*VACUUM\s+(?P<target>[\w.]+)"
+    r"(?:\s+RETAIN\s+(?P<hours>\d+)\s+HOURS)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+_ANALYZE_RE = re.compile(
+    r"^\s*ANALYZE\s+TABLE\s+(?P<target>[\w.]+)\s+COMPUTE\s+STATISTICS\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+_DESCRIBE_RE = re.compile(
+    r"^\s*DESCRIBE\s+(?P<kind>DETAIL|HISTORY)\s+(?P<target>[\w.]+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+_RESTORE_RE = re.compile(
+    r"^\s*RESTORE\s+TABLE\s+(?P<target>[\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+"
+    r"(?P<version>\d+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+_VERSION_AS_OF_RE = re.compile(
+    r"(?P<tbl>[\w.]+)\s+VERSION\s+AS\s+OF\s+(?P<v>\d+)",
+    re.IGNORECASE,
+)
+
+_TABLE_CHANGES_RE = re.compile(
+    r"table_changes\s*\(\s*'(?P<tbl>[\w.]+)'\s*,\s*(?P<from_v>\d+)"
+    r"(?:\s*,\s*(?P<to_v>\d+))?\s*\)",
+    re.IGNORECASE,
 )
 
 _WHEN_RE = re.compile(
@@ -243,8 +292,196 @@ class SqlDml:
             return self._create(text)
         if verb == "INSERT":
             return self._insert(text)
+        if verb == "OPTIMIZE":
+            return self._optimize(text)
+        if verb == "VACUUM":
+            return self._vacuum(text)
+        if verb == "ANALYZE":
+            return self._analyze(text)
+        if verb == "DESCRIBE" and len(head) > 1 and head[1].upper() in (
+            "DETAIL", "HISTORY",
+        ):
+            return self._describe(text)
+        if verb == "RESTORE":
+            return self._restore(text)
         self.wh.register_views()
-        return self.spark.sql(text)
+        return self.spark.sql(self._rewrite_versioned_reads(text))
+
+    # -- Delta operational SQL (TABLE OPTIMIZATION.py verbatim flow) ------
+    def _versioned(self, feature: str):
+        from .versioned import VersionedWarehouse
+
+        if not isinstance(self.wh, VersionedWarehouse):
+            raise ValueError(
+                f"{feature} needs the versioned warehouse backend "
+                "(VersionedWarehouse) — the plain warehouse keeps no "
+                "commit log"
+            )
+        return self.wh
+
+    def _optimize(self, text: str) -> DataFrame:
+        """``OPTIMIZE t [ZORDER BY (a, b, ...)]`` — the reference's
+        verbatim compaction statements (TABLE OPTIMIZATION.py:33-36,
+        60-63, 100). ZORDER keys map to range clustering on the key list
+        (the same layout ``maintenance.DEFAULT_CLUSTERING`` uses; the
+        two-integer-key Morton form stays available programmatically via
+        ``maintenance.compact(zorder_by=...)``)."""
+        m = _mask_match(_OPTIMIZE_RE, text)
+        if not m:
+            raise ValueError(f"unsupported OPTIMIZE syntax: {text!r}")
+        name = m["target"]
+        if not self.wh.exists(name):
+            raise ValueError(f"OPTIMIZE target {name!r} is not a warehouse table")
+        cols = _split_top_level(m["cols"]) if m["cols"] else []
+        from ..pipeline import maintenance
+
+        stats = maintenance.compact(self.wh, name, sort_cols=cols)
+        return self._summary(
+            statement="OPTIMIZE", table=name,
+            zorder_by=",".join(cols) or None,
+            files_before=stats["files_before"],
+            files_after=stats["files_after"],
+        )
+
+    def _vacuum(self, text: str) -> DataFrame:
+        """``VACUUM t [RETAIN n HOURS]`` (TABLE OPTIMIZATION.py:136-144).
+        Maps to staging/trash cleanup plus, on the versioned backend,
+        snapshot retention (old snapshots dropped; hardlinks keep live
+        data safe by construction). RETAIN n HOURS is accepted and
+        recorded; snapshot retention is count-based (keep_last=2) since
+        commit timestamps, not file mtimes, define our retention."""
+        m = _mask_match(_VACUUM_RE, text)
+        if not m:
+            raise ValueError(f"unsupported VACUUM syntax: {text!r}")
+        name = m["target"]
+        if not self.wh.exists(name):
+            raise ValueError(f"VACUUM target {name!r} is not a warehouse table")
+        from ..pipeline import maintenance
+
+        staging = maintenance.vacuum(self.wh)
+        from .versioned import VersionedWarehouse
+
+        dropped = (
+            len(self.wh.vacuum_snapshots(name, keep_last=2))
+            if isinstance(self.wh, VersionedWarehouse)
+            else 0
+        )
+        return self._summary(
+            statement="VACUUM", table=name,
+            staging_removed=staging, snapshots_dropped=dropped,
+        )
+
+    def _analyze(self, text: str) -> DataFrame:
+        """``ANALYZE TABLE t COMPUTE STATISTICS`` (TABLE
+        OPTIMIZATION.py:119-124): catalog stats when cataloged, plus a
+        refresh of the engine's own join-planning stats rows for the
+        table's likely join keys (first clustering key when declared)."""
+        m = _mask_match(_ANALYZE_RE, text)
+        if not m:
+            raise ValueError(f"unsupported ANALYZE syntax: {text!r}")
+        name = m["target"]
+        if not self.wh.exists(name):
+            raise ValueError(f"ANALYZE target {name!r} is not a warehouse table")
+        from ..pipeline import maintenance
+
+        maintenance.analyze(self.wh, name)
+        keys = maintenance.DEFAULT_CLUSTERING.get(name, ())
+        refreshed = (
+            maintenance.refresh_join_stats(self.wh, [(name, keys[0])])
+            if keys
+            else 0
+        )
+        return self._summary(
+            statement="ANALYZE", table=name, join_stats_refreshed=refreshed
+        )
+
+    def _describe(self, text: str) -> DataFrame:
+        """``DESCRIBE DETAIL t`` (Delta column names — the reference
+        selects ``numFiles``, TABLE OPTIMIZATION.py:23-26) and
+        ``DESCRIBE HISTORY t`` (versioned backend)."""
+        m = _mask_match(_DESCRIBE_RE, text)
+        if not m:
+            raise ValueError(f"unsupported DESCRIBE syntax: {text!r}")
+        name, kind = m["target"], m["kind"].upper()
+        if not self.wh.exists(name):
+            raise ValueError(f"DESCRIBE target {name!r} is not a warehouse table")
+        if kind == "HISTORY":
+            wh = self._versioned("DESCRIBE HISTORY")
+            rows = [
+                (
+                    h["version"], h["timestamp_ms"], h["operation"],
+                    h["num_files"], h["size_bytes"],
+                )
+                for h in wh.history(name)
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "version long, timestamp_ms long, operation string, "
+                "numFiles long, sizeBytes long",
+            ).coalesce(1)
+        stats = self.wh.table_stats(name)
+        from .versioned import VersionedWarehouse
+
+        version = (
+            self.wh.latest_version(name)
+            if isinstance(self.wh, VersionedWarehouse)
+            else None
+        )
+        return self.spark.createDataFrame(
+            [(
+                self.wh.fmt, self.wh.path(name), stats["num_files"],
+                stats["size_bytes"],
+                ",".join(self.wh.partition_columns(name)) or None,
+                version,
+            )],
+            "format string, location string, numFiles long, "
+            "sizeInBytes long, partitionColumns string, version long",
+        ).coalesce(1)
+
+    def _restore(self, text: str) -> DataFrame:
+        """``RESTORE TABLE t TO VERSION AS OF n`` (Delta RESTORE)."""
+        m = _mask_match(_RESTORE_RE, text)
+        if not m:
+            raise ValueError(f"unsupported RESTORE syntax: {text!r}")
+        wh = self._versioned("RESTORE")
+        new_v = wh.restore(m["target"], int(m["version"]))
+        return self._summary(
+            statement="RESTORE", table=m["target"],
+            restored_version=int(m["version"]), new_version=new_v,
+        )
+
+    def _rewrite_versioned_reads(self, text: str) -> str:
+        """Rewrite Delta read extensions inside a pass-through statement:
+        ``FROM t VERSION AS OF n`` → a temp view of that snapshot, and
+        ``table_changes('t', a[, b])`` → a temp view of the change feed
+        (keyless form: updates surface as delete+insert pairs — the
+        snapshot-diff feed has no key knowledge at the SQL surface).
+        Matching runs on the literal-masked text; slices come from the
+        original."""
+        masked = _mask_literals(text)
+        out, edits = text, []
+        for mm in _VERSION_AS_OF_RE.finditer(masked):
+            wh = self._versioned("VERSION AS OF")
+            name, v = text[slice(*mm.span("tbl"))], int(mm.group("v"))
+            view = f"{name}__v{v}"
+            wh.read_version(name, v).createOrReplaceTempView(view)
+            edits.append((mm.span(), view))
+        # table_changes takes its table name as a QUOTED literal, so this
+        # one matches the ORIGINAL text; a match starting inside some
+        # other string literal is rejected via the mask
+        for mm in _TABLE_CHANGES_RE.finditer(text):
+            if masked[mm.start()] == "\x00":
+                continue
+            wh = self._versioned("table_changes")
+            name = mm.group("tbl")
+            a = int(mm.group("from_v"))
+            b = int(mm.group("to_v")) if mm.group("to_v") else None
+            view = f"{name}__changes_{a}_{b if b is not None else 'latest'}"
+            wh.table_changes(name, a, b).createOrReplaceTempView(view)
+            edits.append((mm.span(), view))
+        for (s, e), view in sorted(edits, reverse=True):
+            out = out[:s] + view + out[e:]
+        return out
 
     def _summary(self, **kv) -> DataFrame:
         return self.spark.createDataFrame(
