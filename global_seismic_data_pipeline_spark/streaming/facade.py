@@ -551,3 +551,58 @@ def to_memory_table(stream: DataFrame, name: str, *, complete: bool) -> None:
         .start()
     )
     q.awaitTermination()
+
+
+def materialized_view_sink(
+    stream: DataFrame,
+    wh,
+    table: str,
+    keys: list[str],
+    views: list[str],
+    *,
+    checkpoint_dir: str,
+    version_col: str | None = None,
+) -> DataStreamWriter:
+    """Streaming MERGE + continuous incremental view maintenance: each
+    micro-batch (a) MERGEs into a VERSIONED warehouse table — one commit
+    per batch — then (b) rolls every listed ``operators.ivm`` aggregate
+    view forward through the change data feed of exactly that commit.
+    The streaming form of Delta Live Tables' incremental aggregates:
+    downstream rollups stay current within a batch of the source, at
+    O(batch) cost, with no gold-layer rescan.
+
+    Replay discipline: the MERGE is idempotent by key (redelivered rows
+    upsert to the same state), and ``refresh_agg_view`` derives from its
+    meta-recorded pre-state snapshot and applies feed commits AFTER its
+    high-water mark only — a redelivered batch whose MERGE was a no-op
+    produces an empty feed delta, and a crash between view write and
+    meta write replays to the identical result (operators/ivm.py crash
+    discipline). Per-batch state resolves through ``batch_df
+    .sparkSession`` (foreachBatch hands a CLONED session — module rule)."""
+    from ..operators import dedup as dedup_ops
+    from ..operators import ivm
+    from ..sources.versioned import VersionedWarehouse
+
+    if not isinstance(wh, VersionedWarehouse):
+        raise ValueError(
+            "materialized_view_sink needs a VersionedWarehouse — the "
+            "view refresh consumes the commit log's change data feed"
+        )
+
+    def batch_fn(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        bwh = VersionedWarehouse(batch_df.sparkSession, wh.root, wh.fmt)
+        if version_col is not None:
+            unique = dedup_ops.keep_latest(batch_df, keys, version_col)
+        else:
+            unique = batch_df.dropDuplicates(keys)
+        bwh.merge(unique, table, keys)
+        for view in views:
+            ivm.refresh_agg_view(bwh, view)
+
+    return (
+        stream.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )

@@ -461,3 +461,76 @@ def test_streaming_dedup_maintains_cluster_table(spark, tmp_path):
     assert comp_of[0] == comp_of[1] == comp_of[3] == 0
     cluster.release_cached()
     neardup.release_cached()
+
+
+def test_materialized_view_sink_continuous_ivm(spark, stream_dir, tmp_path):
+    """Streaming MERGE + per-batch IVM: after the stream drains, every
+    listed aggregate view equals the from-scratch aggregate over the
+    final table (no gold rescan happened — the views rolled forward via
+    the change data feed, commit by commit); checkpoint restart with no
+    new data leaves table and views untouched."""
+    from global_seismic_data_pipeline_spark.operators import ivm
+    from global_seismic_data_pipeline_spark.sources.versioned import (
+        VersionedWarehouse,
+    )
+
+    vwh = VersionedWarehouse(spark, str(tmp_path / "vwh"))
+    # seed the table + define the view at v1
+    seed = spark.createDataFrame(
+        [("s0", "seed", 1)], "event_id string, status string, one int"
+    )
+    vwh.overwrite(seed, "sv")
+    ivm.define_agg_view(
+        vwh, "sv", "sv_by_status", ["status"],
+        {"n": ("count", None), "s1": ("sum", "one")},
+    )
+
+    stream = facade.read_stream(
+        spark, str(stream_dir / "events"), BRONZE_EARTHQUAKES,
+        max_files_per_trigger=1,  # two micro-batches → two commits
+    ).selectExpr(
+        "event_id", "status", "cast(1 as int) AS one"
+    )
+    writer = facade.materialized_view_sink(
+        stream, vwh, "sv", ["event_id"], ["sv_by_status"],
+        checkpoint_dir=str(tmp_path / "ck"),
+        version_col="one",
+    )
+    facade.run_available_now(writer)
+
+    recompute = sorted(
+        tuple(r)
+        for r in vwh.read("sv")
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.sum("one").cast("long").alias("s1"))
+        .collect()
+    )
+    got = sorted(tuple(r) for r in vwh.read("sv_by_status").collect())
+    assert got == recompute
+    assert vwh.read("sv").count() == 5  # s0 + s1..s4
+
+    # view high-water mark tracks the table's latest commit
+    meta = vwh.read(f"sv_by_status{ivm.META_SUFFIX}").collect()[0]
+    assert meta.last_version == vwh.latest_version("sv")
+
+    # checkpoint restart, no new files: nothing moves
+    v_table = vwh.latest_version("sv")
+    facade.run_available_now(
+        facade.materialized_view_sink(
+            facade.read_stream(
+                spark, str(stream_dir / "events"), BRONZE_EARTHQUAKES
+            ).selectExpr("event_id", "status", "cast(1 as int) AS one"),
+            vwh, "sv", ["event_id"], ["sv_by_status"],
+            checkpoint_dir=str(tmp_path / "ck"),
+        )
+    )
+    assert vwh.latest_version("sv") == v_table
+    assert sorted(tuple(r) for r in vwh.read("sv_by_status").collect()) == got
+
+    # plain warehouse refused up front
+    with pytest.raises(ValueError, match="VersionedWarehouse"):
+        facade.materialized_view_sink(
+            stream, Warehouse(spark, str(tmp_path / "pw")), "sv",
+            ["event_id"], [], checkpoint_dir=str(tmp_path / "ck3"),
+        )
