@@ -247,6 +247,8 @@ def retention_delete(
     kept = wh.read(name).filter(
         F.col(col).isNull() | (F.col(col) >= F.lit(cutoff))
     )
-    wh.overwrite(kept, name)
+    # preserve the hive layout — a retention rewrite must not silently
+    # flatten a partitioned table
+    wh.overwrite(kept, name, partition_by=pcols)
     after = wh.read(name).count()
     return {"mode": "rewrite", "rows_deleted": before - after}

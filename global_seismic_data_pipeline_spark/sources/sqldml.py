@@ -509,21 +509,82 @@ class SqlDml:
             raise ValueError(f"UPDATE SET unknown column(s): {missing}")
         cond = F.expr(m["where"]) if m["where"] else F.lit(True)
         hit = F.coalesce(cond, F.lit(False))
-        # all SET expressions read the PRE-update row: one select, no
-        # sequential withColumn (which would leak earlier assignments)
-        new = df.select(
-            *[
-                F.when(hit, F.expr(assigns[c])).otherwise(F.col(c)).alias(c)
-                if c in assigns
-                else F.col(c)
-                for c in df.columns
-            ],
-            hit.alias("__hit"),
-        ).persist()
+
+        def updated_rows(src: DataFrame) -> DataFrame:
+            # all SET expressions read the PRE-update row: one select, no
+            # sequential withColumn (which would leak earlier assignments)
+            return src.select(
+                *[
+                    F.when(hit, F.expr(assigns[c])).otherwise(F.col(c)).alias(c)
+                    if c in assigns
+                    else F.col(c)
+                    for c in src.columns
+                ],
+                hit.alias("__hit"),
+            )
+
+        pcol = self._prunable_pcol(name, exclude=set(assigns))
+        if pcol is not None:
+            # partition-pruned rewrite: only partitions containing a hit
+            # row are rewritten and swapped; the rest are never opened.
+            # Legal because no SET touches the partition column (rows
+            # cannot move partitions). At 100 TB this bounds the rewrite
+            # to the touched slice, like the pruned MERGE.
+            touched = self._touched_partitions(name, pcol, hit)
+            if not touched:
+                return self._summary(
+                    statement="UPDATE", table=name, rows_updated=0
+                )
+            pstr = self._pstr(pcol)
+            new = updated_rows(
+                self.wh.read(name).filter(pstr.isin(touched))
+            ).persist()
+            n = new.filter("__hit").count()
+            self.wh._rewrite_partitions(name, pcol, new.drop("__hit"), touched)
+            new.unpersist()
+            return self._summary(statement="UPDATE", table=name, rows_updated=n)
+
+        new = updated_rows(df).persist()
         n = new.filter("__hit").count()
-        self.wh.overwrite(new.drop("__hit"), name)
+        self.wh.overwrite(
+            new.drop("__hit"), name,
+            partition_by=self.wh.partition_columns(name),
+        )
         new.unpersist()
         return self._summary(statement="UPDATE", table=name, rows_updated=n)
+
+    @staticmethod
+    def _pstr(pcol: str):
+        # string-form partition value with hive's NULL sentinel — the
+        # same normalization Warehouse.merge uses for directory matching
+        return F.coalesce(
+            F.col(pcol).cast("string"), F.lit("__HIVE_DEFAULT_PARTITION__")
+        )
+
+    def _prunable_pcol(self, name: str, *, exclude: set = frozenset()) -> str | None:
+        """The single hive partition column of ``name`` when a
+        partition-bounded rewrite is legal: exactly one level (the swap
+        machinery replaces top-level dirs) and not in ``exclude``
+        (an UPDATE assigning the partition column moves rows across
+        partitions — full rewrite)."""
+        pcols = self.wh.partition_columns(name)
+        if len(pcols) == 1 and pcols[0] not in exclude:
+            return pcols[0]
+        return None
+
+    def _touched_partitions(self, name: str, pcol: str, hit) -> list:
+        """String-form values of ``pcol`` whose partitions contain rows
+        matching ``hit`` — a column-pruned scan; when the WHERE references
+        the partition column, Spark's partition pruning bounds even this
+        discovery scan to the named directories."""
+        return [
+            r[0]
+            for r in self.wh.read(name)
+            .filter(hit)
+            .select(self._pstr(pcol))
+            .distinct()
+            .collect()
+        ]
 
     def _delete(self, text: str) -> DataFrame:
         m = _mask_match(_DELETE_RE, text)
@@ -534,10 +595,35 @@ class SqlDml:
             raise ValueError(f"DELETE target {name!r} is not a warehouse table")
         df = self.wh.read(name)
         cond = F.expr(m["where"]) if m["where"] else F.lit(True)
-        kept = df.filter(~F.coalesce(cond, F.lit(False))).persist()
+        hit = F.coalesce(cond, F.lit(False))
+
+        pcol = self._prunable_pcol(name)
+        if pcol is not None:
+            # partition-pruned: only partitions holding a doomed row are
+            # rewritten (a partition deleted empty is removed outright);
+            # everything else is never opened
+            touched = self._touched_partitions(name, pcol, hit)
+            if not touched:
+                return self._summary(
+                    statement="DELETE", table=name, rows_deleted=0
+                )
+            pstr = self._pstr(pcol)
+            pruned = df.filter(pstr.isin(touched)).persist()
+            n_before = pruned.count()
+            kept = pruned.filter(~hit)
+            n_kept = kept.count()
+            self.wh._rewrite_partitions(name, pcol, kept, touched)
+            pruned.unpersist()
+            return self._summary(
+                statement="DELETE", table=name, rows_deleted=n_before - n_kept
+            )
+
+        kept = df.filter(~hit).persist()
         n_kept = kept.count()
         n_before = df.count()
-        self.wh.overwrite(kept, name)
+        self.wh.overwrite(
+            kept, name, partition_by=self.wh.partition_columns(name)
+        )
         kept.unpersist()
         return self._summary(
             statement="DELETE", table=name, rows_deleted=n_before - n_kept

@@ -133,18 +133,22 @@ class VersionedWarehouse(Warehouse):
 
     def merge(self, updates: DataFrame, name: str, keys: Sequence[str], *,
               prune_partition_col: str | None = None) -> None:
-        # two parent paths funnel through self.overwrite (first-call create,
-        # non-pruned merge) and commit there; _op_override makes that commit
-        # record 'merge'. The pruned path swaps partitions itself → commit
-        # here explicitly.
-        existed = self.exists(name)
+        # every parent path ends in a committing primitive: first-call
+        # create and non-pruned merge funnel through self.overwrite, the
+        # pruned path through self._rewrite_partitions (override below);
+        # _op_override makes that commit record 'merge'.
         self._op_override = "merge"
         try:
             super().merge(updates, name, keys, prune_partition_col=prune_partition_col)
         finally:
             self._op_override = None
-        if existed and prune_partition_col is not None:
-            self._commit(name, "merge")
+
+    def _rewrite_partitions(self, name, pcol, merged, touched) -> None:
+        # partition-bounded rewrites (pruned MERGE / UPDATE / DELETE) are
+        # mutations like any other — they must land in the commit log or
+        # time travel and the change data feed would silently skip them
+        super()._rewrite_partitions(name, pcol, merged, touched)
+        self._commit(name, "rewrite_partitions")
 
     # -- time travel / history / restore / vacuum --------------------------
     def read_version(self, name: str, version: int) -> DataFrame:

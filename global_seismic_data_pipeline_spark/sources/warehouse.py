@@ -193,7 +193,18 @@ class Warehouse:
         pruned = target.filter(pstr.isin(touched))
         kept = pruned.join(updates.select(*keys), on=list(keys), how="left_anti")
         merged = kept.unionByName(updates.select(*target.columns))
+        self._rewrite_partitions(name, pcol, merged, touched)
 
+    def _rewrite_partitions(
+        self, name: str, pcol: str, merged: DataFrame, touched: Sequence
+    ) -> None:
+        """Replace exactly the ``touched`` partitions (string-form values
+        of ``pcol``) of ``name`` with ``merged``'s rows: stage the write,
+        atomically swap each staged directory in, and remove touched
+        directories that staged EMPTY (all their rows gone). Untouched
+        partition directories — and their files — are never opened or
+        replaced. The partition-bounded rewrite primitive behind pruned
+        MERGE / UPDATE / DELETE."""
         staging = os.path.join(self.root, f".staging-{name}-{uuid.uuid4().hex}")
         merged.write.mode("overwrite").partitionBy(pcol).format(self.fmt).save(staging)
         final = self.path(name)
@@ -211,7 +222,7 @@ class Warehouse:
                 shutil.rmtree(trash)
         shutil.rmtree(staging)
         # a touched partition with NO staged dir ended up empty (its only
-        # rows moved elsewhere) — its old directory must go too
+        # rows moved elsewhere or were all deleted) — its directory goes too
         from urllib.parse import unquote
 
         touched_set = {str(v) for v in touched}

@@ -576,3 +576,101 @@ def test_versioned_sql_surface(spark, tmp_path):
     ):
         with pytest.raises(ValueError, match="versioned warehouse backend"):
             plain.sql(stmt)
+
+
+def _part_files(wh, name, part):
+    import os
+
+    d = os.path.join(wh.path(name), part)
+    return {
+        os.path.join(r, f) for r, _, fs in os.walk(d) for f in fs
+        if not f.startswith(("_", "."))
+    }
+
+
+def test_update_partition_pruned_rewrite(spark, wh):
+    """UPDATE on a hive-partitioned table rewrites ONLY the partitions
+    the WHERE touches: untouched partition files are byte-identical
+    (file identity pinned), the layout survives, and results match."""
+    engine = SqlDml(wh)
+    df = spark.createDataFrame(
+        [("d1", 1, 10), ("d1", 2, 20), ("d2", 3, 30), ("d3", 4, 40)],
+        "day string, k int, v int",
+    )
+    wh.overwrite(df, "p", partition_by=["day"])
+    d2_before = _part_files(wh, "p", "day=d2")
+    d3_before = _part_files(wh, "p", "day=d3")
+
+    out = engine.sql("UPDATE p SET v = v + 1 WHERE day = 'd1' AND k = 1") \
+        .collect()[0]
+    assert out.rows_updated == 1
+    assert _part_files(wh, "p", "day=d2") == d2_before  # never opened
+    assert _part_files(wh, "p", "day=d3") == d3_before
+    got = {r.k: r.v for r in wh.read("p").collect()}
+    assert got == {1: 11, 2: 20, 3: 30, 4: 40}
+    assert wh.partition_columns("p") == ["day"]  # layout preserved
+
+    # WHERE hits nothing → zero-touch no-op
+    out = engine.sql("UPDATE p SET v = 0 WHERE day = 'ghost'").collect()[0]
+    assert out.rows_updated == 0
+    assert _part_files(wh, "p", "day=d2") == d2_before
+
+    # SET on the partition column → rows may move: full rewrite, correct
+    out = engine.sql("UPDATE p SET day = 'd9' WHERE k = 3").collect()[0]
+    assert out.rows_updated == 1
+    assert {r.day for r in wh.read("p").filter("k = 3").collect()} == {"d9"}
+    assert wh.partition_columns("p") == ["day"]
+    import os
+    assert not os.path.isdir(os.path.join(wh.path("p"), "day=d2"))  # moved out
+
+
+def test_delete_partition_pruned_rewrite(spark, wh):
+    engine = SqlDml(wh)
+    df = spark.createDataFrame(
+        [("d1", 1), ("d1", 2), ("d2", 3), ("d3", 4)], "day string, k int"
+    )
+    wh.overwrite(df, "p", partition_by=["day"])
+    d3_before = _part_files(wh, "p", "day=d3")
+
+    # subset delete inside one partition
+    out = engine.sql("DELETE FROM p WHERE day = 'd1' AND k = 2").collect()[0]
+    assert out.rows_deleted == 1
+    assert _part_files(wh, "p", "day=d3") == d3_before
+
+    # whole-partition delete: the directory disappears
+    import os
+    out = engine.sql("DELETE FROM p WHERE day = 'd2'").collect()[0]
+    assert out.rows_deleted == 1
+    assert not os.path.isdir(os.path.join(wh.path("p"), "day=d2"))
+    assert _part_files(wh, "p", "day=d3") == d3_before
+    assert {r.k for r in wh.read("p").collect()} == {1, 4}
+    assert wh.partition_columns("p") == ["day"]
+
+
+def test_partitioned_dml_commits_on_versioned_backend(spark, tmp_path):
+    """A pruned UPDATE/DELETE is a mutation like any other: on the
+    versioned backend it must land in the commit log (time travel + the
+    change data feed see it)."""
+    from global_seismic_data_pipeline_spark.sources.versioned import (
+        VersionedWarehouse,
+    )
+
+    vwh = VersionedWarehouse(spark, str(tmp_path / "vwh"))
+    engine = SqlDml(vwh)
+    vwh.overwrite(
+        spark.createDataFrame(
+            [("d1", 1, 10), ("d2", 2, 20)], "day string, k int, v int"
+        ),
+        "p", partition_by=["day"],
+    )                                                             # v1
+    engine.sql("UPDATE p SET v = 99 WHERE day = 'd1'")            # v2
+    engine.sql("DELETE FROM p WHERE day = 'd2'")                  # v3
+    assert vwh.versions("p") == [1, 2, 3]
+    ch = vwh.table_changes("p", 2, 3, keys=["k"])
+    got = sorted((r._commit_version, r._change_type, r.k) for r in ch.collect())
+    assert got == [
+        (2, "update_postimage", 1), (2, "update_preimage", 1),
+        (3, "delete", 2),
+    ]
+    # time travel still sees the pre-update value
+    assert vwh.read_version("p", 1).filter("k = 1").collect()[0].v == 10
