@@ -149,6 +149,17 @@ _VERSION_AS_OF_RE = re.compile(
     re.IGNORECASE,
 )
 
+_TIMESTAMP_AS_OF_RE = re.compile(
+    r"(?P<tbl>[\w.]+)\s+TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)'",
+    re.IGNORECASE,
+)
+
+_CLONE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?P<ifnot>IF\s+NOT\s+EXISTS\s+)?(?P<target>[\w.]+)"
+    r"\s+SHALLOW\s+CLONE\s+(?P<source>[\w.]+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 _TABLE_CHANGES_RE = re.compile(
     r"table_changes\s*\(\s*'(?P<tbl>[\w.]+)'\s*,\s*(?P<from_v>\d+)"
     r"(?:\s*,\s*(?P<to_v>\d+))?\s*\)",
@@ -466,6 +477,18 @@ class SqlDml:
             view = f"{name}__v{v}"
             wh.read_version(name, v).createOrReplaceTempView(view)
             edits.append((mm.span(), view))
+        # TIMESTAMP AS OF carries a quoted literal, so match the ORIGINAL
+        # text; a match starting inside some other string literal is
+        # rejected via the mask
+        for mm in _TIMESTAMP_AS_OF_RE.finditer(text):
+            if masked[mm.start()] == "\x00":
+                continue
+            wh = self._versioned("TIMESTAMP AS OF")
+            name = mm.group("tbl")
+            view = f"{name}__asof_{re.sub(r'[^0-9A-Za-z]', '_', mm.group('ts'))}"
+            wh.read_as_of_timestamp(name, mm.group("ts")) \
+                .createOrReplaceTempView(view)
+            edits.append((mm.span(), view))
         # table_changes takes its table name as a QUOTED literal, so this
         # one matches the ORIGINAL text; a match starting inside some
         # other string literal is rejected via the mask
@@ -648,6 +671,20 @@ class SqlDml:
         STRING / TIMESTAMP etc. all resolve exactly as Spark would);
         the USING clause is accepted and ignored (the warehouse is the
         storage layer — the reference's ``USING DELTA`` runs verbatim)."""
+        cm = _mask_match(_CLONE_RE, text)
+        if cm:
+            # Delta: CREATE TABLE dst SHALLOW CLONE src — hardlink-copy
+            # of the source's current files, own commit log from v1
+            wh = self._versioned("SHALLOW CLONE")
+            if wh.exists(cm["target"]) and cm["ifnot"]:
+                return self._summary(
+                    statement="CLONE", table=cm["target"], created=False
+                )
+            v = wh.clone(cm["source"], cm["target"])
+            return self._summary(
+                statement="CLONE", table=cm["target"],
+                source=cm["source"], version=v,
+            )
         m = _mask_match(_CREATE_RE, text)
         if not m:
             raise ValueError(f"unsupported CREATE TABLE syntax: {text!r}")
@@ -782,7 +819,17 @@ class SqlDml:
         )
         self._check_key_unique(source, keys)
         if simple:
-            self.wh.merge(source, name, keys)
+            # auto-prune: on a single-level hive-partitioned target whose
+            # partition column the source carries, only the touched
+            # partitions rewrite (Warehouse.merge's pruned path, movers
+            # included) — Delta MERGE's file pruning, applied to the
+            # reference's verbatim statement without the user asking
+            prune = None
+            if self.wh.exists(name):
+                pcols = self.wh.partition_columns(name)
+                if len(pcols) == 1 and pcols[0] in source.columns:
+                    prune = pcols[0]
+            self.wh.merge(source, name, keys, prune_partition_col=prune)
             return self._summary(
                 statement="MERGE", table=name, source_rows=source.count()
             )

@@ -158,6 +158,28 @@ class VersionedWarehouse(Warehouse):
             raise ValueError(f"{name}: no committed version {version}")
         return self.spark.read.format(self.fmt).load(d)
 
+    def read_as_of_timestamp(self, name: str, ts) -> DataFrame:
+        """Delta ``TIMESTAMP AS OF``: the snapshot whose commit is the
+        LATEST at-or-before ``ts`` (a naive-UTC datetime, an ISO string,
+        or epoch milliseconds). Raises when every commit is later."""
+        from datetime import datetime, timezone
+
+        if isinstance(ts, str):
+            ts = datetime.fromisoformat(ts)
+        if isinstance(ts, datetime):
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=timezone.utc)
+            ms = int(ts.timestamp() * 1000)
+        else:
+            ms = int(ts)
+        cands = [h for h in self.history(name) if h["timestamp_ms"] <= ms]
+        if not cands:
+            raise ValueError(
+                f"{name}: no commit at or before {ms} ms — earliest is "
+                f"{min(h['timestamp_ms'] for h in self.history(name))}"
+            )
+        return self.read_version(name, max(h["version"] for h in cands))
+
     def history(self, name: str) -> list[dict]:
         """Commit records, newest first (Delta: DESCRIBE HISTORY)."""
         out = []
