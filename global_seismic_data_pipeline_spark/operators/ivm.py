@@ -174,9 +174,15 @@ def refresh_agg_view(wh: VersionedWarehouse, view: str) -> dict:
         ],
         delta[count_col].isNotNull().alias("__touched"),
     )
-    changed = merged.filter("__touched").count()
-    new_view = merged.filter(F.col(count_col) > 0).drop("__touched")
-    wh.overwrite(new_view, view)
+    # persist: the changed-count action and the view overwrite both
+    # consume `merged` — unpersisted, the feed diff would execute twice
+    merged = merged.persist()
+    try:
+        changed = merged.filter("__touched").count()
+        new_view = merged.filter(F.col(count_col) > 0).drop("__touched")
+        wh.overwrite(new_view, view)
+    finally:
+        merged.unpersist()
     _write_meta(  # meta LAST — see crash discipline
         wh, view, source, meta_row["keys"], meta_row["aggs"],
         latest, wh.latest_version(view),
