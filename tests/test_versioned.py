@@ -7,6 +7,7 @@ test_state_and_merge.py / test_merge_model.py over both backends.)
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from global_seismic_data_pipeline_spark.sources.versioned import VersionedWarehouse
 
@@ -335,3 +336,57 @@ def test_table_changes_null_keys_and_null_values(spark, wh):
         ("update_preimage", "", 1),
         ("update_preimage", "a", None),
     ]
+
+
+def test_table_changes_replay_reconstructs_state(spark, wh):
+    """Model-based CDF completeness: applying the keyed feed's deltas in
+    commit order to an empty dict reconstructs every intermediate AND the
+    final table state — no missing, phantom, or double-counted change,
+    across a deterministic mix of merge/append/overwrite/delete commits."""
+    import random
+
+    rng = random.Random(11)
+    keys = [f"k{i}" for i in range(12)]
+    model = {}
+
+    def rand_rows(n):
+        return [(rng.choice(keys), rng.randrange(100)) for _ in range(n)]
+
+    wh.overwrite(_df(spark, [("k0", 1), ("k1", 2)]), "t")          # v1
+    for step in range(5):
+        op = step % 3
+        if op == 0:
+            rows = {k: v for k, v in rand_rows(4)}                 # key-unique
+            wh.merge(_df(spark, list(rows.items())), "t", ["k"])
+        elif op == 1:
+            victim = rng.choice(keys)
+            wh.overwrite(
+                wh.read("t").filter(F.col("k") != victim), "t"
+            )
+        else:
+            doomed = rng.choice(keys)
+            survivors = [
+                (r.k, r.v) for r in wh.read("t").collect() if r.k != doomed
+            ]
+            bumped = [(k, v + 1) for k, v in survivors]
+            wh.overwrite(_df(spark, bumped or [("k0", 0)]), "t")
+
+    feed = wh.table_changes("t", 1, keys=["k"]).collect()
+    by_commit = {}
+    for r in feed:
+        by_commit.setdefault(r._commit_version, []).append(r)
+    for v in sorted(by_commit):
+        for r in by_commit[v]:
+            if r._change_type in ("insert", "update_postimage"):
+                model[r.k] = r.v
+            elif r._change_type == "delete":
+                # preimage of the delete must match the model exactly
+                assert model.pop(r.k) == r.v
+            else:  # update_preimage: must match what the model holds
+                assert model[r.k] == r.v
+        # after each commit the model equals that snapshot
+        snap = {r.k: r.v for r in wh.read_version("t", v).collect()}
+        assert model == snap, f"diverged at v{v}"
+
+    final = {r.k: r.v for r in wh.read("t").collect()}
+    assert model == final
