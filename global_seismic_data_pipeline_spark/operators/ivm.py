@@ -12,15 +12,20 @@ aggregate over the feed; the view update is then a keyed outer join of
 (groups × aggregates) against that delta — O(Δ) work per refresh, not
 O(table).
 
-Only COUNT and SUM are self-maintainable under deletes (MIN/MAX would
-need per-group value multisets once the extremum is deleted — refuse
-rather than silently rescan; AVG is derived as sum/count by the reader).
-Sums evaluate in LONG over integer columns (float sums drift under
-incremental ± application) and treat NULL addends as 0 — give the view
-non-null summand columns for exact recompute parity. Groups whose
-maintained count reaches zero are REMOVED — the view equals the
-from-scratch aggregate exactly, which the ``ivm_orders_by_status``
-driver oracle pins bit-for-bit (incremental ≡ recompute).
+COUNT and SUM are self-maintainable under deletes. MIN/MAX are
+maintained with the standard materialized-view split: on insert-only
+deltas the new extremum is ``least/greatest(old, delta)`` — O(Δ); a
+group that LOST rows (any delete/update_preimage touched it) may have
+lost its extremum, so exactly those groups' min/max recompute from the
+current source snapshot, scoped by a null-safe semi-join on the
+affected group keys — bounded by the affected groups' rows, never the
+table. AVG is derived as sum/count by the reader. Sums evaluate in LONG
+over integer columns (float sums drift under incremental ± application)
+and treat NULL addends as 0 — give the view non-null summand columns
+for exact recompute parity. Groups whose maintained count reaches zero
+are REMOVED — the view equals the from-scratch aggregate exactly, which
+the ``ivm_orders_by_status`` driver oracle pins bit-for-bit
+(incremental ≡ recompute).
 
 Crash discipline: the view lives in the SAME VersionedWarehouse, so a
 refresh (a) reads the view AT the version recorded in
@@ -62,10 +67,10 @@ def _sign():
 def _validate_aggs(aggs: Mapping[str, Sequence]) -> None:
     kinds = [kind for kind, _col in aggs.values()]
     for out, (kind, _col) in aggs.items():
-        if kind not in ("count", "sum"):
+        if kind not in ("count", "sum", "min", "max"):
             raise ValueError(
-                f"{out}: {kind!r} is not self-maintainable under deletes "
-                "— only count/sum (derive avg as sum/count)"
+                f"{out}: {kind!r} is not incrementally maintainable — "
+                "count/sum/min/max (derive avg as sum/count)"
             )
     if "count" not in kinds:
         raise ValueError(
@@ -76,17 +81,32 @@ def _validate_aggs(aggs: Mapping[str, Sequence]) -> None:
 
 def _agg_exprs(aggs: Mapping[str, Sequence], signed: bool):
     """Aggregate expressions over base rows (signed=False) or feed rows
-    carrying a ``_sign`` column (signed=True)."""
+    carrying a ``_sign`` column (signed=True). Signed min/max aggregate
+    the ADD side only (the insert-only candidate; the delete side routes
+    the group to the recompute path instead)."""
     out = []
     for name, (kind, col) in aggs.items():
         if kind == "count":
             e = F.sum("_sign") if signed else F.count(F.lit(1))
-        else:
+        elif kind == "sum":
             e = F.sum(
                 F.col("_sign") * F.col(col) if signed else F.col(col)
             )
+        else:
+            fn = F.min if kind == "min" else F.max
+            e = fn(
+                F.when(F.col("_sign") == 1, F.col(col)) if signed
+                else F.col(col)
+            )
         out.append(e.cast("long").alias(name))
     return out
+
+
+def _nullsafe_key_cond(left, right, keys, rprefix: str):
+    return reduce(
+        lambda a, b: a & b,
+        [left[k].eqNullSafe(right[f"{rprefix}{k}"]) for k in keys],
+    )
 
 
 def _write_meta(
@@ -146,40 +166,95 @@ def refresh_agg_view(wh: VersionedWarehouse, view: str) -> dict:
     # keyless feed: an updated row arrives as delete+insert, which the
     # signed aggregate nets correctly; rows untouched by a commit never
     # appear, so the delta is commit-sized
+    mm = {n: kc for n, kc in aggs.items() if kc[0] in ("min", "max")}
     feed = wh.table_changes(source, last + 1, latest, keys=None)
+    delta_aggs = _agg_exprs(aggs, signed=True)
+    if mm:
+        delta_aggs.append(
+            F.max((F.col("_sign") == -1).cast("int")).alias("__has_del")
+        )
     delta = (
         feed.withColumn("_sign", _sign())
         .groupBy(*keys)
-        .agg(*_agg_exprs(aggs, signed=True))
+        .agg(*delta_aggs)
     )
     # pre-state SNAPSHOT per the crash discipline (module docstring):
     # a re-run after a crash mid-refresh re-derives from the same state
     old = wh.read_version(view, meta_row["view_version"])
     for k in keys:
         delta = delta.withColumnRenamed(k, f"__d_{k}")
-    cond = reduce(
-        lambda a, b: a & b,
-        [old[k].eqNullSafe(delta[f"__d_{k}"]) for k in keys],
-    )
+    cond = _nullsafe_key_cond(old, delta, keys, "__d_")
     agg_names = list(aggs)
     count_col = next(n for n, (kind, _c) in aggs.items() if kind == "count")
+
+    def merged_agg(n: str):
+        kind = aggs[n][0]
+        if kind in ("count", "sum"):
+            return (
+                F.coalesce(old[n], F.lit(0)) + F.coalesce(delta[n], F.lit(0))
+            ).cast("long").alias(n)
+        # min/max insert-only candidate: least/greatest skip NULL args, so
+        # a fresh group takes the delta value and an untouched-by-adds
+        # group keeps the old one; delete-touched groups get overwritten
+        # by the recompute pass below
+        fn = F.least if kind == "min" else F.greatest
+        return fn(old[n], delta[n]).cast("long").alias(n)
+
     merged = old.join(delta, cond, "full_outer").select(
         *[F.coalesce(old[k], delta[f"__d_{k}"]).alias(k) for k in keys],
-        *[
-            (
-                F.coalesce(old[n], F.lit(0))
-                + F.coalesce(delta[n], F.lit(0))
-            ).cast("long").alias(n)
-            for n in agg_names
-        ],
+        *[merged_agg(n) for n in agg_names],
         delta[count_col].isNotNull().alias("__touched"),
+        (
+            F.coalesce(delta["__has_del"], F.lit(0)) == 1
+            if mm
+            else F.lit(False)
+        ).alias("__recompute"),
     )
     # persist: the changed-count action and the view overwrite both
     # consume `merged` — unpersisted, the feed diff would execute twice
     merged = merged.persist()
     try:
         changed = merged.filter("__touched").count()
-        new_view = merged.filter(F.col(count_col) > 0).drop("__touched")
+        alive = merged.filter(F.col(count_col) > 0)
+        if mm:
+            # a group that LOST rows may have lost its extremum: recompute
+            # min/max for exactly those groups from the CURRENT snapshot,
+            # scoped by a null-safe semi-join — affected-group rows only
+            base = wh.read_version(source, latest)
+            fix_keys = (
+                alive.filter("__recompute")
+                .select(*[F.col(k).alias(f"__f_{k}") for k in keys])
+                .distinct()
+            )
+            scoped = base.join(
+                fix_keys, _nullsafe_key_cond(base, fix_keys, keys, "__f_"),
+                "left_semi",
+            )
+            rc = scoped.groupBy(*keys).agg(
+                *[
+                    (F.min if aggs[n][0] == "min" else F.max)(
+                        F.col(aggs[n][1])
+                    ).cast("long").alias(n)
+                    for n in mm
+                ]
+            )
+            for k in keys:
+                rc = rc.withColumnRenamed(k, f"__r_{k}")
+            norm = alive.filter(~F.col("__recompute"))
+            fixing = alive.filter("__recompute")
+            fixed = fixing.join(
+                rc, _nullsafe_key_cond(fixing, rc, keys, "__r_"), "left"
+            ).select(
+                *[fixing[k] for k in keys],
+                *[
+                    rc[n] if n in mm else fixing[n]
+                    for n in agg_names
+                ],
+                fixing["__touched"],
+                fixing["__recompute"],
+            )
+            alive = norm.unionByName(fixed)
+        new_view = alive.drop("__touched", "__recompute")
         wh.overwrite(new_view, view)
     finally:
         merged.unpersist()

