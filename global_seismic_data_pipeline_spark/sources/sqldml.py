@@ -116,6 +116,13 @@ _INSERT_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
+_ALTER_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<target>[\w.]+)\s+"
+    r"(?:ADD\s+CONSTRAINT\s+(?P<cname>\w+)\s+CHECK\s*\(\s*(?P<expr>.*?)\s*\)"
+    r"|DROP\s+CONSTRAINT\s+(?P<dname>\w+))\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
 _OPTIMIZE_RE = re.compile(
     r"^\s*OPTIMIZE\s+(?P<target>[\w.]+)"
     r"(?:\s+ZORDER\s+BY\s*\(\s*(?P<cols>[^)]*?)\s*\))?\s*;?\s*$",
@@ -303,6 +310,8 @@ class SqlDml:
             return self._create(text)
         if verb == "INSERT":
             return self._insert(text)
+        if verb == "ALTER" and len(head) > 1 and head[1].upper() == "TABLE":
+            return self._alter(text)
         if verb == "OPTIMIZE":
             return self._optimize(text)
         if verb == "VACUUM":
@@ -329,6 +338,33 @@ class SqlDml:
                 "commit log"
             )
         return self.wh
+
+    def _alter(self, text: str) -> DataFrame:
+        """``ALTER TABLE t ADD CONSTRAINT n CHECK (expr)`` / ``DROP
+        CONSTRAINT n`` — Delta's persistent CHECK constraints: existing
+        rows validate at ADD time, every later warehouse write enforces
+        at the staging boundary (Warehouse.add_constraint)."""
+        m = _mask_match(_ALTER_RE, text)
+        if not m:
+            raise ValueError(f"unsupported ALTER TABLE syntax: {text!r}")
+        name = m["target"]
+        if not self.wh.exists(name):
+            raise ValueError(f"ALTER target {name!r} is not a warehouse table")
+        if m["cname"]:
+            self.wh.add_constraint(name, m["cname"], m["expr"])
+            return self._summary(
+                statement="ALTER", table=name,
+                constraint=m["cname"], action="added",
+            )
+        dropped = self.wh.drop_constraint(name, m["dname"])
+        if not dropped:
+            raise ValueError(
+                f"ALTER TABLE: {name!r} has no constraint {m['dname']!r}"
+            )
+        return self._summary(
+            statement="ALTER", table=name,
+            constraint=m["dname"], action="dropped",
+        )
 
     def _optimize(self, text: str) -> DataFrame:
         """``OPTIMIZE t [ZORDER BY (a, b, ...)]`` — the reference's

@@ -24,6 +24,7 @@ exactly that when the table is directory-partitioned.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
@@ -69,6 +70,10 @@ class Warehouse:
     def drop(self, name: str) -> None:
         if os.path.isdir(self.path(name)):
             shutil.rmtree(self.path(name))
+        # a dropped table's constraints must not haunt a later CREATE
+        cfile = self._constraints_file(name)
+        if os.path.isfile(cfile):
+            os.remove(cfile)
 
     # -- read / write -----------------------------------------------------
     def read(self, name: str) -> DataFrame:
@@ -90,10 +95,12 @@ class Warehouse:
         many are safe, existing files are never touched, and readers stay
         consistent per-file."""
         staging = os.path.join(self.root, f".staging-{name}-{uuid.uuid4().hex}")
+        df, obs, cons = self._observe_constraints(df, name)
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.format(self.fmt).save(staging)
+        self._abort_staging_if_violated(obs, cons, staging)
         final = self.path(name)
         os.makedirs(final, exist_ok=True)
         for root_, _dirs, files in os.walk(staging):
@@ -123,10 +130,12 @@ class Warehouse:
         final = self.path(name)
         staging = os.path.join(self.root, f".staging-{name}-{uuid.uuid4().hex}")
         trash = os.path.join(self.root, f".trash-{name}-{uuid.uuid4().hex}")
+        df, obs, cons = self._observe_constraints(df, name)
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.format(self.fmt).save(staging)
+        self._abort_staging_if_violated(obs, cons, staging)
         if os.path.isdir(final):
             os.rename(final, trash)
         os.rename(staging, final)
@@ -206,7 +215,9 @@ class Warehouse:
         replaced. The partition-bounded rewrite primitive behind pruned
         MERGE / UPDATE / DELETE."""
         staging = os.path.join(self.root, f".staging-{name}-{uuid.uuid4().hex}")
+        merged, obs, cons = self._observe_constraints(merged, name)
         merged.write.mode("overwrite").partitionBy(pcol).format(self.fmt).save(staging)
+        self._abort_staging_if_violated(obs, cons, staging)
         final = self.path(name)
         swapped = set()
         for d in os.listdir(staging):
@@ -231,6 +242,87 @@ class Warehouse:
                 continue
             if unquote(d.split("=", 1)[1]) in touched_set:
                 shutil.rmtree(os.path.join(final, d))
+
+    # -- persistent CHECK constraints -------------------------------------
+    #
+    # Delta's ALTER TABLE … ADD CONSTRAINT … CHECK, persisted beside the
+    # data (one JSON per table under .constraints/) and enforced on EVERY
+    # staged write path (append / overwrite / partition rewrite) with
+    # ZERO extra passes: the violation counts ride the staging write as
+    # an Observation, and a violated batch aborts BEFORE the publish
+    # step — the table never sees a row that fails a constraint.
+
+    def _constraints_file(self, name: str) -> str:
+        return os.path.join(self.root, ".constraints", f"{name}.json")
+
+    def constraints(self, name: str) -> dict[str, str]:
+        """The table's persistent CHECK constraints, {name: boolean SQL}."""
+        p = self._constraints_file(name)
+        if not os.path.isfile(p):
+            return {}
+        with open(p) as fh:
+            return json.load(fh)
+
+    def add_constraint(self, name: str, cname: str, expr: str) -> None:
+        """Persist a CHECK constraint (Delta ALTER TABLE ADD CONSTRAINT):
+        existing rows must already satisfy it (validated in one aggregate
+        pass, like Delta), and every later write through this warehouse
+        enforces it at the staging boundary."""
+        cons = self.constraints(name)
+        if cname in cons:
+            raise ValueError(f"{name}: constraint {cname!r} already exists")
+        if self.exists(name):
+            enforce_constraints(self.read(name), {cname: expr})
+        cons[cname] = expr
+        os.makedirs(os.path.dirname(self._constraints_file(name)), exist_ok=True)
+        tmp = self._constraints_file(name) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(cons, fh)
+        os.replace(tmp, self._constraints_file(name))
+
+    def drop_constraint(self, name: str, cname: str) -> bool:
+        cons = self.constraints(name)
+        if cname not in cons:
+            return False
+        del cons[cname]
+        if cons:
+            tmp = self._constraints_file(name) + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(cons, fh)
+            os.replace(tmp, self._constraints_file(name))
+        else:
+            os.remove(self._constraints_file(name))
+        return True
+
+    def _observe_constraints(self, df: DataFrame, name: str):
+        """(observed df, observation, constraints) — or (df, None, None)
+        when the table has no constraints (the common case costs one
+        os.path check, no Spark work)."""
+        cons = self.constraints(name)
+        if not cons:
+            return df, None, None
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        observed = df.observe(
+            obs,
+            *[
+                F.sum(
+                    (~F.coalesce(F.expr(expr), F.lit(True))).cast("long")
+                ).alias(cname)
+                for cname, expr in cons.items()
+            ],
+        )
+        return observed, obs, cons
+
+    def _abort_staging_if_violated(self, obs, cons, staging: str) -> None:
+        if obs is None:
+            return
+        row = obs.get
+        bad = {n: int(row[n]) for n in cons if row[n]}
+        if bad:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise ConstraintViolation(bad)
 
     # -- bucketing --------------------------------------------------------
     def save_bucketed(

@@ -736,3 +736,90 @@ def test_timestamp_as_of_and_shallow_clone_sql(spark, tmp_path):
     assert engine.sql(
         "CREATE TABLE IF NOT EXISTS t2 SHALLOW CLONE t"
     ).collect()[0].created is False
+
+
+def test_persistent_check_constraints_enforced_on_every_write(spark, wh):
+    """ALTER TABLE ADD CONSTRAINT persists the CHECK and EVERY later
+    write path (append / overwrite / facade MERGE-UPDATE / pruned
+    rewrite) enforces it at the staging boundary: a violating batch
+    aborts before publish and the table is untouched — Delta's
+    write-transaction contract."""
+    from global_seismic_data_pipeline_spark.sources.warehouse import (
+        ConstraintViolation,
+    )
+
+    engine = SqlDml(wh)
+    wh.overwrite(
+        spark.createDataFrame([(1, 5.0), (2, 7.5)], "k int, mag double"), "c"
+    )
+    out = engine.sql(
+        "ALTER TABLE c ADD CONSTRAINT mag_range CHECK (mag BETWEEN 0 AND 10)"
+    ).collect()[0]
+    assert (out.constraint, out.action) == ("mag_range", "added")
+    assert wh.constraints("c") == {"mag_range": "mag BETWEEN 0 AND 10"}
+
+    # existing data must already satisfy a NEW constraint
+    with pytest.raises(ConstraintViolation):
+        engine.sql("ALTER TABLE c ADD CONSTRAINT k_big CHECK (k > 100)")
+    assert "k_big" not in wh.constraints("c")
+
+    # append of a violating batch aborts; table unchanged; NULL passes
+    with pytest.raises(ConstraintViolation) as ei:
+        wh.append(
+            spark.createDataFrame([(3, 99.0)], "k int, mag double"), "c"
+        )
+    assert ei.value.violations == {"mag_range": 1}
+    assert wh.read("c").count() == 2
+    wh.append(spark.createDataFrame([(4, None)], "k int, mag double"), "c")
+    assert wh.read("c").count() == 3  # SQL CHECK: NULL passes
+
+    # facade UPDATE that would break the constraint aborts atomically
+    with pytest.raises(ConstraintViolation):
+        engine.sql("UPDATE c SET mag = 50 WHERE k = 1")
+    assert {r.mag for r in wh.read("c").filter("k = 1").collect()} == {5.0}
+
+    # MERGE through the facade enforces too
+    spark.createDataFrame([(9, -3.0)], "k int, mag double") \
+        .createOrReplaceTempView("c_src")
+    with pytest.raises(ConstraintViolation):
+        engine.sql("""
+            MERGE INTO c t USING c_src s ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+        """)
+    assert wh.read("c").count() == 3
+
+    # DROP CONSTRAINT: the write now succeeds; unknown names refuse
+    engine.sql("ALTER TABLE c DROP CONSTRAINT mag_range")
+    wh.append(spark.createDataFrame([(3, 99.0)], "k int, mag double"), "c")
+    assert wh.read("c").count() == 4
+    with pytest.raises(ValueError, match="no constraint"):
+        engine.sql("ALTER TABLE c DROP CONSTRAINT ghost")
+
+    # dropping the table clears its constraints
+    wh.add_constraint("c", "again", "mag < 1000")
+    engine.sql("DROP TABLE c")
+    assert wh.constraints("c") == {}
+
+
+def test_constraint_enforced_on_pruned_partition_rewrite(spark, wh):
+    """The partition-bounded rewrite path checks constraints too, and a
+    violation aborts with untouched partitions still intact."""
+    from global_seismic_data_pipeline_spark.sources.warehouse import (
+        ConstraintViolation,
+    )
+
+    engine = SqlDml(wh)
+    wh.overwrite(
+        spark.createDataFrame(
+            [("d1", 1, 5), ("d2", 2, 6)], "day string, k int, v int"
+        ),
+        "pc", partition_by=["day"],
+    )
+    wh.add_constraint("pc", "v_pos", "v > 0")
+    with pytest.raises(ConstraintViolation):
+        engine.sql("UPDATE pc SET v = -1 WHERE day = 'd1'")
+    assert {r.v for r in wh.read("pc").collect()} == {5, 6}
+    # a legal pruned update still lands
+    engine.sql("UPDATE pc SET v = 50 WHERE day = 'd1'")
+    assert {r.v for r in wh.read("pc").collect()} == {50, 6}
