@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdf_order_changes": workloads_ext.cdf_order_changes,
         "bloom_point_lookup_events": workloads_ext.bloom_point_lookup_events,
         "ivm_orders_by_status": workloads_ext.ivm_orders_by_status,
+        "delta_roundtrip_orders": workloads_ext.delta_roundtrip_orders,
     }
 
 

@@ -2742,3 +2742,17 @@ SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
        CAST(SUM(o_custkey) AS BIGINT) AS sum_custkey
 FROM final GROUP BY o_orderstatus
 """
+
+
+ORACLES_EXT["delta_roundtrip_orders"] = """
+-- delta_roundtrip_orders: latest snapshot = (%4 IN (0,1)) minus the
+-- overwrite's filter (status <> 'P'); v1 snapshot = (%4 IN (0,1))
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+         WHERE o_orderkey % 4 IN (0, 1)) AS v1_rows
+FROM orders
+WHERE o_orderkey % 4 IN (0, 1) AND o_orderstatus <> 'P'
+GROUP BY o_orderstatus
+"""

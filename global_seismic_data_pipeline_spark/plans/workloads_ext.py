@@ -2539,3 +2539,51 @@ def ivm_orders_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wh.read("ord_by_status").select(
         "o_orderstatus", "n_orders", "sum_custkey"
     )
+
+
+def delta_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real ``_delta_log`` interop end-to-end (sources/deltalog.py — the
+    reference's actual storage format, 01_config_setup.py:48,
+    02_ingestion.py:214-217): orders slices flow through a standard Delta
+    v1 table — partitioned create (v0), append (v1), overwrite derived
+    from reading the table itself (v2, removes + adds in one commit) —
+    then the LATEST snapshot aggregates per status and the v1 snapshot's
+    row count rides along via time travel. The DuckDB oracle recomputes
+    both states set-theoretically from the same deterministic slice
+    definitions, so a wrong active-file set after the overwrite's
+    removes, a broken snapshot replay, or a partition column lost in the
+    hive fast-path read all hash-fail. Integer aggregates only — no
+    float discipline needed."""
+    import os
+    import tempfile
+
+    from ..sources import deltalog as dl
+
+    sel = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="deltart-"), "ord")
+    part = ["o_orderstatus"]
+    dl.write_delta(
+        sel.filter(F.col("o_orderkey") % 4 == 0), path, partition_by=part
+    )                                                                  # v0
+    dl.write_delta(
+        sel.filter(F.col("o_orderkey") % 4 == 1), path, partition_by=part
+    )                                                                  # v1
+    dl.write_delta(
+        dl.read_delta(spark, path).filter(F.col("o_orderstatus") != "P"),
+        path, mode="overwrite", partition_by=part,
+    )                                                                  # v2
+    v1_rows = (
+        dl.read_delta(spark, path, version=1)
+        .agg(F.count(F.lit(1)).alias("v1_rows"))
+    )
+    return (
+        dl.read_delta(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+        )
+        .crossJoin(F.broadcast(v1_rows))
+    )

@@ -1,0 +1,322 @@
+"""Delta-log-backed warehouse: the :class:`Warehouse` surface over REAL
+``_delta_log`` tables (sources/deltalog.py).
+
+Every table under the root is a standard Delta v1 directory — readable by
+any Delta client — while keeping the exact warehouse API the rest of the
+engine programs against (read/append/overwrite/MERGE/views/stats/CHECK
+constraints), so the backend-parametric warehouse test suite runs under it
+unchanged. This is the reference's actual storage contract
+(ref: 01_config_setup.py:48 `.format("delta")`, 02_ingestion.py:214-217,
+04_silver_transformation.py:194-202) realized at the wire-format level.
+
+Semantics differences from the rename-swap backends, all Delta-native:
+
+- **append/overwrite are log commits**, not directory mutations: append
+  publishes add actions; overwrite publishes removes of the previous
+  active set + adds — old files stay on disk for time travel until
+  :meth:`vacuum` (exactly Delta's behavior).
+- **pruned MERGE rewrites files, not directories**: the partition-bounded
+  rewrite commits `remove` for every active file whose partition value is
+  touched and `add` for the staged replacements, in ONE commit — the
+  file-level rewrite Delta's MERGE does, atomic at the log level (readers
+  see the old or the new snapshot, never a mix, because visibility is the
+  single put-if-absent JSON publish).
+- **time travel / history / restore come from the log itself** (no
+  hardlink snapshot sidecar needed): ``read_version`` replays the log at V,
+  ``restore`` commits removes(current)+adds(files of V) — Delta RESTORE's
+  append-only history.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import deltalog as dl
+from .warehouse import Warehouse
+
+
+def _touched_partition_removes(pcol: str, touched: Sequence):
+    """remove-set factory for the pruned rewrite: the active files whose
+    ``pcol`` value (string form, NULL as the hive sentinel) is touched —
+    evaluated against the state at commit time, inside the OCC loop."""
+    null_dir = "__HIVE_DEFAULT_PARTITION__"
+    touched_set = {str(v) for v in touched}
+
+    def removes(prev_state) -> list[str]:
+        out = []
+        for p, a in prev_state["files"].items():
+            val = a["partitionValues"].get(pcol)
+            sval = null_dir if val is None else str(val)
+            if sval in touched_set:
+                out.append(p)
+        return out
+
+    return removes
+
+
+class DeltaLogWarehouse(Warehouse):
+    """Named Delta tables under one root, with the Warehouse API."""
+
+    def __init__(self, spark: SparkSession, root: str, fmt: str = "parquet"):
+        if fmt != "parquet":
+            raise ValueError("Delta tables are parquet by specification")
+        super().__init__(spark, root, "parquet")
+
+    # -- existence is a LOG property, not a directory-listing one ----------
+    def exists(self, name: str) -> bool:
+        p = self.path(name)
+        if not dl.is_delta_table(p):
+            return False
+        return bool(dl.snapshot_state(p)["files"])
+
+    def drop(self, name: str) -> None:
+        super().drop(name)  # rmtree + constraint-sidecar cleanup
+
+    # -- read / write through the log --------------------------------------
+    def read(self, name: str) -> DataFrame:
+        return dl.read_delta(self.spark, self.path(name))
+
+    def append(
+        self, df: DataFrame, name: str, partition_by: Sequence[str] = ()
+    ) -> None:
+        self._commit_df(df, name, "append", partition_by)
+
+    def overwrite(
+        self, df: DataFrame, name: str, partition_by: Sequence[str] = ()
+    ) -> None:
+        if not partition_by and self.exists(name):
+            partition_by = self.partition_columns(name)
+        self._commit_df(df, name, "overwrite", partition_by)
+
+    def _commit_df(
+        self,
+        df: DataFrame,
+        name: str,
+        mode: str,
+        partition_by: Sequence[str],
+        *,
+        remove_partition: tuple[str, Sequence] | None = None,
+        operation: str | None = None,
+    ) -> None:
+        """Stage → (CHECK constraints veto) → log commit. The Observation
+        rides the staging write, so enforcement costs zero extra passes
+        and a violating batch never publishes — same contract as the
+        other backends, realized at the commit boundary."""
+        df, obs, cons = self._observe_constraints(df, name)
+        staged = dl.stage_write(df, self.path(name), partition_by)
+        self._abort_staging_if_violated(obs, cons, staged["staging"])
+        if remove_partition is not None:
+            pcol, touched = remove_partition
+            dl_mode = "append"
+            removes_fn = _touched_partition_removes(pcol, touched)
+        else:
+            dl_mode, removes_fn = mode, None
+        dl.commit_write(
+            self.spark, self.path(name), staged,
+            mode=dl_mode, partition_by=list(partition_by),
+            operation=operation, extra_removes=removes_fn,
+        )
+
+    def _rewrite_partitions(
+        self, name: str, pcol: str, merged: DataFrame, touched: Sequence
+    ) -> None:
+        # one commit: remove every active file in a touched partition, add
+        # the staged replacements — Delta MERGE's file-level pruned rewrite
+        self._commit_df(
+            merged, name, "append", [pcol],
+            remove_partition=(pcol, touched), operation="MERGE",
+        )
+
+    # -- metadata from the log ---------------------------------------------
+    def partition_columns(self, name: str) -> list[str]:
+        if not dl.is_delta_table(self.path(name)):
+            return []
+        state = dl.snapshot_state(self.path(name))
+        return list(state["metadata"].get("partitionColumns") or [])
+
+    def table_stats(self, name: str) -> dict[str, int]:
+        state = dl.snapshot_state(self.path(name))
+        files = state["files"].values()
+        return {
+            "num_files": len(files),
+            "size_bytes": sum(a["size"] for a in files),
+        }
+
+    def register_views(self, names: Sequence[str] | None = None) -> list[str]:
+        if names is None:
+            names = [
+                d for d in sorted(os.listdir(self.root))
+                if not d.startswith(".") and self.exists(d)
+            ]
+        for n in names:
+            self.read(n).createOrReplaceTempView(n)
+        return list(names)
+
+    # -- Delta-native time travel / history / restore / vacuum -------------
+    def versions(self, name: str) -> list[int]:
+        return sorted(h["version"] for h in dl.delta_history(self.path(name)))
+
+    def latest_version(self, name: str) -> int | None:
+        vs = self.versions(name)
+        return vs[-1] if vs else None
+
+    def read_version(self, name: str, version: int) -> DataFrame:
+        return dl.read_delta(self.spark, self.path(name), version=version)
+
+    def read_as_of_timestamp(self, name: str, ts) -> DataFrame:
+        return dl.read_delta(self.spark, self.path(name), timestamp=ts)
+
+    def history(self, name: str) -> list[dict]:
+        return [
+            {
+                "version": h["version"],
+                "operation": h["operation"],
+                "timestamp_ms": h["timestamp"],
+                "num_files": h["num_files"],
+                "size_bytes": h["size_bytes"],
+            }
+            for h in dl.delta_history(self.path(name), with_stats=True)
+        ]
+
+    def restore(self, name: str, version: int) -> int:
+        """Republish version V's file set as a new commit (Delta RESTORE:
+        removes(current − V) + adds(V − current), history append-only)."""
+        import json
+        import time
+        import uuid as _uuid
+
+        path = self.path(name)
+        cur = dl.snapshot_state(path)
+        old = dl.snapshot_state(path, version)
+        ts = int(time.time() * 1000)
+        actions = [{
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "RESTORE",
+                "operationParameters": {"version": version},
+            }
+        }]
+        actions += [
+            {"remove": {"path": p, "deletionTimestamp": ts, "dataChange": True}}
+            for p in cur["files"] if p not in old["files"]
+        ]
+        actions += [
+            {"add": {**a, "dataChange": True}}
+            for p, a in old["files"].items() if p not in cur["files"]
+        ]
+        log = dl._log_dir(path)
+        new_v = cur["version"] + 1
+        final = os.path.join(log, f"{new_v:020d}.json")
+        tmp = os.path.join(log, f".{_uuid.uuid4().hex}.json.tmp")
+        with open(tmp, "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+        try:
+            os.link(tmp, final)
+        finally:
+            os.remove(tmp)
+        return new_v
+
+    def vacuum(self, name: str, *, retain_hours: float = 168.0) -> list[str]:
+        return dl.vacuum_delta(self.path(name), retain_hours=retain_hours)
+
+    def vacuum_snapshots(self, name: str, *, keep_last: int = 2) -> list[int]:
+        """Delta log cleanup with the versioned backend's contract: keep
+        the newest ``keep_last`` versions time-travelable. Checkpoints the
+        anchor version, then drops older commit JSONs (their data files
+        stay until :meth:`vacuum`'s retention window passes)."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        vs = self.versions(name)
+        if len(vs) <= keep_last:
+            return []
+        anchor = vs[-keep_last]
+        dl.write_checkpoint(self.path(name), anchor)
+        log = dl._log_dir(self.path(name))
+        dropped = [v for v in vs if v < anchor]
+        for v in dropped:
+            os.remove(os.path.join(log, f"{v:020d}.json"))
+        return dropped
+
+    # identical snapshot-diff CDF as the versioned backend — it programs
+    # only against versions()/history()/read_version(), all served from
+    # the real log here (duck-typed delegation, single implementation)
+    def table_changes(self, *args, **kwargs):
+        from .versioned import VersionedWarehouse
+
+        return VersionedWarehouse.table_changes(self, *args, **kwargs)
+
+    def clone(self, src: str, dst: str) -> int:
+        """Delta SHALLOW CLONE at the wire-format level: ``dst`` starts a
+        NEW log whose add actions reference ``src``'s active files by
+        ABSOLUTE path (zero data copied — the real clone mechanism, not a
+        hardlink emulation). Future writes to either table stage their own
+        files; vacuuming the clone never deletes outside its root."""
+        import json as _json
+        import time as _time
+        import uuid as _uuid
+
+        if not self.exists(src):
+            raise ValueError(f"clone source {src!r} does not exist")
+        if dl.is_delta_table(self.path(dst)):
+            raise ValueError(f"clone target {dst!r} already exists")
+        state = dl.snapshot_state(self.path(src))
+        src_root = self.path(src)
+        from urllib.parse import quote, unquote
+
+        ts = int(_time.time() * 1000)
+        actions = [
+            {"commitInfo": {"timestamp": ts, "operation": "CLONE",
+                            "operationParameters": {"source": src}}},
+            {"protocol": state["protocol"]},
+            {"metaData": {**state["metadata"], "id": str(_uuid.uuid4())}},
+        ] + [
+            {"add": {
+                **a,
+                "path": quote(
+                    os.path.join(src_root, unquote(a["path"])), safe="/=-"
+                ),
+                "dataChange": True,
+            }}
+            for a in state["files"].values()
+        ]
+        log = dl._log_dir(self.path(dst))
+        os.makedirs(log, exist_ok=True)
+        final = os.path.join(log, f"{0:020d}.json")
+        tmp = os.path.join(log, f".{_uuid.uuid4().hex}.json.tmp")
+        with open(tmp, "w") as fh:
+            for a in actions:
+                fh.write(_json.dumps(a) + "\n")
+        try:
+            os.link(tmp, final)
+        finally:
+            os.remove(tmp)
+        return 0
+
+    def describe_detail(self, name: str) -> dict:
+        state = dl.snapshot_state(self.path(name))
+        hist = self.history(name)
+        return {
+            "format": "delta",
+            "location": self.path(name),
+            "num_files": len(state["files"]),
+            "size_bytes": sum(a["size"] for a in state["files"].values()),
+            "partition_columns": self.partition_columns(name),
+            "version": state["version"],
+            "created_at_ms": hist[-1]["timestamp_ms"] if hist else None,
+            "last_modified_ms": hist[0]["timestamp_ms"] if hist else None,
+            "num_snapshots": len(hist),
+        }
+
+    # -- unsupported on this backend ---------------------------------------
+    def save_bucketed(self, *a, **k):  # pragma: no cover - contract guard
+        raise NotImplementedError(
+            "bucketed tables need the session catalog (saveAsTable); use the "
+            "parquet/ORC warehouse for bucketed index stores"
+        )
+
+    append_bucketed = save_bucketed

@@ -329,13 +329,14 @@ class SqlDml:
 
     # -- Delta operational SQL (TABLE OPTIMIZATION.py verbatim flow) ------
     def _versioned(self, feature: str):
-        from .versioned import VersionedWarehouse
-
-        if not isinstance(self.wh, VersionedWarehouse):
+        # capability check, not a class check: any backend with a commit
+        # log qualifies — VersionedWarehouse (hardlink snapshots) and
+        # DeltaLogWarehouse (real _delta_log) both serve the full surface
+        if not (hasattr(self.wh, "read_version") and hasattr(self.wh, "history")):
             raise ValueError(
-                f"{feature} needs the versioned warehouse backend "
-                "(VersionedWarehouse) — the plain warehouse keeps no "
-                "commit log"
+                f"{feature} needs a commit-log warehouse backend "
+                "(VersionedWarehouse or DeltaLogWarehouse) — the plain "
+                "warehouse keeps no commit log"
             )
         return self.wh
 
@@ -406,11 +407,9 @@ class SqlDml:
         from ..pipeline import maintenance
 
         staging = maintenance.vacuum(self.wh)
-        from .versioned import VersionedWarehouse
-
         dropped = (
             len(self.wh.vacuum_snapshots(name, keep_last=2))
-            if isinstance(self.wh, VersionedWarehouse)
+            if hasattr(self.wh, "vacuum_snapshots")
             else 0
         )
         return self._summary(
@@ -467,11 +466,9 @@ class SqlDml:
                 "numFiles long, sizeBytes long",
             ).coalesce(1)
         stats = self.wh.table_stats(name)
-        from .versioned import VersionedWarehouse
-
         version = (
             self.wh.latest_version(name)
-            if isinstance(self.wh, VersionedWarehouse)
+            if hasattr(self.wh, "latest_version")
             else None
         )
         return self.spark.createDataFrame(

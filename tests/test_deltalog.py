@@ -1,0 +1,468 @@
+"""Delta transaction-log interop (sources/deltalog.py + deltawh.py).
+
+Two independent angles, because no Delta client exists in this sandbox to
+cross-check against:
+
+1. **Spec-fixture reads**: `_delta_log` directories HAND-CRAFTED from the
+   published protocol (JSON actions with url-encoded paths, removes,
+   metaData evolution, checkpoint + log cleanup) must reconstruct exactly
+   the documented state — the reader is pinned to the spec text, not to
+   this writer.
+2. **Round-trips + semantics**: writer→reader equality, OCC put-if-absent
+   races, time travel, RESTORE, VACUUM, protocol refusals, and the full
+   warehouse contract (MERGE, pruned rewrite, CHECK constraints) through
+   DeltaLogWarehouse.
+"""
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import Row, functions as F
+
+from global_seismic_data_pipeline_spark.sources import deltalog as dl
+from global_seismic_data_pipeline_spark.sources.deltawh import DeltaLogWarehouse
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# round-trips through our own writer
+# ---------------------------------------------------------------------------
+
+def test_write_read_roundtrip_flat(spark, tmp_path):
+    p = str(tmp_path / "t")
+    df = _df(spark, [(1, "a", 2.5), (2, "b", None)], "k int, s string, v double")
+    v = dl.write_delta(df, p, mode="error")
+    assert v == 0
+    got = dl.read_delta(spark, p)
+    assert got.columns == ["k", "s", "v"]
+    assert sorted(got.collect()) == sorted(df.collect())
+    # standard log layout on disk
+    assert os.path.isfile(os.path.join(p, "_delta_log", f"{0:020d}.json"))
+    with pytest.raises(ValueError, match="already exists"):
+        dl.write_delta(df, p, mode="error")
+
+
+def test_append_overwrite_and_time_travel(spark, tmp_path):
+    p = str(tmp_path / "t")
+    dl.write_delta(_df(spark, [(1,)], "k int"), p)                    # v0
+    dl.write_delta(_df(spark, [(2,)], "k int"), p, mode="append")     # v1
+    assert {r.k for r in dl.read_delta(spark, p).collect()} == {1, 2}
+    dl.write_delta(_df(spark, [(9,)], "k int"), p, mode="overwrite")  # v2
+    assert {r.k for r in dl.read_delta(spark, p).collect()} == {9}
+    # old files still on disk -> time travel works
+    assert {r.k for r in dl.read_delta(spark, p, version=1).collect()} == {1, 2}
+    assert {r.k for r in dl.read_delta(spark, p, version=0).collect()} == {1}
+    hist = dl.delta_history(p)
+    assert [h["version"] for h in hist] == [2, 1, 0]
+    assert hist[0]["operation"] == "WRITE"
+    assert hist[1]["operation"] == "APPEND"
+    # timestamp travel: at v1's commit time we see v1
+    ts1 = hist[1]["timestamp"]
+    assert {r.k for r in dl.read_delta(spark, p, timestamp=ts1).collect()} == {1, 2}
+    with pytest.raises(ValueError, match="no commit at or before"):
+        dl.read_delta(spark, p, timestamp=hist[-1]["timestamp"] - 10_000)
+
+
+def test_partitioned_roundtrip_types_and_null(spark, tmp_path):
+    p = str(tmp_path / "t")
+    df = _df(
+        spark,
+        [(1, 2024, "x"), (2, 2025, "y"), (3, None, "z")],
+        "k int, yr int, s string",
+    )
+    dl.write_delta(df, p, partition_by=["yr"])
+    got = dl.read_delta(spark, p)
+    assert got.schema["yr"].dataType.simpleString() == "int"
+    assert sorted(got.collect(), key=lambda r: r.k) == sorted(
+        df.collect(), key=lambda r: r.k
+    )
+    # the log's partitionValues are the authoritative strings, null as null
+    state = dl.snapshot_state(p)
+    vals = {a["partitionValues"]["yr"] for a in state["files"].values()}
+    assert vals == {"2024", "2025", None}
+    # appends must declare the same partitioning
+    with pytest.raises(ValueError, match="partitionColumns"):
+        dl.write_delta(_df(spark, [(4, 2024, "q")], df.schema), p)
+    dl.write_delta(_df(spark, [(4, 2024, "q")], df.schema), p,
+                   partition_by=["yr"])
+    assert dl.read_delta(spark, p).count() == 4
+    # partition pruning survives the one-scan hive fast path
+    plan = dl.read_delta(spark, p).filter(F.col("yr") == 2024)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or "yr" in plan
+
+
+def test_file_stats_written(spark, tmp_path):
+    p = str(tmp_path / "t")
+    dl.write_delta(
+        _df(spark, [(1, 5.0), (2, 9.0), (3, None)], "k int, v double"),
+        p,
+    )
+    adds = list(dl.snapshot_state(p)["files"].values())
+    stats = [json.loads(a["stats"]) for a in adds if a.get("stats")]
+    assert sum(s["numRecords"] for s in stats) == 3
+    allmin = min(s["minValues"]["k"] for s in stats if "k" in s["minValues"])
+    assert allmin == 1
+    assert sum(s["nullCount"].get("v", 0) for s in stats) == 1
+
+
+def test_occ_put_if_absent_race(spark, tmp_path):
+    """A racing writer who claimed version N forces a retry at N+1; both
+    commits survive intact (the loser never overwrites the winner)."""
+    p = str(tmp_path / "t")
+    dl.write_delta(_df(spark, [(1,)], "k int"), p)  # v0
+    # an interloper claims version 1 out-of-band with a no-op commit
+    log = os.path.join(p, "_delta_log")
+    with open(os.path.join(log, f"{1:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"commitInfo": {
+            "timestamp": 1, "operation": "INTERLOPER"}}) + "\n")
+    v = dl.write_delta(_df(spark, [(2,)], "k int"), p, mode="append")
+    assert v == 2
+    assert {r.k for r in dl.read_delta(spark, p).collect()} == {1, 2}
+    assert dl.delta_history(p)[1]["operation"] == "INTERLOPER"
+
+
+def test_checkpoint_write_read_and_log_cleanup(spark, tmp_path):
+    """Version 10 writes a classic checkpoint; reconstruction from it must
+    survive deletion of every earlier JSON (Delta log cleanup)."""
+    p = str(tmp_path / "t")
+    for i in range(12):  # v0..v11
+        dl.write_delta(_df(spark, [(i,)], "k int"), p, mode="append")
+    log = os.path.join(p, "_delta_log")
+    assert os.path.isfile(os.path.join(log, f"{10:020d}.checkpoint.parquet"))
+    lc = json.load(open(os.path.join(log, "_last_checkpoint")))
+    assert lc["version"] == 10
+    # log cleanup: drop JSONs 0..9 — state must still reconstruct
+    for v in range(10):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    got = dl.read_delta(spark, p)
+    assert {r.k for r in got.collect()} == set(range(12))
+    # time travel to a pre-checkpoint version is now impossible — loudly
+    with pytest.raises(ValueError, match="missing from the log"):
+        dl.read_delta(spark, p, version=5)
+    # but the checkpoint version itself still reads
+    assert dl.read_delta(spark, p, version=10).count() == 11
+
+
+def test_vacuum_deletes_only_expired_unreferenced(spark, tmp_path):
+    p = str(tmp_path / "t")
+    dl.write_delta(_df(spark, [(1,)], "k int"), p)                    # v0
+    dl.write_delta(_df(spark, [(2,)], "k int"), p, mode="overwrite")  # v1
+    # inside the retention window: nothing deleted, time travel intact
+    assert dl.vacuum_delta(p, retain_hours=1.0) == []
+    assert dl.read_delta(spark, p, version=0).count() == 1
+    deleted = dl.vacuum_delta(p, retain_hours=0.0)
+    assert deleted  # v0's files are unreferenced and expired
+    assert dl.read_delta(spark, p).count() == 1  # current snapshot untouched
+    with pytest.raises(Exception):
+        dl.read_delta(spark, p, version=0).count()  # travel beyond retention
+
+
+# ---------------------------------------------------------------------------
+# spec fixtures: hand-crafted logs the reader must honor
+# ---------------------------------------------------------------------------
+
+def _write_parquet(spark, rows, schema, out_dir, name):
+    """One parquet file with exactly ``rows``, returned as its path."""
+    import glob
+    import shutil
+
+    tmp = os.path.join(out_dir, f".mk-{name}")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    src = glob.glob(os.path.join(tmp, "*.parquet"))[0]
+    dst = os.path.join(out_dir, name)
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    shutil.copy(src, dst)
+    shutil.rmtree(tmp)
+    return dst
+
+
+def test_handcrafted_log_with_removes_and_encoded_paths(spark, tmp_path):
+    """A log written by hand from the protocol text: adds in v0, one
+    remove + replacement add in v1, a url-encoded path with a space.
+    The reader must report exactly the post-replay file set."""
+    p = str(tmp_path / "foreign")
+    os.makedirs(os.path.join(p, "_delta_log"))
+    schema = "k int, s string"
+    _write_parquet(spark, [(1, "a")], schema, p, "part one.parquet")
+    _write_parquet(spark, [(2, "b")], schema, p, "f2.parquet")
+    _write_parquet(spark, [(3, "c")], schema, p, "f3.parquet")
+
+    schema_string = spark.createDataFrame([], schema).schema.json()
+    v0 = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {
+            "id": "0000", "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_string, "partitionColumns": [],
+            "configuration": {}, "createdTime": 1,
+        }},
+        {"add": {"path": "part%20one.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 1, "dataChange": True}},
+        {"add": {"path": "f2.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 1, "dataChange": True}},
+        {"commitInfo": {"timestamp": 1000, "operation": "WRITE"}},
+    ]
+    v1 = [
+        {"remove": {"path": "f2.parquet", "deletionTimestamp": 2,
+                    "dataChange": True}},
+        {"add": {"path": "f3.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 2, "dataChange": True}},
+        {"commitInfo": {"timestamp": 2000, "operation": "MERGE"}},
+    ]
+    for v, actions in ((0, v0), (1, v1)):
+        with open(os.path.join(p, "_delta_log", f"{v:020d}.json"), "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+
+    assert {r.k for r in dl.read_delta(spark, p).collect()} == {1, 3}
+    assert {r.k for r in dl.read_delta(spark, p, version=0).collect()} == {1, 2}
+    state = dl.snapshot_state(p)
+    assert set(state["files"]) == {"part%20one.parquet", "f3.parquet"}
+
+
+def test_handcrafted_partitioned_nonhive_layout(spark, tmp_path):
+    """Foreign tables may keep data files OUTSIDE key=value directories —
+    partitionValues in the log are authoritative. The reader must attach
+    them as typed literals (the spec-correct fallback path)."""
+    p = str(tmp_path / "foreign")
+    os.makedirs(os.path.join(p, "_delta_log"))
+    # data files carry only (k, v); the partition column lives in the log
+    _write_parquet(spark, [(1, 1.5)], "k int, v double", p, "a.parquet")
+    _write_parquet(spark, [(2, 2.5)], "k int, v double", p, "b.parquet")
+    full = spark.createDataFrame([], "k int, v double, region string")
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {
+            "id": "0001", "format": {"provider": "parquet", "options": {}},
+            "schemaString": full.schema.json(),
+            "partitionColumns": ["region"], "configuration": {},
+            "createdTime": 1,
+        }},
+        {"add": {"path": "a.parquet", "partitionValues": {"region": "emea"},
+                 "size": 1, "modificationTime": 1, "dataChange": True}},
+        {"add": {"path": "b.parquet", "partitionValues": {"region": None},
+                 "size": 1, "modificationTime": 1, "dataChange": True}},
+        {"commitInfo": {"timestamp": 1000, "operation": "WRITE"}},
+    ]
+    with open(os.path.join(p, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    got = {(r.k, r.region) for r in dl.read_delta(spark, p).collect()}
+    assert got == {(1, "emea"), (2, None)}
+    assert dl.read_delta(spark, p).columns == ["k", "v", "region"]
+
+
+def test_protocol_refusals(spark, tmp_path):
+    def mk(proto, config=None):
+        p = str(tmp_path / f"t{abs(hash(json.dumps(proto)))}")
+        os.makedirs(os.path.join(p, "_delta_log"))
+        schema_string = spark.createDataFrame([], "k int").schema.json()
+        actions = [
+            {"protocol": proto},
+            {"metaData": {
+                "id": "x", "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_string, "partitionColumns": [],
+                "configuration": config or {}, "createdTime": 1,
+            }},
+        ]
+        with open(os.path.join(p, "_delta_log", f"{0:020d}.json"), "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+        return p
+
+    with pytest.raises(dl.DeltaProtocolError, match="deletionVectors"):
+        dl.snapshot_state(mk({
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+        }))
+    with pytest.raises(dl.DeltaProtocolError, match="column mapping"):
+        dl.snapshot_state(mk(
+            {"minReaderVersion": 2, "minWriterVersion": 5},
+            config={"delta.columnMapping.mode": "name"},
+        ))
+    # v3 with only supported features reads fine
+    st = dl.snapshot_state(mk({
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": ["timestampNtz"],
+    }))
+    assert st["files"] == {}
+
+
+# ---------------------------------------------------------------------------
+# the warehouse contract over the log
+# ---------------------------------------------------------------------------
+
+@pytest.fixture
+def dwh(spark, tmp_path):
+    return DeltaLogWarehouse(spark, str(tmp_path / "dwh"))
+
+
+def test_deltawh_basic_contract(spark, dwh):
+    df = _df(spark, [(1, "a"), (2, "b")], "k int, s string")
+    assert not dwh.exists("t")
+    dwh.overwrite(df, "t")
+    assert dwh.exists("t")
+    assert sorted(dwh.read("t").collect()) == sorted(df.collect())
+    dwh.append(_df(spark, [(3, "c")], df.schema), "t")
+    assert dwh.read("t").count() == 3
+    stats = dwh.table_stats("t")
+    assert stats["num_files"] >= 1 and stats["size_bytes"] > 0
+    assert dwh.register_views() == ["t"]
+    assert spark.table("t").count() == 3
+    dwh.drop("t")
+    assert not dwh.exists("t")
+
+
+def test_deltawh_merge_full_and_pruned(spark, dwh):
+    schema = "yr int, k int, v string"
+    dwh.merge(_df(spark, [(2024, 1, "a"), (2025, 2, "b")], schema), "m",
+              keys=["k"], prune_partition_col="yr")
+    # update k=1, insert k=3 — only yr=2024's files may be touched
+    before = {
+        p for p in dl.snapshot_state(dwh.path("m"))["files"]
+        if "yr=2025" in p
+    }
+    dwh.merge(_df(spark, [(2024, 1, "A"), (2024, 3, "c")], schema), "m",
+              keys=["k"], prune_partition_col="yr")
+    after_state = dl.snapshot_state(dwh.path("m"))
+    assert before <= set(after_state["files"])  # 2025 files untouched
+    got = {(r.k, r.v) for r in dwh.read("m").collect()}
+    assert got == {(1, "A"), (2, "b"), (3, "c")}
+    # pruned rewrite = ONE commit with removes+adds; history shows MERGE
+    assert dwh.history("m")[0]["operation"] == "MERGE"
+    # non-pruned merge over a flat table
+    dwh.merge(_df(spark, [(1, "x")], "k int, v string"), "f", keys=["k"])
+    dwh.merge(_df(spark, [(1, "y"), (2, "z")], "k int, v string"), "f",
+              keys=["k"])
+    assert {(r.k, r.v) for r in dwh.read("f").collect()} == {(1, "y"), (2, "z")}
+
+
+def test_deltawh_key_moves_partition(spark, dwh):
+    """A merge key whose partition value CHANGED must die in its old
+    partition — the movers logic over the delta read path."""
+    schema = "yr int, k int, v string"
+    dwh.merge(_df(spark, [(2024, 1, "a"), (2025, 2, "b")], schema), "m",
+              keys=["k"], prune_partition_col="yr")
+    dwh.merge(_df(spark, [(2025, 1, "moved")], schema), "m",
+              keys=["k"], prune_partition_col="yr")
+    got = {(r.yr, r.k, r.v) for r in dwh.read("m").collect()}
+    assert got == {(2025, 1, "moved"), (2025, 2, "b")}
+
+
+def test_deltawh_time_travel_restore_vacuum(spark, dwh):
+    dwh.overwrite(_df(spark, [(1,)], "k int"), "t")            # v0
+    dwh.append(_df(spark, [(2,)], "k int"), "t")               # v1
+    dwh.overwrite(_df(spark, [(9,)], "k int"), "t")            # v2
+    assert {r.k for r in dwh.read_version("t", 1).collect()} == {1, 2}
+    assert dwh.latest_version("t") == 2
+    v = dwh.restore("t", 1)                                    # v3
+    assert v == 3
+    assert {r.k for r in dwh.read("t").collect()} == {1, 2}
+    # restore is append-only history: v2 still readable pre-vacuum
+    assert {r.k for r in dwh.read_version("t", 2).collect()} == {9}
+    assert [h["version"] for h in dwh.history("t")] == [3, 2, 1, 0]
+    deleted = dwh.vacuum("t", retain_hours=0.0)
+    assert deleted  # v2's file is unreferenced now
+    assert {r.k for r in dwh.read("t").collect()} == {1, 2}
+    detail = dwh.describe_detail("t")
+    assert detail["format"] == "delta" and detail["version"] == 3
+
+
+def test_deltawh_check_constraints_at_commit_boundary(spark, dwh):
+    from global_seismic_data_pipeline_spark.sources.warehouse import (
+        ConstraintViolation,
+    )
+
+    dwh.overwrite(_df(spark, [(1, 5.0)], "k int, mag double"), "c")
+    dwh.add_constraint("c", "mag_range", "mag BETWEEN 0 AND 10")
+    with pytest.raises(ConstraintViolation):
+        dwh.append(_df(spark, [(2, 99.0)], "k int, mag double"), "c")
+    # nothing published: still one version, one row
+    assert dwh.latest_version("c") == 0
+    assert dwh.read("c").count() == 1
+    # no orphan staging
+    root = dwh.root
+    assert not [d for d in os.listdir(root) if d.startswith(".delta-staging")]
+
+
+def test_deltawh_rejects_nonparquet_and_bucketed(spark, tmp_path):
+    with pytest.raises(ValueError, match="parquet by specification"):
+        DeltaLogWarehouse(spark, str(tmp_path / "x"), fmt="orc")
+    dwh = DeltaLogWarehouse(spark, str(tmp_path / "y"))
+    with pytest.raises(NotImplementedError):
+        dwh.save_bucketed(None, "t", ["k"])
+
+
+def test_sql_facade_full_versioned_surface_on_delta(spark, tmp_path):
+    """The reference's operational SQL — DESCRIBE HISTORY / DETAIL,
+    VERSION AS OF, table_changes(), RESTORE, SHALLOW CLONE, VACUUM —
+    runs unchanged over the real-_delta_log backend (capability-gated,
+    not class-gated)."""
+    from global_seismic_data_pipeline_spark.sources.sqldml import SqlDml
+
+    dwh = DeltaLogWarehouse(spark, str(tmp_path / "dwh"))
+    engine = SqlDml(dwh)
+    dwh.overwrite(_df(spark, [(1, "a"), (2, "b")], "k int, s string"), "t")  # v0
+    dwh.overwrite(_df(spark, [(1, "a2"), (3, "c")], "k int, s string"), "t")  # v1
+
+    hist = engine.sql("DESCRIBE HISTORY t").collect()
+    assert [r.version for r in hist] == [1, 0]
+    assert all(r.numFiles >= 1 and r.sizeBytes > 0 for r in hist)
+
+    old = engine.sql("SELECT k, s FROM t VERSION AS OF 0 ORDER BY k").collect()
+    assert [(r.k, r.s) for r in old] == [(1, "a"), (2, "b")]
+
+    ch = engine.sql(
+        "SELECT _change_type, k FROM table_changes('t', 1, 1) "
+        "ORDER BY _change_type, k"
+    ).collect()
+    assert [(r._change_type, r.k) for r in ch] == [
+        ("delete", 1), ("delete", 2), ("insert", 1), ("insert", 3),
+    ]
+
+    engine.sql("RESTORE TABLE t TO VERSION AS OF 0")  # v2
+    assert {r.s for r in dwh.read("t").collect()} == {"a", "b"}
+    det = engine.sql("DESCRIBE DETAIL t").collect()[0]
+    assert det.version == 2 and det.numFiles >= 1
+
+    engine.sql("CREATE TABLE t2 SHALLOW CLONE t")
+    assert sorted(dwh.read("t2").collect()) == sorted(dwh.read("t").collect())
+    # vacuuming the clone must never delete the SOURCE's files
+    dwh.vacuum("t2", retain_hours=0.0)
+    assert {r.s for r in dwh.read("t").collect()} == {"a", "b"}
+    # the clone's own writes land in its root; source untouched
+    dwh.append(_df(spark, [(9, "z")], "k int, s string"), "t2")
+    assert dwh.read("t2").count() == 3 and dwh.read("t").count() == 2
+
+    # VACUUM: log cleanup keeps the last 2 versions time-travelable
+    engine.sql("VACUUM t")
+    assert [h["version"] for h in dwh.history("t")] == [2, 1]
+    assert {r.s for r in dwh.read_version("t", 1).collect()} == {"a2", "c"}
+
+
+def test_watermark_store_runs_on_deltawh(spark, tmp_path):
+    """The engine's own control table works over the delta backend — the
+    drop-in claim, exercised end-to-end."""
+    from datetime import datetime
+
+    from global_seismic_data_pipeline_spark.state import WatermarkStore
+
+    wh = DeltaLogWarehouse(spark, str(tmp_path / "wh"))
+    store = WatermarkStore(wh)
+    store.init("t", "time", datetime(2000, 1, 1))
+    store.advance("t", datetime(2025, 5, 1), 100)
+    store.advance("t", datetime(2024, 1, 1), 7)  # never moves backwards
+    e = store.get("t")
+    assert e.watermark_value == datetime(2025, 5, 1)
+    assert e.records_processed == 107
+    # and the control table is itself a real, time-travelable delta table
+    from global_seismic_data_pipeline_spark.state import CONTROL_TABLE
+
+    assert dl.is_delta_table(wh.path(CONTROL_TABLE))

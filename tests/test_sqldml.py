@@ -574,7 +574,7 @@ def test_versioned_sql_surface(spark, tmp_path):
         "SELECT * FROM t VERSION AS OF 1",
         "SELECT * FROM table_changes('t', 1)",
     ):
-        with pytest.raises(ValueError, match="versioned warehouse backend"):
+        with pytest.raises(ValueError, match="commit-log warehouse backend"):
             plain.sql(stmt)
 
 
