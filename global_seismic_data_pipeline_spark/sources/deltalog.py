@@ -746,6 +746,103 @@ def write_checkpoint(table_path: str, version: int | None = None) -> str:
     return final
 
 
+def delta_tail(
+    spark: SparkSession,
+    table_path: str,
+    from_version: int,
+    *,
+    to_version: int | None = None,
+    ignore_changes: bool = False,
+):
+    """Incremental consumption of an append-only Delta table — the
+    semantics of Spark's Delta streaming source: read ONLY the files
+    ADDED by commits in ``(from_version, to_version]`` (one scan over
+    exactly the new files, no snapshot diff, no old-data re-read — the
+    O(Δ) path an hourly 100 TB consumer needs).
+
+    A commit that REMOVED files (overwrite / MERGE rewrite) breaks the
+    append-only contract: refuse loudly, exactly like the real source's
+    default. ``ignore_changes=True`` opts into re-emitting rewritten
+    files' rows instead (the real source's ``ignoreChanges``, same
+    documented at-least-once caveat).
+
+    Returns ``(df, latest_version)``; pass ``latest_version`` back as the
+    next call's ``from_version`` (the caller persists it — e.g. in the
+    engine's watermark control table). ``df`` is None when no new commits.
+    """
+    commits, checkpoints = _list_log(table_path)
+    if not commits and not checkpoints:
+        raise ValueError(f"{table_path!r} has no _delta_log commits")
+    latest = max(list(commits) + list(checkpoints))
+    if to_version is None:
+        to_version = latest
+    if to_version <= from_version:
+        return None, from_version
+
+    state = snapshot_state(table_path, to_version)  # protocol gate + schema
+    schema = delta_schema(state)
+    pcols = list(state["metadata"].get("partitionColumns") or [])
+
+    new_adds: dict[str, dict] = {}
+    for v in range(from_version + 1, to_version + 1):
+        if v not in commits:
+            raise ValueError(
+                f"{table_path!r}: commit {v} missing from the log — the "
+                f"tail from {from_version} is broken (log cleanup passed "
+                "the consumer); re-seed from a full snapshot"
+            )
+        with open(os.path.join(_log_dir(table_path), commits[v])) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "add" in action:
+                    a = _plain_add(action["add"])
+                    new_adds[a["path"]] = a
+                elif "remove" in action and not ignore_changes:
+                    raise ValueError(
+                        f"{table_path!r}: commit {v} removed "
+                        f"{action['remove']['path']!r} — not append-only; "
+                        "pass ignore_changes=True to re-emit rewritten "
+                        "files (at-least-once)"
+                    )
+    if not new_adds:
+        return spark.createDataFrame([], schema), to_version
+
+    files = list(new_adds.values())
+    abs_paths = [os.path.join(table_path, unquote(a["path"])) for a in files]
+    if not pcols:
+        df = spark.read.schema(schema).parquet(*abs_paths)
+    elif _hive_layout_agrees(files, pcols):
+        df = (
+            spark.read.schema(schema)
+            .option("basePath", table_path)
+            .parquet(*abs_paths)
+        )
+    else:
+        data_schema = StructType(
+            [f for f in schema.fields if f.name not in pcols]
+        )
+        ptype = {f.name: f.dataType for f in schema.fields if f.name in pcols}
+        by_tuple: dict[tuple, list[str]] = {}
+        for a in files:
+            key = tuple(a["partitionValues"].get(c) for c in pcols)
+            by_tuple.setdefault(key, []).append(
+                os.path.join(table_path, unquote(a["path"]))
+            )
+        parts = []
+        for key, paths in by_tuple.items():
+            part = spark.read.schema(data_schema).parquet(*paths)
+            for c, val in zip(pcols, key):
+                part = part.withColumn(c, F.lit(val).cast(ptype[c]))
+            parts.append(part.select(*[f.name for f in schema.fields]))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+    return df.select(*[f.name for f in schema.fields]), to_version
+
+
 def vacuum_delta(table_path: str, *, retain_hours: float = 168.0) -> list[str]:
     """Delete data files no longer in the LATEST active set whose removal
     is older than the retention window (Delta VACUUM: time travel beyond

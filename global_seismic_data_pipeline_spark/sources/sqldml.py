@@ -386,7 +386,10 @@ class SqlDml:
         stats = maintenance.compact(self.wh, name, sort_cols=cols)
         return self._summary(
             statement="OPTIMIZE", table=name,
-            zorder_by=",".join(cols) or None,
+            # "" not None for the no-ZORDER form: _summary infers its
+            # schema from this single row, and an all-NULL column has no
+            # inferable type
+            zorder_by=",".join(cols),
             files_before=stats["files_before"],
             files_after=stats["files_after"],
         )

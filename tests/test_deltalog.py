@@ -400,6 +400,68 @@ def test_deltawh_rejects_nonparquet_and_bucketed(spark, tmp_path):
         dwh.save_bucketed(None, "t", ["k"])
 
 
+def test_delta_tail_incremental_consumption(spark, tmp_path):
+    """The streaming-source contract: each tail call reads ONLY the files
+    added since the cursor; non-append commits refuse unless
+    ignore_changes; a cleaned log breaks the tail loudly."""
+    p = str(tmp_path / "t")
+    dl.write_delta(_df(spark, [(1,)], "k int"), p)                   # v0
+    dl.write_delta(_df(spark, [(2,)], "k int"), p, mode="append")    # v1
+    dl.write_delta(_df(spark, [(3,)], "k int"), p, mode="append")    # v2
+
+    df, cur = dl.delta_tail(spark, p, from_version=0)
+    assert {r.k for r in df.collect()} == {2, 3} and cur == 2
+    # caught up: no new commits -> (None, same cursor)
+    df2, cur2 = dl.delta_tail(spark, p, from_version=cur)
+    assert df2 is None and cur2 == 2
+    # bounded tail: one commit at a time
+    df3, cur3 = dl.delta_tail(spark, p, from_version=0, to_version=1)
+    assert {r.k for r in df3.collect()} == {2} and cur3 == 1
+
+    dl.write_delta(_df(spark, [(9,)], "k int"), p, mode="overwrite")  # v3
+    with pytest.raises(ValueError, match="not append-only"):
+        dl.delta_tail(spark, p, from_version=cur)
+    df4, cur4 = dl.delta_tail(spark, p, from_version=cur,
+                              ignore_changes=True)
+    assert {r.k for r in df4.collect()} == {9} and cur4 == 3
+
+    # partitioned tables tail with their partition columns intact
+    pp = str(tmp_path / "pt")
+    dl.write_delta(_df(spark, [(1, "a")], "k int, g string"), pp,
+                   partition_by=["g"])
+    dl.write_delta(_df(spark, [(2, "b")], "k int, g string"), pp,
+                   partition_by=["g"], mode="append")
+    dft, _ = dl.delta_tail(spark, pp, from_version=0)
+    assert [(r.k, r.g) for r in dft.collect()] == [(2, "b")]
+
+    # log cleanup past the cursor: the tail must refuse, not skip data
+    for i in range(10):
+        dl.write_delta(_df(spark, [(10 + i,)], "k int"), p, mode="append")
+    log = os.path.join(p, "_delta_log")
+    for v in range(10):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    with pytest.raises(ValueError, match="re-seed"):
+        dl.delta_tail(spark, p, from_version=3)
+
+
+def test_optimize_sql_compacts_delta_backend(spark, tmp_path):
+    """OPTIMIZE through the SQL façade composes with the delta backend:
+    compaction is read + overwrite, i.e. one removes+adds commit, with
+    time travel to the pre-compaction state intact."""
+    from global_seismic_data_pipeline_spark.sources.sqldml import SqlDml
+
+    dwh = DeltaLogWarehouse(spark, str(tmp_path / "dwh"))
+    for i in range(4):
+        dwh.append(_df(spark, [(i, i * 10)], "k int, v int"), "t")
+    files_before = dwh.table_stats("t")["num_files"]
+    out = SqlDml(dwh).sql("OPTIMIZE t").collect()[0]
+    assert dwh.table_stats("t")["num_files"] < files_before
+    assert dwh.read("t").count() == 4
+    assert out.statement == "OPTIMIZE"
+    # pre-compaction version still readable (files linger until VACUUM)
+    assert dwh.read_version("t", 3).count() == 4
+
+
 def test_sql_facade_full_versioned_surface_on_delta(spark, tmp_path):
     """The reference's operational SQL — DESCRIBE HISTORY / DETAIL,
     VERSION AS OF, table_changes(), RESTORE, SHALLOW CLONE, VACUUM —
