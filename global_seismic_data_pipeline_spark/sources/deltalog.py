@@ -425,6 +425,7 @@ def write_delta(
     checkpoint_interval: int = 10,
     operation: str | None = None,
     max_retries: int = 20,
+    merge_schema: bool = False,
 ) -> int:
     """Write ``df`` as a Delta commit; returns the committed version.
 
@@ -445,6 +446,7 @@ def write_delta(
             mode=mode, partition_by=partition_by,
             checkpoint_interval=checkpoint_interval,
             operation=operation, max_retries=max_retries,
+            merge_schema=merge_schema,
         )
     except BaseException:
         import shutil
@@ -563,6 +565,7 @@ def commit_write(
     operation: str | None = None,
     max_retries: int = 20,
     extra_removes=None,
+    merge_schema: bool = False,
 ) -> int:
     """Phase 2: move staged files into the table and publish the commit
     JSON put-if-absent. On a lost race the commit (including overwrite's
@@ -571,7 +574,14 @@ def commit_write(
     ``extra_removes``: callable ``(prev_state) -> [encoded paths]`` whose
     results are committed as remove actions IN THE SAME commit as the adds
     — the file-level pruned rewrite (MERGE) primitive. Evaluated inside
-    the retry loop so a lost race recomputes against the winner's state."""
+    the retry loop so a lost race recomputes against the winner's state.
+
+    Schema enforcement (Delta's write contract): a batch whose schema
+    differs from the table's refuses loudly — without the check the read
+    path would SILENTLY drop the new columns (metaData's schema wins).
+    ``merge_schema=True`` instead commits an updated metaData whose
+    schema is table columns + the batch's new columns appended (Delta
+    ``mergeSchema``); same-name type conflicts always refuse."""
     import shutil
 
     staging = staged["staging"]
@@ -625,6 +635,20 @@ def commit_write(
                     f"partition_by {pcols} != table's partitionColumns "
                     f"{prev_pcols}"
                 )
+            if mode == "overwrite":
+                # full replace: every old file is removed below, so the
+                # batch schema simply becomes the table schema (Delta
+                # overwriteSchema) — no truncation risk to gate
+                if schema.json() != prev_meta["schemaString"]:
+                    actions.append({"metaData": {
+                        **prev_meta, "schemaString": schema.json(),
+                    }})
+            else:
+                evolved = _evolve_schema(prev_meta, schema, merge_schema)
+                if evolved is not None:
+                    actions.append({"metaData": {
+                        **prev_meta, "schemaString": evolved.json(),
+                    }})
             remove_paths = []
             if mode == "overwrite":
                 remove_paths = list(prev["files"])
@@ -671,6 +695,44 @@ def commit_write(
     raise DeltaConcurrentWriteError(
         f"lost the commit race {max_retries} times on {table_path!r}"
     )
+
+
+def _evolve_schema(
+    prev_meta: Mapping, batch_schema: StructType, merge_schema: bool
+) -> StructType | None:
+    """None when the batch schema matches the table's (by field name +
+    type, nullability ignored); the MERGED schema when evolution is
+    allowed and needed; raises otherwise. A silently-mismatched write is
+    the one outcome never permitted — the reader serves the metaData
+    schema, so unknown batch columns would vanish without this gate."""
+    table_schema = StructType.fromJson(json.loads(prev_meta["schemaString"]))
+    table_types = {f.name: f.dataType for f in table_schema.fields}
+    batch_types = {f.name: f.dataType for f in batch_schema.fields}
+    conflicts = {
+        n: (str(table_types[n]), str(t))
+        for n, t in batch_types.items()
+        if n in table_types and table_types[n] != t
+    }
+    if conflicts:
+        raise ValueError(
+            f"schema type conflicts vs the table: {conflicts} — cast the "
+            "batch explicitly (Delta never auto-widens on write)"
+        )
+    new_fields = [f for f in batch_schema.fields if f.name not in table_types]
+    missing = [n for n in table_types if n not in batch_types]
+    if not new_fields and not missing:
+        return None
+    if not merge_schema:
+        raise ValueError(
+            f"batch schema differs from the table's (new: "
+            f"{[f.name for f in new_fields]}, absent: {missing}); pass "
+            "merge_schema=True to evolve (new columns append, absent "
+            "columns read as NULL) — refusing to write a batch the "
+            "reader would silently truncate"
+        )
+    if not new_fields:
+        return None  # subset batch: files read as NULL under the schema
+    return StructType(list(table_schema.fields) + new_fields)
 
 
 def write_checkpoint(table_path: str, version: int | None = None) -> str:

@@ -400,6 +400,43 @@ def test_deltawh_rejects_nonparquet_and_bucketed(spark, tmp_path):
         dwh.save_bucketed(None, "t", ["k"])
 
 
+def test_schema_enforcement_and_evolution(spark, tmp_path):
+    """Delta's write contract: a drifted append REFUSES (without the gate
+    the reader would silently drop the new column — metaData's schema
+    wins); merge_schema=True evolves by appending new columns, old files
+    read the new column as NULL; type conflicts always refuse; overwrite
+    replaces the schema outright (old files are gone)."""
+    p = str(tmp_path / "t")
+    dl.write_delta(_df(spark, [(1, "a")], "k int, s string"), p)
+    with pytest.raises(ValueError, match="merge_schema"):
+        dl.write_delta(
+            _df(spark, [(2, "b", 9.5)], "k int, s string, score double"), p
+        )
+    dl.write_delta(
+        _df(spark, [(2, "b", 9.5)], "k int, s string, score double"), p,
+        merge_schema=True,
+    )
+    got = {(r.k, r.s, r.score) for r in dl.read_delta(spark, p).collect()}
+    assert got == {(1, "a", None), (2, "b", 9.5)}
+    assert dl.read_delta(spark, p).columns == ["k", "s", "score"]
+    # same-name type conflict refuses even with merge_schema
+    with pytest.raises(ValueError, match="type conflicts"):
+        dl.write_delta(_df(spark, [(3, 7, 1.0)], "k int, s int, score double"),
+                       p, merge_schema=True)
+    # a subset batch needs merge_schema too (absent columns read as NULL)
+    with pytest.raises(ValueError, match="absent"):
+        dl.write_delta(_df(spark, [(4,)], "k int"), p)
+    dl.write_delta(_df(spark, [(4,)], "k int"), p, merge_schema=True)
+    assert dl.read_delta(spark, p).filter("k = 4").collect()[0].s is None
+    # overwrite replaces the schema outright
+    dl.write_delta(_df(spark, [(True,)], "flag boolean"), p, mode="overwrite")
+    assert dl.read_delta(spark, p).columns == ["flag"]
+    # time travel still serves each version under ITS schema? No — Delta
+    # serves the LATEST metaData only for latest reads; versioned reads
+    # replay the metaData as of that version:
+    assert dl.read_delta(spark, p, version=2).columns == ["k", "s", "score"]
+
+
 def test_delta_tail_incremental_consumption(spark, tmp_path):
     """The streaming-source contract: each tail call reads ONLY the files
     added since the cursor; non-append commits refuse unless
@@ -442,6 +479,57 @@ def test_delta_tail_incremental_consumption(spark, tmp_path):
         os.remove(os.path.join(log, f"{v:020d}.json"))
     with pytest.raises(ValueError, match="re-seed"):
         dl.delta_tail(spark, p, from_version=3)
+
+
+def test_delta_tail_consumer_medallion_flow(spark, tmp_path):
+    """Bronze Delta → silver MERGE, O(Δ) per run with a durable cursor
+    (the reference's ingestion shape): each run reads only new files,
+    the cursor advances after the MERGE, a replay of the same slice is
+    idempotent (crash-between-fn-and-advance contract), and bounded
+    catch-up drains a backlog in max_versions batches."""
+    from global_seismic_data_pipeline_spark.sources.warehouse import Warehouse
+    from global_seismic_data_pipeline_spark.streaming.delta_source import (
+        DeltaTailConsumer,
+    )
+
+    bronze = str(tmp_path / "bronze_events")
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    consumer = DeltaTailConsumer(wh, bronze)
+
+    def merge_to_silver(batch):
+        wh.merge(batch, "silver", keys=["k"])
+
+    dl.write_delta(_df(spark, [(1, "a"), (2, "b")], "k int, v string"), bronze)
+    assert consumer.cursor() == -1
+    assert consumer.process_available(merge_to_silver) == 1  # v0 consumed
+    assert consumer.cursor() == 0
+    assert {(r.k, r.v) for r in wh.read("silver").collect()} == {(1, "a"), (2, "b")}
+    assert consumer.process_available(merge_to_silver) == 0  # caught up
+
+    # two more bronze commits: an update lands through the MERGE
+    dl.write_delta(_df(spark, [(2, "B2"), (3, "c")], "k int, v string"),
+                   bronze, mode="append")
+    dl.write_delta(_df(spark, [(4, "d")], "k int, v string"),
+                   bronze, mode="append")
+    # crash-replay: run fn on the pending slice WITHOUT advancing, then
+    # let the consumer run normally — the MERGE absorbs the duplicate
+    pending, _v = dl.delta_tail(spark, bronze, consumer.cursor())
+    merge_to_silver(pending)
+    assert consumer.process_available(merge_to_silver) == 2
+    got = {(r.k, r.v) for r in wh.read("silver").collect()}
+    assert got == {(1, "a"), (2, "B2"), (3, "c"), (4, "d")}
+
+    # bounded catch-up drains a backlog one version per batch
+    for i in range(3):
+        dl.write_delta(_df(spark, [(10 + i, "x")], "k int, v string"),
+                       bronze, mode="append")
+    batches = []
+    total = consumer.run_to_latest(
+        lambda b: batches.append(b.count()) or merge_to_silver(b),
+        max_versions_per_batch=1,
+    )
+    assert total == 3 and len(batches) == 3
+    assert wh.read("silver").count() == 7
 
 
 def test_optimize_sql_compacts_delta_backend(spark, tmp_path):
