@@ -906,15 +906,27 @@ def delta_tail(
 
 
 def vacuum_delta(table_path: str, *, retain_hours: float = 168.0) -> list[str]:
-    """Delete data files no longer in the LATEST active set whose removal
-    is older than the retention window (Delta VACUUM: time travel beyond
-    the window dies, the current snapshot is untouchable by construction).
-    Tombstone age comes from each remove action's deletionTimestamp."""
+    """Delta VACUUM: delete (a) files tombstoned by a remove action older
+    than the retention window, and (b) ORPHAN parquet files — on disk but
+    referenced by no retained log version (a crashed or constraint-vetoed
+    writer's moved-but-never-committed files). Time travel beyond the
+    window dies; the current snapshot is untouchable by construction.
+
+    Like Delta, the retention window is also the concurrency guard: an
+    in-flight writer's staged-then-moved files look like orphans until
+    its commit publishes, so ``retain_hours`` must exceed the longest
+    plausible write (Delta defaults to 7 days and warns below that —
+    same default and same reasoning here)."""
     state = snapshot_state(table_path)
     active = {unquote(p) for p in state["files"]}
-    cutoff_ms = (time.time() - retain_hours * 3600.0) * 1000.0
-    commits, _cps = _list_log(table_path)
+    cutoff_s = time.time() - retain_hours * 3600.0
+    cutoff_ms = cutoff_s * 1000.0
+    commits, checkpoints = _list_log(table_path)
     removed_at: dict[str, int] = {}
+    referenced: set[str] = set(active)
+    for parts in checkpoints.values():
+        cp = _read_checkpoint_state(table_path, parts)
+        referenced |= {unquote(p) for p in cp["files"]}
     for v in sorted(commits):
         with open(os.path.join(_log_dir(table_path), commits[v])) as fh:
             for line in fh:
@@ -926,19 +938,36 @@ def vacuum_delta(table_path: str, *, retain_hours: float = 168.0) -> list[str]:
                     r = action["remove"]
                     removed_at[unquote(r["path"])] = r.get("deletionTimestamp", 0)
                 elif "add" in action:
-                    removed_at.pop(unquote(action["add"]["path"]), None)
+                    p = unquote(action["add"]["path"])
+                    referenced.add(p)
+                    removed_at.pop(p, None)
     table_root = os.path.realpath(table_path)
+
+    def _inside(abs_f: str) -> bool:
+        # never delete outside the table root: a shallow clone's removes
+        # reference the SOURCE table's files by absolute path — vacuuming
+        # the clone must not destroy the source (Delta's exact rule)
+        return os.path.realpath(abs_f).startswith(table_root + os.sep)
+
     deleted = []
     for rel, ts in removed_at.items():
         if rel in active or ts > cutoff_ms:
             continue
         abs_f = os.path.join(table_path, rel)
-        # never delete outside the table root: a shallow clone's removes
-        # reference the SOURCE table's files by absolute path — vacuuming
-        # the clone must not destroy the source (Delta's exact rule)
-        if not os.path.realpath(abs_f).startswith(table_root + os.sep):
-            continue
-        if os.path.isfile(abs_f):
+        if _inside(abs_f) and os.path.isfile(abs_f):
             os.remove(abs_f)
             deleted.append(rel)
+    # orphans: parquet files under the root referenced by NOTHING retained
+    for root_, dirs, files in os.walk(table_path):
+        dirs[:] = [d for d in dirs if d != _LOG]
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            abs_f = os.path.join(root_, f)
+            rel = os.path.relpath(abs_f, table_path)
+            if rel in referenced or rel in removed_at:
+                continue
+            if os.path.getmtime(abs_f) < cutoff_s and _inside(abs_f):
+                os.remove(abs_f)
+                deleted.append(rel)
     return deleted

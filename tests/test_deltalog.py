@@ -163,6 +163,24 @@ def test_vacuum_deletes_only_expired_unreferenced(spark, tmp_path):
         dl.read_delta(spark, p, version=0).count()  # travel beyond retention
 
 
+def test_vacuum_collects_orphan_files(spark, tmp_path):
+    """Files on disk that NO retained log version references (a crashed
+    or constraint-vetoed writer's leftovers) are vacuumed once past the
+    retention window; active and tombstone-retained files are not."""
+    p = str(tmp_path / "t")
+    dl.write_delta(_df(spark, [(1,)], "k int"), p)
+    # simulate a crashed writer: a moved-but-never-committed parquet file
+    orphan = os.path.join(p, "orphan-部分-file.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"PAR1 not really parquet PAR1")
+    assert dl.vacuum_delta(p, retain_hours=1.0) == []  # inside the window
+    deleted = dl.vacuum_delta(p, retain_hours=0.0)
+    assert os.path.basename(orphan) in deleted
+    assert not os.path.exists(orphan)
+    # the table itself is untouched and still reads
+    assert dl.read_delta(spark, p).count() == 1
+
+
 # ---------------------------------------------------------------------------
 # spec fixtures: hand-crafted logs the reader must honor
 # ---------------------------------------------------------------------------
