@@ -75,6 +75,8 @@ EXTENDED = [
     # round-4 operators
     "ivf_index_drift",
     "training_shuffle_shards",
+    # round-5 operators
+    "delta_roundtrip_orders",
 ]
 
 HEADLINE = [

@@ -200,6 +200,10 @@ class DeltaLogWarehouse(Warehouse):
                 "operationParameters": {"version": version},
             }
         }]
+        if old["metadata"]["schemaString"] != cur["metadata"]["schemaString"]:
+            # RESTORE restores the METADATA too (Delta's behavior): old
+            # files must read under the schema they were written against
+            actions.append({"metaData": old["metadata"]})
         actions += [
             {"remove": {"path": p, "deletionTimestamp": ts, "dataChange": True}}
             for p in cur["files"] if p not in old["files"]

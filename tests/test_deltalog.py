@@ -277,6 +277,74 @@ def test_handcrafted_partitioned_nonhive_layout(spark, tmp_path):
     assert dl.read_delta(spark, p).columns == ["k", "v", "region"]
 
 
+def test_multipart_checkpoint_read(spark, tmp_path):
+    """Foreign writers may split checkpoints into N parts
+    (``%020d.checkpoint.%010d.%010d.parquet``); the reader must merge all
+    parts. Crafted by hand: metaData/protocol in part 1, adds split
+    across both parts, no JSON commits retained at or before the
+    checkpoint (full log cleanup)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "foreign")
+    log = os.path.join(p, "_delta_log")
+    os.makedirs(log)
+    schema = "k int, s string"
+    _write_parquet(spark, [(1, "a")], schema, p, "f1.parquet")
+    _write_parquet(spark, [(2, "b")], schema, p, "f2.parquet")
+    schema_string = spark.createDataFrame([], schema).schema.json()
+
+    pa_schema = pa.schema([
+        ("protocol", pa.struct([("minReaderVersion", pa.int32()),
+                                ("minWriterVersion", pa.int32())])),
+        ("metaData", pa.struct([
+            ("id", pa.string()), ("format", pa.struct([("provider", pa.string())])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+        ])),
+        ("add", pa.struct([
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()), ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ])),
+    ])
+    part1 = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+         "metaData": None, "add": None},
+        {"protocol": None,
+         "metaData": {"id": "m", "format": {"provider": "parquet"},
+                      "schemaString": schema_string,
+                      "partitionColumns": [], "configuration": {}},
+         "add": None},
+        {"protocol": None, "metaData": None,
+         "add": {"path": "f1.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 1, "dataChange": False}},
+    ]
+    part2 = [
+        {"protocol": None, "metaData": None,
+         "add": {"path": "f2.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 1, "dataChange": False}},
+    ]
+    for i, rows in ((1, part1), (2, part2)):
+        pq.write_table(
+            pa.Table.from_pylist(rows, schema=pa_schema),
+            os.path.join(
+                log, f"{4:020d}.checkpoint.{i:010d}.{2:010d}.parquet"
+            ),
+        )
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": 4, "size": 4, "parts": 2}, fh)
+    # one JSON commit after the checkpoint
+    with open(os.path.join(log, f"{5:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"commitInfo": {"timestamp": 5000,
+                                            "operation": "APPEND"}}) + "\n")
+    got = dl.read_delta(spark, p)
+    assert {r.k for r in got.collect()} == {1, 2}
+    assert dl.snapshot_state(p)["version"] == 5
+
+
 def test_protocol_refusals(spark, tmp_path):
     def mk(proto, config=None):
         p = str(tmp_path / f"t{abs(hash(json.dumps(proto)))}")
@@ -391,6 +459,23 @@ def test_deltawh_time_travel_restore_vacuum(spark, dwh):
     assert {r.k for r in dwh.read("t").collect()} == {1, 2}
     detail = dwh.describe_detail("t")
     assert detail["format"] == "delta" and detail["version"] == 3
+
+
+def test_restore_across_schema_evolution_restores_metadata(spark, dwh):
+    """RESTORE to a pre-evolution version serves the OLD schema (Delta
+    restores the metadata, not just the file set)."""
+    dwh.overwrite(_df(spark, [(1, "a")], "k int, s string"), "t")       # v0
+    dl.write_delta(
+        _df(spark, [(2, "b", 1.5)], "k int, s string, score double"),
+        dwh.path("t"), merge_schema=True,
+    )                                                                   # v1
+    assert dwh.read("t").columns == ["k", "s", "score"]
+    dwh.restore("t", 0)                                                 # v2
+    assert dwh.read("t").columns == ["k", "s"]
+    assert [(r.k, r.s) for r in dwh.read("t").collect()] == [(1, "a")]
+    # and rolling forward again works (append-only history)
+    dwh.restore("t", 1)                                                 # v3
+    assert dwh.read("t").columns == ["k", "s", "score"]
 
 
 def test_deltawh_check_constraints_at_commit_boundary(spark, dwh):
