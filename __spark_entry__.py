@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_point_lookup_events": workloads_ext.bloom_point_lookup_events,
         "ivm_orders_by_status": workloads_ext.ivm_orders_by_status,
         "delta_roundtrip_orders": workloads_ext.delta_roundtrip_orders,
+        "line_dedup_docs": workloads_ext.line_dedup_docs,
     }
 
 

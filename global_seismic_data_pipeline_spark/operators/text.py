@@ -521,3 +521,69 @@ def feature_hash(
         .groupBy(id_col, "feature_idx")
         .agg(F.sum("s").cast("long").alias("weight"))
     )
+
+
+def boilerplate_line_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n",
+    min_docs: int = 3,
+) -> DataFrame:
+    """Corpus-level boilerplate removal: delete every LINE that appears in
+    ``min_docs`` or more distinct documents, preserving the remaining
+    lines' order (the CCNet / RefinedWeb line-level dedup step — nav
+    menus, cookie banners, licence footers repeat across pages and
+    survive document-level near-dup untouched).
+
+    Output: (id, text-with-survivors, lines_removed) — one row per input
+    document, empty string when every line was boilerplate.
+
+    Shape at 100 TB: lines become ROWS via split+posexplode (the
+    CLAUDE.md-mandated row form — never explode an HOF-built array), the
+    document frequency is a two-phase distinct count on the line hash
+    (map-side partials), and removal is a left-anti join of line rows
+    against the (small, by the nature of boilerplate) flagged set. The
+    reassembly is one partial-aggregated groupBy of surviving rows:
+    sort_array over per-doc structs — bounded by document length, never
+    by corpus size. Exact matching by design (no near-match): that is
+    what the published pipelines do at this step."""
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2")
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(delim))).alias(
+            "line_no", "line"
+        ),
+    )
+    flagged = (
+        lines.select(id_col, "line")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("docfreq"))
+        .filter(F.col("docfreq") >= min_docs)
+        .select("line")
+    )
+    kept = lines.join(flagged, on="line", how="left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            delim,
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("line_no", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("__text"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n_lines"))
+    return (
+        totals.join(rebuilt, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__text"), F.lit("")).alias(text_col),
+            (
+                F.col("__n_lines") - F.coalesce(F.col("__n_kept"), F.lit(0))
+            ).cast("long").alias("lines_removed"),
+        )
+    )

@@ -2756,3 +2756,35 @@ FROM orders
 WHERE o_orderkey % 4 IN (0, 1) AND o_orderstatus <> 'P'
 GROUP BY o_orderstatus
 """
+
+
+ORACLES_EXT["line_dedup_docs"] = """
+-- line_dedup_docs: 8-word chunk lines; lines in >=3 distinct docs are
+-- boilerplate and removed everywhere; survivors rejoin in order
+WITH words AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+         unnest(string_split(text, ' ')) AS w
+  FROM documents
+), lines AS (
+  SELECT doc_id, pos // 8 AS line_no,
+         string_agg(w, ' ' ORDER BY pos) AS line
+  FROM words GROUP BY doc_id, pos // 8
+), flagged AS (
+  SELECT line FROM (
+    SELECT line, COUNT(DISTINCT doc_id) AS df FROM lines GROUP BY line
+  ) WHERE df >= 3
+), kept AS (
+  SELECT * FROM lines WHERE line NOT IN (SELECT line FROM flagged)
+), rebuilt AS (
+  SELECT doc_id, string_agg(line, '|' ORDER BY line_no) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+), totals AS (
+  SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(r.clean_text, '') AS clean_text,
+       CAST(t.n_lines - COALESCE(r.n_kept, 0) AS BIGINT) AS lines_removed
+FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+"""

@@ -2541,6 +2541,55 @@ def ivm_orders_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate line removal (operators/text.py
+    ``boilerplate_line_dedup`` — the CCNet/RefinedWeb line-dedup step
+    document-level near-dup cannot do): the corpus is first chunked into
+    deterministic 8-word lines (the synthetic docs have no newlines; the
+    chunking is exact SQL both engines replay), then every line present
+    in ≥3 distinct docs is deleted from all of them, preserving order.
+    The near-dup clusters in the corpus make this non-degenerate (20
+    boilerplate lines at sf0.001). The oracle recomputes the whole
+    thing set-theoretically; a missed flag, an order slip in the
+    reassembly, or a lost empty-doc row all hash-fail."""
+    from ..operators.text import boilerplate_line_dedup
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    words = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), F.lit(" "))).alias("pos", "w"),
+    )
+    lines = (
+        words.groupBy("doc_id", F.expr("pos div 8").alias("line_no"))
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+            ).alias("line")
+        )
+    )
+    chunked = lines.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("line_no", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("text")
+    )
+    out = boilerplate_line_dedup(chunked, min_docs=3)
+    return out.select(
+        "doc_id",
+        # newline-joined text breaks DuckDB's CSV-ish row compare; the
+        # checker contract is scalar columns, so surface it pipe-joined
+        F.regexp_replace("text", "\n", "|").alias("clean_text"),
+        "lines_removed",
+    )
+
+
 def delta_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real ``_delta_log`` interop end-to-end (sources/deltalog.py — the
     reference's actual storage format, 01_config_setup.py:48,

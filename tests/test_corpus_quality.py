@@ -162,3 +162,55 @@ def test_trimmed_mean_ignores_tail_outliers(spark):
     assert out["trimmed_mean"] == 10.0
     assert out["n_kept"] == 19  # 21 rows, lo = 1: drops 1 low + 1 high
     assert out["n_rows"] == 21
+
+
+def test_boilerplate_line_dedup(spark):
+    """Lines in >= min_docs distinct docs vanish everywhere, order and
+    duplicate occurrences of surviving lines are preserved, a fully-
+    boilerplate doc stays as an empty row, and same-doc repetition does
+    not count toward the document frequency."""
+    from global_seismic_data_pipeline_spark.operators.text import (
+        boilerplate_line_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "keep one\ncookie banner\nkeep one\nunique a"),
+            (2, "cookie banner\nunique b"),
+            (3, "cookie banner\nunique c"),
+            # doc 4 repeats a line 3x in ITSELF — df is per-doc distinct,
+            # so "self spam" must NOT be flagged at min_docs=3
+            (4, "self spam\nself spam\nself spam"),
+            (5, "cookie banner"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r.doc_id: (r.text, r.lines_removed)
+        for r in boilerplate_line_dedup(docs, min_docs=3).collect()
+    }
+    assert out[1] == ("keep one\nkeep one\nunique a", 1)  # order + dup kept
+    assert out[2] == ("unique b", 1)
+    assert out[3] == ("unique c", 1)
+    assert out[4] == ("self spam\nself spam\nself spam", 0)
+    assert out[5] == ("", 1)  # fully-boilerplate doc survives as a row
+
+    # threshold binds: at min_docs=2 nothing changes for unique docs but
+    # the banner still dies; at a high threshold nothing is removed
+    none = boilerplate_line_dedup(docs, min_docs=99).collect()
+    assert all(r.lines_removed == 0 for r in none)
+
+    # custom delimiter
+    pipe = spark.createDataFrame(
+        [(1, "x|common"), (2, "common|y")], "doc_id int, text string"
+    )
+    got = {
+        r.doc_id: r.text
+        for r in boilerplate_line_dedup(pipe, delim="|", min_docs=2).collect()
+    }
+    assert got == {1: "x", 2: "y"}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_docs"):
+        boilerplate_line_dedup(docs, min_docs=1)
