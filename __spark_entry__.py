@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm_orders_by_status": workloads_ext.ivm_orders_by_status,
         "delta_roundtrip_orders": workloads_ext.delta_roundtrip_orders,
         "line_dedup_docs": workloads_ext.line_dedup_docs,
+        "perplexity_bucket_sample": workloads_ext.perplexity_bucket_sample,
     }
 
 

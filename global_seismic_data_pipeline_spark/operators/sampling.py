@@ -483,3 +483,47 @@ def seeded_shuffle_shards(
         # integer div, not float-divide-then-cast: exact at any N
         F.expr(f"(__rn - 1) div {int(n_shards)}").cast("long").alias("pos"),
     )
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    sum_col: str = "surprisal_sum",
+    n_col: str = "n_tokens",
+    n_buckets: int = 3,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Assign each document to an equal-population perplexity bucket
+    (0 = most predictable … n_buckets-1 = most surprising) — the
+    CCNet-style head/middle/tail cut that downstream sampling keeps at
+    different rates.
+
+    The ordering key is the EXACT scaled-integer ratio
+    ``sum_col · scale div n_col`` (CLAUDE.md float discipline: a double
+    ratio could order differently across engines at ties); the global
+    position comes from the range-partitioned scalable rank over
+    ``(scaled, id)`` — unique keys, so rank ≡ row_number with NO
+    single-partition window — and ``bucket = (rank-1)·n_buckets div N``
+    puts bucket sizes within 1 of each other at any N. Output: the input
+    columns + ``scaled_bits``, ``rk``, ``bucket``."""
+    from . import ranking
+
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    scaled = scored.withColumn(
+        "scaled_bits",
+        F.expr(f"{sum_col} * {int(scale)} div {n_col}").cast("long"),
+    )
+    pos = ranking.ranked(
+        scaled, ["scaled_bits", id_col], method="rank", out_col="rk"
+    )
+    n = pos.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        pos.crossJoin(F.broadcast(n))
+        .withColumn(
+            "bucket",
+            F.expr(f"(rk - 1) * {int(n_buckets)} div __n").cast("long"),
+        )
+        .drop("__n")
+    )

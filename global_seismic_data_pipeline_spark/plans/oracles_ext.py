@@ -2788,3 +2788,53 @@ SELECT t.doc_id,
        CAST(t.n_lines - COALESCE(r.n_kept, 0) AS BIGINT) AS lines_removed
 FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
 """
+
+
+# CCNet-style perplexity bucketing + per-bucket md5 keeps: surprisal CTEs
+# as in UNIGRAM_SURPRISAL_SQL, exact scaled-integer ordering, ROW_NUMBER
+# with doc_id tiebreak, integer bucket cut, stratified_sample's hex bounds.
+PERPLEXITY_BUCKET_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split({NORM}, ' ')) AS tok FROM documents
+), tf AS (
+    SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM toks GROUP BY doc_id, tok
+), uni AS (
+    SELECT tok, CAST(SUM(tf) AS BIGINT) AS corpus_cnt FROM tf GROUP BY tok
+), tot AS (
+    SELECT CAST(SUM(corpus_cnt) AS BIGINT) AS n_total FROM uni
+), lm AS (
+    SELECT tok,
+        CAST(length(bin(CAST(t.n_total // u.corpus_cnt AS BIGINT))) AS BIGINT)
+            AS surprisal_q
+    FROM uni u CROSS JOIN tot t
+), per_doc AS (
+    SELECT f.doc_id,
+        CAST(SUM(f.tf) AS BIGINT) AS n_tokens,
+        CAST(SUM(f.tf * l.surprisal_q) AS BIGINT) AS surprisal_sum
+    FROM tf f JOIN lm l USING (tok) GROUP BY f.doc_id
+), scaled AS (
+    SELECT doc_id,
+        CAST(surprisal_sum * 1000000 // n_tokens AS BIGINT) AS scaled_bits
+    FROM per_doc
+), rnk AS (
+    SELECT doc_id, scaled_bits,
+        CAST(ROW_NUMBER() OVER (ORDER BY scaled_bits, doc_id) AS BIGINT) AS rk,
+        COUNT(*) OVER () AS n
+    FROM scaled
+), bucketed AS (
+    SELECT doc_id, scaled_bits, rk,
+        CASE (rk - 1) * 3 // n WHEN 0 THEN 'head'
+                               WHEN 1 THEN 'middle'
+                               ELSE 'tail' END AS ppl_bucket
+    FROM rnk
+)
+SELECT doc_id, ppl_bucket, scaled_bits, rk
+FROM bucketed
+WHERE substr(md5(CAST(doc_id AS VARCHAR) || '|ccnet'), 1, 8) <
+      CASE ppl_bucket WHEN 'head' THEN 'gggggggg'
+                      WHEN 'middle' THEN '80000000'
+                      ELSE '19999999' END
+"""
+
+ORACLES_EXT["perplexity_bucket_sample"] = PERPLEXITY_BUCKET_SQL

@@ -2590,6 +2590,40 @@ def line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def perplexity_bucket_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing + per-bucket keep rates
+    (operators/sampling.py ``perplexity_buckets`` + ``stratified_sample``
+    over ``text.unigram_lm_surprisal``): docs rank by exact
+    scaled-integer bits-per-token (scalable rank, no single-partition
+    window), cut into equal-population head/middle/tail, then kept at
+    1.0 / 0.5 / 0.1 via the engine-portable md5 thresholds. The oracle
+    replays surprisal, ROW_NUMBER, the integer bucket cut, and the md5
+    keeps — an off-by-one at a bucket boundary or a float-ordered rank
+    hash-fails."""
+    from ..operators.sampling import perplexity_buckets, stratified_sample
+    from ..operators.text import unigram_lm_surprisal
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    scored = unigram_lm_surprisal(docs).select(
+        "doc_id", "n_tokens", "surprisal_sum"
+    )
+    b = perplexity_buckets(scored)
+    labeled = b.withColumn(
+        "ppl_bucket",
+        F.when(F.col("bucket") == 0, F.lit("head"))
+        .when(F.col("bucket") == 1, F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )
+    kept = stratified_sample(
+        labeled,
+        strata_col="ppl_bucket",
+        key_col="doc_id",
+        rates={"head": 1.0, "middle": 0.5, "tail": 0.1},
+        salt="ccnet",
+    )
+    return kept.select("doc_id", "ppl_bucket", "scaled_bits", "rk")
+
+
 def delta_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real ``_delta_log`` interop end-to-end (sources/deltalog.py — the
     reference's actual storage format, 01_config_setup.py:48,

@@ -83,6 +83,10 @@ class DeltaLogWarehouse(Warehouse):
     def append(
         self, df: DataFrame, name: str, partition_by: Sequence[str] = ()
     ) -> None:
+        if not partition_by:
+            # auto-fill like overwrite: the log validates partition_by
+            # against the table's partitionColumns on every commit
+            partition_by = self.partition_columns(name)
         self._commit_df(df, name, "append", partition_by)
 
     def overwrite(

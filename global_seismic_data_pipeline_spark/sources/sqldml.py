@@ -111,8 +111,17 @@ _CREATE_RE = re.compile(
 )
 
 _INSERT_RE = re.compile(
-    r"^\s*INSERT\s+INTO\s+(?P<target>[\w.]+)\s+"
+    r"^\s*INSERT\s+(?:INTO|(?P<over>OVERWRITE)(?:\s+TABLE)?)\s+"
+    r"(?P<target>[\w.]+)\s+"
     r"(?:VALUES\s*(?P<values>\(.*\))|(?P<select>SELECT\s+.*?))\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_CTAS_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?P<ifnot>IF\s+NOT\s+EXISTS\s+)?(?P<target>[\w.]+)"
+    r"(?:\s+USING\s+(?P<provider>\w+))?"
+    r"(?:\s+PARTITIONED\s+BY\s*\(\s*(?P<pcols>[^)]*?)\s*\))?"
+    r"\s+AS\s+(?P<select>SELECT\s+.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -721,6 +730,32 @@ class SqlDml:
                 statement="CLONE", table=cm["target"],
                 source=cm["source"], version=v,
             )
+        cm = _mask_match(_CTAS_RE, text)
+        if cm:
+            # CREATE TABLE t [USING x] [PARTITIONED BY (cols)] AS SELECT —
+            # the SELECT runs over the registered table views; the result
+            # lands as an atomic overwrite (optionally hive-partitioned)
+            name = cm["target"]
+            if self.wh.exists(name):
+                if cm["ifnot"]:
+                    return self._summary(
+                        statement="CREATE", table=name, created=False
+                    )
+                raise ValueError(f"CREATE TABLE: {name!r} already exists")
+            self.wh.register_views()
+            df = self.spark.sql(self._rewrite_versioned_reads(cm["select"]))
+            pcols = _split_top_level(cm["pcols"]) if cm["pcols"] else []
+            missing = [c for c in pcols if c not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"PARTITIONED BY columns {missing} not in the SELECT "
+                    f"output {df.columns}"
+                )
+            self.wh.overwrite(df, name, partition_by=pcols)
+            return self._summary(
+                statement="CREATE", table=name, created=True,
+                partitioned_by=",".join(pcols),
+            )
         m = _mask_match(_CREATE_RE, text)
         if not m:
             raise ValueError(f"unsupported CREATE TABLE syntax: {text!r}")
@@ -783,6 +818,13 @@ class SqlDml:
             ]
         )
         n = aligned.count()
+        if m["over"]:
+            # INSERT OVERWRITE [TABLE] t: atomic full replace, preserving
+            # the table's hive layout (Warehouse.overwrite's contract)
+            self.wh.overwrite(aligned, name)
+            return self._summary(
+                statement="INSERT_OVERWRITE", table=name, rows_inserted=n
+            )
         self.wh.append(aligned, name)
         return self._summary(statement="INSERT", table=name, rows_inserted=n)
 

@@ -94,6 +94,11 @@ class Warehouse:
         failure). With staging, concurrent appends from one session or
         many are safe, existing files are never touched, and readers stay
         consistent per-file."""
+        if not partition_by and self.exists(name):
+            # same auto-fill as overwrite(): a flat append into a hive-
+            # partitioned table writes files partition discovery DROPS —
+            # silent row loss (caught by the façade INSERT test)
+            partition_by = self.partition_columns(name)
         staging = os.path.join(self.root, f".staging-{name}-{uuid.uuid4().hex}")
         df, obs, cons = self._observe_constraints(df, name)
         w = df.write.mode("overwrite")

@@ -387,3 +387,34 @@ def test_seeded_shuffle_shards_balance_determinism_and_reseed(spark):
     # and not id-ordered (it is a shuffle)
     by_slot = sorted(out1, key=lambda d: out1[d][0] + 8 * out1[d][1])
     assert by_slot != sorted(by_slot)
+
+
+def test_perplexity_buckets_equal_population_and_exact_ordering(spark):
+    """Bucket sizes within 1 of each other at any N; the ordering is the
+    exact scaled-integer ratio (a float ratio would flip ties); every
+    input column survives."""
+    from global_seismic_data_pipeline_spark.operators.sampling import (
+        perplexity_buckets,
+    )
+
+    rows = [(i, 100 + i, 10 + (i % 7)) for i in range(10)]
+    scored = spark.createDataFrame(
+        rows, "doc_id int, surprisal_sum long, n_tokens long"
+    )
+    out = perplexity_buckets(scored, n_buckets=3).collect()
+    sizes = {}
+    for r in out:
+        sizes[r.bucket] = sizes.get(r.bucket, 0) + 1
+        assert r.scaled_bits == (r.surprisal_sum * 1_000_000) // r.n_tokens
+    assert sorted(sizes) == [0, 1, 2]
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # ranks are a permutation of 1..N ordered by (scaled_bits, doc_id)
+    ordered = sorted(out, key=lambda r: (r.scaled_bits, r.doc_id))
+    assert [r.rk for r in ordered] == list(range(1, 11))
+    # buckets are monotone in rank
+    assert [r.bucket for r in ordered] == sorted(r.bucket for r in out)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_buckets"):
+        perplexity_buckets(scored, n_buckets=1)
