@@ -174,6 +174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_roundtrip_orders": workloads_ext.delta_roundtrip_orders,
         "line_dedup_docs": workloads_ext.line_dedup_docs,
         "perplexity_bucket_sample": workloads_ext.perplexity_bucket_sample,
+        "span_dedup_docs": workloads_ext.span_dedup_docs,
     }
 
 

@@ -587,3 +587,101 @@ def boilerplate_line_dedup(
             ).cast("long").alias("lines_removed"),
         )
     )
+
+
+def exact_span_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Exact-substring dedup at k-token span granularity ("Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2022): every
+    occurrence of a k-gram that also appears in a DIFFERENT document is
+    removed — except in the gram's canonical document (the smallest id
+    containing it), which keeps its copy so exactly one version of each
+    duplicated passage survives the corpus. A token is dropped when ANY
+    removed span covers it; survivors reassemble in original order.
+
+    This is the span-level complement of ``boilerplate_line_dedup`` (which
+    needs duplication to align on line boundaries) and of document-level
+    near-dup (which only fires when whole documents resemble each other):
+    a paragraph quoted mid-document is caught here and nowhere else.
+
+    Output: (id, clean_text, n_tokens, tokens_removed) — one row per
+    input document, empty string when everything was duplicated.
+
+    Shape at 100 TB: tokens and gram starts are ROWS (split → posexplode
+    → k-1 leads over a per-doc window — never an HOF-built array, see
+    neardup); cross-document duplication needs only min(id) ≠ max(id)
+    over the gram partition — ONE window keyed by gram, no distinct
+    count; the flagged-start set (small, by the nature of duplication)
+    left-joins back on the (id, pos) key; span coverage is a rolling max
+    over the previous k-1 token rows (positions are dense, so ROWS ≡
+    RANGE); reassembly is one partial-aggregated groupBy bounded by
+    document length. Skew is bounded by the most widespread gram's
+    occurrence count — a stop-gram cut slots in front of the gram window
+    if a corpus needs one."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    toks = token_rows(df, id_col=id_col, text_col=text_col)
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    lead_cols = [
+        F.lead("tok", i).over(wd).alias(f"t{i}") for i in range(1, k)
+    ]
+    grams = (
+        toks.select(F.col(id_col), F.col("pos"), F.col("tok"), *lead_cols)
+        .filter(F.col(f"t{k - 1}").isNotNull())
+        .select(
+            id_col,
+            "pos",
+            F.concat_ws(
+                " ", "tok", *[f"t{i}" for i in range(1, k)]
+            ).alias("gram"),
+        )
+    )
+    wg = Window.partitionBy("gram")
+    min_doc = F.min(id_col).over(wg)
+    flagged = (
+        grams.withColumn(
+            "flag",
+            (
+                (min_doc != F.max(id_col).over(wg))
+                & (F.col(id_col) != min_doc)
+            ).cast("int"),
+        )
+        .filter(F.col("flag") == 1)
+        .select(id_col, "pos", "flag")
+    )
+    cover = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(-(k - 1), Window.currentRow)
+    )
+    kept = (
+        toks.join(flagged, on=[id_col, "pos"], how="left")
+        .withColumn(
+            "rm", F.max(F.coalesce(F.col("flag"), F.lit(0))).over(cover)
+        )
+        .filter(F.col("rm") == 0)
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("__text"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    totals = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tokens"))
+    return totals.join(rebuilt, on=id_col, how="left").select(
+        F.col(id_col),
+        F.coalesce(F.col("__text"), F.lit("")).alias("clean_text"),
+        F.col("n_tokens"),
+        (F.col("n_tokens") - F.coalesce(F.col("__n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("tokens_removed"),
+    )

@@ -2838,3 +2838,53 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR) || '|ccnet'), 1, 8) <
 """
 
 ORACLES_EXT["perplexity_bucket_sample"] = PERPLEXITY_BUCKET_SQL
+
+
+# Lee-et-al exact-substring span dedup: k=8 token spans, cross-document
+# duplicates removed everywhere except the smallest-id (canonical) doc;
+# coverage via a rolling ROWS-frame max; ordered reassembly.
+SPAN_DEDUP_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id,
+           generate_subscripts(string_split({NORM}, ' '), 1) - 1 AS pos,
+           unnest(string_split({NORM}, ' ')) AS tok
+    FROM documents
+), led AS (
+    SELECT doc_id, pos, tok,
+           lead(tok, 1) OVER w AS t1, lead(tok, 2) OVER w AS t2,
+           lead(tok, 3) OVER w AS t3, lead(tok, 4) OVER w AS t4,
+           lead(tok, 5) OVER w AS t5, lead(tok, 6) OVER w AS t6,
+           lead(tok, 7) OVER w AS t7
+    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), grams AS (
+    SELECT doc_id, pos,
+           concat_ws(' ', tok, t1, t2, t3, t4, t5, t6, t7) AS gram
+    FROM led WHERE t7 IS NOT NULL
+), fl AS (
+    SELECT doc_id, pos,
+           CASE WHEN min(doc_id) OVER wg <> max(doc_id) OVER wg
+                 AND doc_id <> min(doc_id) OVER wg THEN 1 ELSE 0 END AS flag
+    FROM grams WINDOW wg AS (PARTITION BY gram)
+), marked AS (
+    SELECT t.doc_id, t.pos, t.tok,
+           max(COALESCE(f.flag, 0)) OVER (
+               PARTITION BY t.doc_id ORDER BY t.pos
+               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS rm
+    FROM toks t
+    LEFT JOIN (SELECT doc_id, pos, flag FROM fl WHERE flag = 1) f
+      ON t.doc_id = f.doc_id AND t.pos = f.pos
+), rebuilt AS (
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+           COUNT(*) AS n_kept
+    FROM marked WHERE rm = 0 GROUP BY doc_id
+), totals AS (
+    SELECT doc_id, COUNT(*) AS n_tokens FROM toks GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(r.clean_text, '') AS clean_text,
+       CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       CAST(t.n_tokens - COALESCE(r.n_kept, 0) AS BIGINT) AS tokens_removed
+FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+"""
+
+ORACLES_EXT["span_dedup_docs"] = SPAN_DEDUP_SQL

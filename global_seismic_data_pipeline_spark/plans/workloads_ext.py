@@ -2624,6 +2624,22 @@ def perplexity_bucket_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "ppl_bucket", "scaled_bits", "rk")
 
 
+def span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span dedup (operators/text.py ``exact_span_dedup``,
+    Lee et al. 2022): every 8-token span that also occurs in a different
+    document is removed except in its canonical (smallest-id) document;
+    tokens covered by any removed span drop, survivors reassemble in
+    order. ~5% of gram starts flag at this corpus, so the query is
+    non-degenerate. The oracle replays tokenization, the k-1 leads, the
+    min≠max cross-doc test, the rolling ROWS-frame coverage max, and the
+    ordered reassembly — an off-by-one in the coverage frame or a
+    canonical-copy slip hash-fails."""
+    from ..operators.text import exact_span_dedup
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return exact_span_dedup(docs, k=8)
+
+
 def delta_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real ``_delta_log`` interop end-to-end (sources/deltalog.py — the
     reference's actual storage format, 01_config_setup.py:48,

@@ -214,3 +214,66 @@ def test_boilerplate_line_dedup(spark):
 
     with _pytest.raises(ValueError, match="min_docs"):
         boilerplate_line_dedup(docs, min_docs=1)
+
+
+def test_exact_span_dedup(spark):
+    """Cross-doc duplicated k-spans vanish everywhere EXCEPT the
+    canonical smallest-id doc; within-doc repetition alone never flags;
+    coverage extends k tokens from each flagged start; short docs pass
+    through; a fully-duplicated doc survives as an empty row."""
+    from global_seismic_data_pipeline_spark.operators.text import (
+        exact_span_dedup,
+    )
+
+    span = "a b c d"  # k=4 spans below
+    docs = spark.createDataFrame(
+        [
+            # canonical holder of "a b c d" (smallest doc_id wins);
+            # distinct suffixes so no OTHER gram is shared with doc 2
+            (1, f"{span} one fin"),
+            # non-canonical: the span is removed, the rest survives
+            (2, f"head {span} two end"),
+            # fully-duplicated doc: nothing but the span
+            (3, span),
+            # same-doc repetition only — never flagged cross-doc
+            (4, f"x y z w x y z w"),
+            # shorter than k: no grams at all
+            (5, "tiny doc"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r.doc_id: (r.clean_text, r.n_tokens, r.tokens_removed)
+        for r in exact_span_dedup(docs, k=4).collect()
+    }
+    assert out[1] == (f"{span} one fin", 6, 0)  # canonical copy kept
+    assert out[2] == ("head two end", 7, 4)     # span excised mid-doc
+    assert out[3] == ("", 4, 4)                  # empty row survives
+    assert out[4] == ("x y z w x y z w", 8, 0)   # self-repeat unflagged
+    assert out[5] == ("tiny doc", 2, 0)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must"):
+        exact_span_dedup(docs, k=1)
+
+
+def test_exact_span_dedup_overlapping_coverage(spark):
+    """Two overlapping flagged starts remove their union, not 2k tokens;
+    tokens before the first flagged start survive."""
+    from global_seismic_data_pipeline_spark.operators.text import (
+        exact_span_dedup,
+    )
+
+    # doc 2 contains "a b c" and "b c d": both 3-grams of doc 1's
+    # "a b c d" — flagged starts overlap, union = 4 tokens
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "pre a b c d post")],
+        "doc_id int, text string",
+    )
+    out = {
+        r.doc_id: (r.clean_text, r.tokens_removed)
+        for r in exact_span_dedup(docs, k=3).collect()
+    }
+    assert out[1] == ("a b c d", 0)
+    assert out[2] == ("pre post", 4)
