@@ -175,6 +175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_docs": workloads_ext.line_dedup_docs,
         "perplexity_bucket_sample": workloads_ext.perplexity_bucket_sample,
         "span_dedup_docs": workloads_ext.span_dedup_docs,
+        "nb_lang_classifier": workloads_ext.nb_lang_classifier,
     }
 
 

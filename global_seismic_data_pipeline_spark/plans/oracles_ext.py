@@ -2888,3 +2888,65 @@ FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
 """
 
 ORACLES_EXT["span_dedup_docs"] = SPAN_DEDUP_SQL
+
+
+# Quantized multinomial Naive Bayes lang classifier: fit on doc_id%5<>0,
+# score doc_id%5=0. Laplace-smoothed per-(lang,tok) counts quantized via
+# the bit-length log2; class prior + unseen-token default; argmin with
+# label-ascending tiebreak.
+NB_LANG_SQL = rf"""
+WITH train AS (
+    SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 <> 0
+), held AS (
+    SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 0
+), ttoks AS (
+    SELECT t.doc_id, t.lang, unnest(string_split({NORM}, ' ')) AS tok
+    FROM train t
+), counts AS (
+    SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM ttoks GROUP BY lang, tok
+), vsz AS (
+    SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM counts
+), ntr AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n FROM train
+), classes AS (
+    SELECT c.lang, c.n_docs, COALESCE(s.total_tokens, 0) AS total_tokens,
+           CAST(length(bin(CAST(ntr.n // c.n_docs AS BIGINT))) AS BIGINT)
+               AS prior_q,
+           CAST(length(bin(CAST(COALESCE(s.total_tokens, 0) + vsz.v
+                                AS BIGINT))) AS BIGINT) AS default_q
+    FROM (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM train GROUP BY lang) c
+    LEFT JOIN (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS total_tokens
+               FROM counts GROUP BY lang) s ON c.lang = s.lang
+    CROSS JOIN vsz CROSS JOIN ntr
+), model AS (
+    SELECT co.lang, co.tok,
+           CAST(length(bin(CAST((cl.total_tokens + vsz.v) // (co.cnt + 1)
+                                AS BIGINT))) AS BIGINT) AS q
+    FROM counts co JOIN classes cl ON co.lang = cl.lang CROSS JOIN vsz
+), htf AS (
+    SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (SELECT h.doc_id, unnest(string_split({NORM}, ' ')) AS tok
+          FROM held h)
+    GROUP BY doc_id, tok
+), scored AS (
+    SELECT f.doc_id, c.lang,
+           c.prior_q + SUM(f.tf * COALESCE(m.q, c.default_q)) AS score
+    FROM htf f CROSS JOIN classes c
+    LEFT JOIN model m ON m.lang = c.lang AND m.tok = f.tok
+    GROUP BY f.doc_id, c.lang, c.prior_q
+), best AS (
+    SELECT doc_id, lang AS pred_lang, score AS best_surprisal,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY score ASC, lang ASC) AS rn
+    FROM scored
+)
+SELECT b.doc_id, h.lang, b.pred_lang,
+       CAST(b.best_surprisal AS BIGINT) AS best_surprisal,
+       CAST(b.pred_lang = h.lang AS BIGINT) AS correct
+FROM best b JOIN held h ON b.doc_id = h.doc_id
+WHERE b.rn = 1
+"""
+
+ORACLES_EXT["nb_lang_classifier"] = NB_LANG_SQL

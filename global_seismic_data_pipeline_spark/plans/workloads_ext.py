@@ -2640,6 +2640,33 @@ def span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_span_dedup(docs, k=8)
 
 
+def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained language classifier (operators/classify.py — the
+    GPT-3/CCNet "fit a classifier on labeled data, score the rest" step,
+    as exact-integer quantized multinomial Naive Bayes): fit on the
+    doc_id%5≠0 split against the `lang` label, score the held-out
+    doc_id%5=0 docs, emit (doc_id, lang, pred_lang, best_surprisal,
+    correct). The oracle refits the whole model in SQL — Laplace
+    smoothing, the bit-length log2 quantization, the class prior, the
+    unseen-token default, and the label-ascending argmin tiebreak all
+    replay exactly; one wrong smoothed count flips scores and
+    hash-fails."""
+    from ..operators.classify import nb_predict, nb_train
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    held = docs.filter(F.col("doc_id") % 5 == 0)
+    classes, model = nb_train(train, label_col="lang")
+    pred = nb_predict(held, classes, model, label_col="lang")
+    return pred.join(held.select("doc_id", "lang"), on="doc_id").select(
+        "doc_id",
+        "lang",
+        "pred_lang",
+        "best_surprisal",
+        (F.col("pred_lang") == F.col("lang")).cast("long").alias("correct"),
+    )
+
+
 def delta_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real ``_delta_log`` interop end-to-end (sources/deltalog.py — the
     reference's actual storage format, 01_config_setup.py:48,

@@ -277,3 +277,42 @@ def test_exact_span_dedup_overlapping_coverage(spark):
     }
     assert out[1] == ("a b c d", 0)
     assert out[2] == ("pre post", 4)
+
+
+def test_nb_classifier_hand_example(spark):
+    """Quantized NB against hand-computed integers: smoothed counts,
+    bit-length log2 weights, the unseen-token default, and the
+    label-ascending tiebreak on an exact score tie."""
+    from global_seismic_data_pipeline_spark.operators.classify import (
+        nb_predict,
+        nb_train,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "en", "cat cat dog"), (2, "es", "gato gato perro")],
+        "doc_id int, lang string, text string",
+    )
+    classes, model = nb_train(train, label_col="lang")
+    cl = {r.lang: r for r in classes.collect()}
+    # V=4, n_train=2: prior_q = len(bin(2))=2; default_q = len(bin(3+4))=3
+    assert (cl["en"].n_docs, cl["en"].total_tokens) == (1, 3)
+    assert (cl["en"].prior_q, cl["en"].default_q) == (2, 3)
+    assert (cl["es"].prior_q, cl["es"].default_q) == (2, 3)
+    q = {(r.lang, r.tok): r.q for r in model.collect()}
+    # cat: (3+4)//(2+1)=2 -> 2 bits; dog: 7//2=3 -> 2 bits
+    assert q == {
+        ("en", "cat"): 2, ("en", "dog"): 2,
+        ("es", "gato"): 2, ("es", "perro"): 2,
+    }
+
+    held = spark.createDataFrame(
+        [(10, "cat dog"), (11, "nuevo")], "doc_id int, text string"
+    )
+    out = {
+        r.doc_id: (r.pred_lang, r.best_surprisal)
+        for r in nb_predict(held, classes, model, label_col="lang").collect()
+    }
+    # doc10: en = 2 + (2+2) = 6 beats es = 2 + (3+3) = 8
+    assert out[10] == ("en", 6)
+    # doc11: both classes score 2+3=5 -> tie breaks label-ascending
+    assert out[11] == ("en", 5)
