@@ -66,7 +66,7 @@ _LOG = "_delta_log"
 _LAST_CHECKPOINT = "_last_checkpoint"
 # reader features whose semantics this reader fully implements; anything
 # else listed by a v3 protocol makes the table unreadable HERE (loudly).
-_SUPPORTED_READER_FEATURES = {"timestampNtz"}
+_SUPPORTED_READER_FEATURES = {"timestampNtz", "columnMapping"}
 _NULL_PARTITION_DIR = "__HIVE_DEFAULT_PARTITION__"
 
 
@@ -116,10 +116,15 @@ def _check_protocol(protocol: Mapping, metadata: Mapping) -> None:
     reader = int(protocol.get("minReaderVersion", 1))
     conf = (metadata or {}).get("configuration") or {}
     mapping_mode = conf.get("delta.columnMapping.mode", "none")
-    if mapping_mode not in ("none", None):
+    if mapping_mode not in ("none", None, "name"):
+        # 'name' mode resolves through each field's physicalName metadata
+        # at scan time (_scan_adds); 'id' mode would need parquet footer
+        # field-id resolution this reader does not do — misreading ids as
+        # names silently scrambles columns, so refuse loudly.
         raise DeltaProtocolError(
             f"column mapping mode {mapping_mode!r} is not supported by this "
-            "reader (physical names would be misread as logical names)"
+            "reader (only 'none' and 'name'; 'id' needs parquet field-id "
+            "resolution)"
         )
     if reader <= 2:
         return
@@ -253,6 +258,129 @@ def delta_schema(state: Mapping) -> StructType:
     return StructType.fromJson(json.loads(state["metadata"]["schemaString"]))
 
 
+_PHYS_NAME_KEY = "delta.columnMapping.physicalName"
+
+
+def _mapping_mode(metadata: Mapping | None) -> str:
+    conf = (metadata or {}).get("configuration") or {}
+    if isinstance(conf, list):  # pyarrow map from a checkpoint
+        conf = dict(conf)
+    return conf.get("delta.columnMapping.mode") or "none"
+
+
+def _physical_type_json(t):
+    if isinstance(t, dict):
+        if t.get("type") == "struct":
+            return {**t, "fields": [_physical_field_json(f) for f in t["fields"]]}
+        if t.get("type") == "array":
+            return {**t, "elementType": _physical_type_json(t["elementType"])}
+        if t.get("type") == "map":
+            return {
+                **t,
+                "keyType": _physical_type_json(t["keyType"]),
+                "valueType": _physical_type_json(t["valueType"]),
+            }
+    return t
+
+
+def _physical_field_json(f: dict) -> dict:
+    meta = f.get("metadata") or {}
+    return {
+        **f,
+        "name": meta.get(_PHYS_NAME_KEY, f["name"]),
+        "type": _physical_type_json(f["type"]),
+    }
+
+
+def _physical_schema(state: Mapping) -> StructType:
+    """The schema as it appears IN THE DATA FILES under column mapping
+    ('name' mode): every field renamed to its ``physicalName`` metadata,
+    recursively through structs/arrays/maps (the spec stores physical
+    names per-field in the schemaString's field metadata)."""
+    j = json.loads(state["metadata"]["schemaString"])
+    return StructType.fromJson(
+        {**j, "fields": [_physical_field_json(f) for f in j["fields"]]}
+    )
+
+
+def _scan_adds(
+    spark: SparkSession, table_path: str, files: list[dict], state: Mapping
+) -> DataFrame:
+    """One DataFrame over a set of add-file entries, honoring the table's
+    column-mapping mode — shared by ``read_delta`` and ``delta_tail``.
+
+    'none': scan with the logical schema; hive-layout fast path when the
+    directory names provably agree with the log, else per-partition-tuple
+    scans with the log's values attached as typed literals.
+
+    'name': data files carry PHYSICAL column names and ``partitionValues``
+    is keyed by physical names (per the spec) — scan with the physical
+    data schema, rename back to logical via positional struct casts
+    (exact for identical types, renames nested fields too), and attach
+    partition literals under their logical names. The hive fast path is
+    skipped: mapping-mode writers lay out physical-named directories,
+    which must not resolve as logical columns."""
+    metadata = state["metadata"]
+    schema = delta_schema(state)
+    out_cols = [f.name for f in schema.fields]
+    pcols = list(metadata.get("partitionColumns") or [])
+    mapped = _mapping_mode(metadata) != "none"
+    phys_schema = _physical_schema(state) if mapped else schema
+    phys_of = {
+        lf.name: pf.name for lf, pf in zip(schema.fields, phys_schema.fields)
+    }
+    pairs = [
+        (lf, pf)
+        for lf, pf in zip(schema.fields, phys_schema.fields)
+        if lf.name not in pcols
+    ]
+    data_schema = StructType([pf for _, pf in pairs])
+    rename = (
+        [F.col(pf.name).cast(lf.dataType).alias(lf.name) for lf, pf in pairs]
+        if mapped
+        else [F.col(lf.name) for lf, _ in pairs]
+    )
+    abs_path = {
+        a["path"]: os.path.join(table_path, unquote(a["path"])) for a in files
+    }
+    if not pcols:
+        return (
+            spark.read.schema(data_schema)
+            .parquet(*abs_path.values())
+            .select(*rename)
+        )
+    if not mapped and _hive_layout_agrees(files, pcols):
+        # partition columns resolve from the directory names — one scan,
+        # full predicate pushdown / partition pruning stays available
+        return (
+            spark.read.schema(schema)
+            .option("basePath", table_path)
+            .parquet(*abs_path.values())
+            .select(*out_cols)
+        )
+    ptype = {f.name: f.dataType for f in schema.fields if f.name in pcols}
+    by_tuple: dict[tuple, list[str]] = {}
+    for a in files:
+        pv = a["partitionValues"]
+        key = tuple(pv.get(phys_of[c]) for c in pcols)
+        by_tuple.setdefault(key, []).append(abs_path[a["path"]])
+    parts = []
+    for key, paths in by_tuple.items():
+        df = spark.read.schema(data_schema).parquet(*paths).select(*rename)
+        for c, val in zip(pcols, key):
+            lit = (
+                F.lit(val).cast(ptype[c])
+                if val is not None
+                else F.lit(None).cast(ptype[c])
+            )
+            df = df.withColumn(c, lit)
+        parts.append(df.select(*out_cols))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def delta_history(table_path: str, *, with_stats: bool = False) -> list[dict]:
     """Commit log, newest first: version / timestamp / operation (+ params)
     from each commit's commitInfo (Delta: DESCRIBE HISTORY).
@@ -326,48 +454,10 @@ def read_delta(
             raise ValueError("give version OR timestamp, not both")
         version = _version_at_timestamp(table_path, timestamp)
     state = snapshot_state(table_path, version)
-    schema = delta_schema(state)
-    pcols = list(state["metadata"].get("partitionColumns") or [])
-    data_fields = [f for f in schema.fields if f.name not in pcols]
-    data_schema = StructType(data_fields)
     files = list(state["files"].values())
     if not files:
-        return spark.createDataFrame([], schema)
-
-    abs_path = {
-        a["path"]: os.path.join(table_path, unquote(a["path"])) for a in files
-    }
-    if not pcols:
-        return spark.read.schema(schema).parquet(*abs_path.values()).select(
-            *[f.name for f in schema.fields]
-        )
-
-    if _hive_layout_agrees(files, pcols):
-        # partition columns resolve from the directory names — one scan,
-        # full predicate pushdown / partition pruning stays available
-        return (
-            spark.read.schema(schema)
-            .option("basePath", table_path)
-            .parquet(*abs_path.values())
-            .select(*[f.name for f in schema.fields])
-        )
-
-    by_tuple: dict[tuple, list[str]] = {}
-    for a in files:
-        key = tuple(a["partitionValues"].get(c) for c in pcols)
-        by_tuple.setdefault(key, []).append(abs_path[a["path"]])
-    ptype = {f.name: f.dataType for f in schema.fields if f.name in pcols}
-    parts = []
-    for key, paths in by_tuple.items():
-        df = spark.read.schema(data_schema).parquet(*paths)
-        for c, val in zip(pcols, key):
-            lit = F.lit(val).cast(ptype[c]) if val is not None else F.lit(None).cast(ptype[c])
-            df = df.withColumn(c, lit)
-        parts.append(df.select(*[f.name for f in schema.fields]))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        return spark.createDataFrame([], delta_schema(state))
+    return _scan_adds(spark, table_path, files, state)
 
 
 def _hive_layout_agrees(files: list[dict], pcols: list[str]) -> bool:
@@ -629,6 +719,14 @@ def commit_write(
         if existing:
             prev = snapshot_state(table_path)
             prev_meta = prev["metadata"]
+            if _mapping_mode(prev_meta) != "none":
+                raise DeltaProtocolError(
+                    f"{table_path!r} uses column mapping: writing is not "
+                    "supported (this writer emits logical column names, "
+                    "which a mapping-aware reader would fail to resolve "
+                    "against the physicalName metadata) — reads, time "
+                    "travel, and delta_tail all work"
+                )
             prev_pcols = list(prev_meta.get("partitionColumns") or [])
             if prev_pcols != pcols:
                 raise ValueError(
@@ -843,7 +941,6 @@ def delta_tail(
 
     state = snapshot_state(table_path, to_version)  # protocol gate + schema
     schema = delta_schema(state)
-    pcols = list(state["metadata"].get("partitionColumns") or [])
 
     new_adds: dict[str, dict] = {}
     for v in range(from_version + 1, to_version + 1):
@@ -873,36 +970,7 @@ def delta_tail(
         return spark.createDataFrame([], schema), to_version
 
     files = list(new_adds.values())
-    abs_paths = [os.path.join(table_path, unquote(a["path"])) for a in files]
-    if not pcols:
-        df = spark.read.schema(schema).parquet(*abs_paths)
-    elif _hive_layout_agrees(files, pcols):
-        df = (
-            spark.read.schema(schema)
-            .option("basePath", table_path)
-            .parquet(*abs_paths)
-        )
-    else:
-        data_schema = StructType(
-            [f for f in schema.fields if f.name not in pcols]
-        )
-        ptype = {f.name: f.dataType for f in schema.fields if f.name in pcols}
-        by_tuple: dict[tuple, list[str]] = {}
-        for a in files:
-            key = tuple(a["partitionValues"].get(c) for c in pcols)
-            by_tuple.setdefault(key, []).append(
-                os.path.join(table_path, unquote(a["path"]))
-            )
-        parts = []
-        for key, paths in by_tuple.items():
-            part = spark.read.schema(data_schema).parquet(*paths)
-            for c, val in zip(pcols, key):
-                part = part.withColumn(c, F.lit(val).cast(ptype[c]))
-            parts.append(part.select(*[f.name for f in schema.fields]))
-        df = parts[0]
-        for p in parts[1:]:
-            df = df.unionByName(p)
-    return df.select(*[f.name for f in schema.fields]), to_version
+    return _scan_adds(spark, table_path, files, state), to_version
 
 
 def vacuum_delta(table_path: str, *, retain_hours: float = 168.0) -> list[str]:

@@ -347,7 +347,7 @@ def test_multipart_checkpoint_read(spark, tmp_path):
 
 def test_protocol_refusals(spark, tmp_path):
     def mk(proto, config=None):
-        p = str(tmp_path / f"t{abs(hash(json.dumps(proto)))}")
+        p = str(tmp_path / f"t{abs(hash(json.dumps([proto, config])))}")
         os.makedirs(os.path.join(p, "_delta_log"))
         schema_string = spark.createDataFrame([], "k int").schema.json()
         actions = [
@@ -368,11 +368,18 @@ def test_protocol_refusals(spark, tmp_path):
             "minReaderVersion": 3, "minWriterVersion": 7,
             "readerFeatures": ["deletionVectors"],
         }))
-    with pytest.raises(dl.DeltaProtocolError, match="column mapping"):
+    # 'name'-mode column mapping is READABLE (resolved via physicalName
+    # metadata at scan time — test_column_mapping_*); 'id' mode refuses
+    with pytest.raises(dl.DeltaProtocolError, match="'id'"):
         dl.snapshot_state(mk(
             {"minReaderVersion": 2, "minWriterVersion": 5},
-            config={"delta.columnMapping.mode": "name"},
+            config={"delta.columnMapping.mode": "id"},
         ))
+    st_name = dl.snapshot_state(mk(
+        {"minReaderVersion": 2, "minWriterVersion": 5},
+        config={"delta.columnMapping.mode": "name"},
+    ))
+    assert st_name["files"] == {}
     # v3 with only supported features reads fine
     st = dl.snapshot_state(mk({
         "minReaderVersion": 3, "minWriterVersion": 7,
@@ -719,3 +726,140 @@ def test_watermark_store_runs_on_deltawh(spark, tmp_path):
     from global_seismic_data_pipeline_spark.state import CONTROL_TABLE
 
     assert dl.is_delta_table(wh.path(CONTROL_TABLE))
+
+
+def test_column_mapping_name_mode_read(spark, tmp_path):
+    """A hand-crafted 'name'-mode column-mapping table: data files carry
+    PHYSICAL column names (col-NNN), partitionValues is keyed by physical
+    names, the schemaString's field metadata holds the mapping. The
+    reader must return logical names — nested struct fields included —
+    honor time travel, serve delta_tail, and REFUSE writes."""
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    p = str(tmp_path / "cm")
+    os.makedirs(os.path.join(p, "_delta_log"))
+    phys = "`col-aaa` int, `col-bbb` struct<`col-ccc`: string>"
+    _write_parquet(spark, [(1, ("x",))], phys, p, "f1.parquet")
+    _write_parquet(spark, [(2, ("y",))], phys, p, "f2.parquet")
+
+    logical = StructType([
+        StructField("k", IntegerType(), True, {
+            "delta.columnMapping.id": 1,
+            "delta.columnMapping.physicalName": "col-aaa"}),
+        StructField("s", StructType([
+            StructField("c", StringType(), True, {
+                "delta.columnMapping.id": 3,
+                "delta.columnMapping.physicalName": "col-ccc"}),
+        ]), True, {
+            "delta.columnMapping.id": 2,
+            "delta.columnMapping.physicalName": "col-bbb"}),
+    ])
+    v0 = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "cm01", "format": {"provider": "parquet", "options": {}},
+            "schemaString": logical.json(), "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "3"},
+            "createdTime": 1,
+        }},
+        {"add": {"path": "f1.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 1, "dataChange": True}},
+        {"commitInfo": {"timestamp": 1000, "operation": "WRITE"}},
+    ]
+    v1 = [
+        {"add": {"path": "f2.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 2, "dataChange": True}},
+        {"commitInfo": {"timestamp": 2000, "operation": "APPEND"}},
+    ]
+    for v, actions in ((0, v0), (1, v1)):
+        with open(os.path.join(p, "_delta_log", f"{v:020d}.json"), "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+
+    out = dl.read_delta(spark, p)
+    assert out.columns == ["k", "s"]
+    assert out.schema["s"].dataType.fieldNames() == ["c"]  # nested renamed
+    got = {(r.k, r.s.c) for r in out.collect()}
+    assert got == {(1, "x"), (2, "y")}
+    # time travel sees only v0's file
+    assert {r.k for r in dl.read_delta(spark, p, version=0).collect()} == {1}
+    # the tail emits exactly v1's file, logically named
+    df, latest = dl.delta_tail(spark, p, 0)
+    assert latest == 1
+    assert [(r.k, r.s.c) for r in df.collect()] == [(2, "y")]
+    # writes refuse loudly
+    batch = spark.createDataFrame([(3, ("z",))], "k int, s struct<c: string>")
+    with pytest.raises(dl.DeltaProtocolError, match="column mapping"):
+        dl.write_delta(batch, p, mode="append")
+
+
+def test_column_mapping_partitioned_and_id_mode_refused(spark, tmp_path):
+    """Partitioned 'name'-mode table: partitionValues keyed by PHYSICAL
+    names, files outside hive directories — literals attach under
+    logical names. 'id' mode still refuses."""
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    p = str(tmp_path / "cmp")
+    os.makedirs(os.path.join(p, "_delta_log"))
+    _write_parquet(spark, [(1,)], "`col-k` int", p, "a.parquet")
+    _write_parquet(spark, [(2,)], "`col-k` int", p, "b.parquet")
+    logical = StructType([
+        StructField("k", IntegerType(), True, {
+            "delta.columnMapping.id": 1,
+            "delta.columnMapping.physicalName": "col-k"}),
+        StructField("day", StringType(), True, {
+            "delta.columnMapping.id": 2,
+            "delta.columnMapping.physicalName": "col-day"}),
+    ])
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "cm02", "format": {"provider": "parquet", "options": {}},
+            "schemaString": logical.json(), "partitionColumns": ["day"],
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "2"},
+            "createdTime": 1,
+        }},
+        {"add": {"path": "a.parquet",
+                 "partitionValues": {"col-day": "d1"},
+                 "size": 1, "modificationTime": 1, "dataChange": True}},
+        {"add": {"path": "b.parquet",
+                 "partitionValues": {"col-day": None},
+                 "size": 1, "modificationTime": 1, "dataChange": True}},
+        {"commitInfo": {"timestamp": 1000, "operation": "WRITE"}},
+    ]
+    with open(os.path.join(p, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    out = dl.read_delta(spark, p)
+    assert out.columns == ["k", "day"]
+    assert {(r.k, r.day) for r in out.collect()} == {(1, "d1"), (2, None)}
+
+    # 'id' mode refuses at the protocol gate
+    pid = str(tmp_path / "cmid")
+    os.makedirs(os.path.join(pid, "_delta_log"))
+    bad = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "cm03", "format": {"provider": "parquet", "options": {}},
+            "schemaString": logical.json(), "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "id"},
+            "createdTime": 1,
+        }},
+    ]
+    with open(os.path.join(pid, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        for a in bad:
+            fh.write(json.dumps(a) + "\n")
+    with pytest.raises(dl.DeltaProtocolError, match="'id'"):
+        dl.snapshot_state(pid)
