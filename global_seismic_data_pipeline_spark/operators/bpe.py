@@ -250,3 +250,59 @@ def learn_merges(
         audit,
         "step long, merged_pair string, pair_count long, symbols_after long",
     )
+
+
+def encode_with_merges(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """The ENCODE side of BPE: tokenize a corpus with an already-learned
+    ordered merge list — what a training pipeline runs daily once the
+    tokenizer is frozen (``learn_merges`` is the train-once step).
+
+    Applying the merges SEQUENTIALLY in rank order is exactly
+    subword-nmt's iterate-on-the-min-rank-present-pair encoder: a pair
+    that only exists because of a merge (e.g. ('x','ab') after 'ab'
+    forms) cannot have an earlier rank than the merge that created its
+    half — it wasn't countable before — so by the time rank r applies,
+    no pair of rank < r can be present. Each round reuses the trainer's
+    ``_apply_merge`` (greedy-leftmost gaps-and-islands overlap
+    resolution), which also makes encode-vs-train agreement a theorem:
+    encoding the training corpus with its own first k merges reproduces
+    the trainer's round-k state row-for-row (pinned in pytest).
+
+    Returns (id, n_tokens, tokens) — tokens is the space-joined symbol
+    sequence, CSV-flat per the checker's scalar-columns contract.
+
+    Scale shape: one full-corpus window (initial adjacency), then one
+    bounded (doc, word)-partitioned window chain per merge; state
+    persists per round and lineage truncates every ``checkpoint_every``
+    rounds (single-reference rounds grow the plan linearly — the
+    module-docstring exponential hazard only bites multi-reference
+    delta rounds). No collects anywhere: the merge list is an input,
+    not something read back from the cluster."""
+    rows = ensure_parallelism(
+        char_rows(docs, id_col=id_col, text_col=text_col)
+    )
+    state = _persist(_with_adjacency(rows))
+    for i, (a, b) in enumerate(merges, 1):
+        nxt = _apply_merge(state, a, b)
+        state = (
+            _checkpoint(nxt) if i % checkpoint_every == 0 else _persist(nxt)
+        )
+    return state.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("w", "pos", "sym"))),
+                lambda s: s["sym"],
+            ),
+        ).alias("tokens"),
+    ).select(
+        F.col("doc").alias(id_col), "n_tokens", "tokens"
+    )

@@ -2138,10 +2138,12 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY event_id
 ORACLES_EXT["grid_nearest_station"] = GRID_NEAREST_STATION_SQL
 
 
-def _bpe_sql(k: int) -> str:
-    """Generated K-round BPE oracle: the same lead/count/argmax/islands/
-    lag pipeline as operators/bpe.py, one CTE block per round — all
-    string/integer ops, so every round replicates bit-for-bit."""
+def _bpe_cte(k: int) -> str:
+    """The shared K-round BPE CTE chain (through ``t{k}``, the post-merge
+    state): the same lead/count/argmax/islands/lag pipeline as
+    operators/bpe.py, one block per round — all string/integer ops, so
+    every round replicates bit-for-bit. Finalized by ``_bpe_sql`` (the
+    training audit) and ``BPE_ENCODE_SQL`` (the encoded corpus)."""
     parts = [
         f"""
 WITH w0 AS (
@@ -2191,6 +2193,10 @@ WITH w0 AS (
     WHERE NOT COALESCE(prev_merge, FALSE)
 )"""
         )
+    return "".join(parts)
+
+
+def _bpe_sql(k: int) -> str:
     selects = [
         f"""SELECT CAST({i} AS BIGINT) AS step, a || ' ' || b AS merged_pair,
     CAST(cnt AS BIGINT) AS pair_count,
@@ -2198,11 +2204,22 @@ WITH w0 AS (
 FROM p{i}"""
         for i in range(1, k + 1)
     ]
-    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+    return _bpe_cte(k) + "\n" + "\nUNION ALL\n".join(selects)
 
 
 BPE_LEARN_SQL = _bpe_sql(3)
 ORACLES_EXT["bpe_learn_merges"] = BPE_LEARN_SQL
+
+# Encode side: learn the same 3 merges, then the FINAL state t3 IS the
+# encoded corpus — reassembled per doc in (word, pos) order. The Spark
+# query encodes with encode_with_merges(learned merges), so a hash match
+# here certifies encode ≡ train-state equivalence on the real corpus.
+BPE_ENCODE_SQL = _bpe_cte(3) + """
+SELECT doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       string_agg(sym, ' ' ORDER BY w, pos) AS tokens
+FROM t3 GROUP BY doc
+"""
+ORACLES_EXT["bpe_encode_docs"] = BPE_ENCODE_SQL
 
 
 EVENT_TRANSITION_SQL = r"""

@@ -1975,6 +1975,26 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.learn_merges(_docs(spark, sf_dir), k=3)
 
 
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE (operators/bpe.py ``encode_with_merges``): learn the
+    corpus's first 3 merges, then tokenize the corpus with that frozen
+    merge list — the daily serving step of a trained subword tokenizer.
+    The 3-row merge-list collect is control-plane. The oracle replays
+    training and takes the round-3 STATE as the encoding, so a hash
+    match certifies the encode ≡ train-state theorem (sequential
+    rank-order application ≡ min-rank iteration) on the real corpus,
+    overlap resolution included."""
+    from ..operators import bpe
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    audit = bpe.learn_merges(docs, k=3)
+    merges = [
+        tuple(r.merged_pair.split(" "))
+        for r in audit.orderBy("step").collect()
+    ]
+    return bpe.encode_with_merges(docs, merges)
+
+
 def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition counts of user event streams: one
     lag() window over (user, ts, event_id) — the total order makes the

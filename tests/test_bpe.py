@@ -98,3 +98,67 @@ def test_single_merge_on_run_word(spark):
     r = rows[0]
     assert (r.merged_pair, r.pair_count, r.symbols_after) == ("a a", 2, 2)
     bpe.release_cached()
+
+
+def _ref_encode(texts, merges):
+    """Reference encoder: apply merges sequentially in rank order with
+    greedy-leftmost application — subword-nmt semantics."""
+    import re
+
+    out = []
+    for t in texts:
+        norm = re.sub(r"\s+", " ", t.strip().lower())
+        doc = []
+        for w in norm.split(" "):
+            w = list(w)
+            for a, b in merges:
+                nw, i = [], 0
+                while i < len(w):
+                    if i + 1 < len(w) and w[i] == a and w[i + 1] == b:
+                        nw.append(a + b)
+                        i += 2
+                    else:
+                        nw.append(w[i])
+                        i += 1
+                w = nw
+            doc.extend(w)
+        out.append(doc)
+    return out
+
+
+def test_encode_matches_reference_and_overlaps(spark):
+    """encode_with_merges vs the pure-python encoder: greedy overlap
+    ('aaaa' + (a,a) -> 'aa aa'), a merge whose input only exists after an
+    earlier merge (rank order matters), and words untouched by any
+    merge."""
+    texts = ["aaaa abc xyz", "abc abcd aa"]
+    merges = [("a", "a"), ("a", "b"), ("ab", "c")]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.tokens)
+        for r in bpe.encode_with_merges(df, merges).collect()
+    }
+    ref = _ref_encode(texts, merges)
+    for i, doc in enumerate(ref):
+        assert got[i] == (len(doc), " ".join(doc)), (i, got[i], doc)
+    # spot-pin the interesting rows
+    assert got[0] == (6, "aa aa abc x y z")
+    assert got[1] == (4, "abc abc d aa")
+    bpe.release_cached()
+
+
+def test_encode_reproduces_trainer_state(spark):
+    """The theorem the oracle also certifies: encoding the training
+    corpus with its own first k merges reproduces the trainer's round-k
+    symbol count exactly."""
+    texts = ["lower lowest lowly slow", "new newer newest renewal"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    audit = bpe.learn_merges(df, k=3).orderBy("step").collect()
+    merges = [tuple(r.merged_pair.split(" ")) for r in audit]
+    enc = bpe.encode_with_merges(df, merges).collect()
+    assert sum(r.n_tokens for r in enc) == audit[-1].symbols_after
+    bpe.release_cached()
