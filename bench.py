@@ -77,6 +77,11 @@ EXTENDED = [
     "training_shuffle_shards",
     # round-5 operators
     "delta_roundtrip_orders",
+    "line_dedup_docs",
+    "perplexity_bucket_sample",
+    "span_dedup_docs",
+    "nb_lang_classifier",
+    "bpe_encode_docs",
 ]
 
 HEADLINE = [
@@ -141,6 +146,7 @@ def run_one(name: str, sf_dir: str) -> dict:
     from global_seismic_data_pipeline_spark.operators import (
         bloom,
         bpe,
+        classify,
         cluster,
         neardup,
         ranking,
@@ -159,6 +165,7 @@ def run_one(name: str, sf_dir: str) -> dict:
         ranking.release_cached()
         search.release_cached()
         bpe.release_cached()
+        classify.release_cached()
         cluster.release_cached()
 
     cold = os.environ.get("BENCH_COLD") == "1"

@@ -36,6 +36,20 @@ from pyspark.sql import functions as F
 
 from .text import token_rows
 
+_PERSISTED: list[DataFrame] = []
+
+
+def release_cached() -> int:
+    """Drop module-held persisted frames (bench hygiene: Spark's
+    CacheManager matches by logical plan, so a fresh identical pipeline
+    would silently reuse the previous run's cache)."""
+    n = len(_PERSISTED)
+    for df in _PERSISTED:
+        df.unpersist()
+    _PERSISTED.clear()
+    return n
+
+
 _BITS = "cast(length(bin({x})) as long)"
 
 
@@ -75,6 +89,7 @@ def nb_train(
     counts = labeled.groupBy(label_col, "tok").agg(
         F.count(F.lit(1)).alias("cnt")
     ).persist()
+    _PERSISTED.append(counts)
     vsz = counts.agg(F.count_distinct("tok").alias("__v"))
     ntr = df.agg(F.count(F.lit(1)).alias("__n"))
     classes = (

@@ -685,3 +685,73 @@ def exact_span_dedup(
         .cast("long")
         .alias("tokens_removed"),
     )
+
+
+def ngram_containment_filter(
+    df: DataFrame,
+    eval_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    max_num: int = 1,
+    max_den: int = 10,
+) -> DataFrame:
+    """Eval-set decontamination by n-gram CONTAINMENT (the GPT-3 appendix
+    method, kept by most published pipelines): a corpus document is
+    contaminated when more than ``max_num/max_den`` of its distinct
+    n-grams also occur in the eval set — catching paraphrased or
+    partially-quoted leakage that exact-fingerprint matching
+    (``decontaminate_docs``) misses entirely.
+
+    Per doc: ``total_ngrams`` (distinct), ``overlap_ngrams`` (distinct
+    grams also in the eval set), ``containment`` (the one float
+    division), and ``keep`` via the exact-integer cross-multiplication
+    ``overlap·den ≤ total·num`` (CLAUDE.md float discipline). Documents
+    shorter than ``n`` tokens have no grams: containment 0.0, kept.
+
+    Scale shape: eval benchmarks are thousands of prompts against a
+    100 TB corpus, so the distinct eval-gram set BROADCASTS and the
+    corpus never shuffles for the membership test — one tokenization
+    pass, a per-doc distinct, and one partial-aggregated fold. The only
+    unbounded aggregation key is the corpus doc id."""
+    grams = _ngram_rows(df, id_col=id_col, text_col=text_col, n=n).distinct()
+    eval_grams = (
+        _ngram_rows(eval_df, id_col=id_col, text_col=text_col, n=n)
+        .select("gram")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    per_doc = (
+        grams.join(F.broadcast(eval_grams), on="gram", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("total_ngrams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias(
+                "overlap_ngrams"
+            ),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce("total_ngrams", F.lit(0)).alias("total_ngrams"),
+            F.coalesce("overlap_ngrams", F.lit(0)).alias("overlap_ngrams"),
+            F.when(
+                F.coalesce(F.col("total_ngrams"), F.lit(0)) > 0,
+                F.col("overlap_ngrams") / F.col("total_ngrams"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("containment"),
+            (
+                F.coalesce(F.col("overlap_ngrams"), F.lit(0))
+                * F.lit(max_den)
+                <= F.coalesce(F.col("total_ngrams"), F.lit(0))
+                * F.lit(max_num)
+            )
+            .cast("long")
+            .alias("keep"),
+        )
+    )

@@ -2967,3 +2967,57 @@ WHERE b.rn = 1
 """
 
 ORACLES_EXT["nb_lang_classifier"] = NB_LANG_SQL
+
+
+# GPT-3-style containment decontamination: distinct corpus 5-grams vs the
+# broadcast eval gram set; exact-integer keep at overlap/total <= 1/10.
+NGRAM_CONTAINMENT_SQL = rf"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+), ev AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0
+), ctoks AS (
+    SELECT doc_id,
+           generate_subscripts(string_split({NORM}, ' '), 1) - 1 AS pos,
+           unnest(string_split({NORM}, ' ')) AS tok
+    FROM corpus
+), cled AS (
+    SELECT doc_id, tok,
+           lead(tok, 1) OVER w AS t1, lead(tok, 2) OVER w AS t2,
+           lead(tok, 3) OVER w AS t3, lead(tok, 4) OVER w AS t4
+    FROM ctoks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), cgrams AS (
+    SELECT DISTINCT doc_id, concat_ws(' ', tok, t1, t2, t3, t4) AS gram
+    FROM cled WHERE t4 IS NOT NULL
+), etoks AS (
+    SELECT doc_id,
+           generate_subscripts(string_split({NORM}, ' '), 1) - 1 AS pos,
+           unnest(string_split({NORM}, ' ')) AS tok
+    FROM ev
+), eled AS (
+    SELECT doc_id, tok,
+           lead(tok, 1) OVER w AS t1, lead(tok, 2) OVER w AS t2,
+           lead(tok, 3) OVER w AS t3, lead(tok, 4) OVER w AS t4
+    FROM etoks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), egrams AS (
+    SELECT DISTINCT concat_ws(' ', tok, t1, t2, t3, t4) AS gram
+    FROM eled WHERE t4 IS NOT NULL
+), per AS (
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS total_ngrams,
+           CAST(COUNT(e.gram) AS BIGINT) AS overlap_ngrams
+    FROM cgrams c LEFT JOIN egrams e ON c.gram = e.gram
+    GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.total_ngrams, 0) AS total_ngrams,
+       COALESCE(p.overlap_ngrams, 0) AS overlap_ngrams,
+       CASE WHEN COALESCE(p.total_ngrams, 0) > 0
+            THEN p.overlap_ngrams / p.total_ngrams ELSE 0.0
+       END AS containment,
+       CAST(COALESCE(p.overlap_ngrams, 0) * 10
+            <= COALESCE(p.total_ngrams, 0) * 1 AS BIGINT) AS keep
+FROM corpus d LEFT JOIN per p ON d.doc_id = p.doc_id
+"""
+
+ORACLES_EXT["ngram_containment_decontam"] = NGRAM_CONTAINMENT_SQL

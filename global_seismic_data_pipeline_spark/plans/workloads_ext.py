@@ -1406,6 +1406,24 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.join(F.broadcast(eval_fps), "fp", "left_anti").select("doc_id", "fp")
 
 
+def ngram_containment_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment decontamination (operators/text.py
+    ``ngram_containment_filter``, the GPT-3 appendix method): corpus docs
+    (doc_id%97≠0) whose distinct 5-grams overlap the eval set
+    (doc_id%97=0) in more than 1/10 of their grams are flagged — the
+    paraphrase-robust companion to the exact-fingerprint
+    `decontaminate_docs`. Eval grams broadcast; the corpus never
+    shuffles for the membership test. The oracle replays tokenization,
+    the distinct gram sets, the broadcast-shaped left join, and the
+    exact-integer keep; short docs pin the no-grams row contract."""
+    from ..operators.text import ngram_containment_filter
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    return ngram_containment_filter(corpus, ev, n=5)
+
+
 def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup dedup (operators/neardup_incremental.py): the
     already-indexed corpus (doc_id % 5 != 0) is built into a persisted,

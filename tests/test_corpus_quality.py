@@ -316,3 +316,48 @@ def test_nb_classifier_hand_example(spark):
     assert out[10] == ("en", 6)
     # doc11: both classes score 2+3=5 -> tie breaks label-ascending
     assert out[11] == ("en", 5)
+
+
+def test_ngram_containment_filter(spark):
+    """Containment decontamination: full quotes flag, light overlap
+    passes, repeated grams count ONCE (distinct), short docs survive
+    with zero grams, and the keep boundary is the exact integer
+    cross-multiplication."""
+    from global_seismic_data_pipeline_spark.operators.text import (
+        ngram_containment_filter,
+    )
+
+    ev = spark.createDataFrame(
+        [(900, "alpha beta gamma delta")], "doc_id int, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            # the eval text verbatim: both 3-grams hit -> containment 1
+            (1, "alpha beta gamma delta"),
+            # one of its 8 distinct grams hits (1/8 > 1/10): dropped
+            (2, "alpha beta gamma x1 x2 x3 x4 x5 x6 x7"),
+            # same single hit but 12 distinct grams (1/12 <= 1/10): kept
+            (3, "alpha beta gamma y1 y2 y3 y4 y5 y6 y7 y8 y9 ya yb"),
+            # no overlap at all
+            (4, "p q r s t u"),
+            # shorter than n: zero grams, kept
+            (5, "tiny doc"),
+            # the hitting gram repeated: still ONE distinct overlap
+            (6, "alpha beta gamma z1 alpha beta gamma z2 z3 z4 z5 z6 z7 z8"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r.doc_id: (r.total_ngrams, r.overlap_ngrams, r.keep)
+        for r in ngram_containment_filter(docs, ev, n=3).collect()
+    }
+    assert out[1] == (2, 2, 0)
+    assert out[2] == (8, 1, 0)   # 1*10 > 8*1
+    assert out[3] == (12, 1, 1)  # 1*10 <= 12*1 boundary-side keep
+    assert out[4] == (4, 0, 1)
+    assert out[5] == (0, 0, 1)
+    # doc 6: tokens=14 -> 12 gram starts, distinct grams: "alpha beta
+    # gamma" once (repeated), so 11 distinct... compute: grams at pos
+    # 0..11; duplicates only the repeated phrase
+    total6, overlap6, keep6 = out[6]
+    assert overlap6 == 1 and keep6 == (1 if overlap6 * 10 <= total6 else 0)
