@@ -82,6 +82,7 @@ EXTENDED = [
     "span_dedup_docs",
     "nb_lang_classifier",
     "bpe_encode_docs",
+    "gopher_rules_docs",
 ]
 
 HEADLINE = [

@@ -755,3 +755,124 @@ def ngram_containment_filter(
             .alias("keep"),
         )
     )
+
+
+# The Gopher "required words" signal: a real document in English prose
+# contains at least a couple of these (Rae et al. 2021, appendix A1.1).
+GOPHER_REQUIRED_WORDS = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+# Line-shape patterns are RE2/Java-portable: (?m) anchors per \n-delimited
+# line in BOTH engines (Java would additionally treat \r/  as line
+# terminators — the contract here is \n-delimited text), and [ \t]* (not
+# \s*) keeps the bullet scan from consuming newlines and attributing a
+# bullet to an earlier blank line's ^ anchor.
+_BULLET_LINE = r"(?m)^[ \t]*[-*•]"
+_ELLIPSIS_LINE = r"(?m)(?:\.\.\.|…)$"
+_SYMBOL = r"#|\.\.\.|…"
+
+
+def gopher_quality_rules(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    max_symbol_word_pct: int = 10,
+    max_bullet_line_pct: int = 90,
+    max_ellipsis_line_pct: int = 30,
+    min_alpha_word_pct: int = 80,
+    min_required_words: int = 2,
+) -> DataFrame:
+    """The Gopher quality-rule suite (Rae et al. 2021, appendix A1.1) —
+    the rule-based document filter most published pipelines apply before
+    any model-based scoring: word-count bounds, mean-word-length band,
+    symbol-to-word ratio (# / ellipsis), bullet-started and
+    ellipsis-ended line fractions, alphabetic-word fraction, and the
+    required-stop-word count. One row per document with every raw
+    counter, a per-rule flag (``r_*``), and ``keep`` = AND of all rules.
+
+    Every flag is an exact-integer cross-multiplication (percent
+    thresholds are integer parameters), so the oracle matches
+    bit-for-bit; ``mean_word_len`` is the single reporting-only float.
+    Words are the NORMALIZED tokens (lower-cased, whitespace-collapsed —
+    same tokenization as every other text operator here); alphabetic
+    means containing ``[a-z]`` after that lowering.
+
+    Shape at 100 TB: one split → posexplode tokenization pass feeding a
+    partial-aggregated per-doc fold (the only shuffle, keyed by the doc
+    id), plus scalar regexp counters evaluated map-side on the scan; the
+    two meet in a doc-keyed join. No window, no distinct over the corpus,
+    nothing driver-side."""
+    req = list(GOPHER_REQUIRED_WORDS)
+    toks = token_rows(df, id_col=id_col, text_col=text_col)
+    wagg = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.length("tok")).alias("word_chars"),
+        F.sum(F.col("tok").rlike("[a-z]").cast("long")).alias("alpha_words"),
+        F.count_distinct(
+            F.when(F.col("tok").isin(req), F.col("tok"))
+        ).alias("required_distinct"),
+    )
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    sagg = df.select(
+        id_col,
+        (F.length(t) - F.length(F.regexp_replace(t, "\n", "")) + 1)
+        .cast("long")
+        .alias("n_lines"),
+        F.regexp_count(t, F.lit(_SYMBOL)).cast("long").alias("symbol_cnt"),
+        F.regexp_count(t, F.lit(_BULLET_LINE))
+        .cast("long")
+        .alias("bullet_lines"),
+        F.regexp_count(t, F.lit(_ELLIPSIS_LINE))
+        .cast("long")
+        .alias("ellipsis_lines"),
+    )
+    j = sagg.join(wagg, on=id_col, how="left").select(
+        F.col(id_col),
+        F.coalesce("n_words", F.lit(0)).alias("n_words"),
+        F.coalesce("word_chars", F.lit(0)).alias("word_chars"),
+        F.coalesce("alpha_words", F.lit(0)).alias("alpha_words"),
+        F.coalesce("required_distinct", F.lit(0)).alias("required_distinct"),
+        "n_lines",
+        "symbol_cnt",
+        "bullet_lines",
+        "ellipsis_lines",
+    )
+    nw, wc = F.col("n_words"), F.col("word_chars")
+    flags = {
+        "r_word_count": (nw >= min_words) & (nw <= max_words),
+        "r_mean_word_len": (wc >= nw * min_mean_word_len)
+        & (wc <= nw * max_mean_word_len),
+        "r_symbol_ratio": F.col("symbol_cnt") * 100
+        <= nw * max_symbol_word_pct,
+        "r_bullet_lines": F.col("bullet_lines") * 100
+        <= F.col("n_lines") * max_bullet_line_pct,
+        "r_ellipsis_lines": F.col("ellipsis_lines") * 100
+        <= F.col("n_lines") * max_ellipsis_line_pct,
+        "r_alpha_words": F.col("alpha_words") * 100
+        >= nw * min_alpha_word_pct,
+        "r_required_words": F.col("required_distinct")
+        >= F.lit(min_required_words),
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep & c)
+    return j.select(
+        id_col,
+        "n_words",
+        "n_lines",
+        "word_chars",
+        "alpha_words",
+        "required_distinct",
+        "symbol_cnt",
+        "bullet_lines",
+        "ellipsis_lines",
+        F.when(nw > 0, wc / nw).otherwise(F.lit(0.0)).alias("mean_word_len"),
+        *[c.cast("long").alias(name) for name, c in flags.items()],
+        keep.cast("long").alias("keep"),
+    )

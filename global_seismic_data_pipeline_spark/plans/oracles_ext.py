@@ -3021,3 +3021,68 @@ FROM corpus d LEFT JOIN per p ON d.doc_id = p.doc_id
 """
 
 ORACLES_EXT["ngram_containment_decontam"] = NGRAM_CONTAINMENT_SQL
+
+
+# Gopher rule suite: per-doc token fold + scalar regexp counters; every
+# flag an exact-integer cross-multiplication (query params: required
+# floor 1, rest paper defaults). Patterns are RE2/Java-portable: (?m)
+# anchors per \n line, [ \t]* never consumes newlines.
+GOPHER_RULES_SQL = rf"""
+WITH docs AS (
+    SELECT doc_id, COALESCE(text, '') AS text FROM documents
+), toks AS (
+    SELECT doc_id, unnest(string_split({NORM}, ' ')) AS tok FROM docs
+), wagg AS (
+    SELECT doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_words,
+        CAST(SUM(length(tok)) AS BIGINT) AS word_chars,
+        CAST(SUM(CASE WHEN regexp_matches(tok, '[a-z]') THEN 1 ELSE 0 END)
+             AS BIGINT) AS alpha_words,
+        CAST(COUNT(DISTINCT CASE WHEN tok IN
+             ('the','be','to','of','and','that','have','with')
+             THEN tok END) AS BIGINT) AS required_distinct
+    FROM toks GROUP BY doc_id
+), sagg AS (
+    SELECT doc_id,
+        CAST(length(text) - length(replace(text, chr(10), '')) + 1
+             AS BIGINT) AS n_lines,
+        CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS BIGINT)
+            AS symbol_cnt,
+        CAST(len(regexp_extract_all(text, '(?m)^[ \t]*[-*•]')) AS BIGINT)
+            AS bullet_lines,
+        CAST(len(regexp_extract_all(text, '(?m)(?:\.\.\.|…)$')) AS BIGINT)
+            AS ellipsis_lines
+    FROM docs
+), j AS (
+    SELECT s.doc_id,
+        COALESCE(w.n_words, 0) AS n_words,
+        COALESCE(w.word_chars, 0) AS word_chars,
+        COALESCE(w.alpha_words, 0) AS alpha_words,
+        COALESCE(w.required_distinct, 0) AS required_distinct,
+        s.n_lines, s.symbol_cnt, s.bullet_lines, s.ellipsis_lines
+    FROM sagg s LEFT JOIN wagg w ON s.doc_id = w.doc_id
+)
+SELECT doc_id, n_words, n_lines, word_chars, alpha_words,
+    required_distinct, symbol_cnt, bullet_lines, ellipsis_lines,
+    CASE WHEN n_words > 0 THEN word_chars / n_words ELSE 0.0 END
+        AS mean_word_len,
+    CAST(n_words >= 50 AND n_words <= 100000 AS BIGINT) AS r_word_count,
+    CAST(word_chars >= n_words * 3 AND word_chars <= n_words * 10
+         AS BIGINT) AS r_mean_word_len,
+    CAST(symbol_cnt * 100 <= n_words * 10 AS BIGINT) AS r_symbol_ratio,
+    CAST(bullet_lines * 100 <= n_lines * 90 AS BIGINT) AS r_bullet_lines,
+    CAST(ellipsis_lines * 100 <= n_lines * 30 AS BIGINT)
+        AS r_ellipsis_lines,
+    CAST(alpha_words * 100 >= n_words * 80 AS BIGINT) AS r_alpha_words,
+    CAST(required_distinct >= 1 AS BIGINT) AS r_required_words,
+    CAST(n_words >= 50 AND n_words <= 100000
+         AND word_chars >= n_words * 3 AND word_chars <= n_words * 10
+         AND symbol_cnt * 100 <= n_words * 10
+         AND bullet_lines * 100 <= n_lines * 90
+         AND ellipsis_lines * 100 <= n_lines * 30
+         AND alpha_words * 100 >= n_words * 80
+         AND required_distinct >= 1 AS BIGINT) AS keep
+FROM j
+"""
+
+ORACLES_EXT["gopher_rules_docs"] = GOPHER_RULES_SQL

@@ -2751,3 +2751,19 @@ def delta_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(v1_rows))
     )
+
+def gopher_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality filter (operators/text.py
+    ``gopher_quality_rules``, Rae et al. 2021 A1.1): word-count bounds,
+    mean-word-length band, symbol ratio, bullet/ellipsis line fractions,
+    alphabetic-word fraction, required stop words — every flag an
+    exact-integer cross-multiplication. Corpus-appropriate parameters:
+    the synthetic docs carry at most one required word, so the
+    required-word floor is 1 (Gopher's prose default of 2 would zero the
+    whole corpus); everything else is the paper default. The oracle
+    replays tokenization, the per-doc fold, the scalar regexp counters,
+    and every flag."""
+    return text.gopher_quality_rules(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        min_required_words=1,
+    )

@@ -361,3 +361,57 @@ def test_ngram_containment_filter(spark):
     # 0..11; duplicates only the repeated phrase
     total6, overlap6, keep6 = out[6]
     assert overlap6 == 1 and keep6 == (1 if overlap6 * 10 <= total6 else 0)
+
+
+def test_gopher_quality_rules(spark):
+    """Each Gopher rule trips on a purpose-built document; line rules
+    (bullets/ellipses) exercise the (?m) per-line anchors the synthetic
+    corpus (no newlines) cannot reach."""
+    from global_seismic_data_pipeline_spark.operators.text import (
+        gopher_quality_rules,
+    )
+
+    good = "the quick brown fox jumps over lazy dogs " * 7  # 63 words
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            # too short
+            (2, "the tiny doc"),
+            # mean word length > 10
+            (3, " ".join(["absolutely" + "x" * 10] * 60) + " the"),
+            # symbol-heavy: 60 words + 12 '#' (12*100 > 60*10)
+            (4, "the " + "word " * 59 + "# " * 12),
+            # 10 lines, 10 bullets -> 100% bullet lines
+            (5, "\n".join("- the item %d here now" % i for i in range(10)) + " " + "pad " * 40),
+            # 10 lines, 4 ending in ellipsis -> 40% > 30%
+            (
+                6,
+                "\n".join(
+                    ("the line %d trails off..." if i < 4 else "the line %d stops") % i
+                    for i in range(10)
+                )
+                + " "
+                + "pad " * 40,
+            ),
+            # numeric soup: alpha fraction under 80%
+            (7, "the " + " ".join(str(i) for i in range(100, 160))),
+            # no required word at all
+            (8, "quick brown fox " * 20),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r.doc_id: r.asDict()
+        for r in gopher_quality_rules(docs, min_required_words=1).collect()
+    }
+    assert out[1]["keep"] == 1 and all(
+        out[1][k] == 1 for k in out[1] if k.startswith("r_")
+    )
+    assert out[2]["r_word_count"] == 0 and out[2]["keep"] == 0
+    assert out[3]["r_mean_word_len"] == 0
+    assert out[4]["r_symbol_ratio"] == 0 and out[4]["symbol_cnt"] == 12
+    assert out[5]["r_bullet_lines"] == 0 and out[5]["bullet_lines"] == 10
+    assert out[5]["n_lines"] == 10
+    assert out[6]["r_ellipsis_lines"] == 0 and out[6]["ellipsis_lines"] == 4
+    assert out[7]["r_alpha_words"] == 0
+    assert out[8]["r_required_words"] == 0 and out[8]["required_distinct"] == 0
