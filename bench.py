@@ -83,6 +83,7 @@ EXTENDED = [
     "nb_lang_classifier",
     "bpe_encode_docs",
     "gopher_rules_docs",
+    "html_extract_docs",
 ]
 
 HEADLINE = [

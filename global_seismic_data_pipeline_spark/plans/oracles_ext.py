@@ -3086,3 +3086,98 @@ FROM j
 """
 
 ORACLES_EXT["gopher_rules_docs"] = GOPHER_RULES_SQL
+
+
+def _dk_html_decode(expr: str) -> str:
+    """Nested non-regex replace chain mirroring extract._DECODE —
+    &amp; LAST so &amp;lt; decodes to the literal text &lt;."""
+    for pat, rep in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&apos;", "''"),
+        ("&#39;", "''"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+    ):
+        expr = f"replace({expr}, '{pat}', '{rep}')"
+    return expr
+
+
+def _dk_squeeze(expr: str) -> str:
+    return rf"trim(regexp_replace({expr}, '\s+', ' ', 'g'))"
+
+
+_HTML_SCRIPT_PAT = r"(?is)<script\b[^>]*>.*?</script\s*>"
+_HTML_STYLE_PAT = r"(?is)<style\b[^>]*>.*?</style\s*>"
+_HTML_COMMENT_PAT = r"(?s)<!--.*?-->"
+_HTML_TITLE_PAT = r"(?is)<title[^>]*>(.*?)</title\s*>"
+_HTML_TITLE_BLOCK_PAT = r"(?is)<title[^>]*>.*?</title\s*>"
+
+# HTML extraction: the deterministic markup wrap, then the operator's
+# exact stage chain (script -> style -> comment -> title capture -> tag
+# strip -> entity decode -> collapse) on the RE2/Java-portable subset.
+# Plain string concatenation (not an f-string) keeps the CSS/JS braces
+# literal.
+HTML_EXTRACT_SQL = (
+    """
+WITH d AS (
+    SELECT doc_id,
+        '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+        || ' &amp; friends</title><style type="text/css">p { color: #333; }</style></head><body>'
+        || CASE WHEN doc_id % 3 = 0
+                THEN '<script type="text/javascript">if (a < b && c > d) { track("x"); }</script>'
+                ELSE '' END
+        || '<!-- comment with <tags> inside --><p>' || COALESCE(text, '')
+        || '</p><p>5 &lt; 7 &amp;&amp; 9 &gt; 2&nbsp;&quot;quoted&quot; &#39;q&#39;</p></body></html>'
+            AS html
+    FROM documents
+), s1 AS (
+    SELECT doc_id, html,
+        regexp_replace(html, '"""
+    + _HTML_SCRIPT_PAT
+    + """', ' ', 'g') AS no_script FROM d
+), s2 AS (
+    SELECT *, regexp_replace(no_script, '"""
+    + _HTML_STYLE_PAT
+    + """', ' ', 'g') AS no_style FROM s1
+), s3 AS (
+    SELECT *, regexp_replace(no_style, '"""
+    + _HTML_COMMENT_PAT
+    + """', ' ', 'g') AS no_comment FROM s2
+), s3b AS (
+    SELECT *, regexp_replace(no_comment, '"""
+    + _HTML_TITLE_BLOCK_PAT
+    + """', ' ', 'g') AS no_title FROM s3
+), s4 AS (
+    SELECT *, regexp_replace(no_title, '<[^>]*>', ' ', 'g') AS stripped
+    FROM s3b
+)
+SELECT doc_id,
+    """
+    + _dk_squeeze(
+        _dk_html_decode(
+            "regexp_extract(no_comment, '" + _HTML_TITLE_PAT + "', 1)"
+        )
+    )
+    + """ AS title,
+    """
+    + _dk_squeeze(_dk_html_decode("stripped"))
+    + """ AS clean_text,
+    CAST(len(regexp_extract_all(html, '"""
+    + _HTML_SCRIPT_PAT
+    + """'))
+       + len(regexp_extract_all(no_script, '"""
+    + _HTML_STYLE_PAT
+    + """'))
+       + len(regexp_extract_all(no_style, '"""
+    + _HTML_COMMENT_PAT
+    + """')) AS BIGINT) AS n_blocks,
+    CAST(len(regexp_extract_all(no_title, '<[^>]*>')) AS BIGINT) AS n_tags,
+    CAST(len(regexp_extract_all(stripped,
+        '&(?:amp|lt|gt|quot|apos|nbsp|#39);')) AS BIGINT) AS n_entities
+FROM s4
+"""
+)
+
+ORACLES_EXT["html_extract_docs"] = HTML_EXTRACT_SQL

@@ -2767,3 +2767,30 @@ def gopher_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir).select("doc_id", "text"),
         min_required_words=1,
     )
+
+def html_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction (operators/extract.py ``html_to_text``,
+    the WET-style step web pipelines run before any filtering). The
+    corpus is deterministically wrapped in markup — title with an
+    entity, a style block, a script block (every third doc) whose body
+    contains raw ``<`` and ``&&``, a comment carrying tags, and an
+    entity-rich trailing paragraph — then stripped back. The oracle
+    replays the construction and the whole stage chain (script → style →
+    comment → title capture → tag strip → entity decode with &amp;
+    last → collapse) on the RE2 ∩ Java pattern subset."""
+    from ..operators.extract import html_to_text
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    html = F.concat(
+        F.lit('<html><head><title>Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit(' &amp; friends</title><style type="text/css">p { color: #333; }</style></head><body>'),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit('<script type="text/javascript">if (a < b && c > d) { track("x"); }</script>'),
+        ).otherwise(F.lit("")),
+        F.lit('<!-- comment with <tags> inside --><p>'),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit('</p><p>5 &lt; 7 &amp;&amp; 9 &gt; 2&nbsp;&quot;quoted&quot; &#39;q&#39;</p></body></html>'),
+    )
+    return html_to_text(d.select("doc_id", html.alias("text")))

@@ -415,3 +415,43 @@ def test_gopher_quality_rules(spark):
     assert out[6]["r_ellipsis_lines"] == 0 and out[6]["ellipsis_lines"] == 4
     assert out[7]["r_alpha_words"] == 0
     assert out[8]["r_required_words"] == 0 and out[8]["required_distinct"] == 0
+
+
+def test_html_to_text(spark):
+    """HTML extraction: blocks removed wholesale, comments (with tags
+    inside) gone, title captured + decoded, &amp;lt; decodes to the
+    LITERAL text &lt; (html.unescape contract), plain text passes
+    through, NULL survives as empty."""
+    from global_seismic_data_pipeline_spark.operators.extract import (
+        html_to_text,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (
+                1,
+                '<html><head><title> My &amp; Title </title>'
+                '<style>p { color: red; }</style></head><body>'
+                '<script>if (a < b) { x(); }</script>'
+                '<!-- hidden <b>markup</b> -->'
+                '<p>Hello   <b>world</b> 5 &lt; 7 &amp;&amp; ok&nbsp;end</p>'
+                "</body></html>",
+            ),
+            (2, "just plain text, no markup"),
+            # double-escaped: &amp;lt; must become the literal "&lt;"
+            (3, "<p>a &amp;lt; b</p>"),
+            (4, "<div>no title here</div>"),
+            (5, None),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r.asDict() for r in html_to_text(docs).collect()}
+    assert out[1]["title"] == "My & Title"
+    assert out[1]["clean_text"] == 'Hello world 5 < 7 && ok end'
+    assert out[1]["n_blocks"] == 3  # script + style + comment
+    assert out[1]["n_entities"] == 4  # lt, amp, amp, nbsp; title amp NOT counted
+    assert out[2]["clean_text"] == "just plain text, no markup"
+    assert out[2]["n_tags"] == 0 and out[2]["n_blocks"] == 0
+    assert out[3]["clean_text"] == "a &lt; b"
+    assert out[4]["title"] == "" and out[4]["clean_text"] == "no title here"
+    assert out[5]["clean_text"] == "" and out[5]["title"] == ""
