@@ -84,6 +84,7 @@ EXTENDED = [
     "bpe_encode_docs",
     "gopher_rules_docs",
     "html_extract_docs",
+    "bigram_surprisal_docs",
 ]
 
 HEADLINE = [
@@ -153,6 +154,7 @@ def run_one(name: str, sf_dir: str) -> dict:
         neardup,
         ranking,
         search,
+        text,
         sketch,
     )
     from global_seismic_data_pipeline_spark.session import get_spark
@@ -168,6 +170,7 @@ def run_one(name: str, sf_dir: str) -> dict:
         search.release_cached()
         bpe.release_cached()
         classify.release_cached()
+        text.release_cached()
         cluster.release_cached()
 
     cold = os.environ.get("BENCH_COLD") == "1"

@@ -26,6 +26,19 @@ LANG_STOPWORDS: dict[str, str] = {
 PUNCT_PATTERN = r"[^.,;:!?]"
 TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
+_PERSISTED: list[DataFrame] = []
+
+
+def release_cached() -> int:
+    """Drop module-held persisted frames (bench hygiene: Spark's
+    CacheManager matches by logical plan, so a fresh identical pipeline
+    would silently reuse the previous run's cache)."""
+    n = len(_PERSISTED)
+    for df in _PERSISTED:
+        df.unpersist()
+    _PERSISTED.clear()
+    return n
+
 
 def normalized(text: Column) -> Column:
     """Canonical form: lower-cased, trimmed, whitespace collapsed."""
@@ -875,4 +888,109 @@ def gopher_quality_rules(
         F.when(nw > 0, wc / nw).otherwise(F.lit(0.0)).alias("mean_word_len"),
         *[c.cast("long").alias(name) for name, c in flags.items()],
         keep.cast("long").alias("keep"),
+    )
+
+
+def bigram_lm_surprisal(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_centibits: int = 100,
+    max_centibits: int = 1400,
+) -> DataFrame:
+    """Per-document mean BIGRAM surprisal under the corpus's own add-one
+    smoothed conditional model — the next step up from
+    ``unigram_lm_surprisal``: a document of individually-common words in
+    an improbable ORDER (shuffled boilerplate, keyword stuffing) scores
+    high here while the unigram filter waves it through.
+
+    Model: P(w2 | w1) = (c(w1,w2) + 1) / (ctx(w1) + V), with ctx(w1) the
+    number of bigram contexts w1 opens and V the corpus vocabulary size.
+    Per-occurrence surprisal is the same libm-free integer log2 as the
+    unigram operator: ``length(bin((ctx + V) div (c12 + 1)))`` = ⌊log2 of
+    the inverse probability⌋ + 1, so every sum is an exact int64 and the
+    oracle matches bit-for-bit.
+
+    Output per doc: ``n_bigrams``, ``surprisal_sum`` (exact),
+    ``bits_per_bigram`` (the ONE float division), and ``keep`` via the
+    cross-multiplied band ``min_centibits·n ≤ 100·sum ≤
+    max_centibits·n`` — thresholds in hundredths of a bit, because the
+    quantized surprisal concentrates real corpora inside a single
+    integer bit and a whole-bit band could not split them. Documents
+    with fewer than two tokens have no bigrams: sum 0, bits 0.0, kept
+    (no evidence is not evidence of junk).
+
+    Shape at 100 TB: one tokenization pass → a per-doc lead window
+    (dense positions, the span-dedup shape) → (doc, w1, w2) partial
+    aggregation; the corpus bigram model derives from THAT aggregate
+    (never a second corpus pass), context counts fold from the bigram
+    table, V and nothing else is a 1-row broadcast; scoring re-joins tf
+    to the model on the (w1, w2) key — a plain shuffle equi-join on both
+    sides' natural key, the tfidf shape. No collect, no UDF."""
+    toks = token_rows(df, id_col=id_col, text_col=text_col)
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    bi = (
+        toks.select(
+            F.col(id_col),
+            F.col("tok").alias("w1"),
+            F.lead("tok", 1).over(wd).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    # tf is a diamond: it feeds the corpus model AND the scoring join —
+    # persist so the tokenize + window + aggregate chain runs once.
+    tf = (
+        bi.groupBy(id_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    _PERSISTED.append(tf)
+    c12 = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+    ctx = c12.groupBy("w1").agg(F.sum("c12").alias("ctx"))
+    vocab = toks.agg(F.count_distinct("tok").alias("v"))
+    lm = (
+        c12.join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.length(F.bin(F.expr("(ctx + v) div (c12 + 1)")))
+            .cast("long")
+            .alias("surprisal_q"),
+        )
+    )
+    per_doc = (
+        tf.join(lm, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.sum(F.col("tf") * F.col("surprisal_q")).alias("surprisal_sum"),
+        )
+    )
+    base = df.select(id_col).distinct()
+    return base.join(per_doc, on=id_col, how="left").select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.coalesce("surprisal_sum", F.lit(0)).alias("surprisal_sum"),
+        F.when(
+            F.coalesce(F.col("n_bigrams"), F.lit(0)) > 0,
+            F.col("surprisal_sum") / F.col("n_bigrams"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("bits_per_bigram"),
+        (
+            (
+                F.coalesce(F.col("surprisal_sum"), F.lit(0)) * 100
+                >= F.coalesce(F.col("n_bigrams"), F.lit(0))
+                * F.lit(min_centibits)
+            )
+            & (
+                F.coalesce(F.col("surprisal_sum"), F.lit(0)) * 100
+                <= F.coalesce(F.col("n_bigrams"), F.lit(0))
+                * F.lit(max_centibits)
+            )
+        )
+        .cast("long")
+        .alias("keep"),
     )

@@ -3181,3 +3181,54 @@ FROM s4
 )
 
 ORACLES_EXT["html_extract_docs"] = HTML_EXTRACT_SQL
+
+
+# Bigram add-one LM surprisal: lead-window bigram rows, corpus model from
+# the (doc,w1,w2) aggregate, integer log2, exact centibit keep band.
+BIGRAM_SURPRISAL_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id,
+           generate_subscripts(string_split({NORM}, ' '), 1) - 1 AS pos,
+           unnest(string_split({NORM}, ' ')) AS tok
+    FROM documents
+), bi AS (
+    SELECT doc_id, tok AS w1,
+           lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM toks
+), bif AS (
+    SELECT doc_id, w1, w2 FROM bi WHERE w2 IS NOT NULL
+), tf AS (
+    SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM bif GROUP BY doc_id, w1, w2
+), c12 AS (
+    SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS c12 FROM tf GROUP BY w1, w2
+), ctx AS (
+    SELECT w1, CAST(SUM(c12) AS BIGINT) AS ctx FROM c12 GROUP BY w1
+), voc AS (
+    SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM toks
+), lm AS (
+    SELECT c.w1, c.w2,
+        CAST(length(bin(CAST((x.ctx + voc.v) // (c.c12 + 1) AS BIGINT)))
+             AS BIGINT) AS surprisal_q
+    FROM c12 c JOIN ctx x USING (w1) CROSS JOIN voc
+), per AS (
+    SELECT f.doc_id,
+        CAST(SUM(f.tf) AS BIGINT) AS n_bigrams,
+        CAST(SUM(f.tf * l.surprisal_q) AS BIGINT) AS surprisal_sum
+    FROM tf f JOIN lm l ON f.w1 = l.w1 AND f.w2 = l.w2
+    GROUP BY f.doc_id
+)
+SELECT d.doc_id,
+    COALESCE(p.n_bigrams, 0) AS n_bigrams,
+    COALESCE(p.surprisal_sum, 0) AS surprisal_sum,
+    CASE WHEN COALESCE(p.n_bigrams, 0) > 0
+         THEN p.surprisal_sum / p.n_bigrams ELSE 0.0
+    END AS bits_per_bigram,
+    CAST(COALESCE(p.surprisal_sum, 0) * 100 >= COALESCE(p.n_bigrams, 0) * 100
+         AND COALESCE(p.surprisal_sum, 0) * 100
+             <= COALESCE(p.n_bigrams, 0) * 531 AS BIGINT) AS keep
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN per p ON d.doc_id = p.doc_id
+"""
+
+ORACLES_EXT["bigram_surprisal_docs"] = BIGRAM_SURPRISAL_SQL

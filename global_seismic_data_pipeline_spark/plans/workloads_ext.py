@@ -2794,3 +2794,17 @@ def html_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit('</p><p>5 &lt; 7 &amp;&amp; 9 &gt; 2&nbsp;&quot;quoted&quot; &#39;q&#39;</p></body></html>'),
     )
     return html_to_text(d.select("doc_id", html.alias("text")))
+
+def bigram_surprisal_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity filter (operators/text.py
+    ``bigram_lm_surprisal``): mean add-one-smoothed conditional surprisal
+    per doc — flags improbable word ORDER the unigram filter cannot see.
+    Band [1.00, 5.31] bits in exact centibit cross-multiplication (the
+    corpus concentrates near 5.3 bits/bigram, so the upper cut splits
+    it). Oracle replays tokenization, the lead-window bigram rows, the
+    corpus model, the integer log2, and the centibit band."""
+    return text.bigram_lm_surprisal(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        min_centibits=100,
+        max_centibits=531,
+    )

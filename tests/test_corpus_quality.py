@@ -455,3 +455,40 @@ def test_html_to_text(spark):
     assert out[3]["clean_text"] == "a &lt; b"
     assert out[4]["title"] == "" and out[4]["clean_text"] == "no title here"
     assert out[5]["clean_text"] == "" and out[5]["title"] == ""
+
+
+def test_bigram_lm_surprisal(spark):
+    """Hand-computable bigram model: repeated predictable pairs score
+    low, a one-off ordering scores high; sub-2-token docs have zero
+    bigrams and survive."""
+    from global_seismic_data_pipeline_spark.operators.text import (
+        bigram_lm_surprisal,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b a b"),   # 7 bigrams, dominated by a->b, b->a
+            (2, "b a"),               # 1 bigram, common
+            (3, "a a"),               # 1 bigram, unseen elsewhere
+            (4, "solo"),              # no bigrams
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r.doc_id: r.asDict()
+        for r in bigram_lm_surprisal(
+            docs, min_centibits=0, max_centibits=10_000
+        ).collect()
+    }
+    # Corpus: tokens a(8) b(8) solo(1); V=3.
+    # bigrams: a->b c=4, b->a c=4 (3 in doc1 + doc2), a->a c=1.
+    # ctx: a opens 4+1=5... recompute: doc1 pairs: ab,ba,ab,ba,ab,ba,ab ->
+    # a->b 4, b->a 3; doc2 b->a 1; doc3 a->a 1.
+    # c12: ab=4, ba=4, aa=1. ctx(a)=5, ctx(b)=4.
+    # sq(ab)=len(bin((5+3)//(4+1)=1))=1; sq(ba)=len(bin((4+3)//5=1))=1
+    # sq(aa)=len(bin((5+3)//2=4))=3
+    assert out[1]["n_bigrams"] == 7 and out[1]["surprisal_sum"] == 7
+    assert out[2]["n_bigrams"] == 1 and out[2]["surprisal_sum"] == 1
+    assert out[3]["n_bigrams"] == 1 and out[3]["surprisal_sum"] == 3
+    assert out[4]["n_bigrams"] == 0 and out[4]["keep"] == 1
+    assert out[4]["bits_per_bigram"] == 0.0
