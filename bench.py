@@ -85,6 +85,7 @@ EXTENDED = [
     "gopher_rules_docs",
     "html_extract_docs",
     "bigram_surprisal_docs",
+    "rollup_multigrain_orders",
 ]
 
 HEADLINE = [

@@ -3232,3 +3232,19 @@ LEFT JOIN per p ON d.doc_id = p.doc_id
 """
 
 ORACLES_EXT["bigram_surprisal_docs"] = BIGRAM_SURPRISAL_SQL
+
+
+# Multi-grain ROLLUP: leaf + per-status + grand total in one grouping
+# pass; GROUPING_ID bit order (first col = MSB) matches Spark.
+ROLLUP_MULTIGRAIN_SQL = r"""
+SELECT
+    COALESCE(o_orderstatus, '<all>') AS status,
+    COALESCE(o_orderpriority, '<all>') AS priority,
+    CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+    CAST(COUNT(*) AS BIGINT) AS n_orders,
+    ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS sum_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+ORACLES_EXT["rollup_multigrain_orders"] = ROLLUP_MULTIGRAIN_SQL

@@ -2808,3 +2808,26 @@ def bigram_surprisal_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_centibits=100,
         max_centibits=531,
     )
+
+def rollup_multigrain_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain gold aggregation in ONE pass: ROLLUP over
+    (status, priority) produces the leaf, per-status, and grand-total
+    grains together — the way a gold layer serves three dashboard zoom
+    levels without three scans (Spark plans it as a single Expand +
+    aggregate, so the fact table is read once). grouping_id
+    disambiguates rolled-up NULLs from data NULLs (both engines put the
+    first rollup column in the most significant bit); sums of 2-decimal
+    money round to 2 (float discipline, plans/workloads.py)."""
+    o = load_table(spark, sf_dir, "orders")
+    agg = ensure_parallelism(o).rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+    return agg.select(
+        F.coalesce(F.col("o_orderstatus"), F.lit("<all>")).alias("status"),
+        F.coalesce(F.col("o_orderpriority"), F.lit("<all>")).alias("priority"),
+        "gid",
+        "n_orders",
+        "sum_price",
+    )
