@@ -86,6 +86,7 @@ EXTENDED = [
     "html_extract_docs",
     "bigram_surprisal_docs",
     "rollup_multigrain_orders",
+    "hilbert_cluster_lineitem",
 ]
 
 HEADLINE = [

@@ -3248,3 +3248,45 @@ GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
 ORACLES_EXT["rollup_multigrain_orders"] = ROLLUP_MULTIGRAIN_SQL
+
+
+# Hilbert curve position via a recursive CTE carrying the (x, y, d)
+# state MSB->LSB — the same quadrant-digit + reflect/swap arithmetic as
+# the Spark aggregate() fold, spelled with CASE instead of xor (DuckDB's
+# ^ is exponentiation).
+HILBERT_CLUSTER_SQL = r"""
+WITH RECURSIVE base AS (
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           CAST(l_partkey % 1024 AS BIGINT) AS x0,
+           CAST(l_suppkey % 1024 AS BIGINT) AS y0
+    FROM lineitem
+), steps AS (
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           x0 AS x, y0 AS y, CAST(0 AS BIGINT) AS d, 9 AS i
+    FROM base
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        CAST(CASE WHEN ((y >> i) & 1) = 1 THEN x
+             WHEN ((x >> i) & 1) = 1
+                 THEN ((CAST(1 AS BIGINT) << i) - 1 - y)
+                      & ((CAST(1 AS BIGINT) << i) - 1)
+             ELSE y & ((CAST(1 AS BIGINT) << i) - 1) END AS BIGINT),
+        CAST(CASE WHEN ((y >> i) & 1) = 1 THEN y
+             WHEN ((x >> i) & 1) = 1
+                 THEN ((CAST(1 AS BIGINT) << i) - 1 - x)
+                      & ((CAST(1 AS BIGINT) << i) - 1)
+             ELSE x & ((CAST(1 AS BIGINT) << i) - 1) END AS BIGINT),
+        d + (CAST(1 AS BIGINT) << (2 * i))
+            * (CASE WHEN ((x >> i) & 1) = 1 AND ((y >> i) & 1) = 1 THEN 2
+                    WHEN ((x >> i) & 1) = 1 THEN 3
+                    WHEN ((y >> i) & 1) = 1 THEN 1 ELSE 0 END),
+        i - 1
+    FROM steps WHERE i >= 0
+)
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, d AS hkey
+FROM steps WHERE i = -1
+ORDER BY hkey, l_orderkey, l_linenumber
+LIMIT 100
+"""
+
+ORACLES_EXT["hilbert_cluster_lineitem"] = HILBERT_CLUSTER_SQL

@@ -2831,3 +2831,27 @@ def rollup_multigrain_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         "sum_price",
     )
+
+def hilbert_cluster_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert clustering key (operators/hilbert.py): lineitem keyed by
+    the Hilbert curve position of (partkey, suppkey) 1024-buckets — the
+    locality upgrade over `zorder_cluster_lineitem` (consecutive curve
+    positions are ALWAYS adjacent cells, so per-file min/max boxes stay
+    compact; Morton's cross-plane seams cannot happen). First 100 rows
+    in curve order (deterministic tiebreak), pinning the per-bit
+    fold — quadrant digit + reflect/swap rotation — against a DuckDB
+    recursive-CTE replay of the identical arithmetic."""
+    from ..operators import hilbert
+
+    li = load_table(spark, sf_dir, "lineitem")
+    hkey = hilbert.hilbert_value(
+        "(l_partkey % 1024)", "(l_suppkey % 1024)", order=10
+    )
+    return (
+        li.select(
+            "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            hkey.alias("hkey"),
+        )
+        .orderBy("hkey", "l_orderkey", "l_linenumber")
+        .limit(100)
+    )
