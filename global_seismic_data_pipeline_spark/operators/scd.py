@@ -84,3 +84,45 @@ def as_of(history: DataFrame, ts, *, ts_col_from: str = "valid_from",
         (F.col(ts_col_from) <= t)
         & (F.col(ts_col_to).isNull() | (F.col(ts_col_to) > t))
     )
+
+
+def scd2_apply_changes(
+    history: DataFrame,
+    changes: DataFrame,
+    *,
+    key_cols: Sequence[str],
+    ts_col: str,
+    attr_cols: Sequence[str],
+) -> DataFrame:
+    """Incrementally maintain an SCD2 history with a new batch of change
+    rows — the daily-merge counterpart to the build-once ``scd2_build``,
+    and the natural consumer of the warehouse change-data feed (filter
+    the feed to inserts/postimages, hand it here).
+
+    Contract (pinned by tests): ``apply(build(A), B) ≡ build(A ∪ B)``
+    for any split, INCLUDING late-arriving rows whose ts falls between
+    existing change points — the affected key's full timeline is
+    re-derived, so intervals re-link and no-ops re-collapse exactly as a
+    from-scratch build would. Same-(key, ts) collisions across the
+    union must be pre-deduplicated by the caller, as in ``scd2_build``.
+
+    Scale shape: work is proportional to the BATCH, not the dimension —
+    the batch's distinct key set (small: a day's changed entities)
+    broadcasts into a semi-join picking the affected history slice and
+    an anti-join preserving everything else untouched (those rows never
+    shuffle, never rewrite); only affected keys pay the window rebuild.
+    History rows ARE the post-dedup change points, so re-deriving from
+    them is lossless and needs no raw-change archive."""
+    key_cols, attr_cols = list(key_cols), list(attr_cols)
+    keys = changes.select(*key_cols).distinct()
+    old_points = history.join(
+        F.broadcast(keys), on=key_cols, how="left_semi"
+    ).select(*key_cols, F.col("valid_from").alias(ts_col), *attr_cols)
+    rebuilt = scd2_build(
+        old_points.unionByName(changes.select(*key_cols, ts_col, *attr_cols)),
+        key_cols=key_cols,
+        ts_col=ts_col,
+        attr_cols=attr_cols,
+    )
+    untouched = history.join(F.broadcast(keys), on=key_cols, how="left_anti")
+    return untouched.unionByName(rebuilt)

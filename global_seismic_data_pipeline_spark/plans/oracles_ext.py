@@ -3290,3 +3290,10 @@ LIMIT 100
 """
 
 ORACLES_EXT["hilbert_cluster_lineitem"] = HILBERT_CLUSTER_SQL
+
+
+# Incremental SCD2 apply must equal the from-scratch full-stream build —
+# the oracle IS the full build (same SQL as scd2_user_value_history).
+ORACLES_EXT["scd2_incremental_history"] = ORACLES_EXT[
+    "scd2_user_value_history"
+]

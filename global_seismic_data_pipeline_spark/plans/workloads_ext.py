@@ -2855,3 +2855,25 @@ def hilbert_cluster_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hkey", "l_orderkey", "l_linenumber")
         .limit(100)
     )
+
+def scd2_incremental_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 maintenance (scd.scd2_apply_changes): history
+    built from changes before 2024-01-20, then the remaining days
+    applied as a batch — the daily-merge path. The oracle is the
+    FULL-STREAM build SQL, pinning the contract apply(build(A), B) ≡
+    build(A ∪ B) on real data (late links, no-op re-collapse, interval
+    re-chaining all exercised)."""
+    from ..operators import scd
+
+    ev = load_table(spark, sf_dir, "events")
+    ded = ev.groupBy("user_id", "ts").agg(F.max("value").alias("value"))
+    cutoff = "2024-01-20"
+    hist = scd.scd2_build(
+        ded.filter(F.col("ts") < cutoff),
+        key_cols=["user_id"], ts_col="ts", attr_cols=["value"],
+    )
+    return scd.scd2_apply_changes(
+        hist,
+        ded.filter(F.col("ts") >= cutoff),
+        key_cols=["user_id"], ts_col="ts", attr_cols=["value"],
+    )
