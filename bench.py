@@ -87,6 +87,8 @@ EXTENDED = [
     "bigram_surprisal_docs",
     "rollup_multigrain_orders",
     "hilbert_cluster_lineitem",
+    "scd2_incremental_history",
+    "iceberg_roundtrip_orders",
 ]
 
 HEADLINE = [

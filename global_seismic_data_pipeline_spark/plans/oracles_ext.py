@@ -3297,3 +3297,20 @@ ORACLES_EXT["hilbert_cluster_lineitem"] = HILBERT_CLUSTER_SQL
 ORACLES_EXT["scd2_incremental_history"] = ORACLES_EXT[
     "scd2_user_value_history"
 ]
+
+
+ORACLES_EXT["iceberg_roundtrip_orders"] = """
+-- iceberg_roundtrip_orders: latest snapshot = (%4 IN (0,1,2));
+-- snapshot-1 time travel = (%4 = 0); tail after snapshot 1 = the two
+-- appended slices (%4 IN (1,2))
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+         WHERE o_orderkey % 4 = 0) AS v1_rows,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+         WHERE o_orderkey % 4 IN (1, 2)) AS tail_rows
+FROM orders
+WHERE o_orderkey % 4 IN (0, 1, 2)
+GROUP BY o_orderstatus
+"""

@@ -2877,3 +2877,47 @@ def scd2_incremental_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         ded.filter(F.col("ts") >= cutoff),
         key_cols=["user_id"], ts_col="ts", attr_cols=["value"],
     )
+
+def iceberg_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real Apache Iceberg interop end-to-end (sources/iceberg.py +
+    sources/avrofile.py — the other open lakehouse format, closed at
+    the wire level like delta_roundtrip_orders): an orders slice
+    becomes a v1 Iceberg table (snapshot 1), two appends commit
+    snapshots 2 and 3 — metadata JSON, Avro manifest lists, Avro
+    manifests, parquet data files, all written and read by the
+    from-scratch implementation. The LATEST snapshot aggregates per
+    status; snapshot 1's row count rides along via time travel; the
+    incremental tail after snapshot 1 (added files only, O(Δ))
+    contributes its row count. The oracle recomputes all three states
+    set-theoretically, so a wrong live-file set, broken snapshot
+    resolution, or an over/under-reading tail all hash-fail."""
+    import os
+    import tempfile
+
+    from ..sources import iceberg as ib
+
+    sel = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    loc = os.path.join(tempfile.mkdtemp(prefix="icebergrt-"), "ord")
+    t = ib.create_table(
+        spark, loc, sel.filter(F.col("o_orderkey") % 4 == 0)
+    )  # snapshot 1
+    s1 = t.current_snapshot_id()
+    ib.append(spark, loc, sel.filter(F.col("o_orderkey") % 4 == 1))
+    t3 = ib.append(spark, loc, sel.filter(F.col("o_orderkey") % 4 == 2))
+    v1_rows = t3.read(snapshot_id=s1).agg(
+        F.count(F.lit(1)).alias("v1_rows")
+    )
+    tail_df, _cursor = t3.tail(s1)
+    tail_rows = tail_df.agg(F.count(F.lit(1)).alias("tail_rows"))
+    return (
+        t3.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+        )
+        .crossJoin(F.broadcast(v1_rows))
+        .crossJoin(F.broadcast(tail_rows))
+    )

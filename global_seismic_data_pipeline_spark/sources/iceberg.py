@@ -1,0 +1,587 @@
+"""Apache Iceberg table interop — from-scratch reader/writer of the
+PUBLIC Iceberg table spec (iceberg.apache.org/spec), no Iceberg library.
+
+The round-5 Delta work (`sources/deltalog.py`) closed reference-storage
+parity at the `_delta_log` wire level; this module does the same for
+the OTHER open lakehouse format, so a user can point this engine at an
+existing Iceberg warehouse: version-hinted ``metadata/vN.metadata.json``
+→ snapshot → manifest list (Avro) → manifests (Avro) → live parquet
+data files, with time travel by snapshot id or timestamp, partition
+pruning through the spec's transforms, and O(Δ) incremental tail
+consumption from per-entry snapshot provenance. Avro decoding is
+``sources/avrofile.py`` (also from scratch; spec-fixture-pinned).
+
+Scale posture — identical to every real Iceberg reader: metadata is
+KB-to-MB JSON/Avro processed driver-side (manifests are the *point* of
+the format: the planning state small enough to read without the
+cluster), while data files are parquet read by Spark's distributed
+scan. Nothing here ever reads a data file on the driver.
+
+Honest guards (loud refusals, not silent wrong answers):
+- format-version > 2;
+- v2 delete files (positional/equality) with live entries — merging
+  deletes at read time is not implemented;
+- nested (struct/list/map) column types in the table schema;
+- name-based column resolution only: a table whose columns were RENAMED
+  after data was written needs field-id-based parquet resolution, which
+  this reader does not do (the analogue of deltalog's column-mapping
+  gate — reads would silently return nulls, so renames detected via
+  schema mismatch surface as missing columns from Spark's scan).
+
+The writer emits format-version 1 tables (unpartitioned), enough for
+round-trip pinning and for publishing engine results INTO an Iceberg
+warehouse; the reader additionally handles partitioned + v2 layouts
+(fixture-pinned in tests).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from collections.abc import Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from . import avrofile
+
+_STATUS_DELETED = 2
+_STATUS_ADDED = 1
+
+_ICEBERG_TO_SPARK = {
+    "boolean": T.BooleanType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "string": T.StringType(),
+    "binary": T.BinaryType(),
+    "date": T.DateType(),
+    "timestamp": T.TimestampNTZType(),
+    "timestamptz": T.TimestampType(),
+}
+
+_SPARK_TO_ICEBERG = {
+    T.BooleanType(): "boolean",
+    T.IntegerType(): "int",
+    T.LongType(): "long",
+    T.FloatType(): "float",
+    T.DoubleType(): "double",
+    T.StringType(): "string",
+    T.BinaryType(): "binary",
+    T.DateType(): "date",
+    T.TimestampNTZType(): "timestamp",
+    T.TimestampType(): "timestamptz",
+}
+
+
+def _strip_scheme(p: str) -> str:
+    return p[5:] if p.startswith("file:") else p
+
+
+class IcebergError(ValueError):
+    pass
+
+
+class IcebergTable:
+    """One Iceberg table rooted at ``location`` (a local/posix dir with
+    ``metadata/`` and data files)."""
+
+    def __init__(self, spark: SparkSession, location: str):
+        self.spark = spark
+        self.location = location
+        self.metadata = self._load_metadata()
+        v = self.metadata.get("format-version", 1)
+        if v not in (1, 2):
+            raise IcebergError(f"unsupported iceberg format-version {v}")
+
+    # ------------------------------------------------------- metadata
+    def _metadata_dir(self) -> str:
+        return os.path.join(self.location, "metadata")
+
+    def _load_metadata(self) -> dict:
+        md = self._metadata_dir()
+        hint = os.path.join(md, "version-hint.text")
+        path = None
+        if os.path.exists(hint):
+            with open(hint) as fh:
+                n = int(fh.read().strip())
+            path = os.path.join(md, f"v{n}.metadata.json")
+        if path is None or not os.path.exists(path):
+            cands = [
+                f for f in os.listdir(md)
+                if f.startswith("v") and f.endswith(".metadata.json")
+            ]
+            if not cands:
+                raise IcebergError(f"no metadata files under {md}")
+            path = os.path.join(
+                md, max(cands, key=lambda f: int(f[1:].split(".")[0]))
+            )
+        with open(path) as fh:
+            return json.load(fh)
+
+    def schema_json(self) -> dict:
+        m = self.metadata
+        if "schemas" in m:  # v2
+            sid = m["current-schema-id"]
+            for s in m["schemas"]:
+                if s["schema-id"] == sid:
+                    return s
+            raise IcebergError(f"current-schema-id {sid} not in schemas")
+        return m["schema"]  # v1
+
+    def spark_schema(self) -> T.StructType:
+        fields = []
+        for f in self.schema_json()["fields"]:
+            t = f["type"]
+            if not isinstance(t, str) or t.startswith("decimal"):
+                if isinstance(t, str) and t.startswith("decimal"):
+                    p, s = t[t.index("(") + 1 : -1].split(",")
+                    fields.append(
+                        T.StructField(
+                            f["name"],
+                            T.DecimalType(int(p), int(s)),
+                            not f.get("required", False),
+                        )
+                    )
+                    continue
+                raise IcebergError(
+                    f"nested/unsupported column type {t!r} "
+                    f"(field {f['name']!r})"
+                )
+            if t not in _ICEBERG_TO_SPARK:
+                raise IcebergError(f"unsupported iceberg type {t!r}")
+            fields.append(
+                T.StructField(
+                    f["name"], _ICEBERG_TO_SPARK[t],
+                    not f.get("required", False),
+                )
+            )
+        return T.StructType(fields)
+
+    def partition_spec(self) -> list[dict]:
+        m = self.metadata
+        if "partition-specs" in m:
+            sid = m.get("default-spec-id", 0)
+            for s in m["partition-specs"]:
+                if s["spec-id"] == sid:
+                    return s["fields"]
+        return m.get("partition-spec", [])
+
+    # ------------------------------------------------------ snapshots
+    def snapshots(self) -> list[dict]:
+        return self.metadata.get("snapshots", [])
+
+    def current_snapshot_id(self):
+        return self.metadata.get("current-snapshot-id")
+
+    def resolve_snapshot(
+        self, snapshot_id: int | None = None, as_of_ms: int | None = None
+    ) -> dict:
+        snaps = {s["snapshot-id"]: s for s in self.snapshots()}
+        if snapshot_id is None and as_of_ms is None:
+            snapshot_id = self.current_snapshot_id()
+            if snapshot_id is None or snapshot_id == -1:
+                raise IcebergError("table has no current snapshot")
+        if as_of_ms is not None:
+            log = self.metadata.get("snapshot-log", [])
+            past = [e for e in log if e["timestamp-ms"] <= as_of_ms]
+            if not past:
+                raise IcebergError(
+                    f"no snapshot at or before timestamp {as_of_ms}"
+                )
+            snapshot_id = max(past, key=lambda e: e["timestamp-ms"])[
+                "snapshot-id"
+            ]
+        if snapshot_id not in snaps:
+            raise IcebergError(f"unknown snapshot-id {snapshot_id}")
+        return snaps[snapshot_id]
+
+    # ------------------------------------------------------ manifests
+    def _manifest_files(self, snap: dict) -> list[dict]:
+        if "manifest-list" in snap:
+            _, records = avrofile.read_file(
+                _strip_scheme(snap["manifest-list"])
+            )
+            return records
+        # ancient v1 layout: inline manifest path list
+        return [
+            {"manifest_path": p, "content": 0}
+            for p in snap.get("manifests", [])
+        ]
+
+    def _entries(self, snap: dict) -> list[dict]:
+        out = []
+        for mf in self._manifest_files(snap):
+            content = mf.get("content", 0)
+            _, entries = avrofile.read_file(
+                _strip_scheme(mf["manifest_path"])
+            )
+            live = [e for e in entries if e["status"] != _STATUS_DELETED]
+            if content == 1:  # delete manifest (v2)
+                if live:
+                    raise IcebergError(
+                        "table has live delete files (v2 row-level "
+                        "deletes); merging deletes at read time is not "
+                        "supported"
+                    )
+                continue
+            for e in live:
+                df_rec = e["data_file"]
+                if df_rec.get("content", 0) != 0:
+                    raise IcebergError(
+                        "data_file.content != DATA in a data manifest"
+                    )
+                fmt = df_rec["file_format"].upper()
+                if fmt != "PARQUET":
+                    raise IcebergError(
+                        f"unsupported data file format {fmt}"
+                    )
+                out.append(e)
+        return out
+
+    # ---------------------------------------------------- read paths
+    def data_files(
+        self,
+        snapshot_id: int | None = None,
+        as_of_ms: int | None = None,
+        eq_filters: Mapping[str, object] | None = None,
+    ) -> list[dict]:
+        """Live data-file records for a snapshot, optionally pruned by
+        equality predicates on source columns through the partition
+        spec's transforms (identity/truncate/day/month/year prune;
+        bucket and unknown transforms keep the file — pruning is an
+        optimization, never a correctness filter)."""
+        snap = self.resolve_snapshot(snapshot_id, as_of_ms)
+        entries = self._entries(snap)
+        files = [e["data_file"] for e in entries]
+        if not eq_filters:
+            return files
+        spec = self.partition_spec()
+        by_source = {}
+        for fld in spec:
+            col = self._column_name(fld["source-id"])
+            by_source.setdefault(col, []).append(fld)
+        kept = []
+        for f in files:
+            part = f.get("partition") or {}
+            drop = False
+            for col, val in eq_filters.items():
+                for fld in by_source.get(col, []):
+                    expected = _apply_transform(fld["transform"], val)
+                    if expected is _UNPRUNABLE:
+                        continue
+                    if part.get(fld["name"]) != expected:
+                        drop = True
+            if not drop:
+                kept.append(f)
+        return kept
+
+    def _column_name(self, field_id: int) -> str:
+        for f in self.schema_json()["fields"]:
+            if f["id"] == field_id:
+                return f["name"]
+        raise IcebergError(f"partition source-id {field_id} not in schema")
+
+    def read(
+        self,
+        snapshot_id: int | None = None,
+        as_of_ms: int | None = None,
+        eq_filters: Mapping[str, object] | None = None,
+    ) -> DataFrame:
+        files = self.data_files(snapshot_id, as_of_ms, eq_filters)
+        schema = self.spark_schema()
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        paths = [_strip_scheme(f["file_path"]) for f in files]
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    # ------------------------------------------------- incremental Δ
+    def added_files(self, snapshot_id: int) -> list[dict]:
+        """Data files ADDED by exactly this snapshot (manifest entries
+        carry per-entry snapshot provenance) — the O(Δ) unit of
+        incremental consumption."""
+        snap = self.resolve_snapshot(snapshot_id)
+        return [
+            e["data_file"]
+            for e in self._entries(snap)
+            if e["status"] == _STATUS_ADDED
+            and (e.get("snapshot_id") in (None, snapshot_id))
+        ]
+
+    def tail(
+        self, after_snapshot_id: int | None, *, ignore_changes: bool = False
+    ) -> tuple[DataFrame, int | None]:
+        """Rows appended AFTER ``after_snapshot_id`` (None = from the
+        beginning): walks the snapshot log in commit order and unions
+        only each snapshot's ADDED files. A non-append snapshot in the
+        range (overwrite/delete/replace — rows may have vanished)
+        refuses unless ``ignore_changes``, the delta_tail contract.
+        Returns (rows, new_cursor)."""
+        log = sorted(
+            self.snapshots(), key=lambda s: s["sequence-number"]
+            if "sequence-number" in s else s["timestamp-ms"]
+        )
+        if after_snapshot_id is not None:
+            seen = [s["snapshot-id"] for s in log]
+            if after_snapshot_id not in seen:
+                raise IcebergError(
+                    f"cursor snapshot {after_snapshot_id} not in the log "
+                    "(expired?) — cannot prove the tail is complete"
+                )
+            log = log[seen.index(after_snapshot_id) + 1 :]
+        schema = self.spark_schema()
+        paths = []
+        cursor = after_snapshot_id
+        for s in log:
+            op = (s.get("summary") or {}).get("operation", "append")
+            if op != "append" and not ignore_changes:
+                raise IcebergError(
+                    f"snapshot {s['snapshot-id']} is {op!r}, not append — "
+                    "pass ignore_changes=True to consume adds anyway"
+                )
+            paths.extend(
+                _strip_scheme(f["file_path"])
+                for f in self.added_files(s["snapshot-id"])
+            )
+            cursor = s["snapshot-id"]
+        if not paths:
+            return self.spark.createDataFrame([], schema), cursor
+        return self.spark.read.schema(schema).parquet(*paths), cursor
+
+
+_UNPRUNABLE = object()
+
+
+def _apply_transform(transform: str, value):
+    """Partition value an eq-predicate's source value maps to under the
+    spec transform, or _UNPRUNABLE when the transform cannot be
+    inverted for pruning here (bucket needs murmur3 — skipping it keeps
+    correctness, every file is read)."""
+    import datetime as dt
+
+    if transform == "identity":
+        return value
+    if transform == "void":
+        return None
+    if transform.startswith("truncate["):
+        w = int(transform[9:-1])
+        if isinstance(value, str):
+            return value[:w]
+        if isinstance(value, int):
+            return value - (value % w)  # python % is non-negative for w>0
+        return _UNPRUNABLE
+    if transform in ("day", "month", "year"):
+        if isinstance(value, dt.datetime):
+            value = value.date()
+        if not isinstance(value, dt.date):
+            return _UNPRUNABLE
+        epoch = dt.date(1970, 1, 1)
+        if transform == "day":
+            return (value - epoch).days
+        if transform == "month":
+            return (value.year - 1970) * 12 + (value.month - 1)
+        return value.year - 1970
+    return _UNPRUNABLE
+
+
+# ----------------------------------------------------------- writer
+
+_MANIFEST_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1},
+        {
+            "name": "data_file",
+            "field-id": 2,
+            "type": {
+                "type": "record",
+                "name": "r2",
+                "fields": [
+                    {"name": "file_path", "type": "string", "field-id": 100},
+                    {"name": "file_format", "type": "string", "field-id": 101},
+                    {
+                        "name": "partition",
+                        "field-id": 102,
+                        "type": {"type": "record", "name": "r102", "fields": []},
+                    },
+                    {"name": "record_count", "type": "long", "field-id": 103},
+                    {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+                    {"name": "block_size_in_bytes", "type": "long", "field-id": 105},
+                ],
+            },
+        },
+    ],
+}
+
+_MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "added_snapshot_id", "type": ["null", "long"], "field-id": 503},
+    ],
+}
+
+
+def _iceberg_schema_json(schema: T.StructType) -> dict:
+    fields = []
+    for i, f in enumerate(schema.fields, start=1):
+        if isinstance(f.dataType, T.DecimalType):
+            t = f"decimal({f.dataType.precision},{f.dataType.scale})"
+        elif f.dataType in _SPARK_TO_ICEBERG:
+            t = _SPARK_TO_ICEBERG[f.dataType]
+        else:
+            raise IcebergError(
+                f"cannot write column type {f.dataType} to iceberg"
+            )
+        fields.append(
+            {"id": i, "name": f.name, "required": False, "type": t}
+        )
+    return {"type": "struct", "schema-id": 0, "fields": fields}
+
+
+def _write_snapshot(
+    location: str, df: DataFrame, *, base: dict | None
+) -> dict:
+    """Stage data files + manifest + manifest list, return the new
+    metadata dict (caller publishes)."""
+    spark = df.sparkSession
+    md_dir = os.path.join(location, "metadata")
+    data_dir = os.path.join(location, "data")
+    os.makedirs(md_dir, exist_ok=True)
+    os.makedirs(data_dir, exist_ok=True)
+    staging = os.path.join(location, f".staging-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(staging)
+    import pyarrow.parquet as pq
+
+    snapshot_id = (
+        max(
+            (s["snapshot-id"] for s in (base or {}).get("snapshots", [])),
+            default=0,
+        )
+        + 1
+    )
+    files = []
+    for name in sorted(os.listdir(staging)):
+        if not name.endswith(".parquet"):
+            continue
+        final = os.path.join(
+            data_dir, f"{snapshot_id:05d}-{uuid.uuid4().hex}-{name}"
+        )
+        shutil.move(os.path.join(staging, name), final)
+        meta = pq.ParquetFile(final).metadata
+        files.append(
+            {
+                "status": _STATUS_ADDED,
+                "snapshot_id": snapshot_id,
+                "data_file": {
+                    "file_path": f"file:{final}",
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": meta.num_rows,
+                    "file_size_in_bytes": os.path.getsize(final),
+                    "block_size_in_bytes": 67108864,
+                },
+            }
+        )
+    shutil.rmtree(staging, ignore_errors=True)
+    manifest_path = os.path.join(
+        md_dir, f"manifest-{snapshot_id:05d}-{uuid.uuid4().hex}.avro"
+    )
+    avrofile.write_file(manifest_path, _MANIFEST_ENTRY_SCHEMA, files)
+    # append-only log: prior snapshots' manifests stay reachable
+    prior = []
+    if base is not None and base.get("current-snapshot-id", -1) != -1:
+        cur = next(
+            s
+            for s in base["snapshots"]
+            if s["snapshot-id"] == base["current-snapshot-id"]
+        )
+        _, prior = avrofile.read_file(_strip_scheme(cur["manifest-list"]))
+    mlist = prior + [
+        {
+            "manifest_path": f"file:{manifest_path}",
+            "manifest_length": os.path.getsize(manifest_path),
+            "partition_spec_id": 0,
+            "added_snapshot_id": snapshot_id,
+        }
+    ]
+    mlist_path = os.path.join(
+        md_dir, f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
+    )
+    avrofile.write_file(mlist_path, _MANIFEST_FILE_SCHEMA, mlist)
+    now_ms = int(time.time() * 1000)
+    snap = {
+        "snapshot-id": snapshot_id,
+        "timestamp-ms": now_ms,
+        "summary": {"operation": "append"},
+        "manifest-list": f"file:{mlist_path}",
+    }
+    meta = {
+        "format-version": 1,
+        "table-uuid": (base or {}).get("table-uuid", str(uuid.uuid4())),
+        "location": location,
+        "last-updated-ms": now_ms,
+        "last-column-id": len(df.schema.fields),
+        "schema": _iceberg_schema_json(df.schema),
+        "partition-spec": [],
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "properties": {},
+        "current-snapshot-id": snapshot_id,
+        "snapshots": (base or {}).get("snapshots", []) + [snap],
+        "snapshot-log": (base or {}).get("snapshot-log", [])
+        + [{"timestamp-ms": now_ms, "snapshot-id": snapshot_id}],
+    }
+    return meta
+
+
+def _publish(location: str, meta: dict) -> None:
+    md_dir = os.path.join(location, "metadata")
+    hint = os.path.join(md_dir, "version-hint.text")
+    version = 1
+    if os.path.exists(hint):
+        with open(hint) as fh:
+            version = int(fh.read().strip()) + 1
+    path = os.path.join(md_dir, f"v{version}.metadata.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.rename(tmp, path)
+    with open(hint + ".tmp", "w") as fh:
+        fh.write(str(version))
+    os.replace(hint + ".tmp", hint)
+
+
+def create_table(spark: SparkSession, location: str, df: DataFrame) -> IcebergTable:
+    """Write ``df`` as a new (unpartitioned, format-version 1) Iceberg
+    table at ``location``."""
+    if os.path.exists(os.path.join(location, "metadata")):
+        raise IcebergError(f"table already exists at {location}")
+    meta = _write_snapshot(location, df, base=None)
+    _publish(location, meta)
+    return IcebergTable(spark, location)
+
+
+def append(spark: SparkSession, location: str, df: DataFrame) -> IcebergTable:
+    """Append ``df`` as a new snapshot (schema must match by name/type)."""
+    t = IcebergTable(spark, location)
+    want = t.spark_schema()
+    if [(f.name, f.dataType) for f in df.schema.fields] != [
+        (f.name, f.dataType) for f in want.fields
+    ]:
+        raise IcebergError(
+            f"append schema mismatch: table {want.simpleString()}, "
+            f"batch {df.schema.simpleString()}"
+        )
+    meta = _write_snapshot(location, df, base=t.metadata)
+    _publish(location, meta)
+    return IcebergTable(spark, location)
