@@ -356,17 +356,80 @@ class IcebergTable:
 _UNPRUNABLE = object()
 
 
+def murmur3_32(data: bytes, seed: int = 0) -> int:
+    """MurmurHash3 x86 32-bit (public domain algorithm; the hash the
+    Iceberg spec's bucket transform requires). Returns the SIGNED
+    32-bit value, matching the spec's appendix-B test vectors."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n = len(data)
+    for i in range(0, n & ~3, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    tail = data[n & ~3 :]
+    k = 0
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - (1 << 32) if h >= 1 << 31 else h
+
+
+def _bucket_hash(value) -> int | None:
+    """Spec appendix B serialization: int/long/date(days)/timestamp
+    (micros) hash as 8-byte little-endian longs; strings as UTF-8
+    bytes. Returns None for types this pruner does not hash."""
+    import datetime as dt
+
+    if isinstance(value, bool):
+        return None
+    if isinstance(value, dt.datetime):
+        epoch = dt.datetime(1970, 1, 1, tzinfo=value.tzinfo)
+        value = int((value - epoch).total_seconds() * 1_000_000)
+    elif isinstance(value, dt.date):
+        value = (value - dt.date(1970, 1, 1)).days
+    if isinstance(value, int):
+        return murmur3_32(value.to_bytes(8, "little", signed=True))
+    if isinstance(value, str):
+        return murmur3_32(value.encode("utf-8"))
+    if isinstance(value, (bytes, bytearray)):
+        return murmur3_32(bytes(value))
+    return None
+
+
 def _apply_transform(transform: str, value):
     """Partition value an eq-predicate's source value maps to under the
-    spec transform, or _UNPRUNABLE when the transform cannot be
-    inverted for pruning here (bucket needs murmur3 — skipping it keeps
-    correctness, every file is read)."""
+    spec transform, or _UNPRUNABLE when the value's type cannot be
+    mapped here (skipping keeps correctness — every file is read)."""
     import datetime as dt
 
     if transform == "identity":
         return value
     if transform == "void":
         return None
+    if transform.startswith("bucket["):
+        n = int(transform[7:-1])
+        h = _bucket_hash(value)
+        if h is None:
+            return _UNPRUNABLE
+        return (h & 0x7FFFFFFF) % n
     if transform.startswith("truncate["):
         w = int(transform[9:-1])
         if isinstance(value, str):
@@ -449,7 +512,12 @@ def _iceberg_schema_json(schema: T.StructType) -> dict:
 
 
 def _write_snapshot(
-    location: str, df: DataFrame, *, base: dict | None
+    location: str,
+    df: DataFrame,
+    *,
+    base: dict | None,
+    carry_prior: bool = True,
+    operation: str = "append",
 ) -> dict:
     """Stage data files + manifest + manifest list, return the new
     metadata dict (caller publishes)."""
@@ -499,7 +567,7 @@ def _write_snapshot(
     avrofile.write_file(manifest_path, _MANIFEST_ENTRY_SCHEMA, files)
     # append-only log: prior snapshots' manifests stay reachable
     prior = []
-    if base is not None and base.get("current-snapshot-id", -1) != -1:
+    if carry_prior and base is not None and base.get("current-snapshot-id", -1) != -1:
         cur = next(
             s
             for s in base["snapshots"]
@@ -522,7 +590,7 @@ def _write_snapshot(
     snap = {
         "snapshot-id": snapshot_id,
         "timestamp-ms": now_ms,
-        "summary": {"operation": "append"},
+        "summary": {"operation": operation},
         "manifest-list": f"file:{mlist_path}",
     }
     meta = {
@@ -571,17 +639,36 @@ def create_table(spark: SparkSession, location: str, df: DataFrame) -> IcebergTa
     return IcebergTable(spark, location)
 
 
-def append(spark: SparkSession, location: str, df: DataFrame) -> IcebergTable:
-    """Append ``df`` as a new snapshot (schema must match by name/type)."""
-    t = IcebergTable(spark, location)
+def _check_schema(t: IcebergTable, df: DataFrame, what: str) -> None:
     want = t.spark_schema()
     if [(f.name, f.dataType) for f in df.schema.fields] != [
         (f.name, f.dataType) for f in want.fields
     ]:
         raise IcebergError(
-            f"append schema mismatch: table {want.simpleString()}, "
+            f"{what} schema mismatch: table {want.simpleString()}, "
             f"batch {df.schema.simpleString()}"
         )
+
+
+def append(spark: SparkSession, location: str, df: DataFrame) -> IcebergTable:
+    """Append ``df`` as a new snapshot (schema must match by name/type)."""
+    t = IcebergTable(spark, location)
+    _check_schema(t, df, "append")
     meta = _write_snapshot(location, df, base=t.metadata)
+    _publish(location, meta)
+    return IcebergTable(spark, location)
+
+
+def overwrite(spark: SparkSession, location: str, df: DataFrame) -> IcebergTable:
+    """Replace the table contents in one snapshot: the new manifest list
+    references ONLY the new manifest (prior files drop out of the live
+    set but stay reachable through older snapshots — time travel keeps
+    working), and the snapshot summary says ``overwrite`` so incremental
+    tails refuse to silently skip the removal."""
+    t = IcebergTable(spark, location)
+    _check_schema(t, df, "overwrite")
+    meta = _write_snapshot(
+        location, df, base=t.metadata, carry_prior=False, operation="overwrite"
+    )
     _publish(location, meta)
     return IcebergTable(spark, location)

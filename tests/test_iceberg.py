@@ -220,17 +220,22 @@ def _partitioned_fixture(spark, tmp_path):
                 ]}},
         ],
     }
+    def _bucket4(v):
+        return (iceberg._bucket_hash(v) & 0x7FFFFFFF) % 4
+
     entries = [
         {"status": 1, "snapshot_id": 10, "data_file": {
             "content": 0, "file_path": f"file:{fa}",
             "file_format": "parquet",
-            "partition": {"cat": "alpha", "cat_trunc": "al", "id_bucket": 0},
+            "partition": {"cat": "alpha", "cat_trunc": "al",
+                          "id_bucket": _bucket4(1)},
             "record_count": 2,
             "file_size_in_bytes": os.path.getsize(fa)}},
         {"status": 1, "snapshot_id": 10, "data_file": {
             "content": 0, "file_path": f"file:{fb}",
             "file_format": "parquet",
-            "partition": {"cat": "beta", "cat_trunc": "be", "id_bucket": 1},
+            "partition": {"cat": "beta", "cat_trunc": "be",
+                          "id_bucket": _bucket4(3)},
             "record_count": 1,
             "file_size_in_bytes": os.path.getsize(fb)}},
     ]
@@ -290,10 +295,47 @@ def test_iceberg_partition_pruning(spark, tmp_path):
     assert {r.id for r in t.read(eq_filters={"cat": "alpha"}).collect()} == {1, 2}
     # truncate[2] prunes consistently with identity
     assert len(t.data_files(eq_filters={"cat": "beta"})) == 1
-    # bucket[4] is unprunable -> falls back to keeping every file
-    assert len(t.data_files(eq_filters={"id": 1})) == 2
+    # bucket[4] prunes exactly via murmur3 (ids 1 and 3 land in
+    # different buckets)
+    assert len(t.data_files(eq_filters={"id": 1})) == 1
+    assert len(t.data_files(eq_filters={"id": 3})) == 1
+    # a float value is un-hashable here -> safe fallback, all files
+    assert len(t.data_files(eq_filters={"id": 1.5})) == 2
     # wrong value prunes everything (identity mismatch on both files)
     assert t.read(eq_filters={"cat": "nope"}).count() == 0
+
+
+def test_iceberg_bucket_transform_spec_vectors():
+    """The spec's appendix-B published murmur3 hash values — the bucket
+    transform is pinned to the real Iceberg hash function, not merely
+    self-consistent."""
+    import datetime as dt
+
+    from global_seismic_data_pipeline_spark.sources.iceberg import (
+        _bucket_hash,
+    )
+
+    assert _bucket_hash(34) == 2017239379           # int and long agree
+    assert _bucket_hash("iceberg") == 1210000089
+    assert _bucket_hash(dt.date(2017, 11, 16)) == -653330422
+    assert _bucket_hash(dt.datetime(2017, 11, 16, 22, 31, 8)) == -2047944441
+
+
+def test_iceberg_overwrite_and_tail_refusal(spark, tmp_path):
+    """overwrite replaces the live set in one snapshot, keeps time
+    travel working, and poisons the incremental tail (the spec's
+    operation summary) unless ignore_changes."""
+    loc = str(tmp_path / "tbl")
+    t = iceberg.create_table(spark, loc, _mk_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    s1 = t.current_snapshot_id()
+    t2 = iceberg.overwrite(spark, loc, _mk_df(spark, [(9, "z", 9.0)]))
+    assert {r.id for r in t2.read().collect()} == {9}
+    assert {r.id for r in t2.read(snapshot_id=s1).collect()} == {1, 2}
+    with pytest.raises(iceberg.IcebergError, match="not append"):
+        t2.tail(s1)
+    rows, cursor = t2.tail(s1, ignore_changes=True)
+    assert {r.id for r in rows.collect()} == {9}
+    assert cursor == t2.current_snapshot_id()
 
 
 def test_iceberg_v2_delete_manifest_refuses(spark, tmp_path):
