@@ -251,10 +251,12 @@ class IcebergTable:
         eq_filters: Mapping[str, object] | None = None,
     ) -> list[dict]:
         """Live data-file records for a snapshot, optionally pruned by
-        equality predicates on source columns through the partition
-        spec's transforms (identity/truncate/day/month/year prune;
-        bucket and unknown transforms keep the file — pruning is an
-        optimization, never a correctness filter)."""
+        equality predicates on source columns — twice over: through the
+        partition spec's transforms (identity/bucket-via-murmur3/
+        truncate/day/month/year) AND through the manifests' per-file
+        column lower/upper bounds (the spec's min/max stats). Unknown
+        transforms / missing bounds / un-decodable types keep the
+        file — pruning is an optimization, never a correctness filter."""
         snap = self.resolve_snapshot(snapshot_id, as_of_ms)
         entries = self._entries(snap)
         files = [e["data_file"] for e in entries]
@@ -265,6 +267,9 @@ class IcebergTable:
         for fld in spec:
             col = self._column_name(fld["source-id"])
             by_source.setdefault(col, []).append(fld)
+        ids = {
+            f["name"]: f["id"] for f in self.schema_json()["fields"]
+        }
         kept = []
         for f in files:
             part = f.get("partition") or {}
@@ -276,9 +281,54 @@ class IcebergTable:
                         continue
                     if part.get(fld["name"]) != expected:
                         drop = True
+                if col in ids and not drop:
+                    lo = self._bound(f.get("lower_bounds"), ids[col])
+                    hi = self._bound(f.get("upper_bounds"), ids[col])
+                    if lo is not None and _lt(val, lo):
+                        drop = True
+                    if hi is not None and _lt(hi, val):
+                        drop = True
             if not drop:
                 kept.append(f)
         return kept
+
+    def _bound(self, bounds, field_id: int):
+        """Decode one column bound from the manifest's bounds container
+        (Avro spec: an array of key/value records with logicalType map;
+        plain dicts accepted too) using appendix-D single-value
+        serialization. None when absent or un-decodable."""
+        if not bounds:
+            return None
+        raw = None
+        if isinstance(bounds, dict):
+            raw = bounds.get(field_id, bounds.get(str(field_id)))
+        else:
+            for kv in bounds:
+                if kv.get("key") == field_id:
+                    raw = kv.get("value")
+                    break
+        if raw is None:
+            return None
+        ftype = next(
+            (
+                f["type"]
+                for f in self.schema_json()["fields"]
+                if f["id"] == field_id
+            ),
+            None,
+        )
+        return _decode_single_value(ftype, raw)
+
+    def row_count(
+        self, snapshot_id: int | None = None, as_of_ms: int | None = None
+    ) -> int:
+        """Exact row count from manifest metadata alone — zero data
+        files touched (the record_count every writer is required to
+        store per the spec)."""
+        return sum(
+            f["record_count"]
+            for f in self.data_files(snapshot_id, as_of_ms)
+        )
 
     def _column_name(self, field_id: int) -> str:
         for f in self.schema_json()["fields"]:
@@ -354,6 +404,37 @@ class IcebergTable:
 
 
 _UNPRUNABLE = object()
+
+
+def _decode_single_value(ftype, raw: bytes):
+    """Iceberg appendix-D single-value serialization for the types this
+    pruner compares; None for anything else (= no pruning)."""
+    import struct as _struct
+
+    if not isinstance(ftype, str) or not isinstance(raw, (bytes, bytearray)):
+        return None
+    try:
+        if ftype == "int" or ftype == "date":
+            return int.from_bytes(raw[:4], "little", signed=True)
+        if ftype in ("long", "timestamp", "timestamptz"):
+            return int.from_bytes(raw[:8], "little", signed=True)
+        if ftype == "float":
+            return _struct.unpack("<f", raw[:4])[0]
+        if ftype == "double":
+            return _struct.unpack("<d", raw[:8])[0]
+        if ftype == "string":
+            return bytes(raw).decode("utf-8")
+    except (ValueError, _struct.error):
+        return None
+    return None
+
+
+def _lt(a, b) -> bool:
+    """Comparable-or-keep: un-comparable operand pairs never prune."""
+    try:
+        return a < b
+    except TypeError:
+        return False
 
 
 def murmur3_32(data: bytes, seed: int = 0) -> int:

@@ -217,9 +217,24 @@ def _partitioned_fixture(spark, tmp_path):
                         ]}},
                     {"name": "record_count", "type": "long"},
                     {"name": "file_size_in_bytes", "type": "long"},
+                    {"name": "lower_bounds", "type": ["null", {
+                        "type": "array", "logicalType": "map",
+                        "items": {"type": "record", "name": "k126_v127",
+                                  "fields": [
+                                      {"name": "key", "type": "int"},
+                                      {"name": "value", "type": "bytes"}]}}]},
+                    {"name": "upper_bounds", "type": ["null", {
+                        "type": "array", "logicalType": "map",
+                        "items": {"type": "record", "name": "k128_v129",
+                                  "fields": [
+                                      {"name": "key", "type": "int"},
+                                      {"name": "value", "type": "bytes"}]}}]},
                 ]}},
         ],
     }
+
+    def _le8(v):
+        return v.to_bytes(8, "little", signed=True)
     def _bucket4(v):
         return (iceberg._bucket_hash(v) & 0x7FFFFFFF) % 4
 
@@ -230,14 +245,18 @@ def _partitioned_fixture(spark, tmp_path):
             "partition": {"cat": "alpha", "cat_trunc": "al",
                           "id_bucket": _bucket4(1)},
             "record_count": 2,
-            "file_size_in_bytes": os.path.getsize(fa)}},
+            "file_size_in_bytes": os.path.getsize(fa),
+            "lower_bounds": [{"key": 1, "value": _le8(1)}],
+            "upper_bounds": [{"key": 1, "value": _le8(2)}]}},
         {"status": 1, "snapshot_id": 10, "data_file": {
             "content": 0, "file_path": f"file:{fb}",
             "file_format": "parquet",
             "partition": {"cat": "beta", "cat_trunc": "be",
                           "id_bucket": _bucket4(3)},
             "record_count": 1,
-            "file_size_in_bytes": os.path.getsize(fb)}},
+            "file_size_in_bytes": os.path.getsize(fb),
+            "lower_bounds": [{"key": 1, "value": _le8(3)}],
+            "upper_bounds": [{"key": 1, "value": _le8(3)}]}},
     ]
     manifest = os.path.join(md, "m1.avro")
     avrofile.write_file(manifest, entry_schema, entries)
@@ -299,10 +318,16 @@ def test_iceberg_partition_pruning(spark, tmp_path):
     # different buckets)
     assert len(t.data_files(eq_filters={"id": 1})) == 1
     assert len(t.data_files(eq_filters={"id": 3})) == 1
-    # a float value is un-hashable here -> safe fallback, all files
-    assert len(t.data_files(eq_filters={"id": 1.5})) == 2
+    # a float value is un-hashable AND outside decoded long bounds ->
+    # bounds still prune (1.5 is within [1,2] for file A only)
+    assert len(t.data_files(eq_filters={"id": 1.5})) == 1
     # wrong value prunes everything (identity mismatch on both files)
     assert t.read(eq_filters={"cat": "nope"}).count() == 0
+    # column BOUNDS prune where the bucket cannot: id=10 hashes into
+    # file A's bucket but lies outside its [1,2] bounds
+    assert t.data_files(eq_filters={"id": 10}) == []
+    # metadata-only row count: no data files touched
+    assert t.row_count() == 3
 
 
 def test_iceberg_bucket_transform_spec_vectors():
