@@ -89,6 +89,7 @@ EXTENDED = [
     "hilbert_cluster_lineitem",
     "scd2_incremental_history",
     "iceberg_roundtrip_orders",
+    "fuzzy_match_part_names",
 ]
 
 HEADLINE = [

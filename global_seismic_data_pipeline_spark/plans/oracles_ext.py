@@ -3314,3 +3314,27 @@ FROM orders
 WHERE o_orderkey % 4 IN (0, 1, 2)
 GROUP BY o_orderstatus
 """
+
+
+# Blocked fuzzy join: first-word blocks, id-ordered pairs, levenshtein
+# <= 3 (the length prefilter is lossless, so the oracle omits it).
+FUZZY_MATCH_SQL = r"""
+WITH p AS (
+    SELECT p_partkey, p_name,
+           string_split(lower(trim(p_name)), ' ')[1] AS block
+    FROM part
+), pairs AS (
+    SELECT a.block, levenshtein(a.p_name, b.p_name) AS d
+    FROM p a JOIN p b
+      ON a.block = b.block AND a.p_partkey < b.p_partkey
+)
+SELECT block,
+       CAST(COUNT(*) AS BIGINT) AS n_matches,
+       CAST(COUNT(*) FILTER (WHERE d = 0) AS BIGINT) AS n_exact,
+       CAST(SUM(d) AS BIGINT) AS sum_dist
+FROM pairs
+WHERE d <= 3
+GROUP BY block
+"""
+
+ORACLES_EXT["fuzzy_match_part_names"] = FUZZY_MATCH_SQL

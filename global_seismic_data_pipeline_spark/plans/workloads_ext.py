@@ -2921,3 +2921,27 @@ def iceberg_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(v1_rows))
         .crossJoin(F.broadcast(tail_rows))
     )
+
+def fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching (operators/fuzzy.py): near-identical part
+    names found by first-word blocking + the lossless length prefilter
+    + exact Levenshtein ≤ 3 — entity resolution without the O(n²) cross
+    join. Aggregated per block: match count, exact-duplicate count, and
+    the distance mass (pair sets are huge; the aggregate is the stable
+    reporting surface). The oracle replays blocking, the length
+    prefilter (provably lossless, so it may omit it), and DuckDB's
+    identical levenshtein."""
+    from ..operators.fuzzy import blocked_fuzzy_pairs
+
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    pairs = blocked_fuzzy_pairs(
+        ensure_parallelism(p),
+        id_col="p_partkey",
+        text_col="p_name",
+        max_edit=3,
+    )
+    return pairs.groupBy("block").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.sum((F.col("dist") == 0).cast("long")).alias("n_exact"),
+        F.sum("dist").alias("sum_dist"),
+    )

@@ -492,3 +492,38 @@ def test_bigram_lm_surprisal(spark):
     assert out[3]["n_bigrams"] == 1 and out[3]["surprisal_sum"] == 3
     assert out[4]["n_bigrams"] == 0 and out[4]["keep"] == 1
     assert out[4]["bits_per_bigram"] == 0.0
+
+
+def test_blocked_fuzzy_pairs(spark):
+    """Blocking + length prefilter + levenshtein: same-block near
+    matches found, cross-block typos missed BY DESIGN, length gap
+    beyond max_edit pruned before the kernel, id ordering canonical."""
+    from global_seismic_data_pipeline_spark.operators.fuzzy import (
+        blocked_fuzzy_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "small ring"),
+            (2, "small ring"),    # exact dup of 1
+            (3, "small king"),    # d=1 vs 1/2
+            (4, "small kingdoms extra"),  # same block, length gap > 2
+            (5, "smell ring"),    # typo IN the block key: never compared
+            (6, "red bolt"),
+        ],
+        "id long, name string",
+    )
+    out = {
+        (r.id_a, r.id_b): r.dist
+        for r in blocked_fuzzy_pairs(df, text_col="name", max_edit=2).collect()
+    }
+    assert out == {(1, 2): 0, (1, 3): 1, (2, 3): 1}
+    # widen the budget past the 11-char length gap: the long name now
+    # survives the prefilter and matches at its true distance > 2;
+    # cross-block pairs STILL never appear (blocking is structural)
+    out2 = {
+        (r.id_a, r.id_b): r.dist
+        for r in blocked_fuzzy_pairs(df, text_col="name", max_edit=15).collect()
+    }
+    assert (1, 4) in out2 and out2[(1, 4)] > 2
+    assert all(not {5, 6} & {x, y} or {x, y} <= {5, 6} for x, y in out2)
