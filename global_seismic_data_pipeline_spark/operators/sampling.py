@@ -527,3 +527,109 @@ def perplexity_buckets(
         )
         .drop("__n")
     )
+
+
+def mixture_budget_allocate(
+    df: DataFrame,
+    *,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    weights: Mapping[str, int],
+    salt: str = "",
+) -> DataFrame:
+    """Training-mixture budget allocation under single-epoch supply —
+    the planning step between "we want mixture w" (DoReMi / GPT-3-style
+    domain weights) and "sample the corpus": the largest total token
+    budget B such that every weighted source can supply its share
+    without repeating data is ``B = min_s ⌊T_s·W / w_s⌋`` (T_s = tokens
+    available in source s, W = Σ weights); each source's target is then
+    ``tgt_s = ⌊B·w_s / W⌋`` and documents keep at rate tgt_s/T_s.
+
+    Every decision is exact-integer: B and tgt via int division, the
+    per-document keep via the md5-hash cross-multiplication
+    ``h·T_s < tgt_s·2^k`` evaluated in DECIMAL(38,0) (the
+    temperature_sample idiom — no float rate whose last ulp could flip
+    a membership). Sources absent from ``weights`` are excluded.
+
+    Output: one row per weighted source — available tokens/docs, the
+    global budget, the source's target, and the docs/tokens actually
+    kept by the deterministic sample (expected ≈ target; sampling is
+    doc-granular, as in every published pipeline).
+
+    Shape at 100 TB: one partial-aggregated shuffle by source for the
+    supply counts (source cardinality is tiny), a broadcast of the
+    per-source rate table back over the corpus, a map-side keep filter,
+    and one more partial aggregation — the corpus never shuffles."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be positive integers")
+    W = int(sum(weights.values()))
+    w_col = None
+    for label, w in weights.items():
+        c = F.when(F.col(source_col) == F.lit(label), F.lit(int(w)))
+        w_col = c if w_col is None else w_col.when(
+            F.col(source_col) == F.lit(label), F.lit(int(w))
+        )
+    docs = df.select(
+        source_col,
+        F.col(key_col).alias("__key"),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+        .cast("long")
+        .alias("__toks"),
+    ).filter(F.col(source_col).isin(list(weights)))
+    per_src = (
+        docs.groupBy(source_col)
+        .agg(
+            F.sum("__toks").alias("avail_tokens"),
+            F.count(F.lit(1)).alias("avail_docs"),
+        )
+        .withColumn("weight", w_col.cast("long"))
+    )
+    bmin = per_src.agg(
+        F.min(
+            F.expr(f"(avail_tokens * {W}) div weight")
+        ).alias("budget")
+    )
+    rates = F.broadcast(
+        per_src.crossJoin(F.broadcast(bmin)).withColumn(
+            "target_tokens", F.expr(f"(budget * weight) div {W}")
+        )
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.col("__key").cast("string"), F.lit("|" + salt))
+            ),
+            1,
+            _TEMP_BITS // 4,
+        ),
+        16,
+        10,
+    ).cast("long")
+    dec = "decimal(38,0)"
+    kept = (
+        docs.withColumn("__h", h)
+        .join(rates, source_col)
+        .where(
+            F.col("__h").cast(dec) * F.col("avail_tokens").cast(dec)
+            < F.col("target_tokens").cast(dec)
+            * F.lit(2**_TEMP_BITS).cast(dec)
+        )
+        .groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum("__toks").alias("kept_tokens"),
+        )
+    )
+    return rates.join(kept, source_col, "left").select(
+        source_col,
+        "weight",
+        "avail_docs",
+        "avail_tokens",
+        "budget",
+        "target_tokens",
+        F.coalesce("kept_docs", F.lit(0)).alias("kept_docs"),
+        F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
+    )

@@ -3338,3 +3338,48 @@ GROUP BY block
 """
 
 ORACLES_EXT["fuzzy_match_part_names"] = FUZZY_MATCH_SQL
+
+
+# Mixture budget allocation: B = min_s floor(T_s*W/w_s), tgt_s =
+# floor(B*w_s/W), keep <=> h*T_s < tgt_s*2^20 in HUGEINT (Spark:
+# DECIMAL(38,0)). Weights 5:4:3:2:1, W = 15, salt "mix1".
+MIXTURE_BUDGET_SQL = r"""
+WITH docs AS (
+    SELECT source, doc_id,
+           CAST(len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'),
+                    ' ')) AS BIGINT) AS toks,
+           CASE source WHEN 'src0' THEN 5 WHEN 'src1' THEN 4
+                       WHEN 'src2' THEN 3 WHEN 'src5' THEN 2
+                       WHEN 'src7' THEN 1 END AS w
+    FROM documents
+    WHERE source IN ('src0','src1','src2','src5','src7')
+), per_src AS (
+    SELECT source, ANY_VALUE(w) AS weight,
+           CAST(SUM(toks) AS BIGINT) AS avail_tokens,
+           CAST(COUNT(*) AS BIGINT) AS avail_docs
+    FROM docs GROUP BY source
+), b AS (
+    SELECT CAST(MIN((avail_tokens * 15) // weight) AS BIGINT) AS budget
+    FROM per_src
+), rates AS (
+    SELECT p.*, b.budget,
+           CAST((b.budget * p.weight) // 15 AS BIGINT) AS target_tokens
+    FROM per_src p CROSS JOIN b
+), kept AS (
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS kept_docs,
+           CAST(SUM(d.toks) AS BIGINT) AS kept_tokens
+    FROM docs d JOIN rates r ON d.source = r.source
+    WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || '|mix1'), 1, 5))::BIGINT::HUGEINT
+          * r.avail_tokens
+          < r.target_tokens::HUGEINT * 1048576
+    GROUP BY d.source
+)
+SELECT r.source, r.weight, r.avail_docs, r.avail_tokens, r.budget,
+       r.target_tokens,
+       COALESCE(k.kept_docs, 0) AS kept_docs,
+       COALESCE(k.kept_tokens, 0) AS kept_tokens
+FROM rates r LEFT JOIN kept k ON r.source = k.source
+"""
+
+ORACLES_EXT["mixture_budget_docs"] = MIXTURE_BUDGET_SQL

@@ -2945,3 +2945,19 @@ def fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("dist") == 0).cast("long")).alias("n_exact"),
         F.sum("dist").alias("sum_dist"),
     )
+
+def mixture_budget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture budget allocation (operators/sampling.py
+    ``mixture_budget_allocate``): the largest single-epoch token budget
+    honoring target weights 5:4:3:2:1 over five sources, each source's
+    token target, and the deterministic md5 doc sample that realizes
+    it — all exact-integer (int-div budget/targets, DECIMAL(38,0) keep
+    cross-multiplication). The oracle replays supply counts, the min
+    budget, targets, and every keep decision in HUGEINT."""
+    from ..operators.sampling import mixture_budget_allocate
+
+    return mixture_budget_allocate(
+        _docs(spark, sf_dir),
+        weights={"src0": 5, "src1": 4, "src2": 3, "src5": 2, "src7": 1},
+        salt="mix1",
+    )

@@ -527,3 +527,31 @@ def test_blocked_fuzzy_pairs(spark):
     }
     assert (1, 4) in out2 and out2[(1, 4)] > 2
     assert all(not {5, 6} & {x, y} or {x, y} <= {5, 6} for x, y in out2)
+
+
+def test_mixture_budget_allocate(spark):
+    """Budget = the bottleneck source's full supply scaled by W/w; the
+    bottleneck source keeps EVERYTHING (its keep inequality is h < 2^20,
+    always true); other sources sample at target/avail; unweighted
+    sources are excluded."""
+    from global_seismic_data_pipeline_spark.operators.sampling import (
+        mixture_budget_allocate,
+    )
+
+    rows = [(i, "w " * 9 + "w", "A") for i in range(10)]          # 100 toks
+    rows += [(100 + i, "w " * 9 + "w", "B") for i in range(2)]    # 20 toks
+    rows += [(200, "ignored text", "C")]                          # unweighted
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r.source: r.asDict()
+        for r in mixture_budget_allocate(
+            df, weights={"A": 1, "B": 1}, salt="t"
+        ).collect()
+    }
+    assert set(out) == {"A", "B"}
+    # W=2: budget = min(100*2/1, 20*2/1) = 40; targets 20 and 20
+    assert out["A"]["budget"] == out["B"]["budget"] == 40
+    assert out["A"]["target_tokens"] == out["B"]["target_tokens"] == 20
+    assert out["B"]["kept_docs"] == 2 and out["B"]["kept_tokens"] == 20
+    assert out["A"]["kept_docs"] <= 10
+    assert out["A"]["kept_tokens"] == 10 * out["A"]["kept_docs"]
