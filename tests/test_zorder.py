@@ -196,3 +196,50 @@ def test_cluster_by_hilbert_layout(spark):
         for r in part
     ]
     assert walked == sorted(walked)
+
+
+def test_hilbert_layout_prunes_files_on_both_dimensions(spark, tmp_path):
+    """Structural (timing-free) evidence for the clustering claim: after
+    a Hilbert layout, per-file min/max stats prune a 2-D box predicate
+    to a handful of files, while the same data hash-scattered across the
+    same file count prunes nothing — on BOTH dimensions, which a 1-D
+    sort cannot give."""
+    from global_seismic_data_pipeline_spark.operators import skipping
+    from global_seismic_data_pipeline_spark.operators.hilbert import (
+        cluster_by_hilbert,
+    )
+    from global_seismic_data_pipeline_spark.sources.warehouse import (
+        Warehouse,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    rows = [(x, y, x * 64 + y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "a long, b long, v long")
+
+    wh.overwrite(df.repartition(16), "scattered")
+    wh.overwrite(
+        cluster_by_hilbert(df, ["a", "b"], num_partitions=16, order=6),
+        "clustered",
+    )
+    box = {"a": (0, 7), "b": (0, 7)}
+    kept = {}
+    for name in ("scattered", "clustered"):
+        skipping.refresh_file_stats(wh, name, ["a", "b"])
+        stats = wh.read(f"{name}__stats")
+        total = stats.count()
+        kept[name] = len(skipping.prune_files(stats, box))
+        assert total >= 8, f"{name}: expected a multi-file layout"
+    # hash scatter: every file spans the whole domain -> nothing prunes
+    assert kept["scattered"] >= 8
+    # hilbert: the box is one contiguous curve run -> a couple of files
+    assert kept["clustered"] <= 3
+    # and the pruned read still returns exactly the right rows
+    files = skipping.prune_files(
+        wh.read("clustered__stats"), box
+    )
+    got = (
+        spark.read.parquet(*[f.removeprefix("file://") for f in files])
+        .filter("a between 0 and 7 and b between 0 and 7")
+        .count()
+    )
+    assert got == 64
