@@ -38,6 +38,7 @@ def compact(
     *,
     sort_cols: Sequence[str] = (),
     zorder_by: tuple[str, str] | None = None,
+    curve: str = "morton",
     target_file_mb: int = 128,
 ) -> dict[str, int]:
     """Rewrite ``name`` into ~target-sized files, clustered on ``sort_cols``
@@ -51,18 +52,30 @@ def compact(
     TWO integer keys (``operators/zorder.cluster_by_zorder``) — the
     genuine multi-dimensional ZORDER: every file covers a compact
     rectangle of (a, b) space, so min/max stats prune on EITHER key.
+    ``curve="hilbert"`` upgrades the two-key layout to the Hilbert curve
+    (``operators/hilbert.cluster_by_hilbert`` — strictly tighter per-file
+    boxes, what Databricks liquid clustering moved to).
     Returns before/after file stats.
     """
     if zorder_by and sort_cols:
         raise ValueError("pass either sort_cols or zorder_by, not both")
+    if curve not in ("morton", "hilbert"):
+        raise ValueError(f"unknown curve {curve!r}: morton or hilbert")
     before = wh.table_stats(name)
     df = wh.read(name)
     part_cols = wh.partition_columns(name)  # preserve hive-style layout
     n_parts = max(1, before["size_bytes"] // (target_file_mb * 1024 * 1024))
     if zorder_by:
-        from ..operators.zorder import cluster_by_zorder
+        if curve == "hilbert":
+            from ..operators.hilbert import cluster_by_hilbert
 
-        df = cluster_by_zorder(df, list(zorder_by), num_partitions=n_parts)
+            df = cluster_by_hilbert(
+                df, list(zorder_by), num_partitions=n_parts
+            )
+        else:
+            from ..operators.zorder import cluster_by_zorder
+
+            df = cluster_by_zorder(df, list(zorder_by), num_partitions=n_parts)
     elif sort_cols:
         df = df.repartitionByRange(n_parts, *sort_cols).sortWithinPartitions(
             *sort_cols

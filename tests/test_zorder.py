@@ -243,3 +243,17 @@ def test_hilbert_layout_prunes_files_on_both_dimensions(spark, tmp_path):
         .count()
     )
     assert got == 64
+
+
+def test_compact_hilbert_wiring(spark, tmp_path):
+    from global_seismic_data_pipeline_spark.pipeline.maintenance import compact
+    from global_seismic_data_pipeline_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    grid = [(x, y) for x in range(32) for y in range(32)]
+    wh.overwrite(spark.createDataFrame(grid, "a long, b long"), "t")
+    stats = compact(wh, "t", zorder_by=("a", "b"), curve="hilbert")
+    assert stats["files_after"] >= 1
+    assert wh.read("t").count() == 1024
+    with pytest.raises(ValueError, match="curve"):
+        compact(wh, "t", zorder_by=("a", "b"), curve="peano")
