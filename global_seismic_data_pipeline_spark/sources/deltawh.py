@@ -32,6 +32,7 @@ from __future__ import annotations
 import os
 import shutil
 from collections.abc import Sequence
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -228,6 +229,71 @@ class DeltaLogWarehouse(Warehouse):
         finally:
             os.remove(tmp)
         return new_v
+
+    def optimize_small_files(
+        self,
+        name: str,
+        *,
+        small_file_mb: float = 8.0,
+        target_file_mb: int = 128,
+    ) -> dict[str, int]:
+        """Incremental OPTIMIZE — the way Delta actually compacts at
+        100 TB: rewrite ONLY the live files under ``small_file_mb``, in
+        ONE atomic removes+adds commit. Files already at target size are
+        never read, never moved, never rewritten (a whole-table rewrite
+        would be a 100 TB write to fix a few thousand stragglers). Time
+        travel keeps working (the old small files become tombstones that
+        :meth:`vacuum` collects after retention); the commit races under
+        the same put-if-absent OCC as every write, and a concurrent
+        commit that touched one of the victims aborts the compaction
+        instead of silently dropping its data."""
+        path = self.path(name)
+        state = dl.snapshot_state(path)
+        pcols = list(state["metadata"].get("partitionColumns", []))
+        cutoff = int(small_file_mb * (1 << 20))
+        small = {
+            p: a for p, a in state["files"].items() if a["size"] < cutoff
+        }
+        before = len(state["files"])
+        if len(small) < 2:
+            return {
+                "files_rewritten": 0,
+                "files_before": before,
+                "files_after": before,
+            }
+        abs_paths = [
+            os.path.join(path, unquote(p)) for p in small
+        ]
+        reader = self.spark.read
+        if pcols:
+            reader = reader.option("basePath", path)
+        df = reader.parquet(*abs_paths)
+        total = sum(a["size"] for a in small.values())
+        n = max(1, -(-total // (target_file_mb << 20)))
+        staged = dl.stage_write(df.coalesce(int(n)), path, pcols)
+        victims = set(small)
+
+        def removes_fn(prev_state):
+            gone = [p for p in victims if p not in prev_state["files"]]
+            if gone:
+                raise dl.DeltaConcurrentWriteError(
+                    f"OPTIMIZE victims vanished under us ({len(gone)} "
+                    "files) — a concurrent commit rewrote them; aborting "
+                    "instead of dropping its data"
+                )
+            return sorted(victims)
+
+        dl.commit_write(
+            self.spark, path, staged,
+            mode="append", partition_by=pcols,
+            operation="OPTIMIZE", extra_removes=removes_fn,
+        )
+        after = len(dl.snapshot_state(path)["files"])
+        return {
+            "files_rewritten": len(small),
+            "files_before": before,
+            "files_after": after,
+        }
 
     def vacuum(self, name: str, *, retain_hours: float = 168.0) -> list[str]:
         return dl.vacuum_delta(self.path(name), retain_hours=retain_hours)

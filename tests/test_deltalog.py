@@ -863,3 +863,56 @@ def test_column_mapping_partitioned_and_id_mode_refused(spark, tmp_path):
             fh.write(json.dumps(a) + "\n")
     with pytest.raises(dl.DeltaProtocolError, match="'id'"):
         dl.snapshot_state(pid)
+
+
+def test_optimize_small_files_incremental(spark, tmp_path):
+    """Incremental OPTIMIZE: only the small live files rewrite in ONE
+    removes+adds commit — the big file keeps its exact path (never read,
+    never moved), content is bit-identical, pre-optimize versions stay
+    time-travelable, and the tombstoned stragglers are vacuum food."""
+    from global_seismic_data_pipeline_spark.sources import deltalog as dl
+    from global_seismic_data_pipeline_spark.sources.deltawh import (
+        DeltaLogWarehouse,
+    )
+
+    wh = DeltaLogWarehouse(spark, str(tmp_path / "wh"))
+    big = spark.range(0, 50_000).selectExpr(
+        "id", "repeat('x', 64) AS pad"
+    )
+    wh.overwrite(big.coalesce(1), "t")
+    for i in range(4):  # four one-row stragglers
+        wh.append(
+            spark.createDataFrame(
+                [(1_000_000 + i, "small")], "id long, pad string"
+            ),
+            "t",
+        )
+    path = wh.path("t")
+    state0 = dl.snapshot_state(path)
+    big_paths = {p for p, a in state0["files"].items() if a["size"] > 64_000}
+    n_small0 = len(state0["files"]) - len(big_paths)
+    assert len(big_paths) == 1 and n_small0 >= 4  # 1-row appends may
+    # emit extra empty part files on local[32]; never assert exact counts
+    pre_version = state0["version"]
+    before_rows = sorted(
+        (r.id, r.pad) for r in wh.read("t").collect()
+    )
+
+    stats = wh.optimize_small_files("t", small_file_mb=0.01)
+    assert stats["files_rewritten"] == n_small0
+    assert stats["files_after"] < stats["files_before"]
+
+    state1 = dl.snapshot_state(path)
+    # the big file is untouched — same encoded path, still live
+    assert big_paths <= set(state1["files"])
+    assert sorted((r.id, r.pad) for r in wh.read("t").collect()) == before_rows
+    # time travel to the pre-optimize version still reads the stragglers
+    assert wh.read_version("t", pre_version).count() == len(before_rows)
+    # the OPTIMIZE commit is in the history
+    assert any(
+        h.get("operation") == "OPTIMIZE" for h in wh.history("t")
+    )
+    # a second pass is a no-op (nothing small left twice over)
+    assert wh.optimize_small_files("t", small_file_mb=0.01)[
+        "files_rewritten"
+    ] in (0, 1)
