@@ -3383,3 +3383,57 @@ FROM rates r LEFT JOIN kept k ON r.source = k.source
 """
 
 ORACLES_EXT["mixture_budget_docs"] = MIXTURE_BUDGET_SQL
+
+
+# Multiset EXCEPT ALL / INTERSECT ALL folded to (key, appearances).
+ORACLES_EXT["setops_customer_years"] = """
+WITH y95 AS (
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+), y96 AS (
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+), exc AS (
+    SELECT o_custkey FROM y95 EXCEPT ALL SELECT o_custkey FROM y96
+), ins AS (
+    SELECT o_custkey FROM y95 INTERSECT ALL SELECT o_custkey FROM y96
+)
+SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n, 'except_all' AS op
+FROM exc GROUP BY o_custkey
+UNION ALL
+SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n, 'intersect_all' AS op
+FROM ins GROUP BY o_custkey
+"""
+
+# Correlated EXISTS + two correlated scalar aggregates; the
+# above-average test is exact-integer (cents·n > Σcents).
+ORACLES_EXT["exists_priority_customers"] = """
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderpriority = '1-URGENT'
+      AND CAST(ROUND(o.o_totalprice * 100) AS BIGINT) * (
+              SELECT COUNT(*) FROM orders o2
+              WHERE o2.o_custkey = o.o_custkey
+          ) > (
+              SELECT SUM(CAST(ROUND(o2.o_totalprice * 100) AS BIGINT))
+              FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+          )
+)
+"""
+
+# UNPIVOT of the wide per-status aggregate into tidy rows.
+ORACLES_EXT["unpivot_order_metrics"] = """
+WITH wide AS (
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS DOUBLE) AS n_orders,
+           ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS sum_price,
+           CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS n_customers
+    FROM orders GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, 'n_orders' AS metric, n_orders AS value FROM wide
+UNION ALL
+SELECT o_orderstatus, 'sum_price', sum_price FROM wide
+UNION ALL
+SELECT o_orderstatus, 'n_customers', n_customers FROM wide
+"""

@@ -2961,3 +2961,80 @@ def mixture_budget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         weights={"src0": 5, "src1": 4, "src2": 3, "src5": 2, "src7": 1},
         salt="mix1",
     )
+
+def setops_customer_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operators over customer activity: customers who
+    ordered in 1995 EXCEPT ALL those who ordered in 1996, and the
+    INTERSECT ALL multiset — Spark's exceptAll/intersectAll are
+    MULTISET operators (a customer with three 1995 orders and one 1996
+    order survives EXCEPT ALL twice), which is precisely what DuckDB's
+    EXCEPT ALL/INTERSECT ALL compute. Output folds each multiset to
+    (custkey, appearances) so the surface is stable."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.year("o_orderdate").alias("yr")
+    )
+    y95 = o.filter(F.col("yr") == 1995).select("o_custkey")
+    y96 = o.filter(F.col("yr") == 1996).select("o_custkey")
+    exc = (
+        y95.exceptAll(y96)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("op", F.lit("except_all"))
+    )
+    ins = (
+        y95.intersectAll(y96)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("op", F.lit("intersect_all"))
+    )
+    return exc.unionByName(ins)
+
+
+def exists_priority_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery surface: customers with at least one URGENT
+    order strictly above their own average order value — EXISTS with
+    two correlated scalar aggregates, planned by Catalyst as
+    decorrelated joins (run through spark.sql on registered temp
+    views). The above-average test is the exact-integer
+    cross-multiplication ``cents·n > Σcents`` (float discipline: an
+    AVG-of-doubles threshold could flip a boundary membership between
+    engines); correlation anchors on ``o`` because Spark resolves
+    outer references only ONE subquery level up."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql("""
+        SELECT c_custkey, c_mktsegment
+        FROM v_customer c
+        WHERE EXISTS (
+            SELECT 1 FROM v_orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT'
+              AND CAST(ROUND(o.o_totalprice * 100) AS BIGINT) * (
+                      SELECT COUNT(*) FROM v_orders o2
+                      WHERE o2.o_custkey = o.o_custkey
+                  ) > (
+                      SELECT SUM(CAST(ROUND(o2.o_totalprice * 100) AS BIGINT))
+                      FROM v_orders o2 WHERE o2.o_custkey = o.o_custkey
+                  )
+        )
+    """)
+
+
+def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the per-status wide aggregate turns into tidy
+    (status, metric, value) rows — the inverse of the pivot query,
+    via Spark's native unpivot (Expand, one pass, no UDF). Values are
+    unified to double; money sums round to 2 first (float
+    discipline)."""
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.countDistinct("o_custkey").cast("double").alias("n_customers"),
+    )
+    return wide.unpivot(
+        ids=["o_orderstatus"],
+        values=["n_orders", "sum_price", "n_customers"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
