@@ -3437,3 +3437,35 @@ SELECT o_orderstatus, 'sum_price', sum_price FROM wide
 UNION ALL
 SELECT o_orderstatus, 'n_customers', n_customers FROM wide
 """
+
+
+# Time-weighted average: value holds until the next event; weighted sum
+# exact int64 (cents x held seconds), one float division at the end.
+ORACLES_EXT["twap_user_value"] = """
+WITH ev AS (
+    SELECT user_id, CAST(epoch_us(ts) // 1000 AS BIGINT) AS ms,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents
+    FROM events
+), ded AS (
+    SELECT user_id, ms, MAX(cents) AS cents FROM ev GROUP BY user_id, ms
+), held AS (
+    SELECT user_id, cents,
+           lead(ms) OVER (PARTITION BY user_id ORDER BY ms) - ms AS held
+    FROM ded
+), agg AS (
+    SELECT user_id,
+        CAST(SUM(CASE WHEN held IS NOT NULL THEN cents * held END)
+             AS BIGINT) AS wcs,
+        CAST(SUM(COALESCE(held, 0)) AS BIGINT) AS span_ms,
+        CAST(COUNT(*) AS BIGINT) AS n_points,
+        MAX(CASE WHEN held IS NULL THEN cents END) AS last_cents
+    FROM held GROUP BY user_id
+)
+SELECT user_id,
+    COALESCE(wcs, 0) AS weighted_cents_ms,
+    span_ms, n_points,
+    CASE WHEN span_ms > 0
+         THEN COALESCE(wcs, 0) / span_ms / 100.0
+         ELSE last_cents / 100.0 END AS twap
+FROM agg
+"""

@@ -3038,3 +3038,48 @@ def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user: each event's value holds
+    until the user's next event; the average weights each value by its
+    holding time (the step-function integral / total span — how
+    position or sensor readings aggregate when sampling is irregular;
+    a plain AVG over-weights bursts). Weighted sum is exact int64
+    (value cents × held milliseconds); the single float division happens
+    last. Users with one event (zero span) report their value as-is.
+    One shuffle on user_id; the lead window shares that partitioning."""
+    # milliseconds, not seconds: a timestamp->long cast truncates in
+    # Spark while DuckDB's epoch() keeps the fraction and its BIGINT
+    # cast rounds — epoch_millis is the exact integer both agree on
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.unix_micros(F.col("ts")) / F.lit(1000)).cast("long").alias("ms"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    ded = ev.groupBy("user_id", "ms").agg(F.max("cents").alias("cents"))
+    w = Window.partitionBy("user_id").orderBy("ms")
+    held = ded.select(
+        "user_id",
+        "cents",
+        (F.lead("ms").over(w) - F.col("ms")).alias("held"),
+    )
+    agg = held.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("held").isNotNull(), F.col("cents") * F.col("held"))
+        ).alias("weighted_cents_ms"),
+        F.sum(F.coalesce("held", F.lit(0))).alias("span_ms"),
+        F.count(F.lit(1)).alias("n_points"),
+        F.max(F.when(F.col("held").isNull(), F.col("cents"))).alias("last_cents"),
+    )
+    return agg.select(
+        "user_id",
+        F.coalesce("weighted_cents_ms", F.lit(0)).alias("weighted_cents_ms"),
+        "span_ms",
+        "n_points",
+        F.when(
+            F.col("span_ms") > 0,
+            F.col("weighted_cents_ms") / F.col("span_ms") / 100.0,
+        )
+        .otherwise(F.col("last_cents") / 100.0)
+        .alias("twap"),
+    )
