@@ -144,7 +144,7 @@ def _read_checkpoint_state(table_path: str, parts: list[str]) -> dict:
     exactly as Delta clients do for snapshot construction."""
     import pyarrow.parquet as pq
 
-    state = {"protocol": None, "metadata": None, "files": {}}
+    state = {"protocol": None, "metadata": None, "files": {}, "txns": {}}
     for part in parts:
         tbl = pq.read_table(os.path.join(_log_dir(table_path), part))
         cols = set(tbl.column_names)
@@ -156,6 +156,11 @@ def _read_checkpoint_state(table_path: str, parts: list[str]) -> dict:
             add = row.get("add")
             if add and add.get("path"):
                 state["files"][add["path"]] = _plain_add(add)
+            t = row.get("txn")
+            if t and t.get("appId") is not None:
+                state["txns"][t["appId"]] = max(
+                    t["version"], state["txns"].get(t["appId"], t["version"])
+                )
             # remove rows in a checkpoint are expired-tombstone bookkeeping
             # for VACUUM only; they never contribute to the active set.
     return state
@@ -202,7 +207,7 @@ def snapshot_state(table_path: str, version: int | None = None) -> dict:
         )
 
     usable_cp = [v for v in checkpoints if v <= version]
-    state = {"protocol": None, "metadata": None, "files": {}}
+    state = {"protocol": None, "metadata": None, "files": {}, "txns": {}}
     start = 0
     if usable_cp:
         cp_v = max(usable_cp)
@@ -236,6 +241,12 @@ def snapshot_state(table_path: str, version: int | None = None) -> dict:
                     state["files"][a["path"]] = a
                 elif "remove" in action:
                     state["files"].pop(action["remove"]["path"], None)
+                elif "txn" in action:
+                    t = action["txn"]
+                    state["txns"][t["appId"]] = max(
+                        t["version"],
+                        state["txns"].get(t["appId"], t["version"]),
+                    )
                 elif "commitInfo" in action:
                     commit_ts = action["commitInfo"].get("timestamp")
         timestamp_ms = commit_ts if commit_ts is not None else mtime_ms
@@ -250,6 +261,7 @@ def snapshot_state(table_path: str, version: int | None = None) -> dict:
         "protocol": protocol,
         "metadata": state["metadata"],
         "files": state["files"],
+        "txns": state.get("txns", {}),
     }
 
 
@@ -656,6 +668,7 @@ def commit_write(
     max_retries: int = 20,
     extra_removes=None,
     merge_schema: bool = False,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Phase 2: move staged files into the table and publish the commit
     JSON put-if-absent. On a lost race the commit (including overwrite's
@@ -671,7 +684,15 @@ def commit_write(
     path would SILENTLY drop the new columns (metaData's schema wins).
     ``merge_schema=True`` instead commits an updated metaData whose
     schema is table columns + the batch's new columns appended (Delta
-    ``mergeSchema``); same-name type conflicts always refuse."""
+    ``mergeSchema``); same-name type conflicts always refuse.
+
+    ``txn=(app_id, version)`` makes the commit IDEMPOTENT per the Delta
+    spec's transaction identifiers: the commit records a ``txn`` action,
+    and a later attempt whose version is ≤ the table's recorded
+    high-water mark for that appId SKIPS (returns -1, staged data files
+    unlinked) — the exactly-once primitive for streaming sinks
+    (appId = query id, version = epoch/batch id). The check runs inside
+    the OCC retry loop, so two racing duplicates cannot both commit."""
     import shutil
 
     staging = staged["staging"]
@@ -718,6 +739,18 @@ def commit_write(
         prev_meta = None
         if existing:
             prev = snapshot_state(table_path)
+            if txn is not None and prev.get("txns", {}).get(
+                txn[0], -(1 << 62)
+            ) >= txn[1]:
+                # this (appId, version) already committed: duplicate
+                # delivery — unlink the staged-in files (referenced by no
+                # commit) and report the skip
+                for a in moved:
+                    try:
+                        os.remove(os.path.join(table_path, unquote(a["path"])))
+                    except FileNotFoundError:
+                        pass
+                return -1
             prev_meta = prev["metadata"]
             if _mapping_mode(prev_meta) != "none":
                 raise DeltaProtocolError(
@@ -771,6 +804,12 @@ def commit_write(
                 "partitionColumns": pcols,
                 "configuration": {},
                 "createdTime": int(time.time() * 1000),
+            }})
+        if txn is not None:
+            actions.append({"txn": {
+                "appId": txn[0],
+                "version": int(txn[1]),
+                "lastUpdated": int(time.time() * 1000),
             }})
         actions += [{"add": a} for a in moved]
 
@@ -868,6 +907,16 @@ def write_checkpoint(table_path: str, version: int | None = None) -> str:
             },
         }
         for a in state["files"].values()
+    ] + [
+        # txn high-water marks MUST checkpoint (per spec) or idempotent
+        # writers would re-apply batches after log cleanup
+        {
+            "protocol": None,
+            "metaData": None,
+            "add": None,
+            "txn": {"appId": app, "version": v},
+        }
+        for app, v in sorted(state.get("txns", {}).items())
     ]
     schema = pa.schema([
         ("protocol", pa.struct([
@@ -891,6 +940,10 @@ def write_checkpoint(table_path: str, version: int | None = None) -> str:
             ("modificationTime", pa.int64()),
             ("dataChange", pa.bool_()),
             ("stats", pa.string()),
+        ])),
+        ("txn", pa.struct([
+            ("appId", pa.string()),
+            ("version", pa.int64()),
         ])),
     ])
     tbl = pa.Table.from_pylist(rows, schema=schema)

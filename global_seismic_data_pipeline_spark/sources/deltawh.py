@@ -82,13 +82,27 @@ class DeltaLogWarehouse(Warehouse):
         return dl.read_delta(self.spark, self.path(name))
 
     def append(
-        self, df: DataFrame, name: str, partition_by: Sequence[str] = ()
+        self,
+        df: DataFrame,
+        name: str,
+        partition_by: Sequence[str] = (),
+        *,
+        txn: tuple[str, int] | None = None,
     ) -> None:
         if not partition_by:
             # auto-fill like overwrite: the log validates partition_by
             # against the table's partitionColumns on every commit
             partition_by = self.partition_columns(name)
-        self._commit_df(df, name, "append", partition_by)
+        self._commit_df(df, name, "append", partition_by, txn=txn)
+
+    def last_txn_version(self, name: str, app_id: str) -> int | None:
+        """The table's recorded transaction high-water mark for an
+        application id (Delta ``txn`` actions) — None if the app never
+        committed. Survives checkpoints + log cleanup (txn marks are
+        checkpointed per spec)."""
+        if not dl.is_delta_table(self.path(name)):
+            return None
+        return dl.snapshot_state(self.path(name))["txns"].get(app_id)
 
     def overwrite(
         self, df: DataFrame, name: str, partition_by: Sequence[str] = ()
@@ -106,6 +120,7 @@ class DeltaLogWarehouse(Warehouse):
         *,
         remove_partition: tuple[str, Sequence] | None = None,
         operation: str | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> None:
         """Stage → (CHECK constraints veto) → log commit. The Observation
         rides the staging write, so enforcement costs zero extra passes
@@ -123,7 +138,7 @@ class DeltaLogWarehouse(Warehouse):
         dl.commit_write(
             self.spark, self.path(name), staged,
             mode=dl_mode, partition_by=list(partition_by),
-            operation=operation, extra_removes=removes_fn,
+            operation=operation, extra_removes=removes_fn, txn=txn,
         )
 
     def _rewrite_partitions(

@@ -916,3 +916,53 @@ def test_optimize_small_files_incremental(spark, tmp_path):
     assert wh.optimize_small_files("t", small_file_mb=0.01)[
         "files_rewritten"
     ] in (0, 1)
+
+
+def test_txn_idempotent_append(spark, tmp_path):
+    """Delta txn actions: a duplicate (appId, version) append SKIPS —
+    no new commit, no duplicate rows, staged files unlinked; a higher
+    version commits; a second app's versions are independent; the
+    high-water mark survives a checkpoint + log cleanup."""
+    from global_seismic_data_pipeline_spark.sources import deltalog as dl
+    from global_seismic_data_pipeline_spark.sources.deltawh import (
+        DeltaLogWarehouse,
+    )
+
+    wh = DeltaLogWarehouse(spark, str(tmp_path / "wh"))
+    mk = lambda i: spark.createDataFrame([(i, f"b{i}")], "id long, s string")
+    wh.overwrite(mk(0), "t")
+    path = wh.path("t")
+
+    wh.append(mk(1), "t", txn=("streamA", 1))
+    v_after = max(wh.versions("t"))
+    assert wh.last_txn_version("t", "streamA") == 1
+
+    # duplicate delivery of batch 1: skipped entirely
+    wh.append(mk(1), "t", txn=("streamA", 1))
+    assert max(wh.versions("t")) == v_after
+    assert wh.read("t").count() == 2
+    # no orphan data files left behind by the skip
+    import os as _os
+    on_disk = [
+        f for f in _os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(".")
+    ]
+    assert len(on_disk) == len(dl.snapshot_state(path)["files"])
+
+    # an OLDER version replays too (restart from an old checkpoint): skip
+    wh.append(mk(0), "t", txn=("streamA", 0))
+    assert wh.read("t").count() == 2
+
+    # the next batch commits; another app is independent
+    wh.append(mk(2), "t", txn=("streamA", 2))
+    wh.append(mk(3), "t", txn=("streamB", 1))
+    assert wh.read("t").count() == 4
+    assert wh.last_txn_version("t", "streamA") == 2
+    assert wh.last_txn_version("t", "streamB") == 1
+
+    # txn marks survive checkpoint + dropping the old commit JSONs
+    dl.write_checkpoint(path)
+    wh.vacuum_snapshots("t", keep_last=1)
+    assert wh.last_txn_version("t", "streamA") == 2
+    wh.append(mk(2), "t", txn=("streamA", 2))  # still a duplicate
+    assert wh.read("t").count() == 4
