@@ -66,7 +66,9 @@ _LOG = "_delta_log"
 _LAST_CHECKPOINT = "_last_checkpoint"
 # reader features whose semantics this reader fully implements; anything
 # else listed by a v3 protocol makes the table unreadable HERE (loudly).
-_SUPPORTED_READER_FEATURES = {"timestampNtz", "columnMapping"}
+_SUPPORTED_READER_FEATURES = {
+    "timestampNtz", "columnMapping", "deletionVectors",
+}
 _NULL_PARTITION_DIR = "__HIVE_DEFAULT_PARTITION__"
 
 
@@ -170,13 +172,16 @@ def _plain_add(add: Mapping) -> dict:
     pv = add.get("partitionValues")
     if isinstance(pv, list):  # pyarrow map -> list of (k, v) tuples
         pv = dict(pv)
-    return {
+    out = {
         "path": add["path"],
         "partitionValues": pv or {},
         "size": int(add.get("size") or 0),
         "modificationTime": int(add.get("modificationTime") or 0),
         "stats": add.get("stats"),
     }
+    if add.get("deletionVector"):
+        out["deletionVector"] = dict(add["deletionVector"])
+    return out
 
 
 def _plain_metadata(md: Mapping) -> dict:
@@ -331,7 +336,14 @@ def _scan_adds(
     (exact for identical types, renames nested fields too), and attach
     partition literals under their logical names. The hive fast path is
     skipped: mapping-mode writers lay out physical-named directories,
-    which must not resolve as logical columns."""
+    which must not resolve as logical columns.
+
+    Deletion vectors: an add carrying ``deletionVector`` contributes its
+    rows MINUS the DV's positions. The DVs decode driver-side (per-file
+    tombstone metadata, exactly how every Delta client plans) into a
+    broadcast (file, row_index) set; the filter is a distributed
+    anti-join on ``_metadata.row_index`` — no data file is read on the
+    driver, and files without DVs pay nothing when none exist."""
     metadata = state["metadata"]
     schema = delta_schema(state)
     out_cols = [f.name for f in schema.fields]
@@ -355,20 +367,54 @@ def _scan_adds(
     abs_path = {
         a["path"]: os.path.join(table_path, unquote(a["path"])) for a in files
     }
+    dv_files = [a for a in files if a.get("deletionVector")]
+    meta = (
+        [
+            F.col("_metadata.file_path").alias("__dv_file"),
+            F.col("_metadata.row_index").alias("__dv_pos"),
+        ]
+        if dv_files
+        else []
+    )
+
+    def _dv_filter(df: DataFrame) -> DataFrame:
+        if not dv_files:
+            return df
+        from . import dvbitmap
+
+        rows = []
+        for a in dv_files:
+            deleted = dvbitmap.resolve_dv(table_path, a["deletionVector"])
+            card = a["deletionVector"].get("cardinality")
+            if card is not None and card != len(deleted):
+                raise DeltaProtocolError(
+                    f"deletion vector for {a['path']!r} decoded "
+                    f"{len(deleted)} positions but the add action says "
+                    f"cardinality={card}"
+                )
+            uri = "file:" + abs_path[a["path"]]
+            rows.extend((uri, int(p)) for p in sorted(deleted))
+        deleted_df = spark.createDataFrame(
+            rows, "__dv_file string, __dv_pos long"
+        )
+        return df.join(
+            F.broadcast(deleted_df), ["__dv_file", "__dv_pos"], "left_anti"
+        ).select(*out_cols)
+
     if not pcols:
-        return (
+        return _dv_filter(
             spark.read.schema(data_schema)
             .parquet(*abs_path.values())
-            .select(*rename)
+            .select(*rename, *meta)
         )
     if not mapped and _hive_layout_agrees(files, pcols):
         # partition columns resolve from the directory names — one scan,
         # full predicate pushdown / partition pruning stays available
-        return (
+        return _dv_filter(
             spark.read.schema(schema)
             .option("basePath", table_path)
             .parquet(*abs_path.values())
-            .select(*out_cols)
+            .select(*out_cols, *meta)
         )
     ptype = {f.name: f.dataType for f in schema.fields if f.name in pcols}
     by_tuple: dict[tuple, list[str]] = {}
@@ -378,7 +424,9 @@ def _scan_adds(
         by_tuple.setdefault(key, []).append(abs_path[a["path"]])
     parts = []
     for key, paths in by_tuple.items():
-        df = spark.read.schema(data_schema).parquet(*paths).select(*rename)
+        df = spark.read.schema(data_schema).parquet(*paths).select(
+            *rename, *meta
+        )
         for c, val in zip(pcols, key):
             lit = (
                 F.lit(val).cast(ptype[c])
@@ -386,11 +434,14 @@ def _scan_adds(
                 else F.lit(None).cast(ptype[c])
             )
             df = df.withColumn(c, lit)
-        parts.append(df.select(*out_cols))
+        keep = (
+            [*out_cols, "__dv_file", "__dv_pos"] if dv_files else out_cols
+        )
+        parts.append(df.select(*keep))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out
+    return _dv_filter(out)
 
 
 def delta_history(table_path: str, *, with_stats: bool = False) -> list[dict]:
@@ -880,6 +931,13 @@ def write_checkpoint(table_path: str, version: int | None = None) -> str:
 
     state = snapshot_state(table_path, version)
     version = state["version"]
+    if any(a.get("deletionVector") for a in state["files"].values()):
+        raise DeltaProtocolError(
+            "refusing to checkpoint a snapshot with live deletion "
+            "vectors: this writer's checkpoint schema has no "
+            "deletionVector column, so the checkpoint would silently "
+            "RESURRECT the deleted rows for any reader planning from it"
+        )
     rows = [
         {"protocol": state["protocol"], "metaData": None, "add": None},
         {

@@ -363,10 +363,17 @@ def test_protocol_refusals(spark, tmp_path):
                 fh.write(json.dumps(a) + "\n")
         return p
 
-    with pytest.raises(dl.DeltaProtocolError, match="deletionVectors"):
+    # deletionVectors is now a SUPPORTED reader feature (decoded at scan
+    # time — test_deletion_vector_*); an unknown feature still refuses
+    st_dv = dl.snapshot_state(mk({
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": ["deletionVectors"],
+    }))
+    assert st_dv["files"] == {}
+    with pytest.raises(dl.DeltaProtocolError, match="v2Checkpoint"):
         dl.snapshot_state(mk({
             "minReaderVersion": 3, "minWriterVersion": 7,
-            "readerFeatures": ["deletionVectors"],
+            "readerFeatures": ["v2Checkpoint"],
         }))
     # 'name'-mode column mapping is READABLE (resolved via physicalName
     # metadata at scan time — test_column_mapping_*); 'id' mode refuses
@@ -966,3 +973,118 @@ def test_txn_idempotent_append(spark, tmp_path):
     assert wh.last_txn_version("t", "streamA") == 2
     wh.append(mk(2), "t", txn=("streamA", 2))  # still a duplicate
     assert wh.read("t").count() == 4
+
+
+def _attach_dv(path, rel_file, descriptor):
+    """Hand-write the next commit: protocol upgrade to the
+    deletionVectors reader feature + re-add of the file with the DV
+    attached (Delta's replay semantics: a later add of the same path
+    replaces the entry)."""
+    import json as _json
+    import os as _os
+
+    from global_seismic_data_pipeline_spark.sources import deltalog as dl
+
+    log = _os.path.join(path, "_delta_log")
+    v = max(dl.snapshot_state(path)["version"] for _ in [0]) + 1
+    prev = dl.snapshot_state(path)
+    add = dict(prev["files"][rel_file])
+    add["deletionVector"] = descriptor
+    add.setdefault("dataChange", False)
+    with open(_os.path.join(log, f"{v:020d}.json"), "w") as fh:
+        fh.write(_json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"],
+        }}) + "\n")
+        fh.write(_json.dumps({"commitInfo": {
+            "timestamp": 1700000000000, "operation": "DELETE"}}) + "\n")
+        fh.write(_json.dumps({"add": add}) + "\n")
+    return v
+
+
+def test_deletion_vector_read(spark, tmp_path):
+    """Tables with live deletion vectors READ correctly: the DV file
+    (z85-uuid 'u' storage) decodes driver-side and its positions
+    anti-join out; time travel to the pre-DV version sees every row;
+    checkpointing a DV snapshot refuses (schema would resurrect rows);
+    a wrong cardinality refuses."""
+    import os
+    import uuid as _uuid
+
+    from global_seismic_data_pipeline_spark.sources import (
+        deltalog as dl,
+        dvbitmap as dvb,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 10).selectExpr("id", "id * 2 AS v").coalesce(1)
+    dl.write_delta(df.sortWithinPartitions("id"), path)
+    rel = next(iter(dl.snapshot_state(path)["files"]))
+
+    u = _uuid.uuid4()
+    dv_path = os.path.join(path, f"deletion_vector_{u}.bin")
+    desc = dvb.write_dv_file(dv_path, {0, 7})
+    descriptor = {
+        "storageType": "u",
+        "pathOrInlineDv": dvb.z85_encode(u.bytes),
+        "offset": desc["offset"],
+        "sizeInBytes": desc["sizeInBytes"],
+        "cardinality": 2,
+    }
+    v_dv = _attach_dv(path, rel, descriptor)
+
+    got = sorted(r.id for r in dl.read_delta(spark, path).collect())
+    assert got == [1, 2, 3, 4, 5, 6, 8, 9]
+    # pre-DV version still sees everything
+    full = sorted(
+        r.id for r in dl.read_delta(spark, path, version=v_dv - 1).collect()
+    )
+    assert full == list(range(10))
+    # checkpointing a DV snapshot must refuse
+    import pytest as _pytest
+
+    with _pytest.raises(dl.DeltaProtocolError, match="deletion"):
+        dl.write_checkpoint(path)
+    # cardinality mismatch refuses loudly
+    bad = dict(descriptor, cardinality=5)
+    _attach_dv(path, rel, bad)
+    with _pytest.raises(dl.DeltaProtocolError, match="cardinality"):
+        dl.read_delta(spark, path).collect()
+
+
+def test_deletion_vector_inline_and_partitioned(spark, tmp_path):
+    """Inline ('i') DVs on a hive-partitioned table: only the targeted
+    file's positions vanish; the other partition is untouched."""
+    import os
+
+    from global_seismic_data_pipeline_spark.sources import (
+        deltalog as dl,
+        dvbitmap as dvb,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "a" if i < 5 else "b") for i in range(10)], "id long, p string"
+    ).repartition(1, "p").sortWithinPartitions("id")
+    dl.write_delta(df, path, partition_by=["p"])
+    state = dl.snapshot_state(path)
+    rel_a = next(
+        p for p, a in state["files"].items()
+        if a["partitionValues"].get("p") == "a"
+    )
+    data = dvb.dv_data({0, 1})  # first two positions of partition a
+    pad = (4 - len(data) % 4) % 4
+    descriptor = {
+        "storageType": "i",
+        "pathOrInlineDv": dvb.z85_encode(data + b"\x00" * pad),
+        "offset": 0,
+        "sizeInBytes": len(data),
+        "cardinality": 2,
+    }
+    _attach_dv(path, rel_a, descriptor)
+    got = sorted((r.id, r.p) for r in dl.read_delta(spark, path).collect())
+    # partition a wrote ids 0..4 in order; positions {0,1} -> ids {0,1}
+    assert got == [(2, "a"), (3, "a"), (4, "a")] + [
+        (i, "b") for i in range(5, 10)
+    ]
