@@ -878,7 +878,82 @@ def commit_write(
             continue  # someone else took this version — recompute and retry
         os.remove(tmp)
         if checkpoint_interval and version and version % checkpoint_interval == 0:
-            write_checkpoint(table_path, version)
+            try:
+                write_checkpoint(table_path, version)
+            except DeltaProtocolError:
+                # live deletion vectors: our checkpoint schema cannot
+                # carry them (it would resurrect rows) — the commit is
+                # already durable, so skip the checkpoint, never fail
+                pass
+        return version
+    raise DeltaConcurrentWriteError(
+        f"lost the commit race {max_retries} times on {table_path!r}"
+    )
+
+
+def commit_dv_update(
+    table_path: str,
+    new_adds: Mapping[str, Mapping],
+    *,
+    operation: str = "DELETE",
+    max_retries: int = 20,
+) -> int:
+    """Publish a metadata-only commit replacing the add entries of
+    ``new_adds`` (encoded rel path → full add dict, normally the old add
+    with a ``deletionVector`` attached): per file a remove + re-add in
+    one commit, plus a protocol upgrade to the deletionVectors reader
+    feature when the table does not carry it yet. Same put-if-absent
+    OCC as commit_write; a concurrent commit that touched any target
+    file aborts (its content may have changed under the computed DV)."""
+    for _attempt in range(max_retries):
+        state = snapshot_state(table_path)
+        for rel in new_adds:
+            if rel not in state["files"]:
+                raise DeltaConcurrentWriteError(
+                    f"{rel!r} is no longer active — a concurrent commit "
+                    "replaced it; recompute the deletion vectors"
+                )
+        version = state["version"] + 1
+        actions: list[dict] = [{
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": operation,
+                "operationParameters": {},
+                "engineInfo": "global-seismic-data-pipeline-spark-deltalog",
+            }
+        }]
+        proto = state["protocol"]
+        feats = set(proto.get("readerFeatures") or [])
+        if int(proto.get("minReaderVersion", 1)) < 3 or "deletionVectors" not in feats:
+            actions.append({"protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": sorted(feats | {"deletionVectors"}),
+                "writerFeatures": sorted(
+                    set(proto.get("writerFeatures") or [])
+                    | {"deletionVectors"}
+                ),
+            }})
+        ts = int(time.time() * 1000)
+        for rel, add in new_adds.items():
+            actions.append({"remove": {
+                "path": rel, "deletionTimestamp": ts, "dataChange": True,
+            }})
+            actions.append({"add": {**add, "dataChange": True}})
+        log = _log_dir(table_path)
+        final = os.path.join(log, f"{version:020d}.json")
+        tmp = os.path.join(log, f".{uuid.uuid4().hex}.json.tmp")
+        with open(tmp, "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            os.remove(tmp)
+            continue
+        os.remove(tmp)
         return version
     raise DeltaConcurrentWriteError(
         f"lost the commit race {max_retries} times on {table_path!r}"

@@ -245,6 +245,106 @@ class DeltaLogWarehouse(Warehouse):
             os.remove(tmp)
         return new_v
 
+    def delete_with_dv(
+        self,
+        name: str,
+        condition: str,
+        *,
+        max_rows: int = 1_000_000,
+    ) -> dict[str, int]:
+        """DELETE by writing deletion vectors instead of rewriting data
+        files — Delta's point-delete fast path (a 100-row GDPR delete
+        must not rewrite 100 GB of parquet). Per affected file the
+        matching row positions (``_metadata.row_index``) union with any
+        existing DV, pack into ONE new DV file, and publish as a single
+        remove+re-add commit that also upgrades the protocol to the
+        deletionVectors reader feature. Deletes bigger than ``max_rows``
+        refuse loudly — at that size the rewrite path (SQL façade
+        DELETE) is the right tool and the driver-side position set would
+        not be metadata-sized anymore."""
+        import uuid as _uuid
+
+        from pyspark.sql import functions as F
+
+        from . import dvbitmap as dvb
+
+        path = self.path(name)
+        state = dl.snapshot_state(path)
+        if dl._mapping_mode(state["metadata"]) != "none":
+            raise dl.DeltaProtocolError(
+                "delete_with_dv on a column-mapping table is not "
+                "supported (this writer emits logical names)"
+            )
+        pcols = list(state["metadata"].get("partitionColumns") or [])
+        schema = dl.delta_schema(state)
+        abs_of = {
+            rel: os.path.join(path, unquote(rel)) for rel in state["files"]
+        }
+        rel_of_uri = {"file:" + a: rel for rel, a in abs_of.items()}
+        if pcols and not dl._hive_layout_agrees(
+            list(state["files"].values()), pcols
+        ):
+            raise dl.DeltaProtocolError(
+                "delete_with_dv needs the hive directory layout to "
+                "evaluate partition-column predicates; this table's "
+                "partitionValues disagree with its directory names — "
+                "use the rewrite DELETE path"
+            )
+        reader = self.spark.read.schema(schema)
+        if pcols:
+            reader = reader.option("basePath", path)
+        raw = reader.parquet(*abs_of.values()).select(
+            "*",
+            F.col("_metadata.file_path").alias("__f"),
+            F.col("_metadata.row_index").alias("__p"),
+        )
+        hits = raw.filter(condition).select("__f", "__p")
+        n = hits.count()
+        if n == 0:
+            return {"files_affected": 0, "rows_deleted": 0}
+        if n > max_rows:
+            raise ValueError(
+                f"delete_with_dv matched {n} rows (> max_rows={max_rows}):"
+                " use the rewrite DELETE path for bulk deletes"
+            )
+        by_file: dict[str, set[int]] = {}
+        for r in hits.collect():
+            # r["__f"], not r.__f: attribute access on a dunder-prefixed
+            # name gets Python-mangled inside a class body
+            by_file.setdefault(rel_of_uri[r["__f"]], set()).add(int(r["__p"]))
+        # the raw scan sees rows the existing vectors already deleted —
+        # those are logical no-ops: count only NEW deletions, and skip
+        # files whose matches were all already covered
+        n = 0
+        for rel in list(by_file):
+            old = state["files"][rel].get("deletionVector")
+            old_set = dvb.resolve_dv(path, old) if old else set()
+            fresh = by_file[rel] - old_set
+            n += len(fresh)
+            if fresh:
+                by_file[rel] |= old_set
+            else:
+                del by_file[rel]
+        if not by_file:
+            return {"files_affected": 0, "rows_deleted": 0}
+        u = _uuid.uuid4()
+        dv_path = os.path.join(path, f"deletion_vector_{u}.bin")
+        descs = dvb.write_dv_multi(dv_path, by_file)
+        enc = dvb.z85_encode(u.bytes)
+        new_adds = {
+            rel: {
+                **state["files"][rel],
+                "deletionVector": {
+                    "storageType": "u",
+                    "pathOrInlineDv": enc,
+                    **descs[rel],
+                },
+            }
+            for rel in by_file
+        }
+        dl.commit_dv_update(path, new_adds, operation="DELETE")
+        return {"files_affected": len(by_file), "rows_deleted": n}
+
     def optimize_small_files(
         self,
         name: str,
@@ -276,13 +376,13 @@ class DeltaLogWarehouse(Warehouse):
                 "files_before": before,
                 "files_after": before,
             }
-        abs_paths = [
-            os.path.join(path, unquote(p)) for p in small
-        ]
-        reader = self.spark.read
-        if pcols:
-            reader = reader.option("basePath", path)
-        df = reader.parquet(*abs_paths)
+        # read the victims through the full scan path: deletion vectors
+        # materialize into the compacted output (a raw parquet read
+        # would RESURRECT the deleted rows), mapping mode honored
+        df = dl._scan_adds(
+            self.spark, path,
+            [dict(a, path=p) for p, a in small.items()], state,
+        )
         total = sum(a["size"] for a in small.values())
         n = max(1, -(-total // (target_file_mb << 20)))
         staged = dl.stage_write(df.coalesce(int(n)), path, pcols)

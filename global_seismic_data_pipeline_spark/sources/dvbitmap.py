@@ -214,14 +214,31 @@ def decode_dv_data(data: bytes) -> set[int]:
 def write_dv_file(path: str, values) -> dict:
     """Write a single-DV file; returns the add-action descriptor fields
     (offset / sizeInBytes / cardinality)."""
-    data = dv_data(values)
+    return write_dv_multi(path, {"_": values})["_"]
+
+
+def write_dv_multi(path: str, items: dict) -> dict:
+    """Pack several DVs into ONE file (how Delta writers amortize a
+    multi-file DELETE): sequential [size][data][crc] frames after the
+    version byte. Returns {key: descriptor-fields} with each DV's
+    offset."""
     os.makedirs(os.path.dirname(path), exist_ok=True)
+    out = {}
     with open(path, "wb") as fh:
         fh.write(b"\x01")  # format version
-        fh.write(struct.pack(">i", len(data)))
-        fh.write(data)
-        fh.write(struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF))
-    return {"offset": 1, "sizeInBytes": len(data), "cardinality": len(set(values))}
+        pos = 1
+        for key, values in items.items():
+            data = dv_data(values)
+            fh.write(struct.pack(">i", len(data)))
+            fh.write(data)
+            fh.write(struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF))
+            out[key] = {
+                "offset": pos,
+                "sizeInBytes": len(data),
+                "cardinality": len(set(values)),
+            }
+            pos += 4 + len(data) + 4
+    return out
 
 
 def read_dv_file(path: str, offset: int, size_in_bytes: int) -> set[int]:

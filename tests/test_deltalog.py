@@ -1088,3 +1088,86 @@ def test_deletion_vector_inline_and_partitioned(spark, tmp_path):
     assert got == [(2, "a"), (3, "a"), (4, "a")] + [
         (i, "b") for i in range(5, 10)
     ]
+
+
+def test_delete_with_dv_point_deletes(spark, tmp_path):
+    """DV-based DELETE: data files never rewrite (paths byte-identical),
+    deleted rows vanish from reads and from the change feed's notion of
+    content, a second delete on the same file merges vectors, time
+    travel sees through, bulk deletes refuse, and compaction
+    MATERIALIZES the vectors instead of resurrecting rows."""
+    from global_seismic_data_pipeline_spark.sources import deltalog as dl
+    from global_seismic_data_pipeline_spark.sources.deltawh import (
+        DeltaLogWarehouse,
+    )
+
+    wh = DeltaLogWarehouse(spark, str(tmp_path / "wh"))
+    df = spark.range(0, 100).selectExpr("id", "id % 10 AS bucket")
+    wh.overwrite(df.coalesce(2), "t")
+    path = wh.path("t")
+    files0 = set(dl.snapshot_state(path)["files"])
+    v0 = max(wh.versions("t"))
+
+    stats = wh.delete_with_dv("t", "id IN (3, 57, 99)")
+    assert stats["rows_deleted"] == 3
+    # the SAME data files are live — nothing rewrote
+    st1 = dl.snapshot_state(path)
+    assert set(st1["files"]) == files0
+    assert any(a.get("deletionVector") for a in st1["files"].values())
+    got = {r.id for r in wh.read("t").collect()}
+    assert got == set(range(100)) - {3, 57, 99}
+    # time travel: pre-delete snapshot has all rows
+    assert wh.read_version("t", v0).count() == 100
+
+    # second delete merges with the existing vectors
+    stats2 = wh.delete_with_dv("t", "id = 4")
+    assert stats2["rows_deleted"] == 1
+    assert {r.id for r in wh.read("t").collect()} == (
+        set(range(100)) - {3, 4, 57, 99}
+    )
+
+    # deleting an already-deleted row matches nothing (reads are
+    # DV-filtered): no-op
+    assert wh.delete_with_dv("t", "id = 3")["rows_deleted"] == 0
+
+    # bulk refusal
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_rows"):
+        wh.delete_with_dv("t", "id >= 0", max_rows=10)
+
+    # appends still work after the protocol upgrade
+    wh.append(spark.range(100, 102).selectExpr("id", "id % 10 AS bucket"), "t")
+    assert wh.read("t").count() == 98
+
+    # compaction materializes the DVs: rows stay deleted, no DV remains
+    out = wh.optimize_small_files("t", small_file_mb=64)
+    assert out["files_rewritten"] >= 2
+    st2 = dl.snapshot_state(path)
+    assert not any(a.get("deletionVector") for a in st2["files"].values())
+    assert {r.id for r in wh.read("t").collect()} == (
+        set(range(100)) - {3, 4, 57, 99}
+    ) | {100, 101}
+
+
+def test_delete_with_dv_partitioned(spark, tmp_path):
+    from global_seismic_data_pipeline_spark.sources import deltalog as dl
+    from global_seismic_data_pipeline_spark.sources.deltawh import (
+        DeltaLogWarehouse,
+    )
+
+    wh = DeltaLogWarehouse(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(i, "a" if i < 50 else "b") for i in range(100)],
+        "id long, p string",
+    )
+    wh.overwrite(df, "t", partition_by=["p"])
+    stats = wh.delete_with_dv("t", "p = 'a' AND id < 3")
+    assert stats["rows_deleted"] == 3
+    got = {r.id for r in wh.read("t").collect()}
+    assert got == set(range(3, 100))
+    # only partition a's file(s) carry vectors
+    st = dl.snapshot_state(wh.path("t"))
+    for rel, a in st["files"].items():
+        if a["partitionValues"].get("p") == "b":
+            assert not a.get("deletionVector")
