@@ -90,6 +90,9 @@ EXTENDED = [
     "scd2_incremental_history",
     "iceberg_roundtrip_orders",
     "fuzzy_match_part_names",
+    "mixture_budget_docs",
+    "twap_user_value",
+    "exists_priority_customers",
 ]
 
 HEADLINE = [
