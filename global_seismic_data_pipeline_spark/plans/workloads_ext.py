@@ -2843,18 +2843,13 @@ def hilbert_cluster_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive-CTE replay of the identical arithmetic."""
     from ..operators import hilbert
 
-    li = load_table(spark, sf_dir, "lineitem")
-    hkey = hilbert.hilbert_value(
-        "(l_partkey % 1024)", "(l_suppkey % 1024)", order=10
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
     )
-    return (
-        li.select(
-            "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
-            hkey.alias("hkey"),
-        )
-        .orderBy("hkey", "l_orderkey", "l_linenumber")
-        .limit(100)
+    keyed = hilbert.with_hilbert(
+        li, "(l_partkey % 1024)", "(l_suppkey % 1024)", order=10
     )
+    return keyed.orderBy("hkey", "l_orderkey", "l_linenumber").limit(100)
 
 def scd2_incremental_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental SCD2 maintenance (scd.scd2_apply_changes): history

@@ -257,3 +257,29 @@ def test_compact_hilbert_wiring(spark, tmp_path):
     assert wh.read("t").count() == 1024
     with pytest.raises(ValueError, match="curve"):
         compact(wh, "t", zorder_by=("a", "b"), curve="peano")
+
+
+def test_with_hilbert_lut_matches_fold(spark):
+    """The automaton/LUT hot path and the aggregate() fold are the SAME
+    curve — exhaustive at order 4, sampled at order 10, odd order 7
+    exercising the remainder chunk."""
+    from global_seismic_data_pipeline_spark.operators.hilbert import (
+        hilbert_py,
+        with_hilbert,
+    )
+
+    rows = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got4 = with_hilbert(df, "x", "y", order=4).collect()
+    assert all(r.hkey == hilbert_py(r.x, r.y, order=4) for r in got4)
+
+    rows10 = [((i * 131) % 1024, (i * 353) % 1024) for i in range(500)]
+    df10 = spark.createDataFrame(rows10, "x long, y long")
+    got10 = with_hilbert(df10, "x", "y", order=10).collect()
+    assert all(r.hkey == hilbert_py(r.x, r.y, order=10) for r in got10)
+
+    df7 = spark.createDataFrame(
+        [(x % 128, (x * 7) % 128) for x in range(300)], "x long, y long"
+    )
+    got7 = with_hilbert(df7, "x", "y", order=7).collect()
+    assert all(r.hkey == hilbert_py(r.x, r.y, order=7) for r in got7)
