@@ -179,28 +179,36 @@ def with_hilbert(
     from .zorder import _spread_expr
 
     omask = (1 << order) - 1
-    m = F.expr(
+    # the WHOLE transform is one SQL string parsed in a single call:
+    # building the 4096-entry tables as F.array(F.lit(...)) costs one
+    # py4j round-trip PER literal (~4 s of driver time per invocation);
+    # the SQL parser swallows the same text in milliseconds. Codegen's
+    # subexpression elimination dedupes the repeated m/v subtrees.
+    m = (
         f"({_spread_expr(f'cast(({y}) as bigint) & {omask}')}"
         f" | ({_spread_expr(f'cast(({x}) as bigint) & {omask}')} << 1))"
-    ).cast("long")
-    state: Column = F.lit(0).cast("long")
-    d: Column = F.lit(0).cast("long")
+    )
+    state_sql = "cast(0 as bigint)"
+    d_sql = "cast(0 as bigint)"
     bits_left = order
     while bits_left > 0:
         take = min(chunk_bits, bits_left)
         size = 4**take
-        tbl = F.array(*[F.lit(int(v)) for v in _chunk_table(take)])
-        chunk = (
-            F.shiftright(m, 2 * (bits_left - take))
-            .bitwiseAND(F.lit(size - 1))
+        arr = f"array({','.join(str(v) + 'L' for v in _chunk_table(take))})"
+        chunk = f"(shiftright({m}, {2 * (bits_left - take)}) & {size - 1})"
+        v = (
+            f"element_at({arr}, "
+            f"cast(({state_sql} * {size} + {chunk} + 1) as int))"
         )
-        v = F.element_at(tbl, (state * size + chunk + 1).cast("int"))
-        d = F.shiftleft(d, 2 * take).bitwiseOR(
-            v.bitwiseAND(F.lit((1 << (2 * take)) - 1))
+        d_sql = (
+            f"(shiftleft({d_sql}, {2 * take})"
+            f" | ({v} & {(1 << (2 * take)) - 1}))"
         )
-        state = F.shiftright(v, 2 * take)
+        state_sql = f"shiftright({v}, {2 * take})"
         bits_left -= take
-    return df.select("*", d.cast("long").alias(out))
+    return df.select(
+        "*", F.expr(d_sql).cast("long").alias(out)
+    )
 
 
 def cluster_by_hilbert(

@@ -2847,7 +2847,8 @@ def hilbert_cluster_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
     )
     keyed = hilbert.with_hilbert(
-        li, "(l_partkey % 1024)", "(l_suppkey % 1024)", order=10
+        ensure_parallelism(li),
+        "(l_partkey % 1024)", "(l_suppkey % 1024)", order=10,
     )
     return keyed.orderBy("hkey", "l_orderkey", "l_linenumber").limit(100)
 
