@@ -371,10 +371,14 @@ class IcebergTable:
         range (overwrite/delete/replace — rows may have vanished)
         refuses unless ``ignore_changes``, the delta_tail contract.
         Returns (rows, new_cursor)."""
-        log = sorted(
-            self.snapshots(), key=lambda s: s["sequence-number"]
-            if "sequence-number" in s else s["timestamp-ms"]
-        )
+        snaps = self.snapshots()
+        # v2 tables order commits by sequence-number; fall back to
+        # timestamps only when NO snapshot carries one (mixing the two
+        # keys would interleave unrelated scales)
+        if all("sequence-number" in s for s in snaps):
+            log = sorted(snaps, key=lambda s: s["sequence-number"])
+        else:
+            log = sorted(snaps, key=lambda s: s["timestamp-ms"])
         if after_snapshot_id is not None:
             seen = [s["snapshot-id"] for s in log]
             if after_snapshot_id not in seen:
@@ -694,17 +698,36 @@ def _write_snapshot(
 
 
 def _publish(location: str, meta: dict) -> None:
+    """Put-if-absent publication: vN.metadata.json is claimed with
+    os.link (the deltalog OCC primitive — an atomic catalog swap is
+    what the Iceberg spec assumes; on a bare filesystem this is the
+    honest equivalent). A lost race surfaces as IcebergError so the
+    caller re-plans against the winner's state instead of silently
+    clobbering its commit; the version hint is best-effort (readers
+    fall back to the max-N scan)."""
     md_dir = os.path.join(location, "metadata")
     hint = os.path.join(md_dir, "version-hint.text")
-    version = 1
-    if os.path.exists(hint):
-        with open(hint) as fh:
-            version = int(fh.read().strip()) + 1
+    versions = [
+        int(f[1:].split(".")[0])
+        for f in os.listdir(md_dir)
+        if f.startswith("v") and f.endswith(".metadata.json")
+    ]
+    version = max(versions, default=0) + 1
     path = os.path.join(md_dir, f"v{version}.metadata.json")
-    tmp = path + ".tmp"
+    tmp = os.path.join(md_dir, f".{uuid.uuid4().hex}.metadata.tmp")
     with open(tmp, "w") as fh:
         json.dump(meta, fh)
-    os.rename(tmp, path)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        os.remove(tmp)
+        raise IcebergError(
+            f"lost the metadata race for v{version} at {location!r} — "
+            "a concurrent writer committed; re-read and retry"
+        )
+    os.remove(tmp)
     with open(hint + ".tmp", "w") as fh:
         fh.write(str(version))
     os.replace(hint + ".tmp", hint)

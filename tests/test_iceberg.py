@@ -469,3 +469,32 @@ def test_iceberg_tail_consumer_medallion(spark, tmp_path):
     silver2 = {r.id: r.val for r in wh.read("silver").collect()}
     assert silver2 == silver
     assert wh.read("silver").count() == 3
+
+
+def test_iceberg_publish_occ_race(spark, tmp_path, monkeypatch):
+    """Two writers computing the SAME next version: the loser's os.link
+    hits the winner's file and raises loudly instead of clobbering; a
+    re-plan lands on the next version."""
+    import json as _json
+
+    loc = str(tmp_path / "tbl")
+    iceberg.create_table(spark, loc, _mk_df(spark, [(1, "a", 1.0)]))
+    md = os.path.join(loc, "metadata")
+    with open(os.path.join(md, "v1.metadata.json")) as fh:
+        meta = _json.load(fh)
+    # the interloper's v2 lands AFTER our version scan: hide it from
+    # listdir so _publish also computes v2 and collides on the link
+    with open(os.path.join(md, "v2.metadata.json"), "w") as fh:
+        _json.dump(meta, fh)
+    real_listdir = os.listdir
+    monkeypatch.setattr(
+        os, "listdir",
+        lambda p: [f for f in real_listdir(p) if f != "v2.metadata.json"],
+    )
+    with pytest.raises(iceberg.IcebergError, match="race|concurrent"):
+        iceberg._publish(loc, meta)
+    monkeypatch.undo()
+    # winner's file intact; a re-plan claims v3
+    iceberg._publish(loc, meta)
+    assert os.path.exists(os.path.join(md, "v3.metadata.json"))
+    assert iceberg.IcebergTable(spark, loc).read().count() == 1
