@@ -228,9 +228,15 @@ class DeltaLogWarehouse(Warehouse):
             {"remove": {"path": p, "deletionTimestamp": ts, "dataChange": True}}
             for p in cur["files"] if p not in old["files"]
         ]
+        # re-add files that are new in V — AND files whose entry differs
+        # (a deletion vector attached or dropped between the versions): a
+        # path-only diff would silently keep the CURRENT vector and leave
+        # restored rows deleted (a later add replaces the entry on replay)
         actions += [
             {"add": {**a, "dataChange": True}}
-            for p, a in old["files"].items() if p not in cur["files"]
+            for p, a in old["files"].items()
+            if p not in cur["files"]
+            or a.get("deletionVector") != cur["files"][p].get("deletionVector")
         ]
         log = dl._log_dir(path)
         new_v = cur["version"] + 1

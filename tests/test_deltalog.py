@@ -1171,3 +1171,24 @@ def test_delete_with_dv_partitioned(spark, tmp_path):
     for rel, a in st["files"].items():
         if a["partitionValues"].get("p") == "b":
             assert not a.get("deletionVector")
+
+
+def test_restore_across_deletion_vectors(spark, tmp_path):
+    """RESTORE to a pre-delete version must DROP the deletion vector
+    (a path-only diff would leave the restored rows deleted); restoring
+    forward re-applies it."""
+    from global_seismic_data_pipeline_spark.sources.deltawh import (
+        DeltaLogWarehouse,
+    )
+
+    wh = DeltaLogWarehouse(spark, str(tmp_path / "wh"))
+    wh.overwrite(spark.range(0, 20).selectExpr("id"), "t")
+    v0 = max(wh.versions("t"))
+    wh.delete_with_dv("t", "id IN (1, 2)")
+    v1 = max(wh.versions("t"))
+    assert wh.read("t").count() == 18
+
+    wh.restore("t", v0)
+    assert wh.read("t").count() == 20          # vector dropped
+    wh.restore("t", v1)
+    assert {r.id for r in wh.read("t").collect()} == set(range(20)) - {1, 2}
