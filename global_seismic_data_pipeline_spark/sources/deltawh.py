@@ -469,16 +469,33 @@ class DeltaLogWarehouse(Warehouse):
                             "operationParameters": {"source": src}}},
             {"protocol": state["protocol"]},
             {"metaData": {**state["metadata"], "id": str(_uuid.uuid4())}},
-        ] + [
-            {"add": {
+        ]
+        for a in state["files"].values():
+            add = {
                 **a,
                 "path": quote(
                     os.path.join(src_root, unquote(a["path"])), safe="/=-"
                 ),
                 "dataChange": True,
-            }}
-            for a in state["files"].values()
-        ]
+            }
+            dv = add.get("deletionVector")
+            if dv and dv.get("storageType") == "u":
+                # 'u' vectors resolve RELATIVE to the table root — in the
+                # clone that root has no DV files; pin the descriptor to
+                # the source's file by absolute path ('p' storage)
+                from . import dvbitmap as dvb
+                import uuid as _u
+
+                rel = f"deletion_vector_{_u.UUID(bytes=dvb.z85_decode(dv['pathOrInlineDv'][-20:]))}.bin"
+                prefix = dv["pathOrInlineDv"][:-20]
+                add["deletionVector"] = {
+                    **dv,
+                    "storageType": "p",
+                    "pathOrInlineDv": os.path.join(src_root, prefix, rel)
+                    if prefix
+                    else os.path.join(src_root, rel),
+                }
+            actions.append({"add": add})
         log = dl._log_dir(self.path(dst))
         os.makedirs(log, exist_ok=True)
         final = os.path.join(log, f"{0:020d}.json")

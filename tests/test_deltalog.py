@@ -1192,3 +1192,21 @@ def test_restore_across_deletion_vectors(spark, tmp_path):
     assert wh.read("t").count() == 20          # vector dropped
     wh.restore("t", v1)
     assert {r.id for r in wh.read("t").collect()} == set(range(20)) - {1, 2}
+
+
+def test_clone_preserves_deletion_vectors(spark, tmp_path):
+    """SHALLOW CLONE of a table with live 'u'-storage vectors: the
+    clone's descriptors pin to the SOURCE's DV files by absolute path,
+    so the clone reads the same logical rows with zero copying."""
+    from global_seismic_data_pipeline_spark.sources.deltawh import (
+        DeltaLogWarehouse,
+    )
+
+    wh = DeltaLogWarehouse(spark, str(tmp_path / "wh"))
+    wh.overwrite(spark.range(0, 30).selectExpr("id"), "t")
+    wh.delete_with_dv("t", "id IN (5, 6, 7)")
+    wh.clone("t", "t2")
+    assert {r.id for r in wh.read("t2").collect()} == set(range(30)) - {5, 6, 7}
+    # vacuuming the clone never reaches outside its root: source intact
+    wh.vacuum("t2", retain_hours=0.0)
+    assert wh.read("t").count() == 27
