@@ -1210,3 +1210,24 @@ def test_clone_preserves_deletion_vectors(spark, tmp_path):
     # vacuuming the clone never reaches outside its root: source intact
     wh.vacuum("t2", retain_hours=0.0)
     assert wh.read("t").count() == 27
+
+
+def test_delta_tail_dv_commit_refuses(spark, tmp_path):
+    """A DV delete breaks the append-only contract exactly like a
+    rewrite: the tail refuses; ignore_changes re-emits the file with
+    its vector APPLIED (no deleted rows resurface)."""
+    from global_seismic_data_pipeline_spark.sources.deltawh import (
+        DeltaLogWarehouse,
+    )
+
+    wh = DeltaLogWarehouse(spark, str(tmp_path / "wh"))
+    wh.overwrite(spark.range(0, 10).selectExpr("id"), "t")
+    v0 = max(wh.versions("t"))
+    wh.delete_with_dv("t", "id = 3")
+    with pytest.raises(ValueError, match="append-only"):
+        dl.delta_tail(spark, wh.path("t"), v0)
+    # ignore_changes re-emits ONLY the re-added (vectored) file — its
+    # surviving rows, never the deleted one
+    df, cur = dl.delta_tail(spark, wh.path("t"), v0, ignore_changes=True)
+    got = {r.id for r in df.collect()}
+    assert got and 3 not in got and got <= set(range(10))
