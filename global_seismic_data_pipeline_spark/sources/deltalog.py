@@ -878,13 +878,7 @@ def commit_write(
             continue  # someone else took this version — recompute and retry
         os.remove(tmp)
         if checkpoint_interval and version and version % checkpoint_interval == 0:
-            try:
-                write_checkpoint(table_path, version)
-            except DeltaProtocolError:
-                # live deletion vectors: our checkpoint schema cannot
-                # carry them (it would resurrect rows) — the commit is
-                # already durable, so skip the checkpoint, never fail
-                pass
+            write_checkpoint(table_path, version)
         return version
     raise DeltaConcurrentWriteError(
         f"lost the commit race {max_retries} times on {table_path!r}"
@@ -1006,13 +1000,6 @@ def write_checkpoint(table_path: str, version: int | None = None) -> str:
 
     state = snapshot_state(table_path, version)
     version = state["version"]
-    if any(a.get("deletionVector") for a in state["files"].values()):
-        raise DeltaProtocolError(
-            "refusing to checkpoint a snapshot with live deletion "
-            "vectors: this writer's checkpoint schema has no "
-            "deletionVector column, so the checkpoint would silently "
-            "RESURRECT the deleted rows for any reader planning from it"
-        )
     rows = [
         {"protocol": state["protocol"], "metaData": None, "add": None},
         {
@@ -1037,6 +1024,9 @@ def write_checkpoint(table_path: str, version: int | None = None) -> str:
                 "modificationTime": a["modificationTime"],
                 "dataChange": False,
                 "stats": a.get("stats"),
+                # live vectors MUST checkpoint or a reader planning from
+                # the checkpoint would resurrect the deleted rows
+                "deletionVector": a.get("deletionVector"),
             },
         }
         for a in state["files"].values()
@@ -1073,6 +1063,13 @@ def write_checkpoint(table_path: str, version: int | None = None) -> str:
             ("modificationTime", pa.int64()),
             ("dataChange", pa.bool_()),
             ("stats", pa.string()),
+            ("deletionVector", pa.struct([
+                ("storageType", pa.string()),
+                ("pathOrInlineDv", pa.string()),
+                ("offset", pa.int64()),
+                ("sizeInBytes", pa.int64()),
+                ("cardinality", pa.int64()),
+            ])),
         ])),
         ("txn", pa.struct([
             ("appId", pa.string()),
@@ -1159,6 +1156,30 @@ def delta_tail(
     return _scan_adds(spark, table_path, files, state), to_version
 
 
+def _dv_abs_path(table_path: str, descriptor) -> str | None:
+    """Absolute path of a deletionVector descriptor's file, or None for
+    inline/absent vectors (no file to track)."""
+    if not descriptor:
+        return None
+    st = descriptor.get("storageType")
+    if st == "p":
+        p = descriptor["pathOrInlineDv"]
+        return p[5:] if p.startswith("file:") else p
+    if st == "u":
+        from . import dvbitmap as dvb
+
+        enc = descriptor["pathOrInlineDv"]
+        prefix, tail = enc[:-20], enc[-20:]
+        u = uuid.UUID(bytes=dvb.z85_decode(tail))
+        rel = f"deletion_vector_{u}.bin"
+        return (
+            os.path.join(table_path, prefix, rel)
+            if prefix
+            else os.path.join(table_path, rel)
+        )
+    return None
+
+
 def vacuum_delta(table_path: str, *, retain_hours: float = 168.0) -> list[str]:
     """Delta VACUUM: delete (a) files tombstoned by a remove action older
     than the retention window, and (b) ORPHAN parquet files — on disk but
@@ -1178,9 +1199,18 @@ def vacuum_delta(table_path: str, *, retain_hours: float = 168.0) -> list[str]:
     commits, checkpoints = _list_log(table_path)
     removed_at: dict[str, int] = {}
     referenced: set[str] = set(active)
+    referenced_dv: set[str] = set()
+
+    def _note_dv(add: Mapping) -> None:
+        p = _dv_abs_path(table_path, add.get("deletionVector"))
+        if p is not None:
+            referenced_dv.add(os.path.realpath(p))
+
     for parts in checkpoints.values():
         cp = _read_checkpoint_state(table_path, parts)
         referenced |= {unquote(p) for p in cp["files"]}
+        for a in cp["files"].values():
+            _note_dv(a)
     for v in sorted(commits):
         with open(os.path.join(_log_dir(table_path), commits[v])) as fh:
             for line in fh:
@@ -1194,6 +1224,7 @@ def vacuum_delta(table_path: str, *, retain_hours: float = 168.0) -> list[str]:
                 elif "add" in action:
                     p = unquote(action["add"]["path"])
                     referenced.add(p)
+                    _note_dv(action["add"])
                     removed_at.pop(p, None)
     table_root = os.path.realpath(table_path)
 
@@ -1211,15 +1242,21 @@ def vacuum_delta(table_path: str, *, retain_hours: float = 168.0) -> list[str]:
         if _inside(abs_f) and os.path.isfile(abs_f):
             os.remove(abs_f)
             deleted.append(rel)
-    # orphans: parquet files under the root referenced by NOTHING retained
+    # orphans: parquet files (and deletion-vector .bin files) under the
+    # root referenced by NOTHING retained
     for root_, dirs, files in os.walk(table_path):
         dirs[:] = [d for d in dirs if d != _LOG]
         for f in files:
-            if not f.endswith(".parquet"):
-                continue
             abs_f = os.path.join(root_, f)
             rel = os.path.relpath(abs_f, table_path)
-            if rel in referenced or rel in removed_at:
+            if f.startswith("deletion_vector_") and f.endswith(".bin"):
+                # vectors superseded by a later delete/compaction fall
+                # out of every retained version's descriptors
+                if os.path.realpath(abs_f) in referenced_dv:
+                    continue
+            elif not f.endswith(".parquet"):
+                continue
+            elif rel in referenced or rel in removed_at:
                 continue
             if os.path.getmtime(abs_f) < cutoff_s and _inside(abs_f):
                 os.remove(abs_f)

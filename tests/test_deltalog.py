@@ -1041,11 +1041,17 @@ def test_deletion_vector_read(spark, tmp_path):
         r.id for r in dl.read_delta(spark, path, version=v_dv - 1).collect()
     )
     assert full == list(range(10))
-    # checkpointing a DV snapshot must refuse
+    # checkpoints CARRY the vector: reconstruct purely from the
+    # checkpoint (all earlier JSONs dropped) and rows stay deleted
     import pytest as _pytest
 
-    with _pytest.raises(dl.DeltaProtocolError, match="deletion"):
-        dl.write_checkpoint(path)
+    dl.write_checkpoint(path)
+    log = os.path.join(path, "_delta_log")
+    for f in list(os.listdir(log)):
+        if f.endswith(".json") and not f.startswith("_"):
+            os.remove(os.path.join(log, f))
+    from_cp = sorted(r.id for r in dl.read_delta(spark, path).collect())
+    assert from_cp == [1, 2, 3, 4, 5, 6, 8, 9]
     # cardinality mismatch refuses loudly
     bad = dict(descriptor, cardinality=5)
     _attach_dv(path, rel, bad)
@@ -1231,3 +1237,35 @@ def test_delta_tail_dv_commit_refuses(spark, tmp_path):
     df, cur = dl.delta_tail(spark, wh.path("t"), v0, ignore_changes=True)
     got = {r.id for r in df.collect()}
     assert got and 3 not in got and got <= set(range(10))
+
+
+def test_vacuum_collects_superseded_dv_files(spark, tmp_path):
+    """A second delete supersedes the first DV file; once the log no
+    longer references it and retention passes, vacuum collects the
+    orphaned .bin — while the LIVE vector always survives."""
+    import os as _os
+
+    from global_seismic_data_pipeline_spark.sources.deltawh import (
+        DeltaLogWarehouse,
+    )
+
+    wh = DeltaLogWarehouse(spark, str(tmp_path / "wh"))
+    wh.overwrite(spark.range(0, 20).selectExpr("id").coalesce(1), "t")
+    wh.delete_with_dv("t", "id = 1")
+    wh.delete_with_dv("t", "id = 2")   # new .bin supersedes the first
+    path = wh.path("t")
+    bins = lambda: sorted(
+        f for f in _os.listdir(path)
+        if f.startswith("deletion_vector_") and f.endswith(".bin")
+    )
+    assert len(bins()) == 2
+    # within retention: the old commit still time-travels -> keep both
+    assert wh.vacuum("t", retain_hours=1.0) == []
+    assert len(bins()) == 2
+    # retention expired + log cleaned (the checkpoint carries the live
+    # vector): only the superseded .bin is collected
+    wh.vacuum_snapshots("t", keep_last=1)
+    wh.vacuum("t", retain_hours=0.0)
+    assert len(bins()) == 1
+    live = {r.id for r in wh.read("t").collect()}
+    assert live == set(range(20)) - {1, 2}
