@@ -34,11 +34,16 @@ Log layout implemented (all per the public spec):
   a torn or overwritten commit. This is exactly Delta's OCC contract; on
   S3-class stores the same protocol uses a conditional PUT.
 
-Reader protocol gate (refuse-loudly, never silently wrong): tables
-requiring ``minReaderVersion`` 2 are readable only when column mapping is
-absent/none; version-3 tables only when every listed ``readerFeature`` is
-in the supported set (deletion vectors, column mapping by id/name, and
-type widening are NOT — those change data interpretation).
+Reader protocol gate (refuse-loudly, never silently wrong): supported
+reader features are exactly ``_SUPPORTED_READER_FEATURES`` — deletion
+vectors (read, write, checkpoint, vacuum), column mapping in 'name' mode,
+and timestampNtz. What refuses: column mapping in 'id' mode (needs
+parquet field-id resolution), type widening, and any reader feature not
+in the set. A matching WRITER gate (``_check_writer_protocol``) refuses
+appends to foreign tables whose protocol demands enforcement this writer
+does not implement (appendOnly on rewrites, CHECK constraints,
+invariants, generated/identity columns, CDF on rewrites, unknown v7
+writer features).
 
 Scale notes (100 TB): log replay and checkpoint reads are control-plane
 metadata (#files rows, not data rows) and stay driver-side, like Delta's
@@ -140,6 +145,97 @@ def _check_protocol(protocol: Mapping, metadata: Mapping) -> None:
         )
 
 
+# writer features whose write-path contracts this writer understands; a
+# v7 table listing anything else refuses (the feature may demand behavior
+# — row tracking, in-commit timestamps, v2 checkpoints — appending
+# without which corrupts the table for its real clients).
+_KNOWN_WRITER_FEATURES = {
+    "appendOnly", "invariants", "checkConstraints", "changeDataFeed",
+    "generatedColumns", "identityColumns", "columnMapping",
+    "deletionVectors", "timestampNtz",
+}
+
+
+def _check_writer_protocol(
+    protocol: Mapping, metadata: Mapping, *, has_removes: bool
+) -> None:
+    """Refuse-loudly writer gate (mirror of the reader gate): appending to
+    a foreign table whose protocol demands enforcement this writer does
+    not implement — appendOnly, CHECK constraints, invariants, generated/
+    identity columns, CDF on rewrites — would silently violate the
+    table's writer contract for every other client."""
+    conf = (metadata or {}).get("configuration") or {}
+    if isinstance(conf, list):
+        conf = dict(conf)
+    writer = int(protocol.get("minWriterVersion", 2))
+    if writer >= 7:
+        unknown = set(protocol.get("writerFeatures") or []) - _KNOWN_WRITER_FEATURES
+        if unknown:
+            raise DeltaProtocolError(
+                f"table requires writer features {sorted(unknown)} "
+                f"(minWriterVersion={writer}) this writer does not "
+                f"implement; known here: {sorted(_KNOWN_WRITER_FEATURES)}"
+            )
+    # the concrete demands live in the table configuration and schema
+    # metadata — a declared constraint must be enforced no matter which
+    # protocol numbers carry it, so these checks are unconditional
+    if conf.get("delta.appendOnly") == "true" and has_removes:
+        raise DeltaProtocolError(
+            "table is delta.appendOnly=true: overwrite/rewrite commits "
+            "(remove actions) are forbidden by its writer contract"
+        )
+    cks = sorted(k for k in conf if k.startswith("delta.constraints."))
+    if cks:
+        raise DeltaProtocolError(
+            f"table declares CHECK constraints {cks} this writer does "
+            "not evaluate — writing unchecked rows would silently "
+            "violate them"
+        )
+    if conf.get("delta.enableChangeDataFeed") == "true" and has_removes:
+        raise DeltaProtocolError(
+            "table has delta.enableChangeDataFeed=true: rewrite commits "
+            "must publish _change_data files this writer does not produce "
+            "(pure appends are fine — CDF readers derive them from adds)"
+        )
+    field_metas = [
+        f.get("metadata") or {}
+        for f in json.loads(metadata["schemaString"]).get("fields", [])
+    ]
+    if any("delta.invariants" in m for m in field_metas):
+        raise DeltaProtocolError(
+            "table schema declares column invariants this writer does not "
+            "evaluate"
+        )
+    if any("delta.generationExpression" in m for m in field_metas):
+        raise DeltaProtocolError(
+            "table has generated columns whose expressions this writer "
+            "does not enforce"
+        )
+    if any(k.startswith("delta.identity.") for m in field_metas for k in m):
+        raise DeltaProtocolError(
+            "table has identity columns whose high-water marks this "
+            "writer does not maintain"
+        )
+
+
+_LEGACY_WRITER_FEATURES: tuple[tuple[int, tuple[str, ...]], ...] = (
+    (2, ("appendOnly", "invariants")),
+    (3, ("checkConstraints",)),
+    (4, ("changeDataFeed", "generatedColumns")),
+    (5, ("columnMapping",)),
+    (6, ("identityColumns",)),
+)
+
+
+def _implied_writer_features(protocol: Mapping) -> set[str]:
+    """The writer features a protocol demands: the explicit v7 list, or
+    the set implied by a legacy minWriterVersion."""
+    w = int(protocol.get("minWriterVersion", 2))
+    if w >= 7:
+        return set(protocol.get("writerFeatures") or [])
+    return {f for v, fs in _LEGACY_WRITER_FEATURES if w >= v for f in fs}
+
+
 def _read_checkpoint_state(table_path: str, parts: list[str]) -> dict:
     """protocol/metaData/files from a (possibly multi-part) checkpoint.
     Checkpoints are metadata (#files rows); pyarrow reads them driver-side
@@ -182,6 +278,34 @@ def _plain_add(add: Mapping) -> dict:
     if add.get("deletionVector"):
         out["deletionVector"] = dict(add["deletionVector"])
     return out
+
+
+def _dv_uid(descriptor: Mapping | None) -> str | None:
+    """Deletion-vector uniqueId (spec: Action Reconciliation keys file
+    actions by (path, dv uniqueId)): storageType + pathOrInlineDv, plus
+    '@offset' when an offset is present. None for no vector."""
+    if not descriptor:
+        return None
+    uid = f"{descriptor.get('storageType', '')}{descriptor.get('pathOrInlineDv', '')}"
+    off = descriptor.get("offset")
+    return uid if off is None else f"{uid}@{off}"
+
+
+def _apply_remove(files: dict, remove: Mapping) -> None:
+    """Apply a remove action per the spec's reconciliation: a remove
+    carrying a deletionVector tombstones ONLY the file version with that
+    vector — an external DV-update commit may order the add (new DV)
+    before the remove (old DV) for the same path, and popping by path
+    alone would silently drop every live row of that file. A remove with
+    no descriptor is a path-level tombstone (what pre-DV writers emit)."""
+    cur = files.get(remove["path"])
+    if cur is None:
+        return
+    if "deletionVector" in remove and _dv_uid(
+        remove.get("deletionVector")
+    ) != _dv_uid(cur.get("deletionVector")):
+        return  # tombstone for a superseded file version, not the live one
+    files.pop(remove["path"], None)
 
 
 def _plain_metadata(md: Mapping) -> dict:
@@ -245,7 +369,7 @@ def snapshot_state(table_path: str, version: int | None = None) -> dict:
                     a = _plain_add(action["add"])
                     state["files"][a["path"]] = a
                 elif "remove" in action:
-                    state["files"].pop(action["remove"]["path"], None)
+                    _apply_remove(state["files"], action["remove"])
                 elif "txn" in action:
                     t = action["txn"]
                     state["txns"][t["appId"]] = max(
@@ -478,7 +602,7 @@ def delta_history(table_path: str, *, with_stats: bool = False) -> list[dict]:
                     a = _plain_add(action["add"])
                     files[a["path"]] = a
                 elif with_stats and "remove" in action:
-                    files.pop(action["remove"]["path"], None)
+                    _apply_remove(files, action["remove"])
         row = {
             "version": v,
             "timestamp": info.get("timestamp", int(os.path.getmtime(path) * 1000)),
@@ -803,6 +927,10 @@ def commit_write(
                         pass
                 return -1
             prev_meta = prev["metadata"]
+            _check_writer_protocol(
+                prev["protocol"], prev_meta,
+                has_removes=(mode == "overwrite" or extra_removes is not None),
+            )
             if _mapping_mode(prev_meta) != "none":
                 raise DeltaProtocolError(
                     f"{table_path!r} uses column mapping: writing is not "
@@ -838,12 +966,14 @@ def commit_write(
                 remove_paths = list(extra_removes(prev))
             if remove_paths:
                 ts = int(time.time() * 1000)
-                actions += [
-                    {"remove": {
-                        "path": p, "deletionTimestamp": ts, "dataChange": True,
-                    }}
-                    for p in remove_paths
-                ]
+                for p in remove_paths:
+                    r = {"path": p, "deletionTimestamp": ts, "dataChange": True}
+                    # spec: removes key by (path, dv uniqueId) — carry the
+                    # live add's descriptor so the tombstone hits it
+                    dv = (prev["files"].get(p) or {}).get("deletionVector")
+                    if dv:
+                        r["deletionVector"] = dv
+                    actions.append({"remove": r})
         else:
             actions.append(
                 {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
@@ -891,6 +1021,7 @@ def commit_dv_update(
     *,
     operation: str = "DELETE",
     max_retries: int = 20,
+    base_dvs: Mapping[str, Mapping | None] | None = None,
 ) -> int:
     """Publish a metadata-only commit replacing the add entries of
     ``new_adds`` (encoded rel path → full add dict, normally the old add
@@ -898,14 +1029,32 @@ def commit_dv_update(
     one commit, plus a protocol upgrade to the deletionVectors reader
     feature when the table does not carry it yet. Same put-if-absent
     OCC as commit_write; a concurrent commit that touched any target
-    file aborts (its content may have changed under the computed DV)."""
+    file aborts (its content may have changed under the computed DV).
+
+    ``base_dvs`` (rel path → deletionVector descriptor or None) is the
+    per-file vector the caller computed its new vectors AGAINST. Without
+    it, two racing DV deletes on the same file would both see the path
+    still active and the loser would overwrite the winner's vector —
+    silently resurrecting its deleted rows. With it, a current descriptor
+    that differs from the base aborts for recompute."""
     for _attempt in range(max_retries):
         state = snapshot_state(table_path)
+        _check_writer_protocol(
+            state["protocol"], state["metadata"], has_removes=True
+        )
         for rel in new_adds:
             if rel not in state["files"]:
                 raise DeltaConcurrentWriteError(
                     f"{rel!r} is no longer active — a concurrent commit "
                     "replaced it; recompute the deletion vectors"
+                )
+            if base_dvs is not None and _dv_uid(
+                state["files"][rel].get("deletionVector")
+            ) != _dv_uid(base_dvs.get(rel)):
+                raise DeltaConcurrentWriteError(
+                    f"{rel!r}'s deletion vector changed under this update "
+                    "— a concurrent DV commit won; recompute against the "
+                    "new base"
                 )
         version = state["version"] + 1
         actions: list[dict] = [{
@@ -919,20 +1068,30 @@ def commit_dv_update(
         proto = state["protocol"]
         feats = set(proto.get("readerFeatures") or [])
         if int(proto.get("minReaderVersion", 1)) < 3 or "deletionVectors" not in feats:
+            # upgrading a legacy protocol to table features must enumerate
+            # the features the old version numbers implied, or they are
+            # erased from the contract (spec: protocol upgrade rules)
             actions.append({"protocol": {
                 "minReaderVersion": 3,
                 "minWriterVersion": 7,
-                "readerFeatures": sorted(feats | {"deletionVectors"}),
-                "writerFeatures": sorted(
-                    set(proto.get("writerFeatures") or [])
+                "readerFeatures": sorted(
+                    feats
+                    | ({"columnMapping"}
+                       if int(proto.get("minReaderVersion", 1)) >= 2
+                       else set())
                     | {"deletionVectors"}
+                ),
+                "writerFeatures": sorted(
+                    _implied_writer_features(proto) | {"deletionVectors"}
                 ),
             }})
         ts = int(time.time() * 1000)
         for rel, add in new_adds.items():
-            actions.append({"remove": {
-                "path": rel, "deletionTimestamp": ts, "dataChange": True,
-            }})
+            r = {"path": rel, "deletionTimestamp": ts, "dataChange": True}
+            old_dv = state["files"][rel].get("deletionVector")
+            if old_dv:
+                r["deletionVector"] = old_dv  # tombstone the superseded version
+            actions.append({"remove": r})
             actions.append({"add": {**add, "dataChange": True}})
         log = _log_dir(table_path)
         final = os.path.join(log, f"{version:020d}.json")
@@ -1045,6 +1204,11 @@ def write_checkpoint(table_path: str, version: int | None = None) -> str:
         ("protocol", pa.struct([
             ("minReaderVersion", pa.int32()),
             ("minWriterVersion", pa.int32()),
+            # a v3/v7 protocol without its feature lists is spec-invalid;
+            # once log cleanup removes the commit JSONs the checkpoint is
+            # the only carrier of the table's feature requirements
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
         ])),
         ("metaData", pa.struct([
             ("id", pa.string()),

@@ -225,7 +225,14 @@ class DeltaLogWarehouse(Warehouse):
             # files must read under the schema they were written against
             actions.append({"metaData": old["metadata"]})
         actions += [
-            {"remove": {"path": p, "deletionTimestamp": ts, "dataChange": True}}
+            {"remove": {
+                "path": p, "deletionTimestamp": ts, "dataChange": True,
+                **(
+                    {"deletionVector": dv}
+                    if (dv := cur["files"][p].get("deletionVector"))
+                    else {}
+                ),
+            }}
             for p in cur["files"] if p not in old["files"]
         ]
         # re-add files that are new in V — AND files whose entry differs
@@ -322,8 +329,10 @@ class DeltaLogWarehouse(Warehouse):
         # those are logical no-ops: count only NEW deletions, and skip
         # files whose matches were all already covered
         n = 0
+        base_dvs: dict[str, dict | None] = {}
         for rel in list(by_file):
             old = state["files"][rel].get("deletionVector")
+            base_dvs[rel] = old
             old_set = dvb.resolve_dv(path, old) if old else set()
             fresh = by_file[rel] - old_set
             n += len(fresh)
@@ -348,7 +357,10 @@ class DeltaLogWarehouse(Warehouse):
             }
             for rel in by_file
         }
-        dl.commit_dv_update(path, new_adds, operation="DELETE")
+        dl.commit_dv_update(
+            path, new_adds, operation="DELETE",
+            base_dvs={rel: base_dvs[rel] for rel in new_adds},
+        )
         return {"files_affected": len(by_file), "rows_deleted": n}
 
     def optimize_small_files(

@@ -197,15 +197,28 @@ def _mask_literals(text: str) -> str:
     ``'x where y'`` can never be mistaken for a WHERE clause; because
     the mask preserves length, every match span maps 1:1 back onto the
     original text. SQL's ``''`` escape degenerates to close-then-reopen,
-    which masks identically."""
-    out, in_str = [], False
+    which masks identically; Spark SQL's backslash escape (``\\'``) must
+    NOT flip the in-string state — without tracking it, everything after
+    the escaped quote is masked inverted and keywords hidden inside later
+    literals leak into the grammar match."""
+    out, in_str, esc = [], False, False
     for ch in text:
-        if in_str and ch != "'":
-            out.append("\x00")
+        if in_str:
+            if esc:
+                out.append("\x00")
+                esc = False
+            elif ch == "\\":
+                out.append("\x00")
+                esc = True
+            elif ch == "'":
+                out.append(ch)
+                in_str = False
+            else:
+                out.append("\x00")
             continue
         out.append(ch)
         if ch == "'":
-            in_str = not in_str
+            in_str = True
     return "".join(out)
 
 
@@ -224,12 +237,17 @@ def _mask_match(regex: re.Pattern, text: str) -> dict[str, str | None] | None:
 
 
 def _split_top_level(text: str, sep: str = ",") -> list[str]:
-    """Split on ``sep`` outside parentheses and single-quoted strings."""
-    parts, depth, in_str, cur = [], 0, False, []
+    """Split on ``sep`` outside parentheses and single-quoted strings
+    (backslash-escape-aware, same string lexing as ``_mask_literals``)."""
+    parts, depth, in_str, esc, cur = [], 0, False, False, []
     for ch in text:
         if in_str:
             cur.append(ch)
-            if ch == "'":
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            elif ch == "'":
                 in_str = False
             continue
         if ch == "'":

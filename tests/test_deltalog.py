@@ -1269,3 +1269,235 @@ def test_vacuum_collects_superseded_dv_files(spark, tmp_path):
     assert len(bins()) == 1
     live = {r.id for r in wh.read("t").collect()}
     assert live == set(range(20)) - {1, 2}
+
+
+# ---------------------------------------------------------------------------
+# round-6 hardening: protocol features survive checkpoints, DV OCC, DV-keyed
+# action reconciliation, writer-protocol gate
+# ---------------------------------------------------------------------------
+
+def test_checkpoint_roundtrips_protocol_features(spark, tmp_path):
+    """A checkpoint of a v3/v7 table must carry readerFeatures /
+    writerFeatures: after log cleanup the checkpoint is the ONLY carrier
+    of the protocol contract — a checkpoint schema that silently drops
+    the lists erases the table's feature requirements for every client."""
+    from global_seismic_data_pipeline_spark.sources.deltawh import (
+        DeltaLogWarehouse,
+    )
+
+    wh = DeltaLogWarehouse(spark, str(tmp_path / "wh"))
+    wh.overwrite(spark.range(0, 10).selectExpr("id").coalesce(1), "t")
+    wh.delete_with_dv("t", "id = 3")  # upgrades the protocol to 3/7
+    path = wh.path("t")
+    dl.write_checkpoint(path)
+    log = os.path.join(path, "_delta_log")
+    for f in list(os.listdir(log)):
+        if f.endswith(".json") and not f.startswith("_"):
+            os.remove(os.path.join(log, f))
+    proto = dl.snapshot_state(path)["protocol"]
+    assert int(proto["minReaderVersion"]) == 3
+    assert int(proto["minWriterVersion"]) == 7
+    assert "deletionVectors" in (proto.get("readerFeatures") or [])
+    assert "deletionVectors" in (proto.get("writerFeatures") or [])
+    # the legacy v2-implied writer features survive the upgrade too
+    assert {"appendOnly", "invariants"} <= set(proto["writerFeatures"])
+    got = {r.id for r in dl.read_delta(spark, path).collect()}
+    assert got == set(range(10)) - {3}
+
+
+def test_dv_update_occ_stale_base_aborts(spark, tmp_path):
+    """Two racing DV deletes computed against the same base: the loser
+    must ABORT (its vector was computed against stale content) instead of
+    overwriting the winner's vector and resurrecting its deleted rows."""
+    import uuid as _uuid
+
+    from global_seismic_data_pipeline_spark.sources import dvbitmap as dvb
+    from global_seismic_data_pipeline_spark.sources.deltawh import (
+        DeltaLogWarehouse,
+    )
+
+    wh = DeltaLogWarehouse(spark, str(tmp_path / "wh"))
+    wh.overwrite(spark.range(0, 10).selectExpr("id").coalesce(1), "t")
+    path = wh.path("t")
+    base = dl.snapshot_state(path)
+    rel = next(iter(base["files"]))
+    wh.delete_with_dv("t", "id = 1")  # the winner
+    # the loser computed positions against the pre-winner base (no DV)
+    u = _uuid.uuid4()
+    desc = dvb.write_dv_file(
+        os.path.join(path, f"deletion_vector_{u}.bin"), {2}
+    )
+    stale_add = {
+        **base["files"][rel],
+        "deletionVector": {
+            "storageType": "u",
+            "pathOrInlineDv": dvb.z85_encode(u.bytes),
+            **desc,
+        },
+    }
+    with pytest.raises(dl.DeltaConcurrentWriteError, match="changed under"):
+        dl.commit_dv_update(path, {rel: stale_add}, base_dvs={rel: None})
+    # the winner's delete is intact
+    assert {r.id for r in wh.read("t").collect()} == set(range(10)) - {1}
+
+
+def test_foreign_dv_commit_add_before_remove(spark, tmp_path):
+    """Spec Action Reconciliation keys file actions by (path, dv
+    uniqueId): an external DV-update commit ordering the add (new DV)
+    BEFORE the remove (old DV) must keep the file live under the new
+    vector — path-only keying popped the file, losing every row."""
+    import json as _json
+    import uuid as _uuid
+
+    from global_seismic_data_pipeline_spark.sources import dvbitmap as dvb
+
+    path = str(tmp_path / "t")
+    dl.write_delta(
+        spark.range(0, 10).selectExpr("id").coalesce(1).sortWithinPartitions("id"),
+        path,
+    )
+    state = dl.snapshot_state(path)
+    rel = next(iter(state["files"]))
+
+    def _desc(positions):
+        u = _uuid.uuid4()
+        d = dvb.write_dv_file(
+            os.path.join(path, f"deletion_vector_{u}.bin"), positions
+        )
+        return {
+            "storageType": "u",
+            "pathOrInlineDv": dvb.z85_encode(u.bytes),
+            **d,
+        }
+
+    old_dv = _desc({0})
+    v1 = _attach_dv(path, rel, old_dv)
+    assert {r.id for r in dl.read_delta(spark, path).collect()} == set(range(1, 10))
+
+    new_dv = _desc({0, 1})
+    log = os.path.join(path, "_delta_log")
+    with open(os.path.join(log, f"{v1 + 1:020d}.json"), "w") as fh:
+        fh.write(_json.dumps({"commitInfo": {
+            "timestamp": 1700000001000, "operation": "DELETE"}}) + "\n")
+        # add FIRST (spec: in-commit order is irrelevant under uid keying)
+        fh.write(_json.dumps({"add": {
+            **state["files"][rel], "deletionVector": new_dv,
+            "dataChange": True,
+        }}) + "\n")
+        fh.write(_json.dumps({"remove": {
+            "path": rel, "deletionTimestamp": 1700000001000,
+            "dataChange": True, "deletionVector": old_dv,
+        }}) + "\n")
+    st = dl.snapshot_state(path)
+    assert rel in st["files"], "file silently dropped by path-keyed replay"
+    assert st["files"][rel]["deletionVector"]["pathOrInlineDv"] == (
+        new_dv["pathOrInlineDv"]
+    )
+    got = {r.id for r in dl.read_delta(spark, path).collect()}
+    assert got == set(range(2, 10))
+    # a remove WITHOUT a descriptor stays a path-level tombstone (what
+    # pre-DV writers emit for genuine deletes): the file really goes
+    with open(os.path.join(log, f"{v1 + 2:020d}.json"), "w") as fh:
+        fh.write(_json.dumps({"commitInfo": {
+            "timestamp": 1700000002000, "operation": "DELETE"}}) + "\n")
+        fh.write(_json.dumps({"remove": {
+            "path": rel, "deletionTimestamp": 1700000002000,
+            "dataChange": True,
+        }}) + "\n")
+    assert dl.snapshot_state(path)["files"] == {}
+
+
+def _set_table_conf(path, conf=None, schema_field_meta=None, protocol=None):
+    """Hand-append a foreign commit that rewrites metaData configuration /
+    schema field metadata (and optionally the protocol)."""
+    import json as _json
+
+    state = dl.snapshot_state(path)
+    md = dict(state["metadata"])
+    if conf is not None:
+        md["configuration"] = conf
+    if schema_field_meta is not None:
+        sch = _json.loads(md["schemaString"])
+        sch["fields"][0]["metadata"] = schema_field_meta
+        md["schemaString"] = _json.dumps(sch)
+    log = os.path.join(path, "_delta_log")
+    v = state["version"] + 1
+    with open(os.path.join(log, f"{v:020d}.json"), "w") as fh:
+        fh.write(_json.dumps({"commitInfo": {
+            "timestamp": 1700000000000, "operation": "SET TBLPROPERTIES",
+        }}) + "\n")
+        if protocol is not None:
+            fh.write(_json.dumps({"protocol": protocol}) + "\n")
+        fh.write(_json.dumps({"metaData": md}) + "\n")
+    return v
+
+
+def test_writer_gate_append_only(spark, tmp_path):
+    """delta.appendOnly=true: appends fine, rewrites refuse."""
+    path = str(tmp_path / "t")
+    df = spark.range(0, 5).selectExpr("id")
+    dl.write_delta(df, path)
+    _set_table_conf(path, conf={"delta.appendOnly": "true"})
+    dl.write_delta(df, path, mode="append")  # allowed
+    with pytest.raises(dl.DeltaProtocolError, match="appendOnly"):
+        dl.write_delta(df, path, mode="overwrite")
+    # DV deletes are rewrites too
+    from global_seismic_data_pipeline_spark.sources.deltawh import (
+        DeltaLogWarehouse,
+    )
+
+    wh = DeltaLogWarehouse(spark, str(tmp_path / "wh"))
+    wh.overwrite(df.coalesce(1), "t2")
+    _set_table_conf(wh.path("t2"), conf={"delta.appendOnly": "true"})
+    with pytest.raises(dl.DeltaProtocolError, match="appendOnly"):
+        wh.delete_with_dv("t2", "id = 1")
+
+
+def test_writer_gate_foreign_enforcement_demands(spark, tmp_path):
+    """Foreign tables demanding enforcement this writer lacks refuse
+    LOUDLY on any write: CHECK constraints, CDF rewrites, invariants,
+    generated columns, unknown v7 writer features."""
+    df = spark.range(0, 5).selectExpr("id")
+
+    p1 = str(tmp_path / "cons")
+    dl.write_delta(df, p1)
+    _set_table_conf(p1, conf={"delta.constraints.posid": "id >= 0"})
+    with pytest.raises(dl.DeltaProtocolError, match="CHECK constraints"):
+        dl.write_delta(df, p1, mode="append")
+
+    p2 = str(tmp_path / "cdf")
+    dl.write_delta(df, p2)
+    _set_table_conf(p2, conf={"delta.enableChangeDataFeed": "true"})
+    dl.write_delta(df, p2, mode="append")  # pure append is fine
+    with pytest.raises(dl.DeltaProtocolError, match="_change_data"):
+        dl.write_delta(df, p2, mode="overwrite")
+
+    p3 = str(tmp_path / "inv")
+    dl.write_delta(df, p3)
+    _set_table_conf(
+        p3,
+        schema_field_meta={
+            "delta.invariants": '{"expression":{"expression":"id > 0"}}'
+        },
+    )
+    with pytest.raises(dl.DeltaProtocolError, match="invariants"):
+        dl.write_delta(df, p3, mode="append")
+
+    p4 = str(tmp_path / "gen")
+    dl.write_delta(df, p4)
+    _set_table_conf(
+        p4, schema_field_meta={"delta.generationExpression": "id + 1"}
+    )
+    with pytest.raises(dl.DeltaProtocolError, match="generated columns"):
+        dl.write_delta(df, p4, mode="append")
+
+    p5 = str(tmp_path / "v7")
+    dl.write_delta(df, p5)
+    _set_table_conf(p5, protocol={
+        "minReaderVersion": 1, "minWriterVersion": 7,
+        "writerFeatures": ["rowTracking"],
+    })
+    with pytest.raises(dl.DeltaProtocolError, match="rowTracking"):
+        dl.write_delta(df, p5, mode="append")
+    # reads are untouched by WRITER demands
+    assert dl.read_delta(spark, p5).count() == 5

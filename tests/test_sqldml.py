@@ -308,6 +308,23 @@ def test_keywords_inside_string_literals_parse(spark, wh):
     engine.sql("UPDATE lit_t SET msg = 'it''s where o''clock' WHERE k = 3")
     assert {r.msg for r in wh.read("lit_t").collect()
             if r.k == 3} == {"it's where o'clock"}
+    # Spark SQL's backslash escape (\') must not flip the in-string
+    # state: without tracking it, the ' where k = 4' tail below would be
+    # read as masked text and the real WHERE clause vanish (update ALL
+    # rows) — and keywords inside later literals would leak out
+    out = engine.sql(
+        r"UPDATE lit_t SET msg = 'it\'s fine' WHERE k = 4"
+    ).collect()[0]
+    assert out.rows_updated == 1
+    got = {r.k: r.msg for r in wh.read("lit_t").collect()}
+    assert got[4] == "it's fine" and got[3] == "it's where o'clock"
+    # backslash-escaped quote inside a DELETE literal: the statement's
+    # real grammar must still match (one row gone, not zero, not all)
+    out = engine.sql(
+        r"DELETE FROM lit_t WHERE msg = 'it\'s fine'"
+    ).collect()[0]
+    assert out.rows_deleted == 1
+    assert 4 not in {r.k for r in wh.read("lit_t").collect()}
 
 
 def test_merge_accepts_null_keyed_source_rows(spark, wh):
