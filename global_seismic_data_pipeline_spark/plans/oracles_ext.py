@@ -3469,3 +3469,23 @@ SELECT user_id,
          ELSE last_cents / 100.0 END AS twap
 FROM agg
 """
+
+
+ORACLES_EXT["iceberg_v2_deletes_roundtrip"] = """
+-- iceberg_v2_deletes_roundtrip: latest = (%4 IN (0,1)) minus the
+-- positional-delete set (%10 = 0); pre-delete snapshot = (%4 IN (0,1));
+-- the identity-transform pruned read of partition 'F' must equal the
+-- plain filter on the delete-merged state
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+         WHERE o_orderkey % 4 IN (0, 1)) AS pre_delete_rows,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+         WHERE o_orderkey % 4 IN (0, 1)
+           AND o_orderkey % 10 <> 0
+           AND o_orderstatus = 'F') AS pruned_f_rows
+FROM orders
+WHERE o_orderkey % 4 IN (0, 1) AND o_orderkey % 10 <> 0
+GROUP BY o_orderstatus
+"""

@@ -3079,3 +3079,55 @@ def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("last_cents") / 100.0)
         .alias("twap"),
     )
+
+
+def iceberg_v2_deletes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 row-level deletes end-to-end (sources/iceberg.py
+    ``delete_where`` + the delete-merging read — the interop path a real
+    Iceberg warehouse whose silver layer MERGEs, ref
+    04_silver_transformation.py:196-202, exercises daily): an orders
+    slice becomes a PARTITIONED format-version-2 table (identity
+    transform on status, v2 sequence numbers), a second slice appends,
+    then a positional-delete snapshot tombstones every key divisible by
+    10 — data files never rewritten, the read anti-joins the delete file
+    on (_metadata.file_path, row_index). The LATEST delete-merged state
+    aggregates per status; the pre-delete snapshot's row count rides
+    along via time travel; the identity-transform PRUNED read of one
+    partition contributes its row count (pruning ≡ filtering on an
+    identity-partitioned table, so a wrong transform or a delete missed
+    under pruning both hash-fail). Integer aggregates only."""
+    import os
+    import tempfile
+
+    from ..sources import iceberg as ib
+
+    sel = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    loc = os.path.join(tempfile.mkdtemp(prefix="icebergv2-"), "ord")
+    t = ib.create_table(
+        spark, loc, sel.filter(F.col("o_orderkey") % 4 == 0),
+        partition_by=["o_orderstatus"],
+    )
+    s1 = t.current_snapshot_id()
+    ib.append(spark, loc, sel.filter(F.col("o_orderkey") % 4 == 1))
+    t2 = ib.IcebergTable(spark, loc)
+    s2 = t2.current_snapshot_id()
+    ib.delete_where(spark, loc, "o_orderkey % 10 = 0")
+    t3 = ib.IcebergTable(spark, loc)
+    pre_delete_rows = t3.read(snapshot_id=s2).agg(
+        F.count(F.lit(1)).alias("pre_delete_rows")
+    )
+    pruned_f_rows = t3.read(eq_filters={"o_orderstatus": "F"}).agg(
+        F.count(F.lit(1)).alias("pruned_f_rows")
+    )
+    return (
+        t3.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+        )
+        .crossJoin(F.broadcast(pre_delete_rows))
+        .crossJoin(F.broadcast(pruned_f_rows))
+    )

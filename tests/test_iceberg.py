@@ -363,52 +363,227 @@ def test_iceberg_overwrite_and_tail_refusal(spark, tmp_path):
     assert cursor == t2.current_snapshot_id()
 
 
-def test_iceberg_v2_delete_manifest_refuses(spark, tmp_path):
-    loc = _partitioned_fixture(spark, tmp_path)
+_DELETES_ENTRY_SCHEMA = {
+    "type": "record", "name": "manifest_entry", "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        # null here pins the spec's sequence-number INHERITANCE from the
+        # manifest-list record
+        {"name": "sequence_number", "type": ["null", "long"]},
+        {"name": "data_file", "type": {
+            "type": "record", "name": "r2", "fields": [
+                {"name": "content", "type": "int"},
+                {"name": "file_path", "type": "string"},
+                {"name": "file_format", "type": "string"},
+                {"name": "record_count", "type": "long"},
+                {"name": "file_size_in_bytes", "type": "long"},
+                {"name": "equality_ids",
+                 "type": ["null", {"type": "array", "items": "int"}]},
+            ]}},
+    ],
+}
+
+_DELETES_MLIST_SCHEMA = {
+    "type": "record", "name": "manifest_file", "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "sequence_number", "type": "long"},
+        {"name": "min_sequence_number", "type": "long"},
+        {"name": "added_snapshot_id", "type": ["null", "long"]},
+    ],
+}
+
+
+def _v2_deletes_fixture(tmp_path):
+    """Hand-built v2 table exercising BOTH row-level delete kinds with
+    the spec's sequence-number scoping:
+
+    - snapshot 10 (seq 1): data file A (1,x)(2,y)(3,y)(4,x), file B
+      (5,x)(6,y)
+    - snapshot 11 (seq 2): positional delete on A pos {0,2} -> ids 1,3
+      (plus a tombstone for a file NOT in the table, which must be
+      ignored)
+    - snapshot 12 (seq 3): data file C (7,x)(8,y) AND an equality
+      delete cat='x' at seq 3 — strict inequality means it kills the
+      seq-1 'x' rows (ids 4,5) but NOT C's (7,x) added at the same seq
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    loc = str(tmp_path / "v2del")
     md = os.path.join(loc, "metadata")
-    # add a delete manifest (content=1) with one live entry
-    del_manifest = os.path.join(md, "del1.avro")
-    avrofile.write_file(del_manifest, {
-        "type": "record", "name": "manifest_entry", "fields": [
-            {"name": "status", "type": "int"},
-            {"name": "snapshot_id", "type": ["null", "long"]},
-            {"name": "data_file", "type": {
-                "type": "record", "name": "r2", "fields": [
-                    {"name": "content", "type": "int"},
-                    {"name": "file_path", "type": "string"},
-                    {"name": "file_format", "type": "string"},
-                    {"name": "record_count", "type": "long"},
-                ]}},
-        ]}, [{"status": 1, "snapshot_id": 11, "data_file": {
-            "content": 1, "file_path": "file:/dev/null",
-            "file_format": "parquet", "record_count": 1}}])
-    mlist2 = os.path.join(md, "snap-11.avro")
-    avrofile.write_file(mlist2, {
-        "type": "record", "name": "manifest_file", "fields": [
-            {"name": "manifest_path", "type": "string"},
-            {"name": "manifest_length", "type": "long"},
-            {"name": "partition_spec_id", "type": "int"},
-            {"name": "content", "type": "int"},
-        ]}, [{"manifest_path": f"file:{del_manifest}",
-              "manifest_length": os.path.getsize(del_manifest),
-              "partition_spec_id": 0, "content": 1}])
+    data = os.path.join(loc, "data")
+    os.makedirs(md)
+    os.makedirs(data)
+
+    def _data_file(name, ids, cats):
+        p = os.path.join(data, name)
+        pq.write_table(pa.table({
+            "id": pa.array(ids, pa.int64()), "cat": pa.array(cats)
+        }), p)
+        return p
+
+    fa = _data_file("a.parquet", [1, 2, 3, 4], ["x", "y", "y", "x"])
+    fb = _data_file("b.parquet", [5, 6], ["x", "y"])
+    fc = _data_file("c.parquet", [7, 8], ["x", "y"])
+
+    fpos = os.path.join(data, "pos-del.parquet")
+    pq.write_table(pa.table({
+        "file_path": pa.array(
+            [f"file:{fa}", f"file:{fa}", "file:/nope.parquet"]
+        ),
+        "pos": pa.array([0, 2, 0], pa.int64()),
+    }), fpos)
+    feq = os.path.join(data, "eq-del.parquet")
+    pq.write_table(pa.table({"cat": pa.array(["x"])}), feq)
+
+    def _entry(path, content, rc, eq_ids=None):
+        return {"status": 1, "snapshot_id": None, "sequence_number": None,
+                "data_file": {
+                    "content": content, "file_path": f"file:{path}",
+                    "file_format": "parquet", "record_count": rc,
+                    "file_size_in_bytes": os.path.getsize(path),
+                    "equality_ids": eq_ids}}
+
+    def _manifest(name, entries):
+        p = os.path.join(md, name)
+        avrofile.write_file(p, _DELETES_ENTRY_SCHEMA, entries)
+        return p
+
+    m_d1 = _manifest("m-d1.avro", [_entry(fa, 0, 4), _entry(fb, 0, 2)])
+    m_d2 = _manifest("m-d2.avro", [_entry(fc, 0, 2)])
+    m_pos = _manifest("m-pos.avro", [_entry(fpos, 1, 3)])
+    m_eq = _manifest("m-eq.avro", [_entry(feq, 2, 1, eq_ids=[2])])
+
+    def _mf(path, content, seq, snap):
+        return {"manifest_path": f"file:{path}",
+                "manifest_length": os.path.getsize(path),
+                "partition_spec_id": 0, "content": content,
+                "sequence_number": seq, "min_sequence_number": seq,
+                "added_snapshot_id": snap}
+
+    def _mlist(name, records):
+        p = os.path.join(md, name)
+        avrofile.write_file(p, _DELETES_MLIST_SCHEMA, records)
+        return p
+
+    ml10 = _mlist("snap-10.avro", [_mf(m_d1, 0, 1, 10)])
+    ml11 = _mlist("snap-11.avro", [
+        _mf(m_d1, 0, 1, 10), _mf(m_pos, 1, 2, 11)])
+    ml12 = _mlist("snap-12.avro", [
+        _mf(m_d1, 0, 1, 10), _mf(m_d2, 0, 3, 12),
+        _mf(m_pos, 1, 2, 11), _mf(m_eq, 1, 3, 12)])
+
+    meta = {
+        "format-version": 2, "table-uuid": "0001", "location": loc,
+        "last-updated-ms": 3000, "last-column-id": 2,
+        "last-sequence-number": 3, "current-schema-id": 0,
+        "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "cat", "required": False, "type": "string"},
+        ]}],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "properties": {}, "current-snapshot-id": 12,
+        "snapshots": [
+            {"snapshot-id": 10, "sequence-number": 1, "timestamp-ms": 1000,
+             "summary": {"operation": "append"},
+             "manifest-list": f"file:{ml10}"},
+            {"snapshot-id": 11, "sequence-number": 2, "timestamp-ms": 2000,
+             "summary": {"operation": "delete"},
+             "manifest-list": f"file:{ml11}"},
+            {"snapshot-id": 12, "sequence-number": 3, "timestamp-ms": 3000,
+             "summary": {"operation": "overwrite"},
+             "manifest-list": f"file:{ml12}"},
+        ],
+        "snapshot-log": [
+            {"timestamp-ms": 1000, "snapshot-id": 10},
+            {"timestamp-ms": 2000, "snapshot-id": 11},
+            {"timestamp-ms": 3000, "snapshot-id": 12},
+        ],
+    }
+    with open(os.path.join(md, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(md, "version-hint.text"), "w") as fh:
+        fh.write("1")
+    return loc
+
+
+def test_iceberg_v2_positional_deletes(spark, tmp_path):
+    loc = _v2_deletes_fixture(tmp_path)
+    t = iceberg.IcebergTable(spark, loc)
+    # snapshot 11: positional deletes only — ids 1,3 gone, nothing else
+    got = {r.id for r in t.read(snapshot_id=11).collect()}
+    assert got == {2, 4, 5, 6}
+    # metadata-only count path (no equality deletes at 11)
+    assert t.row_count(snapshot_id=11) == 4
+    # time travel BEFORE the delete sees everything
+    assert {r.id for r in t.read(snapshot_id=10).collect()} == set(range(1, 7))
+    assert t.row_count(snapshot_id=10) == 6
+
+
+def test_iceberg_v2_equality_deletes_seq_scoped(spark, tmp_path):
+    loc = _v2_deletes_fixture(tmp_path)
+    t = iceberg.IcebergTable(spark, loc)
+    # current: pos deletes (1,3) + eq delete cat='x' at seq 3 kills the
+    # seq-1 'x' rows (4,5) but NOT (7,'x') added at the same seq 3
+    got = {r.id for r in t.read().collect()}
+    assert got == {2, 6, 7, 8}
+    # row_count falls back to the delete-merged scan
+    assert t.row_count() == 4
+    # eq_filters is FILE pruning, not a row filter: with no partition
+    # spec or bounds nothing prunes, and delete merging still applies
+    assert {r.id for r in t.read(eq_filters={"cat": "y"}).collect()} == {
+        2, 6, 7, 8,
+    }
+
+
+def test_iceberg_v2_deletes_tail_semantics(spark, tmp_path):
+    loc = _v2_deletes_fixture(tmp_path)
+    t = iceberg.IcebergTable(spark, loc)
+    with pytest.raises(iceberg.IcebergError, match="not append"):
+        t.tail(10)
+    # ignore_changes consumes ADDED DATA files only (at-least-once):
+    # snapshot 12 added file C; delete files are never emitted as rows
+    rows, cursor = t.tail(10, ignore_changes=True)
+    assert {r.id for r in rows.collect()} == {7, 8}
+    assert cursor == 12
+
+
+def test_iceberg_delete_manifest_with_data_content_refuses(spark, tmp_path):
+    """A delete manifest whose entry claims DATA content is corrupt —
+    refuse loudly rather than misplan."""
+    loc = _v2_deletes_fixture(tmp_path)
+    md = os.path.join(loc, "metadata")
+    bad = os.path.join(md, "m-bad.avro")
+    avrofile.write_file(bad, _DELETES_ENTRY_SCHEMA, [{
+        "status": 1, "snapshot_id": None, "sequence_number": None,
+        "data_file": {"content": 0, "file_path": "file:/x.parquet",
+                      "file_format": "parquet", "record_count": 1,
+                      "file_size_in_bytes": 1, "equality_ids": None}}])
+    ml = os.path.join(md, "snap-13.avro")
+    avrofile.write_file(ml, _DELETES_MLIST_SCHEMA, [{
+        "manifest_path": f"file:{bad}",
+        "manifest_length": os.path.getsize(bad),
+        "partition_spec_id": 0, "content": 1,
+        "sequence_number": 4, "min_sequence_number": 4,
+        "added_snapshot_id": 13}])
     with open(os.path.join(md, "v1.metadata.json")) as fh:
         meta = json.load(fh)
     meta["snapshots"].append({
-        "snapshot-id": 11, "timestamp-ms": 2000,
+        "snapshot-id": 13, "sequence-number": 4, "timestamp-ms": 4000,
         "summary": {"operation": "delete"},
-        "manifest-list": f"file:{mlist2}"})
-    meta["current-snapshot-id"] = 11
+        "manifest-list": f"file:{ml}"})
+    meta["current-snapshot-id"] = 13
     with open(os.path.join(md, "v2.metadata.json"), "w") as fh:
         json.dump(meta, fh)
     with open(os.path.join(md, "version-hint.text"), "w") as fh:
         fh.write("2")
     t = iceberg.IcebergTable(spark, loc)
-    with pytest.raises(iceberg.IcebergError, match="delete files"):
+    with pytest.raises(iceberg.IcebergError, match="DATA content"):
         t.read()
-    # and the tail refuses the non-append snapshot
-    with pytest.raises(iceberg.IcebergError, match="not append"):
-        t.tail(10)
 
 
 def test_iceberg_nested_type_refuses(spark, tmp_path):
@@ -498,3 +673,223 @@ def test_iceberg_publish_occ_race(spark, tmp_path, monkeypatch):
     iceberg._publish(loc, meta)
     assert os.path.exists(os.path.join(md, "v3.metadata.json"))
     assert iceberg.IcebergTable(spark, loc).read().count() == 1
+
+
+# ------------------------------------------- partitioned v2 writer
+
+def test_iceberg_partitioned_v2_writer_roundtrip(spark, tmp_path):
+    """Partitioned v2 write -> read round trip: identity + day
+    transforms, v2 sequence numbers in the metadata, transform pruning
+    at read asserted file-by-file (the skipping_pruned_scan contract)."""
+    import datetime as dt
+
+    loc = str(tmp_path / "ptw")
+    df = spark.createDataFrame(
+        [
+            (1, "a", dt.date(2024, 1, 1)),
+            (2, "a", dt.date(2024, 1, 2)),
+            (3, "b", dt.date(2024, 1, 1)),
+            (4, None, dt.date(2024, 1, 2)),
+        ],
+        "id long, cat string, d date",
+    )
+    t = iceberg.create_table(
+        spark, loc, df, partition_by=["cat", "day(d)"]
+    )
+    assert t.metadata["format-version"] == 2
+    assert t.metadata["last-sequence-number"] == 1
+    snap = t.resolve_snapshot()
+    assert snap["sequence-number"] == 1
+    spec = t.partition_spec()
+    assert [(f["name"], f["transform"]) for f in spec] == [
+        ("cat", "identity"), ("d_day", "day"),
+    ]
+    got = sorted(
+        (r.id, r.cat, r.d) for r in t.read().collect()
+    )
+    assert got == sorted(
+        (r.id, r.cat, r.d) for r in df.collect()
+    )
+    # identity pruning: only cat='a' files scanned
+    files_a = t.data_files(eq_filters={"cat": "a"})
+    assert files_a and all(
+        f["partition"]["cat"] == "a" for f in files_a
+    )
+    assert {r.id for r in t.read(eq_filters={"cat": "a"}).collect()} == {1, 2}
+    # day-transform pruning
+    files_d = t.data_files(eq_filters={"d": dt.date(2024, 1, 1)})
+    day0 = (dt.date(2024, 1, 1) - dt.date(1970, 1, 1)).days
+    assert files_d and all(
+        f["partition"]["d_day"] == day0 for f in files_d
+    )
+    # the null partition value round-trips (and never matches a filter)
+    assert any(
+        f["partition"]["cat"] is None for f in t.data_files()
+    )
+    assert {r.id for r in t.read(eq_filters={"cat": "b"}).collect()} == {3}
+    # append reproduces the table's own spec + version
+    t2 = iceberg.append(spark, loc, spark.createDataFrame(
+        [(5, "b", dt.date(2024, 1, 3))], "id long, cat string, d date"
+    ))
+    assert t2.metadata["last-sequence-number"] == 2
+    assert {r.id for r in t2.read().collect()} == {1, 2, 3, 4, 5}
+    assert {r.id for r in t2.read(eq_filters={"cat": "b"}).collect()} == {3, 5}
+    # time travel still works through the partitioned layout
+    assert {
+        r.id for r in t2.read(snapshot_id=t.current_snapshot_id()).collect()
+    } == {1, 2, 3, 4}
+    # manifest-list partition summaries present (contains_null honest)
+    mlist = t2.resolve_snapshot()["manifest-list"]
+    _, records = avrofile.read_file(iceberg._strip_scheme(mlist))
+    newest = [r for r in records if r["added_snapshot_id"]
+              == t2.current_snapshot_id()]
+    assert newest and newest[0]["partitions"] is not None
+    assert newest[0]["partitions"][0]["contains_null"] is False
+
+
+def test_iceberg_writer_truncate_transform(spark, tmp_path):
+    loc = str(tmp_path / "ttw")
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "alto"), (3, "beta"), (4, -7)][:3],
+        "id long, s string",
+    )
+    t = iceberg.create_table(spark, loc, df, partition_by=["truncate[2](s)"])
+    assert {f["partition"]["s_trunc"] for f in t.data_files()} == {"al", "be"}
+    # truncate pruning is FILE-level: 'alpha' maps to the 'al' file,
+    # which also holds 'alto' — both its rows return, 'beta' prunes away
+    assert {r.id for r in t.read(eq_filters={"s": "alpha"}).collect()} == {1, 2}
+
+    # integer truncate handles negatives per spec (floor, not toward 0)
+    loc2 = str(tmp_path / "ttw2")
+    df2 = spark.createDataFrame(
+        [(1, -7), (2, 7), (3, 13)], "id long, v long"
+    )
+    t2 = iceberg.create_table(spark, loc2, df2, partition_by=["truncate[10](v)"])
+    assert {f["partition"]["v_trunc"] for f in t2.data_files()} == {-10, 0, 10}
+    assert {r.id for r in t2.read(eq_filters={"v": -7}).collect()} == {1}
+
+
+def test_iceberg_writer_bucket_refuses(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a")], "id long, cat string")
+    with pytest.raises(iceberg.IcebergError, match="bucket"):
+        iceberg.create_table(
+            spark, str(tmp_path / "b"), df, partition_by=["bucket[4](id)"]
+        )
+
+
+def test_iceberg_compact_and_expire(spark, tmp_path):
+    """Small-file compaction as a 'replace' snapshot: file count drops,
+    pre-compaction snapshots stay time-travelable, the tail refuses
+    across the replace; expire_snapshots then prunes the metadata and
+    collects ONLY files unreachable from retained snapshots."""
+    loc = str(tmp_path / "cmp")
+    df = spark.range(0, 100).selectExpr("id", "id % 3 AS g")
+    t = iceberg.create_table(spark, loc, df.repartition(6))
+    s1 = t.current_snapshot_id()
+    iceberg.append(spark, loc, df.selectExpr("id + 100 AS id", "g").repartition(4))
+    t2 = iceberg.IcebergTable(spark, loc)
+    s2 = t2.current_snapshot_id()
+    assert len(t2.data_files()) == 10
+
+    out = iceberg.compact_data_files(spark, loc, target_file_mb=128)
+    assert out["files_rewritten"] == 10
+    t3 = iceberg.IcebergTable(spark, loc)
+    assert len(t3.data_files()) < 10
+    assert {r.id for r in t3.read().collect()} == set(range(200))
+    # time travel to both pre-compaction snapshots
+    assert t3.read(snapshot_id=s1).count() == 100
+    assert t3.read(snapshot_id=s2).count() == 200
+    with pytest.raises(iceberg.IcebergError, match="not append"):
+        t3.tail(s2)
+
+    # expire everything but the current snapshot
+    stats = iceberg.expire_snapshots(spark, loc, keep_last=1)
+    assert stats["snapshots_expired"] == 2
+    assert stats["files_deleted"] >= 10  # old data files + manifests
+    t4 = iceberg.IcebergTable(spark, loc)
+    assert [s["snapshot-id"] for s in t4.snapshots()] == [
+        t4.current_snapshot_id()
+    ]
+    assert {r.id for r in t4.read().collect()} == set(range(200))
+    with pytest.raises(iceberg.IcebergError, match="unknown snapshot"):
+        t4.read(snapshot_id=s1)
+
+
+def test_iceberg_incremental_compaction_skips_big_files(spark, tmp_path):
+    """small_file_mb: files already at size are carried UNREWRITTEN into
+    the replace snapshot (their paths survive byte-identical)."""
+    loc = str(tmp_path / "inc")
+    big = spark.range(0, 50_000).selectExpr(
+        "id", "repeat('x', 64) AS pad"
+    ).coalesce(1)
+    t = iceberg.create_table(spark, loc, big)
+    big_paths = {f["file_path"] for f in t.data_files()}
+    iceberg.append(
+        spark, loc,
+        spark.range(50_000, 50_010).selectExpr(
+            "id", "repeat('x', 64) AS pad"
+        ).repartition(3),
+    )
+    t2 = iceberg.IcebergTable(spark, loc)
+    assert len(t2.data_files()) == 4
+    out = iceberg.compact_data_files(
+        spark, loc, small_file_mb=0.05, target_file_mb=128
+    )
+    assert out["files_rewritten"] == 3 and out["files_kept"] == 1
+    t3 = iceberg.IcebergTable(spark, loc)
+    paths3 = {f["file_path"] for f in t3.data_files()}
+    assert big_paths <= paths3          # the big file never moved
+    assert len(paths3) == 2             # big + one compacted
+    assert t3.read().count() == 50_010
+
+
+def test_iceberg_compaction_materializes_v2_deletes(spark, tmp_path):
+    """Compacting a table with live row-level deletes folds them into
+    the rewritten files: same logical rows, no delete files left."""
+    loc = _v2_deletes_fixture(tmp_path)
+    t = iceberg.IcebergTable(spark, loc)
+    assert t.delete_files()
+    out = iceberg.compact_data_files(spark, loc, target_file_mb=128)
+    assert out["files_rewritten"] == 3
+    t2 = iceberg.IcebergTable(spark, loc)
+    assert t2.delete_files() == []
+    assert {r.id for r in t2.read().collect()} == {2, 6, 7, 8}
+    # pre-compaction snapshot still resolves the deletes correctly
+    assert {r.id for r in t2.read(snapshot_id=11).collect()} == {2, 4, 5, 6}
+
+
+def test_iceberg_delete_where_positional(spark, tmp_path):
+    """delete_where publishes a v2 position-delete snapshot: data files
+    never move, reads merge the tombstones, time travel sees through,
+    repeated deletes compose, row_count stays metadata-only."""
+    loc = str(tmp_path / "dw")
+    df = spark.range(0, 100).selectExpr(
+        "id", "cast(id % 4 as string) AS g"
+    )
+    t = iceberg.create_table(spark, loc, df, partition_by=["g"])
+    s1 = t.current_snapshot_id()
+    paths0 = {f["file_path"] for f in t.data_files()}
+    out = iceberg.delete_where(spark, loc, "id IN (3, 57, 99)")
+    assert out["rows_deleted"] == 3
+    t2 = iceberg.IcebergTable(spark, loc)
+    assert {f["file_path"] for f in t2.data_files()} == paths0
+    assert {r.id for r in t2.read().collect()} == set(range(100)) - {3, 57, 99}
+    assert t2.read(snapshot_id=s1).count() == 100
+    # matching an already-deleted row is a no-op
+    assert iceberg.delete_where(spark, loc, "id = 3")["rows_deleted"] == 0
+    assert iceberg.delete_where(spark, loc, "id = 4")["rows_deleted"] == 1
+    t3 = iceberg.IcebergTable(spark, loc)
+    assert t3.row_count() == 96  # positional-only metadata math
+    assert {r.id for r in t3.read().collect()} == (
+        set(range(100)) - {3, 4, 57, 99}
+    )
+    # the tail refuses across the delete snapshot
+    with pytest.raises(iceberg.IcebergError, match="not append"):
+        t3.tail(s1)
+    # bulk refusal + v1 refusal
+    with pytest.raises(ValueError, match="max_rows"):
+        iceberg.delete_where(spark, loc, "id >= 0", max_rows=5)
+    loc1 = str(tmp_path / "v1t")
+    iceberg.create_table(spark, loc1, spark.range(3).selectExpr("id"))
+    with pytest.raises(iceberg.IcebergError, match="format-version 2"):
+        iceberg.delete_where(spark, loc1, "id = 1")
