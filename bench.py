@@ -93,6 +93,8 @@ EXTENDED = [
     "mixture_budget_docs",
     "twap_user_value",
     "exists_priority_customers",
+    # round-6 operators
+    "iceberg_v2_deletes_roundtrip",
 ]
 
 HEADLINE = [
@@ -284,6 +286,21 @@ def main() -> None:
                     "steal_factor": steal,
                     "value_steal_adjusted": round(total / steal, 3) if steal else None,
                 },
+                "sf": sf,
+            }
+        )
+    )
+    # tail-safe totals: the driver's capture has truncated the (long)
+    # line above from the FRONT before (BENCH_r05 arrived unparseable) —
+    # a second compact line means a tail capture always keeps the
+    # headline numbers
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "extended_total": round(sum(ext_times.values()), 3),
                 "sf": sf,
             }
         )

@@ -36,10 +36,15 @@ Log layout implemented (all per the public spec):
 
 Reader protocol gate (refuse-loudly, never silently wrong): supported
 reader features are exactly ``_SUPPORTED_READER_FEATURES`` — deletion
-vectors (read, write, checkpoint, vacuum), column mapping in 'name' mode,
-and timestampNtz. What refuses: column mapping in 'id' mode (needs
-parquet field-id resolution), type widening, and any reader feature not
-in the set. A matching WRITER gate (``_check_writer_protocol``) refuses
+vectors (read, write, checkpoint, vacuum), column mapping in BOTH 'name'
+mode (physicalName resolution) and 'id' mode (parquet field-id
+resolution via Spark's fieldId reader), and timestampNtz. Writes into
+mapped tables work too: batches stage under PHYSICAL column names (plus
+parquet field ids in 'id' mode) with partitionValues keyed physically,
+and the commit aborts if the mapping contract changed under the staged
+files. What refuses: type widening, any reader feature not in the set,
+and schema evolution on mapped tables (needs fresh column ids). A
+matching WRITER gate (``_check_writer_protocol``) refuses
 appends to foreign tables whose protocol demands enforcement this writer
 does not implement (appendOnly on rewrites, CHECK constraints,
 invariants, generated/identity columns, CDF on rewrites, unknown v7
@@ -123,15 +128,15 @@ def _check_protocol(protocol: Mapping, metadata: Mapping) -> None:
     reader = int(protocol.get("minReaderVersion", 1))
     conf = (metadata or {}).get("configuration") or {}
     mapping_mode = conf.get("delta.columnMapping.mode", "none")
-    if mapping_mode not in ("none", None, "name"):
-        # 'name' mode resolves through each field's physicalName metadata
-        # at scan time (_scan_adds); 'id' mode would need parquet footer
-        # field-id resolution this reader does not do — misreading ids as
-        # names silently scrambles columns, so refuse loudly.
+    if mapping_mode not in ("none", None, "name", "id"):
+        # 'name' resolves through each field's physicalName metadata at
+        # scan time (_scan_adds); 'id' through parquet field ids (the
+        # schema's delta.columnMapping.id carried as parquet.field.id
+        # metadata, resolved by Spark's field-id reader). Anything else
+        # is unknown — refuse loudly.
         raise DeltaProtocolError(
-            f"column mapping mode {mapping_mode!r} is not supported by this "
-            "reader (only 'none' and 'name'; 'id' needs parquet field-id "
-            "resolution)"
+            f"column mapping mode {mapping_mode!r} is not supported by "
+            "this reader (only 'none', 'name', and 'id')"
         )
     if reader <= 2:
         return
@@ -400,6 +405,7 @@ def delta_schema(state: Mapping) -> StructType:
 
 
 _PHYS_NAME_KEY = "delta.columnMapping.physicalName"
+_FIELD_ID_KEY = "delta.columnMapping.id"
 
 
 def _mapping_mode(metadata: Mapping | None) -> str:
@@ -409,38 +415,51 @@ def _mapping_mode(metadata: Mapping | None) -> str:
     return conf.get("delta.columnMapping.mode") or "none"
 
 
-def _physical_type_json(t):
+def _physical_type_json(t, by_id: bool):
     if isinstance(t, dict):
         if t.get("type") == "struct":
-            return {**t, "fields": [_physical_field_json(f) for f in t["fields"]]}
+            return {
+                **t,
+                "fields": [_physical_field_json(f, by_id) for f in t["fields"]],
+            }
         if t.get("type") == "array":
-            return {**t, "elementType": _physical_type_json(t["elementType"])}
+            return {**t, "elementType": _physical_type_json(t["elementType"], by_id)}
         if t.get("type") == "map":
             return {
                 **t,
-                "keyType": _physical_type_json(t["keyType"]),
-                "valueType": _physical_type_json(t["valueType"]),
+                "keyType": _physical_type_json(t["keyType"], by_id),
+                "valueType": _physical_type_json(t["valueType"], by_id),
             }
     return t
 
 
-def _physical_field_json(f: dict) -> dict:
+def _physical_field_json(f: dict, by_id: bool) -> dict:
     meta = f.get("metadata") or {}
-    return {
+    out = {
         **f,
         "name": meta.get(_PHYS_NAME_KEY, f["name"]),
-        "type": _physical_type_json(f["type"]),
+        "type": _physical_type_json(f["type"], by_id),
     }
+    if by_id and _FIELD_ID_KEY in meta:
+        # Spark's parquet reader resolves fields carrying this metadata
+        # key by the file's field ids instead of by name — exactly what
+        # the Delta spec demands for 'id' mapping (physical names in the
+        # files are then irrelevant)
+        out["metadata"] = {**meta, "parquet.field.id": meta[_FIELD_ID_KEY]}
+    return out
 
 
 def _physical_schema(state: Mapping) -> StructType:
-    """The schema as it appears IN THE DATA FILES under column mapping
-    ('name' mode): every field renamed to its ``physicalName`` metadata,
-    recursively through structs/arrays/maps (the spec stores physical
-    names per-field in the schemaString's field metadata)."""
+    """The schema as it appears IN THE DATA FILES under column mapping:
+    every field renamed to its ``physicalName`` metadata, recursively
+    through structs/arrays/maps ('name' mode); under 'id' mode each
+    field additionally carries ``parquet.field.id`` metadata (from the
+    spec's ``delta.columnMapping.id``) so the scan resolves by the
+    parquet footer's field ids."""
+    by_id = _mapping_mode(state["metadata"]) == "id"
     j = json.loads(state["metadata"]["schemaString"])
     return StructType.fromJson(
-        {**j, "fields": [_physical_field_json(f) for f in j["fields"]]}
+        {**j, "fields": [_physical_field_json(f, by_id) for f in j["fields"]]}
     )
 
 
@@ -473,6 +492,11 @@ def _scan_adds(
     out_cols = [f.name for f in schema.fields]
     pcols = list(metadata.get("partitionColumns") or [])
     mapped = _mapping_mode(metadata) != "none"
+    if _mapping_mode(metadata) == "id":
+        # resolve by parquet field ids; the conf only changes behavior
+        # for requested schemas that carry parquet.field.id metadata,
+        # which only the id-mode physical schema builds
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     phys_schema = _physical_schema(state) if mapped else schema
     phys_of = {
         lf.name: pf.name for lf, pf in zip(schema.fields, phys_schema.fields)
@@ -732,23 +756,116 @@ def write_delta(
         raise
 
 
+def _mapping_fingerprint(metadata: Mapping) -> tuple:
+    """Stable identity of a table's column-mapping contract: mode plus
+    per-field (logical, physical, id, type). A commit whose staged files
+    were renamed against a DIFFERENT fingerprint must abort — the
+    physical layout it wrote no longer matches the table."""
+    mode = _mapping_mode(metadata)
+    fields = json.loads(metadata["schemaString"])["fields"]
+    return (mode,) + tuple(
+        (
+            f["name"],
+            (f.get("metadata") or {}).get(_PHYS_NAME_KEY, f["name"]),
+            (f.get("metadata") or {}).get(_FIELD_ID_KEY),
+            json.dumps(f["type"], sort_keys=True),
+        )
+        for f in fields
+    )
+
+
+def _to_physical_df(df: DataFrame, metadata: Mapping) -> DataFrame:
+    """Rename a logical-schema batch to the table's PHYSICAL column
+    names for staging into a column-mapping table. 'id' mode also
+    attaches ``parquet.field.id`` metadata so Spark's parquet writer
+    stamps the field ids mapping-aware readers resolve by. Nested types
+    rename positionally via cast (types are pre-validated identical).
+    Batches whose top-level fields don't exactly match the table's
+    logical schema refuse (schema evolution on mapped tables would need
+    fresh column ids — not supported here)."""
+    from pyspark.sql import functions as F
+
+    mode = _mapping_mode(metadata)
+    table_fields = json.loads(metadata["schemaString"])["fields"]
+    by_name = {f["name"]: f for f in table_fields}
+    batch_names = [f.name for f in df.schema.fields]
+    if sorted(batch_names) != sorted(by_name):
+        raise ValueError(
+            f"batch columns {sorted(batch_names)} != mapped table's "
+            f"{sorted(by_name)}: schema evolution on a column-mapping "
+            "table needs fresh column ids, which this writer does not "
+            "assign"
+        )
+    if mode == "id":
+        # field ids only stamp into the files when the writer conf is on
+        # (harmless for schemas without id metadata, which is every
+        # other write in the session)
+        df.sparkSession.conf.set(
+            "spark.sql.parquet.fieldId.write.enabled", "true"
+        )
+    cols = []
+    for name in batch_names:
+        tf = by_name[name]
+        meta = tf.get("metadata") or {}
+        phys = meta.get(_PHYS_NAME_KEY, name)
+        phys_type = StructType.fromJson(
+            {"type": "struct", "fields": [_physical_field_json(tf, mode == "id")]}
+        ).fields[0].dataType
+        c = F.col(name).cast(phys_type)
+        alias_meta = (
+            {"parquet.field.id": meta[_FIELD_ID_KEY]}
+            if mode == "id" and _FIELD_ID_KEY in meta
+            else None
+        )
+        cols.append(
+            c.alias(phys, metadata=alias_meta) if alias_meta else c.alias(phys)
+        )
+    return df.select(*cols)
+
+
 def stage_write(
     df: DataFrame, table_path: str, partition_by: Sequence[str] = ()
 ) -> dict:
     """Phase 1: execute the plan into a private staging dir next to the
     table. Returns the handle ``commit_write`` consumes. Split out so a
     caller can veto publication after the data is materialized (the
-    warehouse's Observation-based CHECK constraints do exactly that)."""
+    warehouse's Observation-based CHECK constraints do exactly that).
+
+    Column-mapping tables stage with PHYSICAL column names (and parquet
+    field ids under 'id' mode); the handle records the mapping
+    fingerprint so ``commit_write`` aborts if a concurrent commit
+    changed the mapping under the staged files."""
     os.makedirs(table_path, exist_ok=True)
+    logical_schema = df.schema
+    phys_pcols = list(partition_by)
+    mapping_fp = None
+    if is_delta_table(table_path):
+        meta = snapshot_state(table_path)["metadata"]
+        if _mapping_mode(meta) != "none":
+            mapping_fp = _mapping_fingerprint(meta)
+            df = _to_physical_df(df, meta)
+            fields = json.loads(meta["schemaString"])["fields"]
+            phys_of = {
+                f["name"]: (f.get("metadata") or {}).get(
+                    _PHYS_NAME_KEY, f["name"]
+                )
+                for f in fields
+            }
+            phys_pcols = [phys_of[c] for c in partition_by]
     staging = os.path.join(
         os.path.dirname(table_path.rstrip("/")) or ".",
         f".delta-staging-{os.path.basename(table_path.rstrip('/'))}-{uuid.uuid4().hex}",
     )
     w = df.write.mode("overwrite")
-    if partition_by:
-        w = w.partitionBy(*list(partition_by))
+    if phys_pcols:
+        w = w.partitionBy(*phys_pcols)
     w.parquet(staging)
-    return {"staging": staging, "schema": df.schema}
+    return {
+        "staging": staging,
+        "schema": logical_schema,
+        "phys_pcols": phys_pcols,
+        "mapping_fp": mapping_fp,
+    }
 
 
 def _staged_files(staging: str) -> list[tuple[str, str]]:
@@ -876,7 +993,19 @@ def commit_write(
         raise ValueError(f"{table_path!r} already exists (mode='error')")
     pcols = list(partition_by)
     schema: StructType = staged["schema"]
-    data_cols = [f.name for f in schema.fields if f.name not in pcols]
+    mapping_fp = staged.get("mapping_fp")
+    # staged dirs/files carry PHYSICAL names on mapped tables; the spec
+    # keys partitionValues (and per-file stats) by physical names too
+    phys_pcols = list(staged.get("phys_pcols", pcols))
+    if mapping_fp is not None:
+        phys_of_logical = {fp[0]: fp[1] for fp in mapping_fp[1:]}
+        data_cols = [
+            phys_of_logical[f.name]
+            for f in schema.fields
+            if f.name not in pcols
+        ]
+    else:
+        data_cols = [f.name for f in schema.fields if f.name not in pcols]
 
     moved: list[dict] = []  # add actions for the staged files
     now_ms = int(time.time() * 1000)
@@ -886,7 +1015,7 @@ def commit_write(
         os.rename(abs_file, dst)
         moved.append({
             "path": quote(rel, safe="/=-"),
-            "partitionValues": _partition_values_from_rel(rel, pcols),
+            "partitionValues": _partition_values_from_rel(rel, phys_pcols),
             "size": os.path.getsize(dst),
             "modificationTime": now_ms,
             "dataChange": True,
@@ -931,13 +1060,18 @@ def commit_write(
                 prev["protocol"], prev_meta,
                 has_removes=(mode == "overwrite" or extra_removes is not None),
             )
-            if _mapping_mode(prev_meta) != "none":
+            cur_fp = (
+                _mapping_fingerprint(prev_meta)
+                if _mapping_mode(prev_meta) != "none"
+                else None
+            )
+            if cur_fp != mapping_fp:
                 raise DeltaProtocolError(
-                    f"{table_path!r} uses column mapping: writing is not "
-                    "supported (this writer emits logical column names, "
-                    "which a mapping-aware reader would fail to resolve "
-                    "against the physicalName metadata) — reads, time "
-                    "travel, and delta_tail all work"
+                    f"{table_path!r}: the column-mapping contract changed "
+                    "between staging and commit (or the batch was staged "
+                    "without mapping awareness) — the staged files' "
+                    "physical layout no longer matches the table; restage "
+                    "via stage_write/write_delta"
                 )
             prev_pcols = list(prev_meta.get("partitionColumns") or [])
             if prev_pcols != pcols:
@@ -948,14 +1082,25 @@ def commit_write(
             if mode == "overwrite":
                 # full replace: every old file is removed below, so the
                 # batch schema simply becomes the table schema (Delta
-                # overwriteSchema) — no truncation risk to gate
-                if schema.json() != prev_meta["schemaString"]:
+                # overwriteSchema) — no truncation risk to gate. Mapped
+                # tables keep their schemaString untouched (it carries
+                # the id/physicalName metadata; stage_write already
+                # proved the batch matches it field-for-field)
+                if (
+                    mapping_fp is None
+                    and schema.json() != prev_meta["schemaString"]
+                ):
                     actions.append({"metaData": {
                         **prev_meta, "schemaString": schema.json(),
                     }})
             else:
                 evolved = _evolve_schema(prev_meta, schema, merge_schema)
                 if evolved is not None:
+                    if mapping_fp is not None:
+                        raise ValueError(
+                            "schema evolution on a column-mapping table "
+                            "needs fresh column ids — not supported"
+                        )
                     actions.append({"metaData": {
                         **prev_meta, "schemaString": evolved.json(),
                     }})
@@ -1121,9 +1266,28 @@ def _evolve_schema(
     allowed and needed; raises otherwise. A silently-mismatched write is
     the one outcome never permitted — the reader serves the metaData
     schema, so unknown batch columns would vanish without this gate."""
+    from pyspark.sql.types import ArrayType, MapType, StructField
+
+    def _no_meta(dt):
+        # nested fields of a column-mapping table carry physicalName/id
+        # metadata; the batch's don't — type equality must ignore it
+        if isinstance(dt, StructType):
+            return StructType([
+                StructField(f.name, _no_meta(f.dataType), f.nullable)
+                for f in dt.fields
+            ])
+        if isinstance(dt, ArrayType):
+            return ArrayType(_no_meta(dt.elementType), dt.containsNull)
+        if isinstance(dt, MapType):
+            return MapType(
+                _no_meta(dt.keyType), _no_meta(dt.valueType),
+                dt.valueContainsNull,
+            )
+        return dt
+
     table_schema = StructType.fromJson(json.loads(prev_meta["schemaString"]))
-    table_types = {f.name: f.dataType for f in table_schema.fields}
-    batch_types = {f.name: f.dataType for f in batch_schema.fields}
+    table_types = {f.name: _no_meta(f.dataType) for f in table_schema.fields}
+    batch_types = {f.name: _no_meta(f.dataType) for f in batch_schema.fields}
     conflicts = {
         n: (str(table_types[n]), str(t))
         for n, t in batch_types.items()
@@ -1151,9 +1315,20 @@ def _evolve_schema(
     return StructType(list(table_schema.fields) + new_fields)
 
 
-def write_checkpoint(table_path: str, version: int | None = None) -> str:
-    """Write a classic single-part checkpoint parquet of the state at
-    ``version`` (default latest) + the ``_last_checkpoint`` pointer."""
+def write_checkpoint(
+    table_path: str,
+    version: int | None = None,
+    *,
+    max_rows_per_part: int = 1_000_000,
+) -> str:
+    """Write a checkpoint of the state at ``version`` (default latest)
+    + the ``_last_checkpoint`` pointer. Small states write the classic
+    single-part ``%020d.checkpoint.parquet``; a state above
+    ``max_rows_per_part`` rows writes the spec's MULTI-PART form
+    (``%020d.checkpoint.%010d.%010d.parquet``) — at the 100 TB north
+    star the add-set is tens of millions of rows, and a single parquet
+    of all of it is a driver-memory and object-size hazard both to
+    write and for every later reader. Returns the first part's path."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -1240,17 +1415,36 @@ def write_checkpoint(table_path: str, version: int | None = None) -> str:
             ("version", pa.int64()),
         ])),
     ])
-    tbl = pa.Table.from_pylist(rows, schema=schema)
     log = _log_dir(table_path)
-    final = os.path.join(log, f"{version:020d}.checkpoint.parquet")
-    tmp = os.path.join(log, f".{uuid.uuid4().hex}.checkpoint.tmp")
-    pq.write_table(tbl, tmp)
-    os.replace(tmp, final)
+    if len(rows) <= max_rows_per_part:
+        chunks = [rows]
+        names = [f"{version:020d}.checkpoint.parquet"]
+    else:
+        chunks = [
+            rows[i : i + max_rows_per_part]
+            for i in range(0, len(rows), max_rows_per_part)
+        ]
+        n = len(chunks)
+        names = [
+            f"{version:020d}.checkpoint.{i:010d}.{n:010d}.parquet"
+            for i in range(1, n + 1)
+        ]
+    finals = []
+    for chunk, name in zip(chunks, names):
+        tbl = pa.Table.from_pylist(chunk, schema=schema)
+        final = os.path.join(log, name)
+        tmp = os.path.join(log, f".{uuid.uuid4().hex}.checkpoint.tmp")
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, final)
+        finals.append(final)
+    lc = {"version": version, "size": len(rows)}
+    if len(chunks) > 1:
+        lc["parts"] = len(chunks)
     lc_tmp = os.path.join(log, f".{uuid.uuid4().hex}.lc.tmp")
     with open(lc_tmp, "w") as fh:
-        json.dump({"version": version, "size": len(rows)}, fh)
+        json.dump(lc, fh)
     os.replace(lc_tmp, os.path.join(log, _LAST_CHECKPOINT))
-    return final
+    return finals[0]
 
 
 def delta_tail(

@@ -286,7 +286,9 @@ class DeltaLogWarehouse(Warehouse):
         if dl._mapping_mode(state["metadata"]) != "none":
             raise dl.DeltaProtocolError(
                 "delete_with_dv on a column-mapping table is not "
-                "supported (this writer emits logical names)"
+                "supported (the DV probe scans with the logical schema; "
+                "mapped data files carry physical names) — appends and "
+                "overwrites into mapped tables work via write_delta"
             )
         pcols = list(state["metadata"].get("partitionColumns") or [])
         schema = dl.delta_schema(state)

@@ -375,12 +375,18 @@ def test_protocol_refusals(spark, tmp_path):
             "minReaderVersion": 3, "minWriterVersion": 7,
             "readerFeatures": ["v2Checkpoint"],
         }))
-    # 'name'-mode column mapping is READABLE (resolved via physicalName
-    # metadata at scan time — test_column_mapping_*); 'id' mode refuses
-    with pytest.raises(dl.DeltaProtocolError, match="'id'"):
+    # BOTH column-mapping modes are READABLE ('name' via physicalName,
+    # 'id' via parquet field ids — test_column_mapping_*); an unknown
+    # mode still refuses
+    st_id = dl.snapshot_state(mk(
+        {"minReaderVersion": 2, "minWriterVersion": 5},
+        config={"delta.columnMapping.mode": "id"},
+    ))
+    assert st_id["files"] == {}
+    with pytest.raises(dl.DeltaProtocolError, match="mapping mode"):
         dl.snapshot_state(mk(
             {"minReaderVersion": 2, "minWriterVersion": 5},
-            config={"delta.columnMapping.mode": "id"},
+            config={"delta.columnMapping.mode": "mystery"},
         ))
     st_name = dl.snapshot_state(mk(
         {"minReaderVersion": 2, "minWriterVersion": 5},
@@ -800,16 +806,32 @@ def test_column_mapping_name_mode_read(spark, tmp_path):
     df, latest = dl.delta_tail(spark, p, 0)
     assert latest == 1
     assert [(r.k, r.s.c) for r in df.collect()] == [(2, "y")]
-    # writes refuse loudly
+    # APPENDS into the mapped table work: the batch stages under
+    # PHYSICAL names and reads back logically
     batch = spark.createDataFrame([(3, ("z",))], "k int, s struct<c: string>")
-    with pytest.raises(dl.DeltaProtocolError, match="column mapping"):
-        dl.write_delta(batch, p, mode="append")
+    dl.write_delta(batch, p, mode="append")
+    got2 = {(r.k, r.s.c) for r in dl.read_delta(spark, p).collect()}
+    assert got2 == {(1, "x"), (2, "y"), (3, "z")}
+    # the new file's columns are physically named (raw parquet proof)
+    import pyarrow.parquet as _pq
+    new_rel = next(
+        rel for rel in dl.snapshot_state(p)["files"] if rel != "f1.parquet"
+        and rel != "f2.parquet"
+    )
+    raw_cols = _pq.ParquetFile(os.path.join(p, new_rel)).schema_arrow.names
+    assert raw_cols == ["col-aaa", "col-bbb"]
+    # schema evolution on a mapped table refuses (needs fresh ids)
+    wider = spark.createDataFrame(
+        [(4, ("w",), 1.0)], "k int, s struct<c: string>, extra double"
+    )
+    with pytest.raises(ValueError, match="column ids"):
+        dl.write_delta(wider, p, mode="append", merge_schema=True)
 
 
-def test_column_mapping_partitioned_and_id_mode_refused(spark, tmp_path):
+def test_column_mapping_partitioned_and_id_mode_metadata(spark, tmp_path):
     """Partitioned 'name'-mode table: partitionValues keyed by PHYSICAL
     names, files outside hive directories — literals attach under
-    logical names. 'id' mode still refuses."""
+    logical names. An (empty) 'id'-mode table opens; writes refuse."""
     from pyspark.sql.types import (
         IntegerType,
         StringType,
@@ -853,10 +875,11 @@ def test_column_mapping_partitioned_and_id_mode_refused(spark, tmp_path):
     assert out.columns == ["k", "day"]
     assert {(r.k, r.day) for r in out.collect()} == {(1, "d1"), (2, None)}
 
-    # 'id' mode refuses at the protocol gate
+    # an 'id'-mode table passes the protocol gate (reads are supported
+    # via field-id resolution); WRITES still refuse
     pid = str(tmp_path / "cmid")
     os.makedirs(os.path.join(pid, "_delta_log"))
-    bad = [
+    idmode = [
         {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
         {"metaData": {
             "id": "cm03", "format": {"provider": "parquet", "options": {}},
@@ -866,10 +889,14 @@ def test_column_mapping_partitioned_and_id_mode_refused(spark, tmp_path):
         }},
     ]
     with open(os.path.join(pid, "_delta_log", f"{0:020d}.json"), "w") as fh:
-        for a in bad:
+        for a in idmode:
             fh.write(json.dumps(a) + "\n")
-    with pytest.raises(dl.DeltaProtocolError, match="'id'"):
-        dl.snapshot_state(pid)
+    assert dl.read_delta(spark, pid).count() == 0
+    batch = spark.createDataFrame([(1, "d")], "k int, day string")
+    dl.write_delta(batch, pid, mode="append")
+    assert [(r.k, r.day) for r in dl.read_delta(spark, pid).collect()] == [
+        (1, "d")
+    ]
 
 
 def test_optimize_small_files_incremental(spark, tmp_path):
@@ -1501,3 +1528,305 @@ def test_writer_gate_foreign_enforcement_demands(spark, tmp_path):
         dl.write_delta(df, p5, mode="append")
     # reads are untouched by WRITER demands
     assert dl.read_delta(spark, p5).count() == 5
+
+
+def test_multipart_checkpoint_write_roundtrip(spark, tmp_path):
+    """A state checkpointed MULTI-PART by this writer reconstructs
+    identically with every earlier JSON gone — files, deletion vectors,
+    txn high-water marks, and the v3/v7 protocol feature lists all
+    survive the part split; _last_checkpoint carries `parts`."""
+    from global_seismic_data_pipeline_spark.sources.deltawh import (
+        DeltaLogWarehouse,
+    )
+
+    wh = DeltaLogWarehouse(spark, str(tmp_path / "wh"))
+    wh.overwrite(spark.range(0, 20).selectExpr("id").coalesce(2), "t")
+    path = wh.path("t")
+    wh.append(spark.range(20, 25).selectExpr("id"), "t", txn=("app", 7))
+    wh.delete_with_dv("t", "id IN (1, 2)")
+
+    out = dl.write_checkpoint(path, max_rows_per_part=2)
+    log = os.path.join(path, "_delta_log")
+    parts = sorted(
+        f for f in os.listdir(log)
+        if ".checkpoint." in f and f.endswith(".parquet")
+    )
+    assert len(parts) > 1
+    assert all(f.split(".checkpoint.")[1].count(".") == 2 for f in parts)
+    assert os.path.basename(out) == parts[0]
+    lc = json.load(open(os.path.join(log, "_last_checkpoint")))
+    assert lc["parts"] == len(parts)
+
+    for f in list(os.listdir(log)):
+        if f.endswith(".json") and not f.startswith("_"):
+            os.remove(os.path.join(log, f))
+    st = dl.snapshot_state(path)
+    assert st["txns"] == {"app": 7}
+    proto = st["protocol"]
+    assert "deletionVectors" in (proto.get("readerFeatures") or [])
+    got = {r.id for r in dl.read_delta(spark, path).collect()}
+    assert got == set(range(25)) - {1, 2}
+    # a duplicate idempotent append is STILL skipped from checkpoint state
+    v_before = dl.snapshot_state(path)["version"]
+    wh.append(spark.range(20, 25).selectExpr("id"), "t", txn=("app", 7))
+    assert dl.snapshot_state(path)["version"] == v_before
+    # and a genuine append on top of the checkpointed state works
+    dl.write_delta(spark.range(25, 27).selectExpr("id"), path)
+    assert dl.read_delta(spark, path).count() == 25
+
+
+def _idmode_parquet(path, arrays_fields):
+    """Parquet file whose columns carry parquet FIELD IDS and physical
+    names chosen to DIFFER from the Delta schema's physicalName metadata
+    — only field-id resolution can read it correctly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fields = []
+    cols = []
+    for name, arr, fid, children in arrays_fields:
+        if children is not None:
+            sub = [
+                pa.field(cn, ca.type, metadata={b"PARQUET:field_id": str(cf).encode()})
+                for cn, ca, cf in children
+            ]
+            t = pa.struct(sub)
+            arr = pa.StructArray.from_arrays(
+                [ca for _, ca, _ in children], fields=sub
+            )
+        fields.append(pa.field(
+            name, arr.type, metadata={b"PARQUET:field_id": str(fid).encode()}
+        ))
+        cols.append(arr)
+    pq.write_table(pa.Table.from_arrays(cols, schema=pa.schema(fields)), path)
+
+
+def test_column_mapping_id_mode_read(spark, tmp_path):
+    """Hand-crafted 'id'-mode tables (flat, nested, partitioned): the
+    parquet columns are NAMED differently from the schema's physicalName
+    metadata AND ordered differently — only resolution through the
+    parquet field ids (delta.columnMapping.id) reads them correctly.
+    Time travel and delta_tail work; writes refuse."""
+    import pyarrow as pa
+
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    # ---- flat: file columns (weird_y, weird_x) with ids (3, 1) ----
+    p = str(tmp_path / "idm")
+    os.makedirs(os.path.join(p, "_delta_log"))
+    _idmode_parquet(os.path.join(p, "f1.parquet"), [
+        ("weird_y", pa.array(["x1", "x2"]), 3, None),
+        ("weird_x", pa.array([1, 2], pa.int32()), 1, None),
+    ])
+    logical = StructType([
+        StructField("k", IntegerType(), True, {
+            "delta.columnMapping.id": 1,
+            "delta.columnMapping.physicalName": "col-aaa"}),
+        StructField("s", StringType(), True, {
+            "delta.columnMapping.id": 3,
+            "delta.columnMapping.physicalName": "col-bbb"}),
+    ])
+    v0 = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "idm1", "format": {"provider": "parquet", "options": {}},
+            "schemaString": logical.json(), "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "id",
+                              "delta.columnMapping.maxColumnId": "3"},
+            "createdTime": 1,
+        }},
+        {"add": {"path": "f1.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 1, "dataChange": True}},
+        {"commitInfo": {"timestamp": 1000, "operation": "WRITE"}},
+    ]
+    with open(os.path.join(p, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        for a in v0:
+            fh.write(json.dumps(a) + "\n")
+    out = dl.read_delta(spark, p)
+    assert out.columns == ["k", "s"]
+    assert {(r.k, r.s) for r in out.collect()} == {(1, "x1"), (2, "x2")}
+
+    # a second commit -> tail resolves by id too
+    _idmode_parquet(os.path.join(p, "f2.parquet"), [
+        ("other_name", pa.array(["z"]), 3, None),
+        ("zzz", pa.array([9], pa.int32()), 1, None),
+    ])
+    with open(os.path.join(p, "_delta_log", f"{1:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"add": {
+            "path": "f2.parquet", "partitionValues": {},
+            "size": 1, "modificationTime": 2, "dataChange": True}}) + "\n")
+        fh.write(json.dumps({"commitInfo": {
+            "timestamp": 2000, "operation": "APPEND"}}) + "\n")
+    assert {r.k for r in dl.read_delta(spark, p, version=0).collect()} == {1, 2}
+    df, latest = dl.delta_tail(spark, p, 0)
+    assert latest == 1 and [(r.k, r.s) for r in df.collect()] == [(9, "z")]
+    # id-mode APPEND: stages under physical names WITH parquet field
+    # ids stamped, so id-resolving readers (ours included) see it
+    batch = spark.createDataFrame([(3, "w")], "k int, s string")
+    dl.write_delta(batch, p, mode="append")
+    assert {(r.k, r.s) for r in dl.read_delta(spark, p).collect()} == {
+        (1, "x1"), (2, "x2"), (9, "z"), (3, "w"),
+    }
+    import pyarrow.parquet as _pq
+    new_rel = next(
+        rel for rel in dl.snapshot_state(p)["files"]
+        if rel not in ("f1.parquet", "f2.parquet")
+    )
+    arrow_schema = _pq.ParquetFile(os.path.join(p, new_rel)).schema_arrow
+    fids = {
+        f.name: (f.metadata or {}).get(b"PARQUET:field_id")
+        for f in arrow_schema
+    }
+    assert fids == {"col-aaa": b"1", "col-bbb": b"3"}
+
+    # ---- nested struct: inner fields resolve by id as well ----
+    pn = str(tmp_path / "idmn")
+    os.makedirs(os.path.join(pn, "_delta_log"))
+    _idmode_parquet(os.path.join(pn, "n1.parquet"), [
+        ("blob", None, 2, [("inner_w", pa.array(["q"]), 3)]),
+        ("num", pa.array([5], pa.int64()), 1, None),
+    ])
+    nested = StructType([
+        StructField("k", LongType(), True, {
+            "delta.columnMapping.id": 1,
+            "delta.columnMapping.physicalName": "col-k"}),
+        StructField("s", StructType([
+            StructField("c", StringType(), True, {
+                "delta.columnMapping.id": 3,
+                "delta.columnMapping.physicalName": "col-c"}),
+        ]), True, {
+            "delta.columnMapping.id": 2,
+            "delta.columnMapping.physicalName": "col-s"}),
+    ])
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "idm2", "format": {"provider": "parquet", "options": {}},
+            "schemaString": nested.json(), "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "id"},
+            "createdTime": 1,
+        }},
+        {"add": {"path": "n1.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 1, "dataChange": True}},
+        {"commitInfo": {"timestamp": 1000, "operation": "WRITE"}},
+    ]
+    with open(os.path.join(pn, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    outn = dl.read_delta(spark, pn)
+    assert outn.columns == ["k", "s"]
+    assert [(r.k, r.s.c) for r in outn.collect()] == [(5, "q")]
+
+    # ---- partitioned: partitionValues keyed by physical name ----
+    pp = str(tmp_path / "idmp")
+    os.makedirs(os.path.join(pp, "_delta_log"))
+    _idmode_parquet(os.path.join(pp, "p1.parquet"), [
+        ("data_col", pa.array([7], pa.int32()), 1, None),
+    ])
+    plogical = StructType([
+        StructField("k", IntegerType(), True, {
+            "delta.columnMapping.id": 1,
+            "delta.columnMapping.physicalName": "col-k"}),
+        StructField("day", StringType(), True, {
+            "delta.columnMapping.id": 2,
+            "delta.columnMapping.physicalName": "col-day"}),
+    ])
+    pactions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "idm3", "format": {"provider": "parquet", "options": {}},
+            "schemaString": plogical.json(), "partitionColumns": ["day"],
+            "configuration": {"delta.columnMapping.mode": "id"},
+            "createdTime": 1,
+        }},
+        {"add": {"path": "p1.parquet",
+                 "partitionValues": {"col-day": "d7"},
+                 "size": 1, "modificationTime": 1, "dataChange": True}},
+        {"commitInfo": {"timestamp": 1000, "operation": "WRITE"}},
+    ]
+    with open(os.path.join(pp, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        for a in pactions:
+            fh.write(json.dumps(a) + "\n")
+    outp = dl.read_delta(spark, pp)
+    assert outp.columns == ["k", "day"]
+    assert [(r.k, r.day) for r in outp.collect()] == [(7, "d7")]
+
+
+def test_column_mapping_partitioned_append_and_stale_mapping_occ(spark, tmp_path):
+    """Appends into a PARTITIONED name-mode table key partitionValues by
+    PHYSICAL names and lay out physical directories; a commit whose
+    batch was staged against a superseded mapping contract aborts."""
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    p = str(tmp_path / "cmpw")
+    os.makedirs(os.path.join(p, "_delta_log"))
+    _write_parquet(spark, [(1,)], "`col-k` int", p, "a.parquet")
+    logical = StructType([
+        StructField("k", IntegerType(), True, {
+            "delta.columnMapping.id": 1,
+            "delta.columnMapping.physicalName": "col-k"}),
+        StructField("day", StringType(), True, {
+            "delta.columnMapping.id": 2,
+            "delta.columnMapping.physicalName": "col-day"}),
+    ])
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "cmpw", "format": {"provider": "parquet", "options": {}},
+            "schemaString": logical.json(), "partitionColumns": ["day"],
+            "configuration": {"delta.columnMapping.mode": "name"},
+            "createdTime": 1,
+        }},
+        {"add": {"path": "a.parquet",
+                 "partitionValues": {"col-day": "d1"},
+                 "size": 1, "modificationTime": 1, "dataChange": True}},
+        {"commitInfo": {"timestamp": 1000, "operation": "WRITE"}},
+    ]
+    with open(os.path.join(p, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+
+    batch = spark.createDataFrame([(2, "d2")], "k int, day string")
+    dl.write_delta(batch, p, mode="append", partition_by=["day"])
+    st = dl.snapshot_state(p)
+    new = [a for rel, a in st["files"].items() if rel != "a.parquet"]
+    assert new and new[0]["partitionValues"] == {"col-day": "d2"}
+    assert "col-day=d2" in new[0]["path"]  # physical hive layout
+    got = {(r.k, r.day) for r in dl.read_delta(spark, p).collect()}
+    assert got == {(1, "d1"), (2, "d2")}
+
+    # stale mapping contract: stage, then a foreign commit renames the
+    # physical column -> the commit must abort, not publish wrong files
+    staged = dl.stage_write(
+        spark.createDataFrame([(3, "d3")], "k int, day string"),
+        p, ["day"],
+    )
+    relogical = StructType([
+        StructField("k", IntegerType(), True, {
+            "delta.columnMapping.id": 1,
+            "delta.columnMapping.physicalName": "col-RENAMED"}),
+        logical.fields[1],
+    ])
+    md = dict(st["metadata"])
+    md["schemaString"] = relogical.json()
+    with open(os.path.join(
+        p, "_delta_log", f"{st['version'] + 1:020d}.json"
+    ), "w") as fh:
+        fh.write(json.dumps({"commitInfo": {
+            "timestamp": 3000, "operation": "RENAME COLUMN"}}) + "\n")
+        fh.write(json.dumps({"metaData": md}) + "\n")
+    with pytest.raises(dl.DeltaProtocolError, match="contract changed"):
+        dl.commit_write(
+            spark, p, staged, mode="append", partition_by=["day"],
+        )
