@@ -162,13 +162,25 @@ _KNOWN_WRITER_FEATURES = {
 
 
 def _check_writer_protocol(
-    protocol: Mapping, metadata: Mapping, *, has_removes: bool
+    protocol: Mapping,
+    metadata: Mapping,
+    *,
+    has_removes: bool,
+    adds_rows: bool = True,
+    enforced_constraints: frozenset = frozenset(),
 ) -> None:
     """Refuse-loudly writer gate (mirror of the reader gate): appending to
     a foreign table whose protocol demands enforcement this writer does
     not implement — appendOnly, CHECK constraints, invariants, generated/
     identity columns, CDF on rewrites — would silently violate the
-    table's writer contract for every other client."""
+    table's writer contract for every other client.
+
+    ``adds_rows=False`` (a pure delete/DV commit) skips the row-content
+    demands — removing rows cannot violate a CHECK constraint, an
+    invariant, or a generated column. ``enforced_constraints`` names the
+    ``delta.constraints.*`` the caller has ALREADY evaluated against the
+    batch (the warehouse's Observation path does this) — only
+    constraints outside the set refuse."""
     conf = (metadata or {}).get("configuration") or {}
     if isinstance(conf, list):
         conf = dict(conf)
@@ -189,18 +201,26 @@ def _check_writer_protocol(
             "table is delta.appendOnly=true: overwrite/rewrite commits "
             "(remove actions) are forbidden by its writer contract"
         )
-    cks = sorted(k for k in conf if k.startswith("delta.constraints."))
-    if cks:
-        raise DeltaProtocolError(
-            f"table declares CHECK constraints {cks} this writer does "
-            "not evaluate — writing unchecked rows would silently "
-            "violate them"
-        )
     if conf.get("delta.enableChangeDataFeed") == "true" and has_removes:
         raise DeltaProtocolError(
             "table has delta.enableChangeDataFeed=true: rewrite commits "
             "must publish _change_data files this writer does not produce "
             "(pure appends are fine — CDF readers derive them from adds)"
+        )
+    if not adds_rows:
+        return
+    cks = sorted(
+        k[len("delta.constraints."):]
+        for k in conf
+        if k.startswith("delta.constraints.")
+    )
+    unenforced = [c for c in cks if c not in enforced_constraints]
+    if unenforced:
+        raise DeltaProtocolError(
+            f"table declares CHECK constraints {unenforced} this write "
+            "did not evaluate — writing unchecked rows would silently "
+            "violate them (the warehouse write path evaluates them via "
+            "Observation and passes enforced_constraints)"
         )
     field_metas = [
         f.get("metadata") or {}
@@ -961,6 +981,7 @@ def commit_write(
     extra_removes=None,
     merge_schema: bool = False,
     txn: tuple[str, int] | None = None,
+    enforced_constraints: frozenset = frozenset(),
 ) -> int:
     """Phase 2: move staged files into the table and publish the commit
     JSON put-if-absent. On a lost race the commit (including overwrite's
@@ -1059,6 +1080,7 @@ def commit_write(
             _check_writer_protocol(
                 prev["protocol"], prev_meta,
                 has_removes=(mode == "overwrite" or extra_removes is not None),
+                enforced_constraints=enforced_constraints,
             )
             cur_fp = (
                 _mapping_fingerprint(prev_meta)
@@ -1185,7 +1207,8 @@ def commit_dv_update(
     for _attempt in range(max_retries):
         state = snapshot_state(table_path)
         _check_writer_protocol(
-            state["protocol"], state["metadata"], has_removes=True
+            state["protocol"], state["metadata"],
+            has_removes=True, adds_rows=False,
         )
         for rel in new_adds:
             if rel not in state["files"]:
@@ -1238,6 +1261,71 @@ def commit_dv_update(
                 r["deletionVector"] = old_dv  # tombstone the superseded version
             actions.append({"remove": r})
             actions.append({"add": {**add, "dataChange": True}})
+        log = _log_dir(table_path)
+        final = os.path.join(log, f"{version:020d}.json")
+        tmp = os.path.join(log, f".{uuid.uuid4().hex}.json.tmp")
+        with open(tmp, "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            os.remove(tmp)
+            continue
+        os.remove(tmp)
+        return version
+    raise DeltaConcurrentWriteError(
+        f"lost the commit race {max_retries} times on {table_path!r}"
+    )
+
+
+def commit_set_properties(
+    table_path: str,
+    set_props: Mapping[str, str] | None = None,
+    unset_keys: Sequence[str] = (),
+    *,
+    min_writer: int = 2,
+    operation: str = "SET TBLPROPERTIES",
+    max_retries: int = 20,
+) -> int:
+    """Metadata-only commit updating the table configuration (Delta's
+    ALTER TABLE SET/UNSET TBLPROPERTIES): same put-if-absent OCC as
+    every write. ``min_writer`` raises the protocol when the property
+    demands it (e.g. ``delta.constraints.*`` requires minWriterVersion 3
+    per spec — a legacy-2 client must not append unchecked rows); on a
+    v7 table the matching writer feature is appended instead."""
+    _FEATURE_OF_MIN_WRITER = {3: "checkConstraints", 4: "changeDataFeed"}
+    for _attempt in range(max_retries):
+        state = snapshot_state(table_path)
+        version = state["version"] + 1
+        conf = dict(state["metadata"].get("configuration") or {})
+        for k in unset_keys:
+            conf.pop(k, None)
+        conf.update(set_props or {})
+        actions: list[dict] = [{
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": operation,
+                "operationParameters": {},
+                "engineInfo": "global-seismic-data-pipeline-spark-deltalog",
+            }
+        }]
+        proto = dict(state["protocol"])
+        cur_writer = int(proto.get("minWriterVersion", 2))
+        if cur_writer >= 7:
+            feat = _FEATURE_OF_MIN_WRITER.get(min_writer)
+            feats = set(proto.get("writerFeatures") or [])
+            if feat and feat not in feats:
+                proto["writerFeatures"] = sorted(feats | {feat})
+                actions.append({"protocol": proto})
+        elif min_writer > cur_writer:
+            proto["minWriterVersion"] = min_writer
+            actions.append({"protocol": proto})
+        actions.append({"metaData": {
+            **state["metadata"], "configuration": conf,
+        }})
         log = _log_dir(table_path)
         final = os.path.join(log, f"{version:020d}.json")
         tmp = os.path.join(log, f".{uuid.uuid4().hex}.json.tmp")

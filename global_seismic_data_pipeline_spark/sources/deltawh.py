@@ -77,6 +77,49 @@ class DeltaLogWarehouse(Warehouse):
     def drop(self, name: str) -> None:
         super().drop(name)  # rmtree + constraint-sidecar cleanup
 
+    # -- CHECK constraints live in the LOG (delta.constraints.*) ------------
+    def _log_constraints(self, name: str) -> dict[str, str]:
+        p = self.path(name)
+        if not dl.is_delta_table(p):
+            return {}
+        conf = dl.snapshot_state(p)["metadata"].get("configuration") or {}
+        pre = "delta.constraints."
+        return {k[len(pre):]: v for k, v in conf.items() if k.startswith(pre)}
+
+    def constraints(self, name: str) -> dict[str, str]:
+        """Sidecar constraints merged with the table's OWN
+        ``delta.constraints.*`` properties — so constraints declared by
+        FOREIGN Delta writers are ENFORCED here (Observation at the
+        staging boundary), not refused."""
+        out = dict(self._log_constraints(name))
+        out.update(super().constraints(name))
+        return out
+
+    def add_constraint(self, name: str, cname: str, expr: str) -> None:
+        """ADD CONSTRAINT, published INTO the log as a
+        ``delta.constraints.*`` property (+ minWriterVersion 3 /
+        checkConstraints feature per spec) so foreign Delta clients see
+        and enforce it too — the sidecar alone would make the constraint
+        invisible outside this engine."""
+        super().add_constraint(name, cname, expr)  # validates + sidecar
+        p = self.path(name)
+        if dl.is_delta_table(p):
+            dl.commit_set_properties(
+                p, {f"delta.constraints.{cname}": expr},
+                min_writer=3, operation="ADD CONSTRAINT",
+            )
+
+    def drop_constraint(self, name: str, cname: str) -> bool:
+        dropped = super().drop_constraint(name, cname)
+        p = self.path(name)
+        if dl.is_delta_table(p) and cname in self._log_constraints(name):
+            dl.commit_set_properties(
+                p, unset_keys=[f"delta.constraints.{cname}"],
+                operation="DROP CONSTRAINT",
+            )
+            dropped = True
+        return dropped
+
     # -- read / write through the log --------------------------------------
     def read(self, name: str) -> DataFrame:
         return dl.read_delta(self.spark, self.path(name))
@@ -139,6 +182,10 @@ class DeltaLogWarehouse(Warehouse):
             self.spark, self.path(name), staged,
             mode=dl_mode, partition_by=list(partition_by),
             operation=operation, extra_removes=removes_fn, txn=txn,
+            # the Observation above evaluated every constraint in
+            # constraints(name), which includes the log-declared set —
+            # the writer gate can let those through
+            enforced_constraints=frozenset(cons or {}),
         )
 
     def _rewrite_partitions(

@@ -260,22 +260,29 @@ class Warehouse:
     def _constraints_file(self, name: str) -> str:
         return os.path.join(self.root, ".constraints", f"{name}.json")
 
-    def constraints(self, name: str) -> dict[str, str]:
-        """The table's persistent CHECK constraints, {name: boolean SQL}."""
+    def _sidecar_constraints(self, name: str) -> dict[str, str]:
+        """The constraints stored in THIS warehouse's sidecar file only —
+        mutation paths operate on this, because ``constraints()`` may be
+        overridden to merge in externally-declared sets (the Delta
+        backend merges the log's delta.constraints.*)."""
         p = self._constraints_file(name)
         if not os.path.isfile(p):
             return {}
         with open(p) as fh:
             return json.load(fh)
 
+    def constraints(self, name: str) -> dict[str, str]:
+        """The table's persistent CHECK constraints, {name: boolean SQL}."""
+        return self._sidecar_constraints(name)
+
     def add_constraint(self, name: str, cname: str, expr: str) -> None:
         """Persist a CHECK constraint (Delta ALTER TABLE ADD CONSTRAINT):
         existing rows must already satisfy it (validated in one aggregate
         pass, like Delta), and every later write through this warehouse
         enforces it at the staging boundary."""
-        cons = self.constraints(name)
-        if cname in cons:
+        if cname in self.constraints(name):
             raise ValueError(f"{name}: constraint {cname!r} already exists")
+        cons = self._sidecar_constraints(name)
         if self.exists(name):
             enforce_constraints(self.read(name), {cname: expr})
         cons[cname] = expr
@@ -286,7 +293,7 @@ class Warehouse:
         os.replace(tmp, self._constraints_file(name))
 
     def drop_constraint(self, name: str, cname: str) -> bool:
-        cons = self.constraints(name)
+        cons = self._sidecar_constraints(name)
         if cname not in cons:
             return False
         del cons[cname]

@@ -505,10 +505,13 @@ def test_deltawh_check_constraints_at_commit_boundary(spark, dwh):
 
     dwh.overwrite(_df(spark, [(1, 5.0)], "k int, mag double"), "c")
     dwh.add_constraint("c", "mag_range", "mag BETWEEN 0 AND 10")
+    # ADD CONSTRAINT publishes ONE metadata commit (the property enters
+    # the log for foreign clients); the violating batch publishes NOTHING
+    v_after_add = dwh.latest_version("c")
+    assert v_after_add == 1
     with pytest.raises(ConstraintViolation):
         dwh.append(_df(spark, [(2, 99.0)], "k int, mag double"), "c")
-    # nothing published: still one version, one row
-    assert dwh.latest_version("c") == 0
+    assert dwh.latest_version("c") == v_after_add
     assert dwh.read("c").count() == 1
     # no orphan staging
     root = dwh.root
@@ -1830,3 +1833,73 @@ def test_column_mapping_partitioned_append_and_stale_mapping_occ(spark, tmp_path
         dl.commit_write(
             spark, p, staged, mode="append", partition_by=["day"],
         )
+
+
+def test_foreign_check_constraints_enforced_not_refused(spark, tmp_path):
+    """A FOREIGN table declaring delta.constraints.* is writable through
+    the warehouse — the constraint is evaluated at the staging boundary
+    (violating batches abort; clean ones publish). The raw write_delta
+    path, which evaluates nothing, still refuses."""
+    from global_seismic_data_pipeline_spark.sources.deltawh import (
+        DeltaLogWarehouse,
+    )
+    from global_seismic_data_pipeline_spark.sources.warehouse import (
+        ConstraintViolation,
+    )
+
+    wh = DeltaLogWarehouse(spark, str(tmp_path / "wh"))
+    wh.overwrite(spark.range(0, 5).selectExpr("id"), "t")
+    _set_table_conf(
+        wh.path("t"),
+        conf={"delta.constraints.posid": "id >= 0"},
+        protocol={"minReaderVersion": 1, "minWriterVersion": 3},
+    )
+    wh.append(spark.range(5, 8).selectExpr("id"), "t")  # clean: publishes
+    assert wh.read("t").count() == 8
+    with pytest.raises(ConstraintViolation):
+        wh.append(spark.createDataFrame([(-1,)], "id long"), "t")
+    assert wh.read("t").count() == 8  # violating batch never published
+    # the low-level path evaluates nothing -> still refuses
+    with pytest.raises(dl.DeltaProtocolError, match="CHECK constraints"):
+        dl.write_delta(spark.range(8, 9).selectExpr("id"), wh.path("t"))
+    # a DV DELETE cannot violate a CHECK constraint: allowed
+    out = wh.delete_with_dv("t", "id = 5")
+    assert out["rows_deleted"] == 1
+
+
+def test_add_constraint_publishes_into_the_log(spark, tmp_path):
+    """ADD CONSTRAINT through the Delta warehouse round-trips the
+    constraint THROUGH THE LOG (delta.constraints.* + minWriterVersion
+    3) so foreign clients see it; a second warehouse instance over the
+    same root enforces it with no sidecar of its own."""
+    import shutil as _shutil
+
+    from global_seismic_data_pipeline_spark.sources.deltawh import (
+        DeltaLogWarehouse,
+    )
+    from global_seismic_data_pipeline_spark.sources.warehouse import (
+        ConstraintViolation,
+    )
+
+    root = str(tmp_path / "wh")
+    wh = DeltaLogWarehouse(spark, root)
+    wh.overwrite(spark.range(0, 5).selectExpr("id"), "t")
+    wh.add_constraint("t", "posid", "id >= 0")
+    st = dl.snapshot_state(wh.path("t"))
+    assert st["metadata"]["configuration"]["delta.constraints.posid"] == (
+        "id >= 0"
+    )
+    assert int(st["protocol"]["minWriterVersion"]) >= 3
+    # wipe the sidecar: the log alone must carry the contract
+    _shutil.rmtree(os.path.join(root, ".constraints"), ignore_errors=True)
+    wh2 = DeltaLogWarehouse(spark, root)
+    assert wh2.constraints("t") == {"posid": "id >= 0"}
+    with pytest.raises(ConstraintViolation):
+        wh2.append(spark.createDataFrame([(-3,)], "id long"), "t")
+    wh2.append(spark.range(5, 6).selectExpr("id"), "t")
+    assert wh2.read("t").count() == 6
+    # DROP removes the property from the log
+    assert wh2.drop_constraint("t", "posid") is True
+    conf = dl.snapshot_state(wh.path("t"))["metadata"]["configuration"]
+    assert "delta.constraints.posid" not in conf
+    wh2.append(spark.createDataFrame([(-3,)], "id long"), "t")  # now fine
