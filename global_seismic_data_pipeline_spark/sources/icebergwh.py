@@ -1,0 +1,233 @@
+"""Warehouse API over Apache Iceberg tables — the medallion round-trip
+through the SECOND open lakehouse format.
+
+``DeltaLogWarehouse`` (sources/deltawh.py) gives the reference's
+bronze-append / silver-MERGE / gold-overwrite storage contract (ref:
+02_ingestion.py:214-217, 04_silver_transformation.py:196-202,
+05_gold_aggregation.py:79) on real ``_delta_log`` tables; this module
+gives the same contract on real Iceberg tables (sources/iceberg.py —
+metadata JSON + Avro manifests + v2 sequence numbers), so a user whose
+catalog is Iceberg can run the whole pipeline against it:
+
+- **append** → an ``append`` snapshot (new manifest carried alongside
+  the prior ones — O(Δ) tail consumers see exactly the new files);
+- **overwrite** → an ``overwrite`` snapshot referencing only the new
+  manifest (old snapshots stay time-travelable);
+- **merge** → update-wins upsert; with ``prune_partition_col`` the
+  rewrite is FILE-LEVEL pruned through the manifests' partition values:
+  untouched partitions' data files are carried into the new snapshot
+  verbatim — never opened, never moved (the Delta backend's pruned
+  MERGE, realized with Iceberg metadata);
+- **CHECK constraints** ride the staging write as an Observation and a
+  violating batch never publishes a snapshot (the staged data files are
+  unlinked) — the same commit-boundary contract as every other backend;
+- time travel / history / tail delegate to the IcebergTable reader.
+
+Scale notes (100 TB): manifests are driver-side metadata (the point of
+the format); data moves only through distributed Spark writes. Pruned
+MERGE reads (pcol, keys)-projected untouched files once to find movers,
+identical to the base warehouse's column-pruned mover scan.
+
+Publication is OCC: ``_publish`` claims ``vN.metadata.json``
+put-if-absent; a lost race recomputes the metadata against the winner's
+state and republishes THE SAME staged data files (no re-write).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import iceberg as ib
+from .warehouse import Warehouse
+
+
+class IcebergWarehouse(Warehouse):
+    """Named Iceberg tables under one root, with the Warehouse API."""
+
+    def __init__(self, spark: SparkSession, root: str, fmt: str = "parquet"):
+        if fmt != "parquet":
+            raise ValueError("Iceberg data files are parquet here")
+        super().__init__(spark, root, "parquet")
+
+    # -- existence is a METADATA property ----------------------------------
+    def _is_table(self, name: str) -> bool:
+        return os.path.isdir(os.path.join(self.path(name), "metadata"))
+
+    def exists(self, name: str) -> bool:
+        if not self._is_table(name):
+            return False
+        t = ib.IcebergTable(self.spark, self.path(name))
+        sid = t.current_snapshot_id()
+        if sid is None or sid == -1:
+            return False
+        return bool(t.data_files())
+
+    def table(self, name: str) -> ib.IcebergTable:
+        return ib.IcebergTable(self.spark, self.path(name))
+
+    # -- read / write -------------------------------------------------------
+    def read(self, name: str) -> DataFrame:
+        return self.table(name).read()
+
+    def append(
+        self, df: DataFrame, name: str, partition_by: Sequence[str] = ()
+    ) -> None:
+        self._commit(df, name, carry_prior=True, operation="append",
+                     partition_by=partition_by)
+
+    def overwrite(
+        self, df: DataFrame, name: str, partition_by: Sequence[str] = ()
+    ) -> None:
+        self._commit(df, name, carry_prior=False, operation="overwrite",
+                     partition_by=partition_by)
+
+    def _commit(
+        self,
+        df: DataFrame,
+        name: str,
+        *,
+        carry_prior: bool,
+        operation: str,
+        partition_by: Sequence[str] = (),
+        keep_files: list[dict] | None = None,
+        max_retries: int = 20,
+    ) -> None:
+        """Stage → (CHECK constraints veto) → snapshot publish, with the
+        same crash/OCC discipline as the Delta backend: the Observation
+        rides the staging write (zero extra passes), a violating batch
+        unlinks its staged files and never publishes, and a lost
+        metadata race recomputes against the winner WITHOUT rewriting
+        the staged data."""
+        loc = self.path(name)
+        df, obs, cons = self._observe_constraints(df, name)
+        if self._is_table(name):
+            t = self.table(name)
+            ib._check_schema(t, df, operation)
+            part_fields, fv = ib._table_write_shape(t)
+            base = t.metadata
+        else:
+            part_fields = ib._parse_partition_by(list(partition_by), df.schema)
+            fv = 2 if partition_by else 1
+            base = None
+        data_dir = os.path.join(loc, "data")
+        os.makedirs(data_dir, exist_ok=True)
+        next_id = max(
+            (s["snapshot-id"] for s in (base or {}).get("snapshots", [])),
+            default=0,
+        ) + 1
+        files = ib._stage_data_files(loc, df, part_fields, next_id, data_dir)
+        # the staging write materialized the Observation
+        if obs is not None:
+            row = obs.get
+            bad = {n: int(row[n]) for n in cons if row[n]}
+            if bad:
+                for f in files:
+                    try:
+                        os.remove(ib._strip_scheme(f["file_path"]))
+                    except FileNotFoundError:
+                        pass
+                from .warehouse import ConstraintViolation
+
+                raise ConstraintViolation(bad)
+        schema_df = self.spark.createDataFrame([], df.schema)
+        records = list(keep_files or []) + files
+        for _attempt in range(max_retries):
+            meta = ib._write_snapshot(
+                loc, schema_df, base=base, carry_prior=carry_prior,
+                operation=operation, part_fields=part_fields,
+                format_version=fv, data_files=records,
+            )
+            try:
+                ib._publish(loc, meta)
+                return
+            except ib.IcebergError:
+                if keep_files is not None:
+                    # the carried file set was computed against a state
+                    # a concurrent commit just replaced — republishing it
+                    # could resurrect or lose files; the merge must
+                    # re-plan from the winner's snapshot
+                    raise
+                # plain append/overwrite: re-plan against the winner,
+                # same staged files
+                base = self.table(name).metadata
+        raise ib.IcebergError(
+            f"lost the publish race {max_retries} times on {loc!r}"
+        )
+
+    # -- MERGE: file-level pruned rewrite through manifests ------------------
+    def _rewrite_partitions(
+        self, name: str, pcol: str, merged: DataFrame, touched: Sequence
+    ) -> None:
+        """Replace exactly the touched partitions in ONE ``overwrite``
+        snapshot: untouched partitions' data-file RECORDS carry into the
+        new manifest verbatim (never opened, never moved); only the
+        merged slice writes. Requires the table to be identity-
+        partitioned on ``pcol`` (how the Warehouse merge contract stores
+        it)."""
+        t = self.table(name)
+        spec = t.partition_spec()
+        if [
+            (f["transform"], self._source_name(t, f)) for f in spec
+        ] != [("identity", pcol)]:
+            raise ib.IcebergError(
+                f"pruned merge needs identity partitioning on {pcol!r}; "
+                f"table spec is {spec}"
+            )
+        touched_set = {str(v) for v in touched}
+        pname = spec[0]["name"]
+        keep = [
+            {k: v for k, v in f.items() if not k.startswith("_")}
+            for f in t.data_files()
+            if self._part_str(f["partition"].get(pname)) not in touched_set
+        ]
+        self._commit(
+            merged, name, carry_prior=False, operation="overwrite",
+            keep_files=keep,
+        )
+
+    @staticmethod
+    def _part_str(v) -> str:
+        return "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
+
+    @staticmethod
+    def _source_name(t: ib.IcebergTable, field: dict) -> str:
+        return t._column_name(field["source-id"])
+
+    def partition_columns(self, name: str) -> list[str]:
+        if not self._is_table(name):
+            return []
+        t = self.table(name)
+        return [
+            self._source_name(t, f)
+            for f in t.partition_spec()
+            if f["transform"] == "identity"
+        ]
+
+    # -- time travel / history / maintenance --------------------------------
+    def snapshots(self, name: str) -> list[int]:
+        return [s["snapshot-id"] for s in self.table(name).snapshots()]
+
+    def read_snapshot(self, name: str, snapshot_id: int) -> DataFrame:
+        return self.table(name).read(snapshot_id=snapshot_id)
+
+    def tail(self, name: str, after_snapshot_id: int | None, **kw):
+        return self.table(name).tail(after_snapshot_id, **kw)
+
+    def compact(self, name: str, **kw) -> dict:
+        return ib.compact_data_files(self.spark, self.path(name), **kw)
+
+    def expire_snapshots(self, name: str, **kw) -> dict:
+        return ib.expire_snapshots(self.spark, self.path(name), **kw)
+
+    def delete_where(self, name: str, condition: str, **kw) -> dict:
+        return ib.delete_where(self.spark, self.path(name), condition, **kw)
+
+    def table_stats(self, name: str) -> dict[str, int]:
+        files = self.table(name).data_files()
+        return {
+            "num_files": len(files),
+            "size_bytes": sum(f["file_size_in_bytes"] for f in files),
+        }
