@@ -95,6 +95,7 @@ EXTENDED = [
     "exists_priority_customers",
     # round-6 operators
     "iceberg_v2_deletes_roundtrip",
+    "iceberg_upsert_orders",
 ]
 
 HEADLINE = [

@@ -3489,3 +3489,28 @@ FROM orders
 WHERE o_orderkey % 4 IN (0, 1) AND o_orderkey % 10 <> 0
 GROUP BY o_orderstatus
 """
+
+
+ORACLES_EXT["iceberg_upsert_orders"] = """
+-- iceberg_upsert_orders: base = (%4 IN (0,1)); batch = (%8 = 0 OR
+-- %4 = 2) with custkey shifted +1e6; merged = update-wins upsert
+WITH base AS (
+    SELECT o_orderkey, o_orderstatus, o_custkey
+    FROM orders WHERE o_orderkey % 4 IN (0, 1)
+), batch AS (
+    SELECT o_orderkey, o_orderstatus, o_custkey + 1000000 AS o_custkey
+    FROM orders WHERE o_orderkey % 8 = 0 OR o_orderkey % 4 = 2
+), merged AS (
+    SELECT * FROM base
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+    UNION ALL
+    SELECT * FROM batch
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM base) AS pre_rows
+FROM merged
+GROUP BY o_orderstatus
+"""

@@ -3131,3 +3131,50 @@ def iceberg_v2_deletes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(pre_delete_rows))
         .crossJoin(F.broadcast(pruned_f_rows))
     )
+
+
+def iceberg_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 equality-delete UPSERT (sources/iceberg.py
+    ``upsert_by_keys`` — the Flink/CDC MERGE shape, and the
+    Iceberg-native realization of the reference's silver MERGE,
+    04_silver_transformation.py:196-202): a partitioned v2 table takes
+    one upsert snapshot carrying an equality delete on the key + the
+    batch's data files — older key versions die via the strict
+    sequence-number rule, the batch's own rows survive, and NO existing
+    data file is read or rewritten (O(batch), the only MERGE that holds
+    at 100 TB). The batch updates half the base keys (value shifted by
+    1e6 — update-wins provable in the sum) and inserts a disjoint slice;
+    the pre-upsert row count rides along via time travel. The oracle
+    replays the set logic. Integer aggregates only."""
+    import os
+    import tempfile
+
+    from ..sources import iceberg as ib
+
+    sel = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_custkey"
+    )
+    loc = os.path.join(tempfile.mkdtemp(prefix="icebergup-"), "ord")
+    t = ib.create_table(
+        spark, loc, sel.filter(F.col("o_orderkey") % 4 < 2),
+        partition_by=["o_orderstatus"],
+    )
+    s1 = t.current_snapshot_id()
+    batch = sel.filter(
+        (F.col("o_orderkey") % 8 == 0) | (F.col("o_orderkey") % 4 == 2)
+    ).withColumn("o_custkey", F.col("o_custkey") + 1_000_000)
+    ib.upsert_by_keys(spark, loc, batch, ["o_orderkey"])
+    t2 = ib.IcebergTable(spark, loc)
+    pre_rows = t2.read(snapshot_id=s1).agg(
+        F.count(F.lit(1)).alias("pre_rows")
+    )
+    return (
+        t2.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+            F.sum("o_custkey").cast("long").alias("sum_cust"),
+        )
+        .crossJoin(F.broadcast(pre_rows))
+    )

@@ -750,6 +750,14 @@ def _manifest_entry_schema(part_fields: list[dict]) -> dict:
                         },
                         {"name": "record_count", "type": "long", "field-id": 103},
                         {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+                        {
+                            "name": "equality_ids",
+                            "type": ["null", {
+                                "type": "array", "items": "int",
+                                "element-id": 136,
+                            }],
+                            "field-id": 135,
+                        },
                     ],
                 },
             },
@@ -978,6 +986,7 @@ def _write_snapshot(
     format_version: int = 1,
     data_files: list[dict] | None = None,
     manifest_content: int = 0,
+    extra_delete_files: list[dict] | None = None,
 ) -> dict:
     """Stage data files + manifest + manifest list, return the new
     metadata dict (caller publishes).
@@ -1023,7 +1032,7 @@ def _write_snapshot(
             "snapshot_id": snapshot_id,
             "sequence_number": None,  # inherit from the manifest list
             "file_sequence_number": None,
-            "data_file": f,
+            "data_file": {"equality_ids": None, **f},
         }
         for f in files
     ]
@@ -1080,6 +1089,36 @@ def _write_snapshot(
             "partitions": summaries,
         }
     ]
+    if extra_delete_files:
+        # a second, DELETE manifest in the SAME snapshot (the v2
+        # streaming-upsert shape: equality delete + data append commit
+        # together at one sequence number)
+        del_entries = [
+            {
+                "status": _STATUS_ADDED,
+                "snapshot_id": snapshot_id,
+                "sequence_number": None,
+                "file_sequence_number": None,
+                "data_file": {"equality_ids": None, **f},
+            }
+            for f in extra_delete_files
+        ]
+        del_manifest = os.path.join(
+            md_dir, f"manifest-del-{snapshot_id:05d}-{uuid.uuid4().hex}.avro"
+        )
+        avrofile.write_file(
+            del_manifest, _manifest_entry_schema(part_fields), del_entries
+        )
+        mlist.append({
+            "manifest_path": f"file:{del_manifest}",
+            "manifest_length": os.path.getsize(del_manifest),
+            "partition_spec_id": 0,
+            "content": 1,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "partitions": None,
+        })
     mlist_path = os.path.join(
         md_dir, f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
     )
@@ -1611,4 +1650,106 @@ def delete_where(
     return {
         "rows_deleted": len(pairs),
         "files_affected": len({p for p, _ in pairs}),
+    }
+
+
+def _pa_type_of(iceberg_type: str):
+    import pyarrow as pa
+
+    return {
+        "int": pa.int32(), "long": pa.int64(), "float": pa.float32(),
+        "double": pa.float64(), "string": pa.string(),
+        "date": pa.date32(), "boolean": pa.bool_(),
+        "timestamp": pa.timestamp("us"), "timestamptz": pa.timestamp("us", tz="UTC"),
+    }.get(iceberg_type)
+
+
+def upsert_by_keys(
+    spark: SparkSession,
+    location: str,
+    df: DataFrame,
+    keys: list,
+    *,
+    max_delete_rows: int = 1_000_000,
+) -> dict:
+    """MERGE-upsert as ONE v2 snapshot: an EQUALITY delete file on the
+    key columns + the batch's data files, committed together at the next
+    sequence number — exactly how Flink/CDC writers upsert into Iceberg
+    (and the Iceberg-native realization of the reference's silver MERGE,
+    04_silver_transformation.py:196-202). The strict seq scoping does
+    the work: the delete (seq N) kills every OLDER row version of the
+    batch's keys (data seq < N) while the batch's own rows (data seq N)
+    survive. No existing data file is read, rewritten, or moved — the
+    O(batch) upsert the rewrite MERGE cannot give at 100 TB.
+
+    ``df`` must be key-unique (same contract as every MERGE here). The
+    distinct key tuples materialize driver-side into the delete file
+    (CDC batches are metadata-scale; ``max_delete_rows`` guards the
+    contract — beyond it, use the warehouse's rewrite MERGE)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = IcebergTable(spark, location)
+    if t.metadata.get("format-version", 1) < 2:
+        raise IcebergError(
+            "row-level deletes need a format-version 2 table"
+        )
+    _check_schema(t, df, "upsert")
+    fields = {f["name"]: f for f in t.schema_json()["fields"]}
+    for k in keys:
+        if k not in fields:
+            raise IcebergError(f"upsert key {k!r} not in the table schema")
+    part_fields, fv = _table_write_shape(t)
+
+    key_rows = df.select(*keys).distinct().collect()
+    if len(key_rows) > max_delete_rows:
+        raise ValueError(
+            f"upsert batch has {len(key_rows)} distinct keys "
+            f"(> max_delete_rows={max_delete_rows}): use the rewrite MERGE"
+        )
+    base = t.metadata
+    snapshot_id = max(
+        (s["snapshot-id"] for s in base.get("snapshots", [])), default=0
+    ) + 1
+    data_dir = os.path.join(location, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    new_files = _stage_data_files(
+        location, df, part_fields, snapshot_id, data_dir
+    )
+    # the equality delete file: one column per key, spec appendix types
+    cols = {}
+    for k in keys:
+        pa_t = _pa_type_of(fields[k]["type"])
+        if pa_t is None:
+            raise IcebergError(
+                f"cannot write an equality delete on type "
+                f"{fields[k]['type']!r}"
+            )
+        cols[k] = pa.array([r[k] for r in key_rows], pa_t)
+    dpath = os.path.join(data_dir, f"eq-delete-{uuid.uuid4().hex}.parquet")
+    pq.write_table(pa.table(cols), dpath)
+    delete_rec = {
+        "content": 2,
+        "file_path": f"file:{dpath}",
+        "file_format": "PARQUET",
+        "partition": {pf["name"]: None for pf in part_fields},
+        "record_count": len(key_rows),
+        "file_size_in_bytes": os.path.getsize(dpath),
+        "equality_ids": [fields[k]["id"] for k in keys],
+    }
+    meta = _write_snapshot(
+        location,
+        spark.createDataFrame([], t.spark_schema()),
+        base=base,
+        carry_prior=True,
+        operation="overwrite",  # rows may vanish: tails must not skip it
+        part_fields=part_fields,
+        format_version=fv,
+        data_files=new_files,
+        extra_delete_files=[delete_rec],
+    )
+    _publish(location, meta)
+    return {
+        "rows_upserted": sum(f["record_count"] for f in new_files),
+        "keys_deleted": len(key_rows),
     }

@@ -893,3 +893,66 @@ def test_iceberg_delete_where_positional(spark, tmp_path):
     iceberg.create_table(spark, loc1, spark.range(3).selectExpr("id"))
     with pytest.raises(iceberg.IcebergError, match="format-version 2"):
         iceberg.delete_where(spark, loc1, "id = 1")
+
+
+def test_iceberg_upsert_by_keys_equality_delete(spark, tmp_path):
+    """upsert_by_keys = ONE snapshot carrying an equality delete on the
+    keys + the batch's data files: older versions of the batch's keys
+    die (strict seq scoping), the batch's own rows survive, no existing
+    file rewrites, time travel sees the pre-upsert state."""
+    loc = str(tmp_path / "ups")
+    df = spark.createDataFrame(
+        [(1, "p1", "a"), (2, "p1", "b"), (3, "p2", "c")],
+        "k long, part string, v string",
+    )
+    t = iceberg.create_table(spark, loc, df, partition_by=["part"])
+    s1 = t.current_snapshot_id()
+    files1 = {f["file_path"] for f in t.data_files()}
+
+    batch = spark.createDataFrame(
+        [(2, "p1", "B"), (4, "p2", "d")], "k long, part string, v string"
+    )
+    out = iceberg.upsert_by_keys(spark, loc, batch, ["k"])
+    assert out == {"rows_upserted": 2, "keys_deleted": 2}
+    t2 = iceberg.IcebergTable(spark, loc)
+    got = {(r.k, r.v) for r in t2.read().collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c"), (4, "d")}
+    # no pre-existing data file was rewritten or removed
+    files2 = {f["file_path"] for f in t2.data_files()}
+    assert files1 <= files2
+    # the delete file is live and equality-typed
+    dels = t2.delete_files()
+    assert len(dels) == 1 and dels[0]["content"] == 2
+    # time travel: pre-upsert state intact
+    assert {(r.k, r.v) for r in t2.read(snapshot_id=s1).collect()} == {
+        (1, "a"), (2, "b"), (3, "c"),
+    }
+    # tail refuses across the upsert (rows vanished)
+    with pytest.raises(iceberg.IcebergError, match="not append"):
+        t2.tail(s1)
+
+    # a second upsert composes: re-update key 2, insert key 5
+    iceberg.upsert_by_keys(
+        spark, loc,
+        spark.createDataFrame(
+            [(2, "p1", "B2"), (5, "p3", "e")], "k long, part string, v string"
+        ),
+        ["k"],
+    )
+    t3 = iceberg.IcebergTable(spark, loc)
+    got3 = {(r.k, r.v) for r in t3.read().collect()}
+    assert got3 == {(1, "a"), (2, "B2"), (3, "c"), (4, "d"), (5, "e")}
+    # row_count falls back to the merged scan under equality deletes
+    assert t3.row_count() == 5
+    # compaction materializes everything away
+    iceberg.compact_data_files(spark, loc)
+    t4 = iceberg.IcebergTable(spark, loc)
+    assert t4.delete_files() == []
+    assert {(r.k, r.v) for r in t4.read().collect()} == got3
+    # v1 tables refuse
+    loc1 = str(tmp_path / "v1u")
+    iceberg.create_table(spark, loc1, spark.range(2).selectExpr("id"))
+    with pytest.raises(iceberg.IcebergError, match="format-version 2"):
+        iceberg.upsert_by_keys(
+            spark, loc1, spark.range(1).selectExpr("id"), ["id"]
+        )
