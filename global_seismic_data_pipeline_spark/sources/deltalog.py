@@ -41,10 +41,12 @@ mode (physicalName resolution) and 'id' mode (parquet field-id
 resolution via Spark's fieldId reader), and timestampNtz. Writes into
 mapped tables work too: batches stage under PHYSICAL column names (plus
 parquet field ids in 'id' mode) with partitionValues keyed physically,
-and the commit aborts if the mapping contract changed under the staged
-files. What refuses: type widening, any reader feature not in the set,
-and schema evolution on mapped tables (needs fresh column ids). A
-matching WRITER gate (``_check_writer_protocol``) refuses
+the commit aborts if the mapping contract changed under the staged
+files, and ``merge_schema`` evolution assigns fresh column ids +
+col-<uuid> physical names with ``maxColumnId`` advanced (Delta's own
+assignment rule). What refuses: type widening and any reader feature
+not in the set. A matching WRITER gate (``_check_writer_protocol``)
+refuses
 appends to foreign tables whose protocol demands enforcement this writer
 does not implement (appendOnly on rewrites, CHECK constraints,
 invariants, generated/identity columns, CDF on rewrites, unknown v7
@@ -760,7 +762,7 @@ def write_delta(
     """
     if mode not in ("append", "overwrite", "error"):
         raise ValueError(f"unsupported mode {mode!r}")
-    staged = stage_write(df, table_path, partition_by)
+    staged = stage_write(df, table_path, partition_by, merge_schema=merge_schema)
     try:
         return commit_write(
             df.sparkSession, table_path, staged,
@@ -794,27 +796,68 @@ def _mapping_fingerprint(metadata: Mapping) -> tuple:
     )
 
 
-def _to_physical_df(df: DataFrame, metadata: Mapping) -> DataFrame:
+def _new_mapping_fields(
+    metadata: Mapping, batch_schema: StructType
+) -> dict[str, dict]:
+    """Generated column-mapping identities for batch columns NOT in the
+    mapped table's schema (the evolution path): each gets the next
+    ``delta.columnMapping.maxColumnId`` and a fresh ``col-<uuid>``
+    physical name — exactly how Delta assigns them, so a later rename
+    never breaks the files already written."""
+    table_fields = json.loads(metadata["schemaString"])["fields"]
+    known = {f["name"] for f in table_fields}
+    conf = metadata.get("configuration") or {}
+    max_id = int(conf.get("delta.columnMapping.maxColumnId", 0) or 0)
+    max_id = max(
+        [max_id]
+        + [
+            int((f.get("metadata") or {}).get(_FIELD_ID_KEY, 0) or 0)
+            for f in table_fields
+        ]
+    )
+    out = {}
+    for f in batch_schema.fields:
+        if f.name not in known:
+            max_id += 1
+            out[f.name] = {
+                _FIELD_ID_KEY: max_id,
+                _PHYS_NAME_KEY: f"col-{uuid.uuid4()}",
+            }
+    return out
+
+
+def _to_physical_df(
+    df: DataFrame,
+    metadata: Mapping,
+    new_field_meta: Mapping[str, Mapping] | None = None,
+) -> DataFrame:
     """Rename a logical-schema batch to the table's PHYSICAL column
     names for staging into a column-mapping table. 'id' mode also
     attaches ``parquet.field.id`` metadata so Spark's parquet writer
     stamps the field ids mapping-aware readers resolve by. Nested types
     rename positionally via cast (types are pre-validated identical).
-    Batches whose top-level fields don't exactly match the table's
-    logical schema refuse (schema evolution on mapped tables would need
-    fresh column ids — not supported here)."""
+
+    ``new_field_meta`` (logical name → generated mapping metadata, from
+    ``_new_mapping_fields``) covers evolution columns; a batch column
+    neither in the table nor there refuses. Missing table columns are
+    fine at THIS layer — ``_evolve_schema`` at commit decides whether a
+    subset batch is allowed (merge_schema contract, same as unmapped)."""
     from pyspark.sql import functions as F
 
     mode = _mapping_mode(metadata)
     table_fields = json.loads(metadata["schemaString"])["fields"]
     by_name = {f["name"]: f for f in table_fields}
+    new_field_meta = new_field_meta or {}
     batch_names = [f.name for f in df.schema.fields]
-    if sorted(batch_names) != sorted(by_name):
+    unknown = [
+        n for n in batch_names if n not in by_name and n not in new_field_meta
+    ]
+    if unknown:
         raise ValueError(
-            f"batch columns {sorted(batch_names)} != mapped table's "
-            f"{sorted(by_name)}: schema evolution on a column-mapping "
-            "table needs fresh column ids, which this writer does not "
-            "assign"
+            f"batch columns {unknown} are not in the mapped table's "
+            f"schema: schema evolution on a column-mapping table needs "
+            "fresh column ids — pass merge_schema=True so the writer "
+            "assigns them"
         )
     if mode == "id":
         # field ids only stamp into the files when the writer conf is on
@@ -824,8 +867,17 @@ def _to_physical_df(df: DataFrame, metadata: Mapping) -> DataFrame:
             "spark.sql.parquet.fieldId.write.enabled", "true"
         )
     cols = []
-    for name in batch_names:
-        tf = by_name[name]
+    for bf in df.schema.fields:
+        name = bf.name
+        if name in by_name:
+            tf = by_name[name]
+        else:
+            tf = {
+                "name": name,
+                "type": json.loads(bf.json())["type"],
+                "nullable": True,
+                "metadata": dict(new_field_meta[name]),
+            }
         meta = tf.get("metadata") or {}
         phys = meta.get(_PHYS_NAME_KEY, name)
         phys_type = StructType.fromJson(
@@ -844,7 +896,11 @@ def _to_physical_df(df: DataFrame, metadata: Mapping) -> DataFrame:
 
 
 def stage_write(
-    df: DataFrame, table_path: str, partition_by: Sequence[str] = ()
+    df: DataFrame,
+    table_path: str,
+    partition_by: Sequence[str] = (),
+    *,
+    merge_schema: bool = False,
 ) -> dict:
     """Phase 1: execute the plan into a private staging dir next to the
     table. Returns the handle ``commit_write`` consumes. Split out so a
@@ -854,16 +910,22 @@ def stage_write(
     Column-mapping tables stage with PHYSICAL column names (and parquet
     field ids under 'id' mode); the handle records the mapping
     fingerprint so ``commit_write`` aborts if a concurrent commit
-    changed the mapping under the staged files."""
+    changed the mapping under the staged files. With ``merge_schema``,
+    NEW batch columns get freshly-generated mapping identities
+    (next maxColumnId + a col-<uuid> physical name) which commit_write
+    publishes into the evolved metaData."""
     os.makedirs(table_path, exist_ok=True)
     logical_schema = df.schema
     phys_pcols = list(partition_by)
     mapping_fp = None
+    new_fields: dict[str, dict] = {}
     if is_delta_table(table_path):
         meta = snapshot_state(table_path)["metadata"]
         if _mapping_mode(meta) != "none":
             mapping_fp = _mapping_fingerprint(meta)
-            df = _to_physical_df(df, meta)
+            if merge_schema:
+                new_fields = _new_mapping_fields(meta, df.schema)
+            df = _to_physical_df(df, meta, new_fields)
             fields = json.loads(meta["schemaString"])["fields"]
             phys_of = {
                 f["name"]: (f.get("metadata") or {}).get(
@@ -885,6 +947,7 @@ def stage_write(
         "schema": logical_schema,
         "phys_pcols": phys_pcols,
         "mapping_fp": mapping_fp,
+        "mapping_new_fields": new_fields,
     }
 
 
@@ -1020,6 +1083,10 @@ def commit_write(
     phys_pcols = list(staged.get("phys_pcols", pcols))
     if mapping_fp is not None:
         phys_of_logical = {fp[0]: fp[1] for fp in mapping_fp[1:]}
+        phys_of_logical.update({
+            n: m[_PHYS_NAME_KEY]
+            for n, m in (staged.get("mapping_new_fields") or {}).items()
+        })
         data_cols = [
             phys_of_logical[f.name]
             for f in schema.fields
@@ -1119,13 +1186,14 @@ def commit_write(
                 evolved = _evolve_schema(prev_meta, schema, merge_schema)
                 if evolved is not None:
                     if mapping_fp is not None:
-                        raise ValueError(
-                            "schema evolution on a column-mapping table "
-                            "needs fresh column ids — not supported"
-                        )
-                    actions.append({"metaData": {
-                        **prev_meta, "schemaString": evolved.json(),
-                    }})
+                        actions.append({"metaData": _evolved_mapped_metadata(
+                            prev_meta, evolved,
+                            staged.get("mapping_new_fields") or {},
+                        )})
+                    else:
+                        actions.append({"metaData": {
+                            **prev_meta, "schemaString": evolved.json(),
+                        }})
             remove_paths = []
             if mode == "overwrite":
                 remove_paths = list(prev["files"])
@@ -1279,6 +1347,43 @@ def commit_dv_update(
     raise DeltaConcurrentWriteError(
         f"lost the commit race {max_retries} times on {table_path!r}"
     )
+
+
+def _evolved_mapped_metadata(
+    prev_meta: Mapping, evolved: StructType, new_field_meta: Mapping
+) -> dict:
+    """The evolved metaData for a COLUMN-MAPPING table: new fields enter
+    the schemaString carrying the mapping identities generated at stage
+    time (``_new_mapping_fields``), and ``delta.columnMapping.maxColumnId``
+    advances past them — the contract every mapping-aware client relies
+    on for safe future renames/drops."""
+    sch = json.loads(prev_meta["schemaString"])
+    known = {f["name"] for f in sch["fields"]}
+    add = []
+    for f in evolved.fields:
+        if f.name in known:
+            continue
+        gen = new_field_meta.get(f.name)
+        if gen is None:
+            raise ValueError(
+                f"evolved column {f.name!r} has no generated mapping "
+                "identity — the batch was staged without merge_schema; "
+                "restage via write_delta(merge_schema=True)"
+            )
+        fj = json.loads(f.json())
+        fj["metadata"] = {**(fj.get("metadata") or {}), **gen}
+        add.append(fj)
+    conf = dict(prev_meta.get("configuration") or {})
+    max_id = max(
+        [int(conf.get("delta.columnMapping.maxColumnId", 0) or 0)]
+        + [int(m[_FIELD_ID_KEY]) for m in new_field_meta.values()]
+    )
+    conf["delta.columnMapping.maxColumnId"] = str(max_id)
+    return {
+        **prev_meta,
+        "schemaString": json.dumps({**sch, "fields": sch["fields"] + add}),
+        "configuration": conf,
+    }
 
 
 def commit_set_properties(

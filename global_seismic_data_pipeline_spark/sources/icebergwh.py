@@ -225,6 +225,12 @@ class IcebergWarehouse(Warehouse):
     def delete_where(self, name: str, condition: str, **kw) -> dict:
         return ib.delete_where(self.spark, self.path(name), condition, **kw)
 
+    def upsert(self, df: DataFrame, name: str, keys: list, **kw) -> dict:
+        """O(batch) MERGE: one equality-delete + data-append snapshot
+        (``iceberg.upsert_by_keys``) — no existing file read or moved.
+        The rewrite ``merge`` remains for v1 tables and bulk batches."""
+        return ib.upsert_by_keys(self.spark, self.path(name), df, keys, **kw)
+
     def table_stats(self, name: str) -> dict[str, int]:
         files = self.table(name).data_files()
         return {

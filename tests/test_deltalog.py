@@ -823,12 +823,34 @@ def test_column_mapping_name_mode_read(spark, tmp_path):
     )
     raw_cols = _pq.ParquetFile(os.path.join(p, new_rel)).schema_arrow.names
     assert raw_cols == ["col-aaa", "col-bbb"]
-    # schema evolution on a mapped table refuses (needs fresh ids)
+    # schema evolution on a mapped table: WITHOUT merge_schema the
+    # stage refuses; WITH it the new column gets a freshly-generated
+    # mapping identity (next maxColumnId + col-<uuid> physical name)
     wider = spark.createDataFrame(
-        [(4, ("w",), 1.0)], "k int, s struct<c: string>, extra double"
+        [(4, ("w",), 1.5)], "k int, s struct<c: string>, extra double"
     )
-    with pytest.raises(ValueError, match="column ids"):
-        dl.write_delta(wider, p, mode="append", merge_schema=True)
+    with pytest.raises(ValueError, match="fresh column ids"):
+        dl.write_delta(wider, p, mode="append")
+    dl.write_delta(wider, p, mode="append", merge_schema=True)
+    evolved = dl.snapshot_state(p)["metadata"]
+    sch = json.loads(evolved["schemaString"])
+    extra_f = next(f for f in sch["fields"] if f["name"] == "extra")
+    assert extra_f["metadata"]["delta.columnMapping.id"] == 4
+    assert extra_f["metadata"]["delta.columnMapping.physicalName"].startswith("col-")
+    assert evolved["configuration"]["delta.columnMapping.maxColumnId"] == "4"
+    out3 = dl.read_delta(spark, p)
+    assert out3.columns == ["k", "s", "extra"]
+    got3 = {(r.k, r.extra) for r in out3.collect()}
+    assert got3 == {(1, None), (2, None), (3, None), (4, 1.5)}
+    # and the evolved physical name is what the new file carries
+    phys_extra = extra_f["metadata"]["delta.columnMapping.physicalName"]
+    newest = max(dl.snapshot_state(p)["files"])  # lexically newest part
+    widest = next(
+        rel for rel in dl.snapshot_state(p)["files"]
+        if phys_extra in _pq.ParquetFile(
+            os.path.join(p, rel)).schema_arrow.names
+    )
+    assert widest  # at least one file physically carries the new column
 
 
 def test_column_mapping_partitioned_and_id_mode_metadata(spark, tmp_path):

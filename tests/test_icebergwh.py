@@ -133,6 +133,29 @@ def test_tail_and_maintenance_delegates(spark, iwh):
     assert iwh.read("t2").count() == 48
 
 
+def test_warehouse_upsert_equality_delete(spark, iwh):
+    """The O(batch) upsert through the warehouse API: existing files
+    survive untouched, update-wins semantics hold."""
+    iwh.overwrite(
+        spark.createDataFrame(
+            [(1, "p1", "a"), (2, "p2", "b")], "k long, part string, v string"
+        ),
+        "t", partition_by=["part"],
+    )
+    files0 = {f["file_path"] for f in iwh.table("t").data_files()}
+    out = iwh.upsert(
+        spark.createDataFrame(
+            [(2, "p2", "B"), (3, "p1", "c")], "k long, part string, v string"
+        ),
+        "t", ["k"],
+    )
+    assert out["keys_deleted"] == 2
+    assert {(r.k, r.v) for r in iwh.read("t").collect()} == {
+        (1, "a"), (2, "B"), (3, "c"),
+    }
+    assert files0 <= {f["file_path"] for f in iwh.table("t").data_files()}
+
+
 def test_merge_pruned_refuses_wrong_spec(spark, iwh):
     iwh.overwrite(
         spark.createDataFrame([(1, "x", "a")], "k long, part string, v string"),
