@@ -25,14 +25,18 @@ their equality columns — both scoped by the spec's sequence-number
 rules (positional applies when delete seq ≥ data seq, equality when
 delete seq > data seq; entry seqs inherit from the manifest list).
 
+Column resolution follows the spec: when the data files carry parquet
+FIELD IDS (every real Iceberg writer stamps them; ours does too), the
+scan resolves by id via Spark's fieldId reader — renamed columns are
+metadata-only and read correctly. Files without ids fall back to name
+resolution with the sampled footer VERIFIED to contain every expected
+column (a renamed id-less table refuses loudly instead of silently
+returning nulls).
+
 Honest guards (loud refusals, not silent wrong answers):
 - format-version > 2;
 - nested (struct/list/map) column types in the table schema;
-- name-based column resolution only: a table whose columns were RENAMED
-  after data was written needs field-id-based parquet resolution, which
-  this reader does not do (the analogue of deltalog's column-mapping
-  gate — reads would silently return nulls, so renames detected via
-  schema mismatch surface as missing columns from Spark's scan).
+- renamed columns over ID-LESS data files (no way to follow the rename).
 
 The writer publishes format-version 1 (unpartitioned, maximum client
 compatibility) AND format-version 2 PARTITIONED tables — identity /
@@ -147,10 +151,19 @@ class IcebergTable:
             raise IcebergError(f"current-schema-id {sid} not in schemas")
         return m["schema"]  # v1
 
-    def spark_schema(self) -> T.StructType:
+    def spark_schema(self, *, with_field_ids: bool = False) -> T.StructType:
+        """The table schema as a Spark StructType. ``with_field_ids``
+        attaches each field's Iceberg id as ``parquet.field.id``
+        metadata, which flips Spark's parquet reader to FIELD-ID
+        resolution — the resolution the Iceberg spec actually requires
+        (column names in the files are irrelevant; renames are
+        metadata-only)."""
         fields = []
         for f in self.schema_json()["fields"]:
             t = f["type"]
+            meta = (
+                {"parquet.field.id": f["id"]} if with_field_ids else None
+            )
             if not isinstance(t, str) or t.startswith("decimal"):
                 if isinstance(t, str) and t.startswith("decimal"):
                     p, s = t[t.index("(") + 1 : -1].split(",")
@@ -159,6 +172,7 @@ class IcebergTable:
                             f["name"],
                             T.DecimalType(int(p), int(s)),
                             not f.get("required", False),
+                            meta,
                         )
                     )
                     continue
@@ -172,9 +186,54 @@ class IcebergTable:
                 T.StructField(
                     f["name"], _ICEBERG_TO_SPARK[t],
                     not f.get("required", False),
+                    meta,
                 )
             )
         return T.StructType(fields)
+
+    def _scan_schema(self, files: list[dict]) -> T.StructType:
+        """The schema to hand Spark's parquet scan, choosing the
+        resolution mode by SAMPLING one live file's footer driver-side:
+
+        - the file carries parquet field ids (every real Iceberg writer
+          stamps them — the spec requires id resolution): read with
+          ``parquet.field.id`` metadata + the fieldId reader conf, so
+          renamed columns resolve correctly and a mixed table with an
+          id-less file errors LOUDLY instead of returning nulls;
+        - no field ids (files written by id-less tools): fall back to
+          name resolution, but VERIFY the sampled footer contains every
+          expected column name and refuse loudly otherwise — name-
+          resolving a renamed table would silently return all-null
+          columns, the one outcome never permitted."""
+        if not files:
+            return self.spark_schema()
+        import pyarrow.parquet as pq
+
+        sample = pq.ParquetFile(
+            _strip_scheme(files[0]["file_path"])
+        ).schema_arrow
+        has_ids = all(
+            (f.metadata or {}).get(b"PARQUET:field_id") is not None
+            for f in sample
+        )
+        if has_ids:
+            self.spark.conf.set(
+                "spark.sql.parquet.fieldId.read.enabled", "true"
+            )
+            return self.spark_schema(with_field_ids=True)
+        missing = [
+            f.name for f in self.spark_schema().fields
+            if f.name not in set(sample.names)
+        ]
+        if missing:
+            raise IcebergError(
+                f"columns {missing} are absent from the data files and "
+                "the files carry no parquet field ids — the table's "
+                "columns were RENAMED by a client this reader cannot "
+                "follow without ids (name resolution would silently "
+                "return nulls)"
+            )
+        return self.spark_schema()
 
     def partition_spec(self) -> list[dict]:
         m = self.metadata
@@ -463,10 +522,11 @@ class IcebergTable:
         schema = self.spark_schema()
         if not files:
             return self.spark.createDataFrame([], schema)
+        scan_schema = self._scan_schema(files)
         deletes = self.delete_files(snapshot_id, as_of_ms)
         if not deletes:
             paths = [_strip_scheme(f["file_path"]) for f in files]
-            return self.spark.read.schema(schema).parquet(*paths)
+            return self.spark.read.schema(scan_schema).parquet(*paths)
 
         pos_rows = self._resolve_position_deletes(files, deletes)
         eq_groups = self._resolve_equality_deletes(deletes)
@@ -481,7 +541,7 @@ class IcebergTable:
         parts = []
         for seq in sorted(by_seq):
             parts.append(
-                self.spark.read.schema(schema)
+                self.spark.read.schema(scan_schema)
                 .parquet(*by_seq[seq])
                 .select(
                     "*",
@@ -560,7 +620,7 @@ class IcebergTable:
                 )
             log = log[seen.index(after_snapshot_id) + 1 :]
         schema = self.spark_schema()
-        paths = []
+        frecs = []
         cursor = after_snapshot_id
         for s in log:
             op = (s.get("summary") or {}).get("operation", "append")
@@ -569,14 +629,15 @@ class IcebergTable:
                     f"snapshot {s['snapshot-id']} is {op!r}, not append — "
                     "pass ignore_changes=True to consume adds anyway"
                 )
-            paths.extend(
-                _strip_scheme(f["file_path"])
-                for f in self.added_files(s["snapshot-id"])
-            )
+            frecs.extend(self.added_files(s["snapshot-id"]))
             cursor = s["snapshot-id"]
-        if not paths:
+        if not frecs:
             return self.spark.createDataFrame([], schema), cursor
-        return self.spark.read.schema(schema).parquet(*paths), cursor
+        paths = [_strip_scheme(f["file_path"]) for f in frecs]
+        return (
+            self.spark.read.schema(self._scan_schema(frecs)).parquet(*paths),
+            cursor,
+        )
 
 
 _UNPRUNABLE = object()
@@ -1021,8 +1082,23 @@ def _write_snapshot(
         + 1
     )
     if data_files is None:
+        if base is not None:
+            sid = base.get("current-schema-id")
+            sch = (
+                next(
+                    x for x in base.get("schemas", [{}])
+                    if x.get("schema-id") == sid
+                )
+                if "schemas" in base else base.get("schema", {})
+            )
+            field_ids = {f["name"]: f["id"] for f in sch.get("fields", [])}
+        else:
+            field_ids = {
+                f.name: i for i, f in enumerate(df.schema.fields, start=1)
+            }
         files = _stage_data_files(
-            location, df, part_fields, snapshot_id, data_dir
+            location, df, part_fields, snapshot_id, data_dir,
+            field_ids=field_ids,
         )
     else:
         files = data_files
@@ -1173,14 +1249,32 @@ def _stage_data_files(
     part_fields: list[dict],
     snapshot_id: int,
     data_dir: str,
+    field_ids: dict | None = None,
 ) -> list[dict]:
     """Execute the (possibly partitioned) write into a staging dir, move
     files into ``data/``, and return their data_file records with typed
-    partition values recovered from the hive layout."""
+    partition values recovered from the hive layout.
+
+    ``field_ids`` (column name → Iceberg field id) stamps parquet FIELD
+    IDS into the written files via alias metadata — what every real
+    Iceberg writer does, and what makes renames metadata-only for all
+    readers (ours resolves by id whenever the files carry ids)."""
     from urllib.parse import unquote as _unquote
 
     import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
 
+    if field_ids:
+        df.sparkSession.conf.set(
+            "spark.sql.parquet.fieldId.write.enabled", "true"
+        )
+        df = df.select(*[
+            F.col(f.name).alias(
+                f.name, metadata={"parquet.field.id": field_ids[f.name]}
+            )
+            if f.name in field_ids else F.col(f.name)
+            for f in df.schema.fields
+        ])
     staging = os.path.join(location, f".staging-{uuid.uuid4().hex}")
     pt_cols = [f"__pt_{pf['name']}" for pf in part_fields]
     if part_fields:
@@ -1412,7 +1506,8 @@ def compact_data_files(
         (s["snapshot-id"] for s in base.get("snapshots", [])), default=0
     ) + 1
     new_files = _stage_data_files(
-        location, compacted, part_fields, snapshot_id, data_dir
+        location, compacted, part_fields, snapshot_id, data_dir,
+        field_ids={f["name"]: f["id"] for f in t.schema_json()["fields"]},
     )
     kept_records = [
         {k: v for k, v in f.items() if not k.startswith("_")} for f in keep
@@ -1447,8 +1542,9 @@ def _read_files_with_deletes(
     schema = t.spark_schema()
     if not files:
         return t.spark.createDataFrame([], schema)
+    scan_schema = t._scan_schema(files)
     if not deletes and not keep_meta:
-        return t.spark.read.schema(schema).parquet(
+        return t.spark.read.schema(scan_schema).parquet(
             *[_strip_scheme(f["file_path"]) for f in files]
         )
     pos_rows = t._resolve_position_deletes(files, deletes)
@@ -1462,7 +1558,7 @@ def _read_files_with_deletes(
     parts = []
     for seq in sorted(by_seq):
         parts.append(
-            t.spark.read.schema(schema)
+            t.spark.read.schema(scan_schema)
             .parquet(*by_seq[seq])
             .select(
                 "*",
@@ -1714,7 +1810,8 @@ def upsert_by_keys(
     data_dir = os.path.join(location, "data")
     os.makedirs(data_dir, exist_ok=True)
     new_files = _stage_data_files(
-        location, df, part_fields, snapshot_id, data_dir
+        location, df, part_fields, snapshot_id, data_dir,
+        field_ids={f["name"]: f["id"] for f in fields.values()},
     )
     # the equality delete file: one column per key, spec appendix types
     cols = {}

@@ -108,17 +108,25 @@ class IcebergWarehouse(Warehouse):
             ib._check_schema(t, df, operation)
             part_fields, fv = ib._table_write_shape(t)
             base = t.metadata
+            field_ids = {
+                f["name"]: f["id"] for f in t.schema_json()["fields"]
+            }
         else:
             part_fields = ib._parse_partition_by(list(partition_by), df.schema)
             fv = 2 if partition_by else 1
             base = None
+            field_ids = {
+                f.name: i for i, f in enumerate(df.schema.fields, start=1)
+            }
         data_dir = os.path.join(loc, "data")
         os.makedirs(data_dir, exist_ok=True)
         next_id = max(
             (s["snapshot-id"] for s in (base or {}).get("snapshots", [])),
             default=0,
         ) + 1
-        files = ib._stage_data_files(loc, df, part_fields, next_id, data_dir)
+        files = ib._stage_data_files(
+            loc, df, part_fields, next_id, data_dir, field_ids=field_ids
+        )
         # the staging write materialized the Observation
         if obs is not None:
             row = obs.get

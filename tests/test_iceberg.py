@@ -956,3 +956,139 @@ def test_iceberg_upsert_by_keys_equality_delete(spark, tmp_path):
         iceberg.upsert_by_keys(
             spark, loc1, spark.range(1).selectExpr("id"), ["id"]
         )
+
+
+def test_iceberg_field_id_resolution_renamed_columns(spark, tmp_path):
+    """Field-id resolution (what the Iceberg spec requires): a foreign
+    table whose columns were RENAMED — the schema's names differ from
+    the parquet column names, ids agree — reads correctly; an id-less
+    table with a renamed column REFUSES loudly instead of returning the
+    silent NULLs name resolution would produce."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def _mk_table(loc, file_cols, schema_fields):
+        md = os.path.join(loc, "metadata")
+        data = os.path.join(loc, "data")
+        os.makedirs(md)
+        os.makedirs(data)
+        fp = os.path.join(data, "f.parquet")
+        pq.write_table(pa.Table.from_arrays(
+            [a for _, a, _ in file_cols],
+            schema=pa.schema([
+                pa.field(n, a.type, metadata=(
+                    {b"PARQUET:field_id": str(fid).encode()}
+                    if fid is not None else None
+                ))
+                for n, a, fid in file_cols
+            ]),
+        ), fp)
+        mf = os.path.join(md, "m.avro")
+        avrofile.write_file(mf, {
+            "type": "record", "name": "manifest_entry", "fields": [
+                {"name": "status", "type": "int"},
+                {"name": "snapshot_id", "type": ["null", "long"]},
+                {"name": "data_file", "type": {
+                    "type": "record", "name": "r2", "fields": [
+                        {"name": "content", "type": "int"},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                    ]}},
+            ]}, [{"status": 1, "snapshot_id": 1, "data_file": {
+                "content": 0, "file_path": f"file:{fp}",
+                "file_format": "parquet", "record_count": 2,
+                "file_size_in_bytes": os.path.getsize(fp)}}])
+        ml = os.path.join(md, "snap-1.avro")
+        avrofile.write_file(ml, {
+            "type": "record", "name": "manifest_file", "fields": [
+                {"name": "manifest_path", "type": "string"},
+                {"name": "manifest_length", "type": "long"},
+                {"name": "partition_spec_id", "type": "int"},
+                {"name": "content", "type": "int"},
+                {"name": "added_snapshot_id", "type": ["null", "long"]},
+            ]}, [{"manifest_path": f"file:{mf}",
+                  "manifest_length": os.path.getsize(mf),
+                  "partition_spec_id": 0, "content": 0,
+                  "added_snapshot_id": 1}])
+        meta = {
+            "format-version": 2, "table-uuid": "r1", "location": loc,
+            "last-updated-ms": 1000, "last-column-id": 2,
+            "last-sequence-number": 1, "current-schema-id": 0,
+            "schemas": [{"type": "struct", "schema-id": 0,
+                         "fields": schema_fields}],
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "properties": {}, "current-snapshot-id": 1,
+            "snapshots": [{"snapshot-id": 1, "sequence-number": 1,
+                           "timestamp-ms": 1000,
+                           "summary": {"operation": "append"},
+                           "manifest-list": f"file:{ml}"}],
+            "snapshot-log": [{"timestamp-ms": 1000, "snapshot-id": 1}],
+        }
+        with open(os.path.join(md, "v1.metadata.json"), "w") as fh:
+            json.dump(meta, fh)
+        with open(os.path.join(md, "version-hint.text"), "w") as fh:
+            fh.write("1")
+
+    # renamed table WITH field ids: file columns (old_b, old_a), schema
+    # names (a_new, b_new) — ids do the matching, order/names ignored
+    loc1 = str(tmp_path / "ren")
+    _mk_table(
+        loc1,
+        [("old_b", pa.array(["x", "y"]), 2),
+         ("old_a", pa.array([1, 2], pa.int64()), 1)],
+        [{"id": 1, "name": "a_new", "required": False, "type": "long"},
+         {"id": 2, "name": "b_new", "required": False, "type": "string"}],
+    )
+    t = iceberg.IcebergTable(spark, loc1)
+    out = t.read()
+    assert out.columns == ["a_new", "b_new"]
+    assert {(r.a_new, r.b_new) for r in out.collect()} == {(1, "x"), (2, "y")}
+
+    # renamed table WITHOUT ids: refuse loudly
+    loc2 = str(tmp_path / "renoid")
+    _mk_table(
+        loc2,
+        [("old_a", pa.array([1], pa.int64()), None)],
+        [{"id": 1, "name": "a_new", "required": False, "type": "long"}],
+    )
+    t2 = iceberg.IcebergTable(spark, loc2)
+    with pytest.raises(iceberg.IcebergError, match="RENAMED"):
+        t2.read()
+
+
+def test_iceberg_writer_stamps_field_ids(spark, tmp_path):
+    """Our own writer stamps parquet field ids (what every real Iceberg
+    writer does), so tables it publishes survive renames by any
+    id-resolving reader — including this one."""
+    import pyarrow.parquet as pq
+
+    loc = str(tmp_path / "ids")
+    t = iceberg.create_table(
+        spark, loc,
+        spark.createDataFrame([(1, "a")], "k long, v string"),
+    )
+    f = t.data_files()[0]
+    arrow = pq.ParquetFile(
+        iceberg._strip_scheme(f["file_path"])
+    ).schema_arrow
+    fids = {
+        fld.name: (fld.metadata or {}).get(b"PARQUET:field_id")
+        for fld in arrow
+    }
+    assert fids == {"k": b"1", "v": b"2"}
+    # simulate a foreign RENAME: metadata-only schema change
+    md = os.path.join(loc, "metadata")
+    with open(os.path.join(md, "v1.metadata.json")) as fh:
+        meta = json.load(fh)
+    meta["schema"]["fields"][0]["name"] = "key_renamed"
+    with open(os.path.join(md, "v2.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(md, "version-hint.text"), "w") as fh:
+        fh.write("2")
+    t2 = iceberg.IcebergTable(spark, loc)
+    out = t2.read()
+    assert out.columns == ["key_renamed", "v"]
+    assert [(r.key_renamed, r.v) for r in out.collect()] == [(1, "a")]
