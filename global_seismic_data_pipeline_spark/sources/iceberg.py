@@ -33,9 +33,13 @@ resolution with the sampled footer VERIFIED to contain every expected
 column (a renamed id-less table refuses loudly instead of silently
 returning nulls).
 
+Nested struct / list / map column types map recursively from the
+spec's JSON schema forms (reads; the WRITER stays flat-schema, matching
+the engine's data model).
+
 Honest guards (loud refusals, not silent wrong answers):
 - format-version > 2;
-- nested (struct/list/map) column types in the table schema;
+- unknown type strings in the schema;
 - renamed columns over ID-LESS data files (no way to follow the rename).
 
 The writer publishes format-version 1 (unpartitioned, maximum client
@@ -100,6 +104,47 @@ def _strip_scheme(p: str) -> str:
     return p[5:] if p.startswith("file:") else p
 
 
+def _spark_type(t, with_field_ids: bool, where: str) -> T.DataType:
+    """One Iceberg schema type (primitive string or nested JSON form) →
+    Spark type, recursively; field-id metadata attaches inside structs
+    when requested (lists/maps carry element/key/value ids the parquet
+    reader does not consume — struct ids are what resolution needs)."""
+    if isinstance(t, str):
+        if t.startswith("decimal"):
+            p, s = t[t.index("(") + 1 : -1].split(",")
+            return T.DecimalType(int(p), int(s))
+        if t.startswith("fixed"):
+            return T.BinaryType()
+        if t == "uuid":
+            return T.StringType()
+        if t in _ICEBERG_TO_SPARK:
+            return _ICEBERG_TO_SPARK[t]
+        raise IcebergError(f"unsupported iceberg type {t!r} (field {where!r})")
+    kind = t.get("type")
+    if kind == "struct":
+        return T.StructType([
+            T.StructField(
+                f["name"],
+                _spark_type(f["type"], with_field_ids, f["name"]),
+                not f.get("required", False),
+                {"parquet.field.id": f["id"]} if with_field_ids else None,
+            )
+            for f in t["fields"]
+        ])
+    if kind == "list":
+        return T.ArrayType(
+            _spark_type(t["element"], with_field_ids, where),
+            not t.get("element-required", False),
+        )
+    if kind == "map":
+        return T.MapType(
+            _spark_type(t["key"], with_field_ids, where),
+            _spark_type(t["value"], with_field_ids, where),
+            not t.get("value-required", False),
+        )
+    raise IcebergError(f"unsupported iceberg type {t!r} (field {where!r})")
+
+
 class IcebergError(ValueError):
     pass
 
@@ -152,44 +197,22 @@ class IcebergTable:
         return m["schema"]  # v1
 
     def spark_schema(self, *, with_field_ids: bool = False) -> T.StructType:
-        """The table schema as a Spark StructType. ``with_field_ids``
-        attaches each field's Iceberg id as ``parquet.field.id``
-        metadata, which flips Spark's parquet reader to FIELD-ID
-        resolution — the resolution the Iceberg spec actually requires
-        (column names in the files are irrelevant; renames are
-        metadata-only)."""
-        fields = []
-        for f in self.schema_json()["fields"]:
-            t = f["type"]
-            meta = (
-                {"parquet.field.id": f["id"]} if with_field_ids else None
+        """The table schema as a Spark StructType — nested struct / list
+        / map types map recursively per the spec's JSON forms.
+        ``with_field_ids`` attaches each field's Iceberg id as
+        ``parquet.field.id`` metadata at EVERY nesting level, which
+        flips Spark's parquet reader to FIELD-ID resolution — the
+        resolution the Iceberg spec actually requires (column names in
+        the files are irrelevant; renames are metadata-only)."""
+        return T.StructType([
+            T.StructField(
+                f["name"],
+                _spark_type(f["type"], with_field_ids, f["name"]),
+                not f.get("required", False),
+                {"parquet.field.id": f["id"]} if with_field_ids else None,
             )
-            if not isinstance(t, str) or t.startswith("decimal"):
-                if isinstance(t, str) and t.startswith("decimal"):
-                    p, s = t[t.index("(") + 1 : -1].split(",")
-                    fields.append(
-                        T.StructField(
-                            f["name"],
-                            T.DecimalType(int(p), int(s)),
-                            not f.get("required", False),
-                            meta,
-                        )
-                    )
-                    continue
-                raise IcebergError(
-                    f"nested/unsupported column type {t!r} "
-                    f"(field {f['name']!r})"
-                )
-            if t not in _ICEBERG_TO_SPARK:
-                raise IcebergError(f"unsupported iceberg type {t!r}")
-            fields.append(
-                T.StructField(
-                    f["name"], _ICEBERG_TO_SPARK[t],
-                    not f.get("required", False),
-                    meta,
-                )
-            )
-        return T.StructType(fields)
+            for f in self.schema_json()["fields"]
+        ])
 
     def _scan_schema(self, files: list[dict]) -> T.StructType:
         """The schema to hand Spark's parquet scan, choosing the

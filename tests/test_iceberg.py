@@ -586,24 +586,115 @@ def test_iceberg_delete_manifest_with_data_content_refuses(spark, tmp_path):
         t.read()
 
 
-def test_iceberg_nested_type_refuses(spark, tmp_path):
-    loc = str(tmp_path / "tbl")
+def test_iceberg_nested_types_read(spark, tmp_path):
+    """Nested struct / list / map columns map recursively from the
+    spec's JSON schema forms and read correctly; truly unknown types
+    still refuse loudly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    loc = str(tmp_path / "nested")
     md = os.path.join(loc, "metadata")
+    data = os.path.join(loc, "data")
     os.makedirs(md)
+    os.makedirs(data)
+    fp = os.path.join(data, "n.parquet")
+    pq.write_table(pa.table({
+        "k": pa.array([1, 2], pa.int64()),
+        "s": pa.array([{"a": 10, "b": "x"}, {"a": 20, "b": "y"}],
+                      pa.struct([("a", pa.int64()), ("b", pa.string())])),
+        "arr": pa.array([[1, 2], [3]], pa.list_(pa.int64())),
+        "m": pa.array([[("u", 1.5)], [("v", 2.5)]],
+                      pa.map_(pa.string(), pa.float64())),
+    }), fp)
+    schema_fields = [
+        {"id": 1, "name": "k", "required": False, "type": "long"},
+        {"id": 2, "name": "s", "required": False, "type": {
+            "type": "struct", "fields": [
+                {"id": 5, "name": "a", "required": False, "type": "long"},
+                {"id": 6, "name": "b", "required": False, "type": "string"},
+            ]}},
+        {"id": 3, "name": "arr", "required": False, "type": {
+            "type": "list", "element-id": 7, "element": "long",
+            "element-required": False}},
+        {"id": 4, "name": "m", "required": False, "type": {
+            "type": "map", "key-id": 8, "key": "string",
+            "value-id": 9, "value": "double", "value-required": False}},
+    ]
+    mf = os.path.join(md, "m.avro")
+    avrofile.write_file(mf, {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2", "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ]}},
+        ]}, [{"status": 1, "snapshot_id": 1, "data_file": {
+            "content": 0, "file_path": f"file:{fp}",
+            "file_format": "parquet", "record_count": 2,
+            "file_size_in_bytes": os.path.getsize(fp)}}])
+    ml = os.path.join(md, "snap-1.avro")
+    avrofile.write_file(ml, {
+        "type": "record", "name": "manifest_file", "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "partition_spec_id", "type": "int"},
+            {"name": "content", "type": "int"},
+            {"name": "added_snapshot_id", "type": ["null", "long"]},
+        ]}, [{"manifest_path": f"file:{mf}",
+              "manifest_length": os.path.getsize(mf),
+              "partition_spec_id": 0, "content": 0,
+              "added_snapshot_id": 1}])
     meta = {
         "format-version": 1, "table-uuid": "0", "location": loc,
-        "last-updated-ms": 0, "last-column-id": 1,
-        "schema": {"type": "struct", "schema-id": 0, "fields": [
-            {"id": 1, "name": "s", "required": False,
-             "type": {"type": "struct", "fields": []}}]},
+        "last-updated-ms": 0, "last-column-id": 9,
+        "schema": {"type": "struct", "schema-id": 0,
+                   "fields": schema_fields},
         "partition-spec": [], "properties": {},
-        "current-snapshot-id": -1, "snapshots": [],
+        "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1, "timestamp-ms": 1000,
+                       "summary": {"operation": "append"},
+                       "manifest-list": f"file:{ml}"}],
+        "snapshot-log": [{"timestamp-ms": 1000, "snapshot-id": 1}],
     }
     with open(os.path.join(md, "v1.metadata.json"), "w") as fh:
         json.dump(meta, fh)
+    with open(os.path.join(md, "version-hint.text"), "w") as fh:
+        fh.write("1")
     t = iceberg.IcebergTable(spark, loc)
-    with pytest.raises(iceberg.IcebergError, match="nested"):
-        t.spark_schema()
+    sch = t.spark_schema()
+    assert sch["s"].dataType.fieldNames() == ["a", "b"]
+    assert sch["arr"].dataType.simpleString() == "array<bigint>"
+    assert sch["m"].dataType.simpleString() == "map<string,double>"
+    rows = {
+        (r.k, r.s.a, r.s.b, tuple(r.arr), tuple(sorted(r.m.items())))
+        for r in t.read().collect()
+    }
+    assert rows == {
+        (1, 10, "x", (1, 2), (("u", 1.5),)),
+        (2, 20, "y", (3,), (("v", 2.5),)),
+    }
+    assert t.row_count() == 2
+
+    # an unknown type string still refuses loudly
+    loc2 = str(tmp_path / "unk")
+    md2 = os.path.join(loc2, "metadata")
+    os.makedirs(md2)
+    meta2 = dict(meta, location=loc2, schema={
+        "type": "struct", "schema-id": 0, "fields": [
+            {"id": 1, "name": "x", "required": False, "type": "geometry"}]},
+        snapshots=[], **{"current-snapshot-id": -1})
+    meta2["current-snapshot-id"] = -1
+    with open(os.path.join(md2, "v1.metadata.json"), "w") as fh:
+        json.dump(meta2, fh)
+    t2 = iceberg.IcebergTable(spark, loc2)
+    with pytest.raises(iceberg.IcebergError, match="unsupported iceberg type"):
+        t2.spark_schema()
 
 
 def test_iceberg_tail_consumer_medallion(spark, tmp_path):
