@@ -486,7 +486,12 @@ def _physical_schema(state: Mapping) -> StructType:
 
 
 def _scan_adds(
-    spark: SparkSession, table_path: str, files: list[dict], state: Mapping
+    spark: SparkSession,
+    table_path: str,
+    files: list[dict],
+    state: Mapping,
+    *,
+    keep_meta: bool = False,
 ) -> DataFrame:
     """One DataFrame over a set of add-file entries, honoring the table's
     column-mapping mode — shared by ``read_delta`` and ``delta_tail``.
@@ -508,7 +513,11 @@ def _scan_adds(
     tombstone metadata, exactly how every Delta client plans) into a
     broadcast (file, row_index) set; the filter is a distributed
     anti-join on ``_metadata.row_index`` — no data file is read on the
-    driver, and files without DVs pay nothing when none exist."""
+    driver, and files without DVs pay nothing when none exist.
+
+    ``keep_meta=True`` keeps the ``__dv_file``/``__dv_pos`` metadata
+    columns on the (live, DV-filtered) rows — the DV-DELETE probe needs
+    the surviving rows' file + position."""
     metadata = state["metadata"]
     schema = delta_schema(state)
     out_cols = [f.name for f in schema.fields]
@@ -543,13 +552,14 @@ def _scan_adds(
             F.col("_metadata.file_path").alias("__dv_file"),
             F.col("_metadata.row_index").alias("__dv_pos"),
         ]
-        if dv_files
+        if dv_files or keep_meta
         else []
     )
+    final_cols = out_cols + (["__dv_file", "__dv_pos"] if keep_meta else [])
 
     def _dv_filter(df: DataFrame) -> DataFrame:
         if not dv_files:
-            return df
+            return df.select(*final_cols) if keep_meta else df
         from . import dvbitmap
 
         rows = []
@@ -569,7 +579,7 @@ def _scan_adds(
         )
         return df.join(
             F.broadcast(deleted_df), ["__dv_file", "__dv_pos"], "left_anti"
-        ).select(*out_cols)
+        ).select(*final_cols)
 
     if not pcols:
         return _dv_filter(
@@ -605,7 +615,9 @@ def _scan_adds(
             )
             df = df.withColumn(c, lit)
         keep = (
-            [*out_cols, "__dv_file", "__dv_pos"] if dv_files else out_cols
+            [*out_cols, "__dv_file", "__dv_pos"]
+            if dv_files or keep_meta
+            else out_cols
         )
         parts.append(df.select(*keep))
     out = parts[0]

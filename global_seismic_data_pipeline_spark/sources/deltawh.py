@@ -321,46 +321,27 @@ class DeltaLogWarehouse(Warehouse):
         deletionVectors reader feature. Deletes bigger than ``max_rows``
         refuse loudly — at that size the rewrite path (SQL façade
         DELETE) is the right tool and the driver-side position set would
-        not be metadata-sized anymore."""
+        not be metadata-sized anymore. Works on plain, non-hive-layout,
+        and column-mapping tables (the probe reuses the mapping-aware
+        ``_scan_adds``)."""
         import uuid as _uuid
-
-        from pyspark.sql import functions as F
 
         from . import dvbitmap as dvb
 
         path = self.path(name)
         state = dl.snapshot_state(path)
-        if dl._mapping_mode(state["metadata"]) != "none":
-            raise dl.DeltaProtocolError(
-                "delete_with_dv on a column-mapping table is not "
-                "supported (the DV probe scans with the logical schema; "
-                "mapped data files carry physical names) — appends and "
-                "overwrites into mapped tables work via write_delta"
-            )
-        pcols = list(state["metadata"].get("partitionColumns") or [])
-        schema = dl.delta_schema(state)
         abs_of = {
             rel: os.path.join(path, unquote(rel)) for rel in state["files"]
         }
         rel_of_uri = {"file:" + a: rel for rel, a in abs_of.items()}
-        if pcols and not dl._hive_layout_agrees(
-            list(state["files"].values()), pcols
-        ):
-            raise dl.DeltaProtocolError(
-                "delete_with_dv needs the hive directory layout to "
-                "evaluate partition-column predicates; this table's "
-                "partitionValues disagree with its directory names — "
-                "use the rewrite DELETE path"
-            )
-        reader = self.spark.read.schema(schema)
-        if pcols:
-            reader = reader.option("basePath", path)
-        raw = reader.parquet(*abs_of.values()).select(
-            "*",
-            F.col("_metadata.file_path").alias("__f"),
-            F.col("_metadata.row_index").alias("__p"),
+        # the DV-filtered mapping-aware scan with row provenance kept:
+        # works on plain, non-hive, AND column-mapping tables alike, and
+        # already-deleted rows can never re-match
+        raw = dl._scan_adds(
+            self.spark, path, list(state["files"].values()), state,
+            keep_meta=True,
         )
-        hits = raw.filter(condition).select("__f", "__p")
+        hits = raw.filter(condition).select("__dv_file", "__dv_pos")
         n = hits.count()
         if n == 0:
             return {"files_affected": 0, "rows_deleted": 0}
@@ -371,26 +352,19 @@ class DeltaLogWarehouse(Warehouse):
             )
         by_file: dict[str, set[int]] = {}
         for r in hits.collect():
-            # r["__f"], not r.__f: attribute access on a dunder-prefixed
-            # name gets Python-mangled inside a class body
-            by_file.setdefault(rel_of_uri[r["__f"]], set()).add(int(r["__p"]))
-        # the raw scan sees rows the existing vectors already deleted —
-        # those are logical no-ops: count only NEW deletions, and skip
-        # files whose matches were all already covered
-        n = 0
+            # r["__dv_file"], not attribute access: dunder-prefixed names
+            # get Python-mangled inside a class body
+            by_file.setdefault(
+                rel_of_uri[r["__dv_file"]], set()
+            ).add(int(r["__dv_pos"]))
+        # every hit is a NEW deletion (the probe scan is DV-filtered);
+        # merge with each file's existing vector for the replacement DV
         base_dvs: dict[str, dict | None] = {}
         for rel in list(by_file):
             old = state["files"][rel].get("deletionVector")
             base_dvs[rel] = old
-            old_set = dvb.resolve_dv(path, old) if old else set()
-            fresh = by_file[rel] - old_set
-            n += len(fresh)
-            if fresh:
-                by_file[rel] |= old_set
-            else:
-                del by_file[rel]
-        if not by_file:
-            return {"files_affected": 0, "rows_deleted": 0}
+            if old:
+                by_file[rel] |= dvb.resolve_dv(path, old)
         u = _uuid.uuid4()
         dv_path = os.path.join(path, f"deletion_vector_{u}.bin")
         descs = dvb.write_dv_multi(dv_path, by_file)

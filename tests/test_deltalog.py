@@ -1925,3 +1925,58 @@ def test_add_constraint_publishes_into_the_log(spark, tmp_path):
     conf = dl.snapshot_state(wh.path("t"))["metadata"]["configuration"]
     assert "delta.constraints.posid" not in conf
     wh2.append(spark.createDataFrame([(-3,)], "id long"), "t")  # now fine
+
+
+def test_delete_with_dv_on_column_mapping_table(spark, tmp_path):
+    """DV point-deletes now work on column-mapping tables: the probe
+    scans mapping-aware, the vector attaches to the physical file, and
+    reads stay logical."""
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from global_seismic_data_pipeline_spark.sources.deltawh import (
+        DeltaLogWarehouse,
+    )
+
+    wh = DeltaLogWarehouse(spark, str(tmp_path / "wh"))
+    root = wh.root
+    p = os.path.join(root, "t")
+    os.makedirs(os.path.join(p, "_delta_log"))
+    _write_parquet(spark, [(i, f"v{i}") for i in range(10)],
+                   "`col-k` int, `col-v` string", p, "f1.parquet")
+    logical = StructType([
+        StructField("k", IntegerType(), True, {
+            "delta.columnMapping.id": 1,
+            "delta.columnMapping.physicalName": "col-k"}),
+        StructField("v", StringType(), True, {
+            "delta.columnMapping.id": 2,
+            "delta.columnMapping.physicalName": "col-v"}),
+    ])
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "dvcm", "format": {"provider": "parquet", "options": {}},
+            "schemaString": logical.json(), "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name"},
+            "createdTime": 1,
+        }},
+        {"add": {"path": "f1.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 1, "dataChange": True}},
+        {"commitInfo": {"timestamp": 1000, "operation": "WRITE"}},
+    ]
+    with open(os.path.join(p, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+
+    out = wh.delete_with_dv("t", "k IN (3, 7)")  # LOGICAL condition
+    assert out["rows_deleted"] == 2
+    got = {(r.k, r.v) for r in wh.read("t").collect()}
+    assert got == {(i, f"v{i}") for i in range(10)} - {(3, "v3"), (7, "v7")}
+    # a second delete composes with the existing vector
+    assert wh.delete_with_dv("t", "k = 3")["rows_deleted"] == 0
+    assert wh.delete_with_dv("t", "v = 'v0'")["rows_deleted"] == 1
+    assert wh.read("t").count() == 7
