@@ -38,14 +38,16 @@ Reader protocol gate (refuse-loudly, never silently wrong): supported
 reader features are exactly ``_SUPPORTED_READER_FEATURES`` — deletion
 vectors (read, write, checkpoint, vacuum), column mapping in BOTH 'name'
 mode (physicalName resolution) and 'id' mode (parquet field-id
-resolution via Spark's fieldId reader), and timestampNtz. Writes into
+resolution via Spark's fieldId reader), timestampNtz, and typeWidening
+(the schemaString carries the widened type; Spark's parquet scan
+upcasts the narrow files natively). Writes into
 mapped tables work too: batches stage under PHYSICAL column names (plus
 parquet field ids in 'id' mode) with partitionValues keyed physically,
 the commit aborts if the mapping contract changed under the staged
 files, and ``merge_schema`` evolution assigns fresh column ids +
 col-<uuid> physical names with ``maxColumnId`` advanced (Delta's own
-assignment rule). What refuses: type widening and any reader feature
-not in the set. A matching WRITER gate (``_check_writer_protocol``)
+assignment rule). What refuses: any reader feature not in the
+supported set. A matching WRITER gate (``_check_writer_protocol``)
 refuses
 appends to foreign tables whose protocol demands enforcement this writer
 does not implement (appendOnly on rewrites, CHECK constraints,
@@ -80,6 +82,11 @@ _LAST_CHECKPOINT = "_last_checkpoint"
 # else listed by a v3 protocol makes the table unreadable HERE (loudly).
 _SUPPORTED_READER_FEATURES = {
     "timestampNtz", "columnMapping", "deletionVectors",
+    # the metaData schemaString carries the WIDENED type and Spark's
+    # parquet scan upcasts narrower files natively (verified here for
+    # every spec widening: byte/short/int->long, int->double,
+    # float->double, int->decimal, date->timestampNtz)
+    "typeWidening", "typeWidening-preview",
 }
 _NULL_PARTITION_DIR = "__HIVE_DEFAULT_PARTITION__"
 

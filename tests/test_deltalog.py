@@ -1980,3 +1980,66 @@ def test_delete_with_dv_on_column_mapping_table(spark, tmp_path):
     assert wh.delete_with_dv("t", "k = 3")["rows_deleted"] == 0
     assert wh.delete_with_dv("t", "v = 'v0'")["rows_deleted"] == 1
     assert wh.read("t").count() == 7
+
+
+def test_type_widening_reads(spark, tmp_path):
+    """The typeWidening reader feature: a column widened int -> long
+    after v0's files were written reads as long across OLD and NEW
+    files alike (Spark's parquet scan upcasts the narrow files; the
+    metaData schemaString carries the widened type)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "tw")
+    os.makedirs(os.path.join(p, "_delta_log"))
+    pq.write_table(
+        pa.table({"k": pa.array([1, 2], pa.int32()),
+                  "x": pa.array([1.5, 2.5], pa.float32())}),
+        os.path.join(p, "old.parquet"),
+    )
+    pq.write_table(
+        pa.table({"k": pa.array([3], pa.int64()),
+                  "x": pa.array([3.5], pa.float64())}),
+        os.path.join(p, "new.parquet"),
+    )
+    narrow = spark.createDataFrame([], "k int, x float").schema
+    wide = spark.createDataFrame([], "k long, x double").schema
+    v0 = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {
+            "id": "tw", "format": {"provider": "parquet", "options": {}},
+            "schemaString": narrow.json(), "partitionColumns": [],
+            "configuration": {}, "createdTime": 1,
+        }},
+        {"add": {"path": "old.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 1, "dataChange": True}},
+        {"commitInfo": {"timestamp": 1000, "operation": "WRITE"}},
+    ]
+    v1 = [
+        {"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["typeWidening"],
+            "writerFeatures": ["typeWidening"],
+        }},
+        {"metaData": {
+            "id": "tw", "format": {"provider": "parquet", "options": {}},
+            "schemaString": wide.json(), "partitionColumns": [],
+            "configuration": {}, "createdTime": 1,
+        }},
+        {"add": {"path": "new.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 2, "dataChange": True}},
+        {"commitInfo": {"timestamp": 2000, "operation": "ADD COLUMNS"}},
+    ]
+    for v, actions in ((0, v0), (1, v1)):
+        with open(os.path.join(p, "_delta_log", f"{v:020d}.json"), "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+    out = dl.read_delta(spark, p)
+    assert out.schema.simpleString() == "struct<k:bigint,x:double>"
+    assert sorted((r.k, r.x) for r in out.collect()) == [
+        (1, 1.5), (2, 2.5), (3, 3.5),
+    ]
+    # time travel to v0 reads the narrow schema
+    out0 = dl.read_delta(spark, p, version=0)
+    assert out0.schema.simpleString() == "struct<k:int,x:float>"
+    assert {r.k for r in out0.collect()} == {1, 2}
