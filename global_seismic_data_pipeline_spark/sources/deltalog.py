@@ -166,8 +166,24 @@ def _check_protocol(protocol: Mapping, metadata: Mapping) -> None:
 _KNOWN_WRITER_FEATURES = {
     "appendOnly", "invariants", "checkConstraints", "changeDataFeed",
     "generatedColumns", "identityColumns", "columnMapping",
-    "deletionVectors", "timestampNtz",
+    "deletionVectors", "timestampNtz", "typeWidening",
+    "typeWidening-preview", "inCommitTimestamp",
 }
+
+
+def _ict_value(state: Mapping) -> int | None:
+    """The monotonic inCommitTimestamp this commit must carry when the
+    table has the ICT feature enabled (spec: strictly greater than the
+    previous commit's), else None."""
+    conf = state["metadata"].get("configuration") or {}
+    feats = set(state["protocol"].get("writerFeatures") or [])
+    if (
+        conf.get("delta.enableInCommitTimestamps") == "true"
+        or "inCommitTimestamp" in feats
+    ):
+        prev_ts = state.get("timestamp_ms") or 0
+        return max(int(prev_ts) + 1, int(time.time() * 1000))
+    return None
 
 
 def _check_writer_protocol(
@@ -411,7 +427,12 @@ def snapshot_state(table_path: str, version: int | None = None) -> dict:
                         state["txns"].get(t["appId"], t["version"]),
                     )
                 elif "commitInfo" in action:
-                    commit_ts = action["commitInfo"].get("timestamp")
+                    ci = action["commitInfo"]
+                    # monotonic in-commit timestamps (the ICT table
+                    # feature) take precedence over the wall-clock field
+                    commit_ts = ci.get(
+                        "inCommitTimestamp", ci.get("timestamp")
+                    )
         timestamp_ms = commit_ts if commit_ts is not None else mtime_ms
 
     protocol = state["protocol"] or {"minReaderVersion": 1, "minWriterVersion": 2}
@@ -670,7 +691,10 @@ def delta_history(table_path: str, *, with_stats: bool = False) -> list[dict]:
                     _apply_remove(files, action["remove"])
         row = {
             "version": v,
-            "timestamp": info.get("timestamp", int(os.path.getmtime(path) * 1000)),
+            "timestamp": info.get(
+                "inCommitTimestamp",
+                info.get("timestamp", int(os.path.getmtime(path) * 1000)),
+            ),
             "operation": info.get("operation"),
             "operationParameters": info.get("operationParameters", {}),
         }
@@ -1168,6 +1192,9 @@ def commit_write(
                 has_removes=(mode == "overwrite" or extra_removes is not None),
                 enforced_constraints=enforced_constraints,
             )
+            ict = _ict_value(prev)
+            if ict is not None:
+                actions[0]["commitInfo"]["inCommitTimestamp"] = ict
             cur_fp = (
                 _mapping_fingerprint(prev_meta)
                 if _mapping_mode(prev_meta) != "none"
@@ -1320,6 +1347,9 @@ def commit_dv_update(
                 "engineInfo": "global-seismic-data-pipeline-spark-deltalog",
             }
         }]
+        ict = _ict_value(state)
+        if ict is not None:
+            actions[0]["commitInfo"]["inCommitTimestamp"] = ict
         proto = state["protocol"]
         feats = set(proto.get("readerFeatures") or [])
         if int(proto.get("minReaderVersion", 1)) < 3 or "deletionVectors" not in feats:
@@ -1436,6 +1466,9 @@ def commit_set_properties(
                 "engineInfo": "global-seismic-data-pipeline-spark-deltalog",
             }
         }]
+        ict = _ict_value(state)
+        if ict is not None:
+            actions[0]["commitInfo"]["inCommitTimestamp"] = ict
         proto = dict(state["protocol"])
         cur_writer = int(proto.get("minWriterVersion", 2))
         if cur_writer >= 7:

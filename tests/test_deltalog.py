@@ -2043,3 +2043,76 @@ def test_type_widening_reads(spark, tmp_path):
     out0 = dl.read_delta(spark, p, version=0)
     assert out0.schema.simpleString() == "struct<k:int,x:float>"
     assert {r.k for r in out0.collect()} == {1, 2}
+
+
+def test_in_commit_timestamps_preferred(spark, tmp_path):
+    """Tables with the inCommitTimestamp feature time-travel by the
+    monotonic inCommitTimestamp field, not the wall-clock one (the spec:
+    ICT is authoritative once enabled)."""
+    p = str(tmp_path / "ict")
+    os.makedirs(os.path.join(p, "_delta_log"))
+    _write_parquet(spark, [(1,)], "k int", p, "f0.parquet")
+    _write_parquet(spark, [(2,)], "k int", p, "f1.parquet")
+    schema_string = spark.createDataFrame([], "k int").schema.json()
+    v0 = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {
+            "id": "ict", "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_string, "partitionColumns": [],
+            "configuration": {}, "createdTime": 1,
+        }},
+        {"add": {"path": "f0.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 1, "dataChange": True}},
+        # wall clock SKEWED FORWARD; ICT is the truth
+        {"commitInfo": {"timestamp": 9_000_000,
+                        "inCommitTimestamp": 1_000_000,
+                        "operation": "WRITE"}},
+    ]
+    v1 = [
+        {"add": {"path": "f1.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 2, "dataChange": True}},
+        {"commitInfo": {"timestamp": 1_500_000,
+                        "inCommitTimestamp": 2_000_000,
+                        "operation": "APPEND"}},
+    ]
+    for v, actions in ((0, v0), (1, v1)):
+        with open(os.path.join(p, "_delta_log", f"{v:020d}.json"), "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+    hist = dl.delta_history(p)
+    assert [(h["version"], h["timestamp"]) for h in hist] == [
+        (1, 2_000_000), (0, 1_000_000),
+    ]
+    # time travel at ICT 1.2M -> version 0 (wall clock would have said
+    # "no commit at or before")
+    assert {r.k for r in dl.read_delta(spark, p, timestamp=1_200_000).collect()} == {1}
+    assert {r.k for r in dl.read_delta(spark, p, timestamp=2_000_000).collect()} == {1, 2}
+
+
+def test_in_commit_timestamps_written_monotonic(spark, tmp_path):
+    """Appending into an ICT table stamps a monotonic inCommitTimestamp
+    — strictly greater than the previous commit's, even when that one
+    is in the (wall-clock) future."""
+    p = str(tmp_path / "ictw")
+    dl.write_delta(spark.range(0, 3).selectExpr("id"), p)
+    future = int((__import__("time").time() + 3600) * 1000)
+    dl.commit_set_properties(
+        p, {"delta.enableInCommitTimestamps": "true"}
+    )
+    # hand-skew the last commit's ICT into the future
+    log = os.path.join(p, "_delta_log")
+    last = sorted(f for f in os.listdir(log) if f.endswith(".json"))[-1]
+    lines = open(os.path.join(log, last)).read().strip().splitlines()
+    patched = []
+    for ln in lines:
+        a = json.loads(ln)
+        if "commitInfo" in a:
+            a["commitInfo"]["inCommitTimestamp"] = future
+        patched.append(json.dumps(a))
+    with open(os.path.join(log, last), "w") as fh:
+        fh.write("\n".join(patched) + "\n")
+
+    dl.write_delta(spark.range(3, 5).selectExpr("id"), p, mode="append")
+    hist = dl.delta_history(p)
+    assert hist[0]["timestamp"] == future + 1  # strictly monotonic
+    assert {r.id for r in dl.read_delta(spark, p).collect()} == set(range(5))
