@@ -880,21 +880,24 @@ _MANIFEST_FILE_SCHEMA = {
 }
 
 
+def _iceberg_type_of(dt: T.DataType) -> str:
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision},{dt.scale})"
+    if dt in _SPARK_TO_ICEBERG:
+        return _SPARK_TO_ICEBERG[dt]
+    raise IcebergError(f"cannot write column type {dt} to iceberg")
+
+
 def _iceberg_schema_json(schema: T.StructType) -> dict:
-    fields = []
-    for i, f in enumerate(schema.fields, start=1):
-        if isinstance(f.dataType, T.DecimalType):
-            t = f"decimal({f.dataType.precision},{f.dataType.scale})"
-        elif f.dataType in _SPARK_TO_ICEBERG:
-            t = _SPARK_TO_ICEBERG[f.dataType]
-        else:
-            raise IcebergError(
-                f"cannot write column type {f.dataType} to iceberg"
-            )
-        fields.append(
-            {"id": i, "name": f.name, "required": False, "type": t}
-        )
-    return {"type": "struct", "schema-id": 0, "fields": fields}
+    return {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": [
+            {"id": i, "name": f.name, "required": False,
+             "type": _iceberg_type_of(f.dataType)}
+            for i, f in enumerate(schema.fields, start=1)
+        ],
+    }
 
 
 # ----------------------------------------------- partition transforms
@@ -1071,6 +1074,7 @@ def _write_snapshot(
     data_files: list[dict] | None = None,
     manifest_content: int = 0,
     extra_delete_files: list[dict] | None = None,
+    schema_json_override: dict | None = None,
 ) -> dict:
     """Stage data files + manifest + manifest list, return the new
     metadata dict (caller publishes).
@@ -1105,7 +1109,12 @@ def _write_snapshot(
         + 1
     )
     if data_files is None:
-        if base is not None:
+        if schema_json_override is not None:
+            field_ids = {
+                f["name"]: f["id"]
+                for f in schema_json_override.get("fields", [])
+            }
+        elif base is not None:
             sid = base.get("current-schema-id")
             sch = (
                 next(
@@ -1229,7 +1238,7 @@ def _write_snapshot(
         "summary": {"operation": operation},
         "manifest-list": f"file:{mlist_path}",
     }
-    schema_json = _iceberg_schema_json(df.schema)
+    schema_json = schema_json_override or _iceberg_schema_json(df.schema)
     spec_fields = [
         {k: v for k, v in pf.items() if not k.startswith("_")}
         for pf in part_fields
@@ -1239,7 +1248,9 @@ def _write_snapshot(
         "table-uuid": (base or {}).get("table-uuid", str(uuid.uuid4())),
         "location": location,
         "last-updated-ms": now_ms,
-        "last-column-id": len(df.schema.fields),
+        "last-column-id": max(
+            (f["id"] for f in schema_json["fields"]), default=0
+        ),
         "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
         "default-spec-id": 0,
         "properties": {},
@@ -1250,10 +1261,25 @@ def _write_snapshot(
     }
     if format_version >= 2:
         snap["sequence-number"] = seq
+        prior_schemas = list((base or {}).get("schemas", []))
+        cur = next(
+            (
+                x for x in prior_schemas
+                if {k: v for k, v in x.items() if k != "schema-id"}
+                == {k: v for k, v in schema_json.items() if k != "schema-id"}
+            ),
+            None,
+        )
+        if cur is None:
+            sid = max(
+                (x["schema-id"] for x in prior_schemas), default=-1
+            ) + 1
+            cur = {**schema_json, "schema-id": sid}
+            prior_schemas.append(cur)
         meta.update({
             "last-sequence-number": seq,
-            "current-schema-id": 0,
-            "schemas": [schema_json],
+            "current-schema-id": cur["schema-id"],
+            "schemas": prior_schemas or [schema_json],
             "last-partition-id": max(
                 (pf["field-id"] for pf in spec_fields), default=999
             ),
@@ -1430,15 +1456,63 @@ def _table_write_shape(t: IcebergTable) -> tuple[list[dict], int]:
     )
 
 
-def append(spark: SparkSession, location: str, df: DataFrame) -> IcebergTable:
+def _evolved_schema_json(t: IcebergTable, batch: T.StructType) -> dict:
+    """The table schema json extended with the batch's NEW columns, each
+    assigned the next field id (spec: ids are never reused) — the
+    Iceberg analogue of Delta's merge_schema. Same-name type conflicts
+    refuse; absent table columns are fine (old files read the new
+    column as NULL through id resolution)."""
+    fields = list(t.schema_json()["fields"])
+    want = {f.name: f.dataType for f in t.spark_schema().fields}
+    conflicts = {
+        bf.name: (str(want[bf.name]), str(bf.dataType))
+        for bf in batch.fields
+        if bf.name in want and want[bf.name] != bf.dataType
+    }
+    if conflicts:
+        raise IcebergError(
+            f"schema type conflicts vs the table: {conflicts} — cast "
+            "the batch explicitly"
+        )
+    last = max(
+        [t.metadata.get("last-column-id", 0)]
+        + [f["id"] for f in fields]
+    )
+    known = {f["name"] for f in fields}
+    for bf in batch.fields:
+        if bf.name not in known:
+            last += 1
+            fields.append({
+                "id": last, "name": bf.name, "required": False,
+                "type": _iceberg_type_of(bf.dataType),
+            })
+    return {"type": "struct", "schema-id": 0, "fields": fields}
+
+
+def append(
+    spark: SparkSession,
+    location: str,
+    df: DataFrame,
+    *,
+    merge_schema: bool = False,
+) -> IcebergTable:
     """Append ``df`` as a new snapshot (schema must match by name/type;
-    the table's own partition spec and format version are reproduced)."""
+    the table's own partition spec and format version are reproduced).
+    ``merge_schema=True`` EVOLVES the schema instead: new batch columns
+    get the next field ids (never reused, per spec) and a new schema-id
+    enters the metadata's schemas list; old files read the new columns
+    as NULL through field-id resolution."""
     t = IcebergTable(spark, location)
-    _check_schema(t, df, "append")
+    if merge_schema:
+        schema_json = _evolved_schema_json(t, df.schema)
+    else:
+        _check_schema(t, df, "append")
+        schema_json = t.schema_json()
     part_fields, fv = _table_write_shape(t)
     meta = _write_snapshot(
         location, df, base=t.metadata,
         part_fields=part_fields, format_version=fv,
+        schema_json_override=schema_json,
     )
     _publish(location, meta)
     return IcebergTable(spark, location)

@@ -1183,3 +1183,52 @@ def test_iceberg_writer_stamps_field_ids(spark, tmp_path):
     out = t2.read()
     assert out.columns == ["key_renamed", "v"]
     assert [(r.key_renamed, r.v) for r in out.collect()] == [(1, "a")]
+
+
+def test_iceberg_append_merge_schema_evolution(spark, tmp_path):
+    """Append-time schema evolution: the new column gets the NEXT field
+    id (never reused), a new schema-id enters the schemas list, old
+    files read the new column as NULL via field-id resolution, and the
+    subset-batch direction (missing columns) also works."""
+    loc = str(tmp_path / "evo")
+    t = iceberg.create_table(
+        spark, loc,
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+        format_version=2,
+    )
+    with pytest.raises(iceberg.IcebergError, match="schema mismatch"):
+        iceberg.append(spark, loc, spark.createDataFrame(
+            [(3, "c", 9.5)], "k long, v string, score double"))
+    t2 = iceberg.append(
+        spark, loc,
+        spark.createDataFrame([(3, "c", 9.5)], "k long, v string, score double"),
+        merge_schema=True,
+    )
+    sch = t2.schema_json()
+    assert [(f["name"], f["id"]) for f in sch["fields"]] == [
+        ("k", 1), ("v", 2), ("score", 3),
+    ]
+    assert t2.metadata["last-column-id"] == 3
+    assert len(t2.metadata["schemas"]) == 2  # old + evolved
+    got = {(r.k, r.v, r.score) for r in t2.read().collect()}
+    assert got == {(1, "a", None), (2, "b", None), (3, "c", 9.5)}
+    # subset batch (missing 'score'): evolution treats it as NULL
+    t3 = iceberg.append(
+        spark, loc,
+        spark.createDataFrame([(4, "d")], "k long, v string"),
+        merge_schema=True,
+    )
+    assert len(t3.metadata["schemas"]) == 2  # no new schema needed
+    got3 = {(r.k, r.score) for r in t3.read().collect()}
+    assert got3 == {(1, None), (2, None), (3, 9.5), (4, None)}
+    # type conflicts refuse
+    with pytest.raises(iceberg.IcebergError, match="type conflicts"):
+        iceberg.append(
+            spark, loc,
+            spark.createDataFrame([(5, 7)], "k long, v long"),
+            merge_schema=True,
+        )
+    # time travel to the pre-evolution snapshot serves the OLD schema
+    s1 = t.current_snapshot_id()
+    pre = t3.read(snapshot_id=s1)
+    assert pre.columns == ["k", "v", "score"]  # current metadata schema
