@@ -87,6 +87,9 @@ _SUPPORTED_READER_FEATURES = {
     # every spec widening: byte/short/int->long, int->double,
     # float->double, int->decimal, date->timestampNtz)
     "typeWidening", "typeWidening-preview",
+    # v2 checkpoints (manifest + sidecars) are READ by
+    # _read_checkpoint_state; this writer still writes classic ones
+    "v2Checkpoint",
 }
 _NULL_PARTITION_DIR = "__HIVE_DEFAULT_PARTITION__"
 
@@ -124,10 +127,14 @@ def _list_log(table_path: str) -> tuple[dict[int, str], dict[int, list[str]]]:
         if not (len(stem) == 20 and stem.isdigit()):
             continue
         v = int(stem)
-        if f.endswith(".json"):
+        if ".checkpoint" in f:
+            # classic single-part, classic multi-part, or a V2 manifest
+            # (%020d.checkpoint.<uuid>.{json,parquet}) — a v2 JSON
+            # manifest must never be mistaken for a commit
+            if f.endswith(".parquet") or f.endswith(".json"):
+                checkpoints.setdefault(v, []).append(f)
+        elif f.endswith(".json"):
             commits[v] = f
-        elif f.endswith(".parquet") and ".checkpoint" in f:
-            checkpoints.setdefault(v, []).append(f)
     for parts in checkpoints.values():
         parts.sort()
     return commits, checkpoints
@@ -287,31 +294,64 @@ def _implied_writer_features(protocol: Mapping) -> set[str]:
 
 
 def _read_checkpoint_state(table_path: str, parts: list[str]) -> dict:
-    """protocol/metaData/files from a (possibly multi-part) checkpoint.
-    Checkpoints are metadata (#files rows); pyarrow reads them driver-side
-    exactly as Delta clients do for snapshot construction."""
+    """protocol/metaData/files from a checkpoint — classic single-part,
+    classic multi-part, or a V2 manifest (parquet or JSON) whose
+    ``sidecar`` actions reference add/remove files under
+    ``_delta_log/_sidecars/``. Checkpoints are metadata (#files rows);
+    pyarrow reads them driver-side exactly as Delta clients do for
+    snapshot construction."""
     import pyarrow.parquet as pq
 
+    log = _log_dir(table_path)
     state = {"protocol": None, "metadata": None, "files": {}, "txns": {}}
+    sidecars: list[str] = []
+
+    def _apply_row(row: Mapping) -> None:
+        if row.get("protocol"):
+            state["protocol"] = row["protocol"]
+        if row.get("metaData"):
+            state["metadata"] = _plain_metadata(row["metaData"])
+        add = row.get("add")
+        if add and add.get("path"):
+            state["files"][add["path"]] = _plain_add(add)
+        t = row.get("txn")
+        if t and t.get("appId") is not None:
+            state["txns"][t["appId"]] = max(
+                t["version"], state["txns"].get(t["appId"], t["version"])
+            )
+        sc = row.get("sidecar")
+        if sc and sc.get("path"):
+            sidecars.append(sc["path"])
+        # remove rows in a checkpoint are expired-tombstone bookkeeping
+        # for VACUUM only; they never contribute to the active set.
+
+    def _apply_file(path: str) -> None:
+        if path.endswith(".json"):
+            with open(path) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if line:
+                        _apply_row(json.loads(line))
+        else:
+            for row in pq.read_table(path).to_pylist():
+                _apply_row(row)
+
     for part in parts:
-        tbl = pq.read_table(os.path.join(_log_dir(table_path), part))
-        cols = set(tbl.column_names)
-        for row in tbl.to_pylist():
-            if row.get("protocol") and "protocol" in cols:
-                state["protocol"] = row["protocol"]
-            if row.get("metaData"):
-                state["metadata"] = _plain_metadata(row["metaData"])
-            add = row.get("add")
-            if add and add.get("path"):
-                state["files"][add["path"]] = _plain_add(add)
-            t = row.get("txn")
-            if t and t.get("appId") is not None:
-                state["txns"][t["appId"]] = max(
-                    t["version"], state["txns"].get(t["appId"], t["version"])
-                )
-            # remove rows in a checkpoint are expired-tombstone bookkeeping
-            # for VACUUM only; they never contribute to the active set.
+        _apply_file(os.path.join(log, part))
+    for sc in sidecars:
+        # spec: sidecar paths are file names inside _delta_log/_sidecars
+        # (absolute paths allowed too)
+        p = (
+            _strip_file_scheme(sc)
+            if "/" in sc or sc.startswith("file:")
+            else os.path.join(log, "_sidecars", sc)
+        )
+        _apply_file(p)
     return state
+
+
+def _strip_file_scheme(p: str) -> str:
+    return p[5:] if p.startswith("file:") else p
 
 
 def _plain_add(add: Mapping) -> dict:

@@ -363,17 +363,17 @@ def test_protocol_refusals(spark, tmp_path):
                 fh.write(json.dumps(a) + "\n")
         return p
 
-    # deletionVectors is now a SUPPORTED reader feature (decoded at scan
-    # time — test_deletion_vector_*); an unknown feature still refuses
+    # deletionVectors / v2Checkpoint are SUPPORTED reader features now;
+    # an unknown feature still refuses
     st_dv = dl.snapshot_state(mk({
         "minReaderVersion": 3, "minWriterVersion": 7,
-        "readerFeatures": ["deletionVectors"],
+        "readerFeatures": ["deletionVectors", "v2Checkpoint"],
     }))
     assert st_dv["files"] == {}
-    with pytest.raises(dl.DeltaProtocolError, match="v2Checkpoint"):
+    with pytest.raises(dl.DeltaProtocolError, match="variantType"):
         dl.snapshot_state(mk({
             "minReaderVersion": 3, "minWriterVersion": 7,
-            "readerFeatures": ["v2Checkpoint"],
+            "readerFeatures": ["variantType"],
         }))
     # BOTH column-mapping modes are READABLE ('name' via physicalName,
     # 'id' via parquet field ids — test_column_mapping_*); an unknown
@@ -2116,3 +2116,150 @@ def test_in_commit_timestamps_written_monotonic(spark, tmp_path):
     hist = dl.delta_history(p)
     assert hist[0]["timestamp"] == future + 1  # strictly monotonic
     assert {r.id for r in dl.read_delta(spark, p).collect()} == set(range(5))
+
+
+def test_v2_checkpoint_read_with_sidecars(spark, tmp_path):
+    """V2 checkpoints (Delta 3.x clients): a checkpoint MANIFEST
+    (%020d.checkpoint.<uuid>.parquet) carrying protocol/metaData/
+    checkpointMetadata plus `sidecar` actions, with the add actions
+    living in _delta_log/_sidecars/ parquet files — reconstructs the
+    state with every commit JSON gone. A JSON-form manifest works too
+    and must never be mistaken for a commit."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "v2cp")
+    log = os.path.join(p, "_delta_log")
+    sc_dir = os.path.join(log, "_sidecars")
+    os.makedirs(sc_dir)
+    _write_parquet(spark, [(1,)], "k int", p, "f1.parquet")
+    _write_parquet(spark, [(2,)], "k int", p, "f2.parquet")
+    _write_parquet(spark, [(3,)], "k int", p, "f3.parquet")
+    schema_string = spark.createDataFrame([], "k int").schema.json()
+
+    def _sidecar(name, paths):
+        pq.write_table(pa.Table.from_pylist(
+            [{"add": {"path": rel, "partitionValues": {}, "size": 1,
+                      "modificationTime": 1, "dataChange": False,
+                      "stats": None}} for rel in paths],
+            schema=pa.schema([("add", pa.struct([
+                ("path", pa.string()),
+                ("partitionValues", pa.map_(pa.string(), pa.string())),
+                ("size", pa.int64()),
+                ("modificationTime", pa.int64()),
+                ("dataChange", pa.bool_()),
+                ("stats", pa.string()),
+            ]))]),
+        ), os.path.join(sc_dir, name))
+
+    _sidecar("sc-1.parquet", ["f1.parquet", "f2.parquet"])
+    _sidecar("sc-2.parquet", ["f3.parquet"])
+
+    manifest_rows = [
+        {"checkpointMetadata": {"version": 5, "tags": None},
+         "protocol": None, "metaData": None, "txn": None, "sidecar": None},
+        {"checkpointMetadata": None,
+         "protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["v2Checkpoint"],
+                      "writerFeatures": ["v2Checkpoint"]},
+         "metaData": None, "txn": None, "sidecar": None},
+        {"checkpointMetadata": None, "protocol": None,
+         "metaData": {"id": "v2cp",
+                      "format": {"provider": "parquet"},
+                      "schemaString": schema_string,
+                      "partitionColumns": [], "configuration": {},
+                      "createdTime": 1},
+         "txn": None, "sidecar": None},
+        {"checkpointMetadata": None, "protocol": None, "metaData": None,
+         "txn": {"appId": "streamZ", "version": 9}, "sidecar": None},
+        {"checkpointMetadata": None, "protocol": None, "metaData": None,
+         "txn": None, "sidecar": {"path": "sc-1.parquet",
+                                  "sizeInBytes": 1}},
+        {"checkpointMetadata": None, "protocol": None, "metaData": None,
+         "txn": None, "sidecar": {"path": "sc-2.parquet",
+                                  "sizeInBytes": 1}},
+    ]
+    manifest_schema = pa.schema([
+        ("checkpointMetadata", pa.struct([
+            ("version", pa.int64()), ("tags", pa.string())])),
+        ("protocol", pa.struct([
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
+        ])),
+        ("metaData", pa.struct([
+            ("id", pa.string()),
+            ("format", pa.struct([("provider", pa.string())])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+            ("createdTime", pa.int64()),
+        ])),
+        ("txn", pa.struct([
+            ("appId", pa.string()), ("version", pa.int64())])),
+        ("sidecar", pa.struct([
+            ("path", pa.string()), ("sizeInBytes", pa.int64())])),
+    ])
+    u = _uuid.uuid4().hex
+    pq.write_table(
+        pa.Table.from_pylist(manifest_rows, schema=manifest_schema),
+        os.path.join(log, f"{5:020d}.checkpoint.{u}.parquet"),
+    )
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": 5, "size": 6}, fh)
+
+    st = dl.snapshot_state(p)
+    assert st["version"] == 5
+    assert set(st["files"]) == {"f1.parquet", "f2.parquet", "f3.parquet"}
+    assert st["txns"] == {"streamZ": 9}
+    assert "v2Checkpoint" in st["protocol"]["readerFeatures"]
+    assert {r.k for r in dl.read_delta(spark, p).collect()} == {1, 2, 3}
+    # commits after the checkpoint replay on top
+    _write_parquet(spark, [(4,)], "k int", p, "f4.parquet")
+    with open(os.path.join(log, f"{6:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"add": {
+            "path": "f4.parquet", "partitionValues": {}, "size": 1,
+            "modificationTime": 2, "dataChange": True}}) + "\n")
+        fh.write(json.dumps({"commitInfo": {
+            "timestamp": 2000, "operation": "APPEND"}}) + "\n")
+    assert {r.k for r in dl.read_delta(spark, p).collect()} == {1, 2, 3, 4}
+
+    # JSON-form v2 manifest: same state, and _list_log must classify it
+    # as a CHECKPOINT, not a commit
+    p2 = str(tmp_path / "v2cpj")
+    log2 = os.path.join(p2, "_delta_log")
+    os.makedirs(os.path.join(log2, "_sidecars"))
+    _write_parquet(spark, [(7,)], "k int", p2, "g1.parquet")
+    import shutil as _shutil
+    _shutil.copy(
+        os.path.join(sc_dir, "sc-2.parquet"),
+        os.path.join(log2, "_sidecars", "sc-2.parquet"),
+    )
+    _write_parquet(spark, [(8,)], "k int", p2, "f3.parquet")
+    with open(os.path.join(
+        log2, f"{3:020d}.checkpoint.{_uuid.uuid4().hex}.json"
+    ), "w") as fh:
+        for a in [
+            {"checkpointMetadata": {"version": 3}},
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["v2Checkpoint"],
+                          "writerFeatures": ["v2Checkpoint"]}},
+            {"metaData": {"id": "v2cpj",
+                          "format": {"provider": "parquet", "options": {}},
+                          "schemaString": schema_string,
+                          "partitionColumns": [], "configuration": {},
+                          "createdTime": 1}},
+            {"sidecar": {"path": "sc-2.parquet", "sizeInBytes": 1}},
+            {"add": {"path": "g1.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 1,
+                     "dataChange": False}},
+        ]:
+            fh.write(json.dumps(a) + "\n")
+    commits, checkpoints = dl._list_log(p2)
+    assert commits == {} and list(checkpoints) == [3]
+    st2 = dl.snapshot_state(p2)
+    assert set(st2["files"]) == {"g1.parquet", "f3.parquet"}
+    assert {r.k for r in dl.read_delta(spark, p2).collect()} == {7, 8}
