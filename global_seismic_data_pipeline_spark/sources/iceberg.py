@@ -73,6 +73,14 @@ from . import avrofile
 _STATUS_DELETED = 2
 _STATUS_ADDED = 1
 
+# Delete files at or under this many on-disk bytes broadcast into their
+# anti-joins; larger tombstone sets fall back to a shuffled anti-join.
+# A CDC-heavy table (a Flink writer emits equality deletes every
+# checkpoint) can accumulate tens of millions of tombstone rows between
+# compactions — those must never be collected on, or broadcast from,
+# the driver.
+_DELETE_BROADCAST_MAX_BYTES = 32 * 1024 * 1024
+
 _ICEBERG_TO_SPARK = {
     "boolean": T.BooleanType(),
     "int": T.IntegerType(),
@@ -449,58 +457,118 @@ class IcebergTable:
         snap = self.resolve_snapshot(snapshot_id, as_of_ms)
         return [e["data_file"] for e in self._live_entries(snap)[1]]
 
-    def _resolve_position_deletes(
+    def _file_seq_df(self, files: list[dict]) -> DataFrame:
+        """Tiny (spark file uri → data sequence number) map — one row
+        per live data file, i.e. manifest-metadata scale. Broadcast into
+        the scan so each row carries its seq WITHOUT one union branch
+        per distinct sequence number (a CDC table has one seq per
+        commit; union fan-out there would mean thousands of scan
+        branches)."""
+        return self.spark.createDataFrame(
+            [
+                ("file:" + _strip_scheme(f["file_path"]), int(f["_seq"]))
+                for f in files
+            ],
+            "__ifile string, __iseq long",
+        )
+
+    def _position_delete_df(
         self, files: list[dict], deletes: list[dict]
-    ) -> list[tuple[str, int]]:
-        """Deduped (spark file uri, row position) pairs deleted from the
-        given live data files. Positional delete files are per-row
-        tombstone METADATA (KBs per the spec's expectations) — read
-        driver-side with pyarrow exactly like the Delta DV path, scoped
-        by the spec rule: a positional delete applies to a data file
-        when delete seq >= data seq."""
-        import pyarrow.parquet as pq
+    ) -> tuple[DataFrame | None, int]:
+        """(deduped tombstone DataFrame(__ifile, __ipos), on-disk bytes)
+        for the positional deletes among ``deletes``, or (None, 0).
+        The delete parquet files are read as a DISTRIBUTED Spark scan —
+        never pyarrow-collected on the driver (a CDC-scale tombstone set
+        is tens of millions of rows). Spec scoping (a positional delete
+        applies to a data file when delete seq >= data seq) happens via
+        two broadcast metadata-map joins: delete-file → its seq and
+        target-file → its seq; tombstones aimed at files not live in the
+        snapshot drop out of the inner join."""
+        from pyspark.sql import functions as F
 
-        seq_of = {
-            _strip_scheme(f["file_path"]): f["_seq"] for f in files
-        }
-        out: set[tuple[str, int]] = set()
-        for d in deletes:
-            if d.get("content") != 1:
-                continue
-            tbl = pq.read_table(
-                _strip_scheme(d["file_path"]), columns=["file_path", "pos"]
+        pos = [d for d in deletes if d.get("content") == 1]
+        if not pos:
+            return None, 0
+        dseq = self.spark.createDataFrame(
+            [
+                ("file:" + _strip_scheme(d["file_path"]), int(d["_seq"]))
+                for d in pos
+            ],
+            "__dfile string, __pdseq long",
+        )
+        fseq = self._file_seq_df(files).withColumnRenamed(
+            "__iseq", "__fseq"
+        )
+        tomb = (
+            self.spark.read.schema("file_path string, pos long")
+            .parquet(*[_strip_scheme(d["file_path"]) for d in pos])
+            .select(
+                F.concat(
+                    F.lit("file:"),
+                    F.regexp_replace("file_path", "^file:", ""),
+                ).alias("__ifile"),
+                F.col("pos").alias("__ipos"),
+                F.col("_metadata.file_path").alias("__dfile"),
             )
-            for row in tbl.to_pylist():
-                target = _strip_scheme(row["file_path"])
-                seq = seq_of.get(target)
-                if seq is not None and d["_seq"] >= seq:
-                    out.add(("file:" + target, int(row["pos"])))
-        return sorted(out)
+            .join(F.broadcast(dseq), "__dfile")
+            .join(F.broadcast(fseq), "__ifile")
+            .where(F.col("__pdseq") >= F.col("__fseq"))
+            .select("__ifile", "__ipos")
+            .distinct()
+        )
+        nbytes = sum(int(d.get("file_size_in_bytes") or 0) for d in pos)
+        return tomb, nbytes
 
-    def _resolve_equality_deletes(
+    def _equality_delete_groups(
         self, deletes: list[dict]
-    ) -> list[tuple[tuple[str, ...], list[dict]]]:
-        """Equality delete rows grouped by their equality-column tuple:
-        [(col names, [{col: value, "__dseq": seq}, ...])]. Rows are
-        metadata-scale (an equality delete names a handful of key
-        tuples); they broadcast into anti-joins at read."""
-        import pyarrow.parquet as pq
+    ) -> list[tuple[tuple[str, ...], DataFrame, int]]:
+        """[(equality column names, DataFrame(__d_<col>..., __dseq),
+        on-disk bytes)] — one DISTRIBUTED scan per equality-column
+        group, each delete row carrying its file's sequence number via a
+        broadcast (delete file → seq) map join. Nothing row-level ever
+        touches the driver."""
+        from pyspark.sql import functions as F
 
+        eq = [d for d in deletes if d.get("content") == 2]
+        if not eq:
+            return []
+        types = {f.name: f.dataType for f in self.spark_schema().fields}
         groups: dict[tuple[str, ...], list[dict]] = {}
-        for d in deletes:
-            if d.get("content") != 2:
-                continue
+        for d in eq:
             cols = tuple(
                 self._column_name(i) for i in d["equality_ids"]
             )
-            tbl = pq.read_table(
-                _strip_scheme(d["file_path"]), columns=list(cols)
+            groups.setdefault(cols, []).append(d)
+        out = []
+        for cols, ds in sorted(groups.items()):
+            dseq = self.spark.createDataFrame(
+                [
+                    (
+                        "file:" + _strip_scheme(d["file_path"]),
+                        int(d["_seq"]),
+                    )
+                    for d in ds
+                ],
+                "__dfile string, __dseq long",
             )
-            rows = [
-                {**row, "__dseq": d["_seq"]} for row in tbl.to_pylist()
-            ]
-            groups.setdefault(cols, []).extend(rows)
-        return sorted(groups.items())
+            read_schema = T.StructType(
+                [T.StructField(c, types[c], True) for c in cols]
+            )
+            scan = (
+                self.spark.read.schema(read_schema)
+                .parquet(*[_strip_scheme(d["file_path"]) for d in ds])
+                .select(
+                    *[F.col(c).alias(f"__d_{c}") for c in cols],
+                    F.col("_metadata.file_path").alias("__dfile"),
+                )
+                .join(F.broadcast(dseq), "__dfile")
+                .drop("__dfile")
+            )
+            nbytes = sum(
+                int(d.get("file_size_in_bytes") or 0) for d in ds
+            )
+            out.append((cols, scan, nbytes))
+        return out
 
     def row_count(
         self, snapshot_id: int | None = None, as_of_ms: int | None = None
@@ -516,9 +584,8 @@ class IcebergTable:
         if not deletes:
             return total
         if all(d.get("content") == 1 for d in deletes):
-            return total - len(
-                self._resolve_position_deletes(files, deletes)
-            )
+            pos_df, _ = self._position_delete_df(files, deletes)
+            return total - int(pos_df.count())
         return self.read(snapshot_id, as_of_ms).count()
 
     def _column_name(self, field_id: int) -> str:
@@ -534,75 +601,19 @@ class IcebergTable:
         eq_filters: Mapping[str, object] | None = None,
     ) -> DataFrame:
         """One distributed scan over the live data files; v2 row-level
-        deletes (when present) merge in via broadcast anti-joins —
-        positional on (_metadata.file_path, row_index), equality on the
-        delete file's equality columns with the spec's strict
-        seq-number scoping. Tables without deletes pay nothing (the
-        plain pushdown-friendly scan)."""
-        from pyspark.sql import functions as F
-
+        deletes (when present) merge in via anti-joins against
+        DISTRIBUTED scans of the delete files — positional on
+        (_metadata.file_path, row_index), equality on the delete file's
+        equality columns with the spec's strict seq-number scoping.
+        Delete sides broadcast only under
+        ``_DELETE_BROADCAST_MAX_BYTES``; a CDC-scale tombstone set
+        shuffles instead of OOMing the driver. Tables without deletes
+        pay nothing (the plain pushdown-friendly scan)."""
         files = self.data_files(snapshot_id, as_of_ms, eq_filters)
-        schema = self.spark_schema()
         if not files:
-            return self.spark.createDataFrame([], schema)
-        scan_schema = self._scan_schema(files)
+            return self.spark.createDataFrame([], self.spark_schema())
         deletes = self.delete_files(snapshot_id, as_of_ms)
-        if not deletes:
-            paths = [_strip_scheme(f["file_path"]) for f in files]
-            return self.spark.read.schema(scan_schema).parquet(*paths)
-
-        pos_rows = self._resolve_position_deletes(files, deletes)
-        eq_groups = self._resolve_equality_deletes(deletes)
-        out_cols = [f.name for f in schema.fields]
-        # data files scan grouped by sequence number so each row carries
-        # its seq for the equality-delete scoping predicate
-        by_seq: dict[int, list[str]] = {}
-        for f in files:
-            by_seq.setdefault(f["_seq"], []).append(
-                _strip_scheme(f["file_path"])
-            )
-        parts = []
-        for seq in sorted(by_seq):
-            parts.append(
-                self.spark.read.schema(scan_schema)
-                .parquet(*by_seq[seq])
-                .select(
-                    "*",
-                    F.col("_metadata.file_path").alias("__ifile"),
-                    F.col("_metadata.row_index").alias("__ipos"),
-                    F.lit(seq).alias("__iseq"),
-                )
-            )
-        df = parts[0]
-        for p in parts[1:]:
-            df = df.unionByName(p)
-        if pos_rows:
-            pos_df = self.spark.createDataFrame(
-                pos_rows, "__ifile string, __ipos long"
-            )
-            df = df.join(
-                F.broadcast(pos_df), ["__ifile", "__ipos"], "left_anti"
-            )
-        types = {f.name: f.dataType for f in schema.fields}
-        for cols, rows in eq_groups:
-            del_schema = T.StructType(
-                [T.StructField(f"__d_{c}", types[c], True) for c in cols]
-                + [T.StructField("__dseq", T.LongType(), False)]
-            )
-            del_df = self.spark.createDataFrame(
-                [
-                    tuple(r.get(c) for c in cols) + (int(r["__dseq"]),)
-                    for r in rows
-                ],
-                del_schema,
-            )
-            cond = F.col("__iseq") < F.col("__dseq")
-            for c in cols:
-                # null-safe: an equality delete with a null value
-                # matches rows where the column IS null (spec)
-                cond = cond & F.col(c).eqNullSafe(F.col(f"__d_{c}"))
-            df = df.join(F.broadcast(del_df), cond, "left_anti")
-        return df.select(*out_cols)
+        return _read_files_with_deletes(self, files, deletes)
 
     # ------------------------------------------------- incremental Δ
     def added_files(self, snapshot_id: int) -> list[dict]:
@@ -1570,9 +1581,14 @@ def compact_data_files(
         limit = int(small_file_mb * 1024 * 1024)
         deleted_from: set[str] = set()
         if deletes:
-            deleted_from = {
-                f for f, _ in t._resolve_position_deletes(files, deletes)
-            }
+            pos_df, _ = t._position_delete_df(files, deletes)
+            if pos_df is not None:
+                # file-level metadata (distinct files carrying a
+                # tombstone), bounded by the live file count
+                deleted_from = {
+                    r["__ifile"]
+                    for r in pos_df.select("__ifile").distinct().collect()
+                }
             # equality deletes may touch any file; without reading data
             # we cannot prove a file clean, so any live equality delete
             # forces every small-or-deleted file through the rewrite and
@@ -1631,66 +1647,56 @@ def _read_files_with_deletes(
     keep_meta: bool = False,
 ) -> DataFrame:
     """Scan a subset of live data files with the table's row-level
-    deletes merged — the compaction and delete_where read path.
+    deletes merged — the read / compaction / delete_where path.
     ``keep_meta`` keeps the __ifile/__ipos/__iseq columns (the
-    positional-delete probe needs the surviving rows' positions)."""
+    positional-delete probe needs the surviving rows' positions).
+
+    Scale shape (the 100 TB contract): ONE multi-file data scan (no
+    union branch per sequence number — __iseq attaches via a broadcast
+    file→seq map join, one row per live file); delete files are read as
+    distributed Spark parquet scans, never pyarrow-materialized on the
+    driver; each delete side broadcasts into its anti-join only when
+    its on-disk size is at most ``_DELETE_BROADCAST_MAX_BYTES``,
+    otherwise the anti-join shuffles (SortMergeJoin) — correct at any
+    tombstone cardinality."""
     from pyspark.sql import functions as F
 
     schema = t.spark_schema()
     if not files:
         return t.spark.createDataFrame([], schema)
     scan_schema = t._scan_schema(files)
+    paths = [_strip_scheme(f["file_path"]) for f in files]
     if not deletes and not keep_meta:
-        return t.spark.read.schema(scan_schema).parquet(
-            *[_strip_scheme(f["file_path"]) for f in files]
-        )
-    pos_rows = t._resolve_position_deletes(files, deletes)
-    eq_groups = t._resolve_equality_deletes(deletes)
+        return t.spark.read.schema(scan_schema).parquet(*paths)
+    eq_groups = t._equality_delete_groups(deletes)
     out_cols = [f.name for f in schema.fields]
-    by_seq: dict[int, list[str]] = {}
-    for f in files:
-        by_seq.setdefault(f["_seq"], []).append(
-            _strip_scheme(f["file_path"])
+    df = (
+        t.spark.read.schema(scan_schema)
+        .parquet(*paths)
+        .select(
+            "*",
+            F.col("_metadata.file_path").alias("__ifile"),
+            F.col("_metadata.row_index").alias("__ipos"),
         )
-    parts = []
-    for seq in sorted(by_seq):
-        parts.append(
-            t.spark.read.schema(scan_schema)
-            .parquet(*by_seq[seq])
-            .select(
-                "*",
-                F.col("_metadata.file_path").alias("__ifile"),
-                F.col("_metadata.row_index").alias("__ipos"),
-                F.lit(seq).alias("__iseq"),
-            )
-        )
-    df = parts[0]
-    for p in parts[1:]:
-        df = df.unionByName(p)
-    if pos_rows:
-        pos_df = t.spark.createDataFrame(
-            pos_rows, "__ifile string, __ipos long"
-        )
-        df = df.join(
-            F.broadcast(pos_df), ["__ifile", "__ipos"], "left_anti"
-        )
-    types = {f.name: f.dataType for f in schema.fields}
-    for cols, rows in eq_groups:
-        del_schema = T.StructType(
-            [T.StructField(f"__d_{c}", types[c], True) for c in cols]
-            + [T.StructField("__dseq", T.LongType(), False)]
-        )
-        del_df = t.spark.createDataFrame(
-            [
-                tuple(r.get(c) for c in cols) + (int(r["__dseq"]),)
-                for r in rows
-            ],
-            del_schema,
-        )
+    )
+    if eq_groups or keep_meta:
+        # equality scoping (and the delete_where probe) need per-row
+        # sequence numbers; positional scoping resolves delete-side
+        df = df.join(F.broadcast(t._file_seq_df(files)), "__ifile")
+    pos_df, pos_bytes = t._position_delete_df(files, deletes)
+    if pos_df is not None:
+        if pos_bytes <= _DELETE_BROADCAST_MAX_BYTES:
+            pos_df = F.broadcast(pos_df)
+        df = df.join(pos_df, ["__ifile", "__ipos"], "left_anti")
+    for cols, del_df, nbytes in eq_groups:
+        if nbytes <= _DELETE_BROADCAST_MAX_BYTES:
+            del_df = F.broadcast(del_df)
         cond = F.col("__iseq") < F.col("__dseq")
         for c in cols:
+            # null-safe: an equality delete with a null value matches
+            # rows where the column IS null (spec)
             cond = cond & F.col(c).eqNullSafe(F.col(f"__d_{c}"))
-        df = df.join(F.broadcast(del_df), cond, "left_anti")
+        df = df.join(del_df, cond, "left_anti")
     return df if keep_meta else df.select(*out_cols)
 
 

@@ -552,6 +552,46 @@ def test_iceberg_v2_deletes_tail_semantics(spark, tmp_path):
     assert cursor == 12
 
 
+def test_iceberg_v2_delete_read_is_scan_based(spark, tmp_path):
+    """The delete-merging read must source tombstones from DISTRIBUTED
+    parquet scans of the delete files — never a driver-side pyarrow
+    collect into createDataFrame. Pinned by the delete file names
+    appearing in the physical plan as file sources (a LocalRelation of
+    collected rows would not mention them), and by the small-case
+    broadcast hint surviving to the plan."""
+    loc = _v2_deletes_fixture(tmp_path)
+    t = iceberg.IcebergTable(spark, loc)
+    df = t.read()
+    inputs = "\n".join(df.inputFiles())
+    assert "pos-del.parquet" in inputs
+    assert "eq-del.parquet" in inputs
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # fixture delete files are tiny -> both anti-joins broadcast
+    assert "BroadcastHashJoin" in plan
+    assert {r.id for r in df.collect()} == {2, 6, 7, 8}
+
+
+def test_iceberg_v2_delete_broadcast_threshold(spark, tmp_path, monkeypatch):
+    """Tombstone sets above _DELETE_BROADCAST_MAX_BYTES must NOT
+    broadcast: with the threshold forced to 0 (and Spark's own
+    auto-broadcast off) the anti-joins plan as shuffled SortMergeJoins
+    and the result is unchanged — the CDC-scale degradation path."""
+    loc = _v2_deletes_fixture(tmp_path)
+    t = iceberg.IcebergTable(spark, loc)
+    monkeypatch.setattr(iceberg, "_DELETE_BROADCAST_MAX_BYTES", 0)
+    auto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = t.read()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan and "LeftAnti" in plan
+        assert {r.id for r in df.collect()} == {2, 6, 7, 8}
+        # metadata-only positional count path stays green too
+        assert t.row_count(snapshot_id=11) == 4
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", auto)
+
+
 def test_iceberg_delete_manifest_with_data_content_refuses(spark, tmp_path):
     """A delete manifest whose entry claims DATA content is corrupt —
     refuse loudly rather than misplan."""
