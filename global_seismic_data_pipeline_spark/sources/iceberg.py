@@ -317,17 +317,89 @@ class IcebergTable:
             for p in snap.get("manifests", [])
         ]
 
-    def _live_entries(self, snap: dict) -> tuple[list[dict], list[dict]]:
+    def _manifest_pruned(
+        self, mf: dict, eq_filters: Mapping[str, object] | None
+    ) -> bool:
+        """True when the manifest-list record's per-field partition
+        summaries (spec field 507: contains_null + lower/upper bound per
+        spec field, appendix-D serialized) PROVE no file inside can
+        satisfy ``eq_filters`` — the whole manifest Avro is then skipped
+        UNOPENED. At 100 TB the pruned-read cost is the metadata walk
+        (10³-10⁴ manifests over 10⁵-10⁶ files), not the data scan; real
+        readers prune manifest-list-first for the same reason.
+        Conservative everywhere: missing summaries, a non-default spec
+        id, un-decodable bounds, or un-mappable values keep the
+        manifest. Delete manifests are never pruned here (their scope is
+        sequence numbers, not partition values)."""
+        if not eq_filters or mf.get("content", 0) != 0:
+            return False
+        if mf.get("partition_spec_id", 0) != self.metadata.get(
+            "default-spec-id", 0
+        ):
+            return False
+        summaries = mf.get("partitions")
+        if not summaries:
+            return False
+        spec = self.partition_spec()
+        for i, fld in enumerate(spec):
+            if i >= len(summaries):
+                break
+            col = self._column_name(fld["source-id"])
+            if col not in eq_filters:
+                continue
+            expected = _apply_transform(
+                fld["transform"], eq_filters[col]
+            )
+            if expected is _UNPRUNABLE or expected is None:
+                continue
+            s = summaries[i] or {}
+            rt = self._transform_result_type(fld)
+            expected = _norm_expected(expected, rt)
+            lo = _decode_single_value(rt, s.get("lower_bound"))
+            hi = _decode_single_value(rt, s.get("upper_bound"))
+            if lo is not None and _lt(expected, lo):
+                return True
+            if hi is not None and _lt(hi, expected):
+                return True
+        return False
+
+    def _transform_result_type(self, fld: dict) -> str | None:
+        """Iceberg primitive type of a partition field's VALUES (what
+        the summary bounds serialize): bucket → int; day → date (4-byte
+        days ordinal, same wire shape as int); month/year → int;
+        identity/truncate → the source column's type."""
+        transform = fld["transform"]
+        if transform.startswith("bucket"):
+            return "int"
+        if transform == "day":
+            return "date"
+        if transform in ("month", "year", "hour"):
+            return "int"
+        if transform == "identity" or transform.startswith("truncate"):
+            for f in self.schema_json()["fields"]:
+                if f["id"] == fld["source-id"]:
+                    return f["type"] if isinstance(f["type"], str) else None
+        return None
+
+    def _live_entries(
+        self,
+        snap: dict,
+        eq_filters: Mapping[str, object] | None = None,
+    ) -> tuple[list[dict], list[dict]]:
         """(data entries, delete-file entries) live at ``snap``, each
         entry's ``data_file`` annotated with ``_seq`` — the data sequence
         number after the spec's inheritance (entry value when present,
         else the manifest-list record's ``sequence_number``, else the
-        snapshot's, else 0 for v1)."""
+        snapshot's, else 0 for v1). Data manifests whose manifest-list
+        partition summaries exclude ``eq_filters`` are skipped without
+        opening their Avro."""
         snap_seq = snap.get("sequence-number", 0) or 0
         data: list[dict] = []
         deletes: list[dict] = []
         for mf in self._manifest_files(snap):
             content = mf.get("content", 0)
+            if self._manifest_pruned(mf, eq_filters):
+                continue
             mseq = mf.get("sequence_number")
             if mseq is None:
                 mseq = snap_seq
@@ -368,10 +440,14 @@ class IcebergTable:
                     data.append(e)
         return data, deletes
 
-    def _entries(self, snap: dict) -> list[dict]:
+    def _entries(
+        self,
+        snap: dict,
+        eq_filters: Mapping[str, object] | None = None,
+    ) -> list[dict]:
         """Live DATA entries only (delete files planned separately by
         :meth:`delete_files` / :meth:`read`)."""
-        return self._live_entries(snap)[0]
+        return self._live_entries(snap, eq_filters)[0]
 
     # ---------------------------------------------------- read paths
     def data_files(
@@ -381,14 +457,16 @@ class IcebergTable:
         eq_filters: Mapping[str, object] | None = None,
     ) -> list[dict]:
         """Live data-file records for a snapshot, optionally pruned by
-        equality predicates on source columns — twice over: through the
-        partition spec's transforms (identity/bucket-via-murmur3/
-        truncate/day/month/year) AND through the manifests' per-file
-        column lower/upper bounds (the spec's min/max stats). Unknown
+        equality predicates on source columns — three levels deep:
+        whole manifests skip unopened via the manifest list's per-field
+        partition summaries, then files prune through the partition
+        spec's transforms (identity/bucket-via-murmur3/truncate/day/
+        month/year) AND through the manifests' per-file column
+        lower/upper bounds (the spec's min/max stats). Unknown
         transforms / missing bounds / un-decodable types keep the
         file — pruning is an optimization, never a correctness filter."""
         snap = self.resolve_snapshot(snapshot_id, as_of_ms)
-        entries = self._entries(snap)
+        entries = self._entries(snap, eq_filters)
         files = [e["data_file"] for e in entries]
         if not eq_filters:
             return files
@@ -409,7 +487,7 @@ class IcebergTable:
                     expected = _apply_transform(fld["transform"], val)
                     if expected is _UNPRUNABLE:
                         continue
-                    if part.get(fld["name"]) != expected:
+                    if not _part_eq(part.get(fld["name"]), expected):
                         drop = True
                 if col in ids and not drop:
                     lo = self._bound(f.get("lower_bounds"), ids[col])
@@ -789,6 +867,12 @@ def _apply_transform(transform: str, value):
         if isinstance(value, int):
             return value - (value % w)  # python % is non-negative for w>0
         return _UNPRUNABLE
+    if transform == "hour":
+        if not isinstance(value, dt.datetime):
+            return _UNPRUNABLE
+        epoch = dt.datetime(1970, 1, 1, tzinfo=value.tzinfo)
+        secs = (value - epoch).total_seconds()
+        return int(secs // 3600)
     if transform in ("day", "month", "year"):
         if isinstance(value, dt.datetime):
             value = value.date()
@@ -801,6 +885,37 @@ def _apply_transform(transform: str, value):
             return (value.year - 1970) * 12 + (value.month - 1)
         return value.year - 1970
     return _UNPRUNABLE
+
+
+def _norm_expected(expected, result_type):
+    """Comparable form of an expected partition value against stored/
+    serialized partition values: identity-on-date values are stored as
+    days-since-epoch ints (the spec's date representation)."""
+    import datetime as dt
+
+    if (
+        result_type == "date"
+        and isinstance(expected, dt.date)
+        and not isinstance(expected, dt.datetime)
+    ):
+        return (expected - dt.date(1970, 1, 1)).days
+    return expected
+
+
+def _part_eq(stored, expected) -> bool:
+    """Stored-partition-value equality with the date normalization; a
+    type-mismatched pair compares unequal only through ``==`` (both
+    sides come from this module's own typing, so mismatch means a
+    genuine non-match, except the date/int case handled here)."""
+    import datetime as dt
+
+    if (
+        isinstance(expected, dt.date)
+        and not isinstance(expected, dt.datetime)
+        and isinstance(stored, int)
+    ):
+        return stored == (expected - dt.date(1970, 1, 1)).days
+    return stored == expected
 
 
 # ----------------------------------------------------------- writer
@@ -915,18 +1030,21 @@ def _iceberg_schema_json(schema: T.StructType) -> dict:
 
 _TRANSFORM_RE = re.compile(
     r"^(?:(?P<tname>truncate|bucket)\[(?P<arg>\d+)\]|"
-    r"(?P<dname>day|month|year))\((?P<col>\w+)\)$"
+    r"(?P<dname>day|month|year|hour))\((?P<col>\w+)\)$"
 )
 
 
 def _parse_partition_by(specs, schema: T.StructType) -> list[dict]:
     """Parse writer partition specs — ``'col'`` (identity),
-    ``'truncate[w](col)'``, ``'day(col)'`` / ``'month(col)'`` /
-    ``'year(col)'`` — into Iceberg partition-spec fields annotated with
-    the Avro value type and the source Spark type. ``bucket[n]`` refuses
-    loudly: Iceberg's bucket hash is murmur3 over appendix-B bytes,
-    which no JVM-side Spark expression reproduces — silently writing a
-    different hash would corrupt pruning for every other client."""
+    ``'truncate[w](col)'``, ``'bucket[n](col)'``, ``'day(col)'`` /
+    ``'month(col)'`` / ``'year(col)'`` / ``'hour(col)'`` — into Iceberg
+    partition-spec fields annotated with the Avro value type and the
+    source Spark type. ``bucket[n]`` evaluates the spec's murmur3 over
+    appendix-B serialized bytes in an Arrow-batched pandas_udf
+    (numpy-vectorized for the fixed 8-byte int/long/date/timestamp
+    case) — hash parity with :func:`murmur3_32` is pinned by test, so
+    every other client's bucket pruning stays sound. ``_logical`` marks
+    values whose hive-dir form differs from the stored int (dates)."""
     by_name = {f.name: f for f in schema.fields}
     ids = {f.name: i for i, f in enumerate(schema.fields, start=1)}
     out = []
@@ -934,21 +1052,17 @@ def _parse_partition_by(specs, schema: T.StructType) -> list[dict]:
         m = _TRANSFORM_RE.match(spec)
         if m is None:
             col, transform, arg = spec, "identity", None
-        elif m.group("tname") == "bucket":
-            raise IcebergError(
-                "bucket[N] partition writes are not supported (Iceberg's "
-                "bucket transform is murmur3 over spec-serialized bytes; "
-                "use identity/truncate/day/month/year)"
-            )
         else:
             col = m.group("col")
             arg = int(m.group("arg")) if m.group("arg") else None
             transform = (
-                f"truncate[{arg}]" if m.group("tname") else m.group("dname")
+                f"{m.group('tname')}[{arg}]" if m.group("tname")
+                else m.group("dname")
             )
         if col not in by_name:
             raise IcebergError(f"partition source column {col!r} not in schema")
         st = by_name[col].dataType
+        logical = None
         if transform == "identity":
             if isinstance(st, (T.IntegerType,)):
                 avro_t = "int"
@@ -956,11 +1070,14 @@ def _parse_partition_by(specs, schema: T.StructType) -> list[dict]:
                 avro_t = "long"
             elif isinstance(st, T.StringType):
                 avro_t = "string"
+            elif isinstance(st, T.DateType):
+                # stored per spec as the date's days-since-epoch int
+                avro_t, logical = "int", "date"
             else:
                 raise IcebergError(
                     f"identity partitioning on {st.simpleString()} is not "
-                    "supported by this writer (int/long/string; use "
-                    "day()/month()/year() for temporal columns)"
+                    "supported by this writer (int/long/string/date; use "
+                    "day()/month()/year()/hour() for timestamps)"
                 )
             name = col
         elif transform.startswith("truncate"):
@@ -973,6 +1090,26 @@ def _parse_partition_by(specs, schema: T.StructType) -> list[dict]:
                     f"truncate[{arg}] on {st.simpleString()} is not valid"
                 )
             name = f"{col}_trunc"
+        elif transform.startswith("bucket"):
+            if not isinstance(st, (
+                T.IntegerType, T.LongType, T.StringType, T.DateType,
+                T.TimestampType, T.TimestampNTZType,
+            )):
+                raise IcebergError(
+                    f"bucket[{arg}] on {st.simpleString()} is not "
+                    "supported (int/long/string/date/timestamp)"
+                )
+            avro_t = "int"
+            name = f"{col}_bucket"
+        elif transform == "hour":
+            if not isinstance(st, (T.TimestampType, T.TimestampNTZType)):
+                raise IcebergError(
+                    f"hour() needs a timestamp column, got "
+                    f"{st.simpleString()} (the spec defines hour only "
+                    "for timestamps)"
+                )
+            avro_t = "int"
+            name = f"{col}_hour"
         else:  # day / month / year
             if not isinstance(st, (T.DateType, T.TimestampType,
                                    T.TimestampNTZType)):
@@ -985,6 +1122,7 @@ def _parse_partition_by(specs, schema: T.StructType) -> list[dict]:
         out.append({
             "name": name, "transform": transform, "source-id": ids[col],
             "field-id": 1000 + i, "_col": col, "_avro_type": avro_t,
+            "_logical": logical,
         })
     return out
 
@@ -1002,15 +1140,20 @@ def _annotate_spec_fields(fields: list[dict], schema_json: dict) -> list[dict]:
                 f"partition source-id {pf['source-id']} not in schema"
             )
         tr = pf["transform"]
+        logical = None
         if tr == "identity":
             avro_t = {"int": "int", "long": "long", "string": "string"}.get(
                 src["type"]
             )
+            if avro_t is None and src["type"] == "date":
+                avro_t, logical = "int", "date"
         elif tr.startswith("truncate["):
             avro_t = {"int": "int", "long": "long", "string": "string"}.get(
                 src["type"]
             )
-        elif tr in ("day", "month", "year"):
+        elif tr in ("day", "month", "year", "hour") or tr.startswith(
+            "bucket["
+        ):
             avro_t = "int"
         else:
             avro_t = None
@@ -1019,13 +1162,92 @@ def _annotate_spec_fields(fields: list[dict], schema_json: dict) -> list[dict]:
                 f"cannot append through partition transform {tr!r} on "
                 f"type {src['type']!r}"
             )
-        out.append({**pf, "_col": src["name"], "_avro_type": avro_t})
+        out.append({
+            **pf, "_col": src["name"], "_avro_type": avro_t,
+            "_logical": logical,
+        })
     return out
+
+
+def _murmur3_32_i64_np(vals):
+    """Vectorized MurmurHash3 x86/32 over exactly-8-byte little-endian
+    inputs (the appendix-B serialization every numeric/temporal bucket
+    source reduces to): two 4-byte blocks, no tail, len 8. Bit-parity
+    with :func:`murmur3_32` is pinned by test. ``vals``: int64 ndarray;
+    returns uint32 ndarray of hashes."""
+    import numpy as np
+
+    v = vals.astype(np.int64).view(np.uint64)
+    k1 = (v & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    k2 = (v >> np.uint64(32)).astype(np.uint32)
+    c1, c2 = np.uint32(0xCC9E2D51), np.uint32(0x1B873593)
+    h = np.zeros(len(v), dtype=np.uint32)
+    for k in (k1, k2):
+        k = k * c1
+        k = (k << np.uint32(15)) | (k >> np.uint32(17))
+        k = k * c2
+        h = h ^ k
+        h = (h << np.uint32(13)) | (h >> np.uint32(19))
+        h = h * np.uint32(5) + np.uint32(0xE6546B64)
+    h = h ^ np.uint32(8)
+    h = h ^ (h >> np.uint32(16))
+    h = h * np.uint32(0x85EBCA6B)
+    h = h ^ (h >> np.uint32(13))
+    h = h * np.uint32(0xC2B2AE35)
+    h = h ^ (h >> np.uint32(16))
+    return h
+
+
+def _bucket_col(col: str, n: int, st: T.DataType):
+    """Spec ``bucket[n]`` as an Arrow-batched pandas_udf: serialize per
+    appendix B (int/long/date/timestamp → 8-byte LE long; string →
+    UTF-8), murmur3, then ``(h & 0x7FFFFFFF) % n``. The numeric path is
+    numpy-vectorized over the whole Arrow batch; strings hash per value
+    in-process (variable length). Nulls map to null (spec)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    import datetime as dt
+
+    is_string = isinstance(st, T.StringType)
+
+    @pandas_udf("int")
+    def _bucket(s):
+        mask = s.isna()
+        out = pd.Series([None] * len(s), dtype="object")
+        if mask.all():
+            return out.astype("Int32")
+        if is_string:
+            out[~mask] = [
+                (murmur3_32(v.encode("utf-8")) & 0x7FFFFFFF) % n
+                for v in s[~mask]
+            ]
+            return out.astype("Int32")
+        vals = s[~mask]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            # timestamps arrive as datetime64[ns]; spec hashes micros
+            ints = vals.values.view("int64") // 1000
+        elif len(vals) and isinstance(vals.iloc[0], dt.date):
+            epoch = dt.date(1970, 1, 1)
+            ints = np.array(
+                [(v - epoch).days for v in vals], dtype="int64"
+            )
+        else:
+            ints = vals.astype("int64").values
+        h = _murmur3_32_i64_np(np.asarray(ints, dtype="int64"))
+        out[~mask] = (h & np.uint32(0x7FFFFFFF)) % np.uint32(n)
+        return out.astype("Int32")
+
+    return _bucket(F.col(col))
 
 
 def _transform_expr(pf: dict, schema: T.StructType):
     """The Spark Column computing a partition field's value — evaluated
-    JVM-side during the partitioned write (codegen, no UDF)."""
+    JVM-side during the partitioned write (codegen, no UDF) for every
+    transform except ``bucket[n]``, whose murmur3-over-serialized-bytes
+    has no JVM expression and runs as an Arrow-batched pandas_udf."""
     from pyspark.sql import functions as F
 
     c = F.col(pf["_col"])
@@ -1041,19 +1263,38 @@ def _transform_expr(pf: dict, schema: T.StructType):
             return F.substring(c, 1, w)
         # spec: v - (((v % w) + w) % w) — non-negative remainder
         return c - (((c % w) + w) % w)
+    if tr.startswith("bucket["):
+        n = int(tr[7:-1])
+        st = next(
+            f.dataType for f in schema.fields if f.name == pf["_col"]
+        )
+        return _bucket_col(pf["_col"], n, st)
     if tr == "day":
         return F.datediff(c.cast("date"), F.lit("1970-01-01").cast("date"))
     if tr == "month":
         return (F.year(c) - 1970) * 12 + F.month(c) - 1
     if tr == "year":
         return F.year(c) - 1970
+    if tr == "hour":
+        # exact integer hours-since-epoch with true floor (negative
+        # epochs floor down, never toward zero)
+        sec = c.cast("long")
+        return (
+            (sec - (((sec % 3600) + 3600) % 3600)) / 3600
+        ).cast("int")
     raise IcebergError(f"unsupported write transform {tr!r}")
 
 
-def _part_value_from_dir(raw: str | None, avro_t: str):
-    """Typed partition value from a hive directory component."""
+def _part_value_from_dir(raw: str | None, avro_t: str, logical=None):
+    """Typed partition value from a hive directory component. Date
+    identity partitions write ISO dirs (``d=2024-01-03``) but store the
+    spec's days-since-epoch int in the manifest."""
+    import datetime as dt
+
     if raw is None:
         return None
+    if logical == "date":
+        return (dt.date.fromisoformat(raw) - dt.date(1970, 1, 1)).days
     return int(raw) if avro_t in ("int", "long") else raw
 
 
@@ -1364,7 +1605,8 @@ def _stage_data_files(
             shutil.move(src, final)
             for pf, ptc in zip(part_fields, pt_cols):
                 part[pf["name"]] = _part_value_from_dir(
-                    raw_vals.get(ptc), pf["_avro_type"]
+                    raw_vals.get(ptc), pf["_avro_type"],
+                    pf.get("_logical"),
                 )
             meta = pq.ParquetFile(final).metadata
             files.append({
@@ -1427,9 +1669,10 @@ def create_table(
 
     Unpartitioned tables default to format-version 1 (maximum client
     compatibility); ``partition_by`` (identity / ``truncate[w](col)`` /
-    ``day|month|year(col)`` transforms) publishes a PARTITIONED
-    format-version-2 table — v2 sequence numbers, partition summaries in
-    the manifest list, transform pruning at read (``eq_filters``)."""
+    ``bucket[n](col)`` / ``day|month|year|hour(col)`` transforms)
+    publishes a PARTITIONED format-version-2 table — v2 sequence
+    numbers, partition summaries in the manifest list, transform
+    pruning at read (``eq_filters``)."""
     if os.path.exists(os.path.join(location, "metadata")):
         raise IcebergError(f"table already exists at {location}")
     if format_version is None:

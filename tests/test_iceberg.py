@@ -878,6 +878,49 @@ def test_iceberg_partitioned_v2_writer_roundtrip(spark, tmp_path):
     assert newest[0]["partitions"][0]["contains_null"] is False
 
 
+def test_iceberg_manifest_list_summary_pruning(spark, tmp_path, monkeypatch):
+    """A partition-pruned read must SKIP whole manifests via the
+    manifest-list records' per-field partition summaries — pinned by
+    counting Avro opens: three appends = three manifests with disjoint
+    identity partitions; reading one partition opens the manifest list
+    plus exactly ONE manifest."""
+    loc = str(tmp_path / "mlp")
+    t = iceberg.create_table(
+        spark,
+        loc,
+        spark.createDataFrame([(1, "a"), (2, "a")], "id long, cat string"),
+        partition_by=["cat"],
+        format_version=2,
+    )
+    iceberg.append(spark, loc, spark.createDataFrame(
+        [(3, "b")], "id long, cat string"))
+    t = iceberg.append(spark, loc, spark.createDataFrame(
+        [(4, "c")], "id long, cat string"))
+
+    opened: list[str] = []
+    real = avrofile.read_file
+
+    def counting(path, *a, **k):
+        opened.append(os.path.basename(path))
+        return real(path, *a, **k)
+
+    monkeypatch.setattr(iceberg.avrofile, "read_file", counting)
+    t2 = iceberg.IcebergTable(spark, loc)
+    files = t2.data_files(eq_filters={"cat": "b"})
+    assert len(files) == 1 and files[0]["partition"]["cat"] == "b"
+    manifests = [p for p in opened if p.startswith("manifest-")]
+    assert len(manifests) == 1, manifests
+    # the unfiltered walk still opens all three
+    opened.clear()
+    assert {
+        f["partition"]["cat"] for f in t2.data_files()
+    } == {"a", "b", "c"}
+    assert len([p for p in opened if p.startswith("manifest-")]) == 3
+    # pruned READ returns the right rows end-to-end
+    monkeypatch.setattr(iceberg.avrofile, "read_file", real)
+    assert {r.id for r in t2.read(eq_filters={"cat": "b"}).collect()} == {3}
+
+
 def test_iceberg_writer_truncate_transform(spark, tmp_path):
     loc = str(tmp_path / "ttw")
     df = spark.createDataFrame(
@@ -900,12 +943,127 @@ def test_iceberg_writer_truncate_transform(spark, tmp_path):
     assert {r.id for r in t2.read(eq_filters={"v": -7}).collect()} == {1}
 
 
-def test_iceberg_writer_bucket_refuses(spark, tmp_path):
-    df = spark.createDataFrame([(1, "a")], "id long, cat string")
-    with pytest.raises(iceberg.IcebergError, match="bucket"):
-        iceberg.create_table(
-            spark, str(tmp_path / "b"), df, partition_by=["bucket[4](id)"]
-        )
+def test_iceberg_bucket_hash_numpy_parity():
+    """The write path's numpy-vectorized murmur3 over 8-byte LE words
+    must be bit-identical to the scalar spec implementation over a
+    corpus including negatives, extremes, and the appendix-B vector."""
+    import numpy as np
+
+    corpus = [0, 1, -1, 34, -7, 2**31 - 1, -(2**31), 2**62, -(2**62),
+              8_675_309, -123_456_789]
+    got = iceberg._murmur3_32_i64_np(np.array(corpus, dtype="int64"))
+    for v, h in zip(corpus, got):
+        want = iceberg.murmur3_32(v.to_bytes(8, "little", signed=True))
+        assert int(h) == want & 0xFFFFFFFF or int(h) - (1 << 32) == want
+
+
+def test_iceberg_writer_bucket_roundtrip(spark, tmp_path):
+    """bucket[N] partitioned WRITE → read round-trip with file-level
+    pruning pinned: every manifest partition value must equal the
+    reader's own Python murmur3 bucket of the rows inside (hash parity
+    across nulls/negatives/strings), and an eq_filters read scans only
+    the matching bucket's files."""
+    loc = str(tmp_path / "bw")
+    rows = [(1, "alpha"), (2, "beta"), (3, None), (4, "gamma"),
+            (5, "alpha"), (6, "δelta")]
+    df = spark.createDataFrame(rows, "id long, cat string")
+    t = iceberg.create_table(
+        spark, loc, df, partition_by=["bucket[4](cat)"]
+    )
+
+    def py_bucket(v):
+        if v is None:
+            return None
+        return (iceberg.murmur3_32(v.encode("utf-8")) & 0x7FFFFFFF) % 4
+
+    # manifest partition values match the spec hash for the rows inside
+    for f in t.data_files():
+        got = t.spark.read.parquet(
+            iceberg._strip_scheme(f["file_path"])
+        ).collect()
+        for r in got:
+            assert f["partition"]["cat_bucket"] == py_bucket(r.cat)
+    # pruned read: only files in alpha's bucket scan, all rows correct
+    alpha_files = t.data_files(eq_filters={"cat": "alpha"})
+    assert alpha_files and all(
+        f["partition"]["cat_bucket"] == py_bucket("alpha")
+        for f in alpha_files
+    )
+    assert {r.id for r in t.read().collect()} == {1, 2, 3, 4, 5, 6}
+
+    # integer buckets: negatives + appendix-B value 34 -> bucket parity
+    loc2 = str(tmp_path / "bw2")
+    df2 = spark.createDataFrame(
+        [(34,), (-7,), (0,), (2**40,)], "v long"
+    )
+    t2 = iceberg.create_table(
+        spark, loc2, df2, partition_by=["bucket[8](v)"]
+    )
+    for f in t2.data_files():
+        got = t2.spark.read.parquet(
+            iceberg._strip_scheme(f["file_path"])
+        ).collect()
+        for r in got:
+            h = iceberg.murmur3_32(
+                int(r.v).to_bytes(8, "little", signed=True)
+            )
+            assert f["partition"]["v_bucket"] == (h & 0x7FFFFFFF) % 8
+    # append goes through the stored spec (annotate path)
+    t2 = iceberg.append(spark, loc2, spark.createDataFrame(
+        [(99,)], "v long"))
+    assert {r.v for r in t2.read().collect()} == {34, -7, 0, 2**40, 99}
+
+
+def test_iceberg_writer_hour_and_date_identity(spark, tmp_path):
+    """Mixed hour(ts) + identity(date) spec: partition values land as
+    the spec's int ordinals (hours / days since epoch), pruned reads
+    resolve file-by-file, and appends reuse the stored spec."""
+    import datetime as dt
+
+    loc = str(tmp_path / "hd")
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 5, 30), dt.date(2024, 1, 1)),
+        (2, dt.datetime(2024, 1, 1, 6, 15), dt.date(2024, 1, 1)),
+        (3, dt.datetime(2024, 1, 2, 5, 59), dt.date(2024, 1, 2)),
+        (4, None, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp, d date")
+    t = iceberg.create_table(
+        spark, loc, df, partition_by=["hour(ts)", "d"]
+    )
+    h0 = int(dt.datetime(
+        2024, 1, 1, 5, tzinfo=dt.timezone.utc
+    ).timestamp() // 3600)
+    day0 = (dt.date(2024, 1, 1) - dt.date(1970, 1, 1)).days
+    parts = {
+        (f["partition"]["ts_hour"], f["partition"]["d"])
+        for f in t.data_files()
+    }
+    assert (h0, day0) in parts and (None, None) in parts
+    # hour pruning: 5:xx on Jan 1 selects exactly the h0 files
+    files = t.data_files(
+        eq_filters={"ts": dt.datetime(2024, 1, 1, 5, 1)}
+    )
+    assert files and all(
+        f["partition"]["ts_hour"] == h0 for f in files
+    )
+    # identity-on-date pruning via the days-int stored value
+    files_d = t.data_files(eq_filters={"d": dt.date(2024, 1, 2)})
+    assert files_d and all(
+        f["partition"]["d"] == day0 + 1 for f in files_d
+    )
+    assert {
+        r.id for r in t.read(eq_filters={"d": dt.date(2024, 1, 2)}).collect()
+    } == {3}
+    # round-trip + append through the stored spec
+    t = iceberg.append(spark, loc, spark.createDataFrame(
+        [(5, dt.datetime(2024, 1, 2, 5, 0), dt.date(2024, 1, 2))],
+        "id long, ts timestamp, d date",
+    ))
+    assert {r.id for r in t.read().collect()} == {1, 2, 3, 4, 5}
+    assert {
+        r.id for r in t.read(eq_filters={"d": dt.date(2024, 1, 2)}).collect()
+    } == {3, 5}
 
 
 def test_iceberg_compact_and_expire(spark, tmp_path):
