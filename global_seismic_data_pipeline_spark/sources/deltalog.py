@@ -88,8 +88,12 @@ _SUPPORTED_READER_FEATURES = {
     # float->double, int->decimal, date->timestampNtz)
     "typeWidening", "typeWidening-preview",
     # v2 checkpoints (manifest + sidecars) are READ by
-    # _read_checkpoint_state; this writer still writes classic ones
+    # _read_checkpoint_state; write_checkpoint emits them on demand
     "v2Checkpoint",
+    # vacuumProtocolCheck's reader-side requirement is nil (it exists
+    # to force VACUUM implementations through a protocol check, which
+    # vacuum_delta performs via snapshot_state) — reads proceed
+    "vacuumProtocolCheck",
 }
 _NULL_PARTITION_DIR = "__HIVE_DEFAULT_PARTITION__"
 
@@ -175,6 +179,14 @@ _KNOWN_WRITER_FEATURES = {
     "generatedColumns", "identityColumns", "columnMapping",
     "deletionVectors", "timestampNtz", "typeWidening",
     "typeWidening-preview", "inCommitTimestamp",
+    # v2Checkpoint obliges writers to emit v2-format checkpoints;
+    # write_checkpoint honors it (auto-selects the manifest+sidecar
+    # layout when the protocol lists the feature)
+    "v2Checkpoint",
+    # vacuumProtocolCheck obliges VACUUM to run the protocol gate
+    # before deleting — vacuum_delta does (snapshot_state enforces
+    # the reader gate); appends are unconstrained by the feature
+    "vacuumProtocolCheck",
 }
 
 
@@ -223,7 +235,10 @@ def _check_writer_protocol(
             raise DeltaProtocolError(
                 f"table requires writer features {sorted(unknown)} "
                 f"(minWriterVersion={writer}) this writer does not "
-                f"implement; known here: {sorted(_KNOWN_WRITER_FEATURES)}"
+                f"implement; known here: {sorted(_KNOWN_WRITER_FEATURES)}. "
+                "Reading the table remains supported — writer features "
+                "never gate reads (e.g. rowTracking tables read fine; "
+                "only commits refuse)."
             )
     # the concrete demands live in the table configuration and schema
     # metadata — a declared constraint must be enforced no matter which
@@ -1605,15 +1620,29 @@ def write_checkpoint(
     version: int | None = None,
     *,
     max_rows_per_part: int = 1_000_000,
+    style: str = "auto",
 ) -> str:
     """Write a checkpoint of the state at ``version`` (default latest)
-    + the ``_last_checkpoint`` pointer. Small states write the classic
-    single-part ``%020d.checkpoint.parquet``; a state above
-    ``max_rows_per_part`` rows writes the spec's MULTI-PART form
-    (``%020d.checkpoint.%010d.%010d.parquet``) — at the 100 TB north
-    star the add-set is tens of millions of rows, and a single parquet
-    of all of it is a driver-memory and object-size hazard both to
-    write and for every later reader. Returns the first part's path."""
+    + the ``_last_checkpoint`` pointer.
+
+    ``style``:
+    - ``"classic"`` — single-part ``%020d.checkpoint.parquet``; a state
+      above ``max_rows_per_part`` rows writes the spec's MULTI-PART
+      form (``%020d.checkpoint.%010d.%010d.parquet``) — at the 100 TB
+      north star the add-set is tens of millions of rows, and a single
+      parquet of all of it is a driver-memory and object-size hazard
+      both to write and for every later reader.
+    - ``"v2"`` — the V2 layout: a ``%020d.checkpoint.<uuid>.parquet``
+      manifest carrying protocol/metaData/txn plus ``sidecar`` actions,
+      with the add set split into ``_delta_log/_sidecars/<uuid>.parquet``
+      files of at most ``max_rows_per_part`` rows each. This is where
+      the spec wants the add manifest at scale; note a classic-only
+      reader (pre-v2Checkpoint clients) cannot consume it.
+    - ``"auto"`` (default) — ``"v2"`` when the table's protocol lists
+      the ``v2Checkpoint`` writer feature (the feature REQUIRES v2
+      checkpoints), else ``"classic"``.
+
+    Returns the manifest / first part's path."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -1701,30 +1730,91 @@ def write_checkpoint(
         ])),
     ])
     log = _log_dir(table_path)
-    if len(rows) <= max_rows_per_part:
-        chunks = [rows]
-        names = [f"{version:020d}.checkpoint.parquet"]
-    else:
-        chunks = [
-            rows[i : i + max_rows_per_part]
-            for i in range(0, len(rows), max_rows_per_part)
-        ]
-        n = len(chunks)
-        names = [
-            f"{version:020d}.checkpoint.{i:010d}.{n:010d}.parquet"
-            for i in range(1, n + 1)
-        ]
-    finals = []
-    for chunk, name in zip(chunks, names):
-        tbl = pa.Table.from_pylist(chunk, schema=schema)
-        final = os.path.join(log, name)
-        tmp = os.path.join(log, f".{uuid.uuid4().hex}.checkpoint.tmp")
+    if style not in ("auto", "classic", "v2"):
+        raise ValueError(f"unknown checkpoint style {style!r}")
+    if style == "auto":
+        feats = set(
+            (state["protocol"] or {}).get("writerFeatures") or []
+        )
+        style = "v2" if "v2Checkpoint" in feats else "classic"
+
+    def _write_parquet(chunk, chunk_schema, final):
+        tbl = pa.Table.from_pylist(chunk, schema=chunk_schema)
+        tmp = os.path.join(
+            os.path.dirname(final), f".{uuid.uuid4().hex}.checkpoint.tmp"
+        )
         pq.write_table(tbl, tmp)
         os.replace(tmp, final)
-        finals.append(final)
-    lc = {"version": version, "size": len(rows)}
-    if len(chunks) > 1:
-        lc["parts"] = len(chunks)
+
+    if style == "v2":
+        # manifest (protocol/metaData/txn + sidecar pointers) with the
+        # add set split across _sidecars/ parquet files
+        header = [r for r in rows if r.get("add") is None]
+        adds = [r for r in rows if r.get("add") is not None]
+        sc_dir = os.path.join(log, "_sidecars")
+        os.makedirs(sc_dir, exist_ok=True)
+        sc_schema = pa.schema([schema.field("add")])
+        sidecar_rows = []
+        for i in range(0, max(len(adds), 1), max_rows_per_part):
+            chunk = adds[i : i + max_rows_per_part]
+            name = f"{uuid.uuid4().hex}.parquet"
+            final = os.path.join(sc_dir, name)
+            _write_parquet(
+                [{"add": r["add"]} for r in chunk], sc_schema, final
+            )
+            sidecar_rows.append({
+                "sidecar": {
+                    "path": name,
+                    "sizeInBytes": os.path.getsize(final),
+                    "modificationTime": int(time.time() * 1000),
+                }
+            })
+        manifest_schema = pa.schema([
+            schema.field("protocol"),
+            schema.field("metaData"),
+            schema.field("txn"),
+            pa.field("sidecar", pa.struct([
+                ("path", pa.string()),
+                ("sizeInBytes", pa.int64()),
+                ("modificationTime", pa.int64()),
+            ])),
+        ])
+        manifest = os.path.join(
+            log, f"{version:020d}.checkpoint.{uuid.uuid4().hex}.parquet"
+        )
+        _write_parquet(
+            [
+                {k: r.get(k) for k in ("protocol", "metaData", "txn")}
+                for r in header
+            ]
+            + sidecar_rows,
+            manifest_schema,
+            manifest,
+        )
+        finals = [manifest]
+        lc = {"version": version, "size": len(rows)}
+    else:
+        if len(rows) <= max_rows_per_part:
+            chunks = [rows]
+            names = [f"{version:020d}.checkpoint.parquet"]
+        else:
+            chunks = [
+                rows[i : i + max_rows_per_part]
+                for i in range(0, len(rows), max_rows_per_part)
+            ]
+            n = len(chunks)
+            names = [
+                f"{version:020d}.checkpoint.{i:010d}.{n:010d}.parquet"
+                for i in range(1, n + 1)
+            ]
+        finals = []
+        for chunk, name in zip(chunks, names):
+            final = os.path.join(log, name)
+            _write_parquet(chunk, schema, final)
+            finals.append(final)
+        lc = {"version": version, "size": len(rows)}
+        if len(chunks) > 1:
+            lc["parts"] = len(chunks)
     lc_tmp = os.path.join(log, f".{uuid.uuid4().hex}.lc.tmp")
     with open(lc_tmp, "w") as fh:
         json.dump(lc, fh)

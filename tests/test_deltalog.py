@@ -1600,6 +1600,117 @@ def test_multipart_checkpoint_write_roundtrip(spark, tmp_path):
     assert dl.read_delta(spark, path).count() == 25
 
 
+def test_rowtracking_and_vacuumprotocolcheck_tolerance(spark, tmp_path):
+    """A v7 table listing rowTracking reads fine (writer features never
+    gate reads) while commits refuse with a message saying reads remain
+    supported; vacuumProtocolCheck tables read, APPEND, and vacuum
+    (vacuum_delta runs the protocol gate the feature mandates)."""
+    p = str(tmp_path / "rt")
+    dl.write_delta(spark.range(0, 5).selectExpr("id"), p)
+    log = os.path.join(p, "_delta_log")
+    with open(os.path.join(log, f"{1:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 7,
+            "writerFeatures": ["rowTracking", "domainMetadata"],
+        }}) + "\n")
+    assert {r.id for r in dl.read_delta(spark, p).collect()} == set(range(5))
+    with pytest.raises(dl.DeltaProtocolError, match="remains supported"):
+        dl.write_delta(
+            spark.range(5, 6).selectExpr("id"), p, mode="append"
+        )
+
+    p2 = str(tmp_path / "vpc")
+    dl.write_delta(spark.range(0, 5).selectExpr("id"), p2)
+    log2 = os.path.join(p2, "_delta_log")
+    with open(os.path.join(log2, f"{1:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["vacuumProtocolCheck"],
+            "writerFeatures": ["vacuumProtocolCheck"],
+        }}) + "\n")
+    assert dl.read_delta(spark, p2).count() == 5
+    dl.write_delta(spark.range(5, 7).selectExpr("id"), p2, mode="append")
+    assert dl.read_delta(spark, p2).count() == 7
+    assert dl.vacuum_delta(p2, retain_hours=9999) == []
+
+
+def test_v2_checkpoint_write_roundtrip(spark, tmp_path):
+    """A state checkpointed V2-STYLE by this writer (manifest +
+    _sidecars/) reconstructs identically with every JSON commit deleted
+    — files, deletion vectors, txn marks, protocol feature lists. The
+    add set lives ONLY in sidecar files (the manifest carries no adds),
+    split by max_rows_per_part. Classic-only readers cannot consume
+    this layout (documented in write_checkpoint's docstring)."""
+    import pyarrow.parquet as pq
+
+    from global_seismic_data_pipeline_spark.sources.deltawh import (
+        DeltaLogWarehouse,
+    )
+
+    wh = DeltaLogWarehouse(spark, str(tmp_path / "wh"))
+    wh.overwrite(spark.range(0, 20).selectExpr("id").coalesce(2), "t")
+    path = wh.path("t")
+    wh.append(spark.range(20, 25).selectExpr("id"), "t", txn=("app", 7))
+    wh.delete_with_dv("t", "id IN (1, 2)")
+
+    out = dl.write_checkpoint(path, max_rows_per_part=2, style="v2")
+    log = os.path.join(path, "_delta_log")
+    manifests = [
+        f for f in os.listdir(log)
+        if ".checkpoint." in f and f.endswith(".parquet")
+    ]
+    assert manifests == [os.path.basename(out)]
+    # manifest: uuid-named, no adds inside, sidecar pointers present
+    stem = manifests[0].split(".checkpoint.")[1]
+    assert stem.count(".") == 1  # <uuid>.parquet, not multi-part
+    mrows = pq.read_table(out).to_pylist()
+    assert all(r.get("add") is None for r in mrows)
+    sidecars = [r["sidecar"]["path"] for r in mrows if r.get("sidecar")]
+    assert len(sidecars) > 1  # 3 data files / 2-row parts
+    sc_dir = os.path.join(log, "_sidecars")
+    assert all(os.path.isfile(os.path.join(sc_dir, s)) for s in sidecars)
+
+    for f in list(os.listdir(log)):
+        if f.endswith(".json") and not f.startswith("_"):
+            os.remove(os.path.join(log, f))
+    st = dl.snapshot_state(path)
+    assert st["txns"] == {"app": 7}
+    assert "deletionVectors" in (st["protocol"].get("readerFeatures") or [])
+    got = {r.id for r in dl.read_delta(spark, path).collect()}
+    assert got == set(range(25)) - {1, 2}
+    # appends on top of the v2-checkpointed state work
+    dl.write_delta(spark.range(25, 27).selectExpr("id"), path)
+    assert dl.read_delta(spark, path).count() == 25
+
+
+def test_v2_checkpoint_auto_style_on_feature(spark, tmp_path):
+    """style='auto' must write the v2 layout when the protocol lists
+    the v2Checkpoint writer feature (the feature REQUIRES v2
+    checkpoints), and classic otherwise."""
+    p = str(tmp_path / "t")
+    dl.write_delta(spark.range(0, 5).selectExpr("id"), p)
+    # plain table -> classic name
+    out = dl.write_checkpoint(p)
+    assert os.path.basename(out).endswith("0.checkpoint.parquet")
+
+    # upgrade the protocol to v7 + v2Checkpoint via a raw commit
+    log = os.path.join(p, "_delta_log")
+    st = dl.snapshot_state(p)
+    v = st["version"] + 1
+    with open(os.path.join(log, f"{v:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["v2Checkpoint"],
+            "writerFeatures": ["v2Checkpoint"],
+        }}) + "\n")
+    out2 = dl.write_checkpoint(p)
+    stem = os.path.basename(out2).split(".checkpoint.")[1]
+    assert stem.count(".") == 1  # <uuid>.parquet manifest
+    assert len(stem.split(".")[0]) == 32  # uuid, not a part number
+    # and the state still reads back
+    assert dl.snapshot_state(p)["files"]
+
+
 def _idmode_parquet(path, arrays_fields):
     """Parquet file whose columns carry parquet FIELD IDS and physical
     names chosen to DIFFER from the Delta schema's physicalName metadata
