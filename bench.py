@@ -240,10 +240,13 @@ def main() -> None:
 
     times: dict[str, float] = {}
     ext_times: dict[str, float] = {}
+    adj_times: dict[str, float] = {}
+    adj_ext: dict[str, float] = {}
     probe_split: dict[str, dict] = {}
     calibs: list[float] = []
     for name in HEADLINE + EXTENDED:
         sink = times if name in HEADLINE else ext_times
+        adj_sink = adj_times if name in HEADLINE else adj_ext
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--one", name],
             capture_output=True,
@@ -260,6 +263,13 @@ def main() -> None:
                 }
             if "calib" in rec:
                 calibs.append(rec["calib"])
+                # per-query steal adjustment: the calibration probe ran
+                # in the SAME subprocess seconds after the query (the
+                # same-minute A/B CLAUDE.md demands), so each query's
+                # time can be normalized by ITS minute's host speed —
+                # a noisy window no longer reads as a plan regression
+                q_steal = rec["calib"] / CALIB_REF
+                adj_sink[name] = round(sink[name] / q_steal, 3)
         except (ValueError, KeyError):
             print(
                 f"bench: query {name} failed rc={proc.returncode}: "
@@ -280,12 +290,20 @@ def main() -> None:
                 "queries": times,
                 "extended": ext_times,
                 "extended_total": round(sum(ext_times.values()), 3),
+                "queries_adjusted": adj_times,
+                "extended_adjusted": adj_ext,
                 "probe_split": probe_split,
                 "calibration": {
                     "ref_sec": CALIB_REF,
                     "observed_median_sec": round(calib_med, 3) if calib_med else None,
                     "steal_factor": steal,
                     "value_steal_adjusted": round(total / steal, 3) if steal else None,
+                    "value_per_query_adjusted": round(
+                        sum(adj_times.values()), 3
+                    ) if adj_times else None,
+                    "extended_per_query_adjusted": round(
+                        sum(adj_ext.values()), 3
+                    ) if adj_ext else None,
                 },
                 "sf": sf,
             }
