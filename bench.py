@@ -96,6 +96,8 @@ EXTENDED = [
     # round-6 operators
     "iceberg_v2_deletes_roundtrip",
     "iceberg_upsert_orders",
+    # round-7 operators
+    "iceberg_bucket_pruned_scan",
 ]
 
 HEADLINE = [

@@ -3316,6 +3316,18 @@ GROUP BY o_orderstatus
 """
 
 
+ORACLES_EXT["iceberg_bucket_pruned_scan"] = """
+-- bucket-partitioned write + pruned read of the MIN(o_custkey) probe;
+-- pruned=1 asserts the file list actually shrank (bucket hash parity)
+SELECT CAST((SELECT MIN(o_custkey) FROM orders) AS BIGINT) AS probe_custkey,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       CAST(1 AS BIGINT) AS pruned
+FROM orders
+WHERE o_custkey = (SELECT MIN(o_custkey) FROM orders)
+"""
+
+
 # Blocked fuzzy join: first-word blocks, id-ordered pairs, levenshtein
 # <= 3 (the length prefilter is lossless, so the oracle omits it).
 FUZZY_MATCH_SQL = r"""

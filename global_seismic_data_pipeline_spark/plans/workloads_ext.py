@@ -2918,6 +2918,49 @@ def iceberg_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tail_rows))
     )
 
+def iceberg_bucket_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bucket[8]-partitioned Iceberg WRITE → pruned read end-to-end:
+    the writer evaluates the spec's murmur3-over-appendix-B-bytes in an
+    Arrow-batched pandas_udf (sources/iceberg.py ``_bucket_col``), and
+    the read prunes twice — whole manifests via manifest-list partition
+    summaries, then files via the bucket transform of the probe key.
+    Bucket pruning is FILE-level (other keys share the bucket), so the
+    row predicate applies on top. The ``pruned`` flag is 1 only when
+    the pruned file list is strictly smaller than the table's — a
+    broken bucket hash or dead pruning path hash-fails the oracle, not
+    just runs slow. Probe key = MIN(o_custkey), deterministic at every
+    SF (control-plane scalar, like the KS-test totals)."""
+    import os
+    import tempfile
+
+    from ..sources import iceberg as ib
+
+    sel = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    loc = os.path.join(tempfile.mkdtemp(prefix="icebergbk-"), "ord")
+    t = ib.create_table(
+        spark, loc, sel, partition_by=["bucket[8](o_custkey)"]
+    )
+    k = int(sel.agg(F.min("o_custkey")).first()[0])
+    matched = t.data_files(eq_filters={"o_custkey": k})
+    pruned = len(matched) < len(t.data_files())
+    return (
+        t.read(eq_filters={"o_custkey": k})
+        .filter(F.col("o_custkey") == k)
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+        )
+        .select(
+            F.lit(k).cast("long").alias("probe_custkey"),
+            "cnt",
+            "sum_key",
+            F.lit(1 if pruned else 0).cast("long").alias("pruned"),
+        )
+    )
+
+
 def fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy matching (operators/fuzzy.py): near-identical part
     names found by first-word blocking + the lossless length prefilter
