@@ -467,7 +467,17 @@ class IcebergTable:
         file — pruning is an optimization, never a correctness filter."""
         snap = self.resolve_snapshot(snapshot_id, as_of_ms)
         entries = self._entries(snap, eq_filters)
-        files = [e["data_file"] for e in entries]
+        return self._prune_files(
+            [e["data_file"] for e in entries], eq_filters
+        )
+
+    def _prune_files(
+        self,
+        files: list[dict],
+        eq_filters: Mapping[str, object] | None,
+    ) -> list[dict]:
+        """File-level pruning (partition-transform match + per-file
+        column bounds) of already-listed data-file records."""
         if not eq_filters:
             return files
         spec = self.partition_spec()
@@ -499,6 +509,27 @@ class IcebergTable:
             if not drop:
                 kept.append(f)
         return kept
+
+    def _plan_scan(
+        self,
+        snapshot_id: int | None = None,
+        as_of_ms: int | None = None,
+        eq_filters: Mapping[str, object] | None = None,
+    ) -> tuple[list[dict], list[dict]]:
+        """(pruned live data files, live delete files) in ONE manifest
+        walk — read/row_count would otherwise pay the full metadata walk
+        twice (data_files + delete_files), which at 10⁵-10⁶ files is
+        the dominant planning cost."""
+        snap = self.resolve_snapshot(snapshot_id, as_of_ms)
+        data_entries, delete_entries = self._live_entries(
+            snap, eq_filters
+        )
+        return (
+            self._prune_files(
+                [e["data_file"] for e in data_entries], eq_filters
+            ),
+            [e["data_file"] for e in delete_entries],
+        )
 
     def _bound(self, bounds, field_id: int):
         """Decode one column bound from the manifest's bounds container
@@ -656,9 +687,8 @@ class IcebergTable:
         deletes only: metadata minus the resolved tombstones (still no
         data file touched). Equality deletes need the data — fall back
         to counting the delete-merged scan."""
-        files = self.data_files(snapshot_id, as_of_ms)
+        files, deletes = self._plan_scan(snapshot_id, as_of_ms)
         total = sum(f["record_count"] for f in files)
-        deletes = self.delete_files(snapshot_id, as_of_ms)
         if not deletes:
             return total
         if all(d.get("content") == 1 for d in deletes):
@@ -687,10 +717,11 @@ class IcebergTable:
         ``_DELETE_BROADCAST_MAX_BYTES``; a CDC-scale tombstone set
         shuffles instead of OOMing the driver. Tables without deletes
         pay nothing (the plain pushdown-friendly scan)."""
-        files = self.data_files(snapshot_id, as_of_ms, eq_filters)
+        files, deletes = self._plan_scan(
+            snapshot_id, as_of_ms, eq_filters
+        )
         if not files:
             return self.spark.createDataFrame([], self.spark_schema())
-        deletes = self.delete_files(snapshot_id, as_of_ms)
         return _read_files_with_deletes(self, files, deletes)
 
     # ------------------------------------------------- incremental Δ
