@@ -628,6 +628,51 @@ class IcebergTable:
         nbytes = sum(int(d.get("file_size_in_bytes") or 0) for d in pos)
         return tomb, nbytes
 
+    def _equality_delete_schema(
+        self, cols: tuple[str, ...], ids, ds: list[dict]
+    ) -> T.StructType:
+        """Read schema for one equality-delete group, with the same
+        sampled-footer discipline as :meth:`_scan_schema`: files
+        stamped with parquet field ids resolve by ID (a renamed table's
+        delete files keep working), id-less files name-resolve only
+        after VERIFYING every expected column is present — name-reading
+        a renamed delete file would yield all-null keys, and null-safe
+        equality would then delete the WRONG rows (null-keyed ones)."""
+        import pyarrow.parquet as pq
+
+        types = {f.name: f.dataType for f in self.spark_schema().fields}
+        sample = pq.ParquetFile(
+            _strip_scheme(ds[0]["file_path"])
+        ).schema_arrow
+        has_ids = all(
+            (f.metadata or {}).get(b"PARQUET:field_id") is not None
+            for f in sample
+        )
+        if has_ids:
+            self.spark.conf.set(
+                "spark.sql.parquet.fieldId.read.enabled", "true"
+            )
+            return T.StructType([
+                T.StructField(
+                    c, types[c], True,
+                    metadata={"parquet.field.id": fid},
+                )
+                for c, fid in zip(cols, ids)
+            ])
+        missing = [c for c in cols if c not in set(sample.names)]
+        if missing:
+            raise IcebergError(
+                f"equality-delete columns {missing} are absent from "
+                f"{ds[0]['file_path']!r} and the file carries no "
+                "parquet field ids — the table's columns were renamed "
+                "by a client this reader cannot follow without ids "
+                "(name resolution would yield all-null delete keys and "
+                "null-safe equality would delete the wrong rows)"
+            )
+        return T.StructType(
+            [T.StructField(c, types[c], True) for c in cols]
+        )
+
     def _equality_delete_groups(
         self, deletes: list[dict]
     ) -> list[tuple[tuple[str, ...], DataFrame, int]]:
@@ -641,7 +686,6 @@ class IcebergTable:
         eq = [d for d in deletes if d.get("content") == 2]
         if not eq:
             return []
-        types = {f.name: f.dataType for f in self.spark_schema().fields}
         groups: dict[tuple[str, ...], list[dict]] = {}
         for d in eq:
             cols = tuple(
@@ -660,8 +704,8 @@ class IcebergTable:
                 ],
                 "__dfile string, __dseq long",
             )
-            read_schema = T.StructType(
-                [T.StructField(c, types[c], True) for c in cols]
+            read_schema = self._equality_delete_schema(
+                cols, ds[0]["equality_ids"], ds
             )
             scan = (
                 self.spark.read.schema(read_schema)

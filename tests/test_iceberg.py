@@ -592,6 +592,46 @@ def test_iceberg_v2_delete_broadcast_threshold(spark, tmp_path, monkeypatch):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", auto)
 
 
+def test_iceberg_equality_delete_field_id_resolution(spark, tmp_path):
+    """An equality delete file whose PHYSICAL column name differs from
+    the table schema (renamed-table shape) but carries the right
+    parquet field id must still resolve and delete the right rows —
+    same discipline as the data-file scan."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    loc = _v2_deletes_fixture(tmp_path)
+    feq = os.path.join(loc, "data", "eq-del.parquet")
+    fields = [pa.field(
+        "phys_c2", pa.string(),
+        metadata={b"PARQUET:field_id": b"2"},
+    )]
+    pq.write_table(
+        pa.Table.from_arrays(
+            [pa.array(["x"])], schema=pa.schema(fields)
+        ),
+        feq,
+    )
+    t = iceberg.IcebergTable(spark, loc)
+    assert {r.id for r in t.read().collect()} == {2, 6, 7, 8}
+
+
+def test_iceberg_equality_delete_rename_without_ids_refuses(spark, tmp_path):
+    """An id-less equality delete file missing the expected column name
+    must refuse LOUDLY: name-reading it would yield all-null delete
+    keys, and null-safe equality would then delete null-keyed rows —
+    the silently-wrong outcome never permitted."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    loc = _v2_deletes_fixture(tmp_path)
+    feq = os.path.join(loc, "data", "eq-del.parquet")
+    pq.write_table(pa.table({"phys_c2": pa.array(["x"])}), feq)
+    t = iceberg.IcebergTable(spark, loc)
+    with pytest.raises(iceberg.IcebergError, match="equality-delete"):
+        t.read()
+
+
 def test_iceberg_delete_manifest_with_data_content_refuses(spark, tmp_path):
     """A delete manifest whose entry claims DATA content is corrupt —
     refuse loudly rather than misplan."""
