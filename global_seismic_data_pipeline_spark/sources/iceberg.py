@@ -2136,11 +2136,25 @@ def delete_where(
     dpath = os.path.join(
         data_dir, f"delete-{uuid.uuid4().hex}.parquet"
     )
+    # spec reserved field ids for positional-delete columns
+    pos_schema = pa.schema([
+        pa.field(
+            "file_path", pa.string(),
+            metadata={b"PARQUET:field_id": b"2147483546"},
+        ),
+        pa.field(
+            "pos", pa.int64(),
+            metadata={b"PARQUET:field_id": b"2147483545"},
+        ),
+    ])
     pq.write_table(
-        pa.table({
-            "file_path": pa.array([p for p, _ in pairs]),
-            "pos": pa.array([q for _, q in pairs], pa.int64()),
-        }),
+        pa.Table.from_arrays(
+            [
+                pa.array([p for p, _ in pairs]),
+                pa.array([q for _, q in pairs], pa.int64()),
+            ],
+            schema=pos_schema,
+        ),
         dpath,
     )
     part_fields, fv = _table_write_shape(t)
@@ -2245,7 +2259,21 @@ def upsert_by_keys(
             )
         cols[k] = pa.array([r[k] for r in key_rows], pa_t)
     dpath = os.path.join(data_dir, f"eq-delete-{uuid.uuid4().hex}.parquet")
-    pq.write_table(pa.table(cols), dpath)
+    # spec: every file carries parquet field ids; stamping them keeps
+    # the delete file resolvable after a column rename
+    eq_schema = pa.schema([
+        pa.field(
+            k, cols[k].type,
+            metadata={
+                b"PARQUET:field_id": str(fields[k]["id"]).encode()
+            },
+        )
+        for k in keys
+    ])
+    pq.write_table(
+        pa.Table.from_arrays([cols[k] for k in keys], schema=eq_schema),
+        dpath,
+    )
     delete_rec = {
         "content": 2,
         "file_path": f"file:{dpath}",
