@@ -2214,11 +2214,12 @@ def upsert_by_keys(
     O(batch) upsert the rewrite MERGE cannot give at 100 TB.
 
     ``df`` must be key-unique (same contract as every MERGE here). The
-    distinct key tuples materialize driver-side into the delete file
-    (CDC batches are metadata-scale; ``max_delete_rows`` guards the
-    contract — beyond it, use the warehouse's rewrite MERGE)."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+    distinct key tuples are written DISTRIBUTED (a Spark parquet write
+    with the table's field ids stamped — no driver-side key
+    materialization at any batch size); ``max_delete_rows`` guards the
+    merge-shape contract — beyond it the tombstone set outgrows what
+    read-side delete merging should absorb, use the rewrite MERGE."""
+    from pyspark.sql import functions as F
 
     t = IcebergTable(spark, location)
     if t.metadata.get("format-version", 1) < 2:
@@ -2230,12 +2231,18 @@ def upsert_by_keys(
     for k in keys:
         if k not in fields:
             raise IcebergError(f"upsert key {k!r} not in the table schema")
+        if _pa_type_of(fields[k]["type"]) is None:
+            raise IcebergError(
+                f"cannot write an equality delete on type "
+                f"{fields[k]['type']!r}"
+            )
     part_fields, fv = _table_write_shape(t)
 
-    key_rows = df.select(*keys).distinct().collect()
-    if len(key_rows) > max_delete_rows:
+    keys_df = df.select(*keys).distinct()
+    n_keys = keys_df.count()
+    if n_keys > max_delete_rows:
         raise ValueError(
-            f"upsert batch has {len(key_rows)} distinct keys "
+            f"upsert batch has {n_keys} distinct keys "
             f"(> max_delete_rows={max_delete_rows}): use the rewrite MERGE"
         )
     base = t.metadata
@@ -2248,41 +2255,44 @@ def upsert_by_keys(
         location, df, part_fields, snapshot_id, data_dir,
         field_ids={f["name"]: f["id"] for f in fields.values()},
     )
-    # the equality delete file: one column per key, spec appendix types
-    cols = {}
-    for k in keys:
-        pa_t = _pa_type_of(fields[k]["type"])
-        if pa_t is None:
-            raise IcebergError(
-                f"cannot write an equality delete on type "
-                f"{fields[k]['type']!r}"
-            )
-        cols[k] = pa.array([r[k] for r in key_rows], pa_t)
-    dpath = os.path.join(data_dir, f"eq-delete-{uuid.uuid4().hex}.parquet")
-    # spec: every file carries parquet field ids; stamping them keeps
-    # the delete file resolvable after a column rename
-    eq_schema = pa.schema([
-        pa.field(
-            k, cols[k].type,
-            metadata={
-                b"PARQUET:field_id": str(fields[k]["id"]).encode()
-            },
+    # the equality delete file(s): one column per key, written by a
+    # DISTRIBUTED Spark parquet job with the table's field ids stamped
+    # (spec: every file carries ids; rename-safe for the id-resolving
+    # reader) — the key set never lands on the driver
+    import pyarrow.parquet as _pq
+
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    stamped = keys_df.select(*[
+        F.col(k).alias(
+            k, metadata={"parquet.field.id": fields[k]["id"]}
         )
         for k in keys
     ])
-    pq.write_table(
-        pa.Table.from_arrays([cols[k] for k in keys], schema=eq_schema),
-        dpath,
-    )
-    delete_rec = {
-        "content": 2,
-        "file_path": f"file:{dpath}",
-        "file_format": "PARQUET",
-        "partition": {pf["name"]: None for pf in part_fields},
-        "record_count": len(key_rows),
-        "file_size_in_bytes": os.path.getsize(dpath),
-        "equality_ids": [fields[k]["id"] for k in keys],
-    }
+    staging = os.path.join(location, f".staging-eqdel-{uuid.uuid4().hex}")
+    stamped.write.mode("overwrite").parquet(staging)
+    delete_recs = []
+    for root_, _dirs, names in os.walk(staging):
+        for name in sorted(names):
+            if not name.endswith(".parquet"):
+                continue
+            final = os.path.join(
+                data_dir, f"eq-delete-{uuid.uuid4().hex}.parquet"
+            )
+            shutil.move(os.path.join(root_, name), final)
+            meta_pq = _pq.ParquetFile(final).metadata
+            if meta_pq.num_rows == 0:
+                os.remove(final)  # empty shuffle partitions emit files
+                continue
+            delete_recs.append({
+                "content": 2,
+                "file_path": f"file:{final}",
+                "file_format": "PARQUET",
+                "partition": {pf["name"]: None for pf in part_fields},
+                "record_count": meta_pq.num_rows,
+                "file_size_in_bytes": os.path.getsize(final),
+                "equality_ids": [fields[k]["id"] for k in keys],
+            })
+    shutil.rmtree(staging, ignore_errors=True)
     meta = _write_snapshot(
         location,
         spark.createDataFrame([], t.spark_schema()),
@@ -2292,10 +2302,10 @@ def upsert_by_keys(
         part_fields=part_fields,
         format_version=fv,
         data_files=new_files,
-        extra_delete_files=[delete_rec],
+        extra_delete_files=delete_recs,
     )
     _publish(location, meta)
     return {
         "rows_upserted": sum(f["record_count"] for f in new_files),
-        "keys_deleted": len(key_rows),
+        "keys_deleted": n_keys,
     }
