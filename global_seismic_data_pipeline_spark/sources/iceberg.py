@@ -1585,6 +1585,9 @@ def _write_snapshot(
         "snapshots": (base or {}).get("snapshots", []) + [snap],
         "snapshot-log": (base or {}).get("snapshot-log", [])
         + [{"timestamp-ms": now_ms, "snapshot-id": snapshot_id}],
+        # carried forward so _publish can append the superseded
+        # version's entry (spec: metadata-log)
+        "metadata-log": (base or {}).get("metadata-log", []),
     }
     if format_version >= 2:
         snap["sequence-number"] = seq
@@ -1713,6 +1716,28 @@ def _publish(location: str, meta: dict) -> None:
     ]
     version = max(versions, default=0) + 1
     path = os.path.join(md_dir, f"v{version}.metadata.json")
+    prev = max(versions, default=0)
+    if prev:
+        # spec metadata-log: the superseded version joins the tail,
+        # bounded by write.metadata.previous-versions-max (default 100)
+        prev_path = os.path.join(md_dir, f"v{prev}.metadata.json")
+        try:
+            with open(prev_path) as fh:
+                prev_ts = json.load(fh).get("last-updated-ms", 0)
+        except (OSError, ValueError):
+            prev_ts = 0
+        keep = int(
+            (meta.get("properties") or {}).get(
+                "write.metadata.previous-versions-max", 100
+            )
+        )
+        meta["metadata-log"] = (
+            meta.get("metadata-log", [])
+            + [{
+                "timestamp-ms": prev_ts,
+                "metadata-file": f"file:{prev_path}",
+            }]
+        )[-keep:]
     tmp = os.path.join(md_dir, f".{uuid.uuid4().hex}.metadata.tmp")
     with open(tmp, "w") as fh:
         json.dump(meta, fh)
@@ -2083,6 +2108,33 @@ def expire_snapshots(
             os.remove(p)
             deleted += 1
     return {"snapshots_expired": len(expired), "files_deleted": deleted}
+
+
+def expire_metadata_versions(
+    location: str, *, keep_last: int = 10
+) -> dict:
+    """Delete old ``vN.metadata.json`` files beyond the newest
+    ``keep_last`` (the spec's write.metadata.delete-after-commit
+    maintenance): every commit publishes a whole new metadata file, so
+    a long-lived table accumulates thousands — pure metadata bloat once
+    their snapshots are reachable from the current file. Snapshot
+    time travel is untouched (snapshots live IN the current metadata);
+    only re-reading a superseded metadata file by version dies, same as
+    real Iceberg's cleanup. The version hint and current file never
+    qualify."""
+    md_dir = os.path.join(location, "metadata")
+    versions = sorted(
+        int(f[1:].split(".")[0])
+        for f in os.listdir(md_dir)
+        if f.startswith("v") and f.endswith(".metadata.json")
+    )
+    victims = versions[: -max(1, keep_last)]
+    for v in victims:
+        os.remove(os.path.join(md_dir, f"v{v}.metadata.json"))
+    return {
+        "metadata_versions_deleted": len(victims),
+        "metadata_versions_kept": len(versions) - len(victims),
+    }
 
 
 def delete_where(

@@ -1106,6 +1106,37 @@ def test_iceberg_writer_hour_and_date_identity(spark, tmp_path):
     } == {3, 5}
 
 
+def test_iceberg_metadata_log_and_version_retention(spark, tmp_path):
+    """Every publish appends the superseded version to the spec's
+    metadata-log (bounded by write.metadata.previous-versions-max);
+    expire_metadata_versions deletes old vN files while reads, appends,
+    and time travel keep working."""
+    loc = str(tmp_path / "mdl")
+    t = iceberg.create_table(
+        spark, loc, spark.createDataFrame([(1,)], "id long"))
+    s1 = t.current_snapshot_id()
+    iceberg.append(spark, loc, spark.createDataFrame([(2,)], "id long"))
+    t = iceberg.append(spark, loc, spark.createDataFrame([(3,)], "id long"))
+    log = t.metadata.get("metadata-log")
+    assert log and len(log) == 2
+    assert [e["metadata-file"].endswith(f"v{i}.metadata.json")
+            for i, e in zip((1, 2), log)] == [True, True]
+    assert log[0]["timestamp-ms"] <= log[1]["timestamp-ms"]
+
+    md = os.path.join(loc, "metadata")
+    out = iceberg.expire_metadata_versions(loc, keep_last=1)
+    assert out["metadata_versions_deleted"] == 2
+    left = [f for f in os.listdir(md) if f.endswith(".metadata.json")]
+    assert left == ["v3.metadata.json"]
+    t2 = iceberg.IcebergTable(spark, loc)
+    assert {r.id for r in t2.read().collect()} == {1, 2, 3}
+    # snapshots live in the current metadata: time travel survives
+    assert {r.id for r in t2.read(snapshot_id=s1).collect()} == {1}
+    t3 = iceberg.append(spark, loc, spark.createDataFrame(
+        [(4,)], "id long"))
+    assert t3.read().count() == 4
+
+
 def test_iceberg_compact_and_expire(spark, tmp_path):
     """Small-file compaction as a 'replace' snapshot: file count drops,
     pre-compaction snapshots stay time-travelable, the tail refuses
