@@ -98,6 +98,7 @@ EXTENDED = [
     "iceberg_upsert_orders",
     # round-7 operators
     "iceberg_bucket_pruned_scan",
+    "delta_v2_checkpoint_orders",
 ]
 
 HEADLINE = [

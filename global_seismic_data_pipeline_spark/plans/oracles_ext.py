@@ -3316,6 +3316,18 @@ GROUP BY o_orderstatus
 """
 
 
+ORACLES_EXT["delta_v2_checkpoint_orders"] = """
+-- state reconstructed PURELY from the v2 checkpoint manifest +
+-- sidecars (every JSON commit deleted): slices %3 IN (0,1)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+FROM orders
+WHERE o_orderkey % 3 IN (0, 1)
+GROUP BY o_orderstatus
+"""
+
+
 ORACLES_EXT["iceberg_bucket_pruned_scan"] = """
 -- bucket-partitioned write + pruned read of the MIN(o_custkey) probe;
 -- pruned=1 asserts the file list actually shrank (bucket hash parity)

@@ -2918,6 +2918,45 @@ def iceberg_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tail_rows))
     )
 
+def delta_v2_checkpoint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta V2-checkpoint round-trip (sources/deltalog.py
+    ``write_checkpoint(style='v2')``): two orders slices commit (v0
+    create + v1 append), the state checkpoints V2-STYLE — a uuid-named
+    manifest carrying protocol/metaData/txn plus sidecar pointers, the
+    add set split across ``_delta_log/_sidecars/`` parquet files
+    (max_rows_per_part=1 forces a multi-sidecar layout) — then EVERY
+    JSON commit is deleted, so the aggregate below can only be computed
+    from the manifest + sidecars. A missing sidecar row, a double-
+    counted add, or a broken manifest schema all hash-fail against the
+    oracle's set-theoretic recomputation."""
+    import os
+    import tempfile
+
+    from ..sources import deltalog as dl
+
+    sel = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="deltav2cp-"), "ord")
+    dl.write_delta(sel.filter(F.col("o_orderkey") % 3 == 0), path)
+    dl.write_delta(
+        sel.filter(F.col("o_orderkey") % 3 == 1), path, mode="append"
+    )
+    dl.write_checkpoint(path, style="v2", max_rows_per_part=1)
+    log = os.path.join(path, "_delta_log")
+    for f in os.listdir(log):
+        if f.endswith(".json") and not f.startswith("_"):
+            os.remove(os.path.join(log, f))
+    return (
+        dl.read_delta(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+        )
+    )
+
+
 def iceberg_bucket_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """bucket[8]-partitioned Iceberg WRITE → pruned read end-to-end:
     the writer evaluates the spec's murmur3-over-appendix-B-bytes in an
