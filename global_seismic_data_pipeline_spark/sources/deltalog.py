@@ -568,6 +568,55 @@ def _physical_schema(state: Mapping) -> StructType:
     )
 
 
+# Total DV cardinality at or under this many positions decodes on the
+# driver and broadcasts into the anti-join; larger tombstone sets decode
+# executor-side and the anti-join shuffles — never driver-materialized.
+_DV_BROADCAST_MAX_ROWS = 1_000_000
+
+
+def _dv_positions_df(
+    spark: SparkSession,
+    table_path: str,
+    descs: list[tuple[str, str, str]],
+) -> DataFrame:
+    """Distributed deletion-vector expansion: ``descs`` is the
+    metadata-scale (scan file uri, add path, DV descriptor json) set;
+    each executor task decodes its DVs with the same codec the driver
+    path uses and explodes (file, position) rows — data-scale output
+    that never exists in driver memory. The cardinality check still
+    enforces (a mismatch fails the job, surfacing the message)."""
+    desc_df = spark.createDataFrame(
+        descs, "__dv_file string, __dv_path string, __dv_json string"
+    ).repartition(min(len(descs), 64))
+
+    def _expand(batches):
+        import pandas as pd
+
+        from global_seismic_data_pipeline_spark.sources import dvbitmap
+
+        for pdf in batches:
+            for uri, add_path, dv_json in pdf.itertuples(index=False):
+                desc = json.loads(dv_json)
+                deleted = dvbitmap.resolve_dv(table_path, desc)
+                card = desc.get("cardinality")
+                if card is not None and card != len(deleted):
+                    raise DeltaProtocolError(
+                        f"deletion vector for {add_path!r} decoded "
+                        f"{len(deleted)} positions but the add action "
+                        f"says cardinality={card}"
+                    )
+                if not deleted:
+                    continue
+                yield pd.DataFrame({
+                    "__dv_file": uri,
+                    "__dv_pos": sorted(int(p) for p in deleted),
+                })
+
+    return desc_df.mapInPandas(
+        _expand, "__dv_file string, __dv_pos long"
+    )
+
+
 def _scan_adds(
     spark: SparkSession,
     table_path: str,
@@ -592,11 +641,16 @@ def _scan_adds(
     which must not resolve as logical columns.
 
     Deletion vectors: an add carrying ``deletionVector`` contributes its
-    rows MINUS the DV's positions. The DVs decode driver-side (per-file
-    tombstone metadata, exactly how every Delta client plans) into a
-    broadcast (file, row_index) set; the filter is a distributed
-    anti-join on ``_metadata.row_index`` — no data file is read on the
-    driver, and files without DVs pay nothing when none exist.
+    rows MINUS the DV's positions, via a distributed anti-join on
+    ``_metadata.row_index``. Total DV cardinality at most
+    ``_DV_BROADCAST_MAX_ROWS`` decodes driver-side into a broadcast
+    (file, row_index) set (per-file tombstone metadata, how every Delta
+    client plans); ABOVE the threshold the descriptors ship to
+    executors and each DV decodes + explodes there (``mapInPandas``
+    over the metadata-scale descriptor set, data-scale output), feeding
+    a shuffled anti-join — a 100 TB table whose DVs tombstone tens of
+    millions of rows must never materialize them on the driver. Files
+    without DVs pay nothing when none exist.
 
     ``keep_meta=True`` keeps the ``__dv_file``/``__dv_pos`` metadata
     columns on the (live, DV-filtered) rows — the DV-DELETE probe needs
@@ -645,23 +699,42 @@ def _scan_adds(
             return df.select(*final_cols) if keep_meta else df
         from . import dvbitmap
 
-        rows = []
-        for a in dv_files:
-            deleted = dvbitmap.resolve_dv(table_path, a["deletionVector"])
-            card = a["deletionVector"].get("cardinality")
-            if card is not None and card != len(deleted):
-                raise DeltaProtocolError(
-                    f"deletion vector for {a['path']!r} decoded "
-                    f"{len(deleted)} positions but the add action says "
-                    f"cardinality={card}"
-                )
-            uri = "file:" + abs_path[a["path"]]
-            rows.extend((uri, int(p)) for p in sorted(deleted))
-        deleted_df = spark.createDataFrame(
-            rows, "__dv_file string, __dv_pos long"
+        total_card = sum(
+            int(a["deletionVector"].get("cardinality") or 0)
+            for a in dv_files
         )
+        if total_card <= _DV_BROADCAST_MAX_ROWS:
+            rows = []
+            for a in dv_files:
+                deleted = dvbitmap.resolve_dv(
+                    table_path, a["deletionVector"]
+                )
+                card = a["deletionVector"].get("cardinality")
+                if card is not None and card != len(deleted):
+                    raise DeltaProtocolError(
+                        f"deletion vector for {a['path']!r} decoded "
+                        f"{len(deleted)} positions but the add action "
+                        f"says cardinality={card}"
+                    )
+                uri = "file:" + abs_path[a["path"]]
+                rows.extend((uri, int(p)) for p in sorted(deleted))
+            deleted_df = F.broadcast(spark.createDataFrame(
+                rows, "__dv_file string, __dv_pos long"
+            ))
+        else:
+            deleted_df = _dv_positions_df(
+                spark, table_path,
+                [
+                    (
+                        "file:" + abs_path[a["path"]],
+                        a["path"],
+                        json.dumps(a["deletionVector"]),
+                    )
+                    for a in dv_files
+                ],
+            )
         return df.join(
-            F.broadcast(deleted_df), ["__dv_file", "__dv_pos"], "left_anti"
+            deleted_df, ["__dv_file", "__dv_pos"], "left_anti"
         ).select(*final_cols)
 
     if not pcols:

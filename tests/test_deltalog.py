@@ -1111,6 +1111,52 @@ def test_deletion_vector_read(spark, tmp_path):
         dl.read_delta(spark, path).collect()
 
 
+def test_deletion_vector_distributed_expansion(spark, tmp_path, monkeypatch):
+    """Above _DV_BROADCAST_MAX_ROWS the DV positions must decode on
+    EXECUTORS (mapInPandas over the descriptor set) feeding a shuffled
+    anti-join — never a driver-side createDataFrame of positions.
+    Forced here by zeroing the threshold: results identical, the plan
+    carries the Python expansion stage, and a cardinality mismatch
+    still fails with the message."""
+    import os
+    import uuid as _uuid
+
+    from global_seismic_data_pipeline_spark.sources import (
+        deltalog as dl,
+        dvbitmap as dvb,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 10).selectExpr("id", "id * 2 AS v").coalesce(1)
+    dl.write_delta(df.sortWithinPartitions("id"), path)
+    rel = next(iter(dl.snapshot_state(path)["files"]))
+    u = _uuid.uuid4()
+    desc = dvb.write_dv_file(
+        os.path.join(path, f"deletion_vector_{u}.bin"), {0, 7}
+    )
+    descriptor = {
+        "storageType": "u",
+        "pathOrInlineDv": dvb.z85_encode(u.bytes),
+        "offset": desc["offset"],
+        "sizeInBytes": desc["sizeInBytes"],
+        "cardinality": 2,
+    }
+    _attach_dv(path, rel, descriptor)
+    monkeypatch.setattr(dl, "_DV_BROADCAST_MAX_ROWS", 0)
+    got_df = dl.read_delta(spark, path)
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan or "mapInPandas" in plan
+    assert sorted(r.id for r in got_df.collect()) == [
+        1, 2, 3, 4, 5, 6, 8, 9,
+    ]
+    # the distributed path enforces cardinality too (job failure
+    # surfaces the decoded-vs-declared message)
+    bad = dict(descriptor, cardinality=5)
+    _attach_dv(path, rel, bad)
+    with pytest.raises(Exception, match="cardinality"):
+        dl.read_delta(spark, path).collect()
+
+
 def test_deletion_vector_inline_and_partitioned(spark, tmp_path):
     """Inline ('i') DVs on a hive-partitioned table: only the targeted
     file's positions vanish; the other partition is untouched."""
