@@ -2151,12 +2151,15 @@ def delete_where(
     Iceberg warehouses). Matching row positions come from one
     distributed scan with ``_metadata`` (already-deleted rows never
     re-match: the probe runs on the delete-merged read); the tombstones
-    write as ONE sorted position-delete parquet + delete manifest, and
-    the commit is a ``delete`` snapshot with the next sequence number.
-    Deletes bigger than ``max_rows`` refuse — use an overwrite at that
-    size. Requires a format-version 2 table (the spec's own rule)."""
-    import pyarrow as pa
+    write DISTRIBUTED as sorted position-delete parquet(s) — spec
+    field-id-stamped, range-partitioned then sorted by (file_path, pos)
+    so every file satisfies the spec's ordering, never collected on the
+    driver — plus a delete manifest, and the commit is a ``delete``
+    snapshot with the next sequence number. Deletes bigger than
+    ``max_rows`` refuse — use an overwrite at that size. Requires a
+    format-version 2 table (the spec's own rule)."""
     import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
 
     t = IcebergTable(spark, location)
     if t.metadata.get("format-version", 1) < 2:
@@ -2172,52 +2175,66 @@ def delete_where(
         _read_files_with_deletes(t, files, deletes, keep_meta=True)
         .filter(condition)
         .select("__ifile", "__ipos")
+        .persist()
     )
-    n = hits.count()
-    if n == 0:
-        return {"rows_deleted": 0, "files_affected": 0}
-    if n > max_rows:
-        raise ValueError(
-            f"delete_where matched {n} rows (> max_rows={max_rows}): "
-            "use overwrite for bulk deletes"
+    try:
+        n = hits.count()
+        if n == 0:
+            return {"rows_deleted": 0, "files_affected": 0}
+        if n > max_rows:
+            raise ValueError(
+                f"delete_where matched {n} rows (> max_rows={max_rows}): "
+                "use overwrite for bulk deletes"
+            )
+        n_affected = hits.select("__ifile").distinct().count()
+        data_dir = os.path.join(location, "data")
+        # spec reserved field ids for positional-delete columns
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        stamped = hits.select(
+            F.col("__ifile").alias(
+                "file_path", metadata={"parquet.field.id": 2147483546}
+            ),
+            F.col("__ipos").alias(
+                "pos", metadata={"parquet.field.id": 2147483545}
+            ),
         )
-    pairs = sorted(
-        (r["__ifile"], int(r["__ipos"])) for r in hits.collect()
-    )
-    data_dir = os.path.join(location, "data")
-    dpath = os.path.join(
-        data_dir, f"delete-{uuid.uuid4().hex}.parquet"
-    )
-    # spec reserved field ids for positional-delete columns
-    pos_schema = pa.schema([
-        pa.field(
-            "file_path", pa.string(),
-            metadata={b"PARQUET:field_id": b"2147483546"},
-        ),
-        pa.field(
-            "pos", pa.int64(),
-            metadata={b"PARQUET:field_id": b"2147483545"},
-        ),
-    ])
-    pq.write_table(
-        pa.Table.from_arrays(
-            [
-                pa.array([p for p, _ in pairs]),
-                pa.array([q for _, q in pairs], pa.int64()),
-            ],
-            schema=pos_schema,
-        ),
-        dpath,
-    )
-    part_fields, fv = _table_write_shape(t)
-    rec = {
-        "content": 1,
-        "file_path": f"file:{dpath}",
-        "file_format": "PARQUET",
-        "partition": {pf["name"]: None for pf in part_fields},
-        "record_count": len(pairs),
-        "file_size_in_bytes": os.path.getsize(dpath),
-    }
+        n_parts = max(1, -(-n // 4_000_000))  # ~4M tombstones per file
+        staging = os.path.join(
+            location, f".staging-posdel-{uuid.uuid4().hex}"
+        )
+        (
+            stamped.repartitionByRange(n_parts, "file_path", "pos")
+            .sortWithinPartitions("file_path", "pos")
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        part_fields, fv = _table_write_shape(t)
+        recs = []
+        for root_, _dirs, names in os.walk(staging):
+            for name in sorted(names):
+                if not name.endswith(".parquet"):
+                    continue
+                final = os.path.join(
+                    data_dir, f"delete-{uuid.uuid4().hex}.parquet"
+                )
+                shutil.move(os.path.join(root_, name), final)
+                meta_pq = pq.ParquetFile(final).metadata
+                if meta_pq.num_rows == 0:
+                    os.remove(final)
+                    continue
+                recs.append({
+                    "content": 1,
+                    "file_path": f"file:{final}",
+                    "file_format": "PARQUET",
+                    "partition": {
+                        pf["name"]: None for pf in part_fields
+                    },
+                    "record_count": meta_pq.num_rows,
+                    "file_size_in_bytes": os.path.getsize(final),
+                })
+        shutil.rmtree(staging, ignore_errors=True)
+    finally:
+        hits.unpersist()
     meta = _write_snapshot(
         location,
         spark.createDataFrame([], t.spark_schema()),
@@ -2226,14 +2243,11 @@ def delete_where(
         operation="delete",
         part_fields=part_fields,
         format_version=fv,
-        data_files=[rec],
+        data_files=recs,
         manifest_content=1,
     )
     _publish(location, meta)
-    return {
-        "rows_deleted": len(pairs),
-        "files_affected": len({p for p, _ in pairs}),
-    }
+    return {"rows_deleted": n, "files_affected": n_affected}
 
 
 def _pa_type_of(iceberg_type: str):
