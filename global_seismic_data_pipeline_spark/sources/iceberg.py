@@ -63,7 +63,7 @@ import re
 import shutil
 import time
 import uuid
-from collections.abc import Mapping
+from collections.abc import Mapping, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -1036,6 +1036,38 @@ def _manifest_entry_schema(part_fields: list[dict]) -> dict:
                         {"name": "record_count", "type": "long", "field-id": 103},
                         {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
                         {
+                            "name": "lower_bounds",
+                            "field-id": 125,
+                            "type": ["null", {
+                                "type": "array", "logicalType": "map",
+                                "items": {
+                                    "type": "record", "name": "k126_v127",
+                                    "fields": [
+                                        {"name": "key", "type": "int",
+                                         "field-id": 126},
+                                        {"name": "value", "type": "bytes",
+                                         "field-id": 127},
+                                    ],
+                                },
+                            }],
+                        },
+                        {
+                            "name": "upper_bounds",
+                            "field-id": 128,
+                            "type": ["null", {
+                                "type": "array", "logicalType": "map",
+                                "items": {
+                                    "type": "record", "name": "k129_v130",
+                                    "fields": [
+                                        {"name": "key", "type": "int",
+                                         "field-id": 129},
+                                        {"name": "value", "type": "bytes",
+                                         "field-id": 130},
+                                    ],
+                                },
+                            }],
+                        },
+                        {
                             "name": "equality_ids",
                             "type": ["null", {
                                 "type": "array", "items": "int",
@@ -1467,7 +1499,8 @@ def _write_snapshot(
             "snapshot_id": snapshot_id,
             "sequence_number": None,  # inherit from the manifest list
             "file_sequence_number": None,
-            "data_file": {"equality_ids": None, **f},
+            "data_file": {"equality_ids": None, "lower_bounds": None,
+                           "upper_bounds": None, **f},
         }
         for f in files
     ]
@@ -1534,7 +1567,8 @@ def _write_snapshot(
                 "snapshot_id": snapshot_id,
                 "sequence_number": None,
                 "file_sequence_number": None,
-                "data_file": {"equality_ids": None, **f},
+                "data_file": {"equality_ids": None, "lower_bounds": None,
+                           "upper_bounds": None, **f},
             }
             for f in extra_delete_files
         ]
@@ -1622,6 +1656,93 @@ def _write_snapshot(
     return meta
 
 
+def _encode_stat(value, atype) -> bytes | None:
+    """Appendix-D encoding of one parquet footer statistic, typed by
+    the staged file's arrow type (1:1 with the table's Iceberg type for
+    everything this writer emits). None ⇒ the bound is omitted — absent
+    bounds never prune, so skipping a type is always safe. Strings emit
+    only when short (footer string stats may be writer-truncated, but
+    truncation keeps them valid bounds — parquet adjusts the max)."""
+    import datetime as dt
+
+    import pyarrow as pa
+
+    if isinstance(value, bool):
+        return None
+    if pa.types.is_int32(atype):
+        return int(value).to_bytes(4, "little", signed=True)
+    if pa.types.is_int64(atype):
+        return int(value).to_bytes(8, "little", signed=True)
+    if pa.types.is_string(atype) or pa.types.is_large_string(atype):
+        s = (
+            value if isinstance(value, str)
+            else value.decode("utf-8", "ignore")
+            if isinstance(value, (bytes, bytearray)) else None
+        )
+        if s is None or len(s) > 32:
+            return None
+        return s.encode("utf-8")
+    if pa.types.is_date32(atype):
+        if isinstance(value, dt.date) and not isinstance(value, dt.datetime):
+            value = (value - dt.date(1970, 1, 1)).days
+        if isinstance(value, int):
+            return int(value).to_bytes(4, "little", signed=True)
+        return None
+    if pa.types.is_timestamp(atype):
+        if isinstance(value, dt.datetime):
+            epoch = dt.datetime(1970, 1, 1, tzinfo=value.tzinfo)
+            td = value - epoch
+            micros = (
+                (td.days * 86400 + td.seconds) * 1_000_000
+                + td.microseconds
+            )
+            return micros.to_bytes(8, "little", signed=True)
+        return None
+    return None
+
+
+def _file_column_bounds(pf, field_ids: dict | None):
+    """(lower_bounds, upper_bounds) k/v lists (spec fields 125/128) for
+    one staged parquet file, aggregated from its footer row-group
+    statistics — the metadata every real Iceberg writer stores and the
+    reader's eq_filters pruning consumes. Nested columns, missing
+    stats, and un-encodable types are omitted."""
+    if not field_ids:
+        return None, None
+    meta = pf.metadata
+    arrow_types = {
+        f.name: f.type for f in pf.schema_arrow
+    }
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    for rg in range(meta.num_row_groups):
+        for ci in range(meta.num_columns):
+            col = meta.row_group(rg).column(ci)
+            name = col.path_in_schema
+            if "." in name or name not in field_ids:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            if name in mins:
+                mins[name] = min(mins[name], st.min)
+                maxs[name] = max(maxs[name], st.max)
+            else:
+                mins[name], maxs[name] = st.min, st.max
+    lower, upper = [], []
+    for name in sorted(mins):
+        at = arrow_types.get(name)
+        if at is None:
+            continue
+        lo = _encode_stat(mins[name], at)
+        hi = _encode_stat(maxs[name], at)
+        if lo is None or hi is None:
+            continue
+        lower.append({"key": field_ids[name], "value": lo})
+        upper.append({"key": field_ids[name], "value": hi})
+    return (lower or None), (upper or None)
+
+
 def _stage_data_files(
     location: str,
     df: DataFrame,
@@ -1686,14 +1807,17 @@ def _stage_data_files(
                     raw_vals.get(ptc), pf["_avro_type"],
                     pf.get("_logical"),
                 )
-            meta = pq.ParquetFile(final).metadata
+            pf = pq.ParquetFile(final)
+            lower, upper = _file_column_bounds(pf, field_ids)
             files.append({
                 "content": 0,
                 "file_path": f"file:{final}",
                 "file_format": "PARQUET",
                 "partition": part,
-                "record_count": meta.num_rows,
+                "record_count": pf.metadata.num_rows,
                 "file_size_in_bytes": os.path.getsize(final),
+                "lower_bounds": lower,
+                "upper_bounds": upper,
             })
     shutil.rmtree(staging, ignore_errors=True)
     return files
@@ -1898,6 +2022,9 @@ def compact_data_files(
     *,
     target_file_mb: int = 128,
     small_file_mb: float | None = None,
+    sort_cols: Sequence[str] = (),
+    zorder_by: tuple[str, str] | None = None,
+    curve: str = "morton",
 ) -> dict:
     """Small-file compaction (the reference's OPTIMIZE story on the
     Iceberg backend, ref: TABLE OPTIMIZATION.py:33-36): rewrite live
@@ -1913,7 +2040,14 @@ def compact_data_files(
     rewrite to fix stragglers is the anti-pattern — same design as the
     Delta backend's ``optimize_small_files``). v2 row-level deletes are
     MATERIALIZED for the rewritten files (the read merges them) — which
-    is why files carrying a delete always rewrite."""
+    is why files carrying a delete always rewrite.
+
+    ``sort_cols`` range-clusters the rewrite on the leading key(s);
+    ``zorder_by=(a, b)`` lays rows along the Morton (``curve="morton"``)
+    or Hilbert (``curve="hilbert"``) curve of two integer keys — the
+    OPTIMIZE ZORDER story on this backend. Combined with the per-file
+    column bounds this writer records in the manifests, clustering
+    turns into FILE-level ``eq_filters`` pruning at read."""
     t = IcebergTable(spark, location)
     files = t.data_files()
     deletes = t.delete_files()
@@ -1953,7 +2087,37 @@ def compact_data_files(
     victim_df = _read_files_with_deletes(t, victims, deletes)
     total = sum(f["file_size_in_bytes"] for f in victims)
     n_out = max(1, -(-total // (target_file_mb * 1024 * 1024)))
-    compacted = victim_df.repartition(int(n_out))
+    if zorder_by and sort_cols:
+        raise ValueError("pass either sort_cols or zorder_by, not both")
+    if zorder_by:
+        # multi-dimensional clustering during the rewrite (the
+        # reference's OPTIMIZE ZORDER on the Iceberg backend): each
+        # output file covers a compact region of the 2-key space, and
+        # the footer stats this writer now records in the manifests
+        # turn that into FILE-level eq_filters pruning
+        if curve == "hilbert":
+            from ..operators.hilbert import cluster_by_hilbert
+
+            compacted = cluster_by_hilbert(
+                victim_df, list(zorder_by), num_partitions=int(n_out)
+            )
+        elif curve == "morton":
+            from ..operators.zorder import cluster_by_zorder
+
+            compacted = cluster_by_zorder(
+                victim_df, list(zorder_by), num_partitions=int(n_out)
+            )
+        else:
+            raise ValueError(
+                f"unknown curve {curve!r}: morton or hilbert"
+            )
+    elif sort_cols:
+        # 1-D range clustering on the leading key(s)
+        compacted = victim_df.repartitionByRange(
+            int(n_out), *sort_cols
+        ).sortWithinPartitions(*sort_cols)
+    else:
+        compacted = victim_df.repartition(int(n_out))
     base = t.metadata
     # stage the rewritten files, then publish ONE snapshot whose
     # manifest = kept records + new records

@@ -963,10 +963,14 @@ def test_iceberg_manifest_list_summary_pruning(spark, tmp_path, monkeypatch):
 
 def test_iceberg_writer_truncate_transform(spark, tmp_path):
     loc = str(tmp_path / "ttw")
+    # coalesce(1): 'alpha' and 'alto' land in the SAME parquet file, so
+    # the assertion below pins truncate pruning as FILE-level (were
+    # they separate files, the writer's column bounds would rightly
+    # prune the 'alto'-only file too)
     df = spark.createDataFrame(
         [(1, "alpha"), (2, "alto"), (3, "beta"), (4, -7)][:3],
         "id long, s string",
-    )
+    ).coalesce(1)
     t = iceberg.create_table(spark, loc, df, partition_by=["truncate[2](s)"])
     assert {f["partition"]["s_trunc"] for f in t.data_files()} == {"al", "be"}
     # truncate pruning is FILE-level: 'alpha' maps to the 'al' file,
@@ -1135,6 +1139,83 @@ def test_iceberg_metadata_log_and_version_retention(spark, tmp_path):
     t3 = iceberg.append(spark, loc, spark.createDataFrame(
         [(4,)], "id long"))
     assert t3.read().count() == 4
+
+
+def test_iceberg_writer_column_bounds_pruning(spark, tmp_path):
+    """The writer records per-file column lower/upper bounds (spec
+    fields 125/128) from the parquet footers; eq_filters on a
+    NON-partition column then prunes at FILE level through the
+    reader's existing bounds path."""
+    loc = str(tmp_path / "cb")
+    df = (
+        spark.range(0, 100)
+        .selectExpr("id", "concat('u', id % 7) AS cat")
+        .repartitionByRange(4, "id")
+        .sortWithinPartitions("id")
+    )
+    t = iceberg.create_table(spark, loc, df)
+    files = t.data_files()
+    assert len(files) >= 2
+    for f in files:
+        assert f.get("lower_bounds") and f.get("upper_bounds")
+    pruned = t.data_files(eq_filters={"id": 5})
+    assert 0 < len(pruned) < len(files)
+    assert {r.id for r in t.read(eq_filters={"id": 5}).collect()} >= {5}
+    # bounds survive the manifest round-trip on append too
+    t2 = iceberg.append(
+        spark, loc,
+        spark.createDataFrame([(1000, "x")], "id long, cat string"),
+    )
+    pruned2 = t2.data_files(eq_filters={"id": 1000})
+    assert len(pruned2) < len(t2.data_files())
+
+
+def test_iceberg_clustered_compaction(spark, tmp_path):
+    """compact_data_files(sort_cols=...) rewrites interleaved files
+    into range-clustered ones: before, an id probe keeps every file
+    (each holds the full range); after, the bounds prune to a strict
+    subset. zorder_by exercises the curve path end-to-end."""
+    loc = str(tmp_path / "cc")
+    df = spark.range(0, 40000).selectExpr(
+        "id", "CAST(id % 20 AS LONG) AS g",
+        # incompressible padding so the rewrite spans several files
+        "concat(sha2(cast(id AS string), 256),"
+        " sha2(cast(id * 7 + 1 AS string), 256),"
+        " sha2(cast(id * 13 + 2 AS string), 256),"
+        " sha2(cast(id * 29 + 3 AS string), 256)) AS pad",
+    ).repartition(4)  # round-robin: every file spans the whole range
+    t = iceberg.create_table(spark, loc, df)
+    all_before = t.data_files()
+    assert len(all_before) >= 3
+    # round-robin layout: the probe keeps (nearly) every file
+    assert len(t.data_files(eq_filters={"id": 7})) >= len(all_before) - 1
+
+    out = iceberg.compact_data_files(
+        spark, loc, target_file_mb=1, sort_cols=["id"]
+    )
+    assert out["files_rewritten"] == len(all_before)
+    t = iceberg.IcebergTable(spark, loc)
+    after = t.data_files()
+    assert len(after) >= 2
+    pruned = t.data_files(eq_filters={"id": 7})
+    assert len(pruned) < len(after)
+    assert t.read().count() == 40000
+    assert {r.g for r in t.read(eq_filters={"id": 7}).collect()} >= {7}
+
+    # two-key Morton clustering round-trips and stays readable
+    loc2 = str(tmp_path / "cz")
+    iceberg.create_table(
+        spark, loc2,
+        spark.range(0, 200).selectExpr(
+            "id", "CAST((id * 37) % 100 AS LONG) AS y"
+        ).repartition(3),
+    )
+    iceberg.compact_data_files(
+        spark, loc2, target_file_mb=1, zorder_by=("id", "y"),
+        curve="hilbert",
+    )
+    t2 = iceberg.IcebergTable(spark, loc2)
+    assert t2.read().count() == 200
 
 
 def test_iceberg_compact_and_expire(spark, tmp_path):
