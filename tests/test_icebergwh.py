@@ -131,6 +131,9 @@ def test_tail_and_maintenance_delegates(spark, iwh):
     stats = iwh.expire_snapshots("t2", keep_last=1)
     assert stats["snapshots_expired"] >= 1
     assert iwh.read("t2").count() == 48
+    md = iwh.expire_metadata_versions("t2", keep_last=1)
+    assert md["metadata_versions_deleted"] >= 1
+    assert iwh.read("t2").count() == 48
 
 
 def test_warehouse_upsert_equality_delete(spark, iwh):
