@@ -1851,12 +1851,20 @@ def write_checkpoint(
                 ("sizeInBytes", pa.int64()),
                 ("modificationTime", pa.int64()),
             ])),
+            # spec: a V2 checkpoint contains EXACTLY ONE
+            # checkpointMetadata action carrying the checkpoint version
+            # — compliant readers (delta-spark) reject manifests
+            # without it
+            pa.field("checkpointMetadata", pa.struct([
+                ("version", pa.int64()),
+            ])),
         ])
         manifest = os.path.join(
             log, f"{version:020d}.checkpoint.{uuid.uuid4().hex}.parquet"
         )
         _write_parquet(
-            [
+            [{"checkpointMetadata": {"version": version}}]
+            + [
                 {k: r.get(k) for k in ("protocol", "metaData", "txn")}
                 for r in header
             ]

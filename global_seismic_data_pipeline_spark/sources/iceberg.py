@@ -57,6 +57,7 @@ snapshot, old snapshots stay time-travelable) and ``expire_snapshots``
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import re
@@ -106,6 +107,27 @@ _SPARK_TO_ICEBERG = {
     T.TimestampNTZType(): "timestamp",
     T.TimestampType(): "timestamptz",
 }
+
+
+@contextlib.contextmanager
+def _conf_pinned(spark: SparkSession, key: str, value: str):
+    """Set a session conf for the duration of an EAGER operation and
+    restore the caller's prior value after — writer confs like
+    ``spark.sql.parquet.fieldId.write.enabled`` must not leak into
+    unrelated writes on a shared session. Only safe around actions:
+    lazy plans consume SQL confs at execution time, so the fieldId READ
+    conf (needed when the returned scan later executes) intentionally
+    stays set — with no field-id metadata in a schema Spark falls back
+    to name resolution, so it is a no-op for every other read."""
+    prior = spark.conf.get(key, None)
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
 
 
 def _strip_scheme(p: str) -> str:
@@ -1341,13 +1363,37 @@ def _bucket_col(col: str, n: int, st: T.DataType):
             ints = np.array(
                 [(v - epoch).days for v in vals], dtype="int64"
             )
+        elif pd.api.types.is_float_dtype(vals):
+            # Arrow→pandas widens nullable int64 to float64, which is
+            # lossy above 2^53 — the caller coalesces nulls away so this
+            # branch should be unreachable; hash per-value via exact
+            # Python ints as a defensive fallback (still exact only for
+            # values float64 can represent).
+            ints = np.array([int(v) for v in vals], dtype="int64")
         else:
             ints = vals.astype("int64").values
         h = _murmur3_32_i64_np(np.asarray(ints, dtype="int64"))
         out[~mask] = (h & np.uint32(0x7FFFFFFF)) % np.uint32(n)
         return out.astype("Int32")
 
-    return _bucket(F.col(col))
+    c = F.col(col)
+    if is_string:
+        return _bucket(c)
+    # A single null in an int/long batch makes Arrow→pandas hand the
+    # UDF float64, silently corrupting longs above 2^53 before murmur3
+    # (readers hash the exact integer, so pruning would drop the file
+    # with the matching rows). Feed the UDF a null-free column so the
+    # batch stays int64/datetime64, and re-apply null outside (spec:
+    # null source → null partition value).
+    if isinstance(st, T.DateType):
+        fill = F.lit("1970-01-01").cast("date")
+    elif isinstance(st, (T.TimestampType, T.TimestampNTZType)):
+        fill = F.lit("1970-01-01 00:00:00").cast(st)
+    else:
+        fill = F.lit(0).cast(st)
+    return F.when(c.isNull(), F.lit(None).cast("int")).otherwise(
+        _bucket(F.coalesce(c, fill))
+    )
 
 
 def _transform_expr(pf: dict, schema: T.StructType):
@@ -1764,9 +1810,11 @@ def _stage_data_files(
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
+    pin = contextlib.nullcontext()
     if field_ids:
-        df.sparkSession.conf.set(
-            "spark.sql.parquet.fieldId.write.enabled", "true"
+        pin = _conf_pinned(
+            df.sparkSession, "spark.sql.parquet.fieldId.write.enabled",
+            "true",
         )
         df = df.select(*[
             F.col(f.name).alias(
@@ -1777,13 +1825,14 @@ def _stage_data_files(
         ])
     staging = os.path.join(location, f".staging-{uuid.uuid4().hex}")
     pt_cols = [f"__pt_{pf['name']}" for pf in part_fields]
-    if part_fields:
-        w = df
-        for pf, ptc in zip(part_fields, pt_cols):
-            w = w.withColumn(ptc, _transform_expr(pf, df.schema))
-        w.write.mode("overwrite").partitionBy(*pt_cols).parquet(staging)
-    else:
-        df.write.mode("overwrite").parquet(staging)
+    with pin:
+        if part_fields:
+            w = df
+            for pf, ptc in zip(part_fields, pt_cols):
+                w = w.withColumn(ptc, _transform_expr(pf, df.schema))
+            w.write.mode("overwrite").partitionBy(*pt_cols).parquet(staging)
+        else:
+            df.write.mode("overwrite").parquet(staging)
     files = []
     for root_, _dirs, names in os.walk(staging):
         for name in sorted(names):
@@ -1855,8 +1904,14 @@ def _publish(location: str, meta: dict) -> None:
                 "write.metadata.previous-versions-max", 100
             )
         )
+        # drop entries whose file was removed by expire_metadata_versions
+        # — metadata-log time travel must never point at dead links
+        live = [
+            e for e in meta.get("metadata-log", [])
+            if os.path.exists(_strip_scheme(e.get("metadata-file", "")))
+        ]
         meta["metadata-log"] = (
-            meta.get("metadata-log", [])
+            live
             + [{
                 "timestamp-ms": prev_ts,
                 "metadata-file": f"file:{prev_path}",
@@ -2295,6 +2350,28 @@ def expire_metadata_versions(
     victims = versions[: -max(1, keep_last)]
     for v in victims:
         os.remove(os.path.join(md_dir, f"v{v}.metadata.json"))
+    # scrub the CURRENT metadata's metadata-log of entries now pointing
+    # at removed files (spec-sanctioned metadata time travel follows
+    # metadata-log; dead links there are a reader-visible corruption).
+    # Same-version atomic replace: snapshots, schema, and everything
+    # else are byte-identical — only the log tail shrinks.
+    if victims and versions:
+        cur = os.path.join(md_dir, f"v{versions[-1]}.metadata.json")
+        with open(cur) as fh:
+            meta = json.load(fh)
+        log = meta.get("metadata-log", [])
+        live = [
+            e for e in log
+            if os.path.exists(_strip_scheme(e.get("metadata-file", "")))
+        ]
+        if len(live) != len(log):
+            meta["metadata-log"] = live
+            tmp = os.path.join(md_dir, f".{uuid.uuid4().hex}.metadata.tmp")
+            with open(tmp, "w") as fh:
+                json.dump(meta, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(tmp, cur)
     return {
         "metadata_versions_deleted": len(victims),
         "metadata_versions_kept": len(versions) - len(victims),
@@ -2353,7 +2430,6 @@ def delete_where(
         n_affected = hits.select("__ifile").distinct().count()
         data_dir = os.path.join(location, "data")
         # spec reserved field ids for positional-delete columns
-        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
         stamped = hits.select(
             F.col("__ifile").alias(
                 "file_path", metadata={"parquet.field.id": 2147483546}
@@ -2366,12 +2442,15 @@ def delete_where(
         staging = os.path.join(
             location, f".staging-posdel-{uuid.uuid4().hex}"
         )
-        (
-            stamped.repartitionByRange(n_parts, "file_path", "pos")
-            .sortWithinPartitions("file_path", "pos")
-            .write.mode("overwrite")
-            .parquet(staging)
-        )
+        with _conf_pinned(
+            spark, "spark.sql.parquet.fieldId.write.enabled", "true"
+        ):
+            (
+                stamped.repartitionByRange(n_parts, "file_path", "pos")
+                .sortWithinPartitions("file_path", "pos")
+                .write.mode("overwrite")
+                .parquet(staging)
+            )
         part_fields, fv = _table_write_shape(t)
         recs = []
         for root_, _dirs, names in os.walk(staging):
@@ -2491,7 +2570,6 @@ def upsert_by_keys(
     # reader) — the key set never lands on the driver
     import pyarrow.parquet as _pq
 
-    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     stamped = keys_df.select(*[
         F.col(k).alias(
             k, metadata={"parquet.field.id": fields[k]["id"]}
@@ -2499,7 +2577,10 @@ def upsert_by_keys(
         for k in keys
     ])
     staging = os.path.join(location, f".staging-eqdel-{uuid.uuid4().hex}")
-    stamped.write.mode("overwrite").parquet(staging)
+    with _conf_pinned(
+        spark, "spark.sql.parquet.fieldId.write.enabled", "true"
+    ):
+        stamped.write.mode("overwrite").parquet(staging)
     delete_recs = []
     for root_, _dirs, names in os.walk(staging):
         for name in sorted(names):

@@ -1715,6 +1715,14 @@ def test_v2_checkpoint_write_roundtrip(spark, tmp_path):
     assert len(sidecars) > 1  # 3 data files / 2-row parts
     sc_dir = os.path.join(log, "_sidecars")
     assert all(os.path.isfile(os.path.join(sc_dir, s)) for s in sidecars)
+    # spec: EXACTLY ONE checkpointMetadata action carrying the
+    # checkpoint version — compliant readers reject its absence
+    cpm = [
+        r["checkpointMetadata"] for r in mrows
+        if r.get("checkpointMetadata")
+    ]
+    assert len(cpm) == 1
+    assert cpm[0]["version"] == dl.snapshot_state(path)["version"]
 
     for f in list(os.listdir(log)):
         if f.endswith(".json") and not f.startswith("_"):

@@ -1058,6 +1058,45 @@ def test_iceberg_writer_bucket_roundtrip(spark, tmp_path):
     assert {r.v for r in t2.read().collect()} == {34, -7, 0, 2**40, 99}
 
 
+def test_iceberg_writer_bucket_null_plus_huge_long(spark, tmp_path):
+    """A null in a long batch widens Arrow→pandas to float64; values
+    above 2^53 must STILL hash exactly (the writer coalesces nulls away
+    before the udf). 2**62+3 is not float64-representable, so a lossy
+    path writes a wrong bucket and eq_filters pruning silently drops
+    the file. Pin exact manifest values + pruned-read correctness."""
+    loc = str(tmp_path / "bw_huge")
+    huge = 2**62 + 3
+    df = spark.createDataFrame(
+        [(1, huge), (2, None), (3, 34), (4, -(2**61) - 7)],
+        "id long, v long",
+    )
+    t = iceberg.create_table(spark, loc, df, partition_by=["bucket[16](v)"])
+
+    def py_bucket(v):
+        if v is None:
+            return None
+        h = iceberg.murmur3_32(int(v).to_bytes(8, "little", signed=True))
+        return (h & 0x7FFFFFFF) % 16
+
+    for f in t.data_files():
+        got = t.spark.read.parquet(
+            iceberg._strip_scheme(f["file_path"])
+        ).collect()
+        for r in got:
+            assert f["partition"]["v_bucket"] == py_bucket(r.v)
+    # the float64-lossy bucket differs from the exact one for this value
+    lossy = (
+        iceberg.murmur3_32(
+            int(float(huge)).to_bytes(8, "little", signed=True)
+        )
+        & 0x7FFFFFFF
+    ) % 16
+    assert lossy != py_bucket(huge)  # the test would be vacuous otherwise
+    # pruned point read finds the huge row (pruning hashes the exact int)
+    assert {r.id for r in t.read(eq_filters={"v": huge}).collect()} == {1}
+    assert {r.id for r in t.read().collect()} == {1, 2, 3, 4}
+
+
 def test_iceberg_writer_hour_and_date_identity(spark, tmp_path):
     """Mixed hour(ts) + identity(date) spec: partition values land as
     the spec's int ordinals (hours / days since epoch), pruned reads
@@ -1139,6 +1178,23 @@ def test_iceberg_metadata_log_and_version_retention(spark, tmp_path):
     t3 = iceberg.append(spark, loc, spark.createDataFrame(
         [(4,)], "id long"))
     assert t3.read().count() == 4
+
+    # expiry scrubbed the CURRENT metadata's metadata-log: no entry may
+    # point at a deleted vN file (metadata time travel follows these)
+    assert all(
+        os.path.exists(
+            iceberg._strip_scheme(e["metadata-file"])
+        )
+        for e in t2.metadata.get("metadata-log", [])
+    )
+    assert t2.metadata.get("metadata-log", []) == []  # v1, v2 both died
+    # and the NEXT publish also filters dead links (no resurrection)
+    for e in t3.metadata.get("metadata-log", []):
+        assert os.path.exists(iceberg._strip_scheme(e["metadata-file"]))
+    assert [
+        e["metadata-file"].rsplit("/", 1)[-1]
+        for e in t3.metadata.get("metadata-log", [])
+    ] == ["v3.metadata.json"]
 
 
 def test_iceberg_writer_column_bounds_pruning(spark, tmp_path):
@@ -1334,6 +1390,36 @@ def test_iceberg_delete_where_positional(spark, tmp_path):
     iceberg.create_table(spark, loc1, spark.range(3).selectExpr("id"))
     with pytest.raises(iceberg.IcebergError, match="format-version 2"):
         iceberg.delete_where(spark, loc1, "id = 1")
+
+
+def test_iceberg_field_id_write_conf_never_leaks(spark, tmp_path):
+    """delete_where / upsert_by_keys / the stamped data write pin
+    ``spark.sql.parquet.fieldId.write.enabled`` only for their own
+    eager write — a shared session's later unrelated writes must not
+    inherit field-id semantics (ADVICE r7)."""
+    key = "spark.sql.parquet.fieldId.write.enabled"
+    prior = spark.conf.get(key, None)
+    try:
+        spark.conf.unset(key)
+        loc = str(tmp_path / "leak")
+        df = spark.range(0, 10).selectExpr("id", "id * 2 AS v")
+        iceberg.create_table(spark, loc, df, format_version=2)
+        iceberg.delete_where(spark, loc, "id = 3")
+        assert spark.conf.get(key, None) in (None, "false")
+        iceberg.upsert_by_keys(
+            spark, loc,
+            spark.createDataFrame([(1, 111)], "id long, v long"),
+            keys=["id"],
+        )
+        assert spark.conf.get(key, None) in (None, "false")
+        t = iceberg.IcebergTable(spark, loc)
+        got = {r.id: r.v for r in t.read().collect()}
+        assert got[1] == 111 and 3 not in got
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
 
 
 def test_iceberg_upsert_by_keys_equality_delete(spark, tmp_path):
