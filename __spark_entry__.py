@@ -38,37 +38,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dense_rank_nations": workloads.dense_rank_nations,
         "spatial_box_enrich": workloads.spatial_box_enrich,
         "band_join_classify": workloads.band_join_classify,
-        "band_case_classify": workloads.band_case_classify,
         "anti_join_inactive_customers": workloads.anti_join_inactive_customers,
         "union_by_name_mixed": workloads.union_by_name_mixed,
         "agg_pricing_summary": workloads.agg_pricing_summary,
         "agg_global_kpi": workloads.agg_global_kpi,
-        "agg_histogram_case": workloads.agg_histogram_case,
         "agg_monthly_rollup": workloads.agg_monthly_rollup,
         "agg_conditional_pivot": workloads.agg_conditional_pivot,
-        "agg_frequency_table": workloads.agg_frequency_table,
-        "agg_duplicate_audit": workloads.agg_duplicate_audit,
         "quality_null_audit": workloads.quality_null_audit,
         "watermark_incremental_filter": workloads.watermark_incremental_filter,
         "validate_and_clean": workloads.validate_and_clean,
-        "membership_topk": workloads.membership_topk,
-        "case_custom_sort": workloads.case_custom_sort,
         "temporal_features": workloads.temporal_features,
         "physics_suite": workloads.physics_suite,
         "physics_damage_summary": workloads.physics_damage_summary,
-        "percentile_by_type": workloads.percentile_by_type,
         "rollup_orders": workloads.rollup_orders,
-        "pivot_status_by_priority": workloads.pivot_status_by_priority,
-        "above_avg_orders": workloads.above_avg_orders,
         "approx_distinct_users": workloads.approx_distinct_users,
-        "lag_lead_deltas": workloads.lag_lead_deltas,
         "setops_purchasers": workloads.setops_purchasers,
         "sessionize_users": workloads.sessionize_users,
         # --- extension operators (LLM-data-pipeline + streaming shapes) ---
         "text_quality_score": workloads_ext.text_quality_score,
         "text_language_id": workloads_ext.text_language_id,
         "text_tokenize_stats": workloads_ext.text_tokenize_stats,
-        "text_fingerprint": workloads_ext.text_fingerprint,
         "exact_dedup_docs": workloads_ext.exact_dedup_docs,
         "scalable_rank_parts": workloads_ext.scalable_rank_parts,
         "scd2_user_value_history": workloads_ext.scd2_user_value_history,
@@ -84,17 +73,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_upsert_orders": workloads_ext.iceberg_upsert_orders,
         "iceberg_bucket_pruned_scan": workloads_ext.iceberg_bucket_pruned_scan,
         "delta_v2_checkpoint_orders": workloads_ext.delta_v2_checkpoint_orders,
+        # --- round-8 rotation: judge-only queries cycle into the
+        # driver's first-50 sample (VERDICT r7 item 7) + the new
+        # delete_where → rewrite_manifests oracle loop ---
+        "iceberg_delete_where_orders": workloads_ext.iceberg_delete_where_orders,
+        "incremental_minhash_dedup": workloads_ext.incremental_minhash_dedup,
+        "ivf_index_drift": workloads_ext.ivf_index_drift,
+        "hilbert_cluster_lineitem": workloads_ext.hilbert_cluster_lineitem,
+        "tumbling_window_daily": workloads_ext.tumbling_window_daily,
+        "gopher_rules_docs": workloads_ext.gopher_rules_docs,
         "lsh_ann_topk": workloads_ext.lsh_ann_topk,
         "ivf_ann_topk": workloads_ext.ivf_ann_topk,
         "pq_ann_topk": workloads_ext.pq_ann_topk,
         "jl_project_embeddings": workloads_ext.jl_project_embeddings,
         "filtered_ann_topk": workloads_ext.filtered_ann_topk,
         "incremental_ivf_ann": workloads_ext.incremental_ivf_ann,
-        "ivf_index_drift": workloads_ext.ivf_index_drift,
         "multimodal_metadata": workloads_ext.multimodal_metadata,
         "salted_agg_lineitem": workloads_ext.salted_agg_lineitem,
         "asof_join_purchases": workloads_ext.asof_join_purchases,
-        "tumbling_window_daily": workloads_ext.tumbling_window_daily,
         "sliding_window_7d": workloads_ext.sliding_window_7d,
         "split_train_val_test": workloads_ext.split_train_val_test,
         "pack_token_shards": workloads_ext.pack_token_shards,
@@ -129,7 +125,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_host_stats": workloads_ext.url_host_stats,
         "stratified_sample_docs": workloads_ext.stratified_sample_docs,
         "corpus_top_trigrams": workloads_ext.corpus_top_trigrams,
-        "incremental_minhash_dedup": workloads_ext.incremental_minhash_dedup,
         "ngram_jaccard_near_dup": workloads_ext.ngram_jaccard_near_dup,
         "skipping_pruned_scan": workloads_ext.skipping_pruned_scan,
         "metadata_only_agg": workloads_ext.metadata_only_agg,
@@ -180,11 +175,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_lang_classifier": workloads_ext.nb_lang_classifier,
         "bpe_encode_docs": workloads_ext.bpe_encode_docs,
         "ngram_containment_decontam": workloads_ext.ngram_containment_decontam,
-        "gopher_rules_docs": workloads_ext.gopher_rules_docs,
         "html_extract_docs": workloads_ext.html_extract_docs,
         "bigram_surprisal_docs": workloads_ext.bigram_surprisal_docs,
         "mixture_epoch_repeats": workloads_ext.mixture_epoch_repeats,
-        "hilbert_cluster_lineitem": workloads_ext.hilbert_cluster_lineitem,
         "scd2_incremental_history": workloads_ext.scd2_incremental_history,
         "iceberg_roundtrip_orders": workloads_ext.iceberg_roundtrip_orders,
         "simhash_near_dup": workloads_ext.simhash_near_dup,
@@ -195,6 +188,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exists_priority_customers": workloads_ext.exists_priority_customers,
         "unpivot_order_metrics": workloads_ext.unpivot_order_metrics,
         "twap_user_value": workloads_ext.twap_user_value,
+        # --- rotated OUT of the first-50 sample in round 8 (all stay
+        # judge-swept; the sample cycles the surface each round) ---
+        "band_case_classify": workloads.band_case_classify,
+        "agg_histogram_case": workloads.agg_histogram_case,
+        "agg_frequency_table": workloads.agg_frequency_table,
+        "agg_duplicate_audit": workloads.agg_duplicate_audit,
+        "membership_topk": workloads.membership_topk,
+        "case_custom_sort": workloads.case_custom_sort,
+        "percentile_by_type": workloads.percentile_by_type,
+        "pivot_status_by_priority": workloads.pivot_status_by_priority,
+        "above_avg_orders": workloads.above_avg_orders,
+        "lag_lead_deltas": workloads.lag_lead_deltas,
+        "text_fingerprint": workloads_ext.text_fingerprint,
     }
 
 

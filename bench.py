@@ -99,6 +99,8 @@ EXTENDED = [
     # round-7 operators
     "iceberg_bucket_pruned_scan",
     "delta_v2_checkpoint_orders",
+    # round-8 operators
+    "iceberg_delete_where_orders",
 ]
 
 HEADLINE = [

@@ -3538,3 +3538,26 @@ SELECT o_orderstatus,
 FROM merged
 GROUP BY o_orderstatus
 """
+
+
+ORACLES_EXT["iceberg_delete_where_orders"] = """
+-- iceberg_delete_where_orders: survivors = (%3 IN (0,1)) minus the
+-- predicate delete (%7 = 0), read back AFTER rewrite_manifests — the
+-- rewritten manifests must keep delete scoping (else tombstoned rows
+-- resurrect and the hash breaks). manifests_after: 1 data manifest + 1
+-- delete manifest. pruned_o_rows: identity-partition summary pruning
+-- over the REWRITTEN list must equal the plain filter.
+WITH survivors AS (
+    SELECT o_orderkey, o_orderstatus
+    FROM orders
+    WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 7 <> 0
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       CAST(2 AS BIGINT) AS manifests_after,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM survivors
+         WHERE o_orderstatus = 'O') AS pruned_o_rows
+FROM survivors
+GROUP BY o_orderstatus
+"""

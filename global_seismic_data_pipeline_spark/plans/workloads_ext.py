@@ -3260,3 +3260,54 @@ def iceberg_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(pre_rows))
     )
+
+
+def iceberg_delete_where_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg DELETE-by-predicate → manifest rewrite → merge-on-read,
+    oracle-gated end-to-end (sources/iceberg.py ``delete_where`` +
+    ``rewrite_manifests`` — the maintenance pair a long-lived CDC table
+    needs: the reference's daily silver MERGE,
+    04_silver_transformation.py:196-202, accrues one manifest per
+    commit forever). Two appends build a partitioned v2 table; a
+    positional-delete snapshot tombstones a predicate slice (the
+    tombstones write DISTRIBUTED, sorted by (file_path, pos), never on
+    the driver); then ``rewrite_manifests`` coalesces the manifest list
+    to O(1) entries — the rewritten EXISTING entries must keep their
+    ORIGINAL sequence numbers or the delete stops scoping and every
+    tombstoned row resurrects (exactly what the oracle's ``WHERE NOT``
+    replay would catch). The pruned identity-partition read rides along
+    so summary pruning over rewritten manifests is hash-gated too.
+    Integer aggregates only."""
+    import os
+    import tempfile
+
+    from ..sources import iceberg as ib
+
+    sel = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    loc = os.path.join(tempfile.mkdtemp(prefix="icebergdw-"), "ord")
+    ib.create_table(
+        spark, loc, sel.filter(F.col("o_orderkey") % 3 == 0),
+        partition_by=["o_orderstatus"],
+    )
+    ib.append(spark, loc, sel.filter(F.col("o_orderkey") % 3 == 1))
+    ib.delete_where(spark, loc, "o_orderkey % 7 = 0")
+    out = ib.rewrite_manifests(spark, loc)
+    t = ib.IcebergTable(spark, loc)
+    pruned_o_rows = t.read(eq_filters={"o_orderstatus": "O"}).agg(
+        F.count(F.lit(1)).alias("pruned_o_rows")
+    )
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+        )
+        .withColumn(
+            "manifests_after",
+            F.lit(int(out["manifests_after"])).cast("long"),
+        )
+        .crossJoin(F.broadcast(pruned_o_rows))
+    )

@@ -73,6 +73,12 @@ from . import avrofile
 
 _STATUS_DELETED = 2
 _STATUS_ADDED = 1
+_STATUS_EXISTING = 0
+
+# manifest count at which _live_entries opens the Avros on a thread
+# pool instead of serially (below it, pool startup costs more than it
+# saves)
+_PARALLEL_MANIFEST_OPENS = 8
 
 # Delete files at or under this many on-disk bytes broadcast into their
 # anti-joins; larger tombstone sets fall back to a shuffled anti-join.
@@ -418,16 +424,39 @@ class IcebergTable:
         snap_seq = snap.get("sequence-number", 0) or 0
         data: list[dict] = []
         deletes: list[dict] = []
-        for mf in self._manifest_files(snap):
+        mfs = [
+            mf for mf in self._manifest_files(snap)
+            if not self._manifest_pruned(mf, eq_filters)
+        ]
+        # Every append carries prior manifests forward, so a long-lived
+        # CDC table plans over one manifest PER COMMIT. Above the
+        # threshold the Avro opens run on a thread pool (driver-side
+        # file I/O overlaps; results merge back in manifest order so
+        # planning stays deterministic). rewrite_manifests() is the
+        # real fix for unbounded growth; this bounds the latency of the
+        # walk itself.
+        if len(mfs) >= _PARALLEL_MANIFEST_OPENS:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(16, len(mfs))
+            ) as ex:
+                loaded = list(ex.map(
+                    lambda mf: avrofile.read_file(
+                        _strip_scheme(mf["manifest_path"])
+                    )[1],
+                    mfs,
+                ))
+        else:
+            loaded = [
+                avrofile.read_file(_strip_scheme(mf["manifest_path"]))[1]
+                for mf in mfs
+            ]
+        for mf, entries in zip(mfs, loaded):
             content = mf.get("content", 0)
-            if self._manifest_pruned(mf, eq_filters):
-                continue
             mseq = mf.get("sequence_number")
             if mseq is None:
                 mseq = snap_seq
-            _, entries = avrofile.read_file(
-                _strip_scheme(mf["manifest_path"])
-            )
             for e in entries:
                 if e["status"] == _STATUS_DELETED:
                     continue
@@ -832,8 +861,14 @@ class IcebergTable:
         frecs = []
         cursor = after_snapshot_id
         for s in log:
-            op = (s.get("summary") or {}).get("operation", "append")
-            if op != "append" and not ignore_changes:
+            summary = s.get("summary") or {}
+            op = summary.get("operation", "append")
+            # a pure manifest rewrite (rewrite_manifests) provably moves
+            # no rows — tails cross it without ignore_changes
+            rewrite_only = (
+                op == "replace" and summary.get("rewrite") == "manifests"
+            )
+            if op != "append" and not ignore_changes and not rewrite_only:
                 raise IcebergError(
                     f"snapshot {s['snapshot-id']} is {op!r}, not append — "
                     "pass ignore_changes=True to consume adds anyway"
@@ -1467,6 +1502,30 @@ def _encode_bound(value, avro_t: str) -> bytes | None:
 _NULL_DIR = "__HIVE_DEFAULT_PARTITION__"
 
 
+def _partition_summaries(
+    part_fields: list[dict], files: list[dict]
+) -> list[dict]:
+    """Per-field partition summaries (spec field 507: contains_null +
+    appendix-D bounds) over a manifest's data-file records — what lets
+    readers skip the whole manifest unopened."""
+    summaries = []
+    for pf in part_fields:
+        vals = [
+            (f.get("partition") or {}).get(pf["name"]) for f in files
+        ]
+        non_null = [v for v in vals if v is not None]
+        summaries.append({
+            "contains_null": any(v is None for v in vals),
+            "lower_bound": _encode_bound(
+                min(non_null) if non_null else None, pf["_avro_type"]
+            ),
+            "upper_bound": _encode_bound(
+                max(non_null) if non_null else None, pf["_avro_type"]
+            ),
+        })
+    return summaries
+
+
 def _write_snapshot(
     location: str,
     df: DataFrame,
@@ -1559,19 +1618,7 @@ def _write_snapshot(
     # per-field partition summaries for the manifest-list record
     summaries = None
     if part_fields and manifest_content == 0:
-        summaries = []
-        for pf in part_fields:
-            vals = [f["partition"].get(pf["name"]) for f in files]
-            non_null = [v for v in vals if v is not None]
-            summaries.append({
-                "contains_null": any(v is None for v in vals),
-                "lower_bound": _encode_bound(
-                    min(non_null) if non_null else None, pf["_avro_type"]
-                ),
-                "upper_bound": _encode_bound(
-                    max(non_null) if non_null else None, pf["_avro_type"]
-                ),
-            })
+        summaries = _partition_summaries(part_fields, files)
     # append-only log: prior snapshots' manifests stay reachable
     prior = []
     if carry_prior and base is not None and base.get("current-snapshot-id", -1) != -1:
@@ -2375,6 +2422,133 @@ def expire_metadata_versions(
     return {
         "metadata_versions_deleted": len(victims),
         "metadata_versions_kept": len(versions) - len(victims),
+    }
+
+
+def rewrite_manifests(
+    spark: SparkSession,
+    location: str,
+    *,
+    target_entries_per_manifest: int = 100_000,
+) -> dict:
+    """Coalesce the live manifest list into few manifests — the
+    companion to :func:`compact_data_files` for METADATA. Every append
+    carries prior manifests forward (``_write_snapshot``
+    ``carry_prior=True``), so a 10⁴-commit CDC table plans over 10⁴
+    manifest Avros; this rewrites the live entry set into
+    ``ceil(entries / target_entries_per_manifest)`` data manifests (+
+    the same for delete manifests) as ONE metadata-only ``replace``
+    snapshot. No data file moves or is read; pre-rewrite snapshots stay
+    fully time-travelable through their own manifest lists.
+
+    Correctness invariants (the parts real rewrites get wrong first):
+    every rewritten entry is ``EXISTING`` with its ORIGINAL snapshot id
+    and an EXPLICIT data sequence number — inheritance from the new
+    manifest-list record would re-stamp the rewrite's own sequence
+    number and silently un-scope older equality/position deletes. The
+    new manifest-list records carry ``min_sequence_number`` = the min
+    entry seq (delete-scoping floor) and recomputed per-field partition
+    summaries, so manifest-level pruning keeps working. The snapshot
+    summary carries ``rewrite: manifests`` so incremental tails can
+    prove no rows changed and cross it without ``ignore_changes``."""
+    t = IcebergTable(spark, location)
+    snap = t.resolve_snapshot(None, None)
+    old_list = t._manifest_files(snap)
+    data_entries, delete_entries = t._live_entries(snap)
+    part_fields, fv = _table_write_shape(t)
+    md_dir = os.path.join(location, "metadata")
+    seq = t.metadata.get("last-sequence-number", 0) + 1 if fv >= 2 else 0
+    snapshot_id = max(
+        (s["snapshot-id"] for s in t.metadata.get("snapshots", [])),
+        default=0,
+    ) + 1
+    entry_schema = _manifest_entry_schema(part_fields)
+    step = max(1, target_entries_per_manifest)
+    mlist: list[dict] = []
+    for content, entries, label in (
+        (0, data_entries, "data"),
+        (1, delete_entries, "del"),
+    ):
+        for i in range(0, len(entries), step):
+            chunk = entries[i : i + step]
+            seqs = [int(e["data_file"].get("_seq", 0)) for e in chunk]
+            recs = [
+                {
+                    "status": _STATUS_EXISTING,
+                    "snapshot_id": e.get("snapshot_id"),
+                    "sequence_number": s if fv >= 2 else None,
+                    # spec: EXISTING entries carry explicit seqs (null
+                    # would inherit the rewrite's); file seq == data seq
+                    # for files added by this writer
+                    "file_sequence_number": (
+                        e.get("file_sequence_number")
+                        if e.get("file_sequence_number") is not None
+                        else (s if fv >= 2 else None)
+                    ),
+                    "data_file": {
+                        "content": content if content else 0,
+                        "equality_ids": None,
+                        "lower_bounds": None,
+                        "upper_bounds": None,
+                        **{
+                            k: v for k, v in e["data_file"].items()
+                            if k != "_seq"
+                        },
+                    },
+                }
+                for e, s in zip(chunk, seqs)
+            ]
+            mp = os.path.join(
+                md_dir,
+                f"manifest-rw-{label}-{snapshot_id:05d}-"
+                f"{uuid.uuid4().hex}.avro",
+            )
+            avrofile.write_file(mp, entry_schema, recs)
+            mlist.append({
+                "manifest_path": f"file:{mp}",
+                "manifest_length": os.path.getsize(mp),
+                "partition_spec_id": t.metadata.get("default-spec-id", 0),
+                "content": content,
+                "sequence_number": seq,
+                "min_sequence_number": min(seqs, default=seq),
+                "added_snapshot_id": snapshot_id,
+                "partitions": (
+                    _partition_summaries(
+                        part_fields, [r["data_file"] for r in recs]
+                    )
+                    if part_fields and content == 0
+                    else None
+                ),
+            })
+    mlist_path = os.path.join(
+        md_dir, f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
+    )
+    avrofile.write_file(mlist_path, _MANIFEST_FILE_SCHEMA, mlist)
+    now_ms = int(time.time() * 1000)
+    new_snap = {
+        "snapshot-id": snapshot_id,
+        "timestamp-ms": now_ms,
+        "summary": {"operation": "replace", "rewrite": "manifests"},
+        "manifest-list": f"file:{mlist_path}",
+    }
+    if fv >= 2:
+        new_snap["sequence-number"] = seq
+    meta = dict(t.metadata)
+    meta["snapshots"] = meta.get("snapshots", []) + [new_snap]
+    meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+        {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+    ]
+    meta["current-snapshot-id"] = snapshot_id
+    meta["last-updated-ms"] = now_ms
+    if fv >= 2:
+        meta["last-sequence-number"] = seq
+    _publish(location, meta)
+    return {
+        "manifests_before": len(old_list),
+        "manifests_after": len(mlist),
+        "data_entries": len(data_entries),
+        "delete_entries": len(delete_entries),
+        "snapshot_id": snapshot_id,
     }
 
 

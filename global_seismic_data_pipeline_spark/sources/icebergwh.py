@@ -233,6 +233,9 @@ class IcebergWarehouse(Warehouse):
     def expire_metadata_versions(self, name: str, **kw) -> dict:
         return ib.expire_metadata_versions(self.path(name), **kw)
 
+    def rewrite_manifests(self, name: str, **kw) -> dict:
+        return ib.rewrite_manifests(self.spark, self.path(name), **kw)
+
     def delete_where(self, name: str, condition: str, **kw) -> dict:
         return ib.delete_where(self.spark, self.path(name), condition, **kw)
 

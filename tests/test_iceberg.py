@@ -817,6 +817,62 @@ def test_iceberg_tail_consumer_medallion(spark, tmp_path):
     assert wh.read("silver").count() == 3
 
 
+def test_iceberg_tail_consumer_survives_metadata_expiry(spark, tmp_path):
+    """expire_metadata_versions deletes superseded vN.metadata.json
+    files but snapshots live IN the current metadata — a consumer
+    resuming after expiry must still advance from its cursor."""
+    from global_seismic_data_pipeline_spark.sources.warehouse import (
+        Warehouse,
+    )
+    from global_seismic_data_pipeline_spark.streaming.iceberg_source import (
+        IcebergTailConsumer,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    loc = str(tmp_path / "bronze")
+    iceberg.create_table(spark, loc, _mk_df(spark, [(1, "a", 1.0)]))
+
+    seen: list[set] = []
+    c = IcebergTailConsumer(wh, loc)
+    assert c.process_available(lambda b: seen.append(
+        {r.id for r in b.collect()})) == 1
+    assert seen[-1] == {1}
+
+    for i in range(2, 8):
+        iceberg.append(spark, loc, _mk_df(spark, [(i, "x", float(i))]))
+    out = iceberg.expire_metadata_versions(loc, keep_last=1)
+    assert out["metadata_versions_deleted"] >= 5
+    # cursor snapshot is still in the (current) snapshot log: resume OK
+    assert c.process_available(lambda b: seen.append(
+        {r.id for r in b.collect()})) == 1
+    assert seen[-1] == {2, 3, 4, 5, 6, 7}
+    assert c.process_available(lambda b: seen.append(set())) == 0
+
+
+def test_iceberg_tail_consumer_refuses_expired_cursor(spark, tmp_path):
+    """expire_snapshots past the consumer's cursor snapshot removes the
+    proof that the tail is complete — resuming must refuse LOUDLY (the
+    at-least-once contract forbids silently skipping a gap)."""
+    from global_seismic_data_pipeline_spark.sources.warehouse import (
+        Warehouse,
+    )
+    from global_seismic_data_pipeline_spark.streaming.iceberg_source import (
+        IcebergTailConsumer,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    loc = str(tmp_path / "bronze")
+    iceberg.create_table(spark, loc, _mk_df(spark, [(1, "a", 1.0)]))
+    c = IcebergTailConsumer(wh, loc)
+    assert c.process_available(lambda b: b.count()) == 1
+    for i in range(2, 5):
+        iceberg.append(spark, loc, _mk_df(spark, [(i, "x", float(i))]))
+    out = iceberg.expire_snapshots(spark, loc, keep_last=1)
+    assert out["snapshots_expired"] >= 1
+    with pytest.raises(iceberg.IcebergError, match="expired"):
+        c.process_available(lambda b: b.count())
+
+
 def test_iceberg_publish_occ_race(spark, tmp_path, monkeypatch):
     """Two writers computing the SAME next version: the loser's os.link
     hits the winner's file and raises loudly instead of clobbering; a
@@ -959,6 +1015,67 @@ def test_iceberg_manifest_list_summary_pruning(spark, tmp_path, monkeypatch):
     # pruned READ returns the right rows end-to-end
     monkeypatch.setattr(iceberg.avrofile, "read_file", real)
     assert {r.id for r in t2.read(eq_filters={"cat": "b"}).collect()} == {3}
+
+
+def test_iceberg_hour_partition_negative_epoch_pruning(
+    spark, tmp_path, monkeypatch
+):
+    """Pre-1970 timestamps have NEGATIVE hours-since-epoch; both the
+    writer (exact floor, never trunc-toward-zero) and the manifest-list
+    SUMMARY pruning path must agree on them — a trunc bug would place
+    1969-12-31 23:30 in hour 0 instead of -1 and pruning would drop the
+    file. Two appends with disjoint negative/positive hour ranges: a
+    pruned read opens exactly one manifest and returns the right rows."""
+    import datetime as dt
+
+    loc = str(tmp_path / "negh")
+    old = [
+        (1, dt.datetime(1969, 12, 31, 23, 30)),   # hour -1
+        (2, dt.datetime(1969, 12, 31, 22, 59)),   # hour -2
+    ]
+    new = [
+        (3, dt.datetime(1970, 1, 1, 0, 30)),      # hour 0
+        (4, dt.datetime(2024, 1, 1, 5, 30)),
+    ]
+    t = iceberg.create_table(
+        spark,
+        loc,
+        spark.createDataFrame(old, "id long, ts timestamp"),
+        partition_by=["hour(ts)"],
+        format_version=2,
+    )
+    t = iceberg.append(spark, loc, spark.createDataFrame(
+        new, "id long, ts timestamp"))
+    # writer: exact floor for negative epochs
+    assert {
+        f["partition"]["ts_hour"] for f in t.data_files()
+    } == {-1, -2, 0, int(
+        dt.datetime(2024, 1, 1, 5, tzinfo=dt.timezone.utc).timestamp()
+        // 3600
+    )}
+
+    opened: list[str] = []
+    real = avrofile.read_file
+
+    def counting(path, *a, **k):
+        opened.append(os.path.basename(path))
+        return real(path, *a, **k)
+
+    monkeypatch.setattr(iceberg.avrofile, "read_file", counting)
+    t2 = iceberg.IcebergTable(spark, loc)
+    files = t2.data_files(
+        eq_filters={"ts": dt.datetime(1969, 12, 31, 23, 45)}
+    )
+    assert len(files) == 1 and files[0]["partition"]["ts_hour"] == -1
+    # the all-positive manifest was pruned UNOPENED via its summary
+    assert len([p for p in opened if p.startswith("manifest-")]) == 1
+    monkeypatch.setattr(iceberg.avrofile, "read_file", real)
+    assert {
+        r.id
+        for r in t2.read(
+            eq_filters={"ts": dt.datetime(1969, 12, 31, 23, 45)}
+        ).collect()
+    } == {1}
 
 
 def test_iceberg_writer_truncate_transform(spark, tmp_path):
@@ -1668,3 +1785,173 @@ def test_iceberg_append_merge_schema_evolution(spark, tmp_path):
     s1 = t.current_snapshot_id()
     pre = t3.read(snapshot_id=s1)
     assert pre.columns == ["k", "v", "score"]  # current metadata schema
+
+
+def test_iceberg_rewrite_manifests_coalesces_and_preserves_reads(
+    spark, tmp_path
+):
+    """10 appends accrue 10 carried manifests; rewrite_manifests
+    coalesces the live list to 1 metadata-only manifest with IDENTICAL
+    read results, intact time travel, working appends after, and a
+    manifest list that stays small (new appends carry the rewritten
+    manifest, not the 10 originals)."""
+    loc = str(tmp_path / "rw")
+    t = iceberg.create_table(
+        spark, loc,
+        spark.createDataFrame([(0, "g0")], "id long, g string"),
+        partition_by=["g"],
+    )
+    for i in range(1, 10):
+        t = iceberg.append(
+            spark, loc,
+            spark.createDataFrame([(i, f"g{i % 3}")], "id long, g string"),
+        )
+    pre_snap = t.current_snapshot_id()
+    pre_rows = {(r.id, r.g) for r in t.read().collect()}
+    assert len(t._manifest_files(t.resolve_snapshot(None, None))) == 10
+
+    out = iceberg.rewrite_manifests(spark, loc)
+    assert out["manifests_before"] == 10
+    assert out["manifests_after"] == 1
+    t2 = iceberg.IcebergTable(spark, loc)
+    assert len(t2._manifest_files(t2.resolve_snapshot(None, None))) == 1
+    assert {(r.id, r.g) for r in t2.read().collect()} == pre_rows
+    # time travel through the pre-rewrite snapshot still works
+    assert {
+        (r.id, r.g) for r in t2.read(snapshot_id=pre_snap).collect()
+    } == pre_rows
+    # partition summaries survive: pruned read stays correct
+    assert {r.id for r in t2.read(eq_filters={"g": "g1"}).collect()} == {
+        i for i in range(10) if i and i % 3 == 1
+    }
+    # appends after the rewrite carry the SMALL list forward
+    t3 = iceberg.append(
+        spark, loc,
+        spark.createDataFrame([(99, "g0")], "id long, g string"),
+    )
+    assert len(t3._manifest_files(t3.resolve_snapshot(None, None))) == 2
+    assert t3.read().count() == 11
+    # target_entries_per_manifest splits when asked
+    out2 = iceberg.rewrite_manifests(
+        spark, loc, target_entries_per_manifest=4
+    )
+    assert out2["manifests_after"] == 3  # ceil(11 / 4)
+    assert iceberg.IcebergTable(spark, loc).read().count() == 11
+
+
+def test_iceberg_rewrite_manifests_preserves_delete_scoping(
+    spark, tmp_path
+):
+    """The rewrite must keep every entry's ORIGINAL data sequence
+    number explicit — inheritance would re-stamp the rewrite's seq and
+    un-scope older equality deletes (they apply only to seq strictly
+    below theirs). Pin: upsert → rewrite → reads identical; a NEW
+    upsert after the rewrite still replaces (the rewritten data files
+    kept seqs below the new delete's)."""
+    loc = str(tmp_path / "rwdel")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    iceberg.create_table(spark, loc, df, format_version=2)
+    iceberg.upsert_by_keys(
+        spark, loc,
+        spark.createDataFrame([(2, "B2")], "k long, v string"),
+        keys=["k"],
+    )
+    iceberg.delete_where(spark, loc, "k = 3")
+    want = {(1, "a"), (2, "B2")}
+    t = iceberg.IcebergTable(spark, loc)
+    assert {(r.k, r.v) for r in t.read().collect()} == want
+
+    out = iceberg.rewrite_manifests(spark, loc)
+    assert out["delete_entries"] >= 2  # eq delete + pos delete carried
+    t2 = iceberg.IcebergTable(spark, loc)
+    assert {(r.k, r.v) for r in t2.read().collect()} == want
+    # entries in the rewritten manifests are EXISTING with explicit seqs
+    for mf in t2._manifest_files(t2.resolve_snapshot(None, None)):
+        _, entries = avrofile.read_file(
+            iceberg._strip_scheme(mf["manifest_path"])
+        )
+        for e in entries:
+            assert e["status"] == iceberg._STATUS_EXISTING
+            assert e["sequence_number"] is not None
+            assert e["sequence_number"] < out["snapshot_id"] + 10
+    # a post-rewrite upsert still scopes: old k=1 row dies
+    iceberg.upsert_by_keys(
+        spark, loc,
+        spark.createDataFrame([(1, "A9")], "k long, v string"),
+        keys=["k"],
+    )
+    t3 = iceberg.IcebergTable(spark, loc)
+    assert {(r.k, r.v) for r in t3.read().collect()} == {(1, "A9"), (2, "B2")}
+
+
+def test_iceberg_tail_crosses_manifest_rewrite(spark, tmp_path):
+    """A pure manifest rewrite moves no rows, so an incremental tail
+    resuming across it must succeed WITHOUT ignore_changes and deliver
+    exactly the post-rewrite appends."""
+    loc = str(tmp_path / "rwtail")
+    t = iceberg.create_table(
+        spark, loc, spark.createDataFrame([(1,)], "id long"),
+        format_version=2,
+    )
+    cursor = t.current_snapshot_id()
+    iceberg.append(spark, loc, spark.createDataFrame([(2,)], "id long"))
+    iceberg.rewrite_manifests(spark, loc)
+    t2 = iceberg.append(
+        spark, loc, spark.createDataFrame([(3,)], "id long")
+    )
+    rows, new_cursor = t2.tail(cursor)
+    assert {r.id for r in rows.collect()} == {2, 3}
+    assert new_cursor == t2.current_snapshot_id()
+    # a real replace still refuses (scoping unchanged)
+    iceberg.overwrite(
+        spark, loc, spark.createDataFrame([(9,)], "id long")
+    )
+    t3 = iceberg.IcebergTable(spark, loc)
+    with pytest.raises(iceberg.IcebergError, match="not append"):
+        t3.tail(new_cursor)
+
+
+def test_iceberg_parallel_manifest_walk_opens_same_set(
+    spark, tmp_path, monkeypatch
+):
+    """Above _PARALLEL_MANIFEST_OPENS manifests the walk runs on a
+    thread pool: it must open EXACTLY the same Avro set as the serial
+    walk (order-independent) and return identical planning results."""
+    loc = str(tmp_path / "pw")
+    t = iceberg.create_table(
+        spark, loc, spark.createDataFrame([(0,)], "id long")
+    )
+    n = iceberg._PARALLEL_MANIFEST_OPENS + 3
+    for i in range(1, n):
+        t = iceberg.append(
+            spark, loc, spark.createDataFrame([(i,)], "id long")
+        )
+    snap = t.resolve_snapshot(None, None)
+    assert len(t._manifest_files(snap)) == n  # above the threshold
+
+    opened: list[str] = []
+    real = avrofile.read_file
+
+    def counting(path):
+        opened.append(os.path.realpath(path))  # list.append is atomic
+        return real(path)
+
+    monkeypatch.setattr(iceberg.avrofile, "read_file", counting)
+    data, deletes = t._live_entries(snap)
+    parallel_set = set(opened)
+    parallel_files = [e["data_file"]["file_path"] for e in data]
+
+    # serial ground truth: force the threshold above n
+    opened.clear()
+    monkeypatch.setattr(iceberg, "_PARALLEL_MANIFEST_OPENS", n + 100)
+    data2, _ = t._live_entries(snap)
+    assert set(opened) == parallel_set
+    assert [e["data_file"]["file_path"] for e in data2] == parallel_files
+    # n manifest Avros + the manifest-list itself
+    manifests_only = {
+        p for p in parallel_set
+        if os.path.basename(p).startswith("manifest-")
+    }
+    assert len(manifests_only) == n
