@@ -187,7 +187,19 @@ _KNOWN_WRITER_FEATURES = {
     # before deleting — vacuum_delta does (snapshot_state enforces
     # the reader gate); appends are unconstrained by the feature
     "vacuumProtocolCheck",
+    # rowTracking (default-on in current Databricks runtimes): appends
+    # assign baseRowId/defaultRowCommitVersion per spec from the
+    # rowIdHighWaterMark domain-metadata row; DV updates and file
+    # carries preserve the ids. Pruned-rewrite MERGEs on enabled=true
+    # tables still refuse (stable ids across a rewrite need
+    # materialized row-id columns) — see commit_write.
+    "rowTracking",
+    # domainMetadata actions replay into snapshot_state["domains"] and
+    # persist through checkpoints (rowTracking's HWM lives there)
+    "domainMetadata",
 }
+
+_ROW_TRACKING_DOMAIN = "delta.rowTracking"
 
 
 def _ict_value(state: Mapping) -> int | None:
@@ -318,7 +330,10 @@ def _read_checkpoint_state(table_path: str, parts: list[str]) -> dict:
     import pyarrow.parquet as pq
 
     log = _log_dir(table_path)
-    state = {"protocol": None, "metadata": None, "files": {}, "txns": {}}
+    state = {
+        "protocol": None, "metadata": None, "files": {}, "txns": {},
+        "domains": {},
+    }
     sidecars: list[str] = []
 
     def _apply_row(row: Mapping) -> None:
@@ -334,6 +349,11 @@ def _read_checkpoint_state(table_path: str, parts: list[str]) -> dict:
             state["txns"][t["appId"]] = max(
                 t["version"], state["txns"].get(t["appId"], t["version"])
             )
+        dm = row.get("domainMetadata")
+        if dm and dm.get("domain"):
+            # checkpoints only carry LIVE domains; removed ones never
+            # re-enter
+            state["domains"][dm["domain"]] = dm.get("configuration")
         sc = row.get("sidecar")
         if sc and sc.get("path"):
             sidecars.append(sc["path"])
@@ -382,6 +402,11 @@ def _plain_add(add: Mapping) -> dict:
     }
     if add.get("deletionVector"):
         out["deletionVector"] = dict(add["deletionVector"])
+    # rowTracking provenance must survive reconstruction (and hence
+    # checkpoints + DV re-adds) or row ids silently reset
+    for k in ("baseRowId", "defaultRowCommitVersion"):
+        if add.get(k) is not None:
+            out[k] = int(add[k])
     return out
 
 
@@ -481,6 +506,13 @@ def snapshot_state(table_path: str, version: int | None = None) -> dict:
                         t["version"],
                         state["txns"].get(t["appId"], t["version"]),
                     )
+                elif "domainMetadata" in action:
+                    dm = action["domainMetadata"]
+                    doms = state.setdefault("domains", {})
+                    if dm.get("removed"):
+                        doms.pop(dm["domain"], None)
+                    else:
+                        doms[dm["domain"]] = dm.get("configuration")
                 elif "commitInfo" in action:
                     ci = action["commitInfo"]
                     # monotonic in-commit timestamps (the ICT table
@@ -501,6 +533,7 @@ def snapshot_state(table_path: str, version: int | None = None) -> dict:
         "metadata": state["metadata"],
         "files": state["files"],
         "txns": state.get("txns", {}),
+        "domains": state.get("domains", {}),
     }
 
 
@@ -1383,6 +1416,63 @@ def commit_write(
                     if dv:
                         r["deletionVector"] = dv
                     actions.append({"remove": r})
+            # rowTracking: fresh adds take baseRowId from the table's
+            # row-id high-water mark (domain metadata) and carry this
+            # commit's version; the HWM advances by numRecords per add.
+            # Inside the retry loop: a lost race re-reads the winner's
+            # HWM, so two racing appends never overlap row-id ranges.
+            if "rowTracking" in set(
+                prev["protocol"].get("writerFeatures") or []
+            ):
+                rt_conf = prev_meta.get("configuration") or {}
+                if isinstance(rt_conf, list):
+                    rt_conf = dict(rt_conf)
+                if (
+                    rt_conf.get("delta.rowTracking.enabled") == "true"
+                    and extra_removes is not None
+                ):
+                    raise DeltaProtocolError(
+                        "table has delta.rowTracking.enabled=true: a "
+                        "pruned-rewrite MERGE moves surviving rows "
+                        "between files, which preserves their row ids "
+                        "only with materialized row-id columns this "
+                        "writer does not produce — use delete_with_dv + "
+                        "append, or disable row tracking"
+                    )
+                if moved:
+                    hwm = -1
+                    cfg = prev.get("domains", {}).get(_ROW_TRACKING_DOMAIN)
+                    if cfg:
+                        try:
+                            hwm = int(
+                                json.loads(cfg)["rowIdHighWaterMark"]
+                            )
+                        except (ValueError, TypeError, KeyError):
+                            raise DeltaProtocolError(
+                                f"unparseable {_ROW_TRACKING_DOMAIN} "
+                                f"domain metadata: {cfg!r}"
+                            )
+                    for a in moved:
+                        try:
+                            n = int(
+                                json.loads(a["stats"])["numRecords"]
+                            )
+                        except (TypeError, ValueError, KeyError):
+                            raise DeltaProtocolError(
+                                "rowTracking requires numRecords stats "
+                                f"on every add action ({a['path']!r} "
+                                "has none)"
+                            )
+                        a["baseRowId"] = hwm + 1
+                        a["defaultRowCommitVersion"] = version
+                        hwm += n
+                    actions.append({"domainMetadata": {
+                        "domain": _ROW_TRACKING_DOMAIN,
+                        "configuration": json.dumps(
+                            {"rowIdHighWaterMark": hwm}
+                        ),
+                        "removed": False,
+                    }})
         else:
             actions.append(
                 {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
@@ -1748,6 +1838,12 @@ def write_checkpoint(
                 # live vectors MUST checkpoint or a reader planning from
                 # the checkpoint would resurrect the deleted rows
                 "deletionVector": a.get("deletionVector"),
+                # row-id provenance MUST checkpoint too or log cleanup
+                # resets every file's baseRowId
+                "baseRowId": a.get("baseRowId"),
+                "defaultRowCommitVersion": a.get(
+                    "defaultRowCommitVersion"
+                ),
             },
         }
         for a in state["files"].values()
@@ -1761,6 +1857,19 @@ def write_checkpoint(
             "txn": {"appId": app, "version": v},
         }
         for app, v in sorted(state.get("txns", {}).items())
+    ] + [
+        # live domain metadata (rowTracking's high-water mark lives
+        # here) survives log cleanup only through the checkpoint
+        {
+            "protocol": None,
+            "metaData": None,
+            "add": None,
+            "txn": None,
+            "domainMetadata": {
+                "domain": d, "configuration": c, "removed": False,
+            },
+        }
+        for d, c in sorted(state.get("domains", {}).items())
     ]
     schema = pa.schema([
         ("protocol", pa.struct([
@@ -1796,10 +1905,17 @@ def write_checkpoint(
                 ("sizeInBytes", pa.int64()),
                 ("cardinality", pa.int64()),
             ])),
+            ("baseRowId", pa.int64()),
+            ("defaultRowCommitVersion", pa.int64()),
         ])),
         ("txn", pa.struct([
             ("appId", pa.string()),
             ("version", pa.int64()),
+        ])),
+        ("domainMetadata", pa.struct([
+            ("domain", pa.string()),
+            ("configuration", pa.string()),
+            ("removed", pa.bool_()),
         ])),
     ])
     log = _log_dir(table_path)
@@ -1846,6 +1962,9 @@ def write_checkpoint(
             schema.field("protocol"),
             schema.field("metaData"),
             schema.field("txn"),
+            # non-file actions live in the manifest: domain metadata
+            # (rowTracking HWM) would otherwise vanish at log cleanup
+            schema.field("domainMetadata"),
             pa.field("sidecar", pa.struct([
                 ("path", pa.string()),
                 ("sizeInBytes", pa.int64()),
@@ -1865,7 +1984,12 @@ def write_checkpoint(
         _write_parquet(
             [{"checkpointMetadata": {"version": version}}]
             + [
-                {k: r.get(k) for k in ("protocol", "metaData", "txn")}
+                {
+                    k: r.get(k)
+                    for k in (
+                        "protocol", "metaData", "txn", "domainMetadata",
+                    )
+                }
                 for r in header
             ]
             + sidecar_rows,

@@ -154,6 +154,36 @@ class DeltaLogWarehouse(Warehouse):
             partition_by = self.partition_columns(name)
         self._commit_df(df, name, "overwrite", partition_by)
 
+    def merge(self, updates, name, keys, *, prune_partition_col=None):
+        """MERGE = anti-join + union rewrite (Warehouse.merge) — which
+        MOVES surviving rows between files. delta.rowTracking.enabled
+        promises stable row ids across exactly such rewrites, and only
+        materialized row-id columns (which this writer does not
+        produce) could keep that promise — refuse loudly instead of
+        silently breaking every other client's row ids. Appends,
+        overwrites (all rows new by definition), and DV deletes (file
+        re-added with its original ids) remain fine."""
+        if dl.is_delta_table(self.path(name)):
+            st = dl.snapshot_state(self.path(name))
+            feats = set(st["protocol"].get("writerFeatures") or [])
+            conf = st["metadata"].get("configuration") or {}
+            if isinstance(conf, list):
+                conf = dict(conf)
+            if (
+                "rowTracking" in feats
+                and conf.get("delta.rowTracking.enabled") == "true"
+            ):
+                raise dl.DeltaProtocolError(
+                    "table has delta.rowTracking.enabled=true: a MERGE "
+                    "rewrite moves surviving rows between files, which "
+                    "preserves their row ids only with materialized "
+                    "row-id columns this writer does not produce — use "
+                    "delete_with_dv + append, or disable row tracking"
+                )
+        super().merge(
+            updates, name, keys, prune_partition_col=prune_partition_col
+        )
+
     def _commit_df(
         self,
         df: DataFrame,

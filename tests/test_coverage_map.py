@@ -48,6 +48,7 @@ _NON_QUERY_TOKENS = {
     "split_valid",           # cleaning fn
     "symbols_after",         # bpe contract fn
     "prune_partition_col",   # maintenance fn
+    "rewrite_manifests",     # iceberg maintenance fn (pytest-pinned)
 }
 
 

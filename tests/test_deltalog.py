@@ -1593,9 +1593,9 @@ def test_writer_gate_foreign_enforcement_demands(spark, tmp_path):
     dl.write_delta(df, p5)
     _set_table_conf(p5, protocol={
         "minReaderVersion": 1, "minWriterVersion": 7,
-        "writerFeatures": ["rowTracking"],
+        "writerFeatures": ["someFutureFeature"],
     })
-    with pytest.raises(dl.DeltaProtocolError, match="rowTracking"):
+    with pytest.raises(dl.DeltaProtocolError, match="someFutureFeature"):
         dl.write_delta(df, p5, mode="append")
     # reads are untouched by WRITER demands
     assert dl.read_delta(spark, p5).count() == 5
@@ -1647,10 +1647,12 @@ def test_multipart_checkpoint_write_roundtrip(spark, tmp_path):
 
 
 def test_rowtracking_and_vacuumprotocolcheck_tolerance(spark, tmp_path):
-    """A v7 table listing rowTracking reads fine (writer features never
-    gate reads) while commits refuse with a message saying reads remain
-    supported; vacuumProtocolCheck tables read, APPEND, and vacuum
-    (vacuum_delta runs the protocol gate the feature mandates)."""
+    """A v7 table listing rowTracking reads fine AND appends (round-8:
+    the writer assigns row ids — see test_rowtracking_append_assigns_
+    row_ids); a v7 table listing an UNKNOWN writer feature still
+    refuses commits with a message saying reads remain supported;
+    vacuumProtocolCheck tables read, APPEND, and vacuum (vacuum_delta
+    runs the protocol gate the feature mandates)."""
     p = str(tmp_path / "rt")
     dl.write_delta(spark.range(0, 5).selectExpr("id"), p)
     log = os.path.join(p, "_delta_log")
@@ -1660,9 +1662,21 @@ def test_rowtracking_and_vacuumprotocolcheck_tolerance(spark, tmp_path):
             "writerFeatures": ["rowTracking", "domainMetadata"],
         }}) + "\n")
     assert {r.id for r in dl.read_delta(spark, p).collect()} == set(range(5))
+    dl.write_delta(spark.range(5, 6).selectExpr("id"), p, mode="append")
+    assert dl.read_delta(spark, p).count() == 6
+
+    # an unknown writer feature still refuses loudly, reads untouched
+    pu = str(tmp_path / "unk")
+    dl.write_delta(spark.range(0, 5).selectExpr("id"), pu)
+    with open(os.path.join(pu, "_delta_log", f"{1:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 7,
+            "writerFeatures": ["futureFeatureX"],
+        }}) + "\n")
+    assert dl.read_delta(spark, pu).count() == 5
     with pytest.raises(dl.DeltaProtocolError, match="remains supported"):
         dl.write_delta(
-            spark.range(5, 6).selectExpr("id"), p, mode="append"
+            spark.range(5, 6).selectExpr("id"), pu, mode="append"
         )
 
     p2 = str(tmp_path / "vpc")
@@ -1678,6 +1692,137 @@ def test_rowtracking_and_vacuumprotocolcheck_tolerance(spark, tmp_path):
     dl.write_delta(spark.range(5, 7).selectExpr("id"), p2, mode="append")
     assert dl.read_delta(spark, p2).count() == 7
     assert dl.vacuum_delta(p2, retain_hours=9999) == []
+
+
+def test_rowtracking_append_assigns_row_ids(spark, tmp_path):
+    """Appending to a rowTracking table (default-on in current
+    Databricks runtimes) must assign spec row ids: every add action
+    carries baseRowId/defaultRowCommitVersion, ranges never overlap
+    (unique logical ids), the rowIdHighWaterMark domain advances
+    monotonically, and both the ids and the HWM survive a classic
+    checkpoint + log cleanup AND a DV delete (which re-adds the file)."""
+    p = str(tmp_path / "rt")
+    dl.write_delta(spark.range(0, 10).selectExpr("id").coalesce(2), p)
+    log = os.path.join(p, "_delta_log")
+    with open(os.path.join(log, f"{1:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 7,
+            "writerFeatures": ["rowTracking", "domainMetadata"],
+        }}) + "\n")
+
+    v2 = dl.write_delta(
+        spark.range(10, 17).selectExpr("id").coalesce(2), p,
+        mode="append",
+    )
+    v3 = dl.write_delta(
+        spark.range(17, 20).selectExpr("id").coalesce(1), p,
+        mode="append",
+    )
+    st = dl.snapshot_state(p)
+    tracked = {
+        pth: a for pth, a in st["files"].items()
+        if a.get("baseRowId") is not None
+    }
+    # the two post-feature appends carry ids; ranges are disjoint and
+    # the watermark equals the last assigned id
+    assert len(tracked) == 3  # 2 files in v2 + 1 in v3
+    spans = sorted(
+        (a["baseRowId"],
+         a["baseRowId"] + json.loads(a["stats"])["numRecords"] - 1,
+         a["defaultRowCommitVersion"])
+        for a in tracked.values()
+    )
+    assert spans[0][0] == 0  # fresh table: HWM starts at -1
+    for (lo1, hi1, _), (lo2, _, _) in zip(spans, spans[1:]):
+        assert lo2 == hi1 + 1  # contiguous, never overlapping
+    assert {s[2] for s in spans} == {v2, v3}
+    hwm = json.loads(st["domains"]["delta.rowTracking"])
+    assert hwm["rowIdHighWaterMark"] == spans[-1][1] == 9
+
+    # ids + HWM survive checkpoint and full log cleanup
+    dl.write_checkpoint(p)
+    for f in list(os.listdir(log)):
+        if f.endswith(".json") and not f.startswith("_"):
+            os.remove(os.path.join(log, f))
+    st2 = dl.snapshot_state(p)
+    assert {
+        pth: (a.get("baseRowId"), a.get("defaultRowCommitVersion"))
+        for pth, a in st2["files"].items()
+    } == {
+        pth: (a.get("baseRowId"), a.get("defaultRowCommitVersion"))
+        for pth, a in st["files"].items()
+    }
+    assert st2["domains"] == st["domains"]
+    # next append continues from the checkpointed HWM, never reuses
+    v4 = dl.write_delta(
+        spark.range(20, 25).selectExpr("id").coalesce(1), p,
+        mode="append",
+    )
+    st3 = dl.snapshot_state(p)
+    newest = [
+        a for a in st3["files"].values()
+        if a.get("defaultRowCommitVersion") == v4
+    ]
+    assert len(newest) == 1 and newest[0]["baseRowId"] == 10
+    assert json.loads(
+        st3["domains"]["delta.rowTracking"]
+    )["rowIdHighWaterMark"] == 14
+
+    # a DV delete re-adds the file WITH its original row-id provenance
+    from global_seismic_data_pipeline_spark.sources.deltawh import (
+        DeltaLogWarehouse,
+    )
+
+    before = {
+        pth: a["baseRowId"] for pth, a in st3["files"].items()
+        if a.get("baseRowId") is not None
+    }
+    wh = DeltaLogWarehouse(spark, str(tmp_path))
+    wh.delete_with_dv("rt", "id = 21")
+    st4 = dl.snapshot_state(p)
+    after = {
+        pth: a["baseRowId"] for pth, a in st4["files"].items()
+        if a.get("baseRowId") is not None
+    }
+    assert after == before
+    assert {r.id for r in dl.read_delta(spark, p).collect()} == (
+        set(range(25)) - {21}
+    )
+
+
+def test_rowtracking_enabled_refuses_pruned_rewrite(spark, tmp_path):
+    """delta.rowTracking.enabled=true promises STABLE row ids; a
+    pruned-rewrite MERGE moves surviving rows between files, which
+    only materialized row-id columns could preserve — the writer must
+    refuse loudly instead of silently breaking every other client's
+    row ids. Plain appends on the same table stay fine."""
+    from global_seismic_data_pipeline_spark.sources.deltawh import (
+        DeltaLogWarehouse,
+    )
+
+    p = str(tmp_path / "rte")
+    dl.write_delta(spark.range(0, 10).selectExpr("id", "id % 2 AS k"), p)
+    log = os.path.join(p, "_delta_log")
+    st = dl.snapshot_state(p)
+    with open(os.path.join(log, f"{1:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 7,
+            "writerFeatures": ["rowTracking", "domainMetadata"],
+        }}) + "\n")
+        fh.write(json.dumps({"metaData": {
+            **st["metadata"],
+            "configuration": {"delta.rowTracking.enabled": "true"},
+        }}) + "\n")
+    dl.write_delta(
+        spark.range(10, 12).selectExpr("id", "id % 2 AS k"), p,
+        mode="append",
+    )  # appends fine: all rows are new
+    wh = DeltaLogWarehouse(spark, str(tmp_path))
+    with pytest.raises(dl.DeltaProtocolError, match="materialized"):
+        wh.merge(
+            spark.range(0, 2).selectExpr("id", "id % 2 AS k"),
+            "rte", keys=["id"],
+        )
 
 
 def test_v2_checkpoint_write_roundtrip(spark, tmp_path):
