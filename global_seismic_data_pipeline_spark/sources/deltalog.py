@@ -197,6 +197,12 @@ _KNOWN_WRITER_FEATURES = {
     # domainMetadata actions replay into snapshot_state["domains"] and
     # persist through checkpoints (rowTracking's HWM lives there)
     "domainMetadata",
+    # clustering (liquid clustering): clustering is a best-effort
+    # physical-layout optimization — appends from a non-clustering
+    # writer stay correct for every reader; the delta.clustering
+    # domain metadata (the clustering columns) survives our commits
+    # and checkpoints via the domainMetadata support above
+    "clustering",
 }
 
 _ROW_TRACKING_DOMAIN = "delta.rowTracking"

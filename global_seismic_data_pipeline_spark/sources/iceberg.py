@@ -310,10 +310,36 @@ class IcebergTable:
     def current_snapshot_id(self):
         return self.metadata.get("current-snapshot-id")
 
+    def refs(self) -> dict:
+        """The spec's named references (``refs``: name → {snapshot-id,
+        type: branch|tag, retention fields}). ``main`` implicitly means
+        the current snapshot when the map lacks it."""
+        return self.metadata.get("refs", {})
+
     def resolve_snapshot(
-        self, snapshot_id: int | None = None, as_of_ms: int | None = None
+        self,
+        snapshot_id: int | None = None,
+        as_of_ms: int | None = None,
+        ref: str | None = None,
     ) -> dict:
         snaps = {s["snapshot-id"]: s for s in self.snapshots()}
+        if ref is not None:
+            if snapshot_id is not None or as_of_ms is not None:
+                raise IcebergError(
+                    "pass ref= OR snapshot_id/as_of_ms, not both"
+                )
+            r = self.refs().get(ref)
+            if r is None and ref == "main":
+                # spec: 'main' is the current branch even when the refs
+                # map is absent (tables written before refs existed)
+                snapshot_id = self.current_snapshot_id()
+            elif r is None:
+                raise IcebergError(
+                    f"unknown ref {ref!r} (have "
+                    f"{sorted(self.refs()) or 'none'})"
+                )
+            else:
+                snapshot_id = r["snapshot-id"]
         if snapshot_id is None and as_of_ms is None:
             snapshot_id = self.current_snapshot_id()
             if snapshot_id is None or snapshot_id == -1:
@@ -802,6 +828,7 @@ class IcebergTable:
         snapshot_id: int | None = None,
         as_of_ms: int | None = None,
         eq_filters: Mapping[str, object] | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
         """One distributed scan over the live data files; v2 row-level
         deletes (when present) merge in via anti-joins against
@@ -811,7 +838,12 @@ class IcebergTable:
         Delete sides broadcast only under
         ``_DELETE_BROADCAST_MAX_BYTES``; a CDC-scale tombstone set
         shuffles instead of OOMing the driver. Tables without deletes
-        pay nothing (the plain pushdown-friendly scan)."""
+        pay nothing (the plain pushdown-friendly scan).
+
+        ``ref`` reads a named reference (branch/tag from the spec's
+        refs map) instead of the current snapshot."""
+        if ref is not None:
+            snapshot_id = self.resolve_snapshot(ref=ref)["snapshot-id"]
         files, deletes = self._plan_scan(
             snapshot_id, as_of_ms, eq_filters
         )
@@ -1715,6 +1747,12 @@ def _write_snapshot(
         # carried forward so _publish can append the superseded
         # version's entry (spec: metadata-log)
         "metadata-log": (base or {}).get("metadata-log", []),
+        # named references: tags/branches survive commits verbatim;
+        # the main branch always tracks the current snapshot (spec)
+        "refs": {
+            **(base or {}).get("refs", {}),
+            "main": {"snapshot-id": snapshot_id, "type": "branch"},
+        },
     }
     if format_version >= 2:
         snap["sequence-number"] = seq
@@ -2329,6 +2367,12 @@ def expire_snapshots(
     cur = t.current_snapshot_id()
     retained_ids = {s["snapshot-id"] for s in snaps[-max(1, keep_last):]}
     retained_ids.add(cur)
+    # spec: snapshots referenced by a tag/branch never expire while the
+    # ref lives (drop the ref first, then expire)
+    retained_ids |= {
+        r["snapshot-id"] for r in t.refs().values()
+        if r.get("snapshot-id") is not None
+    }
     if older_than_ms is not None:
         retained_ids |= {
             s["snapshot-id"] for s in snaps
@@ -2338,8 +2382,23 @@ def expire_snapshots(
     if not expired:
         return {"snapshots_expired": 0, "files_deleted": 0}
 
+    # every append carries prior manifests forward, so the same manifest
+    # Avro is referenced by MANY snapshots — memoize per manifest (one
+    # open each instead of O(snapshots × manifests)) and open distinct
+    # manifests on a thread pool, same policy as _live_entries
+    manifest_files: dict[str, set[str]] = {}
+
+    def _manifest_reach(mp: str) -> set[str]:
+        _, entries = avrofile.read_file(mp)
+        return {
+            os.path.realpath(_strip_scheme(e["data_file"]["file_path"]))
+            for e in entries
+        }
+
     def _reachable(snap_list) -> set[str]:
         out: set[str] = set()
+        wanted: list[str] = []
+        needed: list[str] = []
         for s in snap_list:
             ml = _strip_scheme(s["manifest-list"])
             out.add(os.path.realpath(ml))
@@ -2347,11 +2406,24 @@ def expire_snapshots(
             for mf in records:
                 mp = _strip_scheme(mf["manifest_path"])
                 out.add(os.path.realpath(mp))
-                _, entries = avrofile.read_file(mp)
-                for e in entries:
-                    out.add(os.path.realpath(
-                        _strip_scheme(e["data_file"]["file_path"])
-                    ))
+                needed.append(mp)
+                if mp not in manifest_files and mp not in wanted:
+                    wanted.append(mp)
+        if len(wanted) >= _PARALLEL_MANIFEST_OPENS:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(16, len(wanted))
+            ) as ex:
+                for mp, reach in zip(
+                    wanted, ex.map(_manifest_reach, wanted)
+                ):
+                    manifest_files[mp] = reach
+        else:
+            for mp in wanted:
+                manifest_files[mp] = _manifest_reach(mp)
+        for mp in needed:
+            out |= manifest_files[mp]
         return out
 
     retained = [s for s in snaps if s["snapshot-id"] in retained_ids]
@@ -2423,6 +2495,51 @@ def expire_metadata_versions(
         "metadata_versions_deleted": len(victims),
         "metadata_versions_kept": len(versions) - len(victims),
     }
+
+
+def create_ref(
+    spark: SparkSession,
+    location: str,
+    name: str,
+    *,
+    kind: str = "tag",
+    snapshot_id: int | None = None,
+) -> dict:
+    """Create (or move) a named reference — a spec ``refs`` entry
+    pinning a snapshot as a ``tag`` (immutable audit/release marker) or
+    ``branch`` head. Metadata-only commit; ``expire_snapshots`` never
+    collects a ref-pinned snapshot while the ref lives. ``main`` is
+    reserved (it tracks the current snapshot)."""
+    if kind not in ("tag", "branch"):
+        raise IcebergError(f"ref kind must be tag|branch, got {kind!r}")
+    if name == "main":
+        raise IcebergError("'main' is reserved for the current branch")
+    t = IcebergTable(spark, location)
+    snap = t.resolve_snapshot(snapshot_id)
+    meta = dict(t.metadata)
+    meta["refs"] = {
+        **meta.get("refs", {}),
+        name: {"snapshot-id": snap["snapshot-id"], "type": kind},
+    }
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    _publish(location, meta)
+    return {"ref": name, "type": kind, "snapshot_id": snap["snapshot-id"]}
+
+
+def drop_ref(spark: SparkSession, location: str, name: str) -> dict:
+    """Delete a named reference (its snapshot becomes expirable)."""
+    if name == "main":
+        raise IcebergError("cannot drop 'main'")
+    t = IcebergTable(spark, location)
+    refs = dict(t.metadata.get("refs", {}))
+    if name not in refs:
+        raise IcebergError(f"unknown ref {name!r}")
+    dropped = refs.pop(name)
+    meta = dict(t.metadata)
+    meta["refs"] = refs
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    _publish(location, meta)
+    return {"ref": name, "snapshot_id": dropped.get("snapshot-id")}
 
 
 def rewrite_manifests(
@@ -2540,6 +2657,10 @@ def rewrite_manifests(
     ]
     meta["current-snapshot-id"] = snapshot_id
     meta["last-updated-ms"] = now_ms
+    meta["refs"] = {
+        **meta.get("refs", {}),
+        "main": {"snapshot-id": snapshot_id, "type": "branch"},
+    }
     if fv >= 2:
         meta["last-sequence-number"] = seq
     _publish(location, meta)

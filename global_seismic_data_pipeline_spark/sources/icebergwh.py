@@ -236,6 +236,15 @@ class IcebergWarehouse(Warehouse):
     def rewrite_manifests(self, name: str, **kw) -> dict:
         return ib.rewrite_manifests(self.spark, self.path(name), **kw)
 
+    def create_ref(self, name: str, ref: str, **kw) -> dict:
+        return ib.create_ref(self.spark, self.path(name), ref, **kw)
+
+    def drop_ref(self, name: str, ref: str) -> dict:
+        return ib.drop_ref(self.spark, self.path(name), ref)
+
+    def read_ref(self, name: str, ref: str) -> DataFrame:
+        return self.table(name).read(ref=ref)
+
     def delete_where(self, name: str, condition: str, **kw) -> dict:
         return ib.delete_where(self.spark, self.path(name), condition, **kw)
 

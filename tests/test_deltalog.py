@@ -1790,6 +1790,42 @@ def test_rowtracking_append_assigns_row_ids(spark, tmp_path):
     )
 
 
+def test_liquid_clustering_append_preserves_domain(spark, tmp_path):
+    """A liquid-clustered table (writer feature 'clustering' +
+    delta.clustering domain metadata naming the clustering columns)
+    accepts appends from this writer — clustering is a best-effort
+    layout optimization, unclustered adds stay correct — and the
+    clustering domain survives both the append and a checkpoint +
+    log cleanup."""
+    p = str(tmp_path / "lc")
+    dl.write_delta(spark.range(0, 10).selectExpr("id"), p)
+    log = os.path.join(p, "_delta_log")
+    dom = {
+        "domain": "delta.clustering",
+        "configuration": json.dumps({"clusteringColumns": [["id"]]}),
+        "removed": False,
+    }
+    with open(os.path.join(log, f"{1:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 7,
+            "writerFeatures": ["clustering", "domainMetadata"],
+        }}) + "\n")
+        fh.write(json.dumps({"domainMetadata": dom}) + "\n")
+
+    dl.write_delta(spark.range(10, 15).selectExpr("id"), p, mode="append")
+    st = dl.snapshot_state(p)
+    assert st["domains"]["delta.clustering"] == dom["configuration"]
+    assert dl.read_delta(spark, p).count() == 15
+
+    dl.write_checkpoint(p)
+    for f in list(os.listdir(log)):
+        if f.endswith(".json") and not f.startswith("_"):
+            os.remove(os.path.join(log, f))
+    st2 = dl.snapshot_state(p)
+    assert st2["domains"]["delta.clustering"] == dom["configuration"]
+    assert dl.read_delta(spark, p).count() == 15
+
+
 def test_rowtracking_enabled_refuses_pruned_rewrite(spark, tmp_path):
     """delta.rowTracking.enabled=true promises STABLE row ids; a
     pruned-rewrite MERGE moves surviving rows between files, which

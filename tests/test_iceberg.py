@@ -1913,6 +1913,93 @@ def test_iceberg_tail_crosses_manifest_rewrite(spark, tmp_path):
         t3.tail(new_cursor)
 
 
+def test_iceberg_refs_tags_and_branches(spark, tmp_path):
+    """Spec named references: a tag pins a snapshot through later
+    appends AND through expire_snapshots (ref-pinned snapshots never
+    collect while the ref lives); read(ref=...) resolves tags,
+    branches, and the implicit 'main'; commits keep foreign refs
+    verbatim while bumping main; drop_ref frees the snapshot."""
+    loc = str(tmp_path / "refs")
+    t = iceberg.create_table(
+        spark, loc, spark.createDataFrame([(1,)], "id long")
+    )
+    out = iceberg.create_ref(spark, loc, "v1.0", kind="tag")
+    assert out["snapshot_id"] == t.current_snapshot_id()
+    for i in range(2, 6):
+        iceberg.append(
+            spark, loc, spark.createDataFrame([(i,)], "id long")
+        )
+    t2 = iceberg.IcebergTable(spark, loc)
+    # tag still reads the pinned state; main reads the latest
+    assert {r.id for r in t2.read(ref="v1.0").collect()} == {1}
+    assert {r.id for r in t2.read(ref="main").collect()} == {1, 2, 3, 4, 5}
+    assert t2.refs()["main"]["snapshot-id"] == t2.current_snapshot_id()
+    with pytest.raises(iceberg.IcebergError, match="unknown ref"):
+        t2.read(ref="nope")
+    with pytest.raises(iceberg.IcebergError, match="reserved"):
+        iceberg.create_ref(spark, loc, "main")
+
+    # expiry keeps the tag-pinned snapshot alive and readable
+    stats = iceberg.expire_snapshots(spark, loc, keep_last=1)
+    assert stats["snapshots_expired"] == 3  # 5 snaps - current - tagged
+    t3 = iceberg.IcebergTable(spark, loc)
+    assert {r.id for r in t3.read(ref="v1.0").collect()} == {1}
+    assert t3.read().count() == 5
+
+    # a branch ref at an older snapshot + drop_ref then expire collects
+    iceberg.create_ref(
+        spark, loc, "audit", kind="branch",
+        snapshot_id=t3.refs()["v1.0"]["snapshot-id"],
+    )
+    assert iceberg.IcebergTable(spark, loc).read(ref="audit").count() == 1
+    iceberg.drop_ref(spark, loc, "v1.0")
+    iceberg.drop_ref(spark, loc, "audit")
+    stats2 = iceberg.expire_snapshots(spark, loc, keep_last=1)
+    assert stats2["snapshots_expired"] == 1  # the formerly-pinned one
+    t4 = iceberg.IcebergTable(spark, loc)
+    with pytest.raises(iceberg.IcebergError, match="unknown ref"):
+        t4.read(ref="v1.0")
+    assert t4.read().count() == 5
+
+
+def test_iceberg_expire_snapshots_opens_each_manifest_once(
+    spark, tmp_path, monkeypatch
+):
+    """Every append carries prior manifests forward, so snapshot K
+    references manifests 1..K — a naive reachability walk re-reads each
+    manifest once per referencing snapshot (O(snapshots × manifests)
+    driver Avro opens on a CDC table). The memoized walk must open each
+    DISTINCT manifest exactly once across the keep+drop passes, and
+    still delete/keep the right files."""
+    loc = str(tmp_path / "exp1")
+    t = iceberg.create_table(
+        spark, loc, spark.createDataFrame([(0,)], "id long")
+    )
+    n = 10
+    for i in range(1, n):
+        t = iceberg.append(
+            spark, loc, spark.createDataFrame([(i,)], "id long")
+        )
+
+    opened: list[str] = []
+    real = avrofile.read_file
+
+    def counting(path, *a, **k):
+        opened.append(os.path.basename(path))
+        return real(path, *a, **k)
+
+    monkeypatch.setattr(iceberg.avrofile, "read_file", counting)
+    out = iceberg.expire_snapshots(spark, loc, keep_last=2)
+    monkeypatch.setattr(iceberg.avrofile, "read_file", real)
+    assert out["snapshots_expired"] == n - 2
+    manifests = [p for p in opened if p.startswith("manifest-")]
+    assert sorted(manifests) == sorted(set(manifests))  # once each
+    assert len(set(manifests)) == n
+    # correctness unchanged: the retained snapshots still read fully
+    t2 = iceberg.IcebergTable(spark, loc)
+    assert {r.id for r in t2.read().collect()} == set(range(n))
+
+
 def test_iceberg_parallel_manifest_walk_opens_same_set(
     spark, tmp_path, monkeypatch
 ):

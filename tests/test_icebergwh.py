@@ -134,6 +134,9 @@ def test_tail_and_maintenance_delegates(spark, iwh):
     md = iwh.expire_metadata_versions("t2", keep_last=1)
     assert md["metadata_versions_deleted"] >= 1
     assert iwh.read("t2").count() == 48
+    rw = iwh.rewrite_manifests("t2")
+    assert rw["manifests_after"] <= rw["manifests_before"]
+    assert iwh.read("t2").count() == 48
 
 
 def test_warehouse_upsert_equality_delete(spark, iwh):
