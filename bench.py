@@ -101,6 +101,7 @@ EXTENDED = [
     "delta_v2_checkpoint_orders",
     # round-8 operators
     "iceberg_delete_where_orders",
+    "iceberg_refs_tag_orders",
 ]
 
 HEADLINE = [

@@ -3561,3 +3561,21 @@ SELECT o_orderstatus,
 FROM survivors
 GROUP BY o_orderstatus
 """
+
+
+ORACLES_EXT["iceberg_refs_tag_orders"] = """
+-- iceberg_refs_tag_orders: tag = the pre-append slice (%5 = 0), pinned
+-- through a later append AND expire_snapshots; main = both slices. A
+-- ref resolving wrong, lost by a commit, or collected by expiry breaks
+-- the hash.
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+         WHERE o_orderkey % 5 = 0) AS tag_rows,
+       (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM orders
+         WHERE o_orderkey % 5 = 0) AS tag_sum_key
+FROM orders
+WHERE o_orderkey % 5 IN (0, 1)
+GROUP BY o_orderstatus
+"""

@@ -3311,3 +3311,42 @@ def iceberg_delete_where_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(pruned_o_rows))
     )
+
+
+def iceberg_refs_tag_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg named references end-to-end (sources/iceberg.py
+    ``create_ref`` + ``read(ref=)`` — the release-marker workflow every
+    audited warehouse needs: pin the month-end state as a tag, keep
+    appending, read both). A tag pins the first slice through a later
+    append AND through ``expire_snapshots`` (ref-pinned snapshots never
+    collect); the query aggregates the tag read alongside the main read
+    so a ref resolving to the wrong snapshot, a tag lost by a later
+    commit, or an expiry collecting a pinned snapshot all hash-fail
+    against the oracle's set replay. Integer aggregates only."""
+    import os
+    import tempfile
+
+    from ..sources import iceberg as ib
+
+    sel = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    loc = os.path.join(tempfile.mkdtemp(prefix="icebergref-"), "ord")
+    ib.create_table(spark, loc, sel.filter(F.col("o_orderkey") % 5 == 0))
+    ib.create_ref(spark, loc, "month-end", kind="tag")
+    ib.append(spark, loc, sel.filter(F.col("o_orderkey") % 5 == 1))
+    ib.expire_snapshots(spark, loc, keep_last=1)
+    t = ib.IcebergTable(spark, loc)
+    tagged = t.read(ref="month-end").agg(
+        F.count(F.lit(1)).alias("tag_rows"),
+        F.sum("o_orderkey").cast("long").alias("tag_sum_key"),
+    )
+    return (
+        t.read(ref="main")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+        )
+        .crossJoin(F.broadcast(tagged))
+    )

@@ -1739,7 +1739,9 @@ def _write_snapshot(
         ),
         "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
         "default-spec-id": 0,
-        "properties": {},
+        # table properties survive commits (retention/metadata-expiry
+        # knobs live here per spec)
+        "properties": dict((base or {}).get("properties") or {}),
         "current-snapshot-id": snapshot_id,
         "snapshots": (base or {}).get("snapshots", []) + [snap],
         "snapshot-log": (base or {}).get("snapshot-log", [])
@@ -2019,6 +2021,19 @@ def _publish(location: str, meta: dict) -> None:
     with open(hint + ".tmp", "w") as fh:
         fh.write(str(version))
     os.replace(hint + ".tmp", hint)
+    # spec: write.metadata.delete-after-commit.enabled prunes old
+    # version files as part of every successful commit, bounded by
+    # previous-versions-max — the spec's own answer to unbounded
+    # metadata growth on CDC tables (expire_metadata_versions remains
+    # the manual form)
+    props = meta.get("properties") or {}
+    if str(props.get(
+        "write.metadata.delete-after-commit.enabled", ""
+    )).lower() == "true":
+        keep = int(
+            props.get("write.metadata.previous-versions-max", 100)
+        )
+        expire_metadata_versions(location, keep_last=keep + 1)
 
 
 def create_table(
@@ -2495,6 +2510,28 @@ def expire_metadata_versions(
         "metadata_versions_deleted": len(victims),
         "metadata_versions_kept": len(versions) - len(victims),
     }
+
+
+def set_properties(
+    spark: SparkSession, location: str, props: Mapping[str, str]
+) -> dict:
+    """Set/overwrite table properties (metadata-only commit) — the
+    spec's ALTER TABLE SET TBLPROPERTIES. A value of None removes the
+    key. Properties drive retention knobs like
+    ``write.metadata.previous-versions-max`` and
+    ``write.metadata.delete-after-commit.enabled``."""
+    t = IcebergTable(spark, location)
+    meta = dict(t.metadata)
+    merged = dict(meta.get("properties") or {})
+    for k, v in props.items():
+        if v is None:
+            merged.pop(k, None)
+        else:
+            merged[k] = str(v)
+    meta["properties"] = merged
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    _publish(location, meta)
+    return {"properties": merged}
 
 
 def create_ref(

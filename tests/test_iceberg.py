@@ -1962,6 +1962,55 @@ def test_iceberg_refs_tags_and_branches(spark, tmp_path):
     assert t4.read().count() == 5
 
 
+def test_iceberg_metadata_delete_after_commit(spark, tmp_path):
+    """write.metadata.delete-after-commit.enabled prunes superseded
+    vN.metadata.json files on every publish, bounded by
+    previous-versions-max; properties survive commits (they used to
+    reset to {}), the metadata-log never points at deleted files, and
+    reads + time travel stay green."""
+    loc = str(tmp_path / "dac")
+    t = iceberg.create_table(
+        spark, loc, spark.createDataFrame([(0,)], "id long")
+    )
+    s1 = t.current_snapshot_id()
+    iceberg.set_properties(spark, loc, {
+        "write.metadata.delete-after-commit.enabled": "true",
+        "write.metadata.previous-versions-max": "2",
+    })
+    md = os.path.join(loc, "metadata")
+    for i in range(1, 8):
+        t = iceberg.append(
+            spark, loc, spark.createDataFrame([(i,)], "id long")
+        )
+    # properties carried through all the appends
+    assert t.metadata["properties"][
+        "write.metadata.previous-versions-max"
+    ] == "2"
+    vfiles = [
+        f for f in os.listdir(md) if f.endswith(".metadata.json")
+    ]
+    assert len(vfiles) == 3  # current + 2 previous, every commit
+    for e in t.metadata.get("metadata-log", []):
+        assert os.path.exists(iceberg._strip_scheme(e["metadata-file"]))
+    assert len(t.metadata.get("metadata-log", [])) == 2
+    assert {r.id for r in t.read().collect()} == set(range(8))
+    assert t.read(snapshot_id=s1).count() == 1  # snapshots live in current
+    # property removal turns the pruning off again
+    iceberg.set_properties(
+        spark, loc,
+        {"write.metadata.delete-after-commit.enabled": None},
+    )
+    iceberg.append(spark, loc, spark.createDataFrame([(99,)], "id long"))
+    n_before = len(
+        [f for f in os.listdir(md) if f.endswith(".metadata.json")]
+    )
+    iceberg.append(spark, loc, spark.createDataFrame([(98,)], "id long"))
+    n_after = len(
+        [f for f in os.listdir(md) if f.endswith(".metadata.json")]
+    )
+    assert n_after == n_before + 1  # growing again, no pruning
+
+
 def test_iceberg_expire_snapshots_opens_each_manifest_once(
     spark, tmp_path, monkeypatch
 ):
