@@ -2194,8 +2194,11 @@ def compact_data_files(
     the new snapshot's manifest UNREAD and UNMOVED (at 100 TB a full
     rewrite to fix stragglers is the anti-pattern — same design as the
     Delta backend's ``optimize_small_files``). v2 row-level deletes are
-    MATERIALIZED for the rewritten files (the read merges them) — which
-    is why files carrying a delete always rewrite.
+    MATERIALIZED for the rewritten files (the read merges them) — so a
+    file POSSIBLY carrying a delete always rewrites: positional deletes
+    name their files; equality deletes match by sequence scoping plus
+    footer-stats-vs-manifest-bounds disjointness (:func:`_eq_affected_files`)
+    so a CDC upsert stream no longer forces whole-table rewrites.
 
     ``sort_cols`` range-clusters the rewrite on the leading key(s);
     ``zorder_by=(a, b)`` lays rows along the Morton (``curve="morton"``)
@@ -2221,14 +2224,15 @@ def compact_data_files(
                     r["__ifile"]
                     for r in pos_df.select("__ifile").distinct().collect()
                 }
-            # equality deletes may touch any file; without reading data
-            # we cannot prove a file clean, so any live equality delete
-            # forces every small-or-deleted file through the rewrite and
-            # large files rewrite too only when eq deletes exist
-            if any(d.get("content") == 2 for d in deletes):
-                deleted_from = {
-                    "file:" + _strip_scheme(f["file_path"]) for f in files
-                }
+            # equality deletes: a file is provably CLEAN when it was
+            # added at/after the delete's sequence number (spec: strict
+            # seq scoping) or when its manifest column bounds are
+            # disjoint from the delete file's footer min/max on any
+            # equality column — same file-matching real Iceberg does.
+            # Unknown bounds/types stay conservative (rewrite).
+            eqs = [d for d in deletes if d.get("content") == 2]
+            if eqs:
+                deleted_from |= _eq_affected_files(t, files, eqs)
         victims = [
             f for f in files
             if f["file_size_in_bytes"] < limit
@@ -2299,6 +2303,82 @@ def compact_data_files(
     )
     _publish(location, meta)
     return {"files_rewritten": len(victims), "files_kept": len(keep)}
+
+
+def _eq_affected_files(
+    t: IcebergTable, files: list[dict], eq_deletes: list[dict]
+) -> set[str]:
+    """The subset of ``files`` an equality delete MIGHT touch — so
+    incremental compaction can carry the rest unread. A data file is
+    provably clean vs one delete file when (a) its data sequence
+    number is ≥ the delete's (spec: equality deletes apply strictly
+    below their seq) or (b) the delete file's parquet-footer min/max
+    and the data file's manifest column bounds are DISJOINT on some
+    equality column. Everything unknown — missing bounds, unmappable
+    ids, type mismatches, unreadable footers — counts as affected;
+    pruning is an optimization, never a correctness filter. Footer
+    reads are per-DELETE-file metadata (KBs), not data."""
+    import pyarrow.parquet as pq
+
+    name_of = {f["id"]: f["name"] for f in t.schema_json()["fields"]}
+    id_of = {f["name"]: f["id"] for f in t.schema_json()["fields"]}
+    all_uris = {"file:" + _strip_scheme(f["file_path"]) for f in files}
+    dmeta: list[tuple[int, dict]] = []
+    for d in eq_deletes:
+        cols = [name_of.get(i) for i in (d.get("equality_ids") or [])]
+        if not cols or any(c is None for c in cols):
+            return all_uris  # unmappable: every file may be affected
+        rng: dict[str, tuple | None] = {}
+        try:
+            md = pq.ParquetFile(
+                _strip_scheme(d["file_path"])
+            ).metadata
+            per_col: dict[str, list] = {c: [] for c in cols}
+            unknown: set[str] = set()
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                for ci in range(row.num_columns):
+                    col = row.column(ci)
+                    name = col.path_in_schema
+                    if name not in per_col:
+                        continue
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        unknown.add(name)
+                        continue
+                    per_col[name].append((st.min, st.max))
+            for c in cols:
+                if c in unknown or not per_col[c]:
+                    rng[c] = None
+                else:
+                    rng[c] = (
+                        min(x[0] for x in per_col[c]),
+                        max(x[1] for x in per_col[c]),
+                    )
+        except Exception:
+            rng = {c: None for c in cols}
+        dmeta.append((int(d.get("_seq", 0)), rng))
+    out: set[str] = set()
+    for f in files:
+        fseq = int(f.get("_seq", 0))
+        for dseq, rng in dmeta:
+            if dseq <= fseq:
+                continue
+            disjoint_somewhere = False
+            for c, r in rng.items():
+                lo = t._bound(f.get("lower_bounds"), id_of[c])
+                hi = t._bound(f.get("upper_bounds"), id_of[c])
+                if r is None or lo is None or hi is None:
+                    continue  # unknown: assume overlap on this column
+                # _lt is comparable-or-False: a type mismatch between
+                # footer stats and decoded bounds never proves disjoint
+                if _lt(hi, r[0]) or _lt(r[1], lo):
+                    disjoint_somewhere = True
+                    break
+            if not disjoint_somewhere:
+                out.add("file:" + _strip_scheme(f["file_path"]))
+                break
+    return out
 
 
 def _read_files_with_deletes(

@@ -1962,6 +1962,55 @@ def test_iceberg_refs_tags_and_branches(spark, tmp_path):
     assert t4.read().count() == 5
 
 
+def test_iceberg_compaction_eq_delete_bounds_pruning(spark, tmp_path):
+    """Incremental compaction under equality deletes used to rewrite
+    EVERY file (no way to prove one clean). Now a file is carried
+    unread when the delete file's footer min/max and the file's
+    manifest column bounds are disjoint on an equality column, or the
+    file's seq is at/after the delete's. Three disjoint-range files +
+    an upsert touching only the first range: exactly the affected file
+    rewrites, results stay delete-merged-correct, and the kept files'
+    paths are byte-identical."""
+    loc = str(tmp_path / "eqc")
+    mk = lambda lo, hi: spark.createDataFrame(  # noqa: E731
+        [(i, f"v{i}") for i in range(lo, hi)], "k long, v string"
+    ).coalesce(1)
+    iceberg.create_table(spark, loc, mk(0, 100), format_version=2)
+    iceberg.append(spark, loc, mk(100, 200))
+    iceberg.append(spark, loc, mk(200, 300))
+    # upsert keys inside [0,100) only — adds an eq-delete file + a
+    # batch data file (same seq as the delete → provably clean)
+    iceberg.upsert_by_keys(
+        spark, loc,
+        spark.createDataFrame([(5, "V5"), (10, "V10")], "k long, v string"),
+        keys=["k"],
+    )
+    t = iceberg.IcebergTable(spark, loc)
+    paths_before = {
+        iceberg._strip_scheme(f["file_path"]): f["_seq"]
+        for f in t.data_files()
+    }
+    n_before = len(paths_before)  # 3 ranges + N upsert-batch parts
+    assert n_before >= 4
+
+    out = iceberg.compact_data_files(spark, loc, small_file_mb=0.0)
+    assert out["files_rewritten"] == 1  # ONLY the [0,100) file
+    assert out["files_kept"] == n_before - 1
+    t2 = iceberg.IcebergTable(spark, loc)
+    paths_after = {
+        iceberg._strip_scheme(f["file_path"]) for f in t2.data_files()
+    }
+    # every clean file was carried verbatim (same paths)
+    kept = set(paths_before) & paths_after
+    assert len(kept) == n_before - 1
+    got = {r.k: r.v for r in t2.read().collect()}
+    assert len(got) == 300
+    assert got[5] == "V5" and got[10] == "V10" and got[7] == "v7"
+    assert got[150] == "v150" and got[250] == "v250"
+    # no delete files survive the compaction (they were materialized)
+    assert t2.delete_files() == []
+
+
 def test_iceberg_metadata_delete_after_commit(spark, tmp_path):
     """write.metadata.delete-after-commit.enabled prunes superseded
     vN.metadata.json files on every publish, bounded by
