@@ -1255,6 +1255,7 @@ def commit_write(
     merge_schema: bool = False,
     txn: tuple[str, int] | None = None,
     enforced_constraints: frozenset = frozenset(),
+    data_change: bool = True,
 ) -> int:
     """Phase 2: move staged files into the table and publish the commit
     JSON put-if-absent. On a lost race the commit (including overwrite's
@@ -1316,7 +1317,9 @@ def commit_write(
             "partitionValues": _partition_values_from_rel(rel, phys_pcols),
             "size": os.path.getsize(dst),
             "modificationTime": now_ms,
-            "dataChange": True,
+            # spec: dataChange=false marks a pure rearrangement
+            # (OPTIMIZE) — streaming tails skip such adds entirely
+            "dataChange": bool(data_change),
             **({"stats": s} if (s := _file_stats_json(dst, data_cols)) else {}),
         })
     shutil.rmtree(staging, ignore_errors=True)
@@ -1415,7 +1418,11 @@ def commit_write(
             if remove_paths:
                 ts = int(time.time() * 1000)
                 for p in remove_paths:
-                    r = {"path": p, "deletionTimestamp": ts, "dataChange": True}
+                    r = {
+                        "path": p,
+                        "deletionTimestamp": ts,
+                        "dataChange": bool(data_change),
+                    }
                     # spec: removes key by (path, dv uniqueId) — carry the
                     # live add's descriptor so the tombstone hits it
                     dv = (prev["files"].get(p) or {}).get("deletionVector")
@@ -2084,9 +2091,17 @@ def delta_tail(
                     continue
                 action = json.loads(line)
                 if "add" in action:
+                    if action["add"].get("dataChange") is False:
+                        # spec: a dataChange=false add is a pure
+                        # rearrangement (OPTIMIZE) — its rows were
+                        # already delivered; emitting them again would
+                        # duplicate the stream
+                        continue
                     a = _plain_add(action["add"])
                     new_adds[a["path"]] = a
                 elif "remove" in action and not ignore_changes:
+                    if action["remove"].get("dataChange") is False:
+                        continue  # compaction tombstone: no rows changed
                     raise ValueError(
                         f"{table_path!r}: commit {v} removed "
                         f"{action['remove']['path']!r} — not append-only; "

@@ -1790,6 +1790,47 @@ def test_rowtracking_append_assigns_row_ids(spark, tmp_path):
     )
 
 
+def test_delta_tail_crosses_optimize_datachange_false(spark, tmp_path):
+    """OPTIMIZE commits with dataChange=false (the spec's pure-
+    rearrangement marker, what real Delta writes): a tail resuming
+    across the compaction must neither refuse nor re-emit the
+    compacted rows — only genuinely new appends arrive. The rewritten
+    data stays correct and time travel still sees the stragglers."""
+    from global_seismic_data_pipeline_spark.sources.deltawh import (
+        DeltaLogWarehouse,
+    )
+
+    wh = DeltaLogWarehouse(spark, str(tmp_path))
+    p = wh.path("t")
+    # many small files so optimize has victims
+    wh.overwrite(spark.range(0, 40).selectExpr("id").repartition(8), "t")
+    df, cur = dl.delta_tail(spark, p, from_version=-1)
+    assert df.count() == 40
+    stats = wh.optimize_small_files("t", small_file_mb=64)
+    assert stats["files_rewritten"] >= 2
+    wh.append(spark.range(40, 45).selectExpr("id"), "t")
+    # tail crosses the OPTIMIZE: no refusal, no duplicates, just adds
+    df2, cur2 = dl.delta_tail(spark, p, from_version=cur)
+    assert {r.id for r in df2.collect()} == {40, 41, 42, 43, 44}
+    assert dl.read_delta(spark, p).count() == 45
+    # the OPTIMIZE actions are marked dataChange=false in the log
+    st = dl.snapshot_state(p)
+    opt_v = next(
+        h["version"] for h in dl.delta_history(p)
+        if h["operation"] == "OPTIMIZE"
+    )
+    log = os.path.join(p, "_delta_log")
+    with open(os.path.join(log, f"{opt_v:020d}.json")) as fh:
+        acts = [json.loads(x) for x in fh if x.strip()]
+    assert all(
+        a["add"]["dataChange"] is False for a in acts if "add" in a
+    )
+    assert all(
+        a["remove"]["dataChange"] is False for a in acts if "remove" in a
+    )
+    assert st["version"] >= opt_v
+
+
 def test_liquid_clustering_append_preserves_domain(spark, tmp_path):
     """A liquid-clustered table (writer feature 'clustering' +
     delta.clustering domain metadata naming the clustering columns)
