@@ -3579,3 +3579,24 @@ FROM orders
 WHERE o_orderkey % 5 IN (0, 1)
 GROUP BY o_orderstatus
 """
+
+
+ORACLES_EXT["iceberg_wap_publish_orders"] = """
+-- iceberg_wap_publish_orders: base slice (%4 = 0) on main, staged
+-- slice (%4 = 1) written to the 'audit' branch, then fast-forwarded.
+-- pre_rows/pre_sum_key replay the PRE-publish main read (base only —
+-- a branch write leaking into main inflates them); the grouped
+-- aggregates replay the published union; published = 1 fast-forwarded
+-- commit.
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       CAST(1 AS BIGINT) AS published,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+         WHERE o_orderkey % 4 = 0) AS pre_rows,
+       (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM orders
+         WHERE o_orderkey % 4 = 0) AS pre_sum_key
+FROM orders
+WHERE o_orderkey % 4 IN (0, 1)
+GROUP BY o_orderstatus
+"""

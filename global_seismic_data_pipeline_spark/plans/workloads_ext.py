@@ -3293,6 +3293,9 @@ def iceberg_delete_where_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ib.append(spark, loc, sel.filter(F.col("o_orderkey") % 3 == 1))
     ib.delete_where(spark, loc, "o_orderkey % 7 = 0")
+    # tombstone compaction rides the oracle gate too: merging the
+    # per-commit delete parquets must not resurrect or over-delete
+    ib.rewrite_position_deletes(spark, loc)
     out = ib.rewrite_manifests(spark, loc)
     t = ib.IcebergTable(spark, loc)
     pruned_o_rows = t.read(eq_filters={"o_orderstatus": "O"}).agg(
@@ -3349,4 +3352,50 @@ def iceberg_refs_tag_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_orderkey").cast("long").alias("sum_key"),
         )
         .crossJoin(F.broadcast(tagged))
+    )
+
+
+def iceberg_wap_publish_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg write-audit-publish end-to-end (sources/iceberg.py
+    ``append(to_ref=)`` + ``fast_forward`` — the staged-ingest workflow
+    the reference's bronze→silver promotion wants: land the day's batch
+    on an audit branch, validate, publish atomically). The staged slice
+    commits onto the ``audit`` branch; the PRE-publish main read
+    (aggregated alongside) proves isolation — a branch write that leaks
+    into main, a fast-forward that loses rows, or a publish that
+    rewrites history all hash-fail against the oracle's two-slice
+    replay. Integer aggregates only."""
+    import os
+    import tempfile
+
+    from ..sources import iceberg as ib
+
+    sel = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    loc = os.path.join(tempfile.mkdtemp(prefix="icebergwap-"), "ord")
+    ib.create_table(spark, loc, sel.filter(F.col("o_orderkey") % 4 == 0))
+    ib.create_ref(spark, loc, "audit", kind="branch")
+    ib.append(
+        spark, loc, sel.filter(F.col("o_orderkey") % 4 == 1),
+        to_ref="audit",
+    )
+    t = ib.IcebergTable(spark, loc)
+    pre = t.read().agg(
+        F.count(F.lit(1)).alias("pre_rows"),
+        F.sum("o_orderkey").cast("long").alias("pre_sum_key"),
+    )
+    out = ib.fast_forward(spark, loc, "main", "audit")
+    t2 = ib.IcebergTable(spark, loc)
+    return (
+        t2.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+        )
+        .withColumn(
+            "published", F.lit(int(out["published"])).cast("long")
+        )
+        .crossJoin(F.broadcast(pre))
     )

@@ -316,6 +316,38 @@ class IcebergTable:
         the current snapshot when the map lacks it."""
         return self.metadata.get("refs", {})
 
+    def _ancestry_ids(self, head_id: int | None = None) -> set:
+        """Snapshot ids on the lineage chain ending at ``head_id``
+        (default: the current snapshot). Walks ``parent-snapshot-id``;
+        snapshots written before parent tracking existed are a linear
+        prefix — once the walk reaches one, everything committed at or
+        before it counts as an ancestor (branch writes always stamp
+        parents, so nothing below that point can be off-main)."""
+        snaps = {s["snapshot-id"]: s for s in self.snapshots()}
+        if head_id is None:
+            head_id = self.current_snapshot_id()
+        out: set = set()
+        cur = head_id
+        while cur in snaps and cur not in out:
+            s = snaps[cur]
+            out.add(cur)
+            if "parent-snapshot-id" not in s:
+                if all("sequence-number" in x for x in snaps.values()):
+                    def key(x):
+                        return x["sequence-number"]
+                else:
+                    def key(x):
+                        return x["timestamp-ms"]
+                me = key(s)
+                out |= {
+                    x["snapshot-id"]
+                    for x in snaps.values()
+                    if key(x) < me
+                }
+                break
+            cur = s.get("parent-snapshot-id")
+        return out
+
     def resolve_snapshot(
         self,
         snapshot_id: int | None = None,
@@ -873,7 +905,14 @@ class IcebergTable:
         range (overwrite/delete/replace — rows may have vanished)
         refuses unless ``ignore_changes``, the delta_tail contract.
         Returns (rows, new_cursor)."""
-        snaps = self.snapshots()
+        # only MAIN's lineage: a snapshot staged on an audit branch
+        # (append to_ref=...) must not leak into the tail until
+        # fast_forward publishes it — at which point it enters main's
+        # parent chain and is consumed as a normal append
+        on_main = self._ancestry_ids()
+        snaps = [
+            s for s in self.snapshots() if s["snapshot-id"] in on_main
+        ]
         # v2 tables order commits by sequence-number; fall back to
         # timestamps only when NO snapshot carries one (mixing the two
         # keys would interleave unrelated scales)
@@ -898,7 +937,9 @@ class IcebergTable:
             # a pure manifest rewrite (rewrite_manifests) provably moves
             # no rows — tails cross it without ignore_changes
             rewrite_only = (
-                op == "replace" and summary.get("rewrite") == "manifests"
+                op == "replace"
+                and summary.get("rewrite")
+                in ("manifests", "position-deletes")
             )
             if op != "append" and not ignore_changes and not rewrite_only:
                 raise IcebergError(
@@ -1571,6 +1612,7 @@ def _write_snapshot(
     manifest_content: int = 0,
     extra_delete_files: list[dict] | None = None,
     schema_json_override: dict | None = None,
+    to_ref: str | None = None,
 ) -> dict:
     """Stage data files + manifest + manifest list, return the new
     metadata dict (caller publishes).
@@ -1589,13 +1631,32 @@ def _write_snapshot(
     ``data_files``: pre-materialized add records (maintenance paths like
     compaction) — skips the df write entirely; df is then only the schema
     carrier. ``manifest_content=1`` publishes them as a DELETE manifest
-    (row-level delete files) instead of a data manifest."""
+    (row-level delete files) instead of a data manifest.
+
+    ``to_ref``: commit on top of the named BRANCH's head instead of the
+    current snapshot (the write-audit-publish shape): the new snapshot's
+    parent and carried manifests come from the branch head, the refs
+    entry for ``to_ref`` moves, and ``current-snapshot-id`` /
+    ``snapshot-log`` / ``main`` stay untouched — readers of the table
+    see nothing until :func:`fast_forward` publishes the branch."""
     md_dir = os.path.join(location, "metadata")
     data_dir = os.path.join(location, "data")
     os.makedirs(md_dir, exist_ok=True)
     os.makedirs(data_dir, exist_ok=True)
     part_fields = part_fields or []
     seq = (base or {}).get("last-sequence-number", 0) + 1
+    if to_ref is not None:
+        head = ((base or {}).get("refs") or {}).get(to_ref)
+        if head is None or head.get("type") != "branch":
+            raise IcebergError(
+                f"to_ref={to_ref!r} is not an existing branch — "
+                "create_ref(..., kind='branch') first"
+            )
+        parent_id = head["snapshot-id"]
+    else:
+        parent_id = (base or {}).get("current-snapshot-id", -1)
+        if parent_id == -1:
+            parent_id = None
 
     snapshot_id = (
         max(
@@ -1651,13 +1712,14 @@ def _write_snapshot(
     summaries = None
     if part_fields and manifest_content == 0:
         summaries = _partition_summaries(part_fields, files)
-    # append-only log: prior snapshots' manifests stay reachable
+    # append-only log: the PARENT snapshot's manifests stay reachable
+    # (the branch head when to_ref is set, the current snapshot else)
     prior = []
-    if carry_prior and base is not None and base.get("current-snapshot-id", -1) != -1:
+    if carry_prior and base is not None and parent_id is not None:
         cur = next(
             s
             for s in base["snapshots"]
-            if s["snapshot-id"] == base["current-snapshot-id"]
+            if s["snapshot-id"] == parent_id
         )
         _, prior = avrofile.read_file(_strip_scheme(cur["manifest-list"]))
         # records written before this schema carried content/sequence
@@ -1724,6 +1786,10 @@ def _write_snapshot(
         "summary": {"operation": operation},
         "manifest-list": f"file:{mlist_path}",
     }
+    if parent_id is not None:
+        # spec: snapshot lineage — fast_forward's ancestry proof and the
+        # tail's main-branch filter both walk this chain
+        snap["parent-snapshot-id"] = parent_id
     schema_json = schema_json_override or _iceberg_schema_json(df.schema)
     spec_fields = [
         {k: v for k, v in pf.items() if not k.startswith("_")}
@@ -1742,20 +1808,42 @@ def _write_snapshot(
         # table properties survive commits (retention/metadata-expiry
         # knobs live here per spec)
         "properties": dict((base or {}).get("properties") or {}),
-        "current-snapshot-id": snapshot_id,
+        "current-snapshot-id": (
+            (base or {}).get("current-snapshot-id", -1)
+            if to_ref is not None
+            else snapshot_id
+        ),
         "snapshots": (base or {}).get("snapshots", []) + [snap],
+        # spec: snapshot-log records the MAIN branch's history only —
+        # branch commits enter it at fast_forward time, not before
         "snapshot-log": (base or {}).get("snapshot-log", [])
-        + [{"timestamp-ms": now_ms, "snapshot-id": snapshot_id}],
+        + (
+            []
+            if to_ref is not None
+            else [{"timestamp-ms": now_ms, "snapshot-id": snapshot_id}]
+        ),
         # carried forward so _publish can append the superseded
         # version's entry (spec: metadata-log)
         "metadata-log": (base or {}).get("metadata-log", []),
         # named references: tags/branches survive commits verbatim;
-        # the main branch always tracks the current snapshot (spec)
+        # the written branch moves; main always tracks the current
+        # snapshot (spec)
         "refs": {
             **(base or {}).get("refs", {}),
-            "main": {"snapshot-id": snapshot_id, "type": "branch"},
+            **(
+                {to_ref: {"snapshot-id": snapshot_id, "type": "branch"}}
+                if to_ref is not None
+                else {
+                    "main": {"snapshot-id": snapshot_id, "type": "branch"}
+                }
+            ),
         },
     }
+    if to_ref is not None and meta["current-snapshot-id"] not in (None, -1):
+        meta["refs"].setdefault(
+            "main",
+            {"snapshot-id": meta["current-snapshot-id"], "type": "branch"},
+        )
     if format_version >= 2:
         snap["sequence-number"] = seq
         prior_schemas = list((base or {}).get("schemas", []))
@@ -2128,15 +2216,29 @@ def append(
     df: DataFrame,
     *,
     merge_schema: bool = False,
+    to_ref: str | None = None,
 ) -> IcebergTable:
     """Append ``df`` as a new snapshot (schema must match by name/type;
     the table's own partition spec and format version are reproduced).
     ``merge_schema=True`` EVOLVES the schema instead: new batch columns
     get the next field ids (never reused, per spec) and a new schema-id
     enters the metadata's schemas list; old files read the new columns
-    as NULL through field-id resolution."""
+    as NULL through field-id resolution.
+
+    ``to_ref`` commits onto the named BRANCH instead of main — the
+    write half of write-audit-publish: stage data on an audit branch,
+    validate it via ``read(ref=...)``, then :func:`fast_forward` main.
+    Readers of the table (and incremental tails) see nothing until the
+    publish."""
+    if to_ref == "main":
+        to_ref = None
     t = IcebergTable(spark, location)
     if merge_schema:
+        if to_ref is not None:
+            raise IcebergError(
+                "merge_schema on a branch write is unsupported — schema "
+                "is table-wide; evolve on main, then branch"
+            )
         schema_json = _evolved_schema_json(t, df.schema)
     else:
         _check_schema(t, df, "append")
@@ -2146,6 +2248,7 @@ def append(
         location, df, base=t.metadata,
         part_fields=part_fields, format_version=fv,
         schema_json_override=schema_json,
+        to_ref=to_ref,
     )
     _publish(location, meta)
     return IcebergTable(spark, location)
@@ -2659,6 +2762,75 @@ def drop_ref(spark: SparkSession, location: str, name: str) -> dict:
     return {"ref": name, "snapshot_id": dropped.get("snapshot-id")}
 
 
+def fast_forward(
+    spark: SparkSession, location: str, branch: str, to: str
+) -> dict:
+    """Fast-forward ``branch`` to ``to``'s head — the publish half of
+    write-audit-publish (Iceberg's ``fast_forward`` procedure). Only a
+    true fast-forward is allowed: ``branch``'s head must be an ancestor
+    of ``to``'s head (walked via ``parent-snapshot-id``), otherwise the
+    histories diverged and the caller must reconcile instead of
+    silently dropping commits. Fast-forwarding ``main`` also moves
+    ``current-snapshot-id`` and appends the published snapshots to the
+    snapshot-log stamped NOW — time travel by timestamp keeps resolving
+    pre-publish reads to the old head, exactly the WAP contract."""
+    t = IcebergTable(spark, location)
+    refs = dict(t.refs())
+    if to == "main" or to not in refs:
+        if to not in refs and to != "main":
+            raise IcebergError(
+                f"unknown ref {to!r} (have {sorted(refs) or 'none'})"
+            )
+        to_head = t.current_snapshot_id()
+    else:
+        to_head = refs[to]["snapshot-id"]
+    if branch == "main":
+        from_head = t.current_snapshot_id()
+        if from_head == -1:
+            from_head = None
+    else:
+        r = refs.get(branch)
+        if r is None:
+            raise IcebergError(
+                f"unknown branch {branch!r} (have {sorted(refs) or 'none'})"
+            )
+        if r.get("type") != "branch":
+            raise IcebergError(f"{branch!r} is a tag — tags never move")
+        from_head = r["snapshot-id"]
+    if from_head == to_head:
+        return {"branch": branch, "from": from_head, "to": to_head,
+                "published": 0}
+    ancestry = t._ancestry_ids(to_head)
+    if from_head is not None and from_head not in ancestry:
+        raise IcebergError(
+            f"cannot fast-forward {branch!r}: its head {from_head} is "
+            f"not an ancestor of {to!r}'s head {to_head} — histories "
+            "diverged"
+        )
+    snaps = {s["snapshot-id"]: s for s in t.snapshots()}
+    # commits being published: the chain to_head → ... → from_head
+    path = []
+    cur = to_head
+    while cur is not None and cur != from_head and cur in snaps:
+        path.append(cur)
+        cur = snaps[cur].get("parent-snapshot-id")
+    path.reverse()
+    now_ms = int(time.time() * 1000)
+    meta = dict(t.metadata)
+    meta["refs"] = {
+        **refs, branch: {"snapshot-id": to_head, "type": "branch"},
+    }
+    if branch == "main":
+        meta["current-snapshot-id"] = to_head
+        meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+            {"timestamp-ms": now_ms, "snapshot-id": sid} for sid in path
+        ]
+    meta["last-updated-ms"] = now_ms
+    _publish(location, meta)
+    return {"branch": branch, "from": from_head, "to": to_head,
+            "published": len(path)}
+
+
 def rewrite_manifests(
     spark: SparkSession,
     location: str,
@@ -2764,6 +2936,7 @@ def rewrite_manifests(
         "timestamp-ms": now_ms,
         "summary": {"operation": "replace", "rewrite": "manifests"},
         "manifest-list": f"file:{mlist_path}",
+        "parent-snapshot-id": snap["snapshot-id"],
     }
     if fv >= 2:
         new_snap["sequence-number"] = seq
@@ -2790,6 +2963,242 @@ def rewrite_manifests(
     }
 
 
+def rewrite_position_deletes(
+    spark: SparkSession, location: str
+) -> dict:
+    """Compact the table's POSITION-delete files — Iceberg's
+    ``rewrite_position_delete_files`` procedure. A CDC table accrues
+    one tiny tombstone parquet per ``delete_where``/DV commit forever,
+    and every merge-on-read scan pays one anti-join INPUT FILE per
+    tombstone file; this rewrites the live tombstone set into few
+    size-targeted files, dropping (a) tombstones aimed at data files no
+    longer live (dead weight after compaction) and (b) duplicate
+    (file, pos) pairs. The tombstone scan, filter, dedup, and rewrite
+    are all DISTRIBUTED (``_position_delete_df`` + the same staged
+    writer ``delete_where`` uses) — never driver-materialized.
+
+    Correctness: position deletes name exact (file_path, pos) targets
+    and live data files keep their ORIGINAL sequence numbers through
+    every rewrite, so ``delete seq >= data seq`` holds a fortiori when
+    the merged file takes the NEW snapshot's sequence number — the
+    merged tombstones can never resurrect or over-delete. Equality
+    deletes are carried EXISTING with original seqs (restamping those
+    WOULD change scoping, so they are never touched). The snapshot
+    summary says ``rewrite: position-deletes`` — provably no row
+    visibility change, so incremental tails cross it without
+    ``ignore_changes``."""
+    t = IcebergTable(spark, location)
+    if t.metadata.get("format-version", 1) < 2:
+        raise IcebergError(
+            "position deletes need a format-version 2 table"
+        )
+    snap = t.resolve_snapshot(None, None)
+    data_entries, delete_entries = t._live_entries(snap)
+    pos_old = [
+        e for e in delete_entries
+        if e["data_file"].get("content") == 1
+    ]
+    eq_keep = [
+        e for e in delete_entries
+        if e["data_file"].get("content") != 1
+    ]
+    if not pos_old:
+        return {"delete_files_before": 0, "delete_files_after": 0,
+                "tombstones_before": 0, "tombstones_after": 0}
+    files = t.data_files()
+    tomb, _ = t._position_delete_df(
+        files, [dict(e["data_file"]) for e in pos_old]
+    )
+    tomb = tomb.persist()
+    try:
+        n = tomb.count()
+        part_fields, fv = _table_write_shape(t)
+        recs = _stage_position_deletes(
+            spark, location, tomb, n, part_fields
+        )
+    finally:
+        tomb.unpersist()
+
+    md_dir = os.path.join(location, "metadata")
+    seq = t.metadata.get("last-sequence-number", 0) + 1
+    snapshot_id = max(
+        (s["snapshot-id"] for s in t.metadata.get("snapshots", [])),
+        default=0,
+    ) + 1
+    entry_schema = _manifest_entry_schema(part_fields)
+    mlist: list[dict] = []
+
+    def _manifest(recs_, label, content):
+        if not recs_:
+            return
+        mp = os.path.join(
+            md_dir,
+            f"manifest-rwpd-{label}-{snapshot_id:05d}-"
+            f"{uuid.uuid4().hex}.avro",
+        )
+        avrofile.write_file(mp, entry_schema, recs_)
+        seqs = [
+            r["sequence_number"] for r in recs_
+            if r["sequence_number"] is not None
+        ]
+        mlist.append({
+            "manifest_path": f"file:{mp}",
+            "manifest_length": os.path.getsize(mp),
+            "partition_spec_id": t.metadata.get("default-spec-id", 0),
+            "content": content,
+            "sequence_number": seq,
+            "min_sequence_number": min(seqs, default=seq),
+            "added_snapshot_id": snapshot_id,
+            "partitions": (
+                _partition_summaries(
+                    part_fields, [r["data_file"] for r in recs_]
+                )
+                if part_fields and content == 0
+                else None
+            ),
+        })
+
+    def _existing(e):
+        s = int(e["data_file"].get("_seq", 0))
+        return {
+            "status": _STATUS_EXISTING,
+            "snapshot_id": e.get("snapshot_id"),
+            "sequence_number": s,
+            "file_sequence_number": (
+                e.get("file_sequence_number")
+                if e.get("file_sequence_number") is not None
+                else s
+            ),
+            "data_file": {
+                "content": 0, "equality_ids": None,
+                "lower_bounds": None, "upper_bounds": None,
+                **{k: v for k, v in e["data_file"].items()
+                   if k != "_seq"},
+            },
+        }
+
+    _manifest([_existing(e) for e in data_entries], "data", 0)
+    _manifest([_existing(e) for e in eq_keep], "eq", 1)
+    _manifest(
+        [
+            {
+                "status": _STATUS_ADDED,
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {"equality_ids": None,
+                              "lower_bounds": None,
+                              "upper_bounds": None, **r},
+            }
+            for r in recs
+        ],
+        "pos", 1,
+    )
+    mlist_path = os.path.join(
+        md_dir, f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
+    )
+    avrofile.write_file(mlist_path, _MANIFEST_FILE_SCHEMA, mlist)
+    now_ms = int(time.time() * 1000)
+    new_snap = {
+        "snapshot-id": snapshot_id,
+        "timestamp-ms": now_ms,
+        "summary": {
+            "operation": "replace", "rewrite": "position-deletes",
+        },
+        "manifest-list": f"file:{mlist_path}",
+        "parent-snapshot-id": snap["snapshot-id"],
+        "sequence-number": seq,
+    }
+    meta = dict(t.metadata)
+    meta["snapshots"] = meta.get("snapshots", []) + [new_snap]
+    meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+        {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+    ]
+    meta["current-snapshot-id"] = snapshot_id
+    meta["last-updated-ms"] = now_ms
+    meta["last-sequence-number"] = seq
+    meta["refs"] = {
+        **meta.get("refs", {}),
+        "main": {"snapshot-id": snapshot_id, "type": "branch"},
+    }
+    _publish(location, meta)
+    return {
+        "delete_files_before": len(pos_old),
+        "delete_files_after": len(recs),
+        "tombstones_before": sum(
+            int(e["data_file"].get("record_count") or 0)
+            for e in pos_old
+        ),
+        "tombstones_after": n,
+        "snapshot_id": snapshot_id,
+    }
+
+
+def _stage_position_deletes(
+    spark: SparkSession,
+    location: str,
+    hits: DataFrame,
+    n: int,
+    part_fields: list[dict],
+) -> list[dict]:
+    """Write a ``(__ifile, __ipos)`` tombstone DataFrame as spec
+    position-delete parquet(s): reserved field ids stamped,
+    range-partitioned then sorted by (file_path, pos) so EVERY file
+    satisfies the spec's ordering, fully distributed (never collected).
+    Returns the delete-manifest add records."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    data_dir = os.path.join(location, "data")
+    # spec reserved field ids for positional-delete columns
+    stamped = hits.select(
+        F.col("__ifile").alias(
+            "file_path", metadata={"parquet.field.id": 2147483546}
+        ),
+        F.col("__ipos").alias(
+            "pos", metadata={"parquet.field.id": 2147483545}
+        ),
+    )
+    n_parts = max(1, -(-n // 4_000_000))  # ~4M tombstones per file
+    staging = os.path.join(
+        location, f".staging-posdel-{uuid.uuid4().hex}"
+    )
+    with _conf_pinned(
+        spark, "spark.sql.parquet.fieldId.write.enabled", "true"
+    ):
+        (
+            stamped.repartitionByRange(n_parts, "file_path", "pos")
+            .sortWithinPartitions("file_path", "pos")
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+    recs = []
+    for root_, _dirs, names in os.walk(staging):
+        for name in sorted(names):
+            if not name.endswith(".parquet"):
+                continue
+            final = os.path.join(
+                data_dir, f"delete-{uuid.uuid4().hex}.parquet"
+            )
+            shutil.move(os.path.join(root_, name), final)
+            meta_pq = pq.ParquetFile(final).metadata
+            if meta_pq.num_rows == 0:
+                os.remove(final)
+                continue
+            recs.append({
+                "content": 1,
+                "file_path": f"file:{final}",
+                "file_format": "PARQUET",
+                "partition": {
+                    pf["name"]: None for pf in part_fields
+                },
+                "record_count": meta_pq.num_rows,
+                "file_size_in_bytes": os.path.getsize(final),
+            })
+    shutil.rmtree(staging, ignore_errors=True)
+    return recs
+
+
 def delete_where(
     spark: SparkSession,
     location: str,
@@ -2811,9 +3220,6 @@ def delete_where(
     snapshot with the next sequence number. Deletes bigger than
     ``max_rows`` refuse — use an overwrite at that size. Requires a
     format-version 2 table (the spec's own rule)."""
-    import pyarrow.parquet as pq
-    from pyspark.sql import functions as F
-
     t = IcebergTable(spark, location)
     if t.metadata.get("format-version", 1) < 2:
         raise IcebergError(
@@ -2840,54 +3246,10 @@ def delete_where(
                 "use overwrite for bulk deletes"
             )
         n_affected = hits.select("__ifile").distinct().count()
-        data_dir = os.path.join(location, "data")
-        # spec reserved field ids for positional-delete columns
-        stamped = hits.select(
-            F.col("__ifile").alias(
-                "file_path", metadata={"parquet.field.id": 2147483546}
-            ),
-            F.col("__ipos").alias(
-                "pos", metadata={"parquet.field.id": 2147483545}
-            ),
-        )
-        n_parts = max(1, -(-n // 4_000_000))  # ~4M tombstones per file
-        staging = os.path.join(
-            location, f".staging-posdel-{uuid.uuid4().hex}"
-        )
-        with _conf_pinned(
-            spark, "spark.sql.parquet.fieldId.write.enabled", "true"
-        ):
-            (
-                stamped.repartitionByRange(n_parts, "file_path", "pos")
-                .sortWithinPartitions("file_path", "pos")
-                .write.mode("overwrite")
-                .parquet(staging)
-            )
         part_fields, fv = _table_write_shape(t)
-        recs = []
-        for root_, _dirs, names in os.walk(staging):
-            for name in sorted(names):
-                if not name.endswith(".parquet"):
-                    continue
-                final = os.path.join(
-                    data_dir, f"delete-{uuid.uuid4().hex}.parquet"
-                )
-                shutil.move(os.path.join(root_, name), final)
-                meta_pq = pq.ParquetFile(final).metadata
-                if meta_pq.num_rows == 0:
-                    os.remove(final)
-                    continue
-                recs.append({
-                    "content": 1,
-                    "file_path": f"file:{final}",
-                    "file_format": "PARQUET",
-                    "partition": {
-                        pf["name"]: None for pf in part_fields
-                    },
-                    "record_count": meta_pq.num_rows,
-                    "file_size_in_bytes": os.path.getsize(final),
-                })
-        shutil.rmtree(staging, ignore_errors=True)
+        recs = _stage_position_deletes(
+            spark, location, hits, n, part_fields
+        )
     finally:
         hits.unpersist()
     meta = _write_snapshot(

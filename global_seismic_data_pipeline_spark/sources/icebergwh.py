@@ -236,11 +236,22 @@ class IcebergWarehouse(Warehouse):
     def rewrite_manifests(self, name: str, **kw) -> dict:
         return ib.rewrite_manifests(self.spark, self.path(name), **kw)
 
+    def rewrite_position_deletes(self, name: str) -> dict:
+        return ib.rewrite_position_deletes(self.spark, self.path(name))
+
     def create_ref(self, name: str, ref: str, **kw) -> dict:
         return ib.create_ref(self.spark, self.path(name), ref, **kw)
 
     def drop_ref(self, name: str, ref: str) -> dict:
         return ib.drop_ref(self.spark, self.path(name), ref)
+
+    def append_to_ref(self, df: DataFrame, name: str, ref: str) -> None:
+        """Stage rows on a branch (WAP write half); ``publish_ref``
+        fast-forwards main once the audit passes."""
+        ib.append(self.spark, self.path(name), df, to_ref=ref)
+
+    def publish_ref(self, name: str, ref: str) -> dict:
+        return ib.fast_forward(self.spark, self.path(name), "main", ref)
 
     def read_ref(self, name: str, ref: str) -> DataFrame:
         return self.table(name).read(ref=ref)

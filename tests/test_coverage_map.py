@@ -44,6 +44,8 @@ _NON_QUERY_TOKENS = {
     "read_jsonl",            # source fn
     "recent_major_events",   # report-layer fn (pytest-pinned)
     "resize_images",         # multimodal library fn
+    "rewrite_position_deletes",  # iceberg maintenance fn (oracle-gated
+    #                              inside iceberg_delete_where_orders)
     "sample_frames",         # multimodal library fn
     "split_valid",           # cleaning fn
     "symbols_after",         # bpe contract fn

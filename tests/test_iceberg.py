@@ -1962,6 +1962,162 @@ def test_iceberg_refs_tags_and_branches(spark, tmp_path):
     assert t4.read().count() == 5
 
 
+def test_iceberg_wap_branch_write_and_fast_forward(spark, tmp_path):
+    """Write-audit-publish: append(to_ref=branch) commits onto the
+    branch head — main, the snapshot-log, and incremental tails see
+    NOTHING — read(ref=) audits the staged state, and fast_forward
+    publishes it atomically (tail then consumes the published commits
+    as ordinary appends). A diverged main refuses to fast-forward."""
+    loc = str(tmp_path / "wap")
+    t = iceberg.create_table(
+        spark, loc, spark.createDataFrame([(1,)], "id long")
+    )
+    iceberg.create_ref(spark, loc, "audit", kind="branch")
+    with pytest.raises(iceberg.IcebergError, match="not an existing branch"):
+        iceberg.append(
+            spark, loc, spark.createDataFrame([(9,)], "id long"),
+            to_ref="nope",
+        )
+    iceberg.append(
+        spark, loc, spark.createDataFrame([(2,), (3,)], "id long"),
+        to_ref="audit",
+    )
+    t2 = iceberg.IcebergTable(spark, loc)
+    # staged on the branch, invisible on main
+    assert {r.id for r in t2.read(ref="audit").collect()} == {1, 2, 3}
+    assert {r.id for r in t2.read().collect()} == {1}
+    assert t2.current_snapshot_id() == t.current_snapshot_id()
+    log_before = list(t2.metadata.get("snapshot-log", []))
+    rows, cursor = t2.tail(None)
+    assert {r.id for r in rows.collect()} == {1}  # tail never leaks staged
+
+    out = iceberg.fast_forward(spark, loc, "main", "audit")
+    assert out["published"] == 1 and out["to"] != out["from"]
+    t3 = iceberg.IcebergTable(spark, loc)
+    assert {r.id for r in t3.read().collect()} == {1, 2, 3}
+    assert t3.refs()["main"]["snapshot-id"] == t3.current_snapshot_id()
+    # snapshot-log gained exactly the published commit, stamped at publish
+    assert len(t3.metadata["snapshot-log"]) == len(log_before) + 1
+    rows2, cursor2 = t3.tail(cursor)
+    assert {r.id for r in rows2.collect()} == {2, 3}
+    assert cursor2 == t3.current_snapshot_id()
+    # idempotent: same heads -> no-op
+    assert iceberg.fast_forward(spark, loc, "main", "audit")["published"] == 0
+
+    # divergence: main and the branch both advance -> refuse
+    iceberg.create_ref(spark, loc, "b2", kind="branch")
+    iceberg.append(spark, loc, spark.createDataFrame([(4,)], "id long"))
+    iceberg.append(
+        spark, loc, spark.createDataFrame([(5,)], "id long"), to_ref="b2"
+    )
+    with pytest.raises(iceberg.IcebergError, match="diverged"):
+        iceberg.fast_forward(spark, loc, "main", "b2")
+    # the branch itself can still be audited and tags never move
+    assert {r.id for r in
+            iceberg.IcebergTable(spark, loc).read(ref="b2").collect()
+            } == {1, 2, 3, 5}
+    iceberg.create_ref(spark, loc, "pin", kind="tag")
+    with pytest.raises(iceberg.IcebergError, match="tags never move"):
+        iceberg.fast_forward(spark, loc, "pin", "b2")
+    with pytest.raises(iceberg.IcebergError, match="unsupported"):
+        iceberg.append(
+            spark, loc,
+            spark.createDataFrame([(6, "x")], "id long, extra string"),
+            to_ref="b2", merge_schema=True,
+        )
+
+
+def test_iceberg_rewrite_position_deletes(spark, tmp_path):
+    """rewrite_position_deletes compacts N tombstone parquets into one
+    (dropping duplicates and tombstones aimed at dead files) with ZERO
+    visible-row change: reads identical before/after, time travel to
+    the pre-rewrite snapshot intact, tails cross without
+    ignore_changes, and after a full data compaction a second rewrite
+    drops EVERY tombstone (all targets dead)."""
+    loc = str(tmp_path / "rwpd")
+    mk = lambda lo, hi: spark.createDataFrame(  # noqa: E731
+        [(i, f"v{i}") for i in range(lo, hi)], "k long, v string"
+    ).coalesce(1)
+    iceberg.create_table(spark, loc, mk(0, 100), format_version=2)
+    iceberg.append(spark, loc, mk(100, 200))
+    iceberg.delete_where(spark, loc, "k % 10 = 0")
+    iceberg.delete_where(spark, loc, "k % 10 = 5")
+    t = iceberg.IcebergTable(spark, loc)
+    expect = {i for i in range(200) if i % 10 not in (0, 5)}
+    assert {r.k for r in t.read().collect()} == expect
+    pre_snap = t.current_snapshot_id()
+    _, cursor = t.tail(None, ignore_changes=True)
+
+    out = iceberg.rewrite_position_deletes(spark, loc)
+    assert out["delete_files_before"] >= 2
+    assert out["delete_files_after"] == 1
+    assert out["tombstones_after"] == 40  # 20 per predicate, both live
+    t2 = iceberg.IcebergTable(spark, loc)
+    assert {r.k for r in t2.read().collect()} == expect
+    # exactly one live tombstone parquet remains on the read plan
+    assert len([
+        d for d in t2.delete_files() if d.get("content") == 1
+    ]) == 1
+    # time travel: the pre-rewrite snapshot still merges the old files
+    assert {r.k for r in t2.read(snapshot_id=pre_snap).collect()} == expect
+    # tails cross the rewrite without ignore_changes, zero new rows
+    rows, cursor2 = t2.tail(cursor)
+    assert rows.count() == 0 and cursor2 == t2.current_snapshot_id()
+
+    # full compaction rewrites every tombstoned file -> all tombstones
+    # target dead paths -> the next rewrite drops them all
+    iceberg.compact_data_files(spark, loc)
+    out2 = iceberg.rewrite_position_deletes(spark, loc)
+    assert out2["tombstones_after"] == 0
+    assert out2["delete_files_after"] == 0
+    t3 = iceberg.IcebergTable(spark, loc)
+    assert {r.k for r in t3.read().collect()} == expect
+    assert [
+        d for d in t3.delete_files() if d.get("content") == 1
+    ] == []
+    # idempotent no-op once no position deletes remain
+    assert iceberg.rewrite_position_deletes(
+        spark, loc
+    )["delete_files_before"] == 0
+
+
+def test_iceberg_rewrite_position_deletes_preserves_eq_scoping(
+    spark, tmp_path
+):
+    """Equality deletes are carried EXISTING with ORIGINAL sequence
+    numbers through a position-delete rewrite — restamping them at the
+    rewrite's seq would un-scope the upsert (its own batch rows would
+    self-delete). Upserts before AND after the rewrite must both
+    resolve."""
+    loc = str(tmp_path / "rwpdeq")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(50)], "k long, v string"
+    ).coalesce(1)
+    iceberg.create_table(spark, loc, df, format_version=2)
+    iceberg.upsert_by_keys(
+        spark, loc,
+        spark.createDataFrame([(5, "V5")], "k long, v string"),
+        keys=["k"],
+    )
+    iceberg.delete_where(spark, loc, "k = 7")
+    out = iceberg.rewrite_position_deletes(spark, loc)
+    assert out["tombstones_after"] == 1
+    t = iceberg.IcebergTable(spark, loc)
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got[5] == "V5" and 7 not in got and len(got) == 49
+    # a post-rewrite upsert still replaces (seq ordering intact)
+    iceberg.upsert_by_keys(
+        spark, loc,
+        spark.createDataFrame([(5, "W5")], "k long, v string"),
+        keys=["k"],
+    )
+    got2 = {
+        r.k: r.v
+        for r in iceberg.IcebergTable(spark, loc).read().collect()
+    }
+    assert got2[5] == "W5" and len(got2) == 49
+
+
 def test_iceberg_compaction_eq_delete_bounds_pruning(spark, tmp_path):
     """Incremental compaction under equality deletes used to rewrite
     EVERY file (no way to prove one clean). Now a file is carried
