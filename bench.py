@@ -102,6 +102,7 @@ EXTENDED = [
     # round-8 operators
     "iceberg_delete_where_orders",
     "iceberg_refs_tag_orders",
+    "iceberg_wap_publish_orders",
 ]
 
 HEADLINE = [

@@ -74,7 +74,7 @@ from urllib.parse import quote, unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import LongType, StructField, StructType
 
 _LOG = "_delta_log"
 _LAST_CHECKPOINT = "_last_checkpoint"
@@ -190,9 +190,10 @@ _KNOWN_WRITER_FEATURES = {
     # rowTracking (default-on in current Databricks runtimes): appends
     # assign baseRowId/defaultRowCommitVersion per spec from the
     # rowIdHighWaterMark domain-metadata row; DV updates and file
-    # carries preserve the ids. Pruned-rewrite MERGEs on enabled=true
-    # tables still refuse (stable ids across a rewrite need
-    # materialized row-id columns) — see commit_write.
+    # carries preserve the ids; rewrites (MERGE) preserve ids through
+    # MATERIALIZED row-id/commit-version columns (read_with_row_ids +
+    # stage_write physical_only_cols + commit_write row_ids_preserved —
+    # DeltaLogWarehouse.merge wires all three).
     "rowTracking",
     # domainMetadata actions replay into snapshot_state["domains"] and
     # persist through checkpoints (rowTracking's HWM lives there)
@@ -663,6 +664,7 @@ def _scan_adds(
     state: Mapping,
     *,
     keep_meta: bool = False,
+    extra_fields: Sequence[StructField] | None = None,
 ) -> DataFrame:
     """One DataFrame over a set of add-file entries, honoring the table's
     column-mapping mode — shared by ``read_delta`` and ``delta_tail``.
@@ -693,8 +695,15 @@ def _scan_adds(
 
     ``keep_meta=True`` keeps the ``__dv_file``/``__dv_pos`` metadata
     columns on the (live, DV-filtered) rows — the DV-DELETE probe needs
-    the surviving rows' file + position."""
+    the surviving rows' file + position.
+
+    ``extra_fields``: PHYSICAL-only parquet columns to read alongside
+    the logical schema (rowTracking's materialized row-id columns) —
+    files lacking one read it as NULL, exactly the coalesce-with-
+    baseRowId semantics the spec wants."""
     metadata = state["metadata"]
+    extras = list(extra_fields or [])
+    extra_names = [f.name for f in extras]
     schema = delta_schema(state)
     out_cols = [f.name for f in schema.fields]
     pcols = list(metadata.get("partitionColumns") or [])
@@ -713,12 +722,12 @@ def _scan_adds(
         for lf, pf in zip(schema.fields, phys_schema.fields)
         if lf.name not in pcols
     ]
-    data_schema = StructType([pf for _, pf in pairs])
+    data_schema = StructType([pf for _, pf in pairs] + extras)
     rename = (
         [F.col(pf.name).cast(lf.dataType).alias(lf.name) for lf, pf in pairs]
         if mapped
         else [F.col(lf.name) for lf, _ in pairs]
-    )
+    ) + [F.col(n) for n in extra_names]
     abs_path = {
         a["path"]: os.path.join(table_path, unquote(a["path"])) for a in files
     }
@@ -731,7 +740,10 @@ def _scan_adds(
         if dv_files or keep_meta
         else []
     )
-    final_cols = out_cols + (["__dv_file", "__dv_pos"] if keep_meta else [])
+    final_cols = (
+        out_cols + extra_names
+        + (["__dv_file", "__dv_pos"] if keep_meta else [])
+    )
 
     def _dv_filter(df: DataFrame) -> DataFrame:
         if not dv_files:
@@ -782,7 +794,7 @@ def _scan_adds(
             .parquet(*abs_path.values())
             .select(*rename, *meta)
         )
-    if not mapped and _hive_layout_agrees(files, pcols):
+    if not mapped and not extras and _hive_layout_agrees(files, pcols):
         # partition columns resolve from the directory names — one scan,
         # full predicate pushdown / partition pruning stays available
         return _dv_filter(
@@ -810,9 +822,9 @@ def _scan_adds(
             )
             df = df.withColumn(c, lit)
         keep = (
-            [*out_cols, "__dv_file", "__dv_pos"]
+            [*out_cols, *extra_names, "__dv_file", "__dv_pos"]
             if dv_files or keep_meta
-            else out_cols
+            else [*out_cols, *extra_names]
         )
         parts.append(df.select(*keep))
     out = parts[0]
@@ -901,6 +913,87 @@ def read_delta(
     if not files:
         return spark.createDataFrame([], delta_schema(state))
     return _scan_adds(spark, table_path, files, state)
+
+
+_RT_ID_NAME_KEY = "delta.rowTracking.materializedRowIdColumnName"
+_RT_VER_NAME_KEY = "delta.rowTracking.materializedRowCommitVersionColumnName"
+
+
+def read_with_row_ids(
+    spark: SparkSession,
+    table_path: str,
+    *,
+    id_col: str = "_row_id",
+    ver_col: str = "_row_commit_version",
+    version: int | None = None,
+) -> DataFrame:
+    """The rowTracking read surface: every logical row plus its spec
+    row id and row commit version —
+    ``coalesce(materialized column, baseRowId + physical row index)``
+    and ``coalesce(materialized column, defaultRowCommitVersion)``.
+    Deletion vectors compose: the DV anti-join removes rows but keeps
+    survivors' PHYSICAL positions, so ``baseRowId + row_index`` stays
+    exact. Fully distributed — the only driver-side piece is the
+    metadata-scale file → (baseRowId, defaultRowCommitVersion)
+    broadcast map. Requires the rowTracking writer feature and ids on
+    every live file (a table with enabled=true guarantees both)."""
+    state = snapshot_state(table_path, version)
+    feats = set(state["protocol"].get("writerFeatures") or [])
+    if "rowTracking" not in feats:
+        raise DeltaProtocolError(
+            f"{table_path!r} does not list the rowTracking writer "
+            "feature — row ids were never assigned"
+        )
+    files = list(state["files"].values())
+    if not files:
+        schema = delta_schema(state)
+        return spark.createDataFrame([], StructType(
+            list(schema.fields)
+            + [StructField(id_col, LongType(), True),
+               StructField(ver_col, LongType(), True)]
+        ))
+    missing = [a["path"] for a in files if a.get("baseRowId") is None]
+    if missing:
+        raise DeltaProtocolError(
+            f"{len(missing)} live file(s) carry no baseRowId (e.g. "
+            f"{missing[0]!r}) — written before rowTracking; back-fill "
+            "by rewriting them (overwrite) before reading row ids"
+        )
+    conf = state["metadata"].get("configuration") or {}
+    if isinstance(conf, list):
+        conf = dict(conf)
+    mid, mver = conf.get(_RT_ID_NAME_KEY), conf.get(_RT_VER_NAME_KEY)
+    extras = [
+        StructField(n, LongType(), True) for n in (mid, mver) if n
+    ]
+    df = _scan_adds(
+        spark, table_path, files, state,
+        keep_meta=True, extra_fields=extras or None,
+    )
+    base = spark.createDataFrame(
+        [
+            (
+                "file:" + os.path.join(table_path, unquote(a["path"])),
+                int(a["baseRowId"]),
+                int(a.get("defaultRowCommitVersion") or 0),
+            )
+            for a in files
+        ],
+        "__dv_file string, __rt_base long, __rt_dver long",
+    )
+    df = df.join(F.broadcast(base), "__dv_file")
+    rid = F.col("__rt_base") + F.col("__dv_pos")
+    rver = F.col("__rt_dver")
+    if mid:
+        rid = F.coalesce(F.col(mid), rid)
+    if mver:
+        rver = F.coalesce(F.col(mver), rver)
+    out_cols = [f.name for f in delta_schema(state).fields]
+    return df.select(
+        *out_cols,
+        rid.cast("long").alias(id_col),
+        rver.cast("long").alias(ver_col),
+    )
 
 
 def _hive_layout_agrees(files: list[dict], pcols: list[str]) -> bool:
@@ -1111,6 +1204,7 @@ def stage_write(
     partition_by: Sequence[str] = (),
     *,
     merge_schema: bool = False,
+    physical_only_cols: Sequence[str] = (),
 ) -> dict:
     """Phase 1: execute the plan into a private staging dir next to the
     table. Returns the handle ``commit_write`` consumes. Split out so a
@@ -1123,15 +1217,31 @@ def stage_write(
     changed the mapping under the staged files. With ``merge_schema``,
     NEW batch columns get freshly-generated mapping identities
     (next maxColumnId + a col-<uuid> physical name) which commit_write
-    publishes into the evolved metaData."""
+    publishes into the evolved metaData.
+
+    ``physical_only_cols``: columns written INTO the parquet files but
+    excluded from the staged logical schema (and hence from schema
+    enforcement / evolution) — the rowTracking MATERIALIZED row-id /
+    commit-version columns are physical-only per spec; they must never
+    enter the table's schemaString."""
     os.makedirs(table_path, exist_ok=True)
     logical_schema = df.schema
+    if physical_only_cols:
+        drop = set(physical_only_cols)
+        logical_schema = StructType(
+            [f for f in df.schema.fields if f.name not in drop]
+        )
     phys_pcols = list(partition_by)
     mapping_fp = None
     new_fields: dict[str, dict] = {}
     if is_delta_table(table_path):
         meta = snapshot_state(table_path)["metadata"]
         if _mapping_mode(meta) != "none":
+            if physical_only_cols:
+                raise DeltaProtocolError(
+                    "materialized row-id columns on a column-mapped "
+                    "table are not supported by this writer"
+                )
             mapping_fp = _mapping_fingerprint(meta)
             if merge_schema:
                 new_fields = _new_mapping_fields(meta, df.schema)
@@ -1256,6 +1366,7 @@ def commit_write(
     txn: tuple[str, int] | None = None,
     enforced_constraints: frozenset = frozenset(),
     data_change: bool = True,
+    row_ids_preserved: bool = False,
 ) -> int:
     """Phase 2: move staged files into the table and publish the commit
     JSON put-if-absent. On a lost race the commit (including overwrite's
@@ -1443,14 +1554,16 @@ def commit_write(
                 if (
                     rt_conf.get("delta.rowTracking.enabled") == "true"
                     and extra_removes is not None
+                    and not row_ids_preserved
                 ):
                     raise DeltaProtocolError(
                         "table has delta.rowTracking.enabled=true: a "
                         "pruned-rewrite MERGE moves surviving rows "
                         "between files, which preserves their row ids "
-                        "only with materialized row-id columns this "
-                        "writer does not produce — use delete_with_dv + "
-                        "append, or disable row tracking"
+                        "only with materialized row-id columns — stage "
+                        "them (stage_write physical_only_cols) and pass "
+                        "row_ids_preserved=True (DeltaLogWarehouse.merge "
+                        "does), or use delete_with_dv + append"
                     )
                 if moved:
                     hwm = -1

@@ -154,15 +154,22 @@ class DeltaLogWarehouse(Warehouse):
             partition_by = self.partition_columns(name)
         self._commit_df(df, name, "overwrite", partition_by)
 
+    # a rowTracking MERGE threads (materialized-id-col, version-col)
+    # through _commit_df so they stay PHYSICAL-only (never entering the
+    # schemaString) and the commit passes row_ids_preserved
+    _rt_physical_cols: tuple = ()
+    _rt_target: DataFrame | None = None
+
     def merge(self, updates, name, keys, *, prune_partition_col=None):
         """MERGE = anti-join + union rewrite (Warehouse.merge) — which
         MOVES surviving rows between files. delta.rowTracking.enabled
-        promises stable row ids across exactly such rewrites, and only
-        materialized row-id columns (which this writer does not
-        produce) could keep that promise — refuse loudly instead of
-        silently breaking every other client's row ids. Appends,
-        overwrites (all rows new by definition), and DV deletes (file
-        re-added with its original ids) remain fine."""
+        promises stable row ids across exactly such rewrites; this
+        writer keeps that promise the spec's way: surviving rows carry
+        their ids in MATERIALIZED row-id / commit-version columns
+        (physical parquet columns named by the table configuration,
+        invisible to the logical schema), matched rows keep their id
+        with a bumped commit version, and inserted rows take fresh ids
+        from the rewritten files' baseRowId ranges."""
         if dl.is_delta_table(self.path(name)):
             st = dl.snapshot_state(self.path(name))
             feats = set(st["protocol"].get("writerFeatures") or [])
@@ -173,16 +180,69 @@ class DeltaLogWarehouse(Warehouse):
                 "rowTracking" in feats
                 and conf.get("delta.rowTracking.enabled") == "true"
             ):
-                raise dl.DeltaProtocolError(
-                    "table has delta.rowTracking.enabled=true: a MERGE "
-                    "rewrite moves surviving rows between files, which "
-                    "preserves their row ids only with materialized "
-                    "row-id columns this writer does not produce — use "
-                    "delete_with_dv + append, or disable row tracking"
+                self._merge_preserving_row_ids(
+                    updates, name, keys, conf, prune_partition_col
                 )
+                return
         super().merge(
             updates, name, keys, prune_partition_col=prune_partition_col
         )
+
+    def _merge_preserving_row_ids(
+        self, updates, name, keys, conf, pcol
+    ) -> None:
+        """The rowTracking MERGE: read the target WITH row ids exposed
+        under the materialized column names, stitch matched updates to
+        their existing ids (stable row id, NULL commit version → the
+        new commit's default), leave inserts NULL (→ baseRowId +
+        index), then run the ordinary merge plumbing — the materialized
+        columns ride the rewrite as physical-only parquet columns.
+
+        Scale note: the id-stitch join reads only (keys, id) off the
+        target — a column-pruned scan of the same order as the movers
+        detection the pruned merge already does; nothing here is
+        driver-materialized."""
+        import uuid as _uuid
+
+        from pyspark.sql import functions as F
+
+        path = self.path(name)
+        mid = conf.get(dl._RT_ID_NAME_KEY)
+        mver = conf.get(dl._RT_VER_NAME_KEY)
+        if not (mid and mver):
+            # first rewrite on this table: mint the spec's materialized
+            # column names (enabling writers persist them in the table
+            # configuration; physical names must dodge logical columns)
+            mid = mid or f"_row-id-col-{_uuid.uuid4().hex[:8]}"
+            mver = mver or f"_row-commit-version-col-{_uuid.uuid4().hex[:8]}"
+            dl.commit_set_properties(
+                path,
+                {dl._RT_ID_NAME_KEY: mid, dl._RT_VER_NAME_KEY: mver},
+            )
+        tgt = dl.read_with_row_ids(
+            self.spark, path, id_col=mid, ver_col=mver
+        )
+        old_ids = tgt.select(*keys, mid).withColumnRenamed(
+            mid, "__rt_old_id"
+        )
+        upd = (
+            updates.join(old_ids, on=list(keys), how="left")
+            .withColumn(mid, F.col("__rt_old_id"))
+            .drop("__rt_old_id")
+            .withColumn(mver, F.lit(None).cast("long"))
+        )
+        self._rt_target = tgt
+        self._rt_physical_cols = (mid, mver)
+        try:
+            super().merge(upd, name, keys, prune_partition_col=pcol)
+        finally:
+            self._rt_target = None
+            self._rt_physical_cols = ()
+
+    def _merge_read_target(self, name: str) -> DataFrame:
+        if self._rt_target is not None:
+            return self._rt_target
+        return super()._merge_read_target(name)
 
     def _commit_df(
         self,
@@ -200,7 +260,10 @@ class DeltaLogWarehouse(Warehouse):
         and a violating batch never publishes — same contract as the
         other backends, realized at the commit boundary."""
         df, obs, cons = self._observe_constraints(df, name)
-        staged = dl.stage_write(df, self.path(name), partition_by)
+        staged = dl.stage_write(
+            df, self.path(name), partition_by,
+            physical_only_cols=self._rt_physical_cols,
+        )
         self._abort_staging_if_violated(obs, cons, staged["staging"])
         if remove_partition is not None:
             pcol, touched = remove_partition
@@ -216,6 +279,7 @@ class DeltaLogWarehouse(Warehouse):
             # constraints(name), which includes the log-declared set —
             # the writer gate can let those through
             enforced_constraints=frozenset(cons or {}),
+            row_ids_preserved=bool(self._rt_physical_cols),
         )
 
     def _rewrite_partitions(

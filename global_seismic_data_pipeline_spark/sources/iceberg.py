@@ -2646,6 +2646,98 @@ def expire_snapshots(
     return {"snapshots_expired": len(expired), "files_deleted": deleted}
 
 
+def remove_orphan_files(
+    spark: SparkSession,
+    location: str,
+    *,
+    older_than_ms: int | None = None,
+    dry_run: bool = False,
+) -> dict:
+    """Delete files under the table root reachable from NO snapshot —
+    Iceberg's ``remove_orphan_files``. Crashed writes leave staged
+    parquet (and half-written manifests) that ``expire_snapshots`` can
+    never reclaim because no snapshot ever referenced them; on a
+    long-lived 100 TB warehouse that dead weight grows without bound.
+
+    Safety rules (the parts real cleanups get wrong first): only
+    ``*.parquet``/``*.avro`` artifacts are candidates — every
+    ``*.metadata.json`` version file is kept (metadata retention is
+    ``expire_metadata_versions``' job, and metadata-log time travel
+    reads them); reachability is computed over EVERY snapshot in the
+    current metadata (not just the live one), so time travel never
+    breaks; and only files whose mtime is older than ``older_than_ms``
+    (default: 3 days ago) are deleted — an in-flight staged write is
+    never yanked from under its writer. ``dry_run`` reports without
+    deleting."""
+    t = IcebergTable(spark, location)
+    cutoff = (
+        older_than_ms
+        if older_than_ms is not None
+        else int(time.time() * 1000) - 3 * 86_400_000
+    )
+    keep: set[str] = set()
+    manifest_reach: dict[str, set[str]] = {}
+
+    def _reach(mp: str) -> set[str]:
+        _, entries = avrofile.read_file(mp)
+        return {
+            os.path.realpath(_strip_scheme(e["data_file"]["file_path"]))
+            for e in entries
+        }
+
+    wanted: list[str] = []
+    needed: list[str] = []
+    for s in t.snapshots():
+        ml = _strip_scheme(s["manifest-list"])
+        keep.add(os.path.realpath(ml))
+        _, records = avrofile.read_file(ml)
+        for mf in records:
+            mp = _strip_scheme(mf["manifest_path"])
+            keep.add(os.path.realpath(mp))
+            needed.append(mp)
+            if mp not in manifest_reach and mp not in wanted:
+                wanted.append(mp)
+    if len(wanted) >= _PARALLEL_MANIFEST_OPENS:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(16, len(wanted))) as ex:
+            for mp, reach in zip(wanted, ex.map(_reach, wanted)):
+                manifest_reach[mp] = reach
+    else:
+        for mp in wanted:
+            manifest_reach[mp] = _reach(mp)
+    for mp in needed:
+        keep |= manifest_reach[mp]
+
+    root = os.path.realpath(location)
+    orphans: list[str] = []
+    for dirpath, _dirs, names in os.walk(root):
+        for name in names:
+            if not name.endswith((".parquet", ".avro")):
+                continue  # metadata.json / version-hint stay untouched
+            p = os.path.realpath(os.path.join(dirpath, name))
+            if p in keep:
+                continue
+            if int(os.path.getmtime(p) * 1000) >= cutoff:
+                continue  # possibly an in-flight staged write
+            orphans.append(p)
+    if not dry_run:
+        for p in sorted(orphans):
+            os.remove(p)
+        # drop emptied staging dirs (never the table's own dirs)
+        for dirpath, dirs, names in os.walk(root, topdown=False):
+            if (
+                os.path.basename(dirpath).startswith(".staging")
+                and not dirs and not names
+            ):
+                os.rmdir(dirpath)
+    return {
+        "orphans_found": len(orphans),
+        "files_deleted": 0 if dry_run else len(orphans),
+        "paths": sorted(orphans) if dry_run else [],
+    }
+
+
 def expire_metadata_versions(
     location: str, *, keep_last: int = 10
 ) -> dict:

@@ -239,6 +239,9 @@ class IcebergWarehouse(Warehouse):
     def rewrite_position_deletes(self, name: str) -> dict:
         return ib.rewrite_position_deletes(self.spark, self.path(name))
 
+    def remove_orphan_files(self, name: str, **kw) -> dict:
+        return ib.remove_orphan_files(self.spark, self.path(name), **kw)
+
     def create_ref(self, name: str, ref: str, **kw) -> dict:
         return ib.create_ref(self.spark, self.path(name), ref, **kw)
 

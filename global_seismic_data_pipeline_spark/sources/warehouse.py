@@ -148,6 +148,12 @@ class Warehouse:
             shutil.rmtree(trash)
 
     # -- MERGE ------------------------------------------------------------
+    def _merge_read_target(self, name: str) -> DataFrame:
+        """The target frame MERGE rewrites against — a hook so a backend
+        can attach carry-through columns (the Delta backend reads row
+        ids here when rowTracking is enabled)."""
+        return self.read(name)
+
     def merge(
         self,
         updates: DataFrame,
@@ -176,7 +182,7 @@ class Warehouse:
             self.overwrite(updates, name, partition_by=[pcol] if pcol else ())
             return
         if pcol is None:
-            target = self.read(name)
+            target = self._merge_read_target(name)
             kept = target.join(updates.select(*keys), on=list(keys), how="left_anti")
             merged = kept.unionByName(updates.select(*target.columns))
             self.overwrite(merged, name)
@@ -190,7 +196,7 @@ class Warehouse:
         null_dir = "__HIVE_DEFAULT_PARTITION__"
         pstr = F.coalesce(F.col(pcol).cast("string"), F.lit(null_dir))
         touched = [r[0] for r in updates.select(pstr).distinct().collect()]
-        target = self.read(name)
+        target = self._merge_read_target(name)
         # a key may have MOVED partitions (e.g. a revised event time crosses
         # a year boundary): find update keys living in untouched partitions
         # via a column-pruned scan of (pcol, keys) only — cheap on parquet —

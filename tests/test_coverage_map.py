@@ -44,6 +44,7 @@ _NON_QUERY_TOKENS = {
     "read_jsonl",            # source fn
     "recent_major_events",   # report-layer fn (pytest-pinned)
     "resize_images",         # multimodal library fn
+    "remove_orphan_files",   # iceberg maintenance fn (pytest-pinned)
     "rewrite_position_deletes",  # iceberg maintenance fn (oracle-gated
     #                              inside iceberg_delete_where_orders)
     "sample_frames",         # multimodal library fn

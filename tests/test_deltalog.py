@@ -1868,11 +1868,13 @@ def test_liquid_clustering_append_preserves_domain(spark, tmp_path):
 
 
 def test_rowtracking_enabled_refuses_pruned_rewrite(spark, tmp_path):
-    """delta.rowTracking.enabled=true promises STABLE row ids; a
-    pruned-rewrite MERGE moves surviving rows between files, which
-    only materialized row-id columns could preserve — the writer must
-    refuse loudly instead of silently breaking every other client's
-    row ids. Plain appends on the same table stay fine."""
+    """A rowTracking-enabled table whose live files carry NO baseRowId
+    (written before the feature — a spec-invalid enablement) cannot
+    have its row ids preserved through a MERGE rewrite: the writer must
+    refuse loudly (naming the back-fill remedy) instead of silently
+    minting new ids for other clients' rows. Plain appends on the same
+    table stay fine. A direct pruned-rewrite commit_write WITHOUT
+    row_ids_preserved refuses too (the materialized-columns contract)."""
     from global_seismic_data_pipeline_spark.sources.deltawh import (
         DeltaLogWarehouse,
     )
@@ -1895,11 +1897,141 @@ def test_rowtracking_enabled_refuses_pruned_rewrite(spark, tmp_path):
         mode="append",
     )  # appends fine: all rows are new
     wh = DeltaLogWarehouse(spark, str(tmp_path))
-    with pytest.raises(dl.DeltaProtocolError, match="materialized"):
+    with pytest.raises(dl.DeltaProtocolError, match="baseRowId"):
         wh.merge(
             spark.range(0, 2).selectExpr("id", "id % 2 AS k"),
             "rte", keys=["id"],
         )
+    # the commit-level gate: a pruned rewrite that did NOT materialize
+    # row ids still refuses even when every file has ids
+    staged = dl.stage_write(
+        spark.range(0, 2).selectExpr("id", "id % 2 AS k"), p
+    )
+    with pytest.raises(dl.DeltaProtocolError, match="materialized"):
+        dl.commit_write(
+            spark, p, staged, mode="append",
+            extra_removes=lambda prev: [],
+        )
+
+
+def _rowtracking_table(spark, tmp_path, name, *, partition_by=()):
+    """A spec-VALID rowTracking-enabled table: create, add the feature,
+    back-fill ids via overwrite, then flip enabled=true."""
+    from global_seismic_data_pipeline_spark.sources.deltawh import (
+        DeltaLogWarehouse,
+    )
+
+    p = str(tmp_path / name)
+    df = spark.range(0, 10).selectExpr(
+        "id", "id % 2 AS k", "CAST('orig' AS STRING) AS v"
+    )
+    dl.write_delta(df.coalesce(2), p, partition_by=list(partition_by))
+    with open(
+        os.path.join(p, "_delta_log", f"{1:020d}.json"), "w"
+    ) as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 7,
+            "writerFeatures": ["rowTracking", "domainMetadata"],
+        }}) + "\n")
+    wh = DeltaLogWarehouse(spark, str(tmp_path))
+    wh.overwrite(df.coalesce(2), name,
+                 partition_by=list(partition_by))  # back-fill ids
+    dl.commit_set_properties(p, {"delta.rowTracking.enabled": "true"})
+    return wh, p
+
+
+def _row_ids(spark, p):
+    out = {}
+    for r in dl.read_with_row_ids(spark, p).collect():
+        out[r.id] = (r._row_id, r._row_commit_version)
+    return out
+
+
+@pytest.mark.parametrize("pruned", [False, True])
+def test_rowtracking_merge_preserves_row_ids(spark, tmp_path, pruned):
+    """The spec-complete rowTracking MERGE: surviving rows keep (id,
+    commit version) via materialized columns, matched rows keep their
+    id with a BUMPED commit version, inserts take fresh ids above the
+    old high-water mark, ids stay globally unique, the materialized
+    column names live in the table configuration but NEVER in the
+    schemaString, and a second merge round-trips the materialized
+    values. Runs both the overwrite path and the partition-pruned
+    rewrite path (which exercises row_ids_preserved through
+    extra_removes)."""
+    name = f"rtm{int(pruned)}"
+    wh, p = _rowtracking_table(
+        spark, tmp_path, name,
+        partition_by=["k"] if pruned else (),
+    )
+    ids0 = _row_ids(spark, p)
+    assert len({i for i, _ in ids0.values()}) == 10  # unique
+    updates = spark.range(5, 12).selectExpr(
+        "id", "id % 2 AS k", "CAST('upd' AS STRING) AS v"
+    )
+    wh.merge(
+        updates, name, keys=["id"],
+        prune_partition_col="k" if pruned else None,
+    )
+    st = dl.snapshot_state(p)
+    conf = st["metadata"]["configuration"]
+    mid = conf[dl._RT_ID_NAME_KEY]
+    mver = conf[dl._RT_VER_NAME_KEY]
+    assert mid not in st["metadata"]["schemaString"]
+    assert mver not in st["metadata"]["schemaString"]
+    ids1 = _row_ids(spark, p)
+    assert len(ids1) == 12
+    assert len({i for i, _ in ids1.values()}) == 12  # still unique
+    old_hwm = max(i for i, _ in ids0.values())
+    for rid in range(0, 5):  # untouched survivors: id AND version keep
+        assert ids1[rid] == ids0[rid]
+    for rid in range(5, 10):  # matched: stable id, bumped version
+        assert ids1[rid][0] == ids0[rid][0]
+        assert ids1[rid][1] > ids0[rid][1]
+    for rid in range(10, 12):  # inserts: fresh ids above the old HWM
+        assert ids1[rid][0] > old_hwm
+    # logical reads stay clean: no materialized columns leak
+    assert set(dl.read_delta(spark, p).columns) == {"id", "k", "v"}
+    vals = {r.id: r.v for r in dl.read_delta(spark, p).collect()}
+    assert vals[3] == "orig" and vals[7] == "upd" and vals[11] == "upd"
+    # second merge: materialized values round-trip through the read
+    wh.merge(
+        spark.range(0, 2).selectExpr(
+            "id", "id % 2 AS k", "CAST('upd2' AS STRING) AS v"
+        ),
+        name, keys=["id"],
+        prune_partition_col="k" if pruned else None,
+    )
+    ids2 = _row_ids(spark, p)
+    assert len({i for i, _ in ids2.values()}) == 12
+    for rid in range(2, 10):
+        assert ids2[rid][0] == ids1[rid][0]
+    assert ids2[0][0] == ids1[0][0] and ids2[0][1] > ids1[0][1]
+
+
+def test_rowtracking_merge_preserves_ids_across_dv_delete(
+    spark, tmp_path
+):
+    """DV delete → MERGE composition: the deletion vector removes rows
+    but keeps survivors' PHYSICAL positions, so baseRowId + row_index
+    stays exact through the subsequent id-materializing rewrite."""
+    wh, p = _rowtracking_table(spark, tmp_path, "rtdv")
+    ids0 = _row_ids(spark, p)
+    wh.delete_with_dv("rtdv", "id IN (2, 3)")
+    ids_after_dv = _row_ids(spark, p)
+    assert set(ids_after_dv) == set(range(10)) - {2, 3}
+    for rid, pair in ids_after_dv.items():
+        assert pair == ids0[rid]  # DV re-add keeps original ids
+    wh.merge(
+        spark.range(4, 6).selectExpr(
+            "id", "id % 2 AS k", "CAST('upd' AS STRING) AS v"
+        ),
+        "rtdv", keys=["id"],
+    )
+    ids1 = _row_ids(spark, p)
+    assert set(ids1) == set(range(10)) - {2, 3}
+    for rid in ids1:
+        assert ids1[rid][0] == ids0[rid][0]
+    assert ids1[4][1] > ids0[4][1] and ids1[9][1] == ids0[9][1]
 
 
 def test_v2_checkpoint_write_roundtrip(spark, tmp_path):

@@ -2081,6 +2081,65 @@ def test_iceberg_rewrite_position_deletes(spark, tmp_path):
     )["delete_files_before"] == 0
 
 
+def test_iceberg_remove_orphan_files(spark, tmp_path):
+    """remove_orphan_files reclaims crashed-write leftovers and NOTHING
+    else: files reachable from ANY snapshot (time travel included) and
+    every metadata.json version survive; parquet/avro younger than the
+    cutoff survive (possibly in-flight staged writes); dry_run reports
+    without deleting; reads are byte-identical before/after."""
+    import time as _time
+
+    loc = str(tmp_path / "orph")
+    mk = lambda lo, hi: spark.createDataFrame(  # noqa: E731
+        [(i,) for i in range(lo, hi)], "k long"
+    ).coalesce(1)
+    iceberg.create_table(spark, loc, mk(0, 50), format_version=2)
+    iceberg.append(spark, loc, mk(50, 100))
+    iceberg.delete_where(spark, loc, "k % 10 = 0")
+    expect = {i for i in range(100) if i % 10 != 0}
+
+    old = int(_time.time()) - 10 * 86_400
+    def plant(rel):
+        p = os.path.join(loc, rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "wb") as fh:
+            fh.write(b"orphan")
+        os.utime(p, (old, old))
+        return p
+
+    o1 = plant("data/orphan-crashed.parquet")
+    o2 = plant("metadata/manifest-orphan.avro")
+    o3 = plant(".staging-posdel-dead/part-00000.parquet")
+    fresh = os.path.join(loc, "data/orphan-fresh.parquet")
+    with open(fresh, "wb") as fh:
+        fh.write(b"orphan")  # young: never touched
+
+    out_dry = iceberg.remove_orphan_files(spark, loc, dry_run=True)
+    assert out_dry["orphans_found"] == 3
+    assert set(out_dry["paths"]) == {
+        os.path.realpath(x) for x in (o1, o2, o3)
+    }
+    assert all(os.path.exists(x) for x in (o1, o2, o3))  # dry run
+
+    out = iceberg.remove_orphan_files(spark, loc)
+    assert out["files_deleted"] == 3
+    assert not any(os.path.exists(x) for x in (o1, o2, o3))
+    assert not os.path.isdir(os.path.dirname(o3))  # staging dir swept
+    assert os.path.exists(fresh)
+    t = iceberg.IcebergTable(spark, loc)
+    assert {r.k for r in t.read().collect()} == expect
+    # EVERY snapshot stays readable (reachability covered time travel)
+    for s in t.snapshots():
+        t.read(snapshot_id=s["snapshot-id"]).count()
+    # all metadata versions still on disk
+    assert [
+        f for f in os.listdir(os.path.join(loc, "metadata"))
+        if f.endswith(".metadata.json")
+    ]
+    # idempotent
+    assert iceberg.remove_orphan_files(spark, loc)["orphans_found"] == 0
+
+
 def test_iceberg_rewrite_position_deletes_preserves_eq_scoping(
     spark, tmp_path
 ):
