@@ -2008,6 +2008,29 @@ def test_rowtracking_merge_preserves_row_ids(spark, tmp_path, pruned):
     assert ids2[0][0] == ids1[0][0] and ids2[0][1] > ids1[0][1]
 
 
+def test_rowtracking_restore_and_clone_preserve_ids(spark, tmp_path):
+    """RESTORE and SHALLOW CLONE republish add actions verbatim
+    ({**a}), so baseRowId/defaultRowCommitVersion — and hence every
+    row's id — survive both: restoring to the pre-merge version brings
+    the ORIGINAL ids back, and a clone reads the same ids as its
+    source."""
+    wh, p = _rowtracking_table(spark, tmp_path, "rtrc")
+    ids0 = _row_ids(spark, p)
+    v = wh.latest_version("rtrc")
+    wh.merge(
+        spark.range(3, 5).selectExpr(
+            "id", "id % 2 AS k", "CAST('upd' AS STRING) AS v"
+        ),
+        "rtrc", keys=["id"],
+    )
+    assert _row_ids(spark, p)[3][1] > ids0[3][1]  # merge bumped it
+    wh.restore("rtrc", v)
+    assert _row_ids(spark, p) == ids0
+    wh.clone("rtrc", "rtrcclone")
+    clone_ids = _row_ids(spark, str(tmp_path / "rtrcclone"))
+    assert clone_ids == ids0
+
+
 def test_rowtracking_merge_preserves_ids_across_dv_delete(
     spark, tmp_path
 ):

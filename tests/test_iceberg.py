@@ -817,6 +817,42 @@ def test_iceberg_tail_consumer_medallion(spark, tmp_path):
     assert wh.read("silver").count() == 3
 
 
+def test_iceberg_tail_consumer_crosses_wap_publish(spark, tmp_path):
+    """A cursor-tracked consumer over a table fed by write-audit-publish
+    sees staged branch rows exactly ONCE, and only AFTER fast_forward —
+    before the publish the consumer reports caught-up (the staged
+    snapshot is off main's lineage)."""
+    from global_seismic_data_pipeline_spark.sources.warehouse import (
+        Warehouse,
+    )
+    from global_seismic_data_pipeline_spark.streaming.iceberg_source import (
+        IcebergTailConsumer,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    loc = str(tmp_path / "bronze")
+    iceberg.create_table(spark, loc, _mk_df(spark, [(1, "a", 1.0)]))
+    seen: list[set] = []
+    c = IcebergTailConsumer(wh, loc)
+    assert c.process_available(
+        lambda b: seen.append({r.id for r in b.collect()})
+    ) == 1
+    assert seen[-1] == {1}
+
+    iceberg.create_ref(spark, loc, "audit", kind="branch")
+    iceberg.append(
+        spark, loc, _mk_df(spark, [(2, "b", 2.0)]), to_ref="audit"
+    )
+    # staged but unpublished: the consumer must NOT see it
+    assert c.process_available(lambda b: seen.append(set())) == 0
+    iceberg.fast_forward(spark, loc, "main", "audit")
+    assert c.process_available(
+        lambda b: seen.append({r.id for r in b.collect()})
+    ) == 1
+    assert seen[-1] == {2}
+    assert c.process_available(lambda b: seen.append(set())) == 0
+
+
 def test_iceberg_tail_consumer_survives_metadata_expiry(spark, tmp_path):
     """expire_metadata_versions deletes superseded vN.metadata.json
     files but snapshots live IN the current metadata — a consumer
