@@ -78,6 +78,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_delete_where_orders": workloads_ext.iceberg_delete_where_orders,
         "iceberg_refs_tag_orders": workloads_ext.iceberg_refs_tag_orders,
         "iceberg_wap_publish_orders": workloads_ext.iceberg_wap_publish_orders,
+        "iceberg_partitions_metadata_orders":
+            workloads_ext.iceberg_partitions_metadata_orders,
         "incremental_minhash_dedup": workloads_ext.incremental_minhash_dedup,
         "ivf_index_drift": workloads_ext.ivf_index_drift,
         "hilbert_cluster_lineitem": workloads_ext.hilbert_cluster_lineitem,

@@ -3581,6 +3581,21 @@ GROUP BY o_orderstatus
 """
 
 
+ORACLES_EXT["iceberg_partitions_metadata_orders"] = """
+-- iceberg_partitions_metadata_orders: the partitions metadata table's
+-- per-partition record counts must equal a plain GROUP BY over the
+-- same two slices — a writer misstating record_count or a partition
+-- value round-tripping wrong through the hive layout breaks the hash.
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       CAST(COUNT(*) AS BIGINT) AS part_rows
+FROM orders
+WHERE o_orderkey % 3 IN (0, 1)
+GROUP BY o_orderstatus
+"""
+
+
 ORACLES_EXT["iceberg_wap_publish_orders"] = """
 -- iceberg_wap_publish_orders: base slice (%4 = 0) on main, staged
 -- slice (%4 = 1) written to the 'audit' branch, then fast-forwarded.

@@ -3355,6 +3355,50 @@ def iceberg_refs_tag_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def iceberg_partitions_metadata_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg metadata tables end-to-end (sources/iceberg.py
+    ``IcebergTable.inspect`` — the ``db.table.partitions`` forensic
+    surface every Iceberg operator queries before a backfill): the
+    manifests' per-partition record counts must agree EXACTLY with a
+    group-by over the data read — a writer that misstates
+    record_count, a partition value that round-trips wrong through the
+    hive layout, or a partitions rollup that drops a file all
+    hash-fail against the oracle's plain GROUP BY. The partitions
+    table itself is metadata-scale (built from manifest entries, no
+    data file opened); the join is a broadcast. Integer aggregates
+    only."""
+    import os
+    import tempfile
+
+    from ..sources import iceberg as ib
+
+    sel = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    loc = os.path.join(tempfile.mkdtemp(prefix="icebergmeta-"), "ord")
+    ib.create_table(
+        spark, loc, sel.filter(F.col("o_orderkey") % 3 == 0),
+        partition_by=["o_orderstatus"],
+    )
+    ib.append(spark, loc, sel.filter(F.col("o_orderkey") % 3 == 1))
+    t = ib.IcebergTable(spark, loc)
+    parts = t.inspect("partitions").select(
+        F.col("partition")["o_orderstatus"].alias("o_orderstatus"),
+        F.col("record_count").alias("part_rows"),
+    )
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+        )
+        .join(F.broadcast(parts), "o_orderstatus")
+    )
+
+
 def iceberg_wap_publish_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg write-audit-publish end-to-end (sources/iceberg.py
     ``append(to_ref=)`` + ``fast_forward`` — the staged-ingest workflow

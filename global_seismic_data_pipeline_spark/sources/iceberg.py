@@ -883,6 +883,130 @@ class IcebergTable:
             return self.spark.createDataFrame([], self.spark_schema())
         return _read_files_with_deletes(self, files, deletes)
 
+    # --------------------------------------------- metadata tables
+    def inspect(self, kind: str) -> DataFrame:
+        """Iceberg's metadata tables (``db.table.snapshots`` /
+        ``.history`` / ``.refs`` / ``.manifests`` / ``.files`` /
+        ``.delete_files`` / ``.partitions``) as DataFrames — the
+        operational surface every Iceberg user queries for table
+        forensics. All rows are METADATA-scale (snapshot log, manifest
+        list, file entries), built driver-side and handed to Spark;
+        no data file is ever opened."""
+        if kind == "snapshots":
+            return self.spark.createDataFrame(
+                [
+                    (
+                        s["snapshot-id"],
+                        s.get("parent-snapshot-id"),
+                        int(s["timestamp-ms"]),
+                        (s.get("summary") or {}).get(
+                            "operation", "append"
+                        ),
+                        s["manifest-list"],
+                    )
+                    for s in self.snapshots()
+                ],
+                "snapshot_id long, parent_id long, committed_at_ms "
+                "long, operation string, manifest_list string",
+            )
+        if kind == "history":
+            cur = self.current_snapshot_id()
+            live = self._ancestry_ids()
+            return self.spark.createDataFrame(
+                [
+                    (
+                        int(e["timestamp-ms"]),
+                        e["snapshot-id"],
+                        e["snapshot-id"] == cur,
+                        e["snapshot-id"] in live,
+                    )
+                    for e in self.metadata.get("snapshot-log", [])
+                ],
+                "made_current_at_ms long, snapshot_id long, "
+                "is_current boolean, is_ancestor_of_current boolean",
+            )
+        if kind == "refs":
+            refs = dict(self.refs())
+            cur = self.current_snapshot_id()
+            if "main" not in refs and cur not in (None, -1):
+                refs["main"] = {"snapshot-id": cur, "type": "branch"}
+            return self.spark.createDataFrame(
+                [
+                    (n, r.get("type"), r.get("snapshot-id"))
+                    for n, r in sorted(refs.items())
+                ],
+                "name string, type string, snapshot_id long",
+            )
+        if kind == "manifests":
+            snap = self.resolve_snapshot(None, None)
+            return self.spark.createDataFrame(
+                [
+                    (
+                        int(m.get("content") or 0),
+                        m["manifest_path"],
+                        int(m.get("manifest_length") or 0),
+                        int(m.get("partition_spec_id") or 0),
+                        m.get("added_snapshot_id"),
+                        m.get("sequence_number"),
+                        m.get("min_sequence_number"),
+                    )
+                    for m in self._manifest_files(snap)
+                ],
+                "content int, path string, length long, "
+                "partition_spec_id int, added_snapshot_id long, "
+                "sequence_number long, min_sequence_number long",
+            )
+        if kind in ("files", "delete_files"):
+            recs = (
+                self.data_files()
+                if kind == "files"
+                else self.delete_files()
+            )
+            return self.spark.createDataFrame(
+                [
+                    (
+                        int(f.get("content") or 0),
+                        f["file_path"],
+                        f.get("file_format") or "PARQUET",
+                        {
+                            k: (None if v is None else str(v))
+                            for k, v in (f.get("partition") or {}).items()
+                        },
+                        int(f.get("record_count") or 0),
+                        int(f.get("file_size_in_bytes") or 0),
+                        int(f.get("_seq") or 0),
+                    )
+                    for f in recs
+                ],
+                "content int, file_path string, file_format string, "
+                "partition map<string,string>, record_count long, "
+                "file_size_in_bytes long, sequence_number long",
+            )
+        if kind == "partitions":
+            agg: dict[tuple, list] = {}
+            for f in self.data_files():
+                part = {
+                    k: (None if v is None else str(v))
+                    for k, v in (f.get("partition") or {}).items()
+                }
+                key = tuple(sorted(part.items()))
+                row = agg.setdefault(key, [part, 0, 0, 0])
+                row[1] += int(f.get("record_count") or 0)
+                row[2] += 1
+                row[3] += int(f.get("file_size_in_bytes") or 0)
+            return self.spark.createDataFrame(
+                [
+                    (part, n, fc, sz)
+                    for part, n, fc, sz in agg.values()
+                ],
+                "partition map<string,string>, record_count long, "
+                "file_count long, total_size_bytes long",
+            )
+        raise IcebergError(
+            f"unknown metadata table {kind!r} (have snapshots, "
+            "history, refs, manifests, files, delete_files, partitions)"
+        )
+
     # ------------------------------------------------- incremental Δ
     def added_files(self, snapshot_id: int) -> list[dict]:
         """Data files ADDED by exactly this snapshot (manifest entries
@@ -2852,6 +2976,58 @@ def drop_ref(spark: SparkSession, location: str, name: str) -> dict:
     meta["last-updated-ms"] = int(time.time() * 1000)
     _publish(location, meta)
     return {"ref": name, "snapshot_id": dropped.get("snapshot-id")}
+
+
+def cherry_pick(
+    spark: SparkSession, location: str, snapshot_id: int
+) -> dict:
+    """Apply one APPEND snapshot's added files on top of the CURRENT
+    main head — Iceberg's ``cherrypick_snapshot``, the recovery path
+    when :func:`fast_forward` refuses because main advanced past the
+    branch point. Only ``append`` snapshots are pickable (their change
+    is exactly "these files appeared", so replaying it on any newer
+    base is conflict-free); overwrite/delete/replace snapshots carry
+    removals whose targets may have changed — refuse, per Iceberg's own
+    rule. The new snapshot carries main's manifests plus ONE new
+    manifest re-listing the picked files at the new sequence number,
+    with ``source-snapshot-id`` in the summary for provenance."""
+    t = IcebergTable(spark, location)
+    snap = t.resolve_snapshot(snapshot_id)
+    op = (snap.get("summary") or {}).get("operation", "append")
+    if op != "append":
+        raise IcebergError(
+            f"snapshot {snapshot_id} is {op!r} — only append snapshots "
+            "cherry-pick (removals may conflict with the new base)"
+        )
+    if snapshot_id in t._ancestry_ids():
+        raise IcebergError(
+            f"snapshot {snapshot_id} is already on main's lineage"
+        )
+    files = t.added_files(snapshot_id)
+    if not files:
+        raise IcebergError(f"snapshot {snapshot_id} added no files")
+    part_fields, fv = _table_write_shape(t)
+    add_recs = [
+        {k: v for k, v in f.items() if k != "_seq"} for f in files
+    ]
+    meta = _write_snapshot(
+        location,
+        spark.createDataFrame([], t.spark_schema()),
+        base=t.metadata,
+        carry_prior=True,
+        operation="append",
+        part_fields=part_fields,
+        format_version=fv,
+        data_files=add_recs,
+    )
+    new_snap = meta["snapshots"][-1]
+    new_snap["summary"]["source-snapshot-id"] = str(snapshot_id)
+    _publish(location, meta)
+    return {
+        "picked": snapshot_id,
+        "snapshot_id": new_snap["snapshot-id"],
+        "files": len(add_recs),
+    }
 
 
 def fast_forward(

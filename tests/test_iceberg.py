@@ -2063,6 +2063,112 @@ def test_iceberg_wap_branch_write_and_fast_forward(spark, tmp_path):
         )
 
 
+def test_iceberg_inspect_metadata_tables(spark, tmp_path):
+    """The inspect() metadata tables agree with the table's own state:
+    snapshots carry the parent chain and operations, history flags the
+    current head and its ancestry, refs lists main + named refs, the
+    manifests table matches the live manifest list, files/delete_files
+    split by content, and the partitions rollup reproduces a group-by
+    over the raw data. Unknown kinds refuse."""
+    loc = str(tmp_path / "insp")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "k long, p string"
+    ).coalesce(1)
+    iceberg.create_table(
+        spark, loc, mk([(i, "a" if i < 6 else "b") for i in range(10)]),
+        partition_by=["p"], format_version=2,
+    )
+    iceberg.append(spark, loc, mk([(i, "b") for i in range(10, 15)]))
+    iceberg.create_ref(spark, loc, "v1", kind="tag")
+    iceberg.delete_where(spark, loc, "k = 3")
+    t = iceberg.IcebergTable(spark, loc)
+
+    snaps = {r.snapshot_id: r for r in t.inspect("snapshots").collect()}
+    assert set(snaps) == {s["snapshot-id"] for s in t.snapshots()}
+    assert snaps[t.current_snapshot_id()].operation == "delete"
+    chain = [r for r in snaps.values() if r.parent_id is not None]
+    assert len(chain) == 2  # append + delete carry parents
+
+    hist = t.inspect("history").collect()
+    assert [r.snapshot_id for r in hist] == [
+        e["snapshot-id"] for e in t.metadata["snapshot-log"]
+    ]
+    assert [r.is_current for r in hist].count(True) == 1
+    assert all(r.is_ancestor_of_current for r in hist)
+
+    refs = {r.name: r for r in t.inspect("refs").collect()}
+    assert refs["main"].snapshot_id == t.current_snapshot_id()
+    assert refs["v1"].type == "tag"
+
+    mans = t.inspect("manifests").collect()
+    assert len(mans) == len(t._manifest_files(t.resolve_snapshot()))
+    assert {r.content for r in mans} == {0, 1}  # data + delete
+
+    files = t.inspect("files").collect()
+    assert sum(r.record_count for r in files) == 15  # raw, pre-delete
+    parts_of = {r.file_path: r.partition["p"] for r in files}
+    assert set(parts_of.values()) == {"a", "b"}
+    dels = t.inspect("delete_files").collect()
+    assert dels and all(r.content == 1 for r in dels)
+
+    parts = {
+        r.partition["p"]: (r.record_count, r.file_count)
+        for r in t.inspect("partitions").collect()
+    }
+    assert parts["a"][0] == 6 and parts["b"][0] == 9
+    assert sum(fc for _, fc in parts.values()) == len(files)
+
+    with pytest.raises(iceberg.IcebergError, match="unknown metadata"):
+        t.inspect("nope")
+
+
+def test_iceberg_cherry_pick(spark, tmp_path):
+    """cherry_pick replays an APPEND snapshot's files onto a main that
+    advanced past the branch point — the recovery when fast_forward
+    refuses on divergence. Provenance lands in the summary, tails
+    consume the pick as a normal append, the branch itself is
+    untouched, and non-append / already-on-main picks refuse."""
+    loc = str(tmp_path / "cp")
+    iceberg.create_table(
+        spark, loc, spark.createDataFrame([(1,)], "id long")
+    )
+    iceberg.create_ref(spark, loc, "audit", kind="branch")
+    iceberg.append(
+        spark, loc, spark.createDataFrame([(2,)], "id long"),
+        to_ref="audit",
+    )
+    staged_id = iceberg.IcebergTable(spark, loc).refs()["audit"][
+        "snapshot-id"
+    ]
+    iceberg.append(spark, loc, spark.createDataFrame([(3,)], "id long"))
+    with pytest.raises(iceberg.IcebergError, match="diverged"):
+        iceberg.fast_forward(spark, loc, "main", "audit")
+    _, cursor = iceberg.IcebergTable(spark, loc).tail(None)
+
+    out = iceberg.cherry_pick(spark, loc, staged_id)
+    assert out["picked"] == staged_id and out["files"] >= 1
+    t = iceberg.IcebergTable(spark, loc)
+    assert {r.id for r in t.read().collect()} == {1, 2, 3}
+    assert {r.id for r in t.read(ref="audit").collect()} == {1, 2}
+    new_snap = t.resolve_snapshot(out["snapshot_id"])
+    assert new_snap["summary"]["source-snapshot-id"] == str(staged_id)
+    assert new_snap["summary"]["operation"] == "append"
+    rows, _ = t.tail(cursor)
+    assert {r.id for r in rows.collect()} == {2}
+
+    # refusals: already on main; non-append snapshots
+    with pytest.raises(iceberg.IcebergError, match="already on main"):
+        iceberg.cherry_pick(spark, loc, out["snapshot_id"])
+    iceberg.overwrite(
+        spark, loc, spark.createDataFrame([(9,)], "id long")
+    )
+    ow_id = iceberg.IcebergTable(spark, loc).current_snapshot_id()
+    iceberg.create_ref(spark, loc, "b2", kind="branch",
+                       snapshot_id=staged_id)
+    with pytest.raises(iceberg.IcebergError, match="only append"):
+        iceberg.cherry_pick(spark, loc, ow_id)
+
+
 def test_iceberg_rewrite_position_deletes(spark, tmp_path):
     """rewrite_position_deletes compacts N tombstone parquets into one
     (dropping duplicates and tombstones aimed at dead files) with ZERO
