@@ -952,12 +952,18 @@ def read_with_row_ids(
             + [StructField(id_col, LongType(), True),
                StructField(ver_col, LongType(), True)]
         ))
-    missing = [a["path"] for a in files if a.get("baseRowId") is None]
+    missing = [
+        a["path"] for a in files
+        if a.get("baseRowId") is None
+        or a.get("defaultRowCommitVersion") is None
+    ]
     if missing:
         raise DeltaProtocolError(
-            f"{len(missing)} live file(s) carry no baseRowId (e.g. "
-            f"{missing[0]!r}) — written before rowTracking; back-fill "
-            "by rewriting them (overwrite) before reading row ids"
+            f"{len(missing)} live file(s) carry no baseRowId/"
+            f"defaultRowCommitVersion (e.g. {missing[0]!r}) — written "
+            "before rowTracking (spec requires both once enabled); "
+            "back-fill by rewriting them (overwrite) before reading "
+            "row ids"
         )
     conf = state["metadata"].get("configuration") or {}
     if isinstance(conf, list):
@@ -975,7 +981,7 @@ def read_with_row_ids(
             (
                 "file:" + os.path.join(table_path, unquote(a["path"])),
                 int(a["baseRowId"]),
-                int(a.get("defaultRowCommitVersion") or 0),
+                int(a["defaultRowCommitVersion"]),
             )
             for a in files
         ],
@@ -1787,13 +1793,21 @@ def commit_set_properties(
     min_writer: int = 2,
     operation: str = "SET TBLPROPERTIES",
     max_retries: int = 20,
+    only_if_absent: bool = False,
 ) -> int:
     """Metadata-only commit updating the table configuration (Delta's
     ALTER TABLE SET/UNSET TBLPROPERTIES): same put-if-absent OCC as
     every write. ``min_writer`` raises the protocol when the property
     demands it (e.g. ``delta.constraints.*`` requires minWriterVersion 3
     per spec — a legacy-2 client must not append unchecked rows); on a
-    v7 table the matching writer feature is appended instead."""
+    v7 table the matching writer feature is appended instead.
+
+    ``only_if_absent=True`` makes the set FIRST-WRITER-WINS per key,
+    checked INSIDE the OCC retry loop: keys already configured are left
+    untouched, and when nothing remains to set the call commits nothing
+    and returns the current version — the safe way to mint one-time
+    names (rowTracking's materialized column names) under concurrent
+    writers."""
     _FEATURE_OF_MIN_WRITER = {3: "checkConstraints", 4: "changeDataFeed"}
     for _attempt in range(max_retries):
         state = snapshot_state(table_path)
@@ -1801,7 +1815,14 @@ def commit_set_properties(
         conf = dict(state["metadata"].get("configuration") or {})
         for k in unset_keys:
             conf.pop(k, None)
-        conf.update(set_props or {})
+        effective = dict(set_props or {})
+        if only_if_absent:
+            effective = {
+                k: v for k, v in effective.items() if k not in conf
+            }
+            if not effective and not unset_keys:
+                return state["version"]  # another writer minted first
+        conf.update(effective)
         actions: list[dict] = [{
             "commitInfo": {
                 "timestamp": int(time.time() * 1000),

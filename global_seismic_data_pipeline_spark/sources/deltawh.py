@@ -212,13 +212,27 @@ class DeltaLogWarehouse(Warehouse):
         if not (mid and mver):
             # first rewrite on this table: mint the spec's materialized
             # column names (enabling writers persist them in the table
-            # configuration; physical names must dodge logical columns)
-            mid = mid or f"_row-id-col-{_uuid.uuid4().hex[:8]}"
-            mver = mver or f"_row-commit-version-col-{_uuid.uuid4().hex[:8]}"
+            # configuration; physical names must dodge logical columns).
+            # only_if_absent = FIRST writer wins the mint; every racer
+            # re-reads the committed names below, so two concurrent
+            # first-merges never write ids under different columns
             dl.commit_set_properties(
                 path,
-                {dl._RT_ID_NAME_KEY: mid, dl._RT_VER_NAME_KEY: mver},
+                {
+                    dl._RT_ID_NAME_KEY:
+                        f"_row-id-col-{_uuid.uuid4().hex[:8]}",
+                    dl._RT_VER_NAME_KEY:
+                        f"_row-commit-version-col-{_uuid.uuid4().hex[:8]}",
+                },
+                only_if_absent=True,
             )
+            won = dl.snapshot_state(path)["metadata"].get(
+                "configuration"
+            ) or {}
+            if isinstance(won, list):
+                won = dict(won)
+            mid = won[dl._RT_ID_NAME_KEY]
+            mver = won[dl._RT_VER_NAME_KEY]
         tgt = dl.read_with_row_ids(
             self.spark, path, id_col=mid, ver_col=mver
         )

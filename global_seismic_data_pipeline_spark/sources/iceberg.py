@@ -348,6 +348,20 @@ class IcebergTable:
             cur = s.get("parent-snapshot-id")
         return out
 
+    def _main_lineage_ids(self) -> set:
+        """Snapshot ids on MAIN's published history: the snapshot-log
+        (exactly the made-current record — staged branch commits never
+        enter it, and it survives expiry holes in the parent chain)
+        unioned with the current parent walk (covers foreign tables
+        whose snapshot-log was truncated), intersected with the live
+        snapshot set."""
+        out = {
+            e["snapshot-id"]
+            for e in self.metadata.get("snapshot-log", [])
+        }
+        out |= self._ancestry_ids()
+        return out & {s["snapshot-id"] for s in self.snapshots()}
+
     def resolve_snapshot(
         self,
         snapshot_id: int | None = None,
@@ -902,7 +916,7 @@ class IcebergTable:
                         (s.get("summary") or {}).get(
                             "operation", "append"
                         ),
-                        s["manifest-list"],
+                        s.get("manifest-list"),
                     )
                     for s in self.snapshots()
                 ],
@@ -1032,8 +1046,10 @@ class IcebergTable:
         # only MAIN's lineage: a snapshot staged on an audit branch
         # (append to_ref=...) must not leak into the tail until
         # fast_forward publishes it — at which point it enters main's
-        # parent chain and is consumed as a normal append
-        on_main = self._ancestry_ids()
+        # parent chain and is consumed as a normal append. The
+        # snapshot-log union keeps tails whole across expiry holes in
+        # the parent chain (a tag-pinned old snapshot stays consumable)
+        on_main = self._main_lineage_ids()
         snaps = [
             s for s in self.snapshots() if s["snapshot-id"] in on_main
         ]
@@ -2669,6 +2685,54 @@ def _read_files_with_deletes(
     return df if keep_meta else df.select(*out_cols)
 
 
+def _manifest_reach_paths(mp: str) -> set[str]:
+    _, entries = avrofile.read_file(mp)
+    return {
+        os.path.realpath(_strip_scheme(e["data_file"]["file_path"]))
+        for e in entries
+    }
+
+
+def _reachable_paths(
+    t: IcebergTable, snap_list, cache: dict[str, set[str]]
+) -> set[str]:
+    """Realpaths of every manifest list, manifest, and data/delete file
+    reachable from ``snap_list`` — the shared walk behind
+    ``expire_snapshots`` and ``remove_orphan_files``. Every append
+    carries prior manifests forward, so the same manifest Avro is
+    referenced by MANY snapshots: ``cache`` memoizes per manifest
+    across calls (one open each) and distinct manifests open on a
+    thread pool, the same policy as ``_live_entries``. Ancient v1
+    inline-manifest snapshots resolve through ``_manifest_files``."""
+    out: set[str] = set()
+    wanted: list[str] = []
+    needed: list[str] = []
+    for s in snap_list:
+        ml = s.get("manifest-list")
+        if ml is not None:
+            out.add(os.path.realpath(_strip_scheme(ml)))
+        for mf in t._manifest_files(s):
+            mp = _strip_scheme(mf["manifest_path"])
+            out.add(os.path.realpath(mp))
+            needed.append(mp)
+            if mp not in cache and mp not in wanted:
+                wanted.append(mp)
+    if len(wanted) >= _PARALLEL_MANIFEST_OPENS:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(16, len(wanted))) as ex:
+            for mp, reach in zip(
+                wanted, ex.map(_manifest_reach_paths, wanted)
+            ):
+                cache[mp] = reach
+    else:
+        for mp in wanted:
+            cache[mp] = _manifest_reach_paths(mp)
+    for mp in needed:
+        out |= cache[mp]
+    return out
+
+
 def expire_snapshots(
     spark: SparkSession,
     location: str,
@@ -2695,6 +2759,23 @@ def expire_snapshots(
         r["snapshot-id"] for r in t.refs().values()
         if r.get("snapshot-id") is not None
     }
+    # a non-main BRANCH needs its whole unpublished parent chain:
+    # fast_forward's ancestry proof and cherry-pick recovery walk
+    # parent-snapshot-id, so expiring an intermediate branch snapshot
+    # would strand the branch forever. The walk stops at main's
+    # published lineage (whose retention keep_last governs)
+    snaps_by_id = {s["snapshot-id"]: s for s in snaps}
+    on_main = t._main_lineage_ids()
+    for name, r in t.refs().items():
+        if name == "main" or r.get("type") != "branch":
+            continue
+        cur_id = r.get("snapshot-id")
+        while (
+            cur_id in snaps_by_id
+            and cur_id not in on_main
+        ):
+            retained_ids.add(cur_id)
+            cur_id = snaps_by_id[cur_id].get("parent-snapshot-id")
     if older_than_ms is not None:
         retained_ids |= {
             s["snapshot-id"] for s in snaps
@@ -2704,53 +2785,10 @@ def expire_snapshots(
     if not expired:
         return {"snapshots_expired": 0, "files_deleted": 0}
 
-    # every append carries prior manifests forward, so the same manifest
-    # Avro is referenced by MANY snapshots — memoize per manifest (one
-    # open each instead of O(snapshots × manifests)) and open distinct
-    # manifests on a thread pool, same policy as _live_entries
-    manifest_files: dict[str, set[str]] = {}
-
-    def _manifest_reach(mp: str) -> set[str]:
-        _, entries = avrofile.read_file(mp)
-        return {
-            os.path.realpath(_strip_scheme(e["data_file"]["file_path"]))
-            for e in entries
-        }
-
-    def _reachable(snap_list) -> set[str]:
-        out: set[str] = set()
-        wanted: list[str] = []
-        needed: list[str] = []
-        for s in snap_list:
-            ml = _strip_scheme(s["manifest-list"])
-            out.add(os.path.realpath(ml))
-            _, records = avrofile.read_file(ml)
-            for mf in records:
-                mp = _strip_scheme(mf["manifest_path"])
-                out.add(os.path.realpath(mp))
-                needed.append(mp)
-                if mp not in manifest_files and mp not in wanted:
-                    wanted.append(mp)
-        if len(wanted) >= _PARALLEL_MANIFEST_OPENS:
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(
-                max_workers=min(16, len(wanted))
-            ) as ex:
-                for mp, reach in zip(
-                    wanted, ex.map(_manifest_reach, wanted)
-                ):
-                    manifest_files[mp] = reach
-        else:
-            for mp in wanted:
-                manifest_files[mp] = _manifest_reach(mp)
-        for mp in needed:
-            out |= manifest_files[mp]
-        return out
-
+    cache: dict[str, set[str]] = {}
     retained = [s for s in snaps if s["snapshot-id"] in retained_ids]
-    keep_files = _reachable(retained)
-    drop_files = _reachable(expired) - keep_files
+    keep_files = _reachable_paths(t, retained, cache)
+    drop_files = _reachable_paths(t, expired, cache) - keep_files
 
     meta = dict(t.metadata)
     meta["snapshots"] = retained
@@ -2799,39 +2837,7 @@ def remove_orphan_files(
         if older_than_ms is not None
         else int(time.time() * 1000) - 3 * 86_400_000
     )
-    keep: set[str] = set()
-    manifest_reach: dict[str, set[str]] = {}
-
-    def _reach(mp: str) -> set[str]:
-        _, entries = avrofile.read_file(mp)
-        return {
-            os.path.realpath(_strip_scheme(e["data_file"]["file_path"]))
-            for e in entries
-        }
-
-    wanted: list[str] = []
-    needed: list[str] = []
-    for s in t.snapshots():
-        ml = _strip_scheme(s["manifest-list"])
-        keep.add(os.path.realpath(ml))
-        _, records = avrofile.read_file(ml)
-        for mf in records:
-            mp = _strip_scheme(mf["manifest_path"])
-            keep.add(os.path.realpath(mp))
-            needed.append(mp)
-            if mp not in manifest_reach and mp not in wanted:
-                wanted.append(mp)
-    if len(wanted) >= _PARALLEL_MANIFEST_OPENS:
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=min(16, len(wanted))) as ex:
-            for mp, reach in zip(wanted, ex.map(_reach, wanted)):
-                manifest_reach[mp] = reach
-    else:
-        for mp in wanted:
-            manifest_reach[mp] = _reach(mp)
-    for mp in needed:
-        keep |= manifest_reach[mp]
+    keep = _reachable_paths(t, t.snapshots(), {})
 
     root = os.path.realpath(location)
     orphans: list[str] = []
@@ -3002,6 +3008,19 @@ def cherry_pick(
     if snapshot_id in t._ancestry_ids():
         raise IcebergError(
             f"snapshot {snapshot_id} is already on main's lineage"
+        )
+    prior = next(
+        (
+            s for s in t.snapshots()
+            if (s.get("summary") or {}).get("source-snapshot-id")
+            == str(snapshot_id)
+        ),
+        None,
+    )
+    if prior is not None:
+        raise IcebergError(
+            f"snapshot {snapshot_id} was already cherry-picked as "
+            f"{prior['snapshot-id']} — retrying would duplicate its rows"
         )
     files = t.added_files(snapshot_id)
     if not files:
@@ -3273,7 +3292,10 @@ def rewrite_position_deletes(
     if not pos_old:
         return {"delete_files_before": 0, "delete_files_after": 0,
                 "tombstones_before": 0, "tombstones_after": 0}
-    files = t.data_files()
+    # the _live_entries walk above already holds the live data files —
+    # re-walking via t.data_files() would double the planning cost on
+    # exactly the many-manifest tables this procedure exists for
+    files = [dict(e["data_file"]) for e in data_entries]
     tomb, _ = t._position_delete_df(
         files, [dict(e["data_file"]) for e in pos_old]
     )

@@ -2008,6 +2008,27 @@ def test_rowtracking_merge_preserves_row_ids(spark, tmp_path, pruned):
     assert ids2[0][0] == ids1[0][0] and ids2[0][1] > ids1[0][1]
 
 
+def test_commit_set_properties_only_if_absent(spark, tmp_path):
+    """only_if_absent makes property minting first-writer-wins: present
+    keys are never overwritten, and when nothing remains to set the
+    call commits NOTHING (no version bump) — the race-safety contract
+    the rowTracking materialized-name mint depends on."""
+    p = str(tmp_path / "oia")
+    dl.write_delta(spark.range(3).selectExpr("id"), p)
+    dl.commit_set_properties(p, {"a": "1"})
+    v = dl.snapshot_state(p)["version"]
+    dl.commit_set_properties(p, {"a": "2", "b": "3"},
+                             only_if_absent=True)
+    st = dl.snapshot_state(p)
+    assert st["metadata"]["configuration"] == {"a": "1", "b": "3"}
+    assert st["version"] == v + 1
+    # everything already present: no commit happens at all
+    assert dl.commit_set_properties(
+        p, {"a": "9", "b": "9"}, only_if_absent=True
+    ) == v + 1
+    assert dl.snapshot_state(p)["version"] == v + 1
+
+
 def test_rowtracking_restore_and_clone_preserve_ids(spark, tmp_path):
     """RESTORE and SHALLOW CLONE republish add actions verbatim
     ({**a}), so baseRowId/defaultRowCommitVersion — and hence every

@@ -2156,9 +2156,13 @@ def test_iceberg_cherry_pick(spark, tmp_path):
     rows, _ = t.tail(cursor)
     assert {r.id for r in rows.collect()} == {2}
 
-    # refusals: already on main; non-append snapshots
+    # refusals: already on main; retry double-apply; non-append
     with pytest.raises(iceberg.IcebergError, match="already on main"):
         iceberg.cherry_pick(spark, loc, out["snapshot_id"])
+    with pytest.raises(
+        iceberg.IcebergError, match="already cherry-picked"
+    ):
+        iceberg.cherry_pick(spark, loc, staged_id)  # idempotent retry
     iceberg.overwrite(
         spark, loc, spark.createDataFrame([(9,)], "id long")
     )
@@ -2167,6 +2171,64 @@ def test_iceberg_cherry_pick(spark, tmp_path):
                        snapshot_id=staged_id)
     with pytest.raises(iceberg.IcebergError, match="only append"):
         iceberg.cherry_pick(spark, loc, ow_id)
+
+
+def test_iceberg_wap_branch_survives_expiry(spark, tmp_path):
+    """expire_snapshots must retain a branch's whole UNPUBLISHED parent
+    chain (not just its head): fast_forward's ancestry proof walks
+    parent-snapshot-id, so expiring an intermediate branch snapshot
+    would strand the staged work forever. After expiry the multi-commit
+    branch still audits and publishes."""
+    loc = str(tmp_path / "wapex")
+    iceberg.create_table(
+        spark, loc, spark.createDataFrame([(1,)], "id long")
+    )
+    iceberg.create_ref(spark, loc, "audit", kind="branch")
+    iceberg.append(
+        spark, loc, spark.createDataFrame([(2,)], "id long"),
+        to_ref="audit",
+    )
+    iceberg.append(
+        spark, loc, spark.createDataFrame([(3,)], "id long"),
+        to_ref="audit",
+    )
+    stats = iceberg.expire_snapshots(spark, loc, keep_last=1)
+    assert stats["snapshots_expired"] == 0  # whole branch chain pinned
+    t = iceberg.IcebergTable(spark, loc)
+    assert {r.id for r in t.read(ref="audit").collect()} == {1, 2, 3}
+    out = iceberg.fast_forward(spark, loc, "main", "audit")
+    assert out["published"] == 2
+    assert {
+        r.id
+        for r in iceberg.IcebergTable(spark, loc).read().collect()
+    } == {1, 2, 3}
+
+
+def test_iceberg_tail_whole_across_expiry_hole(spark, tmp_path):
+    """A tag-pinned snapshot older than an expired middle one stays on
+    main's lineage (the snapshot-log union): tail(None) still consumes
+    its adds and a cursor parked there resumes without the spurious
+    'not in the log' refusal a pure parent-walk would give."""
+    loc = str(tmp_path / "hole")
+    iceberg.create_table(
+        spark, loc, spark.createDataFrame([(1,)], "id long")
+    )
+    iceberg.create_ref(spark, loc, "v1", kind="tag")
+    t0 = iceberg.IcebergTable(spark, loc)
+    tagged_id = t0.current_snapshot_id()
+    iceberg.append(spark, loc, spark.createDataFrame([(2,)], "id long"))
+    iceberg.append(spark, loc, spark.createDataFrame([(3,)], "id long"))
+    stats = iceberg.expire_snapshots(spark, loc, keep_last=1)
+    assert stats["snapshots_expired"] == 1  # the middle append only
+    t = iceberg.IcebergTable(spark, loc)
+    assert tagged_id in t._main_lineage_ids()
+    # the expired middle snapshot's adds are gone from the log by
+    # definition; the pinned snapshot's adds still tail
+    rows, cursor = t.tail(None)
+    assert {r.id for r in rows.collect()} == {1, 3}
+    rows2, _ = t.tail(tagged_id)  # cursor at the pinned snapshot: fine
+    assert {r.id for r in rows2.collect()} == {3}
+    assert cursor == t.current_snapshot_id()
 
 
 def test_iceberg_rewrite_position_deletes(spark, tmp_path):
