@@ -2737,7 +2737,7 @@ def expire_snapshots(
     spark: SparkSession,
     location: str,
     *,
-    keep_last: int = 1,
+    keep_last: int | None = None,
     older_than_ms: int | None = None,
 ) -> dict:
     """Expire old snapshots (the reference's VACUUM analogue for the
@@ -2747,16 +2747,52 @@ def expire_snapshots(
     data/delete files reachable ONLY through expired snapshots. Files
     any retained snapshot references — even via a DELETED-status entry —
     are conservatively kept. Nothing outside the table root is ever
-    touched."""
+    touched.
+
+    Omitted arguments resolve from the spec retention TABLE PROPERTIES
+    (set via :func:`set_properties`, exactly Iceberg's knobs):
+    ``history.expire.min-snapshots-to-keep`` (default 1) backs
+    ``keep_last``; ``history.expire.max-snapshot-age-ms`` (when set)
+    backs ``older_than_ms`` as now − age; and
+    ``history.expire.max-ref-age-ms`` (table-wide, or the per-ref
+    ``max-ref-age-ms`` field, which wins) drops aged-out tags/branches
+    — never ``main`` — in the same pass, letting their snapshots
+    collect."""
     t = IcebergTable(spark, location)
+    props = t.metadata.get("properties") or {}
+    now_ms = int(time.time() * 1000)
+    if keep_last is None:
+        keep_last = int(
+            props.get("history.expire.min-snapshots-to-keep", 1)
+        )
+    if older_than_ms is None:
+        age = props.get("history.expire.max-snapshot-age-ms")
+        if age is not None:
+            older_than_ms = now_ms - int(age)
     snaps = sorted(t.snapshots(), key=lambda s: s["timestamp-ms"])
+    snaps_by_id = {s["snapshot-id"]: s for s in snaps}
     cur = t.current_snapshot_id()
+    # aged-out refs drop FIRST (spec: max-ref-age-ms), so their
+    # snapshots become expirable in this very pass; main never ages out
+    refs = dict(t.refs())
+    ref_age_default = props.get("history.expire.max-ref-age-ms")
+    dropped_refs: list[str] = []
+    for name, r in list(refs.items()):
+        if name == "main":
+            continue
+        age_ms = r.get("max-ref-age-ms", ref_age_default)
+        sid = r.get("snapshot-id")
+        if age_ms is None or sid not in snaps_by_id:
+            continue
+        if now_ms - int(snaps_by_id[sid]["timestamp-ms"]) > int(age_ms):
+            refs.pop(name)
+            dropped_refs.append(name)
     retained_ids = {s["snapshot-id"] for s in snaps[-max(1, keep_last):]}
     retained_ids.add(cur)
-    # spec: snapshots referenced by a tag/branch never expire while the
-    # ref lives (drop the ref first, then expire)
+    # spec: snapshots referenced by a (surviving) tag/branch never
+    # expire while the ref lives (drop the ref first, then expire)
     retained_ids |= {
-        r["snapshot-id"] for r in t.refs().values()
+        r["snapshot-id"] for r in refs.values()
         if r.get("snapshot-id") is not None
     }
     # a non-main BRANCH needs its whole unpublished parent chain:
@@ -2764,9 +2800,8 @@ def expire_snapshots(
     # parent-snapshot-id, so expiring an intermediate branch snapshot
     # would strand the branch forever. The walk stops at main's
     # published lineage (whose retention keep_last governs)
-    snaps_by_id = {s["snapshot-id"]: s for s in snaps}
     on_main = t._main_lineage_ids()
-    for name, r in t.refs().items():
+    for name, r in refs.items():
         if name == "main" or r.get("type") != "branch":
             continue
         cur_id = r.get("snapshot-id")
@@ -2782,8 +2817,9 @@ def expire_snapshots(
             if s["timestamp-ms"] >= older_than_ms
         }
     expired = [s for s in snaps if s["snapshot-id"] not in retained_ids]
-    if not expired:
-        return {"snapshots_expired": 0, "files_deleted": 0}
+    if not expired and not dropped_refs:
+        return {"snapshots_expired": 0, "files_deleted": 0,
+                "refs_dropped": []}
 
     cache: dict[str, set[str]] = {}
     retained = [s for s in snaps if s["snapshot-id"] in retained_ids]
@@ -2796,6 +2832,8 @@ def expire_snapshots(
         e for e in meta.get("snapshot-log", [])
         if e["snapshot-id"] in retained_ids
     ]
+    if dropped_refs:
+        meta["refs"] = refs
     meta["last-updated-ms"] = int(time.time() * 1000)
     _publish(location, meta)
 
@@ -2805,7 +2843,8 @@ def expire_snapshots(
         if p.startswith(root + os.sep) and os.path.isfile(p):
             os.remove(p)
             deleted += 1
-    return {"snapshots_expired": len(expired), "files_deleted": deleted}
+    return {"snapshots_expired": len(expired), "files_deleted": deleted,
+            "refs_dropped": dropped_refs}
 
 
 def remove_orphan_files(
@@ -2946,22 +2985,29 @@ def create_ref(
     *,
     kind: str = "tag",
     snapshot_id: int | None = None,
+    max_ref_age_ms: int | None = None,
 ) -> dict:
     """Create (or move) a named reference — a spec ``refs`` entry
     pinning a snapshot as a ``tag`` (immutable audit/release marker) or
     ``branch`` head. Metadata-only commit; ``expire_snapshots`` never
     collects a ref-pinned snapshot while the ref lives. ``main`` is
-    reserved (it tracks the current snapshot)."""
+    reserved (it tracks the current snapshot). ``max_ref_age_ms`` sets
+    the spec's per-ref retention field — ``expire_snapshots`` drops the
+    ref (and frees its snapshots) once it outlives the age; it beats
+    the table-wide ``history.expire.max-ref-age-ms`` property."""
     if kind not in ("tag", "branch"):
         raise IcebergError(f"ref kind must be tag|branch, got {kind!r}")
     if name == "main":
         raise IcebergError("'main' is reserved for the current branch")
     t = IcebergTable(spark, location)
     snap = t.resolve_snapshot(snapshot_id)
+    ref = {"snapshot-id": snap["snapshot-id"], "type": kind}
+    if max_ref_age_ms is not None:
+        ref["max-ref-age-ms"] = int(max_ref_age_ms)
     meta = dict(t.metadata)
     meta["refs"] = {
         **meta.get("refs", {}),
-        name: {"snapshot-id": snap["snapshot-id"], "type": kind},
+        name: ref,
     }
     meta["last-updated-ms"] = int(time.time() * 1000)
     _publish(location, meta)

@@ -2173,6 +2173,63 @@ def test_iceberg_cherry_pick(spark, tmp_path):
         iceberg.cherry_pick(spark, loc, ow_id)
 
 
+def test_iceberg_expire_retention_properties(spark, tmp_path):
+    """expire_snapshots resolves omitted arguments from the spec
+    retention table properties: min-snapshots-to-keep backs keep_last,
+    max-snapshot-age-ms backs older_than_ms (a huge age retains
+    everything), and max-ref-age-ms (table-wide, or the per-ref field
+    which wins) drops aged-out tags in the same pass — never main."""
+    loc = str(tmp_path / "ret")
+    iceberg.create_table(
+        spark, loc, spark.createDataFrame([(1,)], "id long")
+    )
+    for i in range(2, 6):
+        iceberg.append(
+            spark, loc, spark.createDataFrame([(i,)], "id long")
+        )
+    # huge max-snapshot-age: nothing is old enough to expire
+    iceberg.set_properties(
+        spark, loc,
+        {"history.expire.max-snapshot-age-ms": str(10**15),
+         "history.expire.min-snapshots-to-keep": "3"},
+    )
+    out = iceberg.expire_snapshots(spark, loc)
+    assert out["snapshots_expired"] == 0
+    # age 0: everything qualifies by age; min-snapshots-to-keep=3 rules
+    iceberg.set_properties(
+        spark, loc, {"history.expire.max-snapshot-age-ms": "0"}
+    )
+    n_before = len(iceberg.IcebergTable(spark, loc).snapshots())
+    out2 = iceberg.expire_snapshots(spark, loc)
+    t = iceberg.IcebergTable(spark, loc)
+    assert len(t.snapshots()) == 3
+    assert out2["snapshots_expired"] == n_before - 3 > 0
+    assert t.read().count() == 5  # live rows untouched
+
+    # per-ref max-ref-age-ms: an aged-out tag drops and its snapshot
+    # becomes expirable in the SAME pass; a fresh tag survives
+    old_id = sorted(s["snapshot-id"] for s in t.snapshots())[0]
+    iceberg.create_ref(
+        spark, loc, "aged", kind="tag", snapshot_id=old_id,
+        max_ref_age_ms=1,
+    )
+    iceberg.create_ref(spark, loc, "fresh", kind="tag",
+                       snapshot_id=old_id)
+    import time as _time
+    _time.sleep(0.01)  # let the aged tag outlive 1 ms
+    iceberg.set_properties(
+        spark, loc, {"history.expire.min-snapshots-to-keep": "1",
+                     "history.expire.max-snapshot-age-ms": "0"},
+    )
+    out3 = iceberg.expire_snapshots(spark, loc)
+    assert out3["refs_dropped"] == ["aged"]
+    t2 = iceberg.IcebergTable(spark, loc)
+    assert "aged" not in t2.refs() and "fresh" in t2.refs()
+    # the fresh tag still pins old_id; main survives every pass
+    assert t2.resolve_snapshot(ref="fresh")["snapshot-id"] == old_id
+    assert t2.refs()["main"]["snapshot-id"] == t2.current_snapshot_id()
+
+
 def test_iceberg_wap_branch_survives_expiry(spark, tmp_path):
     """expire_snapshots must retain a branch's whole UNPUBLISHED parent
     chain (not just its head): fast_forward's ancestry proof walks
