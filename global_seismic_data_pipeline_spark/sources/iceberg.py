@@ -1920,10 +1920,44 @@ def _write_snapshot(
     )
     avrofile.write_file(mlist_path, _MANIFEST_FILE_SCHEMA, mlist)
     now_ms = int(time.time() * 1000)
+    # spec snapshot summary statistics (string-valued per spec): added
+    # counts always; running totals compose with the parent's when it
+    # carries them (carry_prior keeps every prior file live) and reset
+    # on overwrite (prior files drop out of the live set)
+    summary = {"operation": operation}
+    added_records = sum(int(f.get("record_count") or 0) for f in files)
+    if manifest_content == 0:
+        summary["added-data-files"] = str(len(files))
+        summary["added-records"] = str(added_records)
+        psum = {}
+        if carry_prior and parent_id is not None and base is not None:
+            psum = next(
+                (
+                    s.get("summary") or {}
+                    for s in base.get("snapshots", [])
+                    if s["snapshot-id"] == parent_id
+                ),
+                {},
+            )
+        if parent_id is None or not carry_prior:
+            summary["total-data-files"] = str(len(files))
+            summary["total-records"] = str(added_records)
+        elif {"total-data-files", "total-records"} <= set(psum):
+            summary["total-data-files"] = str(
+                int(psum["total-data-files"]) + len(files)
+            )
+            summary["total-records"] = str(
+                int(psum["total-records"]) + added_records
+            )
+    else:
+        summary["added-delete-files"] = str(len(files))
+        summary["added-position-deletes"] = str(added_records)
+    if extra_delete_files:
+        summary["added-delete-files"] = str(len(extra_delete_files))
     snap = {
         "snapshot-id": snapshot_id,
         "timestamp-ms": now_ms,
-        "summary": {"operation": operation},
+        "summary": summary,
         "manifest-list": f"file:{mlist_path}",
     }
     if parent_id is not None:

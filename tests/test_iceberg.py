@@ -2173,6 +2173,39 @@ def test_iceberg_cherry_pick(spark, tmp_path):
         iceberg.cherry_pick(spark, loc, ow_id)
 
 
+def test_iceberg_snapshot_summary_statistics(spark, tmp_path):
+    """Snapshots carry the spec summary statistics (string-valued):
+    added-data-files/added-records per commit, running totals that
+    compose across appends and RESET on overwrite, and delete commits
+    reporting added-delete-files/added-position-deletes."""
+    loc = str(tmp_path / "stats")
+    mk = lambda lo, hi: spark.createDataFrame(  # noqa: E731
+        [(i,) for i in range(lo, hi)], "k long"
+    ).coalesce(1)
+    iceberg.create_table(spark, loc, mk(0, 10), format_version=2)
+    iceberg.append(spark, loc, mk(10, 25))
+    t = iceberg.IcebergTable(spark, loc)
+    s1, s2 = sorted(t.snapshots(), key=lambda s: s["snapshot-id"])
+    assert s1["summary"]["added-records"] == "10"
+    assert s1["summary"]["total-records"] == "10"
+    assert s2["summary"]["added-records"] == "15"
+    assert s2["summary"]["total-records"] == "25"
+    assert int(s2["summary"]["total-data-files"]) == int(
+        s1["summary"]["total-data-files"]
+    ) + int(s2["summary"]["added-data-files"])
+
+    iceberg.delete_where(spark, loc, "k % 5 = 0")
+    sd = iceberg.IcebergTable(spark, loc).resolve_snapshot()
+    assert sd["summary"]["operation"] == "delete"
+    assert sd["summary"]["added-position-deletes"] == "5"
+    assert int(sd["summary"]["added-delete-files"]) >= 1
+
+    iceberg.overwrite(spark, loc, mk(0, 3))
+    so = iceberg.IcebergTable(spark, loc).resolve_snapshot()
+    assert so["summary"]["total-records"] == "3"  # totals reset
+    assert so["summary"]["added-records"] == "3"
+
+
 def test_iceberg_expire_retention_properties(spark, tmp_path):
     """expire_snapshots resolves omitted arguments from the spec
     retention table properties: min-snapshots-to-keep backs keep_last,
