@@ -242,6 +242,14 @@ class IcebergWarehouse(Warehouse):
     def remove_orphan_files(self, name: str, **kw) -> dict:
         return ib.remove_orphan_files(self.spark, self.path(name), **kw)
 
+    def metadata_table(self, name: str, kind: str) -> DataFrame:
+        """The db.table.<kind> metadata surface (snapshots, history,
+        refs, manifests, files, delete_files, partitions)."""
+        return self.table(name).inspect(kind)
+
+    def cherry_pick(self, name: str, snapshot_id: int) -> dict:
+        return ib.cherry_pick(self.spark, self.path(name), snapshot_id)
+
     def create_ref(self, name: str, ref: str, **kw) -> dict:
         return ib.create_ref(self.spark, self.path(name), ref, **kw)
 
