@@ -354,7 +354,11 @@ class IcebergTable:
         enter it, and it survives expiry holes in the parent chain)
         unioned with the current parent walk (covers foreign tables
         whose snapshot-log was truncated), intersected with the live
-        snapshot set."""
+        snapshot set. Known limit: a FOREIGN engine's rollback leaves
+        the rolled-back snapshot's log entry behind — this reader (like
+        its pre-branch tail, which walked every snapshot) still counts
+        it; this writer has no rollback op, so its own tables never
+        produce that shape."""
         out = {
             e["snapshot-id"]
             for e in self.metadata.get("snapshot-log", [])
@@ -1753,6 +1757,7 @@ def _write_snapshot(
     extra_delete_files: list[dict] | None = None,
     schema_json_override: dict | None = None,
     to_ref: str | None = None,
+    fresh_adds: int | None = None,
 ) -> dict:
     """Stage data files + manifest + manifest list, return the new
     metadata dict (caller publishes).
@@ -1920,38 +1925,50 @@ def _write_snapshot(
     )
     avrofile.write_file(mlist_path, _MANIFEST_FILE_SCHEMA, mlist)
     now_ms = int(time.time() * 1000)
-    # spec snapshot summary statistics (string-valued per spec): added
-    # counts always; running totals compose with the parent's when it
-    # carries them (carry_prior keeps every prior file live) and reset
-    # on overwrite (prior files drop out of the live set)
+    # spec snapshot summary statistics (string-valued per spec).
+    # ``fresh_adds``: maintenance callers pass pre-materialized
+    # data_files mixing CARRIED records with genuinely new ones — only
+    # the trailing ``fresh_adds`` entries count as added (None = all).
+    # Running totals compose with the parent's when it carries them
+    # (carry_prior keeps every prior file live) and reset to the full
+    # listed set on replace/overwrite shapes (carry_prior=False lists
+    # the complete live set explicitly)
     summary = {"operation": operation}
-    added_records = sum(int(f.get("record_count") or 0) for f in files)
+    fresh = files if fresh_adds is None else files[len(files) - fresh_adds:]
+    fresh_records = sum(int(f.get("record_count") or 0) for f in fresh)
+    all_records = sum(int(f.get("record_count") or 0) for f in files)
+    psum = {}
+    if carry_prior and parent_id is not None and base is not None:
+        psum = next(
+            (
+                s.get("summary") or {}
+                for s in base.get("snapshots", [])
+                if s["snapshot-id"] == parent_id
+            ),
+            {},
+        )
     if manifest_content == 0:
-        summary["added-data-files"] = str(len(files))
-        summary["added-records"] = str(added_records)
-        psum = {}
-        if carry_prior and parent_id is not None and base is not None:
-            psum = next(
-                (
-                    s.get("summary") or {}
-                    for s in base.get("snapshots", [])
-                    if s["snapshot-id"] == parent_id
-                ),
-                {},
-            )
+        summary["added-data-files"] = str(len(fresh))
+        summary["added-records"] = str(fresh_records)
         if parent_id is None or not carry_prior:
             summary["total-data-files"] = str(len(files))
-            summary["total-records"] = str(added_records)
+            summary["total-records"] = str(all_records)
         elif {"total-data-files", "total-records"} <= set(psum):
             summary["total-data-files"] = str(
-                int(psum["total-data-files"]) + len(files)
+                int(psum["total-data-files"]) + len(fresh)
             )
             summary["total-records"] = str(
-                int(psum["total-records"]) + added_records
+                int(psum["total-records"]) + fresh_records
             )
     else:
         summary["added-delete-files"] = str(len(files))
-        summary["added-position-deletes"] = str(added_records)
+        summary["added-position-deletes"] = str(all_records)
+        # a tombstone-only commit leaves the live DATA set untouched:
+        # carry the parent's running totals so later appends keep
+        # composing instead of losing the chain at the first delete
+        for k in ("total-data-files", "total-records"):
+            if k in psum:
+                summary[k] = psum[k]
     if extra_delete_files:
         summary["added-delete-files"] = str(len(extra_delete_files))
     snap = {
@@ -2577,6 +2594,7 @@ def compact_data_files(
         part_fields=part_fields,
         format_version=fv,
         data_files=kept_records + new_files,
+        fresh_adds=len(new_files),
     )
     _publish(location, meta)
     return {"files_rewritten": len(victims), "files_kept": len(keep)}
@@ -2806,6 +2824,7 @@ def expire_snapshots(
     snaps = sorted(t.snapshots(), key=lambda s: s["timestamp-ms"])
     snaps_by_id = {s["snapshot-id"]: s for s in snaps}
     cur = t.current_snapshot_id()
+    on_main = t._main_lineage_ids()
     # aged-out refs drop FIRST (spec: max-ref-age-ms), so their
     # snapshots become expirable in this very pass; main never ages out
     refs = dict(t.refs())
@@ -2821,7 +2840,13 @@ def expire_snapshots(
         if now_ms - int(snaps_by_id[sid]["timestamp-ms"]) > int(age_ms):
             refs.pop(name)
             dropped_refs.append(name)
-    retained_ids = {s["snapshot-id"] for s in snaps[-max(1, keep_last):]}
+    # min-snapshots-to-keep counts MAIN's history (Iceberg's property
+    # semantics) — staged branch commits must not displace main
+    # snapshots from the retention window
+    main_snaps = [s for s in snaps if s["snapshot-id"] in on_main]
+    retained_ids = {
+        s["snapshot-id"] for s in main_snaps[-max(1, keep_last):]
+    }
     retained_ids.add(cur)
     # spec: snapshots referenced by a (surviving) tag/branch never
     # expire while the ref lives (drop the ref first, then expire)
@@ -2834,15 +2859,19 @@ def expire_snapshots(
     # parent-snapshot-id, so expiring an intermediate branch snapshot
     # would strand the branch forever. The walk stops at main's
     # published lineage (whose retention keep_last governs)
-    on_main = t._main_lineage_ids()
     for name, r in refs.items():
         if name == "main" or r.get("type") != "branch":
             continue
         cur_id = r.get("snapshot-id")
+        seen: set = set()  # cycle guard: a corrupt parent chain must
+        # not spin the walk forever (retained_ids can't serve — the
+        # branch head is already in it from the refs union above)
         while (
             cur_id in snaps_by_id
             and cur_id not in on_main
+            and cur_id not in seen
         ):
+            seen.add(cur_id)
             retained_ids.add(cur_id)
             cur_id = snaps_by_id[cur_id].get("parent-snapshot-id")
     if older_than_ms is not None:
@@ -3085,7 +3114,7 @@ def cherry_pick(
             f"snapshot {snapshot_id} is {op!r} — only append snapshots "
             "cherry-pick (removals may conflict with the new base)"
         )
-    if snapshot_id in t._ancestry_ids():
+    if snapshot_id in t._main_lineage_ids():
         raise IcebergError(
             f"snapshot {snapshot_id} is already on main's lineage"
         )
@@ -3105,6 +3134,24 @@ def cherry_pick(
     files = t.added_files(snapshot_id)
     if not files:
         raise IcebergError(f"snapshot {snapshot_id} added no files")
+    # provenance can expire with its snapshot; the FILES cannot lie —
+    # any picked file already live on main means the pick (or an
+    # equivalent commit) already happened, and re-listing would
+    # duplicate its rows
+    live = {
+        os.path.realpath(_strip_scheme(f["file_path"]))
+        for f in t.data_files()
+    }
+    dup = [
+        f["file_path"] for f in files
+        if os.path.realpath(_strip_scheme(f["file_path"])) in live
+    ]
+    if dup:
+        raise IcebergError(
+            f"snapshot {snapshot_id} was already cherry-picked: "
+            f"{len(dup)} of its files are live on main (e.g. "
+            f"{dup[0]!r}) — retrying would duplicate rows"
+        )
     part_fields, fv = _table_write_shape(t)
     add_recs = [
         {k: v for k, v in f.items() if k != "_seq"} for f in files

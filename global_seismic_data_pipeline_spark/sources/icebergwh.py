@@ -147,6 +147,9 @@ class IcebergWarehouse(Warehouse):
                 loc, schema_df, base=base, carry_prior=carry_prior,
                 operation=operation, part_fields=part_fields,
                 format_version=fv, data_files=records,
+                # records = carried keep_files + the staged batch; only
+                # the batch counts as added in the snapshot summary
+                fresh_adds=len(files),
             )
             try:
                 ib._publish(loc, meta)

@@ -2199,11 +2199,41 @@ def test_iceberg_snapshot_summary_statistics(spark, tmp_path):
     assert sd["summary"]["operation"] == "delete"
     assert sd["summary"]["added-position-deletes"] == "5"
     assert int(sd["summary"]["added-delete-files"]) >= 1
+    # tombstones leave the data set untouched: totals carry forward,
+    # so the running chain survives the delete...
+    assert sd["summary"]["total-records"] == "25"
+    iceberg.append(spark, loc, mk(25, 30))
+    sa = iceberg.IcebergTable(spark, loc).resolve_snapshot()
+    assert sa["summary"]["total-records"] == "30"  # ...and composes
 
     iceberg.overwrite(spark, loc, mk(0, 3))
     so = iceberg.IcebergTable(spark, loc).resolve_snapshot()
     assert so["summary"]["total-records"] == "3"  # totals reset
     assert so["summary"]["added-records"] == "3"
+
+    # maintenance shapes mix CARRIED records with fresh ones: the
+    # partition-pruned warehouse MERGE carries the untouched
+    # partition's files verbatim — added-* must count ONLY the
+    # rewritten slice, totals the full live set
+    from global_seismic_data_pipeline_spark.sources.icebergwh import (
+        IcebergWarehouse,
+    )
+
+    wh = IcebergWarehouse(spark, str(tmp_path / "whstats"))
+    base = spark.createDataFrame(
+        [(i, "a" if i < 4 else "b") for i in range(10)], "k long, p string"
+    )
+    wh.overwrite(base, "t", partition_by=["p"])
+    wh.merge(
+        spark.createDataFrame([(0, "a"), (99, "a")], "k long, p string"),
+        "t", keys=["k"], prune_partition_col="p",
+    )
+    sm = wh.table("t").resolve_snapshot()
+    # partition a after merge: keys {0,1,2,3,99} = 5 rows rewritten;
+    # partition b (6 rows) carried unread
+    assert sm["summary"]["added-records"] == "5"
+    assert sm["summary"]["total-records"] == "11"
+    assert wh.read("t").count() == 11
 
 
 def test_iceberg_expire_retention_properties(spark, tmp_path):
