@@ -44,6 +44,36 @@ def test_append_overwrite_timetravel(spark, iwh):
     assert ops == ["append", "append", "overwrite"]
 
 
+def test_wap_and_metadata_table_delegates(spark, iwh):
+    """The warehouse's write-audit-publish surface end-to-end:
+    append_to_ref stages invisibly, read_ref audits, publish_ref
+    fast-forwards main, and metadata_table exposes the forensic
+    tables; cherry_pick recovers a branch main advanced past."""
+    iwh.append(_df(spark, [(1, "a")]), "t")
+    iwh.create_ref("t", "audit", kind="branch")
+    iwh.append_to_ref(_df(spark, [(2, "b")]), "t", "audit")
+    assert {r.k for r in iwh.read("t").collect()} == {1}
+    assert {r.k for r in iwh.read_ref("t", "audit").collect()} == {1, 2}
+    out = iwh.publish_ref("t", "audit")
+    assert out["published"] == 1
+    assert {r.k for r in iwh.read("t").collect()} == {1, 2}
+    refs = {r.name for r in iwh.metadata_table("t", "refs").collect()}
+    assert {"main", "audit"} <= refs
+    assert iwh.metadata_table("t", "snapshots").count() == 2
+    parts = iwh.metadata_table("t", "partitions").collect()
+    assert sum(r.record_count for r in parts) == 2
+
+    # divergence -> cherry_pick recovery through the warehouse
+    iwh.create_ref("t", "b2", kind="branch")
+    iwh.append_to_ref(_df(spark, [(3, "c")]), "t", "b2")
+    iwh.append(_df(spark, [(4, "d")]), "t")
+    staged = iwh.table("t").refs()["b2"]["snapshot-id"]
+    with pytest.raises(ib.IcebergError, match="diverged"):
+        iwh.publish_ref("t", "b2")
+    iwh.cherry_pick("t", staged)
+    assert {r.k for r in iwh.read("t").collect()} == {1, 2, 3, 4}
+
+
 def test_merge_full_table(spark, iwh):
     iwh.overwrite(_df(spark, [(1, "a"), (2, "b")]), "t")
     iwh.merge(_df(spark, [(2, "B"), (3, "c")]), "t", keys=["k"])
