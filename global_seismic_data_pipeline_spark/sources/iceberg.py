@@ -929,7 +929,9 @@ class IcebergTable:
             )
         if kind == "history":
             cur = self.current_snapshot_id()
-            live = self._ancestry_ids()
+            # same lineage rule as tail: the snapshot-log union keeps
+            # entries above an expiry hole flagged as main ancestry
+            live = self._main_lineage_ids()
             return self.spark.createDataFrame(
                 [
                     (
