@@ -303,6 +303,24 @@ class IcebergTable:
                     return s["fields"]
         return m.get("partition-spec", [])
 
+    def partition_spec_by_id(self, spec_id: int) -> list[dict] | None:
+        """Fields of the spec with ``spec_id``, or None when the id is
+        unknown to this metadata (a foreign writer's spec the snapshot
+        log never recorded) — callers must treat files under an unknown
+        spec as UNPRUNABLE, never dropped. Long-lived tables evolve
+        their partition layout (spec: partition-specs is a list and
+        manifests carry their own spec id), so pruning must resolve
+        each manifest/file against the spec it was WRITTEN under, not
+        the current default."""
+        m = self.metadata
+        if "partition-specs" in m:
+            for s in m["partition-specs"]:
+                if s["spec-id"] == spec_id:
+                    return s["fields"]
+            return None
+        # v1 single-spec metadata: the lone spec is implicitly id 0
+        return m.get("partition-spec", []) if spec_id == 0 else None
+
     # ------------------------------------------------------ snapshots
     def snapshots(self) -> list[dict]:
         return self.metadata.get("snapshots", [])
@@ -431,20 +449,22 @@ class IcebergTable:
         UNOPENED. At 100 TB the pruned-read cost is the metadata walk
         (10³-10⁴ manifests over 10⁵-10⁶ files), not the data scan; real
         readers prune manifest-list-first for the same reason.
-        Conservative everywhere: missing summaries, a non-default spec
+        Conservative everywhere: missing summaries, an unknown spec
         id, un-decodable bounds, or un-mappable values keep the
-        manifest. Delete manifests are never pruned here (their scope is
-        sequence numbers, not partition values)."""
+        manifest. The summaries index-align with the fields of the
+        manifest's OWN spec (``partition_spec_id``), so pruning
+        resolves through that spec — spec-evolved tables keep pruning
+        old AND new manifests correctly. Delete manifests are never
+        pruned here (their scope is sequence numbers, not partition
+        values)."""
         if not eq_filters or mf.get("content", 0) != 0:
             return False
-        if mf.get("partition_spec_id", 0) != self.metadata.get(
-            "default-spec-id", 0
-        ):
+        spec = self.partition_spec_by_id(mf.get("partition_spec_id", 0))
+        if spec is None:
             return False
         summaries = mf.get("partitions")
         if not summaries:
             return False
-        spec = self.partition_spec()
         for i, fld in enumerate(spec):
             if i >= len(summaries):
                 break
@@ -539,6 +559,10 @@ class IcebergTable:
                 df_rec = e["data_file"]
                 eseq = e.get("sequence_number")
                 df_rec["_seq"] = mseq if eseq is None else eseq
+                # the spec the file's partition record was written
+                # under — file-level pruning must resolve through IT,
+                # not the table's current default spec
+                df_rec["_spec_id"] = mf.get("partition_spec_id", 0)
                 if e.get("snapshot_id") is None:
                     # spec inheritance: a null entry snapshot id takes
                     # the manifest-list record's added_snapshot_id
@@ -604,25 +628,51 @@ class IcebergTable:
         eq_filters: Mapping[str, object] | None,
     ) -> list[dict]:
         """File-level pruning (partition-transform match + per-file
-        column bounds) of already-listed data-file records."""
+        column bounds) of already-listed data-file records. Each file
+        prunes through the spec it was WRITTEN under (``_spec_id``
+        stamped by ``_live_entries`` from its manifest-list record):
+        a spec-evolved table's old files carry partition records under
+        the OLD spec's field names, and looking those up through the
+        default spec would return None → ``_part_eq`` False → silent
+        row loss. Unknown spec ids and partition keys absent from the
+        record are UNPRUNABLE — pruning is an optimization, never a
+        correctness filter. Column-bounds pruning is spec-independent
+        and always applies."""
         if not eq_filters:
             return files
-        spec = self.partition_spec()
-        by_source = {}
-        for fld in spec:
-            col = self._column_name(fld["source-id"])
-            by_source.setdefault(col, []).append(fld)
+        default_sid = self.metadata.get("default-spec-id", 0)
+        spec_maps: dict[int, dict | None] = {}
+
+        def _by_source(sid: int) -> dict | None:
+            if sid not in spec_maps:
+                spec = self.partition_spec_by_id(sid)
+                if spec is None:
+                    spec_maps[sid] = None
+                else:
+                    bs: dict[str, list] = {}
+                    for fld in spec:
+                        col = self._column_name(fld["source-id"])
+                        bs.setdefault(col, []).append(fld)
+                    spec_maps[sid] = bs
+            return spec_maps[sid]
+
         ids = {
             f["name"]: f["id"] for f in self.schema_json()["fields"]
         }
         kept = []
         for f in files:
             part = f.get("partition") or {}
+            by_source = _by_source(f.get("_spec_id", default_sid)) or {}
             drop = False
             for col, val in eq_filters.items():
                 for fld in by_source.get(col, []):
                     expected = _apply_transform(fld["transform"], val)
                     if expected is _UNPRUNABLE:
+                        continue
+                    if fld["name"] not in part:
+                        # a field name this record never stamped (e.g.
+                        # a foreign manifest mis-labeled with the wrong
+                        # spec id) — unprunable, never dropped
                         continue
                     if not _part_eq(part.get(fld["name"]), expected):
                         drop = True
@@ -1791,6 +1841,36 @@ def _write_snapshot(
     os.makedirs(md_dir, exist_ok=True)
     os.makedirs(data_dir, exist_ok=True)
     part_fields = part_fields or []
+    # ---- partition-spec resolution (spec: partition-specs is a LIST;
+    # manifests carry the spec id they were written under; spec ids are
+    # never reused). The write's spec either matches a recorded spec
+    # (the normal append — reuse its id) or is genuinely new (the
+    # update_partition_spec path staged it already, or a first write).
+    spec_fields = [
+        {k: v for k, v in pf.items() if not k.startswith("_")}
+        for pf in part_fields
+    ]
+    if base is not None and "partition-specs" in base:
+        prior_specs = list(base["partition-specs"])
+    elif base is not None and "partition-spec" in base:
+        # v1 single-spec metadata: the lone spec is implicitly id 0
+        prior_specs = [{"spec-id": 0, "fields": base["partition-spec"]}]
+    else:
+        prior_specs = []
+    spec_match = next(
+        (s for s in prior_specs if s["fields"] == spec_fields), None
+    )
+    if spec_match is not None:
+        spec_id = spec_match["spec-id"]
+        all_specs = prior_specs
+    elif not prior_specs:
+        spec_id = 0
+        all_specs = [{"spec-id": 0, "fields": spec_fields}]
+    else:
+        spec_id = max(s["spec-id"] for s in prior_specs) + 1
+        all_specs = prior_specs + [
+            {"spec-id": spec_id, "fields": spec_fields}
+        ]
     seq = (base or {}).get("last-sequence-number", 0) + 1
     if to_ref is not None:
         head = ((base or {}).get("refs") or {}).get(to_ref)
