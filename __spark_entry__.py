@@ -80,6 +80,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_wap_publish_orders": workloads_ext.iceberg_wap_publish_orders,
         "iceberg_partitions_metadata_orders":
             workloads_ext.iceberg_partitions_metadata_orders,
+        "iceberg_spec_evolution_orders":
+            workloads_ext.iceberg_spec_evolution_orders,
         "incremental_minhash_dedup": workloads_ext.incremental_minhash_dedup,
         "ivf_index_drift": workloads_ext.ivf_index_drift,
         "hilbert_cluster_lineitem": workloads_ext.hilbert_cluster_lineitem,

@@ -3615,3 +3615,38 @@ FROM orders
 WHERE o_orderkey % 4 IN (0, 1)
 GROUP BY o_orderstatus
 """
+
+
+ORACLES_EXT["iceberg_spec_evolution_orders"] = """
+-- iceberg_spec_evolution_orders: base slice (%3 = 0) written
+-- identity-partitioned on o_orderstatus, spec evolved to
+-- bucket[8](o_custkey) metadata-only, second slice (%3 = 1) under the
+-- new spec. The grouped aggregates replay the full two-spec read; the
+-- pruned_o_* scalars replay the pruned-then-filtered read on the OLD
+-- layout (a reader resolving old files through the default spec drops
+-- their rows and breaks the hash — the r8 silent-row-loss path); the
+-- cust_* scalars replay the bucket-pruned read on the NEW layout at
+-- the set's min customer; n_specs pins both specs surviving in the
+-- metadata.
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       CAST(2 AS BIGINT) AS n_specs,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+         WHERE o_orderkey % 3 IN (0, 1)
+           AND o_orderstatus = 'O') AS pruned_o_rows,
+       (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM orders
+         WHERE o_orderkey % 3 IN (0, 1)
+           AND o_orderstatus = 'O') AS pruned_o_sum_key,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+         WHERE o_orderkey % 3 IN (0, 1)
+           AND o_custkey = (SELECT MIN(o_custkey) FROM orders
+                             WHERE o_orderkey % 3 IN (0, 1))) AS cust_rows,
+       (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM orders
+         WHERE o_orderkey % 3 IN (0, 1)
+           AND o_custkey = (SELECT MIN(o_custkey) FROM orders
+                             WHERE o_orderkey % 3 IN (0, 1))) AS cust_sum_key
+FROM orders
+WHERE o_orderkey % 3 IN (0, 1)
+GROUP BY o_orderstatus
+"""

@@ -1918,27 +1918,82 @@ def _write_snapshot(
         )
     else:
         files = data_files
-    entries = [
-        {
-            "status": _STATUS_ADDED,
-            "snapshot_id": snapshot_id,
-            "sequence_number": None,  # inherit from the manifest list
-            "file_sequence_number": None,
-            "data_file": {"equality_ids": None, "lower_bounds": None,
-                           "upper_bounds": None, **f},
-        }
-        for f in files
-    ]
-    manifest_path = os.path.join(
-        md_dir, f"manifest-{snapshot_id:05d}-{uuid.uuid4().hex}.avro"
-    )
-    avrofile.write_file(
-        manifest_path, _manifest_entry_schema(part_fields), entries
-    )
-    # per-field partition summaries for the manifest-list record
-    summaries = None
-    if part_fields and manifest_content == 0:
-        summaries = _partition_summaries(part_fields, files)
+    schema_json = schema_json_override or _iceberg_schema_json(df.schema)
+    # ---- group the records by the spec they were written under.
+    # Freshly staged files are always the current spec; pre-materialized
+    # records (compaction carry) keep their original ``_spec_id`` — a
+    # spec-evolved table's old files serialize under the OLD spec's
+    # partition record schema and their manifest stamps the old id, so
+    # pruning keeps resolving them correctly forever.
+    if data_files is None:
+        groups = [(spec_id, part_fields, files)]
+    else:
+        by_sid: dict[int, list] = {}
+        order: list[int] = []
+        for f in files:
+            gs = f.get("_spec_id", spec_id)
+            if gs not in by_sid:
+                by_sid[gs] = []
+                order.append(gs)
+            by_sid[gs].append(f)
+        groups = []
+        for gs in order:
+            if gs == spec_id:
+                gfields = part_fields
+            else:
+                raw = next(
+                    (
+                        s["fields"] for s in all_specs
+                        if s["spec-id"] == gs
+                    ),
+                    None,
+                )
+                if raw is None:
+                    raise IcebergError(
+                        f"data file carries unknown partition spec id "
+                        f"{gs} — the metadata's partition-specs list "
+                        "never recorded it"
+                    )
+                gfields = _annotate_spec_fields(raw, schema_json)
+            groups.append((gs, gfields, by_sid[gs]))
+        groups = groups or [(spec_id, part_fields, [])]
+
+    def _pub(f: dict) -> dict:
+        return {k: v for k, v in f.items() if not k.startswith("_")}
+
+    new_manifests = []  # (manifest-list record) per spec group
+    for gs, gfields, gfiles in groups:
+        entries = [
+            {
+                "status": _STATUS_ADDED,
+                "snapshot_id": snapshot_id,
+                "sequence_number": None,  # inherit from the list
+                "file_sequence_number": None,
+                "data_file": {"equality_ids": None, "lower_bounds": None,
+                               "upper_bounds": None, **_pub(f)},
+            }
+            for f in gfiles
+        ]
+        manifest_path = os.path.join(
+            md_dir, f"manifest-{snapshot_id:05d}-{uuid.uuid4().hex}.avro"
+        )
+        avrofile.write_file(
+            manifest_path, _manifest_entry_schema(gfields), entries
+        )
+        # per-field partition summaries for the manifest-list record
+        summaries = None
+        if gfields and manifest_content == 0:
+            summaries = _partition_summaries(gfields, gfiles)
+        new_manifests.append({
+            "manifest_path": f"file:{manifest_path}",
+            "manifest_length": os.path.getsize(manifest_path),
+            "partition_spec_id": gs,
+            "content": manifest_content,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "partitions": summaries,
+        })
     # append-only log: the PARENT snapshot's manifests stay reachable
     # (the branch head when to_ref is set, the current snapshot else)
     prior = []
@@ -1959,18 +2014,7 @@ def _write_snapshot(
             }
             for p in prior
         ]
-    mlist = prior + [
-        {
-            "manifest_path": f"file:{manifest_path}",
-            "manifest_length": os.path.getsize(manifest_path),
-            "partition_spec_id": 0,
-            "content": manifest_content,
-            "sequence_number": seq,
-            "min_sequence_number": seq,
-            "added_snapshot_id": snapshot_id,
-            "partitions": summaries,
-        }
-    ]
+    mlist = prior + new_manifests
     if extra_delete_files:
         # a second, DELETE manifest in the SAME snapshot (the v2
         # streaming-upsert shape: equality delete + data append commit
@@ -1982,7 +2026,7 @@ def _write_snapshot(
                 "sequence_number": None,
                 "file_sequence_number": None,
                 "data_file": {"equality_ids": None, "lower_bounds": None,
-                           "upper_bounds": None, **f},
+                           "upper_bounds": None, **_pub(f)},
             }
             for f in extra_delete_files
         ]
@@ -1995,7 +2039,7 @@ def _write_snapshot(
         mlist.append({
             "manifest_path": f"file:{del_manifest}",
             "manifest_length": os.path.getsize(del_manifest),
-            "partition_spec_id": 0,
+            "partition_spec_id": spec_id,
             "content": 1,
             "sequence_number": seq,
             "min_sequence_number": seq,
@@ -2063,11 +2107,6 @@ def _write_snapshot(
         # spec: snapshot lineage — fast_forward's ancestry proof and the
         # tail's main-branch filter both walk this chain
         snap["parent-snapshot-id"] = parent_id
-    schema_json = schema_json_override or _iceberg_schema_json(df.schema)
-    spec_fields = [
-        {k: v for k, v in pf.items() if not k.startswith("_")}
-        for pf in part_fields
-    ]
     meta = {
         "format-version": format_version,
         "table-uuid": (base or {}).get("table-uuid", str(uuid.uuid4())),
@@ -2076,8 +2115,8 @@ def _write_snapshot(
         "last-column-id": max(
             (f["id"] for f in schema_json["fields"]), default=0
         ),
-        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
-        "default-spec-id": 0,
+        "partition-specs": all_specs,
+        "default-spec-id": spec_id,
         # table properties survive commits (retention/metadata-expiry
         # knobs live here per spec)
         "properties": dict((base or {}).get("properties") or {}),
@@ -2139,7 +2178,14 @@ def _write_snapshot(
             "current-schema-id": cur["schema-id"],
             "schemas": prior_schemas or [schema_json],
             "last-partition-id": max(
-                (pf["field-id"] for pf in spec_fields), default=999
+                [
+                    (base or {}).get("last-partition-id", 999)
+                ]
+                + [
+                    f["field-id"]
+                    for s in all_specs
+                    for f in s["fields"]
+                ]
             ),
             "sort-orders": [{"order-id": 0, "fields": []}],
             "default-sort-order-id": 0,
@@ -2664,8 +2710,16 @@ def compact_data_files(
         location, compacted, part_fields, snapshot_id, data_dir,
         field_ids={f["name"]: f["id"] for f in t.schema_json()["fields"]},
     )
+    # carried records keep their _spec_id so _write_snapshot serializes
+    # them under the spec they were written with (a spec-evolved
+    # table's old files must not be re-labeled with the new spec —
+    # their partition records are under the OLD field names)
     kept_records = [
-        {k: v for k, v in f.items() if not k.startswith("_")} for f in keep
+        {
+            k: v for k, v in f.items()
+            if not k.startswith("_") or k == "_spec_id"
+        }
+        for f in keep
     ]
     meta = _write_snapshot(
         location,
@@ -3123,6 +3177,79 @@ def set_properties(
     return {"properties": merged}
 
 
+def update_partition_spec(
+    spark: SparkSession, location: str, partition_by
+) -> IcebergTable:
+    """Evolve the table's partition spec — the ``ALTER TABLE ... ADD/
+    DROP PARTITION FIELD`` story, expressed as the full NEW layout in
+    the same transform syntax :func:`create_table` takes. A
+    METADATA-ONLY commit: no snapshot is written, no data file moves.
+    Per the spec, the new spec enters ``partition-specs`` under a fresh
+    never-reused spec-id and becomes ``default-spec-id``; a field that
+    repeats an existing (source column, transform) pair — in ANY prior
+    spec — keeps that pair's field-id and name, new fields take
+    ``last-partition-id + 1`` onward. Old data files stay exactly where
+    they are under their old spec (their manifests carry its id) and
+    keep pruning through it; only NEW writes lay out — and prune —
+    under the new spec. This is how long-lived 100 TB tables change
+    layout without a rewrite."""
+    t = IcebergTable(spark, location)
+    if t.metadata.get("format-version", 1) < 2:
+        raise IcebergError(
+            "partition-spec evolution needs a format-version-2 table "
+            "(v1 metadata has a single spec; rewrite via create_table)"
+        )
+    parsed = _parse_partition_by(list(partition_by), t.spark_schema())
+    # _parse_partition_by assigns POSITIONAL source ids (the create
+    # path, where position == field id); an evolved table's schema ids
+    # are authoritative — remap through the column name
+    real_ids = {f["name"]: f["id"] for f in t.schema_json()["fields"]}
+    meta = dict(t.metadata)
+    prior_specs = list(
+        meta.get("partition-specs")
+        or [{"spec-id": 0, "fields": meta.get("partition-spec", [])}]
+    )
+    by_pair = {}
+    for s in prior_specs:
+        for f in s["fields"]:
+            by_pair.setdefault((f["source-id"], f["transform"]), f)
+    last_pid = max(
+        [meta.get("last-partition-id", 999)]
+        + [f["field-id"] for s in prior_specs for f in s["fields"]]
+    )
+    fields = []
+    for pf in parsed:
+        sid_src = real_ids[pf["_col"]]
+        prev = by_pair.get((sid_src, pf["transform"]))
+        if prev is not None:
+            fields.append({
+                "name": prev["name"], "transform": pf["transform"],
+                "source-id": sid_src, "field-id": prev["field-id"],
+            })
+        else:
+            last_pid += 1
+            fields.append({
+                "name": pf["name"], "transform": pf["transform"],
+                "source-id": sid_src, "field-id": last_pid,
+            })
+    match = next(
+        (s for s in prior_specs if s["fields"] == fields), None
+    )
+    if match is not None:
+        new_sid = match["spec-id"]
+    else:
+        new_sid = max(s["spec-id"] for s in prior_specs) + 1
+        prior_specs = prior_specs + [
+            {"spec-id": new_sid, "fields": fields}
+        ]
+    meta["partition-specs"] = prior_specs
+    meta["default-spec-id"] = new_sid
+    meta["last-partition-id"] = last_pid
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    _publish(location, meta)
+    return IcebergTable(spark, location)
+
+
 def create_ref(
     spark: SparkSession,
     location: str,
@@ -3364,64 +3491,98 @@ def rewrite_manifests(
         (s["snapshot-id"] for s in t.metadata.get("snapshots", [])),
         default=0,
     ) + 1
-    entry_schema = _manifest_entry_schema(part_fields)
+    default_sid = t.metadata.get("default-spec-id", 0)
+    spec_fields_cache: dict[int, list] = {default_sid: part_fields}
+
+    def _fields_for(sid: int) -> list[dict]:
+        if sid not in spec_fields_cache:
+            raw = t.partition_spec_by_id(sid)
+            if raw is None:
+                raise IcebergError(
+                    f"rewrite_manifests: entry carries unknown "
+                    f"partition spec id {sid}"
+                )
+            spec_fields_cache[sid] = _annotate_spec_fields(
+                raw, t.schema_json()
+            )
+        return spec_fields_cache[sid]
+
     step = max(1, target_entries_per_manifest)
     mlist: list[dict] = []
     for content, entries, label in (
         (0, data_entries, "data"),
         (1, delete_entries, "del"),
     ):
-        for i in range(0, len(entries), step):
-            chunk = entries[i : i + step]
-            seqs = [int(e["data_file"].get("_seq", 0)) for e in chunk]
-            recs = [
-                {
-                    "status": _STATUS_EXISTING,
-                    "snapshot_id": e.get("snapshot_id"),
-                    "sequence_number": s if fv >= 2 else None,
-                    # spec: EXISTING entries carry explicit seqs (null
-                    # would inherit the rewrite's); file seq == data seq
-                    # for files added by this writer
-                    "file_sequence_number": (
-                        e.get("file_sequence_number")
-                        if e.get("file_sequence_number") is not None
-                        else (s if fv >= 2 else None)
-                    ),
-                    "data_file": {
-                        "content": content if content else 0,
-                        "equality_ids": None,
-                        "lower_bounds": None,
-                        "upper_bounds": None,
-                        **{
-                            k: v for k, v in e["data_file"].items()
-                            if k != "_seq"
+        # one manifest (chain) per SPEC: a coalesced manifest's
+        # partition record schema and its manifest-list spec id must
+        # match the spec its entries were written under, or a
+        # spec-evolved table's old entries would serialize (and later
+        # prune) under the wrong field names
+        by_sid: dict[int, list] = {}
+        sid_order: list[int] = []
+        for e in entries:
+            gs = e["data_file"].get("_spec_id", default_sid)
+            if gs not in by_sid:
+                by_sid[gs] = []
+                sid_order.append(gs)
+            by_sid[gs].append(e)
+        for gs in sid_order:
+            gfields = _fields_for(gs)
+            entry_schema = _manifest_entry_schema(gfields)
+            gentries = by_sid[gs]
+            for i in range(0, len(gentries), step):
+                chunk = gentries[i : i + step]
+                seqs = [
+                    int(e["data_file"].get("_seq", 0)) for e in chunk
+                ]
+                recs = [
+                    {
+                        "status": _STATUS_EXISTING,
+                        "snapshot_id": e.get("snapshot_id"),
+                        "sequence_number": s if fv >= 2 else None,
+                        # spec: EXISTING entries carry explicit seqs
+                        # (null would inherit the rewrite's); file seq
+                        # == data seq for files added by this writer
+                        "file_sequence_number": (
+                            e.get("file_sequence_number")
+                            if e.get("file_sequence_number") is not None
+                            else (s if fv >= 2 else None)
+                        ),
+                        "data_file": {
+                            "content": content if content else 0,
+                            "equality_ids": None,
+                            "lower_bounds": None,
+                            "upper_bounds": None,
+                            **{
+                                k: v for k, v in e["data_file"].items()
+                                if not k.startswith("_")
+                            },
                         },
-                    },
-                }
-                for e, s in zip(chunk, seqs)
-            ]
-            mp = os.path.join(
-                md_dir,
-                f"manifest-rw-{label}-{snapshot_id:05d}-"
-                f"{uuid.uuid4().hex}.avro",
-            )
-            avrofile.write_file(mp, entry_schema, recs)
-            mlist.append({
-                "manifest_path": f"file:{mp}",
-                "manifest_length": os.path.getsize(mp),
-                "partition_spec_id": t.metadata.get("default-spec-id", 0),
-                "content": content,
-                "sequence_number": seq,
-                "min_sequence_number": min(seqs, default=seq),
-                "added_snapshot_id": snapshot_id,
-                "partitions": (
-                    _partition_summaries(
-                        part_fields, [r["data_file"] for r in recs]
-                    )
-                    if part_fields and content == 0
-                    else None
-                ),
-            })
+                    }
+                    for e, s in zip(chunk, seqs)
+                ]
+                mp = os.path.join(
+                    md_dir,
+                    f"manifest-rw-{label}-{snapshot_id:05d}-"
+                    f"{uuid.uuid4().hex}.avro",
+                )
+                avrofile.write_file(mp, entry_schema, recs)
+                mlist.append({
+                    "manifest_path": f"file:{mp}",
+                    "manifest_length": os.path.getsize(mp),
+                    "partition_spec_id": gs,
+                    "content": content,
+                    "sequence_number": seq,
+                    "min_sequence_number": min(seqs, default=seq),
+                    "added_snapshot_id": snapshot_id,
+                    "partitions": (
+                        _partition_summaries(
+                            gfields, [r["data_file"] for r in recs]
+                        )
+                        if gfields and content == 0
+                        else None
+                    ),
+                })
     mlist_path = os.path.join(
         md_dir, f"snap-{snapshot_id}-1-{uuid.uuid4().hex}.avro"
     )
@@ -3524,18 +3685,35 @@ def rewrite_position_deletes(
         (s["snapshot-id"] for s in t.metadata.get("snapshots", [])),
         default=0,
     ) + 1
-    entry_schema = _manifest_entry_schema(part_fields)
+    default_sid = t.metadata.get("default-spec-id", 0)
+    spec_fields_cache: dict[int, list] = {default_sid: part_fields}
+
+    def _fields_for(sid: int) -> list[dict]:
+        if sid not in spec_fields_cache:
+            raw = t.partition_spec_by_id(sid)
+            if raw is None:
+                raise IcebergError(
+                    f"rewrite_position_deletes: entry carries unknown "
+                    f"partition spec id {sid}"
+                )
+            spec_fields_cache[sid] = _annotate_spec_fields(
+                raw, t.schema_json()
+            )
+        return spec_fields_cache[sid]
+
     mlist: list[dict] = []
 
-    def _manifest(recs_, label, content):
+    def _manifest(recs_, label, content, sid=None):
         if not recs_:
             return
+        sid = default_sid if sid is None else sid
+        gfields = _fields_for(sid)
         mp = os.path.join(
             md_dir,
             f"manifest-rwpd-{label}-{snapshot_id:05d}-"
             f"{uuid.uuid4().hex}.avro",
         )
-        avrofile.write_file(mp, entry_schema, recs_)
+        avrofile.write_file(mp, _manifest_entry_schema(gfields), recs_)
         seqs = [
             r["sequence_number"] for r in recs_
             if r["sequence_number"] is not None
@@ -3543,16 +3721,16 @@ def rewrite_position_deletes(
         mlist.append({
             "manifest_path": f"file:{mp}",
             "manifest_length": os.path.getsize(mp),
-            "partition_spec_id": t.metadata.get("default-spec-id", 0),
+            "partition_spec_id": sid,
             "content": content,
             "sequence_number": seq,
             "min_sequence_number": min(seqs, default=seq),
             "added_snapshot_id": snapshot_id,
             "partitions": (
                 _partition_summaries(
-                    part_fields, [r["data_file"] for r in recs_]
+                    gfields, [r["data_file"] for r in recs_]
                 )
-                if part_fields and content == 0
+                if gfields and content == 0
                 else None
             ),
         })
@@ -3572,12 +3750,25 @@ def rewrite_position_deletes(
                 "content": 0, "equality_ids": None,
                 "lower_bounds": None, "upper_bounds": None,
                 **{k: v for k, v in e["data_file"].items()
-                   if k != "_seq"},
+                   if not k.startswith("_")},
             },
         }
 
-    _manifest([_existing(e) for e in data_entries], "data", 0)
-    _manifest([_existing(e) for e in eq_keep], "eq", 1)
+    def _by_spec(entries_list):
+        by: dict[int, list] = {}
+        order: list[int] = []
+        for e in entries_list:
+            gs = e["data_file"].get("_spec_id", default_sid)
+            if gs not in by:
+                by[gs] = []
+                order.append(gs)
+            by[gs].append(e)
+        return [(gs, by[gs]) for gs in order]
+
+    for gs, es in _by_spec(data_entries):
+        _manifest([_existing(e) for e in es], "data", 0, sid=gs)
+    for gs, es in _by_spec(eq_keep):
+        _manifest([_existing(e) for e in es], "eq", 1, sid=gs)
     _manifest(
         [
             {

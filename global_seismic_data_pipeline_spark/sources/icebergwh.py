@@ -245,6 +245,14 @@ class IcebergWarehouse(Warehouse):
     def remove_orphan_files(self, name: str, **kw) -> dict:
         return ib.remove_orphan_files(self.spark, self.path(name), **kw)
 
+    def update_partition_spec(self, name: str, partition_by) -> None:
+        """ALTER TABLE ... partition-spec evolution: metadata-only —
+        new writes lay out under the new spec, old files stay under
+        theirs and keep pruning correctly."""
+        ib.update_partition_spec(
+            self.spark, self.path(name), partition_by
+        )
+
     def metadata_table(self, name: str, kind: str) -> DataFrame:
         """The db.table.<kind> metadata surface (snapshots, history,
         refs, manifests, files, delete_files, partitions)."""

@@ -2851,3 +2851,129 @@ def test_iceberg_unknown_spec_id_is_unprunable(spark, tmp_path):
     assert {r.id for r in got.collect()} == {1, 2, 4}
     assert {r.id for r in
             got.filter(got.status == "F").collect()} == {4}
+
+
+def test_iceberg_update_partition_spec_evolution(spark, tmp_path):
+    """Write-side spec evolution (ALTER TABLE ... PARTITION FIELD as a
+    metadata-only commit): old files stay under their spec and keep
+    pruning through it, new writes lay out under the new default spec,
+    spec ids are never reused, and repeated (source, transform) pairs
+    keep their field-id across specs."""
+    loc = str(tmp_path / "evo")
+    iceberg.create_table(
+        spark, loc,
+        spark.createDataFrame(
+            [(1, "O", 10), (2, "O", 20), (3, "F", 30)],
+            "id long, status string, bucketed long",
+        ),
+        partition_by=["status"],
+    )
+    t = iceberg.update_partition_spec(
+        spark, loc, ["status", "bucket[4](bucketed)"]
+    )
+    m = t.metadata
+    assert m["default-spec-id"] == 1
+    specs = {s["spec-id"]: s["fields"] for s in m["partition-specs"]}
+    assert set(specs) == {0, 1}
+    # the repeated (status, identity) pair KEEPS its field-id; the new
+    # bucket field takes the next id
+    assert specs[1][0] == specs[0][0]
+    assert specs[1][1]["field-id"] == specs[0][0]["field-id"] + 1
+    assert m["last-partition-id"] == specs[1][1]["field-id"]
+
+    t = iceberg.append(
+        spark, loc,
+        spark.createDataFrame(
+            [(4, "O", 40), (5, "F", 50)],
+            "id long, status string, bucketed long",
+        ),
+    )
+    # full read sees every row across both specs
+    assert {r.id for r in t.read().collect()} == {1, 2, 3, 4, 5}
+    # pruning on the SHARED column works through BOTH specs
+    o_files = t.data_files(eq_filters={"status": "O"})
+    assert {r.id for r in
+            t.read(eq_filters={"status": "O"}).collect()} == {1, 2, 4}
+    # both-spec manifests contribute files, and every survivor's own
+    # spec proves status=O (no F file leaks through either spec)
+    assert {f["_spec_id"] for f in o_files} == {0, 1}
+    assert all(
+        f["partition"].get("status") == "O" for f in o_files
+    )
+    # pruning on the NEW bucket column: old-spec files have no bucket
+    # partition value (unprunable there) but their per-file COLUMN
+    # bounds (10..30) exclude 40, so the scan narrows to exactly the
+    # new-spec file — never by mis-resolving the spec
+    got = {r.id for r in t.read(eq_filters={"bucketed": 40}).collect()}
+    assert got == {4}
+    # manifest-list records carry each manifest's own spec id
+    snap = t.resolve_snapshot(None, None)
+    sids = {mf.get("partition_spec_id") for mf in t._manifest_files(snap)}
+    assert sids == {0, 1}
+    # evolving to an ALREADY-RECORDED layout reuses its spec id
+    t2 = iceberg.update_partition_spec(spark, loc, ["status"])
+    assert t2.metadata["default-spec-id"] == 0
+    assert len(t2.metadata["partition-specs"]) == 2
+
+
+def test_iceberg_spec_evolution_maintenance_preserves_reads(
+    spark, tmp_path
+):
+    """Maintenance over a spec-evolved table: rewrite_manifests
+    coalesces per SPEC (a manifest's partition record schema must match
+    the spec its entries were written under) and incremental compaction
+    carries old-spec files under their own spec. Reads and pruning stay
+    exact throughout."""
+    loc = str(tmp_path / "evo2")
+    # big file under spec 0 (will be CARRIED by incremental compaction)
+    iceberg.create_table(
+        spark, loc,
+        spark.createDataFrame(
+            [(i, "O", i % 7) for i in range(50_000)],
+            "id long, status string, k long",
+        ).coalesce(1),
+        partition_by=["status"],
+    )
+    iceberg.update_partition_spec(spark, loc, ["k"])
+    # small files under spec 1
+    for i, (st, k) in enumerate([("F", 1), ("O", 2)]):
+        iceberg.append(
+            spark, loc,
+            spark.createDataFrame(
+                [(100_000 + i, st, k)], "id long, status string, k long"
+            ),
+        )
+    t = iceberg.IcebergTable(spark, loc)
+    expect_all = set(range(50_000)) | {100_000, 100_001}
+    assert {r.id for r in t.read().collect()} == expect_all
+
+    res = iceberg.rewrite_manifests(
+        spark, loc, target_entries_per_manifest=1000
+    )
+    t = iceberg.IcebergTable(spark, loc)
+    snap = t.resolve_snapshot(None, None)
+    by_sid = {}
+    for mf in t._manifest_files(snap):
+        by_sid.setdefault(mf["partition_spec_id"], 0)
+        by_sid[mf["partition_spec_id"]] += 1
+    assert set(by_sid) == {0, 1}  # one coalesced manifest PER SPEC
+    assert {r.id for r in t.read().collect()} == expect_all
+    assert {r.id for r in
+            t.read(eq_filters={"status": "O"}).collect()} >= (
+        set(range(50_000)) | {100_001}
+    )
+
+    # incremental compaction: the big spec-0 file is carried (not
+    # rewritten), small spec-1 files rewrite under the current spec
+    out = iceberg.compact_data_files(
+        spark, loc, small_file_mb=0.02, target_file_mb=1
+    )
+    assert out["files_kept"] >= 1 and out["files_rewritten"] >= 1
+    t = iceberg.IcebergTable(spark, loc)
+    assert {r.id for r in t.read().collect()} == expect_all
+    # the carried file still prunes through spec 0; filter on k keeps
+    # every old row (unprunable there) and prunes new-spec files
+    assert {r.id for r in
+            t.read(eq_filters={"k": 2}).filter("k = 2").collect()} == {
+        2, 9, 16, 23, 30, 37, 44
+    } | {100_001} | {i for i in range(50_000) if i % 7 == 2}
