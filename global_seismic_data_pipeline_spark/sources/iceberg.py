@@ -372,17 +372,49 @@ class IcebergTable:
         enter it, and it survives expiry holes in the parent chain)
         unioned with the current parent walk (covers foreign tables
         whose snapshot-log was truncated), intersected with the live
-        snapshot set. Known limit: a FOREIGN engine's rollback leaves
-        the rolled-back snapshot's log entry behind — this reader (like
-        its pre-branch tail, which walked every snapshot) still counts
-        it; this writer has no rollback op, so its own tables never
-        produce that shape."""
-        out = {
-            e["snapshot-id"]
-            for e in self.metadata.get("snapshot-log", [])
-        }
-        out |= self._ancestry_ids()
-        return out & {s["snapshot-id"] for s in self.snapshots()}
+        snapshot set.
+
+        Rollback-aware: ``rollback_to_snapshot`` (ours or a foreign
+        engine's) appends the rolled-back-TO head to the log, so the
+        log walks BACKWARD in commit order there. Main otherwise only
+        moves forward (every commit takes last-sequence-number + 1,
+        which never decreases), so a logged head with a LOWER key than
+        its predecessor proves a rollback — the retracted entries
+        (key above the rolled-back head, logged before it) drop out of
+        main's history, exactly what tails/cherry-pick must see. The
+        key is the sequence-number (timestamp fallback for v1), NOT
+        log order, so expiry holes never masquerade as rollbacks."""
+        snaps = {s["snapshot-id"]: s for s in self.snapshots()}
+        if snaps and all(
+            "sequence-number" in s for s in snaps.values()
+        ):
+            def key(s):
+                return s["sequence-number"]
+        else:
+            def key(s):
+                return s["timestamp-ms"]
+        accepted: set = set()
+        prev_key = None
+        for e in self.metadata.get("snapshot-log", []):
+            sid = e["snapshot-id"]
+            s = snaps.get(sid)
+            if s is None:
+                # expired entry: keep for the union (the live-set
+                # intersect drops it) but it cannot witness a rollback
+                accepted.add(sid)
+                continue
+            k = key(s)
+            if prev_key is not None and k < prev_key:
+                # rollback: everything made current ABOVE the restored
+                # head was retracted
+                accepted = {
+                    x for x in accepted
+                    if x not in snaps or key(snaps[x]) <= k
+                }
+            accepted.add(sid)
+            prev_key = k
+        out = accepted | self._ancestry_ids()
+        return out & set(snaps)
 
     def resolve_snapshot(
         self,
@@ -955,7 +987,9 @@ class IcebergTable:
     def inspect(self, kind: str) -> DataFrame:
         """Iceberg's metadata tables (``db.table.snapshots`` /
         ``.history`` / ``.refs`` / ``.manifests`` / ``.files`` /
-        ``.delete_files`` / ``.partitions``) as DataFrames — the
+        ``.delete_files`` / ``.partitions`` / ``.entries`` /
+        ``.all_manifests`` / ``.all_files`` / ``.all_data_files`` /
+        ``.all_delete_files``) as DataFrames — the
         operational surface every Iceberg user queries for table
         forensics. All rows are METADATA-scale (snapshot log, manifest
         list, file entries), built driver-side and handed to Spark;
@@ -1072,9 +1106,133 @@ class IcebergTable:
                 "partition map<string,string>, record_count long, "
                 "file_count long, total_size_bytes long",
             )
+        if kind == "entries":
+            # the spec's .entries table: RAW manifest entries of the
+            # current snapshot, DELETED tombstone rows included (the
+            # one view that shows them), with the spec's sequence
+            # inheritance applied per entry
+            snap = self.resolve_snapshot(None, None)
+            snap_seq = snap.get("sequence-number", 0) or 0
+            rows = []
+            for mf in self._manifest_files(snap):
+                mseq = mf.get("sequence_number")
+                if mseq is None:
+                    mseq = snap_seq
+                _, recs = avrofile.read_file(
+                    _strip_scheme(mf["manifest_path"])
+                )
+                for e in recs:
+                    df_rec = e.get("data_file") or {}
+                    eseq = e.get("sequence_number")
+                    rows.append((
+                        int(e["status"]),
+                        (
+                            e.get("snapshot_id")
+                            if e.get("snapshot_id") is not None
+                            else mf.get("added_snapshot_id")
+                        ),
+                        int(mseq if eseq is None else eseq),
+                        e.get("file_sequence_number"),
+                        int(df_rec.get("content") or 0),
+                        df_rec.get("file_path"),
+                        int(df_rec.get("record_count") or 0),
+                        int(mf.get("partition_spec_id") or 0),
+                    ))
+            return self.spark.createDataFrame(
+                rows,
+                "status int, snapshot_id long, sequence_number long, "
+                "file_sequence_number long, content int, "
+                "file_path string, record_count long, "
+                "partition_spec_id int",
+            )
+        if kind == "all_manifests":
+            # manifests across EVERY snapshot, one row per
+            # (snapshot, manifest) reference — carried manifests
+            # repeat with their referencing snapshot id, same as the
+            # spec's all_manifests
+            rows = []
+            for s in self.snapshots():
+                for m in self._manifest_files(s):
+                    rows.append((
+                        int(m.get("content") or 0),
+                        m["manifest_path"],
+                        int(m.get("manifest_length") or 0),
+                        int(m.get("partition_spec_id") or 0),
+                        m.get("added_snapshot_id"),
+                        m.get("sequence_number"),
+                        m.get("min_sequence_number"),
+                        s["snapshot-id"],
+                    ))
+            return self.spark.createDataFrame(
+                rows,
+                "content int, path string, length long, "
+                "partition_spec_id int, added_snapshot_id long, "
+                "sequence_number long, min_sequence_number long, "
+                "reference_snapshot_id long",
+            )
+        if kind in ("all_files", "all_data_files", "all_delete_files"):
+            # every file reachable from ANY snapshot, deduplicated by
+            # path — each unique manifest Avro opens exactly ONCE
+            # (pooled above the same threshold as _live_entries; a
+            # carried manifest is shared by every later snapshot)
+            paths: list[str] = []
+            seen_mf: set[str] = set()
+            for s in self.snapshots():
+                for m in self._manifest_files(s):
+                    p = _strip_scheme(m["manifest_path"])
+                    if p not in seen_mf:
+                        seen_mf.add(p)
+                        paths.append(p)
+            if len(paths) >= _PARALLEL_MANIFEST_OPENS:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(
+                    max_workers=min(16, len(paths))
+                ) as ex:
+                    loaded = list(ex.map(
+                        lambda p: avrofile.read_file(p)[1], paths
+                    ))
+            else:
+                loaded = [avrofile.read_file(p)[1] for p in paths]
+            want = {
+                "all_files": (0, 1, 2),
+                "all_data_files": (0,),
+                "all_delete_files": (1, 2),
+            }[kind]
+            seen_fp: set[str] = set()
+            rows = []
+            for recs in loaded:
+                for e in recs:
+                    if e["status"] == _STATUS_DELETED:
+                        continue
+                    f = e.get("data_file") or {}
+                    fp = f.get("file_path")
+                    fc = int(f.get("content") or 0)
+                    if fp in seen_fp or fc not in want:
+                        continue
+                    seen_fp.add(fp)
+                    rows.append((
+                        fc,
+                        fp,
+                        f.get("file_format") or "PARQUET",
+                        {
+                            k: (None if v is None else str(v))
+                            for k, v in (f.get("partition") or {}).items()
+                        },
+                        int(f.get("record_count") or 0),
+                        int(f.get("file_size_in_bytes") or 0),
+                    ))
+            return self.spark.createDataFrame(
+                rows,
+                "content int, file_path string, file_format string, "
+                "partition map<string,string>, record_count long, "
+                "file_size_in_bytes long",
+            )
         raise IcebergError(
             f"unknown metadata table {kind!r} (have snapshots, "
-            "history, refs, manifests, files, delete_files, partitions)"
+            "history, refs, manifests, files, delete_files, "
+            "partitions, entries, all_manifests, all_files, "
+            "all_data_files, all_delete_files)"
         )
 
     # ------------------------------------------------- incremental Δ
@@ -2138,15 +2296,27 @@ def _write_snapshot(
         # version's entry (spec: metadata-log)
         "metadata-log": (base or {}).get("metadata-log", []),
         # named references: tags/branches survive commits verbatim;
-        # the written branch moves; main always tracks the current
+        # the written branch moves — PRESERVING its retention fields
+        # (a per-ref max-ref-age-ms must survive the move or the
+        # branch never ages out); main always tracks the current
         # snapshot (spec)
         "refs": {
             **(base or {}).get("refs", {}),
             **(
-                {to_ref: {"snapshot-id": snapshot_id, "type": "branch"}}
+                {
+                    to_ref: {
+                        **((base or {}).get("refs", {}).get(to_ref) or {}),
+                        "snapshot-id": snapshot_id,
+                        "type": "branch",
+                    }
+                }
                 if to_ref is not None
                 else {
-                    "main": {"snapshot-id": snapshot_id, "type": "branch"}
+                    "main": {
+                        **((base or {}).get("refs", {}).get("main") or {}),
+                        "snapshot-id": snapshot_id,
+                        "type": "branch",
+                    }
                 }
             ),
         },
@@ -3177,6 +3347,75 @@ def set_properties(
     return {"properties": merged}
 
 
+def rollback_to_snapshot(
+    spark: SparkSession, location: str, snapshot_id: int
+) -> dict:
+    """Roll main back to an ANCESTOR snapshot — Iceberg's
+    ``rollback_to_snapshot`` procedure, the bad-commit undo every
+    operated table eventually needs. Metadata-only: no snapshot is
+    written and no file moves; ``current-snapshot-id`` and the
+    ``main`` ref move to the target and the snapshot-log records the
+    target as made-current AGAIN (spec shape — a foreign reader sees
+    the same log). Retracted commits stay live for time travel /
+    forensics until ``expire_snapshots`` collects them, but
+    ``_main_lineage_ids`` (tails, ``inspect('history')``,
+    ``cherry_pick``'s ancestry guard) drops them immediately — a
+    cursor parked on a retracted snapshot refuses loudly instead of
+    replaying retracted rows."""
+    t = IcebergTable(spark, location)
+    t.resolve_snapshot(snapshot_id)  # must exist
+    cur = t.current_snapshot_id()
+    if snapshot_id == cur:
+        return {"rolled_back_to": snapshot_id, "retracted": 0}
+    if snapshot_id not in t._ancestry_ids():
+        raise IcebergError(
+            f"snapshot {snapshot_id} is not an ancestor of the current "
+            f"head {cur} — use set_current_snapshot to move across "
+            "lineages explicitly"
+        )
+    return _move_main(t, location, snapshot_id)
+
+
+def set_current_snapshot(
+    spark: SparkSession, location: str, snapshot_id: int
+) -> dict:
+    """Move main to ANY live snapshot (Iceberg's
+    ``set_current_snapshot``) — the cross-lineage variant of
+    :func:`rollback_to_snapshot` for restoring e.g. a tagged state
+    that is no longer on main's chain."""
+    t = IcebergTable(spark, location)
+    t.resolve_snapshot(snapshot_id)
+    if snapshot_id == t.current_snapshot_id():
+        return {"rolled_back_to": snapshot_id, "retracted": 0}
+    return _move_main(t, location, snapshot_id)
+
+
+def _move_main(t: IcebergTable, location: str, snapshot_id: int) -> dict:
+    before = t._main_lineage_ids()
+    now_ms = int(time.time() * 1000)
+    meta = dict(t.metadata)
+    meta["current-snapshot-id"] = snapshot_id
+    meta["refs"] = {
+        **meta.get("refs", {}),
+        "main": {
+            **(meta.get("refs", {}).get("main") or {}),
+            "snapshot-id": snapshot_id,
+            "type": "branch",
+        },
+    }
+    meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+        {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+    ]
+    meta["last-updated-ms"] = now_ms
+    _publish(location, meta)
+    t2 = IcebergTable(t.spark, location)
+    after = t2._main_lineage_ids()
+    return {
+        "rolled_back_to": snapshot_id,
+        "retracted": len(before - after),
+    }
+
+
 def update_partition_spec(
     spark: SparkSession, location: str, partition_by
 ) -> IcebergTable:
@@ -3327,11 +3566,45 @@ def cherry_pick(
         raise IcebergError(
             f"snapshot {snapshot_id} is already on main's lineage"
         )
+    # durable double-apply registry: summaries expire with their
+    # snapshots and compaction can rewrite the picked files, so the
+    # applied (source, replay) pairs ALSO persist as a table property
+    # that survives both — a retry after expire+compact still refuses.
+    # One exception: a replay snapshot that is still LIVE but was
+    # RETRACTED from main by rollback_to_snapshot frees its source for
+    # a legitimate re-pick (the recovery flow rollback exists for).
+    picked_prop = (t.metadata.get("properties") or {}).get(
+        "history.cherry-picked-snapshot-ids", ""
+    )
+    picked_pairs: dict[int, int | None] = {}
+    for tok in picked_prop.split(","):
+        tok = tok.strip()
+        if not tok:
+            continue
+        src, _, rep = tok.partition(":")
+        picked_pairs[int(src)] = int(rep) if rep else None
+    if snapshot_id in picked_pairs:
+        rep = picked_pairs[snapshot_id]
+        live_ids = {s["snapshot-id"] for s in t.snapshots()}
+        retracted = (
+            rep is not None
+            and rep in live_ids
+            and rep not in t._main_lineage_ids()
+        )
+        if not retracted:
+            raise IcebergError(
+                f"snapshot {snapshot_id} was already cherry-picked "
+                "(durable registry) — retrying would duplicate its rows"
+            )
+        del picked_pairs[snapshot_id]
     prior = next(
         (
             s for s in t.snapshots()
             if (s.get("summary") or {}).get("source-snapshot-id")
             == str(snapshot_id)
+            # a replay RETRACTED by rollback_to_snapshot (live but
+            # off-main) does not block a re-pick
+            and s["snapshot-id"] in t._main_lineage_ids()
         ),
         None,
     )
@@ -3377,6 +3650,14 @@ def cherry_pick(
     )
     new_snap = meta["snapshots"][-1]
     new_snap["summary"]["source-snapshot-id"] = str(snapshot_id)
+    picked_pairs[snapshot_id] = new_snap["snapshot-id"]
+    meta["properties"] = {
+        **(meta.get("properties") or {}),
+        "history.cherry-picked-snapshot-ids": ",".join(
+            f"{s}:{r}" if r is not None else str(s)
+            for s, r in sorted(picked_pairs.items())
+        ),
+    }
     _publish(location, meta)
     return {
         "picked": snapshot_id,
@@ -3406,6 +3687,13 @@ def fast_forward(
             )
         to_head = t.current_snapshot_id()
     else:
+        if refs[to].get("type") != "branch":
+            # real Iceberg's fast_forward takes a BRANCH target; a
+            # typo'd tag name must not become a silent publish
+            raise IcebergError(
+                f"fast_forward target {to!r} is a "
+                f"{refs[to].get('type')}, not a branch"
+            )
         to_head = refs[to]["snapshot-id"]
     if branch == "main":
         from_head = t.current_snapshot_id()
@@ -3440,8 +3728,15 @@ def fast_forward(
     path.reverse()
     now_ms = int(time.time() * 1000)
     meta = dict(t.metadata)
+    # preserve the moved branch's retention fields (per-ref
+    # max-ref-age-ms must survive the publish)
     meta["refs"] = {
-        **refs, branch: {"snapshot-id": to_head, "type": "branch"},
+        **refs,
+        branch: {
+            **(refs.get(branch) or {}),
+            "snapshot-id": to_head,
+            "type": "branch",
+        },
     }
     if branch == "main":
         meta["current-snapshot-id"] = to_head

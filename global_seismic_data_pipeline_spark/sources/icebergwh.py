@@ -245,6 +245,19 @@ class IcebergWarehouse(Warehouse):
     def remove_orphan_files(self, name: str, **kw) -> dict:
         return ib.remove_orphan_files(self.spark, self.path(name), **kw)
 
+    def rollback_to_snapshot(self, name: str, snapshot_id: int) -> dict:
+        """Undo bad commits: move main back to an ancestor snapshot
+        (metadata-only; retracted commits stay time-travelable until
+        expiry but leave main's lineage immediately)."""
+        return ib.rollback_to_snapshot(
+            self.spark, self.path(name), snapshot_id
+        )
+
+    def set_current_snapshot(self, name: str, snapshot_id: int) -> dict:
+        return ib.set_current_snapshot(
+            self.spark, self.path(name), snapshot_id
+        )
+
     def update_partition_spec(self, name: str, partition_by) -> None:
         """ALTER TABLE ... partition-spec evolution: metadata-only —
         new writes lay out under the new spec, old files stay under

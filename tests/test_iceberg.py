@@ -2977,3 +2977,264 @@ def test_iceberg_spec_evolution_maintenance_preserves_reads(
             t.read(eq_filters={"k": 2}).filter("k = 2").collect()} == {
         2, 9, 16, 23, 30, 37, 44
     } | {100_001} | {i for i in range(50_000) if i % 7 == 2}
+
+
+def test_iceberg_branch_moves_preserve_retention_fields(spark, tmp_path):
+    """A branch commit and a fast_forward both REBUILD the moved ref's
+    entry; a per-ref max-ref-age-ms set at create_ref must survive both
+    moves or the branch never ages out under expire_snapshots
+    (retention leak)."""
+    loc = str(tmp_path / "reften")
+    iceberg.create_table(
+        spark, loc, spark.createDataFrame([(1,)], "id long"),
+        format_version=2,
+    )
+    iceberg.create_ref(
+        spark, loc, "audit", kind="branch", max_ref_age_ms=12345,
+    )
+    # branch commit moves the ref
+    t = iceberg.append(
+        spark, loc, spark.createDataFrame([(2,)], "id long"),
+        to_ref="audit",
+    )
+    assert t.refs()["audit"]["max-ref-age-ms"] == 12345
+    # fast_forward moves it again (publish main onto the branch head,
+    # then move the branch itself via branch=audit, to=main is a no-op
+    # here; instead publish main and check audit kept its field)
+    iceberg.fast_forward(spark, loc, "main", "audit")
+    t = iceberg.IcebergTable(spark, loc)
+    assert t.refs()["audit"]["max-ref-age-ms"] == 12345
+    # moving the BRANCH by fast-forward also preserves the field:
+    # advance main, then fast-forward audit to main
+    iceberg.append(spark, loc, spark.createDataFrame([(3,)], "id long"))
+    iceberg.fast_forward(spark, loc, "audit", "main")
+    t = iceberg.IcebergTable(spark, loc)
+    assert t.refs()["audit"]["max-ref-age-ms"] == 12345
+
+
+def test_iceberg_fast_forward_refuses_tag_target(spark, tmp_path):
+    """Real Iceberg's fast_forward takes a BRANCH target — a typo'd tag
+    name must refuse, not silently publish."""
+    loc = str(tmp_path / "fftag")
+    iceberg.create_table(
+        spark, loc, spark.createDataFrame([(1,)], "id long"),
+        format_version=2,
+    )
+    iceberg.create_ref(spark, loc, "v1", kind="tag")
+    iceberg.create_ref(spark, loc, "dev", kind="branch")
+    iceberg.append(
+        spark, loc, spark.createDataFrame([(2,)], "id long"),
+        to_ref="dev",
+    )
+    with pytest.raises(iceberg.IcebergError, match="not a branch"):
+        iceberg.fast_forward(spark, loc, "main", "v1")
+    # the branch target still publishes
+    out = iceberg.fast_forward(spark, loc, "main", "dev")
+    assert out["published"] == 1
+
+
+def test_iceberg_cherry_pick_durable_registry(spark, tmp_path):
+    """The double-apply guard survives expire_snapshots AND compaction:
+    provenance summaries expire with their snapshots and compaction
+    rewrites the picked files, but the applied source ids persist as a
+    table property, so a late retry still refuses."""
+    loc = str(tmp_path / "ckpk")
+    iceberg.create_table(
+        spark, loc, spark.createDataFrame([(1,)], "id long"),
+        format_version=2,
+    )
+    iceberg.create_ref(spark, loc, "wip", kind="branch")
+    iceberg.append(
+        spark, loc, spark.createDataFrame([(2,)], "id long"),
+        to_ref="wip",
+    )
+    t = iceberg.IcebergTable(spark, loc)
+    staged = t.refs()["wip"]["snapshot-id"]
+    # pin the SOURCE with a tag so it outlives expiry (the retry must
+    # still be able to resolve it — that is the hazard window)
+    iceberg.create_ref(spark, loc, "keep", kind="tag", snapshot_id=staged)
+    # diverge main so fast_forward would refuse; cherry-pick instead
+    iceberg.append(spark, loc, spark.createDataFrame([(3,)], "id long"))
+    iceberg.cherry_pick(spark, loc, staged)
+    t = iceberg.IcebergTable(spark, loc)
+    assert {r.id for r in t.read().collect()} == {1, 2, 3}
+    # advance main past the REPLAY snapshot, drop the branch, expire
+    # (the replay's provenance summary goes away), and compact (the
+    # picked files rewrite) — both pre-registry guards lose their
+    # evidence while the tagged source stays resolvable
+    iceberg.drop_ref(spark, loc, "wip")
+    iceberg.append(spark, loc, spark.createDataFrame([(4,)], "id long"))
+    iceberg.expire_snapshots(spark, loc, keep_last=1)
+    iceberg.compact_data_files(spark, loc)
+    iceberg.expire_snapshots(spark, loc, keep_last=1)
+    t = iceberg.IcebergTable(spark, loc)
+    assert not any(
+        (s.get("summary") or {}).get("source-snapshot-id")
+        == str(staged)
+        for s in t.snapshots()
+    ), "provenance summary must be gone for the hazard to be real"
+    with pytest.raises(iceberg.IcebergError, match="already"):
+        iceberg.cherry_pick(spark, loc, staged)
+    t = iceberg.IcebergTable(spark, loc)
+    assert sorted(r.id for r in t.read().collect()) == [1, 2, 3, 4]
+
+
+def test_iceberg_rollback_to_snapshot(spark, tmp_path):
+    """rollback_to_snapshot: metadata-only undo. Main, the tail
+    consumer, inspect('history'), and cherry_pick's ancestry guard all
+    agree the retracted commits left main — while time travel to them
+    keeps working until expiry."""
+    loc = str(tmp_path / "rb")
+    t = iceberg.create_table(
+        spark, loc, spark.createDataFrame([(1,)], "id long"),
+        format_version=2,
+    )
+    good = t.current_snapshot_id()
+    t = iceberg.append(spark, loc, spark.createDataFrame([(2,)], "id long"))
+    bad = t.current_snapshot_id()
+    out = iceberg.rollback_to_snapshot(spark, loc, good)
+    assert out["rolled_back_to"] == good and out["retracted"] == 1
+    t = iceberg.IcebergTable(spark, loc)
+    # main reads the restored state; the bad commit left main's lineage
+    assert {r.id for r in t.read().collect()} == {1}
+    assert t.current_snapshot_id() == good
+    assert bad not in t._main_lineage_ids()
+    # ...but stays time-travelable until expiry
+    assert {r.id for r in t.read(snapshot_id=bad).collect()} == {1, 2}
+    # history shows the restore as made-current again, bad not ancestry
+    hist = {
+        r.snapshot_id: r.is_ancestor_of_current
+        for r in t.inspect("history").collect()
+    }
+    assert hist[good] is True and hist.get(bad, False) is False
+    # a tail cursor parked on the retracted snapshot refuses loudly
+    with pytest.raises(iceberg.IcebergError, match="cannot prove"):
+        t.tail(bad)
+    # tail from the good cursor: nothing new (the retracted rows are
+    # NOT replayed)
+    rows, cur = t.tail(good)
+    assert rows.count() == 0 and cur == good
+    # appends after the rollback continue normally and tails see them
+    t = iceberg.append(spark, loc, spark.createDataFrame([(3,)], "id long"))
+    assert {r.id for r in t.read().collect()} == {1, 3}
+    rows, cur = t.tail(good)
+    assert {r.id for r in rows.collect()} == {3}
+    assert bad not in t._main_lineage_ids()
+    # non-ancestor target refuses; set_current_snapshot crosses
+    with pytest.raises(iceberg.IcebergError, match="not an ancestor"):
+        iceberg.rollback_to_snapshot(spark, loc, bad)
+    iceberg.set_current_snapshot(spark, loc, bad)
+    t = iceberg.IcebergTable(spark, loc)
+    assert {r.id for r in t.read().collect()} == {1, 2}
+
+
+def test_iceberg_rollback_frees_cherry_pick_and_expiry(spark, tmp_path):
+    """Interactions: (a) a cherry-pick whose replay was RETRACTED by
+    rollback may be legitimately re-picked (the durable registry frees
+    it while the replay is live-but-off-main); (b) expire_snapshots
+    collects retracted commits once they age out of every retention
+    rule; (c) cherry-pick onto the rolled-back main still refuses a
+    source already on main's lineage."""
+    loc = str(tmp_path / "rb2")
+    iceberg.create_table(
+        spark, loc, spark.createDataFrame([(1,)], "id long"),
+        format_version=2,
+    )
+    iceberg.create_ref(spark, loc, "wip", kind="branch")
+    iceberg.append(
+        spark, loc, spark.createDataFrame([(2,)], "id long"),
+        to_ref="wip",
+    )
+    t = iceberg.IcebergTable(spark, loc)
+    staged = t.refs()["wip"]["snapshot-id"]
+    base = t.current_snapshot_id()
+    iceberg.append(spark, loc, spark.createDataFrame([(3,)], "id long"))
+    pick = iceberg.cherry_pick(spark, loc, staged)
+    # retry refuses while the replay sits on main
+    with pytest.raises(iceberg.IcebergError, match="already"):
+        iceberg.cherry_pick(spark, loc, staged)
+    # roll back BELOW the replay: the pick is retracted, source freed
+    t = iceberg.IcebergTable(spark, loc)
+    parent = next(
+        s for s in t.snapshots()
+        if s["snapshot-id"] == pick["snapshot_id"]
+    )["parent-snapshot-id"]
+    iceberg.rollback_to_snapshot(spark, loc, parent)
+    t = iceberg.IcebergTable(spark, loc)
+    assert {r.id for r in t.read().collect()} == {1, 3}
+    pick2 = iceberg.cherry_pick(spark, loc, staged)
+    t = iceberg.IcebergTable(spark, loc)
+    assert {r.id for r in t.read().collect()} == {1, 2, 3}
+    # and the SECOND application is again double-apply protected
+    with pytest.raises(iceberg.IcebergError, match="already"):
+        iceberg.cherry_pick(spark, loc, staged)
+    # the source remains on wip; a cherry-pick of a snapshot already
+    # on main (the replay) refuses via the lineage guard
+    with pytest.raises(iceberg.IcebergError, match="already on main"):
+        iceberg.cherry_pick(spark, loc, pick2["snapshot_id"])
+    # retracted first replay is expirable once the branch no longer
+    # pins it (it never did) and retention allows
+    iceberg.drop_ref(spark, loc, "wip")
+    out = iceberg.expire_snapshots(spark, loc, keep_last=1)
+    t = iceberg.IcebergTable(spark, loc)
+    live = {s["snapshot-id"] for s in t.snapshots()}
+    assert pick["snapshot_id"] not in live
+    assert {r.id for r in t.read().collect()} == {1, 2, 3}
+
+
+def test_iceberg_inspect_entries_and_all_tables(spark, tmp_path):
+    """The spec's .entries / .all_manifests / .all_files metadata
+    tables: entries shows RAW statuses (including the delete-file
+    entry with its own sequence number), all_manifests crosses every
+    snapshot with a reference_snapshot_id, all_files dedups by path
+    across history (a compacted-away file is still listed)."""
+    loc = str(tmp_path / "insp")
+    t = iceberg.create_table(
+        spark, loc,
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string"),
+        format_version=2,
+    )
+    iceberg.append(
+        spark, loc, spark.createDataFrame([(3, "c")], "id long, s string")
+    )
+    iceberg.delete_where(spark, loc, "id = 2")
+    t = iceberg.IcebergTable(spark, loc)
+
+    ent = t.inspect("entries").collect()
+    # data entries: the two appends' files (status ADDED, content 0)
+    data_ent = [e for e in ent if e.content == 0]
+    assert all(e.status == 1 for e in data_ent)
+    assert sum(e.record_count for e in data_ent) == 3
+    # the positional tombstone file appears with content 1 and the
+    # DELETE snapshot's sequence number (> both appends')
+    del_ent = [e for e in ent if e.content == 1]
+    assert len(del_ent) == 1 and del_ent[0].status == 1
+    assert del_ent[0].sequence_number > max(
+        e.sequence_number for e in data_ent
+    )
+    assert del_ent[0].record_count == 1
+    assert all(e.snapshot_id is not None for e in ent)
+
+    am = t.inspect("all_manifests").collect()
+    snaps = {s["snapshot-id"] for s in t.snapshots()}
+    assert {r.reference_snapshot_id for r in am} == snaps
+    # carried manifests repeat under later snapshots
+    assert len(am) > len(t._manifest_files(t.resolve_snapshot(None)))
+
+    # compact: the pre-compaction data files leave the LIVE set but
+    # all_files still lists them (reachable via old snapshots)
+    live_before = {f["file_path"] for f in t.data_files()}
+    iceberg.compact_data_files(spark, loc)
+    t = iceberg.IcebergTable(spark, loc)
+    live_after = {f["file_path"] for f in t.data_files()}
+    assert live_before - live_after  # something was rewritten away
+    af = t.inspect("all_files").collect()
+    all_paths = {r.file_path for r in af}
+    assert live_before <= all_paths and live_after <= all_paths
+    # content split views
+    assert {r.content for r in t.inspect("all_data_files").collect()} \
+        == {0}
+    assert {r.content for r in t.inspect("all_delete_files").collect()} \
+        == {1}
+    # dedup: one row per unique path
+    assert len(all_paths) == len(af)
