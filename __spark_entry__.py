@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             workloads_ext.iceberg_partitions_metadata_orders,
         "iceberg_spec_evolution_orders":
             workloads_ext.iceberg_spec_evolution_orders,
+        "delta_cdf_file_orders": workloads_ext.delta_cdf_file_orders,
         "incremental_minhash_dedup": workloads_ext.incremental_minhash_dedup,
         "ivf_index_drift": workloads_ext.ivf_index_drift,
         "hilbert_cluster_lineitem": workloads_ext.hilbert_cluster_lineitem,

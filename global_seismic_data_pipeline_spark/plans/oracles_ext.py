@@ -3650,3 +3650,10 @@ FROM orders
 WHERE o_orderkey % 3 IN (0, 1)
 GROUP BY o_orderstatus
 """
+
+
+# delta_cdf_file_orders replays the SAME set-theoretic change feed as
+# cdf_order_changes (merge-commit changes at version 2, the band
+# removal at version 3) — the Spark side produces it from the spec's
+# _change_data files instead of snapshot diffs
+ORACLES_EXT["delta_cdf_file_orders"] = CDF_ORDER_CHANGES_SQL

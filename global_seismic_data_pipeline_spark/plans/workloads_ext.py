@@ -3513,3 +3513,47 @@ def iceberg_spec_evolution_orders(
         .crossJoin(F.broadcast(pruned_o))
         .crossJoin(F.broadcast(cust))
     )
+
+
+def delta_cdf_file_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILE-BASED change data feed on the real Delta log
+    (sources/deltalog.py ``stage_cdc_files`` + ``table_changes_from_log``
+    — the spec's CDF: rewrite commits publish ``_change_data`` files +
+    cdc actions, and the reader serves changes from THOSE files, exact
+    update pre/postimage pairing included, no keys needed). v-seed
+    lands a subset of orders, CDF flips on, a MERGE updates+inserts,
+    and a deletion-vector DELETE removes a band; the feed over the two
+    change commits must equal the set-theoretic diff the oracle
+    recomputes — a missing change file, a double-counted add in a cdc
+    commit, or a wrong pairing all hash-fail. Versions are normalized
+    (merge → 2, delete → 3) so the oracle replays literals."""
+    import tempfile
+
+    from ..sources import deltalog as dl
+    from ..sources.deltawh import DeltaLogWarehouse
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    wh = DeltaLogWarehouse(spark, tempfile.mkdtemp(prefix="cdffile-"))
+    wh.overwrite(orders.filter(F.col("o_orderkey") % 10 < 5), "ord")
+    dl.commit_set_properties(
+        wh.path("ord"), {"delta.enableChangeDataFeed": "true"}
+    )
+    updates = orders.filter(
+        (F.col("o_orderkey") % 10 >= 3) & (F.col("o_orderkey") % 10 <= 6)
+    ).select(
+        "o_orderkey", (F.col("o_custkey") + 1000000).alias("o_custkey")
+    )
+    wh.merge(updates, "ord", ["o_orderkey"])
+    v_merge = dl.snapshot_state(wh.path("ord"))["version"]
+    wh.delete_with_dv("ord", "o_orderkey % 10 = 0", max_rows=10_000_000)
+    v_del = dl.snapshot_state(wh.path("ord"))["version"]
+    return wh.table_changes("ord", v_merge, v_del).select(
+        "o_orderkey",
+        "o_custkey",
+        "_change_type",
+        (F.col("_commit_version") - F.lit(v_merge) + F.lit(2))
+        .cast("long")
+        .alias("_commit_version"),
+    )

@@ -74,7 +74,7 @@ from urllib.parse import quote, unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 _LOG = "_delta_log"
 _LAST_CHECKPOINT = "_last_checkpoint"
@@ -231,6 +231,7 @@ def _check_writer_protocol(
     has_removes: bool,
     adds_rows: bool = True,
     enforced_constraints: frozenset = frozenset(),
+    has_cdc: bool = False,
 ) -> None:
     """Refuse-loudly writer gate (mirror of the reader gate): appending to
     a foreign table whose protocol demands enforcement this writer does
@@ -267,11 +268,18 @@ def _check_writer_protocol(
             "table is delta.appendOnly=true: overwrite/rewrite commits "
             "(remove actions) are forbidden by its writer contract"
         )
-    if conf.get("delta.enableChangeDataFeed") == "true" and has_removes:
+    if (
+        conf.get("delta.enableChangeDataFeed") == "true"
+        and has_removes
+        and not has_cdc
+    ):
         raise DeltaProtocolError(
             "table has delta.enableChangeDataFeed=true: rewrite commits "
-            "must publish _change_data files this writer does not produce "
-            "(pure appends are fine — CDF readers derive them from adds)"
+            "must publish _change_data files (cdc actions) in the same "
+            "commit — stage them via stage_cdc_files and pass "
+            "cdc_actions (DeltaLogWarehouse.merge/overwrite/"
+            "delete_with_dv do); pure appends are fine, CDF readers "
+            "derive them from adds"
         )
     if not adds_rows:
         return
@@ -1373,6 +1381,7 @@ def commit_write(
     enforced_constraints: frozenset = frozenset(),
     data_change: bool = True,
     row_ids_preserved: bool = False,
+    cdc_actions: Sequence[Mapping] | None = None,
 ) -> int:
     """Phase 2: move staged files into the table and publish the commit
     JSON put-if-absent. On a lost race the commit (including overwrite's
@@ -1467,7 +1476,7 @@ def commit_write(
                 # this (appId, version) already committed: duplicate
                 # delivery — unlink the staged-in files (referenced by no
                 # commit) and report the skip
-                for a in moved:
+                for a in list(moved) + list(cdc_actions or []):
                     try:
                         os.remove(os.path.join(table_path, unquote(a["path"])))
                     except FileNotFoundError:
@@ -1478,6 +1487,7 @@ def commit_write(
                 prev["protocol"], prev_meta,
                 has_removes=(mode == "overwrite" or extra_removes is not None),
                 enforced_constraints=enforced_constraints,
+                has_cdc=bool(cdc_actions),
             )
             ict = _ict_value(prev)
             if ict is not None:
@@ -1624,6 +1634,11 @@ def commit_write(
                 "lastUpdated": int(time.time() * 1000),
             }})
         actions += [{"add": a} for a in moved]
+        # spec: cdc actions publish the commit's _change_data files;
+        # when present, CDF readers use them EXCLUSIVELY for this
+        # version (the adds/removes are the rewrite mechanics, not the
+        # row-level change set)
+        actions += [{"cdc": dict(c)} for c in (cdc_actions or [])]
 
         final = os.path.join(log, f"{version:020d}.json")
         tmp = os.path.join(log, f".{uuid.uuid4().hex}.json.tmp")
@@ -1653,6 +1668,7 @@ def commit_dv_update(
     operation: str = "DELETE",
     max_retries: int = 20,
     base_dvs: Mapping[str, Mapping | None] | None = None,
+    cdc_actions: Sequence[Mapping] | None = None,
 ) -> int:
     """Publish a metadata-only commit replacing the add entries of
     ``new_adds`` (encoded rel path → full add dict, normally the old add
@@ -1673,6 +1689,7 @@ def commit_dv_update(
         _check_writer_protocol(
             state["protocol"], state["metadata"],
             has_removes=True, adds_rows=False,
+            has_cdc=bool(cdc_actions),
         )
         for rel in new_adds:
             if rel not in state["files"]:
@@ -1728,6 +1745,7 @@ def commit_dv_update(
                 r["deletionVector"] = old_dv  # tombstone the superseded version
             actions.append({"remove": r})
             actions.append({"add": {**add, "dataChange": True}})
+        actions += [{"cdc": dict(c)} for c in (cdc_actions or [])]
         log = _log_dir(table_path)
         final = os.path.join(log, f"{version:020d}.json")
         tmp = os.path.join(log, f".{uuid.uuid4().hex}.json.tmp")
@@ -2355,3 +2373,218 @@ def vacuum_delta(table_path: str, *, retain_hours: float = 168.0) -> list[str]:
                 os.remove(abs_f)
                 deleted.append(rel)
     return deleted
+
+
+# --------------------------------------------------- change data feed
+
+def stage_cdc_files(
+    spark: SparkSession, table_path: str, change_df: DataFrame
+) -> list[dict]:
+    """Write change rows (table columns + ``_change_type``) as parquet
+    under ``_change_data/`` and return the spec's cdc action dicts for
+    :func:`commit_write`/:func:`commit_dv_update` — the files and the
+    actions MUST publish in the same commit. Simplification vs the
+    full spec: the files carry every table column inline (including
+    partition columns) with ``partitionValues`` left empty; the reader
+    (:func:`table_changes_from_log`) honors BOTH that shape and the
+    partition-stripped foreign shape. Column-mapping tables refuse
+    (their change files would need physical-name layout)."""
+    import shutil
+
+    state = snapshot_state(table_path)
+    if _mapping_mode(state["metadata"]) != "none":
+        raise DeltaProtocolError(
+            "CDF change-file writes on column-mapping tables are not "
+            "supported by this writer (physical-name change layout)"
+        )
+    staging = os.path.join(
+        table_path, f".cdc-staging-{uuid.uuid4().hex}"
+    )
+    change_df.write.mode("overwrite").parquet(staging)
+    cdir = os.path.join(table_path, "_change_data")
+    os.makedirs(cdir, exist_ok=True)
+    actions: list[dict] = []
+    for root_, _dirs, fnames in os.walk(staging):
+        for f in sorted(fnames):
+            if not f.endswith(".parquet"):
+                continue
+            rel = f"_change_data/cdc-{uuid.uuid4().hex}.parquet"
+            os.rename(
+                os.path.join(root_, f), os.path.join(table_path, rel)
+            )
+            actions.append({
+                "path": rel,
+                "partitionValues": {},
+                "size": os.path.getsize(
+                    os.path.join(table_path, rel)
+                ),
+                # spec: cdc dataChange is always false (the row-level
+                # change set, not a table-data mutation)
+                "dataChange": False,
+            })
+    shutil.rmtree(staging, ignore_errors=True)
+    return actions
+
+
+def table_changes_from_log(
+    spark: SparkSession,
+    table_path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """File-based change data feed over a real ``_delta_log`` — the
+    spec's CDF read path, consuming FOREIGN tables' ``_change_data``
+    too. Per commit version in ``[from_version, to_version]``:
+
+    - ``cdc`` actions present → their files ARE the change set
+      (``_change_type`` column inside: insert / delete /
+      update_preimage / update_postimage), used EXCLUSIVELY per spec;
+    - else adds only (dataChange) → every added row is an ``insert``;
+    - else removes only (dataChange) → every removed row is a
+      ``delete`` (read through the PREVIOUS version's add records, so
+      partition values and DVs resolve correctly);
+    - mixed adds+removes without cdc → refuse loudly (a CDF-enabled
+      writer must have published change files; guessing row changes
+      from a rewrite would be silently wrong);
+    - dataChange=false only (OPTIMIZE) / metadata-only → no rows.
+
+    Output: table columns + ``_change_type``, ``_commit_version``,
+    ``_commit_timestamp_ms`` — same vocabulary as the versioned
+    backend's snapshot-diff ``table_changes``. Each commit is one
+    column-pruned parquet scan; consume incrementally at 100 TB."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    commits, checkpoints = _list_log(table_path)
+    if not commits and not checkpoints:
+        raise ValueError(f"{table_path!r} has no _delta_log commits")
+    latest = max(list(commits) + list(checkpoints))
+    if to_version is None:
+        to_version = latest
+    state = snapshot_state(table_path)
+    if _mapping_mode(state["metadata"]) != "none":
+        raise DeltaProtocolError(
+            "CDF reads on column-mapping tables are not supported here"
+        )
+    schema = delta_schema(state)
+    out_cols = [f.name for f in schema.fields]
+    parts: list[DataFrame] = []
+    for v in range(from_version, to_version + 1):
+        if v not in commits:
+            raise DeltaProtocolError(
+                f"commit {v} is no longer in the log (checkpointed/"
+                "cleaned) — its change set cannot be reconstructed; "
+                "advance the CDF cursor past it explicitly"
+            )
+        adds: list[dict] = []
+        removes: list[dict] = []
+        cdcs: list[dict] = []
+        commit_ts = None
+        cpath = os.path.join(_log_dir(table_path), commits[v])
+        with open(cpath) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "add" in action and action["add"].get(
+                    "dataChange", True
+                ):
+                    adds.append(_plain_add(action["add"]))
+                elif "remove" in action and action["remove"].get(
+                    "dataChange", True
+                ):
+                    removes.append(action["remove"])
+                elif "cdc" in action:
+                    cdcs.append(action["cdc"])
+                elif "commitInfo" in action:
+                    ci = action["commitInfo"]
+                    commit_ts = ci.get(
+                        "inCommitTimestamp", ci.get("timestamp")
+                    )
+        if commit_ts is None:
+            commit_ts = int(os.path.getmtime(cpath) * 1000)
+
+        if cdcs:
+            files = []
+            for c in cdcs:
+                p = os.path.join(table_path, unquote(c["path"]))
+                if not os.path.isfile(p):
+                    raise DeltaProtocolError(
+                        f"change file {c['path']!r} of commit {v} is "
+                        "gone (vacuumed past the CDF retention) — "
+                        "cannot serve changes for this version"
+                    )
+                files.append((p, c.get("partitionValues") or {}))
+            # group by identical partitionValues so partition-stripped
+            # foreign change files get their values re-attached
+            by_pv: dict[tuple, list[str]] = {}
+            for p, pv in files:
+                by_pv.setdefault(tuple(sorted(pv.items())), []).append(p)
+            pieces = []
+            for pv_items, paths in sorted(by_pv.items()):
+                df = spark.read.parquet(*paths)
+                pv = dict(pv_items)
+                for f in schema.fields:
+                    if f.name not in df.columns:
+                        if f.name in pv:
+                            df = df.withColumn(
+                                f.name,
+                                F.lit(pv[f.name]).cast(f.dataType),
+                            )
+                        else:
+                            df = df.withColumn(
+                                f.name, F.lit(None).cast(f.dataType)
+                            )
+                pieces.append(df.select(*out_cols, "_change_type"))
+            changed = reduce(lambda a, b: a.unionByName(b), pieces)
+        elif adds and not removes:
+            changed = _scan_adds(
+                spark, table_path, adds, state
+            ).select(*out_cols).withColumn(
+                "_change_type", F.lit("insert")
+            )
+        elif removes and not adds:
+            prev = snapshot_state(table_path, v - 1) if v else None
+            recs = []
+            for r in removes:
+                rec = (prev or {}).get("files", {}).get(r["path"])
+                if rec is None:
+                    raise DeltaProtocolError(
+                        f"remove {r['path']!r} in commit {v} references "
+                        "a file absent from version "
+                        f"{v - 1} — cannot derive its delete rows"
+                    )
+                recs.append(rec)
+            changed = _scan_adds(
+                spark, table_path, recs, prev
+            ).select(*out_cols).withColumn(
+                "_change_type", F.lit("delete")
+            )
+        elif adds and removes:
+            raise DeltaProtocolError(
+                f"commit {v} rewrites files (adds + removes) without "
+                "cdc actions — its row-level changes are not "
+                "recorded; for tables without CDF use the snapshot-"
+                "diff table_changes instead"
+            )
+        else:
+            continue
+        parts.append(
+            changed
+            .withColumn("_commit_version", F.lit(v).cast("long"))
+            .withColumn(
+                "_commit_timestamp_ms",
+                F.lit(int(commit_ts)).cast("long"),
+            )
+        )
+    if not parts:
+        return spark.createDataFrame([], StructType(
+            list(schema.fields) + [
+                StructField("_change_type", StringType(), True),
+                StructField("_commit_version", LongType(), True),
+                StructField("_commit_timestamp_ms", LongType(), True),
+            ]
+        ))
+    return reduce(lambda a, b: a.unionByName(b), parts)

@@ -152,13 +152,51 @@ class DeltaLogWarehouse(Warehouse):
     ) -> None:
         if not partition_by and self.exists(name):
             partition_by = self.partition_columns(name)
-        self._commit_df(df, name, "overwrite", partition_by)
+        own_cdc = (
+            self._pending_cdc_df is None  # a MERGE already staged its set
+            and self.exists(name)
+            and self._cdf_enabled(name)
+        )
+        if own_cdc:
+            from pyspark.sql import functions as F
+
+            old = self.read(name)
+            self._pending_cdc_df = old.withColumn(
+                "_change_type", F.lit("delete")
+            ).unionByName(
+                df.select(*old.columns).withColumn(
+                    "_change_type", F.lit("insert")
+                )
+            )
+        try:
+            self._commit_df(df, name, "overwrite", partition_by)
+        finally:
+            if own_cdc:
+                self._pending_cdc_df = None
 
     # a rowTracking MERGE threads (materialized-id-col, version-col)
     # through _commit_df so they stay PHYSICAL-only (never entering the
     # schemaString) and the commit passes row_ids_preserved
     _rt_physical_cols: tuple = ()
     _rt_target: DataFrame | None = None
+    # a CDF-enabled rewrite threads its change rows (table columns +
+    # _change_type) through _commit_df, which stages them under
+    # _change_data/ and publishes the cdc actions IN THE SAME commit
+    _pending_cdc_df: DataFrame | None = None
+
+    def _table_conf(self, name: str) -> dict:
+        if not dl.is_delta_table(self.path(name)):
+            return {}
+        conf = dl.snapshot_state(self.path(name))["metadata"].get(
+            "configuration"
+        ) or {}
+        return dict(conf) if isinstance(conf, list) else dict(conf)
+
+    def _cdf_enabled(self, name: str) -> bool:
+        return (
+            self._table_conf(name).get("delta.enableChangeDataFeed")
+            == "true"
+        )
 
     def merge(self, updates, name, keys, *, prune_partition_col=None):
         """MERGE = anti-join + union rewrite (Warehouse.merge) — which
@@ -169,7 +207,42 @@ class DeltaLogWarehouse(Warehouse):
         (physical parquet columns named by the table configuration,
         invisible to the logical schema), matched rows keep their id
         with a bumped commit version, and inserted rows take fresh ids
-        from the rewritten files' baseRowId ranges."""
+        from the rewritten files' baseRowId ranges.
+
+        On a delta.enableChangeDataFeed=true table the MERGE also
+        publishes its row-level change set (update_preimage/
+        update_postimage per matched key, insert per new key) as
+        _change_data files + cdc actions in the SAME commit — the
+        spec's CDF writer contract for rewrites. The change set is
+        three key-joins over the pre-merge snapshot, the same cost
+        class as the merge's own anti-join."""
+        if dl.is_delta_table(self.path(name)) and self._cdf_enabled(
+            name
+        ):
+            from pyspark.sql import functions as F
+
+            target = self.read(name)
+            tcols = target.columns
+            upd = updates.select(*tcols)
+            tkeys = target.select(*keys).distinct()
+            pre = target.join(
+                updates.select(*keys).distinct(), list(keys), "semi"
+            ).withColumn("_change_type", F.lit("update_preimage"))
+            post = upd.join(tkeys, list(keys), "semi").withColumn(
+                "_change_type", F.lit("update_postimage")
+            )
+            ins = upd.join(tkeys, list(keys), "anti").withColumn(
+                "_change_type", F.lit("insert")
+            )
+            self._pending_cdc_df = pre.unionByName(post).unionByName(ins)
+        try:
+            self._merge_dispatch(
+                updates, name, keys, prune_partition_col
+            )
+        finally:
+            self._pending_cdc_df = None
+
+    def _merge_dispatch(self, updates, name, keys, prune_partition_col):
         if dl.is_delta_table(self.path(name)):
             st = dl.snapshot_state(self.path(name))
             feats = set(st["protocol"].get("writerFeatures") or [])
@@ -285,6 +358,13 @@ class DeltaLogWarehouse(Warehouse):
             removes_fn = _touched_partition_removes(pcol, touched)
         else:
             dl_mode, removes_fn = mode, None
+        cdc_actions = None
+        if self._pending_cdc_df is not None:
+            # materialized NOW, against the PRE-commit snapshot (the
+            # pending plan pinned its file list when it was built)
+            cdc_actions = dl.stage_cdc_files(
+                self.spark, self.path(name), self._pending_cdc_df
+            )
         dl.commit_write(
             self.spark, self.path(name), staged,
             mode=dl_mode, partition_by=list(partition_by),
@@ -294,6 +374,7 @@ class DeltaLogWarehouse(Warehouse):
             # the writer gate can let those through
             enforced_constraints=frozenset(cons or {}),
             row_ids_preserved=bool(self._rt_physical_cols),
+            cdc_actions=cdc_actions,
         )
 
     def _rewrite_partitions(
@@ -488,9 +569,27 @@ class DeltaLogWarehouse(Warehouse):
             }
             for rel in by_file
         }
+        cdc_actions = None
+        if self._cdf_enabled(name):
+            # CDF writer contract: a DELETE publishes its deleted rows
+            # as _change_data in the same commit (the remove+re-add
+            # with a DV is a mixed rewrite a CDF reader cannot derive)
+            from pyspark.sql import functions as F
+
+            logical = [
+                c for c in raw.columns
+                if c not in ("__dv_file", "__dv_pos")
+            ]
+            cdc_actions = dl.stage_cdc_files(
+                self.spark, path,
+                raw.filter(condition).select(*logical).withColumn(
+                    "_change_type", F.lit("delete")
+                ),
+            )
         dl.commit_dv_update(
             path, new_adds, operation="DELETE",
             base_dvs={rel: base_dvs[rel] for rel in new_adds},
+            cdc_actions=cdc_actions,
         )
         return {"files_affected": len(by_file), "rows_deleted": n}
 
@@ -583,13 +682,26 @@ class DeltaLogWarehouse(Warehouse):
             os.remove(os.path.join(log, f"{v:020d}.json"))
         return dropped
 
-    # identical snapshot-diff CDF as the versioned backend — it programs
-    # only against versions()/history()/read_version(), all served from
-    # the real log here (duck-typed delegation, single implementation)
-    def table_changes(self, *args, **kwargs):
+    def table_changes(
+        self, name, from_version, to_version=None, *, keys=None
+    ):
+        """Change data feed. On a delta.enableChangeDataFeed=true
+        table: the FILE-BASED spec path — cdc actions' _change_data
+        files (foreign writers' included) are the change set, adds
+        derive inserts, remove-only commits derive deletes; update
+        pre/postimage pairing comes from the files, no keys needed.
+        Other tables fall back to the snapshot-diff implementation
+        (identical vocabulary), which programs only against
+        versions()/history()/read_version()."""
+        if self._cdf_enabled(name):
+            return dl.table_changes_from_log(
+                self.spark, self.path(name), from_version, to_version
+            )
         from .versioned import VersionedWarehouse
 
-        return VersionedWarehouse.table_changes(self, *args, **kwargs)
+        return VersionedWarehouse.table_changes(
+            self, name, from_version, to_version, keys=keys
+        )
 
     def clone(self, src: str, dst: str) -> int:
         """Delta SHALLOW CLONE at the wire-format level: ``dst`` starts a

@@ -2826,3 +2826,156 @@ def test_v2_checkpoint_read_with_sidecars(spark, tmp_path):
     st2 = dl.snapshot_state(p2)
     assert set(st2["files"]) == {"g1.parquet", "f3.parquet"}
     assert {r.k for r in dl.read_delta(spark, p2).collect()} == {7, 8}
+
+
+# ---------------------------------------------------------------------------
+# change data feed (_change_data files + cdc actions)
+# ---------------------------------------------------------------------------
+
+def test_cdf_file_based_roundtrip(spark, dwh):
+    """The CDF writer contract end-to-end on the real log: MERGE and
+    DV-DELETE publish _change_data files + cdc actions in the SAME
+    commit (closing the former rewrite refusal), appends derive
+    inserts, overwrite publishes delete+insert, and table_changes
+    serves the whole feed file-based with exact pre/postimage
+    pairing."""
+    dwh.overwrite(_df(spark, [(1, "a"), (2, "b")], "k int, s string"), "t")
+    dl.commit_set_properties(
+        dwh.path("t"), {"delta.enableChangeDataFeed": "true"}
+    )
+    v_cdf = dl.snapshot_state(dwh.path("t"))["version"]
+    # pure append: derived inserts, no change file needed
+    dwh.append(_df(spark, [(3, "c")], "k int, s string"), "t")
+    v_append = dl.snapshot_state(dwh.path("t"))["version"]
+    # MERGE: update k=2, insert k=4 — must publish cdc
+    dwh.merge(
+        _df(spark, [(2, "B"), (4, "d")], "k int, s string"), "t", ["k"]
+    )
+    v_merge = dl.snapshot_state(dwh.path("t"))["version"]
+    assert os.path.isdir(os.path.join(dwh.path("t"), "_change_data"))
+    with open(os.path.join(
+        dwh.path("t"), "_delta_log", f"{v_merge:020d}.json"
+    )) as fh:
+        acts = [json.loads(x) for x in fh if x.strip()]
+    assert any("cdc" in a for a in acts)
+    assert any("remove" in a for a in acts)  # it really is a rewrite
+
+    ch = dwh.table_changes("t", v_merge, v_merge)
+    got = {
+        (r.k, r.s, r._change_type) for r in ch.collect()
+    }
+    assert got == {
+        (2, "b", "update_preimage"),
+        (2, "B", "update_postimage"),
+        (4, "d", "insert"),
+    }
+    assert {r._commit_version for r in ch.collect()} == {v_merge}
+
+    # append-derived inserts
+    ins = dwh.table_changes("t", v_append, v_append).collect()
+    assert {(r.k, r._change_type) for r in ins} == {(3, "insert")}
+
+    # DV delete publishes delete change rows
+    out = dwh.delete_with_dv("t", "k = 1")
+    assert out["rows_deleted"] == 1
+    v_del = dl.snapshot_state(dwh.path("t"))["version"]
+    dels = dwh.table_changes("t", v_del, v_del).collect()
+    assert {(r.k, r.s, r._change_type) for r in dels} == {
+        (1, "a", "delete")
+    }
+    # table state agrees with the feed
+    assert {(r.k, r.s) for r in dwh.read("t").collect()} == {
+        (2, "B"), (3, "c"), (4, "d")
+    }
+
+    # overwrite: delete every old row + insert every new one
+    dwh.overwrite(_df(spark, [(9, "z")], "k int, s string"), "t")
+    v_ow = dl.snapshot_state(dwh.path("t"))["version"]
+    ow = dwh.table_changes("t", v_ow, v_ow).collect()
+    assert {(r.k, r._change_type) for r in ow} == {
+        (2, "delete"), (3, "delete"), (4, "delete"),
+        (9, "insert"),
+    }
+    # full-feed scan from the property flip onward never errors
+    all_ch = dwh.table_changes("t", v_cdf + 1).collect()
+    assert {r._commit_version for r in all_ch} == {
+        v_append, v_merge, v_del, v_ow
+    }
+
+
+def test_cdf_mixed_rewrite_without_cdc_refuses(spark, dwh):
+    """A rewrite commit (adds+removes) WITHOUT cdc actions cannot be
+    served as row-level changes — the file-based reader refuses loudly
+    instead of guessing (non-CDF tables use the snapshot-diff
+    table_changes, which the warehouse dispatches automatically)."""
+    dwh.overwrite(_df(spark, [(1, "a"), (2, "b")], "k int, s string"), "t")
+    dwh.merge(_df(spark, [(2, "B")], "k int, s string"), "t", ["k"])
+    v = dl.snapshot_state(dwh.path("t"))["version"]
+    with pytest.raises(dl.DeltaProtocolError, match="without\\s+cdc"):
+        dl.table_changes_from_log(spark, dwh.path("t"), v, v)
+    # the warehouse-level call falls back to snapshot diff and works
+    ch = dwh.table_changes("t", v, v, keys=["k"]).collect()
+    assert {(r.k, r.s, r._change_type) for r in ch} == {
+        (2, "b", "update_preimage"), (2, "B", "update_postimage")
+    }
+
+
+def test_cdf_foreign_change_data_fixture(spark, tmp_path):
+    """A FOREIGN writer's CDF shape, hand-built from the protocol text:
+    the commit carries a cdc action whose _change_data file is
+    partition-STRIPPED (the partition column lives in the action's
+    partitionValues, like real engines write) — the reader re-attaches
+    it as a typed literal. Readers must use cdc actions EXCLUSIVELY
+    for that commit (the add in the same commit must not double-count
+    as inserts)."""
+    p = str(tmp_path / "foreign_cdf")
+    os.makedirs(os.path.join(p, "_delta_log"))
+    schema_string = spark.createDataFrame(
+        [], "k int, s string, region string"
+    ).schema.json()
+    _write_parquet(spark, [(1, "a")], "k int, s string", p,
+                   "region=eu/f0.parquet")
+    _write_parquet(spark, [(1, "A")], "k int, s string", p,
+                   "region=eu/f1.parquet")
+    cdc_rows = [(1, "a", "update_preimage"), (1, "A", "update_postimage")]
+    _write_parquet(spark, cdc_rows, "k int, s string, _change_type string",
+                   p, "_change_data/cdc-0.parquet")
+    v0 = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}},
+        {"metaData": {
+            "id": "0001", "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_string,
+            "partitionColumns": ["region"],
+            "configuration": {"delta.enableChangeDataFeed": "true"},
+            "createdTime": 1,
+        }},
+        {"add": {"path": "region=eu/f0.parquet",
+                 "partitionValues": {"region": "eu"},
+                 "size": 1, "modificationTime": 1, "dataChange": True}},
+        {"commitInfo": {"timestamp": 1000, "operation": "WRITE"}},
+    ]
+    v1 = [
+        {"remove": {"path": "region=eu/f0.parquet",
+                    "deletionTimestamp": 2, "dataChange": True}},
+        {"add": {"path": "region=eu/f1.parquet",
+                 "partitionValues": {"region": "eu"},
+                 "size": 1, "modificationTime": 2, "dataChange": True}},
+        {"cdc": {"path": "_change_data/cdc-0.parquet",
+                 "partitionValues": {"region": "eu"},
+                 "size": 1, "dataChange": False}},
+        {"commitInfo": {"timestamp": 2000, "operation": "UPDATE"}},
+    ]
+    for v, actions in ((0, v0), (1, v1)):
+        with open(os.path.join(p, "_delta_log", f"{v:020d}.json"), "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+
+    ch = dl.table_changes_from_log(spark, p, 0, 1)
+    rows = {(r.k, r.s, r.region, r._change_type, r._commit_version)
+            for r in ch.collect()}
+    assert rows == {
+        (1, "a", "eu", "insert", 0),
+        (1, "a", "eu", "update_preimage", 1),
+        (1, "A", "eu", "update_postimage", 1),
+    }
+    assert {r._commit_timestamp_ms for r in ch.collect()} == {1000, 2000}
