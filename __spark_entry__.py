@@ -37,13 +37,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_daily_metrics": workloads.rolling_daily_metrics,
         "dense_rank_nations": workloads.dense_rank_nations,
         "spatial_box_enrich": workloads.spatial_box_enrich,
-        "band_join_classify": workloads.band_join_classify,
         "anti_join_inactive_customers": workloads.anti_join_inactive_customers,
-        "union_by_name_mixed": workloads.union_by_name_mixed,
-        "agg_pricing_summary": workloads.agg_pricing_summary,
-        "agg_global_kpi": workloads.agg_global_kpi,
-        "agg_monthly_rollup": workloads.agg_monthly_rollup,
-        "agg_conditional_pivot": workloads.agg_conditional_pivot,
         "quality_null_audit": workloads.quality_null_audit,
         "watermark_incremental_filter": workloads.watermark_incremental_filter,
         "validate_and_clean": workloads.validate_and_clean,
@@ -83,6 +77,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_spec_evolution_orders":
             workloads_ext.iceberg_spec_evolution_orders,
         "delta_cdf_file_orders": workloads_ext.delta_cdf_file_orders,
+        # --- round-9 rotation: never-driver-sampled families move
+        # into the first-50 (VERDICT r8 item 5); six long-verified
+        # simple aggregates rotate to the tail ---
+        "mann_whitney_u_orders": workloads_ext.mann_whitney_u_orders,
+        "ks_test_orders": workloads_ext.ks_test_orders,
+        "metadata_only_agg": workloads_ext.metadata_only_agg,
+        "pagerank_hosts": workloads_ext.pagerank_hosts,
+        "bloom_point_lookup_events": workloads_ext.bloom_point_lookup_events,
+        "pq_ann_topk": workloads_ext.pq_ann_topk,
         "incremental_minhash_dedup": workloads_ext.incremental_minhash_dedup,
         "ivf_index_drift": workloads_ext.ivf_index_drift,
         "hilbert_cluster_lineitem": workloads_ext.hilbert_cluster_lineitem,
@@ -90,7 +93,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules_docs": workloads_ext.gopher_rules_docs,
         "lsh_ann_topk": workloads_ext.lsh_ann_topk,
         "ivf_ann_topk": workloads_ext.ivf_ann_topk,
-        "pq_ann_topk": workloads_ext.pq_ann_topk,
         "jl_project_embeddings": workloads_ext.jl_project_embeddings,
         "filtered_ann_topk": workloads_ext.filtered_ann_topk,
         "incremental_ivf_ann": workloads_ext.incremental_ivf_ann,
@@ -120,9 +122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bounded_funnel_conversion": workloads_ext.bounded_funnel_conversion,
         "abc_classification_parts": workloads_ext.abc_classification_parts,
         "theil_sen_daily_trend": workloads_ext.theil_sen_daily_trend,
-        "mann_whitney_u_orders": workloads_ext.mann_whitney_u_orders,
         "mann_kendall_trend_orders": workloads_ext.mann_kendall_trend_orders,
-        "ks_test_orders": workloads_ext.ks_test_orders,
         "star_join_revenue": workloads_ext.star_join_revenue,
         "zorder_cluster_lineitem": workloads_ext.zorder_cluster_lineitem,
         "cube_orders": workloads_ext.cube_orders,
@@ -131,9 +131,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_host_stats": workloads_ext.url_host_stats,
         "stratified_sample_docs": workloads_ext.stratified_sample_docs,
         "corpus_top_trigrams": workloads_ext.corpus_top_trigrams,
+        "agg_pricing_summary": workloads.agg_pricing_summary,
+        "agg_global_kpi": workloads.agg_global_kpi,
+        "agg_monthly_rollup": workloads.agg_monthly_rollup,
+        "agg_conditional_pivot": workloads.agg_conditional_pivot,
+        "union_by_name_mixed": workloads.union_by_name_mixed,
+        "band_join_classify": workloads.band_join_classify,
         "ngram_jaccard_near_dup": workloads_ext.ngram_jaccard_near_dup,
         "skipping_pruned_scan": workloads_ext.skipping_pruned_scan,
-        "metadata_only_agg": workloads_ext.metadata_only_agg,
         "negative_sample_pairs": workloads_ext.negative_sample_pairs,
         "training_shuffle_shards": workloads_ext.training_shuffle_shards,
         "join_size_estimate_orders": workloads_ext.join_size_estimate_orders,
@@ -155,7 +160,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_nearest_station": workloads_ext.grid_nearest_station,
         "incremental_near_dup_clusters": workloads_ext.incremental_near_dup_clusters,
         "event_transition_matrix": workloads_ext.event_transition_matrix,
-        "pagerank_hosts": workloads_ext.pagerank_hosts,
         "record_linkage_customers": workloads_ext.record_linkage_customers,
         "robust_outliers_mad": workloads_ext.robust_outliers_mad,
         "exact_corr_lineitem": workloads_ext.exact_corr_lineitem,
@@ -172,7 +176,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trimmed_mean_prices": workloads_ext.trimmed_mean_prices,
         "csv_parse_recovery": workloads_ext.csv_parse_recovery,
         "cdf_order_changes": workloads_ext.cdf_order_changes,
-        "bloom_point_lookup_events": workloads_ext.bloom_point_lookup_events,
         "ivm_orders_by_status": workloads_ext.ivm_orders_by_status,
         "leakage_safe_split_docs": workloads_ext.leakage_safe_split_docs,
         "line_dedup_docs": workloads_ext.line_dedup_docs,
