@@ -113,10 +113,13 @@ def _write_meta(
     wh: VersionedWarehouse, view: str, source: str,
     keys_json: str, aggs_json: str, last_version: int, view_version: int,
 ) -> None:
-    meta = wh.spark.createDataFrame(
+    from ..session import tiny_df
+
+    meta = tiny_df(
+        wh.spark,
         [(source, keys_json, aggs_json, last_version, view_version)],
         _META_SCHEMA,
-    ).coalesce(1)
+    )
     wh.overwrite(meta, f"{view}{META_SUFFIX}")
 
 

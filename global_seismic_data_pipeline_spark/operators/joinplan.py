@@ -95,14 +95,17 @@ def analyze_table(
     UPSERT the row into the warehouse ``join_stats`` table. Run at write
     time / maintenance time; planning then reads rows, never data."""
     row = {"table_name": table, "key_col": key, **join_stats(df, key, p=p)}
-    stats_df = warehouse.spark.createDataFrame(
+    from ..session import tiny_df
+
+    stats_df = tiny_df(
+        warehouse.spark,
         [(
             row["table_name"], row["key_col"], row["n_rows"], row["ndv"],
             row["row_bytes"], row["est_bytes"], float(row["skew"]),
         )],
         "table_name string, key_col string, n_rows long, ndv long, "
         "row_bytes long, est_bytes long, skew double",
-    ).coalesce(1)
+    )
     warehouse.merge(stats_df, STATS_TABLE, ["table_name", "key_col"])
     return row
 

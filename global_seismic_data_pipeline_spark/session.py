@@ -48,3 +48,19 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def tiny_df(spark: SparkSession, rows, schema):
+    """Single-partition DataFrame from a handful of DRIVER-side rows —
+    the control-table write shape (watermarks, epoch markers, stats).
+
+    ``createDataFrame(rows, schema).coalesce(1)`` looks equivalent but
+    costs ~4 s per call on local[32]: the Python-rows relation
+    parallelizes over defaultParallelism slices and ``coalesce(1)``
+    folds them into ONE task that starts a Python worker PER PARENT
+    SLICE, serially (32 × ~120 ms). One explicit slice = one worker
+    (~0.3 s). On a real cluster the same reasoning holds with executor
+    task-launch overhead in place of worker startup."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(list(rows), 1), schema
+    )

@@ -490,18 +490,23 @@ class SqlDml:
                 )
                 for h in wh.history(name)
             ]
-            return self.spark.createDataFrame(
-                rows,
+            from ..session import tiny_df
+
+            return tiny_df(
+                self.spark, rows,
                 "version long, timestamp_ms long, operation string, "
                 "numFiles long, sizeBytes long",
-            ).coalesce(1)
+            )
         stats = self.wh.table_stats(name)
         version = (
             self.wh.latest_version(name)
             if hasattr(self.wh, "latest_version")
             else None
         )
-        return self.spark.createDataFrame(
+        from ..session import tiny_df
+
+        return tiny_df(
+            self.spark,
             [(
                 self.wh.fmt, self.wh.path(name), stats["num_files"],
                 stats["size_bytes"],
@@ -510,7 +515,7 @@ class SqlDml:
             )],
             "format string, location string, numFiles long, "
             "sizeInBytes long, partitionColumns string, version long",
-        ).coalesce(1)
+        )
 
     def _restore(self, text: str) -> DataFrame:
         """``RESTORE TABLE t TO VERSION AS OF n`` (Delta RESTORE)."""
@@ -785,7 +790,9 @@ class SqlDml:
         from pyspark.sql.types import StructType
 
         schema = StructType.fromDDL(m["cols"])
-        empty = self.spark.createDataFrame([], schema).coalesce(1)
+        from ..session import tiny_df
+
+        empty = tiny_df(self.spark, [], schema)
         self.wh.overwrite(empty, name)
         return self._summary(statement="CREATE", table=name, created=True)
 

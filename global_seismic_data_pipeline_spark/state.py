@@ -79,7 +79,9 @@ class WatermarkStore:
             )
             for e in entries.values()
         ]
-        df = self.wh.spark.createDataFrame(rows, CONTROL_WATERMARK).coalesce(1)
+        from .session import tiny_df
+
+        df = tiny_df(self.wh.spark, rows, CONTROL_WATERMARK)
         self.wh.overwrite(df, CONTROL_TABLE)
 
     # -- API ---------------------------------------------------------------

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter
 from pyspark.sql.types import StructType
 
+from ..session import tiny_df
 from ..sources.warehouse import Warehouse
 
 
@@ -465,9 +466,10 @@ def make_dedup_batch_fn(
         # a crash before this append leaves a torn batch that the scrub
         # path cleans on redelivery
         bwh.append(
-            batch_df.sparkSession.createDataFrame(
-                [(int(batch_id),)], "batch_id long"
-            ).coalesce(1),
+            tiny_df(
+                batch_df.sparkSession, [(int(batch_id),)],
+                "batch_id long",
+            ),
             epochs,
         )
 
@@ -525,9 +527,10 @@ def make_ann_batch_fn(wh: Warehouse, *, name: str = "ivf_index"):
         ann_index.scrub_ids(bwh, batch_df, name=name)  # torn-replay repair
         ann_index.append_to_ivf_index(bwh, batch_df, name=name)
         bwh.append(
-            batch_df.sparkSession.createDataFrame(
-                [(int(batch_id),)], "batch_id long"
-            ).coalesce(1),
+            tiny_df(
+                batch_df.sparkSession, [(int(batch_id),)],
+                "batch_id long",
+            ),
             epochs,
         )
 
