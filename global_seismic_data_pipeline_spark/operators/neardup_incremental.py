@@ -113,11 +113,13 @@ def build_minhash_index(
     """Full (re)build of the signature store from ``docs``."""
     if not 1 <= bands <= num_hashes or num_hashes % bands:
         raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
-    idx = _materialized(
-        _index_rows(
-            docs, id_col=id_col, text_col=text_col, n=n,
-            num_hashes=num_hashes, seed=seed, hasher=hasher,
-        )
+    # no persist here: the index rows feed exactly ONE action (the
+    # bucketed write) and every later consumer reads the WRITTEN table
+    # — a MEMORY_AND_DISK persist of the shingle arrays would only add
+    # a second serialization of the build's largest intermediate
+    idx = _index_rows(
+        docs, id_col=id_col, text_col=text_col, n=n,
+        num_hashes=num_hashes, seed=seed, hasher=hasher,
     )
     warehouse.save_bucketed(
         idx, f"{name}{_DOCS}", (id_col,), num_buckets=num_buckets
@@ -131,7 +133,10 @@ def build_minhash_index(
         ("band", "bucket"),
         num_buckets=num_buckets,
     )
-    meta = warehouse.spark.createDataFrame(
+    from ..session import tiny_df
+
+    meta = tiny_df(
+        warehouse.spark,
         [(id_col, n, num_hashes, bands, seed, hasher, num_buckets)],
         "id_col string, n int, num_hashes int, bands int, seed int, "
         "hasher string, num_buckets int",
