@@ -3657,3 +3657,42 @@ GROUP BY o_orderstatus
 # removal at version 3) — the Spark side produces it from the spec's
 # _change_data files instead of snapshot diffs
 ORACLES_EXT["delta_cdf_file_orders"] = CDF_ORDER_CHANGES_SQL
+
+
+ORACLES_EXT["iceberg_changelog_orders"] = """
+-- iceberg_changelog_orders: seed (%3 = 0); commit 0 = equality-delete
+-- upsert (old %6 = 0 rows out at their ORIGINAL custkey, re-valued
+-- +1e6 rows + fresh %3 = 1 keys in); commit 1 = positional delete of
+-- %9 = 0 over the LIVE state (updated values where %6 = 0). A reader
+-- resolving tombstones against the wrong parent state or re-reporting
+-- already-dead rows breaks the hash.
+WITH seed AS (
+    SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 3 = 0
+), upd AS (
+    SELECT o_orderkey, o_custkey + 1000000 AS o_custkey
+    FROM orders WHERE o_orderkey % 6 = 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 3 = 1
+), live AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 6 = 0 THEN o_custkey + 1000000
+                ELSE o_custkey END AS o_custkey
+    FROM orders WHERE o_orderkey % 3 IN (0, 1)
+), changes AS (
+    SELECT 'delete' AS _change_type, 0 AS _change_ordinal,
+           o_orderkey, o_custkey
+    FROM seed WHERE o_orderkey % 6 = 0
+    UNION ALL
+    SELECT 'insert', 0, o_orderkey, o_custkey FROM upd
+    UNION ALL
+    SELECT 'delete', 1, o_orderkey, o_custkey
+    FROM live WHERE o_orderkey % 9 = 0
+)
+SELECT _change_type,
+       _change_ordinal,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+FROM changes
+GROUP BY _change_type, _change_ordinal
+"""

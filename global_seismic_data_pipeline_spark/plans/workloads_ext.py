@@ -3557,3 +3557,52 @@ def delta_cdf_file_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("_commit_version"),
     )
+
+
+def iceberg_changelog_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg changelog end-to-end (sources/iceberg.py ``changelog`` —
+    the ``create_changelog_view`` procedure: the row-level change feed
+    CDC consumers build on when the table is Iceberg, not Delta). Seed
+    (%3 = 0) lands, then an equality-delete UPSERT (existing %6 = 0
+    keys re-valued +1e6, fresh %3 = 1 keys) and a positional
+    ``delete_where`` (%9 = 0 of the live state) commit; the changelog
+    from the seed snapshot must report exactly the per-commit
+    delete/insert row sets — an already-dead row re-reporting, a
+    missed equality scope, or tombstones resolved against the wrong
+    parent state all hash-fail against the oracle's set replay.
+    Integer aggregates only."""
+    import os
+    import tempfile
+
+    from ..sources import iceberg as ib
+
+    sel = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    loc = os.path.join(tempfile.mkdtemp(prefix="icebergcl-"), "ord")
+    t = ib.create_table(
+        spark, loc, sel.filter(F.col("o_orderkey") % 3 == 0),
+        format_version=2,
+    )
+    s0 = t.current_snapshot_id()
+    updates = (
+        sel.filter(F.col("o_orderkey") % 6 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_custkey") + 1000000).alias("o_custkey"),
+        )
+        .unionByName(sel.filter(F.col("o_orderkey") % 3 == 1))
+    )
+    ib.upsert_by_keys(spark, loc, updates, keys=["o_orderkey"])
+    ib.delete_where(
+        spark, loc, "o_orderkey % 9 = 0", max_rows=10_000_000
+    )
+    return (
+        ib.changelog(spark, loc, from_snapshot_id=s0)
+        .groupBy("_change_type", "_change_ordinal")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+            F.sum("o_custkey").cast("long").alias("sum_cust"),
+        )
+    )

@@ -481,6 +481,42 @@ class DeltaLogWarehouse(Warehouse):
             if p not in cur["files"]
             or a.get("deletionVector") != cur["files"][p].get("deletionVector")
         ]
+        conf = cur["metadata"].get("configuration") or {}
+        if isinstance(conf, list):
+            conf = dict(conf)
+        if conf.get("delta.enableChangeDataFeed") == "true":
+            # CDF writer contract on RESTORE (delta-spark's shape):
+            # the FILE-level change set — rows of each removed file as
+            # delete, rows of each (re-)added file as insert — lands
+            # as _change_data in the same commit, so the feed never
+            # hits the mixed-rewrite-without-cdc refusal
+            from pyspark.sql import functions as F
+
+            removed = [
+                cur["files"][p]
+                for a in actions if "remove" in a
+                for p in [a["remove"]["path"]]
+            ]
+            added = [a["add"] for a in actions if "add" in a]
+            pieces = []
+            if removed:
+                pieces.append(
+                    dl._scan_adds(self.spark, path, removed, cur)
+                    .withColumn("_change_type", F.lit("delete"))
+                )
+            if added:
+                pieces.append(
+                    dl._scan_adds(self.spark, path, added, old)
+                    .withColumn("_change_type", F.lit("insert"))
+                )
+            if pieces:
+                ch = pieces[0]
+                for p_ in pieces[1:]:
+                    ch = ch.unionByName(p_)
+                actions += [
+                    {"cdc": c}
+                    for c in dl.stage_cdc_files(self.spark, path, ch)
+                ]
         log = dl._log_dir(path)
         new_v = cur["version"] + 1
         final = os.path.join(log, f"{new_v:020d}.json")

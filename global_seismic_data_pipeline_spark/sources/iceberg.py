@@ -3347,6 +3347,176 @@ def set_properties(
     return {"properties": merged}
 
 
+def changelog(
+    spark: SparkSession,
+    location: str,
+    *,
+    from_snapshot_id: int | None = None,
+    to_snapshot_id: int | None = None,
+) -> DataFrame:
+    """Row-level change feed between two snapshots — Iceberg's
+    ``create_changelog_view`` procedure. Walks MAIN's commit order
+    (same lineage rule as ``tail``) and emits, per commit:
+
+    - rows of data files ADDED by the commit → ``insert``;
+    - rows targeted by the commit's new POSITIONAL tombstones,
+      resolved against the PARENT state (earlier deletes applied, so
+      an already-dead row never re-reports) → ``delete``;
+    - rows matching the commit's new EQUALITY deletes (null-safe,
+      sequence-scoped against parent files — the upsert shape) →
+      ``delete``;
+    - rows of data files REMOVED from the live set (overwrite; also a
+      compaction ``replace``, which reports the same rows deleted AND
+      inserted — the honest file-level answer, as Spark's changelog
+      procedure gives without net-change folding) → ``delete``;
+    - pure metadata rewrites (``rewrite: manifests`` /
+      ``position-deletes``) → nothing.
+
+    Output: table columns + ``_change_type`` (insert|delete),
+    ``_change_ordinal`` (commit index within the range) and
+    ``_commit_snapshot_id``. Scale: one manifest walk per commit in
+    the range (metadata-scale, consecutive walks shared) and one
+    column-pruned distributed scan per changed file set — consume
+    incrementally at 100 TB, not as a deep history scan."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    t = IcebergTable(spark, location)
+    on_main = t._main_lineage_ids()
+    snaps = [s for s in t.snapshots() if s["snapshot-id"] in on_main]
+    if snaps and all("sequence-number" in s for s in snaps):
+        log = sorted(snaps, key=lambda s: s["sequence-number"])
+    else:
+        log = sorted(snaps, key=lambda s: s["timestamp-ms"])
+    ids = [s["snapshot-id"] for s in log]
+    start = 0
+    if from_snapshot_id is not None:
+        if from_snapshot_id not in ids:
+            raise IcebergError(
+                f"cursor snapshot {from_snapshot_id} not in main's log "
+                "(expired or retracted?) — cannot prove the changelog "
+                "is complete"
+            )
+        start = ids.index(from_snapshot_id) + 1
+    end = len(log)
+    if to_snapshot_id is not None:
+        if to_snapshot_id not in ids:
+            raise IcebergError(
+                f"to_snapshot_id {to_snapshot_id} not in main's log"
+            )
+        end = ids.index(to_snapshot_id) + 1
+    window = log[start:end]
+    schema = t.spark_schema()
+    out_cols = [f.name for f in schema.fields]
+
+    def _with_meta(df, ctype, ordinal, sid):
+        return (
+            df.select(*out_cols)
+            .withColumn("_change_type", F.lit(ctype))
+            .withColumn("_change_ordinal", F.lit(ordinal).cast("int"))
+            .withColumn(
+                "_commit_snapshot_id", F.lit(sid).cast("long")
+            )
+        )
+
+    entries_cache: dict[int, tuple[list, list]] = {}
+
+    def _entries_at(s):
+        sid = s["snapshot-id"]
+        if sid not in entries_cache:
+            entries_cache[sid] = t._live_entries(s)
+        return entries_cache[sid]
+
+    snaps_by_id = {s["snapshot-id"]: s for s in t.snapshots()}
+    parts: list[DataFrame] = []
+    for ordinal, s in enumerate(window):
+        sid = s["snapshot-id"]
+        summary = s.get("summary") or {}
+        if summary.get("rewrite") in ("manifests", "position-deletes"):
+            continue
+        data_entries, delete_entries = _entries_at(s)
+        cur_files = [e["data_file"] for e in data_entries]
+        added = [
+            e["data_file"] for e in data_entries
+            if e["status"] == _STATUS_ADDED
+            and e.get("snapshot_id") in (None, sid)
+        ]
+        new_del = [
+            e["data_file"] for e in delete_entries
+            if e["status"] == _STATUS_ADDED
+            and e.get("snapshot_id") in (None, sid)
+        ]
+        parent_id = s.get("parent-snapshot-id")
+        parent = snaps_by_id.get(parent_id)
+        if parent is not None:
+            p_entries, p_deletes = _entries_at(parent)
+            parent_files = [e["data_file"] for e in p_entries]
+            parent_dels = [e["data_file"] for e in p_deletes]
+        else:
+            parent_files, parent_dels = [], []
+        cur_paths = {f["file_path"] for f in cur_files}
+        removed = [
+            f for f in parent_files if f["file_path"] not in cur_paths
+        ]
+        # deletes first (the commit's own order: removals apply to the
+        # parent state, inserts create the new one)
+        if removed:
+            parts.append(_with_meta(
+                _read_files_with_deletes(t, removed, parent_dels),
+                "delete", ordinal, sid,
+            ))
+        new_pos = [d for d in new_del if d.get("content") == 1]
+        new_eq = [d for d in new_del if d.get("content") == 2]
+        if (new_pos or new_eq) and parent_files:
+            scan = _read_files_with_deletes(
+                t, parent_files, parent_dels, keep_meta=True
+            )
+            hit_parts = []
+            if new_pos:
+                tomb, nbytes = t._position_delete_df(
+                    parent_files, new_pos
+                )
+                if tomb is not None:
+                    if nbytes <= _DELETE_BROADCAST_MAX_BYTES:
+                        tomb = F.broadcast(tomb)
+                    hit_parts.append(scan.join(
+                        tomb, ["__ifile", "__ipos"], "left_semi"
+                    ))
+            for cols, del_df, nbytes in t._equality_delete_groups(
+                new_eq
+            ):
+                if nbytes <= _DELETE_BROADCAST_MAX_BYTES:
+                    del_df = F.broadcast(del_df)
+                cond = F.col("__iseq") < F.col("__dseq")
+                for c in cols:
+                    cond = cond & F.col(c).eqNullSafe(
+                        F.col(f"__d_{c}")
+                    )
+                hit_parts.append(scan.join(del_df, cond, "left_semi"))
+            if hit_parts:
+                hits = reduce(
+                    lambda a, b: a.unionByName(b), hit_parts
+                ).dropDuplicates(["__ifile", "__ipos"])
+                parts.append(_with_meta(hits, "delete", ordinal, sid))
+        if added:
+            raw = t.spark.read.schema(t._scan_schema(added)).parquet(
+                *[_strip_scheme(f["file_path"]) for f in added]
+            )
+            parts.append(_with_meta(raw, "insert", ordinal, sid))
+    if not parts:
+        return spark.createDataFrame([], T.StructType(
+            list(schema.fields) + [
+                T.StructField("_change_type", T.StringType(), True),
+                T.StructField("_change_ordinal", T.IntegerType(), True),
+                T.StructField("_commit_snapshot_id", T.LongType(), True),
+            ]
+        ))
+    from functools import reduce as _red
+
+    return _red(lambda a, b: a.unionByName(b), parts)
+
+
 def rollback_to_snapshot(
     spark: SparkSession, location: str, snapshot_id: int
 ) -> dict:

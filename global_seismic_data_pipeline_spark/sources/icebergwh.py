@@ -245,6 +245,11 @@ class IcebergWarehouse(Warehouse):
     def remove_orphan_files(self, name: str, **kw) -> dict:
         return ib.remove_orphan_files(self.spark, self.path(name), **kw)
 
+    def changelog(self, name: str, **kw) -> DataFrame:
+        """Row-level insert/delete feed between snapshots (Iceberg's
+        create_changelog_view): from_snapshot_id/to_snapshot_id kwargs."""
+        return ib.changelog(self.spark, self.path(name), **kw)
+
     def rollback_to_snapshot(self, name: str, snapshot_id: int) -> dict:
         """Undo bad commits: move main back to an ancestor snapshot
         (metadata-only; retracted commits stay time-travelable until

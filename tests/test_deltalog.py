@@ -2979,3 +2979,24 @@ def test_cdf_foreign_change_data_fixture(spark, tmp_path):
         (1, "A", "eu", "update_postimage", 1),
     }
     assert {r._commit_timestamp_ms for r in ch.collect()} == {1000, 2000}
+
+
+def test_cdf_restore_publishes_change_files(spark, dwh):
+    """RESTORE on a CDF table publishes its file-level change set
+    (removed files' rows as delete, re-added files' rows as insert)
+    as _change_data in the same commit — the feed crosses the restore
+    instead of hitting the mixed-rewrite refusal."""
+    dwh.overwrite(_df(spark, [(1, "a"), (2, "b")], "k int, s string"), "t")
+    dl.commit_set_properties(
+        dwh.path("t"), {"delta.enableChangeDataFeed": "true"}
+    )
+    v_good = dl.snapshot_state(dwh.path("t"))["version"]
+    dwh.overwrite(_df(spark, [(9, "z")], "k int, s string"), "t")
+    v_restore = dwh.restore("t", v_good)
+    assert {(r.k, r.s) for r in dwh.read("t").collect()} == {
+        (1, "a"), (2, "b")
+    }
+    ch = dwh.table_changes("t", v_restore, v_restore).collect()
+    assert {(r.k, r._change_type) for r in ch} == {
+        (9, "delete"), (1, "insert"), (2, "insert")
+    }

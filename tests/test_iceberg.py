@@ -3238,3 +3238,69 @@ def test_iceberg_inspect_entries_and_all_tables(spark, tmp_path):
         == {1}
     # dedup: one row per unique path
     assert len(all_paths) == len(af)
+
+
+def test_iceberg_changelog(spark, tmp_path):
+    """The create_changelog_view analogue: per-commit insert/delete
+    rows across append, positional delete_where, equality-delete
+    upsert, and overwrite — resolved against each commit's PARENT
+    state (an already-dead row never re-reports) and skipping pure
+    metadata rewrites."""
+    loc = str(tmp_path / "cl")
+    t = iceberg.create_table(
+        spark, loc,
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id long, s string"
+        ),
+        format_version=2,
+    )
+    s0 = t.current_snapshot_id()
+    iceberg.append(
+        spark, loc, spark.createDataFrame([(4, "d")], "id long, s string")
+    )
+    iceberg.delete_where(spark, loc, "id = 2")
+    iceberg.upsert_by_keys(
+        spark, loc,
+        spark.createDataFrame([(3, "C"), (5, "e")], "id long, s string"),
+        keys=["id"],
+    )
+    iceberg.rewrite_position_deletes(spark, loc)  # metadata-only: skipped
+    ch = iceberg.changelog(spark, loc, from_snapshot_id=s0)
+    rows = {(r.id, r.s, r._change_type, r._change_ordinal)
+            for r in ch.collect()}
+    assert rows == {
+        (4, "d", "insert", 0),          # append
+        (2, "b", "delete", 1),          # delete_where
+        (3, "c", "delete", 2),          # upsert: old row out...
+        (3, "C", "insert", 2),          # ...new version in
+        (5, "e", "insert", 2),          # upsert: fresh key
+    }
+    # commit ids attach correctly and the rewrite emitted nothing
+    assert len({r._commit_snapshot_id for r in ch.collect()}) == 3
+    # full-range changelog (no cursor): the seed commit reports inserts
+    full = iceberg.changelog(spark, loc)
+    assert sorted(
+        (r.id, r._change_type) for r in full.collect()
+        if r._change_ordinal == 0
+    ) == [(1, "insert"), (2, "insert"), (3, "insert")]
+    # overwrite: file-level delete of the old live rows + insert of new
+    iceberg.overwrite(
+        spark, loc, spark.createDataFrame([(9, "z")], "id long, s string")
+    )
+    t2 = iceberg.IcebergTable(spark, loc)
+    last = t2.current_snapshot_id()
+    tail_ch = iceberg.changelog(
+        spark, loc,
+        from_snapshot_id=t2.resolve_snapshot(last)["parent-snapshot-id"],
+    )
+    got = {(r.id, r._change_type) for r in tail_ch.collect()}
+    assert got == {
+        (1, "delete"), (3, "delete"), (4, "delete"), (5, "delete"),
+        (9, "insert"),
+    }
+    # a retracted cursor refuses loudly (rollback interplay)
+    iceberg.rollback_to_snapshot(
+        spark, loc, t2.resolve_snapshot(last)["parent-snapshot-id"]
+    )
+    with pytest.raises(iceberg.IcebergError, match="not in main"):
+        iceberg.changelog(spark, loc, from_snapshot_id=last)
