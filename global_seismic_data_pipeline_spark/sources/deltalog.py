@@ -2523,7 +2523,9 @@ def table_changes_from_log(
             for p, pv in files:
                 by_pv.setdefault(tuple(sorted(pv.items())), []).append(p)
             pieces = []
-            for pv_items, paths in sorted(by_pv.items()):
+            for pv_items, paths in sorted(
+                by_pv.items(), key=lambda kv: repr(kv[0])
+            ):
                 df = spark.read.parquet(*paths)
                 pv = dict(pv_items)
                 for f in schema.fields:

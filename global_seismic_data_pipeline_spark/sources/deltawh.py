@@ -160,13 +160,17 @@ class DeltaLogWarehouse(Warehouse):
         if own_cdc:
             from pyspark.sql import functions as F
 
+            # allowMissingColumns: a schema-CHANGING overwrite (a
+            # legal commit_write shape) must not crash building its
+            # change set — delete rows carry the OLD columns, insert
+            # rows the NEW; the reader aligns each against the
+            # committed schema and null-fills the rest
             old = self.read(name)
             self._pending_cdc_df = old.withColumn(
                 "_change_type", F.lit("delete")
             ).unionByName(
-                df.select(*old.columns).withColumn(
-                    "_change_type", F.lit("insert")
-                )
+                df.withColumn("_change_type", F.lit("insert")),
+                allowMissingColumns=True,
             )
         try:
             self._commit_df(df, name, "overwrite", partition_by)
@@ -190,7 +194,7 @@ class DeltaLogWarehouse(Warehouse):
         conf = dl.snapshot_state(self.path(name))["metadata"].get(
             "configuration"
         ) or {}
-        return dict(conf) if isinstance(conf, list) else dict(conf)
+        return dict(conf)
 
     def _cdf_enabled(self, name: str) -> bool:
         return (
@@ -492,10 +496,20 @@ class DeltaLogWarehouse(Warehouse):
             # hits the mixed-rewrite-without-cdc refusal
             from pyspark.sql import functions as F
 
+            readded = {
+                a["add"]["path"] for a in actions if "add" in a
+            }
+            # the delete side covers BOTH dropped paths (the remove
+            # actions) and files re-added only because their deletion
+            # vector differs — their CURRENT live rows leave too (the
+            # re-add's old-DV rows come back as inserts); omitting
+            # them would make the feed over-report inserts
             removed = [
                 cur["files"][p]
                 for a in actions if "remove" in a
                 for p in [a["remove"]["path"]]
+            ] + [
+                cur["files"][p] for p in readded if p in cur["files"]
             ]
             added = [a["add"] for a in actions if "add" in a]
             pieces = []

@@ -3449,6 +3449,17 @@ def changelog(
         ]
         parent_id = s.get("parent-snapshot-id")
         parent = snaps_by_id.get(parent_id)
+        if parent is None and parent_id is not None and (
+            new_del or summary.get("operation", "append") != "append"
+        ):
+            # the commit's removals resolve against its PARENT state;
+            # an expired parent would silently drop its delete rows —
+            # refuse loudly, same contract as the cursor guard
+            raise IcebergError(
+                f"snapshot {sid}'s parent {parent_id} has expired — "
+                "its delete set cannot be reconstructed; advance the "
+                "changelog cursor past it explicitly"
+            )
         if parent is not None:
             p_entries, p_deletes = _entries_at(parent)
             parent_files = [e["data_file"] for e in p_entries]
@@ -3456,8 +3467,15 @@ def changelog(
         else:
             parent_files, parent_dels = [], []
         cur_paths = {f["file_path"] for f in cur_files}
+        parent_paths = {f["file_path"] for f in parent_files}
         removed = [
             f for f in parent_files if f["file_path"] not in cur_paths
+        ]
+        # a record CARRIED through a replace (incremental compaction
+        # re-lists kept files as ADDED under the new snapshot) is not
+        # a row change — only genuinely NEW paths insert
+        added = [
+            f for f in added if f["file_path"] not in parent_paths
         ]
         # deletes first (the commit's own order: removals apply to the
         # parent state, inserts create the new one)
@@ -3512,9 +3530,7 @@ def changelog(
                 T.StructField("_commit_snapshot_id", T.LongType(), True),
             ]
         ))
-    from functools import reduce as _red
-
-    return _red(lambda a, b: a.unionByName(b), parts)
+    return reduce(lambda a, b: a.unionByName(b), parts)
 
 
 def rollback_to_snapshot(
@@ -3557,13 +3573,54 @@ def set_current_snapshot(
     t.resolve_snapshot(snapshot_id)
     if snapshot_id == t.current_snapshot_id():
         return {"rolled_back_to": snapshot_id, "retracted": 0}
-    return _move_main(t, location, snapshot_id)
+    # an ancestor target is just a rollback (hole-safe key pruning);
+    # only a genuine cross-lineage move needs ancestry-based retraction
+    return _move_main(
+        t, location, snapshot_id,
+        cross_lineage=snapshot_id not in t._ancestry_ids(),
+    )
 
 
-def _move_main(t: IcebergTable, location: str, snapshot_id: int) -> dict:
+def _move_main(
+    t: IcebergTable, location: str, snapshot_id: int,
+    *, cross_lineage: bool = False,
+) -> dict:
+    """Move main to ``snapshot_id`` and make the retraction DURABLE by
+    pruning the retracted entries out of the snapshot-log NOW — the
+    sequence-drop detection in ``_main_lineage_ids`` still covers
+    FOREIGN tables' logs, but relying on it for our own would lose the
+    rollback witness the moment ``expire_snapshots`` collects the
+    rolled-back-TO snapshot (its log entries filter to retained ids),
+    silently rejoining still-live retracted commits to main.
+
+    Rollback (ancestor target): retract entries with a commit key
+    ABOVE the target's — key-based, so expiry holes in the parent
+    chain never drop genuinely-published older entries. Cross-lineage
+    ``set_current_snapshot``: the old branch's tail is abandoned even
+    though its keys are lower, so retention is ancestry-based (entries
+    on the NEW head's chain keep; known limit: an expiry hole in that
+    chain can over-retract, documented on set_current_snapshot)."""
     before = t._main_lineage_ids()
+    snaps = {s["snapshot-id"]: s for s in t.snapshots()}
+    if snaps and all("sequence-number" in s for s in snaps.values()):
+        def key(s):
+            return s["sequence-number"]
+    else:
+        def key(s):
+            return s["timestamp-ms"]
     now_ms = int(time.time() * 1000)
     meta = dict(t.metadata)
+    log = meta.get("snapshot-log", [])
+    if cross_lineage:
+        keep_ids = t._ancestry_ids(snapshot_id)
+        kept_log = [e for e in log if e["snapshot-id"] in keep_ids]
+    else:
+        tk = key(snaps[snapshot_id])
+        kept_log = [
+            e for e in log
+            if e["snapshot-id"] not in snaps
+            or key(snaps[e["snapshot-id"]]) <= tk
+        ]
     meta["current-snapshot-id"] = snapshot_id
     meta["refs"] = {
         **meta.get("refs", {}),
@@ -3573,7 +3630,7 @@ def _move_main(t: IcebergTable, location: str, snapshot_id: int) -> dict:
             "type": "branch",
         },
     }
-    meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+    meta["snapshot-log"] = kept_log + [
         {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
     ]
     meta["last-updated-ms"] = now_ms

@@ -3000,3 +3000,98 @@ def test_cdf_restore_publishes_change_files(spark, dwh):
     assert {(r.k, r._change_type) for r in ch} == {
         (9, "delete"), (1, "insert"), (2, "insert")
     }
+
+
+def test_cdf_restore_dv_diff_reports_delete_side(spark, dwh):
+    """Review finding: a file re-added by RESTORE only because its
+    deletion vector differs must contribute its CURRENT live rows to
+    the delete side (the re-add's old-DV rows return as inserts) —
+    otherwise the feed over-reports inserts and a folding consumer
+    double-counts every untouched row of the file."""
+    # ONE data file: the DV-diff hazard needs live rows sharing the
+    # file with the deleted one
+    dwh.overwrite(
+        _df(spark, [(1, "a"), (2, "b"), (3, "c")], "k int, s string")
+        .coalesce(1),
+        "t",
+    )
+    assert len(dl.snapshot_state(dwh.path("t"))["files"]) == 1
+    dl.commit_set_properties(
+        dwh.path("t"), {"delta.enableChangeDataFeed": "true"}
+    )
+    v_before = dl.snapshot_state(dwh.path("t"))["version"]
+    dwh.delete_with_dv("t", "k = 2")
+    v_restore = dwh.restore("t", v_before)
+    assert {r.k for r in dwh.read("t").collect()} == {1, 2, 3}
+    ch = dwh.table_changes("t", v_restore, v_restore).collect()
+    got = sorted((r.k, r._change_type) for r in ch)
+    # file-level restore CDF: current live rows (1,3) out, the
+    # restored full file (1,2,3) in — net = row 2 re-appears
+    assert got == [
+        (1, "delete"), (1, "insert"),
+        (2, "insert"),
+        (3, "delete"), (3, "insert"),
+    ]
+
+
+def test_cdf_overwrite_schema_change(spark, dwh):
+    """Review finding: a schema-CHANGING overwrite on a CDF table must
+    not crash building its change set; delete rows carry the old
+    columns, insert rows the new, each aligned to the committed schema
+    with null fill."""
+    dwh.overwrite(_df(spark, [(1, "a")], "k int, s string"), "t")
+    dl.commit_set_properties(
+        dwh.path("t"), {"delta.enableChangeDataFeed": "true"}
+    )
+    dwh.overwrite(_df(spark, [(2, 7.5)], "k int, extra double"), "t")
+    v = dl.snapshot_state(dwh.path("t"))["version"]
+    ch = dwh.table_changes("t", v, v).collect()
+    got = {(r.k, r.extra, r._change_type) for r in ch}
+    assert got == {(1, None, "delete"), (2, 7.5, "insert")}
+
+
+def test_cdf_mixed_null_partition_values(spark, tmp_path):
+    """Review finding: a commit whose change files mix null and
+    non-null partitionValues for the same column must not crash the
+    partition-reattachment grouping."""
+    p = str(tmp_path / "nullpv")
+    os.makedirs(os.path.join(p, "_delta_log"))
+    schema_string = spark.createDataFrame(
+        [], "k int, region string"
+    ).schema.json()
+    _write_parquet(spark, [(1, "update_preimage")],
+                   "k int, _change_type string", p,
+                   "_change_data/cdc-a.parquet")
+    _write_parquet(spark, [(2, "update_postimage")],
+                   "k int, _change_type string", p,
+                   "_change_data/cdc-b.parquet")
+    _write_parquet(spark, [(9, "eu")], "k int, region string", p,
+                   "f1.parquet")
+    v0 = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}},
+        {"metaData": {
+            "id": "0002", "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_string,
+            "partitionColumns": ["region"],
+            "configuration": {"delta.enableChangeDataFeed": "true"},
+            "createdTime": 1,
+        }},
+        {"add": {"path": "f1.parquet", "partitionValues": {"region": "eu"},
+                 "size": 1, "modificationTime": 1, "dataChange": True}},
+        {"cdc": {"path": "_change_data/cdc-a.parquet",
+                 "partitionValues": {"region": None},
+                 "size": 1, "dataChange": False}},
+        {"cdc": {"path": "_change_data/cdc-b.parquet",
+                 "partitionValues": {"region": "eu"},
+                 "size": 1, "dataChange": False}},
+        {"commitInfo": {"timestamp": 1000, "operation": "MERGE"}},
+    ]
+    with open(os.path.join(p, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        for a in v0:
+            fh.write(json.dumps(a) + "\n")
+    ch = dl.table_changes_from_log(spark, p, 0, 0)
+    rows = {(r.k, r.region, r._change_type) for r in ch.collect()}
+    assert rows == {
+        (1, None, "update_preimage"),
+        (2, "eu", "update_postimage"),
+    }

@@ -3304,3 +3304,121 @@ def test_iceberg_changelog(spark, tmp_path):
     )
     with pytest.raises(iceberg.IcebergError, match="not in main"):
         iceberg.changelog(spark, loc, from_snapshot_id=last)
+
+
+def test_iceberg_changelog_compaction_carry_and_expired_parent(
+    spark, tmp_path
+):
+    """Review findings: (a) incremental compaction re-lists KEPT files
+    as ADDED under the new snapshot — they are not row changes and
+    must not emit naked inserts; (b) a commit whose parent expired
+    cannot resolve its delete set — refuse loudly, never a silently
+    incomplete feed."""
+    loc = str(tmp_path / "clc")
+    iceberg.create_table(
+        spark, loc,
+        spark.createDataFrame(
+            [(i, "x") for i in range(20_000)], "id long, s string"
+        ).coalesce(1),
+        format_version=2,
+    )
+    t = iceberg.IcebergTable(spark, loc)
+    s0 = t.current_snapshot_id()
+    # two tiny appends -> compaction victims
+    iceberg.append(
+        spark, loc, spark.createDataFrame([(100_000, "y")], "id long, s string")
+    )
+    iceberg.append(
+        spark, loc, spark.createDataFrame([(100_001, "y")], "id long, s string")
+    )
+    out = iceberg.compact_data_files(
+        spark, loc, small_file_mb=0.02, target_file_mb=1
+    )
+    assert out["files_kept"] >= 1 and out["files_rewritten"] >= 1
+    t = iceberg.IcebergTable(spark, loc)
+    comp_parent = t.resolve_snapshot(None)["parent-snapshot-id"]
+    ch = iceberg.changelog(spark, loc, from_snapshot_id=comp_parent)
+    rows = [(r.id, r._change_type) for r in ch.collect()]
+    # the kept 20k-row file contributes NOTHING; the rewritten tiny
+    # rows appear as balanced delete+insert pairs (file-level replace)
+    assert not any(i < 100_000 for i, _ in rows)
+    from collections import Counter
+
+    c = Counter(rows)
+    assert c[(100_000, "delete")] == 1 and c[(100_000, "insert")] == 1
+    assert c[(100_001, "delete")] == 1 and c[(100_001, "insert")] == 1
+
+    # (b) expired parent refuses: delete_where commit whose parent
+    # (the compaction snapshot) gets expired; the seed stays tagged
+    iceberg.create_ref(spark, loc, "seed", kind="tag", snapshot_id=s0)
+    iceberg.delete_where(spark, loc, "id = 100000")
+    iceberg.expire_snapshots(spark, loc, keep_last=1)
+    with pytest.raises(iceberg.IcebergError, match="parent .* expired"):
+        iceberg.changelog(spark, loc, from_snapshot_id=s0).collect()
+
+
+def test_iceberg_rollback_retraction_survives_expiry(spark, tmp_path):
+    """Review finding: retraction must be DURABLE — after
+    expire_snapshots collects the rolled-back-TO snapshot, still-live
+    retracted commits (pinned by a tag) must not silently rejoin
+    main's lineage. The rollback now prunes retracted entries out of
+    the snapshot-log immediately."""
+    loc = str(tmp_path / "rbex")
+    t = iceberg.create_table(
+        spark, loc, spark.createDataFrame([(1,)], "id long"),
+        format_version=2,
+    )
+    iceberg.append(spark, loc, spark.createDataFrame([(2,)], "id long"))
+    t = iceberg.IcebergTable(spark, loc)
+    good = t.current_snapshot_id()
+    t = iceberg.append(spark, loc, spark.createDataFrame([(3,)], "id long"))
+    bad = t.current_snapshot_id()
+    # pin the retracted commit so it stays LIVE past expiry
+    iceberg.create_ref(spark, loc, "pin-bad", kind="tag", snapshot_id=bad)
+    iceberg.rollback_to_snapshot(spark, loc, good)
+    iceberg.append(spark, loc, spark.createDataFrame([(4,)], "id long"))
+    # collect everything unpinned — including the rolled-back-TO
+    # snapshot (the old log witness)
+    iceberg.expire_snapshots(spark, loc, keep_last=1)
+    t = iceberg.IcebergTable(spark, loc)
+    live = {s["snapshot-id"] for s in t.snapshots()}
+    assert bad in live  # the tag held it
+    assert bad not in t._main_lineage_ids()
+    assert {r.id for r in t.read().collect()} == {1, 2, 4}
+    # and the tail never replays the retracted rows
+    with pytest.raises(iceberg.IcebergError, match="cannot prove"):
+        t.tail(bad)
+
+
+def test_iceberg_set_current_cross_lineage_retracts_old_main(
+    spark, tmp_path
+):
+    """Review finding: a cross-lineage set_current_snapshot abandons
+    the old main tail even though its commit keys are LOWER — those
+    entries must leave main's lineage (ancestry-based retraction) and
+    the retracted count must say so."""
+    loc = str(tmp_path / "scx")
+    t = iceberg.create_table(
+        spark, loc, spark.createDataFrame([(1,)], "id long"),
+        format_version=2,
+    )
+    base = t.current_snapshot_id()
+    iceberg.create_ref(spark, loc, "alt", kind="branch")
+    iceberg.append(spark, loc, spark.createDataFrame([(2,)], "id long"))
+    t = iceberg.IcebergTable(spark, loc)
+    m2 = t.current_snapshot_id()
+    iceberg.append(
+        spark, loc, spark.createDataFrame([(9,)], "id long"),
+        to_ref="alt",
+    )
+    t = iceberg.IcebergTable(spark, loc)
+    b = t.refs()["alt"]["snapshot-id"]
+    out = iceberg.set_current_snapshot(spark, loc, b)
+    assert out["retracted"] >= 1
+    t = iceberg.IcebergTable(spark, loc)
+    assert {r.id for r in t.read().collect()} == {1, 9}
+    assert m2 not in t._main_lineage_ids()
+    assert base in t._main_lineage_ids()
+    # a consumer parked on the abandoned tail refuses loudly
+    with pytest.raises(iceberg.IcebergError, match="cannot prove"):
+        t.tail(m2)
