@@ -113,3 +113,49 @@ class DeltaTailConsumer:
             if n == 0:
                 return total
             total += n
+
+
+class DeltaCdfTailConsumer(DeltaTailConsumer):
+    """Cursor-tracked CHANGE-FEED consumer of a CDF-enabled Delta table
+    — the streaming face of the spec's ``_change_data`` read path
+    (``deltalog.table_changes_from_log``), consuming FOREIGN tables'
+    change files too. Where :class:`DeltaTailConsumer` serves appended
+    ROWS, this serves per-commit CHANGE rows (``_change_type`` insert /
+    delete / update_preimage / update_postimage + ``_commit_version``),
+    so a downstream MERGE can react to deletes and updates — the
+    CDC-consumer story an append tail cannot express.
+
+    Same delivery contract: at-least-once, cursor advanced AFTER ``fn``
+    returns; ``fn`` must be idempotent (keyed on
+    (_commit_version, keys)). A rewrite commit without change files
+    refuses loudly inside the read (never a silently incomplete feed);
+    the default cursor name carries a ``#cdf`` suffix so an append
+    tail and a change tail on the same source never share a cursor."""
+
+    def __init__(self, wh: Warehouse, source_path: str, name: str | None = None):
+        super().__init__(wh, source_path, name)
+        if name is None:
+            self.name = f"{self.name}#cdf"
+
+    def process_available(
+        self,
+        fn: Callable[[DataFrame], None],
+        *,
+        ignore_changes: bool = False,  # unused: deletes are the point
+        max_versions: int | None = None,
+    ) -> int:
+        cur = self.cursor()
+        latest = max(
+            h["version"] for h in dl.delta_history(self.source_path)
+        )
+        to_version = latest
+        if max_versions is not None:
+            to_version = min(latest, cur + max_versions)
+        if to_version <= cur:
+            return 0
+        df = dl.table_changes_from_log(
+            self.wh.spark, self.source_path, cur + 1, to_version
+        )
+        fn(df)
+        self._advance(to_version)  # AFTER fn: crash ⇒ replay
+        return to_version - cur

@@ -534,3 +534,69 @@ def test_materialized_view_sink_continuous_ivm(spark, stream_dir, tmp_path):
             stream, Warehouse(spark, str(tmp_path / "pw")), "sv",
             ["event_id"], [], checkpoint_dir=str(tmp_path / "ck3"),
         )
+
+
+def test_delta_cdf_tail_consumer(spark, tmp_path):
+    """The change-feed tail: serves per-commit insert/delete/update
+    rows from _change_data with a durable cursor — at-least-once
+    (crash before advance replays the slice), caught-up no-op, and a
+    separate cursor from an append tail on the same source."""
+    from global_seismic_data_pipeline_spark.sources import deltalog as dl
+    from global_seismic_data_pipeline_spark.sources.deltawh import (
+        DeltaLogWarehouse,
+    )
+    from global_seismic_data_pipeline_spark.streaming.delta_source import (
+        DeltaCdfTailConsumer,
+    )
+
+    src = DeltaLogWarehouse(spark, str(tmp_path / "src"))
+    ctl = DeltaLogWarehouse(spark, str(tmp_path / "ctl"))
+    src.overwrite(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, s string"), "t"
+    )
+    dl.commit_set_properties(
+        src.path("t"), {"delta.enableChangeDataFeed": "true"}
+    )
+    v_cdf = dl.snapshot_state(src.path("t"))["version"]
+    src.merge(
+        spark.createDataFrame([(2, "B"), (3, "c")], "k int, s string"),
+        "t", ["k"],
+    )
+    consumer = DeltaCdfTailConsumer(ctl, src.path("t"))
+    # fast-forward past the pre-CDF creation commit (its rewrite has
+    # no change files by definition)
+    consumer._advance(v_cdf)
+
+    seen: list[set] = []
+
+    def fn(df):
+        seen.append({
+            (r.k, r.s, r._change_type, r._commit_version)
+            for r in df.collect()
+        })
+
+    n = consumer.process_available(fn)
+    assert n == 1
+    merge_v = v_cdf + 1
+    assert seen[-1] == {
+        (2, "b", "update_preimage", merge_v),
+        (2, "B", "update_postimage", merge_v),
+        (3, "c", "insert", merge_v),
+    }
+    # caught up: no-op, fn not called
+    assert consumer.process_available(fn) == 0 and len(seen) == 1
+
+    # crash-replay: fn raises -> cursor NOT advanced -> same slice again
+    src.delete_with_dv("t", "k = 1")
+
+    def boom(df):
+        raise RuntimeError("crash before cursor advance")
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        consumer.process_available(boom)
+    assert consumer.process_available(fn) == 1
+    assert seen[-1] == {(1, "a", "delete", merge_v + 1)}
+    # the cursor is namespaced away from an append tail's
+    assert consumer.name.endswith("#cdf")
