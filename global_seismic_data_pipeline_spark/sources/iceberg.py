@@ -201,6 +201,44 @@ class IcebergTable:
     def _metadata_dir(self) -> str:
         return os.path.join(self.location, "metadata")
 
+    @staticmethod
+    def _metadata_version_of(fname: str) -> int | None:
+        """Version ordinal of a metadata file name, covering every
+        published layout: this writer's ``vN.metadata.json``, the
+        gzip-compressed ``vN.gz.metadata.json``
+        (write.metadata.compression-codec=gzip), and REST/HMS-catalog
+        style ``NNNNN-<uuid>.metadata.json``. None for non-metadata
+        names."""
+        if not fname.endswith(".metadata.json"):
+            return None
+        stem = fname[: -len(".metadata.json")]
+        if stem.endswith(".gz"):
+            stem = stem[:-3]
+        if stem.startswith("v"):
+            try:
+                return int(stem[1:])
+            except ValueError:
+                return None
+        try:
+            return int(stem.split("-", 1)[0])
+        except ValueError:
+            return None
+
+    @staticmethod
+    def _read_metadata_json(path: str) -> dict:
+        """Parse one metadata file, gzip-transparent (detected by the
+        magic bytes, not the name — foreign writers have shipped
+        compressed payloads under plain names)."""
+        import gzip
+
+        with open(path, "rb") as fh:
+            head = fh.read(2)
+            fh.seek(0)
+            raw = fh.read()
+        if head == b"\x1f\x8b":
+            raw = gzip.decompress(raw)
+        return json.loads(raw.decode("utf-8"))
+
     def _load_metadata(self) -> dict:
         md = self._metadata_dir()
         hint = os.path.join(md, "version-hint.text")
@@ -208,19 +246,23 @@ class IcebergTable:
         if os.path.exists(hint):
             with open(hint) as fh:
                 n = int(fh.read().strip())
-            path = os.path.join(md, f"v{n}.metadata.json")
-        if path is None or not os.path.exists(path):
+            for cand in (
+                f"v{n}.metadata.json", f"v{n}.gz.metadata.json"
+            ):
+                if os.path.exists(os.path.join(md, cand)):
+                    path = os.path.join(md, cand)
+                    break
+        if path is None:
             cands = [
                 f for f in os.listdir(md)
-                if f.startswith("v") and f.endswith(".metadata.json")
+                if self._metadata_version_of(f) is not None
             ]
             if not cands:
                 raise IcebergError(f"no metadata files under {md}")
             path = os.path.join(
-                md, max(cands, key=lambda f: int(f[1:].split(".")[0]))
+                md, max(cands, key=self._metadata_version_of)
             )
-        with open(path) as fh:
-            return json.load(fh)
+        return self._read_metadata_json(path)
 
     def schema_json(self) -> dict:
         m = self.metadata
@@ -2546,21 +2588,36 @@ def _publish(location: str, meta: dict) -> None:
     fall back to the max-N scan)."""
     md_dir = os.path.join(location, "metadata")
     hint = os.path.join(md_dir, "version-hint.text")
+    # all naming styles count (vN / vN.gz / REST NNNNN-uuid): a commit
+    # onto a foreign-named table must claim a HIGHER version than its
+    # newest file or the max-version reader would never see it
     versions = [
-        int(f[1:].split(".")[0])
-        for f in os.listdir(md_dir)
-        if f.startswith("v") and f.endswith(".metadata.json")
+        v for v in (
+            IcebergTable._metadata_version_of(f)
+            for f in os.listdir(md_dir)
+        )
+        if v is not None
     ]
     version = max(versions, default=0) + 1
     path = os.path.join(md_dir, f"v{version}.metadata.json")
     prev = max(versions, default=0)
     if prev:
         # spec metadata-log: the superseded version joins the tail,
-        # bounded by write.metadata.previous-versions-max (default 100)
-        prev_path = os.path.join(md_dir, f"v{prev}.metadata.json")
+        # bounded by write.metadata.previous-versions-max (default 100).
+        # Resolve the ACTUAL file name (a foreign table's newest may be
+        # gz/REST-named) so the log entry never points at a dead path
+        prev_name = next(
+            (
+                f for f in os.listdir(md_dir)
+                if IcebergTable._metadata_version_of(f) == prev
+            ),
+            f"v{prev}.metadata.json",
+        )
+        prev_path = os.path.join(md_dir, prev_name)
         try:
-            with open(prev_path) as fh:
-                prev_ts = json.load(fh).get("last-updated-ms", 0)
+            prev_ts = IcebergTable._read_metadata_json(prev_path).get(
+                "last-updated-ms", 0
+            )
         except (OSError, ValueError):
             prev_ts = 0
         keep = int(

@@ -3422,3 +3422,83 @@ def test_iceberg_set_current_cross_lineage_retracts_old_main(
     # a consumer parked on the abandoned tail refuses loudly
     with pytest.raises(iceberg.IcebergError, match="cannot prove"):
         t.tail(m2)
+
+
+def test_iceberg_gzip_and_rest_named_metadata(spark, tmp_path):
+    """Foreign metadata layouts: gzip-compressed metadata files
+    (write.metadata.compression-codec=gzip ⇒ vN.gz.metadata.json) and
+    REST/HMS-catalog names (NNNNN-<uuid>.metadata.json) both load —
+    detection is by gzip magic bytes, not the file name, and version
+    ordering picks the newest across naming styles."""
+    import gzip
+    import shutil
+
+    loc = str(tmp_path / "gzmd")
+    iceberg.create_table(
+        spark, loc, spark.createDataFrame([(1,)], "id long"),
+        format_version=2,
+    )
+    iceberg.append(spark, loc, spark.createDataFrame([(2,)], "id long"))
+    md = os.path.join(loc, "metadata")
+    # simulate a foreign writer: newest version gz-compressed under a
+    # REST-catalog name, our plain files removed, hint removed
+    newest = max(
+        (f for f in os.listdir(md) if f.endswith(".metadata.json")),
+        key=iceberg.IcebergTable._metadata_version_of,
+    )
+    ver = iceberg.IcebergTable._metadata_version_of(newest)
+    with open(os.path.join(md, newest), "rb") as fh:
+        raw = fh.read()
+    gz_name = f"{ver:05d}-0f0e0d0c.gz.metadata.json"
+    with open(os.path.join(md, gz_name), "wb") as fh:
+        fh.write(gzip.compress(raw))
+    os.remove(os.path.join(md, newest))
+    os.remove(os.path.join(md, "version-hint.text"))
+    t = iceberg.IcebergTable(spark, loc)
+    assert {r.id for r in t.read().collect()} == {1, 2}
+    # an OLDER plain REST-named file must lose to the newer gz one
+    shutil.copy(
+        os.path.join(md, gz_name),
+        os.path.join(md, f"{ver:05d}-copy.gz.metadata.json"),
+    )
+    with open(os.path.join(md, f"{ver - 1:05d}-old.metadata.json"), "w") as fh:
+        fh.write('{"not": "used"}')
+    t = iceberg.IcebergTable(spark, loc)
+    assert {r.id for r in t.read().collect()} == {1, 2}
+
+
+def test_iceberg_commit_onto_foreign_named_metadata(spark, tmp_path):
+    """Committing onto a table whose newest metadata is gz/REST-named
+    must claim a HIGHER version ordinal (else the max-version reader
+    never sees the commit) and the metadata-log entry must point at
+    the real previous file."""
+    import gzip
+
+    loc = str(tmp_path / "gzwr")
+    iceberg.create_table(
+        spark, loc, spark.createDataFrame([(1,)], "id long"),
+        format_version=2,
+    )
+    md = os.path.join(loc, "metadata")
+    # rename the newest metadata to a gz REST-catalog name
+    newest = max(
+        (f for f in os.listdir(md) if f.endswith(".metadata.json")),
+        key=iceberg.IcebergTable._metadata_version_of,
+    )
+    ver = iceberg.IcebergTable._metadata_version_of(newest)
+    with open(os.path.join(md, newest), "rb") as fh:
+        raw = fh.read()
+    with open(os.path.join(md, f"{ver:05d}-ab.gz.metadata.json"), "wb") as fh:
+        fh.write(gzip.compress(raw))
+    os.remove(os.path.join(md, newest))
+    os.remove(os.path.join(md, "version-hint.text"))
+    t = iceberg.append(
+        spark, loc, spark.createDataFrame([(2,)], "id long")
+    )
+    assert {r.id for r in t.read().collect()} == {1, 2}
+    # the appended commit outranks the foreign file
+    t2 = iceberg.IcebergTable(spark, loc)
+    assert {r.id for r in t2.read().collect()} == {1, 2}
+    # and its metadata-log points at the REAL gz predecessor
+    tail = t2.metadata.get("metadata-log", [])[-1]
+    assert tail["metadata-file"].endswith(f"{ver:05d}-ab.gz.metadata.json")
