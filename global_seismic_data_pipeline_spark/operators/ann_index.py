@@ -79,15 +79,20 @@ def build_ivf_index(
     warehouse.save_bucketed(
         assigned, f"{name}{_LISTS}", ("cell",), num_buckets=num_buckets
     )
+    from ..session import tiny_df
+
     cb_rows = [
         (c, d, int(cb_q[c][d])) for c in range(cells) for d in range(dim)
     ]
     warehouse.overwrite(
-        warehouse.spark.createDataFrame(cb_rows, "cell int, dim_idx int, q long"),
+        tiny_df(
+            warehouse.spark, cb_rows, "cell int, dim_idx int, q long"
+        ),
         f"{name}{_CB}",
     )
     warehouse.overwrite(
-        warehouse.spark.createDataFrame(
+        tiny_df(
+            warehouse.spark,
             [(id_col, vec_col, dim, cells, seed, num_buckets)],
             "id_col string, vec_col string, dim int, cells int, seed int, "
             "num_buckets int",
