@@ -260,7 +260,11 @@ class IcebergTable:
             if not cands:
                 raise IcebergError(f"no metadata files under {md}")
             path = os.path.join(
-                md, max(cands, key=self._metadata_version_of)
+                md,
+                max(
+                    cands,
+                    key=lambda f: (self._metadata_version_of(f), f),
+                ),
             )
         return self._read_metadata_json(path)
 
@@ -2600,18 +2604,24 @@ def _publish(location: str, meta: dict) -> None:
     ]
     version = max(versions, default=0) + 1
     path = os.path.join(md_dir, f"v{version}.metadata.json")
-    prev = max(versions, default=0)
-    if prev:
+    # REST catalogs name their FIRST metadata 00000-<uuid>.metadata.json
+    # — version 0 is a real predecessor, so the sentinel is None, never
+    # falsy-zero
+    prev = max(versions) if versions else None
+    if prev is not None:
         # spec metadata-log: the superseded version joins the tail,
         # bounded by write.metadata.previous-versions-max (default 100).
         # Resolve the ACTUAL file name (a foreign table's newest may be
         # gz/REST-named) so the log entry never points at a dead path
-        prev_name = next(
+        # deterministic among same-ordinal name ties (a concurrent
+        # foreign-catalog writer can land NNNNN-uuid beside our vN;
+        # max(name) matches the loader's tie-break)
+        prev_name = max(
             (
                 f for f in os.listdir(md_dir)
                 if IcebergTable._metadata_version_of(f) == prev
             ),
-            f"v{prev}.metadata.json",
+            default=f"v{prev}.metadata.json",
         )
         prev_path = os.path.join(md_dir, prev_name)
         try:
@@ -3344,40 +3354,57 @@ def expire_metadata_versions(
     time travel is untouched (snapshots live IN the current metadata);
     only re-reading a superseded metadata file by version dies, same as
     real Iceberg's cleanup. The version hint and current file never
-    qualify."""
+    qualify. Handles every naming style the loader accepts (vN /
+    vN.gz / REST NNNNN-uuid) — a same-ordinal name tie keeps BOTH
+    files (ambiguous currency is never deletion grounds)."""
     md_dir = os.path.join(location, "metadata")
-    versions = sorted(
-        int(f[1:].split(".")[0])
-        for f in os.listdir(md_dir)
-        if f.startswith("v") and f.endswith(".metadata.json")
-    )
+    by_version: dict[int, list[str]] = {}
+    for f in os.listdir(md_dir):
+        v = IcebergTable._metadata_version_of(f)
+        if v is not None:
+            by_version.setdefault(v, []).append(f)
+    versions = sorted(by_version)
     victims = versions[: -max(1, keep_last)]
+    deleted = 0
     for v in victims:
-        os.remove(os.path.join(md_dir, f"v{v}.metadata.json"))
+        for f in by_version[v]:
+            os.remove(os.path.join(md_dir, f))
+            deleted += 1
     # scrub the CURRENT metadata's metadata-log of entries now pointing
     # at removed files (spec-sanctioned metadata time travel follows
     # metadata-log; dead links there are a reader-visible corruption).
     # Same-version atomic replace: snapshots, schema, and everything
-    # else are byte-identical — only the log tail shrinks.
+    # else are byte-identical — only the log tail shrinks. A
+    # gz-compressed current file is rewritten PLAIN (this writer's
+    # format) under its own name only when plain — compressed currents
+    # are left unscrubbed (the _publish-time dead-link filter covers
+    # them on the next commit).
     if victims and versions:
-        cur = os.path.join(md_dir, f"v{versions[-1]}.metadata.json")
-        with open(cur) as fh:
-            meta = json.load(fh)
-        log = meta.get("metadata-log", [])
-        live = [
-            e for e in log
-            if os.path.exists(_strip_scheme(e.get("metadata-file", "")))
-        ]
-        if len(live) != len(log):
-            meta["metadata-log"] = live
-            tmp = os.path.join(md_dir, f".{uuid.uuid4().hex}.metadata.tmp")
-            with open(tmp, "w") as fh:
-                json.dump(meta, fh)
-                fh.flush()
-                os.fsync(fh.fileno())
-            os.replace(tmp, cur)
+        cur_name = max(by_version[versions[-1]])
+        cur = os.path.join(md_dir, cur_name)
+        with open(cur, "rb") as fh:
+            is_gz = fh.read(2) == b"\x1f\x8b"
+        if not is_gz:
+            meta = IcebergTable._read_metadata_json(cur)
+            log = meta.get("metadata-log", [])
+            live = [
+                e for e in log
+                if os.path.exists(
+                    _strip_scheme(e.get("metadata-file", ""))
+                )
+            ]
+            if len(live) != len(log):
+                meta["metadata-log"] = live
+                tmp = os.path.join(
+                    md_dir, f".{uuid.uuid4().hex}.metadata.tmp"
+                )
+                with open(tmp, "w") as fh:
+                    json.dump(meta, fh)
+                    fh.flush()
+                    os.fsync(fh.fileno())
+                os.replace(tmp, cur)
     return {
-        "metadata_versions_deleted": len(victims),
+        "metadata_versions_deleted": deleted,
         "metadata_versions_kept": len(versions) - len(victims),
     }
 

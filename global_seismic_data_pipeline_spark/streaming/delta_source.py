@@ -156,6 +156,14 @@ class DeltaCdfTailConsumer(DeltaTailConsumer):
         df = dl.table_changes_from_log(
             self.wh.spark, self.source_path, cur + 1, to_version
         )
+        if df.isEmpty():
+            # housekeeping-only slice (metadata commits, dataChange=
+            # false OPTIMIZE): advance past it WITHOUT invoking fn —
+            # same contract as the parent's nothing-to-deliver path
+            # (a downstream MERGE must not pay a no-op job per
+            # property flip on the source)
+            self._advance(to_version)
+            return to_version - cur
         fn(df)
         self._advance(to_version)  # AFTER fn: crash ⇒ replay
         return to_version - cur

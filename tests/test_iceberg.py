@@ -3502,3 +3502,51 @@ def test_iceberg_commit_onto_foreign_named_metadata(spark, tmp_path):
     # and its metadata-log points at the REAL gz predecessor
     tail = t2.metadata.get("metadata-log", [])[-1]
     assert tail["metadata-file"].endswith(f"{ver:05d}-ab.gz.metadata.json")
+
+
+def test_iceberg_metadata_maintenance_on_foreign_names(spark, tmp_path):
+    """Review findings: expire_metadata_versions must handle gz/REST
+    metadata names (an append with delete-after-commit onto a
+    gz-named table crashed AFTER publishing), and a version-0 REST
+    predecessor (00000-uuid, the STANDARD first name) must still
+    enter the metadata-log — `if prev:` used to drop it."""
+    import gzip
+
+    loc = str(tmp_path / "fmn")
+    iceberg.create_table(
+        spark, loc, spark.createDataFrame([(1,)], "id long"),
+        format_version=2,
+    )
+    md = os.path.join(loc, "metadata")
+    # rename the only metadata to the REST first-version name (v0!)
+    newest = max(
+        (f for f in os.listdir(md) if f.endswith(".metadata.json")),
+        key=iceberg.IcebergTable._metadata_version_of,
+    )
+    with open(os.path.join(md, newest), "rb") as fh:
+        raw = fh.read()
+    with open(os.path.join(md, "00000-aa.gz.metadata.json"), "wb") as fh:
+        fh.write(gzip.compress(raw))
+    os.remove(os.path.join(md, newest))
+    os.remove(os.path.join(md, "version-hint.text"))
+    # commit onto it: the v0 predecessor must be LOGGED
+    t = iceberg.append(spark, loc, spark.createDataFrame([(2,)], "id long"))
+    tail = t.metadata.get("metadata-log", [])
+    assert tail and tail[-1]["metadata-file"].endswith(
+        "00000-aa.gz.metadata.json"
+    )
+    # delete-after-commit auto-expiry over the mixed-name history:
+    # no crash, old gz file collected, reads intact
+    iceberg.set_properties(spark, loc, {
+        "write.metadata.delete-after-commit.enabled": "true",
+        "write.metadata.previous-versions-max": "1",
+    })
+    iceberg.append(spark, loc, spark.createDataFrame([(3,)], "id long"))
+    iceberg.append(spark, loc, spark.createDataFrame([(4,)], "id long"))
+    t = iceberg.IcebergTable(spark, loc)
+    assert {r.id for r in t.read().collect()} == {1, 2, 3, 4}
+    assert not os.path.exists(os.path.join(md, "00000-aa.gz.metadata.json"))
+    out = iceberg.expire_metadata_versions(loc, keep_last=1)
+    assert out["metadata_versions_kept"] == 1
+    t = iceberg.IcebergTable(spark, loc)
+    assert {r.id for r in t.read().collect()} == {1, 2, 3, 4}

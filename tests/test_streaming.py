@@ -592,11 +592,36 @@ def test_delta_cdf_tail_consumer(spark, tmp_path):
     def boom(df):
         raise RuntimeError("crash before cursor advance")
 
-    import pytest as _pytest
-
-    with _pytest.raises(RuntimeError):
+    with pytest.raises(RuntimeError):
         consumer.process_available(boom)
     assert consumer.process_available(fn) == 1
     assert seen[-1] == {(1, "a", "delete", merge_v + 1)}
     # the cursor is namespaced away from an append tail's
     assert consumer.name.endswith("#cdf")
+
+
+def test_delta_cdf_tail_consumer_skips_housekeeping(spark, tmp_path):
+    """A metadata-only commit on the source advances the cursor WITHOUT
+    invoking fn (no no-op downstream job per property flip)."""
+    from global_seismic_data_pipeline_spark.sources import deltalog as dl
+    from global_seismic_data_pipeline_spark.sources.deltawh import (
+        DeltaLogWarehouse,
+    )
+    from global_seismic_data_pipeline_spark.streaming.delta_source import (
+        DeltaCdfTailConsumer,
+    )
+
+    src = DeltaLogWarehouse(spark, str(tmp_path / "src"))
+    ctl = DeltaLogWarehouse(spark, str(tmp_path / "ctl"))
+    src.overwrite(spark.createDataFrame([(1,)], "k int"), "t")
+    dl.commit_set_properties(
+        src.path("t"), {"delta.enableChangeDataFeed": "true"}
+    )
+    consumer = DeltaCdfTailConsumer(ctl, src.path("t"))
+    consumer._advance(dl.snapshot_state(src.path("t"))["version"])
+    dl.commit_set_properties(src.path("t"), {"custom.note": "x"})
+    calls = []
+    n = consumer.process_available(lambda df: calls.append(1))
+    assert n == 1 and calls == []  # consumed, fn never invoked
+    # and the cursor really moved
+    assert consumer.process_available(lambda df: calls.append(1)) == 0
