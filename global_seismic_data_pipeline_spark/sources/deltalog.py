@@ -296,19 +296,32 @@ def _check_writer_protocol(
             "violate them (the warehouse write path evaluates them via "
             "Observation and passes enforced_constraints)"
         )
-    field_metas = [
-        f.get("metadata") or {}
+    fields_meta = [
+        (f["name"], f.get("metadata") or {})
         for f in json.loads(metadata["schemaString"]).get("fields", [])
     ]
-    if any("delta.invariants" in m for m in field_metas):
+    field_metas = [m for _, m in fields_meta]
+    bad_inv = [
+        n for n, m in fields_meta
+        if "delta.invariants" in m
+        and f"__invariant__{n}" not in enforced_constraints
+    ]
+    if bad_inv:
         raise DeltaProtocolError(
-            "table schema declares column invariants this writer does not "
-            "evaluate"
+            f"table schema declares column invariants on {bad_inv} this "
+            "write did not evaluate (DeltaLogWarehouse evaluates them "
+            "via Observation and passes __invariant__<col> markers)"
         )
-    if any("delta.generationExpression" in m for m in field_metas):
+    bad_gen = [
+        n for n, m in fields_meta
+        if "delta.generationExpression" in m
+        and f"__generated__{n}" not in enforced_constraints
+    ]
+    if bad_gen:
         raise DeltaProtocolError(
-            "table has generated columns whose expressions this writer "
-            "does not enforce"
+            f"table has generated columns {bad_gen} this write neither "
+            "computed nor verified (DeltaLogWarehouse fills absent "
+            "generated columns and null-safe-verifies provided ones)"
         )
     if any(k.startswith("delta.identity.") for m in field_metas for k in m):
         raise DeltaProtocolError(

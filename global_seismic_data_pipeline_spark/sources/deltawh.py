@@ -59,6 +59,27 @@ def _touched_partition_removes(pcol: str, touched: Sequence):
     return removes
 
 
+class _JoinedObservation:
+    """Duck-typed Observation pair: the base CHECK observation (may be
+    None) merged with the schema-demand observation — ``.get`` returns
+    one mapping, which is all ``_abort_staging_if_violated`` reads."""
+
+    def __init__(self, base, extra_obs, extra_names):
+        self._base = base
+        self._extra = extra_obs
+        self._names = set(extra_names)
+
+    @property
+    def get(self):
+        row = dict(self._extra.get)
+        if self._base is not None:
+            row.update({
+                k: v for k, v in dict(self._base.get).items()
+                if k not in self._names
+            })
+        return row
+
+
 class DeltaLogWarehouse(Warehouse):
     """Named Delta tables under one root, with the Warehouse API."""
 
@@ -119,6 +140,86 @@ class DeltaLogWarehouse(Warehouse):
             )
             dropped = True
         return dropped
+
+    # -- schema-embedded writer demands -------------------------------------
+    def _schema_demands(self, name: str) -> tuple[dict, dict]:
+        """(generated columns, invariants) declared in the table
+        schema's field metadata — the spec's ``delta.generationExpression``
+        (plain SQL string) and ``delta.invariants``
+        (``{"expression": {"expression": <sql>}}``)."""
+        import json as _json
+
+        p = self.path(name)
+        if not dl.is_delta_table(p):
+            return {}, {}
+        meta = dl.snapshot_state(p)["metadata"]
+        gen: dict[str, str] = {}
+        inv: dict[str, str] = {}
+        for f in _json.loads(meta["schemaString"]).get("fields", []):
+            fm = f.get("metadata") or {}
+            if "delta.generationExpression" in fm:
+                gen[f["name"]] = fm["delta.generationExpression"]
+            if "delta.invariants" in fm:
+                try:
+                    inv[f["name"]] = _json.loads(
+                        fm["delta.invariants"]
+                    )["expression"]["expression"]
+                except (ValueError, KeyError, TypeError) as e:
+                    raise dl.DeltaProtocolError(
+                        f"unparseable delta.invariants on column "
+                        f"{f['name']!r}: {fm['delta.invariants']!r}"
+                    ) from e
+        return gen, inv
+
+    def _observe_constraints(self, df: DataFrame, name: str):
+        """The base CHECK-constraint Observation, extended with the
+        schema-embedded demands (closing two former writer-gate
+        refusals): GENERATED columns are computed when the batch lacks
+        them and VERIFIED null-safely when provided (Delta's rule — a
+        caller-supplied value must equal the expression), and column
+        INVARIANTS evaluate like CHECK constraints (NULL passes). The
+        synthetic ``__generated__<col>``/``__invariant__<col>`` names
+        ride ``enforced_constraints`` into the commit gate."""
+        from pyspark.sql import functions as F
+
+        gen, inv = self._schema_demands(name)
+        extra: dict[str, str] = {}
+        if gen or inv:
+            for col, e in gen.items():
+                if col not in df.columns:
+                    df = df.withColumn(col, F.expr(e))
+                    # computed by us — trivially satisfied marker
+                    extra[f"__generated__{col}"] = "true"
+                else:
+                    extra[f"__generated__{col}"] = f"({col}) <=> ({e})"
+            for col, e in inv.items():
+                extra[f"__invariant__{col}"] = e
+            # the fill appends at the END — restore the table's column
+            # order so the staged schema matches the log's
+            want = [
+                f.name for f in dl.delta_schema(
+                    dl.snapshot_state(self.path(name))
+                ).fields
+            ]
+            if set(df.columns) == set(want):
+                df = df.select(*want)
+        observed, obs, cons = super()._observe_constraints(df, name)
+        if not extra:
+            return observed, obs, cons
+        from pyspark.sql import Observation
+
+        cons = {**(cons or {}), **extra}
+        obs2 = Observation()
+        observed = (df if obs is None else observed).observe(
+            obs2,
+            *[
+                F.sum(
+                    (~F.coalesce(F.expr(expr), F.lit(True))).cast("long")
+                ).alias(cname)
+                for cname, expr in extra.items()
+            ],
+        )
+        return observed, _JoinedObservation(obs, obs2, extra), cons
 
     # -- read / write through the log --------------------------------------
     def read(self, name: str) -> DataFrame:

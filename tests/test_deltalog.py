@@ -3095,3 +3095,125 @@ def test_cdf_mixed_null_partition_values(spark, tmp_path):
         (1, None, "update_preimage"),
         (2, "eu", "update_postimage"),
     }
+
+
+# ---------------------------------------------------------------------------
+# generated columns + column invariants (schema-embedded writer demands)
+# ---------------------------------------------------------------------------
+
+def _demand_table(spark, tmp_path, field_meta: dict):
+    """Foreign table whose schema carries writer demands in field
+    metadata (the delta-spark shapes)."""
+    p = str(tmp_path / "demand")
+    os.makedirs(os.path.join(p, "_delta_log"))
+    fields = [
+        {"name": "k", "type": "integer", "nullable": True, "metadata": {}},
+        {"name": "v", "type": "integer", "nullable": True,
+         "metadata": field_meta.get("v", {})},
+        {"name": "g", "type": "integer", "nullable": True,
+         "metadata": field_meta.get("g", {})},
+    ]
+    schema_string = json.dumps(
+        {"type": "struct", "fields": fields}
+    )
+    _write_parquet(spark, [(1, 5, 10)], "k int, v int, g int", p,
+                   "f0.parquet")
+    v0 = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}},
+        {"metaData": {
+            "id": "0003", "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_string, "partitionColumns": [],
+            "configuration": {}, "createdTime": 1,
+        }},
+        {"add": {"path": "f0.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 1, "dataChange": True}},
+        {"commitInfo": {"timestamp": 1000, "operation": "WRITE"}},
+    ]
+    with open(os.path.join(p, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        for a in v0:
+            fh.write(json.dumps(a) + "\n")
+    return p
+
+
+def test_generated_columns_computed_and_verified(spark, tmp_path):
+    """A foreign table with delta.generationExpression: appends WITHOUT
+    the column get it computed; appends WITH it are null-safe-verified
+    (wrong values refuse, the staged files never publish)."""
+    from global_seismic_data_pipeline_spark.sources.warehouse import (
+        ConstraintViolation,
+    )
+
+    p = _demand_table(spark, tmp_path, {
+        "g": {"delta.generationExpression": "k * 2"},
+    })
+    dwh = DeltaLogWarehouse(spark, str(tmp_path))
+    name = "demand"
+    # absent -> computed
+    dwh.append(_df(spark, [(2, 6)], "k int, v int"), name)
+    assert {(r.k, r.g) for r in dwh.read(name).collect()} == {
+        (1, 10), (2, 4)
+    }
+    # provided + correct -> lands
+    dwh.append(_df(spark, [(3, 7, 6)], "k int, v int, g int"), name)
+    # provided + WRONG -> refuses, nothing published
+    with pytest.raises(ConstraintViolation):
+        dwh.append(_df(spark, [(4, 8, 99)], "k int, v int, g int"), name)
+    assert {(r.k, r.g) for r in dwh.read(name).collect()} == {
+        (1, 10), (2, 4), (3, 6)
+    }
+    # a raw commit_write WITHOUT the markers still refuses (the gate)
+    staged = dl.stage_write(
+        _df(spark, [(9, 9, 18)], "k int, v int, g int"), p, []
+    )
+    with pytest.raises(dl.DeltaProtocolError, match="generated columns"):
+        dl.commit_write(spark, p, staged, mode="append")
+
+
+def test_column_invariants_enforced(spark, tmp_path):
+    """A foreign table with delta.invariants: violating batches refuse
+    at the staging boundary (NULL passes, per Delta's rule); the bare
+    commit path without the marker still refuses."""
+    from global_seismic_data_pipeline_spark.sources.warehouse import (
+        ConstraintViolation,
+    )
+
+    p = _demand_table(spark, tmp_path, {
+        "v": {"delta.invariants": json.dumps(
+            {"expression": {"expression": "v > 0"}}
+        )},
+    })
+    dwh = DeltaLogWarehouse(spark, str(tmp_path))
+    name = "demand"
+    dwh.append(_df(spark, [(2, 1, 0)], "k int, v int, g int"), name)
+    dwh.append(_df(spark, [(3, None, 0)], "k int, v int, g int"), name)
+    with pytest.raises(ConstraintViolation):
+        dwh.append(_df(spark, [(4, -5, 0)], "k int, v int, g int"), name)
+    assert {r.k for r in dwh.read(name).collect()} == {1, 2, 3}
+    staged = dl.stage_write(
+        _df(spark, [(9, 9, 0)], "k int, v int, g int"), p, []
+    )
+    with pytest.raises(dl.DeltaProtocolError, match="invariants"):
+        dl.commit_write(spark, p, staged, mode="append")
+
+
+def test_demands_compose_with_check_constraints(spark, tmp_path):
+    """CHECK constraints (base Observation) and schema demands (the
+    joined Observation) evaluate together on one staging write."""
+    from global_seismic_data_pipeline_spark.sources.warehouse import (
+        ConstraintViolation,
+    )
+
+    _demand_table(spark, tmp_path, {
+        "g": {"delta.generationExpression": "k * 2"},
+    })
+    dwh = DeltaLogWarehouse(spark, str(tmp_path))
+    name = "demand"
+    dwh.add_constraint(name, "k_pos", "k > 0")
+    dwh.append(_df(spark, [(5, 1)], "k int, v int"), name)
+    with pytest.raises(ConstraintViolation):  # CHECK trips
+        dwh.append(_df(spark, [(-1, 1)], "k int, v int"), name)
+    with pytest.raises(ConstraintViolation):  # generated-verify trips
+        dwh.append(_df(spark, [(6, 1, 99)], "k int, v int, g int"), name)
+    assert {(r.k, r.g) for r in dwh.read(name).collect()} == {
+        (1, 10), (5, 10)
+    }
