@@ -232,6 +232,7 @@ def _check_writer_protocol(
     adds_rows: bool = True,
     enforced_constraints: frozenset = frozenset(),
     has_cdc: bool = False,
+    identity_update: Mapping | None = None,
 ) -> None:
     """Refuse-loudly writer gate (mirror of the reader gate): appending to
     a foreign table whose protocol demands enforcement this writer does
@@ -323,10 +324,16 @@ def _check_writer_protocol(
             "computed nor verified (DeltaLogWarehouse fills absent "
             "generated columns and null-safe-verifies provided ones)"
         )
-    if any(k.startswith("delta.identity.") for m in field_metas for k in m):
+    bad_id = [
+        n for n, m in fields_meta
+        if any(k.startswith("delta.identity.") for k in m)
+        and n not in (identity_update or {})
+    ]
+    if bad_id:
         raise DeltaProtocolError(
-            "table has identity columns whose high-water marks this "
-            "writer does not maintain"
+            f"table has identity columns {bad_id} whose high-water "
+            "marks this write does not maintain (DeltaLogWarehouse "
+            "assigns values and commits the HWM update)"
         )
 
 
@@ -1395,6 +1402,7 @@ def commit_write(
     data_change: bool = True,
     row_ids_preserved: bool = False,
     cdc_actions: Sequence[Mapping] | None = None,
+    identity_update: Mapping[str, tuple] | None = None,
 ) -> int:
     """Phase 2: move staged files into the table and publish the commit
     JSON put-if-absent. On a lost race the commit (including overwrite's
@@ -1501,6 +1509,7 @@ def commit_write(
                 has_removes=(mode == "overwrite" or extra_removes is not None),
                 enforced_constraints=enforced_constraints,
                 has_cdc=bool(cdc_actions),
+                identity_update=identity_update,
             )
             ict = _ict_value(prev)
             if ict is not None:
@@ -1550,6 +1559,54 @@ def commit_write(
                         actions.append({"metaData": {
                             **prev_meta, "schemaString": evolved.json(),
                         }})
+            if identity_update:
+                # spec identity columns: the commit that writes new
+                # values must also advance delta.identity.highWaterMark
+                # in the SAME commit's metaData. OCC expected-value
+                # check inside the retry loop: a concurrent writer that
+                # moved the HWM invalidates OUR staged values (they
+                # were assigned from the stale mark) — restage, don't
+                # silently collide
+                pending = next(
+                    (a["metaData"] for a in actions if "metaData" in a),
+                    None,
+                )
+                meta_base = pending if pending is not None else prev_meta
+                sch = json.loads(meta_base["schemaString"])
+                prev_sch = json.loads(prev_meta["schemaString"])
+                prev_hwm_of = {
+                    f["name"]: (f.get("metadata") or {}).get(
+                        "delta.identity.highWaterMark"
+                    )
+                    for f in prev_sch.get("fields", [])
+                }
+                for col, (expected, new_hwm) in identity_update.items():
+                    cur = prev_hwm_of.get(col)
+                    cur = None if cur is None else int(cur)
+                    if cur != (None if expected is None else int(expected)):
+                        raise DeltaConcurrentWriteError(
+                            f"identity high-water mark of {col!r} moved "
+                            f"({expected} -> {cur}) under this write — "
+                            "a concurrent writer allocated values; "
+                            "restage the batch"
+                        )
+                    for f in sch.get("fields", []):
+                        if f["name"] == col and new_hwm is not None:
+                            fm = dict(f.get("metadata") or {})
+                            fm["delta.identity.highWaterMark"] = int(
+                                new_hwm
+                            )
+                            f["metadata"] = fm
+                new_meta = {
+                    **meta_base, "schemaString": json.dumps(sch),
+                }
+                if pending is not None:
+                    for a in actions:
+                        if "metaData" in a:
+                            a["metaData"] = new_meta
+                            break
+                else:
+                    actions.append({"metaData": new_meta})
             remove_paths = []
             if mode == "overwrite":
                 remove_paths = list(prev["files"])

@@ -142,19 +142,22 @@ class DeltaLogWarehouse(Warehouse):
         return dropped
 
     # -- schema-embedded writer demands -------------------------------------
-    def _schema_demands(self, name: str) -> tuple[dict, dict]:
-        """(generated columns, invariants) declared in the table
-        schema's field metadata — the spec's ``delta.generationExpression``
-        (plain SQL string) and ``delta.invariants``
-        (``{"expression": {"expression": <sql>}}``)."""
+    def _schema_demands(self, name: str) -> tuple[dict, dict, dict]:
+        """(generated columns, invariants, identity columns) declared
+        in the table schema's field metadata — the spec's
+        ``delta.generationExpression`` (plain SQL string),
+        ``delta.invariants`` (``{"expression": {"expression": <sql>}}``)
+        and ``delta.identity.*`` (start/step/highWaterMark/
+        allowExplicitInsert)."""
         import json as _json
 
         p = self.path(name)
         if not dl.is_delta_table(p):
-            return {}, {}
+            return {}, {}, {}
         meta = dl.snapshot_state(p)["metadata"]
         gen: dict[str, str] = {}
         inv: dict[str, str] = {}
+        ident: dict[str, dict] = {}
         for f in _json.loads(meta["schemaString"]).get("fields", []):
             fm = f.get("metadata") or {}
             if "delta.generationExpression" in fm:
@@ -169,7 +172,17 @@ class DeltaLogWarehouse(Warehouse):
                         f"unparseable delta.invariants on column "
                         f"{f['name']!r}: {fm['delta.invariants']!r}"
                     ) from e
-        return gen, inv
+            if any(k.startswith("delta.identity.") for k in fm):
+                hwm = fm.get("delta.identity.highWaterMark")
+                ident[f["name"]] = {
+                    "start": int(fm.get("delta.identity.start", 1)),
+                    "step": int(fm.get("delta.identity.step", 1)),
+                    "hwm": None if hwm is None else int(hwm),
+                    "explicit_ok": bool(
+                        fm.get("delta.identity.allowExplicitInsert", False)
+                    ),
+                }
+        return gen, inv, ident
 
     def _observe_constraints(self, df: DataFrame, name: str):
         """The base CHECK-constraint Observation, extended with the
@@ -182,9 +195,44 @@ class DeltaLogWarehouse(Warehouse):
         ride ``enforced_constraints`` into the commit gate."""
         from pyspark.sql import functions as F
 
-        gen, inv = self._schema_demands(name)
+        gen, inv, ident = self._schema_demands(name)
         extra: dict[str, str] = {}
-        if gen or inv:
+        id_max: dict[str, str] = {}
+        self._identity_pending = {}
+        for col, spec in ident.items():
+            # spec identity rules: GENERATED ALWAYS refuses explicit
+            # values; absent values are assigned on the step lattice
+            # above the high-water mark (monotonically_increasing_id
+            # keeps assignment one map-side expression — values are
+            # unique and lattice-valid, not dense, exactly like
+            # delta-spark's partition-sparse allocation); the new HWM
+            # is observed on the SAME staging write and committed via
+            # an OCC-checked metaData update
+            if col in df.columns:
+                if not spec["explicit_ok"]:
+                    raise dl.DeltaProtocolError(
+                        f"identity column {col!r} is GENERATED ALWAYS "
+                        "(allowExplicitInsert=false) — explicit values "
+                        "refuse; drop the column and let the writer "
+                        "assign"
+                    )
+            else:
+                base = (
+                    spec["hwm"]
+                    if spec["hwm"] is not None
+                    else spec["start"] - spec["step"]
+                )
+                df = df.withColumn(
+                    col,
+                    (
+                        F.lit(base)
+                        + F.lit(spec["step"])
+                        * (F.monotonically_increasing_id() + F.lit(1))
+                    ).cast("long"),
+                )
+            id_max[col] = f"__identity_max__{col}"
+            self._identity_pending[col] = spec["hwm"]
+        if gen or inv or ident:
             for col, e in gen.items():
                 if col not in df.columns:
                     df = df.withColumn(col, F.expr(e))
@@ -204,22 +252,25 @@ class DeltaLogWarehouse(Warehouse):
             if set(df.columns) == set(want):
                 df = df.select(*want)
         observed, obs, cons = super()._observe_constraints(df, name)
-        if not extra:
+        if not extra and not id_max:
             return observed, obs, cons
         from pyspark.sql import Observation
 
         cons = {**(cons or {}), **extra}
         obs2 = Observation()
-        observed = (df if obs is None else observed).observe(
-            obs2,
-            *[
-                F.sum(
-                    (~F.coalesce(F.expr(expr), F.lit(True))).cast("long")
-                ).alias(cname)
-                for cname, expr in extra.items()
-            ],
-        )
-        return observed, _JoinedObservation(obs, obs2, extra), cons
+        aggs = [
+            F.sum(
+                (~F.coalesce(F.expr(expr), F.lit(True))).cast("long")
+            ).alias(cname)
+            for cname, expr in extra.items()
+        ] + [
+            F.max(F.col(col)).cast("long").alias(alias)
+            for col, alias in id_max.items()
+        ]
+        observed = (df if obs is None else observed).observe(obs2, *aggs)
+        return observed, _JoinedObservation(obs, obs2, dict(
+            **{k: None for k in extra}, **{v: None for v in id_max.values()}
+        )), cons
 
     # -- read / write through the log --------------------------------------
     def read(self, name: str) -> DataFrame:
@@ -457,6 +508,22 @@ class DeltaLogWarehouse(Warehouse):
             physical_only_cols=self._rt_physical_cols,
         )
         self._abort_staging_if_violated(obs, cons, staged["staging"])
+        identity_update = None
+        if getattr(self, "_identity_pending", None):
+            # observed max rides the staging write; the commit updates
+            # the spec's highWaterMark with an OCC expected-value check
+            row = obs.get
+            identity_update = {}
+            for col, expected in self._identity_pending.items():
+                mx = row.get(f"__identity_max__{col}")
+                new_hwm = expected
+                if mx is not None:
+                    new_hwm = (
+                        int(mx) if expected is None
+                        else max(int(mx), expected)
+                    )
+                identity_update[col] = (expected, new_hwm)
+            self._identity_pending = {}
         if remove_partition is not None:
             pcol, touched = remove_partition
             dl_mode = "append"
@@ -480,6 +547,7 @@ class DeltaLogWarehouse(Warehouse):
             enforced_constraints=frozenset(cons or {}),
             row_ids_preserved=bool(self._rt_physical_cols),
             cdc_actions=cdc_actions,
+            identity_update=identity_update,
         )
 
     def _rewrite_partitions(

@@ -3217,3 +3217,117 @@ def test_demands_compose_with_check_constraints(spark, tmp_path):
     assert {(r.k, r.g) for r in dwh.read(name).collect()} == {
         (1, 10), (5, 10)
     }
+
+
+def test_identity_columns_assigned_and_hwm_maintained(spark, tmp_path):
+    """Identity columns (the last schema-demand refusal closed):
+    GENERATED ALWAYS assigns values on the start/step lattice above the
+    high-water mark and commits the HWM update in the SAME commit;
+    explicit values refuse; BY DEFAULT accepts explicit values and
+    advances the HWM past them; the bare commit path still refuses."""
+    p = str(tmp_path / "ident")
+    os.makedirs(os.path.join(p, "_delta_log"))
+    fields = [
+        {"name": "k", "type": "integer", "nullable": True, "metadata": {}},
+        {"name": "uid", "type": "long", "nullable": True, "metadata": {
+            "delta.identity.start": 100,
+            "delta.identity.step": 10,
+            "delta.identity.allowExplicitInsert": False,
+        }},
+    ]
+    schema_string = json.dumps({"type": "struct", "fields": fields})
+    _write_parquet(spark, [(1, 100)], "k int, uid long", p, "f0.parquet")
+    v0 = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 6}},
+        {"metaData": {
+            "id": "0004", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({"type": "struct", "fields": [
+                fields[0],
+                {**fields[1], "metadata": {
+                    **fields[1]["metadata"],
+                    "delta.identity.highWaterMark": 100,
+                }},
+            ]}),
+            "partitionColumns": [], "configuration": {}, "createdTime": 1,
+        }},
+        {"add": {"path": "f0.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 1, "dataChange": True}},
+        {"commitInfo": {"timestamp": 1000, "operation": "WRITE"}},
+    ]
+    with open(os.path.join(p, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        for a in v0:
+            fh.write(json.dumps(a) + "\n")
+    dwh = DeltaLogWarehouse(spark, str(tmp_path))
+    name = "ident"
+    dwh.append(_df(spark, [(2,), (3,), (4,)], "k int"), name)
+    rows = {r.k: r.uid for r in dwh.read(name).collect()}
+    assigned = {rows[k] for k in (2, 3, 4)}
+    # lattice-valid (≡ start mod step), above the HWM, unique
+    assert all(u > 100 and (u - 100) % 10 == 0 for u in assigned)
+    assert len(assigned) == 3
+    st = dl.snapshot_state(dwh.path(name))
+    hwm1 = next(
+        f["metadata"]["delta.identity.highWaterMark"]
+        for f in json.loads(st["metadata"]["schemaString"])["fields"]
+        if f["name"] == "uid"
+    )
+    assert hwm1 == max(assigned)
+    # second batch: strictly above the committed HWM — no collisions
+    dwh.append(_df(spark, [(5,), (6,)], "k int"), name)
+    rows2 = {r.k: r.uid for r in dwh.read(name).collect()}
+    assert len(set(rows2.values())) == 6
+    assert min(rows2[k] for k in (5, 6)) > hwm1
+    # GENERATED ALWAYS refuses explicit values
+    with pytest.raises(dl.DeltaProtocolError, match="GENERATED ALWAYS"):
+        dwh.append(_df(spark, [(7, 9999)], "k int, uid long"), name)
+    # the bare commit path without the HWM maintenance refuses
+    staged = dl.stage_write(
+        _df(spark, [(8, 8888)], "k int, uid long"), dwh.path(name), []
+    )
+    with pytest.raises(dl.DeltaProtocolError, match="identity columns"):
+        dl.commit_write(spark, dwh.path(name), staged, mode="append")
+
+
+def test_identity_by_default_accepts_explicit(spark, tmp_path):
+    """allowExplicitInsert=true (BY DEFAULT): provided values land and
+    the high-water mark advances past them, so later assignments never
+    collide."""
+    p = str(tmp_path / "identd")
+    os.makedirs(os.path.join(p, "_delta_log"))
+    fields = [
+        {"name": "k", "type": "integer", "nullable": True, "metadata": {}},
+        {"name": "uid", "type": "long", "nullable": True, "metadata": {
+            "delta.identity.start": 1,
+            "delta.identity.step": 1,
+            "delta.identity.allowExplicitInsert": True,
+        }},
+    ]
+    schema_string = json.dumps({"type": "struct", "fields": fields})
+    _write_parquet(spark, [(1, 1)], "k int, uid long", p, "f0.parquet")
+    v0 = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 6}},
+        {"metaData": {
+            "id": "0005", "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_string, "partitionColumns": [],
+            "configuration": {}, "createdTime": 1,
+        }},
+        {"add": {"path": "f0.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 1, "dataChange": True}},
+        {"commitInfo": {"timestamp": 1000, "operation": "WRITE"}},
+    ]
+    with open(os.path.join(p, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        for a in v0:
+            fh.write(json.dumps(a) + "\n")
+    dwh = DeltaLogWarehouse(spark, str(tmp_path))
+    name = "identd"
+    dwh.append(_df(spark, [(2, 500)], "k int, uid long"), name)
+    st = dl.snapshot_state(dwh.path(name))
+    hwm = next(
+        f["metadata"]["delta.identity.highWaterMark"]
+        for f in json.loads(st["metadata"]["schemaString"])["fields"]
+        if f["name"] == "uid"
+    )
+    assert hwm == 500
+    dwh.append(_df(spark, [(3,)], "k int"), name)
+    rows = {r.k: r.uid for r in dwh.read(name).collect()}
+    assert rows[3] > 500 and len(set(rows.values())) == 3
