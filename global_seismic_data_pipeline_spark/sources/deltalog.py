@@ -1385,6 +1385,16 @@ def _json_safe(d: dict) -> dict:
     return out
 
 
+def _schema_core(schema_string: str) -> list[tuple]:
+    """(name, type, nullable) triples of a schemaString — the identity
+    of a schema MINUS field metadata, for deciding whether an overwrite
+    actually changes columns."""
+    return [
+        (f["name"], f["type"], f.get("nullable", True))
+        for f in json.loads(schema_string).get("fields", [])
+    ]
+
+
 def commit_write(
     spark: SparkSession,
     table_path: str,
@@ -1539,10 +1549,18 @@ def commit_write(
                 # overwriteSchema) — no truncation risk to gate. Mapped
                 # tables keep their schemaString untouched (it carries
                 # the id/physicalName metadata; stage_write already
-                # proved the batch matches it field-for-field)
+                # proved the batch matches it field-for-field). Same-
+                # COLUMNS batches (names/types/nullability equal) also
+                # keep the table's schemaString: a batch StructType
+                # never carries the table's field metadata (identity /
+                # generation / invariants / comments), and a textual
+                # compare would silently strip those demands on every
+                # overwrite
                 if (
                     mapping_fp is None
                     and schema.json() != prev_meta["schemaString"]
+                    and _schema_core(schema.json())
+                    != _schema_core(prev_meta["schemaString"])
                 ):
                     actions.append({"metaData": {
                         **prev_meta, "schemaString": schema.json(),

@@ -3331,3 +3331,40 @@ def test_identity_by_default_accepts_explicit(spark, tmp_path):
     dwh.append(_df(spark, [(3,)], "k int"), name)
     rows = {r.k: r.uid for r in dwh.read(name).collect()}
     assert rows[3] > 500 and len(set(rows.values())) == 3
+
+
+def test_overwrite_preserves_field_metadata(spark, tmp_path):
+    """An overwrite whose batch has the SAME columns must not strip
+    the table's field metadata (identity/generation/invariants live
+    there; a batch StructType never carries them)."""
+    p = _demand_table(spark, tmp_path, {
+        "g": {"delta.generationExpression": "k * 2"},
+    })
+    dwh = DeltaLogWarehouse(spark, str(tmp_path))
+    dwh.overwrite(_df(spark, [(7, 1, 14)], "k int, v int, g int"), "demand")
+    st = dl.snapshot_state(p)
+    metas = {
+        f["name"]: f.get("metadata") or {}
+        for f in json.loads(st["metadata"]["schemaString"])["fields"]
+    }
+    assert metas["g"].get("delta.generationExpression") == "k * 2"
+    # and the demand still ENFORCES after the overwrite
+    from global_seismic_data_pipeline_spark.sources.warehouse import (
+        ConstraintViolation,
+    )
+
+    with pytest.raises(ConstraintViolation):
+        dwh.append(_df(spark, [(9, 1, 5)], "k int, v int, g int"), "demand")
+    # a REAL column change still adopts the batch schema: the fill
+    # computes g one last time (the demand holds while declared), and
+    # the adopted schema then DROPS the generation metadata — the
+    # overwriteSchema contract
+    dwh.overwrite(_df(spark, [(1, 2.5)], "k int, z double"), "demand")
+    st2 = dl.snapshot_state(p)
+    fields2 = json.loads(st2["metadata"]["schemaString"])["fields"]
+    assert [f["name"] for f in fields2] == ["k", "z", "g"]
+    assert all(
+        "delta.generationExpression" not in (f.get("metadata") or {})
+        for f in fields2
+    )
+    assert {(r.k, r.g) for r in dwh.read("demand").collect()} == {(1, 2)}
