@@ -2981,6 +2981,96 @@ def test_cdf_foreign_change_data_fixture(spark, tmp_path):
     assert {r._commit_timestamp_ms for r in ch.collect()} == {1000, 2000}
 
 
+def test_cdf_column_mapping_table_reads(spark, tmp_path):
+    """What's-missing r9 #1: CDF reads on column-mapping tables. A
+    name-mode fixture with renamed columns, a physical-named partition
+    column, and a foreign _change_data file (physical data column
+    names, partitionValues keyed by physical names per spec) must serve
+    the feed under LOGICAL names across all three branches: adds-only
+    (insert), cdc (update pair), remove-only (delete)."""
+    from pyspark.sql.types import (
+        IntegerType, StringType, StructField, StructType,
+    )
+
+    p = str(tmp_path / "cmcdf")
+    os.makedirs(os.path.join(p, "_delta_log"))
+    phys = "`col-aaa` int, `col-bbb` string"
+    _write_parquet(spark, [(1, "a")], phys, p, "f0.parquet")
+    _write_parquet(spark, [(2, "b")], phys, p, "f1.parquet")
+    _write_parquet(
+        spark,
+        [(1, "a", "update_preimage"), (2, "b", "update_postimage")],
+        "`col-aaa` int, `col-bbb` string, _change_type string",
+        p, "_change_data/cdc-0.parquet",
+    )
+    logical = StructType([
+        StructField("k", IntegerType(), True, {
+            "delta.columnMapping.id": 1,
+            "delta.columnMapping.physicalName": "col-aaa"}),
+        StructField("s", StringType(), True, {
+            "delta.columnMapping.id": 2,
+            "delta.columnMapping.physicalName": "col-bbb"}),
+        StructField("region", StringType(), True, {
+            "delta.columnMapping.id": 3,
+            "delta.columnMapping.physicalName": "col-rrr"}),
+    ])
+    v0 = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "cmcdf1", "format": {
+                "provider": "parquet", "options": {},
+            },
+            "schemaString": logical.json(),
+            "partitionColumns": ["region"],
+            "configuration": {
+                "delta.columnMapping.mode": "name",
+                "delta.columnMapping.maxColumnId": "3",
+                "delta.enableChangeDataFeed": "true",
+            },
+            "createdTime": 1,
+        }},
+        {"add": {"path": "f0.parquet",
+                 "partitionValues": {"col-rrr": "eu"},
+                 "size": 1, "modificationTime": 1, "dataChange": True}},
+        {"commitInfo": {"timestamp": 1000, "operation": "WRITE"}},
+    ]
+    v1 = [
+        {"remove": {"path": "f0.parquet", "deletionTimestamp": 2,
+                    "dataChange": True}},
+        {"add": {"path": "f1.parquet",
+                 "partitionValues": {"col-rrr": "eu"},
+                 "size": 1, "modificationTime": 2, "dataChange": True}},
+        {"cdc": {"path": "_change_data/cdc-0.parquet",
+                 "partitionValues": {"col-rrr": "eu"},
+                 "size": 1, "dataChange": False}},
+        {"commitInfo": {"timestamp": 2000, "operation": "UPDATE"}},
+    ]
+    v2 = [
+        {"remove": {"path": "f1.parquet", "deletionTimestamp": 3,
+                    "dataChange": True}},
+        {"commitInfo": {"timestamp": 3000, "operation": "DELETE"}},
+    ]
+    for v, actions in ((0, v0), (1, v1), (2, v2)):
+        with open(os.path.join(p, "_delta_log", f"{v:020d}.json"), "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+    ch = dl.table_changes_from_log(spark, p, 0, 2)
+    assert set(ch.columns) == {
+        "k", "s", "region", "_change_type", "_commit_version",
+        "_commit_timestamp_ms",
+    }
+    rows = {
+        (r.k, r.s, r.region, r._change_type, r._commit_version)
+        for r in ch.collect()
+    }
+    assert rows == {
+        (1, "a", "eu", "insert", 0),
+        (1, "a", "eu", "update_preimage", 1),
+        (2, "b", "eu", "update_postimage", 1),
+        (2, "b", "eu", "delete", 2),
+    }
+
+
 def test_cdf_restore_publishes_change_files(spark, dwh):
     """RESTORE on a CDF table publishes its file-level change set
     (removed files' rows as delete, re-added files' rows as insert)
@@ -3034,6 +3124,41 @@ def test_cdf_restore_dv_diff_reports_delete_side(spark, dwh):
     ]
 
 
+def test_cdf_dv_delete_single_scan(spark, dwh, monkeypatch):
+    """Judge finding (r9, perf): delete_with_dv re-ran the full probe
+    scan to stage its change file. The matched set persists once — the
+    staged change rows must read the CACHE (InMemoryTableScan), never a
+    second FileScan over the table."""
+    dwh.overwrite(
+        _df(spark, [(i, f"s{i}") for i in range(10)], "k int, s string"),
+        "t",
+    )
+    dl.commit_set_properties(
+        dwh.path("t"), {"delta.enableChangeDataFeed": "true"}
+    )
+    plans: list[str] = []
+    real = dl.stage_cdc_files
+
+    def spy(sp, path, df):
+        plans.append(df._jdf.queryExecution().executedPlan().toString())
+        return real(sp, path, df)
+
+    monkeypatch.setattr(dl, "stage_cdc_files", spy)
+    out = dwh.delete_with_dv("t", "k in (2, 5)")
+    assert out["rows_deleted"] == 2
+    assert plans, "CDF delete must stage a change file"
+    assert "InMemoryTableScan" in plans[0]
+    # the only FileScan is the cache definition's child (printed inside
+    # the InMemoryRelation) — the executed read is the cache
+    assert plans[0].index("InMemoryTableScan") < plans[0].index("FileScan")
+    # and the feed is still exact
+    v = dl.snapshot_state(dwh.path("t"))["version"]
+    ch = dwh.table_changes("t", v, v).collect()
+    assert {(r.k, r._change_type) for r in ch} == {
+        (2, "delete"), (5, "delete")
+    }
+
+
 def test_cdf_overwrite_schema_change(spark, dwh):
     """Review finding: a schema-CHANGING overwrite on a CDF table must
     not crash building its change set; delete rows carry the old
@@ -3048,6 +3173,60 @@ def test_cdf_overwrite_schema_change(spark, dwh):
     ch = dwh.table_changes("t", v, v).collect()
     got = {(r.k, r.extra, r._change_type) for r in ch}
     assert got == {(1, None, "delete"), (2, 7.5, "insert")}
+
+
+def test_cdf_remove_only_survives_later_schema_evolution(spark, dwh):
+    """Judge finding (r9): the remove-only DELETE branch scans with the
+    v-1 snapshot state but projects the LATEST schema — after a later
+    mergeSchema append adds a column, a feed range covering the old
+    DELETE must null-fill the new column (like the cdc branch) instead
+    of throwing, and the CDF tail consumer must cross it."""
+    from global_seismic_data_pipeline_spark.streaming.delta_source import (
+        DeltaCdfTailConsumer,
+    )
+
+    dwh.overwrite(_df(spark, [(1, "a")], "k int, s string"), "t")
+    p = dwh.path("t")
+    dl.commit_set_properties(p, {"delta.enableChangeDataFeed": "true"})
+    dwh.append(_df(spark, [(2, "b")], "k int, s string"), "t")
+    v_add = dl.snapshot_state(p)["version"]
+    with open(os.path.join(p, "_delta_log", f"{v_add:020d}.json")) as fh:
+        acts = [json.loads(x) for x in fh if x.strip()]
+    rels = [a["add"]["path"] for a in acts if "add" in a]
+    # hand-written remove-only DELETE commit (whole-file delete — the
+    # shape retention deletes and foreign engines produce); remove every
+    # file of the append (tiny local writes can split into 2+ parts)
+    v_del = v_add + 1
+    with open(os.path.join(p, "_delta_log", f"{v_del:020d}.json"), "w") as fh:
+        for rel in rels:
+            fh.write(json.dumps({"remove": {
+                "path": rel, "deletionTimestamp": 2, "dataChange": True,
+            }}) + "\n")
+        fh.write(json.dumps({"commitInfo": {
+            "timestamp": 2000, "operation": "DELETE",
+        }}) + "\n")
+    # LATER schema evolution: the latest schema now has a column the
+    # v_del-1 snapshot never knew about
+    dl.write_delta(
+        _df(spark, [(3, "c", 7.5)], "k int, s string, v double"),
+        p, mode="append", merge_schema=True,
+    )
+    v_evo = dl.snapshot_state(p)["version"]
+    ch = dl.table_changes_from_log(spark, p, v_del, v_evo)
+    rows = {(r.k, r.s, r.v, r._change_type) for r in ch.collect()}
+    assert rows == {
+        (2, "b", None, "delete"),
+        (3, "c", 7.5, "insert"),
+    }
+    # the tail consumer crosses the whole evolved range in one drain
+    consumer = DeltaCdfTailConsumer(dwh, p)
+    seen: list[tuple] = []
+    consumer.run_to_latest(
+        lambda df: seen.extend(
+            (r.k, r._change_type) for r in df.collect()
+        )
+    )
+    assert (2, "delete") in seen and (3, "insert") in seen
 
 
 def test_cdf_mixed_null_partition_values(spark, tmp_path):
@@ -3288,6 +3467,79 @@ def test_identity_columns_assigned_and_hwm_maintained(spark, tmp_path):
         dl.commit_write(spark, dwh.path(name), staged, mode="append")
 
 
+def test_identity_negative_step_never_duplicates(spark, tmp_path):
+    """Judge finding (r9): delta.identity.step is parsed signed, but the
+    mark was maintained with max — for step<0 it never moved and every
+    write re-issued the same values. The mark is a LOW-water mark for
+    negative steps: two consecutive writes must allocate disjoint,
+    descending, lattice-valid values; step=0 refuses loudly."""
+    p = str(tmp_path / "identneg")
+    os.makedirs(os.path.join(p, "_delta_log"))
+    fields = [
+        {"name": "k", "type": "integer", "nullable": True, "metadata": {}},
+        {"name": "uid", "type": "long", "nullable": True, "metadata": {
+            "delta.identity.start": -100,
+            "delta.identity.step": -10,
+            "delta.identity.allowExplicitInsert": False,
+        }},
+    ]
+    schema_string = json.dumps({"type": "struct", "fields": fields})
+    v0 = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 6}},
+        {"metaData": {
+            "id": "0006", "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_string, "partitionColumns": [],
+            "configuration": {}, "createdTime": 1,
+        }},
+        {"commitInfo": {"timestamp": 1000, "operation": "CREATE TABLE"}},
+    ]
+    with open(os.path.join(p, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        for a in v0:
+            fh.write(json.dumps(a) + "\n")
+    dwh = DeltaLogWarehouse(spark, str(tmp_path))
+    name = "identneg"
+    dwh.append(_df(spark, [(1,), (2,)], "k int"), name)
+    rows1 = {r.k: r.uid for r in dwh.read(name).collect()}
+    first = set(rows1.values())
+    # lattice-valid (≡ start mod step), at/below start, unique
+    assert all(u <= -100 and (u - (-100)) % 10 == 0 for u in first)
+    assert len(first) == 2
+    st = dl.snapshot_state(dwh.path(name))
+    hwm1 = next(
+        f["metadata"]["delta.identity.highWaterMark"]
+        for f in json.loads(st["metadata"]["schemaString"])["fields"]
+        if f["name"] == "uid"
+    )
+    assert hwm1 == min(first)  # the mark moved DOWN to the far value
+    # second write: strictly below the committed mark — no re-issue
+    dwh.append(_df(spark, [(3,), (4,)], "k int"), name)
+    rows2 = {r.k: r.uid for r in dwh.read(name).collect()}
+    assert len(set(rows2.values())) == 4
+    assert max(rows2[k] for k in (3, 4)) < hwm1
+    # step=0 refuses loudly instead of silently re-issuing one value
+    p0 = str(tmp_path / "identzero")
+    os.makedirs(os.path.join(p0, "_delta_log"))
+    z = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 6}},
+        {"metaData": {
+            "id": "0007", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({"type": "struct", "fields": [
+                fields[0],
+                {**fields[1], "metadata": {
+                    "delta.identity.start": 1, "delta.identity.step": 0,
+                }},
+            ]}),
+            "partitionColumns": [], "configuration": {}, "createdTime": 1,
+        }},
+        {"commitInfo": {"timestamp": 1000, "operation": "CREATE TABLE"}},
+    ]
+    with open(os.path.join(p0, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        for a in z:
+            fh.write(json.dumps(a) + "\n")
+    with pytest.raises(dl.DeltaProtocolError, match="step=0"):
+        dwh.append(_df(spark, [(1,)], "k int"), "identzero")
+
+
 def test_identity_by_default_accepts_explicit(spark, tmp_path):
     """allowExplicitInsert=true (BY DEFAULT): provided values land and
     the high-water mark advances past them, so later assignments never
@@ -3368,3 +3620,112 @@ def test_overwrite_preserves_field_metadata(spark, tmp_path):
         for f in fields2
     )
     assert {(r.k, r.g) for r in dwh.read("demand").collect()} == {(1, 2)}
+
+
+def test_schema_changing_overwrite_keeps_identity_declaration(
+    spark, tmp_path
+):
+    """Judge finding (r9): a schema-CHANGING overwrite re-stamped only
+    delta.identity.highWaterMark onto the batch-derived schemaString —
+    start/step/allowExplicitInsert were lost and the next writer fell
+    back to start=1/step=1, leaving the lattice. The full identity
+    declaration (and plain metadata like comments) must survive; only
+    writer DEMANDS drop, per the overwriteSchema contract above."""
+    p = str(tmp_path / "identow")
+    os.makedirs(os.path.join(p, "_delta_log"))
+    fields = [
+        {"name": "k", "type": "integer", "nullable": True,
+         "metadata": {"comment": "the key"}},
+        {"name": "uid", "type": "long", "nullable": True, "metadata": {
+            "delta.identity.start": 100,
+            "delta.identity.step": 10,
+            "delta.identity.allowExplicitInsert": False,
+        }},
+    ]
+    v0 = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 6}},
+        {"metaData": {
+            "id": "0008", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(
+                {"type": "struct", "fields": fields}
+            ),
+            "partitionColumns": [], "configuration": {}, "createdTime": 1,
+        }},
+        {"commitInfo": {"timestamp": 1000, "operation": "CREATE TABLE"}},
+    ]
+    with open(os.path.join(p, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        for a in v0:
+            fh.write(json.dumps(a) + "\n")
+    dwh = DeltaLogWarehouse(spark, str(tmp_path))
+    name = "identow"
+    dwh.append(_df(spark, [(1,), (2,)], "k int"), name)
+    # schema-CHANGING overwrite: adds a column, uid assigned by fill
+    dwh.overwrite(_df(spark, [(3, "x")], "k int, note string"), name)
+    st = dl.snapshot_state(p)
+    metas = {
+        f["name"]: f.get("metadata") or {}
+        for f in json.loads(st["metadata"]["schemaString"])["fields"]
+    }
+    assert metas["uid"]["delta.identity.start"] == 100
+    assert metas["uid"]["delta.identity.step"] == 10
+    assert metas["uid"]["delta.identity.allowExplicitInsert"] is False
+    assert metas["k"].get("comment") == "the key"
+    hwm = metas["uid"]["delta.identity.highWaterMark"]
+    # the next writer stays on the ORIGINAL lattice above the mark
+    dwh.append(_df(spark, [(4, "y")], "k int, note string"), name)
+    rows = {r.k: r.uid for r in dwh.read(name).collect()}
+    assert rows[4] > hwm and (rows[4] - 100) % 10 == 0
+    assert len(set(rows.values())) == len(rows)
+    # explicit values still refuse after the overwrite
+    with pytest.raises(dl.DeltaProtocolError, match="GENERATED ALWAYS"):
+        dwh.append(
+            _df(spark, [(5, "z", 9999)], "k int, note string, uid long"),
+            name,
+        )
+
+
+def test_same_columns_overwrite_keeps_nested_field_metadata(
+    spark, tmp_path
+):
+    """Judge finding (r9): _schema_core compared raw nested type dicts,
+    so a same-columns overwrite of a table with NESTED field metadata
+    looked schema-changing and adopted the (metadata-less) batch
+    schema. Core compare is now nested-metadata-insensitive — the
+    table's schemaString (nested comments included) survives."""
+    p = str(tmp_path / "nestedmeta")
+    os.makedirs(os.path.join(p, "_delta_log"))
+    schema_string = json.dumps({"type": "struct", "fields": [
+        {"name": "k", "type": "integer", "nullable": True, "metadata": {}},
+        {"name": "s", "nullable": True, "metadata": {},
+         "type": {"type": "struct", "fields": [
+             {"name": "a", "type": "integer", "nullable": True,
+              "metadata": {"comment": "inner field"}},
+         ]}},
+    ]})
+    v0 = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {
+            "id": "0009", "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_string, "partitionColumns": [],
+            "configuration": {}, "createdTime": 1,
+        }},
+        {"commitInfo": {"timestamp": 1000, "operation": "CREATE TABLE"}},
+    ]
+    with open(os.path.join(p, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        for a in v0:
+            fh.write(json.dumps(a) + "\n")
+    dwh = DeltaLogWarehouse(spark, str(tmp_path))
+    dwh.overwrite(
+        spark.createDataFrame([(1, (7,))], "k int, s struct<a:int>"),
+        "nestedmeta",
+    )
+    st = dl.snapshot_state(p)
+    s_field = next(
+        f for f in json.loads(st["metadata"]["schemaString"])["fields"]
+        if f["name"] == "s"
+    )
+    inner = s_field["type"]["fields"][0]
+    assert inner["metadata"].get("comment") == "inner field"
+    assert {(r.k, r.s.a) for r in dwh.read("nestedmeta").collect()} == {
+        (1, 7)
+    }
