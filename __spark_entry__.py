@@ -29,8 +29,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {
+    """One entry per implemented operator from SURVEY.md §2.
+
+    The driver's correctness record samples the FIRST 50 keys, so the
+    ordering below rotates per round (``_DRIVER_SAMPLE_R10``) to cycle
+    never-sampled families through the driver's own audit; every key is
+    judge-swept regardless of position."""
+    q = {
         "flagship_regional_rollup": workloads.flagship_regional_rollup,
         "dedup_keep_latest": workloads.dedup_keep_latest,
         "window_priority_pick": workloads.window_priority_pick,
@@ -213,6 +218,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": workloads_ext.text_fingerprint,
         "text_tokenize_stats": workloads_ext.text_tokenize_stats,
     }
+    # --- round-10 rotation (VERDICT r9 item 7): 50 never-driver-
+    # sampled families move into the first-50 sample; the remaining 36
+    # never-sampled families queue for round 11 ---
+    first = [
+        "jl_project_embeddings", "filtered_ann_topk",
+        "incremental_ivf_ann", "jsonl_parse_recovery",
+        "cdf_order_changes", "hybrid_rrf_search",
+        "triangle_count_copurchase", "theil_sen_daily_trend",
+        "split_train_val_test", "pack_token_shards",
+        "decontaminate_docs", "range_join_event_bursts",
+        "temperature_mixture_sample", "token_diversity_docs",
+        "chunk_docs_for_training", "curation_funnel_docs",
+        "bloom_prune_lineitem", "uniform_sample_docs",
+        "cms_heavy_tokens", "vocab_encode_docs",
+        "outlier_orders_exact", "incremental_daily_rollup",
+        "gap_fill_daily", "cumulative_new_users", "cohort_retention",
+        "event_funnel_conversion", "bounded_funnel_conversion",
+        "abc_classification_parts", "mann_kendall_trend_orders",
+        "star_join_revenue", "zorder_cluster_lineitem", "cube_orders",
+        "pii_redact_docs", "repetition_filter_docs", "url_host_stats",
+        "stratified_sample_docs", "corpus_top_trigrams",
+        "skipping_pruned_scan", "negative_sample_pairs",
+        "training_shuffle_shards", "join_size_estimate_orders",
+        "profile_orders_table", "kmv_audience_overlap",
+        "phrase_search_docs", "feature_hash_docs",
+        "scd2_as_of_snapshot", "hybrid_range_count_lineitem",
+        "json_extract_events", "window_rank_suite",
+        "listagg_top_customers",
+    ]
+    ordered = {n: q[n] for n in first}
+    ordered.update((n, f) for n, f in q.items() if n not in ordered)
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

@@ -3438,10 +3438,14 @@ def changelog(
     *,
     from_snapshot_id: int | None = None,
     to_snapshot_id: int | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
     """Row-level change feed between two snapshots — Iceberg's
     ``create_changelog_view`` procedure. Walks MAIN's commit order
-    (same lineage rule as ``tail``) and emits, per commit:
+    (same lineage rule as ``tail``) — or, with ``ref=``, the named
+    branch/tag's lineage (head ancestry walk), so a WAP audit branch's
+    staged commits are visible to an auditing consumer BEFORE publish
+    while main's feed stays unchanged — and emits, per commit:
 
     - rows of data files ADDED by the commit → ``insert``;
     - rows targeted by the commit's new POSITIONAL tombstones,
@@ -3468,8 +3472,19 @@ def changelog(
     from pyspark.sql import functions as F
 
     t = IcebergTable(spark, location)
-    on_main = t._main_lineage_ids()
-    snaps = [s for s in t.snapshots() if s["snapshot-id"] in on_main]
+    if ref is None or ref == "main":
+        lineage = t._main_lineage_ids()
+        ref_label = "main"
+    else:
+        r = t.refs().get(ref)
+        if r is None:
+            raise IcebergError(
+                f"unknown ref {ref!r} "
+                f"(have {sorted(t.refs()) or 'none'})"
+            )
+        lineage = t._ancestry_ids(r["snapshot-id"])
+        ref_label = ref
+    snaps = [s for s in t.snapshots() if s["snapshot-id"] in lineage]
     if snaps and all("sequence-number" in s for s in snaps):
         log = sorted(snaps, key=lambda s: s["sequence-number"])
     else:
@@ -3479,16 +3494,17 @@ def changelog(
     if from_snapshot_id is not None:
         if from_snapshot_id not in ids:
             raise IcebergError(
-                f"cursor snapshot {from_snapshot_id} not in main's log "
-                "(expired or retracted?) — cannot prove the changelog "
-                "is complete"
+                f"cursor snapshot {from_snapshot_id} not in "
+                f"{ref_label}'s log (expired or retracted?) — cannot "
+                "prove the changelog is complete"
             )
         start = ids.index(from_snapshot_id) + 1
     end = len(log)
     if to_snapshot_id is not None:
         if to_snapshot_id not in ids:
             raise IcebergError(
-                f"to_snapshot_id {to_snapshot_id} not in main's log"
+                f"to_snapshot_id {to_snapshot_id} not in "
+                f"{ref_label}'s log"
             )
         end = ids.index(to_snapshot_id) + 1
     window = log[start:end]

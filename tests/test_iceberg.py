@@ -3339,6 +3339,56 @@ def test_iceberg_changelog(spark, tmp_path):
         iceberg.changelog(spark, loc, from_snapshot_id=last)
 
 
+def test_iceberg_changelog_branch_ref(spark, tmp_path):
+    """Branch-aware changelog (r9 'What's missing' #2): changelog(ref=)
+    walks the NAMED branch's lineage, so a WAP audit branch's staged
+    commits are auditable BEFORE publish; main's feed stays unchanged
+    until fast_forward, after which both agree."""
+    loc = str(tmp_path / "clref")
+    t = iceberg.create_table(
+        spark, loc,
+        spark.createDataFrame([(1, "a")], "id long, s string"),
+        format_version=2,
+    )
+    s0 = t.current_snapshot_id()
+    iceberg.create_ref(spark, loc, "audit", kind="branch")
+    iceberg.append(
+        spark, loc,
+        spark.createDataFrame([(2, "b")], "id long, s string"),
+        to_ref="audit",
+    )
+    iceberg.append(
+        spark, loc,
+        spark.createDataFrame([(3, "c")], "id long, s string"),
+        to_ref="audit",
+    )
+    # main's feed: nothing after the seed
+    assert iceberg.changelog(spark, loc, from_snapshot_id=s0).count() == 0
+    # the branch feed sees BOTH staged commits, in order
+    ch = iceberg.changelog(
+        spark, loc, from_snapshot_id=s0, ref="audit"
+    )
+    rows = [(r.id, r.s, r._change_type, r._change_ordinal)
+            for r in sorted(ch.collect(), key=lambda r: r._change_ordinal)]
+    assert rows == [(2, "b", "insert", 0), (3, "c", "insert", 1)]
+    # unknown ref refuses loudly
+    with pytest.raises(iceberg.IcebergError, match="unknown ref"):
+        iceberg.changelog(spark, loc, ref="nope")
+    # after publish, main's feed sees the same commits
+    iceberg.fast_forward(spark, loc, "main", "audit")
+    pub = iceberg.changelog(spark, loc, from_snapshot_id=s0)
+    assert {(r.id, r._change_type) for r in pub.collect()} == {
+        (2, "insert"), (3, "insert")
+    }
+    # ref="main" is the default feed
+    assert {
+        (r.id, r._change_type)
+        for r in iceberg.changelog(
+            spark, loc, from_snapshot_id=s0, ref="main"
+        ).collect()
+    } == {(2, "insert"), (3, "insert")}
+
+
 def test_iceberg_changelog_compaction_carry_and_expired_parent(
     spark, tmp_path
 ):
