@@ -1,22 +1,28 @@
-"""Baseline JPEG (ITU-T T.81) codec in pure numpy + stdlib.
+"""Baseline + progressive JPEG (ITU-T T.81) codec in pure numpy + stdlib.
 
 Clears the last guarded branch of the multimodal family: the container
-has no PIL/libjpeg, but baseline sequential DCT JPEG is implementable
-from the public spec alone — the tables below (quantization Annex K.1,
-Huffman Annex K.3) and the marker layout are from the standard.
+has no PIL/libjpeg, but DCT JPEG is implementable from the public spec
+alone — the tables below (quantization Annex K.1, Huffman Annex K.3)
+and the marker layout are from the standard.
 
-Decoder: SOI/APPn/COM/DQT/SOF0/DHT/DRI/SOS parsing, canonical Huffman
-decode with 0xFF00 unstuffing and D0-D7 restart markers, DC prediction,
-AC run-length/ZRL/EOB, dequantize → inverse zigzag → 2-D IDCT (matrix
-form of the orthonormal 8-point DCT-II, vectorized over all blocks of a
-plane with einsum), arbitrary integer chroma sampling factors with
-nearest upsampling, grayscale or YCbCr→RGB output. Progressive (SOF2),
-arithmetic coding and 12-bit precision raise NotImplementedError.
+Decoder: SOI/APPn/COM/DQT/SOF0/1/2/DHT/DRI/SOS parsing, canonical
+Huffman decode with 0xFF00 unstuffing and D0-D7 restart markers, DC
+prediction, AC run-length/ZRL/EOB, dequantize → inverse zigzag → 2-D
+IDCT (matrix form of the orthonormal 8-point DCT-II, vectorized over
+all blocks of a plane with einsum), arbitrary integer chroma sampling
+factors with nearest upsampling, grayscale or YCbCr→RGB output.
+PROGRESSIVE (SOF2) decodes the full T.81 G.2 scan family: DC
+first/refine (interleaved or not), per-component AC spectral-selection
+first scans with EOB runs, and AC successive-approximation refinement.
+Arithmetic coding and 12-bit precision raise NotImplementedError.
 
 Encoder: baseline JFIF at a libjpeg-style quality knob, 4:4:4 or 4:2:0
 (box-averaged chroma), spec Huffman tables written into DHT — so the
 output decodes in any standards-compliant reader, and the round-trip
-error is bounded by the quantization step (PSNR-tested).
+error is bounded by the quantization step (PSNR-tested). A progressive
+encoder (libjpeg-default-style scan script, G.1 procedures) produces
+coefficient-identical streams, so progressive round-trips are asserted
+PIXEL-EXACT against baseline round-trips.
 
 Everything is per-payload kernel code called from Arrow-batched
 ``mapInPandas`` stages in :mod:`.multimodal`; nothing here touches Spark.
@@ -324,14 +330,13 @@ def _pad_to(plane: np.ndarray, h: int, w: int) -> np.ndarray:
 # --- encoder ----------------------------------------------------------------
 
 
-def encode_jpeg(
-    pixels: np.ndarray, *, quality: int = 90, subsampling: str = "444"
-) -> bytes:
-    """Encode (h, w, 3) uint8 RGB as a baseline JFIF JPEG.
-
-    ``subsampling``: '444' (one block per component per MCU) or '420'
-    (2×2 luma blocks + box-averaged chroma per MCU).
-    """
+def _quantized_components(
+    pixels: np.ndarray, quality: int, subsampling: str
+):
+    """Shared front half of the baseline and progressive encoders:
+    color transform, subsampling, MCU padding, DCT, quantization.
+    Returns (h, w, samp, comp_blocks, qy, qc) with ``comp_blocks`` a
+    per-component (by, bx, 8, 8) int64 quantized coefficient grid."""
     if pixels.ndim != 3 or pixels.shape[2] != 3:
         raise ValueError(f"expected (h, w, 3) RGB array, got {pixels.shape}")
     if subsampling not in ("444", "420"):
@@ -366,6 +371,43 @@ def encode_jpeg(
         blocks = _to_blocks(_pad_to(plane, bh, bw) - 128.0)
         coef = np.einsum("ij,byjk,lk->byil", _T, blocks, _T)
         comp_blocks.append(np.round(coef / q).astype(np.int64))
+    return h, w, samp, comp_blocks, qy, qc
+
+
+def _container_headers(
+    h: int, w: int, samp: list, qy: np.ndarray, qc: np.ndarray,
+    sof_marker: int,
+) -> bytearray:
+    """SOI + APP0 + DQT×2 + SOF shared by both encoders."""
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, b"\x00" + bytes(qy.reshape(64)[ZIGZAG].astype(np.uint8)))
+    out += seg(0xDB, b"\x01" + bytes(qc.reshape(64)[ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for ci, (sh, sv) in enumerate(samp):
+        sof += struct.pack(">BBB", ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1)
+    out += seg(sof_marker, sof)
+    return out
+
+
+def encode_jpeg(
+    pixels: np.ndarray, *, quality: int = 90, subsampling: str = "444"
+) -> bytes:
+    """Encode (h, w, 3) uint8 RGB as a baseline JFIF JPEG.
+
+    ``subsampling``: '444' (one block per component per MCU) or '420'
+    (2×2 luma blocks + box-averaged chroma per MCU).
+    """
+    h, w, samp, comp_blocks, qy, qc = _quantized_components(
+        pixels, quality, subsampling
+    )
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
 
     dc_y = _canonical_codes(*DC_LUMA_SPEC)
     ac_y = _canonical_codes(*AC_LUMA_SPEC)
@@ -418,14 +460,7 @@ def encode_jpeg(
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
 
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xDB, b"\x00" + bytes(qy.reshape(64)[ZIGZAG].astype(np.uint8)))
-    out += seg(0xDB, b"\x01" + bytes(qc.reshape(64)[ZIGZAG].astype(np.uint8)))
-    sof = struct.pack(">BHHB", 8, h, w, 3)
-    for ci, (sh, sv) in enumerate(samp):
-        sof += struct.pack(">BBB", ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1)
-    out += seg(0xC0, sof)
+    out = _container_headers(h, w, samp, qy, qc, 0xC0)
     for tc_th, (bits, vals) in (
         (0x00, DC_LUMA_SPEC), (0x10, AC_LUMA_SPEC),
         (0x01, DC_CHROMA_SPEC), (0x11, AC_CHROMA_SPEC),
@@ -445,7 +480,8 @@ def encode_jpeg(
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline JPEG to (h, w, 3) uint8 RGB."""
+    """Decode a baseline (SOF0/1) or progressive (SOF2) JPEG to
+    (h, w, 3) uint8 RGB."""
     data = bytes(payload)
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -454,6 +490,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     restart_interval = 0
     frame = None
+    progressive = False
     while True:
         if data[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
@@ -489,7 +526,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 i += 17 + n
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
-        elif marker in (0xC0, 0xC1):  # SOF0/1 (baseline/ext. sequential)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision supported")
@@ -498,14 +535,19 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq = body[6 + ci * 3:9 + ci * 3]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, *range(0xC5, 0xC8), *range(0xC9, 0xCC), *range(0xCD, 0xD0)):
+            progressive = marker == 0xC2
+        elif marker in (0xC3, *range(0xC5, 0xC8), *range(0xC9, 0xCC), *range(0xCD, 0xD0)):
             raise NotImplementedError(
-                f"JPEG frame type {marker:#x} (progressive/arithmetic/"
-                "hierarchical) not supported by the baseline decoder"
+                f"JPEG frame type {marker:#x} (arithmetic/hierarchical/"
+                "lossless) not supported"
             )
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
+            if progressive:
+                return _decode_progressive(
+                    data, pos, body, frame, qt, huff, restart_interval
+                )
             ns = body[0]
             scan = []
             for si in range(ns):
@@ -559,8 +601,20 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                             zz[k] = _extend(reader.bits(s), s)
                             k += 1
 
+    return _reconstruct(h, w, order, coeffs, qt)
+
+
+def _reconstruct(
+    h: int, w: int, comps: list[dict], coeffs: list[np.ndarray],
+    qt: dict[int, np.ndarray],
+) -> np.ndarray:
+    """Dequantize + IDCT + upsample the per-component zigzag coefficient
+    grids into (h, w, 3) uint8 RGB — shared by the baseline and
+    progressive decode paths."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     planes = []
-    for ci, comp in enumerate(order):
+    for ci, comp in enumerate(comps):
         q = qt[comp["tq"]]
         blocks = coeffs[ci][:, :, UNZIGZAG].reshape(
             coeffs[ci].shape[0], coeffs[ci].shape[1], 8, 8
@@ -580,3 +634,469 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         g = np.clip(planes[0].round(), 0, 255).astype(np.uint8)
         return np.stack([g, g, g], axis=-1)
     return _ycbcr_to_rgb(planes[0], planes[1], planes[2])
+
+
+# --- progressive decoding (T.81 G.2) -----------------------------------------
+
+
+def _find_marker(data: bytes, pos: int) -> tuple[int, int]:
+    """Next real marker at/after ``pos`` (skips pad 0xFF fill bytes);
+    returns (marker, position after the two marker bytes)."""
+    while data[pos] != 0xFF:
+        pos += 1
+    while data[pos + 1] == 0xFF:
+        pos += 1
+    return data[pos + 1], pos + 2
+
+
+def _ac_first_block(reader, ac_tab, zz, ss, se, al, eobrun) -> int:
+    """One block of an AC FIRST scan (spectral selection band ss..se at
+    point transform al) — T.81 G.2 with end-of-band runs."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(reader, ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r < 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.bits(r)
+                break
+            k += 16  # ZRL
+        else:
+            k += r
+            if k > se:
+                raise ValueError("AC index overflow in progressive scan")
+            zz[k] = _extend(reader.bits(s), s) << al
+            k += 1
+    return eobrun
+
+
+def _ac_refine_block(reader, ac_tab, zz, ss, se, al, eobrun) -> int:
+    """One block of an AC REFINEMENT scan (successive approximation,
+    Ah = al + 1): newly-significant coefficients arrive as ±2^al, and
+    every already-nonzero coefficient crossed (including the end-of-band
+    tail) takes one correction bit appending the next magnitude bit."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(reader, ac_tab)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.bits(r)
+                    break
+                val = 0  # ZRL: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "invalid magnitude category in AC refinement"
+                    )
+                val = p1 if reader.bit() else m1
+            while k <= se:
+                if zz[k] != 0:
+                    if reader.bit() and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val:
+                if k > se:
+                    raise ValueError(
+                        "AC index overflow in refinement scan"
+                    )
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if zz[k] != 0:
+                if reader.bit() and (zz[k] & p1) == 0:
+                    zz[k] += p1 if zz[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive(
+    data: bytes,
+    pos: int,
+    first_sos_body: bytes,
+    frame: tuple,
+    qt: dict,
+    huff: dict,
+    restart_interval: int,
+) -> np.ndarray:
+    """Progressive (SOF2) decode: accumulate coefficients across the
+    scans (DC first/refine interleaved or not, AC first/refine per
+    component with EOB runs), then reconstruct once."""
+    h, w, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    by_id = {c["id"]: c for c in comps}
+    coeffs = {
+        c["id"]: np.zeros(
+            (mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int64
+        )
+        for c in comps
+    }
+
+    def _comp_block_dims(comp) -> tuple[int, int]:
+        # non-interleaved scans cover the component's OWN grid, not the
+        # MCU-padded one (T.81 A.2.2)
+        cw = -(-w * comp["h"] // hmax)
+        ch = -(-h * comp["v"] // vmax)
+        return -(-ch // 8), -(-cw // 8)
+
+    def _decode_scan(body: bytes, pos: int, ri: int) -> int:
+        ns = body[0]
+        scomps = []
+        for si in range(ns):
+            cs, tdta = body[1 + si * 2:3 + si * 2]
+            scomps.append((cs, tdta >> 4, tdta & 0x0F))
+        ss, se, a = body[1 + ns * 2], body[2 + ns * 2], body[3 + ns * 2]
+        ah, al = a >> 4, a & 0x0F
+        reader = _BitReader(data, pos)
+        if ss == 0:  # DC scan (se must be 0 per spec)
+            if se != 0:
+                raise ValueError("DC progressive scan with Se != 0")
+            prev = {cs: 0 for cs, _, _ in scomps}
+
+            def dc_block(zz, cs, td):
+                if ah == 0:
+                    s = _huff_decode(reader, huff[(0, td)])
+                    diff = _extend(reader.bits(s), s) if s else 0
+                    prev[cs] += diff
+                    zz[0] = prev[cs] << al
+                elif reader.bit():
+                    zz[0] |= 1 << al
+
+            unit = 0
+            if ns > 1:  # interleaved MCU order
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        if ri and unit and unit % ri == 0:
+                            reader.align_restart()
+                            prev.update({cs: 0 for cs in prev})
+                        unit += 1
+                        for cs, td, _ in scomps:
+                            comp = by_id[cs]
+                            arr = coeffs[cs]
+                            for by in range(comp["v"]):
+                                for bx in range(comp["h"]):
+                                    dc_block(
+                                        arr[my * comp["v"] + by,
+                                            mx * comp["h"] + bx],
+                                        cs, td,
+                                    )
+            else:
+                cs, td, _ = scomps[0]
+                bh_, bw_ = _comp_block_dims(by_id[cs])
+                arr = coeffs[cs]
+                for byy in range(bh_):
+                    for bxx in range(bw_):
+                        if ri and unit and unit % ri == 0:
+                            reader.align_restart()
+                            prev[cs] = 0
+                        unit += 1
+                        dc_block(arr[byy, bxx], cs, td)
+        else:  # AC scan: single component only (T.81 B.2.3)
+            if ns != 1:
+                raise ValueError("interleaved AC progressive scan")
+            cs, _, ta = scomps[0]
+            ac_tab = huff[(1, ta)]
+            bh_, bw_ = _comp_block_dims(by_id[cs])
+            arr = coeffs[cs]
+            eobrun = 0
+            unit = 0
+            fn = _ac_first_block if ah == 0 else _ac_refine_block
+            for byy in range(bh_):
+                for bxx in range(bw_):
+                    if ri and unit and unit % ri == 0:
+                        reader.align_restart()
+                        eobrun = 0
+                    unit += 1
+                    eobrun = fn(
+                        reader, ac_tab, arr[byy, bxx], ss, se, al, eobrun
+                    )
+        return reader.pos
+
+    sos_body = first_sos_body
+    ri = restart_interval
+    while True:
+        pos = _decode_scan(sos_body, pos, ri)
+        while True:  # markers until the next SOS or EOI
+            marker, pos = _find_marker(data, pos)
+            if marker == 0xD9:  # EOI
+                return _reconstruct(
+                    h, w, comps, [coeffs[c["id"]] for c in comps], qt
+                )
+            if marker in (0x01, *range(0xD0, 0xD8)):
+                continue
+            (ln,) = struct.unpack(">H", data[pos:pos + 2])
+            body = data[pos + 2:pos + ln]
+            pos += ln
+            if marker == 0xDB:
+                i = 0
+                while i < len(body):
+                    pq, tq_ = body[i] >> 4, body[i] & 0x0F
+                    i += 1
+                    if pq == 0:
+                        tbl = np.frombuffer(
+                            body[i:i + 64], dtype=np.uint8
+                        ).astype(np.int64)
+                        i += 64
+                    else:
+                        tbl = np.frombuffer(
+                            body[i:i + 128], dtype=">u2"
+                        ).astype(np.int64)
+                        i += 128
+                    qt[tq_] = tbl[UNZIGZAG].reshape(8, 8)
+            elif marker == 0xC4:
+                i = 0
+                while i < len(body):
+                    tc, th = body[i] >> 4, body[i] & 0x0F
+                    bits = list(body[i + 1:i + 17])
+                    n = sum(bits)
+                    vals = list(body[i + 17:i + 17 + n])
+                    huff[(tc, th)] = _decode_table(bits, vals)
+                    i += 17 + n
+            elif marker == 0xDD:
+                (ri,) = struct.unpack(">H", body[:2])
+            elif marker == 0xDA:
+                sos_body = body
+                break
+            # APPn/COM between scans: ignored
+
+
+# --- progressive encoding (T.81 G.1; scan script like libjpeg's default) ----
+
+# generic AC Huffman table for progressive scans: every (run, size)
+# symbol present (EOBn needs symbols Annex K.3 lacks) — 128 codes at
+# length 9 + 128 at length 10, canonical assignment
+_GEN_AC_SPEC = (
+    [0, 0, 0, 0, 0, 0, 0, 0, 128, 128, 0, 0, 0, 0, 0, 0],
+    list(range(256)),
+)
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray,
+    *,
+    quality: int = 90,
+    subsampling: str = "444",
+    dc_al: int = 1,
+    ac_al: int = 1,
+) -> bytes:
+    """Encode (h, w, 3) uint8 RGB as a PROGRESSIVE (SOF2) JFIF JPEG.
+
+    Scan script: interleaved DC first at point transform ``dc_al``, one
+    AC first scan per component (band 1..63 at ``ac_al``), then DC and
+    AC successive-approximation refinement scans down to bit 0 — the
+    same scan family libjpeg's default progressive script uses, so the
+    stream exercises EOB runs, ZRL, and both refinement procedures. The
+    quantized coefficients are IDENTICAL to :func:`encode_jpeg` at the
+    same quality, so a progressive round-trip must decode pixel-exactly
+    equal to the baseline round-trip."""
+    h, w, samp, comp_blocks, qy, qc = _quantized_components(
+        pixels, quality, subsampling
+    )
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    zzs = [
+        cb.reshape(cb.shape[0], cb.shape[1], 64)[:, :, ZIGZAG]
+        for cb in comp_blocks
+    ]
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    def sos_header(comp_idx: list[int], ss: int, se: int,
+                   ah: int, al: int) -> bytes:
+        body = struct.pack(">B", len(comp_idx))
+        for ci in comp_idx:
+            td = 0 if ci == 0 else 1
+            body += struct.pack(">BB", ci + 1, (td << 4) | 0)
+        return body + struct.pack(">BBB", ss, se, (ah << 4) | al)
+
+    def comp_dims(ci: int) -> tuple[int, int]:
+        sh, sv = samp[ci]
+        cw = -(-w * sh // hmax)
+        ch = -(-h * sv // vmax)
+        return -(-ch // 8), -(-cw // 8)
+
+    out = _container_headers(h, w, samp, qy, qc, 0xC2)
+    for tc_th, (bits, vals) in (
+        (0x00, DC_LUMA_SPEC), (0x01, DC_CHROMA_SPEC),
+        (0x10, _GEN_AC_SPEC),
+    ):
+        out += seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+    dc_codes = [
+        _canonical_codes(*DC_LUMA_SPEC),
+        _canonical_codes(*DC_CHROMA_SPEC),
+        _canonical_codes(*DC_CHROMA_SPEC),
+    ]
+    ac_codes = _canonical_codes(*_GEN_AC_SPEC)
+
+    # --- scan 1: DC first, interleaved, point transform dc_al ---
+    bw_ = _BitWriter()
+    prev = [0, 0, 0]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (sh, sv) in enumerate(samp):
+                for by in range(sv):
+                    for bx in range(sh):
+                        dc = int(zzs[ci][my * sv + by, mx * sh + bx, 0])
+                        dc >>= dc_al  # arithmetic shift per spec
+                        diff = dc - prev[ci]
+                        prev[ci] = dc
+                        s = _category(diff)
+                        code, ln = dc_codes[ci][s]
+                        bw_.write(code, ln)
+                        if s:
+                            bw_.write(
+                                diff if diff >= 0
+                                else diff + (1 << s) - 1, s,
+                            )
+    out += seg(0xDA, sos_header([0, 1, 2], 0, 0, 0, dc_al))
+    out += bw_.flush()
+
+    # --- AC first scans: one per component, band 1..63 at ac_al ---
+    for ci in range(3):
+        bw_ = _BitWriter()
+        eobrun = 0
+
+        def flush_eobrun() -> None:
+            nonlocal eobrun
+            if eobrun > 0:
+                n = eobrun.bit_length() - 1
+                code, ln = ac_codes[n << 4]
+                bw_.write(code, ln)
+                if n:
+                    bw_.write(eobrun - (1 << n), n)
+                eobrun = 0
+
+        bh_, bw_n = comp_dims(ci)
+        for byy in range(bh_):
+            for bxx in range(bw_n):
+                zz = zzs[ci][byy, bxx]
+                tc = np.sign(zz) * (np.abs(zz) >> ac_al)  # toward zero
+                r = 0
+                for k in range(1, 64):
+                    t = int(tc[k])
+                    if t == 0:
+                        r += 1
+                        continue
+                    flush_eobrun()
+                    while r > 15:
+                        code, ln = ac_codes[0xF0]
+                        bw_.write(code, ln)
+                        r -= 16
+                    s = _category(t)
+                    code, ln = ac_codes[(r << 4) | s]
+                    bw_.write(code, ln)
+                    bw_.write(t if t >= 0 else t + (1 << s) - 1, s)
+                    r = 0
+                if r > 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eobrun()
+        flush_eobrun()
+        out += seg(0xDA, sos_header([ci], 1, 63, 0, ac_al))
+        out += bw_.flush()
+
+    # --- DC refinement scans: one raw bit per block, MCU order ---
+    for al in reversed(range(dc_al)):
+        bw_ = _BitWriter()
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci, (sh, sv) in enumerate(samp):
+                    for by in range(sv):
+                        for bx in range(sh):
+                            dc = int(
+                                zzs[ci][my * sv + by, mx * sh + bx, 0]
+                            )
+                            bw_.write((dc >> al) & 1, 1)
+        out += seg(0xDA, sos_header([0, 1, 2], 0, 0, al + 1, al))
+        out += bw_.flush()
+
+    # --- AC refinement scans (libjpeg encode_mcu_AC_refine shape):
+    # newly-significant coefficients as (run, 1)+sign, correction bits
+    # for already-significant ones buffered and flushed after the next
+    # emitted symbol (or with the pending EOB run) ---
+    for al in reversed(range(ac_al)):
+        for ci in range(3):
+            bw_ = _BitWriter()
+            eobrun = 0
+            be: list[int] = []
+
+            def flush_eobrun_r() -> None:
+                nonlocal eobrun, be
+                if eobrun > 0:
+                    n = eobrun.bit_length() - 1
+                    code, ln = ac_codes[n << 4]
+                    bw_.write(code, ln)
+                    if n:
+                        bw_.write(eobrun - (1 << n), n)
+                    eobrun = 0
+                    for b in be:
+                        bw_.write(b, 1)
+                    be = []
+
+            bh_, bw_n = comp_dims(ci)
+            for byy in range(bh_):
+                for bxx in range(bw_n):
+                    zz = zzs[ci][byy, bxx]
+                    absv = np.abs(zz) >> al
+                    newly = [
+                        k for k in range(1, 64) if int(absv[k]) == 1
+                    ]
+                    eob_pos = newly[-1] if newly else 0
+                    r = 0
+                    br: list[int] = []
+                    for k in range(1, 64):
+                        t = int(absv[k])
+                        if t == 0:
+                            r += 1
+                            continue
+                        while r > 15 and k <= eob_pos:
+                            flush_eobrun_r()
+                            code, ln = ac_codes[0xF0]
+                            bw_.write(code, ln)
+                            r -= 16
+                            for b in br:
+                                bw_.write(b, 1)
+                            br = []
+                        if t > 1:
+                            br.append(t & 1)
+                            continue
+                        flush_eobrun_r()
+                        code, ln = ac_codes[(r << 4) | 1]
+                        bw_.write(code, ln)
+                        bw_.write(1 if int(zz[k]) >= 0 else 0, 1)
+                        for b in br:
+                            bw_.write(b, 1)
+                        br = []
+                        r = 0
+                    if r > 0 or br:
+                        eobrun += 1
+                        be.extend(br)
+                        if eobrun == 0x7FFF:
+                            flush_eobrun_r()
+            flush_eobrun_r()
+            out += seg(0xDA, sos_header([ci], 1, 63, al + 1, al))
+            out += bw_.flush()
+
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

@@ -3696,3 +3696,31 @@ SELECT _change_type,
 FROM changes
 GROUP BY _change_type, _change_ordinal
 """
+
+
+ORACLES_EXT["iceberg_branch_changelog_orders"] = """
+-- iceberg_branch_changelog_orders: seed (%4 = 0) is the fork point;
+-- the audit BRANCH stages %4 = 1 (ordinal 0) then %4 = 2 (ordinal 1);
+-- MAIN independently appends %4 = 3 (its ordinal 0). Each lineage's
+-- feed sees ONLY its own commits past the fork — bleed either way
+-- breaks the hash.
+WITH changes AS (
+    SELECT 'audit' AS side, 'insert' AS _change_type,
+           0 AS _change_ordinal, o_orderkey, o_custkey
+    FROM orders WHERE o_orderkey % 4 = 1
+    UNION ALL
+    SELECT 'audit', 'insert', 1, o_orderkey, o_custkey
+    FROM orders WHERE o_orderkey % 4 = 2
+    UNION ALL
+    SELECT 'main', 'insert', 0, o_orderkey, o_custkey
+    FROM orders WHERE o_orderkey % 4 = 3
+)
+SELECT side,
+       _change_type,
+       _change_ordinal,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+FROM changes
+GROUP BY side, _change_type, _change_ordinal
+"""

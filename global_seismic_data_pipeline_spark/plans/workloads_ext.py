@@ -3606,3 +3606,54 @@ def iceberg_changelog_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_custkey").cast("long").alias("sum_cust"),
         )
     )
+
+
+def iceberg_branch_changelog_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Branch-aware Iceberg changelog (sources/iceberg.py
+    ``changelog(ref=)``): a write-audit-publish audit branch stages two
+    appends while MAIN advances independently with its own append; the
+    branch feed from the fork point must see exactly the staged commits
+    (the pre-publish audit read) and main's feed only its own commit —
+    cross-lineage bleed, fork-point re-reports, or wrong per-lineage
+    ordinals all hash-fail. Integer aggregates only."""
+    import os
+    import tempfile
+
+    from ..sources import iceberg as ib
+
+    sel = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    loc = os.path.join(tempfile.mkdtemp(prefix="icebergbcl-"), "ord")
+    t = ib.create_table(
+        spark, loc, sel.filter(F.col("o_orderkey") % 4 == 0),
+        format_version=2,
+    )
+    s0 = t.current_snapshot_id()
+    ib.create_ref(spark, loc, "audit", kind="branch")
+    ib.append(
+        spark, loc, sel.filter(F.col("o_orderkey") % 4 == 1),
+        to_ref="audit",
+    )
+    ib.append(
+        spark, loc, sel.filter(F.col("o_orderkey") % 4 == 2),
+        to_ref="audit",
+    )
+    ib.append(spark, loc, sel.filter(F.col("o_orderkey") % 4 == 3))
+    audit = ib.changelog(
+        spark, loc, from_snapshot_id=s0, ref="audit"
+    ).withColumn("side", F.lit("audit"))
+    main = ib.changelog(spark, loc, from_snapshot_id=s0).withColumn(
+        "side", F.lit("main")
+    )
+    return (
+        audit.unionByName(main)
+        .groupBy("side", "_change_type", "_change_ordinal")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+            F.sum("o_custkey").cast("long").alias("sum_cust"),
+        )
+    )

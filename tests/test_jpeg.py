@@ -117,14 +117,71 @@ def test_quality_knob_trades_size_for_error():
     assert _psnr(img, J.decode_jpeg(hi)) > _psnr(img, J.decode_jpeg(lo))
 
 
+# --- progressive (SOF2) ------------------------------------------------------
+
+
+@pytest.mark.parametrize("subsampling", ["444", "420"])
+def test_progressive_roundtrip_pixel_exact_vs_baseline(subsampling):
+    """The progressive encoder reorders the SAME quantized coefficients
+    the baseline encoder writes, so the two decodes must agree
+    PIXEL-EXACTLY — any drift in the scan procedures (EOB runs, point
+    transforms, refinement bits) shows up as a differing pixel."""
+    img = _gradient(41, 53)  # non-multiple-of-8, exercises edge blocks
+    enc_p = J.encode_jpeg_progressive(
+        img, quality=90, subsampling=subsampling
+    )
+    assert b"\xff\xc2" in enc_p  # really SOF2
+    dec_p = J.decode_jpeg(enc_p)
+    dec_b = J.decode_jpeg(J.encode_jpeg(
+        img, quality=90, subsampling=subsampling
+    ))
+    assert (dec_p == dec_b).all()
+    assert _psnr(img, dec_p) > (40 if subsampling == "444" else 35)
+
+
+def test_progressive_noise_multibit_successive_approximation():
+    """dc_al=2 / ac_al=2: three DC scans + three AC scan waves per
+    component — deep successive approximation over dense coefficients
+    (noise) still reconstructs bit-identically to baseline."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    dec_p = J.decode_jpeg(J.encode_jpeg_progressive(
+        img, quality=85, dc_al=2, ac_al=2
+    ))
+    dec_b = J.decode_jpeg(J.encode_jpeg(img, quality=85))
+    assert (dec_p == dec_b).all()
+
+
+def test_progressive_spectral_selection_only():
+    """dc_al=0 / ac_al=0: no successive approximation, pure spectral
+    selection — the minimal legal progressive script."""
+    img = _gradient(16, 16)
+    dec_p = J.decode_jpeg(J.encode_jpeg_progressive(
+        img, quality=95, dc_al=0, ac_al=0
+    ))
+    dec_b = J.decode_jpeg(J.encode_jpeg(img, quality=95))
+    assert (dec_p == dec_b).all()
+
+
+def test_progressive_flat_image_long_eob_runs():
+    """A flat image's AC scans are one long EOB run spanning every
+    block (EOBRUN > 1 paths on both sides) and its refinement scans are
+    pure end-of-band corrections; decode stays exact."""
+    img = np.full((33, 47, 3), 181, np.uint8)
+    dec = J.decode_jpeg(J.encode_jpeg_progressive(img, quality=90))
+    assert (dec == img).all()
+
+
 # --- guards -----------------------------------------------------------------
 
 
-def test_progressive_raises_not_implemented():
+def test_progressive_malformed_dc_scan_rejected():
+    """A SOF2 stream whose first scan claims the full baseline band
+    (Ss=0, Se=63) is malformed — progressive DC scans must have Se=0."""
     enc = bytearray(J.encode_jpeg(_gradient(16, 16)))
     i = enc.find(b"\xff\xc0")
-    enc[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError):
+    enc[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 without fixing the scans
+    with pytest.raises(ValueError, match="Se != 0"):
         J.decode_jpeg(bytes(enc))
 
 
