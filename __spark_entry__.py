@@ -83,9 +83,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             workloads_ext.iceberg_spec_evolution_orders,
         "delta_cdf_file_orders": workloads_ext.delta_cdf_file_orders,
         "iceberg_changelog_orders": workloads_ext.iceberg_changelog_orders,
-        # --- round 10: branch-aware changelog (WAP audit feed) ---
+        # --- round 10: branch-aware changelog (WAP audit feed) +
+        # replaceWhere predicate-scoped overwrite ---
         "iceberg_branch_changelog_orders":
             workloads_ext.iceberg_branch_changelog_orders,
+        "delta_replace_where_orders":
+            workloads_ext.delta_replace_where_orders,
         # --- round-9 rotation: never-driver-sampled families move
         # into the first-50 (VERDICT r8 item 5); six long-verified
         # simple aggregates rotate to the tail ---

@@ -3698,6 +3698,26 @@ GROUP BY _change_type, _change_ordinal
 """
 
 
+ORACLES_EXT["delta_replace_where_orders"] = """
+-- delta_replace_where_orders: the 1-URGENT band is replaced with a
+-- recomputed batch (custkey + 1e6); every other band rides through
+-- untouched. Leaked non-matching rows or lost survivors hash-fail.
+WITH live AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderpriority = '1-URGENT'
+                THEN o_custkey + 1000000 ELSE o_custkey END AS o_custkey,
+           o_orderpriority
+    FROM orders
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+FROM live
+GROUP BY o_orderpriority
+"""
+
+
 ORACLES_EXT["iceberg_branch_changelog_orders"] = """
 -- iceberg_branch_changelog_orders: seed (%4 = 0) is the fork point;
 -- the audit BRANCH stages %4 = 1 (ordinal 0) then %4 = 2 (ordinal 1);

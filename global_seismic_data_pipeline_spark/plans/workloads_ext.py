@@ -3608,6 +3608,44 @@ def iceberg_changelog_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def delta_replace_where_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta ``replaceWhere`` (sources/deltawh.py ``overwrite_where``):
+    atomically replace exactly one predicate-scoped region — here the
+    1-URGENT priority band is recomputed (custkey +1e6) while every
+    other band's rows ride through untouched, in ONE commit that only
+    rewrites affected files. Leaked non-matching rows, lost survivors
+    from mixed files, or a silent full overwrite all hash-fail against
+    the oracle's set replay. Integer aggregates only."""
+    import tempfile
+
+    from ..sources.deltawh import DeltaLogWarehouse
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    wh = DeltaLogWarehouse(spark, tempfile.mkdtemp(prefix="replwhere-"))
+    wh.overwrite(orders, "ord")
+    batch = orders.filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select(
+        "o_orderkey",
+        (F.col("o_custkey") + 1000000).alias("o_custkey"),
+        "o_orderpriority",
+    )
+    wh.overwrite_where(batch, "ord", "o_orderpriority = '1-URGENT'")
+    return (
+        wh.read("ord")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+            F.sum("o_custkey").cast("long").alias("sum_cust"),
+        )
+    )
+
+
 def iceberg_branch_changelog_orders(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

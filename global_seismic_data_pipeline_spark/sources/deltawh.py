@@ -342,6 +342,94 @@ class DeltaLogWarehouse(Warehouse):
             if own_cdc:
                 self._pending_cdc_df = None
 
+    def overwrite_where(
+        self, df: DataFrame, name: str, condition: str
+    ) -> dict[str, int]:
+        """Delta's ``replaceWhere`` overwrite: atomically replace exactly
+        the rows matching ``condition`` with the batch, in ONE commit.
+
+        Writer contract (delta-spark's): every batch row must satisfy
+        the predicate — refuse loudly otherwise, or the "replace" would
+        silently leak rows outside its declared scope. File-level plan:
+        the probe scan (predicate pushed to parquet) finds the AFFECTED
+        files; their non-matching survivor rows re-stage together with
+        the batch, and the commit removes the affected files + adds the
+        replacements — untouched files never rewrite, so replacing one
+        day of a 100 TB table costs one day's files, not a full
+        overwrite. NULL-predicate rows count as non-matching (kept),
+        matching SQL DELETE semantics. DV-carrying files compose (the
+        probe scan is DV-filtered; removes carry the DV descriptor).
+        On a CDF table the commit publishes matching rows as ``delete``
+        + batch rows as ``insert`` change rows."""
+        from pyspark.sql import functions as F
+
+        if not dl.is_delta_table(self.path(name)):
+            # no prior state: replaceWhere degenerates to a plain write
+            self.overwrite(df, name)
+            return {"files_replaced": 0}
+        path = self.path(name)
+        match = F.coalesce(F.expr(condition), F.lit(False))
+        bad = df.filter(~match).count()
+        if bad:
+            raise ValueError(
+                f"replaceWhere: {bad} batch row(s) do not satisfy "
+                f"{condition!r} — the batch must live inside the "
+                "replaced region"
+            )
+        state = dl.snapshot_state(path)
+        raw = dl._scan_adds(
+            self.spark, path, list(state["files"].values()), state,
+            keep_meta=True,
+        )
+        abs_of = {
+            rel: os.path.join(path, unquote(rel))
+            for rel in state["files"]
+        }
+        rel_of_uri = {"file:" + a: rel for rel, a in abs_of.items()}
+        affected = [
+            rel_of_uri[r["__dv_file"]]
+            for r in raw.filter(match)
+            .select("__dv_file").distinct().collect()
+        ]
+        logical = [
+            c for c in raw.columns if c not in ("__dv_file", "__dv_pos")
+        ]
+        batch = df.select(*logical)
+        if affected:
+            aff_adds = [state["files"][rel] for rel in affected]
+            survivors = dl._scan_adds(
+                self.spark, path, aff_adds, state
+            ).filter(~match).select(*logical)
+            out = survivors.unionByName(batch)
+        else:
+            out = batch
+        own_cdc = self._pending_cdc_df is None and self._cdf_enabled(name)
+        if own_cdc:
+            self._pending_cdc_df = (
+                raw.filter(match).select(*logical)
+                .withColumn("_change_type", F.lit("delete"))
+                .unionByName(
+                    batch.withColumn("_change_type", F.lit("insert"))
+                )
+            )
+        removes = set(affected)
+
+        def removes_fn(prev) -> list[str]:
+            # recomputed inside the OCC retry loop: only files still
+            # live under the winner's state remove (a concurrently
+            # rewritten file's replacement is NOT ours to drop)
+            return [p for p in removes if p in prev["files"]]
+
+        try:
+            self._commit_df(
+                out, name, "append", self.partition_columns(name),
+                removes_fn=removes_fn, operation="REPLACE WHERE",
+            )
+        finally:
+            if own_cdc:
+                self._pending_cdc_df = None
+        return {"files_replaced": len(affected)}
+
     # a rowTracking MERGE threads (materialized-id-col, version-col)
     # through _commit_df so they stay PHYSICAL-only (never entering the
     # schemaString) and the commit passes row_ids_preserved
@@ -507,6 +595,7 @@ class DeltaLogWarehouse(Warehouse):
         partition_by: Sequence[str],
         *,
         remove_partition: tuple[str, Sequence] | None = None,
+        removes_fn=None,
         operation: str | None = None,
         txn: tuple[str, int] | None = None,
     ) -> None:
@@ -543,8 +632,10 @@ class DeltaLogWarehouse(Warehouse):
             pcol, touched = remove_partition
             dl_mode = "append"
             removes_fn = _touched_partition_removes(pcol, touched)
+        elif removes_fn is not None:
+            dl_mode = "append"
         else:
-            dl_mode, removes_fn = mode, None
+            dl_mode = mode
         cdc_actions = None
         if self._pending_cdc_df is not None:
             # materialized NOW, against the PRE-commit snapshot (the

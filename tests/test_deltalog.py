@@ -3124,6 +3124,83 @@ def test_cdf_restore_dv_diff_reports_delete_side(spark, dwh):
     ]
 
 
+def test_replace_where_overwrite(spark, dwh):
+    """Delta replaceWhere: replace exactly the matching region in one
+    commit — untouched partitions' files survive untouched, NULL-
+    predicate rows are kept (non-matching), and an out-of-region batch
+    refuses loudly."""
+    rows = [(i, "A" if i < 4 else "B") for i in range(8)] + [(99, None)]
+    dwh.overwrite(_df(spark, rows, "k int, band string"), "t", ["band"])
+    st0 = dl.snapshot_state(dwh.path("t"))
+    b_files = {rel for rel in st0["files"] if "band=B" in rel}
+    assert b_files
+    out = dwh.overwrite_where(
+        _df(spark, [(100, "A")], "k int, band string"), "t", "band = 'A'"
+    )
+    assert out["files_replaced"] >= 1
+    got = {(r.k, r.band) for r in dwh.read("t").collect()}
+    assert got == (
+        {(100, "A")} | {(i, "B") for i in range(4, 8)} | {(99, None)}
+    )
+    st1 = dl.snapshot_state(dwh.path("t"))
+    assert b_files <= set(st1["files"])  # untouched files survive
+    with pytest.raises(ValueError, match="do not satisfy"):
+        dwh.overwrite_where(
+            _df(spark, [(1, "B")], "k int, band string"), "t", "band = 'A'"
+        )
+    # time travel still sees the pre-replace state
+    v1 = st1["version"]
+    old = {(r.k, r.band)
+           for r in dwh.read_version("t", v1 - 1).collect()}
+    assert (1, "A") in old
+
+
+def test_replace_where_mixed_file_dv_and_cdf(spark, dwh):
+    """replaceWhere on a MIXED file (matching + surviving rows sharing
+    one parquet) with a deletion vector on it: survivors re-stage
+    DV-filtered (a DV-deleted row never resurrects), the remove carries
+    the DV descriptor, and a CDF table publishes delete+insert change
+    rows for exactly the replaced region."""
+    dwh.overwrite(
+        _df(
+            spark, [(1, "A"), (2, "A"), (3, "B"), (4, "B")],
+            "k int, band string",
+        ).coalesce(1),
+        "t",
+    )
+    assert len(dl.snapshot_state(dwh.path("t"))["files"]) == 1
+    dl.commit_set_properties(
+        dwh.path("t"), {"delta.enableChangeDataFeed": "true"}
+    )
+    dwh.delete_with_dv("t", "k = 2")
+    res = dwh.overwrite_where(
+        _df(spark, [(10, "A")], "k int, band string"), "t", "band = 'A'"
+    )
+    assert res["files_replaced"] == 1
+    got = {(r.k, r.band) for r in dwh.read("t").collect()}
+    assert got == {(10, "A"), (3, "B"), (4, "B")}  # k=2 never resurrects
+    v = dl.snapshot_state(dwh.path("t"))["version"]
+    ch = dwh.table_changes("t", v, v).collect()
+    assert {(r.k, r._change_type) for r in ch} == {
+        (1, "delete"), (10, "insert")
+    }
+
+
+def test_replace_where_no_match_and_missing_table(spark, dwh):
+    """An empty replace region just appends the batch (no removes); on
+    a missing table replaceWhere degenerates to a plain write."""
+    out = dwh.overwrite_where(
+        _df(spark, [(1, "A")], "k int, band string"), "fresh", "band = 'A'"
+    )
+    assert out == {"files_replaced": 0}
+    out = dwh.overwrite_where(
+        _df(spark, [(2, "C")], "k int, band string"), "fresh", "band = 'C'"
+    )
+    assert out == {"files_replaced": 0}
+    got = {(r.k, r.band) for r in dwh.read("fresh").collect()}
+    assert got == {(1, "A"), (2, "C")}
+
+
 def test_cdf_dv_delete_single_scan(spark, dwh, monkeypatch):
     """Judge finding (r9, perf): delete_with_dv re-ran the full probe
     scan to stage its change file. The matched set persists once — the
