@@ -3718,6 +3718,12 @@ GROUP BY o_orderpriority
 """
 
 
+# same set-theoretic replay on the Iceberg realization
+ORACLES_EXT["iceberg_replace_where_orders"] = (
+    ORACLES_EXT["delta_replace_where_orders"]
+)
+
+
 ORACLES_EXT["iceberg_branch_changelog_orders"] = """
 -- iceberg_branch_changelog_orders: seed (%4 = 0) is the fork point;
 -- the audit BRANCH stages %4 = 1 (ordinal 0) then %4 = 2 (ordinal 1);

@@ -3646,6 +3646,49 @@ def delta_replace_where_orders(
     )
 
 
+def iceberg_replace_where_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iceberg predicate-scoped overwrite (sources/iceberg.py
+    ``overwrite_where`` — ONE v2 merge-on-read snapshot: position
+    tombstones for the matching band + the batch's data files; no
+    existing file rewrites). Same region-replace semantics as
+    ``delta_replace_where_orders``, realized on the other lakehouse
+    format — a tombstone resolved against the wrong files, a leaked
+    non-matching row, or batch rows shadowed by their own commit's
+    deletes all hash-fail. Integer aggregates only."""
+    import os
+    import tempfile
+
+    from ..sources import iceberg as ib
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    loc = os.path.join(tempfile.mkdtemp(prefix="ibreplw-"), "ord")
+    ib.create_table(spark, loc, orders, format_version=2)
+    batch = orders.filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select(
+        "o_orderkey",
+        (F.col("o_custkey") + 1000000).alias("o_custkey"),
+        "o_orderpriority",
+    )
+    ib.overwrite_where(
+        spark, loc, batch, "o_orderpriority = '1-URGENT'",
+        max_rows=10_000_000,
+    )
+    return (
+        ib.IcebergTable(spark, loc).read()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+            F.sum("o_custkey").cast("long").alias("sum_cust"),
+        )
+    )
+
+
 def iceberg_branch_changelog_orders(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -4553,6 +4553,80 @@ def delete_where(
     return {"rows_deleted": n, "files_affected": n_affected}
 
 
+def overwrite_where(
+    spark: SparkSession,
+    location: str,
+    df: DataFrame,
+    condition: str,
+    *,
+    max_rows: int = 1_000_000,
+) -> dict:
+    """Predicate-scoped overwrite (Iceberg's ``overwrite(condition)``;
+    Delta ``replaceWhere`` parity) as ONE v2 merge-on-read snapshot:
+    position-delete tombstones for every LIVE row matching
+    ``condition`` plus the batch's data files, committed together at
+    the next sequence number. No existing data file is read, rewritten
+    or moved — replacing one region of a 100 TB table costs the probe
+    scan + O(region) tombstones, never a table rewrite. Writer gate
+    (delta-spark's replaceWhere contract, shared with
+    ``DeltaLogWarehouse.overwrite_where``): every batch row must
+    satisfy the predicate, or the replace would leak outside its
+    declared scope. NULL-predicate rows count as non-matching (kept).
+    Already-deleted rows never re-match (the probe runs on the
+    delete-merged read)."""
+    from pyspark.sql import functions as F
+
+    t = IcebergTable(spark, location)
+    if t.metadata.get("format-version", 1) < 2:
+        raise IcebergError(
+            "row-level deletes need a format-version 2 table (this one "
+            f"is v{t.metadata.get('format-version', 1)})"
+        )
+    _check_schema(t, df, "overwrite")
+    match = F.coalesce(F.expr(condition), F.lit(False))
+    bad = df.filter(~match).count()
+    if bad:
+        raise IcebergError(
+            f"overwrite_where: {bad} batch row(s) do not satisfy "
+            f"{condition!r} — the batch must live inside the replaced "
+            "region"
+        )
+    part_fields, fv = _table_write_shape(t)
+    files = t.data_files()
+    recs: list[dict] = []
+    n = 0
+    if files:
+        deletes = t.delete_files()
+        hits = (
+            _read_files_with_deletes(t, files, deletes, keep_meta=True)
+            .filter(match)
+            .select("__ifile", "__ipos")
+            .persist()
+        )
+        try:
+            n = hits.count()
+            if n > max_rows:
+                raise ValueError(
+                    f"overwrite_where matched {n} rows (> max_rows="
+                    f"{max_rows}): use a rewrite overwrite for bulk "
+                    "replacement"
+                )
+            if n:
+                recs = _stage_position_deletes(
+                    spark, location, hits, n, part_fields
+                )
+        finally:
+            hits.unpersist()
+    meta = _write_snapshot(
+        location, df, base=t.metadata, carry_prior=True,
+        operation="overwrite",  # rows vanish: tails must not skip it
+        part_fields=part_fields, format_version=fv,
+        extra_delete_files=recs or None,
+    )
+    _publish(location, meta)
+    return {"rows_deleted": n}
+
+
 def _pa_type_of(iceberg_type: str):
     import pyarrow as pa
 

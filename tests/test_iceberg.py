@@ -3339,6 +3339,52 @@ def test_iceberg_changelog(spark, tmp_path):
         iceberg.changelog(spark, loc, from_snapshot_id=last)
 
 
+def test_iceberg_overwrite_where(spark, tmp_path):
+    """Predicate-scoped overwrite in ONE merge-on-read snapshot: the
+    matching band replaces, survivors (incl. NULL-predicate rows and
+    rows sharing files with the band) ride through untouched, prior
+    row-level deletes never resurrect, out-of-region batches refuse,
+    time travel sees the pre-replace state, and the changelog reports
+    the replace as delete+insert."""
+    loc = str(tmp_path / "ow")
+    rows = [(1, "A"), (2, "A"), (3, "B"), (4, "B"), (5, None)]
+    t = iceberg.create_table(
+        spark,
+        loc,
+        spark.createDataFrame(rows, "id long, band string").coalesce(1),
+        format_version=2,
+    )
+    s0 = t.current_snapshot_id()
+    iceberg.delete_where(spark, loc, "id = 2")  # tombstone inside the band
+    batch = spark.createDataFrame([(10, "A")], "id long, band string")
+    out = iceberg.overwrite_where(spark, loc, batch, "band = 'A'")
+    assert out["rows_deleted"] == 1  # id=1 only: id=2 was already dead
+    got = {
+        (r.id, r.band)
+        for r in iceberg.IcebergTable(spark, loc).read().collect()
+    }
+    assert got == {(10, "A"), (3, "B"), (4, "B"), (5, None)}
+    # out-of-region batch refuses
+    with pytest.raises(iceberg.IcebergError, match="do not satisfy"):
+        iceberg.overwrite_where(
+            spark, loc,
+            spark.createDataFrame([(9, "B")], "id long, band string"),
+            "band = 'A'",
+        )
+    # time travel: the seed snapshot still reads in full
+    t2 = iceberg.IcebergTable(spark, loc)
+    assert {r.id for r in t2.read(snapshot_id=s0).collect()} == {
+        1, 2, 3, 4, 5
+    }
+    # the changelog reports the replace: band row out, batch row in
+    last = t2.current_snapshot_id()
+    parent = t2.resolve_snapshot(last)["parent-snapshot-id"]
+    ch = iceberg.changelog(spark, loc, from_snapshot_id=parent)
+    assert {(r.id, r._change_type) for r in ch.collect()} == {
+        (1, "delete"), (10, "insert")
+    }
+
+
 def test_iceberg_changelog_branch_ref(spark, tmp_path):
     """Branch-aware changelog (r9 'What's missing' #2): changelog(ref=)
     walks the NAMED branch's lineage, so a WAP audit branch's staged
