@@ -113,6 +113,7 @@ _CREATE_RE = re.compile(
 _INSERT_RE = re.compile(
     r"^\s*INSERT\s+(?:INTO|(?P<over>OVERWRITE)(?:\s+TABLE)?)\s+"
     r"(?P<target>[\w.]+)\s+"
+    r"(?:REPLACE\s+WHERE\s+(?P<replwhere>.*?)\s+(?=VALUES|SELECT))?"
     r"(?:VALUES\s*(?P<values>\(.*\))|(?P<select>SELECT\s+.*?))\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -843,6 +844,25 @@ class SqlDml:
             ]
         )
         n = aligned.count()
+        if m["replwhere"]:
+            # Delta SQL: INSERT INTO t REPLACE WHERE <cond> SELECT ... —
+            # the predicate-scoped overwrite, capability-checked like
+            # the other Delta-only façade verbs
+            if m["over"]:
+                raise ValueError(
+                    "INSERT OVERWRITE cannot combine with REPLACE WHERE"
+                )
+            fn = getattr(self.wh, "overwrite_where", None)
+            if fn is None:
+                raise ValueError(
+                    "REPLACE WHERE needs a Delta-log-backed warehouse "
+                    f"({type(self.wh).__name__} has no overwrite_where)"
+                )
+            fn(aligned, name, m["replwhere"].strip())
+            return self._summary(
+                statement="INSERT_REPLACE_WHERE", table=name,
+                rows_inserted=n,
+            )
         if m["over"]:
             # INSERT OVERWRITE [TABLE] t: atomic full replace, preserving
             # the table's hive layout (Warehouse.overwrite's contract)

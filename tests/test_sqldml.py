@@ -906,3 +906,43 @@ def test_ctas_and_insert_overwrite(spark, wh):
     assert wh.read("big_quakes").count() == 2
     # the overwrite preserved the hive partition layout
     assert wh.partition_columns("big_quakes") == ["region"]
+
+
+def test_insert_replace_where(spark, wh):
+    """Delta SQL's ``INSERT INTO t REPLACE WHERE <cond> SELECT ...``
+    dispatches to the predicate-scoped overwrite on the delta backend
+    and refuses (capability-checked) on the plain one; combining it
+    with OVERWRITE refuses on both."""
+    engine = SqlDml(wh)
+    wh.overwrite(
+        spark.createDataFrame(
+            [("e1", 5.0, "CA"), ("e2", 7.0, "AK"), ("e3", 2.0, "CA")],
+            "event_id string, mag double, region string",
+        ),
+        "q",
+    )
+    stmt = """
+        INSERT INTO q REPLACE WHERE region = 'CA'
+        VALUES ('e9', 9.9, 'CA')
+    """
+    if not isinstance(wh, DeltaLogWarehouse):
+        with pytest.raises(ValueError, match="REPLACE WHERE"):
+            engine.sql(stmt)
+        return
+    out = engine.sql(stmt).collect()[0]
+    assert (out.statement, out.rows_inserted) == (
+        "INSERT_REPLACE_WHERE", 1
+    )
+    got = {(r.event_id, r.region) for r in wh.read("q").collect()}
+    assert got == {("e9", "CA"), ("e2", "AK")}
+    # out-of-region batch refuses through the façade too
+    with pytest.raises(ValueError, match="do not satisfy"):
+        engine.sql("""
+            INSERT INTO q REPLACE WHERE region = 'CA'
+            VALUES ('e8', 1.0, 'TX')
+        """)
+    with pytest.raises(ValueError, match="cannot combine"):
+        engine.sql("""
+            INSERT OVERWRITE q REPLACE WHERE region = 'CA'
+            VALUES ('e7', 1.0, 'CA')
+        """)
