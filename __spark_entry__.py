@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             workloads_ext.delta_replace_where_orders,
         "iceberg_replace_where_orders":
             workloads_ext.iceberg_replace_where_orders,
+        "copy_into_orders": workloads_ext.copy_into_orders,
         # --- round-9 rotation: never-driver-sampled families move
         # into the first-50 (VERDICT r8 item 5); six long-verified
         # simple aggregates rotate to the tail ---

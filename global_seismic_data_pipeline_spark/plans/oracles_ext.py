@@ -3724,6 +3724,20 @@ ORACLES_EXT["iceberg_replace_where_orders"] = (
 )
 
 
+ORACLES_EXT["copy_into_orders"] = """
+-- copy_into_orders: two COPY INTO runs over the same landing file must
+-- ingest it exactly once (rerun loads 0 files) — a broken ledger
+-- doubles every aggregate.
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+       CAST(0 AS BIGINT) AS rerun_files_loaded
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
 ORACLES_EXT["iceberg_branch_changelog_orders"] = """
 -- iceberg_branch_changelog_orders: seed (%4 = 0) is the fork point;
 -- the audit BRANCH stages %4 = 1 (ordinal 0) then %4 = 2 (ordinal 1);

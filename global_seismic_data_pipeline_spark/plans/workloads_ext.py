@@ -3646,6 +3646,43 @@ def delta_replace_where_orders(
     )
 
 
+def copy_into_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY INTO idempotent file-level ingest (sources/warehouse.py
+    ``copy_into`` + the SQL façade verb): the orders file copies into a
+    warehouse table TWICE and a FORCE=False re-run must load ZERO files
+    — a broken ledger double-ingests and inflates every aggregate 2×,
+    hash-failing. The second run's files_loaded rides along as a
+    cross-check column. Integer aggregates only."""
+    import tempfile
+
+    from ..sources.sqldml import SqlDml
+    from ..sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="copyinto-"))
+    engine = SqlDml(wh)
+    engine.sql(
+        f"COPY INTO ord FROM '{sf_dir}' FILEFORMAT = PARQUET "
+        "PATTERN = 'orders.parquet'"
+    )
+    rerun = engine.sql(
+        f"COPY INTO ord FROM '{sf_dir}' FILEFORMAT = PARQUET "
+        "PATTERN = 'orders.parquet'"
+    ).collect()[0]
+    return (
+        wh.read("ord")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+            F.sum("o_custkey").cast("long").alias("sum_cust"),
+        )
+        .withColumn(
+            "rerun_files_loaded",
+            F.lit(int(rerun.files_loaded)).cast("long"),
+        )
+    )
+
+
 def iceberg_replace_where_orders(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

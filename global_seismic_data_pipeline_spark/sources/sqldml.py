@@ -126,6 +126,14 @@ _CTAS_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
+_COPY_RE = re.compile(
+    r"^\s*COPY\s+INTO\s+(?P<target>[\w.]+)\s+FROM\s+'(?P<src>[^']+)'"
+    r"\s+FILEFORMAT\s*=\s*(?P<fmt>\w+)"
+    r"(?:\s+PATTERN\s*=\s*'(?P<pattern>[^']+)')?"
+    r"(?:\s+FORCE\s*=\s*(?P<force>TRUE|FALSE))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
 _ALTER_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<target>[\w.]+)\s+"
     r"(?:ADD\s+CONSTRAINT\s+(?P<cname>\w+)\s+CHECK\s*\(\s*(?P<expr>.*?)\s*\)"
@@ -352,6 +360,8 @@ class SqlDml:
             return self._describe(text)
         if verb == "RESTORE":
             return self._restore(text)
+        if verb == "COPY" and len(head) > 1 and head[1].upper() == "INTO":
+            return self._copy_into(text)
         self.wh.register_views()
         return self.spark.sql(self._rewrite_versioned_reads(text))
 
@@ -872,6 +882,26 @@ class SqlDml:
             )
         self.wh.append(aligned, name)
         return self._summary(statement="INSERT", table=name, rows_inserted=n)
+
+    def _copy_into(self, text: str) -> DataFrame:
+        """``COPY INTO t FROM '<path>' FILEFORMAT = PARQUET [PATTERN =
+        '<glob>'] [FORCE = TRUE]`` — idempotent file-level ingest
+        (Warehouse.copy_into): already-loaded files skip, re-runs load
+        exactly the new arrivals."""
+        m = _mask_match(_COPY_RE, text)
+        if not m:
+            raise ValueError(f"unsupported COPY INTO syntax: {text!r}")
+        out = self.wh.copy_into(
+            m["target"], m["src"],
+            fmt=m["fmt"].lower(),
+            pattern=m["pattern"],
+            force=bool(m["force"]) and m["force"].upper() == "TRUE",
+        )
+        return self._summary(
+            statement="COPY_INTO", table=m["target"],
+            files_loaded=out["files_loaded"],
+            rows_inserted=out["rows_loaded"],
+        )
 
     # -- MERGE ------------------------------------------------------------
     def _resolve_source(self, name: str) -> DataFrame:

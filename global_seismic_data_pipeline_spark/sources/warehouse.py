@@ -74,6 +74,70 @@ class Warehouse:
         cfile = self._constraints_file(name)
         if os.path.isfile(cfile):
             os.remove(cfile)
+        # ...nor its COPY INTO ledger (a re-created table reloads fresh)
+        lfile = self._copy_ledger_file(name)
+        if os.path.isfile(lfile):
+            os.remove(lfile)
+
+    # -- COPY INTO (idempotent file-level batch ingest) ---------------------
+    def _copy_ledger_file(self, name: str) -> str:
+        return os.path.join(self.root, f"_copy_into_{name}.json")
+
+    def copy_into(
+        self,
+        name: str,
+        src: str,
+        *,
+        fmt: str = "parquet",
+        pattern: str | None = None,
+        force: bool = False,
+    ) -> dict[str, int]:
+        """Idempotent FILE-LEVEL batch ingest (Delta's ``COPY INTO``):
+        load the source directory's data files into the table, skipping
+        every file a previous COPY INTO into this table already loaded —
+        re-running after new files land ingests exactly the delta;
+        re-running unchanged is a no-op. Per Delta's contract the
+        skip keys on the file PATH (a modified already-loaded file stays
+        skipped; ``force=True`` reloads everything). The ledger write is
+        atomic (tmp + rename) and lands AFTER the data commit, so a
+        crash in between re-loads at most the in-flight batch on the
+        next run — never silently skips unloaded files.
+
+        Scale shape: the file listing is driver-side metadata work; the
+        load itself is ONE distributed columnar read of only the new
+        files — a daily re-run over a 100 TB landing zone reads the new
+        day, never the zone."""
+        import glob as _glob
+        import json as _json
+
+        pat = pattern or f"*.{fmt}"
+        paths = sorted(
+            p
+            for p in _glob.glob(
+                os.path.join(src, "**", pat), recursive=True
+            )
+            if os.path.isfile(p)
+        )
+        if not paths and not os.path.isdir(src) and os.path.isfile(src):
+            paths = [src]  # FROM '<one file>'
+        ledger_path = self._copy_ledger_file(name)
+        loaded: list[str] = []
+        if os.path.isfile(ledger_path):
+            with open(ledger_path) as fh:
+                loaded = _json.load(fh)
+        seen = set(loaded)
+        todo = list(paths) if force else [p for p in paths if p not in seen]
+        if not todo:
+            return {"files_loaded": 0, "rows_loaded": 0}
+        df = self.spark.read.format(fmt).load(todo)
+        n = df.count()
+        self.append(df, name)
+        new_loaded = loaded + [p for p in todo if p not in seen]
+        tmp = ledger_path + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump(new_loaded, fh)
+        os.replace(tmp, ledger_path)
+        return {"files_loaded": len(todo), "rows_loaded": n}
 
     # -- read / write -----------------------------------------------------
     def read(self, name: str) -> DataFrame:

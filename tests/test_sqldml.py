@@ -908,6 +908,50 @@ def test_ctas_and_insert_overwrite(spark, wh):
     assert wh.partition_columns("big_quakes") == ["region"]
 
 
+def test_copy_into_idempotent_file_ingest(spark, wh, tmp_path):
+    """COPY INTO loads a landing directory's files exactly once: the
+    first run ingests all, an unchanged re-run is a no-op, a NEW file
+    loads alone on the next run, and FORCE=TRUE reloads everything —
+    on both backends through the façade."""
+    land = tmp_path / "landing"
+    land.mkdir()
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, s string")
+    df1.coalesce(1).write.parquet(str(land / "batch1"))
+    engine = SqlDml(wh)
+    out = engine.sql(
+        f"COPY INTO ing FROM '{land}' FILEFORMAT = PARQUET"
+    ).collect()[0]
+    assert out.rows_inserted == 2 and out.files_loaded >= 1
+    assert wh.read("ing").count() == 2
+    # unchanged re-run: no-op
+    out = engine.sql(
+        f"COPY INTO ing FROM '{land}' FILEFORMAT = PARQUET"
+    ).collect()[0]
+    assert (out.files_loaded, out.rows_inserted) == (0, 0)
+    assert wh.read("ing").count() == 2
+    # a new arrival loads alone
+    spark.createDataFrame([(3, "c")], "k int, s string").coalesce(
+        1
+    ).write.parquet(str(land / "batch2"))
+    out = engine.sql(
+        f"COPY INTO ing FROM '{land}' FILEFORMAT = PARQUET"
+    ).collect()[0]
+    assert out.rows_inserted == 1
+    assert {r.k for r in wh.read("ing").collect()} == {1, 2, 3}
+    # FORCE reloads everything (duplicates, per Delta's contract)
+    out = engine.sql(
+        f"COPY INTO ing FROM '{land}' FILEFORMAT = PARQUET FORCE = TRUE"
+    ).collect()[0]
+    assert out.rows_inserted == 3
+    assert wh.read("ing").count() == 6
+    # DROP clears the ledger: a re-created table reloads fresh
+    engine.sql("DROP TABLE ing")
+    out = engine.sql(
+        f"COPY INTO ing FROM '{land}' FILEFORMAT = PARQUET"
+    ).collect()[0]
+    assert out.rows_inserted == 3
+
+
 def test_insert_replace_where(spark, wh):
     """Delta SQL's ``INSERT INTO t REPLACE WHERE <cond> SELECT ...``
     dispatches to the predicate-scoped overwrite on the delta backend
