@@ -368,6 +368,24 @@ class DeltaLogWarehouse(Warehouse):
             self.overwrite(df, name)
             return {"files_replaced": 0}
         path = self.path(name)
+        gen, _inv, ident = self._schema_demands(name)
+        for col, spec in ident.items():
+            # survivors re-stage WITH their stored identity values —
+            # routing them through the per-write assignment machinery
+            # would either refuse (GENERATED ALWAYS) or re-issue marks;
+            # refuse loudly with the working alternative
+            if col not in df.columns or not spec["explicit_ok"]:
+                raise dl.DeltaProtocolError(
+                    f"replaceWhere on identity-column table ({col!r} is "
+                    "writer-assigned): unsupported — use delete_with_dv "
+                    "+ append, or provide explicit values on a BY "
+                    "DEFAULT column"
+                )
+        for col, expr_ in gen.items():
+            # a batch legitimately omits generated columns (the
+            # supported append shape) — compute them before the union
+            if col not in df.columns:
+                df = df.withColumn(col, F.expr(expr_))
         match = F.coalesce(F.expr(condition), F.lit(False))
         bad = df.filter(~match).count()
         if bad:
@@ -386,41 +404,63 @@ class DeltaLogWarehouse(Warehouse):
             for rel in state["files"]
         }
         rel_of_uri = {"file:" + a: rel for rel, a in abs_of.items()}
-        affected = [
-            rel_of_uri[r["__dv_file"]]
-            for r in raw.filter(match)
-            .select("__dv_file").distinct().collect()
-        ]
         logical = [
             c for c in raw.columns if c not in ("__dv_file", "__dv_pos")
         ]
-        batch = df.select(*logical)
-        if affected:
-            aff_adds = [state["files"][rel] for rel in affected]
-            survivors = dl._scan_adds(
-                self.spark, path, aff_adds, state
-            ).filter(~match).select(*logical)
-            out = survivors.unionByName(batch)
-        else:
-            out = batch
         own_cdc = self._pending_cdc_df is None and self._cdf_enabled(name)
+        matched = raw.filter(match)
         if own_cdc:
-            self._pending_cdc_df = (
-                raw.filter(match).select(*logical)
-                .withColumn("_change_type", F.lit("delete"))
-                .unionByName(
-                    batch.withColumn("_change_type", F.lit("insert"))
-                )
-            )
-        removes = set(affected)
-
-        def removes_fn(prev) -> list[str]:
-            # recomputed inside the OCC retry loop: only files still
-            # live under the winner's state remove (a concurrently
-            # rewritten file's replacement is NOT ours to drop)
-            return [p for p in removes if p in prev["files"]]
-
+            # ONE probe scan: the affected-file collect AND the change
+            # rows both read the cache (same shape as delete_with_dv)
+            matched = matched.persist()
         try:
+            affected = [
+                rel_of_uri[r["__dv_file"]]
+                for r in matched.select("__dv_file").distinct().collect()
+            ]
+            batch = df.select(*logical)
+            if affected:
+                aff_adds = [state["files"][rel] for rel in affected]
+                survivors = dl._scan_adds(
+                    self.spark, path, aff_adds, state
+                ).filter(~match).select(*logical)
+                out = survivors.unionByName(batch)
+            else:
+                out = batch
+            if own_cdc:
+                self._pending_cdc_df = (
+                    matched.select(*logical)
+                    .withColumn("_change_type", F.lit("delete"))
+                    .unionByName(
+                        batch.withColumn("_change_type", F.lit("insert"))
+                    )
+                )
+            probed = {rel: state["files"][rel] for rel in affected}
+
+            def removes_fn(prev) -> list[str]:
+                # staleness gate inside the OCC retry loop: the staged
+                # survivors were computed from the PROBED records — a
+                # concurrently rewritten/DV'd affected file, or any
+                # concurrent add (which might land rows inside the
+                # replaced region), invalidates them. Refuse like
+                # delta-spark's conflict checker instead of silently
+                # duplicating/resurrecting rows.
+                for rel, rec in probed.items():
+                    if prev["files"].get(rel) != rec:
+                        raise dl.DeltaConcurrentWriteError(
+                            f"replaceWhere: affected file {rel!r} "
+                            "changed under this write — restage"
+                        )
+                fresh = set(prev["files"]) - set(state["files"])
+                if fresh:
+                    raise dl.DeltaConcurrentWriteError(
+                        "replaceWhere: a concurrent writer added "
+                        f"{len(fresh)} file(s) under this write (they "
+                        "may hold rows inside the replaced region) — "
+                        "restage"
+                    )
+                return list(probed)
+
             self._commit_df(
                 out, name, "append", self.partition_columns(name),
                 removes_fn=removes_fn, operation="REPLACE WHERE",
@@ -428,6 +468,7 @@ class DeltaLogWarehouse(Warehouse):
         finally:
             if own_cdc:
                 self._pending_cdc_df = None
+                matched.unpersist()
         return {"files_replaced": len(affected)}
 
     # a rowTracking MERGE threads (materialized-id-col, version-col)

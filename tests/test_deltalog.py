@@ -3161,11 +3161,13 @@ def test_replace_where_mixed_file_dv_and_cdf(spark, dwh):
     DV-filtered (a DV-deleted row never resurrects), the remove carries
     the DV descriptor, and a CDF table publishes delete+insert change
     rows for exactly the replaced region."""
+    from global_seismic_data_pipeline_spark.session import tiny_df
+
     dwh.overwrite(
-        _df(
+        tiny_df(
             spark, [(1, "A"), (2, "A"), (3, "B"), (4, "B")],
             "k int, band string",
-        ).coalesce(1),
+        ),
         "t",
     )
     assert len(dl.snapshot_state(dwh.path("t"))["files"]) == 1
@@ -3184,6 +3186,83 @@ def test_replace_where_mixed_file_dv_and_cdf(spark, dwh):
     assert {(r.k, r._change_type) for r in ch} == {
         (1, "delete"), (10, "insert")
     }
+
+
+def test_replace_where_demands_and_concurrency(spark, dwh, tmp_path):
+    """Review findings (r10): (a) a batch legitimately omits GENERATED
+    columns — replaceWhere computes them before the union and survivors'
+    stored values still verify; (b) identity-column tables refuse loudly
+    (survivors would re-enter the writer-assignment machinery);
+    (c) a concurrent write landing between the probe and the commit
+    raises DeltaConcurrentWriteError instead of silently committing
+    stale survivors."""
+    # (a) generated column: batch omits g, survivors carry it
+    p = _demand_table(spark, tmp_path, {
+        "g": {"delta.generationExpression": "k * 2"},
+    })
+    dwh2 = DeltaLogWarehouse(spark, str(tmp_path))
+    dwh2.append(_df(spark, [(1, 1), (2, 2)], "k int, v int"), "demand")
+    dwh2.overwrite_where(
+        _df(spark, [(10, 7)], "k int, v int"), "demand", "k >= 2"
+    )
+    got = {(r.k, r.v, r.g) for r in dwh2.read("demand").collect()}
+    # the fixture's seed row (1, 5, 10) and the appended (1, 1, 2) both
+    # survive (k < 2); the replaced region is exactly k >= 2
+    assert got == {(1, 5, 10), (1, 1, 2), (10, 7, 20)}
+
+    # (b) identity table refuses with guidance
+    fields = [
+        {"name": "k", "type": "integer", "nullable": True, "metadata": {}},
+        {"name": "uid", "type": "long", "nullable": True, "metadata": {
+            "delta.identity.start": 1,
+            "delta.identity.step": 1,
+            "delta.identity.allowExplicitInsert": False,
+        }},
+    ]
+    pid = str(tmp_path / "identrw")
+    os.makedirs(os.path.join(pid, "_delta_log"))
+    v0 = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 6}},
+        {"metaData": {
+            "id": "0010", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(
+                {"type": "struct", "fields": fields}
+            ),
+            "partitionColumns": [], "configuration": {}, "createdTime": 1,
+        }},
+        {"commitInfo": {"timestamp": 1000, "operation": "CREATE TABLE"}},
+    ]
+    with open(os.path.join(pid, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        for a in v0:
+            fh.write(json.dumps(a) + "\n")
+    dwh2.append(_df(spark, [(1,)], "k int"), "identrw")
+    with pytest.raises(dl.DeltaProtocolError, match="identity"):
+        dwh2.overwrite_where(
+            _df(spark, [(2,)], "k int"), "identrw", "k >= 1"
+        )
+
+    # (c) concurrent write between probe and commit refuses
+    dwh.overwrite(_df(spark, [(1, "A"), (2, "B")], "k int, band string"), "t")
+    real_commit = dl.commit_write
+    interleaved = {"done": False}
+
+    def racing_commit(spark_, path_, staged_, **kw):
+        if not interleaved["done"]:
+            interleaved["done"] = True
+            dl.write_delta(
+                _df(spark, [(9, "A")], "k int, band string"),
+                dwh.path("t"), mode="append",
+            )
+        return real_commit(spark_, path_, staged_, **kw)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(dl, "commit_write", racing_commit):
+        with pytest.raises(dl.DeltaConcurrentWriteError, match="restage"):
+            dwh.overwrite_where(
+                _df(spark, [(10, "A")], "k int, band string"),
+                "t", "band = 'A'",
+            )
 
 
 def test_replace_where_no_match_and_missing_table(spark, dwh):

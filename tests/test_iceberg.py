@@ -3346,12 +3346,14 @@ def test_iceberg_overwrite_where(spark, tmp_path):
     row-level deletes never resurrect, out-of-region batches refuse,
     time travel sees the pre-replace state, and the changelog reports
     the replace as delete+insert."""
+    from global_seismic_data_pipeline_spark.session import tiny_df
+
     loc = str(tmp_path / "ow")
     rows = [(1, "A"), (2, "A"), (3, "B"), (4, "B"), (5, None)]
     t = iceberg.create_table(
         spark,
         loc,
-        spark.createDataFrame(rows, "id long, band string").coalesce(1),
+        tiny_df(spark, rows, "id long, band string"),
         format_version=2,
     )
     s0 = t.current_snapshot_id()
