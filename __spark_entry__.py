@@ -92,6 +92,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_replace_where_orders":
             workloads_ext.iceberg_replace_where_orders,
         "copy_into_orders": workloads_ext.copy_into_orders,
+        "dynamic_overwrite_orders":
+            workloads_ext.dynamic_overwrite_orders,
         # --- round-9 rotation: never-driver-sampled families move
         # into the first-50 (VERDICT r8 item 5); six long-verified
         # simple aggregates rotate to the tail ---

@@ -3724,6 +3724,25 @@ ORACLES_EXT["iceberg_replace_where_orders"] = (
 )
 
 
+ORACLES_EXT["dynamic_overwrite_orders"] = """
+-- dynamic_overwrite_orders: the batch carries partitions 1-URGENT and
+-- 2-HIGH (custkey + 1e6); exactly those replace, the rest survive.
+WITH live AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN o_custkey + 1000000 ELSE o_custkey END AS o_custkey,
+           o_orderpriority
+    FROM orders
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+FROM live
+GROUP BY o_orderpriority
+"""
+
+
 ORACLES_EXT["copy_into_orders"] = """
 -- copy_into_orders: two COPY INTO runs over the same landing file must
 -- ingest it exactly once (rerun loads 0 files) — a broken ledger

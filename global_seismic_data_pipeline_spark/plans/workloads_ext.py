@@ -3683,6 +3683,41 @@ def copy_into_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dynamic_overwrite_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite (sources/deltawh.py
+    ``overwrite_dynamic`` — Spark's partitionOverwriteMode=dynamic as
+    ONE Delta log commit): a batch recomputing two priority partitions
+    (custkey +1e6) replaces exactly those partitions; the other three
+    ride through untouched. A full-table replace, a leaked partition, or
+    lost untouched rows all hash-fail. Integer aggregates only."""
+    import tempfile
+
+    from ..sources.deltawh import DeltaLogWarehouse
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    wh = DeltaLogWarehouse(spark, tempfile.mkdtemp(prefix="dynow-"))
+    wh.overwrite(orders, "ord", ["o_orderpriority"])
+    batch = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).select(
+        "o_orderkey",
+        (F.col("o_custkey") + 1000000).alias("o_custkey"),
+        "o_orderpriority",
+    )
+    wh.overwrite_dynamic(batch, "ord")
+    return (
+        wh.read("ord")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+            F.sum("o_custkey").cast("long").alias("sum_cust"),
+        )
+    )
+
+
 def iceberg_replace_where_orders(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

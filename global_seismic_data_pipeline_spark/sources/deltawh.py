@@ -471,6 +471,78 @@ class DeltaLogWarehouse(Warehouse):
                 matched.unpersist()
         return {"files_replaced": len(affected)}
 
+    def overwrite_dynamic(self, df: DataFrame, name: str) -> dict[str, int]:
+        """Dynamic partition overwrite as ONE log commit: remove every
+        active file whose partition tuple appears in the batch, add the
+        batch — untouched partitions' files ride through (Delta's
+        ``partitionOverwriteMode=dynamic``). Atomic at the log level,
+        unlike the base backend's per-directory swaps. On a CDF table
+        the commit publishes the touched partitions' old rows as
+        ``delete`` + the batch as ``insert``."""
+        from pyspark.sql import functions as F
+
+        if not dl.is_delta_table(self.path(name)):
+            self.overwrite(df, name)
+            return {"partitions_replaced": 0}
+        pcols = self.partition_columns(name)
+        if not pcols:
+            self.overwrite(df, name)
+            return {"partitions_replaced": 0}
+        null_dir = "__HIVE_DEFAULT_PARTITION__"
+        keyed = [
+            F.coalesce(F.col(c).cast("string"), F.lit(null_dir))
+            .alias(f"__p_{c}")
+            for c in pcols
+        ]
+        touched = {
+            tuple(r) for r in df.select(*keyed).distinct().collect()
+        }
+        own_cdc = self._pending_cdc_df is None and self._cdf_enabled(name)
+        if own_cdc:
+            knames = [f"__p_{c}" for c in pcols]
+            tdf = self.spark.createDataFrame(
+                sorted(touched),
+                ", ".join(f"{k} string" for k in knames),
+            )
+            deleted = (
+                self.read(name)
+                .select("*", *keyed)
+                .join(F.broadcast(tdf), on=knames, how="left_semi")
+                .drop(*knames)
+            )
+            self._pending_cdc_df = deleted.withColumn(
+                "_change_type", F.lit("delete")
+            ).unionByName(
+                df.withColumn("_change_type", F.lit("insert")),
+                allowMissingColumns=True,
+            )
+
+        def removes_fn(prev) -> list[str]:
+            # evaluated against the winner's state inside the OCC loop:
+            # dynamic overwrite replaces WHOLE partitions, so files a
+            # concurrent writer added to a touched partition are ours
+            # to replace too — no staleness hazard, unlike replaceWhere
+            out = []
+            for p, a in prev["files"].items():
+                pv = a.get("partitionValues") or {}
+                key = tuple(
+                    null_dir if pv.get(c) is None else str(pv.get(c))
+                    for c in pcols
+                )
+                if key in touched:
+                    out.append(p)
+            return out
+
+        try:
+            self._commit_df(
+                df, name, "append", pcols,
+                removes_fn=removes_fn, operation="DYNAMIC OVERWRITE",
+            )
+        finally:
+            if own_cdc:
+                self._pending_cdc_df = None
+        return {"partitions_replaced": len(touched)}
+
     # a rowTracking MERGE threads (materialized-id-col, version-col)
     # through _commit_df so they stay PHYSICAL-only (never entering the
     # schemaString) and the commit passes row_ids_preserved

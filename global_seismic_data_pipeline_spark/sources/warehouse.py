@@ -212,6 +212,48 @@ class Warehouse:
             shutil.rmtree(trash)
 
     # -- MERGE ------------------------------------------------------------
+    def overwrite_dynamic(self, df: DataFrame, name: str) -> dict[str, int]:
+        """Dynamic partition overwrite (Spark's
+        ``partitionOverwriteMode=dynamic`` / Iceberg's
+        ``overwritePartitions``): replace exactly the partitions PRESENT
+        IN THE BATCH; every other partition survives untouched —
+        reprocessing one day of a 100 TB table swaps one day's
+        directories. Unpartitioned tables degrade to the plain atomic
+        overwrite. The touched set is the staged write's own directory
+        layout (no hive-escape reimplementation), each partition dir
+        swaps whole; a crash between swaps leaves a replaced prefix and
+        re-running the same batch is idempotent — the same contract as
+        the partition-pruned MERGE."""
+        pcols = (
+            self.partition_columns(name) if self.exists(name) else []
+        )
+        if not pcols:
+            self.overwrite(df, name)
+            return {"partitions_replaced": 0}
+        df, obs, cons = self._observe_constraints(df, name)
+        staging = os.path.join(
+            self.root, f".staging-{name}-{uuid.uuid4().hex}"
+        )
+        df.write.mode("overwrite").partitionBy(*pcols).format(
+            self.fmt
+        ).save(staging)
+        self._abort_staging_if_violated(obs, cons, staging)
+        final = self.path(name)
+        leaves = [
+            root_
+            for root_, _dirs, files in os.walk(staging)
+            if any(f.endswith(self._ext) for f in files)
+        ]
+        for root_ in leaves:
+            rel = os.path.relpath(root_, staging)
+            dst = os.path.join(final, rel)
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.rename(root_, dst)
+        shutil.rmtree(staging, ignore_errors=True)
+        return {"partitions_replaced": len(leaves)}
+
     def _merge_read_target(self, name: str) -> DataFrame:
         """The target frame MERGE rewrites against — a hook so a backend
         can attach carry-through columns (the Delta backend reads row

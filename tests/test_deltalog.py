@@ -3265,6 +3265,37 @@ def test_replace_where_demands_and_concurrency(spark, dwh, tmp_path):
             )
 
 
+def test_overwrite_dynamic_single_commit_and_cdf(spark, dwh):
+    """Delta dynamic partition overwrite is ONE log commit (removes of
+    the touched partitions' files + adds, atomic) and a CDF table
+    publishes the touched partitions' old rows as delete + the batch as
+    insert."""
+    dwh.overwrite(
+        _df(
+            spark, [(1, "A"), (2, "B"), (3, "C")], "k int, band string"
+        ),
+        "t", ["band"],
+    )
+    dl.commit_set_properties(
+        dwh.path("t"), {"delta.enableChangeDataFeed": "true"}
+    )
+    v0 = dl.snapshot_state(dwh.path("t"))["version"]
+    out = dwh.overwrite_dynamic(
+        _df(spark, [(10, "A"), (11, "A"), (20, "B")], "k int, band string"),
+        "t",
+    )
+    assert out["partitions_replaced"] == 2
+    v1 = dl.snapshot_state(dwh.path("t"))["version"]
+    assert v1 == v0 + 1  # ONE commit
+    got = {(r.k, r.band) for r in dwh.read("t").collect()}
+    assert got == {(10, "A"), (11, "A"), (20, "B"), (3, "C")}
+    ch = dwh.table_changes("t", v1, v1).collect()
+    assert {(r.k, r._change_type) for r in ch} == {
+        (1, "delete"), (2, "delete"),
+        (10, "insert"), (11, "insert"), (20, "insert"),
+    }
+
+
 def test_replace_where_no_match_and_missing_table(spark, dwh):
     """An empty replace region just appends the batch (no removes); on
     a missing table replaceWhere degenerates to a plain write."""

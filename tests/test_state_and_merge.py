@@ -274,3 +274,51 @@ def test_atomic_overwrite_derived_from_self(spark, tmp_path, wh_cls):
         if d.startswith(".") and d != ".snapshots"
     ]
     assert leftovers == []
+
+
+def test_overwrite_dynamic_partitions(spark, tmp_path, wh_cls):
+    """Dynamic partition overwrite on EVERY backend: exactly the
+    partitions present in the batch replace; untouched partitions
+    (incl. the hive NULL partition) survive; unpartitioned tables
+    degrade to the plain atomic overwrite."""
+    wh = wh_cls(spark, str(tmp_path / "wh"))
+    wh.overwrite(
+        spark.createDataFrame(
+            [(1, "A"), (2, "A"), (3, "B"), (4, "C"), (5, None)],
+            "k int, band string",
+        ),
+        "t",
+        ["band"],
+    )
+    out = wh.overwrite_dynamic(
+        spark.createDataFrame(
+            [(10, "A"), (11, "B")], "k int, band string"
+        ),
+        "t",
+    )
+    assert out["partitions_replaced"] == 2
+    got = {(r.k, r.band) for r in wh.read("t").collect()}
+    assert got == {(10, "A"), (11, "B"), (4, "C"), (5, None)}
+    # idempotent re-run of the same batch
+    wh.overwrite_dynamic(
+        spark.createDataFrame(
+            [(10, "A"), (11, "B")], "k int, band string"
+        ),
+        "t",
+    )
+    assert {(r.k, r.band) for r in wh.read("t").collect()} == got
+    # the NULL partition replaces when the batch carries null rows
+    wh.overwrite_dynamic(
+        spark.createDataFrame([(50, None)], "k int, band string"), "t"
+    )
+    assert {(r.k, r.band) for r in wh.read("t").collect()} == {
+        (10, "A"), (11, "B"), (4, "C"), (50, None)
+    }
+    # unpartitioned: full replace
+    wh.overwrite(
+        spark.createDataFrame([(1, "x")], "k int, s string"), "flat"
+    )
+    wh.overwrite_dynamic(
+        spark.createDataFrame([(9, "z")], "k int, s string"), "flat"
+    )
+    assert {(r.k, r.s) for r in wh.read("flat").collect()} == {(9, "z")}
