@@ -199,6 +199,67 @@ class IcebergWarehouse(Warehouse):
             keep_files=keep,
         )
 
+    def overwrite_dynamic(self, df: DataFrame, name: str) -> dict[str, int]:
+        """Dynamic partition overwrite as ONE Iceberg snapshot (the real
+        ``overwritePartitions``), COPY-ON-WRITE at the file level:
+        untouched partitions' data-file RECORDS carry into the new
+        manifest verbatim (never opened, never moved); touched
+        partitions' files drop out of the live set — a metadata-only
+        removal, so reprocessing one day of a 100 TB table costs the
+        batch write alone. The touched set is the batch's TRANSFORMED
+        partition tuples (bucket/truncate included), the same values
+        the staging write lays out. Refuses on live row-level delete
+        files (carried tombstones would need sequence re-scoping — run
+        compact_data_files first) and across partition-spec evolution
+        (old-spec files' tuples are under different fields — use
+        overwrite_where with an explicit predicate)."""
+        if not self._is_table(name):
+            self.overwrite(df, name)
+            return {"partitions_replaced": 0}
+        t = self.table(name)
+        part_fields, _fv = ib._table_write_shape(t)
+        if not part_fields:
+            self.overwrite(df, name)
+            return {"partitions_replaced": 0}
+        if t.delete_files():
+            raise ib.IcebergError(
+                "dynamic partition overwrite with live row-level delete "
+                "files would need tombstone re-scoping — run "
+                "compact_data_files first"
+            )
+        pnames = [pf["name"] for pf in part_fields]
+        exprs = [
+            ib._transform_expr(pf, df.schema).alias(pf["name"])
+            for pf in part_fields
+        ]
+        touched = {
+            tuple(self._part_str(v) for v in r)
+            for r in df.select(*exprs).distinct().collect()
+        }
+        files = t.data_files()
+        if any(
+            set((f.get("partition") or {}).keys()) != set(pnames)
+            for f in files
+        ):
+            raise ib.IcebergError(
+                "dynamic partition overwrite across partition-spec "
+                "evolution is ambiguous — use overwrite_where with an "
+                "explicit predicate"
+            )
+        keep = [
+            {k: v for k, v in f.items() if not k.startswith("_")}
+            for f in files
+            if tuple(
+                self._part_str((f.get("partition") or {}).get(n))
+                for n in pnames
+            ) not in touched
+        ]
+        self._commit(
+            df, name, carry_prior=False, operation="overwrite",
+            keep_files=keep,
+        )
+        return {"partitions_replaced": len(touched)}
+
     @staticmethod
     def _part_str(v) -> str:
         return "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)

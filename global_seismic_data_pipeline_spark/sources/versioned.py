@@ -131,6 +131,15 @@ class VersionedWarehouse(Warehouse):
         super().overwrite(df, name, partition_by)
         self._commit(name, "overwrite")
 
+    def overwrite_dynamic(self, df: DataFrame, name: str) -> dict[str, int]:
+        # the degenerate (unpartitioned) path funnels through
+        # self.overwrite, which already commits; only the partition-swap
+        # path needs its own commit record
+        out = super().overwrite_dynamic(df, name)
+        if out["partitions_replaced"]:
+            self._commit(name, "dynamic_overwrite")
+        return out
+
     def merge(self, updates: DataFrame, name: str, keys: Sequence[str], *,
               prune_partition_col: str | None = None) -> None:
         # every parent path ends in a committing primitive: first-call

@@ -203,3 +203,69 @@ def test_merge_pruned_refuses_wrong_spec(spark, iwh):
             spark.createDataFrame([], "k long, part string, v string"),
             ["x"],
         )
+
+
+def test_overwrite_dynamic_file_level(spark, iwh):
+    """Dynamic partition overwrite on the Iceberg backend: ONE snapshot,
+    untouched partitions' file records carried verbatim (paths
+    unchanged), touched partitions' files out of the live set; live
+    row-level deletes and spec evolution refuse with guidance."""
+    from global_seismic_data_pipeline_spark.sources import iceberg as ib
+
+    iwh.overwrite(
+        spark.createDataFrame(
+            [(1, "A"), (2, "B"), (3, "C")], "k int, band string"
+        ),
+        "t", ["band"],
+    )
+    t = iwh.table("t")
+    keep_paths = {
+        f["file_path"] for f in t.data_files()
+        if f["partition"].get("band") in ("B", "C")
+    }
+    n_snaps = len(t.snapshots())
+    out = iwh.overwrite_dynamic(
+        spark.createDataFrame(
+            [(10, "A"), (11, "A")], "k int, band string"
+        ),
+        "t",
+    )
+    assert out["partitions_replaced"] == 1
+    t2 = iwh.table("t")
+    assert len(t2.snapshots()) == n_snaps + 1  # ONE snapshot
+    got = {(r.k, r.band) for r in iwh.read("t").collect()}
+    assert got == {(10, "A"), (11, "A"), (2, "B"), (3, "C")}
+    # carried records kept their exact file paths (never rewritten)
+    after = {f["file_path"] for f in t2.data_files()}
+    assert keep_paths <= after
+    # live row-level deletes refuse with guidance
+    ib.delete_where(spark, iwh.path("t"), "k = 2")
+    with pytest.raises(ib.IcebergError, match="compact_data_files"):
+        iwh.overwrite_dynamic(
+            spark.createDataFrame([(12, "A")], "k int, band string"), "t"
+        )
+
+
+def test_overwrite_dynamic_versioned_commits(spark, tmp_path):
+    """The versioned backend records a dynamic overwrite as a commit —
+    time travel sees the pre-replace state."""
+    from global_seismic_data_pipeline_spark.sources.versioned import (
+        VersionedWarehouse,
+    )
+
+    wh = VersionedWarehouse(spark, str(tmp_path / "vwh"))
+    wh.overwrite(
+        spark.createDataFrame([(1, "A"), (2, "B")], "k int, band string"),
+        "t", ["band"],
+    )
+    v0 = wh.latest_version("t")
+    wh.overwrite_dynamic(
+        spark.createDataFrame([(10, "A")], "k int, band string"), "t"
+    )
+    v1 = wh.latest_version("t")
+    assert v1 == v0 + 1
+    assert {(r.k, r.band) for r in wh.read("t").collect()} == {
+        (10, "A"), (2, "B")
+    }
+    old = {(r.k, r.band) for r in wh.read_version("t", v0).collect()}
+    assert old == {(1, "A"), (2, "B")}
