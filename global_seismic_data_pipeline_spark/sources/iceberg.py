@@ -4485,12 +4485,32 @@ def _stage_position_deletes(
     return recs
 
 
+def _resolve_branch_head(
+    t: IcebergTable, to_ref: str | None
+) -> tuple[str | None, int | None]:
+    """Normalize a branch-DML target: None/'main' → (None, None) — the
+    main-lineage shape; else the named BRANCH's head snapshot id
+    (tags/unknown refs refuse). Branch DML probes run against the
+    branch head's state and the commit rides ``_write_snapshot(to_ref=)``
+    — the full write-audit-publish story, not just appends."""
+    if to_ref in (None, "main"):
+        return None, None
+    r = t.refs().get(to_ref)
+    if r is None or r.get("type") != "branch":
+        raise IcebergError(
+            f"to_ref={to_ref!r} is not an existing branch — "
+            "create_ref(..., kind='branch') first"
+        )
+    return to_ref, r["snapshot-id"]
+
+
 def delete_where(
     spark: SparkSession,
     location: str,
     condition: str,
     *,
     max_rows: int = 1_000_000,
+    to_ref: str | None = None,
 ) -> dict:
     """DELETE by publishing a v2 POSITION-delete snapshot — the Iceberg
     analogue of the Delta backend's ``delete_with_dv`` (a point delete
@@ -4512,10 +4532,11 @@ def delete_where(
             "row-level deletes need a format-version 2 table (this one "
             f"is v{t.metadata.get('format-version', 1)})"
         )
-    files = t.data_files()
+    to_ref, head = _resolve_branch_head(t, to_ref)
+    files = t.data_files(snapshot_id=head)
     if not files:
         return {"rows_deleted": 0, "files_affected": 0}
-    deletes = t.delete_files()
+    deletes = t.delete_files(snapshot_id=head)
     hits = (
         _read_files_with_deletes(t, files, deletes, keep_meta=True)
         .filter(condition)
@@ -4548,6 +4569,7 @@ def delete_where(
         format_version=fv,
         data_files=recs,
         manifest_content=1,
+        to_ref=to_ref,
     )
     _publish(location, meta)
     return {"rows_deleted": n, "files_affected": n_affected}
@@ -4560,6 +4582,7 @@ def overwrite_where(
     condition: str,
     *,
     max_rows: int = 1_000_000,
+    to_ref: str | None = None,
 ) -> dict:
     """Predicate-scoped overwrite (Iceberg's ``overwrite(condition)``;
     Delta ``replaceWhere`` parity) as ONE v2 merge-on-read snapshot:
@@ -4592,11 +4615,12 @@ def overwrite_where(
             "region"
         )
     part_fields, fv = _table_write_shape(t)
-    files = t.data_files()
+    to_ref, head = _resolve_branch_head(t, to_ref)
+    files = t.data_files(snapshot_id=head)
     recs: list[dict] = []
     n = 0
     if files:
-        deletes = t.delete_files()
+        deletes = t.delete_files(snapshot_id=head)
         hits = (
             _read_files_with_deletes(t, files, deletes, keep_meta=True)
             .filter(match)
@@ -4622,6 +4646,7 @@ def overwrite_where(
         operation="overwrite",  # rows vanish: tails must not skip it
         part_fields=part_fields, format_version=fv,
         extra_delete_files=recs or None,
+        to_ref=to_ref,
     )
     _publish(location, meta)
     return {"rows_deleted": n}
@@ -4645,6 +4670,7 @@ def upsert_by_keys(
     keys: list,
     *,
     max_delete_rows: int = 1_000_000,
+    to_ref: str | None = None,
 ) -> dict:
     """MERGE-upsert as ONE v2 snapshot: an EQUALITY delete file on the
     key columns + the batch's data files, committed together at the next
@@ -4680,6 +4706,7 @@ def upsert_by_keys(
                 f"{fields[k]['type']!r}"
             )
     part_fields, fv = _table_write_shape(t)
+    to_ref, _head = _resolve_branch_head(t, to_ref)
 
     keys_df = df.select(*keys).distinct()
     n_keys = keys_df.count()
@@ -4748,6 +4775,7 @@ def upsert_by_keys(
         format_version=fv,
         data_files=new_files,
         extra_delete_files=delete_recs,
+        to_ref=to_ref,
     )
     _publish(location, meta)
     return {

@@ -3387,6 +3387,67 @@ def test_iceberg_overwrite_where(spark, tmp_path):
     }
 
 
+def test_iceberg_branch_dml_wap(spark, tmp_path):
+    """Full write-audit-publish DML on a branch: delete_where, upsert,
+    and overwrite_where all commit onto the audit branch (probing the
+    BRANCH head's state), main sees nothing until fast_forward, the
+    branch read reflects each step, and a tag/unknown ref refuses."""
+    loc = str(tmp_path / "branchdml")
+    t = iceberg.create_table(
+        spark, loc,
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "id long, s string"
+        ),
+        format_version=2,
+    )
+    iceberg.create_ref(spark, loc, "audit", kind="branch")
+    iceberg.create_ref(spark, loc, "v1", kind="tag")
+    # DELETE on the branch
+    out = iceberg.delete_where(spark, loc, "id = 2", to_ref="audit")
+    assert out["rows_deleted"] == 1
+    t = iceberg.IcebergTable(spark, loc)
+    assert {r.id for r in t.read().collect()} == {1, 2, 3, 4}  # main intact
+    assert {r.id for r in t.read(ref="audit").collect()} == {1, 3, 4}
+    # UPSERT on the branch: update id=3, insert id=5
+    iceberg.upsert_by_keys(
+        spark, loc,
+        spark.createDataFrame([(3, "C"), (5, "e")], "id long, s string"),
+        keys=["id"], to_ref="audit",
+    )
+    t = iceberg.IcebergTable(spark, loc)
+    assert {(r.id, r.s) for r in t.read(ref="audit").collect()} == {
+        (1, "a"), (3, "C"), (4, "d"), (5, "e")
+    }
+    # the branch-staged delete must not re-match on the branch probe:
+    # overwrite_where replaces id>=4 (sees the branch's live state)
+    out = iceberg.overwrite_where(
+        spark, loc,
+        spark.createDataFrame([(9, "z")], "id long, s string"),
+        "id >= 4", to_ref="audit",
+    )
+    assert out["rows_deleted"] == 2  # 4 and 5; never the dead 2
+    t = iceberg.IcebergTable(spark, loc)
+    assert {(r.id, r.s) for r in t.read(ref="audit").collect()} == {
+        (1, "a"), (3, "C"), (9, "z")
+    }
+    assert {r.id for r in t.read().collect()} == {1, 2, 3, 4}  # main intact
+    # publish: main adopts the audited state
+    iceberg.fast_forward(spark, loc, "main", "audit")
+    t = iceberg.IcebergTable(spark, loc)
+    assert {(r.id, r.s) for r in t.read().collect()} == {
+        (1, "a"), (3, "C"), (9, "z")
+    }
+    # tags/unknown refs refuse
+    with pytest.raises(iceberg.IcebergError, match="not an existing branch"):
+        iceberg.delete_where(spark, loc, "id = 1", to_ref="v1")
+    with pytest.raises(iceberg.IcebergError, match="not an existing branch"):
+        iceberg.upsert_by_keys(
+            spark, loc,
+            spark.createDataFrame([(1, "x")], "id long, s string"),
+            keys=["id"], to_ref="ghost",
+        )
+
+
 def test_iceberg_changelog_branch_ref(spark, tmp_path):
     """Branch-aware changelog (r9 'What's missing' #2): changelog(ref=)
     walks the NAMED branch's lineage, so a WAP audit branch's staged
