@@ -489,8 +489,16 @@ class DeltaLogWarehouse(Warehouse):
             self.overwrite(df, name)
             return {"partitions_replaced": 0}
         null_dir = "__HIVE_DEFAULT_PARTITION__"
+        # NULL and '' both land in the hive default partition (Spark's
+        # layout writes them to the same dir, and the log recovers both
+        # as a null partitionValue) — the batch key must agree
         keyed = [
-            F.coalesce(F.col(c).cast("string"), F.lit(null_dir))
+            F.when(
+                F.col(c).isNull()
+                | (F.col(c).cast("string") == F.lit("")),
+                F.lit(null_dir),
+            )
+            .otherwise(F.col(c).cast("string"))
             .alias(f"__p_{c}")
             for c in pcols
         ]
@@ -504,9 +512,28 @@ class DeltaLogWarehouse(Warehouse):
                 sorted(touched),
                 ", ".join(f"{k} string" for k in knames),
             )
+            src = self.read(name)
+            # coarse PUSHABLE per-column partition filter first (the
+            # exact tuple match is the semi-join) so the delete-set
+            # scan prunes to the touched partitions' files instead of
+            # reading the whole table
+            for i, c in enumerate(pcols):
+                vals = {t_[i] for t_ in touched}
+                plain = sorted(v for v in vals if v != null_dir)
+                cond = (
+                    F.col(c).cast("string").isin(plain)
+                    if plain
+                    else F.lit(False)
+                )
+                if null_dir in vals:
+                    cond = (
+                        cond
+                        | F.col(c).isNull()
+                        | (F.col(c).cast("string") == F.lit(""))
+                    )
+                src = src.filter(cond)
             deleted = (
-                self.read(name)
-                .select("*", *keyed)
+                src.select("*", *keyed)
                 .join(F.broadcast(tdf), on=knames, how="left_semi")
                 .drop(*knames)
             )
@@ -526,7 +553,9 @@ class DeltaLogWarehouse(Warehouse):
             for p, a in prev["files"].items():
                 pv = a.get("partitionValues") or {}
                 key = tuple(
-                    null_dir if pv.get(c) is None else str(pv.get(c))
+                    null_dir
+                    if pv.get(c) in (None, "")
+                    else str(pv.get(c))
                     for c in pcols
                 )
                 if key in touched:

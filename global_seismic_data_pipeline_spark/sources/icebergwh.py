@@ -233,14 +233,16 @@ class IcebergWarehouse(Warehouse):
             for pf in part_fields
         ]
         touched = {
-            tuple(self._part_str(v) for v in r)
+            tuple(self._canon_part(v) for v in r)
             for r in df.select(*exprs).distinct().collect()
         }
         files = t.data_files()
-        if any(
-            set((f.get("partition") or {}).keys()) != set(pnames)
-            for f in files
-        ):
+        # spec-EVOLUTION guard by spec id, not field names: a bucket
+        # width / truncate length change keeps the field name, but the
+        # old files' tuples were computed under the old transform —
+        # comparing across transforms loses or duplicates rows
+        cur_spec = t.metadata.get("default-spec-id", 0)
+        if any(f.get("_spec_id", cur_spec) != cur_spec for f in files):
             raise ib.IcebergError(
                 "dynamic partition overwrite across partition-spec "
                 "evolution is ambiguous — use overwrite_where with an "
@@ -250,7 +252,7 @@ class IcebergWarehouse(Warehouse):
             {k: v for k, v in f.items() if not k.startswith("_")}
             for f in files
             if tuple(
-                self._part_str((f.get("partition") or {}).get(n))
+                self._canon_part((f.get("partition") or {}).get(n))
                 for n in pnames
             ) not in touched
         ]
@@ -263,6 +265,25 @@ class IcebergWarehouse(Warehouse):
     @staticmethod
     def _part_str(v) -> str:
         return "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
+
+    @staticmethod
+    def _canon_part(v) -> str:
+        """Canonical string for a partition value that may arrive as
+        the BATCH-side logical type (datetime.date from a collected
+        identity-on-date transform) or the MANIFEST-side physical type
+        (days-since-epoch int) — both map to the same key, like
+        ``iceberg._part_eq``. NULL and '' share the hive default
+        partition."""
+        import datetime as dt
+
+        if v is None or v == "":
+            return "__HIVE_DEFAULT_PARTITION__"
+        if isinstance(v, dt.datetime):
+            epoch = dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+            return str(int((v - epoch).total_seconds() * 1_000_000))
+        if isinstance(v, dt.date):
+            return str((v - dt.date(1970, 1, 1)).days)
+        return str(v)
 
     @staticmethod
     def _source_name(t: ib.IcebergTable, field: dict) -> str:

@@ -244,13 +244,21 @@ class Warehouse:
             for root_, _dirs, files in os.walk(staging)
             if any(f.endswith(self._ext) for f in files)
         ]
-        for root_ in leaves:
+        # rename-to-trash, never rmtree-then-rename: a crash mid-swap
+        # must leave every partition's data in EITHER the table or the
+        # trash dir — recoverable, not deleted (same discipline as
+        # overwrite()'s whole-table swap)
+        trash = staging + ".trash"
+        for i, root_ in enumerate(leaves):
             rel = os.path.relpath(root_, staging)
             dst = os.path.join(final, rel)
-            if os.path.isdir(dst):
-                shutil.rmtree(dst)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
+            if os.path.isdir(dst):
+                tr = os.path.join(trash, str(i))
+                os.makedirs(trash, exist_ok=True)
+                os.rename(dst, tr)
             os.rename(root_, dst)
+        shutil.rmtree(trash, ignore_errors=True)
         shutil.rmtree(staging, ignore_errors=True)
         return {"partitions_replaced": len(leaves)}
 

@@ -3296,6 +3296,36 @@ def test_overwrite_dynamic_single_commit_and_cdf(spark, dwh):
     }
 
 
+def test_overwrite_dynamic_empty_string_partition(spark, dwh):
+    """Review finding (r10): NULL and '' both land in the hive default
+    partition — a batch keyed on '' must REPLACE that partition (and
+    its CDF delete set must cover it), not silently append beside the
+    old rows."""
+    dwh.overwrite(
+        _df(
+            spark, [(1, ""), (2, None), (3, "B")], "k int, band string"
+        ),
+        "t", ["band"],
+    )
+    dl.commit_set_properties(
+        dwh.path("t"), {"delta.enableChangeDataFeed": "true"}
+    )
+    out = dwh.overwrite_dynamic(
+        _df(spark, [(10, "")], "k int, band string"), "t"
+    )
+    assert out["partitions_replaced"] == 1
+    got = {(r.k, r.band) for r in dwh.read("t").collect()}
+    # hive layout folds '' and NULL into one default partition: both
+    # old rows of that partition replace (Spark reads the dir's values
+    # back as NULL)
+    assert got == {(10, None), (3, "B")}
+    v = dl.snapshot_state(dwh.path("t"))["version"]
+    ch = dwh.table_changes("t", v, v).collect()
+    assert {(r.k, r._change_type) for r in ch} == {
+        (1, "delete"), (2, "delete"), (10, "insert")
+    }
+
+
 def test_replace_where_no_match_and_missing_table(spark, dwh):
     """An empty replace region just appends the batch (no removes); on
     a missing table replaceWhere degenerates to a plain write."""

@@ -269,3 +269,48 @@ def test_overwrite_dynamic_versioned_commits(spark, tmp_path):
     }
     old = {(r.k, r.band) for r in wh.read_version("t", v0).collect()}
     assert old == {(1, "A"), (2, "B")}
+
+
+def test_overwrite_dynamic_date_partitions_and_spec_guard(spark, tmp_path):
+    """Review findings (r10): (a) identity-on-DATE partitions — the
+    batch side collects datetime.date while the manifest stores
+    days-since-epoch ints; canonicalization must make them the SAME
+    partition or the replaced day's old files silently survive;
+    (b) same-NAME spec evolution (bucket width change) must refuse by
+    SPEC ID, not field names."""
+    import datetime as dt
+
+    from global_seismic_data_pipeline_spark.sources import iceberg as ib
+
+    iwh = IcebergWarehouse(spark, str(tmp_path / "iwh"))
+    d1, d2 = dt.date(2024, 1, 3), dt.date(2024, 1, 4)
+    iwh.overwrite(
+        spark.createDataFrame(
+            [(1, d1), (2, d1), (3, d2)], "k int, day date"
+        ),
+        "t", ["day"],
+    )
+    out = iwh.overwrite_dynamic(
+        spark.createDataFrame([(10, d1)], "k int, day date"), "t"
+    )
+    assert out["partitions_replaced"] == 1
+    got = {(r.k, r.day) for r in iwh.read("t").collect()}
+    assert got == {(10, d1), (3, d2)}  # old day-1 files really dropped
+
+    # (b) bucket-width spec evolution keeps the field name — refuse
+    loc = str(tmp_path / "iwh" / "b")
+    ib.create_table(
+        spark, loc,
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, v long"),
+        partition_by=["bucket[4](v)"],
+    )
+    ib.update_partition_spec(spark, loc, ["bucket[8](v)"])
+    ib.append(
+        spark, loc,
+        spark.createDataFrame([(3, 30)], "id long, v long"),
+    )
+    iwh2 = IcebergWarehouse(spark, str(tmp_path / "iwh"))
+    with pytest.raises(ib.IcebergError, match="spec"):
+        iwh2.overwrite_dynamic(
+            spark.createDataFrame([(9, 10)], "id long, v long"), "b"
+        )
