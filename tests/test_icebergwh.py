@@ -314,3 +314,29 @@ def test_overwrite_dynamic_date_partitions_and_spec_guard(spark, tmp_path):
         iwh2.overwrite_dynamic(
             spark.createDataFrame([(9, 10)], "id long, v long"), "b"
         )
+
+
+def test_copy_into_iceberg_backend(spark, iwh, tmp_path):
+    """COPY INTO inherits onto the Iceberg backend through its
+    commit-protocol append: idempotent re-run, new-arrival delta load,
+    and the rows land as real Iceberg snapshots."""
+    from global_seismic_data_pipeline_spark.session import tiny_df
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    tiny_df(spark, [(1, "a")], "k int, s string").write.parquet(
+        str(land / "b1")
+    )
+    out = iwh.copy_into("ing", str(land))
+    assert out["rows_loaded"] == 1
+    assert iwh.copy_into("ing", str(land)) == {
+        "files_loaded": 0, "rows_loaded": 0,
+    }
+    tiny_df(spark, [(2, "b")], "k int, s string").write.parquet(
+        str(land / "b2")
+    )
+    out = iwh.copy_into("ing", str(land))
+    assert out["rows_loaded"] == 1
+    assert {r.k for r in iwh.read("ing").collect()} == {1, 2}
+    t = iwh.table("ing")
+    assert len(t.snapshots()) == 2  # one commit per loaded batch

@@ -913,10 +913,13 @@ def test_copy_into_idempotent_file_ingest(spark, wh, tmp_path):
     first run ingests all, an unchanged re-run is a no-op, a NEW file
     loads alone on the next run, and FORCE=TRUE reloads everything —
     on both backends through the façade."""
+    from global_seismic_data_pipeline_spark.session import tiny_df
+
     land = tmp_path / "landing"
     land.mkdir()
-    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, s string")
-    df1.coalesce(1).write.parquet(str(land / "batch1"))
+    tiny_df(spark, [(1, "a"), (2, "b")], "k int, s string").write.parquet(
+        str(land / "batch1")
+    )
     engine = SqlDml(wh)
     out = engine.sql(
         f"COPY INTO ing FROM '{land}' FILEFORMAT = PARQUET"
@@ -930,9 +933,9 @@ def test_copy_into_idempotent_file_ingest(spark, wh, tmp_path):
     assert (out.files_loaded, out.rows_inserted) == (0, 0)
     assert wh.read("ing").count() == 2
     # a new arrival loads alone
-    spark.createDataFrame([(3, "c")], "k int, s string").coalesce(
-        1
-    ).write.parquet(str(land / "batch2"))
+    tiny_df(spark, [(3, "c")], "k int, s string").write.parquet(
+        str(land / "batch2")
+    )
     out = engine.sql(
         f"COPY INTO ing FROM '{land}' FILEFORMAT = PARQUET"
     ).collect()[0]
