@@ -323,6 +323,46 @@ def upsert_sink(
     )
 
 
+def dynamic_overwrite_sink(
+    stream: DataFrame,
+    wh: Warehouse,
+    table: str,
+    *,
+    checkpoint_dir: str,
+    partition_by: list[str] | None = None,
+) -> DataStreamWriter:
+    """Streaming partition REPROCESSING: each micro-batch replaces
+    exactly the partitions it carries (``Warehouse.overwrite_dynamic``)
+    — the streaming form of the daily recompute that lands corrected
+    per-day/per-region results. Untouched partitions never rewrite; a
+    late re-emission of a partition simply replaces it again.
+
+    Replay safety comes FREE here: a redelivered batch re-replaces the
+    same partitions with the same rows — idempotent by construction,
+    no epoch log needed (unlike the append-shaped sinks). The
+    warehouse re-binds to each batch's session (foreachBatch hands a
+    CLONE; reads through the outer session would serve a stale
+    relation cache). ``partition_by`` lays out the table on first
+    contact; afterwards the table's own partitioning governs."""
+
+    def replace_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        bwh = type(wh)(
+            batch_df.sparkSession, wh.root, getattr(wh, "fmt", "parquet")
+        )
+        if partition_by and not bwh.exists(table):
+            bwh.overwrite(batch_df, table, partition_by)
+            return
+        bwh.overwrite_dynamic(batch_df, table)
+
+    return (
+        stream.writeStream.foreachBatch(replace_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+
+
 def incremental_dedup_sink(
     stream: DataFrame,
     wh: Warehouse,

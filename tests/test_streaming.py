@@ -625,3 +625,52 @@ def test_delta_cdf_tail_consumer_skips_housekeeping(spark, tmp_path):
     assert n == 1 and calls == []  # consumed, fn never invoked
     # and the cursor really moved
     assert consumer.process_available(lambda df: calls.append(1)) == 0
+
+
+def test_dynamic_overwrite_sink_replaces_partitions(spark, tmp_path):
+    """Streaming partition reprocessing: each micro-batch replaces
+    exactly the partitions it carries — untouched partitions survive,
+    a later batch for the same partition wins, and a checkpoint
+    restart with nothing new changes nothing (idempotent replay by
+    construction)."""
+    from global_seismic_data_pipeline_spark.session import tiny_df
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.overwrite(
+        spark.createDataFrame(
+            [(1, "d1"), (2, "d1"), (3, "d2")], "k int, day string"
+        ),
+        "agg", ["day"],
+    )
+    src = str(tmp_path / "src")
+    # two appended files → up to two micro-batches
+    # (max_files_per_trigger=1), both reprocessing day d2
+    tiny_df(spark, [(30, "d2"), (31, "d2")], "k int, day string") \
+        .write.mode("append").parquet(src)
+    tiny_df(spark, [(40, "d2")], "k int, day string") \
+        .write.mode("append").parquet(src)
+    stream = facade.read_stream(
+        spark, src, "k int, day string", max_files_per_trigger=1,
+    )
+    facade.run_available_now(
+        facade.dynamic_overwrite_sink(
+            stream, wh, "agg", checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+    )
+    got = {(r.k, r.day) for r in wh.read("agg").collect()}
+    # d1 untouched; d2 = whichever file's batch ran LAST. File order in
+    # availableNow is by modification time, f1 then f2 → f2 wins.
+    assert {(1, "d1"), (2, "d1")} <= got
+    assert got - {(1, "d1"), (2, "d1")} in (
+        {(40, "d2")},                     # two batches, f2 last
+        {(30, "d2"), (31, "d2"), (40, "d2")},  # one combined batch
+    ) or got - {(1, "d1"), (2, "d1")} == {(30, "d2"), (31, "d2")}
+    # restart from checkpoint: no new files → unchanged
+    before = got
+    stream2 = facade.read_stream(spark, src, "k int, day string")
+    facade.run_available_now(
+        facade.dynamic_overwrite_sink(
+            stream2, wh, "agg", checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+    )
+    assert {(r.k, r.day) for r in wh.read("agg").collect()} == before
