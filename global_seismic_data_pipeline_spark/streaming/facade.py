@@ -340,20 +340,44 @@ def dynamic_overwrite_sink(
     Replay safety comes FREE here: a redelivered batch re-replaces the
     same partitions with the same rows — idempotent by construction,
     no epoch log needed (unlike the append-shaped sinks). The
-    warehouse re-binds to each batch's session (foreachBatch hands a
-    CLONE; reads through the outer session would serve a stale
-    relation cache). ``partition_by`` lays out the table on first
-    contact; afterwards the table's own partitioning governs."""
+    warehouse re-binds to each batch's session, PRESERVING the
+    caller's backend class (the dedup/ANN sinks bind the base class
+    deliberately — their stores are plain bucketed parquet, which the
+    Delta backend refuses). ``partition_by`` lays out the table on
+    first contact; afterwards the table's own partitioning governs.
+
+    An UNPARTITIONED target refuses loudly: ``overwrite_dynamic``'s
+    degenerate path would replace the whole table on EVERY micro-batch
+    (last batch silently wins) — the opposite of this sink's contract.
+    The partitioning check runs once, not per batch (on Iceberg,
+    ``exists`` walks manifests)."""
+
+    state = {"ready": False}
 
     def replace_batch(batch_df: DataFrame, _batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        bwh = type(wh)(
-            batch_df.sparkSession, wh.root, getattr(wh, "fmt", "parquet")
-        )
-        if partition_by and not bwh.exists(table):
-            bwh.overwrite(batch_df, table, partition_by)
-            return
+        bwh = type(wh)(batch_df.sparkSession, wh.root, wh.fmt)
+        if not state["ready"]:
+            if not bwh.exists(table):
+                if not partition_by:
+                    raise ValueError(
+                        "dynamic_overwrite_sink: pass partition_by for "
+                        "first contact — an unpartitioned table would "
+                        "degrade every micro-batch to a full overwrite "
+                        "(last batch wins)"
+                    )
+                bwh.overwrite(batch_df, table, partition_by)
+                state["ready"] = True
+                return
+            if not bwh.partition_columns(table):
+                raise ValueError(
+                    f"dynamic_overwrite_sink target {table!r} is "
+                    "unpartitioned — every micro-batch would replace "
+                    "the WHOLE table (last batch wins); partition the "
+                    "table or use upsert_sink"
+                )
+            state["ready"] = True
         bwh.overwrite_dynamic(batch_df, table)
 
     return (

@@ -674,3 +674,24 @@ def test_dynamic_overwrite_sink_replaces_partitions(spark, tmp_path):
         )
     )
     assert {(r.k, r.day) for r in wh.read("agg").collect()} == before
+    # an UNPARTITIONED target refuses loudly (whole-table wipe hazard)
+    wh.overwrite(
+        spark.createDataFrame([(1, "x")], "k int, day string"), "flat"
+    )
+    stream3 = facade.read_stream(spark, src, "k int, day string")
+    with pytest.raises(Exception, match="unpartitioned"):
+        facade.run_available_now(
+            facade.dynamic_overwrite_sink(
+                stream3, wh, "flat",
+                checkpoint_dir=str(tmp_path / "ckpt3"),
+            )
+        )
+    # first contact without partition_by refuses too
+    stream4 = facade.read_stream(spark, src, "k int, day string")
+    with pytest.raises(Exception, match="partition_by"):
+        facade.run_available_now(
+            facade.dynamic_overwrite_sink(
+                stream4, wh, "brand_new",
+                checkpoint_dir=str(tmp_path / "ckpt4"),
+            )
+        )
