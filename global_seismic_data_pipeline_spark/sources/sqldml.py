@@ -192,7 +192,9 @@ _TABLE_CHANGES_RE = re.compile(
 )
 
 _WHEN_RE = re.compile(
-    r"WHEN\s+(?P<not>NOT\s+)?MATCHED(?:\s+AND\s+(?P<cond>.*?))?\s+THEN\s+"
+    r"WHEN\s+(?P<not>NOT\s+)?MATCHED"
+    r"(?:\s+BY\s+(?P<by>SOURCE|TARGET))?"
+    r"(?:\s+AND\s+(?P<cond>.*?))?\s+THEN\s+"
     r"(?P<action>UPDATE\s+SET\s.*?|DELETE|INSERT\s.*?)"
     r"(?=\s+WHEN\s+(?:NOT\s+)?MATCHED|\s*$)",
     re.IGNORECASE | re.DOTALL,
@@ -941,11 +943,25 @@ class SqlDml:
                     f"{clause_text[pos:mm.start()].strip()!r}"
                 )
             is_not = mm.group("not")
+            by = (mm.group("by") or "").upper()
+            if by and not is_not:
+                raise ValueError(
+                    "MERGE: BY SOURCE/TARGET only applies to "
+                    "WHEN NOT MATCHED clauses"
+                )
+            # Delta's extension: NOT MATCHED BY SOURCE acts on TARGET
+            # rows with no source match; BY TARGET is the plain
+            # NOT MATCHED synonym
+            cat = (
+                "by_source"
+                if (is_not and by == "SOURCE")
+                else ("not_matched" if is_not else "matched")
+            )
             cs, ce = mm.span("cond")
             cond = clause_text[cs:ce] if cs != -1 else None
             action = clause_text[slice(*mm.span("action"))]
             parsed.append(
-                (bool(is_not), (cond or "").strip() or None, action.strip())
+                (cat, (cond or "").strip() or None, action.strip())
             )
             pos = mm.end()
         if clause_text[pos:].strip():
@@ -961,7 +977,7 @@ class SqlDml:
         # "SET * / INSERT *" unconditional pair is Warehouse.merge verbatim
         simple = (
             len(parsed) == 2
-            and {p[0] for p in parsed} == {False, True}
+            and {p[0] for p in parsed} == {"matched", "not_matched"}
             and all(p[1] is None for p in parsed)
             and all(
                 re.fullmatch(
@@ -1021,13 +1037,14 @@ class SqlDml:
         keys: list[str],
         talias: str,
         salias: str,
-        parsed: list[tuple[bool, str | None, str]],
+        parsed: list[tuple[str, str | None, str]],
     ) -> DataFrame:
         """Conditional / explicit-assignment MERGE as one join + union +
         atomic overwrite. Matched pairs evaluate WHEN MATCHED clauses
         first-match-wins; unmatched source rows evaluate WHEN NOT MATCHED
-        clauses the same way; unmatched target rows (and matched pairs no
-        clause claimed) pass through unchanged."""
+        clauses the same way; WHEN NOT MATCHED BY SOURCE clauses act on
+        target rows with no source match (Delta's extension); unmatched
+        target rows no clause claimed pass through unchanged."""
         target = self.wh.read(name).alias(talias)
         src = source.alias(salias)
         tcols = self.wh.read(name).columns
@@ -1049,8 +1066,9 @@ class SqlDml:
                 for c in tcols
             ]
 
-        matched = [(c, a) for is_not, c, a in parsed if not is_not]
-        unmatched = [(c, a) for is_not, c, a in parsed if is_not]
+        matched = [(c, a) for cat, c, a in parsed if cat == "matched"]
+        unmatched = [(c, a) for cat, c, a in parsed if cat == "not_matched"]
+        bysource = [(c, a) for cat, c, a in parsed if cat == "by_source"]
 
         # matched pairs, first-match-wins
         updated_parts, claimed = [], None  # claimed: pairs any clause applied to
@@ -1081,6 +1099,67 @@ class SqlDml:
 
         # unmatched target rows + matched-but-unclaimed rows stay
         kept = self.wh.read(name).join(claimed_keys, on=keys, how="left_anti")
+
+        if bysource:
+            # Delta's WHEN NOT MATCHED BY SOURCE: TARGET rows with no
+            # source key match, first-match-wins; DELETE drops the row,
+            # UPDATE SET re-emits it modified (source columns are out of
+            # scope — no source row exists, so SET * refuses)
+            unmatched_tgt = (
+                self.wh.read(name)
+                .join(src.select(*keys), on=keys, how="left_anti")
+                .alias(talias)
+            )
+            prior = F.lit(False)
+            for cond, action in bysource:
+                this = (
+                    F.coalesce(F.expr(cond), F.lit(False))
+                    if cond
+                    else F.lit(True)
+                )
+                eligible = this & ~prior
+                act = action.upper()
+                if act.startswith("UPDATE"):
+                    body = re.match(
+                        r"UPDATE\s+SET\s+(.*)$", action,
+                        re.IGNORECASE | re.DOTALL,
+                    ).group(1)
+                    if body.strip() == "*":
+                        raise ValueError(
+                            "WHEN NOT MATCHED BY SOURCE cannot UPDATE "
+                            "SET * — there is no source row in scope"
+                        )
+                    sel = set_assignments(dict(_parse_assignments(body)))
+                    updated_parts.append(
+                        unmatched_tgt.filter(eligible).select(*sel)
+                    )
+                elif act == "DELETE":
+                    pass  # claiming removes the row; nothing re-emitted
+                else:
+                    raise ValueError(
+                        "unsupported WHEN NOT MATCHED BY SOURCE action: "
+                        f"{action!r}"
+                    )
+                prior = prior | this
+            # null-SAFE claim removal (NULL-keyed target rows are
+            # legitimately 'not matched by source'); claimed keys are
+            # RENAMED per side — kept and the claim share read lineage,
+            # and a same-name equality would degenerate trivially true
+            ck = (
+                unmatched_tgt.filter(prior)
+                .select(
+                    *[
+                        F.col(f"{talias}.{k}").alias(f"__bs_{k}")
+                        for k in keys
+                    ]
+                )
+                .distinct()
+            )
+            anti = None
+            for k in keys:
+                c = F.col(k).eqNullSafe(F.col(f"__bs_{k}"))
+                anti = c if anti is None else anti & c
+            kept = kept.join(ck, anti, "left_anti")
 
         # unmatched source rows, first-match-wins
         new_src = src.join(

@@ -993,3 +993,47 @@ def test_insert_replace_where(spark, wh):
             INSERT OVERWRITE q REPLACE WHERE region = 'CA'
             VALUES ('e7', 1.0, 'CA')
         """)
+
+
+def test_merge_not_matched_by_source(spark, wh):
+    """Delta's WHEN NOT MATCHED BY SOURCE extension: target rows absent
+    from the source delete or update, first-match-wins; BY TARGET is a
+    synonym for plain NOT MATCHED; SET * refuses (no source row in
+    scope); BY SOURCE on a plain MATCHED clause refuses."""
+    engine = SqlDml(wh)
+    wh.overwrite(
+        spark.createDataFrame(
+            [("a", 1, "t"), ("b", 2, "t"), ("c", 3, "t"), ("d", 9, "t")],
+            "k string, v int, tag string",
+        ),
+        "bs",
+    )
+    spark.createDataFrame(
+        [("a", 10, "s"), ("x", 7, "s")], "k string, v int, tag string"
+    ).createOrReplaceTempView("bs_src")
+    engine.sql("""
+        MERGE INTO bs t
+        USING bs_src s
+        ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.v, tag = 'upd'
+        WHEN NOT MATCHED BY TARGET THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE AND t.v > 5 THEN DELETE
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET tag = 'stale'
+    """)
+    got = {r.k: (r.v, r.tag) for r in wh.read("bs").collect()}
+    assert got == {
+        "a": (10, "upd"),    # matched update
+        "b": (2, "stale"),   # not matched by source, second clause
+        "c": (3, "stale"),
+        "x": (7, "s"),       # not matched (by target): inserted
+    }                         # d deleted: v=9 > 5, first clause wins
+    with pytest.raises(ValueError, match=r"SET \*"):
+        engine.sql("""
+            MERGE INTO bs t USING bs_src s ON t.k = s.k
+            WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *
+        """)
+    with pytest.raises(ValueError, match="BY SOURCE/TARGET"):
+        engine.sql("""
+            MERGE INTO bs t USING bs_src s ON t.k = s.k
+            WHEN MATCHED BY SOURCE THEN DELETE
+        """)
