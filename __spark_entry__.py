@@ -87,6 +87,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # replaceWhere predicate-scoped overwrite ---
         "iceberg_branch_changelog_orders":
             workloads_ext.iceberg_branch_changelog_orders,
+        "iceberg_branch_dml_orders":
+            workloads_ext.iceberg_branch_dml_orders,
         "delta_replace_where_orders":
             workloads_ext.delta_replace_where_orders,
         "iceberg_replace_where_orders":

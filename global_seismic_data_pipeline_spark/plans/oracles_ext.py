@@ -3757,6 +3757,30 @@ GROUP BY o_orderstatus
 """
 
 
+ORACLES_EXT["iceberg_branch_dml_orders"] = """
+-- iceberg_branch_dml_orders: on the audit branch, %7 = 0 keys delete
+-- (positional) and %5 = 0 keys re-value (+1e6 custkey, equality-delete
+-- upsert that also RESURRECTS deleted %35 = 0 keys at the new value);
+-- main holds the full seed until fast_forward publishes.
+WITH live AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 5 = 0 THEN o_custkey + 1000000
+                ELSE o_custkey END AS o_custkey,
+           o_orderstatus
+    FROM orders
+    WHERE o_orderkey % 7 <> 0 OR o_orderkey % 5 = 0
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders)
+           AS pre_publish_main_rows
+FROM live
+GROUP BY o_orderstatus
+"""
+
+
 ORACLES_EXT["iceberg_branch_changelog_orders"] = """
 -- iceberg_branch_changelog_orders: seed (%4 = 0) is the fork point;
 -- the audit BRANCH stages %4 = 1 (ordinal 0) then %4 = 2 (ordinal 1);

@@ -3761,6 +3761,57 @@ def iceberg_replace_where_orders(
     )
 
 
+def iceberg_branch_dml_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish with FULL DML on the audit branch
+    (sources/iceberg.py ``delete_where/upsert_by_keys(to_ref=)``): a
+    positional DELETE and an equality-delete UPSERT stage on the branch
+    — probed against the BRANCH head's state — while main stays intact
+    (its pre-publish row count rides along as a column), then
+    ``fast_forward`` publishes. Branch probes run against main's state,
+    tombstones scoped to the wrong sequence, or a publish rewriting
+    history all hash-fail. Integer aggregates only."""
+    import os
+    import tempfile
+
+    from ..sources import iceberg as ib
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    loc = os.path.join(tempfile.mkdtemp(prefix="ibbdml-"), "ord")
+    ib.create_table(spark, loc, orders, format_version=2)
+    ib.create_ref(spark, loc, "audit", kind="branch")
+    ib.delete_where(
+        spark, loc, "o_orderkey % 7 = 0", max_rows=10_000_000,
+        to_ref="audit",
+    )
+    updates = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        (F.col("o_custkey") + 1000000).alias("o_custkey"),
+        "o_orderstatus",
+    )
+    ib.upsert_by_keys(
+        spark, loc, updates, keys=["o_orderkey"],
+        max_delete_rows=10_000_000, to_ref="audit",
+    )
+    # main is untouched until the publish — pin it
+    pre_rows = ib.IcebergTable(spark, loc).read().count()
+    ib.fast_forward(spark, loc, "main", "audit")
+    return (
+        ib.IcebergTable(spark, loc).read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+            F.sum("o_custkey").cast("long").alias("sum_cust"),
+        )
+        .withColumn(
+            "pre_publish_main_rows",
+            F.lit(int(pre_rows)).cast("long"),
+        )
+    )
+
+
 def iceberg_branch_changelog_orders(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
