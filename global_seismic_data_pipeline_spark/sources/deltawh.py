@@ -809,6 +809,32 @@ class DeltaLogWarehouse(Warehouse):
         )
 
     # -- metadata from the log ---------------------------------------------
+    def show_partitions(self, name: str) -> DataFrame:
+        """SHOW PARTITIONS from the LOG's partitionValues (live add set)
+        — the base dir walk would count time-travel-retained DEAD files
+        as live partitions."""
+        pcols = self.partition_columns(name)
+        if not pcols or not dl.is_delta_table(self.path(name)):
+            return super().show_partitions(name)
+        state = dl.snapshot_state(self.path(name))
+        null_dir = "__HIVE_DEFAULT_PARTITION__"
+        counts: dict[str, int] = {}
+        for a in state["files"].values():
+            pv = a.get("partitionValues") or {}
+            spec = "/".join(
+                f"{c}="
+                f"{null_dir if pv.get(c) in (None, '') else pv.get(c)}"
+                for c in pcols
+            )
+            counts[spec] = counts.get(spec, 0) + 1
+        from .. import session as _session
+
+        return _session.tiny_df(
+            self.spark,
+            sorted(counts.items()),
+            "partition string, num_files long",
+        )
+
     def partition_columns(self, name: str) -> list[str]:
         if not dl.is_delta_table(self.path(name)):
             return []

@@ -353,6 +353,34 @@ class IcebergWarehouse(Warehouse):
             self.spark, self.path(name), partition_by
         )
 
+    def show_partitions(self, name: str) -> DataFrame:
+        """SHOW PARTITIONS from the MANIFESTS' partition records (live
+        file set, current-spec field names) — the base dir walk would
+        count snapshot-retained dead files."""
+        if not self._is_table(name):
+            return super().show_partitions(name)
+        t = self.table(name)
+        part_fields, _fv = ib._table_write_shape(t)
+        if not part_fields:
+            return self.spark.createDataFrame(
+                [], "partition string, num_files long"
+            )
+        pnames = [pf["name"] for pf in part_fields]
+        counts: dict[str, int] = {}
+        for f in t.data_files():
+            pv = f.get("partition") or {}
+            spec = "/".join(
+                f"{n}={self._part_str(pv.get(n))}" for n in pnames
+            )
+            counts[spec] = counts.get(spec, 0) + 1
+        from .. import session as _session
+
+        return _session.tiny_df(
+            self.spark,
+            sorted(counts.items()),
+            "partition string, num_files long",
+        )
+
     def metadata_table(self, name: str, kind: str) -> DataFrame:
         """The db.table.<kind> metadata surface (snapshots, history,
         refs, manifests, files, delete_files, partitions)."""

@@ -364,6 +364,19 @@ class SqlDml:
             return self._restore(text)
         if verb == "COPY" and len(head) > 1 and head[1].upper() == "INTO":
             return self._copy_into(text)
+        if verb == "SHOW" and len(head) > 1 and head[1].upper() == "PARTITIONS":
+            m = re.match(
+                r"^\s*SHOW\s+PARTITIONS\s+(?P<target>[\w.]+)\s*;?\s*$",
+                text, re.IGNORECASE,
+            )
+            if not m:
+                raise ValueError(f"unsupported SHOW PARTITIONS syntax: {text!r}")
+            if not self.wh.exists(m["target"]):
+                raise ValueError(
+                    f"SHOW PARTITIONS target {m['target']!r} is not a "
+                    "warehouse table"
+                )
+            return self.wh.show_partitions(m["target"])
         self.wh.register_views()
         return self.spark.sql(self._rewrite_versioned_reads(text))
 

@@ -262,6 +262,34 @@ class Warehouse:
         shutil.rmtree(staging, ignore_errors=True)
         return {"partitions_replaced": len(leaves)}
 
+    def show_partitions(self, name: str) -> DataFrame:
+        """Partition inventory (Spark's ``SHOW PARTITIONS``), METADATA
+        ONLY — the hive directory names here, the log's partitionValues
+        on the Delta backend, the manifests on Iceberg; no data file
+        opens at any size. One row per partition: the spec string
+        (``a=1/b=x``) plus its data-file count. Unpartitioned tables
+        return zero rows."""
+        pcols = self.partition_columns(name)
+        if not pcols:
+            return self.spark.createDataFrame(
+                [], "partition string, num_files long"
+            )
+        counts: dict[str, int] = {}
+        base = self.path(name)
+        for root_, _dirs, files in os.walk(base):
+            n = sum(1 for f in files if f.endswith(self._ext))
+            if not n:
+                continue
+            rel = os.path.relpath(root_, base)
+            counts[rel] = counts.get(rel, 0) + n
+        from .. import session as _session
+
+        return _session.tiny_df(
+            self.spark,
+            sorted(counts.items()),
+            "partition string, num_files long",
+        )
+
     def _merge_read_target(self, name: str) -> DataFrame:
         """The target frame MERGE rewrites against — a hook so a backend
         can attach carry-through columns (the Delta backend reads row

@@ -340,3 +340,24 @@ def test_copy_into_iceberg_backend(spark, iwh, tmp_path):
     assert {r.k for r in iwh.read("ing").collect()} == {1, 2}
     t = iwh.table("ing")
     assert len(t.snapshots()) == 2  # one commit per loaded batch
+
+
+def test_show_partitions_iceberg_live_set(spark, iwh):
+    """The Iceberg SHOW PARTITIONS reads manifests: dead files from a
+    replaced partition never count, and the façade verb serves it."""
+    from global_seismic_data_pipeline_spark.sources.sqldml import SqlDml
+
+    iwh.overwrite(
+        spark.createDataFrame(
+            [(1, "A"), (2, "B")], "k int, band string"
+        ),
+        "t", ["band"],
+    )
+    iwh.overwrite_dynamic(
+        spark.createDataFrame([(9, "A")], "k int, band string"), "t"
+    )
+    got = {
+        r.partition: r.num_files
+        for r in SqlDml(iwh).sql("SHOW PARTITIONS t").collect()
+    }
+    assert set(got) == {"band=A", "band=B"}

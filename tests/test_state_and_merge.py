@@ -322,3 +322,34 @@ def test_overwrite_dynamic_partitions(spark, tmp_path, wh_cls):
         spark.createDataFrame([(9, "z")], "k int, s string"), "flat"
     )
     assert {(r.k, r.s) for r in wh.read("flat").collect()} == {(9, "z")}
+
+
+def test_show_partitions_metadata_only(spark, tmp_path, wh_cls):
+    """SHOW PARTITIONS on every backend: one row per LIVE partition with
+    its data-file count (log/manifest-backed on the commit-log backends,
+    so time-travel-retained dead files never count); unpartitioned
+    tables return zero rows."""
+    wh = wh_cls(spark, str(tmp_path / "wh"))
+    wh.overwrite(
+        spark.createDataFrame(
+            [(1, "A"), (2, "A"), (3, "B"), (4, None)],
+            "k int, band string",
+        ),
+        "t", ["band"],
+    )
+    got = {r.partition: r.num_files for r in wh.show_partitions("t").collect()}
+    assert set(got) == {
+        "band=A", "band=B", "band=__HIVE_DEFAULT_PARTITION__"
+    }
+    assert all(n >= 1 for n in got.values())
+    # replace one partition: the inventory tracks the LIVE set
+    wh.overwrite_dynamic(
+        spark.createDataFrame([(9, "A")], "k int, band string"), "t"
+    )
+    got2 = {
+        r.partition: r.num_files for r in wh.show_partitions("t").collect()
+    }
+    assert set(got2) == set(got)
+    # unpartitioned: zero rows
+    wh.overwrite(spark.createDataFrame([(1,)], "k int"), "flat")
+    assert wh.show_partitions("flat").count() == 0
