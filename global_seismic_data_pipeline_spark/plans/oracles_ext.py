@@ -1286,7 +1286,7 @@ WITH w AS (
 )
 SELECT t.doc_id,
        CAST(count(*) AS BIGINT) AS n_tokens,
-       list(v.id ORDER BY t.pos) AS ids
+       array_to_string(list(v.id ORDER BY t.pos), ',') AS ids
 FROM tok_rows t JOIN vocab v USING (tok)
 GROUP BY t.doc_id
 """

@@ -1196,10 +1196,20 @@ def vocab_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     encode_docs): frequency-ranked token ids with deterministic tie-break,
     every document re-emitted as its position-ordered id sequence. The
     oracle rebuilds the identical vocabulary and sequences, so the whole
-    encoding — id assignment AND ordering — is hash-checked."""
+    encoding — id assignment AND ordering — is hash-checked. The id
+    sequence ships CSV-joined (the checker's row-sort canonicalization
+    cannot hash raw array cells — same rule as jl_project_embeddings);
+    library users get the ArrayType form from encode_docs directly."""
     d = _docs(spark, sf_dir)
     vocab = text.build_vocab(d)
-    return text.encode_docs(d, vocab)
+    enc = text.encode_docs(d, vocab)
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        F.concat_ws(
+            ",", F.transform(F.col("ids"), lambda x: x.cast("string"))
+        ).alias("ids"),
+    )
 
 
 def cms_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:

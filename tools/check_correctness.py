@@ -80,8 +80,30 @@ def cell_str(v, spark_side: bool) -> str:
     return str(v)
 
 
+def _array_cols(df: pd.DataFrame) -> list[str]:
+    """Columns holding list/ndarray/dict cells — the driver's row-sort
+    canonicalization crashes on these (``TypeError: unhashable type``), so
+    a local pass over them would NOT predict driver green."""
+    bad = []
+    for c in df.columns:
+        col = df[c]
+        if col.dtype == object and col.map(
+            lambda v: isinstance(v, (list, tuple, dict, np.ndarray))
+        ).any():
+            bad.append(c)
+    return bad
+
+
 def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
     problems = []
+    arr = sorted(set(_array_cols(spark_df)) | set(_array_cols(oracle_df)))
+    if arr:
+        problems.append(
+            f"array/map cells in column(s) {arr}: the DRIVER checker crashes "
+            f"on these (unhashable in its row-sort pass) — CSV-join this "
+            f"column on both sides (concat_ws / array_to_string)"
+        )
+        return problems
     if sorted(spark_df.columns) != sorted(oracle_df.columns):
         problems.append(
             f"columns differ: spark={sorted(spark_df.columns)} oracle={sorted(oracle_df.columns)}"
