@@ -231,37 +231,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": workloads_ext.text_fingerprint,
         "text_tokenize_stats": workloads_ext.text_tokenize_stats,
     }
-    # --- round-10 rotation (VERDICT r9 item 7): 50 never-driver-
-    # sampled families move into the first-50 sample; the remaining 36
-    # never-sampled families queue for round 11 ---
+    # --- round-11 rotation (VERDICT r10 item 3): the final 42 never-
+    # driver-sampled families move into the first-50 sample — after this
+    # round every declared family has a driver-green record somewhere in
+    # r1-r11. Slot 43 is vocab_encode_docs (sampled r10 but red — the
+    # array-cell crash, fixed this round — so its only driver record is
+    # red and needs replacing). The last 7 slots re-sample the heaviest
+    # previously-green queries per the verdict's padding guidance. ---
     first = [
-        "jl_project_embeddings", "filtered_ann_topk",
-        "incremental_ivf_ann", "jsonl_parse_recovery",
-        "cdf_order_changes", "hybrid_rrf_search",
-        "triangle_count_copurchase", "theil_sen_daily_trend",
-        "split_train_val_test", "pack_token_shards",
-        "decontaminate_docs", "range_join_event_bursts",
-        "temperature_mixture_sample", "token_diversity_docs",
-        "chunk_docs_for_training", "curation_funnel_docs",
-        "bloom_prune_lineitem", "uniform_sample_docs",
-        "cms_heavy_tokens", "vocab_encode_docs",
-        "outlier_orders_exact", "incremental_daily_rollup",
-        "gap_fill_daily", "cumulative_new_users", "cohort_retention",
-        "event_funnel_conversion", "bounded_funnel_conversion",
-        "abc_classification_parts", "mann_kendall_trend_orders",
-        "star_join_revenue", "zorder_cluster_lineitem", "cube_orders",
-        "pii_redact_docs", "repetition_filter_docs", "url_host_stats",
-        "stratified_sample_docs", "corpus_top_trigrams",
-        "skipping_pruned_scan", "negative_sample_pairs",
-        "training_shuffle_shards", "join_size_estimate_orders",
-        "profile_orders_table", "kmv_audience_overlap",
-        "phrase_search_docs", "feature_hash_docs",
-        "scd2_as_of_snapshot", "hybrid_range_count_lineitem",
-        # round-10's new operators take the last three sample slots
-        # (also never sampled); json_extract_events/window_rank_suite/
-        # listagg_top_customers queue for r11 with the other 36
-        "delta_replace_where_orders", "dynamic_overwrite_orders",
-        "copy_into_orders",
+        "iceberg_branch_changelog_orders", "iceberg_branch_dml_orders",
+        "iceberg_replace_where_orders", "json_extract_events",
+        "window_rank_suite", "listagg_top_customers",
+        "grouping_sets_orders", "ewma_daily_revenue",
+        "tfidf_search_docs", "grid_nearest_station",
+        "event_transition_matrix", "record_linkage_customers",
+        "robust_outliers_mad", "exact_corr_lineitem",
+        "copurchase_pairs_topk", "dsir_select_docs",
+        "bucketed_join_revenue", "dq_expectations",
+        "ngram_dup_rate_docs", "unigram_surprisal_docs",
+        "max_concurrent_events", "topk_orders_per_priority",
+        "hll_merge_rollup", "trimmed_mean_prices",
+        "csv_parse_recovery", "ivm_orders_by_status",
+        "line_dedup_docs", "perplexity_bucket_sample",
+        "span_dedup_docs", "nb_lang_classifier",
+        "bpe_encode_docs", "ngram_containment_decontam",
+        "html_extract_docs", "bigram_surprisal_docs",
+        "scd2_incremental_history", "iceberg_roundtrip_orders",
+        "fuzzy_match_part_names", "mixture_budget_docs",
+        "setops_customer_years", "exists_priority_customers",
+        "unpivot_order_metrics", "twap_user_value",
+        "vocab_encode_docs",
+        # heaviest previously-green queries pad the remaining slots
+        "bpe_learn_merges", "ivf_index_drift",
+        "incremental_minhash_dedup", "ppjoin_near_dup",
+        "semdedup_prune_embeddings", "iceberg_delete_where_orders",
+        "minhash_near_dup",
     ]
     ordered = {n: q[n] for n in first}
     ordered.update((n, f) for n, f in q.items() if n not in ordered)
