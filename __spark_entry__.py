@@ -218,6 +218,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twap_user_value": workloads_ext.twap_user_value,
         # --- rotated OUT of the first-50 sample in round 8 (all stay
         # judge-swept; the sample cycles the surface each round) ---
+        # --- round 11: ALTER TABLE column evolution + MERGE schema
+        # evolution, oracle-backed end-to-end on both lakehouse backends
+        "alter_columns_delta_orders":
+            workloads_ext.alter_columns_delta_orders,
+        "alter_columns_iceberg_orders":
+            workloads_ext.alter_columns_iceberg_orders,
         "band_case_classify": workloads.band_case_classify,
         "agg_histogram_case": workloads.agg_histogram_case,
         "agg_frequency_table": workloads.agg_frequency_table,
@@ -261,11 +267,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setops_customer_years", "exists_priority_customers",
         "unpivot_order_metrics", "twap_user_value",
         "vocab_encode_docs",
-        # heaviest previously-green queries pad the remaining slots
+        # round-11's new oracle-backed operators take two slots; the
+        # heaviest previously-green queries pad the rest
+        "alter_columns_delta_orders", "alter_columns_iceberg_orders",
         "bpe_learn_merges", "ivf_index_drift",
         "incremental_minhash_dedup", "ppjoin_near_dup",
-        "semdedup_prune_embeddings", "iceberg_delete_where_orders",
-        "minhash_near_dup",
+        "semdedup_prune_embeddings",
     ]
     ordered = {n: q[n] for n in first}
     ordered.update((n, f) for n, f in q.items() if n not in ordered)

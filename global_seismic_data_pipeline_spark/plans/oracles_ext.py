@@ -3807,3 +3807,46 @@ SELECT side,
 FROM changes
 GROUP BY side, _change_type, _change_ordinal
 """
+
+ORACLES_EXT["alter_columns_delta_orders"] = """
+-- alter_columns_delta_orders: rename o_custkey -> cust_id (values
+-- survive), schema-evolving MERGE bumps urgent custkeys +1e6 and adds
+-- urgent_flag (NULL backfill elsewhere), ADD COLUMN note reads NULL
+WITH t AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderpriority = '1-URGENT'
+                THEN o_custkey + 1000000 ELSE o_custkey END AS cust_id,
+           o_orderpriority,
+           CASE WHEN o_orderpriority = '1-URGENT'
+                THEN 1 ELSE NULL END AS urgent_flag,
+           NULL AS note
+    FROM orders
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       CAST(SUM(cust_id) AS BIGINT) AS sum_cust,
+       CAST(SUM(COALESCE(urgent_flag, 0)) AS BIGINT) AS sum_flag,
+       CAST(COUNT(note) AS BIGINT) AS n_notes
+FROM t
+GROUP BY o_orderpriority
+"""
+
+ORACLES_EXT["alter_columns_iceberg_orders"] = """
+-- alter_columns_iceberg_orders: original rows read the re-added
+-- cust_id as NULL (fresh field id; dropped values never resurrect);
+-- the post-alter append carries real custkeys for the urgent band
+WITH t AS (
+    SELECT o_orderkey, CAST(NULL AS BIGINT) AS cust_id, o_orderpriority
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderpriority
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       CAST(SUM(COALESCE(cust_id, 0)) AS BIGINT) AS sum_cust
+FROM t
+GROUP BY o_orderpriority
+"""

@@ -3871,3 +3871,93 @@ def iceberg_branch_changelog_orders(
             F.sum("o_custkey").cast("long").alias("sum_cust"),
         )
     )
+
+
+def alter_columns_delta_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ALTER TABLE column evolution on the Delta backend (sources/
+    deltalog.py alter_*): the orders table upgrades to column mapping,
+    renames ``o_custkey`` → ``cust_id`` (metadata-only — the files keep
+    their physical column), takes a schema-evolving MERGE that adds
+    ``urgent_flag`` with NULL backfill on every non-matched row, then
+    ADD COLUMNs a ``note`` that every row must read as NULL. The oracle
+    replays the whole evolution set-theoretically — a rename that loses
+    values, a resurrected dropped column, or a backfill that isn't NULL
+    all hash-fail. Integer aggregates only."""
+    import tempfile
+
+    from ..sources.deltawh import DeltaLogWarehouse
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    wh = DeltaLogWarehouse(spark, tempfile.mkdtemp(prefix="alterdelta-"))
+    wh.overwrite(orders, "ord")
+    wh.enable_column_mapping("ord")
+    wh.rename_column("ord", "o_custkey", "cust_id")
+    updates = orders.filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select(
+        "o_orderkey",
+        (F.col("o_custkey") + 1000000).alias("cust_id"),
+        "o_orderpriority",
+        F.lit(1).cast("long").alias("urgent_flag"),
+    )
+    wh.merge(updates, "ord", ["o_orderkey"], merge_schema=True)
+    wh.add_column("ord", "note", "string")
+    return (
+        wh.read("ord")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+            F.sum("cust_id").cast("long").alias("sum_cust"),
+            F.sum(F.coalesce(F.col("urgent_flag"), F.lit(0)))
+            .cast("long").alias("sum_flag"),
+            F.count("note").cast("long").alias("n_notes"),
+        )
+    )
+
+
+def alter_columns_iceberg_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ALTER TABLE column evolution on the Iceberg backend (sources/
+    iceberg.py alter_*): rename keeps the field id (files untouched),
+    DROP retires the id without shrinking ``last-column-id``, and a
+    same-name re-add mints a FRESH id — so the original rows must read
+    the re-added ``cust_id`` as NULL (a reader that resurrects the
+    dropped values from the old files hash-fails), while an append
+    AFTER the alters carries real values under the new id. Integer
+    aggregates only."""
+    import tempfile
+
+    from ..sources.icebergwh import IcebergWarehouse
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    wh = IcebergWarehouse(spark, tempfile.mkdtemp(prefix="altericeberg-"))
+    wh.overwrite(orders, "ord")
+    wh.rename_column("ord", "o_custkey", "cust_id")
+    wh.drop_column("ord", "cust_id")
+    wh.add_column("ord", "cust_id", "bigint")
+    extra = orders.filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_custkey").alias("cust_id"),
+    )
+    wh.append(extra, "ord")
+    return (
+        wh.read("ord")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+            F.sum(F.coalesce(F.col("cust_id"), F.lit(0)))
+            .cast("long").alias("sum_cust"),
+        )
+    )

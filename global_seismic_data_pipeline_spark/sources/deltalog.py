@@ -67,6 +67,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from collections.abc import Mapping, Sequence
@@ -1651,6 +1652,19 @@ def commit_write(
                             prev_meta["schemaString"], schema.json()
                         ),
                     }})
+                elif mapping_fp is not None and staged.get(
+                    "mapping_new_fields"
+                ):
+                    # mapped-table overwrite WITH evolution (MERGE
+                    # merge_schema over the full-rewrite path): the new
+                    # columns enter the schemaString carrying the
+                    # identities minted at stage time, same as append
+                    evolved = _evolve_schema(prev_meta, schema, True)
+                    if evolved is not None:
+                        actions.append({"metaData": _evolved_mapped_metadata(
+                            prev_meta, evolved,
+                            staged.get("mapping_new_fields") or {},
+                        )})
             else:
                 evolved = _evolve_schema(prev_meta, schema, merge_schema)
                 if evolved is not None:
@@ -2057,6 +2071,338 @@ def commit_set_properties(
         return version
     raise DeltaConcurrentWriteError(
         f"lost the commit race {max_retries} times on {table_path!r}"
+    )
+
+
+def _commit_metadata_mutation(
+    table_path: str,
+    mutate,
+    *,
+    operation: str,
+    op_params: Mapping | None = None,
+    max_retries: int = 20,
+) -> int:
+    """Metadata-only commit (no adds/removes) under the standard
+    put-if-absent OCC loop — the ALTER TABLE primitive.
+
+    ``mutate(state) -> (new_metadata | None, extra_actions)`` is
+    re-evaluated inside the retry loop, so a lost race recomputes the
+    change against the winner's state (same discipline as
+    ``commit_set_properties``). ``None`` metadata means no-op: the
+    current version returns and nothing commits."""
+    for _attempt in range(max_retries):
+        state = snapshot_state(table_path)
+        new_meta, extra = mutate(state)
+        if new_meta is None:
+            return state["version"]
+        version = state["version"] + 1
+        actions: list[dict] = [{
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": operation,
+                "operationParameters": _json_safe(dict(op_params or {})),
+                "engineInfo": "global-seismic-data-pipeline-spark-deltalog",
+            }
+        }]
+        ict = _ict_value(state)
+        if ict is not None:
+            actions[0]["commitInfo"]["inCommitTimestamp"] = ict
+        actions.extend(extra)
+        actions.append({"metaData": new_meta})
+        log = _log_dir(table_path)
+        final = os.path.join(log, f"{version:020d}.json")
+        tmp = os.path.join(log, f".{uuid.uuid4().hex}.json.tmp")
+        with open(tmp, "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            os.remove(tmp)
+            continue
+        os.remove(tmp)
+        return version
+    raise DeltaConcurrentWriteError(
+        f"lost the commit race {max_retries} times on {table_path!r}"
+    )
+
+
+def _demand_references(metadata: Mapping, col: str) -> list[str]:
+    """Everywhere the table's enforced SQL fragments mention ``col``:
+    CHECK constraints (``delta.constraints.*`` configuration values),
+    other fields' generation expressions and invariants. A rename/drop
+    of a referenced column would silently break enforcement for every
+    later writer — the spec's clients refuse, and so do we."""
+    pat = re.compile(
+        rf"(?<![A-Za-z0-9_`]){re.escape(col)}(?![A-Za-z0-9_])",
+        re.IGNORECASE,
+    )
+    hits = []
+    conf = metadata.get("configuration") or {}
+    for k, v in conf.items():
+        if k.startswith("delta.constraints.") and pat.search(str(v or "")):
+            hits.append(k)
+    for f in json.loads(metadata["schemaString"])["fields"]:
+        if f["name"].lower() == col.lower():
+            continue  # the column's OWN demands die with it
+        meta = f.get("metadata") or {}
+        for dk in _DEMAND_META_KEYS:
+            if dk in meta and pat.search(str(meta[dk])):
+                hits.append(f"{f['name']}.{dk}")
+    return hits
+
+
+def _assign_mapping_ids(type_json, next_id: list[int]):
+    """Depth-first physicalName/id assignment for the column-mapping
+    UPGRADE: every (nested) struct field gets id = next counter value and
+    physicalName = its CURRENT name, so every already-written file keeps
+    resolving — exactly Delta's ALTER TBLPROPERTIES upgrade semantics."""
+    if isinstance(type_json, dict) and type_json.get("type") == "struct":
+        for f in type_json["fields"]:
+            next_id[0] += 1
+            f["metadata"] = {
+                **(f.get("metadata") or {}),
+                _FIELD_ID_KEY: next_id[0],
+                _PHYS_NAME_KEY: f["name"],
+            }
+            _assign_mapping_ids(f["type"], next_id)
+    elif isinstance(type_json, dict) and type_json.get("type") == "array":
+        _assign_mapping_ids(type_json["elementType"], next_id)
+    elif isinstance(type_json, dict) and type_json.get("type") == "map":
+        _assign_mapping_ids(type_json["keyType"], next_id)
+        _assign_mapping_ids(type_json["valueType"], next_id)
+
+
+def enable_column_mapping(table_path: str, *, max_retries: int = 20) -> int:
+    """Upgrade an unmapped table to column-mapping mode ``name`` — the
+    precondition for metadata-only RENAME/DROP COLUMN (Delta's
+    ``ALTER TABLE SET TBLPROPERTIES('delta.columnMapping.mode'='name')``).
+
+    Every field gets ``physicalName`` = its current name (existing
+    parquet files keep resolving untouched) and a fresh sequential id;
+    the protocol raises to (2, 5) — or appends the ``columnMapping``
+    feature on a table-features protocol — per spec. Only 'name' mode is
+    upgradable: 'id' mode resolves through parquet field ids, which the
+    already-written files don't carry. Idempotent: an already-'name'
+    table no-ops."""
+
+    def mutate(state):
+        meta = state["metadata"]
+        mode = _mapping_mode(meta)
+        if mode == "name":
+            return None, []
+        if mode != "none":
+            raise ValueError(
+                f"cannot switch column mapping mode {mode!r} -> 'name': "
+                "mode changes after creation are unsupported (spec)"
+            )
+        sch = json.loads(meta["schemaString"])
+        counter = [0]
+        _assign_mapping_ids({"type": "struct", "fields": sch["fields"]},
+                            counter)
+        conf = dict(meta.get("configuration") or {})
+        conf["delta.columnMapping.mode"] = "name"
+        conf["delta.columnMapping.maxColumnId"] = str(counter[0])
+        extra = []
+        proto = dict(state["protocol"])
+        reader = int(proto.get("minReaderVersion", 1))
+        writer = int(proto.get("minWriterVersion", 2))
+        changed = False
+        if reader >= 3:
+            feats = set(proto.get("readerFeatures") or [])
+            if "columnMapping" not in feats:
+                proto["readerFeatures"] = sorted(feats | {"columnMapping"})
+                changed = True
+        elif reader < 2:
+            proto["minReaderVersion"] = 2
+            changed = True
+        if writer >= 7:
+            feats = set(proto.get("writerFeatures") or [])
+            if "columnMapping" not in feats:
+                proto["writerFeatures"] = sorted(feats | {"columnMapping"})
+                changed = True
+        elif writer < 5:
+            proto["minWriterVersion"] = 5
+            changed = True
+        if changed:
+            extra.append({"protocol": proto})
+        return (
+            {**meta, "schemaString": json.dumps(sch), "configuration": conf},
+            extra,
+        )
+
+    return _commit_metadata_mutation(
+        table_path, mutate,
+        operation="UPGRADE COLUMN MAPPING", max_retries=max_retries,
+    )
+
+
+def alter_add_column(
+    table_path: str,
+    name: str,
+    data_type: "DataType",
+    *,
+    comment: str | None = None,
+    max_retries: int = 20,
+) -> int:
+    """ALTER TABLE ADD COLUMN — metadata-only commit appending one
+    nullable top-level field; existing files read it as NULL (the same
+    reader contract merge_schema appends rely on). Works on mapped and
+    unmapped tables: mapped ones mint a fresh id + ``col-<uuid>``
+    physical name and advance ``maxColumnId`` so a later rename/drop of
+    the new column stays safe."""
+
+    def mutate(state):
+        meta = state["metadata"]
+        sch = json.loads(meta["schemaString"])
+        if any(f["name"].lower() == name.lower() for f in sch["fields"]):
+            raise ValueError(f"column {name!r} already exists")
+        fj = {
+            "name": name,
+            "type": json.loads(
+                StructType([StructField(name, data_type, True)]).json()
+            )["fields"][0]["type"],
+            "nullable": True,
+            "metadata": {"comment": comment} if comment else {},
+        }
+        conf = dict(meta.get("configuration") or {})
+        if _mapping_mode(meta) != "none":
+            gen = _new_mapping_fields(
+                meta, StructType([StructField(name, data_type, True)])
+            )[name]
+            fj["metadata"] = {**fj["metadata"], **gen}
+            conf["delta.columnMapping.maxColumnId"] = str(
+                gen[_FIELD_ID_KEY]
+            )
+        return (
+            {
+                **meta,
+                "schemaString": json.dumps(
+                    {**sch, "fields": sch["fields"] + [fj]}
+                ),
+                "configuration": conf,
+            },
+            [],
+        )
+
+    return _commit_metadata_mutation(
+        table_path, mutate,
+        operation="ADD COLUMNS", op_params={"column": name},
+        max_retries=max_retries,
+    )
+
+
+def alter_rename_column(
+    table_path: str, old: str, new: str, *, max_retries: int = 20
+) -> int:
+    """ALTER TABLE RENAME COLUMN — metadata-only under column mapping:
+    the logical name changes, the field keeps its ``physicalName``/id,
+    so every already-written file (and partition directory) resolves
+    untouched. Refuses on unmapped tables (the files are keyed by the
+    logical name there — renaming would need a full rewrite; run
+    :func:`enable_column_mapping` first) and when the column is
+    referenced by a CHECK constraint / generation expression /
+    invariant (those SQL fragments would silently stop binding)."""
+
+    def mutate(state):
+        meta = state["metadata"]
+        if _mapping_mode(meta) == "none":
+            raise ValueError(
+                "RENAME COLUMN needs column mapping (physical names "
+                "decouple from logical) — call enable_column_mapping() "
+                "first; without it the rename would require rewriting "
+                "every data file"
+            )
+        sch = json.loads(meta["schemaString"])
+        names = {f["name"].lower() for f in sch["fields"]}
+        if old.lower() not in names:
+            raise ValueError(f"no such column {old!r}")
+        if new.lower() in names:
+            raise ValueError(f"column {new!r} already exists")
+        refs = _demand_references(meta, old)
+        if refs:
+            raise ValueError(
+                f"column {old!r} is referenced by {refs} — drop the "
+                "constraint / demand first, then rename"
+            )
+        fields = [
+            {**f, "name": new} if f["name"].lower() == old.lower() else f
+            for f in sch["fields"]
+        ]
+        pcols = [
+            new if p.lower() == old.lower() else p
+            for p in (meta.get("partitionColumns") or [])
+        ]
+        return (
+            {
+                **meta,
+                "schemaString": json.dumps({**sch, "fields": fields}),
+                "partitionColumns": pcols,
+            },
+            [],
+        )
+
+    return _commit_metadata_mutation(
+        table_path, mutate,
+        operation="RENAME COLUMN", op_params={"from": old, "to": new},
+        max_retries=max_retries,
+    )
+
+
+def alter_drop_column(
+    table_path: str, name: str, *, max_retries: int = 20
+) -> int:
+    """ALTER TABLE DROP COLUMN — metadata-only under column mapping:
+    the field leaves the schema, its data stays in the files (ignored by
+    every reader), and ``maxColumnId`` never decreases so the id is
+    never reused — which is exactly why re-adding the same NAME later
+    cannot resurrect the old values. Refuses on unmapped tables (a
+    same-name re-add WOULD resurrect old data there), on partition
+    columns, on the last remaining column, and on columns referenced by
+    constraints / generation expressions / invariants."""
+
+    def mutate(state):
+        meta = state["metadata"]
+        if _mapping_mode(meta) == "none":
+            raise ValueError(
+                "DROP COLUMN needs column mapping — call "
+                "enable_column_mapping() first; on an unmapped table a "
+                "later re-add of the same name would resurrect the "
+                "dropped values from the old files"
+            )
+        sch = json.loads(meta["schemaString"])
+        if not any(f["name"].lower() == name.lower() for f in sch["fields"]):
+            raise ValueError(f"no such column {name!r}")
+        if any(
+            p.lower() == name.lower()
+            for p in (meta.get("partitionColumns") or [])
+        ):
+            raise ValueError(
+                f"{name!r} is a partition column — repartition the "
+                "table before dropping it"
+            )
+        if len(sch["fields"]) == 1:
+            raise ValueError("cannot drop the last column")
+        refs = _demand_references(meta, name)
+        if refs:
+            raise ValueError(
+                f"column {name!r} is referenced by {refs} — drop the "
+                "constraint / demand first"
+            )
+        fields = [
+            f for f in sch["fields"] if f["name"].lower() != name.lower()
+        ]
+        return (
+            {**meta, "schemaString": json.dumps({**sch, "fields": fields})},
+            [],
+        )
+
+    return _commit_metadata_mutation(
+        table_path, mutate,
+        operation="DROP COLUMNS", op_params={"column": name},
+        max_retries=max_retries,
     )
 
 

@@ -141,6 +141,35 @@ class DeltaLogWarehouse(Warehouse):
             dropped = True
         return dropped
 
+    # -- column evolution: metadata-only commits on the log ----------------
+    def _require_table(self, name: str) -> str:
+        p = self.path(name)
+        if not dl.is_delta_table(p):
+            raise ValueError(f"{name!r} is not a delta table")
+        return p
+
+    def enable_column_mapping(self, name: str) -> int:
+        """Upgrade to column-mapping 'name' mode — the precondition for
+        metadata-only RENAME/DROP COLUMN (idempotent)."""
+        return dl.enable_column_mapping(self._require_table(name))
+
+    def add_column(self, name: str, column: str, type_str: str) -> None:
+        dl.alter_add_column(
+            self._require_table(name), column, self._ddl_type(type_str)
+        )
+
+    def rename_column(self, name: str, old: str, new: str) -> None:
+        dl.alter_rename_column(self._require_table(name), old, new)
+
+    def drop_column(self, name: str, column: str) -> None:
+        dl.alter_drop_column(self._require_table(name), column)
+
+    def set_table_properties(self, name: str, props: dict[str, str]) -> None:
+        dl.commit_set_properties(
+            self._require_table(name), dict(props),
+            operation="SET TBLPROPERTIES",
+        )
+
     # -- schema-embedded writer demands -------------------------------------
     def _schema_demands(self, name: str) -> tuple[dict, dict, dict]:
         """(generated columns, invariants, identity columns) declared
@@ -596,7 +625,12 @@ class DeltaLogWarehouse(Warehouse):
             == "true"
         )
 
-    def merge(self, updates, name, keys, *, prune_partition_col=None):
+    _evolves_partial_rewrites = True
+
+    def merge(
+        self, updates, name, keys, *,
+        prune_partition_col=None, merge_schema=False,
+    ):
         """MERGE = anti-join + union rewrite (Warehouse.merge) — which
         MOVES surviving rows between files. delta.rowTracking.enabled
         promises stable row ids across exactly such rewrites; this
@@ -620,6 +654,15 @@ class DeltaLogWarehouse(Warehouse):
             from pyspark.sql import functions as F
 
             target = self.read(name)
+            if merge_schema:
+                # evolved columns show in POST/INSERT images with real
+                # values and in PRE images as NULL — the reader contract
+                # for rows that predate the evolution
+                for c in updates.columns:
+                    if c not in target.columns:
+                        target = target.withColumn(
+                            c, F.lit(None).cast(updates.schema[c].dataType)
+                        )
             tcols = target.columns
             upd = updates.select(*tcols)
             tkeys = target.select(*keys).distinct()
@@ -635,12 +678,14 @@ class DeltaLogWarehouse(Warehouse):
             self._pending_cdc_df = pre.unionByName(post).unionByName(ins)
         try:
             self._merge_dispatch(
-                updates, name, keys, prune_partition_col
+                updates, name, keys, prune_partition_col, merge_schema
             )
         finally:
             self._pending_cdc_df = None
 
-    def _merge_dispatch(self, updates, name, keys, prune_partition_col):
+    def _merge_dispatch(
+        self, updates, name, keys, prune_partition_col, merge_schema=False
+    ):
         if dl.is_delta_table(self.path(name)):
             st = dl.snapshot_state(self.path(name))
             feats = set(st["protocol"].get("writerFeatures") or [])
@@ -652,15 +697,17 @@ class DeltaLogWarehouse(Warehouse):
                 and conf.get("delta.rowTracking.enabled") == "true"
             ):
                 self._merge_preserving_row_ids(
-                    updates, name, keys, conf, prune_partition_col
+                    updates, name, keys, conf, prune_partition_col,
+                    merge_schema,
                 )
                 return
         super().merge(
-            updates, name, keys, prune_partition_col=prune_partition_col
+            updates, name, keys, prune_partition_col=prune_partition_col,
+            merge_schema=merge_schema,
         )
 
     def _merge_preserving_row_ids(
-        self, updates, name, keys, conf, pcol
+        self, updates, name, keys, conf, pcol, merge_schema=False
     ) -> None:
         """The rowTracking MERGE: read the target WITH row ids exposed
         under the materialized column names, stitch matched updates to
@@ -719,7 +766,10 @@ class DeltaLogWarehouse(Warehouse):
         self._rt_target = tgt
         self._rt_physical_cols = (mid, mver)
         try:
-            super().merge(upd, name, keys, prune_partition_col=pcol)
+            super().merge(
+                upd, name, keys, prune_partition_col=pcol,
+                merge_schema=merge_schema,
+            )
         finally:
             self._rt_target = None
             self._rt_physical_cols = ()
@@ -749,6 +799,7 @@ class DeltaLogWarehouse(Warehouse):
         staged = dl.stage_write(
             df, self.path(name), partition_by,
             physical_only_cols=self._rt_physical_cols,
+            merge_schema=self._pending_merge_schema,
         )
         self._abort_staging_if_violated(obs, cons, staged["staging"])
         identity_update = None
@@ -789,6 +840,7 @@ class DeltaLogWarehouse(Warehouse):
             self.spark, self.path(name), staged,
             mode=dl_mode, partition_by=list(partition_by),
             operation=operation, extra_removes=removes_fn, txn=txn,
+            merge_schema=self._pending_merge_schema,
             # the Observation above evaluated every constraint in
             # constraints(name), which includes the log-declared set —
             # the writer gate can let those through

@@ -2337,8 +2337,12 @@ def _write_snapshot(
         "table-uuid": (base or {}).get("table-uuid", str(uuid.uuid4())),
         "location": location,
         "last-updated-ms": now_ms,
+        # never decreases even when the current schema's max id shrank
+        # (DROP COLUMN) — the spec forbids id reuse, and a reused id
+        # would resurrect dropped values from old files
         "last-column-id": max(
-            (f["id"] for f in schema_json["fields"]), default=0
+            [(base or {}).get("last-column-id", 0)]
+            + [f["id"] for f in schema_json["fields"]]
         ),
         "partition-specs": all_specs,
         "default-spec-id": spec_id,
@@ -3430,6 +3434,119 @@ def set_properties(
     meta["last-updated-ms"] = int(time.time() * 1000)
     _publish(location, meta)
     return {"properties": merged}
+
+
+def _publish_schema_change(
+    spark: SparkSession, location: str, new_fields: list[dict]
+) -> dict:
+    """Metadata-only schema commit — the ALTER TABLE primitive. The new
+    field list becomes the current schema; on v2 it enters ``schemas``
+    under a fresh schema-id (prior schemas stay time-travelable), on v1
+    it replaces ``schema``. ``last-column-id`` only ever advances (the
+    spec's never-reuse-ids rule — what makes a later same-name re-add
+    safe after a drop). No data file is touched: readers resolve columns
+    by FIELD ID, so every existing file keeps serving correctly."""
+    t = IcebergTable(spark, location)
+    meta = dict(t.metadata)
+    schema_json = {"type": "struct", "schema-id": 0, "fields": new_fields}
+    meta["last-column-id"] = max(
+        [meta.get("last-column-id", 0)] + [f["id"] for f in new_fields]
+    )
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    if "schemas" in meta:  # v2: append under a fresh schema-id
+        prior = list(meta["schemas"])
+        sid = max((x["schema-id"] for x in prior), default=-1) + 1
+        cur = {**schema_json, "schema-id": sid}
+        meta["schemas"] = prior + [cur]
+        meta["current-schema-id"] = sid
+    else:  # v1
+        meta["schema"] = schema_json
+    _publish(location, meta)
+    return meta
+
+
+def alter_add_column(
+    spark: SparkSession,
+    location: str,
+    name: str,
+    data_type: T.DataType,
+) -> dict:
+    """ALTER TABLE ADD COLUMN: one nullable field with the next field id
+    (``last-column-id`` + 1). Existing files read it as NULL through id
+    resolution — metadata-only at any scale."""
+    t = IcebergTable(spark, location)
+    fields = list(t.schema_json()["fields"])
+    if any(f["name"].lower() == name.lower() for f in fields):
+        raise IcebergError(f"column {name!r} already exists")
+    nid = max(
+        [t.metadata.get("last-column-id", 0)] + [f["id"] for f in fields]
+    ) + 1
+    fields.append({
+        "id": nid, "name": name, "required": False,
+        "type": _iceberg_type_of(data_type),
+    })
+    return _publish_schema_change(spark, location, fields)
+
+
+def alter_rename_column(
+    spark: SparkSession, location: str, old: str, new: str
+) -> dict:
+    """ALTER TABLE RENAME COLUMN: the field keeps its id (and so every
+    written file, manifest bound, and partition-spec source reference),
+    only the logical name changes — metadata-only by construction in
+    Iceberg, no column-mapping precondition needed."""
+    t = IcebergTable(spark, location)
+    fields = list(t.schema_json()["fields"])
+    names = {f["name"].lower() for f in fields}
+    if old.lower() not in names:
+        raise IcebergError(f"no such column {old!r}")
+    if new.lower() in names:
+        raise IcebergError(f"column {new!r} already exists")
+    fields = [
+        {**f, "name": new} if f["name"].lower() == old.lower() else f
+        for f in fields
+    ]
+    return _publish_schema_change(spark, location, fields)
+
+
+def alter_drop_column(
+    spark: SparkSession, location: str, name: str
+) -> dict:
+    """ALTER TABLE DROP COLUMN: the field leaves the current schema; its
+    id is never reused (``last-column-id`` stays advanced), so a later
+    add of the same NAME gets a fresh id and can never resurrect the
+    dropped values from old files. Refuses when the column sources any
+    partition-spec field (manifest partition tuples and file pruning
+    still resolve through it — evolve the spec first) and on the last
+    remaining column."""
+    t = IcebergTable(spark, location)
+    fields = list(t.schema_json()["fields"])
+    target = next(
+        (f for f in fields if f["name"].lower() == name.lower()), None
+    )
+    if target is None:
+        raise IcebergError(f"no such column {name!r}")
+    if len(fields) == 1:
+        raise IcebergError("cannot drop the last column")
+    m = t.metadata
+    specs = (
+        m["partition-specs"]
+        if "partition-specs" in m
+        else [{"spec-id": 0, "fields": m.get("partition-spec", [])}]
+    )
+    for s in specs:
+        for pf in s["fields"]:
+            if pf.get("source-id") == target["id"]:
+                raise IcebergError(
+                    f"column {name!r} (id {target['id']}) sources "
+                    f"partition field {pf.get('name')!r} in spec "
+                    f"{s.get('spec-id')} — evolve the partition spec "
+                    "before dropping it"
+                )
+    return _publish_schema_change(
+        spark, location,
+        [f for f in fields if f["name"].lower() != name.lower()],
+    )
 
 
 def changelog(

@@ -47,6 +47,8 @@ from .warehouse import Warehouse
 class IcebergWarehouse(Warehouse):
     """Named Iceberg tables under one root, with the Warehouse API."""
 
+    _evolves_partial_rewrites = True
+
     def __init__(self, spark: SparkSession, root: str, fmt: str = "parquet"):
         if fmt != "parquet":
             raise ValueError("Iceberg data files are parquet here")
@@ -67,6 +69,27 @@ class IcebergWarehouse(Warehouse):
 
     def table(self, name: str) -> ib.IcebergTable:
         return ib.IcebergTable(self.spark, self.path(name))
+
+    # -- column evolution: metadata-only schema commits ---------------------
+    def _require_table(self, name: str) -> str:
+        if not self._is_table(name):
+            raise ValueError(f"{name!r} is not an iceberg table")
+        return self.path(name)
+
+    def add_column(self, name: str, column: str, type_str: str) -> None:
+        ib.alter_add_column(
+            self.spark, self._require_table(name), column,
+            self._ddl_type(type_str),
+        )
+
+    def rename_column(self, name: str, old: str, new: str) -> None:
+        ib.alter_rename_column(self.spark, self._require_table(name), old, new)
+
+    def drop_column(self, name: str, column: str) -> None:
+        ib.alter_drop_column(self.spark, self._require_table(name), column)
+
+    def set_table_properties(self, name: str, props: dict[str, str]) -> None:
+        ib.set_properties(self.spark, self._require_table(name), props)
 
     # -- read / write -------------------------------------------------------
     def read(self, name: str) -> DataFrame:
@@ -103,13 +126,26 @@ class IcebergWarehouse(Warehouse):
         the staged data."""
         loc = self.path(name)
         df, obs, cons = self._observe_constraints(df, name)
+        schema_json_override = None
         if self._is_table(name):
             t = self.table(name)
-            ib._check_schema(t, df, operation)
+            if self._pending_merge_schema:
+                # schema-evolving MERGE: new batch columns get the next
+                # field ids in the SAME commit (type conflicts refuse
+                # inside); files the rewrite kept read them as NULL
+                schema_json_override = ib._evolved_schema_json(t, df.schema)
+            else:
+                ib._check_schema(t, df, operation)
+                # the TABLE's schema json, not one regenerated
+                # positionally from the batch: after ALTER TABLE the
+                # field ids are no longer 1..n, and a positional rebuild
+                # would commit ids the staged files (and every older
+                # file) don't carry
+                schema_json_override = t.schema_json()
             part_fields, fv = ib._table_write_shape(t)
             base = t.metadata
             field_ids = {
-                f["name"]: f["id"] for f in t.schema_json()["fields"]
+                f["name"]: f["id"] for f in schema_json_override["fields"]
             }
         else:
             part_fields = ib._parse_partition_by(list(partition_by), df.schema)
@@ -147,6 +183,7 @@ class IcebergWarehouse(Warehouse):
                 loc, schema_df, base=base, carry_prior=carry_prior,
                 operation=operation, part_fields=part_fields,
                 format_version=fv, data_files=records,
+                schema_json_override=schema_json_override,
                 # records = carried keep_files + the staged batch; only
                 # the batch counts as added in the snapshot summary
                 fresh_adds=len(files),

@@ -77,7 +77,8 @@ from pyspark.sql import DataFrame, functions as F
 from .warehouse import Warehouse
 
 _MERGE_RE = re.compile(
-    r"^\s*MERGE\s+INTO\s+(?P<target>[\w.]+)"
+    r"^\s*MERGE\s+(?:(?P<evolve>WITH\s+SCHEMA\s+EVOLUTION)\s+)?"
+    r"INTO\s+(?P<target>[\w.]+)"
     r"(?:\s+(?:AS\s+)?(?P<talias>(?!USING\b)\w+))?"
     r"\s+USING\s+(?P<source>[\w.]+)"
     r"(?:\s+(?:AS\s+)?(?P<salias>(?!ON\b)\w+))?"
@@ -137,8 +138,17 @@ _COPY_RE = re.compile(
 _ALTER_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<target>[\w.]+)\s+"
     r"(?:ADD\s+CONSTRAINT\s+(?P<cname>\w+)\s+CHECK\s*\(\s*(?P<expr>.*?)\s*\)"
-    r"|DROP\s+CONSTRAINT\s+(?P<dname>\w+))\s*;?\s*$",
+    r"|DROP\s+CONSTRAINT\s+(?P<dname>\w+)"
+    r"|ADD\s+COLUMNS?\s*\(?\s*(?P<acol>\w+)\s+(?P<atype>[\w()<>,\s]+)"
+    r"|RENAME\s+COLUMN\s+(?P<rold>\w+)\s+TO\s+(?P<rnew>\w+)"
+    r"|DROP\s+COLUMNS?\s*\(?\s*(?P<dcol>\w+)\s*\)?"
+    r"|SET\s+TBLPROPERTIES\s*\(\s*(?P<props>.*?)\s*\))\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
+)
+
+_MAPPING_PROP_RE = re.compile(
+    r"^\s*['\"]delta\.columnMapping\.mode['\"]\s*=\s*['\"]name['\"]\s*$",
+    re.IGNORECASE,
 )
 
 _OPTIMIZE_RE = re.compile(
@@ -397,13 +407,46 @@ class SqlDml:
         """``ALTER TABLE t ADD CONSTRAINT n CHECK (expr)`` / ``DROP
         CONSTRAINT n`` — Delta's persistent CHECK constraints: existing
         rows validate at ADD time, every later warehouse write enforces
-        at the staging boundary (Warehouse.add_constraint)."""
+        at the staging boundary (Warehouse.add_constraint). Column
+        evolution verbs — ``ADD COLUMN c type`` / ``RENAME COLUMN a TO
+        b`` / ``DROP COLUMN c`` — are metadata-only on the Delta
+        (column mapping) and Iceberg (field ids) backends and refuse on
+        plain parquet, where they would mean rewriting every file.
+        ``SET TBLPROPERTIES ('k'='v', ...)`` publishes table properties;
+        setting ``'delta.columnMapping.mode'='name'`` runs the mapping
+        UPGRADE (physical names pinned to current names, protocol
+        raised) — the rename/drop precondition."""
         m = _mask_match(_ALTER_RE, text)
         if not m:
             raise ValueError(f"unsupported ALTER TABLE syntax: {text!r}")
         name = m["target"]
         if not self.wh.exists(name):
             raise ValueError(f"ALTER target {name!r} is not a warehouse table")
+        if m["acol"]:
+            # greedy type capture swallows the wrapping paren of the
+            # ADD COLUMNS (c type) form — strip it when unbalanced
+            atype = m["atype"].strip()
+            while atype.endswith(")") and atype.count(")") > atype.count("("):
+                atype = atype[:-1].rstrip()
+            self.wh.add_column(name, m["acol"], atype)
+            return self._summary(
+                statement="ALTER", table=name,
+                column=m["acol"], action="added",
+            )
+        if m["rold"]:
+            self.wh.rename_column(name, m["rold"], m["rnew"])
+            return self._summary(
+                statement="ALTER", table=name,
+                column=f"{m['rold']}->{m['rnew']}", action="renamed",
+            )
+        if m["dcol"]:
+            self.wh.drop_column(name, m["dcol"])
+            return self._summary(
+                statement="ALTER", table=name,
+                column=m["dcol"], action="dropped",
+            )
+        if m["props"] is not None:
+            return self._set_tblproperties(name, m["props"])
         if m["cname"]:
             self.wh.add_constraint(name, m["cname"], m["expr"])
             return self._summary(
@@ -418,6 +461,34 @@ class SqlDml:
         return self._summary(
             statement="ALTER", table=name,
             constraint=m["dname"], action="dropped",
+        )
+
+    def _set_tblproperties(self, name: str, props_text: str) -> DataFrame:
+        """``SET TBLPROPERTIES ('k'='v', ...)`` — published into the
+        table's metadata (Delta configuration / Iceberg properties).
+        The Delta column-mapping enable key routes to the UPGRADE path
+        (physical names + protocol), not a bare property set: setting
+        the mode string without assigning physicalName/ids would corrupt
+        the table for every mapping-aware reader."""
+        pairs: dict[str, str] = {}
+        mapping_upgrade = False
+        for part in _split_top_level(props_text):
+            if _MAPPING_PROP_RE.match(part):
+                mapping_upgrade = True
+                continue
+            pm = re.match(
+                r"""^\s*['"]([^'"]+)['"]\s*=\s*['"]([^'"]*)['"]\s*$""", part
+            )
+            if not pm:
+                raise ValueError(f"unsupported TBLPROPERTIES entry: {part!r}")
+            pairs[pm.group(1)] = pm.group(2)
+        if mapping_upgrade:
+            self.wh.enable_column_mapping(name)
+        if pairs:
+            self.wh.set_table_properties(name, pairs)
+        return self._summary(
+            statement="ALTER", table=name, action="set_properties",
+            n_properties=len(pairs) + (1 if mapping_upgrade else 0),
         )
 
     def _optimize(self, text: str) -> DataFrame:
@@ -1011,9 +1082,17 @@ class SqlDml:
                 pcols = self.wh.partition_columns(name)
                 if len(pcols) == 1 and pcols[0] in source.columns:
                     prune = pcols[0]
-            self.wh.merge(source, name, keys, prune_partition_col=prune)
+            self.wh.merge(
+                source, name, keys, prune_partition_col=prune,
+                merge_schema=bool(m["evolve"]),
+            )
             return self._summary(
                 statement="MERGE", table=name, source_rows=source.count()
+            )
+        if m["evolve"]:
+            raise ValueError(
+                "MERGE WITH SCHEMA EVOLUTION supports only the "
+                "unconditional UPDATE SET * / INSERT * pair here"
             )
         if not self.wh.exists(name):
             raise ValueError(

@@ -141,14 +141,17 @@ class VersionedWarehouse(Warehouse):
         return out
 
     def merge(self, updates: DataFrame, name: str, keys: Sequence[str], *,
-              prune_partition_col: str | None = None) -> None:
+              prune_partition_col: str | None = None,
+              merge_schema: bool = False) -> None:
         # every parent path ends in a committing primitive: first-call
         # create and non-pruned merge funnel through self.overwrite, the
         # pruned path through self._rewrite_partitions (override below);
         # _op_override makes that commit record 'merge'.
         self._op_override = "merge"
         try:
-            super().merge(updates, name, keys, prune_partition_col=prune_partition_col)
+            super().merge(updates, name, keys,
+                          prune_partition_col=prune_partition_col,
+                          merge_schema=merge_schema)
         finally:
             self._op_override = None
 

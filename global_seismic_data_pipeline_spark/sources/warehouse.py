@@ -52,6 +52,9 @@ class Warehouse:
         self.root = root
         self.fmt = fmt
         self._ext = f".{fmt}"
+        # set by merge() while a schema-evolving rewrite is in flight;
+        # the lakehouse backends' commit paths consult it
+        self._pending_merge_schema = False
         os.makedirs(root, exist_ok=True)
 
     # -- paths ------------------------------------------------------------
@@ -296,6 +299,13 @@ class Warehouse:
         ids here when rowTracking is enabled)."""
         return self.read(name)
 
+    # True on backends whose metadata separates schema from files, so a
+    # PRUNED (partial) rewrite may carry a widened schema while untouched
+    # files keep the old one and read the new columns as NULL. The plain
+    # backend would leave mixed-schema parquet behind a schema-inferring
+    # reader — refuse there.
+    _evolves_partial_rewrites = False
+
     def merge(
         self,
         updates: DataFrame,
@@ -303,6 +313,7 @@ class Warehouse:
         keys: Sequence[str],
         *,
         prune_partition_col: str | None = None,
+        merge_schema: bool = False,
     ) -> None:
         """Upsert: matched target rows are replaced by update rows, unmatched
         update rows are inserted (ref MERGE, 04_silver_transformation.py:196-202).
@@ -318,44 +329,76 @@ class Warehouse:
         partition swap is atomic; a crash between swaps leaves a prefix
         updated, and re-running the same merge is a no-op for them
         (idempotent by keys).
+
+        A source carrying columns the table lacks REFUSES by default (the
+        alternative — ``.select(*target.columns)`` — would silently drop
+        them). ``merge_schema=True`` evolves instead (Delta
+        ``withSchemaEvolution``): the new columns enter the table schema
+        in the same commit, surviving target rows backfill NULL.
         """
         pcol = prune_partition_col
         if not self.exists(name):
             self.overwrite(updates, name, partition_by=[pcol] if pcol else ())
             return
-        if pcol is None:
-            target = self._merge_read_target(name)
-            kept = target.join(updates.select(*keys), on=list(keys), how="left_anti")
-            merged = kept.unionByName(updates.select(*target.columns))
-            self.overwrite(merged, name)
-            return
-
-        # compare partition values in string form: hive-style directory
-        # reads type-infer the partition column (e.g. "2025" → int), and a
-        # typed isin against differently-typed literals silently mismatches.
-        # NULL partition values map to hive's default-partition sentinel so
-        # isin / movers logic is null-safe (plain isin never matches NULL).
-        null_dir = "__HIVE_DEFAULT_PARTITION__"
-        pstr = F.coalesce(F.col(pcol).cast("string"), F.lit(null_dir))
-        touched = [r[0] for r in updates.select(pstr).distinct().collect()]
         target = self._merge_read_target(name)
-        # a key may have MOVED partitions (e.g. a revised event time crosses
-        # a year boundary): find update keys living in untouched partitions
-        # via a column-pruned scan of (pcol, keys) only — cheap on parquet —
-        # and pull those partitions into the rewrite so the old copy dies
-        movers = (
-            target.filter(~pstr.isin(touched))
-            .select(pstr.alias("__p"), *keys)
-            .join(updates.select(*keys), on=list(keys), how="inner")
-            .select("__p")
-            .distinct()
-            .collect()
-        )
-        touched = touched + [r[0] for r in movers]
-        pruned = target.filter(pstr.isin(touched))
-        kept = pruned.join(updates.select(*keys), on=list(keys), how="left_anti")
-        merged = kept.unionByName(updates.select(*target.columns))
-        self._rewrite_partitions(name, pcol, merged, touched)
+        new_cols = [c for c in updates.columns if c not in target.columns]
+        if new_cols and not merge_schema:
+            raise ValueError(
+                f"MERGE source carries columns {new_cols} the table "
+                f"{name!r} lacks — pass merge_schema=True to evolve "
+                "(new columns append, existing rows read NULL); refusing "
+                "to silently drop them"
+            )
+        if new_cols and pcol is not None and not self._evolves_partial_rewrites:
+            raise ValueError(
+                f"pruned MERGE with schema evolution ({new_cols}) on the "
+                "plain backend would leave mixed-schema parquet files — "
+                "use the delta/iceberg backend or merge without "
+                "prune_partition_col"
+            )
+        for c in new_cols:
+            target = target.withColumn(
+                c, F.lit(None).cast(updates.schema[c].dataType)
+            )
+        self._pending_merge_schema = bool(new_cols)
+        try:
+            if pcol is None:
+                kept = target.join(
+                    updates.select(*keys), on=list(keys), how="left_anti"
+                )
+                merged = kept.unionByName(updates.select(*target.columns))
+                self.overwrite(merged, name)
+                return
+
+            # compare partition values in string form: hive-style directory
+            # reads type-infer the partition column (e.g. "2025" → int), and a
+            # typed isin against differently-typed literals silently mismatches.
+            # NULL partition values map to hive's default-partition sentinel so
+            # isin / movers logic is null-safe (plain isin never matches NULL).
+            null_dir = "__HIVE_DEFAULT_PARTITION__"
+            pstr = F.coalesce(F.col(pcol).cast("string"), F.lit(null_dir))
+            touched = [r[0] for r in updates.select(pstr).distinct().collect()]
+            # a key may have MOVED partitions (e.g. a revised event time crosses
+            # a year boundary): find update keys living in untouched partitions
+            # via a column-pruned scan of (pcol, keys) only — cheap on parquet —
+            # and pull those partitions into the rewrite so the old copy dies
+            movers = (
+                target.filter(~pstr.isin(touched))
+                .select(pstr.alias("__p"), *keys)
+                .join(updates.select(*keys), on=list(keys), how="inner")
+                .select("__p")
+                .distinct()
+                .collect()
+            )
+            touched = touched + [r[0] for r in movers]
+            pruned = target.filter(pstr.isin(touched))
+            kept = pruned.join(
+                updates.select(*keys), on=list(keys), how="left_anti"
+            )
+            merged = kept.unionByName(updates.select(*target.columns))
+            self._rewrite_partitions(name, pcol, merged, touched)
+        finally:
+            self._pending_merge_schema = False
 
     def _rewrite_partitions(
         self, name: str, pcol: str, merged: DataFrame, touched: Sequence
@@ -453,6 +496,59 @@ class Warehouse:
         else:
             os.remove(self._constraints_file(name))
         return True
+
+    # ------------------------------------------------------------------
+    # column evolution (ALTER TABLE ADD/RENAME/DROP COLUMN)
+    #
+    # The plain parquet backend has no table metadata separating logical
+    # from physical column names — every file IS the schema. Any column
+    # change therefore means rewriting all data, which a metadata-shaped
+    # verb must never do silently; the lakehouse backends (Delta column
+    # mapping / Iceberg field ids) override these with metadata-only
+    # commits.
+
+    def _ddl_type(self, type_str: str):
+        """Parse a DDL type string (``bigint``, ``decimal(12,2)``,
+        ``array<string>``) into a Spark DataType via the engine's own
+        parser — the single source of type-name truth."""
+        from pyspark.sql.types import StructType as _St
+
+        return _St.fromDDL(f"__c {type_str}").fields[0].dataType
+
+    def add_column(self, name: str, column: str, type_str: str) -> None:
+        raise ValueError(
+            f"ADD COLUMN on {name!r}: the plain parquet backend stores "
+            "no table schema — adding a column would require rewriting "
+            "every file; use the delta/iceberg backend"
+        )
+
+    def rename_column(self, name: str, old: str, new: str) -> None:
+        raise ValueError(
+            f"RENAME COLUMN on {name!r}: files are keyed by column name "
+            "on the plain backend — a rename would require rewriting "
+            "every file; use the delta/iceberg backend"
+        )
+
+    def drop_column(self, name: str, column: str) -> None:
+        raise ValueError(
+            f"DROP COLUMN on {name!r}: the plain backend cannot drop a "
+            "column without rewriting every file (and a later same-name "
+            "re-add would resurrect old values); use the delta/iceberg "
+            "backend"
+        )
+
+    def enable_column_mapping(self, name: str) -> int:
+        raise ValueError(
+            f"column mapping on {name!r} is a delta-backend feature "
+            "(Iceberg renames are metadata-only already; plain parquet "
+            "has no table metadata to map through)"
+        )
+
+    def set_table_properties(self, name: str, props: dict[str, str]) -> None:
+        raise ValueError(
+            f"SET TBLPROPERTIES on {name!r}: the plain parquet backend "
+            "has no table metadata store; use the delta/iceberg backend"
+        )
 
     def _observe_constraints(self, df: DataFrame, name: str):
         """(observed df, observation, constraints) — or (df, None, None)

@@ -51,6 +51,8 @@ _NON_QUERY_TOKENS = {
     "split_valid",           # cleaning fn
     "symbols_after",         # bpe contract fn
     "prune_partition_col",   # maintenance fn
+    "enable_column_mapping",  # delta column-mapping upgrade (pytest-pinned)
+    "merge_schema",          # merge evolution kwarg (pytest-pinned)
     "rewrite_manifests",     # iceberg maintenance fn (pytest-pinned)
 }
 
