@@ -3884,22 +3884,27 @@ def alter_columns_delta_orders(
     ADD COLUMNs a ``note`` that every row must read as NULL. The oracle
     replays the whole evolution set-theoretically — a rename that loses
     values, a resurrected dropped column, or a backfill that isn't NULL
-    all hash-fail. Integer aggregates only."""
+    all hash-fail. The table is CREATED with an int32 ``o_orderkey`` and
+    WIDENED to long (typeWidening under column mapping) before the
+    merge, so the old int32 files' upcast is hash-checked too. Integer
+    aggregates only."""
     import tempfile
 
     from ..sources.deltawh import DeltaLogWarehouse
 
     orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderpriority"
+        F.col("o_orderkey").cast("int").alias("o_orderkey"),
+        "o_custkey", "o_orderpriority",
     )
     wh = DeltaLogWarehouse(spark, tempfile.mkdtemp(prefix="alterdelta-"))
     wh.overwrite(orders, "ord")
     wh.enable_column_mapping("ord")
     wh.rename_column("ord", "o_custkey", "cust_id")
+    wh.widen_column("ord", "o_orderkey", "bigint")
     updates = orders.filter(
         F.col("o_orderpriority") == "1-URGENT"
     ).select(
-        "o_orderkey",
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
         (F.col("o_custkey") + 1000000).alias("cust_id"),
         "o_orderpriority",
         F.lit(1).cast("long").alias("urgent_flag"),
@@ -3929,24 +3934,29 @@ def alter_columns_iceberg_orders(
     same-name re-add mints a FRESH id — so the original rows must read
     the re-added ``cust_id`` as NULL (a reader that resurrects the
     dropped values from the old files hash-fails), while an append
-    AFTER the alters carries real values under the new id. Integer
+    AFTER the alters carries real values under the new id. The table is
+    CREATED with an int32 ``o_orderkey`` and WIDENED to long before the
+    final sum — the old int32 files must upcast losslessly (the spec's
+    type promotion, sources/iceberg.py alter_widen_column). Integer
     aggregates only."""
     import tempfile
 
     from ..sources.icebergwh import IcebergWarehouse
 
     orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderpriority"
+        F.col("o_orderkey").cast("int").alias("o_orderkey"),
+        "o_custkey", "o_orderpriority",
     )
     wh = IcebergWarehouse(spark, tempfile.mkdtemp(prefix="altericeberg-"))
     wh.overwrite(orders, "ord")
     wh.rename_column("ord", "o_custkey", "cust_id")
     wh.drop_column("ord", "cust_id")
     wh.add_column("ord", "cust_id", "bigint")
+    wh.widen_column("ord", "o_orderkey", "bigint")
     extra = orders.filter(
         F.col("o_orderpriority") == "1-URGENT"
     ).select(
-        "o_orderkey",
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
         "o_orderpriority",
         F.col("o_custkey").alias("cust_id"),
     )

@@ -2015,9 +2015,8 @@ def commit_set_properties(
     names (rowTracking's materialized column names) under concurrent
     writers."""
     _FEATURE_OF_MIN_WRITER = {3: "checkConstraints", 4: "changeDataFeed"}
-    for _attempt in range(max_retries):
-        state = snapshot_state(table_path)
-        version = state["version"] + 1
+
+    def mutate(state):
         conf = dict(state["metadata"].get("configuration") or {})
         for k in unset_keys:
             conf.pop(k, None)
@@ -2027,19 +2026,9 @@ def commit_set_properties(
                 k: v for k, v in effective.items() if k not in conf
             }
             if not effective and not unset_keys:
-                return state["version"]  # another writer minted first
+                return None, []  # another writer minted first — no-op
         conf.update(effective)
-        actions: list[dict] = [{
-            "commitInfo": {
-                "timestamp": int(time.time() * 1000),
-                "operation": operation,
-                "operationParameters": {},
-                "engineInfo": "global-seismic-data-pipeline-spark-deltalog",
-            }
-        }]
-        ict = _ict_value(state)
-        if ict is not None:
-            actions[0]["commitInfo"]["inCommitTimestamp"] = ict
+        extra: list[dict] = []
         proto = dict(state["protocol"])
         cur_writer = int(proto.get("minWriterVersion", 2))
         if cur_writer >= 7:
@@ -2047,30 +2036,14 @@ def commit_set_properties(
             feats = set(proto.get("writerFeatures") or [])
             if feat and feat not in feats:
                 proto["writerFeatures"] = sorted(feats | {feat})
-                actions.append({"protocol": proto})
+                extra.append({"protocol": proto})
         elif min_writer > cur_writer:
             proto["minWriterVersion"] = min_writer
-            actions.append({"protocol": proto})
-        actions.append({"metaData": {
-            **state["metadata"], "configuration": conf,
-        }})
-        log = _log_dir(table_path)
-        final = os.path.join(log, f"{version:020d}.json")
-        tmp = os.path.join(log, f".{uuid.uuid4().hex}.json.tmp")
-        with open(tmp, "w") as fh:
-            for a in actions:
-                fh.write(json.dumps(a) + "\n")
-            fh.flush()
-            os.fsync(fh.fileno())
-        try:
-            os.link(tmp, final)
-        except FileExistsError:
-            os.remove(tmp)
-            continue
-        os.remove(tmp)
-        return version
-    raise DeltaConcurrentWriteError(
-        f"lost the commit race {max_retries} times on {table_path!r}"
+            extra.append({"protocol": proto})
+        return {**state["metadata"], "configuration": conf}, extra
+
+    return _commit_metadata_mutation(
+        table_path, mutate, operation=operation, max_retries=max_retries
     )
 
 
@@ -2135,8 +2108,13 @@ def _demand_references(metadata: Mapping, col: str) -> list[str]:
     other fields' generation expressions and invariants. A rename/drop
     of a referenced column would silently break enforcement for every
     later writer — the spec's clients refuse, and so do we."""
+    # matches the bare identifier AND the backtick-quoted form `col` —
+    # constraints written as "`mag` > 0" reference the column just the
+    # same, and missing them would wave through the exact rename/drop
+    # this guard exists to refuse
     pat = re.compile(
-        rf"(?<![A-Za-z0-9_`]){re.escape(col)}(?![A-Za-z0-9_])",
+        rf"`{re.escape(col)}`"
+        rf"|(?<![A-Za-z0-9_`]){re.escape(col)}(?![A-Za-z0-9_])",
         re.IGNORECASE,
     )
     hits = []
@@ -2347,6 +2325,110 @@ def alter_rename_column(
     return _commit_metadata_mutation(
         table_path, mutate,
         operation="RENAME COLUMN", op_params={"from": old, "to": new},
+        max_retries=max_retries,
+    )
+
+
+# spec typeWidening: the widenings whose narrow parquet files Spark's
+# scan upcasts natively (pinned by test_type_widening_reads) — anything
+# else would need a file rewrite and refuses
+_WIDENINGS: dict[str, set[str]] = {
+    "byte": {"short", "integer", "long", "double"},
+    "short": {"integer", "long", "double"},
+    "integer": {"long", "double"},
+    "float": {"double"},
+}
+
+
+def alter_widen_column(
+    table_path: str,
+    name: str,
+    data_type: "DataType",
+    *,
+    max_retries: int = 20,
+) -> int:
+    """ALTER TABLE ALTER COLUMN c TYPE <wider> — the typeWidening
+    feature: a metadata-only commit sets the WIDENED type in the
+    schemaString (readers upcast the old narrow files natively; this
+    repo's reader pins that for every supported widening), records the
+    spec's ``delta.typeChanges`` entry on the field, and raises the
+    protocol to table features (3,7) with typeWidening on both sides +
+    every feature the prior legacy protocol implied. Narrowing or
+    unsupported pairs refuse — those would need a full rewrite."""
+
+    def mutate(state):
+        meta = state["metadata"]
+        sch = json.loads(meta["schemaString"])
+        target = next(
+            (f for f in sch["fields"] if f["name"].lower() == name.lower()),
+            None,
+        )
+        if target is None:
+            raise ValueError(f"no such column {name!r}")
+        new_type = json.loads(
+            StructType([StructField(name, data_type, True)]).json()
+        )["fields"][0]["type"]
+        old_type = target["type"]
+        if old_type == new_type:
+            return None, []
+        if not (
+            isinstance(old_type, str)
+            and isinstance(new_type, str)
+            and new_type in _WIDENINGS.get(old_type, set())
+        ):
+            raise ValueError(
+                f"cannot widen {name!r}: {old_type!r} -> {new_type!r} is "
+                "not a supported widening (byte/short/int -> long or "
+                "double, float -> double); anything else needs a rewrite"
+            )
+        fields = []
+        for f in sch["fields"]:
+            if f["name"].lower() != name.lower():
+                fields.append(f)
+                continue
+            fmeta = dict(f.get("metadata") or {})
+            fmeta["delta.typeChanges"] = list(
+                fmeta.get("delta.typeChanges") or []
+            ) + [{
+                "fromType": old_type,
+                "toType": new_type,
+                "tableVersion": state["version"] + 1,
+            }]
+            fields.append({**f, "type": new_type, "metadata": fmeta})
+        extra = []
+        proto = dict(state["protocol"])
+        reader = int(proto.get("minReaderVersion", 1))
+        writer = int(proto.get("minWriterVersion", 2))
+        rfeats = set(proto.get("readerFeatures") or [])
+        wfeats = (
+            set(proto.get("writerFeatures") or [])
+            if writer >= 7
+            else _implied_writer_features(proto)
+        )
+        if (
+            reader < 3 or writer < 7
+            or "typeWidening" not in rfeats
+            or "typeWidening" not in wfeats
+        ):
+            # upgrading a legacy protocol to table features must carry
+            # everything the old version numbers implied (spec); legacy
+            # minReaderVersion 2 implied column mapping
+            if reader == 2:
+                rfeats |= {"columnMapping"}
+            extra.append({"protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": sorted(rfeats | {"typeWidening"}),
+                "writerFeatures": sorted(wfeats | {"typeWidening"}),
+            }})
+        return (
+            {**meta, "schemaString": json.dumps({**sch, "fields": fields})},
+            extra,
+        )
+
+    return _commit_metadata_mutation(
+        table_path, mutate,
+        operation="CHANGE COLUMN", op_params={"column": name},
         max_retries=max_retries,
     )
 

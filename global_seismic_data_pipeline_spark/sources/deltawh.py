@@ -164,9 +164,39 @@ class DeltaLogWarehouse(Warehouse):
     def drop_column(self, name: str, column: str) -> None:
         dl.alter_drop_column(self._require_table(name), column)
 
+    def widen_column(self, name: str, column: str, type_str: str) -> None:
+        dl.alter_widen_column(
+            self._require_table(name), column, self._ddl_type(type_str)
+        )
+
+    # properties that enable a TABLE FEATURE a legacy writer must not be
+    # able to ignore: CDF carries minWriterVersion 4 per spec (handled by
+    # commit_set_properties' protocol logic); the v7-feature flags need a
+    # writerFeatures entry this generic path doesn't mint — refuse them
+    # toward the dedicated enablement APIs instead of committing a
+    # protocol the flag silently undersells
+    _V7_FEATURE_PROPS = (
+        "delta.rowtracking.enabled",
+        "delta.enabledeletionvectors",
+        "delta.enableincommittimestamps",
+    )
+
     def set_table_properties(self, name: str, props: dict[str, str]) -> None:
+        min_writer = 2
+        for k, v in props.items():
+            enabled = str(v).lower() == "true"
+            if enabled and k.lower() == "delta.enablechangedatafeed":
+                min_writer = max(min_writer, 4)
+            if enabled and k.lower() in self._V7_FEATURE_PROPS:
+                raise ValueError(
+                    f"{k} enables a table-features (v7) writer feature — "
+                    "this generic property path cannot mint the matching "
+                    "writerFeatures entry; enable it through the "
+                    "feature's own API"
+                )
         dl.commit_set_properties(
             self._require_table(name), dict(props),
+            min_writer=min_writer,
             operation="SET TBLPROPERTIES",
         )
 
@@ -657,9 +687,11 @@ class DeltaLogWarehouse(Warehouse):
             if merge_schema:
                 # evolved columns show in POST/INSERT images with real
                 # values and in PRE images as NULL — the reader contract
-                # for rows that predate the evolution
+                # for rows that predate the evolution (case-insensitive,
+                # same rule as Warehouse.merge's drift detection)
+                tset = {c.lower() for c in target.columns}
                 for c in updates.columns:
-                    if c not in target.columns:
+                    if c.lower() not in tset:
                         target = target.withColumn(
                             c, F.lit(None).cast(updates.schema[c].dataType)
                         )

@@ -3509,6 +3509,56 @@ def alter_rename_column(
     return _publish_schema_change(spark, location, fields)
 
 
+_WIDENINGS: dict[str, set[str]] = {
+    # the spec's primitive type promotions — metadata-only because the
+    # parquet scan upcasts old narrow files natively
+    "int": {"long"},
+    "float": {"double"},
+}
+
+
+def alter_widen_column(
+    spark: SparkSession, location: str, name: str, data_type: T.DataType
+) -> dict:
+    """ALTER TABLE ALTER COLUMN c TYPE <wider> — the spec's type
+    promotion (int → long, float → double, decimal precision increase at
+    the same scale): the field keeps its id, only the type widens, old
+    files upcast at scan time. Anything else refuses — it would need a
+    rewrite."""
+    t = IcebergTable(spark, location)
+    fields = list(t.schema_json()["fields"])
+    target = next(
+        (f for f in fields if f["name"].lower() == name.lower()), None
+    )
+    if target is None:
+        raise IcebergError(f"no such column {name!r}")
+    new_type = _iceberg_type_of(data_type)
+    old_type = target["type"]
+    if old_type == new_type:
+        return dict(t.metadata)
+    dec = re.match(r"^decimal\((\d+),\s*(\d+)\)$", str(old_type))
+    dec_new = re.match(r"^decimal\((\d+),\s*(\d+)\)$", str(new_type))
+    ok = new_type in _WIDENINGS.get(str(old_type), set()) or (
+        dec and dec_new
+        and int(dec_new.group(1)) >= int(dec.group(1))
+        and dec_new.group(2) == dec.group(2)
+    )
+    if not ok:
+        raise IcebergError(
+            f"cannot widen {name!r}: {old_type!r} -> {new_type!r} is not "
+            "a spec type promotion (int->long, float->double, decimal "
+            "precision increase at the same scale)"
+        )
+    return _publish_schema_change(
+        spark, location,
+        [
+            {**f, "type": new_type} if f["name"].lower() == name.lower()
+            else f
+            for f in fields
+        ],
+    )
+
+
 def alter_drop_column(
     spark: SparkSession, location: str, name: str
 ) -> dict:

@@ -88,6 +88,12 @@ class IcebergWarehouse(Warehouse):
     def drop_column(self, name: str, column: str) -> None:
         ib.alter_drop_column(self.spark, self._require_table(name), column)
 
+    def widen_column(self, name: str, column: str, type_str: str) -> None:
+        ib.alter_widen_column(
+            self.spark, self._require_table(name), column,
+            self._ddl_type(type_str),
+        )
+
     def set_table_properties(self, name: str, props: dict[str, str]) -> None:
         ib.set_properties(self.spark, self._require_table(name), props)
 
@@ -199,8 +205,21 @@ class IcebergWarehouse(Warehouse):
                     # re-plan from the winner's snapshot
                     raise
                 # plain append/overwrite: re-plan against the winner,
-                # same staged files
-                base = self.table(name).metadata
+                # same staged files. The schema override must refresh
+                # too — re-publishing the pre-race schema would point
+                # current-schema-id back at it and silently revert a
+                # concurrent ALTER's column. A winner whose schema the
+                # batch no longer matches refuses (restage), same
+                # contract as the Delta mapping-fingerprint gate.
+                t2 = self.table(name)
+                base = t2.metadata
+                if self._pending_merge_schema:
+                    schema_json_override = ib._evolved_schema_json(
+                        t2, df.schema
+                    )
+                else:
+                    ib._check_schema(t2, df, operation)
+                    schema_json_override = t2.schema_json()
         raise ib.IcebergError(
             f"lost the publish race {max_retries} times on {loc!r}"
         )

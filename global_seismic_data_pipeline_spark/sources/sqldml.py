@@ -142,6 +142,7 @@ _ALTER_RE = re.compile(
     r"|ADD\s+COLUMNS?\s*\(?\s*(?P<acol>\w+)\s+(?P<atype>[\w()<>,\s]+)"
     r"|RENAME\s+COLUMN\s+(?P<rold>\w+)\s+TO\s+(?P<rnew>\w+)"
     r"|DROP\s+COLUMNS?\s*\(?\s*(?P<dcol>\w+)\s*\)?"
+    r"|ALTER\s+COLUMN\s+(?P<wcol>\w+)\s+TYPE\s+(?P<wtype>[\w()<>,\s]+)"
     r"|SET\s+TBLPROPERTIES\s*\(\s*(?P<props>.*?)\s*\))\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -425,13 +426,25 @@ class SqlDml:
         if m["acol"]:
             # greedy type capture swallows the wrapping paren of the
             # ADD COLUMNS (c type) form — strip it when unbalanced
-            atype = m["atype"].strip()
-            while atype.endswith(")") and atype.count(")") > atype.count("("):
-                atype = atype[:-1].rstrip()
-            self.wh.add_column(name, m["acol"], atype)
+            spec = f"{m['acol']} {m['atype'].strip()}"
+            while spec.endswith(")") and spec.count(")") > spec.count("("):
+                spec = spec[:-1].rstrip()
+            # ADD COLUMNS (a int, b string): every top-level comma part
+            # is one "name type" pair — adding only the first and
+            # dropping the rest with a success summary would be silent
+            # schema loss
+            added = []
+            for part in _split_top_level(spec):
+                cm = re.match(r"^\s*(\w+)\s+(.+?)\s*$", part)
+                if not cm:
+                    raise ValueError(
+                        f"unsupported ADD COLUMN entry: {part!r}"
+                    )
+                self.wh.add_column(name, cm.group(1), cm.group(2))
+                added.append(cm.group(1))
             return self._summary(
                 statement="ALTER", table=name,
-                column=m["acol"], action="added",
+                column=",".join(added), action="added",
             )
         if m["rold"]:
             self.wh.rename_column(name, m["rold"], m["rnew"])
@@ -444,6 +457,12 @@ class SqlDml:
             return self._summary(
                 statement="ALTER", table=name,
                 column=m["dcol"], action="dropped",
+            )
+        if m["wcol"]:
+            self.wh.widen_column(name, m["wcol"], m["wtype"].strip())
+            return self._summary(
+                statement="ALTER", table=name,
+                column=m["wcol"], action="widened",
             )
         if m["props"] is not None:
             return self._set_tblproperties(name, m["props"])
@@ -481,7 +500,24 @@ class SqlDml:
             )
             if not pm:
                 raise ValueError(f"unsupported TBLPROPERTIES entry: {part!r}")
-            pairs[pm.group(1)] = pm.group(2)
+            k, v = pm.group(1), pm.group(2)
+            if k.lower() == "delta.columnmapping.mode":
+                # only the 'name' UPGRADE is routed above; committing any
+                # other mode string as a bare property would flip the
+                # resolution contract without touching physicalName/ids
+                # — every column reads NULL afterwards
+                raise ValueError(
+                    f"cannot set {k}={v!r} as a bare property: only the "
+                    "'name' upgrade is supported, and mode changes after "
+                    "creation are unsupported (spec)"
+                )
+            if k.lower().startswith("delta.constraints."):
+                raise ValueError(
+                    f"cannot inject {k} via SET TBLPROPERTIES — use "
+                    "ALTER TABLE ADD CONSTRAINT, which validates "
+                    "existing rows and raises the writer protocol"
+                )
+            pairs[k] = v
         if mapping_upgrade:
             self.wh.enable_column_mapping(name)
         if pairs:

@@ -341,7 +341,13 @@ class Warehouse:
             self.overwrite(updates, name, partition_by=[pcol] if pcol else ())
             return
         target = self._merge_read_target(name)
-        new_cols = [c for c in updates.columns if c not in target.columns]
+        # case-INSENSITIVE drift detection: Spark resolves column
+        # references case-insensitively, so 'Depth_KM' vs table
+        # 'depth_km' is the same column — treating it as new would
+        # refuse falsely (or, evolving, mint a case-duplicate field
+        # that makes every later read ambiguous)
+        tset = {c.lower() for c in target.columns}
+        new_cols = [c for c in updates.columns if c.lower() not in tset]
         if new_cols and not merge_schema:
             raise ValueError(
                 f"MERGE source carries columns {new_cols} the table "
@@ -510,10 +516,18 @@ class Warehouse:
     def _ddl_type(self, type_str: str):
         """Parse a DDL type string (``bigint``, ``decimal(12,2)``,
         ``array<string>``) into a Spark DataType via the engine's own
-        parser — the single source of type-name truth."""
+        parser — the single source of type-name truth. Refuses a string
+        that parses as MORE than one field ("int, b string") — taking
+        field[0] would silently drop the rest."""
         from pyspark.sql.types import StructType as _St
 
-        return _St.fromDDL(f"__c {type_str}").fields[0].dataType
+        st = _St.fromDDL(f"__c {type_str}")
+        if len(st.fields) != 1:
+            raise ValueError(
+                f"expected ONE column type, got {type_str!r} (parses as "
+                f"{len(st.fields)} fields)"
+            )
+        return st.fields[0].dataType
 
     def add_column(self, name: str, column: str, type_str: str) -> None:
         raise ValueError(
@@ -535,6 +549,13 @@ class Warehouse:
             "column without rewriting every file (and a later same-name "
             "re-add would resurrect old values); use the delta/iceberg "
             "backend"
+        )
+
+    def widen_column(self, name: str, column: str, type_str: str) -> None:
+        raise ValueError(
+            f"ALTER COLUMN TYPE on {name!r}: the plain parquet backend "
+            "stores no table schema to widen against — use the "
+            "delta/iceberg backend"
         )
 
     def enable_column_mapping(self, name: str) -> int:

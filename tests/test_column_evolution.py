@@ -498,6 +498,174 @@ def test_facade_merge_with_schema_evolution(spark, tmp_path):
         == {"e1": 30.0, "e2": None}
 
 
+# ----------------------------------------------- ALTER COLUMN TYPE
+
+
+def _narrow_df(spark):
+    return spark.createDataFrame(
+        [("e1", 5, 1.5), ("e2", 6, 2.5)],
+        "event_id string, depth int, ratio float",
+    )
+
+
+def test_delta_widen_column_reads_old_files(spark, tmp_path):
+    wh = DeltaLogWarehouse(spark, str(tmp_path / "wh"))
+    wh.overwrite(_narrow_df(spark), "t")
+    wh.widen_column("t", "depth", "bigint")
+    wh.widen_column("t", "ratio", "double")
+    out = wh.read("t")
+    assert dict(out.dtypes)["depth"] == "bigint"
+    assert dict(out.dtypes)["ratio"] == "double"
+    # old int32/float32 files upcast natively
+    assert {r.event_id: (r.depth, r.ratio) for r in out.collect()} == {
+        "e1": (5, 1.5), "e2": (6, 2.5),
+    }
+    st = dl.snapshot_state(wh.path("t"))
+    proto = st["protocol"]
+    assert proto["minReaderVersion"] == 3
+    assert "typeWidening" in proto["readerFeatures"]
+    assert "typeWidening" in proto["writerFeatures"]
+    fields = json.loads(st["metadata"]["schemaString"])["fields"]
+    depth = next(f for f in fields if f["name"] == "depth")
+    assert depth["metadata"]["delta.typeChanges"][0]["fromType"] == "integer"
+    assert depth["metadata"]["delta.typeChanges"][0]["toType"] == "long"
+    # appends with the widened type work; narrowing refuses
+    wh.append(
+        spark.createDataFrame(
+            [("e3", 7, 3.5)], "event_id string, depth long, ratio double"
+        ),
+        "t",
+    )
+    assert wh.read("t").count() == 3
+    with pytest.raises(ValueError, match="not a supported widening"):
+        wh.widen_column("t", "depth", "int")
+    with pytest.raises(ValueError, match="not a supported widening"):
+        wh.widen_column("t", "event_id", "long")
+
+
+def test_iceberg_widen_column_keeps_id_and_reads(spark, tmp_path):
+    wh = IcebergWarehouse(spark, str(tmp_path / "iwh"))
+    wh.overwrite(_narrow_df(spark), "t")
+    wh.widen_column("t", "depth", "bigint")
+    wh.widen_column("t", "ratio", "double")
+    sch = wh.table("t").schema_json()
+    assert [(f["name"], f["id"], f["type"]) for f in sch["fields"]] == [
+        ("event_id", 1, "string"), ("depth", 2, "long"),
+        ("ratio", 3, "double"),
+    ]
+    out = wh.read("t")
+    assert {r.event_id: (r.depth, r.ratio) for r in out.collect()} == {
+        "e1": (5, 1.5), "e2": (6, 2.5),
+    }
+    with pytest.raises(ib.IcebergError, match="type promotion"):
+        wh.widen_column("t", "depth", "int")
+    with pytest.raises(ib.IcebergError, match="type promotion"):
+        wh.widen_column("t", "event_id", "long")
+
+
+def test_facade_alter_column_type(spark, tmp_path):
+    wh = DeltaLogWarehouse(spark, str(tmp_path / "wh"))
+    engine = SqlDml(wh)
+    wh.overwrite(_narrow_df(spark), "t")
+    engine.sql("ALTER TABLE t ALTER COLUMN depth TYPE bigint")
+    assert dict(wh.read("t").dtypes)["depth"] == "bigint"
+    wh2 = Warehouse(spark, str(tmp_path / "plain"))
+    SqlDml(wh2)  # smoke: constructor
+    wh2.overwrite(_narrow_df(spark), "t")
+    with pytest.raises(ValueError, match="no table schema"):
+        SqlDml(wh2).sql("ALTER TABLE t ALTER COLUMN depth TYPE bigint")
+
+
+# -------------------------------------------- review-pass regressions
+
+
+def test_facade_add_columns_multi(spark, tmp_path):
+    """ADD COLUMNS (a int, b string) adds BOTH — adding only the first
+    with a success summary would be silent schema loss."""
+    wh = DeltaLogWarehouse(spark, str(tmp_path / "wh"))
+    engine = SqlDml(wh)
+    wh.overwrite(_df(spark), "t")
+    engine.sql("ALTER TABLE t ADD COLUMNS (depth_km double, region string)")
+    assert {"depth_km", "region"} <= set(wh.read("t").columns)
+
+
+def test_ddl_type_refuses_multi_field_spec(spark, tmp_path):
+    wh = DeltaLogWarehouse(spark, str(tmp_path / "wh"))
+    with pytest.raises(ValueError, match="ONE column type"):
+        wh._ddl_type("int, b string")
+
+
+def test_facade_refuses_bare_mapping_mode_and_constraint_props(
+    spark, tmp_path
+):
+    wh = DeltaLogWarehouse(spark, str(tmp_path / "wh"))
+    engine = SqlDml(wh)
+    wh.overwrite(_df(spark), "t")
+    # any mode other than the 'name' upgrade would flip the resolution
+    # contract without assigning physicalName/ids
+    with pytest.raises(ValueError, match="bare property"):
+        engine.sql(
+            "ALTER TABLE t SET TBLPROPERTIES "
+            "('delta.columnMapping.mode' = 'id')"
+        )
+    wh.enable_column_mapping("t")
+    with pytest.raises(ValueError, match="bare property"):
+        engine.sql(
+            "ALTER TABLE t SET TBLPROPERTIES "
+            "('delta.columnMapping.mode' = 'none')"
+        )
+    with pytest.raises(ValueError, match="ADD CONSTRAINT"):
+        engine.sql(
+            "ALTER TABLE t SET TBLPROPERTIES "
+            "('delta.constraints.c1' = 'mag > 100')"
+        )
+
+
+def test_facade_cdf_property_bumps_writer_protocol(spark, tmp_path):
+    wh = DeltaLogWarehouse(spark, str(tmp_path / "wh"))
+    engine = SqlDml(wh)
+    wh.overwrite(_df(spark), "t")
+    engine.sql(
+        "ALTER TABLE t SET TBLPROPERTIES "
+        "('delta.enableChangeDataFeed' = 'true')"
+    )
+    st = dl.snapshot_state(wh.path("t"))
+    assert st["protocol"]["minWriterVersion"] >= 4
+    with pytest.raises(ValueError, match="writer feature"):
+        engine.sql(
+            "ALTER TABLE t SET TBLPROPERTIES "
+            "('delta.rowTracking.enabled' = 'true')"
+        )
+
+
+def test_merge_case_variant_source_is_not_drift(spark, tmp_path):
+    """Spark resolves columns case-insensitively: 'Mag' IS the table's
+    'mag' — it must neither refuse nor mint a case-duplicate field."""
+    for cls in (Warehouse, DeltaLogWarehouse, IcebergWarehouse):
+        wh = cls(spark, str(tmp_path / ("cv" + cls.__name__)))
+        wh.overwrite(_df(spark), "t")
+        upd = spark.createDataFrame(
+            [("e1", 9.0, "tokyo")],
+            "event_id string, Mag double, place string",
+        )
+        wh.merge(upd, "t", ["event_id"])  # no refusal
+        cols = wh.read("t").columns
+        assert len([c for c in cols if c.lower() == "mag"]) == 1
+        assert {r.event_id: r.mag for r in wh.read("t").collect()} \
+            == {"e1": 9.0, "e2": 6.5}
+
+
+def test_backtick_quoted_constraint_blocks_rename(spark, tmp_path):
+    wh = DeltaLogWarehouse(spark, str(tmp_path / "wh"))
+    wh.overwrite(_df(spark), "t")
+    wh.enable_column_mapping("t")
+    wh.add_constraint("t", "mag_pos", "`mag` > 0")
+    with pytest.raises(ValueError, match="referenced by"):
+        wh.rename_column("t", "mag", "magnitude")
+    with pytest.raises(ValueError, match="referenced by"):
+        wh.drop_column("t", "mag")
+
+
 def test_plain_backend_refuses_column_evolution(spark, tmp_path):
     wh = Warehouse(spark, str(tmp_path / "wh"))
     engine = SqlDml(wh)
