@@ -1168,6 +1168,7 @@ def _to_physical_df(
     df: DataFrame,
     metadata: Mapping,
     new_field_meta: Mapping[str, Mapping] | None = None,
+    passthrough_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Rename a logical-schema batch to the table's PHYSICAL column
     names for staging into a column-mapping table. 'id' mode also
@@ -1186,7 +1187,10 @@ def _to_physical_df(
     table_fields = json.loads(metadata["schemaString"])["fields"]
     by_name = {f["name"]: f for f in table_fields}
     new_field_meta = new_field_meta or {}
-    batch_names = [f.name for f in df.schema.fields]
+    passthrough = set(passthrough_cols)
+    batch_names = [
+        f.name for f in df.schema.fields if f.name not in passthrough
+    ]
     unknown = [
         n for n in batch_names if n not in by_name and n not in new_field_meta
     ]
@@ -1207,6 +1211,11 @@ def _to_physical_df(
     cols = []
     for bf in df.schema.fields:
         name = bf.name
+        if name in passthrough:
+            # CDF's _change_type and friends sit OUTSIDE column mapping
+            # (spec) — they ride unmapped beside the physical columns
+            cols.append(F.col(name))
+            continue
         if name in by_name:
             tf = by_name[name]
         else:
@@ -2989,15 +2998,18 @@ def stage_cdc_files(
     full spec: the files carry every table column inline (including
     partition columns) with ``partitionValues`` left empty; the reader
     (:func:`table_changes_from_log`) honors BOTH that shape and the
-    partition-stripped foreign shape. Column-mapping tables refuse
-    (their change files would need physical-name layout)."""
+    partition-stripped foreign shape. Column-mapping tables write the
+    change files under PHYSICAL column names (spec, same as data
+    files); the CDF columns themselves sit outside the mapping."""
     import shutil
 
     state = snapshot_state(table_path)
     if _mapping_mode(state["metadata"]) != "none":
-        raise DeltaProtocolError(
-            "CDF change-file writes on column-mapping tables are not "
-            "supported by this writer (physical-name change layout)"
+        cdf_cols = [
+            c for c in change_df.columns if c.startswith("_change_")
+        ]
+        change_df = _to_physical_df(
+            change_df, state["metadata"], passthrough_cols=cdf_cols
         )
     staging = os.path.join(
         table_path, f".cdc-staging-{uuid.uuid4().hex}"

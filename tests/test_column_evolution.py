@@ -576,6 +576,60 @@ def test_facade_alter_column_type(spark, tmp_path):
         SqlDml(wh2).sql("ALTER TABLE t ALTER COLUMN depth TYPE bigint")
 
 
+def test_delta_compaction_after_rename_and_widen(spark, tmp_path):
+    """Maintenance interplay: OPTIMIZE reads victims through the full
+    scan path, so a compaction AFTER a rename + widen must carry the
+    renamed logical column and the upcast values — not resurrect the
+    old name or the narrow type."""
+    wh = DeltaLogWarehouse(spark, str(tmp_path / "wh"))
+    wh.overwrite(
+        spark.createDataFrame(
+            [("e1", 5), ("e2", 6)], "event_id string, depth int"
+        ),
+        "t",
+    )
+    wh.enable_column_mapping("t")
+    wh.rename_column("t", "depth", "depth_km")
+    wh.widen_column("t", "depth_km", "bigint")
+    wh.append(
+        spark.createDataFrame([("e3", 7)], "event_id string, depth_km long"),
+        "t",
+    )
+    out = wh.optimize_small_files("t", small_file_mb=512.0)
+    assert out["files_rewritten"] >= 2
+    got = wh.read("t")
+    assert dict(got.dtypes)["depth_km"] == "bigint"
+    assert {r.event_id: r.depth_km for r in got.collect()} \
+        == {"e1": 5, "e2": 6, "e3": 7}
+
+
+def test_cdf_merge_on_mapped_table_after_rename(spark, tmp_path):
+    """CDF change files on a column-mapping table stage under PHYSICAL
+    column names (spec) and read back logical — a MERGE on a mapped +
+    CDF-enabled table publishes its change set like any other table,
+    including after a rename."""
+    wh = DeltaLogWarehouse(spark, str(tmp_path / "wh"))
+    wh.overwrite(_df(spark), "t")
+    wh.enable_column_mapping("t")
+    dl.commit_set_properties(
+        wh.path("t"), {"delta.enableChangeDataFeed": "true"}, min_writer=4
+    )
+    wh.rename_column("t", "mag", "magnitude")
+    upd = spark.createDataFrame(
+        [("e1", 9.0, "tokyo"), ("e3", 4.0, "kobe")],
+        "event_id string, magnitude double, place string",
+    )
+    wh.merge(upd, "t", ["event_id"])
+    v = dl.snapshot_state(wh.path("t"))["version"]
+    ch = wh.table_changes("t", v)
+    rows = {
+        (r._change_type, r.event_id): r.magnitude for r in ch.collect()
+    }
+    assert rows[("update_preimage", "e1")] == 5.0
+    assert rows[("update_postimage", "e1")] == 9.0
+    assert rows[("insert", "e3")] == 4.0
+
+
 # -------------------------------------------- review-pass regressions
 
 
