@@ -2339,8 +2339,9 @@ def alter_rename_column(
 
 
 # spec typeWidening: the widenings whose narrow parquet files Spark's
-# scan upcasts natively (pinned by test_type_widening_reads) — anything
-# else would need a file rewrite and refuses
+# scan upcasts natively (every pair pinned by
+# test_every_supported_widening_upcasts_in_scan) — anything else would
+# need a file rewrite and refuses
 _WIDENINGS: dict[str, set[str]] = {
     "byte": {"short", "integer", "long", "double"},
     "short": {"integer", "long", "double"},
@@ -2989,7 +2990,10 @@ def vacuum_delta(table_path: str, *, retain_hours: float = 168.0) -> list[str]:
 # --------------------------------------------------- change data feed
 
 def stage_cdc_files(
-    spark: SparkSession, table_path: str, change_df: DataFrame
+    spark: SparkSession,
+    table_path: str,
+    change_df: DataFrame,
+    new_field_meta: Mapping[str, Mapping] | None = None,
 ) -> list[dict]:
     """Write change rows (table columns + ``_change_type``) as parquet
     under ``_change_data/`` and return the spec's cdc action dicts for
@@ -3008,8 +3012,13 @@ def stage_cdc_files(
         cdf_cols = [
             c for c in change_df.columns if c.startswith("_change_")
         ]
+        # new_field_meta: a schema-EVOLVING rewrite's change rows carry
+        # the evolved column before it enters the metadata — its minted
+        # physicalName/id (from the data-file staging) maps it here so
+        # the change files agree with the data files
         change_df = _to_physical_df(
-            change_df, state["metadata"], passthrough_cols=cdf_cols
+            change_df, state["metadata"], new_field_meta,
+            passthrough_cols=cdf_cols,
         )
     staging = os.path.join(
         table_path, f".cdc-staging-{uuid.uuid4().hex}"
@@ -3148,15 +3157,14 @@ def table_changes_from_log(
             id_read_schema = None
             if mode == "id":
                 # id-mode resolution needs the declared physical data
-                # schema (field ids ride its metadata)
+                # schema (field ids ride its metadata). Partition
+                # columns are DECLARED too: our own change files carry
+                # them inline (partitionValues empty) — excluding them
+                # would read every partition column as NULL; foreign
+                # partition-stripped files read the declared column as
+                # NULL and the pv coalesce below re-attaches the value
                 id_read_schema = StructType(
-                    [
-                        pf
-                        for lf, pf in zip(
-                            schema.fields, phys_schema.fields
-                        )
-                        if lf.name not in pcols
-                    ]
+                    list(phys_schema.fields)
                     + [StructField("_change_type", StringType(), True)]
                 )
             for pv_items, paths in sorted(
@@ -3170,7 +3178,17 @@ def table_changes_from_log(
                 cols = []
                 for lf, pf in zip(schema.fields, phys_schema.fields):
                     src = pf.name if mode != "none" else lf.name
-                    if src in df.columns:
+                    if src in df.columns and src in pv:
+                        # declared-schema read (id mode): a stripped
+                        # foreign file serves NULL for the declared
+                        # partition column — the action's value fills it
+                        cols.append(
+                            F.coalesce(
+                                F.col(src).cast(lf.dataType),
+                                F.lit(pv[src]).cast(lf.dataType),
+                            ).alias(lf.name)
+                        )
+                    elif src in df.columns:
                         cols.append(
                             F.col(src).cast(lf.dataType).alias(lf.name)
                         )

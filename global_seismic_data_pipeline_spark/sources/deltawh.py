@@ -864,9 +864,12 @@ class DeltaLogWarehouse(Warehouse):
         cdc_actions = None
         if self._pending_cdc_df is not None:
             # materialized NOW, against the PRE-commit snapshot (the
-            # pending plan pinned its file list when it was built)
+            # pending plan pinned its file list when it was built); a
+            # schema-evolving rewrite's minted mapping identities ride
+            # along so the change files match the staged data files
             cdc_actions = dl.stage_cdc_files(
-                self.spark, self.path(name), self._pending_cdc_df
+                self.spark, self.path(name), self._pending_cdc_df,
+                staged.get("mapping_new_fields"),
             )
         dl.commit_write(
             self.spark, self.path(name), staged,

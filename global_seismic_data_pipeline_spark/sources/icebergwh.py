@@ -220,6 +220,29 @@ class IcebergWarehouse(Warehouse):
                 else:
                     ib._check_schema(t2, df, operation)
                     schema_json_override = t2.schema_json()
+                # id-drift gate: the staged parquet files were STAMPED
+                # with the pre-race field ids — if the winner's commit
+                # (a drop+re-add, or a racing evolution that took "our"
+                # next id) changed any staged column's id, publishing
+                # would bind the files' ids to the WRONG columns
+                # (silent data corruption under id resolution). Refuse
+                # and make the caller restage.
+                new_ids = {
+                    f["name"]: f["id"]
+                    for f in schema_json_override["fields"]
+                }
+                drifted = {
+                    n: (i, new_ids.get(n))
+                    for n, i in field_ids.items()
+                    if new_ids.get(n) != i
+                }
+                if drifted:
+                    raise ib.IcebergError(
+                        f"field ids changed between staging and publish "
+                        f"({drifted}) — the staged files' parquet field "
+                        "ids no longer match the table; restage the "
+                        "write"
+                    )
         raise ib.IcebergError(
             f"lost the publish race {max_retries} times on {loc!r}"
         )

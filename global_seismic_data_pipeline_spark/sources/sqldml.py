@@ -258,6 +258,29 @@ def _mask_match(regex: re.Pattern, text: str) -> dict[str, str | None] | None:
     return out
 
 
+def _split_column_specs(text: str) -> list[str]:
+    """Split an ADD COLUMNS spec list on commas OUTSIDE parentheses AND
+    angle brackets — ``tags map<string, int>`` is ONE entry. A dedicated
+    splitter (not ``_split_top_level``): generic SQL fragments use ``<``
+    as a comparison operator, so angle-depth tracking is only sound
+    where the grammar guarantees type syntax."""
+    parts, depth, cur = [], 0, []
+    for ch in text:
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        parts.append(tail)
+    return parts
+
+
 def _split_top_level(text: str, sep: str = ",") -> list[str]:
     """Split on ``sep`` outside parentheses and single-quoted strings
     (backslash-escape-aware, same string lexing as ``_mask_literals``)."""
@@ -432,19 +455,30 @@ class SqlDml:
             # ADD COLUMNS (a int, b string): every top-level comma part
             # is one "name type" pair — adding only the first and
             # dropping the rest with a success summary would be silent
-            # schema loss
-            added = []
-            for part in _split_top_level(spec):
+            # schema loss. All entries PRE-validate (type parses, no
+            # collision, no within-statement duplicate) before the
+            # first commit, so a bad later entry cannot leave the
+            # statement half-applied.
+            entries = []
+            for part in _split_column_specs(spec):
                 cm = re.match(r"^\s*(\w+)\s+(.+?)\s*$", part)
                 if not cm:
                     raise ValueError(
                         f"unsupported ADD COLUMN entry: {part!r}"
                     )
-                self.wh.add_column(name, cm.group(1), cm.group(2))
-                added.append(cm.group(1))
+                entries.append((cm.group(1), cm.group(2)))
+            existing = {c.lower() for c in self.wh.read(name).columns}
+            seen: set[str] = set()
+            for cname, ctype in entries:
+                self.wh._ddl_type(ctype)  # parse gate before any commit
+                if cname.lower() in existing or cname.lower() in seen:
+                    raise ValueError(f"column {cname!r} already exists")
+                seen.add(cname.lower())
+            for cname, ctype in entries:
+                self.wh.add_column(name, cname, ctype)
             return self._summary(
                 statement="ALTER", table=name,
-                column=",".join(added), action="added",
+                column=",".join(n for n, _ in entries), action="added",
             )
         if m["rold"]:
             self.wh.rename_column(name, m["rold"], m["rnew"])

@@ -563,6 +563,44 @@ def test_iceberg_widen_column_keeps_id_and_reads(spark, tmp_path):
         wh.widen_column("t", "event_id", "long")
 
 
+def test_every_supported_widening_upcasts_in_scan(spark, tmp_path):
+    """The _WIDENINGS tables promise each pair is metadata-only because
+    Spark's parquet scan upcasts the narrow files natively — pin that
+    for EVERY allowed pair, not just int->long/float->double (a Spark
+    regression here would turn an already-committed widen into unread
+    old files)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from global_seismic_data_pipeline_spark.sources.deltalog import (
+        _WIDENINGS,
+    )
+
+    arrow_of = {
+        "byte": pa.int8(), "short": pa.int16(), "integer": pa.int32(),
+        "float": pa.float32(),
+    }
+    ddl_of = {
+        "byte": "tinyint", "short": "smallint", "integer": "int",
+        "long": "bigint", "float": "float", "double": "double",
+    }
+    pairs = [
+        (narrow, wide)
+        for narrow, wides in _WIDENINGS.items()
+        for wide in sorted(wides)
+    ]
+    assert len(pairs) == 10  # the full allowed matrix stays pinned
+    for i, (narrow, wide) in enumerate(pairs):
+        f = str(tmp_path / f"w{i}.parquet")
+        pq.write_table(
+            pa.table({"v": pa.array([1, 2], arrow_of[narrow])}), f
+        )
+        got = (
+            spark.read.schema(f"v {ddl_of[wide]}").parquet(f).collect()
+        )
+        assert [r.v for r in got] == [1, 2], (narrow, wide)
+
+
 def test_facade_alter_column_type(spark, tmp_path):
     wh = DeltaLogWarehouse(spark, str(tmp_path / "wh"))
     engine = SqlDml(wh)
@@ -630,17 +668,54 @@ def test_cdf_merge_on_mapped_table_after_rename(spark, tmp_path):
     assert rows[("insert", "e3")] == 4.0
 
 
+def test_merge_schema_evolution_on_mapped_cdf_table(spark, tmp_path):
+    """The combination: column-mapping + CDF + schema-evolving MERGE.
+    The evolved column's minted physicalName/id must reach the CDC
+    staging too, or the merge crashes mid-flight; the feed serves the
+    new column logically with NULL preimages."""
+    wh = DeltaLogWarehouse(spark, str(tmp_path / "wh"))
+    wh.overwrite(_df(spark), "t")
+    wh.enable_column_mapping("t")
+    dl.commit_set_properties(
+        wh.path("t"), {"delta.enableChangeDataFeed": "true"}, min_writer=4
+    )
+    upd = spark.createDataFrame(
+        [("e1", 9.0, "tokyo", 30.0), ("e3", 4.0, "kobe", 12.0)],
+        "event_id string, mag double, place string, depth_km double",
+    )
+    wh.merge(upd, "t", ["event_id"], merge_schema=True)
+    got = {r.event_id: r.depth_km for r in wh.read("t").collect()}
+    assert got == {"e1": 30.0, "e2": None, "e3": 12.0}
+    v = dl.snapshot_state(wh.path("t"))["version"]
+    ch = wh.table_changes("t", v)
+    rows = {
+        (r._change_type, r.event_id): r.depth_km for r in ch.collect()
+    }
+    assert rows[("update_preimage", "e1")] is None
+    assert rows[("update_postimage", "e1")] == 30.0
+    assert rows[("insert", "e3")] == 12.0
+
+
 # -------------------------------------------- review-pass regressions
 
 
 def test_facade_add_columns_multi(spark, tmp_path):
     """ADD COLUMNS (a int, b string) adds BOTH — adding only the first
-    with a success summary would be silent schema loss."""
+    with a success summary would be silent schema loss. Commas inside
+    angle-bracket generics are TYPE syntax, not separators; a bad later
+    entry pre-validates so nothing half-applies."""
     wh = DeltaLogWarehouse(spark, str(tmp_path / "wh"))
     engine = SqlDml(wh)
     wh.overwrite(_df(spark), "t")
     engine.sql("ALTER TABLE t ADD COLUMNS (depth_km double, region string)")
     assert {"depth_km", "region"} <= set(wh.read("t").columns)
+    engine.sql("ALTER TABLE t ADD COLUMN tags map<string, int>")
+    assert dict(wh.read("t").dtypes)["tags"] == "map<string,int>"
+    # a later-entry collision refuses BEFORE the first entry commits
+    before = set(wh.read("t").columns)
+    with pytest.raises(ValueError, match="already exists"):
+        engine.sql("ALTER TABLE t ADD COLUMNS (brand_new int, mag double)")
+    assert set(wh.read("t").columns) == before  # nothing half-applied
 
 
 def test_ddl_type_refuses_multi_field_spec(spark, tmp_path):
