@@ -2226,48 +2226,63 @@ def enable_column_mapping(table_path: str, *, max_retries: int = 20) -> int:
     )
 
 
-def alter_add_column(
+def alter_add_columns(
     table_path: str,
-    name: str,
-    data_type: "DataType",
+    entries: "Sequence[tuple[str, DataType, str | None]]",
     *,
-    comment: str | None = None,
     max_retries: int = 20,
 ) -> int:
-    """ALTER TABLE ADD COLUMN — metadata-only commit appending one
-    nullable top-level field; existing files read it as NULL (the same
-    reader contract merge_schema appends rely on). Works on mapped and
-    unmapped tables: mapped ones mint a fresh id + ``col-<uuid>``
-    physical name and advance ``maxColumnId`` so a later rename/drop of
-    the new column stays safe."""
+    """ALTER TABLE ADD COLUMNS — ONE metadata-only commit appending all
+    requested nullable top-level fields; existing files read them as
+    NULL (the same reader contract merge_schema appends rely on). The
+    whole entry list commits atomically: a collision or a lost race
+    refuses the statement as a unit, so a multi-column ALTER can never
+    half-apply. Works on mapped and unmapped tables: mapped ones mint a
+    fresh id + ``col-<uuid>`` physical name per field and advance
+    ``maxColumnId`` so a later rename/drop of the new columns stays
+    safe. ``entries`` is a sequence of (name, data_type, comment)."""
+    if not entries:
+        raise ValueError("ADD COLUMNS needs at least one column")
 
     def mutate(state):
         meta = state["metadata"]
         sch = json.loads(meta["schemaString"])
-        if any(f["name"].lower() == name.lower() for f in sch["fields"]):
-            raise ValueError(f"column {name!r} already exists")
-        fj = {
-            "name": name,
-            "type": json.loads(
-                StructType([StructField(name, data_type, True)]).json()
-            )["fields"][0]["type"],
-            "nullable": True,
-            "metadata": {"comment": comment} if comment else {},
-        }
+        existing = {f["name"].lower() for f in sch["fields"]}
+        seen: set[str] = set()
+        for cname, _, _ in entries:
+            if cname.lower() in existing or cname.lower() in seen:
+                raise ValueError(f"column {cname!r} already exists")
+            seen.add(cname.lower())
+        new_struct = StructType(
+            [StructField(n, dt, True) for n, dt, _ in entries]
+        )
+        gens = (
+            _new_mapping_fields(meta, new_struct)
+            if _mapping_mode(meta) != "none"
+            else {}
+        )
+        type_json = json.loads(new_struct.json())["fields"]
+        fjs = []
+        for (cname, _, comment), tj in zip(entries, type_json):
+            fj = {
+                "name": cname,
+                "type": tj["type"],
+                "nullable": True,
+                "metadata": {"comment": comment} if comment else {},
+            }
+            if cname in gens:
+                fj["metadata"] = {**fj["metadata"], **gens[cname]}
+            fjs.append(fj)
         conf = dict(meta.get("configuration") or {})
-        if _mapping_mode(meta) != "none":
-            gen = _new_mapping_fields(
-                meta, StructType([StructField(name, data_type, True)])
-            )[name]
-            fj["metadata"] = {**fj["metadata"], **gen}
+        if gens:
             conf["delta.columnMapping.maxColumnId"] = str(
-                gen[_FIELD_ID_KEY]
+                max(g[_FIELD_ID_KEY] for g in gens.values())
             )
         return (
             {
                 **meta,
                 "schemaString": json.dumps(
-                    {**sch, "fields": sch["fields"] + [fj]}
+                    {**sch, "fields": sch["fields"] + fjs}
                 ),
                 "configuration": conf,
             },
@@ -2276,8 +2291,23 @@ def alter_add_column(
 
     return _commit_metadata_mutation(
         table_path, mutate,
-        operation="ADD COLUMNS", op_params={"column": name},
+        operation="ADD COLUMNS",
+        op_params={"columns": ",".join(n for n, _, _ in entries)},
         max_retries=max_retries,
+    )
+
+
+def alter_add_column(
+    table_path: str,
+    name: str,
+    data_type: "DataType",
+    *,
+    comment: str | None = None,
+    max_retries: int = 20,
+) -> int:
+    """Single-column form of :func:`alter_add_columns`."""
+    return alter_add_columns(
+        table_path, [(name, data_type, comment)], max_retries=max_retries
     )
 
 

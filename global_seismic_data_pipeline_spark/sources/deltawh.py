@@ -158,6 +158,16 @@ class DeltaLogWarehouse(Warehouse):
             self._require_table(name), column, self._ddl_type(type_str)
         )
 
+    def add_columns(
+        self, name: str, entries: Sequence[tuple[str, str]]
+    ) -> None:
+        # one atomic log commit for the whole list — types parse before
+        # anything touches the log, collisions refuse inside the commit
+        dl.alter_add_columns(
+            self._require_table(name),
+            [(c, self._ddl_type(t), None) for c, t in entries],
+        )
+
     def rename_column(self, name: str, old: str, new: str) -> None:
         dl.alter_rename_column(self._require_table(name), old, new)
 

@@ -3465,27 +3465,45 @@ def _publish_schema_change(
     return meta
 
 
+def alter_add_columns(
+    spark: SparkSession,
+    location: str,
+    entries: "list[tuple[str, T.DataType]]",
+) -> dict:
+    """ALTER TABLE ADD COLUMNS: all requested nullable fields in ONE
+    metadata commit, ids assigned consecutively from ``last-column-id``.
+    Atomic by construction — a collision anywhere refuses the whole
+    statement before anything publishes; existing files read the new
+    columns as NULL through id resolution — metadata-only at any
+    scale."""
+    if not entries:
+        raise IcebergError("ADD COLUMNS needs at least one column")
+    t = IcebergTable(spark, location)
+    fields = list(t.schema_json()["fields"])
+    existing = {f["name"].lower() for f in fields}
+    nid = max(
+        [t.metadata.get("last-column-id", 0)] + [f["id"] for f in fields]
+    )
+    for name, data_type in entries:
+        if name.lower() in existing:
+            raise IcebergError(f"column {name!r} already exists")
+        existing.add(name.lower())
+        nid += 1
+        fields.append({
+            "id": nid, "name": name, "required": False,
+            "type": _iceberg_type_of(data_type),
+        })
+    return _publish_schema_change(spark, location, fields)
+
+
 def alter_add_column(
     spark: SparkSession,
     location: str,
     name: str,
     data_type: T.DataType,
 ) -> dict:
-    """ALTER TABLE ADD COLUMN: one nullable field with the next field id
-    (``last-column-id`` + 1). Existing files read it as NULL through id
-    resolution — metadata-only at any scale."""
-    t = IcebergTable(spark, location)
-    fields = list(t.schema_json()["fields"])
-    if any(f["name"].lower() == name.lower() for f in fields):
-        raise IcebergError(f"column {name!r} already exists")
-    nid = max(
-        [t.metadata.get("last-column-id", 0)] + [f["id"] for f in fields]
-    ) + 1
-    fields.append({
-        "id": nid, "name": name, "required": False,
-        "type": _iceberg_type_of(data_type),
-    })
-    return _publish_schema_change(spark, location, fields)
+    """Single-column form of :func:`alter_add_columns`."""
+    return alter_add_columns(spark, location, [(name, data_type)])
 
 
 def alter_rename_column(

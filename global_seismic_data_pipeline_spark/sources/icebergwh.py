@@ -82,6 +82,15 @@ class IcebergWarehouse(Warehouse):
             self._ddl_type(type_str),
         )
 
+    def add_columns(
+        self, name: str, entries: Sequence[tuple[str, str]]
+    ) -> None:
+        # one metadata commit for the whole list — never half-applies
+        ib.alter_add_columns(
+            self.spark, self._require_table(name),
+            [(c, self._ddl_type(t)) for c, t in entries],
+        )
+
     def rename_column(self, name: str, old: str, new: str) -> None:
         ib.alter_rename_column(self.spark, self._require_table(name), old, new)
 

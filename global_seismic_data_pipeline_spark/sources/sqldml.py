@@ -455,10 +455,10 @@ class SqlDml:
             # ADD COLUMNS (a int, b string): every top-level comma part
             # is one "name type" pair — adding only the first and
             # dropping the rest with a success summary would be silent
-            # schema loss. All entries PRE-validate (type parses, no
-            # collision, no within-statement duplicate) before the
-            # first commit, so a bad later entry cannot leave the
-            # statement half-applied.
+            # schema loss. The whole list commits as ONE backend
+            # metadata mutation (add_columns): types parse before the
+            # commit, collisions refuse inside it, so a bad entry or a
+            # lost OCC race can never leave the statement half-applied.
             entries = []
             for part in _split_column_specs(spec):
                 cm = re.match(r"^\s*(\w+)\s+(.+?)\s*$", part)
@@ -467,15 +467,7 @@ class SqlDml:
                         f"unsupported ADD COLUMN entry: {part!r}"
                     )
                 entries.append((cm.group(1), cm.group(2)))
-            existing = {c.lower() for c in self.wh.read(name).columns}
-            seen: set[str] = set()
-            for cname, ctype in entries:
-                self.wh._ddl_type(ctype)  # parse gate before any commit
-                if cname.lower() in existing or cname.lower() in seen:
-                    raise ValueError(f"column {cname!r} already exists")
-                seen.add(cname.lower())
-            for cname, ctype in entries:
-                self.wh.add_column(name, cname, ctype)
+            self.wh.add_columns(name, entries)
             return self._summary(
                 statement="ALTER", table=name,
                 column=",".join(n for n, _ in entries), action="added",

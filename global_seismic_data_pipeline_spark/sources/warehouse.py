@@ -536,6 +536,15 @@ class Warehouse:
             "every file; use the delta/iceberg backend"
         )
 
+    def add_columns(
+        self, name: str, entries: Sequence[tuple[str, str]]
+    ) -> None:
+        raise ValueError(
+            f"ADD COLUMNS on {name!r}: the plain parquet backend stores "
+            "no table schema — adding columns would require rewriting "
+            "every file; use the delta/iceberg backend"
+        )
+
     def rename_column(self, name: str, old: str, new: str) -> None:
         raise ValueError(
             f"RENAME COLUMN on {name!r}: files are keyed by column name "

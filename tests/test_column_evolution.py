@@ -598,7 +598,7 @@ def test_every_supported_widening_upcasts_in_scan(spark, tmp_path):
         got = (
             spark.read.schema(f"v {ddl_of[wide]}").parquet(f).collect()
         )
-        assert [r.v for r in got] == [1, 2], (narrow, wide)
+        assert sorted(r.v for r in got) == [1, 2], (narrow, wide)
 
 
 def test_facade_alter_column_type(spark, tmp_path):
@@ -702,20 +702,49 @@ def test_merge_schema_evolution_on_mapped_cdf_table(spark, tmp_path):
 def test_facade_add_columns_multi(spark, tmp_path):
     """ADD COLUMNS (a int, b string) adds BOTH — adding only the first
     with a success summary would be silent schema loss. Commas inside
-    angle-bracket generics are TYPE syntax, not separators; a bad later
-    entry pre-validates so nothing half-applies."""
+    angle-bracket generics are TYPE syntax, not separators. The whole
+    list is ONE log commit, so a crash or concurrent DDL between
+    entries cannot half-apply the statement (per-entry commits could,
+    no matter how much pre-validation runs)."""
     wh = DeltaLogWarehouse(spark, str(tmp_path / "wh"))
     engine = SqlDml(wh)
     wh.overwrite(_df(spark), "t")
+    v0 = dl.snapshot_state(wh.path("t"))["version"]
     engine.sql("ALTER TABLE t ADD COLUMNS (depth_km double, region string)")
     assert {"depth_km", "region"} <= set(wh.read("t").columns)
+    # atomicity: the two-column statement is exactly one log version
+    assert dl.snapshot_state(wh.path("t"))["version"] == v0 + 1
     engine.sql("ALTER TABLE t ADD COLUMN tags map<string, int>")
     assert dict(wh.read("t").dtypes)["tags"] == "map<string,int>"
-    # a later-entry collision refuses BEFORE the first entry commits
+    # a later-entry collision refuses inside the single commit —
+    # nothing applies, no log version is consumed
     before = set(wh.read("t").columns)
+    v1 = dl.snapshot_state(wh.path("t"))["version"]
     with pytest.raises(ValueError, match="already exists"):
         engine.sql("ALTER TABLE t ADD COLUMNS (brand_new int, mag double)")
     assert set(wh.read("t").columns) == before  # nothing half-applied
+    assert dl.snapshot_state(wh.path("t"))["version"] == v1
+    # a within-statement duplicate refuses the same way
+    with pytest.raises(ValueError, match="already exists"):
+        engine.sql("ALTER TABLE t ADD COLUMNS (dup int, dup bigint)")
+    assert set(wh.read("t").columns) == before
+
+
+def test_iceberg_add_columns_multi_atomic(spark, tmp_path):
+    """The Iceberg side of the same guarantee: one metadata publish for
+    the whole list, consecutive field ids, collision refuses the unit."""
+    wh = IcebergWarehouse(spark, str(tmp_path / "wh"))
+    engine = SqlDml(wh)
+    wh.overwrite(_df(spark), "t")
+    engine.sql("ALTER TABLE t ADD COLUMNS (depth_km double, region string)")
+    t = wh.table("t")
+    fields = {f["name"]: f for f in t.schema_json()["fields"]}
+    assert {"depth_km", "region"} <= set(fields)
+    assert fields["region"]["id"] == fields["depth_km"]["id"] + 1
+    before = set(wh.read("t").columns)
+    with pytest.raises(Exception, match="already exists"):
+        engine.sql("ALTER TABLE t ADD COLUMNS (brand_new int, mag double)")
+    assert set(wh.read("t").columns) == before
 
 
 def test_ddl_type_refuses_multi_field_spec(spark, tmp_path):
