@@ -224,6 +224,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             workloads_ext.alter_columns_delta_orders,
         "alter_columns_iceberg_orders":
             workloads_ext.alter_columns_iceberg_orders,
+        # --- round 11: predicate file skipping on the lakehouse readers
+        # (Delta log-stats data skipping; Iceberg range-filter planning)
+        "delta_skipping_orders": workloads_ext.delta_skipping_orders,
+        "iceberg_range_scan_orders":
+            workloads_ext.iceberg_range_scan_orders,
         "band_case_classify": workloads.band_case_classify,
         "agg_histogram_case": workloads.agg_histogram_case,
         "agg_frequency_table": workloads.agg_frequency_table,
@@ -267,12 +272,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setops_customer_years", "exists_priority_customers",
         "unpivot_order_metrics", "twap_user_value",
         "vocab_encode_docs",
-        # round-11's new oracle-backed operators take two slots; the
+        # round-11's new oracle-backed operators take four slots; the
         # heaviest previously-green queries pad the rest
         "alter_columns_delta_orders", "alter_columns_iceberg_orders",
+        "delta_skipping_orders", "iceberg_range_scan_orders",
         "bpe_learn_merges", "ivf_index_drift",
-        "incremental_minhash_dedup", "ppjoin_near_dup",
-        "semdedup_prune_embeddings",
+        "incremental_minhash_dedup",
     ]
     ordered = {n: q[n] for n in first}
     ordered.update((n, f) for n, f in q.items() if n not in ordered)

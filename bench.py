@@ -103,6 +103,9 @@ EXTENDED = [
     "iceberg_delete_where_orders",
     "iceberg_refs_tag_orders",
     "iceberg_wap_publish_orders",
+    # round-11 operators
+    "delta_skipping_orders",
+    "iceberg_range_scan_orders",
 ]
 
 HEADLINE = [

@@ -3850,3 +3850,33 @@ SELECT o_orderpriority,
 FROM t
 GROUP BY o_orderpriority
 """
+
+# Data-skipping reads: the Spark side prunes files through log stats /
+# manifest bounds and re-applies the exact predicate; the oracle replays
+# the SAME predicate over the FULL table — a wrongly skipped file drops
+# rows and hash-fails, so the gate pins the superset guarantee.
+ORACLES_EXT["delta_skipping_orders"] = """
+SELECT o_orderpriority,
+    CAST(COUNT(*) AS BIGINT) AS cnt,
+    CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        AS price_cents
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY o_orderpriority
+"""
+
+ORACLES_EXT["iceberg_range_scan_orders"] = """
+SELECT o_orderstatus,
+    CAST(COUNT(*) AS BIGINT) AS cnt,
+    CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        AS price_cents
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1994-07-01 00:00:00'
+  AND o_orderdate <= TIMESTAMP '1995-03-31 00:00:00'
+  AND o_totalprice > 1000.0
+GROUP BY o_orderstatus
+"""

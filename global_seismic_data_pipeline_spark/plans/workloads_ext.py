@@ -3971,3 +3971,107 @@ def alter_columns_iceberg_orders(
             .cast("long").alias("sum_cust"),
         )
     )
+
+
+def delta_skipping_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta DATA SKIPPING end-to-end (sources/deltalog.py
+    ``read_delta(filters=...)``): orders is written as a Delta table
+    range-clustered on o_orderdate, then a one-year + priority-set
+    predicate reads through the LOG's per-file stats — files whose
+    minValues/maxValues exclude the window never open. The code asserts
+    the plan really shrank (a pruning regression fails loudly), and the
+    oracle replays the same predicate over the full table — a wrongly
+    skipped file drops rows and hash-fails, so the driver gate pins the
+    superset property, not just the happy path. Exact-cents sums only.
+
+    Scale shape: pruning is a driver-side metadata walk (#files), the
+    residual predicate pushes into the surviving parquet scans — at
+    100 TB a narrow date window reads O(matching files), not O(table)."""
+    import datetime as dt
+    import tempfile
+
+    from ..sources import deltalog as dl
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="dskip-") + "/ord"
+    dl.write_delta(
+        orders.repartitionByRange(8, F.col("o_orderdate")),
+        path, mode="error",
+    )
+    # o_orderdate is a TIMESTAMP column in the catalog — timestamp
+    # literals keep Spark and the oracle on the same comparison type
+    filters = [
+        ("o_orderdate", ">=", dt.datetime(1995, 1, 1)),
+        ("o_orderdate", "<", dt.datetime(1996, 1, 1)),
+        ("o_orderpriority", "in", ["1-URGENT", "2-HIGH"]),
+    ]
+    kept = len(dl.delta_scan_files(path, filters=filters))
+    total = len(dl.delta_scan_files(path))
+    if total >= 4 and not kept < total:
+        raise AssertionError(
+            f"data skipping regressed: {kept}/{total} files survived a "
+            "one-year window over a date-clustered table"
+        )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        dl.read_delta(spark, path, filters=filters)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+            F.sum(cents).alias("price_cents"),
+        )
+    )
+
+
+def iceberg_range_scan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg range-predicate scan planning (sources/iceberg.py
+    ``read(filters=...)``): orders becomes a month(o_orderdate)-
+    partitioned v2 table and a three-quarter date window plus a price
+    floor plans through all three metadata levels — manifest-list
+    partition summaries, per-file partition records under the monotone
+    inclusive projection, and per-file column bounds. The code asserts
+    the file plan shrank; the oracle replays the predicate over the
+    full table, pinning the superset guarantee set-theoretically.
+
+    Scale shape: manifests prune UNOPENED from the manifest list, so
+    the planning cost at 100 TB is the metadata walk, and only
+    in-window data files reach the distributed scan."""
+    import datetime as dt
+    import tempfile
+
+    from ..sources import iceberg as ib
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderstatus", "o_totalprice"
+    )
+    loc = tempfile.mkdtemp(prefix="iskip-") + "/ord"
+    t = ib.create_table(
+        spark, loc,
+        orders.repartition(8, F.trunc("o_orderdate", "month")),
+        partition_by=["month(o_orderdate)"],
+    )
+    filters = [
+        ("o_orderdate", ">=", dt.datetime(1994, 7, 1)),
+        ("o_orderdate", "<=", dt.datetime(1995, 3, 31)),
+        ("o_totalprice", ">", 1000.0),
+    ]
+    kept = len(t.data_files(filters=filters))
+    total = len(t.data_files())
+    if total >= 12 and not kept < total:
+        raise AssertionError(
+            f"iceberg scan pruning regressed: {kept}/{total} files "
+            "survived a 9-month window over a month-partitioned table"
+        )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        t.read(filters=filters)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+            F.sum(cents).alias("price_cents"),
+        )
+    )

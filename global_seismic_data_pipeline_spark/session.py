@@ -43,6 +43,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.parquet.filterPushdown", "true")
+        # int64 micros, not the deprecated INT96: INT96 carries NO
+        # parquet statistics (so timestamp columns could never data-skip)
+        # and violates the Iceberg spec's int64-micros requirement for
+        # staged data files
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

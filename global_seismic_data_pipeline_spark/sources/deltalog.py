@@ -77,6 +77,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
+from . import predicates
+
 _LOG = "_delta_log"
 _LAST_CHECKPOINT = "_last_checkpoint"
 # reader features whose semantics this reader fully implements; anything
@@ -923,6 +925,7 @@ def read_delta(
     *,
     version: int | None = None,
     timestamp: object | None = None,
+    filters=None,
 ) -> DataFrame:
     """Read a Delta table directory as a DataFrame (time travel via
     ``version`` or ``timestamp`` — latest commit at-or-before it).
@@ -932,6 +935,19 @@ def read_delta(
     string-for-string, file-by-file, driver-side); otherwise one scan per
     distinct partition tuple with the log's values attached as typed
     literals — the spec-correct fallback for non-hive layouts.
+
+    ``filters`` — Delta DATA SKIPPING (the log-resident stats pruning
+    every Delta client plans with): a conjunction of ``(column, op,
+    value)`` triples (``= < <= > >= in is_null not_null``; a mapping is
+    equality shorthand). Files are pruned driver-side through their
+    ``partitionValues`` (exact single-value tests) and ``add.stats``
+    numRecords/minValues/maxValues/nullCount (interval tests) BEFORE any
+    data file opens — at 100 TB this turns a narrow-predicate read into
+    an O(matching files) scan instead of O(table). The exact predicate
+    then re-applies to the surviving rows (and pushes into the parquet
+    scans for row-group skipping), so the result always equals an
+    unpruned read + filter: pruning is a superset guarantee, never a
+    correctness gate (missing/foreign/unparseable stats keep the file).
     """
     if timestamp is not None:
         if version is not None:
@@ -939,9 +955,206 @@ def read_delta(
         version = _version_at_timestamp(table_path, timestamp)
     state = snapshot_state(table_path, version)
     files = list(state["files"].values())
+    preds = predicates.normalize_filters(filters)
+    if preds:
+        files = _prune_adds(state, files, preds)
     if not files:
         return spark.createDataFrame([], delta_schema(state))
-    return _scan_adds(spark, table_path, files, state)
+    df = _scan_adds(spark, table_path, files, state)
+    if preds:
+        df = df.filter(predicates.residual_condition(preds))
+    return df
+
+
+def delta_scan_files(
+    table_path: str,
+    *,
+    version: int | None = None,
+    timestamp: object | None = None,
+    filters=None,
+) -> list[dict]:
+    """The pruned scan plan as add-action dicts — the planning half of
+    :func:`read_delta` for callers that want the file list itself
+    (tests pin the skip guarantees here; maintenance can bound a
+    rewrite's scope with it)."""
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("give version OR timestamp, not both")
+        version = _version_at_timestamp(table_path, timestamp)
+    state = snapshot_state(table_path, version)
+    files = list(state["files"].values())
+    preds = predicates.normalize_filters(filters)
+    return _prune_adds(state, files, preds) if preds else files
+
+
+def _norm_ts(x):
+    """Timestamps comparable across writers: aware → UTC-naive; naive
+    assumed UTC (the session discipline, sources/session.py)."""
+    import datetime as _dt
+
+    if isinstance(x, _dt.datetime) and x.tzinfo is not None:
+        return x.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return x
+
+
+def _parse_iso_ts(s: str):
+    import datetime as _dt
+
+    return _norm_ts(_dt.datetime.fromisoformat(s.replace("Z", "+00:00")))
+
+
+_SKIP = object()  # un-parseable / un-coercible → never prune on it
+
+
+def _typed_stat_value(v, type_name: str):
+    """A stats-JSON value (this writer's ``default=str`` forms AND real
+    delta-spark's ISO forms) as a comparable Python value, or None/_SKIP
+    when absent/unusable. Delta string min/max may be writer-truncated,
+    but the spec requires stored bounds to still BOUND the true values,
+    so interval tests stay sound."""
+    import datetime as _dt
+    import decimal as _decimal
+
+    if v is None:
+        return None
+    try:
+        if type_name in ("byte", "short", "integer", "long"):
+            return int(v)
+        if type_name in ("float", "double"):
+            return float(v)
+        if type_name == "decimal":
+            return _decimal.Decimal(str(v))
+        if type_name == "string":
+            return v if isinstance(v, str) else _SKIP
+        if type_name == "boolean":
+            return v if isinstance(v, bool) else _SKIP
+        if type_name == "date":
+            return _dt.date.fromisoformat(str(v)[:10])
+        if type_name in ("timestamp", "timestamp_ntz"):
+            return _parse_iso_ts(str(v))
+    except (ValueError, TypeError, ArithmeticError):
+        return _SKIP
+    return _SKIP
+
+
+def _typed_partition_value(raw: str | None, type_name: str):
+    """A spec-serialized partitionValues string as a typed value (the
+    spec's Partition Value Serialization table); None stays None (null
+    partition), un-supported types → _SKIP (no pruning)."""
+    if raw is None:
+        return None
+    return _typed_stat_value(raw, type_name)
+
+
+def _coerce_literal(value, type_name: str):
+    """Best-effort literal coercion toward the column's type so more
+    comparisons become provable (str → date/timestamp/Decimal, aware →
+    naive-UTC). Never required for soundness — an uncoerced mismatch
+    just fails to prune."""
+    import datetime as _dt
+    import decimal as _decimal
+
+    try:
+        if type_name == "date" and isinstance(value, str):
+            return _dt.date.fromisoformat(value)
+        if type_name in ("timestamp", "timestamp_ntz"):
+            if isinstance(value, str):
+                return _parse_iso_ts(value)
+            if isinstance(value, _dt.date) and not isinstance(
+                value, _dt.datetime
+            ):
+                return _dt.datetime(value.year, value.month, value.day)
+            return _norm_ts(value)
+        if type_name == "decimal" and isinstance(value, (int, str)):
+            return _decimal.Decimal(str(value))
+    except (ValueError, TypeError, ArithmeticError):
+        return _SKIP
+    return value
+
+
+def _prune_adds(
+    state: Mapping, files: list[dict], preds: list[tuple]
+) -> list[dict]:
+    """Data skipping over the driver-side add list: partitionValues
+    prune exactly (every row of a file shares the tuple), stats prune
+    by interval. Conservative throughout — unknown columns refuse
+    loudly (a typo would otherwise silently skip nothing and then fail
+    analysis in the residual), everything else missing keeps the file."""
+    schema = delta_schema(state)
+    type_of = {f.name: f.dataType.typeName() for f in schema.fields}
+    unknown = [c for c, _, _ in preds if c not in type_of]
+    if unknown:
+        raise ValueError(
+            f"filter column(s) {unknown} not in table schema "
+            f"{sorted(type_of)}"
+        )
+    pcols = set(state["metadata"].get("partitionColumns") or [])
+    mapped = _mapping_mode(state["metadata"]) != "none"
+    phys_schema = _physical_schema(state) if mapped else schema
+    phys_of = {
+        lf.name: pf.name
+        for lf, pf in zip(schema.fields, phys_schema.fields)
+    }
+    plan = []  # (col, op, value, coerced, physical name, is partition)
+    for col, op, value in preds:
+        tn = type_of[col]
+        if op == "in":
+            cv = [_coerce_literal(v, tn) for v in value]
+            cv = _SKIP if any(v is _SKIP for v in cv) else cv
+        elif op in predicates.NULL_OPS:
+            cv = None
+        else:
+            cv = _coerce_literal(value, tn)
+        plan.append((col, op, cv, phys_of[col], col in pcols, tn))
+    kept = []
+    for add in files:
+        if not _add_pruned(add, plan):
+            kept.append(add)
+    return kept
+
+
+def _add_pruned(add: Mapping, plan: list[tuple]) -> bool:
+    stats = _SKIP  # parsed lazily, once per add
+    for col, op, cv, pname, is_part, tn in plan:
+        if cv is _SKIP:
+            continue
+        if is_part:
+            pv = add.get("partitionValues") or {}
+            if pname not in pv:
+                continue  # foreign add missing the key — keep
+            point = _typed_partition_value(pv[pname], tn)
+            if point is _SKIP:
+                continue
+            if predicates.prune_by_point(
+                op, cv, point, string_ambiguous=(tn == "string")
+            ):
+                return True
+            continue
+        if stats is _SKIP:
+            raw = add.get("stats")
+            try:
+                stats = json.loads(raw) if raw else None
+            except (ValueError, TypeError):
+                stats = None
+        if not stats:
+            continue
+        lo = _typed_stat_value(
+            (stats.get("minValues") or {}).get(pname), tn
+        )
+        hi = _typed_stat_value(
+            (stats.get("maxValues") or {}).get(pname), tn
+        )
+        if lo is _SKIP or hi is _SKIP:
+            lo = hi = None
+        nc = (stats.get("nullCount") or {}).get(pname)
+        nr = stats.get("numRecords")
+        if predicates.prune_by_bounds(
+            op, cv, lo, hi,
+            null_count=nc if isinstance(nc, int) else None,
+            num_records=nr if isinstance(nr, int) else None,
+        ):
+            return True
+    return False
 
 
 _RT_ID_NAME_KEY = "delta.rowTracking.materializedRowIdColumnName"
@@ -1341,7 +1554,13 @@ def _partition_values_from_rel(rel: str, pcols: Sequence[str]) -> dict:
 def _file_stats_json(abs_file: str, data_cols: Sequence[str]) -> str | None:
     """Delta per-file stats from the parquet footer: numRecords plus
     min/max/nullCount for top-level primitive columns (what delta-spark
-    writes by default for the first 32 columns)."""
+    writes by default for the first 32 columns).
+
+    Coverage discipline: a column's min/max (or nullCount) is emitted
+    ONLY when every non-empty row group contributed it — a partially-
+    covered aggregate is NOT a valid file bound (parquet writers drop
+    per-group stats for oversized values), and the data-skipping reader
+    trusts stored bounds as proofs."""
     try:
         import pyarrow.parquet as pq
 
@@ -1349,8 +1568,14 @@ def _file_stats_json(abs_file: str, data_cols: Sequence[str]) -> str | None:
         mins: dict = {}
         maxs: dict = {}
         nulls: dict = {}
-        for rg in range(md.num_row_groups):
-            g = md.row_group(rg)
+        mm_cover: dict = {}
+        null_cover: dict = {}
+        groups = [
+            md.row_group(rg)
+            for rg in range(md.num_row_groups)
+            if md.row_group(rg).num_rows > 0
+        ]
+        for g in groups:
             for i in range(g.num_columns):
                 col = g.column(i)
                 name = col.path_in_schema
@@ -1361,15 +1586,40 @@ def _file_stats_json(abs_file: str, data_cols: Sequence[str]) -> str | None:
                     continue
                 if st.null_count is not None:
                     nulls[name] = nulls.get(name, 0) + st.null_count
+                    null_cover[name] = null_cover.get(name, 0) + 1
+                covers_mm = False
                 if st.has_min_max:
                     mn, mx = st.min, st.max
                     if isinstance(mn, bytes):
                         try:
                             mn, mx = mn.decode(), mx.decode()
+                            covers_mm = True
                         except UnicodeDecodeError:
-                            continue
-                    for d, v, pick in ((mins, mn, min), (maxs, mx, max)):
-                        d[name] = v if name not in d else pick(d[name], v)
+                            pass
+                    else:
+                        covers_mm = True
+                    if covers_mm:
+                        for d, v, pick in ((mins, mn, min), (maxs, mx, max)):
+                            d[name] = v if name not in d else pick(d[name], v)
+                elif st.null_count == g.num_rows:
+                    # an all-null group holds no comparable values — it
+                    # cannot invalidate the other groups' bounds; the
+                    # reader accounts for its rows through nullCount
+                    covers_mm = True
+                if covers_mm:
+                    mm_cover[name] = mm_cover.get(name, 0) + 1
+        mins = {
+            n: v for n, v in mins.items()
+            if mm_cover.get(n) == len(groups)
+        }
+        maxs = {
+            n: v for n, v in maxs.items()
+            if mm_cover.get(n) == len(groups)
+        }
+        nulls = {
+            n: v for n, v in nulls.items()
+            if null_cover.get(n) == len(groups)
+        }
         return json.dumps(
             {
                 "numRecords": md.num_rows,

@@ -354,8 +354,11 @@ class DeltaLogWarehouse(Warehouse):
         )), cons
 
     # -- read / write through the log --------------------------------------
-    def read(self, name: str) -> DataFrame:
-        return dl.read_delta(self.spark, self.path(name))
+    def read(self, name: str, filters=None) -> DataFrame:
+        """``filters`` (optional ``(col, op, value)`` conjunction)
+        engages log-stats data skipping — see ``deltalog.read_delta``;
+        the result always equals an unpruned read + filter."""
+        return dl.read_delta(self.spark, self.path(name), filters=filters)
 
     def append(
         self,

@@ -69,7 +69,7 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from . import avrofile
+from . import avrofile, predicates
 
 _STATUS_DELETED = 2
 _STATUS_ADDED = 1
@@ -506,15 +506,18 @@ class IcebergTable:
         ]
 
     def _manifest_pruned(
-        self, mf: dict, eq_filters: Mapping[str, object] | None
+        self, mf: dict, preds: list[tuple] | None
     ) -> bool:
         """True when the manifest-list record's per-field partition
         summaries (spec field 507: contains_null + lower/upper bound per
         spec field, appendix-D serialized) PROVE no file inside can
-        satisfy ``eq_filters`` — the whole manifest Avro is then skipped
-        UNOPENED. At 100 TB the pruned-read cost is the metadata walk
-        (10³-10⁴ manifests over 10⁵-10⁶ files), not the data scan; real
-        readers prune manifest-list-first for the same reason.
+        satisfy the predicate conjunction — the whole manifest Avro is
+        then skipped UNOPENED. At 100 TB the pruned-read cost is the
+        metadata walk (10³-10⁴ manifests over 10⁵-10⁶ files), not the
+        data scan; real readers prune manifest-list-first for the same
+        reason. Range predicates project through the spec's transforms
+        (identity exactly; day/month/year/hour/truncate inclusively —
+        the monotone projection; bucket equality-only).
         Conservative everywhere: missing summaries, an unknown spec
         id, un-decodable bounds, or un-mappable values keep the
         manifest. The summaries index-align with the fields of the
@@ -523,7 +526,7 @@ class IcebergTable:
         old AND new manifests correctly. Delete manifests are never
         pruned here (their scope is sequence numbers, not partition
         values)."""
-        if not eq_filters or mf.get("content", 0) != 0:
+        if not preds or mf.get("content", 0) != 0:
             return False
         spec = self.partition_spec_by_id(mf.get("partition_spec_id", 0))
         if spec is None:
@@ -535,22 +538,34 @@ class IcebergTable:
             if i >= len(summaries):
                 break
             col = self._column_name(fld["source-id"])
-            if col not in eq_filters:
-                continue
-            expected = _apply_transform(
-                fld["transform"], eq_filters[col]
-            )
-            if expected is _UNPRUNABLE or expected is None:
+            matching = [p for p in preds if p[0] == col]
+            if not matching:
                 continue
             s = summaries[i] or {}
             rt = self._transform_result_type(fld)
-            expected = _norm_expected(expected, rt)
             lo = _decode_single_value(rt, s.get("lower_bound"))
             hi = _decode_single_value(rt, s.get("upper_bound"))
-            if lo is not None and _lt(expected, lo):
-                return True
-            if hi is not None and _lt(hi, expected):
-                return True
+            for _, op, value in matching:
+                if op == "is_null":
+                    # null-preserving transforms: a summary that saw no
+                    # null partition value saw no null source value
+                    if (
+                        fld["transform"] != "void"
+                        and s.get("contains_null") is False
+                    ):
+                        return True
+                    continue
+                if op == "not_null":
+                    continue  # summaries cannot prove all-null
+                proj = _project_pred(fld["transform"], op, value, rt)
+                if proj is None:
+                    continue
+                kind, tv = proj
+                if kind == "exact":
+                    if predicates.prune_by_bounds(op, tv, lo, hi):
+                        return True
+                elif predicates.prune_monotone(op, tv, lo, hi):
+                    return True
         return False
 
     def _transform_result_type(self, fld: dict) -> str | None:
@@ -574,21 +589,21 @@ class IcebergTable:
     def _live_entries(
         self,
         snap: dict,
-        eq_filters: Mapping[str, object] | None = None,
+        preds: list[tuple] | None = None,
     ) -> tuple[list[dict], list[dict]]:
         """(data entries, delete-file entries) live at ``snap``, each
         entry's ``data_file`` annotated with ``_seq`` — the data sequence
         number after the spec's inheritance (entry value when present,
         else the manifest-list record's ``sequence_number``, else the
         snapshot's, else 0 for v1). Data manifests whose manifest-list
-        partition summaries exclude ``eq_filters`` are skipped without
-        opening their Avro."""
+        partition summaries exclude the (normalized) predicate list are
+        skipped without opening their Avro."""
         snap_seq = snap.get("sequence-number", 0) or 0
         data: list[dict] = []
         deletes: list[dict] = []
         mfs = [
             mf for mf in self._manifest_files(snap)
-            if not self._manifest_pruned(mf, eq_filters)
+            if not self._manifest_pruned(mf, preds)
         ]
         # Every append carries prior manifests forward, so a long-lived
         # CDC table plans over one manifest PER COMMIT. Above the
@@ -660,11 +675,11 @@ class IcebergTable:
     def _entries(
         self,
         snap: dict,
-        eq_filters: Mapping[str, object] | None = None,
+        preds: list[tuple] | None = None,
     ) -> list[dict]:
         """Live DATA entries only (delete files planned separately by
         :meth:`delete_files` / :meth:`read`)."""
-        return self._live_entries(snap, eq_filters)[0]
+        return self._live_entries(snap, preds)[0]
 
     # ---------------------------------------------------- read paths
     def data_files(
@@ -672,39 +687,52 @@ class IcebergTable:
         snapshot_id: int | None = None,
         as_of_ms: int | None = None,
         eq_filters: Mapping[str, object] | None = None,
+        filters=None,
     ) -> list[dict]:
         """Live data-file records for a snapshot, optionally pruned by
-        equality predicates on source columns — three levels deep:
+        predicates on source columns (``eq_filters`` is equality
+        shorthand; ``filters`` takes ``(col, op, value)`` triples with
+        ``= < <= > >= in is_null not_null``) — three levels deep:
         whole manifests skip unopened via the manifest list's per-field
         partition summaries, then files prune through the partition
-        spec's transforms (identity/bucket-via-murmur3/truncate/day/
-        month/year) AND through the manifests' per-file column
-        lower/upper bounds (the spec's min/max stats). Unknown
-        transforms / missing bounds / un-decodable types keep the
-        file — pruning is an optimization, never a correctness filter."""
+        spec's transforms (identity exactly; day/month/year/hour/
+        truncate via the monotone inclusive projection;
+        bucket-via-murmur3 equality-only) AND through the manifests'
+        per-file column lower/upper bounds + null counts (the spec's
+        min/max stats). Unknown transforms / missing bounds /
+        un-decodable types keep the file — pruning is an optimization,
+        never a correctness filter."""
+        preds = _combine_filters(eq_filters, filters)
         snap = self.resolve_snapshot(snapshot_id, as_of_ms)
-        entries = self._entries(snap, eq_filters)
+        entries = self._entries(snap, preds)
         return self._prune_files(
-            [e["data_file"] for e in entries], eq_filters
+            [e["data_file"] for e in entries], preds
         )
 
     def _prune_files(
         self,
         files: list[dict],
-        eq_filters: Mapping[str, object] | None,
+        preds: list[tuple] | None,
     ) -> list[dict]:
-        """File-level pruning (partition-transform match + per-file
+        """File-level pruning (partition-transform tests + per-file
         column bounds) of already-listed data-file records. Each file
         prunes through the spec it was WRITTEN under (``_spec_id``
         stamped by ``_live_entries`` from its manifest-list record):
         a spec-evolved table's old files carry partition records under
         the OLD spec's field names, and looking those up through the
-        default spec would return None → ``_part_eq`` False → silent
-        row loss. Unknown spec ids and partition keys absent from the
-        record are UNPRUNABLE — pruning is an optimization, never a
-        correctness filter. Column-bounds pruning is spec-independent
-        and always applies."""
-        if not eq_filters:
+        default spec would return None and silently lose rows. Unknown
+        spec ids and partition keys absent from the record are
+        UNPRUNABLE — pruning is an optimization, never a correctness
+        filter. Column-bounds pruning is spec-independent and always
+        applies.
+
+        Partition null discipline: every spec transform is
+        null-preserving, so a None partition value means every row's
+        SOURCE value is null — except string-valued partition results
+        (identity/truncate on strings), where the hive staging fold
+        (CLAUDE.md trap) makes None also mean "every row is ''";
+        those prune only when both readings prune."""
+        if not preds:
             return files
         default_sid = self.metadata.get("default-spec-id", 0)
         spec_maps: dict[int, dict | None] = {}
@@ -725,30 +753,84 @@ class IcebergTable:
         ids = {
             f["name"]: f["id"] for f in self.schema_json()["fields"]
         }
+        types = {
+            f["name"]: f["type"]
+            for f in self.schema_json()["fields"]
+            if isinstance(f["type"], str)
+        }
         kept = []
         for f in files:
             part = f.get("partition") or {}
             by_source = _by_source(f.get("_spec_id", default_sid)) or {}
             drop = False
-            for col, val in eq_filters.items():
+            for col, op, value in preds:
+                if drop:
+                    break
                 for fld in by_source.get(col, []):
-                    expected = _apply_transform(fld["transform"], val)
-                    if expected is _UNPRUNABLE:
+                    if drop:
+                        break
+                    if fld["transform"] == "void":
                         continue
                     if fld["name"] not in part:
                         # a field name this record never stamped (e.g.
                         # a foreign manifest mis-labeled with the wrong
                         # spec id) — unprunable, never dropped
                         continue
-                    if not _part_eq(part.get(fld["name"]), expected):
-                        drop = True
+                    p = part.get(fld["name"])
+                    rt = self._transform_result_type(fld)
+                    if p is None:
+                        if op == "is_null":
+                            continue
+                        if rt != "string":
+                            drop = True  # every row's source is null
+                            continue
+                        # NULL/'' fold ambiguity: prune a value op only
+                        # when the ''-reading prunes too
+                        if op == "not_null":
+                            continue
+                        proj = _project_pred(
+                            fld["transform"], op, value, rt
+                        )
+                        if proj is None:
+                            continue
+                        kind, tv = proj
+                        if kind == "exact":
+                            drop = predicates.prune_by_point(op, tv, "")
+                        else:
+                            drop = predicates.prune_monotone(
+                                op, tv, "", ""
+                            )
+                        continue
+                    if op == "is_null":
+                        drop = True  # null-preserving: no row is null
+                        continue
+                    if op == "not_null":
+                        continue
+                    proj = _project_pred(fld["transform"], op, value, rt)
+                    if proj is None:
+                        continue
+                    kind, tv = proj
+                    if kind == "exact" or kind == "eq_only":
+                        drop = predicates.prune_by_point(op, tv, p)
+                    else:
+                        drop = predicates.prune_monotone(op, tv, p, p)
                 if col in ids and not drop:
                     lo = self._bound(f.get("lower_bounds"), ids[col])
                     hi = self._bound(f.get("upper_bounds"), ids[col])
-                    if lo is not None and _lt(val, lo):
-                        drop = True
-                    if hi is not None and _lt(hi, val):
-                        drop = True
+                    nc = _kv_long(f.get("null_value_counts"), ids[col])
+                    nr = f.get("record_count")
+                    ftype = types.get(col)
+                    if op == "in":
+                        nv = [_norm_expected(v, ftype) for v in value]
+                    elif op in predicates.NULL_OPS:
+                        nv = None
+                    else:
+                        nv = _norm_expected(value, ftype)
+                    drop = predicates.prune_by_bounds(
+                        op, nv, lo, hi,
+                        null_count=nc,
+                        num_records=nr if isinstance(nr, int) else None,
+                    )
             if not drop:
                 kept.append(f)
         return kept
@@ -758,18 +840,18 @@ class IcebergTable:
         snapshot_id: int | None = None,
         as_of_ms: int | None = None,
         eq_filters: Mapping[str, object] | None = None,
+        filters=None,
     ) -> tuple[list[dict], list[dict]]:
         """(pruned live data files, live delete files) in ONE manifest
         walk — read/row_count would otherwise pay the full metadata walk
         twice (data_files + delete_files), which at 10⁵-10⁶ files is
         the dominant planning cost."""
+        preds = _combine_filters(eq_filters, filters)
         snap = self.resolve_snapshot(snapshot_id, as_of_ms)
-        data_entries, delete_entries = self._live_entries(
-            snap, eq_filters
-        )
+        data_entries, delete_entries = self._live_entries(snap, preds)
         return (
             self._prune_files(
-                [e["data_file"] for e in data_entries], eq_filters
+                [e["data_file"] for e in data_entries], preds
             ),
             [e["data_file"] for e in delete_entries],
         )
@@ -995,6 +1077,7 @@ class IcebergTable:
         as_of_ms: int | None = None,
         eq_filters: Mapping[str, object] | None = None,
         ref: str | None = None,
+        filters=None,
     ) -> DataFrame:
         """One distributed scan over the live data files; v2 row-level
         deletes (when present) merge in via anti-joins against
@@ -1007,15 +1090,26 @@ class IcebergTable:
         pay nothing (the plain pushdown-friendly scan).
 
         ``ref`` reads a named reference (branch/tag from the spec's
-        refs map) instead of the current snapshot."""
+        refs map) instead of the current snapshot.
+
+        ``eq_filters`` prunes the scan to a SUPERSET of the matching
+        files (legacy contract — the caller re-filters). ``filters``
+        (``(col, op, value)`` triples, ops ``= < <= > >= in is_null
+        not_null``) prunes the same three metadata levels AND re-applies
+        the exact predicate to the surviving rows, so the result equals
+        an unpruned read + filter."""
         if ref is not None:
             snapshot_id = self.resolve_snapshot(ref=ref)["snapshot-id"]
+        preds = predicates.normalize_filters(filters)
         files, deletes = self._plan_scan(
-            snapshot_id, as_of_ms, eq_filters
+            snapshot_id, as_of_ms, eq_filters, filters
         )
         if not files:
             return self.spark.createDataFrame([], self.spark_schema())
-        return _read_files_with_deletes(self, files, deletes)
+        df = _read_files_with_deletes(self, files, deletes)
+        if preds:
+            df = df.filter(predicates.residual_condition(preds))
+        return df
 
     # --------------------------------------------- metadata tables
     def inspect(self, kind: str) -> DataFrame:
@@ -1483,7 +1577,9 @@ def _apply_transform(transform: str, value):
 def _norm_expected(expected, result_type):
     """Comparable form of an expected partition value against stored/
     serialized partition values: identity-on-date values are stored as
-    days-since-epoch ints (the spec's date representation)."""
+    days-since-epoch ints, timestamps as micros-since-epoch longs (the
+    spec's physical representations). Integer arithmetic throughout —
+    a float detour would put the skip decision one ulp from wrong."""
     import datetime as dt
 
     if (
@@ -1492,7 +1588,81 @@ def _norm_expected(expected, result_type):
         and not isinstance(expected, dt.datetime)
     ):
         return (expected - dt.date(1970, 1, 1)).days
+    if (
+        result_type in ("timestamp", "timestamptz")
+        and isinstance(expected, dt.datetime)
+    ):
+        epoch = dt.datetime(1970, 1, 1, tzinfo=expected.tzinfo)
+        return (expected - epoch) // dt.timedelta(microseconds=1)
     return expected
+
+
+def _combine_filters(
+    eq_filters: Mapping[str, object] | None, filters
+) -> list[tuple] | None:
+    """One normalized predicate list from the legacy equality mapping
+    plus the general triples. None-valued eq entries drop (the legacy
+    path never pruned on them; ``= NULL`` matches nothing anyway and the
+    legacy callers re-filter)."""
+    preds = predicates.normalize_filters(filters)
+    if eq_filters:
+        preds = [
+            (c, "=", v) for c, v in eq_filters.items() if v is not None
+        ] + preds
+    return preds or None
+
+
+def _project_pred(transform: str, op: str, value, result_type):
+    """``(kind, transformed value)`` projecting ``col op value`` into a
+    transform's partition space, or None when the transform/op/value
+    combination cannot prune. Kinds: ``exact`` (identity — partition
+    value IS the column value, boundary equality prunes), ``monotone``
+    (day/month/year/hour/truncate — the inclusive projection),
+    ``eq_only`` (bucket — hashes only support equality). ``in`` projects
+    element-wise and degrades to None if ANY element does."""
+    if op == "in":
+        parts = [
+            _project_pred(transform, "=", v, result_type) for v in value
+        ]
+        if any(p is None for p in parts):
+            return None
+        kinds = {k for k, _ in parts}
+        if len(kinds) != 1:
+            return None  # pragma: no cover - same transform, same kind
+        return kinds.pop(), [tv for _, tv in parts]
+    if transform == "identity":
+        return "exact", _norm_expected(value, result_type)
+    if transform.startswith("bucket"):
+        if op != "=":
+            return None
+        tv = _apply_transform(transform, value)
+        if tv is _UNPRUNABLE or tv is None:
+            return None
+        return "eq_only", tv
+    if transform in ("day", "month", "year", "hour") or (
+        transform.startswith("truncate")
+    ):
+        tv = _apply_transform(transform, value)
+        if tv is _UNPRUNABLE or tv is None:
+            return None
+        return "monotone", _norm_expected(tv, result_type)
+    return None
+
+
+def _kv_long(container, field_id: int) -> int | None:
+    """A plain-long value from an Avro key/value-list or dict container
+    (null_value_counts / value_counts) — None when absent/unusable."""
+    if not container:
+        return None
+    raw = None
+    if isinstance(container, dict):
+        raw = container.get(field_id, container.get(str(field_id)))
+    else:
+        for kv in container:
+            if kv.get("key") == field_id:
+                raw = kv.get("value")
+                break
+    return raw if isinstance(raw, int) and not isinstance(raw, bool) else None
 
 
 def _part_eq(stored, expected) -> bool:
@@ -1975,6 +2145,12 @@ def _partition_summaries(
             (f.get("partition") or {}).get(pf["name"]) for f in files
         ]
         non_null = [v for v in vals if v is not None]
+        if pf["_avro_type"] == "string" and len(non_null) < len(vals):
+            # hive staging folds '' into the NULL directory (CLAUDE.md
+            # trap), so a None partition value on a STRING field may
+            # stand for ''-valued rows — the stored bounds must cover
+            # them or a reader's summary pruning drops real data
+            non_null = non_null + [""]
         summaries.append({
             "contains_null": any(v is None for v in vals),
             "lower_bound": _encode_bound(
@@ -2476,20 +2652,38 @@ def _file_column_bounds(pf, field_ids: dict | None):
     }
     mins: dict[str, object] = {}
     maxs: dict[str, object] = {}
-    for rg in range(meta.num_row_groups):
+    cover: dict[str, int] = {}
+    groups = [
+        meta.row_group(rg)
+        for rg in range(meta.num_row_groups)
+        if meta.row_group(rg).num_rows > 0
+    ]
+    for g in groups:
         for ci in range(meta.num_columns):
-            col = meta.row_group(rg).column(ci)
+            col = g.column(ci)
             name = col.path_in_schema
             if "." in name or name not in field_ids:
                 continue
             st = col.statistics
-            if st is None or not st.has_min_max:
+            if st is None:
                 continue
+            if not st.has_min_max:
+                if st.null_count == g.num_rows:
+                    # an all-null group holds no comparable values and
+                    # cannot invalidate the other groups' bounds
+                    cover[name] = cover.get(name, 0) + 1
+                continue
+            cover[name] = cover.get(name, 0) + 1
             if name in mins:
                 mins[name] = min(mins[name], st.min)
                 maxs[name] = max(maxs[name], st.max)
             else:
                 mins[name], maxs[name] = st.min, st.max
+    # a column's aggregate is a valid FILE bound only when every
+    # non-empty row group contributed (parquet writers drop per-group
+    # stats for oversized values — a partial cover may exclude them)
+    mins = {n: v for n, v in mins.items() if cover.get(n) == len(groups)}
+    maxs = {n: v for n, v in maxs.items() if n in mins}
     lower, upper = [], []
     for name in sorted(mins):
         at = arrow_types.get(name)

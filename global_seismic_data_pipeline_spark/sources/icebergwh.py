@@ -107,8 +107,12 @@ class IcebergWarehouse(Warehouse):
         ib.set_properties(self.spark, self._require_table(name), props)
 
     # -- read / write -------------------------------------------------------
-    def read(self, name: str) -> DataFrame:
-        return self.table(name).read()
+    def read(self, name: str, filters=None) -> DataFrame:
+        """``filters`` (optional ``(col, op, value)`` conjunction)
+        engages manifest/partition/column-bounds scan pruning — see
+        ``IcebergTable.read``; the result always equals an unpruned
+        read + filter."""
+        return self.table(name).read(filters=filters)
 
     def append(
         self, df: DataFrame, name: str, partition_by: Sequence[str] = ()

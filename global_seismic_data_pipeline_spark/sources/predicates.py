@@ -1,0 +1,265 @@
+"""Conservative predicate primitives shared by the file-skipping planners.
+
+Both lakehouse readers prune their driver-side file listings before any
+data file opens — Delta through ``add.stats`` (numRecords / minValues /
+maxValues / nullCount) and partitionValues, Iceberg through manifest-list
+partition summaries, per-file partition records, and per-file column
+bounds. At 100 TB the planner walks metadata for 10⁵-10⁶ files; a
+predicate that proves a file irrelevant saves opening it at all, which is
+the entire point of log-resident stats (the reference leans on exactly
+this via Delta + ZORDER, ref: TABLE OPTIMIZATION.py:33-36). This module
+holds the PURE decision logic so both backends share one audited core:
+
+- a filter is a conjunction of ``(column, op, value)`` triples with
+  ops ``= < <= > >= in is_null not_null`` (:func:`normalize_filters`);
+- :func:`prune_by_bounds` decides from a [lo, hi] interval + null
+  counts (Delta stats, Iceberg column bounds, manifest summaries over
+  identity transforms);
+- :func:`prune_by_point` decides from a single partition value
+  (identity-transformed partition columns — every row of the file
+  shares the value, so boundary equality prunes too);
+- :func:`prune_monotone` decides in TRANSFORMED space for monotone
+  non-decreasing transforms (day/month/year/hour/truncate): the
+  spec's inclusive projection — ``x < v`` loosens to ``t(x) <= t(v)``,
+  so only a strict bound violation prunes;
+- :func:`residual_condition` rebuilds the EXACT predicate as a Spark
+  Column — pruning is always a superset guarantee and the residual
+  re-applies (and pushes into the parquet scans), so a wrong skip is
+  impossible to mask: it would drop rows and fail the oracles.
+
+Every decision is phrased as "prune only on a PROVEN violation":
+comparisons that raise ``TypeError`` (mismatched literal types,
+naive-vs-aware timestamps) never prune, and equality is proven only
+through the order (``a < b or b < a``) so a type-mismatched pair keeps
+the file instead of wrongly dropping it.
+
+NULL/'' ambiguity: both writers stage through hive-style directories,
+which fold NULL and the empty string into one ``__HIVE_DEFAULT_
+PARTITION__`` component (CLAUDE.md trap). A ``None`` partition point on
+a STRING column therefore means "every row is NULL *or* ''" —
+:func:`prune_by_point` takes ``string_ambiguous=True`` there and prunes
+only when BOTH readings prune.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+RANGE_OPS = frozenset({"=", "<", "<=", ">", ">=", "in"})
+NULL_OPS = frozenset({"is_null", "not_null"})
+OPS = RANGE_OPS | NULL_OPS
+
+_OP_ALIASES = {
+    "==": "=",
+    "isnull": "is_null",
+    "isnotnull": "not_null",
+    "notnull": "not_null",
+}
+
+
+def normalize_filters(filters) -> list[tuple[str, str, object]]:
+    """Validated ``(column, op, value)`` triples from a user filter spec:
+    a mapping is shorthand for equality on every entry; an iterable may
+    mix 3-tuples and 2-tuples (the null ops take no value). ``None``
+    literals refuse loudly — SQL ``col = NULL`` matches nothing, which
+    silently pruning EVERYTHING would "honor" in the worst possible way;
+    the caller wants ``is_null``."""
+    if filters is None:
+        return []
+    if isinstance(filters, Mapping):
+        filters = [(c, "=", v) for c, v in filters.items()]
+    out: list[tuple[str, str, object]] = []
+    for f in filters:
+        f = tuple(f)
+        if len(f) == 2:
+            col, op = f
+            value = None
+        elif len(f) == 3:
+            col, op, value = f
+        else:
+            raise ValueError(f"filter {f!r}: expected (col, op[, value])")
+        op = _OP_ALIASES.get(op, op)
+        if op not in OPS:
+            raise ValueError(
+                f"filter {f!r}: op must be one of {sorted(OPS)}"
+            )
+        if not isinstance(col, str) or not col:
+            raise ValueError(f"filter {f!r}: column must be a string")
+        if op == "in":
+            value = list(value)
+            if any(v is None for v in value):
+                raise ValueError(
+                    f"filter {f!r}: IN lists may not contain None — a "
+                    "NULL never matches; add ('" + col + "', 'is_null') "
+                    "as a separate disjunct if you mean it"
+                )
+        elif op in RANGE_OPS and value is None:
+            raise ValueError(
+                f"filter {f!r}: {op} with None matches no row — use "
+                f"('{col}', 'is_null')"
+            )
+        elif op in NULL_OPS and len(f) == 3 and value is not None:
+            raise ValueError(f"filter {f!r}: {op} takes no value")
+        out.append((col, op, value))
+    return out
+
+
+def residual_condition(
+    preds: list[tuple[str, str, object]],
+) -> Column:
+    """The exact predicate as one Spark conjunction — applied to the
+    pruned scan so the result is identical to an unpruned
+    read-then-filter, whatever the pruning decided."""
+    cond = F.lit(True)
+    for col, op, value in preds:
+        c = F.col(col)
+        if op == "=":
+            cond = cond & (c == F.lit(value))
+        elif op == "<":
+            cond = cond & (c < F.lit(value))
+        elif op == "<=":
+            cond = cond & (c <= F.lit(value))
+        elif op == ">":
+            cond = cond & (c > F.lit(value))
+        elif op == ">=":
+            cond = cond & (c >= F.lit(value))
+        elif op == "in":
+            cond = cond & c.isin(list(value))
+        elif op == "is_null":
+            cond = cond & c.isNull()
+        else:  # not_null
+            cond = cond & c.isNotNull()
+    return cond
+
+
+def _lt(a, b) -> bool:
+    """Proven ``a < b`` — un-comparable pairs return False (never
+    prune on a comparison that cannot be made)."""
+    try:
+        return a < b
+    except TypeError:
+        return False
+
+
+def _le(a, b) -> bool:
+    """Proven ``a <= b`` — order-proof or equality; mismatched-type
+    ``==`` is False (not an exception), so this stays conservative."""
+    if _lt(a, b):
+        return True
+    try:
+        return bool(a == b)
+    except TypeError:  # pragma: no cover - defensive; == rarely raises
+        return False
+
+
+def prune_by_bounds(
+    op: str,
+    value,
+    lo,
+    hi,
+    *,
+    null_count: int | None = None,
+    num_records: int | None = None,
+) -> bool:
+    """True when the interval [lo, hi] of a file's NON-NULL values (plus
+    the null counts, when known) PROVES no row satisfies ``col op value``.
+    ``None`` bounds mean "unknown" and block the corresponding proof;
+    min/max skip nulls, so an all-null file (null_count == numRecords)
+    fails every value comparison regardless of the bounds."""
+    if op == "is_null":
+        return null_count is not None and null_count == 0
+    if op == "not_null":
+        return (
+            null_count is not None
+            and num_records is not None
+            and null_count >= num_records
+        )
+    if (
+        null_count is not None
+        and num_records is not None
+        and null_count >= num_records
+    ):
+        return True  # no non-null values at all
+    if op == "in":
+        # an empty IN list matches nothing: all() over [] prunes, which
+        # is exactly SQL's x IN () = false
+        return all(prune_by_bounds("=", v, lo, hi) for v in value)
+    if op == "=":
+        return (lo is not None and _lt(value, lo)) or (
+            hi is not None and _lt(hi, value)
+        )
+    if op == "<":  # needs some x < value, possible only if lo < value
+        return lo is not None and _le(value, lo)
+    if op == "<=":
+        return lo is not None and _lt(value, lo)
+    if op == ">":
+        return hi is not None and _le(hi, value)
+    if op == ">=":
+        return hi is not None and _lt(hi, value)
+    raise ValueError(f"unknown op {op!r}")
+
+
+def prune_by_point(
+    op: str,
+    value,
+    point,
+    *,
+    string_ambiguous: bool = False,
+) -> bool:
+    """True when a single shared partition value PROVES no row matches —
+    an identity-partitioned file where EVERY row's column equals
+    ``point``, so boundary equality prunes too (``x < v`` on a file
+    whose point == v matches nothing).
+
+    ``point=None`` normally means every row is NULL. With
+    ``string_ambiguous=True`` (hive-staged STRING partition columns) it
+    may also mean every row is ``''`` — then both readings must prune."""
+    if point is None:
+        pruned_as_null = op != "is_null"
+        if not string_ambiguous:
+            return pruned_as_null
+        return pruned_as_null and prune_by_point(op, value, "")
+    if op == "is_null":
+        return True  # a non-null point proves no row is NULL
+    if op == "not_null":
+        return False
+    if op == "in":
+        return all(prune_by_point("=", v, point) for v in value)
+    if op == "=":
+        # equality is only DISproven through the order — a type-
+        # mismatched pair keeps the file instead of wrongly dropping it
+        return _lt(point, value) or _lt(value, point)
+    if op == "<":
+        return _le(value, point)
+    if op == "<=":
+        return _lt(value, point)
+    if op == ">":
+        return _le(point, value)
+    if op == ">=":
+        return _lt(point, value)
+    raise ValueError(f"unknown op {op!r}")
+
+
+def prune_monotone(op: str, tvalue, lo, hi) -> bool:
+    """True when a monotone non-decreasing transform's partition range
+    [lo, hi] PROVES no row matches — the Iceberg inclusive projection:
+    ``x < v`` implies ``t(x) <= t(v)``, so only ``hi/lo`` strictly past
+    ``t(v)`` prunes; boundary equality never does (a day-partition equal
+    to day(v) may still hold rows on either side of v). ``tvalue`` is
+    the ALREADY-TRANSFORMED literal; ``op`` ``in`` takes a list of
+    transformed elements. Null ops never reach here (the partition
+    point/contains_null paths own them)."""
+    if op == "in":
+        return all(prune_monotone("=", tv, lo, hi) for tv in tvalue)
+    if op == "=":
+        return (lo is not None and _lt(tvalue, lo)) or (
+            hi is not None and _lt(hi, tvalue)
+        )
+    if op in ("<", "<="):
+        return lo is not None and _lt(tvalue, lo)
+    if op in (">", ">="):
+        return hi is not None and _lt(hi, tvalue)
+    return False

@@ -1100,16 +1100,21 @@ def test_iceberg_hour_partition_negative_epoch_pruning(
     monkeypatch.setattr(iceberg.avrofile, "read_file", counting)
     t2 = iceberg.IcebergTable(spark, loc)
     files = t2.data_files(
-        eq_filters={"ts": dt.datetime(1969, 12, 31, 23, 45)}
+        eq_filters={"ts": dt.datetime(1969, 12, 31, 23, 30)}
     )
     assert len(files) == 1 and files[0]["partition"]["ts_hour"] == -1
     # the all-positive manifest was pruned UNOPENED via its summary
     assert len([p for p in opened if p.startswith("manifest-")]) == 1
+    # a probe in hour -1 but between rows prunes to ZERO now — column
+    # bounds compare in exact micros (still a superset: nothing matches)
+    assert t2.data_files(
+        eq_filters={"ts": dt.datetime(1969, 12, 31, 23, 45)}
+    ) == []
     monkeypatch.setattr(iceberg.avrofile, "read_file", real)
     assert {
         r.id
         for r in t2.read(
-            eq_filters={"ts": dt.datetime(1969, 12, 31, 23, 45)}
+            eq_filters={"ts": dt.datetime(1969, 12, 31, 23, 30)}
         ).collect()
     } == {1}
 
@@ -1276,13 +1281,17 @@ def test_iceberg_writer_hour_and_date_identity(spark, tmp_path):
         for f in t.data_files()
     }
     assert (h0, day0) in parts and (None, None) in parts
-    # hour pruning: 5:xx on Jan 1 selects exactly the h0 files
+    # hour pruning: a real 5:xx value on Jan 1 selects only h0 files
     files = t.data_files(
-        eq_filters={"ts": dt.datetime(2024, 1, 1, 5, 1)}
+        eq_filters={"ts": dt.datetime(2024, 1, 1, 5, 30)}
     )
     assert files and all(
         f["partition"]["ts_hour"] == h0 for f in files
     )
+    # a 5:xx value no row holds prunes to ZERO via exact micros bounds
+    assert t.data_files(
+        eq_filters={"ts": dt.datetime(2024, 1, 1, 5, 1)}
+    ) == []
     # identity-on-date pruning via the days-int stored value
     files_d = t.data_files(eq_filters={"d": dt.date(2024, 1, 2)})
     assert files_d and all(
