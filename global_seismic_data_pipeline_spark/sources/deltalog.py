@@ -1095,7 +1095,7 @@ def _prune_adds(
         lf.name: pf.name
         for lf, pf in zip(schema.fields, phys_schema.fields)
     }
-    plan = []  # (col, op, value, coerced, physical name, is partition)
+    plan = []  # (col, op, coerced value, physical name, is part, type, dbl)
     for col, op, value in preds:
         tn = type_of[col]
         if op == "in":
@@ -1105,7 +1105,16 @@ def _prune_adds(
             cv = None
         else:
             cv = _coerce_literal(value, tn)
-        plan.append((col, op, cv, phys_of[col], col in pcols, tn))
+        # a FLOAT literal pushes the whole comparison into double space
+        # (both engines cast the column) — the skip decision must live
+        # in the same space (see predicates.double_space)
+        dbl = isinstance(cv, float) or (
+            isinstance(cv, list) and any(isinstance(v, float) for v in cv)
+        )
+        if dbl and isinstance(cv, list):
+            cv = [predicates.double_space(v) for v in cv]
+            cv = _SKIP if any(v is None for v in cv) else cv
+        plan.append((col, op, cv, phys_of[col], col in pcols, tn, dbl))
     kept = []
     for add in files:
         if not _add_pruned(add, plan):
@@ -1115,7 +1124,7 @@ def _prune_adds(
 
 def _add_pruned(add: Mapping, plan: list[tuple]) -> bool:
     stats = _SKIP  # parsed lazily, once per add
-    for col, op, cv, pname, is_part, tn in plan:
+    for col, op, cv, pname, is_part, tn, dbl in plan:
         if cv is _SKIP:
             continue
         if is_part:
@@ -1125,6 +1134,8 @@ def _add_pruned(add: Mapping, plan: list[tuple]) -> bool:
             point = _typed_partition_value(pv[pname], tn)
             if point is _SKIP:
                 continue
+            if dbl and point is not None:
+                point = predicates.double_space(point)
             if predicates.prune_by_point(
                 op, cv, point, string_ambiguous=(tn == "string")
             ):
@@ -1146,12 +1157,18 @@ def _add_pruned(add: Mapping, plan: list[tuple]) -> bool:
         )
         if lo is _SKIP or hi is _SKIP:
             lo = hi = None
+        if dbl:
+            lo = predicates.double_space(lo)
+            hi = predicates.double_space(hi)
         nc = (stats.get("nullCount") or {}).get(pname)
         nr = stats.get("numRecords")
         if predicates.prune_by_bounds(
             op, cv, lo, hi,
             null_count=nc if isinstance(nc, int) else None,
             num_records=nr if isinstance(nr, int) else None,
+            # float/double parquet stats exclude NaN, which both
+            # engines order greater than everything
+            nan_hidden=tn in ("float", "double"),
         ):
             return True
     return False

@@ -562,7 +562,14 @@ class IcebergTable:
                     continue
                 kind, tv = proj
                 if kind == "exact":
-                    if predicates.prune_by_bounds(op, tv, lo, hi):
+                    l2, h2 = lo, hi
+                    if _is_float_pred(op, tv):
+                        l2 = predicates.double_space(l2)
+                        h2 = predicates.double_space(h2)
+                    if predicates.prune_by_bounds(
+                        op, tv, l2, h2,
+                        nan_hidden=rt in ("float", "double"),
+                    ):
                         return True
                 elif predicates.prune_monotone(op, tv, lo, hi):
                     return True
@@ -702,12 +709,32 @@ class IcebergTable:
         min/max stats). Unknown transforms / missing bounds /
         un-decodable types keep the file — pruning is an optimization,
         never a correctness filter."""
+        self._check_filter_columns(filters)
         preds = _combine_filters(eq_filters, filters)
         snap = self.resolve_snapshot(snapshot_id, as_of_ms)
         entries = self._entries(snap, preds)
         return self._prune_files(
             [e["data_file"] for e in entries], preds
         )
+
+    def _check_filter_columns(self, filters) -> None:
+        """Unknown ``filters`` columns refuse loudly — a typo would
+        otherwise silently prune nothing (the Delta twin refuses for
+        the same reason; legacy ``eq_filters`` keeps its lenient
+        contract)."""
+        if not filters:
+            return
+        names = {f["name"] for f in self.schema_json()["fields"]}
+        unknown = sorted({
+            c
+            for c, _, _ in predicates.normalize_filters(filters)
+            if c not in names
+        })
+        if unknown:
+            raise ValueError(
+                f"filter column(s) {unknown} not in table schema "
+                f"{sorted(names)}"
+            )
 
     def _prune_files(
         self,
@@ -758,12 +785,16 @@ class IcebergTable:
             for f in self.schema_json()["fields"]
             if isinstance(f["type"], str)
         }
+        enriched = [
+            (col, op, value, _is_float_pred(op, value))
+            for col, op, value in preds
+        ]
         kept = []
         for f in files:
             part = f.get("partition") or {}
             by_source = _by_source(f.get("_spec_id", default_sid)) or {}
             drop = False
-            for col, op, value in preds:
+            for col, op, value, dbl in enriched:
                 if drop:
                     break
                 for fld in by_source.get(col, []):
@@ -810,6 +841,8 @@ class IcebergTable:
                     if proj is None:
                         continue
                     kind, tv = proj
+                    if dbl:
+                        p = predicates.double_space(p)
                     if kind == "exact" or kind == "eq_only":
                         drop = predicates.prune_by_point(op, tv, p)
                     else:
@@ -826,10 +859,16 @@ class IcebergTable:
                         nv = None
                     else:
                         nv = _norm_expected(value, ftype)
+                    if dbl:
+                        lo = predicates.double_space(lo)
+                        hi = predicates.double_space(hi)
                     drop = predicates.prune_by_bounds(
                         op, nv, lo, hi,
                         null_count=nc,
                         num_records=nr if isinstance(nr, int) else None,
+                        # parquet float/double stats exclude NaN, which
+                        # both engines order greater than everything
+                        nan_hidden=ftype in ("float", "double"),
                     )
             if not drop:
                 kept.append(f)
@@ -846,6 +885,7 @@ class IcebergTable:
         walk — read/row_count would otherwise pay the full metadata walk
         twice (data_files + delete_files), which at 10⁵-10⁶ files is
         the dominant planning cost."""
+        self._check_filter_columns(filters)
         preds = _combine_filters(eq_filters, filters)
         snap = self.resolve_snapshot(snapshot_id, as_of_ms)
         data_entries, delete_entries = self._live_entries(snap, preds)
@@ -1518,8 +1558,13 @@ def _bucket_hash(value) -> int | None:
     if isinstance(value, bool):
         return None
     if isinstance(value, dt.datetime):
-        epoch = dt.datetime(1970, 1, 1, tzinfo=value.tzinfo)
-        value = int((value - epoch).total_seconds() * 1_000_000)
+        # UTC-normalize first (a same-zone epoch is NOT the epoch) and
+        # stay in integer micros — total_seconds() floats round odd
+        # microsecond counts and would bucket boundary values wrong
+        value = _utc_naive(value)
+        value = (value - dt.datetime(1970, 1, 1)) // dt.timedelta(
+            microseconds=1
+        )
     elif isinstance(value, dt.date):
         value = (value - dt.date(1970, 1, 1)).days
     if isinstance(value, int):
@@ -1557,12 +1602,14 @@ def _apply_transform(transform: str, value):
     if transform == "hour":
         if not isinstance(value, dt.datetime):
             return _UNPRUNABLE
-        epoch = dt.datetime(1970, 1, 1, tzinfo=value.tzinfo)
-        secs = (value - epoch).total_seconds()
-        return int(secs // 3600)
+        value = _utc_naive(value)
+        micros = (value - dt.datetime(1970, 1, 1)) // dt.timedelta(
+            microseconds=1
+        )
+        return micros // 3_600_000_000  # integer floor, no float detour
     if transform in ("day", "month", "year"):
         if isinstance(value, dt.datetime):
-            value = value.date()
+            value = _utc_naive(value).date()
         if not isinstance(value, dt.date):
             return _UNPRUNABLE
         epoch = dt.date(1970, 1, 1)
@@ -1572,6 +1619,18 @@ def _apply_transform(transform: str, value):
             return (value.year - 1970) * 12 + (value.month - 1)
         return value.year - 1970
     return _UNPRUNABLE
+
+
+def _utc_naive(value):
+    """tz-aware datetimes as UTC-naive (naive assumed UTC — the session
+    discipline): partition transforms and stored micros are defined on
+    the UTC timeline, and an epoch placed in the VALUE'S zone would
+    shift every comparison by the offset."""
+    import datetime as dt
+
+    if isinstance(value, dt.datetime) and value.tzinfo is not None:
+        return value.astimezone(dt.timezone.utc).replace(tzinfo=None)
+    return value
 
 
 def _norm_expected(expected, result_type):
@@ -1592,9 +1651,19 @@ def _norm_expected(expected, result_type):
         result_type in ("timestamp", "timestamptz")
         and isinstance(expected, dt.datetime)
     ):
-        epoch = dt.datetime(1970, 1, 1, tzinfo=expected.tzinfo)
+        expected = _utc_naive(expected)
+        epoch = dt.datetime(1970, 1, 1)
         return (expected - epoch) // dt.timedelta(microseconds=1)
     return expected
+
+
+def _is_float_pred(op: str, value) -> bool:
+    """True when the literal (or any IN element) is a Python float —
+    the engines then evaluate the comparison in double space and the
+    skip decision must follow (predicates.double_space)."""
+    if op == "in":
+        return any(isinstance(v, float) for v in value)
+    return isinstance(value, float)
 
 
 def _combine_filters(
@@ -2151,6 +2220,11 @@ def _partition_summaries(
             # stand for ''-valued rows — the stored bounds must cover
             # them or a reader's summary pruning drops real data
             non_null = non_null + [""]
+        if any(isinstance(v, float) and v != v for v in non_null):
+            # Python min/max over a NaN-bearing list is order-dependent
+            # and a finite bound would HIDE the NaN partition (both
+            # engines order NaN greatest) — omit bounds, never prune
+            non_null = []
         summaries.append({
             "contains_null": any(v is None for v in vals),
             "lower_bound": _encode_bound(
@@ -2627,14 +2701,23 @@ def _encode_stat(value, atype) -> bytes | None:
         return None
     if pa.types.is_timestamp(atype):
         if isinstance(value, dt.datetime):
-            epoch = dt.datetime(1970, 1, 1, tzinfo=value.tzinfo)
-            td = value - epoch
+            td = _utc_naive(value) - dt.datetime(1970, 1, 1)
             micros = (
                 (td.days * 86400 + td.seconds) * 1_000_000
                 + td.microseconds
             )
             return micros.to_bytes(8, "little", signed=True)
         return None
+    if pa.types.is_float32(atype) or pa.types.is_float64(atype):
+        import struct as _struct
+
+        if not isinstance(value, float) or value != value:
+            return None  # NaN can never serve as a bound
+        fmt = "<f" if pa.types.is_float32(atype) else "<d"
+        try:
+            return _struct.pack(fmt, value)
+        except (OverflowError, _struct.error):
+            return None
     return None
 
 

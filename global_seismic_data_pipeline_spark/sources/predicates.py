@@ -163,12 +163,19 @@ def prune_by_bounds(
     *,
     null_count: int | None = None,
     num_records: int | None = None,
+    nan_hidden: bool = False,
 ) -> bool:
     """True when the interval [lo, hi] of a file's NON-NULL values (plus
     the null counts, when known) PROVES no row satisfies ``col op value``.
     ``None`` bounds mean "unknown" and block the corresponding proof;
     min/max skip nulls, so an all-null file (null_count == numRecords)
-    fails every value comparison regardless of the bounds."""
+    fails every value comparison regardless of the bounds.
+
+    ``nan_hidden=True`` for float/double columns: parquet min/max stats
+    EXCLUDE NaN while both engines order NaN greater than every value,
+    so an upper bound can never disprove ``>``/``>=`` — a hidden NaN row
+    would match. (NaN LITERALS stay safe automatically: every Python
+    comparison against NaN is False, so no rule fires.)"""
     if op == "is_null":
         return null_count is not None and null_count == 0
     if op == "not_null":
@@ -183,6 +190,8 @@ def prune_by_bounds(
         and null_count >= num_records
     ):
         return True  # no non-null values at all
+    if nan_hidden and op in (">", ">="):
+        return False
     if op == "in":
         # an empty IN list matches nothing: all() over [] prunes, which
         # is exactly SQL's x IN () = false
@@ -241,6 +250,24 @@ def prune_by_point(
     if op == ">=":
         return _lt(point, value)
     raise ValueError(f"unknown op {op!r}")
+
+
+def double_space(x):
+    """Map an exact bound/point (int, Decimal) into IEEE double space
+    for comparison against a FLOAT literal — both engines evaluate such
+    predicates after casting the column to double, so the skip decision
+    must happen in the same (lossy, monotone non-decreasing) space or a
+    boundary value prunes a row the residual would match (e.g.
+    Decimal('0.1') < 0.1 exactly, but double(0.1dec) == 0.1). None and
+    un-convertible values pass through; conversion failures keep."""
+    import decimal as _decimal
+
+    if isinstance(x, (int, _decimal.Decimal)) and not isinstance(x, bool):
+        try:
+            return float(x)
+        except (OverflowError, ValueError):
+            return None  # unknown bound — blocks the proof, never prunes
+    return x
 
 
 def prune_monotone(op: str, tvalue, lo, hi) -> bool:

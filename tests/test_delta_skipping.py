@@ -14,6 +14,7 @@ import pytest
 
 from pyspark.sql import functions as F
 
+from global_seismic_data_pipeline_spark.session import tiny_df
 from global_seismic_data_pipeline_spark.sources import deltalog as dl
 from global_seismic_data_pipeline_spark.sources.deltawh import DeltaLogWarehouse
 
@@ -100,10 +101,10 @@ def test_empty_result_and_empty_in(spark, tmp_path):
 
 def test_null_semantics_in_stats(spark, tmp_path):
     p = str(tmp_path / "t")
-    a = spark.createDataFrame([(1, None), (2, None)], "k int, x string")
-    b = spark.createDataFrame([(3, "hit"), (4, "miss")], "k int, x string")
-    dl.write_delta(a.coalesce(1), p, mode="error")
-    dl.write_delta(b.coalesce(1), p, mode="append")
+    a = tiny_df(spark, [(1, None), (2, None)], "k int, x string")
+    b = tiny_df(spark, [(3, "hit"), (4, "miss")], "k int, x string")
+    dl.write_delta(a, p, mode="error")
+    dl.write_delta(b, p, mode="append")
     # value predicates prune the all-null file
     kept, total = _parity(spark, p, [("x", "=", "hit")])
     assert (kept, total) == (1, 2)
@@ -223,11 +224,12 @@ def test_foreign_stats_iso_timestamps_prune(spark, tmp_path):
     """Stats written by real delta-spark carry ISO-8601 'T...Z' strings —
     the parser must read them; a malformed stats blob must keep."""
     p = str(tmp_path / "t")
-    df = spark.createDataFrame(
+    df = tiny_df(
+        spark,
         [(dt.datetime(2024, 1, 1, 0, 0),), (dt.datetime(2024, 1, 2, 0, 0),)],
         "ts timestamp",
     )
-    dl.write_delta(df.coalesce(1), p, mode="error")
+    dl.write_delta(df, p, mode="error")
     log = os.path.join(p, "_delta_log", f"{0:020d}.json")
     actions = [json.loads(x) for x in open(log) if x.strip()]
     for a in actions:
@@ -282,3 +284,47 @@ def test_stats_coverage_discipline(spark, tmp_path):
     assert s["minValues"] == {} and s["maxValues"] == {}
     assert s["nullCount"] == {}
     assert s["numRecords"] == 4
+
+
+def test_nan_rows_survive_float_pruning(spark, tmp_path):
+    """Parquet float stats EXCLUDE NaN while Spark orders NaN greater
+    than everything — an upper-bound skip on > / >= would silently drop
+    NaN rows."""
+    p = str(tmp_path / "t")
+    a = tiny_df(spark, [(1, 1.0), (2, float("nan"))], "k int, x double")
+    b = tiny_df(spark, [(3, 2.0), (4, 3.0)], "k int, x double")
+    dl.write_delta(a, p, mode="error")
+    dl.write_delta(b, p, mode="append")
+    got = dl.read_delta(spark, p, filters=[("x", ">", 100.0)])
+    assert [r.k for r in got.collect()] == [2]  # the NaN row matches
+    # lower-bound proofs still prune (NaN rows never satisfy < v)
+    kept, total = _parity(spark, p, [("x", "<", 1.5)])
+    assert (kept, total) == (1, 2)
+    # NaN literal: Spark treats NaN = NaN as true; no pruning may hide it
+    got = dl.read_delta(spark, p, filters=[("x", "=", float("nan"))])
+    assert [r.k for r in got.collect()] == [2]
+
+
+def test_float_literal_on_exact_typed_columns(spark, tmp_path):
+    """Float literals push the comparison into double space on the
+    engine side — the skip decision must follow (a Decimal/long bound
+    compared exactly would prune boundary rows Spark matches)."""
+    p = str(tmp_path / "t")
+    df = spark.sql(
+        "SELECT CAST(0.1 AS DECIMAL(3,1)) AS c, 1 AS k "
+        "UNION ALL SELECT CAST(0.2 AS DECIMAL(3,1)), 2"
+    )
+    dl.write_delta(df.repartition(1), p, mode="error")
+    got = dl.read_delta(spark, p, filters=[("c", "=", 0.1)])
+    assert [r.k for r in got.collect()] == [1]
+    kept, total = _parity(spark, p, [("c", "=", 0.1)])
+    assert kept == total == 1
+    # long column probed with the double-rounded neighbour of 2^53+1
+    p2 = str(tmp_path / "t2")
+    big = 2**53 + 1
+    dl.write_delta(
+        tiny_df(spark, [(big,)], "k long"), p2, mode="error"
+    )
+    got = dl.read_delta(spark, p2, filters=[("k", "=", float(2**53))])
+    # Spark casts long->double: 2^53+1 rounds to 2^53 and MATCHES
+    assert [r.k for r in got.collect()] == [big]

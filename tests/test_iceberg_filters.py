@@ -10,6 +10,7 @@ import datetime as dt
 
 import pytest
 
+from global_seismic_data_pipeline_spark.session import tiny_df
 from global_seismic_data_pipeline_spark.sources import iceberg
 from global_seismic_data_pipeline_spark.sources import predicates as P
 
@@ -178,12 +179,10 @@ def test_unpartitioned_bounds_pruning(spark, tmp_path):
     bounds (each append = one file here)."""
     loc = str(tmp_path / "t")
     t = iceberg.create_table(
-        spark,
-        loc,
-        spark.createDataFrame([(1,), (10,)], "k int").coalesce(1),
+        spark, loc, tiny_df(spark, [(1,), (10,)], "k int")
     )
     iceberg.append(
-        spark, loc, spark.createDataFrame([(100,), (200,)], "k int").coalesce(1)
+        spark, loc, tiny_df(spark, [(100,), (200,)], "k int")
     )
     t = iceberg.IcebergTable(spark, loc)
     assert len(t.data_files()) == 2
@@ -191,3 +190,44 @@ def test_unpartitioned_bounds_pruning(spark, tmp_path):
     assert _parity(t, [("k", ">=", 100)]) == 1
     assert _parity(t, [("k", "in", [10, 100])]) == 2
     assert _parity(t, [("k", ">", 200)]) == 0
+
+
+def test_tz_aware_filter_literals(spark, tmp_path):
+    """tz-aware literals must compare on the UTC timeline — an epoch
+    placed in the literal's own zone shifts every micros comparison by
+    the offset and prunes the matching file."""
+    loc = str(tmp_path / "t")
+    rows = [(dt.datetime(2024, 3, 1, 12, 0), 1),
+            (dt.datetime(2024, 3, 5, 12, 0), 2)]
+    t = iceberg.create_table(
+        spark, loc,
+        tiny_df(spark, rows, "ts timestamp, v int"),
+        partition_by=["day(ts)"],
+    )
+    plus2 = dt.timezone(dt.timedelta(hours=2))
+    # 14:00+02:00 == 12:00Z — the equality probe must keep file 1
+    aware = dt.datetime(2024, 3, 1, 14, 0, tzinfo=plus2)
+    assert _parity(t, [("ts", "=", aware)]) == 1
+    assert {r.v for r in t.read(filters=[("ts", "=", aware)]).collect()} == {1}
+    # range probe across the zone boundary stays exact
+    assert _parity(t, [("ts", ">", aware)]) == 1
+    # bucket hashing of aware datetimes lands in the same bucket as the
+    # equivalent naive-UTC instant
+    from global_seismic_data_pipeline_spark.sources.iceberg import _bucket_hash
+    assert _bucket_hash(aware) == _bucket_hash(dt.datetime(2024, 3, 1, 12, 0))
+
+
+def test_float_nan_and_unknown_column(spark, tmp_path):
+    loc = str(tmp_path / "t")
+    a = tiny_df(spark, [(1, 1.0), (2, float("nan"))], "k int, x double")
+    b = tiny_df(spark, [(3, 2.0), (4, 3.0)], "k int, x double")
+    t = iceberg.create_table(spark, loc, a)
+    iceberg.append(spark, loc, b)
+    t = iceberg.IcebergTable(spark, loc)
+    got = t.read(filters=[("x", ">", 100.0)])
+    assert [r.k for r in got.collect()] == [2]  # NaN row survives
+    assert _parity(t, [("x", "<", 1.5)]) == 1  # lower bound still prunes
+    with pytest.raises(ValueError, match="not in table schema"):
+        t.data_files(filters=[("nope", "=", 1)])
+    with pytest.raises(ValueError, match="not in table schema"):
+        t.read(filters=[("nope", "=", 1)])

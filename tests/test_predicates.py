@@ -210,3 +210,45 @@ def test_normalize_filters():
         P.normalize_filters([("a", "is_null", 3)])
     with pytest.raises(ValueError, match="column must be"):
         P.normalize_filters([(3, "=", 1)])
+
+
+def test_nan_hidden_guard():
+    """Float stats exclude NaN while engines order NaN greatest — an
+    upper bound must never disprove > / >= on float columns."""
+    assert not P.prune_by_bounds(">", 5.0, 1.0, 1.0, nan_hidden=True)
+    assert not P.prune_by_bounds(">=", 5.0, 1.0, 1.0, nan_hidden=True)
+    # without the flag (exact-typed columns) the proof stands
+    assert P.prune_by_bounds(">", 5.0, 1.0, 1.0)
+    # lower-bound proofs are unaffected (NaN rows never satisfy < v)
+    assert P.prune_by_bounds("<", 1.0, 1.0, 1.0, nan_hidden=True)
+    assert P.prune_by_bounds("=", 5.0, 1.0, 1.0, nan_hidden=True)
+    # an all-null file still prunes everything
+    assert P.prune_by_bounds(
+        ">", 5.0, None, None,
+        null_count=3, num_records=3, nan_hidden=True,
+    )
+    # NaN literals never prune anywhere (every comparison is False)
+    nan = float("nan")
+    for op in ("=", "<", "<=", ">", ">="):
+        assert not P.prune_by_bounds(op, nan, 1.0, 2.0)
+        assert not P.prune_by_point(op, nan, 1.0)
+
+
+def test_double_space_mapping():
+    import decimal
+
+    assert P.double_space(decimal.Decimal("0.1")) == 0.1
+    assert P.double_space(2**53 + 1) == float(2**53)
+    assert P.double_space(None) is None
+    assert P.double_space("x") == "x"
+    assert P.double_space(True) is True  # bools pass through untouched
+    # a bound too large for double blocks the proof instead of pruning
+    assert P.double_space(10**400) is None
+    # the divergence this exists for: exact comparison says 0.1dec < 0.1,
+    # double space says equal (what Spark/DuckDB evaluate)
+    assert decimal.Decimal("0.1") < 0.1
+    assert not P.prune_by_bounds(
+        "=", 0.1,
+        P.double_space(decimal.Decimal("0.1")),
+        P.double_space(decimal.Decimal("0.1")),
+    )
