@@ -987,6 +987,26 @@ def delta_scan_files(
     return _prune_adds(state, files, preds) if preds else files
 
 
+def prune_candidates_for_condition(
+    state: Mapping, files: list[dict], condition: str
+) -> list[dict]:
+    """Candidate adds for a DML probe scan over a SQL ``condition``
+    (replaceWhere, DV DELETE): when the condition is a simple
+    conjunction the extractor can represent, files whose log stats
+    prove no matching rows drop BEFORE the probe opens anything — the
+    100 TB point-DML shape. Unextractable conditions and unknown
+    columns keep everything (the probe itself then evaluates or
+    refuses); pruning here is a superset guarantee over affected
+    files, identical to the read path's."""
+    fs = predicates.filters_from_sql(condition)
+    if not fs:
+        return files
+    try:
+        return _prune_adds(state, files, predicates.normalize_filters(fs))
+    except ValueError:
+        return files  # unknown column — the probe's analysis will say so
+
+
 def _norm_ts(x):
     """Timestamps comparable across writers: aware → UTC-naive; naive
     assumed UTC (the session discipline, sources/session.py)."""

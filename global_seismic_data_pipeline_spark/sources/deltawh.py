@@ -414,6 +414,25 @@ class DeltaLogWarehouse(Warehouse):
             if own_cdc:
                 self._pending_cdc_df = None
 
+    def _probe_scan(
+        self, path: str, cand: list[dict], state
+    ) -> DataFrame:
+        """The DML probe frame over a (possibly pruned) candidate add
+        list, with row provenance kept; zero candidates yield a typed
+        empty frame (Spark cannot express a zero-file parquet scan)."""
+        if cand:
+            return dl._scan_adds(self.spark, path, cand, state,
+                                 keep_meta=True)
+        from pyspark.sql.types import LongType, StringType, StructField, \
+            StructType
+
+        schema = dl.delta_schema(state)
+        return self.spark.createDataFrame([], StructType(
+            list(schema.fields)
+            + [StructField("__dv_file", StringType(), True),
+               StructField("__dv_pos", LongType(), True)]
+        ))
+
     def overwrite_where(
         self, df: DataFrame, name: str, condition: str
     ) -> dict[str, int]:
@@ -467,10 +486,13 @@ class DeltaLogWarehouse(Warehouse):
                 "replaced region"
             )
         state = dl.snapshot_state(path)
-        raw = dl._scan_adds(
-            self.spark, path, list(state["files"].values()), state,
-            keep_meta=True,
+        # log-stats pruning bounds the probe: files that provably hold
+        # no matching rows never open (replacing one day of a 100 TB
+        # table probes one day's files, not the table)
+        cand = dl.prune_candidates_for_condition(
+            state, list(state["files"].values()), condition
         )
+        raw = self._probe_scan(path, cand, state)
         abs_of = {
             rel: os.path.join(path, unquote(rel))
             for rel in state["files"]
@@ -1118,11 +1140,13 @@ class DeltaLogWarehouse(Warehouse):
         rel_of_uri = {"file:" + a: rel for rel, a in abs_of.items()}
         # the DV-filtered mapping-aware scan with row provenance kept:
         # works on plain, non-hive, AND column-mapping tables alike, and
-        # already-deleted rows can never re-match
-        raw = dl._scan_adds(
-            self.spark, path, list(state["files"].values()), state,
-            keep_meta=True,
+        # already-deleted rows can never re-match. Log-stats pruning
+        # bounds the probe first — a 100-row point delete on a 100 TB
+        # table opens the candidate files, not every file.
+        cand = dl.prune_candidates_for_condition(
+            state, list(state["files"].values()), condition
         )
+        raw = self._probe_scan(path, cand, state)
         matched = raw.filter(condition)
         cdf_on = self._cdf_enabled(name)
         if cdf_on:

@@ -43,6 +43,8 @@ only when BOTH readings prune.
 
 from __future__ import annotations
 
+import re
+
 from collections.abc import Mapping
 
 from pyspark.sql import Column
@@ -133,6 +135,223 @@ def residual_condition(
         else:  # not_null
             cond = cond & c.isNotNull()
     return cond
+
+
+_SQL_TOKEN = re.compile(
+    r"""\s*(?:
+      (?P<lpar>\()|(?P<rpar>\))|(?P<comma>,)
+    | (?P<op><=|>=|==|=|<>|!=|<|>)
+    | (?P<str>'(?:[^']|'')*')
+    | (?P<num>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+    | (?P<bq>`[^`]+`)
+    | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
+    )""",
+    re.VERBOSE,
+)
+
+_SQL_KEYWORDS = {"and", "in", "is", "not", "null", "between",
+                 "date", "timestamp", "true", "false"}
+
+
+def filters_from_sql(condition: str) -> list[tuple[str, str, object]] | None:
+    """A ``(col, op, literal)`` conjunction EXTRACTED from a simple SQL
+    condition string, or None when the condition uses anything beyond
+    ``col op literal`` / ``literal op col`` / ``IN (...)`` /
+    ``IS [NOT] NULL`` / ``BETWEEN`` joined by AND (parens allowed).
+
+    This feeds predicate file skipping for the DML probe scans, whose
+    conditions arrive as SQL text (replaceWhere, DELETE): a None means
+    "not representable — probe everything", never a guess. The returned
+    triples are the SAME predicate, so files pruned through them
+    provably hold no matching rows under the engine's evaluation
+    (numeric literals with a decimal point map to Python floats, i.e.
+    the engines' double space — see :func:`double_space`)."""
+    import datetime as _dt
+
+    toks: list[tuple[str, str]] = []
+    pos = 0
+    s = condition or ""
+    while pos < len(s):
+        m = _SQL_TOKEN.match(s, pos)
+        if not m or m.end() == pos:
+            if s[pos:].strip():
+                return None  # unrecognized lexeme
+            break
+        pos = m.end()
+        kind = m.lastgroup
+        toks.append((kind, m.group(kind)))
+
+    i = 0
+
+    def _peek_word(offset=0):
+        j = i + offset
+        if j < len(toks) and toks[j][0] == "word":
+            return toks[j][1].lower()
+        return None
+
+    def _literal():
+        nonlocal i
+        if i >= len(toks):
+            return None, False
+        kind, text = toks[i]
+        if kind == "num":
+            i += 1
+            if "." in text or "e" in text or "E" in text:
+                return float(text), True
+            return int(text), True
+        if kind == "str":
+            i += 1
+            return text[1:-1].replace("''", "'"), True
+        if kind == "word":
+            w = text.lower()
+            if w in ("date", "timestamp") and i + 1 < len(toks) and (
+                toks[i + 1][0] == "str"
+            ):
+                raw = toks[i + 1][1][1:-1].replace("''", "'")
+                i += 2
+                try:
+                    if w == "date":
+                        return _dt.date.fromisoformat(raw), True
+                    return _dt.datetime.fromisoformat(
+                        raw.replace("Z", "+00:00")
+                    ), True
+                except ValueError:
+                    return None, False
+            if w == "true":
+                i += 1
+                return True, True
+            if w == "false":
+                i += 1
+                return False, True
+        return None, False
+
+    def _ident():
+        nonlocal i
+        if i < len(toks) and toks[i][0] == "bq":
+            name = toks[i][1][1:-1]
+            i += 1
+            return name
+        if (
+            i < len(toks)
+            and toks[i][0] == "word"
+            and toks[i][1].lower() not in _SQL_KEYWORDS
+        ):
+            name = toks[i][1]
+            i += 1
+            return name
+        return None
+
+    _FLIP = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "=", "==": "="}
+
+    def _term():
+        nonlocal i
+        out = []
+        col = _ident()
+        if col is not None:
+            if i < len(toks) and toks[i][0] == "op":
+                op = toks[i][1]
+                if op in ("<>", "!="):
+                    return None
+                i += 1
+                lit, ok = _literal()
+                if not ok or lit is None:
+                    return None
+                out.append((col, "=" if op == "==" else op, lit))
+                return out
+            w = _peek_word()
+            if w == "in":
+                i += 1
+                if i >= len(toks) or toks[i][0] != "lpar":
+                    return None
+                i += 1
+                vals = []
+                while True:
+                    lit, ok = _literal()
+                    if not ok or lit is None:
+                        return None
+                    vals.append(lit)
+                    if i < len(toks) and toks[i][0] == "comma":
+                        i += 1
+                        continue
+                    break
+                if i >= len(toks) or toks[i][0] != "rpar":
+                    return None
+                i += 1
+                out.append((col, "in", vals))
+                return out
+            if w == "is":
+                i += 1
+                if _peek_word() == "not":
+                    i += 1
+                    if _peek_word() != "null":
+                        return None
+                    i += 1
+                    out.append((col, "not_null", None))
+                    return out
+                if _peek_word() != "null":
+                    return None
+                i += 1
+                out.append((col, "is_null", None))
+                return out
+            if w == "between":
+                i += 1
+                lo, ok = _literal()
+                if not ok or lo is None or _peek_word() != "and":
+                    return None
+                i += 1
+                hi, ok = _literal()
+                if not ok or hi is None:
+                    return None
+                out.append((col, ">=", lo))
+                out.append((col, "<=", hi))
+                return out
+            return None
+        # literal op ident (reversed comparison)
+        lit, ok = _literal()
+        if ok and lit is not None and i < len(toks) and toks[i][0] == "op":
+            op = toks[i][1]
+            if op in ("<>", "!="):
+                return None
+            i += 1
+            col = _ident()
+            if col is None:
+                return None
+            out.append((col, _FLIP["=" if op == "==" else op], lit))
+            return out
+        return None
+
+    def _conj():
+        nonlocal i
+        out = []
+        while True:
+            if i < len(toks) and toks[i][0] == "lpar":
+                i += 1
+                inner = _conj()
+                if inner is None or i >= len(toks) or toks[i][0] != "rpar":
+                    return None
+                i += 1
+                out.extend(inner)
+            else:
+                term = _term()
+                if term is None:
+                    return None
+                out.extend(term)
+            if _peek_word() == "and":
+                i += 1
+                continue
+            return out
+
+    try:
+        result = _conj()
+    except (ValueError, OverflowError):  # pragma: no cover - defensive
+        return None
+    if result is None or i != len(toks) or not result:
+        return None
+    try:
+        normalize_filters(result)
+    except ValueError:
+        return None
+    return result
 
 
 def _lt(a, b) -> bool:

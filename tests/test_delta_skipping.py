@@ -328,3 +328,64 @@ def test_float_literal_on_exact_typed_columns(spark, tmp_path):
     got = dl.read_delta(spark, p2, filters=[("k", "=", float(2**53))])
     # Spark casts long->double: 2^53+1 rounds to 2^53 and MATCHES
     assert [r.k for r in got.collect()] == [big]
+
+
+def _capture_probe(monkeypatch):
+    """Record the candidate-file count of every _scan_adds probe."""
+    from global_seismic_data_pipeline_spark.sources import deltawh as dwh
+
+    seen = []
+    real = dl._scan_adds
+
+    def spy(spark, path, files, state, **kw):
+        seen.append(len(files))
+        return real(spark, path, files, state, **kw)
+
+    monkeypatch.setattr(dwh.dl, "_scan_adds", spy)
+    return seen
+
+
+def test_delete_with_dv_probe_pruned(spark, tmp_path, monkeypatch):
+    wh = DeltaLogWarehouse(spark, str(tmp_path / "wh"))
+    df = spark.range(200).select(
+        F.col("id").cast("int").alias("k"),
+        F.concat(F.lit("s"), F.col("id")).alias("s"),
+    )
+    wh.overwrite(df.repartitionByRange(4, F.col("k")), "t")
+    seen = _capture_probe(monkeypatch)
+    out = wh.delete_with_dv("t", "k IN (7, 11)")
+    assert out["rows_deleted"] == 2
+    # the probe opened ONLY the file holding keys 7 and 11
+    assert seen and seen[0] == 1
+    assert wh.read("t").count() == 198
+    # unextractable condition degrades to the full probe, same result
+    seen.clear()
+    wh.delete_with_dv("t", "k = 20 OR k = 150")
+    assert seen and seen[0] == 4
+    assert wh.read("t").count() == 196
+
+
+def test_overwrite_where_probe_pruned(spark, tmp_path, monkeypatch):
+    wh = DeltaLogWarehouse(spark, str(tmp_path / "wh"))
+    df = spark.range(200).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") % 5).cast("int").alias("grp"),
+    )
+    wh.overwrite(df.repartitionByRange(4, F.col("k")), "t")
+    seen = _capture_probe(monkeypatch)
+    batch = spark.createDataFrame([(5, 99), (6, 99)], "k int, grp int")
+    wh.overwrite_where(
+        batch.withColumn("grp", F.col("grp") - 99 + F.col("k") % 5),
+        "t", "k BETWEEN 5 AND 6",
+    )
+    # probe pruned to the one file covering [5, 6]; survivors re-staged
+    assert seen and seen[0] == 1
+    got = wh.read("t")
+    assert got.count() == 200
+    # a no-match replace whose batch is empty touches nothing
+    seen.clear()
+    empty = spark.createDataFrame([], "k int, grp int")
+    out = wh.overwrite_where(empty, "t", "k = -5")
+    assert out["files_replaced"] == 0
+    assert seen == []  # zero candidates -> typed empty frame, no scan
+    assert wh.read("t").count() == 200

@@ -252,3 +252,56 @@ def test_double_space_mapping():
         P.double_space(decimal.Decimal("0.1")),
         P.double_space(decimal.Decimal("0.1")),
     )
+
+
+def test_filters_from_sql_supported_shapes():
+    import datetime as dt
+
+    f = P.filters_from_sql
+    assert f("a = 5") == [("a", "=", 5)]
+    assert f("a == 5") == [("a", "=", 5)]
+    assert f("5 < a") == [("a", ">", 5)]
+    assert f("a >= -3.5") == [("a", ">=", -3.5)]
+    assert f("a = 1e3") == [("a", "=", 1000.0)]
+    assert f("s = 'x''y'") == [("s", "=", "x'y")]
+    assert f("`weird col` = 'v'") == [("weird col", "=", "v")]
+    assert f("a IN (1, 2, 3)") == [("a", "in", [1, 2, 3])]
+    assert f("a IS NULL") == [("a", "is_null", None)]
+    assert f("a IS NOT NULL") == [("a", "not_null", None)]
+    assert f("a BETWEEN 1 AND 9") == [("a", ">=", 1), ("a", "<=", 9)]
+    assert f("d >= DATE '1995-01-01'") == [
+        ("d", ">=", dt.date(1995, 1, 1))
+    ]
+    assert f("ts < TIMESTAMP '1995-01-01 06:30:00'") == [
+        ("ts", "<", dt.datetime(1995, 1, 1, 6, 30))
+    ]
+    assert f("b = TRUE") == [("b", "=", True)]
+    assert f("a = 1 AND (b = 'x' AND c <= 2)") == [
+        ("a", "=", 1), ("b", "=", "x"), ("c", "<=", 2)
+    ]
+    assert f("(a = 1) AND b IN ('u', 'v')") == [
+        ("a", "=", 1), ("b", "in", ["u", "v"])
+    ]
+
+
+def test_filters_from_sql_refuses_everything_else():
+    f = P.filters_from_sql
+    # anything not provably a conjunction of simple comparisons -> None
+    for cond in (
+        "a = 1 OR b = 2",
+        "NOT a = 1",
+        "a != 1",
+        "a <> 1",
+        "upper(s) = 'X'",
+        "a = b",          # column-to-column
+        "a + 1 = 2",
+        "a = NULL",
+        "a IN (1, NULL)",
+        "a IN ()",
+        "s LIKE 'x%'",
+        "a BETWEEN 1 AND",  # truncated
+        "a.b = 1",          # nested field
+        "",
+        "a = DATE 'not-a-date'",
+    ):
+        assert f(cond) is None, cond
