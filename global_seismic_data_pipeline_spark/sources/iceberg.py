@@ -4966,6 +4966,23 @@ def _resolve_branch_head(
     return to_ref, r["snapshot-id"]
 
 
+def _probe_files(
+    t: IcebergTable, head: int | None, condition: str
+) -> list[dict]:
+    """Candidate data files for a DML probe over a SQL ``condition`` —
+    manifest/partition/bounds-pruned when the condition is a simple
+    conjunction the extractor can represent (same superset guarantee
+    as the read path), everything otherwise. Unknown columns fall back
+    to the full listing; the probe's own analysis then refuses."""
+    fs = predicates.filters_from_sql(condition)
+    if fs:
+        try:
+            return t.data_files(snapshot_id=head, filters=fs)
+        except ValueError:
+            pass
+    return t.data_files(snapshot_id=head)
+
+
 def delete_where(
     spark: SparkSession,
     location: str,
@@ -4995,7 +5012,8 @@ def delete_where(
             f"is v{t.metadata.get('format-version', 1)})"
         )
     to_ref, head = _resolve_branch_head(t, to_ref)
-    files = t.data_files(snapshot_id=head)
+    # log-stats probe pruning: a point delete opens candidate files only
+    files = _probe_files(t, head, condition)
     if not files:
         return {"rows_deleted": 0, "files_affected": 0}
     deletes = t.delete_files(snapshot_id=head)
@@ -5078,7 +5096,7 @@ def overwrite_where(
         )
     part_fields, fv = _table_write_shape(t)
     to_ref, head = _resolve_branch_head(t, to_ref)
-    files = t.data_files(snapshot_id=head)
+    files = _probe_files(t, head, condition)
     recs: list[dict] = []
     n = 0
     if files:

@@ -231,3 +231,44 @@ def test_float_nan_and_unknown_column(spark, tmp_path):
         t.data_files(filters=[("nope", "=", 1)])
     with pytest.raises(ValueError, match="not in table schema"):
         t.read(filters=[("nope", "=", 1)])
+
+
+def test_dml_probe_pruning(spark, tmp_path, monkeypatch):
+    """delete_where / overwrite_where probe only candidate files when
+    the condition extracts; unextractable conditions probe everything;
+    results identical either way."""
+    loc = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(b, b * 10 + i) for b in (1, 2, 3) for i in range(3)],
+        "band int, v int",
+    )
+    iceberg.create_table(
+        spark, loc, df.repartition(1),
+        partition_by=["band"], format_version=2,
+    )
+    seen = []
+    real = iceberg._read_files_with_deletes
+
+    def spy(t, files, deletes, **kw):
+        seen.append(len(files))
+        return real(t, files, deletes, **kw)
+
+    monkeypatch.setattr(iceberg, "_read_files_with_deletes", spy)
+    out = iceberg.delete_where(spark, loc, "band = 2 AND v >= 21")
+    assert out == {"rows_deleted": 2, "files_affected": 1}
+    assert seen and seen[0] == 1  # probe opened only the band=2 file
+    t = iceberg.IcebergTable(spark, loc)
+    assert t.read().count() == 7
+    seen.clear()
+    # unextractable: full probe, same semantics
+    out = iceberg.delete_where(spark, loc, "band = 1 OR v = 30")
+    assert out["rows_deleted"] == 4
+    assert seen and seen[0] == 3
+    # overwrite_where probes pruned too
+    seen.clear()
+    batch = spark.createDataFrame([(3, 99)], "band int, v int")
+    out = iceberg.overwrite_where(spark, loc, batch, "band = 3")
+    assert out["rows_deleted"] == 2  # 31, 32 remained in band 3
+    assert seen and seen[0] == 1
+    t = iceberg.IcebergTable(spark, loc)
+    assert sorted(r.v for r in t.read().collect()) == [20, 99]
