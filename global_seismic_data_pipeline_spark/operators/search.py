@@ -51,6 +51,25 @@ def release_cached() -> int:
     return n
 
 
+def search_token_rows(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id_, tok) rows of the normalized corpus — the shared tokenization
+    front of every retriever here. Persisted (MEMORY_AND_DISK, released
+    via :func:`release_cached`) so hybrid pipelines that run several
+    scorers over the same corpus tokenize ONCE: at 100 TB the
+    tokenization scan is the dominant cost of each scorer, and BM25 +
+    TF-IDF both consume the identical row set."""
+    toks = ensure_parallelism(
+        docs.select(F.col(id_col), F.col(text_col))
+    ).select(
+        F.col(id_col).alias("id_"),
+        F.explode(F.split(normalized(F.col(text_col)), " ")).alias("tok"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(toks)
+    return toks
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: list[str],
@@ -60,24 +79,20 @@ def bm25_topk(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k (id, score, n_terms_matched, dl) by BM25 for ``query_terms``.
 
     Documents matching no query term are not returned (score 0). Ties are
-    broken by ascending id so the k-selection is deterministic."""
+    broken by ascending id so the k-selection is deterministic.
+    ``toks`` accepts a pre-built :func:`search_token_rows` table so hybrid
+    pipelines share one tokenization pass."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     if len(set(query_terms)) != len(query_terms):
         raise ValueError("query_terms must be distinct")
-    toks = (
-        ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
-        .select(
-            F.col(id_col).alias("id_"),
-            F.explode(F.split(normalized(F.col(text_col)), " ")).alias("tok"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    _PERSISTED.append(toks)
+    if toks is None:
+        toks = search_token_rows(docs, id_col=id_col, text_col=text_col)
 
     dl = toks.groupBy("id_").agg(F.count(F.lit(1)).alias("dl"))
     stats = dl.agg(
@@ -207,6 +222,7 @@ def tfidf_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 10,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k (id, score, n_terms_matched) by TF-IDF cosine — the vector-
     space complement to BM25, built so EVERY arithmetic step before the
@@ -235,13 +251,8 @@ def tfidf_topk(
         raise ValueError("query_terms must be non-empty")
     if len(set(query_terms)) != len(query_terms):
         raise ValueError("query_terms must be distinct")
-    toks = (
-        ensure_parallelism(docs.select(F.col(id_col), F.col(text_col)))
-        .select(
-            F.col(id_col).alias("id_"),
-            F.explode(F.split(normalized(F.col(text_col)), " ")).alias("tok"),
-        )
-    )
+    if toks is None:
+        toks = search_token_rows(docs, id_col=id_col, text_col=text_col)
     n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
     tf = toks.groupBy("id_", "tok").agg(F.count(F.lit(1)).alias("tf")).persist(
         StorageLevel.MEMORY_AND_DISK

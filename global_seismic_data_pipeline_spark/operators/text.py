@@ -456,7 +456,15 @@ def unigram_lm_surprisal(
     cross-join.
     """
     toks = token_rows(df, id_col=id_col, text_col=text_col)
-    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    # tf is a diamond: it feeds the corpus LM AND the scoring join —
+    # persist so the tokenize + aggregate chain runs once (same fix the
+    # bigram operator already carries; CLAUDE.md's joined-k-times rule)
+    tf = (
+        toks.groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    _PERSISTED.append(tf)
     uni = tf.groupBy("tok").agg(F.sum("tf").alias("corpus_cnt"))
     total = uni.agg(F.sum("corpus_cnt").alias("n_total"))
     lm = uni.crossJoin(F.broadcast(total)).select(

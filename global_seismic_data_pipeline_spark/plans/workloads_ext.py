@@ -1915,8 +1915,12 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     (≤50 rows) — never corpus-sized."""
     docs = _docs(spark, sf_dir)
     k_each, c = 50, 60
-    bm = search.bm25_topk(docs, BM25_TERMS, k=k_each)
-    ti = search.tfidf_topk(docs, BM25_TERMS, k=k_each)
+    # ONE tokenization pass feeds both retrievers (search_token_rows is
+    # persisted) — the corpus is scanned/normalized/exploded once, not
+    # once per scorer
+    toks = search.search_token_rows(docs, id_col="doc_id", text_col="text")
+    bm = search.bm25_topk(docs, BM25_TERMS, k=k_each, toks=toks)
+    ti = search.tfidf_topk(docs, BM25_TERMS, k=k_each, toks=toks)
     bmr = bm.select(
         "doc_id",
         F.row_number()
@@ -2015,12 +2019,15 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import bpe
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    audit = bpe.learn_merges(docs, k=3)
+    # one shared tokenization pass: the trainer folds word frequencies
+    # from the SAME persisted occurrence rows the encoder joins back to
+    occ = bpe.word_occurrences(docs)
+    audit = bpe.learn_merges(docs, k=3, occ=occ)
     merges = [
         tuple(r.merged_pair.split(" "))
         for r in audit.orderBy("step").collect()
     ]
-    return bpe.encode_with_merges(docs, merges)
+    return bpe.encode_with_merges(docs, merges, occ=occ)
 
 
 def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -630,11 +630,23 @@ class Warehouse:
         joins at 100 TB: pay one shuffle at write time, none per query.
         Unlike the plain tables, bucketed tables go through
         ``saveAsTable`` (bucket metadata needs the session catalog).
+
+        The batch is repartitioned on the bucket columns first:
+        ``repartition(num_buckets, cols)`` uses the SAME HashPartitioning
+        expression that assigns bucket ids, so every write task holds
+        exactly one bucket and the table lands as ONE file per bucket.
+        Without it each input partition emits a file per bucket it
+        touches — measured 512 files for a 16-bucket table written from
+        32 scan partitions, and every probe pays the per-file open cost
+        (guide: small files hurt twice). num_buckets is the scale knob:
+        size it to the cluster so the one-shuffle write is parallel
+        enough AND files land in the 128 MB–1 GB band.
         """
         self.spark.sql(f"DROP TABLE IF EXISTS {name}")
         self.drop(name)
         writer = (
-            df.write.mode("overwrite")
+            df.repartition(num_buckets, *[F.col(c) for c in bucket_cols])
+            .write.mode("overwrite")
             .format(self.fmt)
             .option("path", self.path(name))
             .bucketBy(num_buckets, *bucket_cols)
@@ -658,9 +670,12 @@ class Warehouse:
         file per bucket — compact periodically via maintenance), and the
         table keeps its shuffle-free join property: this is the
         incremental-index write path (a daily batch adds its signatures
-        without rewriting the corpus index)."""
+        without rewriting the corpus index). Same bucket-aligned
+        repartition as :meth:`save_bucketed`, so each append adds exactly
+        one file per bucket instead of one per (task × bucket)."""
         writer = (
-            df.write.mode("append")
+            df.repartition(num_buckets, *[F.col(c) for c in bucket_cols])
+            .write.mode("append")
             .format(self.fmt)
             .option("path", self.path(name))
             .bucketBy(num_buckets, *bucket_cols)
