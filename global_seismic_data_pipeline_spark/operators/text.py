@@ -134,12 +134,25 @@ def shingles_from_words(words: Column, n: int = 3) -> Column:
 
 
 def token_rows(
-    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
+    cluster_by_id: bool = False,
 ) -> DataFrame:
     """(id, pos, tok) rows of the normalized text — split → posexplode,
     the sanctioned row-generation path (never explode an HOF-built array;
-    see neardup module docstring)."""
-    return df.select(
+    see neardup module docstring).
+
+    ``cluster_by_id=True`` hash-repartitions the RAW documents on the id
+    before the explode: every downstream doc-keyed window or aggregate
+    ((id) or (id, tok) grouping) then reuses that clustering, so the
+    exploded token rows — strictly larger than the documents — never
+    shuffle (guide §2.3/§2.4; the neardup.shingle_rows move). Leave it
+    off for consumers keyed on the TOKEN only (vocab builds, corpus
+    counts): those never need doc clustering, and at scale a forced doc
+    repartition would shuffle the whole corpus text for nothing."""
+    src = df.select(F.col(id_col), F.col(text_col))
+    if cluster_by_id:
+        src = src.repartition(F.col(id_col))
+    return src.select(
         id_col,
         F.posexplode(F.split(normalized(F.col(text_col)), " ")).alias("pos", "tok"),
     )
@@ -168,7 +181,9 @@ def repetition_stats(
     then two partial-aggregated shuffles — by (doc, token) and by doc —
     plus one windowed pass for bigrams; skew is bounded by the longest
     single document, so this survives 100 TB corpora."""
-    toks = token_rows(df, id_col=id_col, text_col=text_col)
+    toks = token_rows(
+        df, id_col=id_col, text_col=text_col, cluster_by_id=True
+    )
     uni = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("cnt"))
     per_uni = uni.groupBy(id_col).agg(
         F.sum("cnt").alias("total_tokens"),
@@ -241,7 +256,9 @@ def token_diversity(
     Shape: token rows → two partial-aggregated shuffles ((doc,tok), then
     doc). Skew bounded by the longest document.
     """
-    toks = token_rows(df, id_col=id_col, text_col=text_col)
+    toks = token_rows(
+        df, id_col=id_col, text_col=text_col, cluster_by_id=True
+    )
     cnts = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("cnt"))
     agg = cnts.groupBy(id_col).agg(
         F.sum("cnt").alias("n_tokens"),
@@ -260,7 +277,11 @@ def token_diversity(
 
 
 def build_vocab(
-    df, *, id_col: str = "doc_id", text_col: str = "text"
+    df,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """(tok, cnt, id) frequency-ordered vocabulary of the corpus.
 
@@ -268,16 +289,23 @@ def build_vocab(
     deterministic tie-break makes the id assignment reproducible across
     runs and engines, which is what lets an encoded corpus be re-derived
     or verified later. One partial-aggregated shuffle on the token key;
-    the global rank runs over the (small) distinct-vocab table only."""
-    cnts = token_rows(df, id_col=id_col, text_col=text_col).groupBy("tok").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
+    the global rank runs over the (small) distinct-vocab table only.
+    ``toks`` accepts a pre-built (persisted) token-rows table so a
+    build-then-encode pipeline tokenizes the corpus once."""
+    if toks is None:
+        toks = token_rows(df, id_col=id_col, text_col=text_col)
+    cnts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     w = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
     return cnts.withColumn("id", (F.row_number().over(w) - 1).cast("long"))
 
 
 def encode_docs(
-    df, vocab: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+    df,
+    vocab: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """(id_col, n_tokens, ids): each document as its position-ordered
     token-id sequence — the tokenize-to-ids step of a training pipeline.
@@ -285,8 +313,10 @@ def encode_docs(
     The vocab joins BROADCAST (a natural-language vocabulary is ≤ a few
     million rows regardless of corpus size, so the corpus tokens never
     shuffle for the lookup); sequences reassemble with one (doc) shuffle
-    via the sorted-struct collect, the same pattern as chunking."""
-    toks = token_rows(df, id_col=id_col, text_col=text_col)
+    via the sorted-struct collect, the same pattern as chunking.
+    ``toks`` shares a tokenization pass with :func:`build_vocab`."""
+    if toks is None:
+        toks = token_rows(df, id_col=id_col, text_col=text_col)
     joined = toks.join(F.broadcast(vocab.select("tok", "id")), "tok")
     return (
         joined.groupBy(id_col)
@@ -320,7 +350,9 @@ def corpus_top_ngrams(
     sort sees only the distinct-ngram table, already combiner-reduced
     map-side; with AQE the top-k is a TakeOrdered over that — no
     full-corpus sort at any point."""
-    toks = token_rows(df, id_col=id_col, text_col=text_col)
+    toks = token_rows(
+        df, id_col=id_col, text_col=text_col, cluster_by_id=True
+    )
     w = Window.partitionBy(id_col).orderBy("pos")
     cols = [F.col("tok")] + [
         F.lead("tok", i).over(w).alias(f"t{i}") for i in range(1, n)
@@ -355,7 +387,9 @@ def _ngram_rows(
 ) -> DataFrame:
     """(id, gram) rows of word n-grams via token rows + (n-1) leads —
     the bounded row-generation path shared with corpus_top_ngrams."""
-    toks = token_rows(df, id_col=id_col, text_col=text_col)
+    toks = token_rows(
+        df, id_col=id_col, text_col=text_col, cluster_by_id=True
+    )
     w = Window.partitionBy(id_col).orderBy("pos")
     cols = [F.col(id_col), F.col("tok")] + [
         F.lead("tok", i).over(w).alias(f"t{i}") for i in range(1, n)
@@ -455,7 +489,9 @@ def unigram_lm_surprisal(
     doc-keyed aggregate. The corpus-total row is a 1-row broadcast
     cross-join.
     """
-    toks = token_rows(df, id_col=id_col, text_col=text_col)
+    toks = token_rows(
+        df, id_col=id_col, text_col=text_col, cluster_by_id=True
+    )
     # tf is a diamond: it feeds the corpus LM AND the scoring join —
     # persist so the tokenize + aggregate chain runs once (same fix the
     # bigram operator already carries; CLAUDE.md's joined-k-times rule)
@@ -646,7 +682,9 @@ def exact_span_dedup(
     if a corpus needs one."""
     if k < 2:
         raise ValueError("k must be >= 2")
-    toks = token_rows(df, id_col=id_col, text_col=text_col)
+    toks = token_rows(
+        df, id_col=id_col, text_col=text_col, cluster_by_id=True
+    )
     wd = Window.partitionBy(id_col).orderBy("pos")
     lead_cols = [
         F.lead("tok", i).over(wd).alias(f"t{i}") for i in range(1, k)
@@ -830,7 +868,9 @@ def gopher_quality_rules(
     two meet in a doc-keyed join. No window, no distinct over the corpus,
     nothing driver-side."""
     req = list(GOPHER_REQUIRED_WORDS)
-    toks = token_rows(df, id_col=id_col, text_col=text_col)
+    toks = token_rows(
+        df, id_col=id_col, text_col=text_col, cluster_by_id=True
+    )
     wagg = toks.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_words"),
         F.sum(F.length("tok")).alias("word_chars"),
@@ -936,7 +976,9 @@ def bigram_lm_surprisal(
     table, V and nothing else is a 1-row broadcast; scoring re-joins tf
     to the model on the (w1, w2) key — a plain shuffle equi-join on both
     sides' natural key, the tfidf shape. No collect, no UDF."""
-    toks = token_rows(df, id_col=id_col, text_col=text_col)
+    toks = token_rows(
+        df, id_col=id_col, text_col=text_col, cluster_by_id=True
+    )
     wd = Window.partitionBy(id_col).orderBy("pos")
     bi = (
         toks.select(

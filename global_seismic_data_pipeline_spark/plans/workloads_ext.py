@@ -1201,8 +1201,12 @@ def vocab_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot hash raw array cells — same rule as jl_project_embeddings);
     library users get the ArrayType form from encode_docs directly."""
     d = _docs(spark, sf_dir)
-    vocab = text.build_vocab(d)
-    enc = text.encode_docs(d, vocab)
+    # one persisted tokenization pass feeds the vocab build AND the
+    # encoding join (released by the bench via text.release_cached)
+    toks = text.token_rows(d).persist()
+    text._PERSISTED.append(toks)
+    vocab = text.build_vocab(d, toks=toks)
+    enc = text.encode_docs(d, vocab, toks=toks)
     return enc.select(
         "doc_id",
         "n_tokens",
@@ -1219,7 +1223,10 @@ def cms_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     beside the CMS estimate (always ≥, equal when collision-free in some
     row) — both exact integers, reproduced counter-for-counter by the
     DuckDB oracle."""
-    toks = text.token_rows(_docs(spark, sf_dir))
+    # toks feeds the exact top-20 AND the CMS counters — persist the
+    # diamond (released by the bench via text.release_cached)
+    toks = text.token_rows(_docs(spark, sf_dir)).persist()
+    text._PERSISTED.append(toks)
     exact = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("exact_cnt"))
