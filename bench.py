@@ -319,19 +319,36 @@ def main() -> None:
             }
         )
     )
-    # tail-safe totals: the driver's capture has truncated the (long)
-    # line above from the FRONT before (BENCH_r05 arrived unparseable) —
-    # a second compact line means a tail capture always keeps the
-    # headline numbers
+    # tail-safe lines: the driver's capture has truncated the (long)
+    # line above from the FRONT before (BENCH_r05 arrived unparseable;
+    # r10/r11 PERF per_query came back empty for the same reason). Two
+    # compact lines close the gap: the steal-adjusted per-query dict on
+    # its own line, then the contract line LAST — now carrying the
+    # merged rounded per-query dict (~2.3 KB for 66 queries, well inside
+    # any tail capture). Additions only: no entry removed or renamed.
+    all_q = {**times, **ext_times}
+    print(
+        json.dumps(
+            {
+                "metric": "per_query_adjusted",
+                "queries_adjusted": {**adj_times, **adj_ext},
+                "probe_split": probe_split,
+                "steal_factor": steal,
+            },
+            separators=(",", ":"),
+        )
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_time",
                 "value": total,
                 "unit": "sec",
+                "queries": all_q,
                 "extended_total": round(sum(ext_times.values()), 3),
                 "sf": sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -65,6 +65,7 @@ attachment (spec-correct for foreign tables with non-hive layouts).
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import re
@@ -99,6 +100,23 @@ _SUPPORTED_READER_FEATURES = {
     "vacuumProtocolCheck",
 }
 _NULL_PARTITION_DIR = "__HIVE_DEFAULT_PARTITION__"
+
+
+@contextlib.contextmanager
+def _conf_pinned(spark: SparkSession, key: str, value: str):
+    """Set a session conf for the duration of an EAGER operation and
+    restore the caller's prior value after (same discipline as
+    iceberg._conf_pinned): writer confs must not leak into unrelated
+    writes on a shared session."""
+    prior = spark.conf.get(key, None)
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
 
 
 class DeltaProtocolError(ValueError):
@@ -1555,7 +1573,17 @@ def stage_write(
     w = df.write.mode("overwrite")
     if phys_pcols:
         w = w.partitionBy(*phys_pcols)
-    w.parquet(staging)
+    # The writer OWNS the timestamp physical type: Spark's default
+    # (INT96) stores no parquet min/max statistics, which silently
+    # disables data skipping on timestamp columns for every reader of
+    # this table (and _file_stats_json would rightly omit the bounds).
+    # Pin int64-micros for the duration of the staging write so the
+    # files carry usable stats under ANY session configuration.
+    with _conf_pinned(
+        df.sparkSession,
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS",
+    ):
+        w.parquet(staging)
     return {
         "staging": staging,
         "schema": logical_schema,

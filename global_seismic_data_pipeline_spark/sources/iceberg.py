@@ -2817,7 +2817,16 @@ def _stage_data_files(
         ])
     staging = os.path.join(location, f".staging-{uuid.uuid4().hex}")
     pt_cols = [f"__pt_{pf['name']}" for pf in part_fields]
-    with pin:
+    # Iceberg data files MUST store timestamps as int64 micros (spec);
+    # Spark's default INT96 additionally carries no parquet min/max
+    # stats, which would silently disable column-bound pruning for any
+    # reader. The writer owns the conf rather than assuming the session
+    # set it.
+    ts_pin = _conf_pinned(
+        df.sparkSession,
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS",
+    )
+    with pin, ts_pin:
         if part_fields:
             w = df
             for pf, ptc in zip(part_fields, pt_cols):
@@ -5220,6 +5229,8 @@ def upsert_by_keys(
     staging = os.path.join(location, f".staging-eqdel-{uuid.uuid4().hex}")
     with _conf_pinned(
         spark, "spark.sql.parquet.fieldId.write.enabled", "true"
+    ), _conf_pinned(
+        spark, "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
     ):
         stamped.write.mode("overwrite").parquet(staging)
     delete_recs = []

@@ -389,3 +389,43 @@ def test_overwrite_where_probe_pruned(spark, tmp_path, monkeypatch):
     assert out["files_replaced"] == 0
     assert seen == []  # zero candidates -> typed empty frame, no scan
     assert wh.read("t").count() == 200
+
+
+def test_timestamp_stats_under_int96_session(spark, tmp_path):
+    """The writer owns the timestamp physical type: even when the SESSION
+    is configured for INT96 (Spark's stock default, which stores no
+    parquet min/max statistics), write_delta pins int64-micros around its
+    staging write so add.stats carries timestamp bounds, a date window
+    prunes files, and the caller's conf is restored afterwards."""
+    p = str(tmp_path / "ts")
+    prior = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try:
+        df = spark.range(400).select(
+            F.col("id").cast("int").alias("k"),
+            F.expr(
+                "timestamp'1995-01-01 00:00:00' + make_dt_interval(id)"
+            ).alias("ts"),
+        )
+        dl.write_delta(df.repartitionByRange(8, F.col("ts")), p, mode="error")
+        # conf restored, not leaked
+        assert (
+            spark.conf.get("spark.sql.parquet.outputTimestampType") == "INT96"
+        )
+        # every add carries ts bounds (INT96 files would have none)
+        adds = dl.delta_scan_files(p)
+        assert len(adds) >= 4
+        for a in adds:
+            stats = json.loads(a["stats"])
+            assert "ts" in stats["minValues"] and "ts" in stats["maxValues"]
+        filters = [
+            ("ts", ">=", dt.datetime(1995, 2, 1)),
+            ("ts", "<", dt.datetime(1995, 4, 1)),
+        ]
+        kept, total = _parity(spark, p, filters)
+        assert kept < total
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.parquet.outputTimestampType")
+        else:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", prior)
