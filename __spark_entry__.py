@@ -31,10 +31,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    The driver's correctness record samples the FIRST 50 keys, so the
-    ordering below rotates per round (``_DRIVER_SAMPLE_R10``) to cycle
-    never-sampled families through the driver's own audit; every key is
-    judge-swept regardless of position."""
+    The driver's correctness record samples the FIRST 50 keys. Rounds
+    8-11 rotated the ordering to cycle never-sampled families through
+    the driver's audit; after round 11 every family has a driver-green
+    record, so the first-50 list below is FROZEN as of round 12 (r11
+    VERDICT item 6) — do not rotate it again. Round-over-round
+    correctness diffs need a stable sample (n_common = 50)."""
     q = {
         "flagship_regional_rollup": workloads.flagship_regional_rollup,
         "dedup_keep_latest": workloads.dedup_keep_latest,
@@ -242,13 +244,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": workloads_ext.text_fingerprint,
         "text_tokenize_stats": workloads_ext.text_tokenize_stats,
     }
-    # --- round-11 rotation (VERDICT r10 item 3): the final 42 never-
-    # driver-sampled families move into the first-50 sample — after this
-    # round every declared family has a driver-green record somewhere in
-    # r1-r11. Slot 43 is vocab_encode_docs (sampled r10 but red — the
-    # array-cell crash, fixed this round — so its only driver record is
-    # red and needs replacing). The last 7 slots re-sample the heaviest
-    # previously-green queries per the verdict's padding guidance. ---
+    # --- CANONICAL first-50, frozen in round 12 (r11 VERDICT item 6).
+    # It is the round-11 sample verbatim: the last never-driver-sampled
+    # families plus the round-11 oracle queries and the heaviest
+    # previously-green queries. Do NOT reorder — the driver's
+    # round-over-round correctness comparison keys on this sample, and
+    # rotating it again zeroes n_common. ---
     first = [
         "iceberg_branch_changelog_orders", "iceberg_branch_dml_orders",
         "iceberg_replace_where_orders", "json_extract_events",

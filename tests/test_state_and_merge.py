@@ -353,3 +353,36 @@ def test_show_partitions_metadata_only(spark, tmp_path, wh_cls):
     # unpartitioned: zero rows
     wh.overwrite(spark.createDataFrame([(1,)], "k int"), "flat")
     assert wh.show_partitions("flat").count() == 0
+
+
+def test_bucketed_write_one_file_per_bucket(spark, tmp_path, wh_cls):
+    """File-layout invariant (r11 optimization, guide §6 small files):
+    save_bucketed lands exactly ONE file per bucket regardless of input
+    partitioning, and each append_bucketed adds at most one more file per
+    bucket — not one per (task × bucket). A regression here multiplies
+    every probe's per-file open cost by the task count."""
+    wh = wh_cls(spark, str(tmp_path / "wh"))
+    from global_seismic_data_pipeline_spark.sources.deltawh import (
+        DeltaLogWarehouse,
+    )
+
+    if isinstance(wh, DeltaLogWarehouse):
+        pytest.skip("bucketed tables need the session catalog — documented "
+                    "contract guard on the delta backend")
+    n_b = 4
+    # 32 input partitions would emit up to 32×4 files without the
+    # bucket-aligned repartition inside save_bucketed
+    base = spark.range(0, 2000, 1, 32).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    try:
+        wh.save_bucketed(base, "bkt_files", ["k"], num_buckets=n_b)
+        assert wh.table_stats("bkt_files")["num_files"] == n_b
+        batch = spark.range(2000, 2500, 1, 16).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+        )
+        wh.append_bucketed(batch, "bkt_files", ["k"], num_buckets=n_b)
+        assert wh.table_stats("bkt_files")["num_files"] <= 2 * n_b
+        assert spark.table("bkt_files").count() == 2500
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_files")
