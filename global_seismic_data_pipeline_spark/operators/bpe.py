@@ -260,7 +260,7 @@ def _delta_round(state: DataFrame, counts: DataFrame, a: str, b: str):
     return next_state, next_counts
 
 
-def learn_merges(
+def learn_merge_list(
     docs: DataFrame,
     *,
     id_col: str = "doc_id",
@@ -268,12 +268,13 @@ def learn_merges(
     k: int = 3,
     delta_threshold: float = 0.02,
     occ: DataFrame | None = None,
-) -> DataFrame:
-    """Learn the first ``k`` merges; returns one audit row per round:
-    (step, merged_pair 'a b', pair_count, symbols_after) — pair_count is
-    the pre-merge adjacent-pair occurrence count over the CORPUS
-    (overlaps included, the standard BPE statistic); symbols_after is the
-    corpus symbol total, pinning the APPLY step, not just the counting.
+    with_symbols: bool = True,
+) -> list:
+    """The trainer loop, returning the audit as DRIVER-side rows:
+    ``[step, merged_pair 'a b', pair_count, symbols_after]`` (3-element
+    rows without ``symbols_after`` when ``with_symbols=False`` — the
+    encode pipeline only needs the merge pairs, so it skips the fused
+    symbol-sum action entirely and the tiny_df round-trip).
 
     Routing: ``cnt / n_words`` upper-bounds the affected-WORD-occurrence
     fraction (each occurrence sits in one word; words are never created
@@ -286,13 +287,14 @@ def learn_merges(
     used by the equivalence tests."""
     from functools import reduce
 
-    from ..session import tiny_df
-
     vocab = word_freqs(docs, id_col=id_col, text_col=text_col, occ=occ)
     state = _persist(_with_adjacency(char_rows(vocab)))
     counts = _persist(_pair_counts(state))
     # corpus word-occurrence total: Σ freq over the rn==1 rows (every
-    # word has exactly one) — the denominator of the routing test
+    # word has exactly one) — the denominator of the routing test.
+    # (Folding this into round 1's argmax as a crossJoin was tried and
+    # MEASURED SLOWER — the join after limit(1) demotes the argmax's
+    # TakeOrderedAndProject: +0.12 s in both same-minute A/B reps.)
     n_words = (
         state.filter(F.col("rn") == 1).agg(F.sum("freq")).collect()[0][0]
         or 0
@@ -304,7 +306,7 @@ def learn_merges(
         # This is the loop's ONLY per-round action — the symbols_after
         # audit column is deferred to one fused job after the loop (each
         # round's state is persisted, so the fused sums read cached rows;
-        # a per-round count would pay one extra job launch per merge).
+        # a per-round count would pay one extra job launch per merge)
         top = counts.orderBy(
             F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc()
         ).limit(1).collect()
@@ -317,7 +319,7 @@ def learn_merges(
             state, counts = _full_round(state, counts, a, b)
         audit.append([step, f"{a} {b}", cnt])
         round_states.append(state)
-    if round_states:
+    if round_states and with_symbols:
         # corpus symbol total per round = Σ freq over that round's
         # vocabulary char rows — all rounds in ONE action (the union
         # materializes states in dependency order, later rounds reusing
@@ -333,8 +335,32 @@ def learn_merges(
         )
         by_step = {r["step"]: int(r["n_syms"] or 0) for r in sums.collect()}
         audit = [
-            (step, pair, cnt, by_step[step]) for step, pair, cnt in audit
+            [step, pair, cnt, by_step[step]] for step, pair, cnt in audit
         ]
+    return audit
+
+
+def learn_merges(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    delta_threshold: float = 0.02,
+    occ: DataFrame | None = None,
+) -> DataFrame:
+    """Learn the first ``k`` merges; returns one audit row per round:
+    (step, merged_pair 'a b', pair_count, symbols_after) — pair_count is
+    the pre-merge adjacent-pair occurrence count over the CORPUS
+    (overlaps included, the standard BPE statistic); symbols_after is the
+    corpus symbol total, pinning the APPLY step, not just the counting.
+    See :func:`learn_merge_list` for the loop and its routing."""
+    from ..session import tiny_df
+
+    audit = learn_merge_list(
+        docs, id_col=id_col, text_col=text_col, k=k,
+        delta_threshold=delta_threshold, occ=occ,
+    )
     # single-slice local relation: the audit is k driver-side rows, and a
     # defaultParallelism-sliced createDataFrame pays one Python worker
     # launch per slice on every downstream action (session.tiny_df note)

@@ -229,21 +229,27 @@ def minhash_signatures(
     return _signatures_from_hashes(hashed, id_col, num_hashes, seed)
 
 
-def _min_exprs(num_hashes: int, seed: int, h_col: str = "h") -> list:
-    """The K universal-hash minimum aggregates over a folded hash column."""
+def sig_expr(num_hashes: int, seed: int, h_col: str = "h") -> "F.Column":
+    """The whole K-minimum signature array as ONE SQL expression —
+    ``array(min(pmod(a_i*h + b_i, P)), ...)`` over the seeded universal
+    hash permutations. Semantically identical to building K separate
+    ``F.min(F.pmod(...))`` Columns + ``F.array``, but composed in a
+    single py4j round-trip instead of ~5 per hash function (the hilbert
+    lesson: at K=64 the per-Column py4j chatter costs real DRIVER time
+    on every plan build, twice per incremental probe).
+    ``a*h + b`` stays within int64: a, b, h < 2^31."""
     perms = _minhash_perms(num_hashes, seed)
-    return [
-        F.min(F.pmod(a * F.col(h_col) + b, F.lit(HASH_PRIME))).alias(f"m{i}")
-        for i, (a, b) in enumerate(perms)
-    ]
+    parts = ",".join(
+        f"min(pmod({a}L * {h_col} + {b}L, {HASH_PRIME}L))" for a, b in perms
+    )
+    return F.expr(f"array({parts})")
 
 
 def _signatures_from_hashes(
     hashed: DataFrame, id_col: str, num_hashes: int, seed: int
 ) -> DataFrame:
-    sig_df = hashed.groupBy(id_col).agg(*_min_exprs(num_hashes, seed))
-    return sig_df.select(
-        F.col(id_col), F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig")
+    return hashed.groupBy(id_col).agg(
+        sig_expr(num_hashes, seed).alias("sig")
     )
 
 

@@ -7,10 +7,15 @@ design is watermark CDC, ref: 02_ingestion.py:75-94): batch N+1 must dedup
 re-shingling the old text. This module persists the MinHash index as two
 warehouse tables and probes it per batch:
 
-- ``{name}_docs``  — (id, shingles array<string>, sig array<long>), the
-  per-doc index, bucketed on the doc id. Shingle sets ride along so the
-  exact-Jaccard verification of a future candidate never goes back to the
-  raw text.
+- ``{name}_docs``  — (id, sig array<long>), the per-doc signature index,
+  bucketed on the doc id.
+- ``{name}_sets``  — (id, shingles array<string>), the shingle sets,
+  bucketed on the doc id, so the exact-Jaccard verification of a future
+  candidate never goes back to the raw text. Split from the signatures
+  (columnar, guide §6): the sets are a property of the corpus alone, so
+  an index rebuild under new LSH knobs (``reuse_sets=True``) rewrites
+  only signatures + postings — the corpus's heaviest artifact is written
+  once per corpus.
 - ``{name}_bands`` — (id, band, bucket), the LSH postings, bucketed on
   (band, bucket): the per-batch candidate probe joins on exactly those
   keys, so the STORED side is read co-partitioned from disk and only the
@@ -46,13 +51,13 @@ from ..sources.warehouse import Warehouse
 from .neardup import (
     _hash64,
     _materialized,
-    _min_exprs,
     band_rows,
     shingle_rows,
+    sig_expr,
     HASH_PRIME,
 )
 
-_DOCS, _BANDS, _META = "_docs", "_bands", "_meta"
+_DOCS, _BANDS, _META, _SETS = "_docs", "_bands", "_meta", "_sets"
 
 
 def _fresh_table(spark, table: str):
@@ -85,14 +90,9 @@ def _index_rows(
         F.col("shingle"),
         F.pmod(_hash64(F.col("shingle"), hasher), F.lit(HASH_PRIME)).alias("h"),
     )
-    agg = hashed.groupBy(id_col).agg(
+    return hashed.groupBy(id_col).agg(
         F.collect_set("shingle").alias("shingles"),
-        *_min_exprs(num_hashes, seed),
-    )
-    return agg.select(
-        F.col(id_col),
-        "shingles",
-        F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"),
+        sig_expr(num_hashes, seed).alias("sig"),
     )
 
 
@@ -109,26 +109,66 @@ def build_minhash_index(
     hasher: str = "xxhash64",
     name: str = "minhash_index",
     num_buckets: int = 16,
+    reuse_sets: bool = False,
 ) -> None:
-    """Full (re)build of the signature store from ``docs``."""
+    """Full (re)build of the signature store from ``docs``.
+
+    The store is COLUMNAR-SPLIT (guide §6, narrow the bytes written):
+    ``{name}_sets`` holds the heavy shingle arrays — a property of the
+    corpus and the shingle width alone — while ``{name}_docs`` holds only
+    the (id, sig) signatures the LSH index actually depends on. With
+    ``reuse_sets=True`` a rebuild under NEW index knobs (num_hashes /
+    bands / seed) derives signatures from the STORED sets and rewrites
+    only docs + bands + meta: the corpus's largest artifact is written
+    once per corpus, never re-read from raw text nor rewritten per
+    index rebuild (``n`` and ``hasher`` shape the stored shingles/ids,
+    so they must match the original build — enforce upstream)."""
     if not 1 <= bands <= num_hashes or num_hashes % bands:
         raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
-    # no persist here: the index rows feed exactly ONE action (the
-    # bucketed write) and every later consumer reads the WRITTEN table
-    # — a MEMORY_AND_DISK persist of the shingle arrays would only add
-    # a second serialization of the build's largest intermediate
-    idx = _index_rows(
-        docs, id_col=id_col, text_col=text_col, n=n,
-        num_hashes=num_hashes, seed=seed, hasher=hasher,
+    if reuse_sets:
+        # signatures from the stored shingle sets: explode the stored
+        # array column (a materialized attribute — plain codegen
+        # Generate, not an HOF-built array), fold-hash each shingle,
+        # re-aggregate the K minimums. No raw-text scan, no sets write.
+        stored_sets = _fresh_table(warehouse.spark, f"{name}{_SETS}")
+        hashed = stored_sets.select(
+            F.col(id_col), F.explode("shingles").alias("shingle")
+        ).select(
+            F.col(id_col),
+            F.pmod(
+                _hash64(F.col("shingle"), hasher), F.lit(HASH_PRIME)
+            ).alias("h"),
+        )
+        idx = _materialized(
+            hashed.groupBy(id_col).agg(
+                sig_expr(num_hashes, seed).alias("sig")
+            )
+        )
+    else:
+        # ONE aggregate feeds three writes, so the index rows persist
+        # (MEMORY_AND_DISK; released via neardup.release_cached) — the
+        # sets write materializes the cache and the docs/bands writes
+        # read it, replacing the old combined-write + parquet read-back
+        # (same-minute A/B: 2.83 s -> 2.34 s steady-state at sf0.1)
+        idx = _materialized(
+            _index_rows(
+                docs, id_col=id_col, text_col=text_col, n=n,
+                num_hashes=num_hashes, seed=seed, hasher=hasher,
+            )
+        )
+        warehouse.save_bucketed(
+            idx.select(id_col, "shingles"), f"{name}{_SETS}", (id_col,),
+            num_buckets=num_buckets,
+        )
+    warehouse.save_bucketed(
+        idx.select(id_col, "sig"), f"{name}{_DOCS}", (id_col,),
+        num_buckets=num_buckets,
     )
     warehouse.save_bucketed(
-        idx, f"{name}{_DOCS}", (id_col,), num_buckets=num_buckets
-    )
-    # band rows from the WRITTEN table: lineage stops at the index files,
-    # so the band write never re-runs the shingling
-    stored = warehouse.spark.table(f"{name}{_DOCS}")
-    warehouse.save_bucketed(
-        band_rows(stored, id_col=id_col, num_hashes=num_hashes, bands=bands, hasher=hasher),
+        band_rows(
+            idx.select(id_col, "sig"), id_col=id_col,
+            num_hashes=num_hashes, bands=bands, hasher=hasher,
+        ),
         f"{name}{_BANDS}",
         ("band", "bucket"),
         num_buckets=num_buckets,
@@ -178,6 +218,11 @@ def scrub_batch_ids(
     # localCheckpoint cuts the lineage at in-memory blocks (a lazy persist
     # would still scan the just-deleted files on first use)
     clean_docs = stored_docs.join(ids, id_col, "left_anti").localCheckpoint()
+    clean_sets = (
+        _fresh_table(spark, f"{name}{_SETS}")
+        .join(ids, id_col, "left_anti")
+        .localCheckpoint()
+    )
     clean_bands = (
         _fresh_table(spark, f"{name}{_BANDS}")
         .join(ids, id_col, "left_anti")
@@ -185,6 +230,9 @@ def scrub_batch_ids(
     )
     warehouse.save_bucketed(
         clean_docs, f"{name}{_DOCS}", (id_col,), num_buckets=num_buckets
+    )
+    warehouse.save_bucketed(
+        clean_sets, f"{name}{_SETS}", (id_col,), num_buckets=num_buckets
     )
     warehouse.save_bucketed(
         clean_bands, f"{name}{_BANDS}", ("band", "bucket"),
@@ -237,7 +285,7 @@ def incremental_minhash_pairs(
         )
     )
     stored_bands = _fresh_table(spark, f"{name}{_BANDS}")
-    stored_docs = _fresh_table(spark, f"{name}{_DOCS}")
+    stored_sets = _fresh_table(spark, f"{name}{_SETS}")
 
     # new-vs-old: probe the bucketed postings on its bucketing keys — the
     # stored side is read co-partitioned from disk, only new rows shuffle.
@@ -262,8 +310,9 @@ def incremental_minhash_pairs(
     cands = no_pairs.unionByName(nn_pairs).dropDuplicates(["id_a", "id_b"])
 
     # verification sets: new docs from the in-batch index, old docs from
-    # the stored index (shingles stored — the raw text is never re-read)
-    sets = stored_docs.select(id_col, "shingles").unionByName(
+    # the stored SETS table (shingles stored once per corpus, bucketed on
+    # the doc id — the raw text is never re-read)
+    sets = stored_sets.select(id_col, "shingles").unionByName(
         new_idx.select(id_col, "shingles")
     )
     cands = cands.join(
@@ -282,11 +331,17 @@ def incremental_minhash_pairs(
         .select("id_a", "id_b", "intersection", "jaccard")
     )
     if append:
-        # execute against the PRE-append store, then append
+        # execute against the PRE-append store, then append (columnar
+        # split: the sig index and the shingle sets are separate tables)
         warehouse.overwrite(out, f"{name}_pairs")
         out = warehouse.read(f"{name}_pairs")
         warehouse.append_bucketed(
-            new_idx, f"{name}{_DOCS}", (id_col,), num_buckets=num_buckets
+            new_idx.select(id_col, "sig"), f"{name}{_DOCS}", (id_col,),
+            num_buckets=num_buckets,
+        )
+        warehouse.append_bucketed(
+            new_idx.select(id_col, "shingles"), f"{name}{_SETS}", (id_col,),
+            num_buckets=num_buckets,
         )
         warehouse.append_bucketed(
             new_bands, f"{name}{_BANDS}", ("band", "bucket"), num_buckets=num_buckets

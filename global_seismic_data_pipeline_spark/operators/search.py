@@ -9,11 +9,12 @@ a small bag of query terms, rank documents by
 with the Lucene idf = ln(1 + (N - df + 0.5)/(df + 0.5)).
 
 Scale shape (inverted-index discipline, no index materialized):
-- ONE tokenization pass feeds both document lengths and term frequencies
-  (materialized once via persist — two aggregate consumers).
-- The query-term filter lands directly on the token rows BEFORE any
-  shuffle, so the tf aggregate only moves rows for the handful of query
-  terms; everything else dies map-side.
+- ONE corpus aggregate — the per-doc term counts (:func:`term_counts`,
+  map-side combined, persisted) — feeds document lengths (Σ tf per doc),
+  the query-term tf rows (a filter), and TF-IDF's weights; a hybrid
+  pipeline aggregates the corpus tokens once, not once per scorer.
+- The query-term filter lands on the (vocab-per-doc-sized) term-count
+  rows map-side; only matching rows reach any further shuffle.
 - Per-term document frequencies and the 1-row corpus stats are broadcast;
   the only big shuffles are the two token aggregates, both keyed on the
   high-cardinality doc id with map-side partial counts.
@@ -60,14 +61,48 @@ def search_token_rows(
     scorers over the same corpus tokenize ONCE: at 100 TB the
     tokenization scan is the dominant cost of each scorer, and BM25 +
     TF-IDF both consume the identical row set."""
-    toks = ensure_parallelism(
+    toks = _token_rows(docs, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    _PERSISTED.append(toks)
+    return toks
+
+
+def _token_rows(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return ensure_parallelism(
         docs.select(F.col(id_col), F.col(text_col))
     ).select(
         F.col(id_col).alias("id_"),
         F.explode(F.split(normalized(F.col(text_col)), " ")).alias("tok"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    _PERSISTED.append(toks)
-    return toks
+    )
+
+
+def term_counts(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    toks: DataFrame | None = None,
+) -> DataFrame:
+    """(id_, tok, tf): the per-document term-frequency aggregate — the
+    ONE corpus-wide pass both scorers here reduce to. BM25's document
+    length is Σ tf per doc and its query-term tf is a filter of these
+    rows; TF-IDF consumes them directly. Sharing this table means a
+    hybrid pipeline aggregates the token rows once (map-side combined)
+    instead of once per scorer (guide §2.4). Persisted; released via
+    :func:`release_cached`. When ``toks`` is not supplied the token rows
+    feed exactly this aggregate, so they are built UNPERSISTED — caching
+    them would add a second materialization of the corpus's largest
+    intermediate for a single consumer."""
+    if toks is None:
+        toks = _token_rows(docs, id_col, text_col)
+    tfc = (
+        toks.groupBy("id_", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _PERSISTED.append(tfc)
+    return tfc
 
 
 def bm25_topk(
@@ -80,29 +115,29 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     toks: DataFrame | None = None,
+    tfc: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k (id, score, n_terms_matched, dl) by BM25 for ``query_terms``.
 
     Documents matching no query term are not returned (score 0). Ties are
     broken by ascending id so the k-selection is deterministic.
-    ``toks`` accepts a pre-built :func:`search_token_rows` table so hybrid
-    pipelines share one tokenization pass."""
+    ``tfc`` accepts a pre-built :func:`term_counts` table (``toks`` a
+    pre-built :func:`search_token_rows` one) so hybrid pipelines share
+    one corpus aggregate. dl = Σ tf per doc and the query-term tf rows
+    are a filter of ``tfc`` — exact-integer identical to aggregating the
+    raw token rows, but the corpus-sized pass happens once."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     if len(set(query_terms)) != len(query_terms):
         raise ValueError("query_terms must be distinct")
-    if toks is None:
-        toks = search_token_rows(docs, id_col=id_col, text_col=text_col)
+    if tfc is None:
+        tfc = term_counts(docs, id_col=id_col, text_col=text_col, toks=toks)
 
-    dl = toks.groupBy("id_").agg(F.count(F.lit(1)).alias("dl"))
+    dl = tfc.groupBy("id_").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_toks")
     )
-    tf = (
-        toks.filter(F.col("tok").isin(list(query_terms)))
-        .groupBy("id_", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    tf = tfc.filter(F.col("tok").isin(list(query_terms)))
     dft = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("dft"))
 
     joined = (
@@ -223,6 +258,7 @@ def tfidf_topk(
     text_col: str = "text",
     k: int = 10,
     toks: DataFrame | None = None,
+    tfc: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k (id, score, n_terms_matched) by TF-IDF cosine — the vector-
     space complement to BM25, built so EVERY arithmetic step before the
@@ -251,13 +287,10 @@ def tfidf_topk(
         raise ValueError("query_terms must be non-empty")
     if len(set(query_terms)) != len(query_terms):
         raise ValueError("query_terms must be distinct")
-    if toks is None:
-        toks = search_token_rows(docs, id_col=id_col, text_col=text_col)
+    if tfc is None:
+        tfc = term_counts(docs, id_col=id_col, text_col=text_col, toks=toks)
     n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
-    tf = toks.groupBy("id_", "tok").agg(F.count(F.lit(1)).alias("tf")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    _PERSISTED.append(tf)
+    tf = tfc
     dft = (
         tf.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("dft"))

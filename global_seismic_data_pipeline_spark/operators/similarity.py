@@ -91,6 +91,14 @@ def quantize(mat: np.ndarray) -> np.ndarray:
     return np.floor(mat * QUANT).astype(np.int64)
 
 
+_LLOYD_ROWS_PER_TASK = 1 << 16
+"""Target rows per task for the Lloyd iteration passes: enough that the
+per-task integer matmul (~rows × dim × cells ops) dwarfs the fixed
+Python-task launch cost, derived from the DATA size (not the local core
+count — a 10⁶-row training sample still fans out to ~16 tasks, and the
+cap never exceeds the cached partition count)."""
+
+
 def _hyperplanes(dim: int, bits: int, tables: int, seed: int) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.standard_normal((tables, bits, dim))
@@ -264,6 +272,17 @@ def train_ivf_codebook(
     numpy from the same parquet and lands on the identical codebook, which
     is what keeps the trained ``ivf_ann_topk`` hash-checkable.
 
+    After iteration 1 the cached training set is COALESCED to
+    ~``_LLOYD_ROWS_PER_TASK`` rows per task (row count comes free from
+    iteration 1's partial counts — no extra action): a Lloyd pass over a
+    small training sample is fixed-overhead-bound, and AQE's
+    parallelism-first coalescing never shrinks below core count, so a
+    1600-row sample otherwise pays 32 Python-task launches per iteration
+    (measured 0.47 s/iter vs 0.21 s on one task). The coalesce is narrow
+    (reads the cached blocks, no shuffle) and the partial sums are
+    associative exact ints, so the codebook is bit-identical under any
+    task count.
+
     Scale shape per iteration: ONE fused Arrow pass (mapInPandas) that
     assigns cells AND emits per-partition partial sums — ≤ cells ×
     (dim+2) longs per partition, collected and combined driver-side in
@@ -283,12 +302,13 @@ def train_ivf_codebook(
         mat = np.array(vecs.tolist(), dtype=np.float64)
         return pd.Series(list(quantize(mat)))
 
-    xq = df.select(quant_pd(F.col(vec_col)).alias("xq")).persist()
+    cached = df.select(quant_pd(F.col(vec_col)).alias("xq")).persist()
+    xq = cached
     part_cols = ["cell", "n"] + [f"s{d}" for d in range(dim)]
     part_schema = ", ".join(f"{c} long" for c in part_cols)
     try:
         cb = init
-        for _ in range(iters):
+        for it in range(iters):
             cb_now = cb.copy()
 
             def partials_fn(batches, cb_now=cb_now):
@@ -328,6 +348,12 @@ def train_ivf_codebook(
                     n0 + int(r["n"]),
                     [s0[d] + int(r[f"s{d}"]) for d in range(dim)],
                 )
+            if it == 0:
+                n_rows = sum(n for n, _s in acc.values())
+                cur = xq.rdd.getNumPartitions()
+                want = max(1, min(cur, -(-n_rows // _LLOYD_ROWS_PER_TASK)))
+                if want < cur:
+                    xq = cached.coalesce(want)
             new_cb = cb.copy()
             for c, (n, s) in acc.items():
                 # python ints: floor division (matches np.floor_divide)
@@ -335,7 +361,7 @@ def train_ivf_codebook(
             cb = new_cb
         return cb
     finally:
-        xq.unpersist()
+        cached.unpersist()
 
 
 def with_ivf_cells(
@@ -473,7 +499,8 @@ def train_pq_codebooks(
         mat = np.array(vecs.tolist(), dtype=np.float64)
         return pd.Series(list(quantize(mat)))
 
-    xq = df.select(quant_pd(F.col(vec_col)).alias("xq")).persist()
+    cached = df.select(quant_pd(F.col(vec_col)).alias("xq")).persist()
+    xq = cached
     try:
         sums = [
             F.sum(
@@ -481,7 +508,7 @@ def train_pq_codebooks(
             ).alias(f"s{d}")
             for d in range(dsub)
         ]
-        for _ in range(iters):
+        for it in range(iters):
             codes_pd = _pq_codes_udf(cb)
             rows = (
                 xq.select(F.posexplode_outer(codes_pd("xq")).alias("sub", "code"), "xq")
@@ -489,6 +516,15 @@ def train_pq_codebooks(
                 .agg(F.count(F.lit(1)).alias("n"), *sums)
                 .collect()
             )
+            if it == 0:
+                # each vector contributes one row per subspace — Σn/m is
+                # the training-set size, free from this iteration's rows
+                # (same fixed-overhead rationale as train_ivf_codebook)
+                n_rows = sum(int(r["n"]) for r in rows) // m
+                cur = xq.rdd.getNumPartitions()
+                want = max(1, min(cur, -(-n_rows // _LLOYD_ROWS_PER_TASK)))
+                if want < cur:
+                    xq = cached.coalesce(want)
             new_cb = cb.copy()
             for r in rows:
                 s, c, n = int(r["sub"]), int(r["code"]), int(r["n"])
@@ -496,7 +532,7 @@ def train_pq_codebooks(
             cb = new_cb
         return cb
     finally:
-        xq.unpersist()
+        cached.unpersist()
 
 
 def _pq_codes_udf(cb_q: np.ndarray):

@@ -1922,12 +1922,13 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     (≤50 rows) — never corpus-sized."""
     docs = _docs(spark, sf_dir)
     k_each, c = 50, 60
-    # ONE tokenization pass feeds both retrievers (search_token_rows is
-    # persisted) — the corpus is scanned/normalized/exploded once, not
-    # once per scorer
-    toks = search.search_token_rows(docs, id_col="doc_id", text_col="text")
-    bm = search.bm25_topk(docs, BM25_TERMS, k=k_each, toks=toks)
-    ti = search.tfidf_topk(docs, BM25_TERMS, k=k_each, toks=toks)
+    # ONE corpus aggregate feeds both retrievers (term_counts is
+    # persisted): the corpus is scanned/normalized/exploded AND
+    # tf-aggregated once — BM25's dl is Σ tf per doc and its query-term
+    # rows are a filter of the same table TF-IDF consumes directly
+    tfc = search.term_counts(docs, id_col="doc_id", text_col="text")
+    bm = search.bm25_topk(docs, BM25_TERMS, k=k_each, tfc=tfc)
+    ti = search.tfidf_topk(docs, BM25_TERMS, k=k_each, tfc=tfc)
     bmr = bm.select(
         "doc_id",
         F.row_number()
@@ -2027,12 +2028,15 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     # one shared tokenization pass: the trainer folds word frequencies
-    # from the SAME persisted occurrence rows the encoder joins back to
+    # from the SAME persisted occurrence rows the encoder joins back to.
+    # learn_merge_list returns the merges as driver rows directly — the
+    # encode path needs neither the symbols_after audit action nor a
+    # tiny_df round-trip (two fewer control-plane jobs than wrapping
+    # learn_merges)
     occ = bpe.word_occurrences(docs)
-    audit = bpe.learn_merges(docs, k=3, occ=occ)
+    audit = bpe.learn_merge_list(docs, k=3, occ=occ, with_symbols=False)
     merges = [
-        tuple(r.merged_pair.split(" "))
-        for r in audit.orderBy("step").collect()
+        tuple(pair.split(" ")) for _step, pair, _cnt in sorted(audit)
     ]
     return bpe.encode_with_merges(docs, merges, occ=occ)
 

@@ -126,7 +126,9 @@ def test_probe_plan_never_rescans_corpus_text(spark, wh, tmp_path):
         spark.conf.set("spark.sql.maxMetadataStringLength", old_len)
     assert "base_corpus_docs" not in plan  # stored text never re-read
     assert "batch_docs" in plan  # the new batch is the only raw-text scan
-    assert "t_idx3_bands" in plan and "t_idx3_docs" in plan
+    # postings probed, verification reads the stored SETS table (the
+    # sig index table is not needed by a probe at all — columnar split)
+    assert "t_idx3_bands" in plan and "t_idx3_sets" in plan
 
 
 def test_append_persists_batch_signatures(spark, wh):
@@ -148,3 +150,50 @@ def test_missing_meta_raises(spark, wh):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(Exception):
         incremental_minhash_pairs(wh, docs, name="never_built")
+
+
+def test_rebuild_reuse_sets_identical_and_sets_untouched(spark, wh, tmp_path):
+    """Columnar-split payoff: rebuilding the index under NEW LSH knobs
+    with reuse_sets=True (a) produces a docs/bands store bit-identical to
+    a from-scratch build with those knobs, and (b) never rewrites the
+    heavy shingle-sets table — its files are byte-for-byte untouched."""
+    import os
+
+    rows = _corpus(n_docs=60)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    build_minhash_index(wh, docs, name="r_idx", **KNOBS)
+
+    def _set_files(name):
+        out = {}
+        root = wh.path(f"{name}_sets")
+        for r, _d, fs in os.walk(root):
+            for f in fs:
+                p = os.path.join(r, f)
+                out[os.path.relpath(p, root)] = (
+                    os.path.getmtime(p), os.path.getsize(p)
+                )
+        return out
+
+    before = _set_files("r_idx")
+    new_knobs = dict(KNOBS, num_hashes=16, bands=4, seed=99)
+    build_minhash_index(wh, None, name="r_idx", reuse_sets=True, **new_knobs)
+    assert _set_files("r_idx") == before  # sets written once per corpus
+
+    wh2 = Warehouse(spark, str(tmp_path / "wh2"))
+    build_minhash_index(wh2, docs, name="s_idx", **new_knobs)
+    got_docs = {
+        (r["doc_id"], tuple(r["sig"]))
+        for r in spark.table("r_idx_docs").collect()
+    }
+    want_docs = {
+        (r["doc_id"], tuple(r["sig"]))
+        for r in spark.table("s_idx_docs").collect()
+    }
+    assert got_docs == want_docs
+    got_bands = {
+        tuple(r) for r in spark.table("r_idx_bands").collect()
+    }
+    want_bands = {
+        tuple(r) for r in spark.table("s_idx_bands").collect()
+    }
+    assert got_bands == want_bands
