@@ -121,11 +121,28 @@ def build_minhash_index(
     bands / seed) derives signatures from the STORED sets and rewrites
     only docs + bands + meta: the corpus's largest artifact is written
     once per corpus, never re-read from raw text nor rewritten per
-    index rebuild (``n`` and ``hasher`` shape the stored shingles/ids,
-    so they must match the original build — enforce upstream)."""
+    index rebuild. ``n``/``hasher``/``num_buckets``/``id_col`` shape the
+    STORED sets, so a reuse rebuild validates them against the stored
+    meta and refuses loudly on mismatch — a silent mismatch would
+    Jaccard-verify w-shingles against w'-shingle sets and miss every
+    cross-corpus duplicate."""
     if not 1 <= bands <= num_hashes or num_hashes % bands:
         raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
     if reuse_sets:
+        meta_now = _load_meta(warehouse, name)
+        fixed = {
+            "id_col": id_col, "n": n, "hasher": hasher,
+            "num_buckets": num_buckets,
+        }
+        bad = {
+            k: (v, meta_now[k]) for k, v in fixed.items()
+            if meta_now[k] != v
+        }
+        if bad:
+            raise ValueError(
+                "reuse_sets=True may only change num_hashes/bands/seed; "
+                f"these knobs shape the stored sets and differ: {bad}"
+            )
         # signatures from the stored shingle sets: explode the stored
         # array column (a materialized attribute — plain codegen
         # Generate, not an HOF-built array), fold-hash each shingle,

@@ -16,8 +16,9 @@ Scale shape (inverted-index discipline, no index materialized):
 - The query-term filter lands on the (vocab-per-doc-sized) term-count
   rows map-side; only matching rows reach any further shuffle.
 - Per-term document frequencies and the 1-row corpus stats are broadcast;
-  the only big shuffles are the two token aggregates, both keyed on the
-  high-cardinality doc id with map-side partial counts.
+  the only corpus-sized shuffle is the term-count aggregate itself
+  (high-cardinality (doc, tok) key, map-side partial counts) — dl
+  re-aggregates the already-reduced term counts.
 - Top-k is a TakeOrdered (k per partition, then merged on the driver) —
   no global sort.
 
@@ -52,22 +53,6 @@ def release_cached() -> int:
     return n
 
 
-def search_token_rows(
-    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """(id_, tok) rows of the normalized corpus — the shared tokenization
-    front of every retriever here. Persisted (MEMORY_AND_DISK, released
-    via :func:`release_cached`) so hybrid pipelines that run several
-    scorers over the same corpus tokenize ONCE: at 100 TB the
-    tokenization scan is the dominant cost of each scorer, and BM25 +
-    TF-IDF both consume the identical row set."""
-    toks = _token_rows(docs, id_col, text_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    _PERSISTED.append(toks)
-    return toks
-
-
 def _token_rows(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return ensure_parallelism(
         docs.select(F.col(id_col), F.col(text_col))
@@ -82,7 +67,6 @@ def term_counts(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
-    toks: DataFrame | None = None,
 ) -> DataFrame:
     """(id_, tok, tf): the per-document term-frequency aggregate — the
     ONE corpus-wide pass both scorers here reduce to. BM25's document
@@ -90,14 +74,13 @@ def term_counts(
     rows; TF-IDF consumes them directly. Sharing this table means a
     hybrid pipeline aggregates the token rows once (map-side combined)
     instead of once per scorer (guide §2.4). Persisted; released via
-    :func:`release_cached`. When ``toks`` is not supplied the token rows
-    feed exactly this aggregate, so they are built UNPERSISTED — caching
-    them would add a second materialization of the corpus's largest
-    intermediate for a single consumer."""
-    if toks is None:
-        toks = _token_rows(docs, id_col, text_col)
+    :func:`release_cached`. The token rows feed exactly this aggregate,
+    so they are built UNPERSISTED — caching them would add a second
+    materialization of the corpus's largest intermediate for a single
+    consumer."""
     tfc = (
-        toks.groupBy("id_", "tok")
+        _token_rows(docs, id_col, text_col)
+        .groupBy("id_", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -114,24 +97,23 @@ def bm25_topk(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
-    toks: DataFrame | None = None,
     tfc: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k (id, score, n_terms_matched, dl) by BM25 for ``query_terms``.
 
     Documents matching no query term are not returned (score 0). Ties are
     broken by ascending id so the k-selection is deterministic.
-    ``tfc`` accepts a pre-built :func:`term_counts` table (``toks`` a
-    pre-built :func:`search_token_rows` one) so hybrid pipelines share
-    one corpus aggregate. dl = Σ tf per doc and the query-term tf rows
-    are a filter of ``tfc`` — exact-integer identical to aggregating the
-    raw token rows, but the corpus-sized pass happens once."""
+    ``tfc`` accepts a pre-built :func:`term_counts` table so hybrid
+    pipelines share one corpus aggregate. dl = Σ tf per doc and the
+    query-term tf rows are a filter of ``tfc`` — exact-integer identical
+    to aggregating the raw token rows, but the corpus-sized pass
+    happens once."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     if len(set(query_terms)) != len(query_terms):
         raise ValueError("query_terms must be distinct")
     if tfc is None:
-        tfc = term_counts(docs, id_col=id_col, text_col=text_col, toks=toks)
+        tfc = term_counts(docs, id_col=id_col, text_col=text_col)
 
     dl = tfc.groupBy("id_").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
@@ -257,7 +239,6 @@ def tfidf_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 10,
-    toks: DataFrame | None = None,
     tfc: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k (id, score, n_terms_matched) by TF-IDF cosine — the vector-
@@ -288,7 +269,7 @@ def tfidf_topk(
     if len(set(query_terms)) != len(query_terms):
         raise ValueError("query_terms must be distinct")
     if tfc is None:
-        tfc = term_counts(docs, id_col=id_col, text_col=text_col, toks=toks)
+        tfc = term_counts(docs, id_col=id_col, text_col=text_col)
     n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
     tf = tfc
     dft = (

@@ -158,9 +158,10 @@ def approx_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-k relevance search (operators/search.py) for a fixed
-    query-term bag. One tokenization pass, query-term filter before any
-    shuffle, broadcast df/corpus stats, fixed-order float sum — the DuckDB
-    oracle replicates the identical expression tree."""
+    query-term bag. One corpus term-count aggregate feeds dl and the
+    query-term tf rows (a map-side filter of the shared table), broadcast
+    df/corpus stats, fixed-order float sum — the DuckDB oracle replicates
+    the identical expression tree."""
     return search.bm25_topk(
         _docs(spark, sf_dir),
         BM25_TERMS,

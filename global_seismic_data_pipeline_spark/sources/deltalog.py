@@ -65,7 +65,6 @@ attachment (spec-correct for foreign tables with non-hive layouts).
 
 from __future__ import annotations
 
-import contextlib
 import json
 import os
 import re
@@ -79,6 +78,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from . import predicates
+from .confutil import conf_pinned as _conf_pinned
 
 _LOG = "_delta_log"
 _LAST_CHECKPOINT = "_last_checkpoint"
@@ -100,23 +100,6 @@ _SUPPORTED_READER_FEATURES = {
     "vacuumProtocolCheck",
 }
 _NULL_PARTITION_DIR = "__HIVE_DEFAULT_PARTITION__"
-
-
-@contextlib.contextmanager
-def _conf_pinned(spark: SparkSession, key: str, value: str):
-    """Set a session conf for the duration of an EAGER operation and
-    restore the caller's prior value after (same discipline as
-    iceberg._conf_pinned): writer confs must not leak into unrelated
-    writes on a shared session."""
-    prior = spark.conf.get(key, None)
-    spark.conf.set(key, value)
-    try:
-        yield
-    finally:
-        if prior is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prior)
 
 
 class DeltaProtocolError(ValueError):
@@ -3368,7 +3351,14 @@ def stage_cdc_files(
     staging = os.path.join(
         table_path, f".cdc-staging-{uuid.uuid4().hex}"
     )
-    change_df.write.mode("overwrite").parquet(staging)
+    # same writer-owned physical type as stage_write: change rows carry
+    # every table column, so an INT96 session would otherwise write
+    # stat-less (and inconsistently-typed) timestamp change files
+    with _conf_pinned(
+        change_df.sparkSession,
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS",
+    ):
+        change_df.write.mode("overwrite").parquet(staging)
     cdir = os.path.join(table_path, "_change_data")
     os.makedirs(cdir, exist_ok=True)
     actions: list[dict] = []

@@ -70,6 +70,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from . import avrofile, predicates
+from .confutil import conf_pinned as _conf_pinned
 
 _STATUS_DELETED = 2
 _STATUS_ADDED = 1
@@ -113,27 +114,6 @@ _SPARK_TO_ICEBERG = {
     T.TimestampNTZType(): "timestamp",
     T.TimestampType(): "timestamptz",
 }
-
-
-@contextlib.contextmanager
-def _conf_pinned(spark: SparkSession, key: str, value: str):
-    """Set a session conf for the duration of an EAGER operation and
-    restore the caller's prior value after — writer confs like
-    ``spark.sql.parquet.fieldId.write.enabled`` must not leak into
-    unrelated writes on a shared session. Only safe around actions:
-    lazy plans consume SQL confs at execution time, so the fieldId READ
-    conf (needed when the returned scan later executes) intentionally
-    stays set — with no field-id metadata in a schema Spark falls back
-    to name resolution, so it is a no-op for every other read."""
-    prior = spark.conf.get(key, None)
-    spark.conf.set(key, value)
-    try:
-        yield
-    finally:
-        if prior is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prior)
 
 
 def _strip_scheme(p: str) -> str:

@@ -377,7 +377,9 @@ def test_bucketed_write_one_file_per_bucket(spark, tmp_path, wh_cls):
     )
     try:
         wh.save_bucketed(base, "bkt_files", ["k"], num_buckets=n_b)
-        assert wh.table_stats("bkt_files")["num_files"] == n_b
+        # at-most-one-file-per-bucket (an empty bucket may emit nothing;
+        # CLAUDE.md forbids exact part-file-count asserts)
+        assert 1 <= wh.table_stats("bkt_files")["num_files"] <= n_b
         batch = spark.range(2000, 2500, 1, 16).select(
             F.col("id").alias("k"), (F.col("id") % 7).alias("v")
         )

@@ -27,18 +27,47 @@ from pyspark.sql import functions as F
 from global_seismic_data_pipeline_spark.session import get_spark
 from global_seismic_data_pipeline_spark.sources.catalog import load_table
 
-# key columns shifted by copy * (1 + max over the SOURCE) so copies never
-# collide; non-key ids referenced across tables shift consistently
+# Each shared key DOMAIN shifts by copy * (1 + max over its OWNING
+# table) so copies never collide AND every referencing table shifts by
+# the SAME amount — shifting o_custkey by max(o_custkey) while customer
+# shifts by max(c_custkey) would desynchronize the FK whenever the
+# domain max lives only on the owning side (customers without orders
+# exist in this schema).
+_KEY_DOMAINS = {
+    "orderkey": ("orders", "o_orderkey"),
+    "custkey": ("customer", "c_custkey"),
+    "event_id": ("events", "event_id"),
+    "user_id": ("events", "user_id"),
+    "doc_id": ("documents", "doc_id"),
+    "vec_id": ("embeddings", "vec_id"),
+}
 _KEY_SHIFTS = {
-    "orders": ["o_orderkey", "o_custkey"],
-    "lineitem": ["l_orderkey"],  # partkey/suppkey reuse the small dims
-    "customer": ["c_custkey"],
-    "events": ["event_id", "user_id"],
-    "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
+    "orders": {"o_orderkey": "orderkey", "o_custkey": "custkey"},
+    "lineitem": {"l_orderkey": "orderkey"},  # partkey/suppkey: small dims
+    "customer": {"c_custkey": "custkey"},
+    "events": {"event_id": "event_id", "user_id": "user_id"},
+    "documents": {"doc_id": "doc_id"},
+    "embeddings": {"vec_id": "vec_id"},
 }
 # small dimension tables are NOT inflated (real 10x growth grows facts)
 _STATIC = ["region", "nation", "part", "supplier"]
+
+
+def _write_single_file(df, out: str, name: str) -> None:
+    """The driver's testdata ships each table as ONE parquet FILE (the
+    catalog reads its schema with pyarrow directly); match that shape —
+    coalescing a computed DataFrame for a one-off write is fine."""
+    import glob
+    import shutil
+
+    staging = f"{out}/.__{name}_staging"
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    part = glob.glob(f"{staging}/part-*.parquet")[0]
+    dest = f"{out}/{name}.parquet"
+    if os.path.isdir(dest):
+        shutil.rmtree(dest)
+    shutil.move(part, dest)
+    shutil.rmtree(staging)
 
 
 def main() -> None:
@@ -48,20 +77,25 @@ def main() -> None:
     os.makedirs(out, exist_ok=True)
     for name in _STATIC:
         df = load_table(spark, src, name)
-        df.write.mode("overwrite").parquet(f"{out}/{name}.parquet")
+        _write_single_file(df, out, name)
         print(f"{name}: copied {df.count()} rows")
     copies = F.explode(F.array(*[F.lit(i) for i in range(factor)])).alias(
         "__copy"
     )
+    domain_shift = {
+        dom: int(
+            load_table(spark, src, tbl)
+            .agg(F.max(F.col(col)) + 1)
+            .collect()[0][0]
+        )
+        for dom, (tbl, col) in _KEY_DOMAINS.items()
+    }
     for name, keys in _KEY_SHIFTS.items():
         df = load_table(spark, src, name)
-        maxes = df.agg(
-            *[(F.max(F.col(c)) + 1).alias(c) for c in keys]
-        ).collect()[0]
         rep = df.select("*", copies)
-        for c in keys:
+        for c, dom in keys.items():
             rep = rep.withColumn(
-                c, F.col(c) + F.col("__copy") * F.lit(int(maxes[c]))
+                c, F.col(c) + F.col("__copy") * F.lit(domain_shift[dom])
             )
         if name == "documents":
             rep = rep.withColumn(
@@ -86,9 +120,7 @@ def main() -> None:
                     F.slice("embedding", 2, 10_000),
                 ),
             )
-        rep.drop("__copy").repartition(32).write.mode("overwrite").parquet(
-            f"{out}/{name}.parquet"
-        )
+        _write_single_file(rep.drop("__copy"), out, name)
         print(f"{name}: x{factor}")
     print("done:", out)
 
